@@ -1,0 +1,293 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Core relational operator coverage (SURVEY.md §2.2, §2.5–§2.7):
+  * projection/filter/scalar expressions, hash aggregation with partial
+  * (map-side) combine, equi/broadcast/semi/anti joins, window top-k,
+  * conditional-aggregation pivot, distinct, point lookups.
+  *
+  * All queries are pure DataFrame plans — Catalyst pushes the filters and
+  * projections into the parquet scan (verify via `.explain`: PushedFilters /
+  * ReadSchema), partial-aggregates before the exchange, and auto-broadcasts
+  * the dimension tables. At 100 TB the same plans hold: the only shuffles
+  * are the final group-bys on low-cardinality keys, and every dimension join
+  * (region/nation/customer/supplier) stays broadcast.
+  *
+  * Determinism-for-oracle notes (SURVEY.md §7.4.3): money sums reach ~1e9 at
+  * sf0.01, where double accumulation-order error (~1e-5) exceeds the
+  * driver's 1e-9 rounding. [[exactMoneySum]] sums scaled longs instead —
+  * bit-exact in any order, matching DuckDB's integer sum exactly. All
+  * residual double outputs are rounded to 6 decimals on BOTH engine and
+  * oracle sides so the driver's round-to-1e-9 is a no-op.
+  */
+object RelationalOps {
+
+  /** Exact, order-independent sum of a ~2-decimal money expression:
+    * scale to 1e-4 integral units, sum as long, divide back. Bit-identical
+    * across partitionings and engines (vs. double sums, which drift ~1e-5
+    * at 1e9 magnitude). Still one partial+final hash aggregate — no extra
+    * shuffle, codegen-friendly.
+    */
+  def exactMoneySum(c: Column): Column =
+    sum(round(c * lit(10000), 0).cast("long")) / lit(10000.0)
+
+  /** Round every double column to 6 dp — engine/oracle hash stability. */
+  def round6(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.types.DoubleType
+    df.schema.fields.foldLeft(df) { (acc, f) =>
+      if (f.dataType == DoubleType) acc.withColumn(f.name, round(col(f.name), 6))
+      else acc
+    }
+  }
+
+  /** q1: pricing summary — scan-heavy grouped aggregation (TPC-H Q1 shape).
+    * Filter pushes into the parquet scan; aggregation is partial→final on a
+    * 6-value composite key, so the shuffle moves O(groups), not O(rows).
+    */
+  def q1PricingSummary(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.lineitem(s, dir)
+      .filter($"l_shipdate" <= lit("1998-09-02").cast("timestamp_ntz"))
+      .groupBy($"l_returnflag", $"l_linestatus")
+      .agg(
+        round(sum($"l_quantity"), 6).as("sum_qty"),
+        round(exactMoneySum($"l_extendedprice"), 6).as("sum_base_price"),
+        round(exactMoneySum($"l_extendedprice" * (lit(1.0) - $"l_discount")), 6)
+          .as("sum_disc_price"),
+        round(avg($"l_quantity"), 6).as("avg_qty"),
+        round(avg($"l_discount"), 6).as("avg_disc"),
+        count(lit(1)).as("count_order"))
+      .orderBy($"l_returnflag", $"l_linestatus")
+  }
+
+  val q1Sql: String =
+    """SELECT l_returnflag, l_linestatus,
+      |  round(sum(l_quantity), 6) AS sum_qty,
+      |  round(CAST(sum(CAST(round(l_extendedprice*10000, 0) AS BIGINT)) AS DOUBLE)/10000.0, 6) AS sum_base_price,
+      |  round(CAST(sum(CAST(round(l_extendedprice*(1.0-l_discount)*10000, 0) AS BIGINT)) AS DOUBLE)/10000.0, 6) AS sum_disc_price,
+      |  round(avg(l_quantity), 6) AS avg_qty,
+      |  round(avg(l_discount), 6) AS avg_disc,
+      |  count(*) AS count_order
+      |FROM lineitem
+      |WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+      |GROUP BY l_returnflag, l_linestatus
+      |ORDER BY l_returnflag, l_linestatus""".stripMargin
+
+  /** q2: star-schema revenue rollup — fact table joined to three dimension
+    * tables. nation/region are explicitly broadcast; customer is small
+    * enough that Catalyst/AQE broadcasts it unhinted at every SF we run
+    * (and at 100 TB a 15M-row customer dim would flip to shuffled hash
+    * join automatically — the plan degrades gracefully).
+    */
+  def q2RevenueByNation(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val li  = Tables.lineitem(s, dir)
+    val ord = Tables.orders(s, dir)
+      .filter($"o_orderdate" >= lit("1996-01-01").cast("timestamp_ntz") &&
+              $"o_orderdate" <  lit("1999-01-01").cast("timestamp_ntz"))
+    val cust = Tables.customer(s, dir)
+    val nat  = broadcast(Tables.nation(s, dir))
+    val reg  = broadcast(Tables.region(s, dir))
+    li.join(ord, $"l_orderkey" === $"o_orderkey")
+      .join(cust, $"o_custkey" === $"c_custkey")
+      .join(nat, $"c_nationkey" === $"n_nationkey")
+      .join(reg, $"n_regionkey" === $"r_regionkey")
+      .groupBy($"r_name", $"n_name")
+      .agg(
+        round(exactMoneySum($"l_extendedprice" * (lit(1.0) - $"l_discount")), 6)
+          .as("revenue"),
+        count(lit(1)).as("n_lines"))
+      .orderBy($"r_name", $"n_name")
+  }
+
+  val q2Sql: String =
+    """SELECT r_name, n_name,
+      |  round(CAST(sum(CAST(round(l_extendedprice*(1.0-l_discount)*10000, 0) AS BIGINT)) AS DOUBLE)/10000.0, 6) AS revenue,
+      |  count(*) AS n_lines
+      |FROM lineitem
+      |JOIN orders   ON l_orderkey = o_orderkey
+      |JOIN customer ON o_custkey = c_custkey
+      |JOIN nation   ON c_nationkey = n_nationkey
+      |JOIN region   ON n_regionkey = r_regionkey
+      |WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      |  AND o_orderdate <  TIMESTAMP '1999-01-01 00:00:00'
+      |GROUP BY r_name, n_name
+      |ORDER BY r_name, n_name""".stripMargin
+
+  /** q3: top-3 orders per market segment — window argmax generalized to
+    * top-k (SURVEY.md A8). Deterministic tie-break on o_orderkey. The
+    * window shuffles once on the segment key; at scale the per-partition
+    * sort is the cost, and a pre-filter (e.g. totalprice threshold from a
+    * sketch) would bound it — not needed at bench SFs.
+    */
+  def q3TopOrdersPerSegment(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import s.implicits._
+    val w = Window.partitionBy($"c_mktsegment")
+      .orderBy($"o_totalprice".desc, $"o_orderkey".asc)
+    Tables.orders(s, dir)
+      .join(Tables.customer(s, dir), $"o_custkey" === $"c_custkey")
+      .select($"c_mktsegment", $"o_orderkey", $"o_totalprice")
+      .withColumn("rk", row_number().over(w))
+      .filter($"rk" <= 3)
+      .select($"c_mktsegment", $"rk".cast("long").as("rk"), $"o_orderkey",
+        round($"o_totalprice", 6).as("o_totalprice"))
+      .orderBy($"c_mktsegment", $"rk")
+  }
+
+  val q3Sql: String =
+    """SELECT c_mktsegment, CAST(rk AS BIGINT) AS rk, o_orderkey, round(o_totalprice, 6) AS o_totalprice
+      |FROM (
+      |  SELECT c_mktsegment, o_orderkey, o_totalprice,
+      |    row_number() OVER (PARTITION BY c_mktsegment ORDER BY o_totalprice DESC, o_orderkey ASC) AS rk
+      |  FROM orders JOIN customer ON o_custkey = c_custkey
+      |) WHERE rk <= 3
+      |ORDER BY c_mktsegment, rk""".stripMargin
+
+  /** q4: order-status mix per region — pivot via conditional aggregation
+    * (SURVEY.md A11; fixed column set keeps the oracle expressible). The
+    * module also exposes [[pivotDynamic]] using Spark's native
+    * groupBy.pivot for dynamic key sets (used by the Task-2 matrix).
+    */
+  def q4StatusPivotByRegion(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ord  = Tables.orders(s, dir)
+    val cust = Tables.customer(s, dir)
+    val nat  = broadcast(Tables.nation(s, dir))
+    val reg  = broadcast(Tables.region(s, dir))
+    def cnt(status: String) =
+      sum(when($"o_orderstatus" === status, 1L).otherwise(0L)).as(s"cnt_${status.toLowerCase}")
+    ord.join(cust, $"o_custkey" === $"c_custkey")
+      .join(nat, $"c_nationkey" === $"n_nationkey")
+      .join(reg, $"n_regionkey" === $"r_regionkey")
+      .groupBy($"r_name")
+      .agg(cnt("F"), cnt("O"), cnt("P"),
+        round(exactMoneySum($"o_totalprice"), 6).as("sum_totalprice"))
+      .orderBy($"r_name")
+  }
+
+  val q4Sql: String =
+    """SELECT r_name,
+      |  CAST(sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS cnt_f,
+      |  CAST(sum(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS cnt_o,
+      |  CAST(sum(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS BIGINT) AS cnt_p,
+      |  round(CAST(sum(CAST(round(o_totalprice*10000, 0) AS BIGINT)) AS DOUBLE)/10000.0, 6) AS sum_totalprice
+      |FROM orders
+      |JOIN customer ON o_custkey = c_custkey
+      |JOIN nation   ON c_nationkey = n_nationkey
+      |JOIN region   ON n_regionkey = r_regionkey
+      |GROUP BY r_name
+      |ORDER BY r_name""".stripMargin
+
+  /** Native dynamic pivot (values discovered from data) — Spark's
+    * groupBy().pivot() replaces the reference's pandas pivot
+    * (lab2.py:301–303). Not oracle-gated (dynamic schema); exercised by
+    * the Task-2 category matrix and ScalaTest.
+    */
+  def pivotDynamic(df: DataFrame, rowKey: String, colKey: String, value: String): DataFrame =
+    df.groupBy(col(rowKey)).pivot(colKey).agg(first(col(value)))
+      .orderBy(col(rowKey))
+
+  /** q5: semi/anti-join coverage (SURVEY.md §2.7 D4 extension) — per
+    * nation: customers with vs without 1995 orders. Both joins build on
+    * the same broadcast of the filtered orders' key set.
+    */
+  def q5SemiAnti(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val cust = Tables.customer(s, dir)
+    val o95  = Tables.orders(s, dir)
+      .filter($"o_orderdate" < lit("1996-01-01").cast("timestamp_ntz"))
+      .select($"o_custkey")
+    val nat  = broadcast(Tables.nation(s, dir))
+    val withO    = cust.join(o95, $"c_custkey" === $"o_custkey", "left_semi")
+      .groupBy($"c_nationkey").agg(count(lit(1)).as("with_orders"))
+      .select($"c_nationkey".as("nk_w"), $"with_orders")
+    val withoutO = cust.join(o95, $"c_custkey" === $"o_custkey", "left_anti")
+      .groupBy($"c_nationkey").agg(count(lit(1)).as("without_orders"))
+      .select($"c_nationkey".as("nk_wo"), $"without_orders")
+    nat.join(withO, $"n_nationkey" === $"nk_w", "left")
+      .join(withoutO, $"n_nationkey" === $"nk_wo", "left")
+      .select($"n_name",
+        coalesce($"with_orders", lit(0L)).as("with_orders"),
+        coalesce($"without_orders", lit(0L)).as("without_orders"))
+      .orderBy($"n_name")
+  }
+
+  val q5Sql: String =
+    """WITH o95 AS (SELECT DISTINCT o_custkey FROM orders WHERE o_orderdate < TIMESTAMP '1996-01-01 00:00:00'),
+      |w AS (SELECT c_nationkey, count(*) AS with_orders FROM customer
+      |      WHERE c_custkey IN (SELECT o_custkey FROM o95) GROUP BY c_nationkey),
+      |wo AS (SELECT c_nationkey, count(*) AS without_orders FROM customer
+      |      WHERE c_custkey NOT IN (SELECT o_custkey FROM o95) GROUP BY c_nationkey)
+      |SELECT n_name, COALESCE(with_orders, 0) AS with_orders, COALESCE(without_orders, 0) AS without_orders
+      |FROM nation LEFT JOIN w ON n_nationkey = w.c_nationkey
+      |            LEFT JOIN wo ON n_nationkey = wo.c_nationkey
+      |ORDER BY n_name""".stripMargin
+
+  /** q6: point lookups as one broadcast semi-join (SURVEY.md P5/J6 — the
+    * reference's driver-side lookup loop collapsed into a single job).
+    * The IN-list predicate pushes into the parquet scan.
+    */
+  def q6PointLookup(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ids = Seq(3L, 17L, 42L, 99L, 123L).toDF("k")
+    Tables.customer(s, dir)
+      .join(broadcast(ids), $"c_custkey" === $"k", "left_semi")
+      .select($"c_custkey", $"c_name", round($"c_acctbal", 6).as("c_acctbal"),
+        $"c_mktsegment")
+      .orderBy($"c_custkey")
+  }
+
+  val q6Sql: String =
+    """SELECT c_custkey, c_name, round(c_acctbal, 6) AS c_acctbal, c_mktsegment
+      |FROM customer WHERE c_custkey IN (3, 17, 42, 99, 123)
+      |ORDER BY c_custkey""".stripMargin
+
+  /** q7: distinct + union + except coverage (SURVEY.md §2.7 D1/D4):
+    * nation keys present among customers vs suppliers.
+    */
+  def q7SetOps(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val cn = Tables.customer(s, dir).select($"c_nationkey".cast("int").as("nk")).distinct()
+    val sn = Tables.supplier(s, dir).select($"s_nationkey".cast("int").as("nk")).distinct()
+    val both    = cn.intersect(sn).withColumn("src", lit("both"))
+    val custOnly = cn.except(sn).withColumn("src", lit("customer_only"))
+    val supOnly  = sn.except(cn).withColumn("src", lit("supplier_only"))
+    both.union(custOnly).union(supOnly).orderBy($"src", $"nk")
+  }
+
+  val q7Sql: String =
+    """WITH cn AS (SELECT DISTINCT CAST(c_nationkey AS INTEGER) AS nk FROM customer),
+      |sn AS (SELECT DISTINCT CAST(s_nationkey AS INTEGER) AS nk FROM supplier)
+      |SELECT nk, 'both' AS src FROM (SELECT nk FROM cn INTERSECT SELECT nk FROM sn)
+      |UNION ALL
+      |SELECT nk, 'customer_only' AS src FROM (SELECT nk FROM cn EXCEPT SELECT nk FROM sn)
+      |UNION ALL
+      |SELECT nk, 'supplier_only' AS src FROM (SELECT nk FROM sn EXCEPT SELECT nk FROM cn)
+      |ORDER BY src, nk""".stripMargin
+
+  /** Query + oracle registry contributed by this module. */
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q1_pricing_summary" -> (q1PricingSummary _),
+    "q2_revenue_by_nation" -> (q2RevenueByNation _),
+    "q3_top_orders_per_segment" -> (q3TopOrdersPerSegment _),
+    "q4_status_pivot_by_region" -> (q4StatusPivotByRegion _),
+    "q5_semi_anti" -> (q5SemiAnti _),
+    "q6_point_lookup" -> (q6PointLookup _),
+    "q7_set_ops" -> (q7SetOps _),
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q1_pricing_summary" -> q1Sql,
+    "q2_revenue_by_nation" -> q2Sql,
+    "q3_top_orders_per_segment" -> q3Sql,
+    "q4_status_pivot_by_region" -> q4Sql,
+    "q5_semi_anti" -> q5Sql,
+    "q6_point_lookup" -> q6Sql,
+    "q7_set_ops" -> q7Sql,
+  )
+}
