@@ -1,0 +1,278 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.text.TextPrep
+import graft.tfidf.TfIdf
+import graft.similarity.Similarity
+
+/** Text / TF-IDF / similarity queries over the `documents` table —
+  * the reference's Task-1 and Task-2 semantics (SURVEY.md §2.3–§2.6)
+  * re-expressed against the driver testdata, each with a DuckDB oracle.
+  *
+  * The "title vs abstract" asymmetry of the reference (J2) is modeled as:
+  * title := first 8 filtered tokens of the document, abstract := the full
+  * document. Task 2's category key is the `lang` column.
+  *
+  * Oracle SQL is assembled from shared CTE fragments generated off the
+  * same Scala constants (stop-word list) so engine and oracle cannot
+  * drift.
+  */
+object DocQueries {
+
+  private def stopList: String =
+    TextPrep.DefaultStopwords.map(w => s"'$w'").mkString(", ")
+
+  /** Shared DuckDB CTEs: filtered tokens + self-corpus TF-IDF vectors of
+    * `documents` (weights rounded to 6 dp — the engine side rounds
+    * identically before any cross-engine comparison or dot product).
+    */
+  private def tfidfCtes: String =
+    s"""toks AS (
+       |  SELECT doc_id AS id,
+       |         unnest(string_split(trim(regexp_replace(lower(text), '(\\d|\\W)+', ' ', 'g')), ' ')) AS word
+       |  FROM documents),
+       |filt AS (SELECT id, word FROM toks WHERE word <> '' AND word NOT IN ($stopList)),
+       |tf AS (SELECT id, word, count(*) AS tf FROM filt GROUP BY id, word),
+       |dfreq AS (SELECT word, count(DISTINCT id) AS df FROM filt GROUP BY word),
+       |nn AS (SELECT count(DISTINCT doc_id) AS n FROM documents),
+       |w AS (SELECT id, word,
+       |        (1.0 + log10(tf)) * (log10((nn.n + 1.0) / (df + 1.0)) + 1.0) AS w
+       |      FROM tf JOIN dfreq USING (word) CROSS JOIN nn),
+       |vec AS (SELECT id, word,
+       |          round(w / sqrt(sum(w * w) OVER (PARTITION BY id)), 6) AS w
+       |        FROM w)""".stripMargin
+
+  /** Engine-side rounded self-corpus vectors (matches `vec` CTE). */
+  private def docVectors(s: SparkSession, dir: String): DataFrame =
+    TfIdf.vectorize(Tables.documents(s, dir), "doc_id", "text")
+      .withColumn("w", round(col("w"), 6))
+
+  // ---------------------------------------------------------------- q10
+  /** Tokenize + stop-filter + term frequency (A1+A2+M2 over P1/P2/P9). */
+  def q10TokensTf(s: SparkSession, dir: String): DataFrame =
+    TfIdf.termFreq(TfIdf.tokens(Tables.documents(s, dir), "doc_id", "text"))
+      .select(col("id").as("doc_id"), col("word"), col("tf"))
+      .orderBy(col("doc_id"), col("word"))
+
+  val q10Sql: String =
+    s"""WITH $tfidfCtes
+       |SELECT id AS doc_id, word, tf FROM tf ORDER BY doc_id, word""".stripMargin
+
+  // ---------------------------------------------------------------- q11
+  /** Document frequency (A3: distinct + grouped count). */
+  def q11DocFreq(s: SparkSession, dir: String): DataFrame =
+    TfIdf.docFreq(TfIdf.tokens(Tables.documents(s, dir), "doc_id", "text"))
+      .orderBy(col("word"))
+
+  val q11Sql: String =
+    s"""WITH $tfidfCtes
+       |SELECT word, df FROM dfreq ORDER BY word""".stripMargin
+
+  // ---------------------------------------------------------------- q12
+  /** Full reference-formula TF-IDF, L2-normalized, long form (A4+A6+J1). */
+  def q12Tfidf(s: SparkSession, dir: String): DataFrame =
+    docVectors(s, dir)
+      .select(col("id").as("doc_id"), col("word"), col("w"))
+      .orderBy(col("doc_id"), col("word"))
+
+  val q12Sql: String =
+    s"""WITH $tfidfCtes
+       |SELECT id AS doc_id, word, w FROM vec ORDER BY doc_id, word""".stripMargin
+
+  // ---------------------------------------------------------------- q13
+  /** Top-1 most similar OTHER document per document — exact inverted-index
+    * similarity join + deterministic argmax (J3 + A8).
+    */
+  def q13Top1Similar(s: SparkSession, dir: String): DataFrame = {
+    val vecs = docVectors(s, dir)
+    val sims = Similarity.invertedIndexJoin(vecs, vecs)
+      .filter(col("l_id") =!= col("r_id"))
+      .withColumn("sim", round(col("sim"), 6))
+    Similarity.argmax(sims)
+      .select(col("l_id").as("doc_id"), col("r_id").as("match_id"), col("sim"))
+      .orderBy(col("doc_id"))
+  }
+
+  val q13Sql: String =
+    s"""WITH $tfidfCtes,
+       |sims AS (
+       |  SELECT a.id AS doc_id, b.id AS match_id, round(sum(a.w * b.w), 6) AS sim
+       |  FROM vec a JOIN vec b USING (word)
+       |  WHERE a.id <> b.id
+       |  GROUP BY a.id, b.id),
+       |best AS (
+       |  SELECT doc_id, match_id, sim,
+       |         row_number() OVER (PARTITION BY doc_id ORDER BY sim DESC, match_id ASC) AS rk
+       |  FROM sims)
+       |SELECT doc_id, match_id, sim FROM best WHERE rk = 1 ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------- q50
+  /** Task-1 analog: per-title best abstract. Title = first 8 filtered
+    * tokens; title IDF reuses the abstract corpus' document frequencies
+    * via LEFT OUTER + df=0 (J2, lab2.py:205–209).
+    */
+  def q50Task1Matches(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables.documents(s, dir)
+    val n = docs.select($"doc_id").distinct().count()
+    val abstractToks = TfIdf.tokens(docs, "doc_id", "text")
+    val abstractVecs = TfIdf.l2Normalize(
+        TfIdf.weights(TfIdf.termFreq(abstractToks), TfIdf.docFreq(abstractToks), n))
+      .withColumn("w", round($"w", 6))
+    val titleToks = docs.select($"doc_id".as("id"),
+        explode(slice(TextPrep.filteredTokensCol($"text"), 1, 8)).as("word"))
+    val titleVecs = TfIdf.l2Normalize(
+        TfIdf.weights(TfIdf.termFreq(titleToks), TfIdf.docFreq(abstractToks), n, external = true))
+      .withColumn("w", round($"w", 6))
+    val sims = Similarity.invertedIndexJoin(titleVecs, abstractVecs)
+      .withColumn("sim", round($"sim", 6))
+    Similarity.argmax(sims)
+      .select($"l_id".as("title_id"), $"r_id".as("match_id"), $"sim")
+      .orderBy($"title_id")
+  }
+
+  private def task1Ctes: String =
+    s"""$tfidfCtes,
+       |lists AS (
+       |  SELECT doc_id AS id,
+       |         list_filter(string_split(trim(regexp_replace(lower(text), '(\\d|\\W)+', ' ', 'g')), ' '),
+       |                     x -> x <> '' AND x NOT IN ($stopList)) AS toks
+       |  FROM documents),
+       |title_toks AS (SELECT id, unnest(toks[1:8]) AS word FROM lists),
+       |ttf AS (SELECT id, word, count(*) AS tf FROM title_toks GROUP BY id, word),
+       |tw AS (SELECT t.id, t.word,
+       |         (1.0 + log10(t.tf)) * (log10((nn.n + 1.0) / (COALESCE(d.df, 0) + 1.0)) + 1.0) AS w
+       |       FROM ttf t LEFT JOIN dfreq d USING (word) CROSS JOIN nn),
+       |tvec AS (SELECT id, word,
+       |           round(w / sqrt(sum(w * w) OVER (PARTITION BY id)), 6) AS w
+       |         FROM tw),
+       |tsims AS (
+       |  SELECT t.id AS title_id, a.id AS match_id, round(sum(t.w * a.w), 6) AS sim
+       |  FROM tvec t JOIN vec a USING (word)
+       |  GROUP BY t.id, a.id),
+       |tbest AS (
+       |  SELECT title_id, match_id, sim,
+       |         row_number() OVER (PARTITION BY title_id ORDER BY sim DESC, match_id ASC) AS rk
+       |  FROM tsims)""".stripMargin
+
+  val q50Sql: String =
+    s"""WITH $task1Ctes
+       |SELECT title_id, match_id, sim FROM tbest WHERE rk = 1 ORDER BY title_id""".stripMargin
+
+  // ---------------------------------------------------------------- q51
+  /** Task-1 self-retrieval accuracy scalar (A9, lab2.py:253–260). */
+  def q51Task1Accuracy(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Similarity.accuracy(
+      q50Task1Matches(s, dir), leftCol = "title_id", rightCol = "match_id")
+  }
+
+  val q51Sql: String =
+    s"""WITH $task1Ctes
+       |SELECT round(avg(CASE WHEN title_id = match_id THEN 1.0 ELSE 0.0 END), 6) AS accuracy,
+       |       count(*) AS n
+       |FROM tbest WHERE rk = 1""".stripMargin
+
+  // ---------------------------------------------------------------- q52
+  /** Task-2 analog: per-language normalized raw-TF vectors (A7+A6 — NO
+    * IDF, lab2.py:275–288) and the full language×language cosine matrix
+    * in long form, zero pairs included (J4+J5).
+    */
+  def q52LangMatrix(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables.documents(s, dir)
+    val toks = docs.select($"lang".as("id"),
+      explode(TextPrep.filteredTokensCol($"text")).as("word"))
+    val tf = toks.groupBy($"id", $"word").agg(count(lit(1)).as("tf"))
+      .select($"id", $"word", $"tf".cast("double").as("w"))
+    val vecs = TfIdf.l2Normalize(tf).withColumn("w", round($"w", 6))
+    val sims = Similarity.invertedIndexJoin(vecs, vecs)
+      .withColumn("sim", round($"sim", 6))
+    val langs = docs.select($"lang").distinct()
+    val allPairs = langs.select($"lang".as("row_lang"))
+      .crossJoin(langs.select($"lang".as("col_lang")))
+    allPairs.join(sims,
+        allPairs("row_lang") === sims("l_id") && allPairs("col_lang") === sims("r_id"),
+        "left")
+      .select($"row_lang", $"col_lang", coalesce($"sim", lit(0.0)).as("cosine"))
+      .orderBy($"row_lang", $"col_lang")
+  }
+
+  private def task2Ctes: String =
+    s"""ltoks AS (
+       |  SELECT lang,
+       |         unnest(string_split(trim(regexp_replace(lower(text), '(\\d|\\W)+', ' ', 'g')), ' ')) AS word
+       |  FROM documents),
+       |lfilt AS (SELECT lang, word FROM ltoks WHERE word <> '' AND word NOT IN ($stopList)),
+       |ltf AS (SELECT lang, word, CAST(count(*) AS DOUBLE) AS w FROM lfilt GROUP BY lang, word),
+       |lvec AS (SELECT lang, word,
+       |           round(w / sqrt(sum(w * w) OVER (PARTITION BY lang)), 6) AS w
+       |         FROM ltf),
+       |lsims AS (
+       |  SELECT a.lang AS row_lang, b.lang AS col_lang, round(sum(a.w * b.w), 6) AS sim
+       |  FROM lvec a JOIN lvec b USING (word)
+       |  GROUP BY a.lang, b.lang),
+       |langs AS (SELECT DISTINCT lang FROM documents)""".stripMargin
+
+  val q52Sql: String =
+    s"""WITH $task2Ctes
+       |SELECT r.lang AS row_lang, c.lang AS col_lang, COALESCE(s.sim, 0.0) AS cosine
+       |FROM langs r CROSS JOIN langs c
+       |LEFT JOIN lsims s ON s.row_lang = r.lang AND s.col_lang = c.lang
+       |ORDER BY row_lang, col_lang""".stripMargin
+
+  // ---------------------------------------------------------------- q53
+  /** Task-2 matrix pivoted wide via Spark's native groupBy().pivot()
+    * (A11 — replaces the reference's pandas pivot, lab2.py:301–303).
+    * Explicit value list keeps the schema deterministic for the oracle.
+    */
+  val KnownLangs: Seq[String] = Seq("de", "en", "es", "fr", "zh")
+
+  def q53LangMatrixPivot(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    q52LangMatrix(s, dir)
+      .groupBy($"row_lang")
+      .pivot("col_lang", KnownLangs)
+      .agg(first($"cosine"))
+      .na.fill(0.0)
+      .orderBy($"row_lang")
+  }
+
+  val q53Sql: String = {
+    val cols = KnownLangs.map(l =>
+      s"COALESCE(max(CASE WHEN col_lang = '$l' THEN cosine END), 0.0) AS \"$l\"").mkString(",\n  ")
+    s"""WITH $task2Ctes,
+       |long AS (
+       |  SELECT r.lang AS row_lang, c.lang AS col_lang, COALESCE(s.sim, 0.0) AS cosine
+       |  FROM langs r CROSS JOIN langs c
+       |  LEFT JOIN lsims s ON s.row_lang = r.lang AND s.col_lang = c.lang)
+       |SELECT row_lang,
+       |  $cols
+       |FROM long GROUP BY row_lang ORDER BY row_lang""".stripMargin
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q10_tokens_tf" -> (q10TokensTf _),
+    "q11_doc_freq" -> (q11DocFreq _),
+    "q12_tfidf" -> (q12Tfidf _),
+    "q13_top1_similar" -> (q13Top1Similar _),
+    "q50_task1_matches" -> (q50Task1Matches _),
+    "q51_task1_accuracy" -> (q51Task1Accuracy _),
+    "q52_lang_matrix" -> (q52LangMatrix _),
+    "q53_lang_matrix_pivot" -> (q53LangMatrixPivot _),
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q10_tokens_tf" -> q10Sql,
+    "q11_doc_freq" -> q11Sql,
+    "q12_tfidf" -> q12Sql,
+    "q13_top1_similar" -> q13Sql,
+    "q50_task1_matches" -> q50Sql,
+    "q51_task1_accuracy" -> q51Sql,
+    "q52_lang_matrix" -> q52Sql,
+    "q53_lang_matrix_pivot" -> q53Sql,
+  )
+}

@@ -1,0 +1,62 @@
+package graft.similarity
+
+import org.apache.spark.sql.functions._
+import graft.SparkTestBase
+
+class SimilaritySpec extends SparkTestBase {
+  import spark.implicits._
+
+  // two tiny normalized vector tables in long form
+  private lazy val vecs = Seq(
+    ("a", "x", 0.6), ("a", "y", 0.8),
+    ("b", "x", 1.0),
+    ("c", "z", 1.0)).toDF("id", "word", "w")
+
+  test("inverted-index join computes exact nonzero dot products") {
+    val sims = Similarity.invertedIndexJoin(vecs, vecs)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getDouble(2)).toMap
+    assert(math.abs(sims(("a", "a")) - 1.0) < 1e-12)
+    assert(math.abs(sims(("a", "b")) - 0.6) < 1e-12)
+    assert(sims.get(("a", "c")).isEmpty) // zero overlap → no row
+    // symmetry
+    assert(math.abs(sims(("b", "a")) - sims(("a", "b"))) < 1e-12)
+  }
+
+  test("argmax is deterministic under ties (tie-break by r_id asc)") {
+    val sims = Seq(
+      ("q", "m2", 0.5), ("q", "m1", 0.5), ("q", "m3", 0.2)).toDF("l_id", "r_id", "sim")
+    val best = Similarity.argmax(sims).collect()
+    assert(best.length === 1)
+    assert(best.head.getString(1) === "m1")
+  }
+
+  test("topK returns k rows per key in rank order") {
+    val sims = Seq(
+      ("q", "m1", 0.9), ("q", "m2", 0.5), ("q", "m3", 0.2),
+      ("p", "m1", 0.1)).toDF("l_id", "r_id", "sim")
+    val top2 = Similarity.topK(sims, 2).collect()
+    assert(top2.count(_.getString(0) == "q") === 2)
+    assert(top2.count(_.getString(0) == "p") === 1)
+  }
+
+  test("crossJoinDot includes zero-overlap pairs (complete matrix)") {
+    val l = graft.tfidf.TfIdf.assembleVectors(vecs)
+    val sims = Similarity.crossJoinDot(l, l)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getDouble(2)).toMap
+    assert(sims(("a", "c")) === 0.0)
+    assert(math.abs(sims(("a", "b")) - 0.6) < 1e-12)
+    assert(sims.size === 9)
+  }
+
+  test("pruneHighDf drops terms above the df fraction") {
+    // "x" appears in 2/3 docs; cap at 0.5 → only "y"/"z" terms survive
+    val pruned = Similarity.pruneHighDf(vecs, 3, 0.5)
+    assert(pruned.select($"word").distinct().as[String].collect().toSet === Set("y", "z"))
+  }
+
+  test("accuracy counts self-matches") {
+    val m = Seq(("a", "a"), ("b", "c")).toDF("l_id", "r_id")
+    val r = Similarity.accuracy(m).head
+    assert(r.getDouble(0) === 0.5 && r.getLong(1) === 2L)
+  }
+}

@@ -1,0 +1,51 @@
+package graft.text
+
+import org.apache.spark.sql.functions._
+import graft.SparkTestBase
+
+class TextPrepSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("normalize: lowercase, digit+punct runs to single space, trimmed") {
+    val r = Seq("Hello, World123!  GPT2 state-of-the-art!!")
+      .toDF("t").select(TextPrep.normalize($"t").as("n")).head.getString(0)
+    assert(r === "hello world gpt state of the art")
+  }
+
+  test("tokensCol drops empty tokens; filteredTokensCol drops stopwords, keeps dups") {
+    val r = Seq("The cat AND the cat!").toDF("t")
+      .select(TextPrep.filteredTokensCol($"t").as("toks")).head.getSeq[String](0)
+    assert(r === Seq("cat", "cat"))
+  }
+
+  test("ML pipeline path agrees with expression path token-for-token") {
+    val df = Seq(
+      (1L, "Spark SQL: fast, scalable engines!"),
+      (2L, "The quick brown fox, 42 times."),
+      (3L, "")).toDF("id", "text")
+    val ml = TextPrep.pipelineTransform(df, Seq("text"))
+      .select($"id", $"filtered_text".as("toks"))
+    val expr = df.select($"id", TextPrep.filteredTokensCol($"text").as("toks"))
+    val joined = ml.as("a").join(expr.as("b"), Seq("id"))
+      .select($"id", $"a.toks".as("ml"), $"b.toks".as("ex")).collect()
+    joined.foreach { r =>
+      assert(r.getSeq[String](1) === r.getSeq[String](2), s"id=${r.getLong(0)}")
+    }
+  }
+
+  test("rule lemmatizer: plural/gerund/past/exception forms") {
+    assert(RuleLemmatizer.lemma("cats") === "cat")
+    assert(RuleLemmatizer.lemma("running") === "run")
+    assert(RuleLemmatizer.lemma("studies") === "study")
+    assert(RuleLemmatizer.lemma("walked") === "walk")
+    assert(RuleLemmatizer.lemma("children") === "child")
+    assert(RuleLemmatizer.lemma("glass") === "glass")   // -ss not a plural
+    assert(RuleLemmatizer.lemma("analysis") === "analysis") // -is kept
+  }
+
+  test("identity lemmatizer is a no-op on columns") {
+    val r = Seq(Seq("cats", "ran")).toDF("toks")
+      .select(IdentityLemmatizer($"toks")).head.getSeq[String](0)
+    assert(r === Seq("cats", "ran"))
+  }
+}
