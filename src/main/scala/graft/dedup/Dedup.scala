@@ -1,0 +1,200 @@
+package graft.dedup
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.text.TextPrep
+
+/** Deduplication operators for large-scale corpus curation — exact,
+  * MinHash+LSH, SimHash, and n-gram Jaccard (builder-prompt scale-out
+  * surface; algorithms from the public literature: Broder '97 minwise
+  * hashing, Charikar '02 simhash, Leskovec et al. MMDS ch.3).
+  *
+  * Hashing strategy: the oracle-gated paths hash with '''md5 of seeded
+  * strings''' — md5 is bit-identical across Spark and DuckDB, and taking
+  * the lexicographic MIN of `md5(seed || shingle)` is a valid minwise
+  * permutation family, which makes even MinHash signatures DuckDB-
+  * verifiable. The engine also exposes an `xxhash64` fast path
+  * ([[simhash64]], [[minhashSig64]]) for production scale, where md5
+  * string churn is the wrong trade — same algorithms, cheaper hash,
+  * not oracle-gated (xxhash64 differs across engines).
+  *
+  * Scale shape: every operator here is explode → hash → partial-agg →
+  * shuffle-on-key; no driver materialization, no cartesian anywhere.
+  * LSH candidate generation self-joins only within (band, signature)
+  * buckets; exact Jaccard verification runs only on the LSH candidates
+  * (the brute-force all-pairs form exists for the oracle and for small
+  * inputs).
+  */
+object Dedup {
+
+  /** Exact duplicate grouping (hash-groupBy): every row mapped to the
+    * minimum id sharing its exact text. One window shuffle on the text
+    * hash; at scale this is the classic first-pass dedup.
+    */
+  def canonicalIds(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val w = Window.partitionBy(md5(col(textCol).cast("binary")))
+    df.select(col(idCol).as("id"), min(col(idCol)).over(w).as("canonical_id"))
+  }
+
+  /** (id, word) pairs, distinct per doc, NO stop-filtering — dedup
+    * compares full surface text (unlike retrieval, which stop-filters).
+    */
+  def tokenSets(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol).as("id"), explode(TextPrep.tokensCol(col(textCol))).as("word"))
+      .distinct()
+
+  /** Word n-gram shingles of a token array column (n consecutive tokens
+    * joined by a space), as a pure codegen'd expression.
+    */
+  def shinglesCol(tokens: Column, n: Int): Column = {
+    // NB Spark's sequence(a, b) counts DOWN when a > b, so guard the
+    // size < n case explicitly (no shingles) instead of relying on an
+    // empty range.
+    val starts = sequence(lit(1), size(tokens) - lit(n) + lit(1))
+    val sh = transform(starts, i => concat_ws(" ", slice(tokens, i, lit(n))))
+    when(size(tokens) >= lit(n), sh).otherwise(array().cast("array<string>"))
+  }
+
+  /** (id, shingle) pairs, distinct per doc. */
+  def shingleSets(df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame =
+    df.select(col(idCol).as("id"),
+        explode(shinglesCol(TextPrep.tokensCol(col(textCol)), n)).as("shingle"))
+      .distinct()
+
+  /** MinHash signature columns mh00..mh{k-1}: for permutation j the
+    * signature is `min(md5('<j>|' || element))` — k partial-aggregated
+    * mins in ONE grouped aggregation (single shuffle on id, no k-pass).
+    */
+  def minhashSig(elements: DataFrame, k: Int, elemCol: String = "word"): DataFrame = {
+    val aggs = (0 until k).map { j =>
+      min(md5(concat(lit(f"$j%d|"), col(elemCol)).cast("binary"))).as(f"mh$j%02d")
+    }
+    elements.groupBy(col("id")).agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** Engine-only fast path: 64-bit xxhash64 minhash signature (array
+    * column `sig`). Same single-shuffle shape; ~10× cheaper per element
+    * than md5-string hashing at scale.
+    */
+  def minhashSig64(elements: DataFrame, k: Int, elemCol: String = "word"): DataFrame = {
+    val aggs = (0 until k).map(j => min(xxhash64(lit(j), col(elemCol))).as(f"mh$j%02d"))
+    elements.groupBy(col("id")).agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** LSH banding: split the k-column signature into `bands` bands of
+    * `rowsPerBand`, hash each band, and emit candidate pairs (a < b)
+    * sharing at least one band bucket.
+    *
+    * Skew note (scale): a degenerate bucket holding m docs yields m²/2
+    * pairs. `maxBucket` caps it — buckets larger than the cap are
+    * dropped with the reasoning that their members collide with nearly
+    * everything (near-universal shingle sets) and belong in a separate
+    * clustering pass, not pairwise dedup. Pass Int.MaxValue for exact
+    * LSH semantics (oracle mode).
+    */
+  def lshCandidates(sig: DataFrame, bands: Int, rowsPerBand: Int,
+      maxBucket: Int = Int.MaxValue): DataFrame = {
+    val bandDfs = (0 until bands).map { b =>
+      val cols = (b * rowsPerBand until (b + 1) * rowsPerBand).map(j => col(f"mh$j%02d"))
+      sig.select(col("id"), lit(b).as("band"), md5(concat(cols: _*).cast("binary")).as("bsig"))
+    }
+    val melted = bandDfs.reduce(_ unionAll _)
+    val bounded =
+      if (maxBucket == Int.MaxValue) melted
+      else {
+        val sizes = melted.groupBy(col("band"), col("bsig"))
+          .agg(count(lit(1)).as("bucket_n"))
+          .filter(col("bucket_n") <= maxBucket)
+          .select(col("band"), col("bsig"))
+        melted.join(sizes, Seq("band", "bsig"), "left_semi")
+      }
+    val l = bounded.select(col("band"), col("bsig"), col("id").as("a"))
+    val r = bounded.select(col("band"), col("bsig"), col("id").as("b"))
+    l.join(r, Seq("band", "bsig")).filter(col("a") < col("b"))
+      .select(col("a"), col("b")).distinct()
+  }
+
+  /** Exact Jaccard similarity computed ONLY for the given candidate
+    * pairs: the element lists are first semi-joined down to candidate
+    * members, so cost is bounded by the candidate set — this is the
+    * LSH-then-verify shape that scales.
+    */
+  def jaccardOnCandidates(elements: DataFrame, cands: DataFrame,
+      elemCol: String = "word"): DataFrame = {
+    val sizes = elements.groupBy(col("id")).agg(count(lit(1)).as("sz"))
+    val members = cands.select(col("a").as("id"))
+      .unionAll(cands.select(col("b").as("id"))).distinct()
+    val bounded = elements.join(members, Seq("id"), "left_semi")
+    val ea = bounded.select(col("id").as("a"), col(elemCol))
+    val eb = bounded.select(col("id").as("b"), col(elemCol))
+    val shared = cands.join(ea, Seq("a")).join(eb, Seq("b", elemCol))
+      .groupBy(col("a"), col("b")).agg(count(lit(1)).as("shared"))
+    cands.join(shared, Seq("a", "b"), "left")
+      .withColumn("shared", coalesce(col("shared"), lit(0L)))
+      .join(sizes.withColumnRenamed("id", "a").withColumnRenamed("sz", "sza"), Seq("a"))
+      .join(sizes.withColumnRenamed("id", "b").withColumnRenamed("sz", "szb"), Seq("b"))
+      .select(col("a"), col("b"),
+        (col("shared").cast("double") /
+          (col("sza") + col("szb") - col("shared")).cast("double")).as("jaccard"))
+  }
+
+  /** Brute-force all-pairs Jaccard over an inverted index on the
+    * elements, thresholded. Exact; quadratic in per-element posting
+    * lists — small corpora / oracle only. At scale use
+    * [[lshCandidates]] + [[jaccardOnCandidates]].
+    */
+  def allPairsJaccard(elements: DataFrame, minJaccard: Double,
+      elemCol: String = "word"): DataFrame = {
+    val sizes = elements.groupBy(col("id")).agg(count(lit(1)).as("sz"))
+    val ea = elements.select(col("id").as("a"), col(elemCol))
+    val eb = elements.select(col("id").as("b"), col(elemCol))
+    val shared = ea.join(eb, Seq(elemCol)).filter(col("a") < col("b"))
+      .groupBy(col("a"), col("b")).agg(count(lit(1)).as("shared"))
+    shared
+      .join(sizes.withColumnRenamed("id", "a").withColumnRenamed("sz", "sza"), Seq("a"))
+      .join(sizes.withColumnRenamed("id", "b").withColumnRenamed("sz", "szb"), Seq("b"))
+      .select(col("a"), col("b"),
+        (col("shared").cast("double") /
+          (col("sza") + col("szb") - col("shared")).cast("double")).as("jaccard"))
+      .filter(col("jaccard") >= minJaccard)
+  }
+
+  private val highNibble = Seq("8", "9", "a", "b", "c", "d", "e", "f")
+
+  /** 16-bit SimHash from term frequencies (id, word, tf): bit i is the
+    * sign of the tf-weighted sum of bit i across token hashes, where
+    * "bit i" is the top bit of hex nibble i of md5(word). Truncated to
+    * 16 bits so the oracle can express it; [[simhash64]] is the full-
+    * width engine path.
+    */
+  def simhash16(tf: DataFrame): DataFrame = {
+    val bitAggs = (0 until 16).map { i =>
+      sum(when(substring(md5(col("word").cast("binary")), i + 1, 1).isin(highNibble: _*),
+        col("tf")).otherwise(-col("tf"))).as(s"b$i")
+    }
+    val sums = tf.groupBy(col("id")).agg(bitAggs.head, bitAggs.tail: _*)
+    val value = (0 until 16).map(i =>
+      when(col(s"b$i") > 0, lit(1L << i)).otherwise(lit(0L))).reduce(_ + _)
+    sums.select(col("id").as("doc_id"), value.as("simhash16"))
+  }
+
+  /** Full 64-bit SimHash via xxhash64 bits (engine-only fast path). */
+  def simhash64(tf: DataFrame): DataFrame = {
+    val h = xxhash64(col("word"))
+    val bitAggs = (0 until 64).map { i =>
+      sum(when(shiftright(h, i).bitwiseAND(lit(1L)) === 1L, col("tf"))
+        .otherwise(-col("tf"))).as(s"b$i")
+    }
+    val sums = tf.groupBy(col("id")).agg(bitAggs.head, bitAggs.tail: _*)
+    val value = (0 until 64).map(i =>
+      when(col(s"b$i") > 0, lit(1L << i)).otherwise(lit(0L))).reduce(_ + _)
+    sums.select(col("id").as("doc_id"), value.as("simhash64"))
+  }
+
+  /** Hamming distance between two simhash columns (near-dup test:
+    * distance ≤ 3 at 64 bits).
+    */
+  def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
+}

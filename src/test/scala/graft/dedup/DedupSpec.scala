@@ -1,0 +1,95 @@
+package graft.dedup
+
+import org.apache.spark.sql.functions._
+import graft.SparkTestBase
+import graft.tfidf.TfIdf
+
+class DedupSpec extends SparkTestBase {
+  import spark.implicits._
+
+  // corpus with planted exact dup (d1/d2), near-dup (d3/d4: one word
+  // changed out of 12), and two unrelated docs
+  private lazy val docs = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog near the river bank"),
+    (2L, "the quick brown fox jumps over the lazy dog near the river bank"),
+    (3L, "machine learning models require large curated training corpora for good results"),
+    (4L, "machine learning models require large curated training corpora for strong results"),
+    (5L, "completely different text about quantum entanglement and bell inequalities"),
+    (6L, "spark catalyst optimizer rewrites logical plans into physical plans")
+  ).toDF("doc_id", "text")
+
+  test("exact dedup maps identical texts to one canonical id") {
+    val r = Dedup.canonicalIds(docs, "doc_id", "text")
+      .collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+    assert(r(1L) === 1L && r(2L) === 1L)
+    assert(r(3L) === 3L && r(4L) === 4L) // near-dup is NOT exact-dup
+  }
+
+  test("minhash LSH finds planted exact and near dups, not unrelated pairs") {
+    val toks = Dedup.tokenSets(docs, "doc_id", "text")
+    val sig = Dedup.minhashSig(toks, DedupQueriesParams.K)
+    val cands = Dedup.lshCandidates(sig, 3, 4)
+    val verified = Dedup.jaccardOnCandidates(toks, cands)
+      .filter($"jaccard" >= 0.8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(verified.contains((1L, 2L)))
+    assert(verified.contains((3L, 4L)))
+    assert(!verified.exists { case (a, b) => Set(a, b).contains(5L) })
+  }
+
+  test("xxhash64 minhash agrees with md5 minhash on jaccard ESTIMATES") {
+    // both families estimate the same jaccard; exact-dup pair must have
+    // identical signatures in both, near-dup mostly-equal
+    val toks = Dedup.tokenSets(docs, "doc_id", "text")
+    for (sigDf <- Seq(Dedup.minhashSig(toks, 12), Dedup.minhashSig64(toks, 12))) {
+      val sigs = sigDf.collect().map(r => r.getAs[Any]("id").asInstanceOf[Long] ->
+        (1 until r.length).map(r.get)).toMap
+      assert(sigs(1L) === sigs(2L), "exact dup: identical signature")
+      val agree34 = sigs(3L).zip(sigs(4L)).count { case (a, b) => a == b }
+      assert(agree34 >= 8, s"near dup: most rows agree, got $agree34/12")
+    }
+  }
+
+  test("lshCandidates maxBucket cap drops degenerate buckets") {
+    // make all docs identical → every band bucket holds all 6 docs
+    val same = (1L to 6L).map(i => (i, "same text every time")).toDF("doc_id", "text")
+    val sig = Dedup.minhashSig(Dedup.tokenSets(same, "doc_id", "text"), 12)
+    assert(Dedup.lshCandidates(sig, 3, 4).count() === 15) // 6C2
+    assert(Dedup.lshCandidates(sig, 3, 4, maxBucket = 3).count() === 0)
+  }
+
+  test("shinglesCol produces n consecutive-token shingles") {
+    val r = Seq(Seq("a", "b", "c", "d")).toDF("toks")
+      .select(Dedup.shinglesCol($"toks", 3)).head.getSeq[String](0)
+    assert(r === Seq("a b c", "b c d"))
+    val short = Seq(Seq("a", "b")).toDF("toks")
+      .select(Dedup.shinglesCol($"toks", 3)).head.getSeq[String](0)
+    assert(short.isEmpty)
+  }
+
+  test("simhash: exact dups identical; near-dups within small hamming; unrelated far") {
+    val tf = TfIdf.termFreq(TfIdf.tokens(docs, "doc_id", "text", stopwords = Nil))
+    val sh = Dedup.simhash64(tf).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(ham(sh(1L), sh(2L)) === 0)
+    assert(ham(sh(3L), sh(4L)) <= 16)
+    assert(ham(sh(3L), sh(5L)) > 16)
+    // column-form hamming agrees with scala bitCount
+    val viaCol = Seq((sh(3L), sh(4L))).toDF("a", "b")
+      .select(Dedup.hamming($"a", $"b")).head.getInt(0)
+    assert(viaCol === ham(sh(3L), sh(4L)))
+  }
+
+  test("allPairsJaccard exact values") {
+    val toks = Dedup.tokenSets(docs, "doc_id", "text")
+    val j = Dedup.allPairsJaccard(toks, 0.0).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(j((1L, 2L)) === 1.0)
+    // d3/d4: 11 distinct tokens each, 10 shared, 12 in union → 10/12
+    assert(math.abs(j((3L, 4L)) - 10.0 / 12.0) < 1e-12)
+  }
+}
+
+/** Mirror of DedupQueries constants without depending on operators pkg. */
+private object DedupQueriesParams { val K = 12 }
