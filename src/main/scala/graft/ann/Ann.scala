@@ -1,0 +1,136 @@
+package graft.ann
+
+import java.nio.charset.StandardCharsets
+import java.security.MessageDigest
+
+import org.apache.spark.sql.{Column, DataFrame, Encoder, Encoders, SparkSession}
+import org.apache.spark.sql.expressions.{Aggregator, Window}
+import org.apache.spark.sql.functions._
+
+import graft.functions.VectorFunctions
+
+/** Approximate-nearest-neighbor search over a dense embedding column
+  * (`array<float>`) — brute-force cosine top-k as the exact baseline and
+  * a sign-LSH (random-hyperplane, Charikar '02) bucketed variant as the
+  * scale path.
+  *
+  * Scale design: the query set is broadcast (queries ≪ corpus — the
+  * realistic ANN shape); the corpus is scanned once, partition-parallel,
+  * and top-k is reduced either via window ranking (oracle-deterministic
+  * path) or via [[TopKAgg]], a partial-aggregating top-k heap that keeps
+  * only k rows per query per partition before the shuffle (the 1000-
+  * executor path: shuffle volume O(queries×k×partitions), not
+  * O(queries×corpus)). Sign-LSH replaces the full scan with a bucket
+  * equi-join; hyperplanes are Rademacher vectors derived from md5 so the
+  * whole pipeline stays deterministic and DuckDB-checkable.
+  */
+object Ann {
+
+  /** Deterministic Rademacher hyperplane table (h, j, s∈{+1,-1}):
+    * s = +1 iff the first hex digit of md5("h|j") has its top bit set.
+    * Matches the SQL expression
+    * `CASE WHEN substr(md5(h || '|' || j), 1, 1) IN ('8'..'f')`.
+    */
+  def hyperplanes(spark: SparkSession, nHyperplanes: Int, dim: Int): DataFrame = {
+    import spark.implicits._
+    val md = MessageDigest.getInstance("MD5")
+    val rows = for (h <- 0 until nHyperplanes; j <- 0 until dim) yield {
+      val hex = md.digest(s"$h|$j".getBytes(StandardCharsets.UTF_8))
+      val firstNibble = (hex(0) >> 4) & 0xf
+      (h, j, if (firstNibble >= 8) 1.0 else -1.0)
+    }
+    rows.toDF("h", "j", "s")
+  }
+
+  /** Sign-LSH bucket id per vector: bit h of the bucket is the sign of
+    * the projection of the vector onto hyperplane h. One posexplode +
+    * broadcast join + two grouped aggregations — no UDF, no driver loop.
+    */
+  def signLshBuckets(emb: DataFrame, idCol: String, vecCol: String,
+      nHyperplanes: Int, dim: Int): DataFrame = {
+    val spark = emb.sparkSession
+    val dims = emb.select(col(idCol).as("vec_id"), posexplode(col(vecCol)).as(Seq("j", "v")))
+      .select(col("vec_id"), col("j"), col("v").cast("double").as("v"))
+    val proj = dims.join(broadcast(hyperplanes(spark, nHyperplanes, dim)), Seq("j"))
+      .groupBy(col("vec_id"), col("h"))
+      .agg(sum(col("s") * col("v")).as("p"))
+    proj.groupBy(col("vec_id"))
+      .agg(sum(when(col("p") > 0, pow(lit(2.0), col("h")).cast("long"))
+        .otherwise(0L)).as("bucket"))
+  }
+
+  /** Exact brute-force cosine top-k: every query vector scored against
+    * the full corpus with the codegen'd [[VectorFunctions.dot]]
+    * (embeddings are pre-normalized ⇒ dot = cosine). Deterministic
+    * ranking: (cosine rounded 6dp desc, neighbor id asc).
+    */
+  def bruteForceTopK(queries: DataFrame, corpus: DataFrame, k: Int,
+      excludeSelf: Boolean = true): DataFrame = {
+    VectorFunctions.register(queries.sparkSession)
+    val q = queries.select(col("vec_id").as("qid"), col("embedding").as("qv"))
+    val c = corpus.select(col("vec_id").as("nid"), col("embedding").as("nv"))
+    val pairs = c.crossJoin(broadcast(q))
+      .filter(if (excludeSelf) col("qid") =!= col("nid") else lit(true))
+      .select(col("qid"), col("nid"),
+        round(VectorFunctions.dot(col("qv"), col("nv")), 6).as("cos"))
+    val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("nid").asc)
+    pairs.withColumn("rk", row_number().over(w).cast("long")).filter(col("rk") <= k)
+  }
+
+  /** LSH-accelerated top-1: candidates restricted to the query's bucket,
+    * then exact re-scoring. Queries with a singleton bucket yield no row
+    * (documented approximate-search semantics).
+    */
+  def lshTop1(queries: DataFrame, corpus: DataFrame,
+      nHyperplanes: Int, dim: Int): DataFrame = {
+    VectorFunctions.register(queries.sparkSession)
+    val buckets = signLshBuckets(corpus, "vec_id", "embedding", nHyperplanes, dim)
+    val qb = queries.select(col("vec_id").as("qid"), col("embedding").as("qv"))
+      .join(buckets.withColumnRenamed("vec_id", "qid"), Seq("qid"))
+    val cb = corpus.select(col("vec_id").as("nid"), col("embedding").as("nv"))
+      .join(buckets.withColumnRenamed("vec_id", "nid"), Seq("nid"))
+    val cands = qb.join(cb, Seq("bucket")).filter(col("qid") =!= col("nid"))
+      .select(col("qid"), col("nid"),
+        round(VectorFunctions.dot(col("qv"), col("nv")), 6).as("cos"))
+    val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("nid").asc)
+    cands.withColumn("rk", row_number().over(w)).filter(col("rk") === 1).drop("rk")
+  }
+
+  /** All-pairs cosine above a threshold (embedding near-dup detection).
+    * Exact O(n²) — appropriate when one side is broadcastable; at 100 TB
+    * route through [[signLshBuckets]] first.
+    */
+  def nearDupPairs(emb: DataFrame, minCos: Double): DataFrame = {
+    VectorFunctions.register(emb.sparkSession)
+    val a = emb.select(col("vec_id").as("a"), col("embedding").as("av"))
+    val b = emb.select(col("vec_id").as("b"), col("embedding").as("bv"))
+    a.crossJoin(broadcast(b)).filter(col("a") < col("b"))
+      .select(col("a"), col("b"),
+        round(VectorFunctions.dot(col("av"), col("bv")), 6).as("cos"))
+      .filter(col("cos") >= minCos)
+  }
+
+  // -------------------------------------------------------- TopKAgg
+  case class Neighbor(nid: Long, cos: Double)
+
+  /** Partial-aggregating top-k: each partition keeps at most k
+    * neighbors per query before the shuffle, so reduce-side input is
+    * O(partitions×k) per query instead of O(corpus). Use via
+    * `functions.udaf(new TopKAgg(k))` grouped by query id.
+    */
+  class TopKAgg(k: Int) extends Aggregator[Neighbor, Seq[Neighbor], Seq[Neighbor]] {
+    private def shrink(s: Seq[Neighbor]): Seq[Neighbor] =
+      s.sortBy(n => (-n.cos, n.nid)).take(k)
+    def zero: Seq[Neighbor] = Nil
+    def reduce(buf: Seq[Neighbor], n: Neighbor): Seq[Neighbor] =
+      if (buf.size < k) shrink(buf :+ n)
+      else if (n.cos > buf.last.cos || (n.cos == buf.last.cos && n.nid < buf.last.nid))
+        shrink(buf :+ n)
+      else buf
+    def merge(a: Seq[Neighbor], b: Seq[Neighbor]): Seq[Neighbor] = shrink(a ++ b)
+    def finish(buf: Seq[Neighbor]): Seq[Neighbor] = buf
+    def bufferEncoder: Encoder[Seq[Neighbor]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Neighbor]]()
+    def outputEncoder: Encoder[Seq[Neighbor]] = bufferEncoder
+  }
+}

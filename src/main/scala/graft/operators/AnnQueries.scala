@@ -1,0 +1,140 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.ann.Ann
+
+/** Dense-vector similarity search queries over `embeddings`
+  * (64-dim float, pre-normalized ⇒ dot = cosine), DuckDB-oracled.
+  * Query subset: vec_id % 50 == 0 (10 queries at sf0.01).
+  */
+object AnnQueries {
+
+  val Dim = 64
+  val NHyperplanes = 8
+  val QueryMod = 50
+  val NearDupCos = 0.4
+
+  private def emb(s: SparkSession, dir: String): DataFrame =
+    Tables.embeddings(s, dir)
+
+  private def querySubset(s: SparkSession, dir: String): DataFrame =
+    emb(s, dir).filter(col("vec_id") % QueryMod === 0)
+
+  // DuckDB: exact double-precision sequential dot of two float lists.
+  private def sqlDot(a: String, b: String): String =
+    s"(SELECT sum(CAST(x AS DOUBLE) * CAST(y AS DOUBLE)) FROM (SELECT unnest($a) AS x, unnest($b) AS y))"
+
+  // ---------------------------------------------------------------- q21
+  /** Brute-force exact cosine top-3 per query vector. */
+  def q21KnnBruteForce(s: SparkSession, dir: String): DataFrame =
+    Ann.bruteForceTopK(querySubset(s, dir), emb(s, dir), k = 3)
+      .select(col("qid"), col("nid"), col("cos"), col("rk"))
+      .orderBy(col("qid"), col("rk"))
+
+  val q21Sql: String =
+    s"""WITH q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id % $QueryMod = 0),
+       |pairs AS (
+       |  SELECT q.qid, e.vec_id AS nid,
+       |         round(${sqlDot("q.qv", "e.embedding")}, 6) AS cos
+       |  FROM q, embeddings e WHERE e.vec_id <> q.qid),
+       |best AS (
+       |  SELECT qid, nid, cos,
+       |         row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid ASC) AS rk
+       |  FROM pairs)
+       |SELECT qid, nid, cos, CAST(rk AS BIGINT) AS rk FROM best WHERE rk <= 3
+       |ORDER BY qid, rk""".stripMargin
+
+  // ---------------------------------------------------------------- q22
+  /** Sign-LSH bucket assignment for every vector (8 md5-derived
+    * Rademacher hyperplanes → 8-bit bucket).
+    */
+  def q22LshBuckets(s: SparkSession, dir: String): DataFrame =
+    Ann.signLshBuckets(emb(s, dir), "vec_id", "embedding", NHyperplanes, Dim)
+      .orderBy(col("vec_id"))
+
+  val q22Sql: String =
+    s"""WITH dims AS (
+       |  SELECT vec_id, j, CAST(embedding[CAST(j AS INTEGER) + 1] AS DOUBLE) AS v
+       |  FROM embeddings, range($Dim) t(j)),
+       |hp AS (
+       |  SELECT h, j,
+       |         CASE WHEN substr(md5(h || '|' || j), 1, 1) IN ('8','9','a','b','c','d','e','f')
+       |              THEN 1.0 ELSE -1.0 END AS s
+       |  FROM range($NHyperplanes) a(h), range($Dim) b(j)),
+       |proj AS (
+       |  SELECT d.vec_id, hp.h, sum(hp.s * d.v) AS p
+       |  FROM dims d JOIN hp ON hp.j = d.j
+       |  GROUP BY d.vec_id, hp.h)
+       |SELECT vec_id, CAST(sum(CASE WHEN p > 0 THEN (1 << h) ELSE 0 END) AS BIGINT) AS bucket
+       |FROM proj GROUP BY vec_id ORDER BY vec_id""".stripMargin
+
+  // ---------------------------------------------------------------- q23
+  /** LSH-bucketed approximate top-1 for the query subset: candidates
+    * share the query's bucket; exact re-score; singleton buckets yield
+    * no row.
+    */
+  def q23LshTop1(s: SparkSession, dir: String): DataFrame =
+    Ann.lshTop1(querySubset(s, dir), emb(s, dir), NHyperplanes, Dim)
+      .select(col("qid"), col("nid"), col("cos"))
+      .orderBy(col("qid"))
+
+  val q23Sql: String =
+    s"""WITH dims AS (
+       |  SELECT vec_id, j, CAST(embedding[CAST(j AS INTEGER) + 1] AS DOUBLE) AS v
+       |  FROM embeddings, range($Dim) t(j)),
+       |hp AS (
+       |  SELECT h, j,
+       |         CASE WHEN substr(md5(h || '|' || j), 1, 1) IN ('8','9','a','b','c','d','e','f')
+       |              THEN 1.0 ELSE -1.0 END AS s
+       |  FROM range($NHyperplanes) a(h), range($Dim) b(j)),
+       |proj AS (
+       |  SELECT d.vec_id, hp.h, sum(hp.s * d.v) AS p
+       |  FROM dims d JOIN hp ON hp.j = d.j
+       |  GROUP BY d.vec_id, hp.h),
+       |bkt AS (
+       |  SELECT vec_id, CAST(sum(CASE WHEN p > 0 THEN (1 << h) ELSE 0 END) AS BIGINT) AS bucket
+       |  FROM proj GROUP BY vec_id),
+       |q AS (SELECT e.vec_id AS qid, e.embedding AS qv, b.bucket
+       |      FROM embeddings e JOIN bkt b USING (vec_id) WHERE e.vec_id % $QueryMod = 0),
+       |cand AS (
+       |  SELECT q.qid, e.vec_id AS nid,
+       |         round(${sqlDot("q.qv", "e.embedding")}, 6) AS cos
+       |  FROM q JOIN bkt cb ON cb.bucket = q.bucket
+       |         JOIN embeddings e ON e.vec_id = cb.vec_id
+       |  WHERE e.vec_id <> q.qid),
+       |best AS (
+       |  SELECT qid, nid, cos,
+       |         row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid ASC) AS rk
+       |  FROM cand)
+       |SELECT qid, nid, cos FROM best WHERE rk = 1 ORDER BY qid""".stripMargin
+
+  // ---------------------------------------------------------------- q24
+  /** Embedding-cosine near-duplicate pairs (cos ≥ 0.4, a < b). */
+  def q24EmbeddingNearDups(s: SparkSession, dir: String): DataFrame =
+    Ann.nearDupPairs(emb(s, dir), NearDupCos)
+      .orderBy(col("a"), col("b"))
+
+  val q24Sql: String =
+    s"""WITH pairs AS (
+       |  SELECT a.vec_id AS a, b.vec_id AS b,
+       |         round(${sqlDot("a.embedding", "b.embedding")}, 6) AS cos
+       |  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id)
+       |SELECT a, b, cos FROM pairs WHERE cos >= $NearDupCos ORDER BY a, b""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q21_knn_bruteforce" -> (q21KnnBruteForce _),
+    "q22_lsh_buckets" -> (q22LshBuckets _),
+    "q23_lsh_top1" -> (q23LshTop1 _),
+    "q24_embedding_near_dups" -> (q24EmbeddingNearDups _),
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q21_knn_bruteforce" -> q21Sql,
+    "q22_lsh_buckets" -> q22Sql,
+    "q23_lsh_top1" -> q23Sql,
+    "q24_embedding_near_dups" -> q24Sql,
+  )
+}

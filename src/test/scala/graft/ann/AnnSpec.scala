@@ -1,0 +1,77 @@
+package graft.ann
+
+import org.apache.spark.sql.functions._
+import graft.SparkTestBase
+import graft.functions.VectorFunctions
+
+class AnnSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private lazy val emb = graft.Tables.embeddings(spark, sf001)
+
+  test("native codegen dot == interpreted zip_with dot on real embeddings") {
+    VectorFunctions.register(spark)
+    val a = emb.limit(50).select($"vec_id".as("a"), $"embedding".as("av"))
+    val b = emb.limit(50).select($"vec_id".as("b"), $"embedding".as("bv"))
+    val diffs = a.crossJoin(b)
+      .select(abs(VectorFunctions.dot($"av", $"bv") -
+        VectorFunctions.dotZip($"av", $"bv")).as("d"))
+      .agg(max($"d")).head.getDouble(0)
+    assert(diffs === 0.0) // identical accumulation order → bit-identical
+  }
+
+  test("dot of a pre-normalized vector with itself is ~1") {
+    VectorFunctions.register(spark)
+    val selfDots = emb.limit(20)
+      .select(VectorFunctions.dot($"embedding", $"embedding").as("d"))
+      .collect().map(_.getDouble(0))
+    selfDots.foreach(d => assert(math.abs(d - 1.0) < 1e-5)) // float32 norm
+  }
+
+  test("TopKAgg matches the window-ranking top-k") {
+    VectorFunctions.register(spark)
+    val queries = emb.filter($"vec_id" % 100 === 0)
+    val viaWindow = Ann.bruteForceTopK(queries, emb, k = 5)
+      .select($"qid", $"nid", $"rk").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+
+    val q = queries.select($"vec_id".as("qid"), $"embedding".as("qv"))
+    val c = emb.select($"vec_id".as("nid"), $"embedding".as("nv"))
+    val topk = udaf(new Ann.TopKAgg(5))
+    val viaAgg = c.crossJoin(broadcast(q)).filter($"qid" =!= $"nid")
+      .select($"qid", struct($"nid", round(VectorFunctions.dot($"qv", $"nv"), 6).as("cos")).as("n"))
+      .groupBy($"qid").agg(topk($"n.nid", $"n.cos").as("top"))
+      .select($"qid", posexplode($"top"))
+      .select($"qid", $"col.nid", ($"pos" + 1).cast("long").as("rk")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(viaAgg === viaWindow)
+  }
+
+  test("LSH buckets: stable, and same-bucket vectors have all projection signs equal") {
+    val buckets = Ann.signLshBuckets(emb, "vec_id", "embedding", 8, 64)
+    assert(buckets.count() === 500)
+    val range = buckets.agg(min($"bucket"), max($"bucket")).head
+    assert(range.getLong(0) >= 0L && range.getLong(1) <= 255L)
+    // deterministic across runs
+    val again = Ann.signLshBuckets(emb, "vec_id", "embedding", 8, 64)
+    assert(buckets.except(again).count() === 0)
+  }
+
+  test("lshTop1 returns a subset of queries with exact-rescored cosines") {
+    val queries = emb.filter($"vec_id" % 100 === 0)
+    val r = Ann.lshTop1(queries, emb, 8, 64).collect()
+    assert(r.nonEmpty)
+    r.foreach { row =>
+      assert(row.getLong(0) !== row.getLong(1))
+      assert(math.abs(row.getDouble(2)) <= 1.0 + 1e-6)
+    }
+  }
+
+  test("nearDupPairs returns ordered pairs above threshold only") {
+    val r = Ann.nearDupPairs(emb, 0.4).collect()
+    r.foreach { row =>
+      assert(row.getLong(0) < row.getLong(1))
+      assert(row.getDouble(2) >= 0.4)
+    }
+  }
+}
