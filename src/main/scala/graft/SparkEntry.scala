@@ -16,11 +16,13 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     operators.RelationalOps.queries ++ operators.DocQueries.queries ++
-      operators.DedupQueries.queries ++ operators.AnnQueries.queries
+      operators.DedupQueries.queries ++ operators.AnnQueries.queries ++
+      operators.TextStatsQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     operators.RelationalOps.oracles ++ operators.DocQueries.oracles ++
-      operators.DedupQueries.oracles ++ operators.AnnQueries.oracles
+      operators.DedupQueries.oracles ++ operators.AnnQueries.oracles ++
+      operators.TextStatsQueries.oracles
 }

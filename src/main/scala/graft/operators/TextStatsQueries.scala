@@ -1,0 +1,139 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.text.TextPrep
+import graft.textstats.TextStats
+
+/** Corpus-analysis queries (language ID, quality, token counts,
+  * fingerprints) over `documents`, DuckDB-oracled. SQL is generated from
+  * the same constants as the Spark plans (marker lists, stop list,
+  * BPE pattern) so the two sides cannot drift.
+  */
+object TextStatsQueries {
+
+  private val stopList = TextPrep.DefaultStopwords.map(w => s"'$w'").mkString(", ")
+
+  private val listsCte =
+    """lists AS (
+      |  SELECT doc_id, text, source,
+      |         list_filter(string_split(trim(regexp_replace(lower(text), '(\d|\W)+', ' ', 'g')), ' '), x -> x <> '') AS toks
+      |  FROM documents)""".stripMargin
+
+  // ---------------------------------------------------------------- q25
+  def q25LangId(s: SparkSession, dir: String): DataFrame =
+    TextStats.langId(Tables.documents(s, dir), "doc_id", "text")
+      .orderBy(col("doc_id"))
+
+  val q25Sql: String = {
+    val markers = TextStats.LangMarkers.filter(_._2.nonEmpty)
+    val langs = markers.map(_._1)
+    val scoreSelects = markers.map { case (l, ws) =>
+      val inList = ws.map(w => s"'$w'").mkString(", ")
+      s"CAST(sum(CASE WHEN word IN ($inList) THEN 1 ELSE 0 END) AS BIGINT) AS score_$l"
+    }.mkString(",\n    ")
+    // same argmax contract as TextStats.langId: strict > vs earlier
+    // languages, >= vs later, and score > 0.
+    val arms = langs.zipWithIndex.map { case (l, i) =>
+      val conds = langs.zipWithIndex.collect {
+        case (m, j) if j < i => s"score_$l > score_$m"
+        case (m, j) if j > i => s"score_$l >= score_$m"
+      }
+      val all = (s"score_$l > 0" +: conds).mkString(" AND ")
+      s"WHEN $all THEN '$l'"
+    }.mkString("\n         ")
+    s"""WITH $listsCte,
+       |tok AS (SELECT doc_id, unnest(toks) AS word FROM lists),
+       |scores AS (
+       |  SELECT doc_id,
+       |    $scoreSelects
+       |  FROM tok GROUP BY doc_id)
+       |SELECT d.doc_id, ${langs.map(l => s"COALESCE(s.score_$l, 0) AS score_$l").mkString(", ")},
+       |  CASE WHEN length(regexp_replace(d.text, '[\\x00-\\x7F]', '', 'g')) > 0 THEN 'zh'
+       |         $arms
+       |       ELSE 'und' END AS pred_lang
+       |FROM documents d LEFT JOIN scores s ON d.doc_id = s.doc_id
+       |ORDER BY d.doc_id""".stripMargin
+  }
+
+  // ---------------------------------------------------------------- q26
+  def q26Quality(s: SparkSession, dir: String): DataFrame =
+    TextStats.qualityScore(Tables.documents(s, dir), "doc_id", "text")
+      .orderBy(col("doc_id"))
+
+  val q26Sql: String =
+    s"""WITH $listsCte,
+       |feat AS (
+       |  SELECT doc_id,
+       |    CAST(length(text) AS BIGINT) AS n_chars,
+       |    CAST(len(toks) AS BIGINT) AS n_tokens,
+       |    round(CAST(len(list_distinct(toks)) AS DOUBLE) / greatest(len(toks), 1), 6) AS distinct_ratio,
+       |    round(CAST(len(list_filter(toks, x -> x IN ($stopList))) AS DOUBLE) / greatest(len(toks), 1), 6) AS stopword_ratio,
+       |    round(CAST(length(regexp_replace(text, '\\s', '', 'g')) AS DOUBLE) / greatest(len(toks), 1), 6) AS mean_token_len,
+       |    round(CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE) / greatest(length(text), 1), 6) AS alpha_ratio
+       |  FROM lists)
+       |SELECT doc_id, n_chars, n_tokens, distinct_ratio, stopword_ratio,
+       |       mean_token_len, alpha_ratio,
+       |       (n_tokens >= 10 AND distinct_ratio >= 0.1 AND alpha_ratio >= 0.6) AS keep
+       |FROM feat ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------- q27
+  /** Token counts per doc rolled up per source (corpus accounting). */
+  def q27TokenCounts(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    TextStats.tokenCounts(docs, "doc_id", "text")
+      .join(docs.select(col("doc_id"), col("source")), Seq("doc_id"))
+      .groupBy(col("source"))
+      .agg(
+        sum(col("ws_tokens")).as("ws_tokens"),
+        sum(col("bpe_tokens")).as("bpe_tokens"),
+        round(avg(col("bpe_tokens")), 6).as("avg_bpe_per_doc"),
+        count(lit(1)).as("n_docs"))
+      .orderBy(col("source"))
+  }
+
+  val q27Sql: String =
+    s"""WITH per_doc AS (
+       |  SELECT source,
+       |    CAST(len(list_filter(string_split_regex(text, '\\s+'), x -> x <> '')) AS BIGINT) AS ws,
+       |    CAST(len(regexp_extract_all(text, '${TextStats.BpePattern}')) AS BIGINT) AS bpe
+       |  FROM documents)
+       |SELECT source,
+       |  CAST(sum(ws) AS BIGINT) AS ws_tokens,
+       |  CAST(sum(bpe) AS BIGINT) AS bpe_tokens,
+       |  round(avg(bpe), 6) AS avg_bpe_per_doc,
+       |  count(*) AS n_docs
+       |FROM per_doc GROUP BY source ORDER BY source""".stripMargin
+
+  // ---------------------------------------------------------------- q28
+  def q28Fingerprints(s: SparkSession, dir: String): DataFrame =
+    TextStats.fingerprints(Tables.documents(s, dir), "doc_id", "text")
+      .orderBy(col("doc_id"))
+
+  val q28Sql: String =
+    s"""WITH $listsCte
+       |SELECT doc_id,
+       |  md5(text) AS md5_raw,
+       |  md5(array_to_string(toks, ' ')) AS md5_norm,
+       |  list_aggregate(list_transform(
+       |    list_transform(range(1, greatest(len(toks) - 1, 1)),
+       |                   i -> array_to_string(toks[i:i+2], ' ')),
+       |    s -> md5(s)), 'min') AS min_shingle_hash
+       |FROM lists ORDER BY doc_id""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q25_lang_id" -> (q25LangId _),
+    "q26_quality" -> (q26Quality _),
+    "q27_token_counts" -> (q27TokenCounts _),
+    "q28_fingerprints" -> (q28Fingerprints _),
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q25_lang_id" -> q25Sql,
+    "q26_quality" -> q26Sql,
+    "q27_token_counts" -> q27Sql,
+    "q28_fingerprints" -> q28Sql,
+  )
+}

@@ -1,0 +1,120 @@
+package graft.textstats
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.text.TextPrep
+
+/** Corpus-analysis operators for training-data curation: language
+  * identification (marker-word heuristic), document quality scoring,
+  * token counting (whitespace + BPE-ish regex), and fingerprinting.
+  * All pure Catalyst expressions — per-document work is embarrassingly
+  * parallel, aggregations are partial-combined; nothing here shuffles
+  * more than one grouped aggregation per output.
+  */
+object TextStats {
+
+  /** Marker words per language (public high-frequency function words).
+    * Ordered map — argmax ties resolve to the earlier entry, so the
+    * order is part of the contract.
+    */
+  val LangMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "and", "of", "to", "in", "is", "that", "for", "with", "was"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "nicht", "mit", "ein", "eine", "den"),
+    "es" -> Seq("el", "la", "los", "las", "que", "y", "es", "una", "por", "para"),
+    "fr" -> Seq("le", "la", "les", "et", "est", "que", "des", "une", "dans", "pour"),
+    "zh" -> Seq())
+
+  /** Per-language marker-hit counts as columns `score_<lang>`, plus
+    * `pred_lang` = argmax with ties to the earlier language in
+    * [[LangMarkers]]. A document with CJK characters short-circuits to
+    * "zh" (script detection beats word lists there).
+    */
+  def langId(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = df.select(col(idCol).as("doc_id"),
+      explode(TextPrep.tokensCol(col(textCol))).as("word"))
+    val scoreCols = LangMarkers.filter(_._2.nonEmpty).map { case (lang, words) =>
+      sum(when(col("word").isin(words: _*), 1L).otherwise(0L)).as(s"score_$lang")
+    }
+    // left-join from the full doc set: docs with no Latin tokens at all
+    // (e.g. pure-CJK text, which normalize() strips entirely) must still
+    // get a row — their scores are 0 and the script check decides.
+    val grouped = toks.groupBy(col("doc_id")).agg(scoreCols.head, scoreCols.tail: _*)
+    val scoreNames = LangMarkers.filter(_._2.nonEmpty).map { case (l, _) => s"score_$l" }
+    val scores = df.select(col(idCol).as("doc_id"))
+      .join(grouped, Seq("doc_id"), "left")
+      .select(col("doc_id") +: scoreNames.map(n => coalesce(col(n), lit(0L)).as(n)): _*)
+    // script short-circuit: any non-ASCII character → "zh" bucket (the
+    // only non-Latin language in the marker set). Expressed as an ASCII
+    // strip + length check so the regex semantics are engine-portable.
+    val hasCjk = df.select(col(idCol).as("doc_id"),
+      (length(regexp_replace(col(textCol), "[\\x00-\\x7F]", "")) > 0).as("cjk"))
+    val langs = LangMarkers.map(_._1).filter(l => l != "zh")
+    // argmax chain: lang L wins if its score >= every later lang's score
+    // and > every earlier lang's score (ties to earlier = >= forward only).
+    val pred = langs.zipWithIndex.foldRight(lit("und")) { case ((l, i), other) =>
+      val wins = langs.zipWithIndex.collect {
+        case (m, j) if j < i => col(s"score_$l") > col(s"score_$m")
+        case (m, j) if j > i => col(s"score_$l") >= col(s"score_$m")
+      }.reduceOption(_ && _).getOrElse(lit(true))
+      when(wins && col(s"score_$l") > 0, lit(l)).otherwise(other)
+    }
+    scores.join(hasCjk, Seq("doc_id"))
+      .withColumn("pred_lang", when(col("cjk"), lit("zh")).otherwise(pred))
+      .drop("cjk")
+  }
+
+  /** Heuristic quality features + composite score per document:
+    * token count, distinct-token ratio (repetition proxy), stop-word
+    * ratio (natural-language proxy), mean token length, alpha-char
+    * ratio. `keep` flags documents inside the sane band — the standard
+    * pre-training filter shape (cf. C4/Gopher rules, public).
+    */
+  def qualityScore(df: DataFrame, idCol: String, textCol: String,
+      stopwords: Seq[String] = TextPrep.DefaultStopwords): DataFrame = {
+    val toks = TextPrep.tokensCol(col(textCol))
+    val nToks = size(toks)
+    val nDistinct = size(array_distinct(toks))
+    val nStop = size(filter(toks, w => w.isin(stopwords: _*)))
+    val alphaChars = length(regexp_replace(col(textCol), "[^A-Za-z]", ""))
+    val base = df.select(
+      col(idCol).as("doc_id"),
+      length(col(textCol)).cast("long").as("n_chars"),
+      nToks.cast("long").as("n_tokens"),
+      round(nDistinct.cast("double") / greatest(nToks, lit(1)).cast("double"), 6).as("distinct_ratio"),
+      round(nStop.cast("double") / greatest(nToks, lit(1)).cast("double"), 6).as("stopword_ratio"),
+      round((length(regexp_replace(col(textCol), "\\s", "")).cast("double")) /
+        greatest(nToks, lit(1)).cast("double"), 6).as("mean_token_len"),
+      round(alphaChars.cast("double") / greatest(length(col(textCol)), lit(1)).cast("double"), 6)
+        .as("alpha_ratio"))
+    base.withColumn("keep",
+      (col("n_tokens") >= 10) && (col("distinct_ratio") >= 0.1) &&
+        (col("alpha_ratio") >= 0.6))
+  }
+
+  /** Whitespace and BPE-ish token counts per document. The BPE-ish
+    * tokenizer is the public GPT-2-style pre-tokenization shape:
+    * letter runs | digit runs | single non-space symbol.
+    */
+  val BpePattern = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"
+
+  def tokenCounts(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(
+      col(idCol).as("doc_id"),
+      size(filter(split(col(textCol), "\\s+"), t => t =!= "")).cast("long").as("ws_tokens"),
+      regexp_count(col(textCol), lit(BpePattern)).cast("long").as("bpe_tokens"))
+
+  /** Document fingerprints: raw md5, normalized-text md5 (whitespace/
+    * case/punct-insensitive), and a min-shingle content hash (1-perm
+    * minhash over word 3-grams — robust to local edits).
+    */
+  def fingerprints(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = TextPrep.tokensCol(col(textCol))
+    df.select(
+      col(idCol).as("doc_id"),
+      md5(col(textCol).cast("binary")).as("md5_raw"),
+      md5(concat_ws(" ", toks).cast("binary")).as("md5_norm"),
+      array_min(transform(graft.dedup.Dedup.shinglesCol(toks, 3),
+        s => md5(s.cast("binary")))).as("min_shingle_hash"))
+  }
+}
