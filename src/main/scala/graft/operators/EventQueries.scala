@@ -1,0 +1,136 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Batch analytics over the `events` stream table — the batch halves of
+  * the streaming operators (graft.streaming exposes the same shapes over
+  * readStream): tumbling-window aggregation, gap-based sessionization,
+  * keyed dedup. Timestamps are exported as epoch milliseconds (bigint)
+  * so oracle comparison never touches timezone/precision formatting.
+  */
+object EventQueries {
+
+  val WindowSecs = 300L
+  val SessionGapMs = 1800000L // 30 min
+
+  private def ev(s: SparkSession, dir: String): DataFrame =
+    // Tables.events already normalizes ns → TimestampType (UTC session).
+    Tables.events(s, dir).withColumn("ts_ms", unix_millis(col("ts")))
+
+  // ---------------------------------------------------------------- q30
+  /** Tumbling 5-minute windows per event_type via the native `window()`
+    * function (the exact groupBy a Structured Streaming job would run);
+    * window id exported as epoch-seconds / 300.
+    */
+  def q30WindowAgg(s: SparkSession, dir: String): DataFrame =
+    ev(s, dir)
+      .groupBy(window(col("ts"), s"$WindowSecs seconds").as("w"), col("event_type"))
+      .agg(
+        count(lit(1)).as("n"),
+        round(sum(col("value")), 6).as("sum_value"),
+        countDistinct(col("user_id")).as("n_users"))
+      .select(
+        (unix_timestamp(col("w.start")) / WindowSecs).cast("long").as("window_id"),
+        col("event_type"), col("n"), col("sum_value"), col("n_users"))
+      .orderBy(col("window_id"), col("event_type"))
+
+  val q30Sql: String =
+    s"""SELECT CAST(floor(epoch(ts) / $WindowSecs) AS BIGINT) AS window_id,
+       |       event_type,
+       |       count(*) AS n,
+       |       round(sum(value), 6) AS sum_value,
+       |       count(DISTINCT user_id) AS n_users
+       |FROM events
+       |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
+  // ---------------------------------------------------------------- q31
+  /** Gap-based sessionization (30-min inactivity closes a session):
+    * lag → new-session flag → running sum → per-session rollup. Two
+    * windows over the same (user_id, ts) partitioning — one shuffle,
+    * Catalyst collapses the sort.
+    */
+  def q31Sessionize(s: SparkSession, dir: String): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts_ms"), col("event_id"))
+    ev(s, dir)
+      .withColumn("prev_ms", lag(col("ts_ms"), 1).over(byUser))
+      .withColumn("new_session",
+        when(col("prev_ms").isNull || col("ts_ms") - col("prev_ms") > SessionGapMs, 1L)
+          .otherwise(0L))
+      .withColumn("session_idx", sum(col("new_session")).over(
+        byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("user_id"), col("session_idx"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        min(col("ts_ms")).as("start_ms"),
+        max(col("ts_ms")).as("end_ms"),
+        round(sum(col("value")), 6).as("sum_value"))
+      .withColumn("duration_ms", col("end_ms") - col("start_ms"))
+      .orderBy(col("user_id"), col("session_idx"))
+  }
+
+  val q31Sql: String =
+    s"""WITH e AS (
+       |  SELECT user_id, event_id, value, CAST(epoch_ms(ts) AS BIGINT) AS ts_ms
+       |  FROM events),
+       |flagged AS (
+       |  SELECT user_id, event_id, value, ts_ms,
+       |    CASE WHEN lag(ts_ms) OVER w IS NULL
+       |              OR ts_ms - lag(ts_ms) OVER w > $SessionGapMs
+       |         THEN 1 ELSE 0 END AS new_session
+       |  FROM e
+       |  WINDOW w AS (PARTITION BY user_id ORDER BY ts_ms, event_id)),
+       |sess AS (
+       |  SELECT user_id, event_id, value, ts_ms,
+       |    CAST(sum(new_session) OVER (PARTITION BY user_id ORDER BY ts_ms, event_id
+       |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_idx
+       |  FROM flagged)
+       |SELECT user_id, session_idx,
+       |  count(*) AS n_events,
+       |  min(ts_ms) AS start_ms,
+       |  max(ts_ms) AS end_ms,
+       |  round(sum(value), 6) AS sum_value,
+       |  max(ts_ms) - min(ts_ms) AS duration_ms
+       |FROM sess GROUP BY user_id, session_idx
+       |ORDER BY user_id, session_idx""".stripMargin
+
+  // ---------------------------------------------------------------- q32
+  /** Keyed dedup: first event per (user_id, event_type) by (ts, id) —
+    * the batch shape of streaming dropDuplicates.
+    */
+  def q32EventDedup(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"), col("event_type"))
+      .orderBy(col("ts_ms"), col("event_id"))
+    ev(s, dir)
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") === 1)
+      .select(col("user_id"), col("event_type"), col("event_id").as("first_event_id"),
+        col("ts_ms").as("first_ts_ms"))
+      .orderBy(col("user_id"), col("event_type"))
+  }
+
+  val q32Sql: String =
+    """SELECT user_id, event_type, event_id AS first_event_id,
+      |       CAST(epoch_ms(ts) AS BIGINT) AS first_ts_ms
+      |FROM (
+      |  SELECT user_id, event_type, event_id, ts,
+      |         row_number() OVER (PARTITION BY user_id, event_type
+      |                            ORDER BY epoch_ms(ts), event_id) AS rk
+      |  FROM events)
+      |WHERE rk = 1 ORDER BY user_id, event_type""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q30_event_window_agg" -> (q30WindowAgg _),
+    "q31_sessionize" -> (q31Sessionize _),
+    "q32_event_dedup" -> (q32EventDedup _),
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q30_event_window_agg" -> q30Sql,
+    "q31_sessionize" -> q31Sql,
+    "q32_event_dedup" -> q32Sql,
+  )
+}

@@ -1,0 +1,116 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured Streaming operators over the `events` schema
+  * (event_id, ts, user_id, event_type, value, props) — the streaming
+  * halves of graft.operators.EventQueries. Every transform takes a
+  * DataFrame so it composes identically over `spark.readStream` input
+  * (incremental execution, state store, watermark GC) and over batch
+  * input (used by the specs to cross-check results).
+  *
+  * Scale notes: windowed aggregation state is bounded by the watermark
+  * (late data beyond 10 min is dropped and its state evicted);
+  * dropDuplicates state is likewise watermark-scoped; sessionization
+  * keeps one [[SessionState]] per active user, evicted via processing-
+  * time timeout — the standard mapGroupsWithState sizing (state ∝
+  * active keys, not history).
+  */
+object StreamingOps {
+
+  val WatermarkDelay = "10 minutes"
+  val WindowLength = "5 minutes"
+  val SessionGapMs: Long = 30L * 60 * 1000
+
+  /** Tumbling-window counts/sums per event_type with a watermark —
+    * append-mode compatible (windows finalize when the watermark
+    * passes).
+    */
+  def windowedAgg(events: DataFrame): DataFrame =
+    events
+      .withColumn("ts", col("ts").cast("timestamp"))
+      .withWatermark("ts", WatermarkDelay)
+      .groupBy(window(col("ts"), WindowLength).as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_value"))
+      .select(col("w.start").as("window_start"), col("event_type"),
+        col("n"), col("sum_value"))
+
+  /** Watermark-scoped exact-once dedup on event_id. */
+  def dedup(events: DataFrame): DataFrame =
+    events
+      .withColumn("ts", col("ts").cast("timestamp"))
+      .withWatermark("ts", WatermarkDelay)
+      .dropDuplicates("event_id")
+
+  // ------------------------------------------------------ sessionization
+  case class Event(event_id: Long, ts: Timestamp, user_id: Long,
+      event_type: String, value: Double)
+  case class SessionState(userId: Long, startMs: Long, lastMs: Long,
+      nEvents: Long, sumValue: Double)
+  case class Session(user_id: Long, start_ms: Long, end_ms: Long,
+      n_events: Long, sum_value: Double)
+
+  /** Stateful gap-based sessionization with flatMapGroupsWithState:
+    * one state entry per user; a session closes (and is emitted) when
+    * an event arrives ≥ 30 min after the previous one, or on state
+    * timeout. Event-order within a micro-batch is enforced by sorting
+    * the group iterator (Spark doesn't guarantee group order).
+    */
+  def sessionize(events: Dataset[Event],
+      timeout: GroupStateTimeout = GroupStateTimeout.ProcessingTimeTimeout): Dataset[Session] = {
+    import events.sparkSession.implicits._
+    val useTimeout = timeout != GroupStateTimeout.NoTimeout
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, Session](
+        OutputMode.Append, timeout) {
+        (userId: Long, it: Iterator[Event], state: GroupState[SessionState]) =>
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator.single(Session(s.userId, s.startMs, s.lastMs, s.nEvents, s.sumValue))
+          } else {
+            val sorted = it.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+            var cur = state.getOption
+            val closed = Seq.newBuilder[Session]
+            sorted.foreach { e =>
+              val ms = e.ts.getTime
+              cur match {
+                case Some(s) if ms - s.lastMs > SessionGapMs =>
+                  closed += Session(s.userId, s.startMs, s.lastMs, s.nEvents, s.sumValue)
+                  cur = Some(SessionState(userId, ms, ms, 1L, e.value))
+                case Some(s) =>
+                  cur = Some(s.copy(lastMs = ms, nEvents = s.nEvents + 1,
+                    sumValue = s.sumValue + e.value))
+                case None =>
+                  cur = Some(SessionState(userId, ms, ms, 1L, e.value))
+              }
+            }
+            cur.foreach { s =>
+              state.update(s)
+              if (useTimeout) state.setTimeoutDuration(SessionGapMs)
+            }
+            closed.result().iterator
+          }
+      }
+  }
+
+  /** Convenience: run a streaming query over `transformed` into an
+    * in-memory table and block until all available input is processed
+    * (test/dev harness; production would use a real sink + trigger).
+    */
+  def runToMemory(spark: SparkSession, transformed: DataFrame, name: String,
+      mode: OutputMode = OutputMode.Append): Unit = {
+    val q = transformed.writeStream
+      .outputMode(mode)
+      .format("memory")
+      .queryName(name)
+      .start()
+    q.processAllAvailable()
+    q.stop()
+  }
+}

@@ -1,0 +1,89 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.OutputMode
+
+import graft.SparkTestBase
+
+class StreamingOpsSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def ts(minute: Int, sec: Int = 0): Timestamp =
+    Timestamp.valueOf(f"2024-01-01 00:$minute%02d:$sec%02d")
+
+  private def mkEvents(rows: (Long, Timestamp, Long, String, Double)*) =
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value")
+
+  test("streaming windowed agg over MemoryStream matches batch groupBy") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, Timestamp, Long, String, Double)]
+    val df = input.toDF.toDF("event_id", "ts", "user_id", "event_type", "value")
+
+    val rows = Seq(
+      (1L, ts(0, 10), 1L, "click", 1.0),
+      (2L, ts(1, 0), 2L, "click", 2.0),
+      (3L, ts(6, 0), 1L, "view", 3.0),
+      (4L, ts(7, 0), 1L, "click", 4.0),
+      (5L, ts(40, 0), 2L, "click", 5.0)) // advances watermark past first windows
+    input.addData(rows: _*)
+
+    StreamingOps.runToMemory(spark, StreamingOps.windowedAgg(df), "win_out",
+      OutputMode.Append)
+    val streamed = spark.table("win_out")
+      .select($"window_start", $"event_type", $"n", $"sum_value")
+      .collect().map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+      .toSet
+
+    val batch = StreamingOps.windowedAgg(mkEvents(rows: _*))
+      .collect().map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+      .toSet
+    // append mode only emits windows sealed by the watermark; every
+    // emitted row must match the batch computation exactly
+    assert(streamed.nonEmpty)
+    assert(streamed.subsetOf(batch))
+    // the two pre-watermark windows (00:00, 00:05) are sealed
+    assert(streamed.count(_._2 == "click") >= 2)
+  }
+
+  test("streaming dedup drops replayed event_ids") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, Timestamp, Long, String, Double)]
+    val df = input.toDF.toDF("event_id", "ts", "user_id", "event_type", "value")
+    input.addData(
+      (1L, ts(0), 1L, "click", 1.0),
+      (1L, ts(0), 1L, "click", 1.0), // exact replay
+      (2L, ts(1), 1L, "view", 2.0))
+    StreamingOps.runToMemory(spark, StreamingOps.dedup(df), "dedup_out")
+    assert(spark.table("dedup_out").count() === 2)
+  }
+
+  test("stateful sessionization emits closed sessions; matches batch semantics") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[StreamingOps.Event]
+    // user 1: two events 5 min apart (one session), then 45-min gap, one
+    // more event (second session). The second event's arrival closes
+    // session 1 immediately.
+    input.addData(
+      StreamingOps.Event(1L, ts(0), 1L, "click", 1.0),
+      StreamingOps.Event(2L, ts(5), 1L, "click", 2.0),
+      StreamingOps.Event(3L, ts(50), 1L, "view", 3.0))
+    // NoTimeout in the test: ProcessingTimeTimeout keeps scheduling
+    // timer-driven micro-batches, so processAllAvailable never settles.
+    val sessions = StreamingOps.sessionize(input.toDS(),
+      org.apache.spark.sql.streaming.GroupStateTimeout.NoTimeout)
+    val q = sessions.writeStream.outputMode("append")
+      .format("memory").queryName("sess_out").start()
+    q.processAllAvailable()
+    q.stop()
+    val closed = spark.table("sess_out").as[StreamingOps.Session].collect()
+    assert(closed.length === 1) // first session closed by the gap
+    val s = closed.head
+    assert(s.user_id === 1L)
+    assert(s.n_events === 2L)
+    assert(s.sum_value === 3.0)
+    assert(s.end_ms - s.start_ms === 5L * 60 * 1000)
+  }
+}
