@@ -17,12 +17,14 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     operators.RelationalOps.queries ++ operators.DocQueries.queries ++
       operators.DedupQueries.queries ++ operators.AnnQueries.queries ++
-      operators.TextStatsQueries.queries ++ operators.EventQueries.queries
+      operators.TextStatsQueries.queries ++ operators.EventQueries.queries ++
+      operators.MultimodalQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     operators.RelationalOps.oracles ++ operators.DocQueries.oracles ++
       operators.DedupQueries.oracles ++ operators.AnnQueries.oracles ++
-      operators.TextStatsQueries.oracles ++ operators.EventQueries.oracles
+      operators.TextStatsQueries.oracles ++ operators.EventQueries.oracles ++
+      operators.MultimodalQueries.oracles
 }

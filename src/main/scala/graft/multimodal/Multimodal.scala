@@ -1,0 +1,112 @@
+package graft.multimodal
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multimodal (image/audio/video) column plumbing for a training-data
+  * pipeline: media ride along as opaque `binary` columns with typed
+  * metadata, and per-asset compute (decode, feature extraction, frame
+  * sampling) runs batched per partition.
+  *
+  * The actual codec step is STUBBED — media libraries are not in this
+  * container — behind [[MediaDecoder]]; [[FakeDecoder]] is a
+  * deterministic stand-in that parses our synthetic header. Everything
+  * Spark-side is real and tested: schema, binary handling, partition-
+  * batched execution via mapPartitions over a typed Dataset (the JVM
+  * analog of mapInPandas: one decoder instantiation per partition, rows
+  * streamed through it), and partitioning/skew notes below.
+  *
+  * Scale notes: media blobs dominate row size, so (a) never groupBy/
+  * shuffle rows carrying the blob — extract features first, project the
+  * blob away, then shuffle the small feature rows (featurize() enforces
+  * this shape); (b) size partitions by bytes not rows
+  * (`spark.sql.files.maxPartitionBytes`) since blob sizes are skewed;
+  * (c) the decoder is per-partition state — expensive codec init
+  * amortizes across the partition's rows.
+  */
+object Multimodal {
+
+  /** Typed media asset row: opaque payload + declared kind. */
+  case class MediaAsset(asset_id: Long, kind: String, payload: Array[Byte])
+
+  /** Extracted features — fixed schema regardless of media kind. */
+  case class MediaFeatures(asset_id: Long, kind: String, byte_len: Long,
+      width: Int, height: Int, duration_ms: Long, channels: Int,
+      content_hash: String)
+
+  /** Pluggable decoder boundary. A real implementation would wrap e.g.
+    * javacv/ffmpeg; it MUST be Serializable (instantiated per partition
+    * on executors).
+    */
+  trait MediaDecoder extends Serializable {
+    def decode(kind: String, payload: Array[Byte]): (Int, Int, Long, Int)
+  }
+
+  /** Deterministic stub: reads the synthetic 16-byte header produced by
+    * [[synthesizeAssets]] (big-endian: width, height, durationMs,
+    * channels). Stands in for the codec; the Spark plumbing around it is
+    * the thing under test.
+    */
+  object FakeDecoder extends MediaDecoder {
+    def decode(kind: String, payload: Array[Byte]): (Int, Int, Long, Int) = {
+      val bb = java.nio.ByteBuffer.wrap(payload)
+      (bb.getInt(0), bb.getInt(4), bb.getInt(8).toLong, bb.getInt(12))
+    }
+  }
+
+  /** Synthesize a deterministic media table from `documents`: payload =
+    * 16-byte header + utf8 text bytes; kind cycles image/audio/video.
+    * Gives the pipeline real binary columns with skewed sizes.
+    */
+  def synthesizeAssets(docs: DataFrame): DataFrame = {
+    val kind = element_at(
+      array(lit("image"), lit("audio"), lit("video")),
+      (col("doc_id") % 3 + 1).cast("int"))
+    val header = concat(
+      // big-endian int32s, built from the doc's own attributes
+      lpad(conv((col("doc_id") % 1920 + 1).cast("string"), 10, 16), 8, "0"),
+      lpad(conv((col("doc_id") % 1080 + 1).cast("string"), 10, 16), 8, "0"),
+      lpad(conv((col("n_chars") * 10).cast("string"), 10, 16), 8, "0"),
+      lpad(conv((col("doc_id") % 2 + 1).cast("string"), 10, 16), 8, "0"))
+    docs.select(
+      col("doc_id").as("asset_id"),
+      kind.as("kind"),
+      concat(unhex(header), col("text").cast("binary")).as("payload"))
+  }
+
+  /** Partition-batched feature extraction: one decoder per partition,
+    * blob projected away in the same pass (output rows are small and
+    * safe to shuffle downstream). This is the mapInPandas-shaped batch
+    * boundary, typed.
+    */
+  def featurize(assets: Dataset[MediaAsset],
+      decoder: MediaDecoder = FakeDecoder): Dataset[MediaFeatures] = {
+    import assets.sparkSession.implicits._
+    assets.mapPartitions { it =>
+      // per-partition decoder init happens here (codec warm-up analog)
+      val d = decoder
+      it.map { a =>
+        val (w, h, dur, ch) = d.decode(a.kind, a.payload)
+        val md = java.security.MessageDigest.getInstance("MD5")
+        val hash = md.digest(a.payload).map("%02x".format(_)).mkString
+        MediaFeatures(a.asset_id, a.kind, a.payload.length.toLong, w, h, dur, ch, hash)
+      }
+    }
+  }
+
+  /** Expression-only metadata path (no decoder): byte length + payload
+    * hash + header fields via substring arithmetic. Pure Catalyst —
+    * used by the oracle-gated query since DuckDB can mirror it.
+    */
+  def metadataExpr(assets: DataFrame): DataFrame =
+    assets.select(
+      col("asset_id"), col("kind"),
+      length(col("payload")).cast("long").as("byte_len"),
+      conv(hex(substring(col("payload"), 1, 4)), 16, 10).cast("int").as("width"),
+      conv(hex(substring(col("payload"), 5, 4)), 16, 10).cast("int").as("height"),
+      conv(hex(substring(col("payload"), 9, 4)), 16, 10).cast("long").as("duration_ms"),
+      conv(hex(substring(col("payload"), 13, 4)), 16, 10).cast("int").as("channels"),
+      // hash of the payload BODY (bytes after the 16-byte header): binary
+      // slicing in-engine; equals md5 of the original text bytes.
+      md5(expr("substring(payload, 17, length(payload))")).as("content_hash"))
+}
