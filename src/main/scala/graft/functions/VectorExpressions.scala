@@ -57,20 +57,65 @@ case class FloatDotProduct(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** As [[FloatDotProduct]] but over `array<double>` children — used by
+  * the dense-vector strategy of the sparse similarity join, where
+  * TF-IDF weights are doubles.
+  */
+case class DoubleDotProduct(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "double_dot"
+
+  override def nullSafeEval(l: Any, r: Any): Any = {
+    val a = l.asInstanceOf[ArrayData]
+    val b = r.asInstanceOf[ArrayData]
+    val n = math.min(a.numElements(), b.numElements())
+    var acc = 0.0
+    var i = 0
+    while (i < n) { acc += a.getDouble(i) * b.getDouble(i); i += 1 }
+    acc
+  }
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |${ev.value} = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  ${ev.value} += $a.getDouble($i) * $b.getDouble($i);
+         |}
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): DoubleDotProduct =
+    copy(left = newLeft, right = newRight)
+}
+
 /** Column-level vector functions. */
 object VectorFunctions {
 
   /** Register the native expressions in the session's function registry
     * (idempotent). Needed once per SparkSession before using [[dot]].
     */
-  def register(spark: SparkSession): Unit =
+  def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "float_dot", exprs => FloatDotProduct(exprs(0), exprs(1)), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "double_dot", exprs => DoubleDotProduct(exprs(0), exprs(1)), "built-in")
+  }
 
   /** Codegen'd dot product of two array<float> columns (requires
     * [[register]]).
     */
   def dot(a: Column, b: Column): Column = call_function("float_dot", a, b)
+
+  /** Codegen'd dot product of two array<double> columns (requires
+    * [[register]]).
+    */
+  def dotD(a: Column, b: Column): Column = call_function("double_dot", a, b)
 
   /** Built-in-functions fallback with identical semantics (element-wise
     * double product, sequential sum). Used to cross-check the native

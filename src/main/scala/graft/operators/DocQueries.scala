@@ -88,10 +88,10 @@ object DocQueries {
     */
   def q13Top1Similar(s: SparkSession, dir: String): DataFrame = {
     val vecs = docVectors(s, dir)
-    val sims = Similarity.invertedIndexJoin(vecs, vecs)
-      .filter(col("l_id") =!= col("r_id"))
-      .withColumn("sim", round(col("sim"), 6))
-    Similarity.argmax(sims)
+    // adaptive physical strategy: this corpus has a tiny dense vocabulary,
+    // where the inverted-index join degenerates (Σ_w n_w² ≈ |V|·n²); the
+    // dense-broadcast path scores the same pairs with zero shuffle.
+    Similarity.argmaxAdaptive(vecs, vecs, excludeSelf = true)
       .select(col("l_id").as("doc_id"), col("r_id").as("match_id"), col("sim"))
       .orderBy(col("doc_id"))
   }
@@ -127,9 +127,7 @@ object DocQueries {
     val titleVecs = TfIdf.l2Normalize(
         TfIdf.weights(TfIdf.termFreq(titleToks), TfIdf.docFreq(abstractToks), n, external = true))
       .withColumn("w", round($"w", 6))
-    val sims = Similarity.invertedIndexJoin(titleVecs, abstractVecs)
-      .withColumn("sim", round($"sim", 6))
-    Similarity.argmax(sims)
+    Similarity.argmaxAdaptive(titleVecs, abstractVecs)
       .select($"l_id".as("title_id"), $"r_id".as("match_id"), $"sim")
       .orderBy($"title_id")
   }

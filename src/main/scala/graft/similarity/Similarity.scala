@@ -74,6 +74,76 @@ object Similarity {
       .select(col("l_id"), col("r_id"), mapDot(col("l_vec"), col("r_vec")).as("sim"))
   }
 
+  /** Dense-broadcast argmax strategy — the right physical plan when the
+    * vocabulary is SMALL and DENSE (every term in most documents), where
+    * the inverted-index join degenerates to near-quadratic shuffle
+    * volume (Σ_w n_w² rows with n_w ≈ corpus size). Vectors are pivoted
+    * to dense `array<double>` in vocabulary order, the right side is
+    * broadcast, and the codegen'd [[graft.functions.DoubleDotProduct]]
+    * scores pairs with NO shuffle at all; the per-query argmax is a
+    * partial-aggregated `max_by` (no window sort, no pair
+    * materialization past the aggregate).
+    *
+    * Result-identical to invertedIndexJoin + argmax: a dot of
+    * strictly-positive weights is 0 iff there is no term overlap, so
+    * `sim_raw > 0` reproduces the inverted join's pair set exactly, and
+    * ranking uses the same (rounded sim desc, id asc) contract.
+    * Requires numeric ids. Exposed via [[argmaxAdaptive]].
+    */
+  def denseArgmax(left: DataFrame, right: DataFrame,
+      excludeSelf: Boolean = false): DataFrame = {
+    val spark = left.sparkSession
+    graft.functions.VectorFunctions.register(spark)
+    val selfJoin = left eq right
+    val wordSrc = if (selfJoin) left.select(col("word"))
+      else left.select(col("word")).unionAll(right.select(col("word")))
+    val words = wordSrc.distinct().orderBy(col("word"))
+      .collect().map(_.getString(0)) // precondition: small vocabulary
+    val dim = words.length
+    import spark.implicits._
+    val vocab = broadcast(words.zipWithIndex.toSeq.toDF("word", "idx"))
+    def toDense(df: DataFrame, idAs: String, vecAs: String): DataFrame = {
+      val m = map_from_entries(collect_list(struct(col("idx"), col("w"))))
+      df.join(vocab, Seq("word"))
+        .groupBy(col("id").as(idAs))
+        .agg(transform(sequence(lit(0), lit(dim - 1)),
+          i => coalesce(element_at(m, i), lit(0.0))).as(vecAs))
+    }
+    val l = toDense(left, "l_id", "lv")
+    // self-join: rename the SAME dense plan instead of rebuilding the
+    // whole vectorization pipeline a second time
+    val r = if (selfJoin) l.select(col("l_id").as("r_id"), col("lv").as("rv"))
+      else toDense(right, "r_id", "rv")
+    l.crossJoin(broadcast(r))
+      .filter(if (excludeSelf) col("l_id") =!= col("r_id") else lit(true))
+      .select(col("l_id"), col("r_id"),
+        graft.functions.VectorFunctions.dotD(col("lv"), col("rv")).as("sim_raw"))
+      .filter(col("sim_raw") > 0.0)
+      .select(col("l_id"), col("r_id"), round(col("sim_raw"), 6).as("sim"))
+      .groupBy(col("l_id"))
+      .agg(max_by(struct(col("r_id"), col("sim")),
+        struct(col("sim"), -col("r_id"))).as("best"))
+      .select(col("l_id"), col("best.r_id").as("r_id"), col("best.sim").as("sim"))
+  }
+
+  /** Strategy-picking argmax over long-form vectors: dense-broadcast when
+    * the vocabulary is small (≤ maxDenseVocab), inverted-index + window
+    * otherwise. Inputs must carry 6dp-rounded weights for oracle-stable
+    * sims (both strategies round sims to 6dp before ranking).
+    */
+  def argmaxAdaptive(left: DataFrame, right: DataFrame,
+      excludeSelf: Boolean = false, maxDenseVocab: Long = 2048): DataFrame = {
+    val vocabCount = left.select(col("word")).unionAll(right.select(col("word")))
+      .distinct().count()
+    if (vocabCount <= maxDenseVocab) denseArgmax(left, right, excludeSelf)
+    else {
+      val sims0 = invertedIndexJoin(left, right)
+      val sims = (if (excludeSelf) sims0.filter(col("l_id") =!= col("r_id")) else sims0)
+        .withColumn("sim", round(col("sim"), 6))
+      argmax(sims)
+    }
+  }
+
   /** A8 generalized: top-k rows per `keyCol` by (simCol desc, tieCol asc).
     * Deterministic where the reference's reduce-based argmax is shuffle-
     * order-dependent under ties (SURVEY.md §2.10.4).

@@ -54,6 +54,34 @@ class SimilaritySpec extends SparkTestBase {
     assert(pruned.select($"word").distinct().as[String].collect().toSet === Set("y", "z"))
   }
 
+  test("denseArgmax ≡ invertedIndexJoin+argmax on numeric-id vectors") {
+    // weights rounded to 6dp as the adaptive contract requires
+    val nvecs = Seq(
+      (1L, "x", 0.6), (1L, "y", 0.8),
+      (2L, "x", 1.0),
+      (3L, "y", 0.707107), (3L, "z", 0.707107),
+      (4L, "q", 1.0)).toDF("id", "word", "w")
+    val viaDense = Similarity.denseArgmax(nvecs, nvecs, excludeSelf = true)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val sims = Similarity.invertedIndexJoin(nvecs, nvecs)
+      .filter($"l_id" =!= $"r_id").withColumn("sim", round($"sim", 6))
+    val viaInverted = Similarity.argmax(sims)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(viaDense === viaInverted)
+    // id 4 has zero overlap with everyone → absent from BOTH strategies
+    assert(!viaDense.exists(_._1 == 4L))
+  }
+
+  test("argmaxAdaptive picks a strategy and matches either way") {
+    val nvecs = Seq((1L, "x", 1.0), (2L, "x", 0.8), (2L, "y", 0.6)).toDF("id", "word", "w")
+    val dense = Similarity.argmaxAdaptive(nvecs, nvecs, excludeSelf = true, maxDenseVocab = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val inverted = Similarity.argmaxAdaptive(nvecs, nvecs, excludeSelf = true, maxDenseVocab = 0)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(dense === inverted)
+    assert(dense === Set((1L, 2L), (2L, 1L)))
+  }
+
   test("accuracy counts self-matches") {
     val m = Seq(("a", "a"), ("b", "c")).toDF("l_id", "r_id")
     val r = Similarity.accuracy(m).head
