@@ -1,0 +1,31 @@
+package graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+import graft.functions.{DoubleDotProduct, FloatDotProduct}
+
+/** Session-extension entry point (SURVEY.md §7.3): makes the native
+  * vector expressions available to plain SQL users via
+  * `--conf spark.sql.extensions=graft.GraftExtensions`:
+  *
+  * {{{
+  *   SELECT a.vec_id, b.vec_id, float_dot(a.embedding, b.embedding) AS cos
+  *   FROM embeddings a JOIN embeddings b ...
+  * }}}
+  *
+  * (Programmatic users can instead call `VectorFunctions.register`.)
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(e: SparkSessionExtensions): Unit = {
+    e.injectFunction((
+      FunctionIdentifier("float_dot"),
+      new ExpressionInfo(classOf[FloatDotProduct].getName, "float_dot"),
+      (exprs: Seq[Expression]) => FloatDotProduct(exprs(0), exprs(1))))
+    e.injectFunction((
+      FunctionIdentifier("double_dot"),
+      new ExpressionInfo(classOf[DoubleDotProduct].getName, "double_dot"),
+      (exprs: Seq[Expression]) => DoubleDotProduct(exprs(0), exprs(1))))
+  }
+}

@@ -270,6 +270,37 @@ object RelationalOps {
       |SELECT nk, 'supplier_only' AS src FROM (SELECT nk FROM sn EXCEPT SELECT nk FROM cn)
       |ORDER BY src, nk""".stripMargin
 
+  /** q8: hierarchical rollup region → nation (grouping-sets coverage;
+    * the reference has none — SURVEY.md §2.8 — but a complete engine
+    * needs them). Subtotal levels surfaced via 'ALL' sentinels so the
+    * oracle compare never sorts NULLs.
+    */
+  def q8Rollup(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.orders(s, dir)
+      .join(Tables.customer(s, dir), $"o_custkey" === $"c_custkey")
+      .join(broadcast(Tables.nation(s, dir)), $"c_nationkey" === $"n_nationkey")
+      .join(broadcast(Tables.region(s, dir)), $"n_regionkey" === $"r_regionkey")
+      .rollup($"r_name", $"n_name")
+      .agg(count(lit(1)).as("n_orders"),
+        round(exactMoneySum($"o_totalprice"), 6).as("revenue"))
+      .select(coalesce($"r_name", lit("ALL")).as("r_name"),
+        coalesce($"n_name", lit("ALL")).as("n_name"),
+        $"n_orders", $"revenue")
+      .orderBy($"r_name", $"n_name")
+  }
+
+  val q8Sql: String =
+    """SELECT COALESCE(r_name, 'ALL') AS r_name, COALESCE(n_name, 'ALL') AS n_name,
+      |  count(*) AS n_orders,
+      |  round(CAST(sum(CAST(round(o_totalprice*10000, 0) AS BIGINT)) AS DOUBLE)/10000.0, 6) AS revenue
+      |FROM orders
+      |JOIN customer ON o_custkey = c_custkey
+      |JOIN nation   ON c_nationkey = n_nationkey
+      |JOIN region   ON n_regionkey = r_regionkey
+      |GROUP BY ROLLUP (r_name, n_name)
+      |ORDER BY r_name, n_name""".stripMargin
+
   /** Query + oracle registry contributed by this module. */
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_pricing_summary" -> (q1PricingSummary _),
@@ -279,6 +310,7 @@ object RelationalOps {
     "q5_semi_anti" -> (q5SemiAnti _),
     "q6_point_lookup" -> (q6PointLookup _),
     "q7_set_ops" -> (q7SetOps _),
+    "q8_rollup" -> (q8Rollup _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -289,5 +321,6 @@ object RelationalOps {
     "q5_semi_anti" -> q5Sql,
     "q6_point_lookup" -> q6Sql,
     "q7_set_ops" -> q7Sql,
+    "q8_rollup" -> q8Sql,
   )
 }

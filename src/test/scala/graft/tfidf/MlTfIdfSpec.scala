@@ -1,0 +1,61 @@
+package graft.tfidf
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkTestBase
+import graft.similarity.Similarity
+import graft.text.TextPrep
+
+class MlTfIdfSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private lazy val papersPath = getClass.getResource("/papers.jsonl").getPath
+
+  test("MLlib fast path: fit/transform produces unit-norm sparse vectors") {
+    val docs = graft.app.Lab2Pipeline.readPapers(spark, papersPath)
+      .select($"id", TextPrep.filteredTokensCol($"abstract").as("toks"))
+    val model = MlTfIdf.fit(docs, "toks")
+    val out = model.transform(docs)
+    assert(out.schema.fieldNames.contains("features"))
+    val norms = out.select($"features").collect()
+      .map(_.getAs[org.apache.spark.ml.linalg.Vector](0))
+      .map(v => math.sqrt(v.toArray.map(x => x * x).sum))
+    // empty docs give zero vectors; all others must be unit norm
+    norms.filter(_ > 0).foreach(n => assert(math.abs(n - 1.0) < 1e-9))
+  }
+
+  test("MLlib path self-retrieval parity with the reference formula on the fixture") {
+    val papers = graft.app.Lab2Pipeline.readPapers(spark, papersPath)
+      .withColumn("nid", monotonically_increasing_id())
+    val absToks = papers.select($"nid", TextPrep.filteredTokensCol($"abstract").as("toks"))
+      .filter(size($"toks") > 0)
+    val titleToks = papers.select($"nid", TextPrep.filteredTokensCol($"title").as("toks"))
+      .filter(size($"toks") > 0)
+    val model = MlTfIdf.fit(absToks, "toks")
+    val absLong = MlTfIdf.toLongForm(
+      model.transform(absToks).withColumnRenamed("nid", "id"), "id", model.cv.vocabulary)
+    val titleLong = MlTfIdf.toLongForm(
+      model.transform(titleToks).withColumnRenamed("nid", "id"), "id", model.cv.vocabulary)
+    val best = Similarity.argmax(Similarity.invertedIndexJoin(titleLong, absLong))
+    val acc = Similarity.accuracy(best).head.getDouble(0)
+    // reference-formula accuracy on this fixture is ~0.99; the MLlib
+    // formula ranks comparably
+    assert(acc >= 0.9, s"MLlib-path self-retrieval accuracy too low: $acc")
+  }
+
+  test("extension wiring registers; float_dot usable from plain SQL") {
+    // the injectFunction wiring itself (what spark.sql.extensions would
+    // invoke at session build):
+    new graft.GraftExtensions().apply(
+      new org.apache.spark.sql.SparkSessionExtensions)
+    // and the registered expression drives through the SQL surface:
+    val s2 = spark.newSession()
+    graft.functions.VectorFunctions.register(s2)
+    s2.range(1).createOrReplaceTempView("one")
+    val r = s2.sql(
+      "SELECT float_dot(array(CAST(1.0 AS FLOAT), CAST(2.0 AS FLOAT)), " +
+        "array(CAST(3.0 AS FLOAT), CAST(4.0 AS FLOAT))) AS d FROM one")
+      .head.getDouble(0)
+    assert(r === 11.0)
+  }
+}
