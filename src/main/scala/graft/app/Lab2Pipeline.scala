@@ -138,10 +138,14 @@ object Lab2Pipeline {
     val stopwords = scala.io.Source.fromFile(stopPath).getLines().map(_.trim)
       .filter(_.nonEmpty).toSeq
     val r = run(spark, papersPath, stopwords)
-    r.accuracy.repartition(1).write.mode("overwrite").option("header", "true").csv(accOut)
-    r.matches.repartition(1).write.mode("overwrite").parquet(resOut)
-    r.mismatchSample.coalesce(1).write.mode("overwrite").option("header", "true").csv(sampleOut)
-    r.categoryMatrix.coalesce(1).write.mode("overwrite").option("header", "true").csv(heatOut)
+    // reference output shapes (lab2.py:305–342): accuracy as a single
+    // text file of the ('accuracy', rate) tuple, matches as single
+    // parquet, sample + matrix as CSV
+    graft.io.Sinks.writeSingleText(
+      r.accuracy.selectExpr("'accuracy' AS k", "accuracy AS v"), accOut, asTuple = true)
+    graft.io.Sinks.writeSingleParquet(r.matches, resOut)
+    graft.io.Sinks.writeSingleCsv(r.mismatchSample, sampleOut)
+    graft.io.Sinks.writeSingleCsv(r.categoryMatrix, heatOut)
     spark.stop()
   }
 }

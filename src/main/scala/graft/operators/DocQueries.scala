@@ -45,10 +45,32 @@ object DocQueries {
        |          round(w / sqrt(sum(w * w) OVER (PARTITION BY id)), 6) AS w
        |        FROM w)""".stripMargin
 
+  /** Cached per (session, dir): corpus size, abstract-corpus document
+    * frequencies, and rounded self-corpus vectors. q12/q13/q50/q51 all
+    * share this pipeline — memoizing (with persist) means the Verify
+    * run computes it once instead of four times. Cache is tiny (a few
+    * plans per sfDir) and lives for the session.
+    */
+  private case class DocTfidf(n: Long, dfreq: DataFrame, vecs: DataFrame)
+  private val tfidfCache =
+    scala.collection.concurrent.TrieMap[(Int, String), DocTfidf]()
+
+  private def docTfidf(s: SparkSession, dir: String): DocTfidf =
+    tfidfCache.getOrElseUpdate((System.identityHashCode(s), dir), {
+      val docs = Tables.documents(s, dir)
+      val toks = TfIdf.tokens(docs, "doc_id", "text")
+      val n = docs.select(col("doc_id")).distinct().count()
+      val dfreq = TfIdf.docFreq(toks).persist()
+      val vecs = TfIdf.l2Normalize(
+          TfIdf.weights(TfIdf.termFreq(toks), dfreq, n))
+        .withColumn("w", round(col("w"), 6))
+        .persist()
+      DocTfidf(n, dfreq, vecs)
+    })
+
   /** Engine-side rounded self-corpus vectors (matches `vec` CTE). */
   private def docVectors(s: SparkSession, dir: String): DataFrame =
-    TfIdf.vectorize(Tables.documents(s, dir), "doc_id", "text")
-      .withColumn("w", round(col("w"), 6))
+    docTfidf(s, dir).vecs
 
   // ---------------------------------------------------------------- q10
   /** Tokenize + stop-filter + term frequency (A1+A2+M2 over P1/P2/P9). */
@@ -117,17 +139,13 @@ object DocQueries {
   def q50Task1Matches(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val docs = Tables.documents(s, dir)
-    val n = docs.select($"doc_id").distinct().count()
-    val abstractToks = TfIdf.tokens(docs, "doc_id", "text")
-    val abstractVecs = TfIdf.l2Normalize(
-        TfIdf.weights(TfIdf.termFreq(abstractToks), TfIdf.docFreq(abstractToks), n))
-      .withColumn("w", round($"w", 6))
+    val t = docTfidf(s, dir) // shared corpus stats + abstract vectors
     val titleToks = docs.select($"doc_id".as("id"),
         explode(slice(TextPrep.filteredTokensCol($"text"), 1, 8)).as("word"))
     val titleVecs = TfIdf.l2Normalize(
-        TfIdf.weights(TfIdf.termFreq(titleToks), TfIdf.docFreq(abstractToks), n, external = true))
+        TfIdf.weights(TfIdf.termFreq(titleToks), t.dfreq, t.n, external = true))
       .withColumn("w", round($"w", 6))
-    Similarity.argmaxAdaptive(titleVecs, abstractVecs)
+    Similarity.argmaxAdaptive(titleVecs, t.vecs)
       .select($"l_id".as("title_id"), $"r_id".as("match_id"), $"sim")
       .orderBy($"title_id")
   }

@@ -1,0 +1,73 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkTestBase
+import graft.dedup.Dedup
+import graft.text.TextPrep
+import graft.textstats.TextStats
+import graft.tfidf.TfIdf
+
+/** Degenerate-input hardening: every operator must handle empty inputs
+  * and token-free documents without crashing (the reference would
+  * ZeroDivisionError on empty vectors, SURVEY.md §2.10.9 — our contract
+  * is drop-with-documented-semantics).
+  */
+class EdgeCaseSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private lazy val empty = Seq.empty[(Long, String)].toDF("doc_id", "text")
+  private lazy val degenerate = Seq(
+    (1L, ""), (2L, "   "), (3L, "!!! ??? 123"), (4L, "the the the")).toDF("doc_id", "text")
+
+  test("tfidf on an empty table yields an empty vector table") {
+    assert(TfIdf.vectorize(empty, "doc_id", "text").count() === 0)
+  }
+
+  test("tfidf drops token-free docs; stopword-only doc dropped with default list") {
+    val v = TfIdf.vectorize(degenerate, "doc_id", "text")
+    assert(v.select($"id").distinct().count() === 0) // nothing survives
+  }
+
+  test("dedup suite on empty and degenerate inputs") {
+    assert(Dedup.canonicalIds(empty, "doc_id", "text").count() === 0)
+    assert(Dedup.minhashSig(Dedup.tokenSets(empty, "doc_id", "text"), 4).count() === 0)
+    // degenerate docs: only doc 4 has tokens ("the" ×3 → {the})
+    val sigs = Dedup.minhashSig(Dedup.tokenSets(degenerate, "doc_id", "text"), 4)
+    assert(sigs.count() === 1)
+    val cands = Dedup.lshCandidates(sigs, 2, 2)
+    assert(cands.count() === 0) // one doc → no pairs
+    assert(Dedup.simhash16(TfIdf.termFreq(
+      TfIdf.tokens(degenerate, "doc_id", "text", stopwords = Nil))).count() === 1)
+  }
+
+  test("text stats on degenerate docs: rows preserved, ratios defined") {
+    val q = TextStats.qualityScore(degenerate, "doc_id", "text").collect()
+    assert(q.length === 4) // nothing dropped — quality is a per-row op
+    q.foreach { r =>
+      assert(!r.getAs[Boolean]("keep")) // all junk rejected
+      assert(!r.getDouble(r.fieldIndex("distinct_ratio")).isNaN)
+    }
+    val lang = TextStats.langId(degenerate, "doc_id", "text").collect()
+    assert(lang.length === 4)
+    // "the the the" hits the en marker list; token-free docs are 'und'
+    val byId = lang.map(r => r.getLong(0) -> r.getAs[String]("pred_lang")).toMap
+    assert(byId(1L) === "und" && byId(4L) === "en")
+  }
+
+  test("normalize/tokens on pathological strings") {
+    val weird = Seq("\t\n", "ÅÉÎ ünïcödé", "a" * 10000).toDF("t")
+      .select(TextPrep.tokensCol($"t").as("toks")).collect()
+    assert(weird(0).getSeq[String](0).isEmpty)
+    // Java \w is ASCII-only: accented chars strip to spaces, ASCII
+    // letters inside survive — deterministic, documented (§2.10.6)
+    assert(weird(1).getSeq[String](0).forall(_.matches("[a-z_]+")))
+    assert(weird(2).getSeq[String](0).length === 1)
+  }
+
+  test("similarity on empty vector tables") {
+    val emptyVecs = Seq.empty[(Long, String, Double)].toDF("id", "word", "w")
+    assert(graft.similarity.Similarity.invertedIndexJoin(emptyVecs, emptyVecs).count() === 0)
+    assert(graft.similarity.Similarity.denseArgmax(emptyVecs, emptyVecs).count() === 0)
+  }
+}
