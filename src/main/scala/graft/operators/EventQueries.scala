@@ -122,15 +122,66 @@ object EventQueries {
       |  FROM events)
       |WHERE rk = 1 ORDER BY user_id, event_type""".stripMargin
 
+  // ---------------------------------------------------------------- q33
+  /** As-of attribution: each event joined to the user's most recent
+    * PRIOR 'view' event — the as-of-join semantics Spark lacks as a
+    * native operator, expressed as a conditional running max over one
+    * (user_id, time) window (no join at all; SURVEY.md §7.3 preference
+    * (a): compose built-ins before custom plans).
+    */
+  def q33AsofAttribution(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts_ms"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    ev(s, dir)
+      .withColumn("last_view_ms",
+        max(when(col("event_type") === "view", col("ts_ms"))).over(w))
+      .select(col("event_id"), col("user_id"), col("ts_ms"), col("last_view_ms"))
+      .orderBy(col("event_id"))
+  }
+
+  val q33Sql: String =
+    """SELECT event_id, user_id, ts_ms,
+      |  max(CASE WHEN event_type = 'view' THEN ts_ms END) OVER (
+      |    PARTITION BY user_id ORDER BY ts_ms, event_id
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS last_view_ms
+      |FROM (SELECT event_id, user_id, event_type, CAST(epoch_ms(ts) AS BIGINT) AS ts_ms FROM events)
+      |ORDER BY event_id""".stripMargin
+
+  // ---------------------------------------------------------------- q35
+  /** Semi-structured extraction: pull the numeric field out of the JSON
+    * `props` column and aggregate (the log-enrichment shape).
+    */
+  def q35JsonExtract(s: SparkSession, dir: String): DataFrame =
+    ev(s, dir)
+      .withColumn("k", get_json_object(col("props"), "$.k").cast("long"))
+      .groupBy(col("event_type"))
+      .agg(
+        sum(col("k")).as("sum_k"),
+        round(avg(col("k")), 6).as("avg_k"),
+        count(when(col("k").isNull, 1)).as("n_missing"))
+      .orderBy(col("event_type"))
+
+  val q35Sql: String =
+    """SELECT event_type,
+      |  CAST(sum(k) AS BIGINT) AS sum_k,
+      |  round(avg(k), 6) AS avg_k,
+      |  count(CASE WHEN k IS NULL THEN 1 END) AS n_missing
+      |FROM (SELECT event_type, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k FROM events)
+      |GROUP BY event_type ORDER BY event_type""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q30_event_window_agg" -> (q30WindowAgg _),
     "q31_sessionize" -> (q31Sessionize _),
     "q32_event_dedup" -> (q32EventDedup _),
+    "q33_asof_attribution" -> (q33AsofAttribution _),
+    "q35_json_extract" -> (q35JsonExtract _),
   )
 
   val oracles: Map[String, String] = Map(
     "q30_event_window_agg" -> q30Sql,
     "q31_sessionize" -> q31Sql,
     "q32_event_dedup" -> q32Sql,
+    "q33_asof_attribution" -> q33Sql,
+    "q35_json_extract" -> q35Sql,
   )
 }

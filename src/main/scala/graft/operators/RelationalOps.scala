@@ -301,6 +301,53 @@ object RelationalOps {
       |GROUP BY ROLLUP (r_name, n_name)
       |ORDER BY r_name, n_name""".stripMargin
 
+  /** q9: SQL-surface coverage — the query text goes through Spark's own
+    * SQL parser/analyzer, exercising correlated-subquery decorrelation
+    * (Catalyst rewrites the per-row scalar subquery into a join against
+    * a grouped aggregate — `.explain` shows no per-row subquery).
+    */
+  def q9SqlCorrelated(s: SparkSession, dir: String): DataFrame = {
+    Tables.customer(s, dir).createOrReplaceTempView("customer")
+    s.sql(
+      """SELECT c_nationkey, count(*) AS n_above, round(avg(c_acctbal), 6) AS avg_bal
+        |FROM customer c
+        |WHERE c_acctbal > (SELECT avg(c2.c_acctbal) FROM customer c2
+        |                   WHERE c2.c_nationkey = c.c_nationkey)
+        |GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin)
+  }
+
+  val q9Sql: String =
+    """SELECT c_nationkey, count(*) AS n_above, round(avg(c_acctbal), 6) AS avg_bal
+      |FROM customer c
+      |WHERE c_acctbal > (SELECT avg(c2.c_acctbal) FROM customer c2
+      |                   WHERE c2.c_nationkey = c.c_nationkey)
+      |GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin
+
+  /** q34: exact interpolated percentiles per group (Spark `percentile`
+    * ≡ DuckDB `quantile_cont`). NB DuckDB's `median` does NOT
+    * interpolate over DECIMAL inputs — quantile_cont over DOUBLE is the
+    * portable form.
+    */
+  def q34Percentiles(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.lineitem(s, dir)
+      .groupBy($"l_returnflag")
+      .agg(
+        round(percentile_approx($"l_quantity", lit(0.5), lit(1000000)), 6).as("approx_median_qty"),
+        round(expr("percentile(l_quantity, 0.5)"), 6).as("median_qty"),
+        round(expr("percentile(l_extendedprice, 0.25)"), 6).as("p25_price"),
+        round(expr("percentile(l_extendedprice, 0.75)"), 6).as("p75_price"))
+      .select($"l_returnflag", $"median_qty", $"p25_price", $"p75_price")
+      .orderBy($"l_returnflag")
+  }
+
+  val q34Sql: String =
+    """SELECT l_returnflag,
+      |  round(quantile_cont(CAST(l_quantity AS DOUBLE), 0.5), 6) AS median_qty,
+      |  round(quantile_cont(CAST(l_extendedprice AS DOUBLE), 0.25), 6) AS p25_price,
+      |  round(quantile_cont(CAST(l_extendedprice AS DOUBLE), 0.75), 6) AS p75_price
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
   /** Query + oracle registry contributed by this module. */
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_pricing_summary" -> (q1PricingSummary _),
@@ -311,6 +358,8 @@ object RelationalOps {
     "q6_point_lookup" -> (q6PointLookup _),
     "q7_set_ops" -> (q7SetOps _),
     "q8_rollup" -> (q8Rollup _),
+    "q9_sql_correlated" -> (q9SqlCorrelated _),
+    "q34_percentiles" -> (q34Percentiles _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -322,5 +371,7 @@ object RelationalOps {
     "q6_point_lookup" -> q6Sql,
     "q7_set_ops" -> q7Sql,
     "q8_rollup" -> q8Sql,
+    "q9_sql_correlated" -> q9Sql,
+    "q34_percentiles" -> q34Sql,
   )
 }

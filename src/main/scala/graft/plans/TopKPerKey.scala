@@ -1,0 +1,131 @@
+package graft.plans
+
+import scala.collection.mutable
+
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Attribute, BindReferences, Expression, UnsafeProjection, UnsafeRow}
+import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, UnaryNode}
+import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution}
+import org.apache.spark.sql.execution.{SparkPlan, SparkStrategy, UnaryExecNode}
+import org.apache.spark.sql.functions.col
+
+/** Custom whole-operator Catalyst extension (SURVEY.md §7.3(c) /
+  * §2-A8 generalized): top-k rows per key WITHOUT a total sort.
+  *
+  * The built-in formulation (`row_number() OVER (PARTITION BY key ORDER
+  * BY ord)` + filter) must SORT every partition — O(n log n) per key
+  * group and a full `WindowExec` pipeline. This operator clusters rows
+  * by key (declared via `requiredChildDistribution`, so Catalyst inserts
+  * exactly one exchange — or none if the child is already partitioned
+  * compatibly) and then keeps a bounded k-element min-heap per key:
+  * O(n log k), no sort buffer, no spillable window state.
+  *
+  * Pieces: [[TopKPerKey]] (logical UnaryNode), [[TopKStrategy]]
+  * (planner strategy, registered via `spark.experimental.extraStrategies`
+  * or [[graft.GraftExtensions]]), [[TopKPerKeyExec]] (physical operator).
+  *
+  * Semantics: rows with the k largest (desc=true) `ord` values per key,
+  * ties broken arbitrarily (callers needing stable output add a unique
+  * tiebreak to `ord`, e.g. `ord * 1e6 - id`). Output order within key
+  * is descending `ord`.
+  */
+case class TopKPerKey(keys: Seq[Expression], ord: Expression, k: Int,
+    child: LogicalPlan) extends UnaryNode {
+  require(k > 0, "k must be positive")
+  override def output: Seq[Attribute] = child.output
+  override protected def withNewChildInternal(newChild: LogicalPlan): TopKPerKey =
+    copy(child = newChild)
+}
+
+object TopKStrategy extends SparkStrategy {
+  override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
+    case TopKPerKey(keys, ord, k, child) =>
+      TopKPerKeyExec(keys, ord, k, planLater(child)) :: Nil
+    case _ => Nil
+  }
+}
+
+case class TopKPerKeyExec(keys: Seq[Expression], ord: Expression, k: Int,
+    child: SparkPlan) extends UnaryExecNode {
+
+  override def output: Seq[Attribute] = child.output
+
+  /** All rows of a key must be co-located; Catalyst satisfies this with
+    * a hash exchange only when the child's partitioning doesn't already.
+    */
+  override def requiredChildDistribution: Seq[Distribution] =
+    ClusteredDistribution(keys) :: Nil
+
+  override protected def doExecute(): RDD[InternalRow] = {
+    val childOutput = child.output
+    child.execute().mapPartitions { it =>
+      val keyProj = UnsafeProjection.create(keys, childOutput)
+      val ordExpr = BindReferences.bindReference(ord, childOutput)
+      // per-key bounded min-heap: head = smallest of the current top-k
+      val heaps = mutable.HashMap.empty[UnsafeRow, mutable.PriorityQueue[(Double, InternalRow)]]
+      implicit val minOrd: Ordering[(Double, InternalRow)] =
+        Ordering.by[(Double, InternalRow), Double](-_._1)
+      it.foreach { row =>
+        val ordVal = ordExpr.eval(row) match {
+          case null => Double.NegativeInfinity
+          case n: java.lang.Number => n.doubleValue()
+          case other => throw new IllegalArgumentException(
+            s"TopKPerKey ord must be numeric, got $other")
+        }
+        val key = keyProj(row)
+        heaps.get(key) match {
+          case None =>
+            val h = mutable.PriorityQueue.empty[(Double, InternalRow)]
+            h.enqueue((ordVal, row.copy()))
+            heaps.put(key.copy(), h)
+          case Some(h) if h.size < k =>
+            h.enqueue((ordVal, row.copy()))
+          case Some(h) if ordVal > h.head._1 =>
+            h.dequeue()
+            h.enqueue((ordVal, row.copy()))
+          case _ => // below the current top-k: drop
+        }
+      }
+      heaps.iterator.flatMap { case (_, h) =>
+        h.toSeq.sortBy(-_._1).iterator.map(_._2)
+      }
+    }
+  }
+
+  override protected def withNewChildInternal(newChild: SparkPlan): TopKPerKeyExec =
+    copy(child = newChild)
+}
+
+/** User-facing API. */
+object TopK {
+
+  /** Ensure the planner strategy is installed (idempotent). */
+  def install(spark: org.apache.spark.sql.SparkSession): Unit =
+    if (!spark.experimental.extraStrategies.contains(TopKStrategy))
+      spark.experimental.extraStrategies =
+        spark.experimental.extraStrategies :+ TopKStrategy
+
+  /** Top-k rows of `df` per `keyCols`, largest `ordCol` first.
+    *
+    * NB the Spark 4 analyzer does not resolve attributes inside
+    * third-party logical nodes (Column is ColumnNode-backed now), so
+    * the node is built from ALREADY-RESOLVED attribute references: the
+    * ordering expression is materialized as a helper column and both it
+    * and the keys are looked up on the analyzed child plan.
+    */
+  def topKPerKey(df: DataFrame, keyCols: Seq[String], ordCol: Column, k: Int): DataFrame = {
+    val spark = df.sparkSession
+    install(spark)
+    val ordName = "__graft_topk_ord"
+    val augmented = df.withColumn(ordName, ordCol.cast("double"))
+    val child = augmented.queryExecution.analyzed
+    def attr(name: String) = child.output.find(_.name == name).getOrElse(
+      throw new IllegalArgumentException(
+        s"column $name not in ${child.output.map(_.name).mkString(", ")}"))
+    org.apache.spark.sql.GraftSqlApi.ofRows(spark,
+        TopKPerKey(keyCols.map(attr), attr(ordName), k, child))
+      .drop(ordName)
+  }
+}

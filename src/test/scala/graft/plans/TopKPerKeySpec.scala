@@ -1,0 +1,57 @@
+package graft.plans
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.SparkTestBase
+
+class TopKPerKeySpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("custom TopKPerKeyExec matches window row_number top-k on orders") {
+    val orders = graft.Tables.orders(spark, sf0001)
+      .join(graft.Tables.customer(spark, sf0001), $"o_custkey" === $"c_custkey")
+      .select($"c_mktsegment", $"o_orderkey", $"o_totalprice")
+
+    // unique tiebreak folded into ord so both formulations are
+    // deterministic: price dominates, orderkey breaks ties
+    val ord = $"o_totalprice" * 100000 - $"o_orderkey"
+    val viaCustom = TopK.topKPerKey(orders, Seq("c_mktsegment"), ord, 3)
+      .select($"c_mktsegment", $"o_orderkey").collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSet
+
+    val w = Window.partitionBy($"c_mktsegment").orderBy(ord.desc)
+    val viaWindow = orders.withColumn("rk", row_number().over(w))
+      .filter($"rk" <= 3).select($"c_mktsegment", $"o_orderkey").collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSet
+
+    assert(viaCustom === viaWindow)
+    assert(viaCustom.size === 15) // 5 segments × 3
+  }
+
+  test("physical plan contains the custom operator and no Sort/Window") {
+    val orders = graft.Tables.orders(spark, sf0001)
+    val df = TopK.topKPerKey(orders, Seq("o_orderstatus"), $"o_totalprice", 2)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("TopKPerKey")) // exec node prints without the Exec suffix
+    assert(plan.contains("Exchange hashpartitioning"),
+      "ENSURE_REQUIREMENTS must cluster by the key")
+    assert(!plan.contains("WindowExec"))
+    assert(!plan.toLowerCase.contains("sortexec"), s"no sort expected:\n$plan")
+    assert(df.count() === 6) // 3 statuses × 2
+  }
+
+  test("k larger than group size returns the whole group") {
+    val tiny = Seq(("a", 1.0), ("a", 2.0), ("b", 9.0)).toDF("k", "v")
+    val r = TopK.topKPerKey(tiny, Seq("k"), $"v", 10).collect()
+    assert(r.length === 3)
+  }
+
+  test("null ordering values sink to the bottom") {
+    val withNulls = Seq(("a", Some(5.0)), ("a", None), ("a", Some(1.0)))
+      .toDF("k", "v")
+    val top2 = TopK.topKPerKey(withNulls, Seq("k"), $"v", 2)
+      .select($"v").collect().map(r => Option(r.get(0)))
+    assert(!top2.contains(None))
+  }
+}
