@@ -99,6 +99,25 @@ object StreamingOps {
       }
   }
 
+  /** Streaming similarity search: score each arriving embedding against
+    * a broadcast query-vector set with the codegen'd dot product and
+    * emit matches above `minCos`. Stateless map — scales with input
+    * rate, state-free, and composes with watermarked dedup upstream.
+    * (The SURVEY §7.1.8 "streaming similarity" north star: the batch
+    * ANN operators applied to an unbounded source.)
+    */
+  def streamingSimilarity(vectors: DataFrame, queries: DataFrame,
+      minCos: Double): DataFrame = {
+    graft.functions.VectorFunctions.register(vectors.sparkSession)
+    val q = broadcast(queries.select(col("vec_id").as("qid"), col("embedding").as("qv")))
+    vectors.select(col("vec_id").as("nid"), col("embedding").as("nv"))
+      .crossJoin(q)
+      .filter(col("qid") =!= col("nid"))
+      .select(col("qid"), col("nid"),
+        round(graft.functions.VectorFunctions.dot(col("qv"), col("nv")), 6).as("cos"))
+      .filter(col("cos") >= minCos)
+  }
+
   /** Convenience: run a streaming query over `transformed` into an
     * in-memory table and block until all available input is processed
     * (test/dev harness; production would use a real sink + trigger).

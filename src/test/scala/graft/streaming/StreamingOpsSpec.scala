@@ -60,6 +60,28 @@ class StreamingOpsSpec extends SparkTestBase {
     assert(spark.table("dedup_out").count() === 2)
   }
 
+  test("streaming similarity: arriving vectors scored against broadcast queries") {
+    implicit val sqlCtx = spark.sqlContext
+    val corpus = graft.Tables.embeddings(spark, sf001)
+    val queries = corpus.filter($"vec_id" < 3)
+    val input = MemoryStream[Long]
+    // stream ids 0..49 through, joining back to real embeddings to get
+    // a streaming vector feed
+    val stream = input.toDF.toDF("vec_id")
+      .join(corpus, Seq("vec_id")) // stream-static join (supported)
+    input.addData(0L to 49L: _*)
+    val scored = StreamingOps.streamingSimilarity(stream, queries, minCos = -1.0)
+    StreamingOps.runToMemory(spark, scored, "sim_out")
+    val streamed = spark.table("sim_out")
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    // cross-check against the batch path on the same 50 vectors
+    val batch = StreamingOps.streamingSimilarity(
+        corpus.filter($"vec_id" < 50), queries, minCos = -1.0)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(streamed === batch)
+    assert(streamed.size === 3 * 50 - 3) // all pairs minus self-matches
+  }
+
   test("stateful sessionization emits closed sessions; matches batch semantics") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[StreamingOps.Event]
