@@ -98,7 +98,11 @@ object Dedup {
       maxBucket: Int = Int.MaxValue): DataFrame = {
     val bandDfs = (0 until bands).map { b =>
       val cols = (b * rowsPerBand until (b + 1) * rowsPerBand).map(j => col(f"mh$j%02d"))
-      sig.select(col("id"), lit(b).as("band"), md5(concat(cols: _*).cast("binary")).as("bsig"))
+      // delimited concat: md5 signatures are fixed-width, but the
+      // xxhash64 fast-path signatures are variable-width decimal longs
+      // — without a delimiter (1,23) and (12,3) would collide.
+      sig.select(col("id"), lit(b).as("band"),
+        md5(concat_ws("|", cols: _*).cast("binary")).as("bsig"))
     }
     val melted = bandDfs.reduce(_ unionAll _)
     val bounded =

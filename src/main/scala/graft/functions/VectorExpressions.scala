@@ -20,9 +20,20 @@ import org.apache.spark.sql.types.{DataType, DoubleType}
   */
 case class FloatDotProduct(left: Expression, right: Expression)
     extends BinaryExpression {
-  // NB no ExpectsInputTypes: AbstractDataType is private[sql], so input
-  // types are the caller's contract — both children must be
-  // array<float> (the testdata embedding shape).
+  // NB ExpectsInputTypes is unavailable (AbstractDataType is
+  // private[sql]) — validate manually: getFloat on a non-float array
+  // would silently read garbage bytes. Exposed to arbitrary SQL via
+  // GraftExtensions, so analysis-time rejection matters.
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    val ok = Seq(left, right).forall(_.dataType match {
+      case org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.FloatType, _) => true
+      case _ => false
+    })
+    if (ok) org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"float_dot requires two array<float> arguments, got " +
+        s"${left.dataType.simpleString} and ${right.dataType.simpleString}")
+  }
   override def dataType: DataType = DoubleType
   override def prettyName: String = "float_dot"
 
@@ -63,6 +74,16 @@ case class FloatDotProduct(left: Expression, right: Expression)
   */
 case class DoubleDotProduct(left: Expression, right: Expression)
     extends BinaryExpression {
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    val ok = Seq(left, right).forall(_.dataType match {
+      case org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.DoubleType, _) => true
+      case _ => false
+    })
+    if (ok) org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"double_dot requires two array<double> arguments, got " +
+        s"${left.dataType.simpleString} and ${right.dataType.simpleString}")
+  }
   override def dataType: DataType = DoubleType
   override def prettyName: String = "double_dot"
 

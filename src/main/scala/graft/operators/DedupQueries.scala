@@ -75,7 +75,7 @@ object DedupQueries {
       f"min(md5('$j%d|' || word)) AS mh$j%02d").mkString(",\n    ")
     val bandSelects = (0 until Bands).map { b =>
       val cat = (b * RowsPerBand until (b + 1) * RowsPerBand)
-        .map(j => f"mh$j%02d").mkString(" || ")
+        .map(j => f"mh$j%02d").mkString(" || '|' || ")
       s"SELECT id, $b AS band, md5($cat) AS bsig FROM sigs"
     }.mkString("\n  UNION ALL ")
     s"""WITH $tokCte,

@@ -55,6 +55,17 @@ object DocQueries {
   private val tfidfCache =
     scala.collection.concurrent.TrieMap[(Int, String), DocTfidf]()
 
+  /** Drop cached plans (e.g. between test suites or if the underlying
+    * parquet changed — the cache assumes immutable sfDir contents, which
+    * holds for the read-only driver testdata).
+    */
+  def clearCache(): Unit = {
+    tfidfCache.values.foreach { t =>
+      try { t.dfreq.unpersist(); t.vecs.unpersist() } catch { case _: Throwable => }
+    }
+    tfidfCache.clear()
+  }
+
   private def docTfidf(s: SparkSession, dir: String): DocTfidf =
     tfidfCache.getOrElseUpdate((System.identityHashCode(s), dir), {
       val docs = Tables.documents(s, dir)
@@ -142,9 +153,13 @@ object DocQueries {
     val t = docTfidf(s, dir) // shared corpus stats + abstract vectors
     val titleToks = docs.select($"doc_id".as("id"),
         explode(slice(TextPrep.filteredTokensCol($"text"), 1, 8)).as("word"))
+    // persisted: argmaxAdaptive traverses its input three times (vocab
+    // count, word collect, dense conversion) — without this the title
+    // pipeline would recompute each time
     val titleVecs = TfIdf.l2Normalize(
         TfIdf.weights(TfIdf.termFreq(titleToks), t.dfreq, t.n, external = true))
       .withColumn("w", round($"w", 6))
+      .persist()
     Similarity.argmaxAdaptive(titleVecs, t.vecs)
       .select($"l_id".as("title_id"), $"r_id".as("match_id"), $"sim")
       .orderBy($"title_id")

@@ -333,11 +333,9 @@ object RelationalOps {
     Tables.lineitem(s, dir)
       .groupBy($"l_returnflag")
       .agg(
-        round(percentile_approx($"l_quantity", lit(0.5), lit(1000000)), 6).as("approx_median_qty"),
         round(expr("percentile(l_quantity, 0.5)"), 6).as("median_qty"),
         round(expr("percentile(l_extendedprice, 0.25)"), 6).as("p25_price"),
         round(expr("percentile(l_extendedprice, 0.75)"), 6).as("p75_price"))
-      .select($"l_returnflag", $"median_qty", $"p25_price", $"p75_price")
       .orderBy($"l_returnflag")
   }
 

@@ -133,8 +133,15 @@ object Similarity {
     */
   def argmaxAdaptive(left: DataFrame, right: DataFrame,
       excludeSelf: Boolean = false, maxDenseVocab: Long = 2048): DataFrame = {
-    val vocabCount = left.select(col("word")).unionAll(right.select(col("word")))
-      .distinct().count()
+    // the dense path's max_by tie-break negates the id — numeric ids
+    // only; string-id callers (e.g. paper ids) must take the inverted
+    // path regardless of vocabulary size.
+    val numericIds = Seq(left, right).forall(
+      _.schema("id").dataType.isInstanceOf[org.apache.spark.sql.types.NumericType])
+    val vocabCount =
+      if (!numericIds) Long.MaxValue
+      else left.select(col("word")).unionAll(right.select(col("word")))
+        .distinct().count()
     if (vocabCount <= maxDenseVocab) denseArgmax(left, right, excludeSelf)
     else {
       val sims0 = invertedIndexJoin(left, right)

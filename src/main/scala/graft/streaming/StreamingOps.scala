@@ -39,12 +39,17 @@ object StreamingOps {
       .select(col("w.start").as("window_start"), col("event_type"),
         col("n"), col("sum_value"))
 
-  /** Watermark-scoped exact-once dedup on event_id. */
+  /** Watermark-scoped exact-once dedup on event_id. NB plain
+    * `dropDuplicates("event_id")` would keep state per id FOREVER (the
+    * watermark only GCs dedup state when the event-time column is part
+    * of the key) — `dropDuplicatesWithinWatermark` exists precisely for
+    * this, bounding state to the watermark horizon.
+    */
   def dedup(events: DataFrame): DataFrame =
     events
       .withColumn("ts", col("ts").cast("timestamp"))
       .withWatermark("ts", WatermarkDelay)
-      .dropDuplicates("event_id")
+      .dropDuplicatesWithinWatermark("event_id")
 
   // ------------------------------------------------------ sessionization
   case class Event(event_id: Long, ts: Timestamp, user_id: Long,
@@ -63,6 +68,9 @@ object StreamingOps {
   def sessionize(events: Dataset[Event],
       timeout: GroupStateTimeout = GroupStateTimeout.ProcessingTimeTimeout): Dataset[Session] = {
     import events.sparkSession.implicits._
+    require(timeout != GroupStateTimeout.EventTimeTimeout,
+      "sessionize supports ProcessingTimeTimeout or NoTimeout; " +
+        "EventTimeTimeout would make setTimeoutDuration throw per batch")
     val useTimeout = timeout != GroupStateTimeout.NoTimeout
     events
       .groupByKey(_.user_id)

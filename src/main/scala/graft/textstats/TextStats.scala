@@ -110,11 +110,18 @@ object TextStats {
     */
   def fingerprints(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val toks = TextPrep.tokensCol(col(textCol))
-    df.select(
+    val base = df.select(
       col(idCol).as("doc_id"),
       md5(col(textCol).cast("binary")).as("md5_raw"),
-      md5(concat_ws(" ", toks).cast("binary")).as("md5_norm"),
-      array_min(transform(graft.dedup.Dedup.shinglesCol(toks, 3),
-        s => md5(s.cast("binary")))).as("min_shingle_hash"))
+      md5(concat_ws(" ", toks).cast("binary")).as("md5_norm"))
+    // min-shingle via explode + partial-aggregated min, NOT
+    // array_min(transform(..., md5)): higher-order lambdas evaluate
+    // interpreted per element (measured 16.9 s vs ~1 s at sf0.1); the
+    // explode shape stays in whole-stage codegen and map-side combines.
+    val minShingle = df.select(col(idCol).as("doc_id"),
+        explode(graft.dedup.Dedup.shinglesCol(toks, 3)).as("sh"))
+      .groupBy(col("doc_id"))
+      .agg(min(md5(col("sh").cast("binary"))).as("min_shingle_hash"))
+    base.join(minShingle, Seq("doc_id"), "left") // <3-token docs → null
   }
 }
