@@ -57,11 +57,25 @@ object Dedup {
     when(size(tokens) >= lit(n), sh).otherwise(array().cast("array<string>"))
   }
 
-  /** (id, shingle) pairs, distinct per doc. */
-  def shingleSets(df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame =
-    df.select(col(idCol).as("id"),
-        explode(shinglesCol(TextPrep.tokensCol(col(textCol)), n)).as("shingle"))
+  /** (id, shingle) pairs, distinct per doc. Built from posexplode +
+    * window `lead` rather than exploding [[shinglesCol]]: the column
+    * form nests higher-order lambdas (transform/slice/filter), which
+    * evaluate INTERPRETED per element — the generator+window pipeline
+    * stays in whole-stage codegen and partitions by document.
+    */
+  def shingleSets(df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame = {
+    val toks = df.select(col(idCol).as("id"),
+      posexplode(TextPrep.tokensCol(col(textCol))).as(Seq("pos", "w")))
+    val wnd = Window.partitionBy(col("id")).orderBy(col("pos"))
+    val withLeads = (1 until n).foldLeft(toks) { (acc, i) =>
+      acc.withColumn(s"w$i", lead(col("w"), i).over(wnd))
+    }
+    val parts = col("w") +: (1 until n).map(i => col(s"w$i"))
+    withLeads
+      .filter((1 until n).map(i => col(s"w$i").isNotNull).reduceOption(_ && _).getOrElse(lit(true)))
+      .select(col("id"), concat_ws(" ", parts: _*).as("shingle"))
       .distinct()
+  }
 
   /** MinHash signature columns mh00..mh{k-1}: for permutation j the
     * signature is `min(md5('<j>|' || element))` — k partial-aggregated

@@ -114,14 +114,14 @@ object TextStats {
       col(idCol).as("doc_id"),
       md5(col(textCol).cast("binary")).as("md5_raw"),
       md5(concat_ws(" ", toks).cast("binary")).as("md5_norm"))
-    // min-shingle via explode + partial-aggregated min, NOT
-    // array_min(transform(..., md5)): higher-order lambdas evaluate
-    // interpreted per element (measured 16.9 s vs ~1 s at sf0.1); the
-    // explode shape stays in whole-stage codegen and map-side combines.
-    val minShingle = df.select(col(idCol).as("doc_id"),
-        explode(graft.dedup.Dedup.shinglesCol(toks, 3)).as("sh"))
-      .groupBy(col("doc_id"))
-      .agg(min(md5(col("sh").cast("binary"))).as("min_shingle_hash"))
+    // min-shingle via the codegen'd posexplode+lead shingle pipeline +
+    // partial-aggregated min — NOT array_min(transform(..., md5)):
+    // higher-order lambdas evaluate interpreted per element (16.9 s at
+    // sf0.1 vs ~1 s for this shape).
+    val minShingle = graft.dedup.Dedup.shingleSets(df, idCol, textCol, 3)
+      .groupBy(col("id"))
+      .agg(min(md5(col("shingle").cast("binary"))).as("min_shingle_hash"))
+      .withColumnRenamed("id", "doc_id")
     base.join(minShingle, Seq("doc_id"), "left") // <3-token docs → null
   }
 }
