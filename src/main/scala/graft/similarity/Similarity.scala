@@ -114,16 +114,46 @@ object Similarity {
     // whole vectorization pipeline a second time
     val r = if (selfJoin) l.select(col("l_id").as("r_id"), col("lv").as("rv"))
       else toDense(right, "r_id", "rv")
-    l.crossJoin(broadcast(r))
-      .filter(if (excludeSelf) col("l_id") =!= col("r_id") else lit(true))
-      .select(col("l_id"), col("r_id"),
-        graft.functions.VectorFunctions.dotD(col("lv"), col("rv")).as("sim_raw"))
-      .filter(col("sim_raw") > 0.0)
-      .select(col("l_id"), col("r_id"), round(col("sim_raw"), 6).as("sim"))
-      .groupBy(col("l_id"))
-      .agg(max_by(struct(col("r_id"), col("sim")),
-        struct(col("sim"), -col("r_id"))).as("best"))
-      .select(col("l_id"), col("best.r_id").as("r_id"), col("best.sim").as("sim"))
+
+    // Physical scoring strategy: the BroadcastNestedLoopJoin form
+    // materializes every (pair) row (~0.5 KB each — dominates runtime);
+    // when the right side is broadcast-sized we instead ship it as a
+    // plain array and run a tight primitive loop per left row
+    // (mapPartitions — SURVEY §7.3 preference (d), justified: no
+    // declarative form scores pairs without materializing them).
+    // Ranking contract identical: (sim rounded 6dp desc, r_id asc),
+    // zero dots excluded; winner's sim re-rounded with the same
+    // HALF_UP BigDecimal rule Spark's round() uses.
+    val rRows: Array[(Long, Array[Double])] =
+      r.collect().map(row => (row.getLong(0), row.getSeq[Double](1).toArray))
+    val bc = spark.sparkContext.broadcast(rRows)
+    import spark.implicits._
+    l.as[(Long, Array[Double])].mapPartitions { it =>
+      val rs = bc.value
+      it.flatMap { case (lid, lv) =>
+        var bestKey = Long.MinValue // rounded micro-units
+        var bestId = Long.MaxValue
+        var found = false
+        var j = 0
+        while (j < rs.length) {
+          val (rid, rv) = rs(j)
+          if (!(excludeSelf && rid == lid)) {
+            var s = 0.0
+            var i = 0
+            val n = math.min(lv.length, rv.length)
+            while (i < n) { s += lv(i) * rv(i); i += 1 }
+            if (s > 0.0) {
+              val key = math.floor(s * 1e6 + 0.5).toLong // HALF_UP for s>0
+              if (!found || key > bestKey || (key == bestKey && rid < bestId)) {
+                bestKey = key; bestId = rid; found = true
+              }
+            }
+          }
+          j += 1
+        }
+        if (found) Iterator.single((lid, bestId, bestKey / 1e6)) else Iterator.empty
+      }
+    }.toDF("l_id", "r_id", "sim")
   }
 
   /** Strategy-picking argmax over long-form vectors: dense-broadcast when
@@ -132,14 +162,18 @@ object Similarity {
     * sims (both strategies round sims to 6dp before ranking).
     */
   def argmaxAdaptive(left: DataFrame, right: DataFrame,
-      excludeSelf: Boolean = false, maxDenseVocab: Long = 2048): DataFrame = {
-    // the dense path's max_by tie-break negates the id — numeric ids
-    // only; string-id callers (e.g. paper ids) must take the inverted
-    // path regardless of vocabulary size.
+      excludeSelf: Boolean = false, maxDenseVocab: Long = 2048,
+      maxDenseRows: Long = 200000): DataFrame = {
+    // dense path preconditions: numeric ids (its tie-break compares ids
+    // numerically) and a right side small enough to collect+broadcast
+    // (it ships the dense corpus to every task). Otherwise inverted.
     val numericIds = Seq(left, right).forall(
       _.schema("id").dataType.isInstanceOf[org.apache.spark.sql.types.NumericType])
-    val vocabCount =
+    val rightRows =
       if (!numericIds) Long.MaxValue
+      else right.select(col("id")).distinct().count()
+    val vocabCount =
+      if (!numericIds || rightRows > maxDenseRows) Long.MaxValue
       else left.select(col("word")).unionAll(right.select(col("word")))
         .distinct().count()
     if (vocabCount <= maxDenseVocab) denseArgmax(left, right, excludeSelf)

@@ -33,11 +33,13 @@ class PlanSpec extends SparkTestBase {
     assert(p.contains("GreaterThanOrEqual(o_orderdate"))
   }
 
-  test("q13 dense path: codegen'd double_dot, no shuffle join of pairs") {
+  test("q13 dense path: broadcast local scoring, no pair join at all") {
     val p = formatted(DocQueries.q13Top1Similar(spark, sf0001))
-    assert(p.contains("double_dot"), "dense strategy should be active on this corpus")
+    // the dense strategy ships the corpus as a broadcast array and
+    // scores in mapPartitions — the plan must contain NO join of pairs
+    assert(p.contains("MapPartitions"), s"dense local scoring expected:\n$p")
     assert(!p.contains("SortMergeJoin"))
-    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"))
+    assert(!p.contains("BroadcastNestedLoopJoin"))
   }
 
   test("q21 uses float_dot; the expression compiles into generated code") {
