@@ -42,7 +42,9 @@ object Dedup {
     * compares full surface text (unlike retrieval, which stop-filters).
     */
   def tokenSets(df: DataFrame, idCol: String, textCol: String): DataFrame =
-    df.select(col(idCol).as("id"), explode(TextPrep.tokensCol(col(textCol))).as("word"))
+    df.select(col(idCol).as("id"),
+        explode(split(TextPrep.normalize(col(textCol)), " ")).as("word"))
+      .filter(col("word") =!= "") // post-explode: stays in codegen
       .distinct()
 
   /** Word n-gram shingles of a token array column (n consecutive tokens
@@ -64,8 +66,12 @@ object Dedup {
     * stays in whole-stage codegen and partitions by document.
     */
   def shingleSets(df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame = {
+    // normalize() collapses separator runs, so split can only yield an
+    // empty token for fully-empty text — filtering after posexplode
+    // cannot perturb interior positions.
     val toks = df.select(col(idCol).as("id"),
-      posexplode(TextPrep.tokensCol(col(textCol))).as(Seq("pos", "w")))
+        posexplode(split(TextPrep.normalize(col(textCol)), " ")).as(Seq("pos", "w")))
+      .filter(col("w") =!= "")
     val wnd = Window.partitionBy(col("id")).orderBy(col("pos"))
     val withLeads = (1 until n).foldLeft(toks) { (acc, i) =>
       acc.withColumn(s"w$i", lead(col("w"), i).over(wnd))

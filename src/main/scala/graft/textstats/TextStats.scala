@@ -32,7 +32,8 @@ object TextStats {
     */
   def langId(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val toks = df.select(col(idCol).as("doc_id"),
-      explode(TextPrep.tokensCol(col(textCol))).as("word"))
+        explode(split(TextPrep.normalize(col(textCol)), " ")).as("word"))
+      .filter(col("word") =!= "")
     val scoreCols = LangMarkers.filter(_._2.nonEmpty).map { case (lang, words) =>
       sum(when(col("word").isin(words: _*), 1L).otherwise(0L)).as(s"score_$lang")
     }

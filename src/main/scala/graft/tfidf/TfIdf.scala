@@ -30,13 +30,17 @@ import graft.text.TextPrep
 object TfIdf {
 
   /** A1: (id, text) → exploded (id, word) pairs, stop-filtered.
-    * Duplicates preserved (TF semantics).
+    * Duplicates preserved (TF semantics). The empty-token filter runs
+    * AFTER the explode as a relational Filter — `TextPrep.tokensCol`'s
+    * array-lambda filter would evaluate interpreted per element
+    * (BASELINE.md measurement-honesty note), this shape stays in
+    * whole-stage codegen.
     */
   def tokens(df: DataFrame, idCol: String, textCol: String,
       stopwords: Seq[String] = TextPrep.DefaultStopwords): DataFrame =
     df.select(col(idCol).as("id"),
-        explode(TextPrep.tokensCol(col(textCol))).as("word"))
-      .filter(!col("word").isin(stopwords: _*))
+        explode(split(TextPrep.normalize(col(textCol)), " ")).as("word"))
+      .filter(col("word") =!= "" && !col("word").isin(stopwords: _*))
 
   /** A2: term frequency per (id, word). */
   def termFreq(tokens: DataFrame): DataFrame =
