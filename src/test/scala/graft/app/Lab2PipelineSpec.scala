@@ -70,6 +70,15 @@ class Lab2PipelineSpec extends SparkTestBase {
     }
   }
 
+  test("pipeline runs with the rule-based lemmatizer plugged in (U2 pluggability)") {
+    val r = Lab2Pipeline.run(spark, papersPath, stopwords,
+      lemmatizer = graft.text.RuleLemmatizer)
+    val acc = r.accuracy.head.getDouble(0)
+    // lemmatization folds word forms; retrieval should stay strong
+    assert(acc >= 0.8, s"rule-lemmatized accuracy degraded: $acc")
+    assert(r.matches.count() > 0)
+  }
+
   test("mismatch sample has at most 5 enriched rows") {
     val s = result.mismatchSample.collect()
     assert(s.length <= 5)
