@@ -60,7 +60,15 @@ object Bench {
     val qs = results.map { case (k, v) => "\"" + k + f"""\":$v%.3f""" }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val json =
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    // Two channels so the driver can parse mechanically even when a build
+    // tool decorates stdout: (1) the bare JSON line on stdout (build.sbt
+    // sets run/outputStrategy := StdoutOutput to keep it undecorated),
+    // (2) a file next to the build at ./bench.json.
+    println(json)
+    java.nio.file.Files.write(java.nio.file.Paths.get("bench.json"),
+      (json + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
     spark.stop()
   }
 }

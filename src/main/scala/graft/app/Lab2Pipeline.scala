@@ -76,10 +76,15 @@ object Lab2Pipeline {
         col("sim").as("cosine"))
       .persist() // shared: accuracy + parquet + sample (lab2.py recomputes)
 
+    // accuracy = correct matches / n over the FULL corpus (lab2.py:260
+    // divides by n): a title with zero overlap against every abstract
+    // yields no match row and counts as a miss, same as the reference.
+    // (The only documented deviation remains the empty-doc drop.)
     val accuracy = matches.agg(
-      round(avg(when(col("title_id") === col("abstract_id"), 1.0).otherwise(0.0)), 6)
-        .as("accuracy"),
-      count(lit(1)).as("n"))
+      round(coalesce(sum(when(col("title_id") === col("abstract_id"), 1.0)), lit(0.0))
+        / lit(n.toDouble), 6).as("accuracy"),
+      count(lit(1)).as("n_matched"))
+      .withColumn("n", lit(n))
 
     // 5-row mismatch sample enriched via broadcast joins — replaces the
     // reference's driver-side lookup loop (lab2.py:315–332)

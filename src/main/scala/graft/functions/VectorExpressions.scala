@@ -40,7 +40,10 @@ case class FloatDotProduct(left: Expression, right: Expression)
   override def nullSafeEval(l: Any, r: Any): Any = {
     val a = l.asInstanceOf[ArrayData]
     val b = r.asInstanceOf[ArrayData]
-    val n = math.min(a.numElements(), b.numElements())
+    val n = a.numElements()
+    if (n != b.numElements())
+      throw new IllegalArgumentException(
+        s"float_dot: dimension mismatch ($n vs ${b.numElements()})")
     var acc = 0.0
     var i = 0
     while (i < n) {
@@ -55,7 +58,11 @@ case class FloatDotProduct(left: Expression, right: Expression)
       val n = ctx.freshName("n")
       val i = ctx.freshName("i")
       s"""
-         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |int $n = $a.numElements();
+         |if ($n != $b.numElements()) {
+         |  throw new IllegalArgumentException(
+         |    "float_dot: dimension mismatch (" + $n + " vs " + $b.numElements() + ")");
+         |}
          |${ev.value} = 0.0;
          |for (int $i = 0; $i < $n; $i++) {
          |  ${ev.value} += (double)$a.getFloat($i) * (double)$b.getFloat($i);
@@ -90,7 +97,10 @@ case class DoubleDotProduct(left: Expression, right: Expression)
   override def nullSafeEval(l: Any, r: Any): Any = {
     val a = l.asInstanceOf[ArrayData]
     val b = r.asInstanceOf[ArrayData]
-    val n = math.min(a.numElements(), b.numElements())
+    val n = a.numElements()
+    if (n != b.numElements())
+      throw new IllegalArgumentException(
+        s"double_dot: dimension mismatch ($n vs ${b.numElements()})")
     var acc = 0.0
     var i = 0
     while (i < n) { acc += a.getDouble(i) * b.getDouble(i); i += 1 }
@@ -102,7 +112,11 @@ case class DoubleDotProduct(left: Expression, right: Expression)
       val n = ctx.freshName("n")
       val i = ctx.freshName("i")
       s"""
-         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |int $n = $a.numElements();
+         |if ($n != $b.numElements()) {
+         |  throw new IllegalArgumentException(
+         |    "double_dot: dimension mismatch (" + $n + " vs " + $b.numElements() + ")");
+         |}
          |${ev.value} = 0.0;
          |for (int $i = 0; $i < $n; $i++) {
          |  ${ev.value} += $a.getDouble($i) * $b.getDouble($i);

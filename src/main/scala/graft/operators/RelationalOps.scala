@@ -202,15 +202,19 @@ object RelationalOps {
     val o95  = Tables.orders(s, dir)
       .filter($"o_orderdate" < lit("1996-01-01").cast("timestamp_ntz"))
       .select($"o_custkey")
-    val nat  = broadcast(Tables.nation(s, dir))
+    val nat  = Tables.nation(s, dir)
     val withO    = cust.join(o95, $"c_custkey" === $"o_custkey", "left_semi")
       .groupBy($"c_nationkey").agg(count(lit(1)).as("with_orders"))
       .select($"c_nationkey".as("nk_w"), $"with_orders")
     val withoutO = cust.join(o95, $"c_custkey" === $"o_custkey", "left_anti")
       .groupBy($"c_nationkey").agg(count(lit(1)).as("without_orders"))
       .select($"c_nationkey".as("nk_wo"), $"without_orders")
-    nat.join(withO, $"n_nationkey" === $"nk_w", "left")
-      .join(withoutO, $"n_nationkey" === $"nk_wo", "left")
+    // broadcast the BUILD (right, non-preserved) sides: nation is the
+    // preserved side of a left outer, so a broadcast hint there is
+    // undroppable build-left and Spark discards it with a warning. The
+    // per-nation aggregates are ≤|nation| rows — ideal broadcast builds.
+    nat.join(broadcast(withO), $"n_nationkey" === $"nk_w", "left")
+      .join(broadcast(withoutO), $"n_nationkey" === $"nk_wo", "left")
       .select($"n_name",
         coalesce($"with_orders", lit(0L)).as("with_orders"),
         coalesce($"without_orders", lit(0L)).as("without_orders"))

@@ -51,7 +51,7 @@ object TextStatsQueries {
        |    $scoreSelects
        |  FROM tok GROUP BY doc_id)
        |SELECT d.doc_id, ${langs.map(l => s"COALESCE(s.score_$l, 0) AS score_$l").mkString(", ")},
-       |  CASE WHEN length(regexp_replace(d.text, '[\\x00-\\x7F]', '', 'g')) > 0 THEN 'zh'
+       |  CASE WHEN regexp_matches(d.text, '${TextStats.CjkPatternSql}') THEN 'zh'
        |         $arms
        |       ELSE 'und' END AS pred_lang
        |FROM documents d LEFT JOIN scores s ON d.doc_id = s.doc_id

@@ -91,10 +91,15 @@ object Similarity {
     * Requires numeric ids. Exposed via [[argmaxAdaptive]].
     */
   def denseArgmax(left: DataFrame, right: DataFrame,
-      excludeSelf: Boolean = false): DataFrame = {
+      excludeSelf: Boolean = false, selfJoinOpt: Option[Boolean] = None): DataFrame = {
     val spark = left.sparkSession
     graft.functions.VectorFunctions.register(spark)
-    val selfJoin = left eq right
+    // Self-join shortcut (densify once, rename) is an explicit contract:
+    // pass selfJoinOpt = Some(true/false) to control it. The default falls
+    // back to object identity — a conservative under-approximation (two
+    // structurally identical but distinct frames rebuild the plan twice,
+    // correct but 2× work), never a wrong answer.
+    val selfJoin = selfJoinOpt.getOrElse(left eq right)
     val wordSrc = if (selfJoin) left.select(col("word"))
       else left.select(col("word")).unionAll(right.select(col("word")))
     val words = wordSrc.distinct().orderBy(col("word"))
@@ -104,8 +109,10 @@ object Similarity {
     val vocab = broadcast(words.zipWithIndex.toSeq.toDF("word", "idx"))
     def toDense(df: DataFrame, idAs: String, vecAs: String): DataFrame = {
       val m = map_from_entries(collect_list(struct(col("idx"), col("w"))))
+      // the local scoring loop reads ids as Long (getLong / as[(Long, _)]);
+      // cast here so IntegerType/ShortType ids survive the dense path
       df.join(vocab, Seq("word"))
-        .groupBy(col("id").as(idAs))
+        .groupBy(col("id").cast("long").as(idAs))
         .agg(transform(sequence(lit(0), lit(dim - 1)),
           i => coalesce(element_at(m, i), lit(0.0))).as(vecAs))
     }
@@ -163,20 +170,28 @@ object Similarity {
     */
   def argmaxAdaptive(left: DataFrame, right: DataFrame,
       excludeSelf: Boolean = false, maxDenseVocab: Long = 2048,
-      maxDenseRows: Long = 200000): DataFrame = {
-    // dense path preconditions: numeric ids (its tie-break compares ids
-    // numerically) and a right side small enough to collect+broadcast
-    // (it ships the dense corpus to every task). Otherwise inverted.
-    val numericIds = Seq(left, right).forall(
-      _.schema("id").dataType.isInstanceOf[org.apache.spark.sql.types.NumericType])
-    val rightRows =
-      if (!numericIds) Long.MaxValue
-      else right.select(col("id")).distinct().count()
+      maxDenseBytes: Long = 64L << 20): DataFrame = {
+    // dense path preconditions: INTEGRAL ids (the dense scorer casts to
+    // long and tie-breaks numerically — fractional ids would truncate)
+    // and a dense corpus small IN BYTES to collect+broadcast: the
+    // collect at denseArgmax ships rows × dim × 8B doubles to the driver
+    // and every executor, so the guard must bound bytes, not rows —
+    // 200k rows × 2048 dims would be 3.3 GB. dim is known after the
+    // vocab count, so no extra job is needed.
+    import org.apache.spark.sql.types._
+    val integralIds = Seq(left, right).forall(_.schema("id").dataType match {
+      case ByteType | ShortType | IntegerType | LongType => true
+      case _ => false
+    })
     val vocabCount =
-      if (!numericIds || rightRows > maxDenseRows) Long.MaxValue
+      if (!integralIds) Long.MaxValue
       else left.select(col("word")).unionAll(right.select(col("word")))
         .distinct().count()
-    if (vocabCount <= maxDenseVocab) denseArgmax(left, right, excludeSelf)
+    val denseBytes =
+      if (vocabCount > maxDenseVocab) Long.MaxValue
+      else right.select(col("id")).distinct().count() * vocabCount * 8L
+    if (vocabCount <= maxDenseVocab && denseBytes <= maxDenseBytes)
+      denseArgmax(left, right, excludeSelf, selfJoinOpt = Some(left eq right))
     else {
       val sims0 = invertedIndexJoin(left, right)
       val sims = (if (excludeSelf) sims0.filter(col("l_id") =!= col("r_id")) else sims0)

@@ -25,6 +25,14 @@ object TextStats {
     "fr" -> Seq("le", "la", "les", "et", "est", "que", "des", "une", "dans", "pour"),
     "zh" -> Seq())
 
+  /** CJK script ranges for the "zh" short-circuit: unified ideographs
+    * (U+4E00–U+9FFF) + extension A (U+3400–U+4DBF). Deliberately NOT
+    * "any non-ASCII" — accented Latin must fall through to the marker
+    * argmax. [[CjkPatternSql]] is the RE2 spelling for the DuckDB oracle.
+    */
+  val CjkPattern: String = "[㐀-䶿一-鿿]"
+  val CjkPatternSql: String = "[\\x{3400}-\\x{4dbf}\\x{4e00}-\\x{9fff}]"
+
   /** Per-language marker-hit counts as columns `score_<lang>`, plus
     * `pred_lang` = argmax with ties to the earlier language in
     * [[LangMarkers]]. A document with CJK characters short-circuits to
@@ -45,11 +53,11 @@ object TextStats {
     val scores = df.select(col(idCol).as("doc_id"))
       .join(grouped, Seq("doc_id"), "left")
       .select(col("doc_id") +: scoreNames.map(n => coalesce(col(n), lit(0L)).as(n)): _*)
-    // script short-circuit: any non-ASCII character → "zh" bucket (the
-    // only non-Latin language in the marker set). Expressed as an ASCII
-    // strip + length check so the regex semantics are engine-portable.
+    // script short-circuit: a CJK character → "zh" bucket. Restricted to
+    // actual CJK ranges (unified ideographs + ext A) — NOT all non-ASCII,
+    // which would misclassify accented Latin text (é, ü, ñ in de/es/fr).
     val hasCjk = df.select(col(idCol).as("doc_id"),
-      (length(regexp_replace(col(textCol), "[\\x00-\\x7F]", "")) > 0).as("cjk"))
+      col(textCol).rlike(CjkPattern).as("cjk"))
     val langs = LangMarkers.map(_._1).filter(l => l != "zh")
     // argmax chain: lang L wins if its score >= every later lang's score
     // and > every earlier lang's score (ties to earlier = >= forward only).

@@ -28,13 +28,15 @@ object MlTfIdf {
     val cv = new CountVectorizer()
       .setInputCol(tokensCol).setOutputCol("tf_vec").setVocabSize(vocabSize)
       .fit(df)
-    val idfStage = new IDF().setInputCol("tf_vec").setOutputCol("tfidf_vec")
+    // fit the IDF ONCE on the training corpus; the returned transform
+    // reuses that IDFModel so applying the model to a different corpus
+    // scores with the TRAINING document frequencies (fit/transform
+    // contract), not the new corpus's.
+    val idfModel = new IDF().setInputCol("tf_vec").setOutputCol("tfidf_vec")
+      .fit(cv.transform(df))
     val norm = new Normalizer().setInputCol("tfidf_vec").setOutputCol("features").setP(2.0)
-    val transformAll = (in: DataFrame) => {
-      val withTf = cv.transform(in)
-      val idfModel = idfStage.fit(withTf)
-      norm.transform(idfModel.transform(withTf)).drop("tf_vec", "tfidf_vec")
-    }
+    val transformAll = (in: DataFrame) =>
+      norm.transform(idfModel.transform(cv.transform(in))).drop("tf_vec", "tfidf_vec")
     Model(cv, transformAll)
   }
 

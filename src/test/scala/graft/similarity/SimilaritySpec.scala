@@ -82,6 +82,34 @@ class SimilaritySpec extends SparkTestBase {
     assert(dense === Set((1L, 2L), (2L, 1L)))
   }
 
+  test("argmaxAdaptive byte bound forces the inverted strategy on big dense corpora") {
+    // vocab fits (3 ≤ 10) but rows×dim×8B = 2×3×8 = 48B > 10B bound →
+    // must fall back to inverted-index; results identical either way
+    val nvecs = Seq((1L, "x", 1.0), (2L, "x", 0.8), (2L, "y", 0.6), (1L, "z", 0.0))
+      .toDF("id", "word", "w")
+    val bounded = Similarity.argmaxAdaptive(nvecs, nvecs, excludeSelf = true,
+      maxDenseVocab = 10, maxDenseBytes = 10L)
+    // inverted path is detectable by plan shape: it contains a Window
+    // (row_number ranking); the dense path has none (mapPartitions loop)
+    assert(bounded.queryExecution.analyzed.collect {
+      case w: org.apache.spark.sql.catalyst.plans.logical.Window => w
+    }.nonEmpty)
+    val unbounded = Similarity.argmaxAdaptive(nvecs, nvecs, excludeSelf = true,
+      maxDenseVocab = 10)
+    assert(unbounded.queryExecution.analyzed.collect {
+      case w: org.apache.spark.sql.catalyst.plans.logical.Window => w
+    }.isEmpty)
+    assert(bounded.collect().map(r => (r.getLong(0), r.getLong(1))).toSet ===
+      unbounded.collect().map(r => (r.getLong(0), r.getLong(1))).toSet)
+  }
+
+  test("denseArgmax handles integer (non-long) ids via cast") {
+    val ivecs = Seq((1, "x", 1.0), (2, "x", 0.8), (2, "y", 0.6)).toDF("id", "word", "w")
+    val out = Similarity.argmaxAdaptive(ivecs, ivecs, excludeSelf = true, maxDenseVocab = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(out === Set((1L, 2L), (2L, 1L)))
+  }
+
   test("accuracy counts self-matches") {
     val m = Seq(("a", "a"), ("b", "c")).toDF("l_id", "r_id")
     val r = Similarity.accuracy(m).head

@@ -11,7 +11,8 @@ class TextStatsSpec extends SparkTestBase {
     (3L, "el perro y el gato que viven en la casa son una familia para siempre"),
     (4L, "le chien et le chat dans les jardins est une belle chose pour tous"),
     (5L, "你好世界 这是一个测试"),
-    (6L, "zzz qqq xxx www")).toDF("doc_id", "text")
+    (6L, "zzz qqq xxx www"),
+    (7L, "le café et les crêpes dans les jardins sont une belle chose")).toDF("doc_id", "text")
 
   test("langId identifies marker-word languages and scripts") {
     val r = TextStats.langId(docs, "doc_id", "text")
@@ -22,6 +23,8 @@ class TextStatsSpec extends SparkTestBase {
     assert(r(4L) === "fr")
     assert(r(5L) === "zh")
     assert(r(6L) === "und")
+    // accented Latin must NOT trip the script short-circuit
+    assert(r(7L) === "fr")
   }
 
   test("quality: repetitive and non-alpha docs are filtered") {
