@@ -77,6 +77,33 @@ object Ann {
     pairs.withColumn("rk", row_number().over(w).cast("long")).filter(col("rk") <= k)
   }
 
+  /** Exact brute-force top-k ranked by the custom [[graft.plans.TopKPerKeyExec]]
+    * physical operator instead of `row_number()`: the window form sorts
+    * the full O(queries×corpus) pair stream per query; the operator keeps
+    * a bounded k-heap per query per partition, so only O(queries×k) rows
+    * survive to the exchange (the 1000-executor shape). Determinism:
+    * the (cos desc, nid asc) contract is encoded as ONE monotone ord
+    * `round(cos·1e6)·2³² − nid` — exact in double while
+    * |cos|·1e6·2³² + nid < 2⁵³ — so the heap never sees ties; the `rk`
+    * column is then a window over the ≤k surviving rows per query
+    * (O(queries·k log k), negligible). Output contract identical to
+    * [[bruteForceTopK]].
+    */
+  def bruteForceTopKViaOperator(queries: DataFrame, corpus: DataFrame, k: Int,
+      excludeSelf: Boolean = true): DataFrame = {
+    VectorFunctions.register(queries.sparkSession)
+    val q = queries.select(col("vec_id").as("qid"), col("embedding").as("qv"))
+    val c = corpus.select(col("vec_id").as("nid"), col("embedding").as("nv"))
+    val pairs = c.crossJoin(broadcast(q))
+      .filter(if (excludeSelf) col("qid") =!= col("nid") else lit(true))
+      .select(col("qid"), col("nid"),
+        round(VectorFunctions.dot(col("qv"), col("nv")), 6).as("cos"))
+    val ord = round(col("cos") * 1e6) * lit(4294967296L) - col("nid")
+    val top = graft.plans.TopK.topKPerKey(pairs, Seq("qid"), ord, k)
+    val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("nid").asc)
+    top.withColumn("rk", row_number().over(w).cast("long"))
+  }
+
   /** LSH-accelerated top-1: candidates restricted to the query's bucket,
     * then exact re-scoring. Queries with a singleton bucket yield no row
     * (documented approximate-search semantics).

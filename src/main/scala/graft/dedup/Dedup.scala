@@ -185,6 +185,67 @@ object Dedup {
       .filter(col("jaccard") >= minJaccard)
   }
 
+  /** Connected components over an undirected pair graph — turns near-dup
+    * PAIRS (e.g. [[lshCandidates]]+[[jaccardOnCandidates]] output) into
+    * duplicate CLUSTERS with a canonical id (= the minimum vertex id in
+    * the component), the last step of a curation dedup pass (keep one
+    * doc per component).
+    *
+    * Algorithm: iterative min-label propagation with a pointer-jumping
+    * step (label ← label-of-label) each round, the standard Spark CC
+    * shape (cf. Kiveris et al. "Connected Components in MapReduce",
+    * two-phase star contractions): plain neighbor-min needs O(diameter)
+    * rounds; the jump compresses chains so convergence is
+    * O(log diameter). Each round is two shuffles (neighbor-min groupBy +
+    * jump join), materialized + change-counted; labels only decrease,
+    * so `changed == 0` is a fixpoint. At 100 TB: edges stay
+    * hash-partitioned on `dst`/`src` across rounds (same key → shuffle
+    * reuse), per-round state is one (id, component) row per vertex, and
+    * AQE handles the shrinking change set; swap localCheckpoint for a
+    * reliable checkpoint dir on a real cluster to bound lineage.
+    *
+    * @param vertices one row per vertex, column `id` (numeric)
+    * @param edges    undirected edges, columns `a`, `b`
+    * @return (id, component) — component = min id in the vertex's
+    *         connected component; isolated vertices map to themselves
+    */
+  def connectedComponents(vertices: DataFrame, edges: DataFrame,
+      maxIter: Int = 50): DataFrame = {
+    val sym = edges.select(col("a").as("src"), col("b").as("dst"))
+      .unionAll(edges.select(col("b").as("src"), col("a").as("dst")))
+      .persist()
+    var labels = vertices.select(col("id"), col("id").as("component"))
+      .localCheckpoint(true)
+    var iter = 0
+    var done = false
+    while (!done && iter < maxIter) {
+      val nbrMin = sym
+        .join(labels.select(col("id").as("dst"), col("component")), Seq("dst"))
+        .groupBy(col("src")).agg(min(col("component")).as("nbr_min"))
+        .select(col("src").as("id"), col("nbr_min"))
+      val stepped = labels.join(nbrMin, Seq("id"), "left")
+        .select(col("id"),
+          least(col("component"), coalesce(col("nbr_min"), col("component")))
+            .as("component"))
+      // pointer jumping: component ← component's own current label
+      val next = stepped
+        .join(stepped.select(col("id").as("component"), col("component").as("root")),
+          Seq("component"), "left")
+        .select(col("id"),
+          least(col("component"), coalesce(col("root"), col("component")))
+            .as("component"))
+        .localCheckpoint(true) // truncate lineage across rounds
+      val changed = next
+        .join(labels.select(col("id"), col("component").as("prev")), Seq("id"))
+        .filter(col("component") < col("prev")).count()
+      labels = next
+      done = changed == 0
+      iter += 1
+    }
+    sym.unpersist()
+    labels
+  }
+
   private val highNibble = Seq("8", "9", "a", "b", "c", "d", "e", "f")
 
   /** 16-bit SimHash from term frequencies (id, word, tf): bit i is the

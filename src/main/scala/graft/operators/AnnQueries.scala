@@ -28,9 +28,13 @@ object AnnQueries {
     s"(SELECT sum(CAST(x AS DOUBLE) * CAST(y AS DOUBLE)) FROM (SELECT unnest($a) AS x, unnest($b) AS y))"
 
   // ---------------------------------------------------------------- q21
-  /** Brute-force exact cosine top-3 per query vector. */
+  /** Brute-force exact cosine top-3 per query vector, ranked by the
+    * custom TopKPerKeyExec physical operator (bounded per-partition
+    * heaps — O(queries×k) exchange rows instead of a full window sort
+    * over O(queries×corpus) pairs). Same oracle as the window form.
+    */
   def q21KnnBruteForce(s: SparkSession, dir: String): DataFrame =
-    Ann.bruteForceTopK(querySubset(s, dir), emb(s, dir), k = 3)
+    Ann.bruteForceTopKViaOperator(querySubset(s, dir), emb(s, dir), k = 3)
       .select(col("qid"), col("nid"), col("cos"), col("rk"))
       .orderBy(col("qid"), col("rk"))
 

@@ -70,7 +70,11 @@ object DedupQueries {
       .orderBy(col("a"), col("b"))
   }
 
-  val q16Sql: String = {
+  /** q16's CTE chain (tokens → signatures → bands → candidates → jaccard)
+    * WITHOUT the WITH keyword or final select — shared between q16Sql and
+    * q19Sql, which extends it with the recursive-closure CTEs.
+    */
+  private val q16Ctes: String = {
     val mins = (0 until K).map(j =>
       f"min(md5('$j%d|' || word)) AS mh$j%02d").mkString(",\n    ")
     val bandSelects = (0 until Bands).map { b =>
@@ -78,7 +82,7 @@ object DedupQueries {
         .map(j => f"mh$j%02d").mkString(" || '|' || ")
       s"SELECT id, $b AS band, md5($cat) AS bsig FROM sigs"
     }.mkString("\n  UNION ALL ")
-    s"""WITH $tokCte,
+    s"""$tokCte,
        |sigs AS (
        |  SELECT id,
        |    $mins
@@ -102,8 +106,41 @@ object DedupQueries {
        |  FROM cand c
        |  LEFT JOIN shared s ON s.a = c.a AND s.b = c.b
        |  JOIN sizes za ON za.id = c.a
-       |  JOIN sizes zb ON zb.id = c.b)
+       |  JOIN sizes zb ON zb.id = c.b)""".stripMargin
+  }
+
+  val q16Sql: String =
+    s"""WITH $q16Ctes
        |SELECT a, b, jaccard FROM jac WHERE jaccard >= $LshJaccardThreshold ORDER BY a, b""".stripMargin
+
+  // ---------------------------------------------------------------- q19
+  /** Duplicate clustering (SURVEY.md §7.1.8): the q16 near-dup PAIRS
+    * propagated to connected components — every document labeled with
+    * the minimum doc_id in its duplicate cluster. Oracle: transitive
+    * closure via a DuckDB recursive CTE over the same edge set.
+    */
+  def q19DupClusters(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val edges = q16LshNearDups(s, dir).select(col("a"), col("b"))
+    Dedup.connectedComponents(docs.select(col("doc_id").as("id")), edges)
+      .select(col("id").as("doc_id"), col("component"))
+      .orderBy(col("doc_id"))
+  }
+
+  val q19Sql: String = {
+    // q16's pair pipeline verbatim (shared CTE chain), then min-id
+    // reachability: reach(id, comp) accumulates every label reachable
+    // from id after closure; GROUP BY min gives the cluster minimum.
+    s"""WITH RECURSIVE $q16Ctes,
+       |edges AS (SELECT a, b FROM jac WHERE jaccard >= $LshJaccardThreshold),
+       |sym AS (SELECT a AS src, b AS dst FROM edges
+       |        UNION ALL SELECT b AS src, a AS dst FROM edges),
+       |reach(id, comp) AS (
+       |  SELECT doc_id, doc_id FROM documents
+       |  UNION
+       |  SELECT e.dst, r.comp FROM reach r JOIN sym e ON e.src = r.id)
+       |SELECT id AS doc_id, CAST(min(comp) AS BIGINT) AS component
+       |FROM reach GROUP BY id ORDER BY doc_id""".stripMargin
   }
 
   // ---------------------------------------------------------------- q17
@@ -171,6 +208,7 @@ object DedupQueries {
     "q14_dedup_exact" -> (q14DedupExact _),
     "q15_minhash" -> (q15Minhash _),
     "q16_lsh_near_dups" -> (q16LshNearDups _),
+    "q19_dup_clusters" -> (q19DupClusters _),
     "q17_shingle_jaccard" -> (q17ShingleJaccard _),
     "q18_simhash" -> (q18Simhash _),
   )
@@ -179,6 +217,7 @@ object DedupQueries {
     "q14_dedup_exact" -> q14Sql,
     "q15_minhash" -> q15Sql,
     "q16_lsh_near_dups" -> q16Sql,
+    "q19_dup_clusters" -> q19Sql,
     "q17_shingle_jaccard" -> q17Sql,
     "q18_simhash" -> q18Sql,
   )

@@ -47,6 +47,22 @@ class AnnSpec extends SparkTestBase {
     assert(viaAgg === viaWindow)
   }
 
+  test("bruteForceTopKViaOperator == window form, and plans through TopKPerKeyExec") {
+    val queries = emb.filter($"vec_id" % 100 === 0)
+    val viaOp = Ann.bruteForceTopKViaOperator(queries, emb, k = 3)
+    // the custom operator must be in the plan (AQE wraps the physical
+    // tree, so assert on the optimized logical plan)
+    assert(viaOp.queryExecution.optimizedPlan.collect {
+      case e: graft.plans.TopKPerKey => e
+    }.nonEmpty, viaOp.queryExecution.optimizedPlan.toString)
+    val got = viaOp.select($"qid", $"nid", $"cos", $"rk").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3))).toSet
+    val want = Ann.bruteForceTopK(queries, emb, k = 3)
+      .select($"qid", $"nid", $"cos", $"rk").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3))).toSet
+    assert(got === want)
+  }
+
   test("LSH buckets: stable, and same-bucket vectors have all projection signs equal") {
     val buckets = Ann.signLshBuckets(emb, "vec_id", "embedding", 8, 64)
     assert(buckets.count() === 500)

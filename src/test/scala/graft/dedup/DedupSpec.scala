@@ -37,6 +37,26 @@ class DedupSpec extends SparkTestBase {
     assert(!verified.exists { case (a, b) => Set(a, b).contains(5L) })
   }
 
+  test("connectedComponents: chains collapse to min id, isolates self-label") {
+    val vertices = (1L to 8L).toDF("id")
+    // chain 1-2-3-4 (via pairs), pair 5-6, isolated 7, 8
+    val edges = Seq((2L, 3L), (1L, 2L), (3L, 4L), (5L, 6L)).toDF("a", "b")
+    val r = Dedup.connectedComponents(vertices, edges)
+      .collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+    assert(r === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      5L -> 5L, 6L -> 5L, 7L -> 7L, 8L -> 8L))
+  }
+
+  test("connectedComponents converges on a long chain (pointer jumping)") {
+    // a 40-vertex path: plain neighbor-min would need 39 rounds; the
+    // jump step must finish well inside maxIter
+    val vertices = (1L to 40L).toDF("id")
+    val edges = (1L until 40L).map(i => (i, i + 1)).toDF("a", "b")
+    val r = Dedup.connectedComponents(vertices, edges, maxIter = 12)
+      .collect().map(x => x.getLong(1)).toSet
+    assert(r === Set(1L))
+  }
+
   test("xxhash64 minhash agrees with md5 minhash on jaccard ESTIMATES") {
     // both families estimate the same jaccard; exact-dup pair must have
     // identical signatures in both, near-dup mostly-equal
