@@ -18,7 +18,7 @@ object SparkEntry {
     operators.RelationalOps.queries ++ operators.DocQueries.queries ++
       operators.DedupQueries.queries ++ operators.AnnQueries.queries ++
       operators.TextStatsQueries.queries ++ operators.EventQueries.queries ++
-      operators.MultimodalQueries.queries
+      operators.MultimodalQueries.queries ++ operators.Lab2Queries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -26,5 +26,5 @@ object SparkEntry {
     operators.RelationalOps.oracles ++ operators.DocQueries.oracles ++
       operators.DedupQueries.oracles ++ operators.AnnQueries.oracles ++
       operators.TextStatsQueries.oracles ++ operators.EventQueries.oracles ++
-      operators.MultimodalQueries.oracles
+      operators.MultimodalQueries.oracles ++ operators.Lab2Queries.oracles
 }

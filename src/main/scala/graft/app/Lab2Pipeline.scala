@@ -62,15 +62,24 @@ object Lab2Pipeline {
     val n = prepped.count() // corpus size feeds IDF (lab2.py:155)
 
     // ---- task 1
+    // weights and sims are rounded to 6 dp before ranking — the house
+    // determinism contract (same as q12/q50): cross-engine FP drift in
+    // log10/sqrt chains sits at ~1e-15, far below the rounding, so
+    // ranking and the DuckDB oracle see identical values. Deterministic
+    // deviation from the reference's raw-double ranking, like the
+    // tie-break (SURVEY.md §2.10.4).
     val absToks = prepped.select(col("id"), explode(col("abs_toks")).as("word"))
     val absDf = TfIdf.docFreq(absToks).persist() // reused for titles (J2)
     val absVecs = TfIdf.l2Normalize(
-      TfIdf.weights(TfIdf.termFreq(absToks), absDf, n))
+        TfIdf.weights(TfIdf.termFreq(absToks), absDf, n))
+      .withColumn("w", round(col("w"), 6))
     val titleToks = prepped.select(col("id"), explode(col("title_toks")).as("word"))
     val titleVecs = TfIdf.l2Normalize(
-      TfIdf.weights(TfIdf.termFreq(titleToks), absDf, n, external = true))
+        TfIdf.weights(TfIdf.termFreq(titleToks), absDf, n, external = true))
+      .withColumn("w", round(col("w"), 6))
 
     val sims = Similarity.invertedIndexJoin(titleVecs, absVecs)
+      .withColumn("sim", round(col("sim"), 6))
     val matches = Similarity.argmax(sims)
       .select(col("l_id").as("title_id"), col("r_id").as("abstract_id"),
         col("sim").as("cosine"))
