@@ -59,6 +59,57 @@ object Ann {
         .otherwise(0L)).as("bucket"))
   }
 
+  /** Multi-band sign-LSH buckets: (vec_id, band, bucket) — band b's
+    * bucket is built from hyperplanes [b·rowsPerBand, (b+1)·rowsPerBand).
+    * OR-amplification: two vectors are candidates if they share a bucket
+    * in ANY band, so recall is 1−(1−s^r)^b instead of s^r — the fix for
+    * single-band top-1 dropping queries whose full-width bucket is a
+    * singleton. Same deterministic md5 hyperplane family; one extra
+    * grouping column over [[signLshBuckets]], still no UDF.
+    */
+  def signLshBucketsBanded(emb: DataFrame, idCol: String, vecCol: String,
+      bands: Int, rowsPerBand: Int, dim: Int): DataFrame = {
+    val spark = emb.sparkSession
+    val total = bands * rowsPerBand
+    val dims = emb.select(col(idCol).as("vec_id"), posexplode(col(vecCol)).as(Seq("j", "v")))
+      .select(col("vec_id"), col("j"), col("v").cast("double").as("v"))
+    val proj = dims.join(broadcast(hyperplanes(spark, total, dim)), Seq("j"))
+      .groupBy(col("vec_id"), col("h"))
+      .agg(sum(col("s") * col("v")).as("p"))
+    proj
+      .groupBy(col("vec_id"), (col("h") / rowsPerBand).cast("int").as("band"))
+      .agg(sum(when(col("p") > 0,
+        pow(lit(2.0), col("h") % rowsPerBand).cast("long")).otherwise(0L)).as("bucket"))
+  }
+
+  /** OR-amplified LSH top-1: candidate pairs share a bucket in at least
+    * one band (union across bands via distinct), then exact re-scoring
+    * and the deterministic (cos desc, nid asc) argmax. Queries whose
+    * buckets are singletons in EVERY band still yield no row, but with
+    * b bands that probability is the single-band one to the b-th power.
+    * Candidate generation joins bucket tables only (ids, no vectors);
+    * embeddings are attached once after the distinct.
+    */
+  def lshTop1Banded(queries: DataFrame, corpus: DataFrame,
+      bands: Int, rowsPerBand: Int, dim: Int): DataFrame = {
+    VectorFunctions.register(queries.sparkSession)
+    val buckets = signLshBucketsBanded(corpus, "vec_id", "embedding", bands, rowsPerBand, dim)
+    val qids = queries.select(col("vec_id").as("qid"))
+    val qb = buckets.join(qids.withColumnRenamed("qid", "vec_id"), Seq("vec_id"), "left_semi")
+      .select(col("vec_id").as("qid"), col("band"), col("bucket"))
+    val cb = buckets.select(col("vec_id").as("nid"), col("band"), col("bucket"))
+    val candIds = qb.join(cb, Seq("band", "bucket"))
+      .filter(col("qid") =!= col("nid"))
+      .select(col("qid"), col("nid")).distinct()
+    val cands = candIds
+      .join(queries.select(col("vec_id").as("qid"), col("embedding").as("qv")), Seq("qid"))
+      .join(corpus.select(col("vec_id").as("nid"), col("embedding").as("nv")), Seq("nid"))
+      .select(col("qid"), col("nid"),
+        round(VectorFunctions.dot(col("qv"), col("nv")), 6).as("cos"))
+    val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("nid").asc)
+    cands.withColumn("rk", row_number().over(w)).filter(col("rk") === 1).drop("rk")
+  }
+
   /** Exact brute-force cosine top-k: every query vector scored against
     * the full corpus with the codegen'd [[VectorFunctions.dot]]
     * (embeddings are pre-normalized ⇒ dot = cosine). Deterministic

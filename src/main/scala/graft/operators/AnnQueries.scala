@@ -51,6 +51,57 @@ object AnnQueries {
        |SELECT qid, nid, cos, CAST(rk AS BIGINT) AS rk FROM best WHERE rk <= 3
        |ORDER BY qid, rk""".stripMargin
 
+  // ---------------------------------------------------------------- q20
+  /** OR-amplified multi-band sign-LSH top-1 (6 bands × 4 hyperplanes —
+    * narrow bands because the synthetic embeddings have weak NN
+    * structure; wider 6-bit bands recalled only 0.2 of exact top-1s):
+    * the recall fix for q23's single-band dropout — candidates share a
+    * bucket in ANY band; exact re-score; deterministic argmax.
+    */
+  val LshBands = 6
+  val LshRowsPerBand = 4
+
+  def q20LshTop1Banded(s: SparkSession, dir: String): DataFrame =
+    Ann.lshTop1Banded(querySubset(s, dir), emb(s, dir), LshBands, LshRowsPerBand, Dim)
+      .select(col("qid"), col("nid"), col("cos"))
+      .orderBy(col("qid"))
+
+  val q20Sql: String = {
+    val total = LshBands * LshRowsPerBand
+    s"""WITH dims AS (
+       |  SELECT vec_id, j, CAST(embedding[CAST(j AS INTEGER) + 1] AS DOUBLE) AS v
+       |  FROM embeddings, range($Dim) t(j)),
+       |hp AS (
+       |  SELECT h, j,
+       |         CASE WHEN substr(md5(h || '|' || j), 1, 1) IN ('8','9','a','b','c','d','e','f')
+       |              THEN 1.0 ELSE -1.0 END AS s
+       |  FROM range($total) a(h), range($Dim) b(j)),
+       |proj AS (
+       |  SELECT d.vec_id, hp.h, sum(hp.s * d.v) AS p
+       |  FROM dims d JOIN hp ON hp.j = d.j
+       |  GROUP BY d.vec_id, hp.h),
+       |bkt AS (
+       |  SELECT vec_id, CAST(h // $LshRowsPerBand AS INTEGER) AS band,
+       |         CAST(sum(CASE WHEN p > 0 THEN (1 << (h % $LshRowsPerBand)) ELSE 0 END) AS BIGINT) AS bucket
+       |  FROM proj GROUP BY vec_id, h // $LshRowsPerBand),
+       |q AS (SELECT vec_id AS qid FROM embeddings WHERE vec_id % $QueryMod = 0),
+       |cand AS (
+       |  SELECT DISTINCT qb.vec_id AS qid, cb.vec_id AS nid
+       |  FROM bkt qb JOIN q ON qb.vec_id = q.qid
+       |       JOIN bkt cb ON cb.band = qb.band AND cb.bucket = qb.bucket
+       |  WHERE cb.vec_id <> qb.vec_id),
+       |scored AS (
+       |  SELECT c.qid, c.nid,
+       |         round(${sqlDot("eq.embedding", "en.embedding")}, 6) AS cos
+       |  FROM cand c JOIN embeddings eq ON eq.vec_id = c.qid
+       |       JOIN embeddings en ON en.vec_id = c.nid),
+       |best AS (
+       |  SELECT qid, nid, cos,
+       |         row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid ASC) AS rk
+       |  FROM scored)
+       |SELECT qid, nid, cos FROM best WHERE rk = 1 ORDER BY qid""".stripMargin
+  }
+
   // ---------------------------------------------------------------- q22
   /** Sign-LSH bucket assignment for every vector (8 md5-derived
     * Rademacher hyperplanes → 8-bit bucket).
@@ -129,6 +180,7 @@ object AnnQueries {
        |SELECT a, b, cos FROM pairs WHERE cos >= $NearDupCos ORDER BY a, b""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q20_lsh_top1_banded" -> (q20LshTop1Banded _),
     "q21_knn_bruteforce" -> (q21KnnBruteForce _),
     "q22_lsh_buckets" -> (q22LshBuckets _),
     "q23_lsh_top1" -> (q23LshTop1 _),
@@ -136,6 +188,7 @@ object AnnQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q20_lsh_top1_banded" -> q20Sql,
     "q21_knn_bruteforce" -> q21Sql,
     "q22_lsh_buckets" -> q22Sql,
     "q23_lsh_top1" -> q23Sql,

@@ -73,6 +73,27 @@ class AnnSpec extends SparkTestBase {
     assert(buckets.except(again).count() === 0)
   }
 
+  test("banded LSH top-1: strictly better coverage than single-band, high top-1 recall") {
+    val queries = emb.filter($"vec_id" % 50 === 0) // 10 queries at sf0.01
+    val exact = Ann.bruteForceTopK(queries, emb, k = 1)
+      .select($"qid", $"nid").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val single = Ann.lshTop1(queries, emb, 8, 64)
+      .select($"qid", $"nid").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val banded = Ann.lshTop1Banded(queries, emb, bands = 6, rowsPerBand = 4, dim = 64)
+      .select($"qid", $"nid").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // OR-amplification can only widen the answered-query set relative to
+    // dropping to singleton buckets at the same total hyperplane budget
+    assert(banded.size >= single.size,
+      s"banded answered ${banded.size} < single-band ${single.size}")
+    // coverage: nearly every query finds SOME candidate across 6 bands
+    assert(banded.size >= (exact.size * 0.8).toInt,
+      s"banded answered ${banded.size} of ${exact.size}")
+    // top-1 agreement with exact on the answered subset
+    val agree = banded.count { case (q, n) => exact.get(q).contains(n) }
+    assert(agree.toDouble / banded.size >= 0.5,
+      s"top-1 recall ${agree.toDouble / banded.size}")
+  }
+
   test("lshTop1 returns a subset of queries with exact-rescored cosines") {
     val queries = emb.filter($"vec_id" % 100 === 0)
     val r = Ann.lshTop1(queries, emb, 8, 64).collect()
