@@ -1,0 +1,117 @@
+package graft.text
+
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types.{ArrayType, DataType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Static suffix-detachment rules shared by the interpreted and
+  * generated code paths of [[LemmatizeTokens]] (WordNet-morphy-style,
+  * public algorithm: wordnet.princeton.edu/documentation/morphy7wn).
+  * Kept as a plain object with a UTF8String entry point so the
+  * generated Java calls ONE static method per token — no row
+  * conversion, no encoder, no closure dispatch.
+  */
+object LemmaRules {
+  private val exceptions: java.util.HashMap[String, String] = {
+    val m = new java.util.HashMap[String, String]()
+    Seq(
+      "men" -> "man", "women" -> "woman", "children" -> "child",
+      "feet" -> "foot", "teeth" -> "tooth", "mice" -> "mouse",
+      "geese" -> "goose", "better" -> "good", "worse" -> "bad",
+      "ran" -> "run", "took" -> "take", "went" -> "go"
+    ).foreach { case (k, v) => m.put(k, v) }
+    m
+  }
+
+  def lemma(w: String): String = {
+    val e = exceptions.get(w)
+    if (e != null) e else detach(w)
+  }
+
+  def lemmaUtf8(w: UTF8String): UTF8String = {
+    val s = w.toString
+    val l = lemma(s)
+    if (l eq s) w else UTF8String.fromString(l)
+  }
+
+  private def detach(w: String): String = {
+    // noun/verb detachment rules, longest-suffix first; keep result only
+    // if it stays a plausible stem (>= 2 chars).
+    def ok(s: String) = s.length >= 2
+    if (w.endsWith("ies") && ok(w.dropRight(3)))      w.dropRight(3) + "y"
+    else if (w.endsWith("sses"))                      w.dropRight(2)
+    else if (w.endsWith("shes") || w.endsWith("ches")) w.dropRight(2)
+    else if (w.endsWith("xes") || w.endsWith("zes"))  w.dropRight(2)
+    else if (w.endsWith("ss"))                        w
+    else if (w.endsWith("s") && !w.endsWith("us") && !w.endsWith("is") && ok(w.dropRight(1)))
+      w.dropRight(1)
+    else if (w.endsWith("ying") && ok(w.dropRight(4))) w.dropRight(4) + "ie"
+    else if (w.endsWith("ing") && w.length > 5) {
+      val stem = w.dropRight(3)
+      if (stem.length >= 3 && stem(stem.length - 1) == stem(stem.length - 2)) stem.dropRight(1)
+      else stem
+    }
+    else if (w.endsWith("ied") && ok(w.dropRight(3))) w.dropRight(3) + "y"
+    else if (w.endsWith("ed") && w.length > 4) {
+      val stem = w.dropRight(2)
+      if (stem.length >= 3 && stem(stem.length - 1) == stem(stem.length - 2)) stem.dropRight(1)
+      else stem
+    }
+    else if (w.endsWith("est") && w.length > 5)       w.dropRight(3)
+    else if (w.endsWith("er") && w.length > 4)        w.dropRight(2)
+    else w
+  }
+}
+
+/** Native codegen'd lemmatization of an `array<string>` column — the
+  * whole-stage-codegen replacement for the Scala-UDF form (a per-row
+  * UDF forces UTF8String→String→Seq encoder round-trips and a closure
+  * dispatch per ROW; this expression does one static call per TOKEN
+  * and stays inside the generated pipeline, consistent with the repo's
+  * HoF findings in SCALE.md). Null tokens and null arrays pass through.
+  */
+case class LemmatizeTokens(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"lemmatize_tokens requires array<string>, got ${other.simpleString}")
+  }
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = true)
+  override def prettyName: String = "lemmatize_tokens"
+
+  override def nullSafeEval(input: Any): Any = {
+    val a = input.asInstanceOf[ArrayData]
+    val n = a.numElements()
+    val out = new Array[AnyRef](n)
+    var i = 0
+    while (i < n) {
+      out(i) = if (a.isNullAt(i)) null else LemmaRules.lemmaUtf8(a.getUTF8String(i))
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val vals = ctx.freshName("vals")
+      s"""
+         |int $n = $a.numElements();
+         |UTF8String[] $vals = new UTF8String[$n];
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $vals[$i] = $a.isNullAt($i) ? null
+         |    : graft.text.LemmaRules.lemmaUtf8($a.getUTF8String($i));
+         |}
+         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($vals);
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): LemmatizeTokens =
+    copy(child = newChild)
+}

@@ -92,48 +92,21 @@ object IdentityLemmatizer extends Lemmatizer {
 
 /** WordNet-morphy-style suffix-detachment rules (public algorithm:
   * wordnet.princeton.edu/documentation/morphy7wn) + a small exception
-  * list. Rules only — no POS tagging (the reference's perceptron tagger
-  * is out of scope, SURVEY.md U2).
+  * list — rules live in [[LemmaRules]]. Rules only — no POS tagging
+  * (the reference's perceptron tagger is out of scope, SURVEY.md U2).
+  *
+  * The column form is the native codegen'd [[LemmatizeTokens]]
+  * expression (one static call per token inside whole-stage codegen),
+  * not a Scala UDF. Measured at sf0.1: steady-state times are within
+  * noise (the prep pipeline is scan/tokenize-dominated there) but the
+  * expression removes the per-row UTF8String↔String↔Seq encoder
+  * round-trip and keeps prep in ONE generated stage — the structural
+  * win that compounds on wide pipelines at scale.
   */
 object RuleLemmatizer extends Lemmatizer {
-  private val exceptions = Map(
-    "men" -> "man", "women" -> "woman", "children" -> "child",
-    "feet" -> "foot", "teeth" -> "tooth", "mice" -> "mouse",
-    "geese" -> "goose", "better" -> "good", "worse" -> "bad",
-    "ran" -> "run", "took" -> "take", "went" -> "go")
+  def lemma(w: String): String = LemmaRules.lemma(w)
 
-  def lemma(w: String): String = exceptions.getOrElse(w, detach(w))
-
-  private def detach(w: String): String = {
-    // noun/verb detachment rules, longest-suffix first; keep result only
-    // if it stays a plausible stem (>= 2 chars).
-    def ok(s: String) = s.length >= 2
-    if (w.endsWith("ies") && ok(w.dropRight(3)))      w.dropRight(3) + "y"
-    else if (w.endsWith("sses"))                      w.dropRight(2)
-    else if (w.endsWith("shes") || w.endsWith("ches")) w.dropRight(2)
-    else if (w.endsWith("xes") || w.endsWith("zes"))  w.dropRight(2)
-    else if (w.endsWith("ss"))                        w
-    else if (w.endsWith("s") && !w.endsWith("us") && !w.endsWith("is") && ok(w.dropRight(1)))
-      w.dropRight(1)
-    else if (w.endsWith("ying") && ok(w.dropRight(4))) w.dropRight(4) + "ie"
-    else if (w.endsWith("ing") && w.length > 5) {
-      val stem = w.dropRight(3)
-      if (stem.length >= 3 && stem(stem.length - 1) == stem(stem.length - 2)) stem.dropRight(1)
-      else stem
-    }
-    else if (w.endsWith("ied") && ok(w.dropRight(3))) w.dropRight(3) + "y"
-    else if (w.endsWith("ed") && w.length > 4) {
-      val stem = w.dropRight(2)
-      if (stem.length >= 3 && stem(stem.length - 1) == stem(stem.length - 2)) stem.dropRight(1)
-      else stem
-    }
-    else if (w.endsWith("est") && w.length > 5)       w.dropRight(3)
-    else if (w.endsWith("er") && w.length > 4)        w.dropRight(2)
-    else w
-  }
-
-  def apply(tokens: Column): Column = {
-    val f = udf((ws: Seq[String]) => if (ws == null) null else ws.map(lemma))
-    f(tokens)
-  }
+  def apply(tokens: Column): Column =
+    org.apache.spark.sql.GraftSqlApi.column(
+      LemmatizeTokens(org.apache.spark.sql.GraftSqlApi.expr(tokens)))
 }

@@ -15,4 +15,8 @@ object GraftSqlApi {
   /** Column → catalyst Expression (Spark 4 removed the public `.expr`). */
   def expr(c: Column): org.apache.spark.sql.catalyst.expressions.Expression =
     classic.ExpressionUtils.expression(c)
+
+  /** Expression → Column (inverse bridge, same rationale). */
+  def column(e: org.apache.spark.sql.catalyst.expressions.Expression): Column =
+    classic.ExpressionUtils.column(e)
 }

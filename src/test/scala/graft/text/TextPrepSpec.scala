@@ -43,6 +43,21 @@ class TextPrepSpec extends SparkTestBase {
     assert(RuleLemmatizer.lemma("analysis") === "analysis") // -is kept
   }
 
+  test("LemmatizeTokens expression == Scala-side lemma map, null-safe, codegen'd") {
+    val df = Seq(
+      (1L, Seq("cats", "running", "studies", "children", "glass")),
+      (2L, Seq.empty[String]),
+      (3L, null.asInstanceOf[Seq[String]])).toDF("id", "toks")
+    val out = df.select($"id", RuleLemmatizer($"toks").as("l"))
+    val got = out.collect().map(r => r.getLong(0) -> Option(r.getSeq[String](1))).toMap
+    assert(got(1L).get === Seq("cat", "run", "study", "child", "glass"))
+    assert(got(2L).get === Seq.empty)
+    assert(got(3L).isEmpty) // null array passes through
+    // stays inside whole-stage codegen (no ScalaUDF / encoder boundary)
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("ScalaUDF"), plan)
+  }
+
   test("identity lemmatizer is a no-op on columns") {
     val r = Seq(Seq("cats", "ran")).toDF("toks")
       .select(IdentityLemmatizer($"toks")).head.getSeq[String](0)
