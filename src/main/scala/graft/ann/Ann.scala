@@ -188,6 +188,67 @@ object Ann {
       .filter(col("cos") >= minCos)
   }
 
+  // ------------------------------------------------------------- IVF
+  /** IVF coarse index: KMeans cluster id per corpus vector plus the
+    * centroid table. The standard inverted-file ANN layout — at scale
+    * the corpus is hash-partitioned (or bucketed) by `cluster`, so a
+    * probe touches only the probed partitions.
+    */
+  def ivfIndex(corpus: DataFrame, kClusters: Int, seed: Long = 42L)
+      : (DataFrame, DataFrame) = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    val feats = corpus.select(col("vec_id"),
+      array_to_vector(col("embedding")).as("features"))
+    val model = new KMeans().setK(kClusters).setSeed(seed)
+      .setFeaturesCol("features").setPredictionCol("cluster")
+      .fit(feats)
+    val assigned = model.transform(feats).select(col("vec_id"), col("cluster"))
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val centroids = model.clusterCenters.zipWithIndex
+      .map { case (c, i) => (i, c.toArray) }.toSeq.toDF("cluster", "centroid")
+    (assigned, centroids)
+  }
+
+  /** IVF top-k: each query probes its `nprobe` nearest centroids (tiny
+    * broadcast cross join — kClusters rows), candidates are the corpus
+    * vectors assigned to those clusters (equi-join on `cluster`, the
+    * IVF replacement for the full scan), then exact re-scoring and the
+    * deterministic (cos desc, nid asc) ranking. Recall/cost dial:
+    * nprobe/kClusters is the fraction of the corpus scanned.
+    */
+  def ivfTopK(queries: DataFrame, corpus: DataFrame, k: Int,
+      kClusters: Int, nprobe: Int, seed: Long = 42L): DataFrame = {
+    VectorFunctions.register(queries.sparkSession)
+    val (assigned, centroids) = ivfIndex(corpus, kClusters, seed)
+    // nearest centroids by squared L2 = |q|²+|c|²−2q·c; |q|² is constant
+    // per query, so rank on |c|²−2q·c
+    val cent = centroids.select(col("cluster"), col("centroid"),
+      VectorFunctions.dotD(col("centroid"), col("centroid")).as("cnorm"))
+    val q = queries.select(col("vec_id").as("qid"),
+      col("embedding").cast("array<double>").as("qv"))
+    val wProbe = Window.partitionBy(col("qid"))
+      .orderBy(col("dist").asc, col("cluster").asc)
+    val probes = q.crossJoin(broadcast(cent))
+      .withColumn("dist",
+        col("cnorm") - lit(2.0) * VectorFunctions.dotD(col("qv"), col("centroid")))
+      .withColumn("pr", row_number().over(wProbe))
+      .filter(col("pr") <= nprobe)
+      .select(col("qid"), col("cluster"))
+    val cands = probes
+      .join(assigned.withColumnRenamed("vec_id", "nid"), Seq("cluster"))
+      .filter(col("qid") =!= col("nid"))
+      .select(col("qid"), col("nid")) // one cluster per vector → no dups
+    val scored = cands
+      .join(queries.select(col("vec_id").as("qid"), col("embedding").as("qe")), Seq("qid"))
+      .join(corpus.select(col("vec_id").as("nid"), col("embedding").as("ne")), Seq("nid"))
+      .select(col("qid"), col("nid"),
+        round(VectorFunctions.dot(col("qe"), col("ne")), 6).as("cos"))
+    val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("nid").asc)
+    scored.withColumn("rk", row_number().over(w).cast("long")).filter(col("rk") <= k)
+  }
+
   // -------------------------------------------------------- TopKAgg
   case class Neighbor(nid: Long, cos: Double)
 

@@ -104,6 +104,19 @@ class AnnSpec extends SparkTestBase {
     }
   }
 
+  test("IVF top-k: all queries answered, candidates bounded, solid recall@1") {
+    val queries = emb.filter($"vec_id" % 50 === 0)
+    val exact = Ann.bruteForceTopK(queries, emb, k = 1)
+      .select($"qid", $"nid").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val ivf = Ann.ivfTopK(queries, emb, k = 1, kClusters = 16, nprobe = 4)
+      .select($"qid", $"nid").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // IVF always probes populated clusters → every query answers
+    assert(ivf.keySet === exact.keySet)
+    val agree = ivf.count { case (q, n) => exact.get(q).contains(n) }
+    assert(agree.toDouble / ivf.size >= 0.5,
+      s"IVF recall@1 ${agree.toDouble / ivf.size} probing 4/16 clusters")
+  }
+
   test("nearDupPairs returns ordered pairs above threshold only") {
     val r = Ann.nearDupPairs(emb, 0.4).collect()
     r.foreach { row =>
