@@ -27,5 +27,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("double_dot"),
       new ExpressionInfo(classOf[DoubleDotProduct].getName, "double_dot"),
       (exprs: Seq[Expression]) => DoubleDotProduct(exprs(0), exprs(1))))
+    e.injectFunction((
+      FunctionIdentifier("lemmatize_tokens"),
+      new ExpressionInfo(classOf[graft.text.LemmatizeTokens].getName, "lemmatize_tokens"),
+      (exprs: Seq[Expression]) => graft.text.LemmatizeTokens(exprs.head)))
+    // the custom top-k planner strategy, so SQL/DataFrame sessions built
+    // with the extension plan TopKPerKey nodes without a TopK.install call
+    e.injectPlannerStrategy(_ => graft.plans.TopKStrategy)
   }
 }

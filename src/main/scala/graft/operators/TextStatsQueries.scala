@@ -27,23 +27,27 @@ object TextStatsQueries {
     TextStats.langId(Tables.documents(s, dir), "doc_id", "text")
       .orderBy(col("doc_id"))
 
+  // shared q25/q29 SQL pieces, generated from the same Scala constants
+  private val langMarkers = TextStats.LangMarkers.filter(_._2.nonEmpty)
+  private val langNames = langMarkers.map(_._1)
+  private val scoreSelects = langMarkers.map { case (l, ws) =>
+    val inList = ws.map(w => s"'$w'").mkString(", ")
+    s"CAST(sum(CASE WHEN word IN ($inList) THEN 1 ELSE 0 END) AS BIGINT) AS score_$l"
+  }.mkString(",\n    ")
+  // same argmax contract as TextStats.langId: strict > vs earlier
+  // languages, >= vs later, and score > 0.
+  private val langArms = langNames.zipWithIndex.map { case (l, i) =>
+    val conds = langNames.zipWithIndex.collect {
+      case (m, j) if j < i => s"score_$l > score_$m"
+      case (m, j) if j > i => s"score_$l >= score_$m"
+    }
+    val all = (s"score_$l > 0" +: conds).mkString(" AND ")
+    s"WHEN $all THEN '$l'"
+  }.mkString("\n         ")
+
   val q25Sql: String = {
-    val markers = TextStats.LangMarkers.filter(_._2.nonEmpty)
-    val langs = markers.map(_._1)
-    val scoreSelects = markers.map { case (l, ws) =>
-      val inList = ws.map(w => s"'$w'").mkString(", ")
-      s"CAST(sum(CASE WHEN word IN ($inList) THEN 1 ELSE 0 END) AS BIGINT) AS score_$l"
-    }.mkString(",\n    ")
-    // same argmax contract as TextStats.langId: strict > vs earlier
-    // languages, >= vs later, and score > 0.
-    val arms = langs.zipWithIndex.map { case (l, i) =>
-      val conds = langs.zipWithIndex.collect {
-        case (m, j) if j < i => s"score_$l > score_$m"
-        case (m, j) if j > i => s"score_$l >= score_$m"
-      }
-      val all = (s"score_$l > 0" +: conds).mkString(" AND ")
-      s"WHEN $all THEN '$l'"
-    }.mkString("\n         ")
+    val langs = langNames
+    val arms = langArms
     s"""WITH $listsCte,
        |tok AS (SELECT doc_id, unnest(toks) AS word FROM lists),
        |scores AS (
@@ -57,6 +61,62 @@ object TextStatsQueries {
        |FROM documents d LEFT JOIN scores s ON d.doc_id = s.doc_id
        |ORDER BY d.doc_id""".stripMargin
   }
+
+  // ---------------------------------------------------------------- q29
+  /** Composite curation pass — the realistic end-of-pipeline keep-list:
+    * exact-dedup canonical id + language id + quality gate composed
+    * into one verdict per document. `kept` = this doc is its cluster's
+    * canonical copy AND passes the quality band AND is English. Three
+    * doc_id equi-joins (co-partitioned after the first shuffle);
+    * everything upstream is the linear q14/q25/q26 machinery.
+    */
+  def q29Curation(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val canon = graft.dedup.Dedup.canonicalIds(docs, "doc_id", "text")
+      .withColumnRenamed("id", "doc_id")
+    val lang = TextStats.langId(docs, "doc_id", "text")
+      .select(col("doc_id"), col("pred_lang"))
+    val qual = TextStats.qualityScore(docs, "doc_id", "text")
+      .select(col("doc_id"), col("keep").as("keep_quality"))
+    canon.join(lang, Seq("doc_id")).join(qual, Seq("doc_id"))
+      .withColumn("kept",
+        col("doc_id") === col("canonical_id") &&
+          col("keep_quality") && col("pred_lang") === "en")
+      .orderBy(col("doc_id"))
+  }
+
+  val q29Sql: String =
+    s"""WITH $listsCte,
+       |canon AS (
+       |  SELECT doc_id, min(doc_id) OVER (PARTITION BY md5(text)) AS canonical_id
+       |  FROM documents),
+       |tok AS (SELECT doc_id, unnest(toks) AS word FROM lists),
+       |rawscores AS (
+       |  SELECT doc_id,
+       |    $scoreSelects
+       |  FROM tok GROUP BY doc_id),
+       |scores AS (
+       |  SELECT d.doc_id,
+       |    ${langNames.map(l => s"COALESCE(s.score_$l, 0) AS score_$l").mkString(", ")}
+       |  FROM documents d LEFT JOIN rawscores s ON d.doc_id = s.doc_id),
+       |lang AS (
+       |  SELECT s.doc_id,
+       |    CASE WHEN regexp_matches(d.text, '${TextStats.CjkPatternSql}') THEN 'zh'
+       |         $langArms
+       |         ELSE 'und' END AS pred_lang
+       |  FROM scores s JOIN documents d ON d.doc_id = s.doc_id),
+       |qual AS (
+       |  SELECT doc_id,
+       |    (CAST(len(toks) AS BIGINT) >= 10
+       |     AND round(CAST(len(list_distinct(toks)) AS DOUBLE) / greatest(len(toks), 1), 6) >= 0.1
+       |     AND round(CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE) / greatest(length(text), 1), 6) >= 0.6
+       |    ) AS keep_quality
+       |  FROM lists)
+       |SELECT c.doc_id, c.canonical_id, l.pred_lang, q.keep_quality,
+       |       (c.doc_id = c.canonical_id AND q.keep_quality AND l.pred_lang = 'en') AS kept
+       |FROM canon c JOIN lang l ON l.doc_id = c.doc_id
+       |     JOIN qual q ON q.doc_id = c.doc_id
+       |ORDER BY c.doc_id""".stripMargin
 
   // ---------------------------------------------------------------- q26
   def q26Quality(s: SparkSession, dir: String): DataFrame =
@@ -125,6 +185,7 @@ object TextStatsQueries {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q25_lang_id" -> (q25LangId _),
+    "q29_curation" -> (q29Curation _),
     "q26_quality" -> (q26Quality _),
     "q27_token_counts" -> (q27TokenCounts _),
     "q28_fingerprints" -> (q28Fingerprints _),
@@ -132,6 +193,7 @@ object TextStatsQueries {
 
   val oracles: Map[String, String] = Map(
     "q25_lang_id" -> q25Sql,
+    "q29_curation" -> q29Sql,
     "q26_quality" -> q26Sql,
     "q27_token_counts" -> q27Sql,
     "q28_fingerprints" -> q28Sql,
