@@ -34,5 +34,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // the custom top-k planner strategy, so SQL/DataFrame sessions built
     // with the extension plan TopKPerKey nodes without a TopK.install call
     e.injectPlannerStrategy(_ => graft.plans.TopKStrategy)
+    // /*+ TOPK_PER_KEY(keys..., ord, k) */ SQL surface for the operator
+    e.injectResolutionRule(_ => graft.plans.TopKHintRule())
   }
 }

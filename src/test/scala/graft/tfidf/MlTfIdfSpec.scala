@@ -43,6 +43,37 @@ class MlTfIdfSpec extends SparkTestBase {
     assert(acc >= 0.9, s"MLlib-path self-retrieval accuracy too low: $acc")
   }
 
+  test("fitted model reuses TRAINING document frequencies on new corpora") {
+    val train = Seq(
+      (1L, Seq("alpha", "beta")), (2L, Seq("alpha", "gamma")),
+      (3L, Seq("alpha", "beta", "delta"))).toDF("id", "toks")
+    val other = Seq((10L, Seq("alpha", "beta"))).toDF("id", "toks")
+    val model = MlTfIdf.fit(train, "toks")
+    def vec(df: org.apache.spark.sql.DataFrame) = model.transform(df)
+      .filter($"id" === 10L || $"id" === 1L)
+      .select($"features").head.getAs[org.apache.spark.ml.linalg.Vector](0)
+    // same token multiset → identical vector regardless of which corpus
+    // it is scored in: the IDF model must NOT be re-fit on `other`
+    // (where alpha/beta df=1 would reweight everything)
+    val inTrain = vec(train.filter($"id" === 1L))
+    val inOther = vec(other)
+    assert(inTrain === inOther,
+      s"transform re-fit IDF on the new corpus: $inTrain vs $inOther")
+  }
+
+  test("float_dot/double_dot raise on dimension mismatch (no silent truncation)") {
+    graft.functions.VectorFunctions.register(spark)
+    val df = Seq((Seq(1.0f, 2.0f), Seq(1.0f, 2.0f, 3.0f))).toDF("a", "b")
+    val e = intercept[Exception] {
+      df.select(graft.functions.VectorFunctions.dot($"a", $"b")).collect()
+    }
+    def causes(t: Throwable): Seq[Throwable] =
+      if (t == null) Nil else t +: causes(t.getCause)
+    assert(causes(e).exists(_.getMessage != null) &&
+      causes(e).exists(c => Option(c.getMessage).exists(_.contains("dimension mismatch"))),
+      e.toString)
+  }
+
   test("extension wiring registers; float_dot usable from plain SQL") {
     // the injectFunction wiring itself (what spark.sql.extensions would
     // invoke at session build):
