@@ -126,6 +126,34 @@ object StreamingOps {
       .filter(col("cos") >= minCos)
   }
 
+  /** Stream-stream interval join (the attribution shape of
+    * EventQueries.q33 over two UNBOUNDED inputs): each click joins the
+    * impressions of the same user that happened in the
+    * `[click - window, click]` interval. Both sides carry watermarks,
+    * so Spark bounds the join state: an impression can be dropped once
+    * the click-side watermark passes `impression_ts + window`, a click
+    * once its own watermark passes — the state-GC contract that makes
+    * stream-stream joins viable at scale (state ∝ in-flight interval,
+    * not history).
+    */
+  def attributionJoin(impressions: DataFrame, clicks: DataFrame,
+      window: String = "10 minutes"): DataFrame = {
+    val imp = impressions
+      .withColumn("imp_ts", col("ts").cast("timestamp"))
+      .withWatermark("imp_ts", WatermarkDelay)
+      .select(col("user_id"), col("event_id").as("imp_id"), col("imp_ts"))
+    val clk = clicks
+      .withColumn("click_ts", col("ts").cast("timestamp"))
+      .withWatermark("click_ts", WatermarkDelay)
+      .select(col("user_id"), col("event_id").as("click_id"), col("click_ts"))
+    clk.join(imp,
+      clk("user_id") === imp("user_id") &&
+        imp("imp_ts") <= clk("click_ts") &&
+        imp("imp_ts") >= clk("click_ts") - expr(s"INTERVAL $window"))
+      .select(clk("user_id"), col("click_id"), col("imp_id"),
+        col("click_ts"), col("imp_ts"))
+  }
+
   /** Convenience: run a streaming query over `transformed` into an
     * in-memory table and block until all available input is processed
     * (test/dev harness; production would use a real sink + trigger).

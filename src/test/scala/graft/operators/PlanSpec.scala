@@ -60,6 +60,35 @@ class PlanSpec extends SparkTestBase {
       "FloatDotProduct must compile into generated code")
   }
 
+  test("q21 plans through the custom TopKPerKey operator, not a full window sort") {
+    val df = AnnQueries.q21KnnBruteForce(spark, sf0001)
+    assert(df.queryExecution.optimizedPlan.collect {
+      case t: graft.plans.TopKPerKey => t
+    }.nonEmpty, "q21 must rank via TopKPerKeyExec")
+  }
+
+  test("q20 banded LSH: hyperplane join broadcasts; candidate join is hash, not nested-loop") {
+    val p = formatted(AnnQueries.q20LshTop1Banded(spark, sf0001))
+    assert(p.contains("BroadcastHashJoin"), "hyperplane table must broadcast")
+    assert(!p.contains("BroadcastNestedLoopJoin"),
+      "bucket candidate generation must be an equi-join")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("q29 curation: single-pass scans, no cartesian, partial aggregation") {
+    val p = formatted(TextStatsQueries.q29Curation(spark, sf0001))
+    assert(!p.contains("CartesianProduct"))
+    assert(!p.contains("BroadcastNestedLoopJoin"))
+    assert(p.contains("HashAggregate"))
+  }
+
+  test("q5 broadcast hints land on buildable sides (no dropped-hint warnings)") {
+    val p = formatted(RelationalOps.q5SemiAnti(spark, sf0001))
+    // both outer joins build the broadcast aggregate sides
+    assert(p.contains("BroadcastHashJoin"))
+    assert(!p.contains("SortMergeJoin"))
+  }
+
   test("q30: aggregation is partial before the exchange") {
     val p = formatted(EventQueries.q30WindowAgg(spark, sf0001))
     // partial+final pattern: at least two HashAggregates with an

@@ -82,6 +82,33 @@ class StreamingOpsSpec extends SparkTestBase {
     assert(streamed.size === 3 * 50 - 3) // all pairs minus self-matches
   }
 
+  test("stream-stream attribution join matches the batch interval join") {
+    implicit val sqlCtx = spark.sqlContext
+    val impIn = MemoryStream[(Long, Timestamp, Long, String, Double)]
+    val clkIn = MemoryStream[(Long, Timestamp, Long, String, Double)]
+    val impRows = Seq(
+      (10L, ts(0), 1L, "impression", 0.0),
+      (11L, ts(8), 1L, "impression", 0.0),  // within 10 min of click@12
+      (12L, ts(1), 2L, "impression", 0.0))  // other user
+    val clkRows = Seq(
+      (20L, ts(12), 1L, "click", 1.0),      // joins imp 11 (8') and NOT 10 (0': 12 min ago)
+      (21L, ts(5), 2L, "click", 1.0))       // joins imp 12
+    impIn.addData(impRows: _*)
+    clkIn.addData(clkRows: _*)
+    val cols = Seq("event_id", "ts", "user_id", "event_type", "value")
+    val joined = StreamingOps.attributionJoin(
+      impIn.toDF.toDF(cols: _*), clkIn.toDF.toDF(cols: _*))
+    StreamingOps.runToMemory(spark, joined, "attr_out")
+    val streamed = spark.table("attr_out")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // identical code path over bounded inputs = the batch truth
+    val batch = StreamingOps.attributionJoin(
+        mkEvents(impRows: _*), mkEvents(clkRows: _*))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(streamed === batch)
+    assert(streamed === Set((1L, 20L, 11L), (2L, 21L, 12L)))
+  }
+
   test("stateful sessionization emits closed sessions; matches batch semantics") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[StreamingOps.Event]
