@@ -30,7 +30,7 @@ object Bench {
     "q29_curation",
     "q30_event_window_agg", "q31_sessionize", "q32_event_dedup",
     "q33_asof_attribution", "q35_json_extract",
-    "q40_media_metadata")
+    "q40_media_metadata", "q41_media_feature_rollup")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -78,6 +78,11 @@ object TfIdf {
     * id, reused by the subsequent per-id operations). Documents whose
     * norm is 0 (empty after filtering, SURVEY.md §2.10.9) are DROPPED,
     * by documented choice — the reference would divide by zero.
+    *
+    * Measured vs a groupBy-norms + join-back formulation at sf0.1:
+    * window 0.42–0.45 s, agg+join 0.45–0.51 s — the join pays a second
+    * shuffle of the weights; the window's per-doc sort groups are tiny.
+    * The window form stays.
     */
   def l2Normalize(weights: DataFrame): DataFrame = {
     val norm = sqrt(sum(col("w") * col("w")).over(Window.partitionBy(col("id"))))
