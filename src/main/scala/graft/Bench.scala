@@ -29,7 +29,7 @@ object Bench {
     "q25_lang_id", "q26_quality", "q27_token_counts", "q28_fingerprints",
     "q29_curation",
     "q30_event_window_agg", "q31_sessionize", "q32_event_dedup",
-    "q33_asof_attribution", "q35_json_extract",
+    "q33_asof_attribution", "q35_json_extract", "q36_range_join_campaigns",
     "q40_media_metadata", "q41_media_feature_rollup")
 
   def main(args: Array[String]): Unit = {

@@ -169,12 +169,79 @@ object EventQueries {
       |FROM (SELECT event_type, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k FROM events)
       |GROUP BY event_type ORDER BY event_type""".stripMargin
 
+  // ---------------------------------------------------------------- q36
+  /** Point-in-interval RANGE JOIN ([[RangeJoin.pointInInterval]]):
+    * events attributed to overlapping "campaign" windows — 24
+    * deterministic intervals (start = 2024-01-01 + i·30h, length =
+    * (i%5+1)·6h) spanning the events month. The bucketed equi-join
+    * replaces the nested-loop plan the naive non-equi predicate gets;
+    * zero-match campaigns are kept (left join after aggregation).
+    * Value sums use the scaled-long exact form (order-independent,
+    * engine-identical).
+    */
+  val CampaignCount = 24
+  val CampaignEpochMs: Long = 1704067200000L // 2024-01-01T00:00:00Z
+  val CampaignStepMs: Long = 30L * 3600 * 1000
+  val CampaignUnitMs: Long = 6L * 3600 * 1000
+
+  def campaigns(s: SparkSession): DataFrame = {
+    import s.implicits._
+    (0 until CampaignCount).map { i =>
+      val start = CampaignEpochMs + i * CampaignStepMs
+      val end = start + (i % 5 + 1) * CampaignUnitMs
+      (i.toLong, start, end)
+    }.toDF("campaign_id", "start_ms", "end_ms")
+      .select(col("campaign_id"),
+        timestamp_millis(col("start_ms")).as("start_ts"),
+        timestamp_millis(col("end_ms")).as("end_ts"))
+  }
+
+  def q36RangeJoinCampaigns(s: SparkSession, dir: String): DataFrame = {
+    val events = ev(s, dir).select(col("ts"), col("user_id"), col("value"))
+    val camp = campaigns(s)
+    val matched = RangeJoin.pointInInterval(
+        events, "ts", camp, "start_ts", "end_ts", CampaignUnitMs)
+      .groupBy(col("campaign_id"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        round(RelationalOps.exactMoneySum(col("value")), 6).as("sum_value"),
+        countDistinct(col("user_id")).as("n_users"))
+    camp.join(matched, Seq("campaign_id"), "left")
+      .select(col("campaign_id"),
+        coalesce(col("n_events"), lit(0L)).as("n_events"),
+        coalesce(col("sum_value"), lit(0.0)).as("sum_value"),
+        coalesce(col("n_users"), lit(0L)).as("n_users"))
+      .orderBy(col("campaign_id"))
+  }
+
+  val q36Sql: String =
+    s"""WITH camp AS (
+       |  SELECT CAST(i AS BIGINT) AS campaign_id,
+       |         to_timestamp(($CampaignEpochMs + i * $CampaignStepMs) / 1000.0) AS start_ts,
+       |         to_timestamp(($CampaignEpochMs + i * $CampaignStepMs + (i % 5 + 1) * $CampaignUnitMs) / 1000.0) AS end_ts
+       |  FROM range($CampaignCount) t(i)),
+       |matched AS (
+       |  SELECT c.campaign_id,
+       |         count(*) AS n_events,
+       |         round(sum(CAST(round(e.value * 10000, 0) AS BIGINT)) / 10000.0, 6) AS sum_value,
+       |         count(DISTINCT e.user_id) AS n_users
+       |  FROM events e JOIN camp c
+       |    ON e.ts >= c.start_ts AND e.ts < c.end_ts
+       |  GROUP BY c.campaign_id)
+       |SELECT c.campaign_id,
+       |  COALESCE(m.n_events, 0) AS n_events,
+       |  COALESCE(m.sum_value, 0.0) AS sum_value,
+       |  COALESCE(m.n_users, 0) AS n_users
+       |FROM camp c LEFT JOIN matched m ON m.campaign_id = c.campaign_id
+       |ORDER BY c.campaign_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q30_event_window_agg" -> (q30WindowAgg _),
     "q31_sessionize" -> (q31Sessionize _),
     "q32_event_dedup" -> (q32EventDedup _),
     "q33_asof_attribution" -> (q33AsofAttribution _),
     "q35_json_extract" -> (q35JsonExtract _),
+    "q36_range_join_campaigns" -> (q36RangeJoinCampaigns _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -183,5 +250,6 @@ object EventQueries {
     "q32_event_dedup" -> q32Sql,
     "q33_asof_attribution" -> q33Sql,
     "q35_json_extract" -> q35Sql,
+    "q36_range_join_campaigns" -> q36Sql,
   )
 }

@@ -1,0 +1,47 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Scalable point-in-interval RANGE JOIN (builder-prompt operator
+  * family; cf. the bucketed range-join optimization in public engine
+  * docs — e.g. Databricks' range join hints and the interval-bucketing
+  * literature).
+  *
+  * The naive formulation `points JOIN intervals ON start <= p AND
+  * p < end` has no equi-key, so Spark plans a BroadcastNestedLoopJoin —
+  * O(|points|·|intervals|) comparisons and a broadcast of one whole
+  * side; at 100 TB that is the plan that never finishes. The bucketed
+  * form makes it an equi-join: quantize time into `bucketMs` buckets,
+  * give each point its ONE bucket, explode each interval into the
+  * buckets it covers, hash-join on bucket, and re-check the exact
+  * predicate on the survivors. Cost: |points| + Σ(interval spans) join
+  * rows, shuffled on bucket — linear, partition-parallel, AQE-skew-
+  * splittable.
+  *
+  * Each (point, interval) pair meets EXACTLY once (a point has one
+  * bucket), so no dedup is needed. Pick `bucketMs` ≈ the median
+  * interval length: too small explodes intervals into many buckets,
+  * too large funnels everything into few buckets (skew).
+  */
+object RangeJoin {
+
+  private val Bkt = "__graft_bucket"
+
+  /** Join each point row to every interval row whose
+    * `[startCol, endCol)` contains `ptCol` (end exclusive). Timestamp
+    * columns; all other columns of both inputs are preserved.
+    */
+  def pointInInterval(points: DataFrame, ptCol: String,
+      intervals: DataFrame, startCol: String, endCol: String,
+      bucketMs: Long): DataFrame = {
+    require(bucketMs > 0, "bucketMs must be positive")
+    val p = points.withColumn(Bkt, floor(unix_millis(col(ptCol)) / bucketMs))
+    val iv = intervals.withColumn(Bkt, explode(sequence(
+      floor(unix_millis(col(startCol)) / bucketMs),
+      floor(unix_millis(col(endCol)) / bucketMs))))
+    p.join(iv, Seq(Bkt))
+      .filter(col(ptCol) >= col(startCol) && col(ptCol) < col(endCol))
+      .drop(Bkt)
+  }
+}

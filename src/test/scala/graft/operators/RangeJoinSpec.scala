@@ -1,0 +1,53 @@
+package graft.operators
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.functions._
+import graft.SparkTestBase
+
+class RangeJoinSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def ts(day: Int, hour: Int): Timestamp =
+    Timestamp.valueOf(f"2024-01-$day%02d $hour%02d:00:00")
+
+  test("bucketed point-in-interval join == naive non-equi join") {
+    val points = Seq(
+      (1L, ts(1, 5)), (2L, ts(1, 23)), (3L, ts(2, 0)),
+      (4L, ts(3, 12)), (5L, ts(9, 1))).toDF("pid", "pt")
+    val intervals = Seq(
+      (10L, ts(1, 0), ts(1, 6)),    // catches p1
+      (11L, ts(1, 22), ts(2, 2)),   // catches p2, p3 (spans midnight)
+      (12L, ts(3, 0), ts(4, 0)),    // catches p4
+      (13L, ts(5, 0), ts(6, 0))).toDF("iid", "s", "e") // catches nothing
+    val bucketed = RangeJoin.pointInInterval(points, "pt", intervals, "s", "e",
+        bucketMs = 3600 * 1000)
+      .select($"pid", $"iid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val naive = points.join(intervals, $"pt" >= $"s" && $"pt" < $"e")
+      .select($"pid", $"iid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(bucketed === naive)
+    assert(bucketed === Set((1L, 10L), (2L, 11L), (3L, 11L), (4L, 12L)))
+  }
+
+  test("end is exclusive; each pair appears exactly once across buckets") {
+    val points = Seq((1L, ts(1, 6))).toDF("pid", "pt") // == interval end
+    val intervals = Seq((10L, ts(1, 0), ts(1, 6))).toDF("iid", "s", "e")
+    assert(RangeJoin.pointInInterval(points, "pt", intervals, "s", "e", 3600 * 1000)
+      .count() === 0)
+    // a long interval spanning many buckets still yields one row per point
+    val wide = Seq((11L, ts(1, 0), ts(8, 0))).toDF("iid", "s", "e")
+    val hit = Seq((2L, ts(4, 12))).toDF("pid", "pt")
+    assert(RangeJoin.pointInInterval(hit, "pt", wide, "s", "e", 3600 * 1000)
+      .count() === 1)
+  }
+
+  test("bucketed plan is a hash equi-join, not a nested-loop join") {
+    val points = Seq((1L, ts(1, 5))).toDF("pid", "pt")
+    val intervals = Seq((10L, ts(1, 0), ts(1, 6))).toDF("iid", "s", "e")
+    val p = RangeJoin.pointInInterval(points, "pt", intervals, "s", "e", 3600 * 1000)
+      .queryExecution.explainString(
+        org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+}
