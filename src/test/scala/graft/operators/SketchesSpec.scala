@@ -1,0 +1,61 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import graft.SparkTestBase
+
+class SketchesSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private lazy val lineitem = graft.Tables.lineitem(spark, sf001)
+
+  test("HLL distinct counts within the declared rsd of exact") {
+    val exact = lineitem.groupBy($"l_returnflag")
+      .agg(countDistinct($"l_partkey").as("d"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val approx = Sketches.approxDistinctPerKey(lineitem, "l_returnflag", "l_partkey", rsd = 0.05)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    exact.foreach { case (k, d) =>
+      val a = approx(k)
+      assert(math.abs(a - d).toDouble / d <= 0.15, s"$k: exact=$d approx=$a") // 3×rsd
+    }
+  }
+
+  test("approx quantiles near the exact percentiles") {
+    val exact = lineitem.groupBy($"l_returnflag")
+      .agg(expr("percentile(l_extendedprice, 0.5)").as("m"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val approx = Sketches.approxQuantilesPerKey(
+        lineitem, "l_returnflag", "l_extendedprice", Seq(0.5))
+      .collect().map(r => r.getString(0) -> r.getSeq[Double](1).head).toMap
+    exact.foreach { case (k, m) =>
+      assert(math.abs(approx(k) - m) / m <= 0.02, s"$k: exact=$m approx=${approx(k)}")
+    }
+  }
+
+  test("CMS heavy hitters: all true heavy values found, estimates never undercount") {
+    val exact = lineitem.groupBy($"l_returnflag").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val min = 1000L
+    val hh = Sketches.heavyHitters(lineitem, "l_returnflag", min)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    exact.filter(_._2 >= min).foreach { case (v, c) =>
+      assert(hh.contains(v), s"missed heavy hitter $v (count $c)")
+      assert(hh(v) >= c, s"CMS undercounted $v: ${hh(v)} < $c")
+    }
+  }
+
+  test("bloom pruning never drops a true match; leaks stay near fpp") {
+    val keys = graft.Tables.orders(spark, sf001)
+      .filter($"o_orderkey" % 100 === 0).select($"o_orderkey")
+    val pruned = Sketches.bloomPrune(lineitem.withColumnRenamed("l_orderkey", "o_orderkey"),
+      keys, "o_orderkey", expectedItems = 1000, fpp = 0.01)
+    val trueMatches = lineitem.join(keys, $"l_orderkey" === keys("o_orderkey"), "left_semi")
+    // no false negatives: pruned ⊇ true matches
+    assert(pruned.count() >= trueMatches.count())
+    val joinedAfterPrune = pruned.join(keys, Seq("o_orderkey"), "left_semi").count()
+    assert(joinedAfterPrune === trueMatches.count())
+    // leakage bounded (generous 5× margin over fpp)
+    val nonMatching = lineitem.count() - trueMatches.count()
+    assert(pruned.count() - trueMatches.count() <= (nonMatching * 0.05).toLong)
+  }
+}
