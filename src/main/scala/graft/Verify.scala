@@ -12,18 +12,20 @@ object Verify {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // scheduler mode is a SparkContext-creation conf (a local property
+      // would be a no-op): FAIR keeps one heavy query's jobs from
+      // head-of-line-blocking the other dump threads' stages
+      .config("spark.scheduler.mode", "FAIR")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
     // Dump queries CONCURRENTLY (bounded pool): the session is
     // thread-safe and most of these queries are small jobs that leave
     // the 32 cores idle between stages — overlapping them cut the wall
-    // time of the full dump roughly in half. FAIR scheduling keeps one
-    // heavy query (q16's pair demo) from starving the rest. Per-module
-    // memo caches (DocQueries/Lab2Queries) are TrieMap.getOrElseUpdate —
-    // atomic, so concurrent first calls don't double-build pipelines.
+    // time of the full dump roughly in half. Per-module memo caches
+    // (DocQueries/Lab2Queries) serialize their builders, so concurrent
+    // first calls don't double-build (and leak) shared pipelines.
     val par = sys.env.getOrElse("SPARK_GRAFT_VERIFY_PAR", "4").toInt
-    spark.sparkContext.setLocalProperty("spark.scheduler.mode", "FAIR")
     val pool = java.util.concurrent.Executors.newFixedThreadPool(par)
     implicit val ec: scala.concurrent.ExecutionContext =
       scala.concurrent.ExecutionContext.fromExecutor(pool)

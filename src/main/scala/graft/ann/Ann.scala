@@ -130,9 +130,11 @@ object Ann {
 
   /** Exact brute-force top-k ranked by the custom [[graft.plans.TopKPerKeyExec]]
     * physical operator instead of `row_number()`: the window form sorts
-    * the full O(queries×corpus) pair stream per query; the operator keeps
-    * a bounded k-heap per query per partition, so only O(queries×k) rows
-    * survive to the exchange (the 1000-executor shape). Determinism:
+    * the full O(queries×corpus) pair stream per query; the operator runs
+    * partial→final like an aggregate — the pre-exchange partial pass
+    * keeps a bounded k-heap per query per partition, so only
+    * O(queries×k×partitions) rows cross the exchange and the final pass
+    * reduces them (the 1000-executor shape). Determinism:
     * the (cos desc, nid asc) contract is encoded as ONE monotone ord
     * `round(cos·1e6)·2³² − nid` — exact in double while
     * |cos|·1e6·2³² + nid < 2⁵³ — so the heap never sees ties; the `rk`

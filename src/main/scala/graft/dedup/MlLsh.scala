@@ -40,22 +40,32 @@ object MlLsh {
     * distance); only recall is approximate.
     */
   def nearDupPairs(docs: DataFrame, idCol: String, textCol: String,
-      minJaccard: Double, numHashTables: Int = 8, seed: Long = 42L): DataFrame = {
+      minJaccard: Double, numHashTables: Int = 8, seed: Long = 42L,
+      vocabSize: Int = 1 << 22): DataFrame = {
     val toks = docs.select(col(idCol).as("id"),
         array_distinct(array_remove(
           split(TextPrep.normalize(col(textCol)), " "), "")).as("toks"))
       .filter(size(col("toks")) > 0) // MinHashLSH rejects empty vectors
+    // NB tokens beyond vocabSize (kept by corpus frequency) are dropped
+    // from the vectors, so jaccard is computed over the RETAINED
+    // vocabulary — raise vocabSize if exactness over the full token set
+    // matters on a very-high-cardinality corpus.
     val cv = new CountVectorizer()
       .setInputCol("toks").setOutputCol("features").setBinary(true)
+      .setVocabSize(vocabSize)
       .fit(toks)
     val feats = cv.transform(toks).select(col("id"), col("features"))
     val lsh = new MinHashLSH()
       .setInputCol("features").setOutputCol("hashes")
       .setNumHashTables(numHashTables).setSeed(seed)
       .fit(feats)
-    lsh.approxSimilarityJoin(feats, feats, 1.0 - minJaccard, "jaccard_dist")
+    // approxSimilarityJoin filters STRICTLY (dist < threshold); nextUp
+    // keeps boundary pairs, then the exact >= contract is applied on the
+    // re-scored jaccard — matching Dedup's >= threshold semantics.
+    lsh.approxSimilarityJoin(feats, feats,
+        math.nextUp(1.0 - minJaccard), "jaccard_dist")
       .select(col("datasetA.id").as("a"), col("datasetB.id").as("b"),
         round(lit(1.0) - col("jaccard_dist"), 6).as("jaccard"))
-      .filter(col("a") < col("b"))
+      .filter(col("a") < col("b") && col("jaccard") >= minJaccard)
   }
 }

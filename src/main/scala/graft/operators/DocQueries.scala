@@ -66,7 +66,10 @@ object DocQueries {
     tfidfCache.clear()
   }
 
-  private def docTfidf(s: SparkSession, dir: String): DocTfidf =
+  // synchronized builder: TrieMap.getOrElseUpdate may evaluate the
+  // thunk in two racing threads (Verify dumps queries concurrently) —
+  // the losing thread's persisted frames would leak
+  private def docTfidf(s: SparkSession, dir: String): DocTfidf = tfidfCache.synchronized {
     tfidfCache.getOrElseUpdate((System.identityHashCode(s), dir), {
       val docs = Tables.documents(s, dir)
       val toks = TfIdf.tokens(docs, "doc_id", "text")
@@ -78,6 +81,7 @@ object DocQueries {
         .persist()
       DocTfidf(n, dfreq, vecs)
     })
+  }
 
   /** Engine-side rounded self-corpus vectors (matches `vec` CTE). */
   private def docVectors(s: SparkSession, dir: String): DataFrame =

@@ -28,12 +28,16 @@ object Lab2Queries {
   }
 
   // one pipeline run per session: q54 and q55 share the Result (matches
-  // is persisted inside run)
+  // is persisted inside run). Builder synchronized — TrieMap's
+  // getOrElseUpdate publishes atomically but may evaluate the thunk in
+  // TWO racing threads (Verify dumps concurrently), and the loser's
+  // persisted frames would leak for the session's lifetime.
   private val cache =
     scala.collection.concurrent.TrieMap[Int, Lab2Pipeline.Result]()
-  private def result(s: SparkSession): Lab2Pipeline.Result =
+  private def result(s: SparkSession): Lab2Pipeline.Result = cache.synchronized {
     cache.getOrElseUpdate(System.identityHashCode(s),
       Lab2Pipeline.run(s, PapersPath, stopwords))
+  }
 
   // ---------------------------------------------------------------- q54
   /** Task-1 matches: best abstract per title, (title_id, abstract_id,

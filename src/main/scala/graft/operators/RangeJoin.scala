@@ -34,12 +34,21 @@ object RangeJoin {
     */
   def pointInInterval(points: DataFrame, ptCol: String,
       intervals: DataFrame, startCol: String, endCol: String,
-      bucketMs: Long): DataFrame = {
+      bucketMs: Long, maxSpanBuckets: Long = 100000L): DataFrame = {
     require(bucketMs > 0, "bucketMs must be positive")
     val p = points.withColumn(Bkt, floor(unix_millis(col(ptCol)) / bucketMs))
-    val iv = intervals.withColumn(Bkt, explode(sequence(
-      floor(unix_millis(col(startCol)) / bucketMs),
-      floor(unix_millis(col(endCol)) / bucketMs))))
+    val startBkt = floor(unix_millis(col(startCol)) / bucketMs)
+    val endBkt = floor(unix_millis(col(endCol)) / bucketMs)
+    // fail fast on pathological intervals (open-ended sentinels like
+    // 9999-12-31 would ask sequence() for tens of millions of elements
+    // in ONE row) instead of OOMing the task mid-job
+    val guardedEnd = when(endBkt - startBkt <= maxSpanBuckets, endBkt)
+      .otherwise(raise_error(concat(
+        lit(s"pointInInterval: interval spans more than $maxSpanBuckets buckets "),
+        lit("(start="), col(startCol).cast("string"),
+        lit(", end="), col(endCol).cast("string"),
+        lit(s", bucketMs=$bucketMs); raise bucketMs or maxSpanBuckets, or clamp the interval"))))
+    val iv = intervals.withColumn(Bkt, explode(sequence(startBkt, guardedEnd)))
     p.join(iv, Seq(Bkt))
       .filter(col(ptCol) >= col(startCol) && col(ptCol) < col(endCol))
       .drop(Bkt)

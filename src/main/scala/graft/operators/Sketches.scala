@@ -46,35 +46,80 @@ object Sketches {
       .agg(expr(s"percentile_approx($valueCol, $probsExpr, $accuracy)").as("quantiles"))
   }
 
-  /** Heavy hitters via count-min sketch: estimated counts for the
-    * values whose estimate clears `minCount`. The CMS is built
-    * distributed (mergeable partial sketches) and only the sketch comes
-    * to the driver; candidate values are taken from a distinct pass.
-    * CMS never underestimates, so no true heavy hitter is missed.
+  /** Estimated frequencies of GIVEN candidate values from a count-min
+    * sketch — the true CMS use case: the sketch is built distributed
+    * (mergeable partial sketches), only the sketch comes to the driver,
+    * and query-time estimation never rescans the data. CMS never
+    * underestimates, so estimates ≥ true counts always.
+    *
+    * Candidates are probed with the COLUMN'S NATIVE type: CMS hashes
+    * integral types and strings differently, so probing a long column
+    * with stringified values would return garbage.
     */
-  def heavyHitters(df: DataFrame, valueCol: String, minCount: Long,
+  def estimateCounts(df: DataFrame, valueCol: String, candidates: Seq[Any],
       eps: Double = 0.001, confidence: Double = 0.99, seed: Int = 42): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
+    import org.apache.spark.sql.types._
+    val integral = df.schema(valueCol).dataType match {
+      case ByteType | ShortType | IntegerType | LongType => true
+      case StringType => false
+      case other => throw new IllegalArgumentException(
+        s"estimateCounts supports integral and string columns, got $other")
+    }
     val cms = df.stat.countMinSketch(valueCol, eps, confidence, seed)
-    val candidates = df.select(col(valueCol).cast("string")).distinct()
-      .as[String].collect()
-    candidates.map(v => (v, cms.estimateCount(v)))
-      .filter(_._2 >= minCount)
-      .toSeq.toDF(valueCol, "est_count")
+    candidates.map { c =>
+      val est =
+        if (integral) cms.estimateCount(java.lang.Long.valueOf(c.toString))
+        else cms.estimateCount(c.toString)
+      (c.toString, est)
+    }.toSeq.toDF(valueCol, "est_count")
+  }
+
+  /** Heavy hitters: candidate values (a bounded distinct pass — capped
+    * at `maxCandidates`, because CMS cannot enumerate and an unbounded
+    * distinct-collect would defeat the sketch's sublinearity) whose CMS
+    * estimate clears `minCount`. No true heavy hitter is missed: CMS
+    * only overestimates. For columns with cardinality beyond
+    * `maxCandidates`, derive candidates elsewhere (sampling, a known
+    * watch-list) and call [[estimateCounts]] directly.
+    */
+  def heavyHitters(df: DataFrame, valueCol: String, minCount: Long,
+      eps: Double = 0.001, confidence: Double = 0.99, seed: Int = 42,
+      maxCandidates: Int = 100000): DataFrame = {
+    val distinctVals = df.select(col(valueCol)).distinct()
+      .limit(maxCandidates + 1).collect().map(_.get(0))
+    require(distinctVals.length <= maxCandidates,
+      s"$valueCol has more than $maxCandidates distinct values; " +
+        "supply explicit candidates via estimateCounts instead")
+    estimateCounts(df, valueCol, distinctVals.toSeq, eps, confidence, seed)
+      .filter(col("est_count") >= minCount)
   }
 
   /** Prune `big` down to rows whose `keyCol` is (probably) present in
     * `small`'s `keyCol` set, using a broadcast Bloom filter. Guarantees
     * every true match survives; expect ~fpp of non-matching rows to
-    * leak through (they fall out in the real join).
+    * leak through (they fall out in the real join). Probes with the
+    * column's native type (long vs string hash paths differ); null keys
+    * never match, mirroring equi-join semantics.
     */
   def bloomPrune(big: DataFrame, small: DataFrame, keyCol: String,
       expectedItems: Long, fpp: Double = 0.01): DataFrame = {
+    import org.apache.spark.sql.types._
     val spark = big.sparkSession
     val bf = small.stat.bloomFilter(keyCol, expectedItems, fpp)
     val bc = spark.sparkContext.broadcast(bf)
-    val contains = udf((k: Long) => k != null && bc.value.mightContainLong(k))
-    big.filter(contains(col(keyCol).cast("long")))
+    big.schema(keyCol).dataType match {
+      case ByteType | ShortType | IntegerType | LongType =>
+        val contains = udf((k: java.lang.Long) =>
+          k != null && bc.value.mightContainLong(k))
+        big.filter(contains(col(keyCol).cast("long")))
+      case StringType =>
+        val contains = udf((k: String) =>
+          k != null && bc.value.mightContainString(k))
+        big.filter(contains(col(keyCol)))
+      case other => throw new IllegalArgumentException(
+        s"bloomPrune supports integral and string keys, got $other")
+    }
   }
 }

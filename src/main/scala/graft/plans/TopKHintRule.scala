@@ -45,7 +45,9 @@ case class TopKHintRule() extends Rule[LogicalPlan] {
           val resolved = cols.map(attrOf(_, child))
           if (resolved.forall(_.isDefined)) {
             val attrs = resolved.map(_.get)
-            TopKPerKey(attrs.init, attrs.last, k, child)
+            // partial → (exchange) → final, as in TopK.topKPerKey
+            TopKPerKey(attrs.init, attrs.last, k,
+              TopKPerKey(attrs.init, attrs.last, k, child, partial = true))
           } else {
             logWarning(s"$HintName: could not resolve all columns " +
               s"${cols.mkString(", ")} against ${child.output.map(_.name).mkString(", ")}")

@@ -32,7 +32,7 @@ import org.apache.spark.sql.functions.col
   * is descending `ord`.
   */
 case class TopKPerKey(keys: Seq[Expression], ord: Expression, k: Int,
-    child: LogicalPlan) extends UnaryNode {
+    child: LogicalPlan, partial: Boolean = false) extends UnaryNode {
   require(k > 0, "k must be positive")
   override def output: Seq[Attribute] = child.output
   override protected def withNewChildInternal(newChild: LogicalPlan): TopKPerKey =
@@ -41,22 +41,33 @@ case class TopKPerKey(keys: Seq[Expression], ord: Expression, k: Int,
 
 object TopKStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case TopKPerKey(keys, ord, k, child) =>
-      TopKPerKeyExec(keys, ord, k, planLater(child)) :: Nil
+    case TopKPerKey(keys, ord, k, child, partial) =>
+      TopKPerKeyExec(keys, ord, k, planLater(child), partial) :: Nil
     case _ => Nil
   }
 }
 
+/** Physical top-k-per-key. Like an aggregate, it runs in two modes:
+  *
+  *  - '''partial''' — no distribution requirement; runs on the child's
+  *    existing partitioning and keeps ≤k rows per key per PARTITION.
+  *    This is the map-side combine: only O(keys×k×partitions) rows
+  *    reach the exchange instead of the full input.
+  *  - '''final''' — requires ClusteredDistribution(keys) (Catalyst
+  *    inserts the hash exchange over the partial output) and reduces
+  *    the per-partition survivors to the global per-key top-k.
+  *
+  * A partial pass is always safe: any row outside its partition's
+  * top-k is outside the global top-k too.
+  */
 case class TopKPerKeyExec(keys: Seq[Expression], ord: Expression, k: Int,
-    child: SparkPlan) extends UnaryExecNode {
+    child: SparkPlan, partial: Boolean = false) extends UnaryExecNode {
 
   override def output: Seq[Attribute] = child.output
 
-  /** All rows of a key must be co-located; Catalyst satisfies this with
-    * a hash exchange only when the child's partitioning doesn't already.
-    */
   override def requiredChildDistribution: Seq[Distribution] =
-    ClusteredDistribution(keys) :: Nil
+    if (partial) super.requiredChildDistribution
+    else ClusteredDistribution(keys) :: Nil
 
   override protected def doExecute(): RDD[InternalRow] = {
     val childOutput = child.output
@@ -124,8 +135,12 @@ object TopK {
     def attr(name: String) = child.output.find(_.name == name).getOrElse(
       throw new IllegalArgumentException(
         s"column $name not in ${child.output.map(_.name).mkString(", ")}"))
+    val keys = keyCols.map(attr)
+    // partial (pre-exchange, map-side) → exchange → final: the shuffle
+    // carries only each partition's per-key top-k survivors
+    val part = TopKPerKey(keys, attr(ordName), k, child, partial = true)
     org.apache.spark.sql.GraftSqlApi.ofRows(spark,
-        TopKPerKey(keyCols.map(attr), attr(ordName), k, child))
+        TopKPerKey(keys, attr(ordName), k, part))
       .drop(ordName)
   }
 }

@@ -41,6 +41,19 @@ class RangeJoinSpec extends SparkTestBase {
       .count() === 1)
   }
 
+  test("pathological interval spans fail fast instead of exploding") {
+    val points = Seq((1L, ts(1, 5))).toDF("pid", "pt")
+    val openEnded = Seq((10L, ts(1, 0), Timestamp.valueOf("9999-12-31 00:00:00")))
+      .toDF("iid", "s", "e")
+    val e = intercept[Exception] {
+      RangeJoin.pointInInterval(points, "pt", openEnded, "s", "e",
+        bucketMs = 3600 * 1000, maxSpanBuckets = 1000).count()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(e).exists(_.contains("spans more than")), e.toString)
+  }
+
   test("bucketed plan is a hash equi-join, not a nested-loop join") {
     val points = Seq((1L, ts(1, 5))).toDF("pid", "pt")
     val intervals = Seq((10L, ts(1, 0), ts(1, 6))).toDF("iid", "s", "e")

@@ -44,6 +44,26 @@ class SketchesSpec extends SparkTestBase {
     }
   }
 
+  test("CMS heavy hitters work on integral columns (native-type probing)") {
+    // l_orderkey is LongType; a stringified probe would estimate ~0
+    val exact = lineitem.groupBy($"l_orderkey").count()
+      .orderBy($"count".desc).limit(1).collect().head
+    val hot = exact.getLong(0)
+    val c = exact.getLong(1)
+    val est = Sketches.estimateCounts(lineitem, "l_orderkey", Seq(hot))
+      .collect().head.getLong(1)
+    assert(est >= c, s"CMS undercounted long key $hot: $est < $c")
+  }
+
+  test("bloom pruning works on string keys (native-type probing)") {
+    val cust = graft.Tables.customer(spark, sf001)
+    val wanted = cust.limit(20).select($"c_name")
+    val pruned = Sketches.bloomPrune(cust, wanted, "c_name", expectedItems = 20)
+    val trueMatches = cust.join(wanted, Seq("c_name"), "left_semi").count()
+    assert(pruned.join(wanted, Seq("c_name"), "left_semi").count() === trueMatches)
+    assert(pruned.count() >= trueMatches)
+  }
+
   test("bloom pruning never drops a true match; leaks stay near fpp") {
     val keys = graft.Tables.orders(spark, sf001)
       .filter($"o_orderkey" % 100 === 0).select($"o_orderkey")

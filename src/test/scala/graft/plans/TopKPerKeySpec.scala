@@ -41,6 +41,22 @@ class TopKPerKeySpec extends SparkTestBase {
     assert(df.count() === 6) // 3 statuses × 2
   }
 
+  test("partial pass runs BELOW the exchange (map-side combine shape)") {
+    val orders = graft.Tables.orders(spark, sf0001)
+    val df = TopK.topKPerKey(orders, Seq("o_orderstatus"), $"o_totalprice", 2)
+    // assert on the printed plan: AQE wraps the physical tree, so a
+    // collect() on executedPlan cannot see inside AdaptiveSparkPlanExec
+    val s = df.queryExecution.executedPlan.toString
+    assert(s.contains(", true") && s.contains(", false"),
+      s"expected one partial and one final TopKPerKeyExec:\n$s")
+    // plan order: final above the exchange, partial below it
+    val finalIdx = s.indexOf("TopKPerKey")
+    val exchangeIdx = s.indexOf("Exchange hashpartitioning")
+    val partialIdx = s.indexOf("TopKPerKey", exchangeIdx)
+    assert(finalIdx >= 0 && exchangeIdx > finalIdx && partialIdx > exchangeIdx,
+      s"partial must sit below the exchange:\n$s")
+  }
+
   test("k larger than group size returns the whole group") {
     val tiny = Seq(("a", 1.0), ("a", 2.0), ("b", 9.0)).toDF("k", "v")
     val r = TopK.topKPerKey(tiny, Seq("k"), $"v", 10).collect()
