@@ -70,4 +70,32 @@ class EdgeCaseSpec extends SparkTestBase {
     assert(graft.similarity.Similarity.invertedIndexJoin(emptyVecs, emptyVecs).count() === 0)
     assert(graft.similarity.Similarity.denseArgmax(emptyVecs, emptyVecs).count() === 0)
   }
+
+  test("connected components with no edges: every vertex labels itself") {
+    val vertices = (1L to 3L).toDF("id")
+    val noEdges = Seq.empty[(Long, Long)].toDF("a", "b")
+    val r = Dedup.connectedComponents(vertices, noEdges)
+      .collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+    assert(r === Map(1L -> 1L, 2L -> 2L, 3L -> 3L))
+    // and the fully-empty graph
+    assert(Dedup.connectedComponents(
+      Seq.empty[Long].toDF("id"), noEdges).count() === 0)
+  }
+
+  test("salted join with an empty small side behaves like the plain join") {
+    val fact = Seq((1L, "x")).toDF("k", "payload")
+    val emptyDim = Seq.empty[(Long, String)].toDF("k", "attr")
+    assert(Skew.saltedJoin(fact, emptyDim, Seq("k"), 4).count() === 0)
+    assert(Skew.saltedJoin(fact, emptyDim, Seq("k"), 4, "left").count() === 1)
+  }
+
+  test("range join with empty inputs yields no rows") {
+    val ts0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    val pts = Seq((1L, ts0)).toDF("pid", "pt")
+    val noIv = Seq.empty[(Long, java.sql.Timestamp, java.sql.Timestamp)].toDF("iid", "s", "e")
+    assert(RangeJoin.pointInInterval(pts, "pt", noIv, "s", "e", 1000).count() === 0)
+    val noPts = Seq.empty[(Long, java.sql.Timestamp)].toDF("pid", "pt")
+    val iv = Seq((1L, ts0, java.sql.Timestamp.valueOf("2024-01-02 00:00:00"))).toDF("iid", "s", "e")
+    assert(RangeJoin.pointInInterval(noPts, "pt", iv, "s", "e", 3600000).count() === 0)
+  }
 }
