@@ -1,0 +1,44 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Reproducible sampling for training-data curation.
+  *
+  * The key property is DETERMINISM BY CONTENT, not by execution:
+  * `rand()`-based sampling changes under task retry, partition count,
+  * or re-run, which silently leaks test rows into a future training
+  * set. [[trainTestSplit]] assigns each row by hashing its ID with a
+  * seed, so the assignment is a pure function of (id, seed) — stable
+  * across runs, clusters, and data additions (new rows never move old
+  * rows between splits; the property held by every published
+  * hash-based splitting scheme).
+  *
+  * [[stratified]] wraps `sampleBy` (per-stratum Bernoulli sampling)
+  * for proportion control where exact reproducibility per row matters
+  * less than per-class balance.
+  */
+object Sampling {
+
+  /** Deterministic train/test split by id hash: a row lands in test
+    * iff `pmod(xxhash64(id, seed), granularity) < testFraction ·
+    * granularity`. Returns (train, test) — provably disjoint and
+    * complete (same predicate, negated).
+    */
+  def trainTestSplit(df: DataFrame, idCol: String, testFraction: Double,
+      seed: Long = 42L, granularity: Long = 1000000L): (DataFrame, DataFrame) = {
+    require(testFraction >= 0.0 && testFraction <= 1.0,
+      s"testFraction must be in [0,1], got $testFraction")
+    val cut = (testFraction * granularity).toLong
+    val bucket = pmod(xxhash64(col(idCol), lit(seed)), lit(granularity))
+    (df.filter(bucket >= cut), df.filter(bucket < cut))
+  }
+
+  /** Per-stratum sampling: keep ~`fractions(stratum)` of each
+    * stratum's rows (seeded Bernoulli per row). Strata missing from
+    * the map are dropped — the curation "keep-list with quotas" shape.
+    */
+  def stratified(df: DataFrame, stratumCol: String,
+      fractions: Map[String, Double], seed: Long = 42L): DataFrame =
+    df.stat.sampleBy(stratumCol, fractions, seed)
+}

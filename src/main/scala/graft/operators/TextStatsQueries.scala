@@ -118,6 +118,52 @@ object TextStatsQueries {
        |     JOIN qual q ON q.doc_id = c.doc_id
        |ORDER BY c.doc_id""".stripMargin
 
+  // ---------------------------------------------------------------- q37
+  /** Sequence packing for training-data prep: assign documents to
+    * ≈`PackBinTokens`-token context bins by cumulative BPE token count,
+    * packed per `source` shard in doc_id order. A doc's bin is decided
+    * by its START offset (docs may straddle a boundary — documented
+    * contiguous-packing semantics; the alternative, first-fit
+    * bin-packing, is order-dependent and not declarative).
+    *
+    * Scale shape: ONE window partitioned by `source` — packing
+    * parallelizes across shards, never a global single-partition sort.
+    * A real pipeline shards the corpus first (hash buckets as `source`)
+    * for exactly this reason.
+    */
+  val PackBinTokens = 2048L
+
+  def q37SequencePacking(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val counts = TextStats.tokenCounts(docs, "doc_id", "text")
+      .join(docs.select(col("doc_id"), col("source")), Seq("doc_id"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("source")).orderBy(col("doc_id"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    counts
+      .withColumn("start_offset", coalesce(sum(col("bpe_tokens")).over(w), lit(0L)))
+      .select(col("doc_id"), col("source"), col("bpe_tokens"),
+        (col("start_offset") / PackBinTokens).cast("long").as("bin_id"),
+        (col("start_offset") % PackBinTokens).as("offset_in_bin"))
+      .orderBy(col("doc_id"))
+  }
+
+  val q37Sql: String =
+    s"""WITH counts AS (
+       |  SELECT doc_id, source,
+       |    CAST(len(regexp_extract_all(text, '${TextStats.BpePattern}')) AS BIGINT) AS bpe_tokens
+       |  FROM documents),
+       |packed AS (
+       |  SELECT doc_id, source, bpe_tokens,
+       |    COALESCE(sum(bpe_tokens) OVER (
+       |      PARTITION BY source ORDER BY doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS start_offset
+       |  FROM counts)
+       |SELECT doc_id, source, bpe_tokens,
+       |  CAST(start_offset // $PackBinTokens AS BIGINT) AS bin_id,
+       |  CAST(start_offset % $PackBinTokens AS BIGINT) AS offset_in_bin
+       |FROM packed ORDER BY doc_id""".stripMargin
+
   // ---------------------------------------------------------------- q26
   def q26Quality(s: SparkSession, dir: String): DataFrame =
     TextStats.qualityScore(Tables.documents(s, dir), "doc_id", "text")
@@ -186,6 +232,7 @@ object TextStatsQueries {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q25_lang_id" -> (q25LangId _),
     "q29_curation" -> (q29Curation _),
+    "q37_sequence_packing" -> (q37SequencePacking _),
     "q26_quality" -> (q26Quality _),
     "q27_token_counts" -> (q27TokenCounts _),
     "q28_fingerprints" -> (q28Fingerprints _),
@@ -194,6 +241,7 @@ object TextStatsQueries {
   val oracles: Map[String, String] = Map(
     "q25_lang_id" -> q25Sql,
     "q29_curation" -> q29Sql,
+    "q37_sequence_packing" -> q37Sql,
     "q26_quality" -> q26Sql,
     "q27_token_counts" -> q27Sql,
     "q28_fingerprints" -> q28Sql,
