@@ -31,4 +31,23 @@ object Sinks {
   /** S5: single CSV with header. */
   def writeSingleCsv(df: DataFrame, path: String): Unit =
     df.repartition(1).write.mode("overwrite").option("header", "true").csv(path)
+
+  /** Scale-side output: hive-partitioned parquet layout
+    * (`path/col=value/...`) with bounded file sizes — the shape a
+    * downstream training job scans with partition pruning. The
+    * `repartition(partitionCols)` before the write co-locates each
+    * partition value's rows, so every directory gets a few large files
+    * instead of one small file per upstream task (the classic
+    * small-files failure at 1000 executors); `maxRecordsPerFile`
+    * bounds the other direction.
+    */
+  def writePartitioned(df: DataFrame, path: String, partitionCols: Seq[String],
+      maxRecordsPerFile: Long = 1000000L): Unit = {
+    import org.apache.spark.sql.functions.col
+    df.repartition(partitionCols.map(col): _*)
+      .write.mode("overwrite")
+      .option("maxRecordsPerFile", maxRecordsPerFile)
+      .partitionBy(partitionCols: _*)
+      .parquet(path)
+  }
 }
