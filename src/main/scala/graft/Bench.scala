@@ -30,6 +30,7 @@ object Bench {
     "q29_curation", "q37_sequence_packing",
     "q30_event_window_agg", "q31_sessionize", "q32_event_dedup",
     "q33_asof_attribution", "q35_json_extract", "q36_range_join_campaigns",
+    "q38_trailing_window",
     "q40_media_metadata", "q41_media_feature_rollup")
 
   def main(args: Array[String]): Unit = {

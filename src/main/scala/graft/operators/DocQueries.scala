@@ -229,7 +229,9 @@ object DocQueries {
     val langs = docs.select($"lang").distinct()
     val allPairs = langs.select($"lang".as("row_lang"))
       .crossJoin(langs.select($"lang".as("col_lang")))
-    allPairs.join(sims,
+    // sims has ≤ |langs|² rows (category-cardinality squared) — a
+    // broadcast build, not the SortMergeJoin static planning picks
+    allPairs.join(broadcast(sims),
         allPairs("row_lang") === sims("l_id") && allPairs("col_lang") === sims("r_id"),
         "left")
       .select($"row_lang", $"col_lang", coalesce($"sim", lit(0.0)).as("cosine"))

@@ -235,6 +235,34 @@ object EventQueries {
        |FROM camp c LEFT JOIN matched m ON m.campaign_id = c.campaign_id
        |ORDER BY c.campaign_id""".stripMargin
 
+  // ---------------------------------------------------------------- q38
+  /** Trailing-interval window frame (RANGE BETWEEN, not ROWS BETWEEN —
+    * the frame is VALUE-bounded: all events of the user in the last 10
+    * minutes including ties, however many rows that is). Covers the
+    * range-frame window surface the other event queries don't; one
+    * shuffle on user_id, sorted once, both aggregates share the frame.
+    */
+  val TrailingMs = 600000L
+
+  def q38TrailingWindow(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts_ms"))
+      .rangeBetween(-TrailingMs, 0)
+    ev(s, dir)
+      .select(col("event_id"), col("user_id"), col("ts_ms"),
+        count(lit(1)).over(w).as("trailing_n"),
+        round(avg(col("value")).over(w), 6).as("trailing_avg"))
+      .orderBy(col("event_id"))
+  }
+
+  val q38Sql: String =
+    s"""SELECT event_id, user_id, ts_ms,
+       |  count(*) OVER w AS trailing_n,
+       |  round(avg(value) OVER w, 6) AS trailing_avg
+       |FROM (SELECT event_id, user_id, value, CAST(epoch_ms(ts) AS BIGINT) AS ts_ms FROM events)
+       |WINDOW w AS (PARTITION BY user_id ORDER BY ts_ms
+       |             RANGE BETWEEN $TrailingMs PRECEDING AND CURRENT ROW)
+       |ORDER BY event_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q30_event_window_agg" -> (q30WindowAgg _),
     "q31_sessionize" -> (q31Sessionize _),
@@ -242,6 +270,7 @@ object EventQueries {
     "q33_asof_attribution" -> (q33AsofAttribution _),
     "q35_json_extract" -> (q35JsonExtract _),
     "q36_range_join_campaigns" -> (q36RangeJoinCampaigns _),
+    "q38_trailing_window" -> (q38TrailingWindow _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -251,5 +280,6 @@ object EventQueries {
     "q33_asof_attribution" -> q33Sql,
     "q35_json_extract" -> q35Sql,
     "q36_range_join_campaigns" -> q36Sql,
+    "q38_trailing_window" -> q38Sql,
   )
 }
