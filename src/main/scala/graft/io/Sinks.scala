@@ -35,16 +35,23 @@ object Sinks {
   /** Scale-side output: hive-partitioned parquet layout
     * (`path/col=value/...`) with bounded file sizes — the shape a
     * downstream training job scans with partition pruning. The
-    * `repartition(partitionCols)` before the write co-locates each
-    * partition value's rows, so every directory gets a few large files
-    * instead of one small file per upstream task (the classic
-    * small-files failure at 1000 executors); `maxRecordsPerFile`
-    * bounds the other direction.
+    * pre-write repartition co-locates each partition value's rows, so a
+    * directory gets `filesPerPartition` large files instead of one
+    * small file per upstream task (the classic small-files failure at
+    * 1000 executors); `maxRecordsPerFile` bounds the other direction.
+    *
+    * `filesPerPartition` is also the WRITE PARALLELISM per partition
+    * value: with 1, a hot value (lang=en at 80% of a corpus) funnels
+    * through a single task. The salt is a deterministic row hash, so
+    * retries write identical splits.
     */
   def writePartitioned(df: DataFrame, path: String, partitionCols: Seq[String],
-      maxRecordsPerFile: Long = 1000000L): Unit = {
-    import org.apache.spark.sql.functions.col
-    df.repartition(partitionCols.map(col): _*)
+      maxRecordsPerFile: Long = 1000000L, filesPerPartition: Int = 1): Unit = {
+    import org.apache.spark.sql.functions._
+    require(filesPerPartition > 0, "filesPerPartition must be positive")
+    val salt = pmod(xxhash64(struct(df.columns.map(col): _*)),
+      lit(filesPerPartition.toLong))
+    df.repartition(partitionCols.map(col) :+ salt: _*)
       .write.mode("overwrite")
       .option("maxRecordsPerFile", maxRecordsPerFile)
       .partitionBy(partitionCols: _*)

@@ -134,16 +134,20 @@ object TextStatsQueries {
   val PackBinTokens = 2048L
 
   def q37SequencePacking(s: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.documents(s, dir)
-    val counts = TextStats.tokenCounts(docs, "doc_id", "text")
-      .join(docs.select(col("doc_id"), col("source")), Seq("doc_id"))
+    // single projection, ONE scan: joining tokenCounts back to docs for
+    // `source` would scan the corpus twice (confirmed in PLANS.md)
+    val counts = Tables.documents(s, dir).select(
+      col("doc_id"), col("source"),
+      regexp_count(col("text"), lit(TextStats.BpePattern)).cast("long").as("bpe_tokens"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("source")).orderBy(col("doc_id"))
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
     counts
       .withColumn("start_offset", coalesce(sum(col("bpe_tokens")).over(w), lit(0L)))
+      // integral `div`, not `/`: double division rounds above 2^53
+      // cumulative offsets and would drift from the oracle's exact `//`
       .select(col("doc_id"), col("source"), col("bpe_tokens"),
-        (col("start_offset") / PackBinTokens).cast("long").as("bin_id"),
+        expr(s"start_offset div $PackBinTokens").as("bin_id"),
         (col("start_offset") % PackBinTokens).as("offset_in_bin"))
       .orderBy(col("doc_id"))
   }

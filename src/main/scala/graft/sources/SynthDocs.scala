@@ -41,11 +41,17 @@ class SynthDocs extends TableProvider {
   override def inferSchema(options: CaseInsensitiveStringMap): StructType =
     SynthDocs.Schema
   override def getTable(schema: StructType, partitioning: Array[Transform],
-      properties: util.Map[String, String]): Table =
+      properties: util.Map[String, String]): Table = {
+    // Spark hands getTable the ORIGINAL-CASE option map
+    // (DataSourceV2Utils passes options.asCaseSensitiveMap), so
+    // `.option("numPartitions", …)` would miss a lowercase lookup —
+    // re-wrap case-insensitively
+    val opts = new CaseInsensitiveStringMap(properties)
     new SynthDocsTable(
-      properties.getOrDefault("rows", "1000").toLong,
-      properties.getOrDefault("numpartitions", "4").toInt,
-      properties.getOrDefault("seed", "42").toLong)
+      opts.getOrDefault("rows", "1000").toLong,
+      opts.getOrDefault("numPartitions", "4").toInt,
+      opts.getOrDefault("seed", "42").toLong)
+  }
 }
 
 object SynthDocs {
@@ -124,13 +130,16 @@ class SynthDocsScanBuilder(rows: Long, numPartitions: Int, seed: Long)
       case EqualTo("doc_id", _: Number) => true
       case _ => false
     }
+    // saturating +1: `doc_id <= Long.MaxValue` must not wrap the bound
+    // negative and silently empty the scan
+    def incSat(v: Long): Long = if (v == Long.MaxValue) v else v + 1
     supported.foreach {
-      case GreaterThan("doc_id", v: Number) => lo = math.max(lo, v.longValue() + 1)
+      case GreaterThan("doc_id", v: Number) => lo = math.max(lo, incSat(v.longValue()))
       case GreaterThanOrEqual("doc_id", v: Number) => lo = math.max(lo, v.longValue())
       case LessThan("doc_id", v: Number) => hi = math.min(hi, v.longValue())
-      case LessThanOrEqual("doc_id", v: Number) => hi = math.min(hi, v.longValue() + 1)
+      case LessThanOrEqual("doc_id", v: Number) => hi = math.min(hi, incSat(v.longValue()))
       case EqualTo("doc_id", v: Number) =>
-        lo = math.max(lo, v.longValue()); hi = math.min(hi, v.longValue() + 1)
+        lo = math.max(lo, v.longValue()); hi = math.min(hi, incSat(v.longValue()))
       case _ =>
     }
     pushed = supported
@@ -156,9 +165,11 @@ class SynthDocsScan(lo: Long, hi: Long, numPartitions: Int, seed: Long,
     val total = hi - lo
     if (total <= 0) return Array.empty
     val parts = math.min(numPartitions.toLong, total).toInt
+    // BigInt bounds: `i * total` overflows Long for very large row
+    // counts (garbage or inverted partitions = silent data loss)
     (0 until parts).map { i =>
-      val s = lo + i * total / parts
-      val e = lo + (i + 1) * total / parts
+      val s = lo + (BigInt(total) * i / parts).toLong
+      val e = lo + (BigInt(total) * (i + 1) / parts).toLong
       SynthDocsPartition(s, e)
     }.toArray
   }

@@ -16,8 +16,14 @@ class SynthDocsSpec extends SparkTestBase {
     df.queryExecution.explainString(ExplainMode.fromString("formatted"))
 
   test("reads the declared row count, deterministic across partitionings") {
-    val a = read(1000, parts = 4).collect().map(_.toString).sorted
-    val b = read(1000, parts = 7).collect().map(_.toString).sorted
+    val dfA = read(1000, parts = 4)
+    val dfB = read(1000, parts = 7)
+    // the numPartitions option must actually reach the planner (it
+    // arrives in ORIGINAL case — a lowercase lookup silently defaults)
+    assert(dfA.rdd.getNumPartitions === 4)
+    assert(dfB.rdd.getNumPartitions === 7)
+    val a = dfA.collect().map(_.toString).sorted
+    val b = dfB.collect().map(_.toString).sorted
     assert(a.length === 1000)
     assert(a.toSeq === b.toSeq)
   }
@@ -32,14 +38,19 @@ class SynthDocsSpec extends SparkTestBase {
 
   test("doc_id range filters push into the source and prune partitions") {
     val df = read(100000, parts = 16).filter($"doc_id" >= 90000 && $"doc_id" < 90100)
+    // both filters are FULLY handled by the source (returned as pushed,
+    // not as rest), so no Filter node remains above the scan — which
+    // makes the count a genuine pruning gate: had the source ignored
+    // the range, count() would be 100000
     val p = formatted(df)
-    assert(p.contains("PushedFilters: [GreaterThanOrEqual(doc_id,90000), LessThan(doc_id,90100)]")
-      || p.contains("range=[90000,90100)"), p)
+    assert(!p.contains("(2) Filter"), s"filters must be fully pushed:\n$p")
     assert(df.count() === 100)
-    // partition pruning: the planned scan covers only the 100-id range,
-    // so even with 16 requested partitions the job reads 100 rows total
-    val planned = df.queryExecution.executedPlan.collectLeaves().head
-    assert(planned.toString.contains("SynthDocs") || p.contains("SynthDocs"))
+    assert(df.agg(min($"doc_id"), max($"doc_id")).head.toSeq === Seq(90000L, 90099L))
+  }
+
+  test("open upper bound Long.MaxValue does not overflow the pushed range") {
+    val df = read(1000).filter($"doc_id" <= Long.MaxValue)
+    assert(df.count() === 1000)
   }
 
   test("equality pushdown yields a single-row scan") {
