@@ -21,7 +21,7 @@ object Bench {
   val Headline: Seq[String] = Seq(
     "q1_pricing_summary", "q2_revenue_by_nation", "q3_top_orders_per_segment",
     "q4_status_pivot_by_region", "q5_semi_anti", "q7_set_ops", "q8_rollup",
-    "q9_sql_correlated", "q34_percentiles",
+    "q9_sql_correlated", "q34_percentiles", "q39_cube",
     "q10_tokens_tf", "q12_tfidf", "q13_top1_similar", "q50_task1_matches",
     "q52_lang_matrix",
     "q14_dedup_exact", "q15_minhash", "q18_simhash",

@@ -294,6 +294,34 @@ object RelationalOps {
       .orderBy($"r_name", $"n_name")
   }
 
+  /** q39: CUBE — all 2² grouping combinations over (mktsegment,
+    * orderpriority), completing the grouping-sets surface (q8 covers
+    * rollup's prefix hierarchy). Same NULL→'ALL' projection so the
+    * oracle compare never sorts NULLs; one expand + one aggregate, the
+    * multi-grouping shuffle Catalyst plans for grouping sets.
+    */
+  def q39Cube(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.orders(s, dir)
+      .join(Tables.customer(s, dir), $"o_custkey" === $"c_custkey")
+      .cube($"c_mktsegment", $"o_orderpriority")
+      .agg(count(lit(1)).as("n_orders"),
+        round(exactMoneySum($"o_totalprice"), 6).as("revenue"))
+      .select(coalesce($"c_mktsegment", lit("ALL")).as("c_mktsegment"),
+        coalesce($"o_orderpriority", lit("ALL")).as("o_orderpriority"),
+        $"n_orders", $"revenue")
+      .orderBy($"c_mktsegment", $"o_orderpriority")
+  }
+
+  val q39Sql: String =
+    """SELECT COALESCE(c_mktsegment, 'ALL') AS c_mktsegment,
+      |  COALESCE(o_orderpriority, 'ALL') AS o_orderpriority,
+      |  count(*) AS n_orders,
+      |  round(CAST(sum(CAST(round(o_totalprice*10000, 0) AS BIGINT)) AS DOUBLE)/10000.0, 6) AS revenue
+      |FROM orders JOIN customer ON o_custkey = c_custkey
+      |GROUP BY CUBE (c_mktsegment, o_orderpriority)
+      |ORDER BY c_mktsegment, o_orderpriority""".stripMargin
+
   val q8Sql: String =
     """SELECT COALESCE(r_name, 'ALL') AS r_name, COALESCE(n_name, 'ALL') AS n_name,
       |  count(*) AS n_orders,
@@ -362,6 +390,7 @@ object RelationalOps {
     "q8_rollup" -> (q8Rollup _),
     "q9_sql_correlated" -> (q9SqlCorrelated _),
     "q34_percentiles" -> (q34Percentiles _),
+    "q39_cube" -> (q39Cube _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -375,5 +404,6 @@ object RelationalOps {
     "q8_rollup" -> q8Sql,
     "q9_sql_correlated" -> q9Sql,
     "q34_percentiles" -> q34Sql,
+    "q39_cube" -> q39Sql,
   )
 }
