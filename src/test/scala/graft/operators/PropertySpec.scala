@@ -1,0 +1,143 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+
+import graft.SparkTestBase
+import graft.dedup.Dedup
+
+/** Property-based equivalence: the distributed operators checked
+  * against straightforward LOCAL reference implementations on
+  * ScalaCheck-generated inputs (fixed seeds — deterministic CI). This
+  * catches the class of bug example-based specs miss: boundary values,
+  * duplicate keys, adversarial orderings.
+  */
+class PropertySpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def sample[A](g: Gen[A], seed: Long): A =
+    g.apply(Gen.Parameters.default, Seed(seed)).get
+
+  // ------------------------------------------------------- generators
+  private val edgeListGen: Gen[List[(Long, Long)]] =
+    Gen.listOfN(60, for {
+      a <- Gen.chooseNum(1L, 25L)
+      b <- Gen.chooseNum(1L, 25L)
+    } yield (a, b))
+
+  private val keyedRowsGen: Gen[List[(Long, Double)]] =
+    Gen.listOfN(120, for {
+      k <- Gen.chooseNum(1L, 8L)
+      v <- Gen.chooseNum(-1000000, 1000000) // integral → no FP tie fuzz
+    } yield (k, v.toDouble))
+
+  private val intervalGen: Gen[(List[Long], List[(Long, Long, Long)])] =
+    for {
+      pts <- Gen.listOfN(80, Gen.chooseNum(0L, 100000L))
+      ivs <- Gen.listOfN(25, for {
+        s <- Gen.chooseNum(0L, 100000L)
+        len <- Gen.chooseNum(0L, 30000L)
+      } yield (s, s + len))
+    } yield (pts, ivs.zipWithIndex.map { case ((s, e), i) => (i.toLong, s, e) })
+
+  // ------------------------------------------------------- properties
+  test("connectedComponents == local union-find on random graphs") {
+    (1L to 5L).foreach { seed =>
+      val edges = sample(edgeListGen, seed).distinct
+      val vertexIds = (1L to 25L).toList
+      // local union-find reference
+      val parent = scala.collection.mutable.Map(vertexIds.map(v => v -> v): _*)
+      def find(v: Long): Long = { var r = v; while (parent(r) != r) r = parent(r); r }
+      edges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val expected = vertexIds.map { v =>
+        // canonical label = min id in component = fully-compressed root
+        // (we always parent larger roots under smaller ones)
+        v -> find(v)
+      }.toMap
+
+      val got = Dedup.connectedComponents(
+          vertexIds.toDF("id"), edges.toDF("a", "b"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got === expected, s"seed=$seed edges=$edges")
+    }
+  }
+
+  test("TopKPerKey == local sort-take on random keyed data") {
+    (1L to 5L).foreach { seed =>
+      val rows = sample(keyedRowsGen, seed)
+      val k = 1 + (seed % 4).toInt
+      // NB .values.toList first: flatMapping a Map with pair-shaped
+      // results would rebuild a Map and silently dedup equal (key, v)
+      val expected = rows.zipWithIndex
+        .groupBy(_._1._1)
+        .values.toList
+        .flatMap { g =>
+          g.sortBy { case ((_, v), i) => (-v, i.toLong) }.take(k)
+        }.map { case ((key, v), i) => (key, v, i) }.toSet
+
+      // unique tiebreak (row index) folded into ord, mirrored locally
+      val df = rows.zipWithIndex.map { case ((key, v), i) => (key, v, i) }
+        .toDF("k", "v", "idx")
+      val ord = $"v" * 1000 - $"idx" // v integral ±1e6 → exact in double
+      val got = graft.plans.TopK.topKPerKey(df, Seq("k"), ord, k)
+        .collect().map(r => (r.getLong(0), r.getDouble(1), r.getInt(2))).toSet
+      assert(got === expected, s"seed=$seed k=$k")
+    }
+  }
+
+  test("RangeJoin == local nested loop on random points/intervals") {
+    (1L to 5L).foreach { seed =>
+      val (pts, ivs) = sample(intervalGen, seed)
+      val expected = (for {
+        (p, pi) <- pts.zipWithIndex
+        (iid, s, e) <- ivs
+        if p >= s && p < e
+      } yield (pi.toLong, iid)).toSet
+
+      val points = pts.zipWithIndex.map { case (p, i) =>
+        (i.toLong, new java.sql.Timestamp(p))
+      }.toDF("pid", "pt")
+      val intervals = ivs.map { case (iid, s, e) =>
+        (iid, new java.sql.Timestamp(s), new java.sql.Timestamp(e))
+      }.toDF("iid", "s", "e")
+      val got = RangeJoin.pointInInterval(points, "pt", intervals, "s", "e",
+          bucketMs = 7000)
+        .select($"pid", $"iid").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(got === expected, s"seed=$seed")
+    }
+  }
+
+  test("saltedJoin == plain join on random fact/dim tables") {
+    (1L to 3L).foreach { seed =>
+      val rows = sample(keyedRowsGen, seed)
+      val fact = rows.zipWithIndex.map { case ((key, v), i) => (key, v, i) }
+        .toDF("k", "v", "idx")
+      val dim = (1L to 5L).map(key => (key, s"attr$key")).toDF("k", "attr")
+      val plain = fact.join(dim, Seq("k"))
+        .select($"idx", $"attr").collect()
+        .map(r => (r.getInt(0), r.getString(1))).toSet
+      val salted = Skew.saltedJoin(fact, dim, Seq("k"), saltBuckets = 3)
+        .select($"idx", $"attr").collect()
+        .map(r => (r.getInt(0), r.getString(1))).toSet
+      assert(salted === plain, s"seed=$seed")
+    }
+  }
+
+  test("trainTestSplit partitions any random id set exactly") {
+    (1L to 3L).foreach { seed =>
+      val ids = sample(Gen.listOfN(200, Gen.chooseNum(Long.MinValue + 1, Long.MaxValue)), seed)
+        .distinct
+      val df = ids.toDF("id")
+      val (train, test) = Sampling.trainTestSplit(df, "id", 0.3, seed)
+      val trainIds = train.select($"id").collect().map(_.getLong(0)).toSet
+      val testIds = test.select($"id").collect().map(_.getLong(0)).toSet
+      assert((trainIds intersect testIds).isEmpty)
+      assert((trainIds union testIds) === ids.toSet)
+    }
+  }
+}
