@@ -154,6 +154,29 @@ object StreamingOps {
         col("click_ts"), col("imp_ts"))
   }
 
+  /** Streaming → partitioned lake: lands a stream in the same
+    * hive-partitioned parquet layout [[graft.io.Sinks.writePartitioned]]
+    * produces for batch, via `foreachBatch` — the bridge that lets a
+    * micro-batch reuse BATCH-only writer features (the salt repartition
+    * against hot partition values, dynamic file sizing) that the native
+    * streaming file sink lacks. Exactly-once per micro-batch comes from
+    * the checkpointed batch id; the write itself is append-mode.
+    */
+  def streamToPartitionedLake(stream: DataFrame, path: String,
+      checkpointDir: String, partitionCols: Seq[String],
+      filesPerPartition: Int = 1): org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val salt = pmod(xxhash64(struct(batch.columns.map(col): _*)),
+          lit(filesPerPartition.toLong))
+        batch.repartition(partitionCols.map(col) :+ salt: _*)
+          .write.mode("append")
+          .partitionBy(partitionCols: _*)
+          .parquet(path)
+      }
+      .start()
+
   /** Convenience: run a streaming query over `transformed` into an
     * in-memory table and block until all available input is processed
     * (test/dev harness; production would use a real sink + trigger).

@@ -109,6 +109,28 @@ class StreamingOpsSpec extends SparkTestBase {
     assert(streamed === Set((1L, 20L, 11L), (2L, 21L, 12L)))
   }
 
+  test("streamToPartitionedLake lands micro-batches as a partitioned parquet layout") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, Timestamp, Long, String, Double)]
+    val dir = java.nio.file.Files.createTempDirectory("graft_lake_").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_ckpt_").toString
+    val df = input.toDF.toDF("event_id", "ts", "user_id", "event_type", "value")
+    val q = StreamingOps.streamToPartitionedLake(df, dir, ckpt, Seq("event_type"))
+    input.addData(
+      (1L, ts(0), 1L, "click", 1.0), (2L, ts(1), 2L, "view", 2.0),
+      (3L, ts(2), 1L, "click", 3.0))
+    q.processAllAvailable()
+    input.addData((4L, ts(3), 3L, "view", 4.0)) // second micro-batch appends
+    q.processAllAvailable()
+    q.stop()
+    val back = spark.read.parquet(dir)
+    assert(back.count() === 4)
+    val dirs = new java.io.File(dir).listFiles().filter(_.isDirectory)
+      .map(_.getName).filter(_.startsWith("event_type=")).sorted
+    assert(dirs.toSeq === Seq("event_type=click", "event_type=view"))
+    assert(back.filter($"event_type" === "click").count() === 2)
+  }
+
   test("stateful sessionization emits closed sessions; matches batch semantics") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[StreamingOps.Event]
