@@ -46,13 +46,18 @@ object Sinks {
     * retries write identical splits.
     */
   def writePartitioned(df: DataFrame, path: String, partitionCols: Seq[String],
-      maxRecordsPerFile: Long = 1000000L, filesPerPartition: Int = 1): Unit = {
+      maxRecordsPerFile: Long = 1000000L, filesPerPartition: Int = 1,
+      dynamicOverwrite: Boolean = false): Unit = {
     import org.apache.spark.sql.functions._
     require(filesPerPartition > 0, "filesPerPartition must be positive")
     val salt = pmod(xxhash64(struct(df.columns.map(col): _*)),
       lit(filesPerPartition.toLong))
+    // dynamicOverwrite: replace ONLY the partitions present in df (the
+    // idempotent-replay mode the streaming bridge needs); default
+    // static overwrite replaces the whole path
     df.repartition(partitionCols.map(col) :+ salt: _*)
       .write.mode("overwrite")
+      .option("partitionOverwriteMode", if (dynamicOverwrite) "dynamic" else "static")
       .option("maxRecordsPerFile", maxRecordsPerFile)
       .partitionBy(partitionCols: _*)
       .parquet(path)

@@ -147,10 +147,13 @@ object Multimodal {
       lit(maxW.toDouble) / col("width"),
       lit(maxH.toDouble) / col("height"),
       lit(1.0)) // never upscale
+    // targets from the UNROUNDED scale (rounding first drops a pixel —
+    // e.g. width 1919 → floor(1919·0.333507)=639 instead of the exact
+    // 640 fit); only the reported scale column is rounded for display
     meta
+      .withColumn("target_w", greatest(floor(col("width") * scale), lit(1)).cast("int"))
+      .withColumn("target_h", greatest(floor(col("height") * scale), lit(1)).cast("int"))
       .withColumn("scale", round(scale, 6))
-      .withColumn("target_w", greatest(floor(col("width") * col("scale")), lit(1)).cast("int"))
-      .withColumn("target_h", greatest(floor(col("height") * col("scale")), lit(1)).cast("int"))
       .drop("kind")
   }
 

@@ -154,26 +154,29 @@ object StreamingOps {
         col("click_ts"), col("imp_ts"))
   }
 
-  /** Streaming → partitioned lake: lands a stream in the same
-    * hive-partitioned parquet layout [[graft.io.Sinks.writePartitioned]]
-    * produces for batch, via `foreachBatch` — the bridge that lets a
-    * micro-batch reuse BATCH-only writer features (the salt repartition
-    * against hot partition values, dynamic file sizing) that the native
-    * streaming file sink lacks. Exactly-once per micro-batch comes from
-    * the checkpointed batch id; the write itself is append-mode.
+  /** Streaming → partitioned lake via `foreachBatch` +
+    * [[graft.io.Sinks.writePartitioned]] (one writer implementation —
+    * salt repartition against hot partition values, maxRecordsPerFile —
+    * shared with batch). IDEMPOTENT under micro-batch replay: rows are
+    * sub-partitioned by the checkpointed `__batch_id` and written with
+    * DYNAMIC partition overwrite, so a batch that re-runs after a
+    * mid-write failure replaces exactly its own partitions instead of
+    * appending duplicates — this is what makes the checkpoint's
+    * at-least-once replay effectively exactly-once in the lake.
+    * Readers see an extra `__batch_id` column (prunable; drop it or
+    * treat it as lineage metadata).
     */
   def streamToPartitionedLake(stream: DataFrame, path: String,
       checkpointDir: String, partitionCols: Seq[String],
-      filesPerPartition: Int = 1): org.apache.spark.sql.streaming.StreamingQuery =
+      filesPerPartition: Int = 1,
+      maxRecordsPerFile: Long = 1000000L): org.apache.spark.sql.streaming.StreamingQuery =
     stream.writeStream
       .option("checkpointLocation", checkpointDir)
-      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
-        val salt = pmod(xxhash64(struct(batch.columns.map(col): _*)),
-          lit(filesPerPartition.toLong))
-        batch.repartition(partitionCols.map(col) :+ salt: _*)
-          .write.mode("append")
-          .partitionBy(partitionCols: _*)
-          .parquet(path)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        graft.io.Sinks.writePartitioned(
+          batch.withColumn("__batch_id", lit(batchId)),
+          path, partitionCols :+ "__batch_id",
+          maxRecordsPerFile, filesPerPartition, dynamicOverwrite = true)
       }
       .start()
 

@@ -129,6 +129,8 @@ class StreamingOpsSpec extends SparkTestBase {
       .map(_.getName).filter(_.startsWith("event_type=")).sorted
     assert(dirs.toSeq === Seq("event_type=click", "event_type=view"))
     assert(back.filter($"event_type" === "click").count() === 2)
+    // rows are batch-id-scoped (the dynamic-overwrite idempotency key)
+    assert(back.select($"__batch_id").distinct().count() === 2)
   }
 
   test("stateful sessionization emits closed sessions; matches batch semantics") {
