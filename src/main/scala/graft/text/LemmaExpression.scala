@@ -37,6 +37,105 @@ object LemmaRules {
     if (l eq s) w else UTF8String.fromString(l)
   }
 
+  // ----------------------------------------------------- POS-aware path
+  /** Wordnet POS classes, as the reference's `get_wordnet_pos` maps
+    * treebank tags (lab2.py:102–114): J*→'a', V*→'v', N*→'n', R*→'r',
+    * default 'n'.
+    */
+  final val PosAdj = 'a'
+  final val PosVerb = 'v'
+  final val PosNoun = 'n'
+  final val PosAdv = 'r'
+
+  /** Map a Penn-treebank tag to the wordnet POS — the exact U1 mapping
+    * of the reference (lab2.py:102–114).
+    */
+  def treebankToWordnet(tag: String): Char =
+    if (tag.isEmpty) PosNoun
+    else tag.charAt(0) match {
+      case 'J' => PosAdj
+      case 'V' => PosVerb
+      case 'N' => PosNoun
+      case 'R' => PosAdv
+      case _ => PosNoun
+    }
+
+  /** Heuristic suffix POS tagger standing in for the reference's NLTK
+    * perceptron (not reproducible offline on the JVM — SURVEY §7.4.1):
+    * emits treebank-shaped tags so [[treebankToWordnet]] is exercised
+    * with the reference's own mapping. Default NN mirrors the
+    * reference's noun default.
+    */
+  def heuristicTreebankTag(w: String): String =
+    if (w.endsWith("ly")) "RB"
+    else if (w.endsWith("ing") || w.endsWith("ed")) "VBG"
+    else if (w.endsWith("ous") || w.endsWith("ful") || w.endsWith("ive") ||
+      w.endsWith("ic") || w.endsWith("able") || w.endsWith("ible")) "JJ"
+    else "NN"
+
+  /** POS-aware lemma: detachment rules gated by the word's wordnet POS
+    * (morphy applies noun rules to nouns, verb rules to verbs, …) —
+    * e.g. the noun "building" is NOT stripped to "build" unless tagged
+    * as a verb; adjectives keep -er/-est handling; adverbs pass
+    * through (wordnet has no -ly detachment).
+    */
+  def lemmaPos(w: String, pos: Char): String = {
+    val e = exceptions.get(w)
+    if (e != null) return e
+    pos match {
+      case PosNoun => detachNoun(w)
+      case PosVerb => detachVerb(w)
+      case PosAdj => detachAdj(w)
+      case _ => w
+    }
+  }
+
+  /** Tag-then-lemmatize, the reference's per-token shape
+    * (lab2.py:126–129): heuristic tag → wordnet POS → POS-gated rules.
+    */
+  def lemmaTagged(w: String): String =
+    lemmaPos(w, treebankToWordnet(heuristicTreebankTag(w)))
+
+  def lemmaTaggedUtf8(w: UTF8String): UTF8String = {
+    val s = w.toString
+    val l = lemmaTagged(s)
+    if (l eq s) w else UTF8String.fromString(l)
+  }
+
+  private def ok(s: String) = s.length >= 2
+
+  private def detachNoun(w: String): String =
+    if (w.endsWith("ies") && ok(w.dropRight(3)))       w.dropRight(3) + "y"
+    else if (w.endsWith("sses"))                       w.dropRight(2)
+    else if (w.endsWith("shes") || w.endsWith("ches")) w.dropRight(2)
+    else if (w.endsWith("xes") || w.endsWith("zes"))   w.dropRight(2)
+    else if (w.endsWith("ss"))                         w
+    else if (w.endsWith("s") && !w.endsWith("us") && !w.endsWith("is") && ok(w.dropRight(1)))
+      w.dropRight(1)
+    else w
+
+  private def detachVerb(w: String): String =
+    if (w.endsWith("ying") && ok(w.dropRight(4)))      w.dropRight(4) + "ie"
+    else if (w.endsWith("ing") && w.length > 5) {
+      val stem = w.dropRight(3)
+      if (stem.length >= 3 && stem(stem.length - 1) == stem(stem.length - 2)) stem.dropRight(1)
+      else stem
+    }
+    else if (w.endsWith("ied") && ok(w.dropRight(3)))  w.dropRight(3) + "y"
+    else if (w.endsWith("ed") && w.length > 4) {
+      val stem = w.dropRight(2)
+      if (stem.length >= 3 && stem(stem.length - 1) == stem(stem.length - 2)) stem.dropRight(1)
+      else stem
+    }
+    else if (w.endsWith("s") && !w.endsWith("ss") && !w.endsWith("us") && !w.endsWith("is") && ok(w.dropRight(1)))
+      w.dropRight(1) // third-person singular
+    else w
+
+  private def detachAdj(w: String): String =
+    if (w.endsWith("est") && w.length > 5)             w.dropRight(3)
+    else if (w.endsWith("er") && w.length > 4)         w.dropRight(2)
+    else w
+
   private def detach(w: String): String = {
     // noun/verb detachment rules, longest-suffix first; keep result only
     // if it stays a plausible stem (>= 2 chars).
@@ -73,7 +172,8 @@ object LemmaRules {
   * and stays inside the generated pipeline, consistent with the repo's
   * HoF findings in SCALE.md). Null tokens and null arrays pass through.
   */
-case class LemmatizeTokens(child: Expression) extends UnaryExpression {
+case class LemmatizeTokens(child: Expression, posAware: Boolean = false)
+    extends UnaryExpression {
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
     case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
@@ -82,7 +182,11 @@ case class LemmatizeTokens(child: Expression) extends UnaryExpression {
   }
 
   override def dataType: DataType = ArrayType(StringType, containsNull = true)
-  override def prettyName: String = "lemmatize_tokens"
+  override def prettyName: String =
+    if (posAware) "lemmatize_tokens_pos" else "lemmatize_tokens"
+
+  private def one(w: UTF8String): UTF8String =
+    if (posAware) LemmaRules.lemmaTaggedUtf8(w) else LemmaRules.lemmaUtf8(w)
 
   override def nullSafeEval(input: Any): Any = {
     val a = input.asInstanceOf[ArrayData]
@@ -90,7 +194,7 @@ case class LemmatizeTokens(child: Expression) extends UnaryExpression {
     val out = new Array[AnyRef](n)
     var i = 0
     while (i < n) {
-      out(i) = if (a.isNullAt(i)) null else LemmaRules.lemmaUtf8(a.getUTF8String(i))
+      out(i) = if (a.isNullAt(i)) null else one(a.getUTF8String(i))
       i += 1
     }
     new GenericArrayData(out)
@@ -101,12 +205,13 @@ case class LemmatizeTokens(child: Expression) extends UnaryExpression {
       val n = ctx.freshName("n")
       val i = ctx.freshName("i")
       val vals = ctx.freshName("vals")
+      val fn = if (posAware) "lemmaTaggedUtf8" else "lemmaUtf8"
       s"""
          |int $n = $a.numElements();
          |UTF8String[] $vals = new UTF8String[$n];
          |for (int $i = 0; $i < $n; $i++) {
          |  $vals[$i] = $a.isNullAt($i) ? null
-         |    : graft.text.LemmaRules.lemmaUtf8($a.getUTF8String($i));
+         |    : graft.text.LemmaRules.$fn($a.getUTF8String($i));
          |}
          |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($vals);
        """.stripMargin

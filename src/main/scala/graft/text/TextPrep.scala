@@ -110,3 +110,20 @@ object RuleLemmatizer extends Lemmatizer {
     org.apache.spark.sql.GraftSqlApi.column(
       LemmatizeTokens(org.apache.spark.sql.GraftSqlApi.expr(tokens)))
 }
+
+/** POS-aware lemmatization (SURVEY U1, the reference's tag→lemmatize
+  * shape, lab2.py:102–138): each token is tagged by a heuristic
+  * treebank-suffix tagger (stand-in for NLTK's perceptron — not
+  * reproducible offline), mapped with the reference's EXACT
+  * `get_wordnet_pos` mapping (J*→a, V*→v, N*→n, R*→r, default n),
+  * then lemmatized with detachment rules GATED by that POS — nouns
+  * don't lose -ing, adverbs pass through. Same codegen column path as
+  * [[RuleLemmatizer]].
+  */
+object PosAwareLemmatizer extends Lemmatizer {
+  def lemma(w: String): String = LemmaRules.lemmaTagged(w)
+
+  def apply(tokens: Column): Column =
+    org.apache.spark.sql.GraftSqlApi.column(
+      LemmatizeTokens(org.apache.spark.sql.GraftSqlApi.expr(tokens), posAware = true))
+}

@@ -79,6 +79,14 @@ class Lab2PipelineSpec extends SparkTestBase {
     assert(r.matches.count() > 0)
   }
 
+  test("pipeline runs with the POS-aware lemmatizer (U1 tag->lemmatize shape)") {
+    val r = Lab2Pipeline.run(spark, papersPath, stopwords,
+      lemmatizer = graft.text.PosAwareLemmatizer)
+    val acc = r.accuracy.head.getDouble(0)
+    assert(acc >= 0.8, s"POS-lemmatized accuracy degraded: $acc")
+    assert(r.matches.count() > 0)
+  }
+
   test("mismatch sample has at most 5 enriched rows") {
     val s = result.mismatchSample.collect()
     assert(s.length <= 5)

@@ -58,6 +58,36 @@ class TextPrepSpec extends SparkTestBase {
     assert(!plan.contains("ScalaUDF"), plan)
   }
 
+  test("POS mapping matches the reference's get_wordnet_pos exactly") {
+    // lab2.py:102–114: J*→a, V*→v, N*→n, R*→r, default n
+    assert(LemmaRules.treebankToWordnet("JJ") === 'a')
+    assert(LemmaRules.treebankToWordnet("JJR") === 'a')
+    assert(LemmaRules.treebankToWordnet("VBG") === 'v')
+    assert(LemmaRules.treebankToWordnet("NN") === 'n')
+    assert(LemmaRules.treebankToWordnet("NNS") === 'n')
+    assert(LemmaRules.treebankToWordnet("RB") === 'r')
+    assert(LemmaRules.treebankToWordnet("DT") === 'n') // default noun
+    assert(LemmaRules.treebankToWordnet("") === 'n')
+  }
+
+  test("POS-aware lemmatizer gates detachment rules by tag") {
+    // verbs: -ing/-ed strip; the -ly adverb passes through untouched
+    assert(PosAwareLemmatizer.lemma("running") === "run")
+    assert(PosAwareLemmatizer.lemma("walked") === "walk")
+    assert(PosAwareLemmatizer.lemma("quickly") === "quickly")
+    // default-noun words get only noun rules: plural strips, -er does NOT
+    // (comparative handling requires an adjective tag)
+    assert(PosAwareLemmatizer.lemma("vectors") === "vector")
+    assert(PosAwareLemmatizer.lemma("cluster") === "cluster")
+    // exceptions dominate tagging
+    assert(PosAwareLemmatizer.lemma("children") === "child")
+    // column path runs codegen'd, like the plain rule lemmatizer
+    val out = Seq(Seq("running", "vectors", "quickly")).toDF("toks")
+      .select(PosAwareLemmatizer($"toks").as("l"))
+    assert(out.head.getSeq[String](0) === Seq("run", "vector", "quickly"))
+    assert(!out.queryExecution.executedPlan.toString.contains("ScalaUDF"))
+  }
+
   test("identity lemmatizer is a no-op on columns") {
     val r = Seq(Seq("cats", "ran")).toDF("toks")
       .select(IdentityLemmatizer($"toks")).head.getSeq[String](0)
