@@ -27,7 +27,7 @@ object Bench {
     "q14_dedup_exact", "q15_minhash", "q18_simhash",
     "q20_lsh_top1_banded", "q21_knn_bruteforce", "q22_lsh_buckets",
     "q25_lang_id", "q26_quality", "q27_token_counts", "q28_fingerprints",
-    "q29_curation", "q37_sequence_packing",
+    "q29_curation", "q37_sequence_packing", "q42_unigram_logprob",
     "q30_event_window_agg", "q31_sessionize", "q32_event_dedup",
     "q33_asof_attribution", "q35_json_extract", "q36_range_join_campaigns",
     "q38_trailing_window",

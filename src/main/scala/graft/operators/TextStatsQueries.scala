@@ -189,6 +189,30 @@ object TextStatsQueries {
        |       (n_tokens >= 10 AND distinct_ratio >= 0.1 AND alpha_ratio >= 0.6) AS keep
        |FROM feat ORDER BY doc_id""".stripMargin
 
+  // ---------------------------------------------------------------- q42
+  /** Corpus-self-scored unigram LM: per-doc mean −log10 p(token).
+    * High scores mark improbable-token outliers (the garbage a
+    * pre-training filter drops); ranked here so the oracle also gates
+    * the ordering contract.
+    */
+  def q42UnigramLogprob(s: SparkSession, dir: String): DataFrame =
+    TextStats.unigramLogProb(Tables.documents(s, dir), "doc_id", "text")
+      .orderBy(col("doc_id"))
+
+  val q42Sql: String =
+    """WITH toks AS (
+      |  SELECT doc_id, word FROM (
+      |    SELECT doc_id, unnest(string_split(trim(regexp_replace(lower(text), '(\d|\W)+', ' ', 'g')), ' ')) AS word
+      |    FROM documents)
+      |  WHERE word <> ''),
+      |counts AS (SELECT word, count(*) AS wc FROM toks GROUP BY word),
+      |total AS (SELECT count(*) AS n FROM toks)
+      |SELECT t.doc_id,
+      |  count(*) AS n_tokens,
+      |  round(avg(-log10(CAST(c.wc AS DOUBLE) / total.n)), 6) AS avg_neg_logprob
+      |FROM toks t JOIN counts c USING (word) CROSS JOIN total
+      |GROUP BY t.doc_id ORDER BY t.doc_id""".stripMargin
+
   // ---------------------------------------------------------------- q27
   /** Token counts per doc rolled up per source (corpus accounting). */
   def q27TokenCounts(s: SparkSession, dir: String): DataFrame = {
@@ -237,6 +261,7 @@ object TextStatsQueries {
     "q25_lang_id" -> (q25LangId _),
     "q29_curation" -> (q29Curation _),
     "q37_sequence_packing" -> (q37SequencePacking _),
+    "q42_unigram_logprob" -> (q42UnigramLogprob _),
     "q26_quality" -> (q26Quality _),
     "q27_token_counts" -> (q27TokenCounts _),
     "q28_fingerprints" -> (q28Fingerprints _),
@@ -246,6 +271,7 @@ object TextStatsQueries {
     "q25_lang_id" -> q25Sql,
     "q29_curation" -> q29Sql,
     "q37_sequence_packing" -> q37Sql,
+    "q42_unigram_logprob" -> q42Sql,
     "q26_quality" -> q26Sql,
     "q27_token_counts" -> q27Sql,
     "q28_fingerprints" -> q28Sql,

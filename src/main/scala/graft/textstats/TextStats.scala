@@ -101,6 +101,33 @@ object TextStats {
         (col("alpha_ratio") >= 0.6))
   }
 
+  /** Unigram language-model score per document — the KenLM-shaped
+    * curation signal without the external model: the LM is the corpus'
+    * own unigram distribution `p(w) = count(w) / total`, and a doc's
+    * score is the mean negative log10 probability of its tokens
+    * (high = improbable tokens = likely garbage; low = stopword-heavy
+    * fluent text). Self-scored LMs flag exactly the outlier docs a
+    * pre-training filter drops first.
+    *
+    * Scale shape: one token explode feeding two aggregates — the
+    * unigram table is vocabulary-sized (broadcastable at any corpus
+    * size), the per-doc mean is a partial-combined grouped avg; join
+    * is inner on word (every token is in the vocab by construction).
+    */
+  def unigramLogProb(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = df.select(col(idCol).as("doc_id"),
+        explode(split(TextPrep.normalize(col(textCol)), " ")).as("word"))
+      .filter(col("word") =!= "")
+    val counts = toks.groupBy(col("word")).agg(count(lit(1)).as("wc"))
+    val total = toks.count()
+    toks.join(broadcast(counts), Seq("word"))
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_tokens"),
+        round(avg(-log(10.0, col("wc").cast("double") / total.toDouble)), 6)
+          .as("avg_neg_logprob"))
+  }
+
   /** Whitespace and BPE-ish token counts per document. The BPE-ish
     * tokenizer is the public GPT-2-style pre-tokenization shape:
     * letter runs | digit runs | single non-space symbol.

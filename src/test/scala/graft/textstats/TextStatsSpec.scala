@@ -27,6 +27,17 @@ class TextStatsSpec extends SparkTestBase {
     assert(r(7L) === "fr")
   }
 
+  test("unigram LM: improbable-token docs score higher than common-token docs") {
+    val corpus = Seq(
+      (1L, "the cat and the dog and the cat and the dog"),
+      (2L, "the dog and the cat and the dog and the cat"),
+      (3L, "zyx qwv pfft glorp zyx wibble")).toDF("doc_id", "text")
+    val r = TextStats.unigramLogProb(corpus, "doc_id", "text")
+      .collect().map(x => x.getLong(0) -> x.getDouble(2)).toMap
+    assert(r(3L) > r(1L), s"outlier must score higher: $r")
+    assert(math.abs(r(1L) - r(2L)) < 1e-9) // same token multiset → same score
+  }
+
   test("quality: repetitive and non-alpha docs are filtered") {
     val bad = Seq(
       (1L, "word word word word word word word word word word word word"),
