@@ -21,7 +21,11 @@ object LemmaRules {
       "men" -> "man", "women" -> "woman", "children" -> "child",
       "feet" -> "foot", "teeth" -> "tooth", "mice" -> "mouse",
       "geese" -> "goose", "better" -> "good", "worse" -> "bad",
-      "ran" -> "run", "took" -> "take", "went" -> "go"
+      "ran" -> "run", "took" -> "take", "went" -> "go",
+      // -ying irregulars are a closed class — a "ying"→"ie" suffix rule
+      // would corrupt regular verbs (studying→studie) while its length
+      // guards reject exactly these three
+      "dying" -> "die", "lying" -> "lie", "tying" -> "tie"
     ).foreach { case (k, v) => m.put(k, v) }
     m
   }
@@ -64,11 +68,15 @@ object LemmaRules {
     * perceptron (not reproducible offline on the JVM — SURVEY §7.4.1):
     * emits treebank-shaped tags so [[treebankToWordnet]] is exercised
     * with the reference's own mapping. Default NN mirrors the
-    * reference's noun default.
+    * reference's noun default. Deliberately does NOT tag -er/-est as
+    * adjectives — the suffix is too ambiguous (cluster, paper, water
+    * are nouns), so comparative/superlative detachment is reachable
+    * only via caller-supplied tags through [[lemmaPos]].
     */
   def heuristicTreebankTag(w: String): String =
     if (w.endsWith("ly")) "RB"
-    else if (w.endsWith("ing") || w.endsWith("ed")) "VBG"
+    else if (w.endsWith("ing")) "VBG"
+    else if (w.endsWith("ed")) "VBD"
     else if (w.endsWith("ous") || w.endsWith("ful") || w.endsWith("ive") ||
       w.endsWith("ic") || w.endsWith("able") || w.endsWith("ible")) "JJ"
     else "NN"
@@ -76,7 +84,8 @@ object LemmaRules {
   /** POS-aware lemma: detachment rules gated by the word's wordnet POS
     * (morphy applies noun rules to nouns, verb rules to verbs, …) —
     * e.g. the noun "building" is NOT stripped to "build" unless tagged
-    * as a verb; adjectives keep -er/-est handling; adverbs pass
+    * as a verb; adjectives get -er/-est handling (reachable with
+    * caller-supplied tags — see [[heuristicTreebankTag]]); adverbs pass
     * through (wordnet has no -ly detachment).
     */
   def lemmaPos(w: String, pos: Char): String = {
@@ -104,6 +113,17 @@ object LemmaRules {
 
   private def ok(s: String) = s.length >= 2
 
+  /** Porter-style undoubling after -ing/-ed/-er detachment: strip the
+    * doubled final consonant (running→run) UNLESS it is l/s/z, which
+    * double legitimately in stems (falling→fall, passing→pass,
+    * buzzing→buzz).
+    */
+  private def undouble(stem: String): String =
+    if (stem.length >= 3 && stem(stem.length - 1) == stem(stem.length - 2) &&
+      !"lsz".contains(stem(stem.length - 1)) && stem(stem.length - 1).isLetter)
+      stem.dropRight(1)
+    else stem
+
   private def detachNoun(w: String): String =
     if (w.endsWith("ies") && ok(w.dropRight(3)))       w.dropRight(3) + "y"
     else if (w.endsWith("sses"))                       w.dropRight(2)
@@ -115,53 +135,31 @@ object LemmaRules {
     else w
 
   private def detachVerb(w: String): String =
-    if (w.endsWith("ying") && ok(w.dropRight(4)))      w.dropRight(4) + "ie"
-    else if (w.endsWith("ing") && w.length > 5) {
-      val stem = w.dropRight(3)
-      if (stem.length >= 3 && stem(stem.length - 1) == stem(stem.length - 2)) stem.dropRight(1)
-      else stem
-    }
+    if (w.endsWith("ing") && w.length > 5)             undouble(w.dropRight(3))
     else if (w.endsWith("ied") && ok(w.dropRight(3)))  w.dropRight(3) + "y"
-    else if (w.endsWith("ed") && w.length > 4) {
-      val stem = w.dropRight(2)
-      if (stem.length >= 3 && stem(stem.length - 1) == stem(stem.length - 2)) stem.dropRight(1)
-      else stem
-    }
+    else if (w.endsWith("ed") && w.length > 4)         undouble(w.dropRight(2))
     else if (w.endsWith("s") && !w.endsWith("ss") && !w.endsWith("us") && !w.endsWith("is") && ok(w.dropRight(1)))
       w.dropRight(1) // third-person singular
     else w
 
   private def detachAdj(w: String): String =
-    if (w.endsWith("est") && w.length > 5)             w.dropRight(3)
-    else if (w.endsWith("er") && w.length > 4)         w.dropRight(2)
+    if (w.endsWith("est") && w.length > 5)             undouble(w.dropRight(3))
+    else if (w.endsWith("er") && w.length > 4)         undouble(w.dropRight(2))
     else w
 
+  /** Untagged detachment: the noun → verb → adjective rule chain in the
+    * original longest-suffix-first order (first matching arm wins —
+    * identical arm ordering to the pre-refactor single function, so
+    * [[RuleLemmatizer]] semantics are preserved modulo the undoubling
+    * and -ying fixes).
+    */
   private def detach(w: String): String = {
-    // noun/verb detachment rules, longest-suffix first; keep result only
-    // if it stays a plausible stem (>= 2 chars).
-    def ok(s: String) = s.length >= 2
-    if (w.endsWith("ies") && ok(w.dropRight(3)))      w.dropRight(3) + "y"
-    else if (w.endsWith("sses"))                      w.dropRight(2)
-    else if (w.endsWith("shes") || w.endsWith("ches")) w.dropRight(2)
-    else if (w.endsWith("xes") || w.endsWith("zes"))  w.dropRight(2)
-    else if (w.endsWith("ss"))                        w
-    else if (w.endsWith("s") && !w.endsWith("us") && !w.endsWith("is") && ok(w.dropRight(1)))
-      w.dropRight(1)
-    else if (w.endsWith("ying") && ok(w.dropRight(4))) w.dropRight(4) + "ie"
-    else if (w.endsWith("ing") && w.length > 5) {
-      val stem = w.dropRight(3)
-      if (stem.length >= 3 && stem(stem.length - 1) == stem(stem.length - 2)) stem.dropRight(1)
-      else stem
+    val n = detachNoun(w)
+    if (n ne w) n
+    else {
+      val v = detachVerb(w)
+      if (v ne w) v else detachAdj(w)
     }
-    else if (w.endsWith("ied") && ok(w.dropRight(3))) w.dropRight(3) + "y"
-    else if (w.endsWith("ed") && w.length > 4) {
-      val stem = w.dropRight(2)
-      if (stem.length >= 3 && stem(stem.length - 1) == stem(stem.length - 2)) stem.dropRight(1)
-      else stem
-    }
-    else if (w.endsWith("est") && w.length > 5)       w.dropRight(3)
-    else if (w.endsWith("er") && w.length > 4)        w.dropRight(2)
-    else w
   }
 }
 

@@ -117,8 +117,10 @@ object RuleLemmatizer extends Lemmatizer {
   * reproducible offline), mapped with the reference's EXACT
   * `get_wordnet_pos` mapping (J*→a, V*→v, N*→n, R*→r, default n),
   * then lemmatized with detachment rules GATED by that POS — nouns
-  * don't lose -ing, adverbs pass through. Same codegen column path as
-  * [[RuleLemmatizer]].
+  * don't lose -ing, adverbs pass through; -er/-est detachment requires
+  * a caller-supplied adjective tag via `LemmaRules.lemmaPos` (the
+  * suffix is too ambiguous for the heuristic tagger). Same codegen
+  * column path as [[RuleLemmatizer]].
   */
 object PosAwareLemmatizer extends Lemmatizer {
   def lemma(w: String): String = LemmaRules.lemmaTagged(w)

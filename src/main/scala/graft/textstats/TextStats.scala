@@ -109,22 +109,26 @@ object TextStats {
     * fluent text). Self-scored LMs flag exactly the outlier docs a
     * pre-training filter drops first.
     *
-    * Scale shape: one token explode feeding two aggregates — the
-    * unigram table is vocabulary-sized (broadcastable at any corpus
-    * size), the per-doc mean is a partial-combined grouped avg; join
-    * is inner on word (every token is in the vocab by construction).
+    * Scale shape: one token explode feeding two aggregates. The token
+    * TOTAL is derived lazily from the vocabulary aggregate (a one-row
+    * cross join), not an eager count() — no third corpus pass, no job
+    * at construction time. The vocab join is left to AQE: the unigram
+    * table is usually broadcast-sized but grows with unique garbage
+    * tokens, so a forced broadcast hint would be the OOM hazard at
+    * open-web corpus scale; AQE picks broadcast when it fits.
     */
   def unigramLogProb(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val toks = df.select(col(idCol).as("doc_id"),
         explode(split(TextPrep.normalize(col(textCol)), " ")).as("word"))
       .filter(col("word") =!= "")
     val counts = toks.groupBy(col("word")).agg(count(lit(1)).as("wc"))
-    val total = toks.count()
-    toks.join(broadcast(counts), Seq("word"))
+    val totals = counts.agg(sum(col("wc")).cast("double").as("total"))
+    toks.join(counts, Seq("word"))
+      .crossJoin(totals) // one row
       .groupBy(col("doc_id"))
       .agg(
         count(lit(1)).as("n_tokens"),
-        round(avg(-log(10.0, col("wc").cast("double") / total.toDouble)), 6)
+        round(avg(-log(10.0, col("wc").cast("double") / col("total"))), 6)
           .as("avg_neg_logprob"))
   }
 

@@ -41,6 +41,13 @@ class TextPrepSpec extends SparkTestBase {
     assert(RuleLemmatizer.lemma("children") === "child")
     assert(RuleLemmatizer.lemma("glass") === "glass")   // -ss not a plural
     assert(RuleLemmatizer.lemma("analysis") === "analysis") // -is kept
+    // undoubling keeps legitimate l/s/z doubles, strips the rest
+    assert(RuleLemmatizer.lemma("falling") === "fall")
+    assert(RuleLemmatizer.lemma("passing") === "pass")
+    assert(RuleLemmatizer.lemma("stopped") === "stop")
+    // regular -ying verbs strip to -y; the irregulars are exceptions
+    assert(RuleLemmatizer.lemma("studying") === "study")
+    assert(RuleLemmatizer.lemma("dying") === "die")
   }
 
   test("LemmatizeTokens expression == Scala-side lemma map, null-safe, codegen'd") {
@@ -81,6 +88,12 @@ class TextPrepSpec extends SparkTestBase {
     assert(PosAwareLemmatizer.lemma("cluster") === "cluster")
     // exceptions dominate tagging
     assert(PosAwareLemmatizer.lemma("children") === "child")
+    // undoubling in the POS path too
+    assert(PosAwareLemmatizer.lemma("falling") === "fall")
+    // -er/-est detachment needs an EXPLICIT adjective tag (the suffix
+    // is too ambiguous for the heuristic tagger: cluster, paper, water)
+    assert(LemmaRules.lemmaPos("bigger", 'a') === "big")
+    assert(PosAwareLemmatizer.lemma("paper") === "paper")
     // column path runs codegen'd, like the plain rule lemmatizer
     val out = Seq(Seq("running", "vectors", "quickly")).toDF("toks")
       .select(PosAwareLemmatizer($"toks").as("l"))
