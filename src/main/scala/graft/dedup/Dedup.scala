@@ -216,11 +216,20 @@ object Dedup {
       .persist()
     var labels = vertices.select(col("id"), col("id").as("component"))
       .localCheckpoint(true)
+    // FRONTIER optimization: a vertex's neighbor-min can only improve
+    // through a neighbor whose label DECREASED last round, so the
+    // edge-sized join runs against the frontier, not the full label
+    // table — after the first rounds the frontier collapses and the
+    // per-round edge work shrinks with it (the vertex-sized jump join
+    // stays full; it is what propagates older decreases transitively).
+    // Invariant: the frontier holds every vertex whose label decreased
+    // in the previous round (initially: everyone).
+    var frontier = labels
     var iter = 0
     var done = false
     while (!done && iter < maxIter) {
       val nbrMin = sym
-        .join(labels.select(col("id").as("dst"), col("component")), Seq("dst"))
+        .join(frontier.select(col("id").as("dst"), col("component")), Seq("dst"))
         .groupBy(col("src")).agg(min(col("component")).as("nbr_min"))
         .select(col("src").as("id"), col("nbr_min"))
       val stepped = labels.join(nbrMin, Seq("id"), "left")
@@ -235,9 +244,12 @@ object Dedup {
           least(col("component"), coalesce(col("root"), col("component")))
             .as("component"))
         .localCheckpoint(true) // truncate lineage across rounds
-      val changed = next
+      frontier = next
         .join(labels.select(col("id"), col("component").as("prev")), Seq("id"))
-        .filter(col("component") < col("prev")).count()
+        .filter(col("component") < col("prev"))
+        .select(col("id"), col("component"))
+        .localCheckpoint(true)
+      val changed = frontier.count()
       labels = next
       done = changed == 0
       iter += 1
