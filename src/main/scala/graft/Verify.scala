@@ -7,15 +7,31 @@ object Verify {
   def main(args: Array[String]): Unit = {
     val Array(sfDir, outDir) = args
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    // scheduler mode is a SparkContext-creation conf (a local property
+    // would be a no-op). NB spark.scheduler.mode=FAIR alone is NOT
+    // enough: jobs all land in the single "default" pool, whose
+    // INTRA-pool mode is FIFO unless an allocation file says otherwise —
+    // so we materialize a one-pool FAIR allocation file. With it, the
+    // concurrent dump threads' jobs round-robin fairly instead of
+    // head-of-line blocking behind one heavy query.
+    val poolsXml = Files.createTempFile("graft-fair-pools", ".xml")
+    Files.writeString(poolsXml,
+      """<?xml version="1.0"?>
+        |<allocations>
+        |  <pool name="default">
+        |    <schedulingMode>FAIR</schedulingMode>
+        |    <weight>1</weight>
+        |    <minShare>0</minShare>
+        |  </pool>
+        |</allocations>
+        |""".stripMargin)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
-      // scheduler mode is a SparkContext-creation conf (a local property
-      // would be a no-op): FAIR keeps one heavy query's jobs from
-      // head-of-line-blocking the other dump threads' stages
       .config("spark.scheduler.mode", "FAIR")
+      .config("spark.scheduler.allocation.file", poolsXml.toString)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()

@@ -151,7 +151,17 @@ object Ann {
       .filter(if (excludeSelf) col("qid") =!= col("nid") else lit(true))
       .select(col("qid"), col("nid"),
         round(VectorFunctions.dot(col("qv"), col("nv")), 6).as("cos"))
-    val ord = round(col("cos") * 1e6) * lit(4294967296L) - col("nid")
+    // The encoding is collision-free only while 0 <= nid < 2^32 (and the
+    // combined magnitude stays under double's 2^53 integer range, which
+    // |cos| <= 1 guarantees). Enforce the id bound IN the expression —
+    // zero extra jobs, and an out-of-range id fails the task instead of
+    // silently mis-ranking.
+    val nidInRange = col("nid") >= 0L && col("nid") < lit(4294967296L)
+    val ord = when(nidInRange, round(col("cos") * 1e6) * lit(4294967296L) - col("nid"))
+      .otherwise(raise_error(concat(
+        lit("bruteForceTopKViaOperator: nid outside [0, 2^32), ord encoding "
+          + "would collide — use bruteForceTopK for this id domain (nid="),
+        col("nid").cast("string"), lit(")"))))
     val top = graft.plans.TopK.topKPerKey(pairs, Seq("qid"), ord, k)
     val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("nid").asc)
     top.withColumn("rk", row_number().over(w).cast("long"))

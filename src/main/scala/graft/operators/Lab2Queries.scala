@@ -19,8 +19,14 @@ import graft.app.Lab2Pipeline
   */
 object Lab2Queries {
 
-  val PapersPath = "/root/repo/src/test/resources/papers.jsonl"
-  val StopwordsPath = "/root/repo/src/test/resources/stopwords.txt"
+  // Fixtures resolve against the working directory (sbt runs from the
+  // repo root), not a hardcoded checkout location; the ABSOLUTE resolved
+  // path is interpolated into both the pipeline read and the oracle SQL
+  // so the two always agree.
+  val PapersPath: String =
+    new java.io.File("src/test/resources/papers.jsonl").getAbsolutePath
+  val StopwordsPath: String =
+    new java.io.File("src/test/resources/stopwords.txt").getAbsolutePath
 
   lazy val stopwords: Seq[String] = {
     val src = scala.io.Source.fromFile(StopwordsPath)
@@ -28,15 +34,23 @@ object Lab2Queries {
   }
 
   // one pipeline run per session: q54 and q55 share the Result (matches
-  // is persisted inside run). Builder synchronized — TrieMap's
-  // getOrElseUpdate publishes atomically but may evaluate the thunk in
-  // TWO racing threads (Verify dumps concurrently), and the loser's
-  // persisted frames would leak for the session's lifetime.
+  // is persisted inside run). Keyed by the SESSION OBJECT in a
+  // WeakHashMap — identity hash codes can collide across sessions and
+  // would pin persisted frames for the JVM's lifetime; weak keys let a
+  // closed session's entry (and its persisted frames) be collected with
+  // the session itself. Builder synchronized: concurrent first calls
+  // (Verify dumps in parallel) must not double-build and leak the
+  // loser's persisted frames.
   private val cache =
-    scala.collection.concurrent.TrieMap[Int, Lab2Pipeline.Result]()
+    new java.util.WeakHashMap[SparkSession, Lab2Pipeline.Result]()
   private def result(s: SparkSession): Lab2Pipeline.Result = cache.synchronized {
-    cache.getOrElseUpdate(System.identityHashCode(s),
-      Lab2Pipeline.run(s, PapersPath, stopwords))
+    val hit = cache.get(s)
+    if (hit != null) hit
+    else {
+      val r = Lab2Pipeline.run(s, PapersPath, stopwords)
+      cache.put(s, r)
+      r
+    }
   }
 
   // ---------------------------------------------------------------- q54

@@ -41,14 +41,21 @@ object RangeJoin {
     val endBkt = floor(unix_millis(col(endCol)) / bucketMs)
     // fail fast on pathological intervals (open-ended sentinels like
     // 9999-12-31 would ask sequence() for tens of millions of elements
-    // in ONE row) instead of OOMing the task mid-job
+    // in ONE row) instead of OOMing the task mid-job. Inverted intervals
+    // (end < start, e.g. a 1970 sentinel end) are just as dangerous the
+    // other way: their span is negative — it passes a one-sided span
+    // check, and sequence(start, stop) with stop < start counts DOWN,
+    // generating |span|+1 elements. No point can satisfy
+    // start <= p < end when end < start, so such rows are dropped
+    // (explode of the null branch), matching the exact predicate.
     val guardedEnd = when(endBkt - startBkt <= maxSpanBuckets, endBkt)
       .otherwise(raise_error(concat(
         lit(s"pointInInterval: interval spans more than $maxSpanBuckets buckets "),
         lit("(start="), col(startCol).cast("string"),
         lit(", end="), col(endCol).cast("string"),
         lit(s", bucketMs=$bucketMs); raise bucketMs or maxSpanBuckets, or clamp the interval"))))
-    val iv = intervals.withColumn(Bkt, explode(sequence(startBkt, guardedEnd)))
+    val iv = intervals.withColumn(Bkt,
+      explode(when(endBkt >= startBkt, sequence(startBkt, guardedEnd))))
     p.join(iv, Seq(Bkt))
       .filter(col(ptCol) >= col(startCol) && col(ptCol) < col(endCol))
       .drop(Bkt)

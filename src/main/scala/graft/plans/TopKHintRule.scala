@@ -19,6 +19,16 @@ import org.apache.spark.sql.types.IntegerType
   * the LAST name is the ordering column, the ones before it are the
   * grouping keys.
   *
+  * '''Determinism contract — the ordering column must be STRICT (no
+  * ties) within a key.''' The heap drops an incoming row whose ord
+  * EQUALS the current heap minimum, so with tied ord values the
+  * retained rows depend on encounter order — and, with the partial
+  * pass, on physical partitioning. Callers needing stable output fold a
+  * unique tie-break into the ordering column the way
+  * [[graft.ann.Ann.bruteForceTopKViaOperator]] does
+  * (`round(cos*1e6) * 2^32 - id`); `row_number()`-style positional
+  * tie-breaking is exactly what this operator avoids paying for.
+  *
   * Registered through `GraftExtensions.injectResolutionRule`, so it
   * runs in the analyzer's main resolution batch — BEFORE Spark's
   * "Remove Unresolved Hints" cleanup discards unrecognized hints with

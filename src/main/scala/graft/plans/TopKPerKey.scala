@@ -59,6 +59,18 @@ object TopKStrategy extends SparkStrategy {
   *
   * A partial pass is always safe: any row outside its partition's
   * top-k is outside the global top-k too.
+  *
+  * '''Memory bound''': the partial pass sees arbitrary input
+  * partitioning, so worst case every key appears in every partition
+  * and the heap map grows O(distinct keys × k) per task. When the map
+  * exceeds `spark.graft.topk.maxPartialKeys` (default 100k) distinct
+  * keys it is FLUSHED to the output iterator and cleared — safe because
+  * the final pass merges duplicate-key survivors; the flush only trades
+  * some combine ratio for bounded memory (the aggregate-buffer
+  * fallback-to-sort analog, without the sort). The final pass never
+  * flushes: after the exchange each key lives in exactly one partition,
+  * so its map is O(keys-in-partition × k) and a flush would break the
+  * top-k contract.
   */
 case class TopKPerKeyExec(keys: Seq[Expression], ord: Expression, k: Int,
     child: SparkPlan, partial: Boolean = false) extends UnaryExecNode {
@@ -69,8 +81,22 @@ case class TopKPerKeyExec(keys: Seq[Expression], ord: Expression, k: Int,
     if (partial) super.requiredChildDistribution
     else ClusteredDistribution(keys) :: Nil
 
+  override lazy val metrics: Map[String, org.apache.spark.sql.execution.metric.SQLMetric] = Map(
+    "numOutputRows" -> org.apache.spark.sql.execution.metric.SQLMetrics
+      .createMetric(sparkContext, "number of output rows"),
+    "partialFlushes" -> org.apache.spark.sql.execution.metric.SQLMetrics
+      .createMetric(sparkContext, "partial heap-map flushes"))
+
+  /** Distinct keys held in one partial task's heap map before a flush. */
+  val maxPartialKeys: Int =
+    conf.getConfString("spark.graft.topk.maxPartialKeys", "100000").toInt
+
   override protected def doExecute(): RDD[InternalRow] = {
     val childOutput = child.output
+    val isPartial = partial
+    val flushKeys = maxPartialKeys
+    val outRows = longMetric("numOutputRows")
+    val flushes = longMetric("partialFlushes")
     child.execute().mapPartitions { it =>
       val keyProj = UnsafeProjection.create(keys, childOutput)
       val ordExpr = BindReferences.bindReference(ord, childOutput)
@@ -78,7 +104,7 @@ case class TopKPerKeyExec(keys: Seq[Expression], ord: Expression, k: Int,
       val heaps = mutable.HashMap.empty[UnsafeRow, mutable.PriorityQueue[(Double, InternalRow)]]
       implicit val minOrd: Ordering[(Double, InternalRow)] =
         Ordering.by[(Double, InternalRow), Double](-_._1)
-      it.foreach { row =>
+      def insert(row: InternalRow): Unit = {
         val ordVal = ordExpr.eval(row) match {
           case null => Double.NegativeInfinity
           case n: java.lang.Number => n.doubleValue()
@@ -99,8 +125,31 @@ case class TopKPerKeyExec(keys: Seq[Expression], ord: Expression, k: Int,
           case _ => // below the current top-k: drop
         }
       }
-      heaps.iterator.flatMap { case (_, h) =>
-        h.toSeq.sortBy(-_._1).iterator.map(_._2)
+      // drain the heap map (≤ heaps.size × k rows — bounded) and clear it
+      def drain(): Iterator[InternalRow] = {
+        val rows = heaps.valuesIterator
+          .flatMap(h => h.toSeq.sortBy(-_._1).map(_._2)).toArray
+        heaps.clear()
+        rows.iterator
+      }
+      new Iterator[InternalRow] {
+        private var out: Iterator[InternalRow] = Iterator.empty
+        def hasNext: Boolean = {
+          while (!out.hasNext && it.hasNext) {
+            insert(it.next())
+            if (isPartial && heaps.size > flushKeys) {
+              out = drain()
+              flushes += 1
+            }
+          }
+          if (!out.hasNext && heaps.nonEmpty) out = drain()
+          out.hasNext
+        }
+        def next(): InternalRow = {
+          if (!hasNext) throw new NoSuchElementException("empty iterator")
+          outRows += 1
+          out.next()
+        }
       }
     }
   }

@@ -91,7 +91,9 @@ object Similarity {
     * Requires numeric ids. Exposed via [[argmaxAdaptive]].
     */
   def denseArgmax(left: DataFrame, right: DataFrame,
-      excludeSelf: Boolean = false, selfJoinOpt: Option[Boolean] = None): DataFrame = {
+      excludeSelf: Boolean = false, selfJoinOpt: Option[Boolean] = None,
+      maxDenseVocab: Long = 2048, maxDenseBytes: Long = 64L << 20,
+      precollectedVocab: Option[Array[String]] = None): DataFrame = {
     val spark = left.sparkSession
     graft.functions.VectorFunctions.register(spark)
     // Self-join shortcut (densify once, rename) is an explicit contract:
@@ -102,8 +104,19 @@ object Similarity {
     val selfJoin = selfJoinOpt.getOrElse(left eq right)
     val wordSrc = if (selfJoin) left.select(col("word"))
       else left.select(col("word")).unionAll(right.select(col("word")))
-    val words = wordSrc.distinct().orderBy(col("word"))
-      .collect().map(_.getString(0)) // precondition: small vocabulary
+    // Preconditions ENFORCED here, not only in [[argmaxAdaptive]]: a
+    // direct caller must not be able to ship gigabytes to the driver.
+    // The vocab collect is limit-bounded (TakeOrderedAndProject — one
+    // job, driver memory capped at maxDenseVocab+1 words) and fails
+    // loudly when the vocabulary exceeds the bound.
+    val limitN = (maxDenseVocab + 1).min(Int.MaxValue.toLong).toInt
+    val words = precollectedVocab.getOrElse {
+      wordSrc.distinct().orderBy(col("word")).limit(limitN)
+        .collect().map(_.getString(0))
+    }
+    require(words.length <= maxDenseVocab,
+      s"denseArgmax: vocabulary exceeds maxDenseVocab=$maxDenseVocab — " +
+        "use the inverted-index strategy (argmaxAdaptive) for large vocabularies")
     val dim = words.length
     import spark.implicits._
     val vocab = broadcast(words.zipWithIndex.toSeq.toDF("word", "idx"))
@@ -131,8 +144,22 @@ object Similarity {
     // Ranking contract identical: (sim rounded 6dp desc, r_id asc),
     // zero dots excluded; winner's sim re-rounded with the same
     // HALF_UP BigDecimal rule Spark's round() uses.
+    //
+    // The collect itself is byte-bounded WITHOUT an extra counting job:
+    // collect through limit(maxRows+1) (CollectLimit — per-partition
+    // limits, driver memory capped at maxDenseBytes + one row) and fail
+    // if the limit truncated. maxRows+1 rows back ⇒ the right side was
+    // bigger than the bound; ≤ maxRows rows back ⇒ the limit was a
+    // no-op and the array is the COMPLETE set.
+    val maxRows = if (dim == 0) Long.MaxValue else maxDenseBytes / (dim.toLong * 8L)
+    val limitRows = (math.min(maxRows, Int.MaxValue.toLong - 1L) + 1L).toInt
     val rRows: Array[(Long, Array[Double])] =
-      r.collect().map(row => (row.getLong(0), row.getSeq[Double](1).toArray))
+      r.limit(limitRows).collect()
+        .map(row => (row.getLong(0), row.getSeq[Double](1).toArray))
+    require(rRows.length <= maxRows,
+      s"denseArgmax: dense right side exceeds maxDenseBytes=$maxDenseBytes " +
+        s"(> $maxRows rows × $dim dims × 8 B) — use argmaxAdaptive, which falls " +
+        "back to the inverted-index strategy above the byte bound")
     val bc = spark.sparkContext.broadcast(rRows)
     import spark.implicits._
     l.as[(Long, Array[Double])].mapPartitions { it =>
@@ -177,21 +204,38 @@ object Similarity {
     // collect at denseArgmax ships rows × dim × 8B doubles to the driver
     // and every executor, so the guard must bound bytes, not rows —
     // 200k rows × 2048 dims would be 3.3 GB. dim is known after the
-    // vocab count, so no extra job is needed.
+    // vocab collect, so no extra job is needed.
+    //
+    // ONE vocab pass, not two: the gate collects the distinct vocab
+    // through limit(maxDenseVocab+1) (TakeOrderedAndProject — bounded
+    // driver memory, single job) and branches on the array length;
+    // ≤ maxDenseVocab entries back means the limit was a no-op and the
+    // SAME array feeds denseArgmax (which previously re-collected the
+    // identical distinct set — one of the ~8 fixed-latency driver jobs
+    // in the q13/q50 decomposition, see SCALE.md).
     import org.apache.spark.sql.types._
     val integralIds = Seq(left, right).forall(_.schema("id").dataType match {
       case ByteType | ShortType | IntegerType | LongType => true
       case _ => false
     })
-    val vocabCount =
-      if (!integralIds) Long.MaxValue
-      else left.select(col("word")).unionAll(right.select(col("word")))
-        .distinct().count()
-    val denseBytes =
-      if (vocabCount > maxDenseVocab) Long.MaxValue
-      else right.select(col("id")).distinct().count() * vocabCount * 8L
-    if (vocabCount <= maxDenseVocab && denseBytes <= maxDenseBytes)
-      denseArgmax(left, right, excludeSelf, selfJoinOpt = Some(left eq right))
+    val vocab: Option[Array[String]] =
+      if (!integralIds) None
+      else {
+        val limitN = (maxDenseVocab + 1).min(Int.MaxValue.toLong).toInt
+        val arr = left.select(col("word")).unionAll(right.select(col("word")))
+          .distinct().orderBy(col("word")).limit(limitN)
+          .collect().map(_.getString(0))
+        if (arr.length <= maxDenseVocab) Some(arr) else None
+      }
+    val denseBytes = vocab match {
+      case Some(words) =>
+        right.select(col("id")).distinct().count() * words.length.toLong * 8L
+      case None => Long.MaxValue
+    }
+    if (vocab.isDefined && denseBytes <= maxDenseBytes)
+      denseArgmax(left, right, excludeSelf, selfJoinOpt = Some(left eq right),
+        maxDenseVocab = maxDenseVocab, maxDenseBytes = maxDenseBytes,
+        precollectedVocab = vocab)
     else {
       val sims0 = invertedIndexJoin(left, right)
       val sims = (if (excludeSelf) sims0.filter(col("l_id") =!= col("r_id")) else sims0)

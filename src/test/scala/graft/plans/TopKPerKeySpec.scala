@@ -70,4 +70,34 @@ class TopKPerKeySpec extends SparkTestBase {
       .select($"v").collect().map(r => Option(r.get(0)))
     assert(!top2.contains(None))
   }
+
+  test("partial pass flushes above the key threshold with correct results") {
+    // 5000 distinct keys, 4 rows each, flush threshold 64: every partial
+    // task must flush repeatedly (bounded heap map), and the final pass
+    // must still reduce the multiply-flushed survivors to the exact
+    // per-key top-2. Strict ord: v dominates, i breaks ties.
+    val prev = spark.conf.getOption("spark.graft.topk.maxPartialKeys")
+    spark.conf.set("spark.graft.topk.maxPartialKeys", "64")
+    try {
+      val df = spark.range(20000).select(
+        (col("id") % 5000).as("k"),
+        (col("id") * 2654435761L % 1000).as("v"),
+        col("id").as("i"))
+      val ord = col("v") * 100000 + col("i")
+      val viaCustom = TopK.topKPerKey(df, Seq("k"), ord, 2)
+        .select(col("k"), col("i")).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      val w = Window.partitionBy(col("k")).orderBy(ord.desc)
+      val viaWindow = df.withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 2).select(col("k"), col("i")).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(viaCustom === viaWindow)
+      assert(viaCustom.size === 10000) // 5000 keys × 2
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set("spark.graft.topk.maxPartialKeys", v)
+        case None => spark.conf.unset("spark.graft.topk.maxPartialKeys")
+      }
+    }
+  }
 }
