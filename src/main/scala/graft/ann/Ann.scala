@@ -223,38 +223,64 @@ object Ann {
     (assigned, centroids)
   }
 
-  /** IVF top-k: each query probes its `nprobe` nearest centroids (tiny
-    * broadcast cross join — kClusters rows), candidates are the corpus
-    * vectors assigned to those clusters (equi-join on `cluster`, the
-    * IVF replacement for the full scan), then exact re-scoring and the
-    * deterministic (cos desc, nid asc) ranking. Recall/cost dial:
-    * nprobe/kClusters is the fraction of the corpus scanned.
+  /** IVF index BUILD — the offline half of the build/probe split. Fits
+    * KMeans once, then persists the index to `indexDir`:
+    *
+    *  - `assignments/` — the inverted file: (vec_id, embedding, cluster)
+    *    written `partitionBy("cluster")`, so each cluster is its own
+    *    directory of parquet and a probe's `cluster` filter prunes
+    *    partitions (the on-disk analog of FAISS's inverted lists);
+    *  - `centroids/` — (cluster, centroid array<double>), kClusters rows.
+    *
+    * At 100 TB this runs as a scheduled indexing job; queries call
+    * [[ivfProbe]] and never touch `fit`. Embeddings are stored IN the
+    * inverted file so probes don't re-join the corpus.
     */
-  def ivfTopK(queries: DataFrame, corpus: DataFrame, k: Int,
-      kClusters: Int, nprobe: Int, seed: Long = 42L): DataFrame = {
-    VectorFunctions.register(queries.sparkSession)
+  def ivfBuild(corpus: DataFrame, indexDir: String, kClusters: Int,
+      seed: Long = 42L): Unit = {
     val (assigned, centroids) = ivfIndex(corpus, kClusters, seed)
-    // nearest centroids by squared L2 = |q|²+|c|²−2q·c; |q|² is constant
-    // per query, so rank on |c|²−2q·c
+    corpus.select(col("vec_id"), col("embedding"))
+      .join(assigned, Seq("vec_id"))
+      .repartition(col("cluster"))
+      .write.mode("overwrite").partitionBy("cluster")
+      .parquet(s"$indexDir/assignments")
+    centroids.write.mode("overwrite").parquet(s"$indexDir/centroids")
+  }
+
+  /** IVF top-k PROBE over a persisted index — never calls `fit`. Each
+    * query ranks the kClusters broadcast centroids by squared L2
+    * (|c|²−2q·c; |q|² is constant per query) and probes its `nprobe`
+    * nearest; candidates are the inverted-file rows of those clusters
+    * (a broadcast equi-join on the PARTITION column, so the scan reads
+    * only the probed cluster directories), then exact re-scoring and
+    * the deterministic (cos desc, nid asc) ranking. Recall/cost dial:
+    * nprobe/kClusters is the fraction of the corpus scanned.
+    * dist is rounded to 6dp before ranking (tie-break cluster asc) so
+    * the probe set is oracle-stable.
+    */
+  def ivfProbe(queries: DataFrame, indexDir: String, k: Int,
+      nprobe: Int): DataFrame = {
+    val spark = queries.sparkSession
+    VectorFunctions.register(spark)
+    val assigned = spark.read.parquet(s"$indexDir/assignments")
+    val centroids = spark.read.parquet(s"$indexDir/centroids")
     val cent = centroids.select(col("cluster"), col("centroid"),
       VectorFunctions.dotD(col("centroid"), col("centroid")).as("cnorm"))
     val q = queries.select(col("vec_id").as("qid"),
-      col("embedding").cast("array<double>").as("qv"))
+      col("embedding").cast("array<double>").as("qv"),
+      col("embedding").as("qe"))
     val wProbe = Window.partitionBy(col("qid"))
       .orderBy(col("dist").asc, col("cluster").asc)
     val probes = q.crossJoin(broadcast(cent))
-      .withColumn("dist",
-        col("cnorm") - lit(2.0) * VectorFunctions.dotD(col("qv"), col("centroid")))
+      .withColumn("dist", round(
+        col("cnorm") - lit(2.0) * VectorFunctions.dotD(col("qv"), col("centroid")), 6))
       .withColumn("pr", row_number().over(wProbe))
       .filter(col("pr") <= nprobe)
-      .select(col("qid"), col("cluster"))
-    val cands = probes
-      .join(assigned.withColumnRenamed("vec_id", "nid"), Seq("cluster"))
+      .select(col("qid"), col("qe"), col("cluster"))
+    val scored = broadcast(probes)
+      .join(assigned.select(col("vec_id").as("nid"), col("embedding").as("ne"),
+        col("cluster")), Seq("cluster"))
       .filter(col("qid") =!= col("nid"))
-      .select(col("qid"), col("nid")) // one cluster per vector → no dups
-    val scored = cands
-      .join(queries.select(col("vec_id").as("qid"), col("embedding").as("qe")), Seq("qid"))
-      .join(corpus.select(col("vec_id").as("nid"), col("embedding").as("ne")), Seq("nid"))
       .select(col("qid"), col("nid"),
         round(VectorFunctions.dot(col("qe"), col("ne")), 6).as("cos"))
     val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("nid").asc)

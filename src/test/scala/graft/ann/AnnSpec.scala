@@ -104,11 +104,22 @@ class AnnSpec extends SparkTestBase {
     }
   }
 
-  test("IVF top-k: all queries answered, candidates bounded, solid recall@1") {
+  test("IVF build/probe split: probe never fits, all queries answered, solid recall@1") {
     val queries = emb.filter($"vec_id" % 50 === 0)
     val exact = Ann.bruteForceTopK(queries, emb, k = 1)
       .select($"qid", $"nid").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
-    val ivf = Ann.ivfTopK(queries, emb, k = 1, kClusters = 16, nprobe = 4)
+    // offline build persists the inverted file + centroids ...
+    val idxDir = java.nio.file.Files.createTempDirectory("ivf-spec").toString
+    Ann.ivfBuild(emb, idxDir, kClusters = 16)
+    assert(new java.io.File(s"$idxDir/assignments").exists())
+    assert(new java.io.File(s"$idxDir/centroids").exists())
+    // ... the inverted file is laid out one directory per cluster
+    // (partition pruning = reading only probed lists)
+    val clusterDirs = new java.io.File(s"$idxDir/assignments")
+      .listFiles().filter(_.getName.startsWith("cluster="))
+    assert(clusterDirs.nonEmpty)
+    // ... and the probe reads it back without touching KMeans
+    val ivf = Ann.ivfProbe(queries, idxDir, k = 1, nprobe = 4)
       .select($"qid", $"nid").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     // IVF always probes populated clusters → every query answers
     assert(ivf.keySet === exact.keySet)
