@@ -12,7 +12,8 @@ import org.apache.spark.sql.SparkSession
   * sf0.01 oracle gate still runs them), q19 (its input IS q16's pair
   * set: measured at sf0.1, 77 of 86 s is edge generation on this
   * deliberately self-similar corpus, 16 s the CC loop over the
-  * resulting 4M edges — see SCALE.md), queries that are strict
+  * resulting 4M edges — see SCALE.md; q44 benches the CC loop itself
+  * on a linear-size chain+random graph instead), queries that are strict
   * prefixes/aggregations of included ones (q6, q11, q23, q51, q53),
   * and the fixture-sized q54/q55 (input does not scale with sf).
   */
@@ -32,7 +33,7 @@ object Bench {
     "q33_asof_attribution", "q35_json_extract", "q36_range_join_campaigns",
     "q38_trailing_window",
     "q40_media_metadata", "q41_media_feature_rollup",
-    "q43_ivf_topk")
+    "q43_ivf_topk", "q44_cc_synth")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -143,6 +143,68 @@ object DedupQueries {
        |FROM reach GROUP BY id ORDER BY doc_id""".stripMargin
   }
 
+  // ---------------------------------------------------------------- q44
+  /** Connected components over a LINEAR-size synthetic graph — the
+    * benchmarkable CC entry. q19's input is q16's near-dup pair set,
+    * which is deliberately self-similar (quadratic pair volume), so
+    * q19's bench cost is edge GENERATION, not the CC loop. This query
+    * builds a deterministic edge table that is O(n) in `documents` and
+    * specifically exercises the pointer-jumping optimization:
+    *
+    *  - '''chain''' edges (i, i+1) except at 100-boundaries → paths of
+    *    length 100 (diameter 100: neighbor-min alone would need 100
+    *    rounds; min-label + pointer jumping converges in O(log 100));
+    *  - '''jump''' edges (i, (i·2654435761) mod n) for every 7th node →
+    *    a pseudo-random graph mixed in (Knuth multiplicative hash —
+    *    plain integer arithmetic, bit-identical in DuckDB).
+    *
+    * Oracle: the q19 recursive-CTE closure over the same edge set.
+    */
+  def q44CcSynth(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir).select(col("doc_id"))
+    val n = docs.agg((max(col("doc_id")) + 1).as("n"))
+    val chain = docs.as("x").join(docs.as("y"),
+        col("x.doc_id") + 1 === col("y.doc_id"))
+      .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
+      .filter(col("a") % 100 =!= 99)
+    val jump = docs.crossJoin(n)
+      .filter(col("doc_id") % 7 === 0)
+      .select(col("doc_id").as("a"),
+        (col("doc_id") * lit(2654435761L) % col("n")).as("b"))
+      .filter(col("a") =!= col("b"))
+      // keep targets that exist as vertices (no-op on contiguous ids,
+      // but keeps Spark/oracle semantics aligned by construction)
+      .join(docs.select(col("doc_id").as("b")), Seq("b"), "left_semi")
+      .select(col("a"), col("b"))
+    val edges = chain.unionAll(jump)
+    Dedup.connectedComponents(docs.select(col("doc_id").as("id")), edges)
+      .select(col("id").as("doc_id"), col("component"))
+      .orderBy(col("doc_id"))
+  }
+
+  val q44Sql: String =
+    """WITH RECURSIVE
+      |nn AS (SELECT max(doc_id) + 1 AS n FROM documents),
+      |chain AS (
+      |  SELECT x.doc_id AS a, y.doc_id AS b
+      |  FROM documents x JOIN documents y ON y.doc_id = x.doc_id + 1
+      |  WHERE x.doc_id % 100 <> 99),
+      |jump AS (
+      |  SELECT j.a, j.b FROM (
+      |    SELECT d.doc_id AS a, (d.doc_id * 2654435761) % nn.n AS b
+      |    FROM documents d CROSS JOIN nn WHERE d.doc_id % 7 = 0) j
+      |  JOIN documents t ON t.doc_id = j.b
+      |  WHERE j.a <> j.b),
+      |edges AS (SELECT a, b FROM chain UNION ALL SELECT a, b FROM jump),
+      |sym AS (SELECT a AS src, b AS dst FROM edges
+      |        UNION ALL SELECT b AS src, a AS dst FROM edges),
+      |reach(id, comp) AS (
+      |  SELECT doc_id, doc_id FROM documents
+      |  UNION
+      |  SELECT e.dst, r.comp FROM reach r JOIN sym e ON e.src = r.id)
+      |SELECT id AS doc_id, CAST(min(comp) AS BIGINT) AS component
+      |FROM reach GROUP BY id ORDER BY doc_id""".stripMargin
+
   // ---------------------------------------------------------------- q17
   /** Exact all-pairs n-gram Jaccard (word 2-gram shingles), thresholded —
     * the brute-force spec the LSH path approximates.
@@ -209,6 +271,7 @@ object DedupQueries {
     "q15_minhash" -> (q15Minhash _),
     "q16_lsh_near_dups" -> (q16LshNearDups _),
     "q19_dup_clusters" -> (q19DupClusters _),
+    "q44_cc_synth" -> (q44CcSynth _),
     "q17_shingle_jaccard" -> (q17ShingleJaccard _),
     "q18_simhash" -> (q18Simhash _),
   )
@@ -218,6 +281,7 @@ object DedupQueries {
     "q15_minhash" -> q15Sql,
     "q16_lsh_near_dups" -> q16Sql,
     "q19_dup_clusters" -> q19Sql,
+    "q44_cc_synth" -> q44Sql,
     "q17_shingle_jaccard" -> q17Sql,
     "q18_simhash" -> q18Sql,
   )
