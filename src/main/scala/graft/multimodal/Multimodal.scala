@@ -54,6 +54,25 @@ object Multimodal {
     }
   }
 
+  /** REAL image decoder over `javax.imageio` (JDK-builtin, offline-safe):
+    * decodes actual PNG/JPEG/GIF/BMP bytes — width/height from the
+    * decoded raster, channels = raster band count (RGB → 3, grayscale
+    * → 1), duration 0 (still image). Non-image kinds delegate to
+    * `fallback` (audio/video codecs are not in the JDK), so one decoder
+    * instance still serves a mixed-kind asset table. Per-partition
+    * instantiation contract identical to [[FakeDecoder]]; ImageIO is
+    * display-free (no headless concerns on executors).
+    */
+  class ImageIoDecoder(fallback: MediaDecoder = FakeDecoder) extends MediaDecoder {
+    def decode(kind: String, payload: Array[Byte]): (Int, Int, Long, Int) =
+      if (kind == "image") {
+        val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
+        require(img != null,
+          "ImageIoDecoder: ImageIO could not decode payload (unsupported format or corrupt bytes)")
+        (img.getWidth, img.getHeight, 0L, img.getRaster.getNumBands)
+      } else fallback.decode(kind, payload)
+  }
+
   /** Synthesize a deterministic media table from `documents`: payload =
     * 16-byte header + utf8 text bytes; kind cycles image/audio/video.
     * Gives the pipeline real binary columns with skewed sizes.

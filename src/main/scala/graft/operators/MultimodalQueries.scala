@@ -69,11 +69,51 @@ object MultimodalQueries {
       |  max(channels) AS max_channels
       |FROM feat GROUP BY kind ORDER BY kind""".stripMargin
 
+  // ---------------------------------------------------------------- q45
+  /** REAL decode path: checked-in PNG fixtures (17×9 RGB, 64×32 RGB,
+    * 1×1 grayscale — generated deterministically, dims known a priori)
+    * read via the `binaryFile` source and decoded by
+    * [[Multimodal.ImageIoDecoder]] (javax.imageio) inside the same
+    * per-partition decoder contract as [[Multimodal.featurize]]. The
+    * oracle pins the expected (name, width, height, channels) — a
+    * decoder that misparses IHDR, drops a file, or miscounts raster
+    * bands hash-mismatches. This closes the "decoder is a stub" gap:
+    * q40/q41 verify the synthetic-header plumbing; q45 verifies a
+    * genuine JDK image decode. (The query reads a fixed fixture dir —
+    * like q54/q55 it ignores sfDir by design.)
+    */
+  val MediaFixtureDir: String =
+    new java.io.File("src/test/resources/media").getAbsolutePath
+
+  def q45MediaDecode(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val files = s.read.format("binaryFile").load(s"$MediaFixtureDir/*.png")
+      .select(col("path"), col("content")).as[(String, Array[Byte])]
+    val decoder = new Multimodal.ImageIoDecoder()
+    files.mapPartitions { it =>
+      val d = decoder // per-partition decoder init (codec warm-up analog)
+      it.map { case (path, bytes) =>
+        val (w, h, _, ch) = d.decode("image", bytes)
+        (path.substring(path.lastIndexOf('/') + 1), w, h, ch)
+      }
+    }.toDF("name", "width", "height", "channels")
+      .orderBy(col("name"))
+  }
+
+  val q45Sql: String =
+    """SELECT * FROM (VALUES
+      |  ('gray_1x1.png', 1, 1, 1),
+      |  ('rgb_17x9.png', 17, 9, 3),
+      |  ('rgb_64x32.png', 64, 32, 3)) t(name, width, height, channels)
+      |ORDER BY name""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q40_media_metadata" -> (q40MediaMetadata _),
-    "q41_media_feature_rollup" -> (q41MediaFeatureRollup _))
+    "q41_media_feature_rollup" -> (q41MediaFeatureRollup _),
+    "q45_media_decode" -> (q45MediaDecode _))
 
   val oracles: Map[String, String] = Map(
     "q40_media_metadata" -> q40Sql,
-    "q41_media_feature_rollup" -> q41Sql)
+    "q41_media_feature_rollup" -> q41Sql,
+    "q45_media_decode" -> q45Sql)
 }

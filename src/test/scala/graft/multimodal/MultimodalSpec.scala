@@ -70,6 +70,39 @@ class MultimodalSpec extends SparkTestBase {
     assert(f.forall(_.frame_bytes.length <= 32))
   }
 
+  test("ImageIoDecoder: real PNG fixtures decode to known dims and bands") {
+    val dir = new java.io.File("src/test/resources/media")
+    val d = new Multimodal.ImageIoDecoder()
+    def decode(name: String) = {
+      val bytes = java.nio.file.Files.readAllBytes(new java.io.File(dir, name).toPath)
+      d.decode("image", bytes)
+    }
+    assert(decode("rgb_17x9.png") === ((17, 9, 0L, 3)))
+    assert(decode("rgb_64x32.png") === ((64, 32, 0L, 3)))
+    assert(decode("gray_1x1.png") === ((1, 1, 0L, 1)))
+  }
+
+  test("ImageIoDecoder: JPEG round-trip through ImageIO and fallback for non-image kinds") {
+    // write a real JPEG in-memory (no fixture needed) and decode it back
+    val img = new java.awt.image.BufferedImage(23, 11,
+      java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
+    (0 until 11).foreach(y => (0 until 23).foreach(x =>
+      img.setRGB(x, y, (x * 7 + y * 13) % 0xffffff)))
+    val bos = new java.io.ByteArrayOutputStream()
+    assert(javax.imageio.ImageIO.write(img, "jpg", bos))
+    val d = new Multimodal.ImageIoDecoder()
+    val (w, h, dur, ch) = d.decode("image", bos.toByteArray)
+    assert((w, h, dur, ch) === ((23, 11, 0L, 3)))
+    // non-image kinds delegate to the fallback (synthetic-header stub)
+    val synth = assets.filter($"kind" === "audio").as[Multimodal.MediaAsset].head()
+    assert(d.decode(synth.kind, synth.payload) ===
+      Multimodal.FakeDecoder.decode(synth.kind, synth.payload))
+    // corrupt image bytes fail loudly, not with a null-deref
+    intercept[IllegalArgumentException] {
+      d.decode("image", Array[Byte](1, 2, 3))
+    }
+  }
+
   test("resizePlan: aspect-preserving fit, never upscales") {
     val plan = Multimodal.resizePlan(assets, maxW = 640, maxH = 360).collect()
     assert(plan.nonEmpty)
