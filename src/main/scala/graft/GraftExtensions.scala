@@ -36,5 +36,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectPlannerStrategy(_ => graft.plans.TopKStrategy)
     // /*+ TOPK_PER_KEY(keys..., ord, k) */ SQL surface for the operator
     e.injectResolutionRule(_ => graft.plans.TopKHintRule())
+    // /*+ SIMILARITY_TOP1 */ SQL surface for the adaptive similarity join
+    e.injectResolutionRule(session => graft.plans.SimilarityHintRule(session))
   }
 }

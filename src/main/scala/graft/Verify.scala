@@ -32,6 +32,9 @@ object Verify {
       .config("spark.ui.enabled", "false")
       .config("spark.scheduler.mode", "FAIR")
       .config("spark.scheduler.allocation.file", poolsXml.toString)
+      // hint rules (TOPK_PER_KEY, SIMILARITY_TOP1) live in the
+      // extensions — q46's pure-SQL surface needs them resolved
+      .config("spark.sql.extensions", "graft.GraftExtensions")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()

@@ -146,6 +146,39 @@ object DocQueries {
        |  FROM sims)
        |SELECT doc_id, match_id, sim FROM best WHERE rk = 1 ORDER BY doc_id""".stripMargin
 
+  // ---------------------------------------------------------------- q46
+  /** q13's semantics reached from PURE SQL: the `/*+ SIMILARITY_TOP1 */`
+    * hint ([[graft.plans.SimilarityHintRule]]) rewrites to
+    * `Similarity.argmaxAdaptive` — same adaptive physical strategy
+    * (dense-broadcast here: tiny dense vocabulary), same deterministic
+    * (sim desc, r_id asc) contract, but the user-facing surface is a
+    * SQL string over a view. Requires a session built with
+    * GraftExtensions (Verify/Bench set spark.sql.extensions).
+    */
+  def q46SqlTop1(s: SparkSession, dir: String): DataFrame = {
+    docVectors(s, dir).createOrReplaceTempView("graft_q46_vectors")
+    // hint wraps the query block PRODUCING (id, word, w); the rewrite
+    // replaces the block's result with (l_id, r_id, sim) for the outer
+    // query (see SimilarityHintRule scaladoc on parser hint placement)
+    s.sql("""SELECT l_id, r_id, sim FROM (
+            |  SELECT /*+ SIMILARITY_TOP1 */ id, word, w FROM graft_q46_vectors
+            |) ORDER BY l_id""".stripMargin)
+  }
+
+  val q46Sql: String =
+    s"""WITH $tfidfCtes,
+       |sims AS (
+       |  SELECT a.id AS l_id, b.id AS r_id, round(sum(a.w * b.w), 6) AS sim
+       |  FROM vec a JOIN vec b USING (word)
+       |  WHERE a.id <> b.id
+       |  GROUP BY a.id, b.id),
+       |best AS (
+       |  SELECT l_id, r_id, sim,
+       |         row_number() OVER (PARTITION BY l_id ORDER BY sim DESC, r_id ASC) AS rk
+       |  FROM sims)
+       |SELECT CAST(l_id AS BIGINT) AS l_id, CAST(r_id AS BIGINT) AS r_id, sim
+       |FROM best WHERE rk = 1 ORDER BY l_id""".stripMargin
+
   // ---------------------------------------------------------------- q50
   /** Task-1 analog: per-title best abstract. Title = first 8 filtered
     * tokens; title IDF reuses the abstract corpus' document frequencies
@@ -296,6 +329,7 @@ object DocQueries {
     "q11_doc_freq" -> (q11DocFreq _),
     "q12_tfidf" -> (q12Tfidf _),
     "q13_top1_similar" -> (q13Top1Similar _),
+    "q46_sql_top1" -> (q46SqlTop1 _),
     "q50_task1_matches" -> (q50Task1Matches _),
     "q51_task1_accuracy" -> (q51Task1Accuracy _),
     "q52_lang_matrix" -> (q52LangMatrix _),
@@ -307,6 +341,7 @@ object DocQueries {
     "q11_doc_freq" -> q11Sql,
     "q12_tfidf" -> q12Sql,
     "q13_top1_similar" -> q13Sql,
+    "q46_sql_top1" -> q46Sql,
     "q50_task1_matches" -> q50Sql,
     "q51_task1_accuracy" -> q51Sql,
     "q52_lang_matrix" -> q52Sql,

@@ -1,0 +1,97 @@
+package graft.plans
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+import graft.SparkTestBase
+
+class SimilarityHintSpec extends SparkTestBase {
+
+  /** Session on the shared SparkContext but with GraftExtensions. */
+  private def withExtendedSession[A](f: SparkSession => A): A = {
+    val base = spark
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    try {
+      val ext = SparkSession.builder()
+        .master("local[4]")
+        .config("spark.sql.shuffle.partitions", "4")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.ui.enabled", "false")
+        .withExtensions(new graft.GraftExtensions)
+        .getOrCreate()
+      f(ext)
+    } finally {
+      SparkSession.setActiveSession(base)
+      SparkSession.setDefaultSession(base)
+    }
+  }
+
+  // tiny L2-normalized long-form vectors: docs 1/2 share "a" strongly,
+  // doc 3 overlaps 2 weakly via "c"
+  private def fixture(s: SparkSession) = {
+    import s.implicits._
+    Seq(
+      (1L, "a", 0.8), (1L, "b", 0.6),
+      (2L, "a", 0.9), (2L, "c", 0.435890),
+      (3L, "c", 1.0)
+    ).toDF("id", "word", "w")
+  }
+
+  test("/*+ SIMILARITY_TOP1 */ matches the programmatic argmaxAdaptive") {
+    withExtendedSession { s =>
+      val vecs = fixture(s)
+      vecs.createOrReplaceTempView("simhint_vecs")
+      val viaSql = s.sql(
+        """SELECT l_id, r_id, sim FROM (
+          |  SELECT /*+ SIMILARITY_TOP1 */ id, word, w FROM simhint_vecs
+          |) ORDER BY l_id""".stripMargin)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      val viaApi = graft.similarity.Similarity
+        .argmaxAdaptive(vecs, vecs, excludeSelf = true)
+        .select(col("l_id").cast("long"), col("r_id").cast("long"), col("sim"))
+        .orderBy("l_id")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      assert(viaSql.toSeq === viaApi.toSeq)
+      assert(viaSql.map(t => t._1 -> t._2).toMap === Map(1L -> 2L, 2L -> 1L, 3L -> 2L))
+    }
+  }
+
+  test("hint reaches the adaptive DENSE strategy on a small vocabulary") {
+    withExtendedSession { s =>
+      fixture(s).createOrReplaceTempView("simhint_vecs2")
+      val out = s.sql(
+        "SELECT /*+ SIMILARITY_TOP1 */ id, word, w FROM simhint_vecs2")
+      // the dense-broadcast scorer is the mapPartitions pipeline —
+      // visible as an object-serde boundary; the sparse path would show
+      // a join + Window instead
+      val plan = out.queryExecution.executedPlan.toString
+      assert(plan.contains("SerializeFromObject") || plan.contains("MapPartitions"),
+        s"expected the dense object-scorer pipeline:\n$plan")
+      assert(!plan.contains("WindowExec"), s"dense path has no window sort:\n$plan")
+    }
+  }
+
+  test("SIMILARITY_TOP1(false) keeps self-matches") {
+    withExtendedSession { s =>
+      fixture(s).createOrReplaceTempView("simhint_vecs3")
+      val got = s.sql(
+        """SELECT l_id, r_id, sim FROM (
+          |  SELECT /*+ SIMILARITY_TOP1(false) */ id, word, w FROM simhint_vecs3
+          |) ORDER BY l_id""".stripMargin)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      // with self-pairs allowed every doc matches itself (unit vectors)
+      assert(got === Map(1L -> 1L, 2L -> 2L, 3L -> 3L))
+    }
+  }
+
+  test("malformed SIMILARITY_TOP1 hints fall through without breaking the query") {
+    withExtendedSession { s =>
+      import s.implicits._
+      // missing the (id, word, w) contract → hint ignored, query intact
+      Seq((1L, 0.5)).toDF("id", "x").createOrReplaceTempView("simhint_bad")
+      val out = s.sql("SELECT /*+ SIMILARITY_TOP1 */ id, x FROM simhint_bad")
+      assert(out.collect().map(_.getLong(0)).toSeq === Seq(1L))
+    }
+  }
+}
