@@ -52,4 +52,46 @@ object Skew {
       explode(array((0 until saltBuckets).map(i => lit(i.toLong)): _*)))
     l.join(r, keys :+ SaltCol, joinType).drop(SaltCol)
   }
+
+  /** Hot-key-only salting: [[saltedJoin]] replicates the small side
+    * ×saltBuckets for EVERY key — wasteful when skew lives in a few hot
+    * keys atop a long tail (the usual shape). This variant detects hot
+    * keys from a seeded SAMPLE of the skewed side, salts ONLY them, and
+    * joins the cold remainder plainly; the two halves union.
+    *
+    * Cost model (SCALE.md): plain salting shuffles |small|×saltBuckets
+    * replica rows; this shuffles |small∩hot|×saltBuckets + |small| and
+    * adds one sampling pass over the skewed side — the win grows with
+    * the tail/hot ratio. Detection is an OPTIMIZATION, never a
+    * correctness input: a missed hot key just joins (correctly) on the
+    * cold path, a false positive just salts (correctly) a mild key —
+    * property-tested equivalent to the plain join either way.
+    *
+    * `minSampledCount` is the hotness cut in SAMPLED rows: a key
+    * sampled ≥ minSampledCount times has estimated true frequency
+    * ≥ minSampledCount / sampleFraction. The sample is seeded and the
+    * per-branch split is a semi/anti pair on the same broadcast key
+    * set, so retries see the same partition of the data.
+    */
+  def saltedJoinHotKeys(skewed: DataFrame, small: DataFrame, keys: Seq[String],
+      saltBuckets: Int, sampleFraction: Double = 0.01,
+      minSampledCount: Long = 100L, joinType: String = "inner",
+      seed: Long = 42L): DataFrame = {
+    require(sampleFraction > 0.0 && sampleFraction <= 1.0,
+      s"sampleFraction must be in (0, 1], got $sampleFraction")
+    require(minSampledCount > 0, "minSampledCount must be positive")
+    val hotKeys = broadcast(
+      skewed.select(keys.map(col): _*)
+        .sample(withReplacement = false, sampleFraction, seed)
+        .groupBy(keys.map(col): _*)
+        .agg(count(lit(1)).as("__graft_hot_n"))
+        .filter(col("__graft_hot_n") >= minSampledCount)
+        .drop("__graft_hot_n"))
+    val skewedHot = skewed.join(hotKeys, keys, "left_semi")
+    val skewedCold = skewed.join(hotKeys, keys, "left_anti")
+    // the hot branch replicates only the small rows matching hot keys
+    val smallHot = small.join(hotKeys, keys, "left_semi")
+    saltedJoin(skewedHot, smallHot, keys, saltBuckets, joinType)
+      .unionByName(skewedCold.join(small, keys, joinType))
+  }
 }

@@ -45,4 +45,44 @@ class SkewSpec extends SparkTestBase {
       Skew.saltedJoin(fact, dim, Seq("k"), 4, joinType = "right")
     }
   }
+
+  test("saltedJoinHotKeys == plain join (inner), hot key detected and salted") {
+    val plain = fact.join(dim, Seq("k")).select($"k", $"payload", $"attr")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSet
+    // sampleFraction 1.0 → detection is exact: k=1 (900 rows) is hot,
+    // the 7 cold keys (≤15 rows each) are not
+    val hot = Skew.saltedJoinHotKeys(fact, dim, Seq("k"), saltBuckets = 8,
+      sampleFraction = 1.0, minSampledCount = 100L)
+      .select($"k", $"payload", $"attr")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSet
+    assert(hot === plain)
+  }
+
+  test("saltedJoinHotKeys == plain join (left), orphans and all-cold both covered") {
+    val factPlus = fact.unionByName(Seq((99L, "orphan")).toDF("k", "payload"))
+    val plain = factPlus.join(dim, Seq("k"), "left")
+      .select($"k", $"payload", $"attr")
+      .collect().map(r => (r.getLong(0), r.getString(1), Option(r.getString(2)))).toSet
+    val hot = Skew.saltedJoinHotKeys(factPlus, dim, Seq("k"), saltBuckets = 8,
+      sampleFraction = 1.0, minSampledCount = 100L, joinType = "left")
+      .select($"k", $"payload", $"attr")
+      .collect().map(r => (r.getLong(0), r.getString(1), Option(r.getString(2)))).toSet
+    assert(hot === plain)
+    assert(hot.exists { case (k, _, a) => k == 99L && a.isEmpty })
+    // threshold nothing clears → pure cold path, still exact
+    val allCold = Skew.saltedJoinHotKeys(factPlus, dim, Seq("k"), saltBuckets = 8,
+      sampleFraction = 1.0, minSampledCount = 100000L, joinType = "left")
+      .select($"k", $"payload", $"attr")
+      .collect().map(r => (r.getLong(0), r.getString(1), Option(r.getString(2)))).toSet
+    assert(allCold === plain)
+  }
+
+  test("saltedJoinHotKeys replicates only the hot slice of the small side") {
+    // detected hot set = {1}: the hot branch's small side must be the
+    // single matching dim row (×saltBuckets), not the whole table
+    val hotKeys = fact.select($"k").sample(withReplacement = false, 1.0, 42L)
+      .groupBy($"k").count().filter($"count" >= 100).drop("count")
+    val smallHot = dim.join(hotKeys, Seq("k"), "left_semi")
+    assert(smallHot.count() === 1)
+  }
 }
