@@ -110,6 +110,21 @@ class SimilaritySpec extends SparkTestBase {
     assert(out === Set((1L, 2L), (2L, 1L)))
   }
 
+  test("denseArgmax enforces its own bounds on DIRECT callers") {
+    val nvecs = Seq((1L, "x", 1.0), (2L, "x", 0.8), (2L, "y", 0.6), (1L, "z", 0.1))
+      .toDF("id", "word", "w")
+    // vocabulary above the bound → loud failure, not a giant collect
+    val eVocab = intercept[IllegalArgumentException] {
+      Similarity.denseArgmax(nvecs, nvecs, maxDenseVocab = 2)
+    }
+    assert(eVocab.getMessage.contains("maxDenseVocab"))
+    // right side above the byte bound → loud failure mid-collect
+    val eBytes = intercept[IllegalArgumentException] {
+      Similarity.denseArgmax(nvecs, nvecs, maxDenseBytes = 10L)
+    }
+    assert(eBytes.getMessage.contains("maxDenseBytes"))
+  }
+
   test("accuracy counts self-matches") {
     val m = Seq(("a", "a"), ("b", "c")).toDF("l_id", "r_id")
     val r = Similarity.accuracy(m).head
