@@ -220,10 +220,23 @@ object Dedup {
     // through a neighbor whose label DECREASED last round, so the
     // edge-sized join runs against the frontier, not the full label
     // table — after the first rounds the frontier collapses and the
-    // per-round edge work shrinks with it (the vertex-sized jump join
-    // stays full; it is what propagates older decreases transitively).
+    // per-round edge work shrinks with it (the vertex-sized jump joins
+    // stay full; they are what propagates older decreases transitively).
     // Invariant: the frontier holds every vertex whose label decreased
     // in the previous round (initially: everyone).
+    //
+    // Round structure is tuned for iterative-loop fixed costs (which
+    // dominate on small rounds and are pure barrier overhead on a real
+    // cluster): the start-of-round label rides along as `prev`, so the
+    // frontier is a FILTER over the round's one materialized frame —
+    // not a second join — and each round issues exactly ONE eager
+    // materialization (localCheckpoint) plus one count. Pointer
+    // jumping runs ONCE per round: nesting a second jump looks like it
+    // halves rounds, but each jump is a non-materialized SELF-join, so
+    // nesting doubles the duplicated upstream pipeline per level
+    // (measured: a 2-level jump regressed the sf0.1 round from ~3 s to
+    // minutes) — more rounds of a shallow DAG beat fewer rounds of a
+    // deep one.
     var frontier = labels
     var iter = 0
     var done = false
@@ -232,25 +245,24 @@ object Dedup {
         .join(frontier.select(col("id").as("dst"), col("component")), Seq("dst"))
         .groupBy(col("src")).agg(min(col("component")).as("nbr_min"))
         .select(col("src").as("id"), col("nbr_min"))
-      val stepped = labels.join(nbrMin, Seq("id"), "left")
-        .select(col("id"),
-          least(col("component"), coalesce(col("nbr_min"), col("component")))
+      val stepped = labels.select(col("id"), col("component").as("prev"))
+        .join(nbrMin, Seq("id"), "left")
+        .select(col("id"), col("prev"),
+          least(col("prev"), coalesce(col("nbr_min"), col("prev")))
             .as("component"))
       // pointer jumping: component ← component's own current label
-      val next = stepped
-        .join(stepped.select(col("id").as("component"), col("component").as("root")),
-          Seq("component"), "left")
-        .select(col("id"),
-          least(col("component"), coalesce(col("root"), col("component")))
-            .as("component"))
+      def jump(df: DataFrame): DataFrame =
+        df.join(df.select(col("id").as("component"), col("component").as("root")),
+            Seq("component"), "left")
+          .select(col("id"), col("prev"),
+            least(col("component"), coalesce(col("root"), col("component")))
+              .as("component"))
+      val next = jump(stepped)
         .localCheckpoint(true) // truncate lineage across rounds
-      frontier = next
-        .join(labels.select(col("id"), col("component").as("prev")), Seq("id"))
-        .filter(col("component") < col("prev"))
+      frontier = next.filter(col("component") < col("prev"))
         .select(col("id"), col("component"))
-        .localCheckpoint(true)
       val changed = frontier.count()
-      labels = next
+      labels = next.select(col("id"), col("component"))
       done = changed == 0
       iter += 1
     }
