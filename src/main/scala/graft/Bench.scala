@@ -14,8 +14,10 @@ import org.apache.spark.sql.SparkSession
   * deliberately self-similar corpus, 16 s the CC loop over the
   * resulting 4M edges — see SCALE.md; q44 benches the CC loop itself
   * on a linear-size chain+random graph instead), queries that are strict
-  * prefixes/aggregations of included ones (q6, q11, q23, q51, q53),
-  * and the fixture-sized q54/q55 (input does not scale with sf).
+  * prefixes/aggregations/SQL-surface twins of included ones (q6, q11,
+  * q23, q45, q46, q51, q53 — q46 is q13 through the SIMILARITY_TOP1
+  * hint, q45 is fixture-sized), and the fixture-sized q54/q55 (input
+  * does not scale with sf).
   */
 object Bench {
 
