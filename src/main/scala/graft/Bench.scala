@@ -35,7 +35,8 @@ object Bench {
     "q33_asof_attribution", "q35_json_extract", "q36_range_join_campaigns",
     "q38_trailing_window",
     "q40_media_metadata", "q41_media_feature_rollup",
-    "q43_ivf_topk", "q44_cc_synth")
+    "q43_ivf_topk", "q44_cc_synth", "q47_embedding_centroids",
+    "q48_hash_split")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

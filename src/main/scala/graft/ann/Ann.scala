@@ -210,12 +210,16 @@ object Ann {
       : (DataFrame, DataFrame) = {
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector
-    val feats = corpus.select(col("vec_id"),
+    // the raw embedding RIDES THROUGH the transform (KMeans only reads
+    // `features`), so the inverted file gets it without re-joining the
+    // corpus — one scan, no shuffle in the assignment pipeline
+    val feats = corpus.select(col("vec_id"), col("embedding"),
       array_to_vector(col("embedding")).as("features"))
     val model = new KMeans().setK(kClusters).setSeed(seed)
       .setFeaturesCol("features").setPredictionCol("cluster")
       .fit(feats)
-    val assigned = model.transform(feats).select(col("vec_id"), col("cluster"))
+    val assigned = model.transform(feats)
+      .select(col("vec_id"), col("embedding"), col("cluster"))
     val spark = corpus.sparkSession
     import spark.implicits._
     val centroids = model.clusterCenters.zipWithIndex
@@ -239,8 +243,9 @@ object Ann {
   def ivfBuild(corpus: DataFrame, indexDir: String, kClusters: Int,
       seed: Long = 42L): Unit = {
     val (assigned, centroids) = ivfIndex(corpus, kClusters, seed)
-    corpus.select(col("vec_id"), col("embedding"))
-      .join(assigned, Seq("vec_id"))
+    // the only shuffle in the build is this repartition — it co-locates
+    // each inverted list so a cluster directory is one writer's output
+    assigned
       .repartition(col("cluster"))
       .write.mode("overwrite").partitionBy("cluster")
       .parquet(s"$indexDir/assignments")

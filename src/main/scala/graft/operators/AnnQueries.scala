@@ -241,6 +241,30 @@ object AnnQueries {
        |ORDER BY qid, rk""".stripMargin
   }
 
+  // ---------------------------------------------------------------- q47
+  /** Per-label embedding centroids in LONG form (label, j, m) — the
+    * class-centroid computation every embedding-space curation pass
+    * needs (nearest-centroid labeling, outlier distance, per-class
+    * drift). Shape at scale: posexplode → ONE partially-aggregated
+    * shuffle on (label, j) — dimension-parallel, no vector collects;
+    * the long form also avoids engine-specific array re-assembly in
+    * the oracle compare. 6dp rounding for cross-engine float-sum
+    * stability (the repo-wide contract).
+    */
+  def q47EmbeddingCentroids(s: SparkSession, dir: String): DataFrame =
+    emb(s, dir)
+      .select(col("label"), posexplode(col("embedding")).as(Seq("j", "v")))
+      .groupBy(col("label"), col("j"))
+      .agg(round(avg(col("v").cast("double")), 6).as("m"))
+      .orderBy(col("label"), col("j"))
+
+  val q47Sql: String =
+    s"""WITH dims AS (
+       |  SELECT label, j, CAST(embedding[CAST(j AS INTEGER) + 1] AS DOUBLE) AS v
+       |  FROM embeddings, range($Dim) t(j))
+       |SELECT label, CAST(j AS INTEGER) AS j, round(avg(v), 6) AS m
+       |FROM dims GROUP BY label, j ORDER BY label, j""".stripMargin
+
   // ---------------------------------------------------------------- q24
   /** Embedding-cosine near-duplicate pairs (cos ≥ 0.4, a < b). */
   def q24EmbeddingNearDups(s: SparkSession, dir: String): DataFrame =
@@ -261,6 +285,7 @@ object AnnQueries {
     "q23_lsh_top1" -> (q23LshTop1 _),
     "q24_embedding_near_dups" -> (q24EmbeddingNearDups _),
     "q43_ivf_topk" -> (q43IvfTopK _),
+    "q47_embedding_centroids" -> (q47EmbeddingCentroids _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -270,5 +295,6 @@ object AnnQueries {
     "q23_lsh_top1" -> q23Sql,
     "q24_embedding_near_dups" -> q24Sql,
     "q43_ivf_topk" -> q43Sql,
+    "q47_embedding_centroids" -> q47Sql,
   )
 }

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Reproducible sampling for training-data curation.
@@ -41,4 +41,25 @@ object Sampling {
   def stratified(df: DataFrame, stratumCol: String,
       fractions: Map[String, Double], seed: Long = 42L): DataFrame =
     df.stat.sampleBy(stratumCol, fractions, seed)
+
+  /** CONTENT-hash split label (`train`/`test`) in the md5 family, so it
+    * is portable across engines (xxhash64 is Spark-specific; md5 is
+    * bit-identical everywhere — the same trade [[graft.dedup.Dedup]]
+    * documents). Splitting on content rather than id additionally sends
+    * byte-identical duplicates to the SAME side — contamination-proof
+    * even before dedup runs. `trainSixteenths`/16 of the hash space is
+    * train (first hex digit < the cut), the rest test.
+    */
+  def md5Split(contentCol: String, trainSixteenths: Int = 14): Column = {
+    require(trainSixteenths >= 0 && trainSixteenths <= 16,
+      s"trainSixteenths must be in [0,16], got $trainSixteenths")
+    if (trainSixteenths == 16) lit("train")
+    else {
+      // single-char hex cut: lexicographic < works because hex digits
+      // 0-9a-f are ASCII-ordered
+      val cut = java.lang.Integer.toHexString(trainSixteenths)
+      when(substring(md5(col(contentCol).cast("binary")), 1, 1) < cut, "train")
+        .otherwise("test")
+    }
+  }
 }

@@ -257,7 +257,26 @@ object TextStatsQueries {
        |    s -> md5(s)), 'min') AS min_shingle_hash
        |FROM lists ORDER BY doc_id""".stripMargin
 
+  // ---------------------------------------------------------------- q48
+  /** Deterministic content-hash train/test split ([[Sampling.md5Split]],
+    * the oracle-portable md5 twin of the xxhash64 `trainTestSplit`):
+    * split is a pure function of the TEXT BYTES, so re-runs, retries,
+    * and engine swaps agree row-for-row, and byte-identical duplicates
+    * land on the same side (no train/test contamination through dups).
+    * 14/16 of the hash space trains.
+    */
+  def q48HashSplit(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(col("doc_id"), Sampling.md5Split("text").as("split"))
+      .orderBy(col("doc_id"))
+
+  val q48Sql: String =
+    """SELECT doc_id,
+      |  CASE WHEN substr(md5(text), 1, 1) < 'e' THEN 'train' ELSE 'test' END AS split
+      |FROM documents ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q48_hash_split" -> (q48HashSplit _),
     "q25_lang_id" -> (q25LangId _),
     "q29_curation" -> (q29Curation _),
     "q37_sequence_packing" -> (q37SequencePacking _),
@@ -268,6 +287,7 @@ object TextStatsQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q48_hash_split" -> q48Sql,
     "q25_lang_id" -> q25Sql,
     "q29_curation" -> q29Sql,
     "q37_sequence_packing" -> q37Sql,

@@ -51,4 +51,28 @@ class SamplingSpec extends SparkTestBase {
       assert(math.abs(got - f) <= 0.15, s"$lang: wanted ~$f got $got")
     }
   }
+
+  test("md5Split: content-deterministic, duplicates co-assigned, fraction near 14/16") {
+    val docs = graft.Tables.documents(spark, sf001)
+    val split = docs.select($"doc_id", $"text", Sampling.md5Split("text").as("split"))
+    // every row labeled, fraction near the 14/16 target
+    val counts = split.groupBy($"split").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val n = counts.values.sum
+    assert(counts.keySet === Set("train", "test"))
+    assert(math.abs(counts("train").toDouble / n - 14.0 / 16) <= 0.08)
+    // byte-identical texts always land on the same side (the
+    // contamination-proofing property)
+    assert(split.groupBy($"text").agg(countDistinct($"split").as("s"))
+      .filter($"s" > 1).count() === 0)
+    // pure function of content: a second invocation agrees row-for-row
+    val again = docs.select($"doc_id", Sampling.md5Split("text").as("split2"))
+    assert(split.join(again, Seq("doc_id"))
+      .filter($"split" =!= $"split2").count() === 0)
+    // boundary settings
+    assert(docs.select(Sampling.md5Split("text", 16).as("s"))
+      .filter($"s" =!= "train").count() === 0)
+    assert(docs.select(Sampling.md5Split("text", 0).as("s"))
+      .filter($"s" =!= "test").count() === 0)
+  }
 }
