@@ -57,10 +57,18 @@ object Bench {
     // IVF index build is the OFFLINE half of the build/probe split — a
     // scheduled indexing job at scale, so it runs outside the timed
     // region; q43 measures the probe (the per-query cost users pay).
-    try operators.AnnQueries.prepareIvf(spark, sfDir)
-    catch { case e: Throwable => System.err.println(s"[bench] ivf build failed: $e") }
+    // If the warmup build fails, q43 is SKIPPED rather than silently
+    // re-building inside its timed region (which would report
+    // build+probe as the probe number).
+    val ivfReady =
+      try { operators.AnnQueries.prepareIvf(spark, sfDir); true }
+      catch { case e: Throwable =>
+        System.err.println(s"[bench] ivf build failed — skipping q43: $e"); false
+      }
 
-    val results = Headline.flatMap { name =>
+    val results = Headline
+      .filter(name => ivfReady || name != "q43_ivf_topk")
+      .flatMap { name =>
       SparkEntry.queries.get(name).map { fn =>
         val t0 = System.nanoTime()
         // noop sink, NOT count(): under Aggregate(count(1)) Catalyst

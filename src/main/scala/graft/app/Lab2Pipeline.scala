@@ -35,7 +35,13 @@ object Lab2Pipeline {
     StructField("abstract", StringType), StructField("categories", StringType)))
 
   case class Result(accuracy: DataFrame, matches: DataFrame,
-      mismatchSample: DataFrame, categoryMatrix: DataFrame)
+      mismatchSample: DataFrame, categoryMatrix: DataFrame,
+      persisted: Seq[DataFrame] = Nil) {
+    /** Release every frame [[run]] persisted (cache-eviction hook). */
+    def unpersist(): Unit = persisted.foreach { df =>
+      try df.unpersist() catch { case _: Throwable => }
+    }
+  }
 
   /** Read the line-delimited papers JSON with the reference's option
     * (lab2.py:64) and an explicit schema (no inference pass).
@@ -124,7 +130,8 @@ object Lab2Pipeline {
       .groupBy(col("l_id")).pivot("r_id").agg(first(col("sim")))
       .na.fill(0.0).orderBy(col("l_id"))
 
-    Result(accuracy, matches, mismatchSample, categoryMatrix)
+    Result(accuracy, matches, mismatchSample, categoryMatrix,
+      persisted = Seq(prepped, absDf, matches))
   }
 
   /** CLI entry mirroring the reference's six arguments (lab2.py:49–60):

@@ -59,9 +59,10 @@ object Multimodal {
     * decoded raster, channels = raster band count (RGB → 3, grayscale
     * → 1), duration 0 (still image). Non-image kinds delegate to
     * `fallback` (audio/video codecs are not in the JDK), so one decoder
-    * instance still serves a mixed-kind asset table. Per-partition
-    * instantiation contract identical to [[FakeDecoder]]; ImageIO is
-    * display-free (no headless concerns on executors).
+    * instance still serves a mixed-kind asset table. Serialization
+    * contract identical to [[FakeDecoder]] (driver-built, deserialized
+    * per task); ImageIO is display-free (no headless concerns on
+    * executors).
     */
   class ImageIoDecoder(fallback: MediaDecoder = FakeDecoder) extends MediaDecoder {
     def decode(kind: String, payload: Array[Byte]): (Int, Int, Long, Int) =
@@ -102,7 +103,11 @@ object Multimodal {
       decoder: MediaDecoder = FakeDecoder): Dataset[MediaFeatures] = {
     import assets.sparkSession.implicits._
     assets.mapPartitions { it =>
-      // per-partition decoder init happens here (codec warm-up analog)
+      // NB lifecycle: `decoder` is constructed on the DRIVER and each
+      // task gets its own deserialized copy of the closure (object
+      // decoders like FakeDecoder stay JVM singletons). A codec whose
+      // warm-up must run in-task (non-serializable native handles)
+      // should instead be built HERE from a serializable factory.
       val d = decoder
       it.map { a =>
         val (w, h, dur, ch) = d.decode(a.kind, a.payload)

@@ -183,14 +183,20 @@ object AnnQueries {
   val IvfNprobe = 4
   val IvfK = 3
 
-  private def ivfIndexPath(sfName: String): String =
-    new java.io.File(s"target/ivf-index/$sfName").getAbsolutePath
+  // index dir tag = the SANITIZED ABSOLUTE corpus path, not the
+  // basename — two corpora whose directories share a basename
+  // (/data/a/sf0.1 vs /data/b/sf0.1) must not share an index
+  private def ivfIndexPath(sfDir: String): String = {
+    val tag = new java.io.File(sfDir).getAbsolutePath
+      .replaceAll("[^A-Za-z0-9._-]", "_")
+    new java.io.File(s"target/ivf-index/$tag").getAbsolutePath
+  }
 
   private val ivfBuilt = scala.collection.mutable.HashSet.empty[String]
 
   /** Idempotent offline index build for `dir`; returns the index path. */
   def prepareIvf(s: SparkSession, dir: String): String = ivfBuilt.synchronized {
-    val idx = ivfIndexPath(new java.io.File(dir).getName)
+    val idx = ivfIndexPath(dir)
     if (!ivfBuilt.contains(idx)) {
       Ann.ivfBuild(emb(s, dir), idx, IvfClusters)
       ivfBuilt.add(idx)
@@ -208,7 +214,7 @@ object AnnQueries {
   // The driver's correctness gate always runs at sf0.01, so the oracle
   // reads the sf0.01 index (same path prepareIvf materializes for it).
   val q43Sql: String = {
-    val idx = ivfIndexPath("sf0.01")
+    val idx = ivfIndexPath("/root/testdata/sf0.01")
     s"""WITH cent AS (
        |  SELECT CAST(cluster AS INTEGER) AS cluster, centroid,
        |         (SELECT sum(y * y) FROM unnest(centroid) t(y)) AS cnorm

@@ -34,15 +34,26 @@ object Lab2Queries {
   }
 
   // one pipeline run per session: q54 and q55 share the Result (matches
-  // is persisted inside run). Keyed by the SESSION OBJECT in a
-  // WeakHashMap — identity hash codes can collide across sessions and
-  // would pin persisted frames for the JVM's lifetime; weak keys let a
-  // closed session's entry (and its persisted frames) be collected with
-  // the session itself. Builder synchronized: concurrent first calls
-  // (Verify dumps in parallel) must not double-build and leak the
-  // loser's persisted frames.
+  // is persisted inside run). Keyed by the SESSION OBJECT (identity
+  // hash codes can collide across sessions) in a bounded LRU: a
+  // WeakHashMap cannot work here — the cached Result's DataFrames
+  // strongly reference their SparkSession, so the value would keep the
+  // weak key reachable and nothing would ever evict. Instead the LRU
+  // holds at most MaxSessions entries and eviction explicitly
+  // unpersists the evicted pipeline's frames, bounding a long-lived
+  // driver that creates sessions per request. Builder synchronized:
+  // concurrent first calls (Verify dumps in parallel) must not
+  // double-build and leak the loser's persisted frames.
+  private val MaxSessions = 4
   private val cache =
-    new java.util.WeakHashMap[SparkSession, Lab2Pipeline.Result]()
+    new java.util.LinkedHashMap[SparkSession, Lab2Pipeline.Result](8, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[SparkSession, Lab2Pipeline.Result]): Boolean = {
+        val evict = size() > MaxSessions
+        if (evict) e.getValue.unpersist()
+        evict
+      }
+    }
   private def result(s: SparkSession): Lab2Pipeline.Result = cache.synchronized {
     val hit = cache.get(s)
     if (hit != null) hit

@@ -91,7 +91,7 @@ object MultimodalQueries {
       .select(col("path"), col("content")).as[(String, Array[Byte])]
     val decoder = new Multimodal.ImageIoDecoder()
     files.mapPartitions { it =>
-      val d = decoder // per-partition decoder init (codec warm-up analog)
+      val d = decoder // driver-built; each task deserializes its own copy
       it.map { case (path, bytes) =>
         val (w, h, _, ch) = d.decode("image", bytes)
         (path.substring(path.lastIndexOf('/') + 1), w, h, ch)

@@ -53,7 +53,11 @@ object Sampling {
   def md5Split(contentCol: String, trainSixteenths: Int = 14): Column = {
     require(trainSixteenths >= 0 && trainSixteenths <= 16,
       s"trainSixteenths must be in [0,16], got $trainSixteenths")
-    if (trainSixteenths == 16) lit("train")
+    // NULL content is always "test" — including at the trainSixteenths
+    // = 16 boundary, so widening the train share never flips NULL rows
+    // (md5(NULL) is NULL → the `when` predicate is never true)
+    if (trainSixteenths == 16)
+      when(col(contentCol).isNotNull, "train").otherwise("test")
     else {
       // single-char hex cut: lexicographic < works because hex digits
       // 0-9a-f are ASCII-ordered

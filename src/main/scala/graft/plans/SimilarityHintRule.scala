@@ -57,10 +57,25 @@ case class SimilarityHintRule(spark: SparkSession) extends Rule[LogicalPlan] {
       }
       val hasCols = Seq("id", "word", "w").forall(n =>
         child.output.exists(o => conf.resolver(o.name, n)))
-      if (excludeSelf.isEmpty || !hasCols) {
-        logWarning(s"$HintName: expects child columns (id, word, w) and at " +
-          s"most one boolean excludeSelf argument; got columns " +
-          s"${child.output.map(_.name).mkString(", ")}, args $params — hint ignored")
+      // the surface's fixed (l_id BIGINT, r_id BIGINT) schema casts ids
+      // to long, so only integral id domains are eligible: a string id
+      // would fail the cast at runtime (ANSI) and a fractional one
+      // would silently truncate — non-integral ids keep the
+      // programmatic API (which preserves the id type on the sparse
+      // path) and the hint declines loudly here instead.
+      val integralId = child.output.find(o => conf.resolver(o.name, "id"))
+        .exists(_.dataType match {
+          case org.apache.spark.sql.types.ByteType |
+               org.apache.spark.sql.types.ShortType |
+               org.apache.spark.sql.types.IntegerType |
+               org.apache.spark.sql.types.LongType => true
+          case _ => false
+        })
+      if (excludeSelf.isEmpty || !hasCols || !integralId) {
+        logWarning(s"$HintName: expects child columns (id, word, w) with an " +
+          s"integral id and at most one boolean excludeSelf argument; got " +
+          s"schema ${child.output.map(o => s"${o.name}:${o.dataType.simpleString}")
+            .mkString(", ")}, args $params — hint ignored")
         h
       } else {
         val df = org.apache.spark.sql.GraftSqlApi.ofRows(spark, child)

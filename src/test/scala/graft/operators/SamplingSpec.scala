@@ -74,5 +74,14 @@ class SamplingSpec extends SparkTestBase {
       .filter($"s" =!= "train").count() === 0)
     assert(docs.select(Sampling.md5Split("text", 0).as("s"))
       .filter($"s" =!= "test").count() === 0)
+    // NULL content is "test" at EVERY setting — widening the train
+    // share to 16/16 must not flip NULL rows across the boundary
+    val withNull = Seq((1L, Some("abc")), (2L, None))
+      .toDF("doc_id", "text")
+    Seq(0, 14, 15, 16).foreach { six =>
+      val got = withNull.select($"doc_id", Sampling.md5Split("text", six).as("s"))
+        .filter($"doc_id" === 2L).head.getString(1)
+      assert(got === "test", s"NULL content at trainSixteenths=$six")
+    }
   }
 }

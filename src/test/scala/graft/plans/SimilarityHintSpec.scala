@@ -92,6 +92,13 @@ class SimilarityHintSpec extends SparkTestBase {
       Seq((1L, 0.5)).toDF("id", "x").createOrReplaceTempView("simhint_bad")
       val out = s.sql("SELECT /*+ SIMILARITY_TOP1 */ id, x FROM simhint_bad")
       assert(out.collect().map(_.getLong(0)).toSeq === Seq(1L))
+      // non-integral id → hint declines (the fixed BIGINT output schema
+      // would mis-cast string ids); query returns the raw block intact
+      Seq(("docA", "x", 1.0)).toDF("id", "word", "w")
+        .createOrReplaceTempView("simhint_strid")
+      val out2 = s.sql("SELECT /*+ SIMILARITY_TOP1 */ id, word, w FROM simhint_strid")
+      assert(out2.columns.toSeq === Seq("id", "word", "w"))
+      assert(out2.collect().map(_.getString(0)).toSeq === Seq("docA"))
     }
   }
 }
