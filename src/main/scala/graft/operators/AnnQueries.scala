@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables
@@ -271,6 +272,56 @@ object AnnQueries {
        |SELECT label, CAST(j AS INTEGER) AS j, round(avg(v), 6) AS m
        |FROM dims GROUP BY label, j ORDER BY label, j""".stripMargin
 
+  // ---------------------------------------------------------------- q49
+  /** Nearest-centroid labeling: every embedding scored against each
+    * class centroid (q47's 6dp-rounded values — the shared contract
+    * that keeps the oracle exact) by dot product, best label per
+    * vector under the deterministic (dot desc, label asc) rank. The
+    * scale shape is the ANN-query pattern in miniature: centroids are
+    * tiny (labels × dim), so they assemble into arrays and BROADCAST;
+    * the corpus is scanned once and scored with the codegen'd
+    * [[graft.functions.VectorFunctions.dotD]] — no shuffle of the
+    * embedding side at all, only the final per-vector rank. The
+    * confusion signal (true label vs predicted) is the standard
+    * embedding-space curation diagnostic.
+    */
+  def q49NearestCentroid(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.VectorFunctions.register(s)
+    val centArr = q47EmbeddingCentroids(s, dir)
+      .groupBy(col("label").as("c_label"))
+      .agg(transform(array_sort(collect_list(struct(col("j"), col("m")))),
+        x => x.getField("m")).as("centroid"))
+    emb(s, dir)
+      .crossJoin(broadcast(centArr))
+      .select(col("vec_id"), col("label"), col("c_label"),
+        round(graft.functions.VectorFunctions.dotD(
+          col("embedding").cast("array<double>"), col("centroid")), 6).as("cos"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("vec_id")).orderBy(col("cos").desc, col("c_label").asc)))
+      .filter(col("rk") === 1)
+      .select(col("vec_id"), col("label").as("true_label"),
+        col("c_label").as("pred_label"), col("cos"))
+      .orderBy(col("vec_id"))
+  }
+
+  val q49Sql: String =
+    s"""WITH dims AS (
+       |  SELECT vec_id, label, j, CAST(embedding[CAST(j AS INTEGER) + 1] AS DOUBLE) AS v
+       |  FROM embeddings, range($Dim) t(j)),
+       |cent AS (
+       |  SELECT label AS c_label, j, round(avg(v), 6) AS m
+       |  FROM dims GROUP BY label, j),
+       |dots AS (
+       |  SELECT d.vec_id, d.label, c.c_label, round(sum(d.v * c.m), 6) AS cos
+       |  FROM dims d JOIN cent c USING (j)
+       |  GROUP BY d.vec_id, d.label, c.c_label),
+       |best AS (
+       |  SELECT vec_id, label, c_label, cos,
+       |         row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, c_label ASC) AS rk
+       |  FROM dots)
+       |SELECT vec_id, label AS true_label, c_label AS pred_label, cos
+       |FROM best WHERE rk = 1 ORDER BY vec_id""".stripMargin
+
   // ---------------------------------------------------------------- q24
   /** Embedding-cosine near-duplicate pairs (cos ≥ 0.4, a < b). */
   def q24EmbeddingNearDups(s: SparkSession, dir: String): DataFrame =
@@ -292,6 +343,7 @@ object AnnQueries {
     "q24_embedding_near_dups" -> (q24EmbeddingNearDups _),
     "q43_ivf_topk" -> (q43IvfTopK _),
     "q47_embedding_centroids" -> (q47EmbeddingCentroids _),
+    "q49_nearest_centroid" -> (q49NearestCentroid _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -302,5 +354,6 @@ object AnnQueries {
     "q24_embedding_near_dups" -> q24Sql,
     "q43_ivf_topk" -> q43Sql,
     "q47_embedding_centroids" -> q47Sql,
+    "q49_nearest_centroid" -> q49Sql,
   )
 }

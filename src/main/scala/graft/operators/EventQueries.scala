@@ -235,6 +235,53 @@ object EventQueries {
        |FROM camp c LEFT JOIN matched m ON m.campaign_id = c.campaign_id
        |ORDER BY c.campaign_id""".stripMargin
 
+  // ---------------------------------------------------------------- q56
+  /** INTERVAL-overlap equi-join ([[RangeJoin.intervalOverlap]]): pairs
+    * of orders by the SAME customer whose validity windows
+    * `[o_orderdate, o_orderdate + (o_orderkey % 7 + 1) days)` overlap,
+    * with the overlap length. The naive formulation is a non-equi
+    * self-join (nested-loop); the bucketed form hash-joins on
+    * (custkey, bucket) and emits each pair exactly once at the bucket
+    * of `max(starts)` — no distinct pass over the output.
+    */
+  val OverlapBucketMs: Long = 4L * 86400000L // 4 days; spans are 1–7 days
+
+  private def orderIntervals(s: SparkSession, dir: String): DataFrame =
+    graft.Tables.orders(s, dir).select(
+      col("o_custkey").as("custkey"),
+      col("o_orderkey").as("oid"),
+      col("o_orderdate").cast("timestamp").as("s"),
+      date_add(col("o_orderdate"), (col("o_orderkey") % 7 + 1).cast("int"))
+        .cast("timestamp").as("e"))
+
+  def q56IntervalOverlap(s: SparkSession, dir: String): DataFrame = {
+    val iv = orderIntervals(s, dir)
+    val l = iv.select(col("custkey"), col("oid").as("l_id"),
+      col("s").as("l_start"), col("e").as("l_end"))
+    val r = iv.select(col("custkey"), col("oid").as("r_id"),
+      col("s").as("r_start"), col("e").as("r_end"))
+    RangeJoin.intervalOverlap(l, "l_start", "l_end", r, "r_start", "r_end",
+        Seq("custkey"), OverlapBucketMs)
+      .filter(col("l_id") < col("r_id"))
+      .select(col("custkey"), col("l_id"), col("r_id"),
+        datediff(least(col("l_end"), col("r_end")),
+          greatest(col("l_start"), col("r_start"))).cast("long").as("overlap_days"))
+      .orderBy(col("custkey"), col("l_id"), col("r_id"))
+  }
+
+  val q56Sql: String =
+    """WITH iv AS (
+      |  SELECT o_custkey AS custkey, o_orderkey AS oid,
+      |         CAST(o_orderdate AS TIMESTAMP) AS s,
+      |         CAST(o_orderdate AS TIMESTAMP) + (o_orderkey % 7 + 1) * INTERVAL 1 DAY AS e
+      |  FROM orders)
+      |SELECT a.custkey AS custkey, a.oid AS l_id, b.oid AS r_id,
+      |       CAST(date_diff('day', greatest(a.s, b.s), least(a.e, b.e)) AS BIGINT) AS overlap_days
+      |FROM iv a JOIN iv b
+      |  ON a.custkey = b.custkey AND a.oid < b.oid
+      | AND a.s < b.e AND b.s < a.e
+      |ORDER BY a.custkey, l_id, r_id""".stripMargin
+
   // ---------------------------------------------------------------- q38
   /** Trailing-interval window frame (RANGE BETWEEN, not ROWS BETWEEN —
     * the frame is VALUE-bounded: all events of the user in the last 10
@@ -270,6 +317,7 @@ object EventQueries {
     "q33_asof_attribution" -> (q33AsofAttribution _),
     "q35_json_extract" -> (q35JsonExtract _),
     "q36_range_join_campaigns" -> (q36RangeJoinCampaigns _),
+    "q56_interval_overlap" -> (q56IntervalOverlap _),
     "q38_trailing_window" -> (q38TrailingWindow _),
   )
 
@@ -280,6 +328,7 @@ object EventQueries {
     "q33_asof_attribution" -> q33Sql,
     "q35_json_extract" -> q35Sql,
     "q36_range_join_campaigns" -> q36Sql,
+    "q56_interval_overlap" -> q56Sql,
     "q38_trailing_window" -> q38Sql,
   )
 }

@@ -60,4 +60,49 @@ object RangeJoin {
       .filter(col(ptCol) >= col(startCol) && col(ptCol) < col(endCol))
       .drop(Bkt)
   }
+
+  /** INTERVAL-overlap equi-join: all (left, right) pairs sharing the
+    * equi-`keys` whose half-open intervals `[lStart, lEnd)` and
+    * `[rStart, rEnd)` intersect. Same bucketing idea as
+    * [[pointInInterval]], with one twist: two overlapping intervals
+    * share EVERY bucket of their intersection, so a plain bucket join
+    * would emit the pair once per shared bucket. Instead of a
+    * `distinct` (an extra full shuffle of the output), the pair is
+    * emitted ONLY in the bucket containing `max(lStart, rStart)` —
+    * which both intervals provably cover when they overlap — so each
+    * pair meets exactly once by construction. Inverted intervals drop
+    * (nothing can overlap them); pathological spans fail fast, both as
+    * in [[pointInInterval]].
+    *
+    * The equi-keys bound the candidate space (the realistic shape:
+    * overlaps per user/entity, not globally) and give the hash join
+    * its distribution; pass `keys = Nil` only when one side is tiny.
+    */
+  def intervalOverlap(left: DataFrame, lStart: String, lEnd: String,
+      right: DataFrame, rStart: String, rEnd: String,
+      keys: Seq[String], bucketMs: Long,
+      maxSpanBuckets: Long = 100000L): DataFrame = {
+    require(bucketMs > 0, "bucketMs must be positive")
+    def expand(df: DataFrame, s: String, e: String): DataFrame = {
+      val sBkt = floor(unix_millis(col(s)) / bucketMs)
+      val eBkt = floor(unix_millis(col(e)) / bucketMs)
+      val guardedEnd = when(eBkt - sBkt <= maxSpanBuckets, eBkt)
+        .otherwise(raise_error(concat(
+          lit(s"intervalOverlap: interval spans more than $maxSpanBuckets buckets "),
+          lit("(start="), col(s).cast("string"),
+          lit(", end="), col(e).cast("string"),
+          lit(s", bucketMs=$bucketMs)"))))
+      df.withColumn(Bkt, explode(when(eBkt >= sBkt, sequence(sBkt, guardedEnd))))
+    }
+    val l = expand(left, lStart, lEnd)
+    val r = expand(right, rStart, rEnd)
+    l.join(r, keys :+ Bkt)
+      // exact half-open overlap predicate on the survivors
+      .filter(col(lStart) < col(rEnd) && col(rStart) < col(lEnd))
+      // emit-once bucket: the one containing max(lStart, rStart)
+      .filter(col(Bkt) === greatest(
+        floor(unix_millis(col(lStart)) / bucketMs),
+        floor(unix_millis(col(rStart)) / bucketMs)))
+      .drop(Bkt)
+  }
 }

@@ -54,6 +54,38 @@ class RangeJoinSpec extends SparkTestBase {
     assert(msgs(e).exists(_.contains("spans more than")), e.toString)
   }
 
+  test("inverted intervals drop instead of generating descending buckets") {
+    val points = Seq((1L, ts(1, 5))).toDF("pid", "pt")
+    // end < start (1970-sentinel shape): negative span must NOT pass the
+    // one-sided guard nor feed sequence() a descending range
+    val inverted = Seq((10L, ts(5, 0), ts(1, 0))).toDF("iid", "s", "e")
+    assert(RangeJoin.pointInInterval(points, "pt", inverted, "s", "e",
+      3600 * 1000).count() === 0)
+  }
+
+  test("intervalOverlap == naive overlap join; each pair exactly once") {
+    val l = Seq(
+      (1L, "u1", ts(1, 0), ts(3, 0)),
+      (2L, "u1", ts(2, 0), ts(5, 0)),
+      (3L, "u1", ts(6, 0), ts(7, 0)),
+      (4L, "u2", ts(1, 0), ts(9, 0))).toDF("l_id", "k", "l_s", "l_e")
+    val r = Seq(
+      (10L, "u1", ts(2, 12), ts(4, 0)),  // overlaps 1 and 2
+      (11L, "u1", ts(5, 0), ts(6, 12)),  // overlaps 3 only (l2 end exclusive)
+      (12L, "u2", ts(8, 0), ts(12, 0)),  // overlaps 4
+      (13L, "u3", ts(1, 0), ts(9, 0))).toDF("r_id", "k", "r_s", "r_e")
+    val bucketed = RangeJoin.intervalOverlap(l, "l_s", "l_e", r, "r_s", "r_e",
+        Seq("k"), bucketMs = 3600 * 1000)
+      .select($"l_id", $"r_id").collect()
+    // exactly once: no per-shared-bucket duplicates
+    assert(bucketed.length === bucketed.toSet.size)
+    val naive = l.join(r, l("k") === r("k") && $"l_s" < $"r_e" && $"r_s" < $"l_e")
+      .select($"l_id", $"r_id").collect()
+      .map(row => (row.getLong(0), row.getLong(1))).toSet
+    assert(bucketed.map(row => (row.getLong(0), row.getLong(1))).toSet === naive)
+    assert(naive === Set((1L, 10L), (2L, 10L), (3L, 11L), (4L, 12L)))
+  }
+
   test("bucketed plan is a hash equi-join, not a nested-loop join") {
     val points = Seq((1L, ts(1, 5))).toDF("pid", "pt")
     val intervals = Seq((10L, ts(1, 0), ts(1, 6))).toDF("iid", "s", "e")
