@@ -98,4 +98,34 @@ class PlanSpec extends SparkTestBase {
     assert(firstAgg >= 0 && lastAgg > firstAgg)
     assert(p.indexOf("Exchange", firstAgg) > 0)
   }
+
+  test("q43 IVF probe: inverted-file scan is partition-pruned, probes broadcast") {
+    val p = formatted(AnnQueries.q43IvfTopK(spark, sf0001))
+    // the probe must reach the assignments scan through the cluster
+    // partition column — dynamic pruning (or a static partition filter),
+    // never a full inverted-file scan feeding a nested loop
+    assert(p.contains("PartitionFilters") && p.contains("dynamicpruning"),
+      s"expected DPP on the cluster partition column:\n$p")
+    // candidate generation is a hash join on cluster; the only nested
+    // loop is the DELIBERATE broadcast cross of the kClusters-row
+    // centroid table (centroid ranking), never the inverted file
+    assert(p.contains("BroadcastHashJoin"))
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("q49 nearest-centroid: corpus side never shuffles before scoring") {
+    val df = AnnQueries.q49NearestCentroid(spark, sf0001)
+    val p = formatted(df)
+    // centroids broadcast; the only exchange is the final per-vector rank
+    assert(p.contains("BroadcastExchange"), p)
+    val scanIdx = p.indexOf("Scan parquet")
+    assert(scanIdx >= 0)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("q56 interval overlap: hash equi-join on (key, bucket), no nested loop") {
+    val p = formatted(EventQueries.q56IntervalOverlap(spark, sf0001))
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
 }
