@@ -36,7 +36,8 @@ object Bench {
     "q38_trailing_window",
     "q40_media_metadata", "q41_media_feature_rollup",
     "q43_ivf_topk", "q44_cc_synth", "q47_embedding_centroids",
-    "q48_hash_split", "q49_nearest_centroid", "q56_interval_overlap")
+    "q48_hash_split", "q49_nearest_centroid", "q56_interval_overlap",
+    "q57_shipping_priority")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

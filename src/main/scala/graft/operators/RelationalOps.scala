@@ -118,6 +118,47 @@ object RelationalOps {
       |GROUP BY r_name, n_name
       |ORDER BY r_name, n_name""".stripMargin
 
+  /** q57: TPC-H Q3 analog (shipping priority) — GLOBAL top-10 unshipped
+    * orders by revenue for one market segment. The complement of q3's
+    * per-key top-k: a global ordered limit plans as
+    * TakeOrderedAndProject (per-partition bounded heaps + one k-row
+    * reduce to the driver — no full sort, no single-node shuffle),
+    * which is THE scale shape for "top N overall". Filters push into
+    * all three scans; the filtered customer dimension broadcasts.
+    * Deterministic under ties: ORDER BY carries the unique l_orderkey.
+    */
+  val ShipCutoff = "1998-07-01"
+
+  def q57ShippingPriority(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val cust = broadcast(Tables.customer(s, dir)
+      .filter($"c_mktsegment" === "BUILDING"))
+    val ord = Tables.orders(s, dir)
+      .filter($"o_orderdate" < lit(ShipCutoff).cast("timestamp_ntz"))
+    val li = Tables.lineitem(s, dir)
+      .filter($"l_shipdate" > lit(ShipCutoff).cast("timestamp_ntz"))
+    li.join(ord, $"l_orderkey" === $"o_orderkey")
+      .join(cust, $"o_custkey" === $"c_custkey")
+      .groupBy($"l_orderkey", $"o_orderdate", $"o_orderpriority")
+      .agg(round(exactMoneySum($"l_extendedprice" * (lit(1.0) - $"l_discount")), 6)
+        .as("revenue"))
+      .orderBy($"revenue".desc, $"o_orderdate".asc, $"l_orderkey".asc)
+      .limit(10)
+  }
+
+  val q57Sql: String =
+    s"""SELECT l_orderkey, o_orderdate, o_orderpriority,
+       |  round(CAST(sum(CAST(round(l_extendedprice*(1.0-l_discount)*10000, 0) AS BIGINT)) AS DOUBLE)/10000.0, 6) AS revenue
+       |FROM lineitem
+       |JOIN orders   ON l_orderkey = o_orderkey
+       |JOIN customer ON o_custkey = c_custkey
+       |WHERE c_mktsegment = 'BUILDING'
+       |  AND o_orderdate < TIMESTAMP '$ShipCutoff 00:00:00'
+       |  AND l_shipdate  > TIMESTAMP '$ShipCutoff 00:00:00'
+       |GROUP BY l_orderkey, o_orderdate, o_orderpriority
+       |ORDER BY revenue DESC, o_orderdate ASC, l_orderkey ASC
+       |LIMIT 10""".stripMargin
+
   /** q3: top-3 orders per market segment — window argmax generalized to
     * top-k (SURVEY.md A8). Deterministic tie-break on o_orderkey. The
     * window shuffles once on the segment key; at scale the per-partition
@@ -383,6 +424,7 @@ object RelationalOps {
     "q1_pricing_summary" -> (q1PricingSummary _),
     "q2_revenue_by_nation" -> (q2RevenueByNation _),
     "q3_top_orders_per_segment" -> (q3TopOrdersPerSegment _),
+    "q57_shipping_priority" -> (q57ShippingPriority _),
     "q4_status_pivot_by_region" -> (q4StatusPivotByRegion _),
     "q5_semi_anti" -> (q5SemiAnti _),
     "q6_point_lookup" -> (q6PointLookup _),
@@ -397,6 +439,7 @@ object RelationalOps {
     "q1_pricing_summary" -> q1Sql,
     "q2_revenue_by_nation" -> q2Sql,
     "q3_top_orders_per_segment" -> q3Sql,
+    "q57_shipping_priority" -> q57Sql,
     "q4_status_pivot_by_region" -> q4Sql,
     "q5_semi_anti" -> q5Sql,
     "q6_point_lookup" -> q6Sql,

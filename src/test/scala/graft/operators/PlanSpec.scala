@@ -123,6 +123,13 @@ class PlanSpec extends SparkTestBase {
     assert(!p.contains("SortMergeJoin"), p)
   }
 
+  test("q57 global top-N plans as TakeOrderedAndProject, not a full sort") {
+    val p = formatted(RelationalOps.q57ShippingPriority(spark, sf0001))
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(p.contains("PushedFilters"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
   test("q56 interval overlap: hash equi-join on (key, bucket), no nested loop") {
     val p = formatted(EventQueries.q56IntervalOverlap(spark, sf0001))
     assert(!p.contains("BroadcastNestedLoopJoin"), p)
