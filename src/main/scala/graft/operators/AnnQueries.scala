@@ -184,12 +184,21 @@ object AnnQueries {
   val IvfNprobe = 4
   val IvfK = 3
 
-  // index dir tag = the SANITIZED ABSOLUTE corpus path, not the
-  // basename — two corpora whose directories share a basename
-  // (/data/a/sf0.1 vs /data/b/sf0.1) must not share an index
+  // index dir tag = sanitized basename + a hash of the CANONICAL corpus
+  // path. Basename alone shared an index between /data/a/sf0.1 and
+  // /data/b/sf0.1; naive path sanitization ('/'→'_') collides
+  // /data/x/sf0.1 with /data/x_sf0.1 — the path hash disambiguates
+  // both. Canonicalization (not getAbsolutePath) folds '.'/'..'/
+  // symlink spellings of the same directory onto one tag, so the
+  // engine and the statically-generated oracle SQL agree however the
+  // gate dir is spelled. (String.hashCode is specified by the JLS —
+  // stable across JVMs, safe to bake into an on-disk layout.)
   private def ivfIndexPath(sfDir: String): String = {
-    val tag = new java.io.File(sfDir).getAbsolutePath
-      .replaceAll("[^A-Za-z0-9._-]", "_")
+    val f = new java.io.File(sfDir)
+    val canonical =
+      try f.getCanonicalPath catch { case _: java.io.IOException => f.getAbsolutePath }
+    val base = new java.io.File(canonical).getName.replaceAll("[^A-Za-z0-9._-]", "_")
+    val tag = f"$base-${canonical.hashCode & 0xffffffffL}%08x"
     new java.io.File(s"target/ivf-index/$tag").getAbsolutePath
   }
 
@@ -280,8 +289,11 @@ object AnnQueries {
     * scale shape is the ANN-query pattern in miniature: centroids are
     * tiny (labels × dim), so they assemble into arrays and BROADCAST;
     * the corpus is scanned once and scored with the codegen'd
-    * [[graft.functions.VectorFunctions.dotD]] — no shuffle of the
-    * embedding side at all, only the final per-vector rank. The
+    * [[graft.functions.VectorFunctions.dotD]], and the per-vector
+    * argmax is a PARTIAL-AGGREGATED struct-max — (cos, −label)
+    * lexicographic max ≡ (cos desc, label asc) rank-1 — so the
+    * exchange carries one combined row per vector per partition, not
+    * the corpus×labels scored stream a window rank would shuffle. The
     * confusion signal (true label vs predicted) is the standard
     * embedding-space curation diagnostic.
     */
@@ -296,11 +308,11 @@ object AnnQueries {
       .select(col("vec_id"), col("label"), col("c_label"),
         round(graft.functions.VectorFunctions.dotD(
           col("embedding").cast("array<double>"), col("centroid")), 6).as("cos"))
-      .withColumn("rk", row_number().over(
-        Window.partitionBy(col("vec_id")).orderBy(col("cos").desc, col("c_label").asc)))
-      .filter(col("rk") === 1)
+      .groupBy(col("vec_id"), col("label"))
+      .agg(max(struct(col("cos"), (-col("c_label")).as("neg_label"))).as("best"))
       .select(col("vec_id"), col("label").as("true_label"),
-        col("c_label").as("pred_label"), col("cos"))
+        (-col("best.neg_label")).cast("int").as("pred_label"),
+        col("best.cos").as("cos"))
       .orderBy(col("vec_id"))
   }
 

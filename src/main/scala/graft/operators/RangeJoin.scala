@@ -92,7 +92,14 @@ object RangeJoin {
           lit("(start="), col(s).cast("string"),
           lit(", end="), col(e).cast("string"),
           lit(s", bucketMs=$bucketMs)"))))
-      df.withColumn(Bkt, explode(when(eBkt >= sBkt, sequence(sBkt, guardedEnd))))
+      // EMPTY intervals ([x, x) — start == end) intersect nothing under
+      // half-open semantics, but they would slip through the pairwise
+      // predicate below (lStart < rEnd && rStart < lEnd is true for an
+      // empty interval inside a covering one) — drop them at the
+      // source, which also skips their explode. Inverted intervals
+      // drop with them (s < e is false).
+      df.filter(col(s) < col(e))
+        .withColumn(Bkt, explode(when(eBkt >= sBkt, sequence(sBkt, guardedEnd))))
     }
     val l = expand(left, lStart, lEnd)
     val r = expand(right, rStart, rEnd)

@@ -69,6 +69,10 @@ case class SimilarityHintRule(spark: SparkSession) extends Rule[LogicalPlan] {
                org.apache.spark.sql.types.ShortType |
                org.apache.spark.sql.types.IntegerType |
                org.apache.spark.sql.types.LongType => true
+          // exact-integral decimals cast to long losslessly (p ≤ 18
+          // fits in a 64-bit long)
+          case d: org.apache.spark.sql.types.DecimalType
+              if d.scale == 0 && d.precision <= 18 => true
           case _ => false
         })
       if (excludeSelf.isEmpty || !hasCols || !integralId) {

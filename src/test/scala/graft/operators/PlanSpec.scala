@@ -113,13 +113,15 @@ class PlanSpec extends SparkTestBase {
     assert(!p.contains("CartesianProduct"))
   }
 
-  test("q49 nearest-centroid: corpus side never shuffles before scoring") {
+  test("q49 nearest-centroid: broadcast centroids, partial-agg argmax, no window") {
     val df = AnnQueries.q49NearestCentroid(spark, sf0001)
     val p = formatted(df)
-    // centroids broadcast; the only exchange is the final per-vector rank
+    // centroids broadcast; the per-vector argmax is a partial-aggregated
+    // struct-max (map-side combine), NOT a window rank over the scored
+    // corpus×labels stream
     assert(p.contains("BroadcastExchange"), p)
-    val scanIdx = p.indexOf("Scan parquet")
-    assert(scanIdx >= 0)
+    assert(p.contains("HashAggregate"), p)
+    assert(!p.contains("Window"), p)
     assert(!p.contains("SortMergeJoin"), p)
   }
 

@@ -86,6 +86,18 @@ class RangeJoinSpec extends SparkTestBase {
     assert(naive === Set((1L, 10L), (2L, 10L), (3L, 11L), (4L, 12L)))
   }
 
+  test("intervalOverlap: empty and inverted intervals match nothing") {
+    // [x, x) is empty under half-open semantics — even when it sits
+    // inside a covering interval (where the naive pairwise predicate
+    // alone would wrongly fire); inverted intervals likewise
+    val l = Seq(
+      (1L, "u1", ts(2, 0), ts(2, 0)),   // empty, inside r-interval
+      (2L, "u1", ts(5, 0), ts(1, 0))).toDF("l_id", "k", "l_s", "l_e") // inverted
+    val r = Seq((10L, "u1", ts(1, 0), ts(9, 0))).toDF("r_id", "k", "r_s", "r_e")
+    assert(RangeJoin.intervalOverlap(l, "l_s", "l_e", r, "r_s", "r_e",
+      Seq("k"), bucketMs = 3600 * 1000).count() === 0)
+  }
+
   test("bucketed plan is a hash equi-join, not a nested-loop join") {
     val points = Seq((1L, ts(1, 5))).toDF("pid", "pt")
     val intervals = Seq((10L, ts(1, 0), ts(1, 6))).toDF("iid", "s", "e")

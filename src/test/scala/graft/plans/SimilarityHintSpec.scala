@@ -85,6 +85,19 @@ class SimilarityHintSpec extends SparkTestBase {
     }
   }
 
+  test("DECIMAL(18,0) ids are accepted (lossless long cast)") {
+    withExtendedSession { s =>
+      fixture(s).selectExpr("CAST(id AS DECIMAL(18,0)) AS id", "word", "w")
+        .createOrReplaceTempView("simhint_dec")
+      val got = s.sql(
+        """SELECT l_id, r_id, sim FROM (
+          |  SELECT /*+ SIMILARITY_TOP1 */ id, word, w FROM simhint_dec
+          |) ORDER BY l_id""".stripMargin)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got === Map(1L -> 2L, 2L -> 1L, 3L -> 2L))
+    }
+  }
+
   test("malformed SIMILARITY_TOP1 hints fall through without breaking the query") {
     withExtendedSession { s =>
       import s.implicits._
