@@ -22,9 +22,15 @@ object SparkEntry {
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] =
+  def oracleSql: Map[String, String] = oracleSqlFor("/root/testdata/sf0.01")
+
+  /** Oracle SQL parameterized by the gate's actual sf dir — q43's
+    * oracle reads the IVF index materialized FOR that dir, so Verify
+    * must dump the SQL for the dir it actually ran (a baked-in default
+    * dir would read a missing/stale index under any other gate dir). */
+  def oracleSqlFor(sfDir: String): Map[String, String] =
     operators.RelationalOps.oracles ++ operators.DocQueries.oracles ++
-      operators.DedupQueries.oracles ++ operators.AnnQueries.oracles ++
+      operators.DedupQueries.oracles ++ operators.AnnQueries.oraclesFor(sfDir) ++
       operators.TextStatsQueries.oracles ++ operators.EventQueries.oracles ++
       operators.MultimodalQueries.oracles ++ operators.Lab2Queries.oracles
 }

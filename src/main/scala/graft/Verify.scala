@@ -25,6 +25,7 @@ object Verify {
         |  </pool>
         |</allocations>
         |""".stripMargin)
+    poolsXml.toFile.deleteOnExit()
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -75,7 +76,9 @@ object Verify {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
-    val json = SparkEntry.oracleSql
+    // oracleSqlFor(sfDir), not the static default: q43's oracle reads
+    // the IVF index materialized for THIS run's sf dir.
+    val json = SparkEntry.oracleSqlFor(sfDir)
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()

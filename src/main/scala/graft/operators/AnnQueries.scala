@@ -221,10 +221,14 @@ object AnnQueries {
       .orderBy(col("qid"), col("rk"))
   }
 
-  // The driver's correctness gate always runs at sf0.01, so the oracle
-  // reads the sf0.01 index (same path prepareIvf materializes for it).
-  val q43Sql: String = {
-    val idx = ivfIndexPath("/root/testdata/sf0.01")
+  // Generated PER DUMP DIR (Verify passes its actual sfDir through
+  // [[oraclesFor]]), so the oracle always reads the same index
+  // directory `prepareIvf` materializes for the gate run — baking the
+  // path at class-load time from a hardcoded sf dir + the JVM's CWD
+  // made any gate run with a different sfDir or working directory read
+  // a missing or stale index while the engine built a fresh one.
+  def q43Sql(sfDir: String): String = {
+    val idx = ivfIndexPath(sfDir)
     s"""WITH cent AS (
        |  SELECT CAST(cluster AS INTEGER) AS cluster, centroid,
        |         (SELECT sum(y * y) FROM unnest(centroid) t(y)) AS cnorm
@@ -358,14 +362,19 @@ object AnnQueries {
     "q49_nearest_centroid" -> (q49NearestCentroid _),
   )
 
-  val oracles: Map[String, String] = Map(
+  /** Oracles whose SQL depends on the gate's sf dir (q43 reads the
+    * materialized IVF index for that dir); the rest are static. */
+  def oraclesFor(sfDir: String): Map[String, String] = Map(
     "q20_lsh_top1_banded" -> q20Sql,
     "q21_knn_bruteforce" -> q21Sql,
     "q22_lsh_buckets" -> q22Sql,
     "q23_lsh_top1" -> q23Sql,
     "q24_embedding_near_dups" -> q24Sql,
-    "q43_ivf_topk" -> q43Sql,
+    "q43_ivf_topk" -> q43Sql(sfDir),
     "q47_embedding_centroids" -> q47Sql,
     "q49_nearest_centroid" -> q49Sql,
   )
+
+  /** Contract default (the driver's gate runs at sf0.01). */
+  val oracles: Map[String, String] = oraclesFor("/root/testdata/sf0.01")
 }

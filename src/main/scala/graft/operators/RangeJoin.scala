@@ -28,6 +28,22 @@ object RangeJoin {
 
   private val Bkt = "__graft_bucket"
 
+  /** Contract check shared by both joins: the left-side range columns,
+    * right-side range columns, and equi-keys must be pairwise distinct
+    * names (case-insensitively — Spark's default resolver is), and no
+    * column of EITHER input may collide with the internal bucket column
+    * (withColumn would silently overwrite it). */
+  private def requireDistinctCols(op: String, left: DataFrame, leftCols: Seq[String],
+      right: DataFrame, rightCols: Seq[String], keys: Seq[String]): Unit = {
+    val all = leftCols ++ rightCols ++ keys
+    val dups = all.groupBy(_.toLowerCase).collect { case (_, vs) if vs.size > 1 => vs.head }
+    require(dups.isEmpty,
+      s"$op: range/key column names must be pairwise distinct across both " +
+        s"inputs (rename one side before joining); duplicated: ${dups.mkString(", ")}")
+    require(!(left.columns ++ right.columns).exists(_.equalsIgnoreCase(Bkt)),
+      s"$op: column name $Bkt is reserved for the internal bucket column")
+  }
+
   /** Join each point row to every interval row whose
     * `[startCol, endCol)` contains `ptCol` (end exclusive). Timestamp
     * columns; all other columns of both inputs are preserved.
@@ -36,6 +52,12 @@ object RangeJoin {
       intervals: DataFrame, startCol: String, endCol: String,
       bucketMs: Long, maxSpanBuckets: Long = 100000L): DataFrame = {
     require(bucketMs > 0, "bucketMs must be positive")
+    // both inputs' columns coexist after the join, so the point column
+    // and the interval columns must not collide (a shared name would
+    // surface as an ambiguous-reference AnalysisException deep inside
+    // the join filter instead of a contract error here)
+    requireDistinctCols("pointInInterval", points, Seq(ptCol),
+      intervals, Seq(startCol, endCol), Nil)
     val p = points.withColumn(Bkt, floor(unix_millis(col(ptCol)) / bucketMs))
     val startBkt = floor(unix_millis(col(startCol)) / bucketMs)
     val endBkt = floor(unix_millis(col(endCol)) / bucketMs)
@@ -83,6 +105,12 @@ object RangeJoin {
       keys: Seq[String], bucketMs: Long,
       maxSpanBuckets: Long = 100000L): DataFrame = {
     require(bucketMs > 0, "bucketMs must be positive")
+    // the two sides' non-key columns coexist in the joined frame, so
+    // natural same-name intervals (e.g. 's'/'e' on both sides) must be
+    // renamed by the caller — fail with the contract here, not an
+    // ambiguous-reference AnalysisException inside the overlap filter
+    requireDistinctCols("intervalOverlap", left, Seq(lStart, lEnd),
+      right, Seq(rStart, rEnd), keys)
     def expand(df: DataFrame, s: String, e: String): DataFrame = {
       val sBkt = floor(unix_millis(col(s)) / bucketMs)
       val eBkt = floor(unix_millis(col(e)) / bucketMs)

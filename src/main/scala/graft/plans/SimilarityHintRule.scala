@@ -42,10 +42,34 @@ import org.apache.spark.sql.types.BooleanType
   * optimizes/executes as ordinary Catalyst. Unmatched shapes (missing
   * columns, non-boolean arg) are left to Spark's unresolved-hint
   * cleanup, which drops them with a warning.
+  *
+  * The rewrite (and its gating jobs) is MEMOIZED per semantically-equal
+  * hinted child within the session (the rule instance is one-per-session
+  * under `injectResolutionRule`): `explain()`, view creation, and every
+  * re-analysis of the same query would otherwise re-run the gating jobs
+  * each time the analyzer visits the hint. Cache key = the child's
+  * canonicalized plan + excludeSelf; value = the analyzed rewrite, whose
+  * subtree splices cleanly into later queries (repeated-instance
+  * attribute conflicts are handled by Spark's DeduplicateRelations —
+  * the same mechanism self-joins rely on). Caveat, documented for
+  * users: the dense strategy snapshots the vocabulary at first
+  * analysis, so within one session the hint sees the table as it was
+  * when the shape was first analyzed; re-create the session (or change
+  * the query shape) after rewriting the underlying table.
   */
 case class SimilarityHintRule(spark: SparkSession) extends Rule[LogicalPlan] {
 
   private val HintName = "SIMILARITY_TOP1"
+
+  private val MaxCached = 16
+  // bounded LRU; analysis can run concurrently across threads sharing
+  // the session (and thus this per-session rule instance) → synchronized
+  private val cache =
+    new java.util.LinkedHashMap[(LogicalPlan, Boolean), LogicalPlan](MaxCached, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[(LogicalPlan, Boolean), LogicalPlan]): Boolean =
+        size() > MaxCached
+    }
 
   override def apply(plan: LogicalPlan): LogicalPlan = plan.resolveOperatorsUp {
     case h @ UnresolvedHint(name, params, child)
@@ -82,17 +106,22 @@ case class SimilarityHintRule(spark: SparkSession) extends Rule[LogicalPlan] {
             .mkString(", ")}, args $params — hint ignored")
         h
       } else {
-        val df = org.apache.spark.sql.GraftSqlApi.ofRows(spark, child)
-          .select(col("id"), col("word"), col("w"))
-        graft.similarity.Similarity
-          .argmaxAdaptive(df, df, excludeSelf = excludeSelf.get)
-          // both physical strategies agree on values; normalize types so
-          // the SQL surface has ONE schema regardless of strategy (the
-          // dense scorer emits long ids, the sparse path the child's)
-          .select(col("l_id").cast("long").as("l_id"),
-            col("r_id").cast("long").as("r_id"),
-            col("sim").cast("double").as("sim"))
-          .queryExecution.analyzed
+        val key = (child.canonicalized, excludeSelf.get)
+        cache.synchronized(Option(cache.get(key))).getOrElse {
+          val df = org.apache.spark.sql.GraftSqlApi.ofRows(spark, child)
+            .select(col("id"), col("word"), col("w"))
+          val rewritten = graft.similarity.Similarity
+            .argmaxAdaptive(df, df, excludeSelf = excludeSelf.get)
+            // both physical strategies agree on values; normalize types so
+            // the SQL surface has ONE schema regardless of strategy (the
+            // dense scorer emits long ids, the sparse path the child's)
+            .select(col("l_id").cast("long").as("l_id"),
+              col("r_id").cast("long").as("r_id"),
+              col("sim").cast("double").as("sim"))
+            .queryExecution.analyzed
+          cache.synchronized(cache.put(key, rewritten))
+          rewritten
+        }
       }
   }
 }

@@ -98,6 +98,28 @@ class RangeJoinSpec extends SparkTestBase {
       Seq("k"), bucketMs = 3600 * 1000).count() === 0)
   }
 
+  test("colliding column names fail the contract check, not deep in analysis") {
+    val l = Seq((1L, "u1", ts(1, 0), ts(3, 0))).toDF("l_id", "k", "s", "e")
+    val r = Seq((10L, "u1", ts(2, 0), ts(4, 0))).toDF("r_id", "k", "s", "e")
+    val e1 = intercept[IllegalArgumentException] {
+      RangeJoin.intervalOverlap(l, "s", "e", r, "s", "e", Seq("k"), 3600 * 1000)
+    }
+    assert(e1.getMessage.contains("pairwise distinct"), e1.getMessage)
+    val pts = Seq((1L, ts(1, 5))).toDF("pid", "t")
+    val iv = Seq((10L, ts(1, 0), ts(1, 6))).toDF("iid", "t", "e")
+    val e2 = intercept[IllegalArgumentException] {
+      RangeJoin.pointInInterval(pts, "t", iv, "t", "e", 3600 * 1000)
+    }
+    assert(e2.getMessage.contains("pairwise distinct"), e2.getMessage)
+    // the internal bucket column name is reserved
+    val e3 = intercept[IllegalArgumentException] {
+      RangeJoin.pointInInterval(
+        pts.withColumnRenamed("pid", "__graft_bucket"), "t", iv, "s2", "e", 3600 * 1000)
+    }
+    assert(e3.getMessage.contains("reserved") || e3.getMessage.contains("distinct"),
+      e3.getMessage)
+  }
+
   test("bucketed plan is a hash equi-join, not a nested-loop join") {
     val points = Seq((1L, ts(1, 5))).toDF("pid", "pt")
     val intervals = Seq((10L, ts(1, 0), ts(1, 6))).toDF("iid", "s", "e")

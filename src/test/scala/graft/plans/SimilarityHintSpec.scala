@@ -98,6 +98,56 @@ class SimilarityHintSpec extends SparkTestBase {
     }
   }
 
+  test("re-analyzing the same hinted shape reuses the cached rewrite (no new gating jobs)") {
+    withExtendedSession { s =>
+      fixture(s).createOrReplaceTempView("simhint_cache")
+      val qry =
+        """SELECT l_id, r_id, sim FROM (
+          |  SELECT /*+ SIMILARITY_TOP1 */ id, word, w FROM simhint_cache
+          |) ORDER BY l_id""".stripMargin
+      val a1 = s.sql(qry).queryExecution.analyzed // first analysis runs the gating jobs
+      // count jobs during the SECOND analysis of the same shape
+      val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+      val listener = new org.apache.spark.scheduler.SparkListener {
+        override def onJobStart(js: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+          jobs.incrementAndGet()
+      }
+      s.sparkContext.addSparkListener(listener)
+      try {
+        val a2 = s.sql(qry).queryExecution.analyzed
+        // the cached rewrite is spliced in by reference — some subtree
+        // node is the SAME instance in both analyzed plans
+        val n1 = a1.collect { case n => n }
+        assert(a2.exists(n2 => n1.exists(_ eq n2)),
+          "expected the second analysis to splice the cached rewrite instance")
+        // listener bus is async; give queued events a moment to drain
+        Thread.sleep(500)
+        assert(jobs.get() === 0,
+          s"re-analysis of an already-cached hint shape ran ${jobs.get()} Spark jobs")
+      } finally s.sparkContext.removeSparkListener(listener)
+      // and the cached plan still executes correctly
+      val got = s.sql(qry).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got === Map(1L -> 2L, 2L -> 1L, 3L -> 2L))
+    }
+  }
+
+  test("self-join of two identically-hinted blocks survives instance sharing") {
+    withExtendedSession { s =>
+      fixture(s).createOrReplaceTempView("simhint_self")
+      // both branches rewrite to the SAME cached plan instance; the
+      // analyzer must deduplicate the conflicting attribute ids (the
+      // standard self-join mechanism) rather than mis-resolve the join
+      val got = s.sql(
+        """SELECT a.l_id, a.r_id, b.r_id AS rr
+          |FROM (SELECT /*+ SIMILARITY_TOP1 */ id, word, w FROM simhint_self) a
+          |JOIN (SELECT /*+ SIMILARITY_TOP1 */ id, word, w FROM simhint_self) b
+          |  ON a.l_id = b.l_id
+          |ORDER BY a.l_id""".stripMargin)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      assert(got.toSeq === Seq((1L, 2L, 2L), (2L, 1L, 1L), (3L, 2L, 2L)))
+    }
+  }
+
   test("malformed SIMILARITY_TOP1 hints fall through without breaking the query") {
     withExtendedSession { s =>
       import s.implicits._
