@@ -67,7 +67,12 @@ object Bench {
         System.err.println(s"[bench] ivf build failed — skipping q43: $e"); false
       }
 
+    // dev-loop subset: SPARK_GRAFT_BENCH_ONLY=q44_cc_synth,q13_top1_similar
+    // (driver runs with it unset → full headline set)
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     val results = Headline
+      .filter(name => only.forall(_.contains(name)))
       .filter(name => ivfReady || name != "q43_ivf_topk")
       .flatMap { name =>
       SparkEntry.queries.get(name).map { fn =>

@@ -204,6 +204,23 @@ object Dedup {
     * AQE handles the shrinking change set; swap localCheckpoint for a
     * reliable checkpoint dir on a real cluster to bound lineage.
     *
+    * LOCAL CONTRACTION pre-pass (long-id graphs): before the loop, one
+    * `mapPartitions` runs a union-find over each partition's edges and
+    * emits SHORTCUT EDGES (v → partition-local root) for every locally
+    * non-root vertex. Shortcuts are ordinary transitive edges — both
+    * endpoints provably lie in the same component — so ROUND SEMANTICS
+    * ARE UNCHANGED; what changes is the effective diameter entering the
+    * loop: a path that co-locates in one scan partition becomes a star
+    * in round 1 instead of log₂(len) jump rounds. The pass reads the
+    * already-persisted `sym` (zero extra scans of the caller's edge
+    * pipeline — for q19 that pipeline IS the expensive part), adds at
+    * most one shortcut per locally-non-root vertex, and bounds its
+    * per-task hash map at `spark.graft.cc.maxLocalUnionEntries`
+    * (default 4M ≈ a few hundred MB worst case): past the cap it stops
+    * admitting NEW vertices but keeps unioning tracked ones — dropping
+    * shortcuts only loses contraction speed, never correctness.
+    * Non-long id domains skip the pre-pass (same loop, just unseeded).
+    *
     * @param vertices one row per vertex, column `id` (numeric)
     * @param edges    undirected edges, columns `a`, `b`
     * @return (id, component) — component = min id in the vertex's
@@ -211,9 +228,56 @@ object Dedup {
     */
   def connectedComponents(vertices: DataFrame, edges: DataFrame,
       maxIter: Int = 50): DataFrame = {
-    val sym = edges.select(col("a").as("src"), col("b").as("dst"))
+    import org.apache.spark.sql.types.LongType
+    val symBase = edges.select(col("a").as("src"), col("b").as("dst"))
       .unionAll(edges.select(col("b").as("src"), col("a").as("dst")))
       .persist()
+    val spark = vertices.sparkSession
+    val longIds = symBase.schema.fields.forall(_.dataType == LongType)
+    val sym = if (!longIds) symBase else {
+      val maxEntries = spark.conf.getOption("spark.graft.cc.maxLocalUnionEntries")
+        .map(_.toInt).getOrElse(4_000_000)
+      import spark.implicits._
+      // The pass runs on symBase's NATURAL partitioning. A
+      // repartitionByRange(src) first would maximize id locality
+      // (whole id-neighborhood components collapse in one task), but
+      // costs a sampling pass + a full edge shuffle — measured slower
+      // at bench scale than the extra round or two the natural
+      // partitioning needs; revisit the trade for graphs whose
+      // diameter survives random partitioning.
+      val shortcuts = symBase
+        .as[(Long, Long)].mapPartitions { it =>
+        // union-find with min-root union + path compression; roots are
+        // always the smallest id seen in the local set, so emitted
+        // shortcuts bias toward the component minimum
+        val parent = new java.util.HashMap[Long, Long]()
+        def find(x0: Long): Long = {
+          var r = x0
+          var p = parent.getOrDefault(r, r)
+          while (p != r) { r = p; p = parent.getOrDefault(r, r) }
+          var c = x0
+          while (c != r) { val n = parent.get(c); parent.put(c, r); c = n }
+          r
+        }
+        it.foreach { case (a, b) =>
+          val roomFor = 2 - (if (parent.containsKey(a)) 1 else 0) -
+            (if (parent.containsKey(b)) 1 else 0)
+          if (parent.size() + roomFor <= maxEntries) {
+            if (!parent.containsKey(a)) parent.put(a, a)
+            if (!parent.containsKey(b)) parent.put(b, b)
+            val ra = find(a); val rb = find(b)
+            if (ra < rb) parent.put(rb, ra)
+            else if (rb < ra) parent.put(ra, rb)
+          }
+        }
+        val keys = parent.keySet().toArray(Array.empty[java.lang.Long])
+        keys.iterator.map(k => (k.longValue(), find(k))).filter { case (v, r) => v != r }
+      }.toDF("src", "dst")
+      // shortcuts symmetrized like any other edge
+      symBase.unionAll(shortcuts)
+        .unionAll(shortcuts.select(col("dst").as("src"), col("src").as("dst")))
+        .persist()
+    }
     var labels = vertices.select(col("id"), col("id").as("component"))
       .localCheckpoint(true)
     // FRONTIER optimization: a vertex's neighbor-min can only improve
@@ -265,8 +329,11 @@ object Dedup {
       labels = next.select(col("id"), col("component"))
       done = changed == 0
       iter += 1
+      if (spark.conf.getOption("spark.graft.cc.log").contains("true"))
+        System.err.println(f"[cc] round $iter%2d changed=$changed%8d")
     }
     sym.unpersist()
+    if (sym ne symBase) symBase.unpersist()
     labels
   }
 

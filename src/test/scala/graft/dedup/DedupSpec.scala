@@ -57,6 +57,20 @@ class DedupSpec extends SparkTestBase {
     assert(r === Set(1L))
   }
 
+  test("local-contraction cap: bounded union-find map never affects results") {
+    // cap the per-partition union-find at 4 tracked vertices — most of
+    // the chain's shortcut edges are dropped, which must only slow
+    // convergence (more loop rounds), never change the labeling
+    spark.conf.set("spark.graft.cc.maxLocalUnionEntries", "4")
+    try {
+      val vertices = (1L to 40L).toDF("id")
+      val edges = (1L until 40L).map(i => (i, i + 1)).toDF("a", "b")
+      val r = Dedup.connectedComponents(vertices, edges)
+        .collect().map(x => x.getLong(1)).toSet
+      assert(r === Set(1L))
+    } finally spark.conf.unset("spark.graft.cc.maxLocalUnionEntries")
+  }
+
   test("xxhash64 minhash agrees with md5 minhash on jaccard ESTIMATES") {
     // both families estimate the same jaccard; exact-dup pair must have
     // identical signatures in both, near-dup mostly-equal
