@@ -9,7 +9,8 @@ import org.apache.spark.sql.SparkSession
   * strategy. Deliberately excluded are the quadratic-OUTPUT
   * correctness demos (q16/q17/q24 emit O(n²) near-dup pairs by
   * definition — their cost is output volume, not operator speed; the
-  * sf0.01 oracle gate still runs them), q19 (its input IS q16's pair
+  * sf0.01 oracle gate still runs them; q61 winnowing-candidates is the
+  * same pair-output family), q19 (its input IS q16's pair
   * set: measured at sf0.1, 77 of 86 s is edge generation on this
   * deliberately self-similar corpus, 16 s the CC loop over the
   * resulting 4M edges — see SCALE.md; q44 benches the CC loop itself
@@ -37,7 +38,9 @@ object Bench {
     "q40_media_metadata", "q41_media_feature_rollup",
     "q43_ivf_topk", "q44_cc_synth", "q47_embedding_centroids",
     "q48_hash_split", "q49_nearest_centroid", "q56_interval_overlap",
-    "q57_shipping_priority")
+    "q57_shipping_priority",
+    "q58_salted_enrichment", "q59_latest_per_key", "q60_stratified_sample",
+    "q62_top_bigrams_per_lang", "q63_large_orders", "q64_length_quartiles")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

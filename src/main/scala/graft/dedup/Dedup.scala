@@ -59,13 +59,14 @@ object Dedup {
     when(size(tokens) >= lit(n), sh).otherwise(array().cast("array<string>"))
   }
 
-  /** (id, shingle) pairs, distinct per doc. Built from posexplode +
-    * window `lead` rather than exploding [[shinglesCol]]: the column
-    * form nests higher-order lambdas (transform/slice/filter), which
+  /** POSITIONAL word-n-gram shingles (id, pos, shingle), pos = the
+    * shingle's first-token position. Built from posexplode + window
+    * `lead` rather than exploding [[shinglesCol]]: the column form
+    * nests higher-order lambdas (transform/slice/filter), which
     * evaluate INTERPRETED per element — the generator+window pipeline
     * stays in whole-stage codegen and partitions by document.
     */
-  def shingleSets(df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame = {
+  def positionalShingles(df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame = {
     // normalize() collapses separator runs, so split can only yield an
     // empty token for fully-empty text — filtering after posexplode
     // cannot perturb interior positions.
@@ -79,8 +80,57 @@ object Dedup {
     val parts = col("w") +: (1 until n).map(i => col(s"w$i"))
     withLeads
       .filter((1 until n).map(i => col(s"w$i").isNotNull).reduceOption(_ && _).getOrElse(lit(true)))
-      .select(col("id"), concat_ws(" ", parts: _*).as("shingle"))
+      .select(col("id"), col("pos"), concat_ws(" ", parts: _*).as("shingle"))
+  }
+
+  /** (id, shingle) pairs, distinct per doc. */
+  def shingleSets(df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame =
+    positionalShingles(df, idCol, textCol, n)
+      .select(col("id"), col("shingle"))
       .distinct()
+
+  /** Winnowing fingerprints (Schleimer–Wilkerson–Aiken '03, the MOSS
+    * algorithm): hash every word-`k`-gram, slide a window of `w`
+    * consecutive hashes over each document, and keep the minimum hash
+    * of every full window. The guarantee: any shared run of ≥ w+k-1
+    * tokens between two documents yields at least one shared
+    * fingerprint, while only ~2/(w+1) of all hashes are kept — a
+    * position-robust, sublinear document signature (vs [[minhashSig]],
+    * which signs the whole doc and cannot localize). Fingerprints are
+    * deduped by VALUE per doc (the candidate-generation form; positions
+    * would only matter for match localization).
+    *
+    * Shape at scale: tokenize → window-min (one shuffle on id, both
+    * window aggs share the frame) → distinct — all linear;
+    * candidate-pair generation then joins on fingerprint like
+    * [[lshCandidates]] joins on band signature.
+    */
+  def winnowFingerprints(df: DataFrame, idCol: String, textCol: String,
+      k: Int, w: Int): DataFrame = {
+    require(w >= 1, s"window must be >= 1, got $w")
+    val hashed = positionalShingles(df, idCol, textCol, k)
+      .select(col("id"), col("pos"), md5(col("shingle").cast("binary")).as("h"))
+    val frame = Window.partitionBy(col("id")).orderBy(col("pos")).rowsBetween(0, w - 1)
+    hashed
+      .select(col("id"), min(col("h")).over(frame).as("fp"),
+        count(lit(1)).over(frame).as("wn"))
+      .filter(col("wn") === w) // full windows only
+      .select(col("id"), col("fp"))
+      .distinct()
+  }
+
+  /** Near-dup candidate pairs from shared winnowing fingerprints:
+    * (a, b, shared) for pairs sharing at least `minShared`
+    * fingerprints. Join cost is Σ bucket² over fingerprint buckets —
+    * bound degenerate buckets with `maxBucket` exactly like
+    * [[lshCandidates]] when running beyond oracle scale.
+    */
+  def winnowCandidates(fingerprints: DataFrame, minShared: Long): DataFrame = {
+    val l = fingerprints.select(col("fp"), col("id").as("a"))
+    val r = fingerprints.select(col("fp"), col("id").as("b"))
+    l.join(r, Seq("fp")).filter(col("a") < col("b"))
+      .groupBy(col("a"), col("b")).agg(count(lit(1)).as("shared"))
+      .filter(col("shared") >= minShared)
   }
 
   /** MinHash signature columns mh00..mh{k-1}: for permutation j the

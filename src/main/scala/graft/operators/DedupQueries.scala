@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables
@@ -266,7 +267,87 @@ object DedupQueries {
        |FROM sums ORDER BY doc_id""".stripMargin
   }
 
+  // ---------------------------------------------------------------- q61
+  /** Winnowing near-dup candidates ([[Dedup.winnowFingerprints]],
+    * Schleimer et al. '03): word-bigram hashes → window-of-4 minima →
+    * pairs sharing ≥ 2 fingerprints. The position-robust complement to
+    * MinHash (q16): winnowing GUARANTEES a hit for any shared run of
+    * ≥ w+k-1 tokens (local plagiarism/boilerplate), where MinHash only
+    * samples the global set. Pair-output op like q16/q17 — oracle-gated
+    * at sf0.01, excluded from the bench for output volume.
+    */
+  val WinnowK = 2
+  val WinnowW = 4
+  val WinnowMinShared = 2L
+
+  def q61Winnowing(s: SparkSession, dir: String): DataFrame = {
+    val fp = Dedup.winnowFingerprints(
+      Tables.documents(s, dir), "doc_id", "text", WinnowK, WinnowW)
+    Dedup.winnowCandidates(fp, WinnowMinShared)
+      .orderBy(col("a"), col("b"))
+  }
+
+  val q61Sql: String =
+    s"""WITH lists AS (
+       |  SELECT doc_id AS id,
+       |         list_filter(string_split(trim(regexp_replace(lower(text), '(\\d|\\W)+', ' ', 'g')), ' '), x -> x <> '') AS toks
+       |  FROM documents),
+       |ps AS (SELECT id, unnest(range(1, len(toks) - ${WinnowK - 2})) AS i, toks FROM lists),
+       |sh AS (SELECT id, i, md5(array_to_string(toks[i:i+${WinnowK - 1}], ' ')) AS h FROM ps),
+       |wm AS (
+       |  SELECT id,
+       |         min(h) OVER (PARTITION BY id ORDER BY i ROWS BETWEEN CURRENT ROW AND ${WinnowW - 1} FOLLOWING) AS fp,
+       |         count(*) OVER (PARTITION BY id ORDER BY i ROWS BETWEEN CURRENT ROW AND ${WinnowW - 1} FOLLOWING) AS wn
+       |  FROM sh),
+       |fp AS (SELECT DISTINCT id, fp FROM wm WHERE wn = $WinnowW)
+       |SELECT a.id AS a, b.id AS b, count(*) AS shared
+       |FROM fp a JOIN fp b ON a.fp = b.fp AND a.id < b.id
+       |GROUP BY 1, 2 HAVING count(*) >= $WinnowMinShared ORDER BY a, b""".stripMargin
+
+  // ---------------------------------------------------------------- q62
+  /** Per-language top-5 bigrams by DOCUMENT frequency (distinct docs
+    * containing the bigram) — the corpus-stats rollup behind stopword
+    * mining and boilerplate detection. Deterministic rank contract
+    * (ndocs DESC, shingle ASC). One shuffle on (lang, shingle) with
+    * partial aggregation; the window ranks only the per-language
+    * distinct-bigram table, not the corpus.
+    */
+  val TopBigramsK = 5
+
+  def q62TopBigramsPerLang(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val counts = Dedup.shingleSets(docs, "doc_id", "text", ShingleN)
+      .join(docs.select(col("doc_id").as("id"), col("lang")), Seq("id"))
+      .groupBy(col("lang"), col("shingle"))
+      .agg(count(lit(1)).as("ndocs"))
+    val w = Window.partitionBy(col("lang"))
+      .orderBy(col("ndocs").desc, col("shingle").asc)
+    counts.withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= TopBigramsK)
+      .orderBy(col("lang"), col("rk"))
+  }
+
+  val q62Sql: String =
+    s"""WITH lists AS (
+       |  SELECT doc_id AS id,
+       |         list_filter(string_split(trim(regexp_replace(lower(text), '(\\d|\\W)+', ' ', 'g')), ' '), x -> x <> '') AS toks
+       |  FROM documents),
+       |sh AS (
+       |  SELECT DISTINCT id, shingle FROM (
+       |    SELECT id, unnest(list_transform(range(1, len(toks) - ${ShingleN - 2}),
+       |                      i -> array_to_string(toks[i:i+${ShingleN - 1}], ' '))) AS shingle
+       |    FROM lists)),
+       |cnt AS (SELECT d.lang, s.shingle, count(*) AS ndocs
+       |        FROM sh s JOIN documents d ON d.doc_id = s.id GROUP BY 1, 2),
+       |rk AS (SELECT lang, shingle, ndocs,
+       |              row_number() OVER (PARTITION BY lang ORDER BY ndocs DESC, shingle ASC) AS rk
+       |       FROM cnt)
+       |SELECT lang, shingle, ndocs, CAST(rk AS BIGINT) AS rk
+       |FROM rk WHERE rk <= $TopBigramsK ORDER BY lang, rk""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q61_winnowing" -> (q61Winnowing _),
+    "q62_top_bigrams_per_lang" -> (q62TopBigramsPerLang _),
     "q14_dedup_exact" -> (q14DedupExact _),
     "q15_minhash" -> (q15Minhash _),
     "q16_lsh_near_dups" -> (q16LshNearDups _),
@@ -277,6 +358,8 @@ object DedupQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q61_winnowing" -> q61Sql,
+    "q62_top_bigrams_per_lang" -> q62Sql,
     "q14_dedup_exact" -> q14Sql,
     "q15_minhash" -> q15Sql,
     "q16_lsh_near_dups" -> q16Sql,

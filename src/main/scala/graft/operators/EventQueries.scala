@@ -310,7 +310,79 @@ object EventQueries {
        |             RANGE BETWEEN $TrailingMs PRECEDING AND CURRENT ROW)
        |ORDER BY event_id""".stripMargin
 
+  // ---------------------------------------------------------------- q58
+  /** Fact-to-dimension enrichment through [[Skew.saltedJoinHotKeys]]:
+    * every event joined to its user's totals (share of the user's
+    * lifetime value). The salted operator samples the fact side for
+    * hot keys, salts ONLY those, and joins the cold tail plainly —
+    * detection affects the physical plan, never the result, which is
+    * exactly what this gate proves: the oracle is the PLAIN join. At
+    * 100 TB this is the shape that survives a power-law user: the hot
+    * user's rows spread over `saltBuckets` tasks instead of one
+    * straggler partition that AQE cannot split (every row of the key
+    * must still meet the dimension row).
+    */
+  val SaltBuckets = 8
+
+  def q58SaltedEnrichment(s: SparkSession, dir: String): DataFrame = {
+    val e = ev(s, dir)
+    val userTotals = e.groupBy(col("user_id")).agg(
+      round(sum(col("value")), 6).as("user_total"),
+      count(lit(1)).as("user_events"))
+    Skew.saltedJoinHotKeys(
+        e.select(col("event_id"), col("user_id"), col("value")),
+        userTotals, Seq("user_id"),
+        saltBuckets = SaltBuckets, sampleFraction = 0.2, minSampledCount = 10)
+      .select(col("event_id"), col("user_id"),
+        col("user_total"), col("user_events"),
+        when(col("user_total") =!= 0d,
+          round(col("value") / col("user_total"), 6)).as("share"))
+      .orderBy(col("event_id"))
+  }
+
+  val q58Sql: String =
+    """WITH tot AS (
+      |  SELECT user_id, round(sum(value), 6) AS user_total,
+      |         count(*) AS user_events
+      |  FROM events GROUP BY user_id)
+      |SELECT e.event_id, e.user_id, t.user_total, t.user_events,
+      |       CASE WHEN t.user_total <> 0
+      |            THEN round(e.value / t.user_total, 6) END AS share
+      |FROM events e JOIN tot t USING (user_id)
+      |ORDER BY e.event_id""".stripMargin
+
+  // ---------------------------------------------------------------- q59
+  /** Keep-latest-per-key compaction (the upsert/SCD primitive every
+    * mutable-feed lake needs: collapse an append-only event log to the
+    * current row per key). Implemented as a PARTIAL-AGGREGATED
+    * struct-max — max(struct(ts, event_id, payload…)) — so each map
+    * task pre-reduces to one candidate row per key before the
+    * exchange; a window row_number (the naive form) would shuffle
+    * EVERY log row and sort each key group. (ts, event_id)
+    * lexicographic max ≡ (ts DESC, event_id DESC) rank-1; event_id is
+    * unique so the payload field never participates in the ordering.
+    */
+  def q59LatestPerKey(s: SparkSession, dir: String): DataFrame =
+    ev(s, dir)
+      .groupBy(col("user_id"), col("event_type"))
+      .agg(max(struct(col("ts_ms"), col("event_id"), col("value"))).as("last"))
+      .select(col("user_id"), col("event_type"),
+        col("last.ts_ms").as("ts_ms"), col("last.event_id").as("event_id"),
+        col("last.value").as("value"))
+      .orderBy(col("user_id"), col("event_type"))
+
+  val q59Sql: String =
+    """SELECT user_id, event_type, ts_ms, event_id, value FROM (
+      |  SELECT user_id, event_type, ts_ms, event_id, value,
+      |         row_number() OVER (PARTITION BY user_id, event_type
+      |                            ORDER BY ts_ms DESC, event_id DESC) AS rk
+      |  FROM (SELECT user_id, event_type, event_id, value,
+      |               CAST(epoch_ms(ts) AS BIGINT) AS ts_ms FROM events))
+      |WHERE rk = 1 ORDER BY user_id, event_type""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q58_salted_enrichment" -> (q58SaltedEnrichment _),
+    "q59_latest_per_key" -> (q59LatestPerKey _),
     "q30_event_window_agg" -> (q30WindowAgg _),
     "q31_sessionize" -> (q31Sessionize _),
     "q32_event_dedup" -> (q32EventDedup _),
@@ -322,6 +394,8 @@ object EventQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q58_salted_enrichment" -> q58Sql,
+    "q59_latest_per_key" -> q59Sql,
     "q30_event_window_agg" -> q30Sql,
     "q31_sessionize" -> q31Sql,
     "q32_event_dedup" -> q32Sql,

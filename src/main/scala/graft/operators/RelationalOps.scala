@@ -419,8 +419,49 @@ object RelationalOps {
       |  round(quantile_cont(CAST(l_extendedprice AS DOUBLE), 0.75), 6) AS p75_price
       |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
 
+  // ---------------------------------------------------------------- q63
+  /** Large-volume orders (TPC-H Q18 shape): orders whose line items
+    * total more than [[LargeOrderQty]] units, with customer context,
+    * largest orders first. The scale shape: the HAVING subquery is a
+    * partial-aggregated groupBy on l_orderkey (map-side combine does
+    * most of the sum), its >threshold survivor set is tiny and
+    * broadcast back against `orders`, and customer is a broadcast dim
+    * — one real shuffle (the lineitem agg) for the whole query.
+    * total_qty is a sum of integral doubles → exact in both engines,
+    * exported as BIGINT.
+    */
+  val LargeOrderQty = 250.0
+
+  def q63LargeOrders(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val bigOrders = Tables.lineitem(s, dir)
+      .groupBy($"l_orderkey")
+      .agg(sum($"l_quantity").as("total_qty"))
+      .filter($"total_qty" > LargeOrderQty)
+    Tables.orders(s, dir)
+      .join(bigOrders, $"o_orderkey" === $"l_orderkey")
+      .join(broadcast(Tables.customer(s, dir)), $"o_custkey" === $"c_custkey")
+      .select($"c_name", $"c_custkey", $"o_orderkey", $"o_orderdate",
+        $"o_totalprice", $"total_qty".cast("long").as("total_qty"))
+      .orderBy($"o_totalprice".desc, $"o_orderkey".asc)
+      .limit(100)
+  }
+
+  val q63Sql: String =
+    s"""SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice,
+       |       CAST(total_qty AS BIGINT) AS total_qty
+       |FROM orders
+       |JOIN (SELECT l_orderkey, sum(l_quantity) AS total_qty
+       |      FROM lineitem GROUP BY l_orderkey
+       |      HAVING sum(l_quantity) > $LargeOrderQty) big
+       |  ON o_orderkey = big.l_orderkey
+       |JOIN customer ON o_custkey = c_custkey
+       |ORDER BY o_totalprice DESC, o_orderkey ASC
+       |LIMIT 100""".stripMargin
+
   /** Query + oracle registry contributed by this module. */
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q63_large_orders" -> (q63LargeOrders _),
     "q1_pricing_summary" -> (q1PricingSummary _),
     "q2_revenue_by_nation" -> (q2RevenueByNation _),
     "q3_top_orders_per_segment" -> (q3TopOrdersPerSegment _),
@@ -436,6 +477,7 @@ object RelationalOps {
   )
 
   val oracles: Map[String, String] = Map(
+    "q63_large_orders" -> q63Sql,
     "q1_pricing_summary" -> q1Sql,
     "q2_revenue_by_nation" -> q2Sql,
     "q3_top_orders_per_segment" -> q3Sql,

@@ -42,6 +42,30 @@ object Sampling {
       fractions: Map[String, Double], seed: Long = 42L): DataFrame =
     df.stat.sampleBy(stratumCol, fractions, seed)
 
+  /** DETERMINISTIC stratified sampling in the md5 family: keep a row
+    * iff the first two hex digits of `md5(seed || '|' || id)` fall
+    * below the stratum's cut, where `fractions` gives each stratum's
+    * keep-rate in 256ths (two hex digits ⇒ 1/256 granularity). Unlike
+    * [[stratified]] (Spark's seeded `sampleBy`, whose RNG stream is
+    * engine- and partitioning-specific), the decision is a pure
+    * function of (id, seed) — reproducible across engines, retries,
+    * and repartitioning, and portable to any system with md5 (the
+    * repo's oracle-hash contract). Strata missing from the map drop
+    * (quota keep-list semantics, matching [[stratified]]). Per-row
+    * work is one md5 + a string compare — codegen'd, no shuffle.
+    */
+  def stratifiedByHash(df: DataFrame, stratumCol: String, idCol: String,
+      fractions: Map[String, Int], seed: String = "s42"): DataFrame = {
+    require(fractions.values.forall(v => v >= 0 && v <= 256),
+      s"fractions are keep-rates in 256ths, must be in [0,256]: $fractions")
+    val cut = fractions.foldLeft(lit(null).cast("string")) { case (acc, (k, v)) =>
+      // 256 ⇒ keep-all: 'g' sorts after every hex digit (0-9a-f)
+      when(col(stratumCol) === k, lit(if (v >= 256) "g" else f"$v%02x")).otherwise(acc)
+    }
+    df.filter(cut.isNotNull &&
+      substring(md5(concat(lit(seed + "|"), col(idCol).cast("string")).cast("binary")), 1, 2) < cut)
+  }
+
   /** CONTENT-hash split label (`train`/`test`) in the md5 family, so it
     * is portable across engines (xxhash64 is Spark-specific; md5 is
     * bit-identical everywhere — the same trade [[graft.dedup.Dedup]]

@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables
@@ -275,7 +276,73 @@ object TextStatsQueries {
       |  CASE WHEN substr(md5(text), 1, 1) < 'e' THEN 'train' ELSE 'test' END AS split
       |FROM documents ORDER BY doc_id""".stripMargin
 
+  // ---------------------------------------------------------------- q60
+  /** Language-rebalancing stratified sample
+    * ([[Sampling.stratifiedByHash]]): downsample the over-represented
+    * languages by per-stratum hash cuts (en keeps 128/256, de/es/fr
+    * 192/256, zh 256/256) — the curation pass that rebalances a
+    * training mix WITHOUT rand() so re-runs, task retries, and other
+    * engines keep exactly the same rows. The oracle replays the md5
+    * arithmetic bit-for-bit.
+    */
+  val StratFractions: Map[String, Int] =
+    Map("en" -> 128, "de" -> 192, "es" -> 192, "fr" -> 192, "zh" -> 256)
+
+  def q60StratifiedSample(s: SparkSession, dir: String): DataFrame =
+    Sampling.stratifiedByHash(
+        Tables.documents(s, dir).select(col("doc_id"), col("lang"), col("n_chars")),
+        "lang", "doc_id", StratFractions)
+      .orderBy(col("doc_id"))
+
+  val q60Sql: String = {
+    val cases = StratFractions.toSeq.sortBy(_._1).map { case (k, v) =>
+      val cut = if (v >= 256) "g" else f"$v%02x"
+      s"WHEN lang = '$k' THEN '$cut'"
+    }.mkString(" ")
+    s"""SELECT doc_id, lang, n_chars FROM (
+       |  SELECT doc_id, lang, n_chars,
+       |         CASE $cases END AS cut,
+       |         substr(md5('s42|' || CAST(doc_id AS VARCHAR)), 1, 2) AS h
+       |  FROM documents)
+       |WHERE cut IS NOT NULL AND h < cut
+       |ORDER BY doc_id""".stripMargin
+  }
+
+  // ---------------------------------------------------------------- q64
+  /** Per-language length-QUARTILE profile (ntile(4) by n_chars): the
+    * distribution diagnostic behind length-based curation cuts —
+    * which quartile of each language is short-doc noise, where the
+    * truncation tail starts. Deterministic tiling via the total order
+    * (n_chars, doc_id); the quartile assignment is a single window
+    * shuffle on lang, and the rollup reuses the same partitioning
+    * (no second exchange).
+    */
+  def q64LengthQuartiles(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("lang")).orderBy(col("n_chars"), col("doc_id"))
+    Tables.documents(s, dir)
+      .select(col("lang"), col("doc_id"), col("n_chars"))
+      .withColumn("tile", ntile(4).over(w).cast("long"))
+      .groupBy(col("lang"), col("tile"))
+      .agg(count(lit(1)).as("n"),
+        min(col("n_chars")).as("min_chars"),
+        max(col("n_chars")).as("max_chars"),
+        round(avg(col("n_chars")), 6).as("avg_chars"))
+      .orderBy(col("lang"), col("tile"))
+  }
+
+  val q64Sql: String =
+    """SELECT lang, tile, count(*) AS n,
+      |       min(n_chars) AS min_chars, max(n_chars) AS max_chars,
+      |       round(avg(n_chars), 6) AS avg_chars
+      |FROM (SELECT lang, n_chars,
+      |             CAST(ntile(4) OVER (PARTITION BY lang
+      |                                 ORDER BY n_chars, doc_id) AS BIGINT) AS tile
+      |      FROM documents)
+      |GROUP BY lang, tile ORDER BY lang, tile""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q60_stratified_sample" -> (q60StratifiedSample _),
+    "q64_length_quartiles" -> (q64LengthQuartiles _),
     "q48_hash_split" -> (q48HashSplit _),
     "q25_lang_id" -> (q25LangId _),
     "q29_curation" -> (q29Curation _),
@@ -287,6 +354,8 @@ object TextStatsQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q60_stratified_sample" -> q60Sql,
+    "q64_length_quartiles" -> q64Sql,
     "q48_hash_split" -> q48Sql,
     "q25_lang_id" -> q25Sql,
     "q29_curation" -> q29Sql,

@@ -71,6 +71,37 @@ class DedupSpec extends SparkTestBase {
     } finally spark.conf.unset("spark.graft.cc.maxLocalUnionEntries")
   }
 
+  test("winnowing: shared runs of >= w+k-1 tokens always share a fingerprint") {
+    // k=2, w=4 ⇒ the guarantee threshold is 5 shared tokens: the run
+    // contributes 4 consecutive bigram hashes = one full window, whose
+    // minimum both documents must select (same hashes, same window)
+    val k = 2; val w = 4
+    val sharedRun = "alpha beta gamma delta epsilon" // 5 tokens
+    val docs = Seq(
+      (1L, s"one two $sharedRun three four five six seven"),
+      (2L, s"eight nine ten eleven $sharedRun twelve"),
+      (3L, "totally different words everywhere here nothing matches at all")
+    ).toDF("doc_id", "text")
+    val fp = Dedup.winnowFingerprints(docs, "doc_id", "text", k, w)
+    val cands = Dedup.winnowCandidates(fp, minShared = 1L)
+      .select($"a", $"b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(cands.contains((1L, 2L)), s"guaranteed pair missing: $cands")
+    assert(!cands.exists { case (a, b) => a == 3L || b == 3L })
+    // sublinearity: far fewer fingerprints than k-grams
+    val nShingles = Dedup.positionalShingles(docs, "doc_id", "text", k).count()
+    assert(fp.count() < nShingles)
+    // short docs (< w full windows) produce no fingerprints, not an error
+    val tiny = Seq((9L, "just three words")).toDF("doc_id", "text")
+    assert(Dedup.winnowFingerprints(tiny, "doc_id", "text", k, w).count() === 0)
+  }
+
+  test("positionalShingles positions are the shingle sequence order") {
+    val docs = Seq((1L, "a b c d")).toDF("doc_id", "text")
+    val got = Dedup.positionalShingles(docs, "doc_id", "text", 2)
+      .orderBy($"pos").collect().map(r => (r.getInt(1), r.getString(2)))
+    assert(got.toSeq === Seq((0, "a b"), (1, "b c"), (2, "c d")))
+  }
+
   test("xxhash64 minhash agrees with md5 minhash on jaccard ESTIMATES") {
     // both families estimate the same jaccard; exact-dup pair must have
     // identical signatures in both, near-dup mostly-equal
