@@ -345,7 +345,54 @@ object DedupQueries {
        |SELECT lang, shingle, ndocs, CAST(rk AS BIGINT) AS rk
        |FROM rk WHERE rk <= $TopBigramsK ORDER BY lang, rk""".stripMargin
 
+  // ---------------------------------------------------------------- q66
+  /** Triangle ENUMERATION over an oriented edge list — the second
+    * classic distributed-graph primitive after connected components
+    * (q19/q44); triangle density distinguishes genuine duplicate
+    * CLIQUES from chains of borderline pairs in a near-dup graph.
+    * Algorithm: orient every edge small→large id, then two hash
+    * equi-joins — wedges (x→y→z) joined against the closing edge
+    * (x→z). Orientation means each triangle materializes exactly once
+    * (x<y<z) with no dedup pass, and caps per-vertex join fan-out by
+    * OUT-degree; on power-law graphs one orients by (degree, id)
+    * instead of raw id — same plan, bounded skew (Suri & Vassilvitskii
+    * '11). Input: a deterministic O(n) synthetic graph (chain edges
+    * i→i+1 within 100-blocks as q44, plus skip edges i→i+2 at i%5==0,
+    * closing a triangle at every skip).
+    */
+  def q66Triangles(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir).select(col("doc_id"))
+    def shifted(by: Int) = docs.as("x").join(docs.as("y"),
+        col("x.doc_id") + by === col("y.doc_id"))
+      .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
+    val chain = shifted(1).filter(col("a") % 100 =!= 99)
+    val skip = shifted(2).filter(col("a") % 5 === 0 && col("a") % 100 <= 97)
+    val e = chain.unionAll(skip)
+    val wedges = e.select(col("a").as("x"), col("b").as("y"))
+      .join(e.select(col("a").as("y"), col("b").as("z")), Seq("y"))
+    wedges.join(e.select(col("a").as("x"), col("b").as("z")), Seq("x", "z"), "left_semi")
+      .select(col("x"), col("y"), col("z"))
+      .orderBy(col("x"), col("y"), col("z"))
+  }
+
+  val q66Sql: String =
+    """WITH chain AS (
+      |  SELECT x.doc_id AS a, y.doc_id AS b
+      |  FROM documents x JOIN documents y ON y.doc_id = x.doc_id + 1
+      |  WHERE x.doc_id % 100 <> 99),
+      |skip AS (
+      |  SELECT x.doc_id AS a, y.doc_id AS b
+      |  FROM documents x JOIN documents y ON y.doc_id = x.doc_id + 2
+      |  WHERE x.doc_id % 5 = 0 AND x.doc_id % 100 <= 97),
+      |e AS (SELECT a, b FROM chain UNION ALL SELECT a, b FROM skip)
+      |SELECT e1.a AS x, e1.b AS y, e2.b AS z
+      |FROM e e1
+      |JOIN e e2 ON e2.a = e1.b
+      |WHERE EXISTS (SELECT 1 FROM e e3 WHERE e3.a = e1.a AND e3.b = e2.b)
+      |ORDER BY x, y, z""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q66_triangles" -> (q66Triangles _),
     "q61_winnowing" -> (q61Winnowing _),
     "q62_top_bigrams_per_lang" -> (q62TopBigramsPerLang _),
     "q14_dedup_exact" -> (q14DedupExact _),
@@ -358,6 +405,7 @@ object DedupQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q66_triangles" -> q66Sql,
     "q61_winnowing" -> q61Sql,
     "q62_top_bigrams_per_lang" -> q62Sql,
     "q14_dedup_exact" -> q14Sql,

@@ -380,7 +380,57 @@ object EventQueries {
       |               CAST(epoch_ms(ts) AS BIGINT) AS ts_ms FROM events))
       |WHERE rk = 1 ORDER BY user_id, event_type""".stripMargin
 
+  // ---------------------------------------------------------------- q65
+  /** Ordered conversion funnel (view → click → purchase): per user,
+    * the first view, the first click AFTER that view, the first
+    * purchase after that click; rolled up to per-stage user counts and
+    * mean stage-to-stage delay. The staged-min formulation is the
+    * scale shape: each stage is a FILTERED partial-aggregated groupBy
+    * on user_id (tiny output — one row per converting user) joined to
+    * the next stage's filtered scan; no per-user event-list collect,
+    * no window over the full log. All three stages shuffle on the same
+    * key, so the exchanges reuse one partitioning.
+    */
+  def q65Funnel(s: SparkSession, dir: String): DataFrame = {
+    val e = ev(s, dir).select(col("user_id"), col("event_type"), col("ts_ms"))
+    val v = e.filter(col("event_type") === "view")
+      .groupBy(col("user_id")).agg(min(col("ts_ms")).as("t1"))
+    val c = e.filter(col("event_type") === "click")
+      .join(v, Seq("user_id")).filter(col("ts_ms") > col("t1"))
+      .groupBy(col("user_id"), col("t1")).agg(min(col("ts_ms")).as("t2"))
+    val p = e.filter(col("event_type") === "purchase")
+      .join(c, Seq("user_id")).filter(col("ts_ms") > col("t2"))
+      .groupBy(col("user_id"), col("t2")).agg(min(col("ts_ms")).as("t3"))
+    val stages = Seq(
+      v.agg(lit("1_view").as("stage"), count(lit(1)).as("n_users"),
+        lit(null).cast("double").as("avg_delay_ms")),
+      c.agg(lit("2_click").as("stage"), count(lit(1)).as("n_users"),
+        round(avg(col("t2") - col("t1")), 6).as("avg_delay_ms")),
+      p.agg(lit("3_purchase").as("stage"), count(lit(1)).as("n_users"),
+        round(avg(col("t3") - col("t2")), 6).as("avg_delay_ms")))
+    stages.reduce(_ unionByName _).orderBy(col("stage"))
+  }
+
+  val q65Sql: String =
+    """WITH e AS (SELECT user_id, event_type, CAST(epoch_ms(ts) AS BIGINT) AS ts_ms FROM events),
+      |v AS (SELECT user_id, min(ts_ms) AS t1 FROM e WHERE event_type = 'view' GROUP BY user_id),
+      |c AS (SELECT e.user_id, v.t1, min(e.ts_ms) AS t2
+      |      FROM e JOIN v USING (user_id)
+      |      WHERE e.event_type = 'click' AND e.ts_ms > v.t1
+      |      GROUP BY e.user_id, v.t1),
+      |p AS (SELECT e.user_id, c.t2, min(e.ts_ms) AS t3
+      |      FROM e JOIN c USING (user_id)
+      |      WHERE e.event_type = 'purchase' AND e.ts_ms > c.t2
+      |      GROUP BY e.user_id, c.t2)
+      |SELECT '1_view' AS stage, count(*) AS n_users, CAST(NULL AS DOUBLE) AS avg_delay_ms FROM v
+      |UNION ALL
+      |SELECT '2_click', count(*), round(avg(t2 - t1), 6) FROM c
+      |UNION ALL
+      |SELECT '3_purchase', count(*), round(avg(t3 - t2), 6) FROM p
+      |ORDER BY stage""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q65_funnel" -> (q65Funnel _),
     "q58_salted_enrichment" -> (q58SaltedEnrichment _),
     "q59_latest_per_key" -> (q59LatestPerKey _),
     "q30_event_window_agg" -> (q30WindowAgg _),
@@ -394,6 +444,7 @@ object EventQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q65_funnel" -> q65Sql,
     "q58_salted_enrichment" -> q58Sql,
     "q59_latest_per_key" -> q59Sql,
     "q30_event_window_agg" -> q30Sql,

@@ -39,6 +39,26 @@ object StreamingOps {
       .select(col("w.start").as("window_start"), col("event_type"),
         col("n"), col("sum_value"))
 
+  /** Streaming keep-latest-per-key — the incremental twin of the batch
+    * compaction query (EventQueries q59): per (user_id, event_type),
+    * the row with the greatest (ts, event_id). Expressed as the same
+    * partial-aggregatable struct-max, so each micro-batch folds its
+    * rows into one state value per key and emits the keys it touched
+    * (update mode); the state store holds exactly one struct per key —
+    * the materialized-view pattern for a mutable feed. State is
+    * per-ACTIVE-key and never per-event; unlike the windowed aggs no
+    * watermark bounds it, which is the correct contract for a
+    * current-state view (every key's latest must stay queryable).
+    */
+  def latestPerKey(events: DataFrame): DataFrame =
+    events
+      .withColumn("ts_ms", unix_millis(col("ts").cast("timestamp")))
+      .groupBy(col("user_id"), col("event_type"))
+      .agg(max(struct(col("ts_ms"), col("event_id"), col("value"))).as("last"))
+      .select(col("user_id"), col("event_type"),
+        col("last.ts_ms").as("ts_ms"), col("last.event_id").as("event_id"),
+        col("last.value").as("value"))
+
   /** Watermark-scoped exact-once dedup on event_id. NB plain
     * `dropDuplicates("event_id")` would keep state per id FOREVER (the
     * watermark only GCs dedup state when the event-time column is part

@@ -48,6 +48,36 @@ class StreamingOpsSpec extends SparkTestBase {
     assert(streamed.count(_._2 == "click") >= 2)
   }
 
+  test("streaming keep-latest-per-key folds micro-batches into the batch result") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, Timestamp, Long, String, Double)]
+    val df = input.toDF.toDF("event_id", "ts", "user_id", "event_type", "value")
+    val batch1 = Seq(
+      (1L, ts(0), 1L, "click", 1.0),
+      (2L, ts(5), 1L, "click", 2.0), // newer click for u1
+      (3L, ts(1), 2L, "view", 3.0))
+    val batch2 = Seq(
+      (4L, ts(2), 1L, "click", 4.0), // OLDER than event 2 — must not win
+      (5L, ts(9), 2L, "view", 5.0),  // newer view for u2
+      (6L, ts(3), 2L, "click", 6.0)) // new key
+    // separate addData calls → separate micro-batches: the state store
+    // must fold batch2 into batch1's per-key maxima, not recompute
+    input.addData(batch1: _*)
+    input.addData(batch2: _*)
+    StreamingOps.runToMemory(spark, StreamingOps.latestPerKey(df), "latest_out",
+      OutputMode.Complete)
+    val streamed = spark.table("latest_out")
+      .collect().map(r => (r.getLong(0), r.getString(1)) -> (r.getLong(2), r.getLong(3), r.getDouble(4)))
+      .toMap
+    val batchTwin = StreamingOps.latestPerKey(mkEvents(batch1 ++ batch2: _*))
+      .collect().map(r => (r.getLong(0), r.getString(1)) -> (r.getLong(2), r.getLong(3), r.getDouble(4)))
+      .toMap
+    assert(streamed === batchTwin)
+    // the late-arriving older click (event 4) did not displace event 2
+    assert(streamed((1L, "click"))._2 === 2L)
+    assert(streamed((2L, "view"))._2 === 5L)
+  }
+
   test("streaming dedup drops replayed event_ids") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(Long, Timestamp, Long, String, Double)]
