@@ -424,11 +424,13 @@ object RelationalOps {
     * total more than [[LargeOrderQty]] units, with customer context,
     * largest orders first. The scale shape: the HAVING subquery is a
     * partial-aggregated groupBy on l_orderkey (map-side combine does
-    * most of the sum), its >threshold survivor set is tiny and
-    * broadcast back against `orders`, and customer is a broadcast dim
-    * — one real shuffle (the lineitem agg) for the whole query.
-    * total_qty is a sum of integral doubles → exact in both engines,
-    * exported as BIGINT.
+    * most of the sum) and its >threshold survivor set is tiny (the
+    * HAVING cut keeps ~0.3% of orders) — the planner broadcasts it
+    * back against `orders`. No join is FORCED broadcast: customer and
+    * the survivor set both grow with scale factor, so the size-based
+    * planner/AQE decision is the one that stays correct at 100 TB
+    * (where customer must hash-join, not broadcast). total_qty is a
+    * sum of integral doubles → exact in both engines, exported BIGINT.
     */
   val LargeOrderQty = 250.0
 
@@ -440,7 +442,7 @@ object RelationalOps {
       .filter($"total_qty" > LargeOrderQty)
     Tables.orders(s, dir)
       .join(bigOrders, $"o_orderkey" === $"l_orderkey")
-      .join(broadcast(Tables.customer(s, dir)), $"o_custkey" === $"c_custkey")
+      .join(Tables.customer(s, dir), $"o_custkey" === $"c_custkey")
       .select($"c_name", $"c_custkey", $"o_orderkey", $"o_orderdate",
         $"o_totalprice", $"total_qty".cast("long").as("total_qty"))
       .orderBy($"o_totalprice".desc, $"o_orderkey".asc)
