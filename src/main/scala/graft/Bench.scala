@@ -41,7 +41,8 @@ object Bench {
     "q57_shipping_priority",
     "q58_salted_enrichment", "q59_latest_per_key", "q60_stratified_sample",
     "q62_top_bigrams_per_lang", "q63_large_orders", "q64_length_quartiles",
-    "q65_funnel", "q66_triangles")
+    "q65_funnel", "q66_triangles", "q67_unpivot_source_langs",
+    "q68_window_showcase")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

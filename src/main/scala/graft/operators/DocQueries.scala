@@ -324,7 +324,41 @@ object DocQueries {
        |FROM long GROUP BY row_lang ORDER BY row_lang""".stripMargin
   }
 
+  // ---------------------------------------------------------------- q67
+  /** Wide→long MELT via Spark's native `Dataset.unpivot` (the inverse
+    * of q4/q53's pivots — the missing half of the reshape surface):
+    * per-source language counts pivoted wide by conditional
+    * aggregation, then unpivoted back to (source, lang, n_docs). Zero
+    * combinations survive the round-trip (unpivot keeps them; the
+    * oracle rebuilds them with a srcs×langs frame), so the contract —
+    * melt(pivot(x)) ≡ the dense long form — is gated exactly. Unpivot
+    * is a zero-shuffle row-local expansion (each wide row explodes to
+    * |langs| long rows in place).
+    */
+  def q67UnpivotSourceLangs(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val aggs = KnownLangs.map(l =>
+      sum(when($"lang" === l, 1L).otherwise(0L)).as(l))
+    val wide = graft.Tables.documents(s, dir)
+      .groupBy($"source")
+      .agg(aggs.head, aggs.tail: _*)
+    wide.unpivot(Array($"source"), KnownLangs.map(col).toArray, "lang", "n_docs")
+      .orderBy($"source", $"lang")
+  }
+
+  val q67Sql: String = {
+    val langList = KnownLangs.map(l => s"'$l'").mkString(", ")
+    s"""WITH srcs AS (SELECT DISTINCT source FROM documents),
+       |langs AS (SELECT unnest([$langList]) AS lang),
+       |cnt AS (SELECT source, lang, count(*) AS n FROM documents GROUP BY source, lang)
+       |SELECT s.source, l.lang, COALESCE(c.n, 0) AS n_docs
+       |FROM srcs s CROSS JOIN langs l
+       |LEFT JOIN cnt c ON c.source = s.source AND c.lang = l.lang
+       |ORDER BY s.source, l.lang""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q67_unpivot_source_langs" -> (q67UnpivotSourceLangs _),
     "q10_tokens_tf" -> (q10TokensTf _),
     "q11_doc_freq" -> (q11DocFreq _),
     "q12_tfidf" -> (q12Tfidf _),
@@ -337,6 +371,7 @@ object DocQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q67_unpivot_source_langs" -> q67Sql,
     "q10_tokens_tf" -> q10Sql,
     "q11_doc_freq" -> q11Sql,
     "q12_tfidf" -> q12Sql,

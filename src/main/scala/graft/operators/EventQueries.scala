@@ -429,7 +429,48 @@ object EventQueries {
       |SELECT '3_purchase', count(*), round(avg(t3 - t2), 6) FROM p
       |ORDER BY stage""".stripMargin
 
+  // ---------------------------------------------------------------- q68
+  /** Window-function breadth the other event queries don't reach:
+    * percent_rank + cume_dist (rank-family, no frame) and
+    * first_value/nth_value over the full partition frame — the
+    * per-group distribution-position diagnostics (where does this
+    * event sit in its type's value distribution). One shuffle on
+    * event_type; the total order (value, event_id) makes every
+    * function tie-free, which is what lets the oracle gate rank
+    * semantics exactly. Output thinned to event_id % 20 AFTER the
+    * windows (the windows must see the full distribution).
+    */
+  def q68WindowShowcase(s: SparkSession, dir: String): DataFrame = {
+    val ord = Window.partitionBy(col("event_type"))
+      .orderBy(col("value"), col("event_id"))
+    val full = ord.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    ev(s, dir)
+      .select(col("event_id"), col("event_type"), col("value"))
+      .withColumn("pct_rank", round(percent_rank().over(ord), 6))
+      .withColumn("cume", round(cume_dist().over(ord), 6))
+      .withColumn("lowest", first(col("value")).over(full))
+      .withColumn("second_lowest", nth_value(col("value"), 2).over(full))
+      .filter(col("event_id") % 20 === 0)
+      .orderBy(col("event_id"))
+  }
+
+  val q68Sql: String =
+    """SELECT event_id, event_type, value, pct_rank, cume, lowest, second_lowest
+      |FROM (
+      |  SELECT event_id, event_type, value,
+      |         round(percent_rank() OVER wo, 6) AS pct_rank,
+      |         round(cume_dist() OVER wo, 6) AS cume,
+      |         first_value(value) OVER wf AS lowest,
+      |         nth_value(value, 2) OVER wf AS second_lowest
+      |  FROM events
+      |  WINDOW wo AS (PARTITION BY event_type ORDER BY value, event_id),
+      |         wf AS (PARTITION BY event_type ORDER BY value, event_id
+      |                ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING))
+      |WHERE event_id % 20 = 0
+      |ORDER BY event_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q68_window_showcase" -> (q68WindowShowcase _),
     "q65_funnel" -> (q65Funnel _),
     "q58_salted_enrichment" -> (q58SaltedEnrichment _),
     "q59_latest_per_key" -> (q59LatestPerKey _),
@@ -444,6 +485,7 @@ object EventQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q68_window_showcase" -> q68Sql,
     "q65_funnel" -> q65Sql,
     "q58_salted_enrichment" -> q58Sql,
     "q59_latest_per_key" -> q59Sql,

@@ -42,6 +42,10 @@ object Skew {
   def saltedJoin(skewed: DataFrame, small: DataFrame, keys: Seq[String],
       saltBuckets: Int, joinType: String = "inner"): DataFrame = {
     require(saltBuckets > 0, "saltBuckets must be positive")
+    // an input column named like the internal salt would be silently
+    // overwritten by withColumn and then joined on — fail loudly instead
+    require(!(skewed.columns ++ small.columns).exists(_.equalsIgnoreCase(SaltCol)),
+      s"saltedJoin: column name $SaltCol is reserved for the internal salt")
     val allowed = Set("inner", "left", "left_outer", "leftouter", "left_semi", "leftsemi")
     require(allowed.contains(joinType.toLowerCase),
       s"saltedJoin supports inner/left joins, got $joinType " +

@@ -179,6 +179,10 @@ object TopK {
     val spark = df.sparkSession
     install(spark)
     val ordName = "__graft_topk_ord"
+    // an input column with the helper's name would be silently replaced
+    // by withColumn AND dropped from the result — fail loudly instead
+    require(!df.columns.exists(_.equalsIgnoreCase(ordName)),
+      s"topKPerKey: column name $ordName is reserved for the ordering helper")
     val augmented = df.withColumn(ordName, ordCol.cast("double"))
     val child = augmented.queryExecution.analyzed
     def attr(name: String) = child.output.find(_.name == name).getOrElse(

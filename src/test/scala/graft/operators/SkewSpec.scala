@@ -40,6 +40,14 @@ class SkewSpec extends SparkTestBase {
     assert(salts >= 6, s"hot key only landed in $salts of 8 buckets")
   }
 
+  test("inputs carrying the reserved salt column name are rejected") {
+    val bad = fact.withColumnRenamed("payload", "__graft_salt")
+    val e = intercept[IllegalArgumentException] {
+      Skew.saltedJoin(bad, dim, Seq("k"), 4)
+    }
+    assert(e.getMessage.contains("reserved"), e.getMessage)
+  }
+
   test("outer-preserving the replicated side is rejected") {
     intercept[IllegalArgumentException] {
       Skew.saltedJoin(fact, dim, Seq("k"), 4, joinType = "right")

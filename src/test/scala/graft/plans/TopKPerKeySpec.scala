@@ -29,6 +29,14 @@ class TopKPerKeySpec extends SparkTestBase {
     assert(viaCustom.size === 15) // 5 segments × 3
   }
 
+  test("inputs carrying the reserved ordering-helper column are rejected") {
+    val bad = Seq((1L, 2.0)).toDF("k", "__graft_topk_ord")
+    val e = intercept[IllegalArgumentException] {
+      TopK.topKPerKey(bad, Seq("k"), col("__graft_topk_ord"), 1)
+    }
+    assert(e.getMessage.contains("reserved"), e.getMessage)
+  }
+
   test("physical plan contains the custom operator and no Sort/Window") {
     val orders = graft.Tables.orders(spark, sf0001)
     val df = TopK.topKPerKey(orders, Seq("o_orderstatus"), $"o_totalprice", 2)

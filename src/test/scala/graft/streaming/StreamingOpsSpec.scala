@@ -78,6 +78,32 @@ class StreamingOpsSpec extends SparkTestBase {
     assert(streamed((2L, "view"))._2 === 5L)
   }
 
+  test("stateless curation filters compose over streams unchanged") {
+    // stratifiedByHash and md5Split are pure per-row expressions, so
+    // the SAME operator calls run over readStream input with no
+    // streaming-specific code — the property that lets the batch
+    // curation pipeline be replayed incrementally on a live feed
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, String, String)]
+    val df = input.toDF.toDF("doc_id", "lang", "text")
+    val rows = (1L to 60L).map(i =>
+      (i, Seq("en", "de", "zh")((i % 3).toInt), s"document body $i"))
+    input.addData(rows: _*)
+    val curated = graft.operators.Sampling
+      .stratifiedByHash(df, "lang", "doc_id", Map("en" -> 128, "zh" -> 256))
+      .withColumn("split", graft.operators.Sampling.md5Split("text"))
+    StreamingOps.runToMemory(spark, curated, "curated_out")
+    val streamed = spark.table("curated_out")
+      .collect().map(r => (r.getLong(0), r.getString(3))).toSet
+    val batch = graft.operators.Sampling
+      .stratifiedByHash(rows.toDF("doc_id", "lang", "text"), "lang", "doc_id",
+        Map("en" -> 128, "zh" -> 256))
+      .withColumn("split", graft.operators.Sampling.md5Split("text"))
+      .collect().map(r => (r.getLong(0), r.getString(3))).toSet
+    assert(streamed === batch)
+    assert(streamed.nonEmpty)
+  }
+
   test("streaming dedup drops replayed event_ids") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(Long, Timestamp, Long, String, Double)]
