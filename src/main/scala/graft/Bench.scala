@@ -42,7 +42,7 @@ object Bench {
     "q58_salted_enrichment", "q59_latest_per_key", "q60_stratified_sample",
     "q62_top_bigrams_per_lang", "q63_large_orders", "q64_length_quartiles",
     "q65_funnel", "q66_triangles", "q67_unpivot_source_langs",
-    "q68_window_showcase")
+    "q68_window_showcase", "q69_bucketed_join", "q70_partition_pruning")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -71,6 +71,20 @@ object Bench {
       catch { case e: Throwable =>
         System.err.println(s"[bench] ivf build failed — skipping q43: $e"); false
       }
+    // same offline-layout contract for the bucketed tables (q69) and the
+    // partitioned lake (q70): one-time layout jobs, never the per-query
+    // cost users pay — built untimed, queries SKIPPED (not silently
+    // re-built inside their timed region) if the build fails.
+    val bucketsReady =
+      try { operators.RelationalOps.prepareBucketedTables(spark, sfDir); true }
+      catch { case e: Throwable =>
+        System.err.println(s"[bench] bucketed-table prep failed — skipping q69: $e"); false
+      }
+    val lakeReady =
+      try { operators.EventQueries.preparePartitionedLake(spark, sfDir); true }
+      catch { case e: Throwable =>
+        System.err.println(s"[bench] lake prep failed — skipping q70: $e"); false
+      }
 
     // dev-loop subset: SPARK_GRAFT_BENCH_ONLY=q44_cc_synth,q13_top1_similar
     // (driver runs with it unset → full headline set)
@@ -79,6 +93,8 @@ object Bench {
     val results = Headline
       .filter(name => only.forall(_.contains(name)))
       .filter(name => ivfReady || name != "q43_ivf_topk")
+      .filter(name => bucketsReady || name != "q69_bucketed_join")
+      .filter(name => lakeReady || name != "q70_partition_pruning")
       .flatMap { name =>
       SparkEntry.queries.get(name).map { fn =>
         val t0 = System.nanoTime()

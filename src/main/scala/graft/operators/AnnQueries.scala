@@ -184,23 +184,10 @@ object AnnQueries {
   val IvfNprobe = 4
   val IvfK = 3
 
-  // index dir tag = sanitized basename + a hash of the CANONICAL corpus
-  // path. Basename alone shared an index between /data/a/sf0.1 and
-  // /data/b/sf0.1; naive path sanitization ('/'→'_') collides
-  // /data/x/sf0.1 with /data/x_sf0.1 — the path hash disambiguates
-  // both. Canonicalization (not getAbsolutePath) folds '.'/'..'/
-  // symlink spellings of the same directory onto one tag, so the
-  // engine and the statically-generated oracle SQL agree however the
-  // gate dir is spelled. (String.hashCode is specified by the JLS —
-  // stable across JVMs, safe to bake into an on-disk layout.)
-  private def ivfIndexPath(sfDir: String): String = {
-    val f = new java.io.File(sfDir)
-    val canonical =
-      try f.getCanonicalPath catch { case _: java.io.IOException => f.getAbsolutePath }
-    val base = new java.io.File(canonical).getName.replaceAll("[^A-Za-z0-9._-]", "_")
-    val tag = f"$base-${canonical.hashCode & 0xffffffffL}%08x"
-    new java.io.File(s"target/ivf-index/$tag").getAbsolutePath
-  }
+  // index dir keyed by [[PathTag.tagFor]] (canonical-path hash tag —
+  // see its scaladoc for the basename/sanitization collision story).
+  private def ivfIndexPath(sfDir: String): String =
+    new java.io.File(s"target/ivf-index/${PathTag.tagFor(sfDir)}").getAbsolutePath
 
   private val ivfBuilt = scala.collection.mutable.HashSet.empty[String]
 

@@ -469,7 +469,47 @@ object EventQueries {
       |WHERE event_id % 20 = 0
       |ORDER BY event_id""".stripMargin
 
+  // ---------------------------------------------------------------- q70
+  /** PARTITION-PRUNED lake read as a gated query: events are laid out
+    * ONCE per sf dir as a Hive-style `event_type=`-partitioned parquet
+    * lake (the offline layout decision, like q69's buckets and q43's
+    * index), and the filtered rollup then reads ONLY the matching
+    * partition directory — `PartitionFilters` in the scan, ~1/5 of the
+    * bytes here, and at 100 TB the difference between scanning a
+    * petabyte and scanning the slice the query names. The oracle runs
+    * the same filter over the RAW un-partitioned parquet — layout must
+    * never change results. (PlanSpec asserts the pruning is real, not
+    * a post-scan filter.)
+    */
+  private val lakePrepped = scala.collection.mutable.HashSet.empty[String]
+
+  /** Idempotent offline partitioned-lake prep; returns the lake path. */
+  def preparePartitionedLake(s: SparkSession, dir: String): String =
+    lakePrepped.synchronized {
+      val path = new java.io.File(
+        s"target/event-lake/${PathTag.tagFor(dir)}").getAbsolutePath
+      if (!lakePrepped.contains(path)) {
+        Tables.events(s, dir).write.partitionBy("event_type")
+          .mode("overwrite").parquet(path)
+        lakePrepped.add(path)
+      }
+      path
+    }
+
+  def q70PartitionPruning(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(preparePartitionedLake(s, dir))
+      .filter(col("event_type") === "click")
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 6).as("sum_value"))
+      .orderBy(col("user_id"))
+
+  val q70Sql: String =
+    """SELECT user_id, count(*) AS n, round(sum(value), 6) AS sum_value
+      |FROM events WHERE event_type = 'click'
+      |GROUP BY user_id ORDER BY user_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q70_partition_pruning" -> (q70PartitionPruning _),
     "q68_window_showcase" -> (q68WindowShowcase _),
     "q65_funnel" -> (q65Funnel _),
     "q58_salted_enrichment" -> (q58SaltedEnrichment _),
@@ -485,6 +525,7 @@ object EventQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q70_partition_pruning" -> q70Sql,
     "q68_window_showcase" -> q68Sql,
     "q65_funnel" -> q65Sql,
     "q58_salted_enrichment" -> q58Sql,

@@ -461,8 +461,68 @@ object RelationalOps {
        |ORDER BY o_totalprice DESC, o_orderkey ASC
        |LIMIT 100""".stripMargin
 
+  // ---------------------------------------------------------------- q69
+  /** CO-LOCATED fact-to-fact join via BUCKETING, as a gated query (the
+    * BucketingSpec evidence promoted to a CORRECTNESS row): lineitem
+    * and orders are written ONCE per sf dir as tables bucketed+sorted
+    * by the join key (the offline table-layout decision, same contract
+    * as the IVF index build), and the join then plans with NO exchange
+    * on either side — at 100 TB this is THE fact×fact strategy
+    * (broadcast covers dims; bucketing removes the two biggest
+    * shuffles entirely, and repeated joins on the same key amortize
+    * the one-time layout). The oracle is the plain join over the raw
+    * parquet — layout must never change results. Revenue uses the
+    * scaled-long exact money sum (order-independent, engine-identical).
+    */
+  val JoinBuckets = 8
+
+  private val bucketsPrepped = scala.collection.mutable.HashSet.empty[String]
+
+  /** Idempotent offline bucketed-table prep; returns (lineitemTable,
+    * ordersTable) session-catalog names for `dir`. */
+  def prepareBucketedTables(s: SparkSession, dir: String): (String, String) =
+    bucketsPrepped.synchronized {
+      val tag = PathTag.tagFor(dir).replaceAll("[^A-Za-z0-9_]", "_")
+      val (liT, ordT) = (s"li_bkt_$tag", s"ord_bkt_$tag")
+      if (!bucketsPrepped.contains(tag)) {
+        Tables.lineitem(s, dir)
+          .select(col("l_orderkey"), col("l_quantity"), col("l_extendedprice"))
+          .write.bucketBy(JoinBuckets, "l_orderkey").sortBy("l_orderkey")
+          .mode("overwrite").saveAsTable(liT)
+        Tables.orders(s, dir)
+          .select(col("o_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+          .write.bucketBy(JoinBuckets, "o_orderkey").sortBy("o_orderkey")
+          .mode("overwrite").saveAsTable(ordT)
+        bucketsPrepped.add(tag)
+      }
+      (liT, ordT)
+    }
+
+  def q69BucketedJoin(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val (liT, ordT) = prepareBucketedTables(s, dir)
+    s.table(liT)
+      .join(s.table(ordT), $"l_orderkey" === $"o_orderkey")
+      .groupBy($"o_orderkey", $"o_orderdate", $"o_orderpriority")
+      .agg(
+        count(lit(1)).as("n_items"),
+        sum($"l_quantity").cast("long").as("sum_qty"),
+        round(exactMoneySum($"l_extendedprice"), 6).as("revenue"))
+      .orderBy($"o_orderkey")
+  }
+
+  val q69Sql: String =
+    """SELECT o_orderkey, o_orderdate, o_orderpriority,
+      |  count(*) AS n_items,
+      |  CAST(sum(l_quantity) AS BIGINT) AS sum_qty,
+      |  round(CAST(sum(CAST(round(l_extendedprice*10000, 0) AS BIGINT)) AS DOUBLE)/10000.0, 6) AS revenue
+      |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |GROUP BY o_orderkey, o_orderdate, o_orderpriority
+      |ORDER BY o_orderkey""".stripMargin
+
   /** Query + oracle registry contributed by this module. */
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q69_bucketed_join" -> (q69BucketedJoin _),
     "q63_large_orders" -> (q63LargeOrders _),
     "q1_pricing_summary" -> (q1PricingSummary _),
     "q2_revenue_by_nation" -> (q2RevenueByNation _),
@@ -479,6 +539,7 @@ object RelationalOps {
   )
 
   val oracles: Map[String, String] = Map(
+    "q69_bucketed_join" -> q69Sql,
     "q63_large_orders" -> q63Sql,
     "q1_pricing_summary" -> q1Sql,
     "q2_revenue_by_nation" -> q2Sql,

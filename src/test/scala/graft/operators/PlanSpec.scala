@@ -137,4 +137,28 @@ class PlanSpec extends SparkTestBase {
     assert(!p.contains("BroadcastNestedLoopJoin"), p)
     assert(!p.contains("CartesianProduct"), p)
   }
+
+  test("q69 bucketed join: neither side re-shuffled for the join") {
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      // disable broadcast so the co-location claim is what's tested
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val p = RelationalOps.q69BucketedJoin(spark, sf0001)
+        .queryExecution.executedPlan.toString
+      val joinIdx = p.indexOf("SortMergeJoin")
+      assert(joinIdx >= 0, s"expected a sort-merge join over bucketed scans:\n$p")
+      assert(!p.substring(joinIdx).contains("Exchange hashpartitioning"),
+        s"bucketed join must not exchange its inputs:\n$p")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
+  test("q70 lake read: partition pruned at the scan, not post-filtered") {
+    val p = formatted(EventQueries.q70PartitionPruning(spark, sf0001))
+    // the Hive-layout scan must carry the partition predicate
+    assert(p.contains("PartitionFilters") &&
+      p.contains("event_type#") || p.contains("isnotnull(event_type"),
+      s"expected a partition filter on event_type:\n$p")
+    val pf = p.linesIterator.find(_.contains("PartitionFilters")).getOrElse("")
+    assert(pf.contains("event_type"), s"partition filter missing:\n$p")
+  }
 }
