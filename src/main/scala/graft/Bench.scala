@@ -42,7 +42,9 @@ object Bench {
     "q58_salted_enrichment", "q59_latest_per_key", "q60_stratified_sample",
     "q62_top_bigrams_per_lang", "q63_large_orders", "q64_length_quartiles",
     "q65_funnel", "q66_triangles", "q67_unpivot_source_langs",
-    "q68_window_showcase", "q69_bucketed_join", "q70_partition_pruning")
+    "q68_window_showcase", "q69_bucketed_join", "q70_partition_pruning",
+    "q71_repetition_ratios", "q72_token_chunks", "q73_promo_revenue",
+    "q74_supplier_breadth", "q75_dormant_customers")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

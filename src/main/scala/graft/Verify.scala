@@ -49,7 +49,15 @@ object Verify {
     val pool = java.util.concurrent.Executors.newFixedThreadPool(par)
     implicit val ec: scala.concurrent.ExecutionContext =
       scala.concurrent.ExecutionContext.fromExecutor(pool)
-    val dumps = SparkEntry.queries.toSeq.map { case (name, fn) =>
+    // Dev-loop subset filter (comma-separated names); unset for the
+    // driver, which always dumps the full registry.
+    val only = sys.env.get("SPARK_GRAFT_VERIFY_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    val selected = only match {
+      case Some(names) => SparkEntry.queries.filter(kv => names(kv._1))
+      case None => SparkEntry.queries
+    }
+    val dumps = selected.toSeq.map { case (name, fn) =>
       scala.concurrent.Future {
         // repartition(1), not coalesce(1): coalesce would collapse the
         // whole upstream query to one task (see graft.io.Sinks scaladoc).

@@ -340,7 +340,140 @@ object TextStatsQueries {
       |      FROM documents)
       |GROUP BY lang, tile ORDER BY lang, tile""".stripMargin
 
+  // ---------------------------------------------------------------- q71
+  /** Repetition-ratio quality signals (the Gopher-rules shape, Rae et
+    * al. 2021 §A1.1): per document, the token share of the single most
+    * frequent word and the fraction of duplicate word-bigrams. High
+    * values mark boilerplate/keyword-stuffing docs a pretraining
+    * filter drops. Scale shape: ONE token explode feeds a two-level
+    * partial aggregation (doc×word then doc), and bigrams reuse the
+    * codegen positional-shingle pipeline (posexplode + window lead —
+    * array lambdas would evaluate interpreted); everything shuffles on
+    * doc_id/word only, never wider.
+    */
+  val TopWordFracMax = 0.2
+  val DupBigramFracMax = 0.6
+
+  def q71RepetitionRatios(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val tok = docs.select(col("doc_id"),
+        explode(split(TextPrep.normalize(col("text")), " ")).as("word"))
+      .filter(col("word") =!= "")
+    val wordStats = tok
+      .groupBy(col("doc_id"), col("word")).agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id"))
+      .agg(max(col("c")).as("top_word_count"), sum(col("c")).as("n_tokens"))
+    val bigramStats = graft.dedup.Dedup
+      .positionalShingles(docs, "doc_id", "text", 2)
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_bigrams"),
+        countDistinct(col("shingle")).as("n_distinct_bigrams"))
+      .withColumnRenamed("id", "doc_id")
+    docs.select(col("doc_id"))
+      .join(wordStats, Seq("doc_id"), "left_outer")
+      .join(bigramStats, Seq("doc_id"), "left_outer")
+      .select(col("doc_id"),
+        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+        coalesce(col("top_word_count"), lit(0L)).as("top_word_count"),
+        round(coalesce(col("top_word_count") / col("n_tokens"), lit(0.0)), 6)
+          .as("top_word_frac"),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        round(coalesce(lit(1.0) - col("n_distinct_bigrams") / col("n_bigrams"),
+          lit(0.0)), 6).as("dup_bigram_frac"))
+      .withColumn("keep",
+        col("top_word_frac") <= TopWordFracMax &&
+          col("dup_bigram_frac") <= DupBigramFracMax)
+      .orderBy(col("doc_id"))
+  }
+
+  val q71Sql: String =
+    s"""WITH $listsCte,
+       |tok AS (SELECT doc_id, unnest(toks) AS word FROM lists),
+       |wc AS (SELECT doc_id, word, count(*) AS c FROM tok GROUP BY doc_id, word),
+       |ws AS (SELECT doc_id, max(c) AS top_word_count, sum(c) AS n_tokens
+       |       FROM wc GROUP BY doc_id),
+       |bs AS (SELECT doc_id,
+       |         len(list_transform(range(1, len(toks)),
+       |             i -> toks[i] || ' ' || toks[i+1])) AS n_bigrams,
+       |         len(list_distinct(list_transform(range(1, len(toks)),
+       |             i -> toks[i] || ' ' || toks[i+1]))) AS n_distinct
+       |       FROM lists),
+       |feat AS (
+       |  SELECT d.doc_id,
+       |    CAST(COALESCE(w.n_tokens, 0) AS BIGINT) AS n_tokens,
+       |    CAST(COALESCE(w.top_word_count, 0) AS BIGINT) AS top_word_count,
+       |    round(COALESCE(CAST(w.top_word_count AS DOUBLE) / w.n_tokens, 0.0), 6)
+       |      AS top_word_frac,
+       |    CAST(COALESCE(b.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+       |    round(CASE WHEN b.n_bigrams > 0
+       |               THEN 1.0 - CAST(b.n_distinct AS DOUBLE) / b.n_bigrams
+       |               ELSE 0.0 END, 6) AS dup_bigram_frac
+       |  FROM documents d
+       |  LEFT JOIN ws w ON d.doc_id = w.doc_id
+       |  LEFT JOIN bs b ON d.doc_id = b.doc_id)
+       |SELECT doc_id, n_tokens, top_word_count, top_word_frac,
+       |       n_bigrams, dup_bigram_frac,
+       |       (top_word_frac <= $TopWordFracMax
+       |        AND dup_bigram_frac <= $DupBigramFracMax) AS keep
+       |FROM feat ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------- q72
+  /** Overlapping fixed-size token chunks — the context-window chunking
+    * primitive every pretraining/RAG pipeline runs before embedding or
+    * packing. Stride-aligned starts (0, S, 2S, …); a start is emitted
+    * only while the PREVIOUS chunk hasn't already reached the end of
+    * the doc, so tail chunks carry at least one new token. Per-row
+    * generator explode — embarrassingly parallel, no shuffle at all
+    * (the orderBy is presentation-only); chunk_id is derived from the
+    * start offset, so the output is retry-deterministic.
+    */
+  val ChunkTokens = 32
+  val ChunkStride = 24
+
+  def q72TokenChunks(s: SparkSession, dir: String): DataFrame = {
+    val keepStart = col("start") === 0 ||
+      col("start") + (ChunkTokens - ChunkStride) < col("n_tokens")
+    Tables.documents(s, dir)
+      .select(col("doc_id"), TextPrep.tokensCol(col("text")).as("toks"))
+      .withColumn("n_tokens", size(col("toks")).cast("long"))
+      .filter(col("n_tokens") > 0)
+      .select(col("doc_id"), col("n_tokens"), col("toks"),
+        explode(sequence(lit(0L), col("n_tokens") - 1, lit(ChunkStride.toLong)))
+          .as("start"))
+      .filter(keepStart)
+      .select(col("doc_id"),
+        (col("start") / ChunkStride).cast("long").as("chunk_id"),
+        col("n_tokens"),
+        least(lit(ChunkTokens.toLong), col("n_tokens") - col("start"))
+          .as("chunk_tokens"),
+        concat_ws(" ",
+          slice(col("toks"), (col("start") + 1).cast("int"), lit(ChunkTokens)))
+          .as("chunk_text"))
+      .orderBy(col("doc_id"), col("chunk_id"))
+  }
+
+  val q72Sql: String = {
+    val overlap = ChunkTokens - ChunkStride
+    s"""WITH $listsCte,
+       |base AS (
+       |  SELECT doc_id, toks, CAST(len(toks) AS BIGINT) AS n_tokens
+       |  FROM lists WHERE len(toks) > 0),
+       |starts AS (
+       |  SELECT doc_id, n_tokens, toks,
+       |    unnest(list_filter(range(0, n_tokens, $ChunkStride),
+       |                       s -> s = 0 OR s + $overlap < n_tokens)) AS start
+       |  FROM base)
+       |SELECT doc_id,
+       |  CAST(start // $ChunkStride AS BIGINT) AS chunk_id,
+       |  n_tokens,
+       |  CAST(least($ChunkTokens, n_tokens - start) AS BIGINT) AS chunk_tokens,
+       |  array_to_string(toks[start+1 : start+$ChunkTokens], ' ') AS chunk_text
+       |FROM starts ORDER BY doc_id, chunk_id""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q71_repetition_ratios" -> (q71RepetitionRatios _),
+    "q72_token_chunks" -> (q72TokenChunks _),
     "q60_stratified_sample" -> (q60StratifiedSample _),
     "q64_length_quartiles" -> (q64LengthQuartiles _),
     "q48_hash_split" -> (q48HashSplit _),
@@ -354,6 +487,8 @@ object TextStatsQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q71_repetition_ratios" -> q71Sql,
+    "q72_token_chunks" -> q72Sql,
     "q60_stratified_sample" -> q60Sql,
     "q64_length_quartiles" -> q64Sql,
     "q48_hash_split" -> q48Sql,

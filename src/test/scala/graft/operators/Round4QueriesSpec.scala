@@ -1,0 +1,126 @@
+package graft.operators
+
+import graft.SparkTestBase
+import org.apache.spark.sql.functions._
+
+/** Specs for the round-4 additions: repetition ratios (q71), token
+  * chunking (q72), promo share (q73), supplier breadth (q74), dormant
+  * customers (q75). q71/q72 get exact hand-computed checks over a
+  * synthetic documents dir; q73–q75 get invariant + independent
+  * re-derivation checks over sf0.001.
+  */
+class Round4QueriesSpec extends SparkTestBase {
+  import spark.implicits._
+
+  /** Write a {doc_id, text} documents.parquet into a temp dir usable as
+    * an sfDir (queries only touch the columns they select).
+    */
+  private def docsDir(rows: Seq[(Long, String)]): String = {
+    val dir = java.nio.file.Files.createTempDirectory("graft-docs").toString
+    rows.toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    dir
+  }
+
+  test("q71: repetition ratios on hand-computed docs") {
+    val dir = docsDir(Seq(
+      (1L, "spam spam spam spam"), // 4 tokens, 3 identical bigrams
+      (2L, "one two three four five"), // all distinct
+      (3L, "???"), // zero tokens after normalization
+      (4L, "go go stop go go"))) // dup bigram "go go" twice
+    val r = TextStatsQueries.q71RepetitionRatios(spark, dir)
+      .collect().map(x => x.getLong(0) -> x).toMap
+
+    assert(r(1L).getAs[Long]("n_tokens") === 4L)
+    assert(r(1L).getAs[Long]("top_word_count") === 4L)
+    assert(r(1L).getAs[Double]("top_word_frac") === 1.0)
+    assert(r(1L).getAs[Long]("n_bigrams") === 3L)
+    // 3 bigrams, 1 distinct → dup frac 2/3
+    assert(r(1L).getAs[Double]("dup_bigram_frac") === 0.666667)
+    assert(!r(1L).getAs[Boolean]("keep"))
+
+    assert(r(2L).getAs[Double]("top_word_frac") === 0.2)
+    assert(r(2L).getAs[Double]("dup_bigram_frac") === 0.0)
+    assert(r(2L).getAs[Boolean]("keep"))
+
+    // empty doc: all zeros, no nulls, keep=true (nothing repeats)
+    assert(r(3L).getAs[Long]("n_tokens") === 0L)
+    assert(r(3L).getAs[Double]("top_word_frac") === 0.0)
+    assert(r(3L).getAs[Long]("n_bigrams") === 0L)
+    assert(r(3L).getAs[Double]("dup_bigram_frac") === 0.0)
+
+    // bigrams: "go go","go stop","stop go","go go" → 4 total, 3 distinct
+    assert(r(4L).getAs[Long]("n_bigrams") === 4L)
+    assert(r(4L).getAs[Double]("dup_bigram_frac") === 0.25)
+  }
+
+  test("q72: chunk boundaries, strides, and tail suppression") {
+    // alphabetic tokens — normalization strips digits, so "w25"-style
+    // names would all collapse to the same word
+    def tok(i: Int): String = s"${('a' + i / 26).toChar}${('a' + i % 26).toChar}"
+    val words40 = (0 until 40).map(tok).mkString(" ")
+    val words32 = (0 until 32).map(tok).mkString(" ")
+    val words10 = (0 until 10).map(tok).mkString(" ")
+    val dir = docsDir(Seq((1L, words40), (2L, words32), (3L, words10), (4L, "!!")))
+    val rows = TextStatsQueries.q72TokenChunks(spark, dir)
+      .collect().groupBy(_.getLong(0))
+
+    // 40 tokens → chunk 0 covers 1..32, chunk 1 covers 25..40 (16 new)
+    val d1 = rows(1L).sortBy(_.getAs[Long]("chunk_id"))
+    assert(d1.map(_.getAs[Long]("chunk_tokens")).toSeq === Seq(32L, 16L))
+    assert(d1(1).getAs[String]("chunk_text").startsWith(tok(24) + " "))
+    assert(d1(1).getAs[String]("chunk_text").endsWith(" " + tok(39)))
+
+    // exactly 32 tokens: chunk 0 already reached the end → no tail chunk
+    assert(rows(2L).length === 1)
+    // short doc → single short chunk
+    assert(rows(3L).map(_.getAs[Long]("chunk_tokens")).toSeq === Seq(10L))
+    // zero-token doc emits nothing
+    assert(!rows.contains(4L))
+  }
+
+  test("q73: promo share consistent with its own sums") {
+    val r = RelationalOps.q73PromoRevenue(spark, sf0001).collect()
+    assert(r.nonEmpty)
+    r.foreach { x =>
+      val promo = x.getAs[Double]("promo_revenue")
+      val total = x.getAs[Double]("total_revenue")
+      val share = x.getAs[Double]("promo_share")
+      assert(promo >= 0 && promo <= total)
+      assert(math.abs(share - 100.0 * promo / total) < 1e-3)
+    }
+  }
+
+  test("q74: breadth counts match an independent re-derivation") {
+    val r = RelationalOps.q74SupplierBreadth(spark, sf0001)
+    val fromQuery = r.agg(sum($"n_lines")).head.getLong(0)
+    // independent path: semi-join-free filter on the good-supplier set
+    val goodSupp = graft.Tables.supplier(spark, sf0001)
+      .filter($"s_acctbal" >= 0).select($"s_suppkey").as[Long].collect().toSet
+    val expected = graft.Tables.lineitem(spark, sf0001)
+      .filter($"l_suppkey".isin(goodSupp.toSeq: _*)).count()
+    assert(fromQuery === expected)
+    // per-group sanity: distinct counts never exceed line count
+    r.collect().foreach { x =>
+      assert(x.getAs[Long]("supplier_cnt") <= x.getAs[Long]("n_lines"))
+      assert(x.getAs[Long]("part_cnt") <= x.getAs[Long]("n_lines"))
+    }
+  }
+
+  test("q75: dormant set equals the brute-force definition") {
+    val out = RelationalOps.q75DormantCustomers(spark, sf0001)
+    val numFromQuery = out.agg(sum($"numcust")).head.getLong(0)
+    val cust = graft.Tables.customer(spark, sf0001)
+    val scaled = cust.filter($"c_acctbal" > 0)
+      .select(round($"c_acctbal" * 100, 0).cast("long").as("s"))
+      .agg(sum($"s").as("t"), count(lit(1)).as("n")).head
+    val avg = scaled.getLong(0) / 100.0 / scaled.getLong(1)
+    val recent = graft.Tables.orders(spark, sf0001)
+      .filter($"o_orderdate" >= lit(RelationalOps.DormantCutoff).cast("timestamp_ntz"))
+      .select($"o_custkey").as[Long].collect().toSet
+    val expected = cust.filter($"c_acctbal" > avg)
+      .select($"c_custkey").as[Long].collect().count(k => !recent.contains(k))
+    assert(numFromQuery === expected)
+    assert(numFromQuery > 0, "cutoff must leave a non-empty dormant set")
+  }
+}
