@@ -391,7 +391,80 @@ object DedupQueries {
       |WHERE EXISTS (SELECT 1 FROM e e3 WHERE e3.a = e1.a AND e3.b = e2.b)
       |ORDER BY x, y, z""".stripMargin
 
+  // ---------------------------------------------------------------- q76
+  /** Benchmark decontamination: for every TEST document (q48's
+    * content-hash split), the fraction of its distinct word-5-grams
+    * that also occur anywhere in the TRAIN side. The canonical
+    * pre-release check that eval data didn't leak into the training
+    * mix (Brown et al. 2020 §C; the n-gram form every open pipeline
+    * runs). Scale shape: both sides reduce to (shingle) / (doc,
+    * shingle) sets via the codegen positional-shingle pipeline, the
+    * train side is deduplicated BEFORE the join (shingle-keyed partial
+    * distinct), and the overlap join is a shingle-hash equi-join —
+    * never doc×doc. Zero-shingle test docs (shorter than the n-gram)
+    * surface with contamination 0, not dropped.
+    */
+  val DecontaminationN = 5
+  val ContaminationMax = 0.5
+
+  def q76Decontamination(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables.documents(s, dir)
+      .withColumn("split", Sampling.md5Split("text"))
+    val test = docs.filter($"split" === "test")
+    val trainShingles = graft.dedup.Dedup
+      .shingleSets(docs.filter($"split" === "train"), "doc_id", "text", DecontaminationN)
+      .select($"shingle").distinct()
+    val overlap = graft.dedup.Dedup
+      .shingleSets(test, "doc_id", "text", DecontaminationN)
+      .join(trainShingles.withColumn("hit", lit(1L)), Seq("shingle"), "left_outer")
+      .groupBy($"id")
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(coalesce($"hit", lit(0L))).as("overlap"))
+      .withColumnRenamed("id", "doc_id")
+    test.select($"doc_id")
+      .join(overlap, Seq("doc_id"), "left_outer")
+      .select($"doc_id",
+        coalesce($"n_shingles", lit(0L)).as("n_shingles"),
+        coalesce($"overlap", lit(0L)).as("overlap"),
+        round(coalesce($"overlap" / $"n_shingles", lit(0.0)), 6)
+          .as("contamination"))
+      .withColumn("flagged", $"contamination" >= ContaminationMax)
+      .orderBy($"doc_id")
+  }
+
+  val q76Sql: String = {
+    val n = DecontaminationN
+    s"""WITH lists AS (
+       |  SELECT doc_id,
+       |         CASE WHEN substr(md5(text), 1, 1) < 'e' THEN 'train' ELSE 'test' END AS split,
+       |         list_filter(string_split(trim(regexp_replace(lower(text), '(\\d|\\W)+', ' ', 'g')), ' '), x -> x <> '') AS toks
+       |  FROM documents),
+       |sh AS (
+       |  SELECT doc_id, split,
+       |         unnest(list_distinct(list_transform(range(1, len(toks) - $n + 2),
+       |                i -> array_to_string(toks[i:i+${n - 1}], ' ')))) AS shingle
+       |  FROM lists WHERE len(toks) >= $n),
+       |train_sh AS (SELECT DISTINCT shingle FROM sh WHERE split = 'train'),
+       |hits AS (
+       |  SELECT t.doc_id,
+       |         count(*) AS n_shingles,
+       |         sum(CASE WHEN tr.shingle IS NOT NULL THEN 1 ELSE 0 END) AS overlap
+       |  FROM (SELECT doc_id, shingle FROM sh WHERE split = 'test') t
+       |  LEFT JOIN train_sh tr ON t.shingle = tr.shingle
+       |  GROUP BY t.doc_id)
+       |SELECT l.doc_id,
+       |  CAST(COALESCE(h.n_shingles, 0) AS BIGINT) AS n_shingles,
+       |  CAST(COALESCE(h.overlap, 0) AS BIGINT) AS overlap,
+       |  round(COALESCE(CAST(h.overlap AS DOUBLE) / h.n_shingles, 0.0), 6) AS contamination,
+       |  (round(COALESCE(CAST(h.overlap AS DOUBLE) / h.n_shingles, 0.0), 6) >= $ContaminationMax) AS flagged
+       |FROM lists l LEFT JOIN hits h ON l.doc_id = h.doc_id
+       |WHERE l.split = 'test'
+       |ORDER BY l.doc_id""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q76_decontamination" -> (q76Decontamination _),
     "q66_triangles" -> (q66Triangles _),
     "q61_winnowing" -> (q61Winnowing _),
     "q62_top_bigrams_per_lang" -> (q62TopBigramsPerLang _),
@@ -405,6 +478,7 @@ object DedupQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q76_decontamination" -> q76Sql,
     "q66_triangles" -> q66Sql,
     "q61_winnowing" -> q61Sql,
     "q62_top_bigrams_per_lang" -> q62Sql,

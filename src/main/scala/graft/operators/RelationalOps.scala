@@ -656,8 +656,38 @@ object RelationalOps {
        |                    AND o_orderdate >= TIMESTAMP '$DormantCutoff 00:00:00')
        |GROUP BY n_name ORDER BY n_name""".stripMargin
 
+  // ---------------------------------------------------------------- q77
+  /** Late-shipment order-priority check (TPC-H Q4 shape): count orders
+    * per priority having at least one line item shipped after the
+    * order date. The EXISTS compiles to a LEFT SEMI hash join whose
+    * condition mixes the o_orderkey equi-key with the cross-table
+    * l_shipdate > o_orderdate inequality — the equi part drives the
+    * hash exchange (orderkey-keyed, both sides pruned to two columns),
+    * the inequality evaluates as a join residual, and the semi form
+    * stops probing each order at its first qualifying line. No
+    * distinct, no count-then-filter.
+    */
+  def q77OrderPriorityCheck(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.orders(s, dir)
+      .join(Tables.lineitem(s, dir).select($"l_orderkey", $"l_shipdate"),
+        $"o_orderkey" === $"l_orderkey" && $"l_shipdate" > $"o_orderdate",
+        "left_semi")
+      .groupBy($"o_orderpriority")
+      .agg(count(lit(1)).as("order_count"))
+      .orderBy($"o_orderpriority")
+  }
+
+  val q77Sql: String =
+    """SELECT o_orderpriority, count(*) AS order_count
+      |FROM orders
+      |WHERE EXISTS (SELECT 1 FROM lineitem
+      |              WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate)
+      |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
+
   /** Query + oracle registry contributed by this module. */
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q77_order_priority_check" -> (q77OrderPriorityCheck _),
     "q73_promo_revenue" -> (q73PromoRevenue _),
     "q74_supplier_breadth" -> (q74SupplierBreadth _),
     "q75_dormant_customers" -> (q75DormantCustomers _),
@@ -678,6 +708,7 @@ object RelationalOps {
   )
 
   val oracles: Map[String, String] = Map(
+    "q77_order_priority_check" -> q77Sql,
     "q73_promo_revenue" -> q73Sql,
     "q74_supplier_breadth" -> q74Sql,
     "q75_dormant_customers" -> q75Sql,

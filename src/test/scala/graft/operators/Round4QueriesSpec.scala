@@ -107,6 +107,47 @@ class Round4QueriesSpec extends SparkTestBase {
     }
   }
 
+  test("q76: contamination equals a driver-side brute-force on sf0.001") {
+    val out = DedupQueries.q76Decontamination(spark, sf0001).collect()
+      .map(r => r.getLong(0) -> (r.getAs[Long]("n_shingles"),
+        r.getAs[Long]("overlap"), r.getAs[Double]("contamination"))).toMap
+    // independent recomputation: tokenize + shingle in plain Scala
+    val docs = graft.Tables.documents(spark, sf0001)
+      .select($"doc_id", $"text").as[(Long, String)].collect()
+    def toks(t: String): Seq[String] =
+      t.toLowerCase.replaceAll("(\\d|\\W)+", " ").trim.split(" ").filter(_.nonEmpty).toSeq
+    def shingles(t: String): Set[String] =
+      toks(t).sliding(DedupQueries.DecontaminationN)
+        .filter(_.size == DedupQueries.DecontaminationN).map(_.mkString(" ")).toSet
+    def md5hex(t: String): String = java.security.MessageDigest.getInstance("MD5")
+      .digest(t.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val (train, test) = docs.partition { case (_, t) => md5hex(t).head < 'e' }
+    val trainSh = train.flatMap(d => shingles(d._2)).toSet
+    assert(out.keySet === test.map(_._1).toSet)
+    test.foreach { case (id, t) =>
+      val sh = shingles(t)
+      val ov = sh.count(trainSh.contains).toLong
+      assert(out(id)._1 === sh.size.toLong, s"doc $id n_shingles")
+      assert(out(id)._2 === ov, s"doc $id overlap")
+      if (sh.nonEmpty)
+        assert(math.abs(out(id)._3 - ov.toDouble / sh.size) < 1e-5)
+      else assert(out(id)._3 === 0.0)
+    }
+  }
+
+  test("q77: exists-semantics equals a distinct-count re-derivation") {
+    val out = RelationalOps.q77OrderPriorityCheck(spark, sf0001)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val expected = graft.Tables.orders(spark, sf0001)
+      .join(graft.Tables.lineitem(spark, sf0001),
+        $"o_orderkey" === $"l_orderkey" && $"l_shipdate" > $"o_orderdate")
+      .select($"o_orderpriority", $"o_orderkey").distinct()
+      .groupBy($"o_orderpriority").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(out === expected)
+    assert(out.values.sum > 0)
+  }
+
   test("q75: dormant set equals the brute-force definition") {
     val out = RelationalOps.q75DormantCustomers(spark, sf0001)
     val numFromQuery = out.agg(sum($"numcust")).head.getLong(0)
