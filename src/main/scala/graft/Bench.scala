@@ -45,7 +45,7 @@ object Bench {
     "q68_window_showcase", "q69_bucketed_join", "q70_partition_pruning",
     "q71_repetition_ratios", "q72_token_chunks", "q73_promo_revenue",
     "q74_supplier_breadth", "q75_dormant_customers",
-    "q76_decontamination", "q77_order_priority_check")
+    "q76_decontamination", "q77_order_priority_check", "q78_incremental_dedup")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -88,6 +88,11 @@ object Bench {
       catch { case e: Throwable =>
         System.err.println(s"[bench] lake prep failed — skipping q70: $e"); false
       }
+    val incCorpusReady =
+      try { operators.DedupQueries.prepareIncrementalCorpus(spark, sfDir); true }
+      catch { case e: Throwable =>
+        System.err.println(s"[bench] incremental-corpus prep failed — skipping q78: $e"); false
+      }
 
     // dev-loop subset: SPARK_GRAFT_BENCH_ONLY=q44_cc_synth,q13_top1_similar
     // (driver runs with it unset → full headline set)
@@ -98,6 +103,7 @@ object Bench {
       .filter(name => ivfReady || name != "q43_ivf_topk")
       .filter(name => bucketsReady || name != "q69_bucketed_join")
       .filter(name => lakeReady || name != "q70_partition_pruning")
+      .filter(name => incCorpusReady || name != "q78_incremental_dedup")
       .flatMap { name =>
       SparkEntry.queries.get(name).map { fn =>
         val t0 = System.nanoTime()

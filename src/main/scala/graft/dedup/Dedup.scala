@@ -164,17 +164,32 @@ object Dedup {
     * clustering pass, not pairwise dedup. Pass Int.MaxValue for exact
     * LSH semantics (oracle mode).
     */
-  def lshCandidates(sig: DataFrame, bands: Int, rowsPerBand: Int,
-      maxBucket: Int = Int.MaxValue): DataFrame = {
-    val bandDfs = (0 until bands).map { b =>
+  /** Banded signature table (id, band, bsig) — the join-able LSH bucket
+    * form of a minhash signature table. Factored out so DIRECTED
+    * probes (an increment's bands against a persisted corpus band
+    * table, q78) share the exact banding with the symmetric
+    * all-pairs candidate generation below.
+    */
+  def lshBands(sig: DataFrame, bands: Int, rowsPerBand: Int): DataFrame = {
+    val bandCols = (0 until bands).map { b =>
       val cols = (b * rowsPerBand until (b + 1) * rowsPerBand).map(j => col(f"mh$j%02d"))
       // delimited concat: md5 signatures are fixed-width, but the
       // xxhash64 fast-path signatures are variable-width decimal longs
       // — without a delimiter (1,23) and (12,3) would collide.
-      sig.select(col("id"), lit(b).as("band"),
-        md5(concat_ws("|", cols: _*).cast("binary")).as("bsig"))
+      md5(concat_ws("|", cols: _*).cast("binary"))
     }
-    val melted = bandDfs.reduce(_ unionAll _)
+    // ONE posexplode pass, NOT a bands-way union of projections: each
+    // union branch would carry its own copy of the whole upstream
+    // signature subplan (shingle window + k md5s per element), so a
+    // caller joining two band tables would execute it 2×bands times.
+    // posexplode's pos is exactly the band index the union form labeled.
+    sig.select(col("id"),
+      posexplode(array(bandCols: _*)).as(Seq("band", "bsig")))
+  }
+
+  def lshCandidates(sig: DataFrame, bands: Int, rowsPerBand: Int,
+      maxBucket: Int = Int.MaxValue): DataFrame = {
+    val melted = lshBands(sig, bands, rowsPerBand)
     val bounded =
       if (maxBucket == Int.MaxValue) melted
       else {

@@ -75,14 +75,20 @@ object DedupQueries {
     * WITHOUT the WITH keyword or final select — shared between q16Sql and
     * q19Sql, which extends it with the recursive-closure CTEs.
     */
+  /** SQL fragment generators shared by q16/q19/q78 — one source of
+    * truth for the signature/banding arithmetic on the oracle side.
+    */
+  private val sigMinsSql: String = (0 until K).map(j =>
+    f"min(md5('$j%d|' || word)) AS mh$j%02d").mkString(",\n    ")
+  private val bandSelectsSql: String = (0 until Bands).map { b =>
+    val cat = (b * RowsPerBand until (b + 1) * RowsPerBand)
+      .map(j => f"mh$j%02d").mkString(" || '|' || ")
+    s"SELECT id, $b AS band, md5($cat) AS bsig FROM sigs"
+  }.mkString("\n  UNION ALL ")
+
   private val q16Ctes: String = {
-    val mins = (0 until K).map(j =>
-      f"min(md5('$j%d|' || word)) AS mh$j%02d").mkString(",\n    ")
-    val bandSelects = (0 until Bands).map { b =>
-      val cat = (b * RowsPerBand until (b + 1) * RowsPerBand)
-        .map(j => f"mh$j%02d").mkString(" || '|' || ")
-      s"SELECT id, $b AS band, md5($cat) AS bsig FROM sigs"
-    }.mkString("\n  UNION ALL ")
+    val mins = sigMinsSql
+    val bandSelects = bandSelectsSql
     s"""$tokCte,
        |sigs AS (
        |  SELECT id,
@@ -391,6 +397,162 @@ object DedupQueries {
       |WHERE EXISTS (SELECT 1 FROM e e3 WHERE e3.a = e1.a AND e3.b = e2.b)
       |ORDER BY x, y, z""".stripMargin
 
+  // ---------------------------------------------------------------- q78
+  /** Incremental-ingestion dedup: a verdict for every INCREMENT
+    * document (source = [[IncrementSource]]) against the EXISTING
+    * corpus (all other sources) — `exact_dup` (byte-identical text in
+    * the corpus), `near_dup` (LSH candidate with verified Jaccard ≥
+    * [[LshJaccardThreshold]]), else `new`; `match_id` is the smallest
+    * matching corpus doc (−1 for new). This is how a 100 TB pipeline
+    * actually dedups: per ingestion batch against persisted corpus
+    * artifacts, never re-clustering the world. Candidates are DIRECTED
+    * (increment bands probe corpus bands) so no corpus-internal pair
+    * is ever generated — the join cost is |increment| × bucket width,
+    * not the q16 self-join. At scale the corpus band table and text
+    * hashes are persisted offline artifacts (same layout contract as
+    * the IVF index / bucketed tables); the gate rebuilds them from the
+    * raw table only because it starts from nothing.
+    *
+    * Similarity is minhash over word-3-GRAM shingle sets, not unigram
+    * sets: this corpus's vocabulary is tiny, so unigram token sets are
+    * near-identical across unrelated documents and every band bucket
+    * collides (measured 529k directed candidates at sf0.1 — the
+    * verification join, not the operator, became the cost). Shingles
+    * restore the signature space: only genuinely near-duplicate docs
+    * share 3-grams, candidates collapse to the true near-dup
+    * structure, and the query stays benchable. (q16 keeps unigrams
+    * deliberately — its POINT is the pair-volume demo.)
+    */
+  val IncrementSource = "src0"
+  val IncShingleN = 3
+
+  private val incCorpusBuilt = scala.collection.mutable.HashSet.empty[String]
+  private def incCorpusPath(sfDir: String): String =
+    new java.io.File(s"target/inc-dedup/${PathTag.tagFor(sfDir)}").getAbsolutePath
+
+  /** OFFLINE half of the incremental-dedup split (same contract as the
+    * IVF index build and the bucketed tables): materialize the corpus
+    * side — shingle sets, LSH band table, text hashes — to parquet
+    * once per sf dir. An ingestion batch then computes bands only for
+    * itself and probes these artifacts; without the split every batch
+    * re-runs the corpus shingle window and 12-md5 signature agg (it
+    * dominated the probe cost ~3:1 when measured at sf0.1).
+    */
+  def prepareIncrementalCorpus(s: SparkSession, dir: String): String =
+    incCorpusBuilt.synchronized {
+      val base = incCorpusPath(dir)
+      if (!incCorpusBuilt.contains(base)) {
+        val corpus = Tables.documents(s, dir)
+          .filter(col("source") =!= IncrementSource)
+        val sh = Dedup.shingleSets(corpus, "doc_id", "text", IncShingleN)
+        sh.write.mode("overwrite").parquet(s"$base/shingles")
+        // bands derive from the WRITTEN shingles (one scan, not a
+        // second live shingle computation)
+        Dedup.lshBands(
+            Dedup.minhashSig(s.read.parquet(s"$base/shingles"), K,
+              elemCol = "shingle"),
+            Bands, RowsPerBand)
+          .write.mode("overwrite").parquet(s"$base/bands")
+        corpus.select(md5(col("text")).as("h"), col("doc_id").as("c_id"))
+          .write.mode("overwrite").parquet(s"$base/hashes")
+        incCorpusBuilt.add(base)
+      }
+      base
+    }
+
+  def q78IncrementalDedup(s: SparkSession, dir: String): DataFrame = {
+    val base = prepareIncrementalCorpus(s, dir)
+    val docs = Tables.documents(s, dir)
+    val inc = docs.filter(col("source") === IncrementSource)
+    val exact = inc.select(col("doc_id"), md5(col("text")).as("h"))
+      .join(s.read.parquet(s"$base/hashes"), Seq("h"))
+      .groupBy(col("doc_id")).agg(min(col("c_id")).as("exact_match"))
+    val incSh = Dedup.shingleSets(inc, "doc_id", "text", IncShingleN)
+    val incBands = Dedup.lshBands(
+      Dedup.minhashSig(incSh, K, elemCol = "shingle"), Bands, RowsPerBand)
+    val cands = incBands.select(col("band"), col("bsig"), col("id").as("a"))
+      .join(s.read.parquet(s"$base/bands")
+          .select(col("band"), col("bsig"), col("id").as("b")),
+        Seq("band", "bsig"))
+      .select(col("a"), col("b")).distinct()
+    // increment + corpus shingles share one schema and disjoint ids
+    val near = Dedup.jaccardOnCandidates(
+        incSh.unionByName(s.read.parquet(s"$base/shingles")), cands,
+        elemCol = "shingle")
+      .withColumn("jaccard", round(col("jaccard"), 6))
+      .filter(col("jaccard") >= LshJaccardThreshold)
+      .groupBy(col("a")).agg(min(col("b")).as("near_match"))
+      .withColumnRenamed("a", "doc_id")
+    inc.select(col("doc_id"))
+      .join(exact, Seq("doc_id"), "left_outer")
+      .join(near, Seq("doc_id"), "left_outer")
+      .select(col("doc_id"),
+        when(col("exact_match").isNotNull, lit("exact_dup"))
+          .when(col("near_match").isNotNull, lit("near_dup"))
+          .otherwise(lit("new")).as("verdict"),
+        coalesce(col("exact_match"), col("near_match"), lit(-1L)).as("match_id"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val sigMinsShingleSql: String = (0 until K).map(j =>
+    f"min(md5('$j%d|' || shingle)) AS mh$j%02d").mkString(",\n    ")
+
+  val q78Sql: String =
+    s"""WITH slists AS (
+       |  SELECT doc_id AS id,
+       |         list_filter(string_split(trim(regexp_replace(lower(text), '(\\d|\\W)+', ' ', 'g')), ' '), x -> x <> '') AS toks
+       |  FROM documents),
+       |sh AS (
+       |  SELECT id,
+       |         unnest(list_distinct(list_transform(range(1, len(toks) - ${IncShingleN - 2}),
+       |                i -> array_to_string(toks[i:i+${IncShingleN - 1}], ' ')))) AS shingle
+       |  FROM slists WHERE len(toks) >= $IncShingleN),
+       |sigs AS (
+       |  SELECT id,
+       |    $sigMinsShingleSql
+       |  FROM sh GROUP BY id),
+       |bandtbl AS (
+       |  $bandSelectsSql),
+       |cand AS (
+       |  SELECT DISTINCT x.id AS a, y.id AS b
+       |  FROM bandtbl x
+       |  JOIN documents dx ON dx.doc_id = x.id AND dx.source = '$IncrementSource'
+       |  JOIN bandtbl y ON x.band = y.band AND x.bsig = y.bsig
+       |  JOIN documents dy ON dy.doc_id = y.id AND dy.source <> '$IncrementSource'),
+       |sizes AS (SELECT id, count(*) AS sz FROM sh GROUP BY id),
+       |shared AS (
+       |  SELECT c.a, c.b, count(*) AS shared
+       |  FROM cand c
+       |  JOIN sh ta ON ta.id = c.a
+       |  JOIN sh tb ON tb.id = c.b AND tb.shingle = ta.shingle
+       |  GROUP BY c.a, c.b),
+       |near AS (
+       |  SELECT c.a AS doc_id, min(c.b) AS near_match
+       |  FROM cand c
+       |  LEFT JOIN shared s ON s.a = c.a AND s.b = c.b
+       |  JOIN sizes za ON za.id = c.a
+       |  JOIN sizes zb ON zb.id = c.b
+       |  WHERE round(CAST(COALESCE(s.shared, 0) AS DOUBLE) /
+       |              CAST(za.sz + zb.sz - COALESCE(s.shared, 0) AS DOUBLE), 6)
+       |        >= $LshJaccardThreshold
+       |  GROUP BY c.a),
+       |exact AS (
+       |  SELECT i.doc_id, min(c.doc_id) AS exact_match
+       |  FROM documents i JOIN documents c
+       |    ON md5(i.text) = md5(c.text)
+       |   AND i.source = '$IncrementSource' AND c.source <> '$IncrementSource'
+       |  GROUP BY i.doc_id)
+       |SELECT i.doc_id,
+       |  CASE WHEN e.exact_match IS NOT NULL THEN 'exact_dup'
+       |       WHEN n.near_match IS NOT NULL THEN 'near_dup'
+       |       ELSE 'new' END AS verdict,
+       |  COALESCE(e.exact_match, n.near_match, -1) AS match_id
+       |FROM documents i
+       |LEFT JOIN exact e ON e.doc_id = i.doc_id
+       |LEFT JOIN near n ON n.doc_id = i.doc_id
+       |WHERE i.source = '$IncrementSource'
+       |ORDER BY i.doc_id""".stripMargin
+
   // ---------------------------------------------------------------- q76
   /** Benchmark decontamination: for every TEST document (q48's
     * content-hash split), the fraction of its distinct word-5-grams
@@ -465,6 +627,7 @@ object DedupQueries {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q76_decontamination" -> (q76Decontamination _),
+    "q78_incremental_dedup" -> (q78IncrementalDedup _),
     "q66_triangles" -> (q66Triangles _),
     "q61_winnowing" -> (q61Winnowing _),
     "q62_top_bigrams_per_lang" -> (q62TopBigramsPerLang _),
@@ -479,6 +642,7 @@ object DedupQueries {
 
   val oracles: Map[String, String] = Map(
     "q76_decontamination" -> q76Sql,
+    "q78_incremental_dedup" -> q78Sql,
     "q66_triangles" -> q66Sql,
     "q61_winnowing" -> q61Sql,
     "q62_top_bigrams_per_lang" -> q62Sql,

@@ -107,6 +107,32 @@ class Round4QueriesSpec extends SparkTestBase {
     }
   }
 
+  test("q78: verdict precedence and directedness on crafted sources") {
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " +
+      "lambda mu nu xi omicron pi rho sigma tau upsilon"
+    val dir = java.nio.file.Files.createTempDirectory("graft-docs").toString
+    Seq(
+      // corpus (src1): two docs + an internal exact-dup pair that must
+      // NOT surface (candidates are increment-directed)
+      (10L, base, "src1"),
+      (11L, "totally different content about completely other things entirely " +
+        "with many unique words never repeated elsewhere in this corpus", "src1"),
+      (12L, base + " omega", "src1"),
+      (13L, base + " omega", "src1"),
+      // increment (src0)
+      (1L, base, "src0"), // byte-identical to 10 → exact_dup, match 10
+      (2L, base + " chi", "src0"), // one appended word → shingle J=18/19 → near_dup
+      (3L, "qqq www eee rrr ttt yyy uuu iii ooo ppp", "src0")) // new
+      .toDF("doc_id", "text", "source")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val r = DedupQueries.q78IncrementalDedup(spark, dir).collect()
+      .map(x => x.getLong(0) -> (x.getString(1), x.getLong(2))).toMap
+    assert(r.keySet === Set(1L, 2L, 3L), "only increment docs in the output")
+    assert(r(1L) === ("exact_dup", 10L))
+    assert(r(2L)._1 === "near_dup")
+    assert(r(3L) === ("new", -1L))
+  }
+
   test("q76: contamination equals a driver-side brute-force on sf0.001") {
     val out = DedupQueries.q76Decontamination(spark, sf0001).collect()
       .map(r => r.getLong(0) -> (r.getAs[Long]("n_shingles"),
