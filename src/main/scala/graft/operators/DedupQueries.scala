@@ -574,6 +574,10 @@ object DedupQueries {
     val docs = Tables.documents(s, dir)
       .withColumn("split", Sampling.md5Split("text"))
     val test = docs.filter($"split" === "test")
+    // per-side shingleSets is deliberate: the two branches partition
+    // the corpus, so together they do ONE corpus-worth of shingle work
+    // — a single all-docs pass referenced twice would need exchange
+    // reuse to break even and an id-keyed split attach on top.
     val trainShingles = graft.dedup.Dedup
       .shingleSets(docs.filter($"split" === "train"), "doc_id", "text", DecontaminationN)
       .select($"shingle").distinct()
