@@ -63,43 +63,37 @@ object Bench {
     // JVM/session warmup outside the timed region (scan + shuffle + agg)
     try spark.read.parquet(s"$sfDir/region.parquet").groupBy("r_name").count().count()
     catch { case _: Throwable => }
-    // IVF index build is the OFFLINE half of the build/probe split — a
-    // scheduled indexing job at scale, so it runs outside the timed
-    // region; q43 measures the probe (the per-query cost users pay).
-    // If the warmup build fails, q43 is SKIPPED rather than silently
-    // re-building inside its timed region (which would report
-    // build+probe as the probe number).
-    val ivfReady =
-      try { operators.AnnQueries.prepareIvf(spark, sfDir); true }
-      catch { case e: Throwable =>
-        System.err.println(s"[bench] ivf build failed — skipping q43: $e"); false
-      }
-    // same offline-layout contract for the bucketed tables (q69) and the
-    // partitioned lake (q70): one-time layout jobs, never the per-query
-    // cost users pay — built untimed, queries SKIPPED (not silently
-    // re-built inside their timed region) if the build fails.
-    val bucketsReady =
-      try { operators.RelationalOps.prepareBucketedTables(spark, sfDir); true }
-      catch { case e: Throwable =>
-        System.err.println(s"[bench] bucketed-table prep failed — skipping q69: $e"); false
-      }
-    val lakeReady =
-      try { operators.EventQueries.preparePartitionedLake(spark, sfDir); true }
-      catch { case e: Throwable =>
-        System.err.println(s"[bench] lake prep failed — skipping q70: $e"); false
-      }
-    val incCorpusReady =
-      try { operators.DedupQueries.prepareIncrementalCorpus(spark, sfDir); true }
-      catch { case e: Throwable =>
-        System.err.println(s"[bench] incremental-corpus prep failed — skipping q78: $e"); false
-      }
-
     // dev-loop subset: SPARK_GRAFT_BENCH_ONLY=q44_cc_synth,q13_top1_similar
     // (driver runs with it unset → full headline set)
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    def selected(name: String): Boolean = only.forall(_.contains(name))
+
+    // Offline-layout preps (IVF index, bucketed tables, partitioned
+    // lake, incremental-dedup corpus): scheduled build jobs at scale,
+    // never the per-query cost users pay — built OUTSIDE the timed
+    // region, and only when their query is actually selected (a
+    // subset dev loop must not pay every build). If a build fails its
+    // query is SKIPPED rather than silently re-building inside the
+    // timed region (which would report build+probe as the probe
+    // number).
+    def prep(queryName: String)(build: => Unit): Boolean =
+      !selected(queryName) || {
+        try { build; true }
+        catch { case e: Throwable =>
+          System.err.println(s"[bench] prep failed — skipping $queryName: $e"); false
+        }
+      }
+    val ivfReady = prep("q43_ivf_topk") {
+      operators.AnnQueries.prepareIvf(spark, sfDir) }
+    val bucketsReady = prep("q69_bucketed_join") {
+      operators.RelationalOps.prepareBucketedTables(spark, sfDir) }
+    val lakeReady = prep("q70_partition_pruning") {
+      operators.EventQueries.preparePartitionedLake(spark, sfDir) }
+    val incCorpusReady = prep("q78_incremental_dedup") {
+      operators.DedupQueries.prepareIncrementalCorpus(spark, sfDir) }
     val results = Headline
-      .filter(name => only.forall(_.contains(name)))
+      .filter(selected)
       .filter(name => ivfReady || name != "q43_ivf_topk")
       .filter(name => bucketsReady || name != "q69_bucketed_join")
       .filter(name => lakeReady || name != "q70_partition_pruning")

@@ -500,14 +500,29 @@ object RelationalOps {
         // clear the orphaned location before (re)writing.
         Seq(liT, ordT).foreach { t =>
           s.sql(s"DROP TABLE IF EXISTS $t")
-          val warehouse = java.nio.file.Paths.get(
-            java.net.URI.create(s.conf.get("spark.sql.warehouse.dir")).getPath)
-          val loc = warehouse.resolve(t.toLowerCase(java.util.Locale.ROOT))
-          if (java.nio.file.Files.exists(loc)) {
-            import scala.jdk.CollectionConverters._
-            java.nio.file.Files.walk(loc).iterator().asScala.toSeq
-              .sortBy(-_.getNameCount)
-              .foreach(java.nio.file.Files.deleteIfExists(_))
+          // Resolve the warehouse to a LOCAL path: accept `file:` URIs
+          // and plain paths (possibly with URI-illegal chars); any other
+          // scheme (hdfs:/s3:) is left alone — deleting a wrong local
+          // path there would be worse than failing the CTAS loudly.
+          val raw = s.conf.get("spark.sql.warehouse.dir")
+          val localPath: Option[java.nio.file.Path] =
+            (scala.util.Try(java.net.URI.create(raw)).toOption match {
+              case Some(u) if u.getScheme == "file" => Option(u.getPath)
+              case Some(u) if u.getScheme == null   => Some(raw)
+              case None                             => Some(raw)
+              case _                                => None
+            }).map(java.nio.file.Paths.get(_))
+          localPath.foreach { warehouse =>
+            val loc = warehouse.resolve(t.toLowerCase(java.util.Locale.ROOT))
+            if (java.nio.file.Files.exists(loc)) {
+              val stream = java.nio.file.Files.walk(loc)
+              try {
+                import scala.jdk.CollectionConverters._
+                stream.iterator().asScala.toSeq
+                  .sortBy(-_.getNameCount)
+                  .foreach(java.nio.file.Files.deleteIfExists(_))
+              } finally stream.close()
+            }
           }
         }
         Tables.lineitem(s, dir)
@@ -607,7 +622,8 @@ object RelationalOps {
       |  count(DISTINCT l_partkey) AS part_cnt,
       |  count(*) AS n_lines
       |FROM lineitem JOIN part ON l_partkey = p_partkey
-      |WHERE l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+      |WHERE NOT EXISTS (SELECT 1 FROM supplier
+      |                  WHERE s_suppkey = l_suppkey AND s_acctbal < 0)
       |GROUP BY p_brand, p_type
       |ORDER BY supplier_cnt DESC, p_brand, p_type""".stripMargin
 

@@ -92,12 +92,18 @@ class Round4QueriesSpec extends SparkTestBase {
   }
 
   test("q74: breadth counts match an independent re-derivation") {
-    val r = RelationalOps.q74SupplierBreadth(spark, sf0001)
+    // sf0.01, not sf0.001: the smaller set has ZERO negative-balance
+    // suppliers, so the exclusion anti-join would be vacuous there and
+    // the test would pass even with the join dropped or inverted.
+    val r = RelationalOps.q74SupplierBreadth(spark, sf001)
     val fromQuery = r.agg(sum($"n_lines")).head.getLong(0)
     // independent path: semi-join-free filter on the good-supplier set
-    val goodSupp = graft.Tables.supplier(spark, sf0001)
-      .filter($"s_acctbal" >= 0).select($"s_suppkey").as[Long].collect().toSet
-    val expected = graft.Tables.lineitem(spark, sf0001)
+    val allSupp = graft.Tables.supplier(spark, sf001)
+      .select($"s_suppkey", $"s_acctbal").as[(Long, Double)].collect()
+    val goodSupp = allSupp.filter(_._2 >= 0).map(_._1).toSet
+    assert(goodSupp.size < allSupp.length,
+      "exclusion set must be non-empty for this test to bite")
+    val expected = graft.Tables.lineitem(spark, sf001)
       .filter($"l_suppkey".isin(goodSupp.toSeq: _*)).count()
     assert(fromQuery === expected)
     // per-group sanity: distinct counts never exceed line count
