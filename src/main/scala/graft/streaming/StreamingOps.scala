@@ -204,6 +204,33 @@ object StreamingOps {
     * in-memory table and block until all available input is processed
     * (test/dev harness; production would use a real sink + trigger).
     */
+  /** Streaming twin of q78's EXACT stage: verdict each arriving
+    * document against the PERSISTED corpus hash table (the
+    * `prepareIncrementalCorpus` artifact) via a stream–static left
+    * outer join. The static side is re-planned every micro-batch, so a
+    * corpus refresh lands without restarting the query; the stream
+    * side needs no state at all (one hash lookup per row, append-mode
+    * compatible, no watermark). The LSH near-dup probe stage is
+    * deliberately NOT expressed as a continuous transform — it needs
+    * the per-document minhash aggregation, which is a stateful
+    * aggregate the exact path shouldn't pay; production runs that
+    * stage in `foreachBatch` over the same artifacts, batch-identical
+    * by construction.
+    *
+    * @param docs         streaming (doc_id, text)
+    * @param corpusHashes static (h = md5(text), c_id) — duplicates per
+    *                     hash allowed; the smallest c_id wins, matching
+    *                     q78's exact verdict
+    */
+  def incrementalDedupVerdicts(docs: DataFrame, corpusHashes: DataFrame): DataFrame =
+    docs.withColumn("h", md5(col("text")))
+      .join(corpusHashes.groupBy(col("h")).agg(min(col("c_id")).as("exact_match")),
+        Seq("h"), "left_outer")
+      .select(col("doc_id"),
+        when(col("exact_match").isNotNull, lit("exact_dup"))
+          .otherwise(lit("new")).as("verdict"),
+        coalesce(col("exact_match"), lit(-1L)).as("match_id"))
+
   def runToMemory(spark: SparkSession, transformed: DataFrame, name: String,
       mode: OutputMode = OutputMode.Append): Unit = {
     val q = transformed.writeStream

@@ -283,4 +283,35 @@ class StreamingOpsSpec extends SparkTestBase {
     assert(s.sum_value === 3.0)
     assert(s.end_ms - s.start_ms === 5L * 60 * 1000)
   }
+
+  test("stream-static incremental dedup verdicts match the batch twin") {
+    implicit val sqlCtx = spark.sqlContext
+    // static corpus hash table, including a duplicated hash (min id wins)
+    def md5hex(t: String): String = java.security.MessageDigest
+      .getInstance("MD5").digest(t.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    val corpus = Seq(
+      ("h-unused", 99L),
+      (md5hex("alpha beta"), 10L),
+      (md5hex("alpha beta"), 12L),
+      (md5hex("gamma delta"), 11L))
+      .toDF("h", "c_id")
+    val input = MemoryStream[(Long, String)]
+    val verdicts = StreamingOps.incrementalDedupVerdicts(
+      input.toDF.toDF("doc_id", "text"), corpus)
+    input.addData((1L, "alpha beta"), (2L, "brand new text"), (3L, "gamma delta"))
+    StreamingOps.runToMemory(spark, verdicts, "inc_verdicts")
+    val got = spark.table("inc_verdicts").collect()
+      .map(r => r.getLong(0) -> (r.getString(1), r.getLong(2))).toMap
+    assert(got === Map(
+      1L -> ("exact_dup", 10L), // duplicated corpus hash: min c_id
+      2L -> ("new", -1L),
+      3L -> ("exact_dup", 11L)))
+    // batch twin over the same rows agrees
+    val batch = StreamingOps.incrementalDedupVerdicts(
+      Seq((1L, "alpha beta"), (2L, "brand new text"), (3L, "gamma delta"))
+        .toDF("doc_id", "text"), corpus)
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getLong(2))).toMap
+    assert(batch === got)
+  }
 }
