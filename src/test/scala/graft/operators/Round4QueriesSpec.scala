@@ -139,6 +139,22 @@ class Round4QueriesSpec extends SparkTestBase {
     assert(r(3L) === ("new", -1L))
   }
 
+  test("q78 probe plan: corpus side reads persisted artifacts, no corpus recompute") {
+    val q = DedupQueries.q78IncrementalDedup(spark, sf0001)
+    // formatted physical explain — the only mode that prints scan paths
+    val plan = q.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    // all three corpus artifacts are parquet scans of the offline dir
+    assert("inc-dedup".r.findAllIn(plan).size >= 3,
+      "expected shingles/bands/hashes artifact scans in the plan")
+    // live computation must only touch the INCREMENT (source = src0):
+    // a corpus-side recompute would plan as a NOT(source = src0)
+    // filter over a documents scan — exactly what the artifacts replace
+    assert(!plan.contains("NOT (source"),
+      "corpus-side filter found — corpus shingles/bands recomputed live?")
+    assert(plan.contains("src0"), "increment filter must reach the scan")
+  }
+
   test("q76: contamination equals a driver-side brute-force on sf0.001") {
     val out = DedupQueries.q76Decontamination(spark, sf0001).collect()
       .map(r => r.getLong(0) -> (r.getAs[Long]("n_shingles"),
