@@ -45,7 +45,8 @@ object Bench {
     "q68_window_showcase", "q69_bucketed_join", "q70_partition_pruning",
     "q71_repetition_ratios", "q72_token_chunks", "q73_promo_revenue",
     "q74_supplier_breadth", "q75_dormant_customers",
-    "q76_decontamination", "q77_order_priority_check", "q78_incremental_dedup")
+    "q76_decontamination", "q77_order_priority_check", "q78_incremental_dedup",
+    "q79_local_supplier_revenue", "q80_returned_item_customers")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -701,8 +701,103 @@ object RelationalOps {
       |              WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate)
       |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
 
+  // ---------------------------------------------------------------- q79
+  /** Local-supplier revenue per nation (TPC-H Q5 shape): the classic
+    * snowflake join whose distinguishing predicate is the CROSS-
+    * DIMENSION equality c_nationkey = s_nationkey — revenue only
+    * counts when the customer and the line's supplier share a nation.
+    * One year of orders is cut at the orders scan (pushed filter
+    * prunes before the first join); the fact table joins hash on its
+    * own keys and the equality lands as a residual on the supplier
+    * join. Scaled-long exact revenue.
+    */
+  val LocalRevYearStart = "1996-01-01"
+  val LocalRevYearEnd = "1997-01-01"
+
+  def q79LocalSupplierRevenue(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val orders = Tables.orders(s, dir)
+      .filter($"o_orderdate" >= lit(LocalRevYearStart).cast("timestamp_ntz") &&
+        $"o_orderdate" < lit(LocalRevYearEnd).cast("timestamp_ntz"))
+      .select($"o_orderkey", $"o_custkey")
+    Tables.lineitem(s, dir)
+      .select($"l_orderkey", $"l_suppkey", $"l_extendedprice", $"l_discount")
+      .join(orders, $"l_orderkey" === $"o_orderkey")
+      .join(Tables.customer(s, dir).select($"c_custkey", $"c_nationkey"),
+        $"o_custkey" === $"c_custkey")
+      .join(Tables.supplier(s, dir).select($"s_suppkey", $"s_nationkey"),
+        $"l_suppkey" === $"s_suppkey" && $"c_nationkey" === $"s_nationkey")
+      .join(Tables.nation(s, dir), $"c_nationkey" === $"n_nationkey")
+      .groupBy($"n_name")
+      .agg(round(exactMoneySum($"l_extendedprice" * (lit(1.0) - $"l_discount")), 6)
+        .as("revenue"))
+      .orderBy($"revenue".desc, $"n_name")
+  }
+
+  val q79Sql: String =
+    s"""SELECT n_name,
+       |  round(CAST(sum(CAST(round(l_extendedprice*(1.0-l_discount)*10000, 0) AS BIGINT)) AS DOUBLE)/10000.0, 6) AS revenue
+       |FROM lineitem
+       |JOIN orders ON l_orderkey = o_orderkey
+       |JOIN customer ON o_custkey = c_custkey
+       |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+       |JOIN nation ON c_nationkey = n_nationkey
+       |WHERE o_orderdate >= TIMESTAMP '$LocalRevYearStart 00:00:00'
+       |  AND o_orderdate <  TIMESTAMP '$LocalRevYearEnd 00:00:00'
+       |GROUP BY n_name
+       |ORDER BY revenue DESC, n_name""".stripMargin
+
+  // ---------------------------------------------------------------- q80
+  /** Returned-item top customers (TPC-H Q10 shape): revenue lost to
+    * returns per customer over one quarter, top 20. The aggregation
+    * shuffles on the full customer grouping key; the final top-20
+    * plans as TakeOrderedAndProject over the rounded revenue with
+    * c_custkey as the deterministic tie-break — rounding BEFORE
+    * ranking keeps the order identical in both engines.
+    */
+  val ReturnsQuarterStart = "1997-01-01"
+  val ReturnsQuarterEnd = "1997-04-01"
+  val ReturnsTopN = 20
+
+  def q80ReturnedItemCustomers(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val orders = Tables.orders(s, dir)
+      .filter($"o_orderdate" >= lit(ReturnsQuarterStart).cast("timestamp_ntz") &&
+        $"o_orderdate" < lit(ReturnsQuarterEnd).cast("timestamp_ntz"))
+      .select($"o_orderkey", $"o_custkey")
+    Tables.lineitem(s, dir)
+      .filter($"l_returnflag" === "R")
+      .select($"l_orderkey", $"l_extendedprice", $"l_discount")
+      .join(orders, $"l_orderkey" === $"o_orderkey")
+      .join(Tables.customer(s, dir)
+          .select($"c_custkey", $"c_name", $"c_acctbal", $"c_nationkey"),
+        $"o_custkey" === $"c_custkey")
+      .join(Tables.nation(s, dir), $"c_nationkey" === $"n_nationkey")
+      .groupBy($"c_custkey", $"c_name", $"c_acctbal", $"n_name")
+      .agg(round(exactMoneySum($"l_extendedprice" * (lit(1.0) - $"l_discount")), 6)
+        .as("revenue"))
+      .orderBy($"revenue".desc, $"c_custkey")
+      .limit(ReturnsTopN)
+  }
+
+  val q80Sql: String =
+    s"""SELECT c_custkey, c_name, c_acctbal, n_name,
+       |  round(CAST(sum(CAST(round(l_extendedprice*(1.0-l_discount)*10000, 0) AS BIGINT)) AS DOUBLE)/10000.0, 6) AS revenue
+       |FROM lineitem
+       |JOIN orders ON l_orderkey = o_orderkey
+       |JOIN customer ON o_custkey = c_custkey
+       |JOIN nation ON c_nationkey = n_nationkey
+       |WHERE l_returnflag = 'R'
+       |  AND o_orderdate >= TIMESTAMP '$ReturnsQuarterStart 00:00:00'
+       |  AND o_orderdate <  TIMESTAMP '$ReturnsQuarterEnd 00:00:00'
+       |GROUP BY c_custkey, c_name, c_acctbal, n_name
+       |ORDER BY revenue DESC, c_custkey
+       |LIMIT $ReturnsTopN""".stripMargin
+
   /** Query + oracle registry contributed by this module. */
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q79_local_supplier_revenue" -> (q79LocalSupplierRevenue _),
+    "q80_returned_item_customers" -> (q80ReturnedItemCustomers _),
     "q77_order_priority_check" -> (q77OrderPriorityCheck _),
     "q73_promo_revenue" -> (q73PromoRevenue _),
     "q74_supplier_breadth" -> (q74SupplierBreadth _),
@@ -724,6 +819,8 @@ object RelationalOps {
   )
 
   val oracles: Map[String, String] = Map(
+    "q79_local_supplier_revenue" -> q79Sql,
+    "q80_returned_item_customers" -> q80Sql,
     "q77_order_priority_check" -> q77Sql,
     "q73_promo_revenue" -> q73Sql,
     "q74_supplier_breadth" -> q74Sql,

@@ -196,6 +196,40 @@ class Round4QueriesSpec extends SparkTestBase {
     assert(out.values.sum > 0)
   }
 
+  test("q79: local-supplier constraint equals a post-join filter re-derivation") {
+    val out = RelationalOps.q79LocalSupplierRevenue(spark, sf001)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    // independent derivation: plain 4-way join, nation equality applied
+    // as an ordinary filter AFTER the joins
+    val li = graft.Tables.lineitem(spark, sf001)
+    val o = graft.Tables.orders(spark, sf001)
+      .filter($"o_orderdate" >= lit(RelationalOps.LocalRevYearStart).cast("timestamp_ntz") &&
+        $"o_orderdate" < lit(RelationalOps.LocalRevYearEnd).cast("timestamp_ntz"))
+    val joined = li.join(o, $"l_orderkey" === $"o_orderkey")
+      .join(graft.Tables.customer(spark, sf001), $"o_custkey" === $"c_custkey")
+      .join(graft.Tables.supplier(spark, sf001), $"l_suppkey" === $"s_suppkey")
+      .filter($"c_nationkey" === $"s_nationkey")
+      .join(graft.Tables.nation(spark, sf001), $"c_nationkey" === $"n_nationkey")
+    val expected = joined.groupBy($"n_name")
+      .agg(round(RelationalOps.exactMoneySum(
+        $"l_extendedprice" * (lit(1.0) - $"l_discount")), 6).as("revenue"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(out === expected)
+    assert(out.nonEmpty)
+  }
+
+  test("q80: top-20 ordering is revenue-desc with custkey tie-break") {
+    val rows = RelationalOps.q80ReturnedItemCustomers(spark, sf001).collect()
+    assert(rows.length === RelationalOps.ReturnsTopN)
+    val pairs = rows.map(r => (r.getAs[Double]("revenue"), r.getAs[Long]("c_custkey")))
+    pairs.sliding(2).foreach { case Array((rev1, k1), (rev2, k2)) =>
+      assert(rev1 > rev2 || (rev1 == rev2 && k1 < k2),
+        s"ordering violated: ($rev1,$k1) before ($rev2,$k2)")
+    }
+    // every listed customer's revenue comes only from 'R' lines in window
+    assert(pairs.forall(_._1 > 0))
+  }
+
   test("q75: dormant set equals the brute-force definition") {
     val out = RelationalOps.q75DormantCustomers(spark, sf0001)
     val numFromQuery = out.agg(sum($"numcust")).head.getLong(0)
