@@ -217,19 +217,29 @@ object StreamingOps {
     * stage in `foreachBatch` over the same artifacts, batch-identical
     * by construction.
     *
-    * @param docs         streaming (doc_id, text)
-    * @param corpusHashes static (h = md5(text), c_id) — duplicates per
-    *                     hash allowed; the smallest c_id wins, matching
-    *                     q78's exact verdict
+    * @param docs         streaming (doc_id, text); must not carry the
+    *                     reserved internal columns `h`/`exact_match`
+    *                     (fail loudly, not silently overwrite)
+    * @param corpusHashes static (h = md5(text), c_id), UNIQUE per h
+    *                     with the smallest owning doc as c_id — the
+    *                     form `prepareIncrementalCorpus` writes. The
+    *                     reduction lives in the artifact, NOT here: an
+    *                     in-join groupBy would re-aggregate the whole
+    *                     corpus hash table every micro-batch
     */
-  def incrementalDedupVerdicts(docs: DataFrame, corpusHashes: DataFrame): DataFrame =
+  def incrementalDedupVerdicts(docs: DataFrame, corpusHashes: DataFrame): DataFrame = {
+    Seq("h", "exact_match").foreach { r =>
+      require(!docs.columns.exists(_.equalsIgnoreCase(r)),
+        s"docs must not carry reserved column '$r'")
+    }
     docs.withColumn("h", md5(col("text")))
-      .join(corpusHashes.groupBy(col("h")).agg(min(col("c_id")).as("exact_match")),
+      .join(corpusHashes.withColumnRenamed("c_id", "exact_match"),
         Seq("h"), "left_outer")
       .select(col("doc_id"),
         when(col("exact_match").isNotNull, lit("exact_dup"))
           .otherwise(lit("new")).as("verdict"),
         coalesce(col("exact_match"), lit(-1L)).as("match_id"))
+  }
 
   def runToMemory(spark: SparkSession, transformed: DataFrame, name: String,
       mode: OutputMode = OutputMode.Append): Unit = {

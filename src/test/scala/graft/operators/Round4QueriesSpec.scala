@@ -218,7 +218,7 @@ class Round4QueriesSpec extends SparkTestBase {
     assert(out.nonEmpty)
   }
 
-  test("q80: top-20 ordering is revenue-desc with custkey tie-break") {
+  test("q80: top-20 values and ordering match a driver-side re-derivation") {
     val rows = RelationalOps.q80ReturnedItemCustomers(spark, sf001).collect()
     assert(rows.length === RelationalOps.ReturnsTopN)
     val pairs = rows.map(r => (r.getAs[Double]("revenue"), r.getAs[Long]("c_custkey")))
@@ -226,8 +226,28 @@ class Round4QueriesSpec extends SparkTestBase {
       assert(rev1 > rev2 || (rev1 == rev2 && k1 < k2),
         s"ordering violated: ($rev1,$k1) before ($rev2,$k2)")
     }
-    // every listed customer's revenue comes only from 'R' lines in window
-    assert(pairs.forall(_._1 > 0))
+    // independent value re-derivation in plain Scala: collect the three
+    // small inputs and recompute per-customer returns revenue — a
+    // dropped returnflag filter or date window fails this, not just
+    // the external oracle
+    val window = graft.Tables.orders(spark, sf001)
+      .filter($"o_orderdate" >= lit(RelationalOps.ReturnsQuarterStart).cast("timestamp_ntz") &&
+        $"o_orderdate" < lit(RelationalOps.ReturnsQuarterEnd).cast("timestamp_ntz"))
+      .select($"o_orderkey", $"o_custkey").as[(Long, Long)].collect().toMap
+    val revByCust = graft.Tables.lineitem(spark, sf001)
+      .filter($"l_returnflag" === "R")
+      .select($"l_orderkey", $"l_extendedprice", $"l_discount")
+      .as[(Long, Double, Double)].collect()
+      .flatMap { case (ok, price, disc) =>
+        window.get(ok).map(cust => cust -> math.round(price * (1.0 - disc) * 10000))
+      }
+      .groupBy(_._1).map { case (c, xs) => c -> xs.map(_._2).sum / 10000.0 }
+    val expectedTop = revByCust.toSeq
+      .map { case (c, rev) => (BigDecimal(rev).setScale(6,
+        BigDecimal.RoundingMode.HALF_UP).toDouble, c) }
+      .sortBy { case (rev, c) => (-rev, c) }
+      .take(RelationalOps.ReturnsTopN)
+    assert(pairs.toSeq === expectedTop)
   }
 
   test("q75: dormant set equals the brute-force definition") {

@@ -290,12 +290,15 @@ class StreamingOpsSpec extends SparkTestBase {
     def md5hex(t: String): String = java.security.MessageDigest
       .getInstance("MD5").digest(t.getBytes("UTF-8"))
       .map("%02x".format(_)).mkString
+    // the prepareIncrementalCorpus artifact form: unique h, min owner —
+    // replay its reduction over a raw table with a duplicated hash
     val corpus = Seq(
       ("h-unused", 99L),
-      (md5hex("alpha beta"), 10L),
       (md5hex("alpha beta"), 12L),
+      (md5hex("alpha beta"), 10L),
       (md5hex("gamma delta"), 11L))
       .toDF("h", "c_id")
+      .groupBy($"h").agg(min($"c_id").as("c_id"))
     val input = MemoryStream[(Long, String)]
     val verdicts = StreamingOps.incrementalDedupVerdicts(
       input.toDF.toDF("doc_id", "text"), corpus)
@@ -313,5 +316,11 @@ class StreamingOpsSpec extends SparkTestBase {
         .toDF("doc_id", "text"), corpus)
       .collect().map(r => r.getLong(0) -> (r.getString(1), r.getLong(2))).toMap
     assert(batch === got)
+    // reserved-column guard fails loudly instead of silently clobbering
+    val err = intercept[IllegalArgumentException] {
+      StreamingOps.incrementalDedupVerdicts(
+        Seq((1L, "x", "boom")).toDF("doc_id", "text", "h"), corpus)
+    }
+    assert(err.getMessage.contains("reserved column 'h'"))
   }
 }
