@@ -794,8 +794,170 @@ object RelationalOps {
        |ORDER BY revenue DESC, c_custkey
        |LIMIT $ReturnsTopN""".stripMargin
 
+  // ---------------------------------------------------------------- q81
+  /** Volume shipping between a nation pair (TPC-H Q7 shape): revenue
+    * flowing in BOTH directions between two nations per ship year. The
+    * two-year ship-date cut is pushed into the lineitem scan (the only
+    * fact-side pruning Q7 offers); the nation filter lands on the two
+    * broadcast dimension chains (nation→customer, nation→supplier), so
+    * the fact rows surviving the joins are already pair-restricted and
+    * the `cust_nation =!= supp_nation` residual just splits direction.
+    * Grouping key is 2×2×years — the final exchange moves a handful of
+    * rows regardless of SF.
+    */
+  val VolShipNationA = "NATION_3"
+  val VolShipNationB = "NATION_7"
+  val VolShipStart = "1996-01-01"
+  val VolShipEnd = "1998-01-01"
+
+  def q81VolumeShipping(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val nat = Tables.nation(s, dir)
+      .filter($"n_name".isin(VolShipNationA, VolShipNationB))
+      .select($"n_nationkey", $"n_name")
+    val cust = Tables.customer(s, dir).select($"c_custkey", $"c_nationkey")
+      .join(broadcast(nat), $"c_nationkey" === $"n_nationkey")
+      .select($"c_custkey", $"n_name".as("cust_nation"))
+    val supp = Tables.supplier(s, dir).select($"s_suppkey", $"s_nationkey")
+      .join(broadcast(nat), $"s_nationkey" === $"n_nationkey")
+      .select($"s_suppkey", $"n_name".as("supp_nation"))
+    Tables.lineitem(s, dir)
+      .filter($"l_shipdate" >= lit(VolShipStart).cast("timestamp_ntz") &&
+        $"l_shipdate" < lit(VolShipEnd).cast("timestamp_ntz"))
+      .select($"l_orderkey", $"l_suppkey", $"l_shipdate",
+        $"l_extendedprice", $"l_discount")
+      .join(Tables.orders(s, dir).select($"o_orderkey", $"o_custkey"),
+        $"l_orderkey" === $"o_orderkey")
+      .join(cust, $"o_custkey" === $"c_custkey")
+      .join(supp, $"l_suppkey" === $"s_suppkey")
+      .filter($"cust_nation" =!= $"supp_nation")
+      .groupBy($"supp_nation", $"cust_nation", year($"l_shipdate").as("l_year"))
+      .agg(round(exactMoneySum($"l_extendedprice" * (lit(1.0) - $"l_discount")), 6)
+        .as("revenue"))
+      .orderBy($"supp_nation", $"cust_nation", $"l_year")
+  }
+
+  val q81Sql: String =
+    s"""SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+       |  year(l_shipdate) AS l_year,
+       |  round(CAST(sum(CAST(round(l_extendedprice*(1.0-l_discount)*10000, 0) AS BIGINT)) AS DOUBLE)/10000.0, 6) AS revenue
+       |FROM lineitem
+       |JOIN orders ON l_orderkey = o_orderkey
+       |JOIN customer ON o_custkey = c_custkey
+       |JOIN supplier ON l_suppkey = s_suppkey
+       |JOIN nation cn ON c_nationkey = cn.n_nationkey
+       |JOIN nation sn ON s_nationkey = sn.n_nationkey
+       |WHERE cn.n_name IN ('$VolShipNationA', '$VolShipNationB')
+       |  AND sn.n_name IN ('$VolShipNationA', '$VolShipNationB')
+       |  AND cn.n_name <> sn.n_name
+       |  AND l_shipdate >= TIMESTAMP '$VolShipStart 00:00:00'
+       |  AND l_shipdate <  TIMESTAMP '$VolShipEnd 00:00:00'
+       |GROUP BY supp_nation, cust_nation, l_year
+       |ORDER BY supp_nation, cust_nation, l_year""".stripMargin
+
+  // ---------------------------------------------------------------- q82
+  /** Waiting suppliers (TPC-H Q21 shape): suppliers who were the SOLE
+    * late shipper in a finished multi-supplier order. The canonical
+    * formulation is a double correlated EXISTS / NOT EXISTS — two extra
+    * orderkey self-joins of the fact table. This plan is the aggregate
+    * rewrite: one (orderkey, suppkey) partial→final aggregate marks
+    * each supplier's lateness per order, an orderkey window counts
+    * suppliers and late suppliers, and the predicate
+    * `late ∧ n_supp ≥ 2 ∧ n_late = 1` IS the Q21 condition by
+    * definition. Two keyed exchanges of (order, supplier) tuples
+    * replace two fact-table self-joins — at 100 TB that's the
+    * difference between shuffling key tuples and re-shuffling lineitem
+    * twice more. Lateness = shipped > [[LateDays]] days after order
+    * date (this schema has no commit/receipt dates).
+    */
+  val LateDays = 90
+
+  def q82WaitingSuppliers(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val perOrderSupp = Tables.lineitem(s, dir)
+      .select($"l_orderkey", $"l_suppkey", $"l_shipdate")
+      .join(Tables.orders(s, dir)
+          .filter($"o_orderstatus" === "F")
+          .select($"o_orderkey", $"o_orderdate"),
+        $"l_orderkey" === $"o_orderkey")
+      .groupBy($"l_orderkey", $"l_suppkey")
+      .agg(max(when($"l_shipdate" >
+          $"o_orderdate" + expr(s"INTERVAL $LateDays DAYS"), 1).otherwise(0))
+        .as("supp_late"))
+    val w = Window.partitionBy($"l_orderkey")
+    perOrderSupp
+      .withColumn("n_supp", count(lit(1)).over(w))
+      .withColumn("n_late", sum($"supp_late").over(w))
+      .filter($"supp_late" === 1 && $"n_supp" >= 2 && $"n_late" === 1)
+      .join(Tables.supplier(s, dir).select($"s_suppkey", $"s_name"),
+        $"l_suppkey" === $"s_suppkey")
+      .groupBy($"s_name")
+      .agg(count(lit(1)).as("numwait"))
+      .orderBy($"numwait".desc, $"s_name")
+  }
+
+  val q82Sql: String =
+    s"""WITH per_order_supp AS (
+       |  SELECT l_orderkey, l_suppkey,
+       |         max(CASE WHEN l_shipdate > o_orderdate + INTERVAL $LateDays DAY
+       |                  THEN 1 ELSE 0 END) AS supp_late
+       |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+       |  WHERE o_orderstatus = 'F'
+       |  GROUP BY l_orderkey, l_suppkey),
+       |windowed AS (
+       |  SELECT l_suppkey, supp_late,
+       |         count(*) OVER (PARTITION BY l_orderkey) AS n_supp,
+       |         sum(supp_late) OVER (PARTITION BY l_orderkey) AS n_late
+       |  FROM per_order_supp)
+       |SELECT s_name, count(*) AS numwait
+       |FROM windowed JOIN supplier ON l_suppkey = s_suppkey
+       |WHERE supp_late = 1 AND n_supp >= 2 AND n_late = 1
+       |GROUP BY s_name
+       |ORDER BY numwait DESC, s_name""".stripMargin
+
+  // ---------------------------------------------------------------- q83
+  /** Customer order-count distribution (TPC-H Q13 shape): histogram of
+    * how many qualifying orders each customer placed, INCLUDING the
+    * zero bucket — the left-outer join keeps orderless customers and
+    * `count(o_orderkey)` counts only matched rows, so 0 appears
+    * naturally (a plain inner join + count silently drops the most
+    * interesting bucket). The join and the per-customer count share the
+    * custkey partitioning (one exchange feeds both); the histogram
+    * re-aggregation moves at most ~20 distinct counts.
+    */
+  val DistribExcludedPriority = "4-NOT SPECIFIED"
+
+  def q83OrderCountDistribution(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.customer(s, dir).select($"c_custkey")
+      .join(Tables.orders(s, dir)
+          .filter($"o_orderpriority" =!= DistribExcludedPriority)
+          .select($"o_custkey", $"o_orderkey"),
+        $"c_custkey" === $"o_custkey", "left_outer")
+      .groupBy($"c_custkey")
+      .agg(count($"o_orderkey").as("c_count"))
+      .groupBy($"c_count")
+      .agg(count(lit(1)).as("custdist"))
+      .orderBy($"custdist".desc, $"c_count".desc)
+  }
+
+  val q83Sql: String =
+    s"""WITH c_orders AS (
+       |  SELECT c_custkey, count(o_orderkey) AS c_count
+       |  FROM customer LEFT JOIN orders
+       |    ON c_custkey = o_custkey AND o_orderpriority <> '$DistribExcludedPriority'
+       |  GROUP BY c_custkey)
+       |SELECT c_count, count(*) AS custdist
+       |FROM c_orders
+       |GROUP BY c_count
+       |ORDER BY custdist DESC, c_count DESC""".stripMargin
+
   /** Query + oracle registry contributed by this module. */
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q81_volume_shipping" -> (q81VolumeShipping _),
+    "q82_waiting_suppliers" -> (q82WaitingSuppliers _),
+    "q83_order_count_distribution" -> (q83OrderCountDistribution _),
     "q79_local_supplier_revenue" -> (q79LocalSupplierRevenue _),
     "q80_returned_item_customers" -> (q80ReturnedItemCustomers _),
     "q77_order_priority_check" -> (q77OrderPriorityCheck _),
@@ -819,6 +981,9 @@ object RelationalOps {
   )
 
   val oracles: Map[String, String] = Map(
+    "q81_volume_shipping" -> q81Sql,
+    "q82_waiting_suppliers" -> q82Sql,
+    "q83_order_count_distribution" -> q83Sql,
     "q79_local_supplier_revenue" -> q79Sql,
     "q80_returned_item_customers" -> q80Sql,
     "q77_order_priority_check" -> q77Sql,
