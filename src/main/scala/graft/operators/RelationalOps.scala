@@ -953,8 +953,171 @@ object RelationalOps {
        |GROUP BY c_count
        |ORDER BY custdist DESC, c_count DESC""".stripMargin
 
+  // ---------------------------------------------------------------- q84
+  /** Small-quantity revenue loss (TPC-H Q17 shape): revenue from lines
+    * whose quantity is below 20% of that part's average, for one brand.
+    * The canonical form is a correlated scalar subquery per part; this
+    * plan computes the per-part average as a WINDOW over the
+    * brand-filtered lines — one partkey exchange serves both the
+    * average and the filter, with no self-join and no second scan of
+    * lineitem. The brand cut broadcasts (1/25 of `part`) and prunes
+    * the fact rows before the exchange.
+    */
+  val SmallQtyBrand = "Brand#12"
+
+  def q84SmallQuantityRevenue(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val branded = Tables.lineitem(s, dir)
+      .select($"l_partkey", $"l_quantity", $"l_extendedprice")
+      .join(broadcast(Tables.part(s, dir)
+        .filter($"p_brand" === SmallQtyBrand).select($"p_partkey")),
+        $"l_partkey" === $"p_partkey")
+    branded
+      .withColumn("qlim", avg($"l_quantity")
+        .over(Window.partitionBy($"l_partkey")) * lit(0.2))
+      .filter($"l_quantity" < $"qlim")
+      .agg(
+        round(exactMoneySum($"l_extendedprice") / lit(7.0), 6).as("avg_yearly"),
+        count(lit(1)).as("n_small_lines"))
+  }
+
+  val q84Sql: String =
+    s"""WITH branded AS (
+       |  SELECT l_partkey, l_quantity, l_extendedprice,
+       |         avg(l_quantity) OVER (PARTITION BY l_partkey) * 0.2 AS qlim
+       |  FROM lineitem JOIN part ON l_partkey = p_partkey
+       |  WHERE p_brand = '$SmallQtyBrand')
+       |SELECT
+       |  round(CAST(sum(CAST(round(l_extendedprice*10000, 0) AS BIGINT)) AS DOUBLE)/10000.0/7.0, 6) AS avg_yearly,
+       |  count(*) AS n_small_lines
+       |FROM branded WHERE l_quantity < qlim""".stripMargin
+
+  // ---------------------------------------------------------------- q85
+  /** Disjunctive-predicate revenue (TPC-H Q19 shape): an OR of three
+    * conjunctive (brand, size-range, quantity-range) blocks spanning
+    * both join sides. The part-only weakening of the disjunction —
+    * (brand∧size) ∨ … — is applied to `part` BEFORE the join, so the
+    * broadcast build side carries only candidate parts and the full
+    * disjunction evaluates as a cheap residual on the joined rows;
+    * without the pre-filter the whole dimension builds and every fact
+    * row probes. Catalyst does not synthesize this weakening from an
+    * OR across tables on its own.
+    */
+  val DisjunctiveBlocks: Seq[(String, (Int, Int), (Int, Int))] = Seq(
+    ("Brand#12", (1, 15), (1, 11)),
+    ("Brand#23", (10, 25), (10, 20)),
+    ("Brand#5", (20, 40), (20, 30)))
+
+  def q85DisjunctiveRevenue(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val partOnly = DisjunctiveBlocks.map { case (b, (s1, s2), _) =>
+      $"p_brand" === b && $"p_size".between(s1, s2)
+    }.reduce(_ || _)
+    val full = DisjunctiveBlocks.map { case (b, (s1, s2), (q1, q2)) =>
+      $"p_brand" === b && $"p_size".between(s1, s2) &&
+        $"l_quantity".between(q1, q2)
+    }.reduce(_ || _)
+    Tables.lineitem(s, dir)
+      .select($"l_partkey", $"l_quantity", $"l_extendedprice", $"l_discount")
+      .join(broadcast(Tables.part(s, dir)
+        .filter(partOnly).select($"p_partkey", $"p_brand", $"p_size")),
+        $"l_partkey" === $"p_partkey")
+      .filter(full)
+      .agg(
+        round(exactMoneySum($"l_extendedprice" * (lit(1.0) - $"l_discount")), 6)
+          .as("revenue"),
+        count(lit(1)).as("n_lines"))
+  }
+
+  val q85Sql: String = {
+    val blocks = DisjunctiveBlocks.map { case (b, (s1, s2), (q1, q2)) =>
+      s"(p_brand = '$b' AND p_size BETWEEN $s1 AND $s2 AND l_quantity BETWEEN $q1 AND $q2)"
+    }.mkString("\n   OR ")
+    s"""SELECT
+       |  round(CAST(sum(CAST(round(l_extendedprice*(1.0-l_discount)*10000, 0) AS BIGINT)) AS DOUBLE)/10000.0, 6) AS revenue,
+       |  count(*) AS n_lines
+       |FROM lineitem JOIN part ON l_partkey = p_partkey
+       |WHERE $blocks""".stripMargin
+  }
+
+  // ---------------------------------------------------------------- q86
+  /** National market share (TPC-H Q8 shape): [[MktNation]]'s share of
+    * [[MktRegion]]'s [[MktPartType]]-part revenue per order year. The
+    * share is a conditional-sum / total-sum division where BOTH sums
+    * are scaled-long exact (q73's pattern) — the engines divide
+    * bit-identical numerators and denominators, so the rounded share
+    * can't drift. Part-type and region cuts ride broadcast dimensions;
+    * the supplier nation joins a second (renamed) broadcast copy of
+    * `nation`.
+    */
+  val MktRegion = "ASIA"
+  val MktPartType = "PROMO"
+  val MktNation = "NATION_5"
+  val MktStart = "1996-01-01"
+  val MktEnd = "1998-01-01"
+
+  def q86MarketShare(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val vol = $"l_extendedprice" * (lit(1.0) - $"l_discount")
+    val natVol = when($"supp_nation" === MktNation, vol).otherwise(lit(0.0))
+    val custInRegion = Tables.customer(s, dir).select($"c_custkey", $"c_nationkey")
+      .join(broadcast(Tables.nation(s, dir)
+        .join(Tables.region(s, dir).filter($"r_name" === MktRegion),
+          $"n_regionkey" === $"r_regionkey")
+        .select($"n_nationkey")),
+        $"c_nationkey" === $"n_nationkey")
+      .select($"c_custkey")
+    val suppNat = Tables.supplier(s, dir).select($"s_suppkey", $"s_nationkey")
+      .join(broadcast(Tables.nation(s, dir)
+        .select($"n_nationkey", $"n_name".as("supp_nation"))),
+        $"s_nationkey" === $"n_nationkey")
+      .select($"s_suppkey", $"supp_nation")
+    Tables.lineitem(s, dir)
+      .select($"l_orderkey", $"l_partkey", $"l_suppkey",
+        $"l_extendedprice", $"l_discount")
+      .join(broadcast(Tables.part(s, dir)
+        .filter($"p_type" === MktPartType).select($"p_partkey")),
+        $"l_partkey" === $"p_partkey")
+      .join(Tables.orders(s, dir)
+        .filter($"o_orderdate" >= lit(MktStart).cast("timestamp_ntz") &&
+          $"o_orderdate" < lit(MktEnd).cast("timestamp_ntz"))
+        .select($"o_orderkey", $"o_custkey", $"o_orderdate"),
+        $"l_orderkey" === $"o_orderkey")
+      .join(custInRegion, $"o_custkey" === $"c_custkey")
+      .join(suppNat, $"l_suppkey" === $"s_suppkey")
+      .groupBy(year($"o_orderdate").as("o_year"))
+      .agg(
+        round(exactMoneySum(natVol), 6).as("nation_revenue"),
+        round(exactMoneySum(vol), 6).as("total_revenue"),
+        round(exactMoneySum(natVol) / exactMoneySum(vol), 6).as("mkt_share"))
+      .orderBy($"o_year")
+  }
+
+  val q86Sql: String =
+    s"""SELECT year(o_orderdate) AS o_year,
+       |  round(CAST(sum(CAST(round(CASE WHEN sn.n_name = '$MktNation' THEN l_extendedprice*(1.0-l_discount) ELSE 0.0 END*10000, 0) AS BIGINT)) AS DOUBLE)/10000.0, 6) AS nation_revenue,
+       |  round(CAST(sum(CAST(round(l_extendedprice*(1.0-l_discount)*10000, 0) AS BIGINT)) AS DOUBLE)/10000.0, 6) AS total_revenue,
+       |  round((CAST(sum(CAST(round(CASE WHEN sn.n_name = '$MktNation' THEN l_extendedprice*(1.0-l_discount) ELSE 0.0 END*10000, 0) AS BIGINT)) AS DOUBLE)/10000.0)
+       |      / (CAST(sum(CAST(round(l_extendedprice*(1.0-l_discount)*10000, 0) AS BIGINT)) AS DOUBLE)/10000.0), 6) AS mkt_share
+       |FROM lineitem
+       |JOIN part ON l_partkey = p_partkey
+       |JOIN orders ON l_orderkey = o_orderkey
+       |JOIN customer ON o_custkey = c_custkey
+       |JOIN nation cn ON c_nationkey = cn.n_nationkey
+       |JOIN region ON cn.n_regionkey = r_regionkey
+       |JOIN supplier ON l_suppkey = s_suppkey
+       |JOIN nation sn ON s_nationkey = sn.n_nationkey
+       |WHERE r_name = '$MktRegion' AND p_type = '$MktPartType'
+       |  AND o_orderdate >= TIMESTAMP '$MktStart 00:00:00'
+       |  AND o_orderdate <  TIMESTAMP '$MktEnd 00:00:00'
+       |GROUP BY o_year ORDER BY o_year""".stripMargin
+
   /** Query + oracle registry contributed by this module. */
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q84_small_qty_revenue" -> (q84SmallQuantityRevenue _),
+    "q85_disjunctive_revenue" -> (q85DisjunctiveRevenue _),
+    "q86_market_share" -> (q86MarketShare _),
     "q81_volume_shipping" -> (q81VolumeShipping _),
     "q82_waiting_suppliers" -> (q82WaitingSuppliers _),
     "q83_order_count_distribution" -> (q83OrderCountDistribution _),
@@ -981,6 +1144,9 @@ object RelationalOps {
   )
 
   val oracles: Map[String, String] = Map(
+    "q84_small_qty_revenue" -> q84Sql,
+    "q85_disjunctive_revenue" -> q85Sql,
+    "q86_market_share" -> q86Sql,
     "q81_volume_shipping" -> q81Sql,
     "q82_waiting_suppliers" -> q82Sql,
     "q83_order_count_distribution" -> q83Sql,

@@ -108,4 +108,75 @@ class TpchShapesSpec extends SparkTestBase {
     // histogram masses sum to the customer count — nobody dropped
     assert(rows.values.sum === custNation.size.toLong)
   }
+
+  private def round6(x: Double): Double =
+    BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+
+  test("q84: window-avg correlated filter equals the per-part subquery definition") {
+    val brandParts = Tables.part(spark, sf0001)
+      .filter($"p_brand" === RelationalOps.SmallQtyBrand)
+      .select($"p_partkey").as[Long].collect().toSet
+    val branded = lis.filter(l => brandParts(l.pk))
+    val avgByPart = branded.groupBy(_.pk).map { case (pk, xs) =>
+      pk -> xs.map(_.qty).sum / xs.size
+    }
+    val small = branded.filter(l => l.qty < 0.2 * avgByPart(l.pk))
+    val row = RelationalOps.q84SmallQuantityRevenue(spark, sf0001).collect().head
+    assert(row.getAs[Long]("n_small_lines") === small.length.toLong)
+    assert(row.getAs[Double]("avg_yearly") ===
+      round6(small.map(l => money(l.price)).sum / 10000.0 / 7.0))
+  }
+
+  test("q85: disjunction equals a per-block sum and the part pre-filter loses nothing") {
+    val partInfo = Tables.part(spark, sf0001)
+      .select($"p_partkey", $"p_brand", $"p_size").collect()
+      .map(r => r.getLong(0) -> (r.getString(1), r.getInt(2))).toMap
+    val hits = lis.filter { l =>
+      partInfo.get(l.pk).exists { case (b, sz) =>
+        RelationalOps.DisjunctiveBlocks.exists { case (bb, (s1, s2), (q1, q2)) =>
+          b == bb && sz >= s1 && sz <= s2 && l.qty >= q1 && l.qty <= q2
+        }
+      }
+    }
+    val row = RelationalOps.q85DisjunctiveRevenue(spark, sf0001).collect().head
+    assert(row.getAs[Long]("n_lines") === hits.length.toLong)
+    assert(row.getAs[Double]("revenue") ===
+      round6(hits.map(l => money(l.price * (1.0 - l.disc))).sum / 10000.0))
+    assert(hits.nonEmpty)
+  }
+
+  test("q86: share division sees the exact conditional and total sums") {
+    val regionNations: Set[Long] = {
+      val rk = Tables.region(spark, sf0001)
+        .filter($"r_name" === RelationalOps.MktRegion)
+        .select($"r_regionkey").as[Long].collect().toSet
+      Tables.nation(spark, sf0001).select($"n_nationkey", $"n_regionkey")
+        .as[(Long, Long)].collect().filter(x => rk(x._2)).map(_._1).toSet
+    }
+    val promoParts = Tables.part(spark, sf0001)
+      .filter($"p_type" === RelationalOps.MktPartType)
+      .select($"p_partkey").as[Long].collect().toSet
+    val lo = ts(RelationalOps.MktStart); val hi = ts(RelationalOps.MktEnd)
+    val perYear = lis.iterator.flatMap { l =>
+      orders.get(l.ok).flatMap { case (ck, od, _, _) =>
+        if (promoParts(l.pk) && regionNations(custNation(ck)) &&
+            !od.isBefore(lo) && od.isBefore(hi)) {
+          val v = money(l.price * (1.0 - l.disc))
+          val n = if (nationName(suppNation(l.sk)) == RelationalOps.MktNation) v else 0L
+          Some((od.getYear, (n, v)))
+        } else None
+      }
+    }.toSeq.groupBy(_._1).map { case (y, xs) =>
+      y -> (xs.map(_._2._1).sum, xs.map(_._2._2).sum)
+    }
+    val got = RelationalOps.q86MarketShare(spark, sf0001).collect()
+      .map(r => r.getInt(0) -> (r.getDouble(1), r.getDouble(2), r.getDouble(3)))
+      .toMap
+    val expected = perYear.map { case (y, (n, t)) =>
+      y -> (round6(n / 10000.0), round6(t / 10000.0),
+        round6((n / 10000.0) / (t / 10000.0)))
+    }
+    assert(got === expected)
+    assert(got.nonEmpty)
+  }
 }
