@@ -498,6 +498,63 @@ object DedupQueries {
       .orderBy(col("doc_id"))
   }
 
+  // ---------------------------------------------------------------- q87
+  /** Cross-document boilerplate share: for every doc, the fraction of
+    * its DISTINCT word-[[BoilShingleN]]-grams that occur in ≥
+    * [[BoilerplateMinDf]] documents — the corpus-level complement to
+    * q71's within-doc repetition (headers, licenses, templates repeat
+    * ACROSS documents; q71 can't see them). Shingle document-frequency
+    * is a groupBy + equi-join back, NOT a count-over-window on the
+    * shingle: the window form shuffles every raw (doc, shingle) row
+    * with no partial aggregation and lands each hot boilerplate
+    * shingle on a single reducer, while the groupBy gets map-side
+    * combine and the join inherits AQE skew splitting — exactly the
+    * keys this query exists to find are the ones that would skew.
+    * Zero-shingle docs (< n tokens) surface with share 0 via the
+    * left join, not silently dropped.
+    */
+  val BoilShingleN = 3
+  val BoilerplateMinDf = 3
+
+  def q87BoilerplateShare(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val sh = Dedup.shingleSets(docs, "doc_id", "text", BoilShingleN)
+    val dfTab = sh.groupBy(col("shingle")).agg(count(lit(1)).as("ndocs"))
+    val per = sh.join(dfTab, Seq("shingle"))
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(when(col("ndocs") >= BoilerplateMinDf, 1L).otherwise(0L))
+          .as("n_boiler"))
+    docs.select(col("doc_id"))
+      .join(per, col("doc_id") === col("id"), "left_outer")
+      .select(col("doc_id"),
+        coalesce(col("n_shingles"), lit(0L)).as("n_shingles"),
+        round(coalesce(col("n_boiler") / col("n_shingles"), lit(0.0)), 6)
+          .as("boilerplate_share"))
+      .orderBy(col("doc_id"))
+  }
+
+  val q87Sql: String =
+    s"""WITH slists AS (
+       |  SELECT doc_id AS id,
+       |         list_filter(string_split(trim(regexp_replace(lower(text), '(\\d|\\W)+', ' ', 'g')), ' '), x -> x <> '') AS toks
+       |  FROM documents),
+       |sh AS (
+       |  SELECT id,
+       |         unnest(list_distinct(list_transform(range(1, len(toks) - ${BoilShingleN - 2}),
+       |                i -> array_to_string(toks[i:i+${BoilShingleN - 1}], ' ')))) AS shingle
+       |  FROM slists WHERE len(toks) >= $BoilShingleN),
+       |dftab AS (SELECT shingle, count(*) AS ndocs FROM sh GROUP BY shingle),
+       |per AS (
+       |  SELECT id, count(*) AS n_shingles,
+       |         CAST(sum(CASE WHEN ndocs >= $BoilerplateMinDf THEN 1 ELSE 0 END) AS BIGINT) AS n_boiler
+       |  FROM sh JOIN dftab USING (shingle) GROUP BY id)
+       |SELECT doc_id,
+       |  CAST(coalesce(n_shingles, 0) AS BIGINT) AS n_shingles,
+       |  round(coalesce(CAST(n_boiler AS DOUBLE) / n_shingles, 0.0), 6) AS boilerplate_share
+       |FROM documents LEFT JOIN per ON doc_id = id
+       |ORDER BY doc_id""".stripMargin
+
   private val sigMinsShingleSql: String = (0 until K).map(j =>
     f"min(md5('$j%d|' || shingle)) AS mh$j%02d").mkString(",\n    ")
 
@@ -634,6 +691,7 @@ object DedupQueries {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q87_boilerplate_share" -> (q87BoilerplateShare _),
     "q76_decontamination" -> (q76Decontamination _),
     "q78_incremental_dedup" -> (q78IncrementalDedup _),
     "q66_triangles" -> (q66Triangles _),
@@ -649,6 +707,7 @@ object DedupQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q87_boilerplate_share" -> q87Sql,
     "q76_decontamination" -> q76Sql,
     "q78_incremental_dedup" -> q78Sql,
     "q66_triangles" -> q66Sql,

@@ -471,7 +471,56 @@ object TextStatsQueries {
        |FROM starts ORDER BY doc_id, chunk_id""".stripMargin
   }
 
+  // ---------------------------------------------------------------- q88
+  /** Domain mixture weights: per-source token accounting turned into
+    * the up/down-sampling factors that would equalize the training mix
+    * to a uniform token budget per source — `mix_weight s = (total /
+    * n_sources) / tokens(s)`, so sampling each source's docs with
+    * probability ∝ its weight yields equal expected tokens per source.
+    * Every input to the two divisions is an exact long (token counts),
+    * so both engines divide bit-identical values. The per-source
+    * rollup is one partial-agged exchange on `source`; the grand
+    * total is a 1-row broadcast — the same shape at any corpus size
+    * because the source cardinality, not the doc count, bounds every
+    * post-scan stage.
+    */
+  def q88MixtureWeights(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val perSource = TextStats.tokenCounts(docs, "doc_id", "text")
+      .join(docs.select(col("doc_id"), col("source")), Seq("doc_id"))
+      .groupBy(col("source"))
+      .agg(sum(col("bpe_tokens")).as("tokens"), count(lit(1)).as("n_docs"))
+    val totals = perSource
+      .agg(sum(col("tokens")).as("total_tokens"),
+        count(lit(1)).as("n_sources"))
+    perSource.join(broadcast(totals))
+      .select(col("source"), col("n_docs"), col("tokens"),
+        round(col("tokens") / col("total_tokens"), 6).as("token_share"),
+        round((col("total_tokens") / col("n_sources")) / col("tokens"), 6)
+          .as("mix_weight"))
+      .orderBy(col("source"))
+  }
+
+  val q88Sql: String =
+    s"""WITH per_doc AS (
+       |  SELECT source,
+       |    CAST(len(regexp_extract_all(text, '${TextStats.BpePattern}')) AS BIGINT) AS bpe
+       |  FROM documents),
+       |per_source AS (
+       |  SELECT source, count(*) AS n_docs, CAST(sum(bpe) AS BIGINT) AS tokens
+       |  FROM per_doc GROUP BY source),
+       |tot AS (
+       |  SELECT CAST(sum(tokens) AS BIGINT) AS total_tokens,
+       |         count(*) AS n_sources
+       |  FROM per_source)
+       |SELECT source, n_docs, tokens,
+       |  round(CAST(tokens AS DOUBLE) / total_tokens, 6) AS token_share,
+       |  round((CAST(total_tokens AS DOUBLE) / n_sources) / tokens, 6) AS mix_weight
+       |FROM per_source, tot
+       |ORDER BY source""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q88_mixture_weights" -> (q88MixtureWeights _),
     "q71_repetition_ratios" -> (q71RepetitionRatios _),
     "q72_token_chunks" -> (q72TokenChunks _),
     "q60_stratified_sample" -> (q60StratifiedSample _),
@@ -487,6 +536,7 @@ object TextStatsQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q88_mixture_weights" -> q88Sql,
     "q71_repetition_ratios" -> q71Sql,
     "q72_token_chunks" -> q72Sql,
     "q60_stratified_sample" -> q60Sql,

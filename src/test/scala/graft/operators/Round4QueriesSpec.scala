@@ -250,6 +250,38 @@ class Round4QueriesSpec extends SparkTestBase {
     assert(pairs.toSeq === expectedTop)
   }
 
+  test("q87: boilerplate share on hand-computed shingle dfs") {
+    // "a b c" occurs in 4 docs (>= MinDf 3); every other shingle is unique
+    val dir = docsDir(Seq(
+      (1L, "a b c d"), // {a b c, b c d} -> share 0.5
+      (2L, "a b c x"), // share 0.5
+      (3L, "a b c y"), // share 0.5
+      (4L, "z z"), // < 3 tokens -> 0 shingles, share 0.0
+      (5L, "a b c"))) // only the boilerplate shingle -> share 1.0
+    val r = DedupQueries.q87BoilerplateShare(spark, dir)
+      .collect().map(x => x.getLong(0) ->
+        (x.getLong(1), x.getDouble(2))).toMap
+    assert(r === Map(
+      1L -> (2L, 0.5), 2L -> (2L, 0.5), 3L -> (2L, 0.5),
+      4L -> (0L, 0.0), 5L -> (1L, 1.0)))
+  }
+
+  test("q88: mixture weights equalize expected tokens per source") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-docs").toString
+    Seq((1L, "a b c", "s1"), (2L, "d e", "s1"), (3L, "f g h i j k l", "s2"))
+      .toDF("doc_id", "text", "source")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val r = TextStatsQueries.q88MixtureWeights(spark, dir)
+      .collect().map(x => x.getString(0) ->
+        (x.getLong(1), x.getLong(2), x.getDouble(3), x.getDouble(4))).toMap
+    // totals: 12 tokens over 2 sources -> 6-token uniform target
+    assert(r("s1") === ((2L, 5L, 0.416667, 1.2)))
+    assert(r("s2") === ((1L, 7L, 0.583333, 0.857143)))
+    // the invariant the weights exist for: weight * tokens is constant
+    val budgets = r.values.map { case (_, tok, _, w) => w * tok }.toSeq
+    assert(budgets.forall(b => math.abs(b - budgets.head) < 1e-3))
+  }
+
   test("q75: dormant set equals the brute-force definition") {
     val out = RelationalOps.q75DormantCustomers(spark, sf0001)
     val numFromQuery = out.agg(sum($"numcust")).head.getLong(0)
