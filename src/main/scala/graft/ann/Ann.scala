@@ -167,6 +167,45 @@ object Ann {
     top.withColumn("rk", row_number().over(w).cast("long"))
   }
 
+  /** Int8-quantized cosine top-k ([[graft.functions.QuantizeInt8]] +
+    * [[graft.functions.IntDotProduct]]): each vector is symmetrically
+    * quantized ONCE (a linear pass — at scale the quantized corpus is
+    * a persisted artifact, 4× smaller than float32), then the O(q×n)
+    * scoring hot path runs entirely on exact long integer dots and
+    * norms inside whole-stage codegen; the only floating point is one
+    * sqrt+divide per pair, of exactly-representable longs — which is
+    * what makes an APPROXIMATE index family ORACLE-CHECKABLE: the
+    * approximation lives in the quantization (deterministic), not in
+    * the arithmetic. Ranking reuses the bounded-heap TopKPerKeyExec
+    * encoding from [[bruteForceTopKViaOperator]].
+    */
+  def quantizedTopK(queries: DataFrame, corpus: DataFrame, k: Int,
+      excludeSelf: Boolean = true): DataFrame = {
+    VectorFunctions.register(queries.sparkSession)
+    def quantized(df: DataFrame, idAs: String, vecAs: String, normAs: String) =
+      df.select(col("vec_id").as(idAs),
+          VectorFunctions.quantize8(col("embedding")).as(vecAs))
+        .withColumn(normAs, VectorFunctions.dotI(col(vecAs), col(vecAs)))
+    val q = quantized(queries, "qid", "qv8", "qn")
+    val c = quantized(corpus, "nid", "nv8", "nn")
+    val pairs = c.crossJoin(broadcast(q))
+      .filter(if (excludeSelf) col("qid") =!= col("nid") else lit(true))
+      .select(col("qid"), col("nid"),
+        // zero-vector guard: a zero side quantizes to zeros (qn = 0) and
+        // must score 0, not NaN
+        round(when(col("qn") * col("nn") > 0,
+          VectorFunctions.dotI(col("qv8"), col("nv8")) /
+            sqrt(col("qn") * col("nn"))).otherwise(lit(0.0)), 6).as("qcos"))
+    val nidInRange = col("nid") >= 0L && col("nid") < lit(4294967296L)
+    val ord = when(nidInRange, round(col("qcos") * 1e6) * lit(4294967296L) - col("nid"))
+      .otherwise(raise_error(concat(
+        lit("quantizedTopK: nid outside [0, 2^32), ord encoding would "
+          + "collide (nid="), col("nid").cast("string"), lit(")"))))
+    val top = graft.plans.TopK.topKPerKey(pairs, Seq("qid"), ord, k)
+    val w = Window.partitionBy(col("qid")).orderBy(col("qcos").desc, col("nid").asc)
+    top.withColumn("rk", row_number().over(w).cast("long"))
+  }
+
   /** LSH-accelerated top-1: candidates restricted to the query's bucket,
     * then exact re-scoring. Queries with a singleton bucket yield no row
     * (documented approximate-search semantics).

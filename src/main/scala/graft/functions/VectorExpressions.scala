@@ -129,6 +129,138 @@ case class DoubleDotProduct(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Scalar int8 quantization of an `array<float>` vector: each element
+  * maps to round-half-away-from-zero(x·127/maxabs) ∈ [-127, 127], the
+  * symmetric per-vector scheme ANN systems use to cut memory and
+  * bandwidth 4× against float32. A zero vector quantizes to zeros (no
+  * division by zero). Output is `array<int>` (storage would pack to
+  * bytes; ints keep [[IntDotProduct]] arithmetic primitive and exact).
+  * Half-AWAY-FROM-ZERO is deliberate: it matches both Spark's
+  * `round()` (HALF_UP on BigDecimal = away from zero) and DuckDB's
+  * `round()`, keeping the whole pipeline oracle-checkable —
+  * `Math.round` would round -2.5 to -2 and silently diverge.
+  */
+case class QuantizeInt8(child: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.FloatType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"int8_quantize requires an array<float> argument, got ${other.simpleString}")
+    }
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.IntegerType, false)
+  override def prettyName: String = "int8_quantize"
+
+  override def nullSafeEval(v: Any): Any = {
+    val a = v.asInstanceOf[ArrayData]
+    val n = a.numElements()
+    var maxabs = 0.0
+    var i = 0
+    while (i < n) {
+      val x = math.abs(a.getFloat(i).toDouble)
+      if (x > maxabs) maxabs = x
+      i += 1
+    }
+    val out = new Array[Int](n)
+    if (maxabs > 0.0) {
+      i = 0
+      while (i < n) {
+        val x = a.getFloat(i).toDouble * 127.0 / maxabs
+        out(i) = (if (x >= 0) math.floor(x + 0.5) else math.ceil(x - 0.5)).toInt
+        i += 1
+      }
+    }
+    org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray(out)
+  }
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val mx = ctx.freshName("maxabs")
+      val x = ctx.freshName("x")
+      val out = ctx.freshName("out")
+      s"""
+         |int $n = $a.numElements();
+         |double $mx = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  double $x = Math.abs((double)$a.getFloat($i));
+         |  if ($x > $mx) $mx = $x;
+         |}
+         |int[] $out = new int[$n];
+         |if ($mx > 0.0) {
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    double $x = (double)$a.getFloat($i) * 127.0 / $mx;
+         |    $out[$i] = (int)($x >= 0 ? Math.floor($x + 0.5) : Math.ceil($x - 0.5));
+         |  }
+         |}
+         |${ev.value} = org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray($out);
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): QuantizeInt8 =
+    copy(child = newChild)
+}
+
+/** As [[FloatDotProduct]] but over `array<int>` children with an exact
+  * LONG accumulator — the scoring kernel for int8-quantized vectors.
+  * For |xᵢ| ≤ 127 the products stay ≤ 16129 and any realistic
+  * dimension count is far inside long range, so the result is exact
+  * (and therefore oracle-stable with zero rounding rules).
+  */
+case class IntDotProduct(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    val ok = Seq(left, right).forall(_.dataType match {
+      case org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.IntegerType, _) => true
+      case _ => false
+    })
+    if (ok) org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"int_dot requires two array<int> arguments, got " +
+        s"${left.dataType.simpleString} and ${right.dataType.simpleString}")
+  }
+  override def dataType: DataType = org.apache.spark.sql.types.LongType
+  override def prettyName: String = "int_dot"
+
+  override def nullSafeEval(l: Any, r: Any): Any = {
+    val a = l.asInstanceOf[ArrayData]
+    val b = r.asInstanceOf[ArrayData]
+    val n = a.numElements()
+    if (n != b.numElements())
+      throw new IllegalArgumentException(
+        s"int_dot: dimension mismatch ($n vs ${b.numElements()})")
+    var acc = 0L
+    var i = 0
+    while (i < n) { acc += a.getInt(i).toLong * b.getInt(i).toLong; i += 1 }
+    acc
+  }
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      s"""
+         |int $n = $a.numElements();
+         |if ($n != $b.numElements()) {
+         |  throw new IllegalArgumentException(
+         |    "int_dot: dimension mismatch (" + $n + " vs " + $b.numElements() + ")");
+         |}
+         |${ev.value} = 0L;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  ${ev.value} += (long)$a.getInt($i) * (long)$b.getInt($i);
+         |}
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): IntDotProduct =
+    copy(left = newLeft, right = newRight)
+}
+
 /** Column-level vector functions. */
 object VectorFunctions {
 
@@ -140,6 +272,10 @@ object VectorFunctions {
       "float_dot", exprs => FloatDotProduct(exprs(0), exprs(1)), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "double_dot", exprs => DoubleDotProduct(exprs(0), exprs(1)), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "int8_quantize", exprs => QuantizeInt8(exprs(0)), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "int_dot", exprs => IntDotProduct(exprs(0), exprs(1)), "built-in")
   }
 
   /** Codegen'd dot product of two array<float> columns (requires
@@ -151,6 +287,16 @@ object VectorFunctions {
     * [[register]]).
     */
   def dotD(a: Column, b: Column): Column = call_function("double_dot", a, b)
+
+  /** Codegen'd symmetric int8 quantization of an array<float> column
+    * (requires [[register]]).
+    */
+  def quantize8(a: Column): Column = call_function("int8_quantize", a)
+
+  /** Codegen'd exact long dot product of two array<int> columns
+    * (requires [[register]]).
+    */
+  def dotI(a: Column, b: Column): Column = call_function("int_dot", a, b)
 
   /** Built-in-functions fallback with identical semantics (element-wise
     * double product, sequential sum). Used to cross-check the native

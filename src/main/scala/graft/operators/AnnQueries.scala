@@ -52,6 +52,52 @@ object AnnQueries {
        |SELECT qid, nid, cos, CAST(rk AS BIGINT) AS rk FROM best WHERE rk <= 3
        |ORDER BY qid, rk""".stripMargin
 
+  // ---------------------------------------------------------------- q89
+  /** Int8-quantized cosine top-3 ([[Ann.quantizedTopK]]): the
+    * compressed-vector variant of q21 — symmetric per-vector int8
+    * quantization, exact long integer dots/norms, one sqrt+divide per
+    * pair. The oracle replays the quantization arithmetic
+    * (round-half-away-from-zero of v·127/maxabs, identical operation
+    * order) over the same float lists, so the full approximate family
+    * is hash-gated, not just spec'd. k and ranking semantics match q21
+    * (round-6 cosine, nid tie-break).
+    */
+  def q89QuantizedTopK(s: SparkSession, dir: String): DataFrame =
+    Ann.quantizedTopK(querySubset(s, dir), emb(s, dir), k = 3)
+      .select(col("qid"), col("nid"), col("qcos"), col("rk"))
+      .orderBy(col("qid"), col("rk"))
+
+  val q89Sql: String =
+    s"""WITH dims AS (
+       |  SELECT vec_id, j, CAST(embedding[CAST(j AS INTEGER) + 1] AS DOUBLE) AS v
+       |  FROM embeddings, range($Dim) t(j)),
+       |mx AS (SELECT vec_id, max(abs(v)) AS maxabs FROM dims GROUP BY vec_id),
+       |qvec AS (
+       |  SELECT d.vec_id, d.j,
+       |         CAST(CASE WHEN m.maxabs > 0.0 THEN round(d.v * 127.0 / m.maxabs, 0)
+       |                   ELSE 0.0 END AS BIGINT) AS q
+       |  FROM dims d JOIN mx m USING (vec_id)),
+       |nrm AS (SELECT vec_id, CAST(sum(q * q) AS BIGINT) AS nrm FROM qvec GROUP BY vec_id),
+       |qids AS (SELECT vec_id AS qid FROM embeddings WHERE vec_id % $QueryMod = 0),
+       |dots AS (
+       |  SELECT a.vec_id AS qid, b.vec_id AS nid, CAST(sum(a.q * b.q) AS BIGINT) AS dp
+       |  FROM qvec a JOIN qids ON a.vec_id = qid
+       |  JOIN qvec b ON a.j = b.j AND b.vec_id <> a.vec_id
+       |  GROUP BY a.vec_id, b.vec_id),
+       |scored AS (
+       |  SELECT d.qid, d.nid,
+       |         round(CASE WHEN na.nrm * nb.nrm > 0
+       |                    THEN CAST(d.dp AS DOUBLE) / sqrt(CAST(na.nrm * nb.nrm AS DOUBLE))
+       |                    ELSE 0.0 END, 6) AS qcos
+       |  FROM dots d JOIN nrm na ON na.vec_id = d.qid
+       |  JOIN nrm nb ON nb.vec_id = d.nid),
+       |best AS (
+       |  SELECT qid, nid, qcos,
+       |         row_number() OVER (PARTITION BY qid ORDER BY qcos DESC, nid ASC) AS rk
+       |  FROM scored)
+       |SELECT qid, nid, qcos, CAST(rk AS BIGINT) AS rk FROM best WHERE rk <= 3
+       |ORDER BY qid, rk""".stripMargin
+
   // ---------------------------------------------------------------- q20
   /** OR-amplified multi-band sign-LSH top-1 (6 bands × 4 hyperplanes —
     * narrow bands because the synthetic embeddings have weak NN
@@ -347,6 +393,7 @@ object AnnQueries {
     "q43_ivf_topk" -> (q43IvfTopK _),
     "q47_embedding_centroids" -> (q47EmbeddingCentroids _),
     "q49_nearest_centroid" -> (q49NearestCentroid _),
+    "q89_quantized_topk" -> (q89QuantizedTopK _),
   )
 
   /** Oracles whose SQL depends on the gate's sf dir (q43 reads the
@@ -360,6 +407,7 @@ object AnnQueries {
     "q43_ivf_topk" -> q43Sql(sfDir),
     "q47_embedding_centroids" -> q47Sql,
     "q49_nearest_centroid" -> q49Sql,
+    "q89_quantized_topk" -> q89Sql,
   )
 
   /** Contract default (the driver's gate runs at sf0.01). */

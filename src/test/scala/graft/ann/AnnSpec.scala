@@ -63,6 +63,53 @@ class AnnSpec extends SparkTestBase {
     assert(got === want)
   }
 
+  test("int8 quantization: hand values, range bound, zero-vector guard") {
+    VectorFunctions.register(spark)
+    val rows = Seq(
+      (1L, Array(1.0f, -0.5f, 0.25f, 0.0f)),
+      (2L, Array(0.0f, 0.0f, 0.0f, 0.0f)))
+      .toDF("id", "v")
+      .select($"id", VectorFunctions.quantize8($"v").as("q"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    // maxabs 1.0: -0.5*127 = -63.5 rounds AWAY from zero (matches
+    // Spark/DuckDB round, not Math.round); 0.25*127 = 31.75 -> 32
+    assert(rows(1L) === Seq(127, -64, 32, 0))
+    assert(rows(2L) === Seq(0, 0, 0, 0))
+    // on real embeddings: all components in [-127, 127], maxabs hits ±127
+    val stats = emb.select(VectorFunctions.quantize8($"embedding").as("q"))
+      .select(explode($"q").as("c"))
+      .agg(max(abs($"c")), min($"c"), max($"c")).head
+    assert(stats.getInt(0) === 127)
+    assert(stats.getInt(1) >= -127 && stats.getInt(2) <= 127)
+  }
+
+  test("int_dot: exact long dot, dimension mismatch fails") {
+    VectorFunctions.register(spark)
+    val d = Seq((Array(1, 2, 3), Array(4, 5, 6))).toDF("a", "b")
+      .select(VectorFunctions.dotI($"a", $"b")).head.getLong(0)
+    assert(d === 32L)
+    val err = intercept[Exception] {
+      Seq((Array(1, 2), Array(1, 2, 3))).toDF("a", "b")
+        .select(VectorFunctions.dotI($"a", $"b")).collect()
+    }
+    assert(err.getMessage.contains("dimension mismatch") ||
+      Option(err.getCause).exists(_.getMessage.contains("dimension mismatch")))
+  }
+
+  test("quantizedTopK: high top-1 agreement with the exact float ranking") {
+    val queries = emb.filter($"vec_id" % 50 === 0)
+    val exact = Ann.bruteForceTopKViaOperator(queries, emb, k = 1)
+      .select($"qid", $"nid").as[(Long, Long)].collect().toMap
+    val quant = Ann.quantizedTopK(queries, emb, k = 1)
+      .select($"qid", $"nid").as[(Long, Long)].collect().toMap
+    assert(quant.keySet === exact.keySet) // every query answered
+    val agree = exact.count { case (q, n) => quant(q) == n }
+    // int8 error is ~1/254 per component; top-1 should survive for the
+    // overwhelming majority of queries
+    assert(agree >= exact.size * 7 / 10,
+      s"top-1 agreement $agree/${exact.size}")
+  }
+
   test("LSH buckets: stable, and same-bucket vectors have all projection signs equal") {
     val buckets = Ann.signLshBuckets(emb, "vec_id", "embedding", 8, 64)
     assert(buckets.count() === 500)
