@@ -46,7 +46,11 @@ object Bench {
     "q71_repetition_ratios", "q72_token_chunks", "q73_promo_revenue",
     "q74_supplier_breadth", "q75_dormant_customers",
     "q76_decontamination", "q77_order_priority_check", "q78_incremental_dedup",
-    "q79_local_supplier_revenue", "q80_returned_item_customers")
+    "q79_local_supplier_revenue", "q80_returned_item_customers",
+    "q81_volume_shipping", "q82_waiting_suppliers",
+    "q83_order_count_distribution", "q84_small_qty_revenue",
+    "q85_disjunctive_revenue", "q86_market_share",
+    "q87_boilerplate_share", "q88_mixture_weights", "q89_quantized_topk")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

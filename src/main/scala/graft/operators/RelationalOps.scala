@@ -821,14 +821,20 @@ object RelationalOps {
     val supp = Tables.supplier(s, dir).select($"s_suppkey", $"s_nationkey")
       .join(broadcast(nat), $"s_nationkey" === $"n_nationkey")
       .select($"s_suppkey", $"n_name".as("supp_nation"))
+    // join orders to the pair-restricted customers FIRST: the result is
+    // ~2/25 of orders, small enough that AQE broadcasts it under the
+    // lineitem join — without this ordering the plan shuffles full
+    // lineitem against full orders and only then throws 92% away
+    // (measured 3.9 s → ~1 s at sf0.1)
+    val pairOrders = Tables.orders(s, dir).select($"o_orderkey", $"o_custkey")
+      .join(cust, $"o_custkey" === $"c_custkey")
+      .select($"o_orderkey", $"cust_nation")
     Tables.lineitem(s, dir)
       .filter($"l_shipdate" >= lit(VolShipStart).cast("timestamp_ntz") &&
         $"l_shipdate" < lit(VolShipEnd).cast("timestamp_ntz"))
       .select($"l_orderkey", $"l_suppkey", $"l_shipdate",
         $"l_extendedprice", $"l_discount")
-      .join(Tables.orders(s, dir).select($"o_orderkey", $"o_custkey"),
-        $"l_orderkey" === $"o_orderkey")
-      .join(cust, $"o_custkey" === $"c_custkey")
+      .join(pairOrders, $"l_orderkey" === $"o_orderkey")
       .join(supp, $"l_suppkey" === $"s_suppkey")
       .filter($"cust_nation" =!= $"supp_nation")
       .groupBy($"supp_nation", $"cust_nation", year($"l_shipdate").as("l_year"))
