@@ -50,7 +50,8 @@ object Bench {
     "q81_volume_shipping", "q82_waiting_suppliers",
     "q83_order_count_distribution", "q84_small_qty_revenue",
     "q85_disjunctive_revenue", "q86_market_share",
-    "q87_boilerplate_share", "q88_mixture_weights", "q89_quantized_topk")
+    "q87_boilerplate_share", "q88_mixture_weights", "q89_quantized_topk",
+    "q90_top_supplier")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

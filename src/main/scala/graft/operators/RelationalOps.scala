@@ -1119,8 +1119,53 @@ object RelationalOps {
        |  AND o_orderdate <  TIMESTAMP '$MktEnd 00:00:00'
        |GROUP BY o_year ORDER BY o_year""".stripMargin
 
+  // ---------------------------------------------------------------- q90
+  /** Top-revenue supplier(s) for a quarter (TPC-H Q15 shape): the
+    * argmax-on-aggregate pattern — aggregate per supplier, then keep
+    * rows equal to the aggregate's own max via a 1-row broadcast (a
+    * window `max() OVER ()` would funnel all suppliers through one
+    * unpartitioned window). The max-equality compares the SCALED LONG
+    * revenue, not the divided double: integer equality is exact in
+    * both engines, so ties are kept or dropped identically — comparing
+    * rounded doubles here would be a correctness coin-flip at the
+    * boundary. Division to money happens only in the projection.
+    */
+  val TopSuppQuarterStart = "1997-01-01"
+  val TopSuppQuarterEnd = "1997-04-01"
+
+  def q90TopSupplier(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val rev = Tables.lineitem(s, dir)
+      .filter($"l_shipdate" >= lit(TopSuppQuarterStart).cast("timestamp_ntz") &&
+        $"l_shipdate" < lit(TopSuppQuarterEnd).cast("timestamp_ntz"))
+      .groupBy($"l_suppkey")
+      .agg(sum(round($"l_extendedprice" * (lit(1.0) - $"l_discount") * 10000, 0)
+        .cast("long")).as("r"))
+    rev.join(broadcast(rev.agg(max($"r").as("mr"))))
+      .filter($"r" === $"mr")
+      .join(Tables.supplier(s, dir).select($"s_suppkey", $"s_name"),
+        $"l_suppkey" === $"s_suppkey")
+      .select($"s_suppkey", $"s_name",
+        round($"r" / 10000.0, 6).as("total_revenue"))
+      .orderBy($"s_suppkey")
+  }
+
+  val q90Sql: String =
+    s"""WITH rev AS (
+       |  SELECT l_suppkey,
+       |         CAST(sum(CAST(round(l_extendedprice*(1.0-l_discount)*10000, 0) AS BIGINT)) AS BIGINT) AS r
+       |  FROM lineitem
+       |  WHERE l_shipdate >= TIMESTAMP '$TopSuppQuarterStart 00:00:00'
+       |    AND l_shipdate <  TIMESTAMP '$TopSuppQuarterEnd 00:00:00'
+       |  GROUP BY l_suppkey)
+       |SELECT s_suppkey, s_name, round(r / 10000.0, 6) AS total_revenue
+       |FROM rev JOIN supplier ON l_suppkey = s_suppkey
+       |WHERE r = (SELECT max(r) FROM rev)
+       |ORDER BY s_suppkey""".stripMargin
+
   /** Query + oracle registry contributed by this module. */
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q90_top_supplier" -> (q90TopSupplier _),
     "q84_small_qty_revenue" -> (q84SmallQuantityRevenue _),
     "q85_disjunctive_revenue" -> (q85DisjunctiveRevenue _),
     "q86_market_share" -> (q86MarketShare _),
@@ -1150,6 +1195,7 @@ object RelationalOps {
   )
 
   val oracles: Map[String, String] = Map(
+    "q90_top_supplier" -> q90Sql,
     "q84_small_qty_revenue" -> q84Sql,
     "q85_disjunctive_revenue" -> q85Sql,
     "q86_market_share" -> q86Sql,

@@ -59,6 +59,24 @@ object StreamingOps {
         col("last.ts_ms").as("ts_ms"), col("last.event_id").as("event_id"),
         col("last.value").as("value"))
 
+  /** Running per-source token accounting — q88's incremental twin.
+    * The BPE count is a stateless per-row projection; the rollup is an
+    * unwatermarked update-mode aggregate whose state is ONE row per
+    * source (bounded by source cardinality, like the batch query's
+    * post-scan stages — deliberately not watermarked because it is a
+    * running corpus total, not a windowed metric). Downstream, the q88
+    * weight arithmetic is a per-emission projection over these totals;
+    * kept out of this op so the streaming state stays a plain partial
+    * aggregate.
+    */
+  def runningTokenTotals(docs: DataFrame): DataFrame =
+    docs
+      .withColumn("bpe",
+        regexp_count(col("text"), lit(graft.textstats.TextStats.BpePattern))
+          .cast("long"))
+      .groupBy(col("source"))
+      .agg(sum(col("bpe")).as("tokens"), count(lit(1)).as("n_docs"))
+
   /** Watermark-scoped exact-once dedup on event_id. NB plain
     * `dropDuplicates("event_id")` would keep state per id FOREVER (the
     * watermark only GCs dedup state when the event-time column is part

@@ -179,4 +179,21 @@ class TpchShapesSpec extends SparkTestBase {
     assert(got === expected)
     assert(got.nonEmpty)
   }
+
+  test("q90: winners are exactly the scaled-long argmax set") {
+    val lo = ts(RelationalOps.TopSuppQuarterStart)
+    val hi = ts(RelationalOps.TopSuppQuarterEnd)
+    val revBySupp = lis.iterator
+      .filter(l => !l.ship.isBefore(lo) && l.ship.isBefore(hi))
+      .map(l => l.sk -> money(l.price * (1.0 - l.disc)))
+      .toSeq.groupBy(_._1).map { case (k, xs) => k -> xs.map(_._2).sum }
+    val mx = revBySupp.values.max
+    val expected = revBySupp.filter(_._2 == mx).map { case (k, r) =>
+      k -> round6(r / 10000.0)
+    }
+    val got = RelationalOps.q90TopSupplier(spark, sf0001).collect()
+      .map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(got === expected)
+    assert(got.nonEmpty)
+  }
 }

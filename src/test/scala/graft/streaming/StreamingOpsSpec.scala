@@ -78,6 +78,26 @@ class StreamingOpsSpec extends SparkTestBase {
     assert(streamed((2L, "view"))._2 === 5L)
   }
 
+  test("running token totals fold micro-batches to the batch rollup") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, String, String)]
+    val df = input.toDF.toDF("doc_id", "text", "source")
+    val b1 = Seq((1L, "a b c", "s1"), (2L, "d e", "s1"), (3L, "x y z w", "s2"))
+    val b2 = Seq((4L, "q r", "s2"), (5L, "one", "s3"))
+    // separate addData calls → separate micro-batches folded by one run
+    input.addData(b1: _*)
+    input.addData(b2: _*)
+    StreamingOps.runToMemory(spark,
+      StreamingOps.runningTokenTotals(df), "tok_out", OutputMode.Complete)
+    val streamed = spark.table("tok_out")
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val batch = StreamingOps.runningTokenTotals(
+      (b1 ++ b2).toDF("doc_id", "text", "source"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(streamed === batch)
+    assert(streamed === Map("s1" -> (5L, 2L), "s2" -> (6L, 2L), "s3" -> (1L, 1L)))
+  }
+
   test("stateless curation filters compose over streams unchanged") {
     // stratifiedByHash and md5Split are pure per-row expressions, so
     // the SAME operator calls run over readStream input with no
