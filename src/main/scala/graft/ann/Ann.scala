@@ -151,19 +151,32 @@ object Ann {
       .filter(if (excludeSelf) col("qid") =!= col("nid") else lit(true))
       .select(col("qid"), col("nid"),
         round(VectorFunctions.dot(col("qv"), col("nv")), 6).as("cos"))
-    // The encoding is collision-free only while 0 <= nid < 2^32 (and the
-    // combined magnitude stays under double's 2^53 integer range, which
-    // |cos| <= 1 guarantees). Enforce the id bound IN the expression —
-    // zero extra jobs, and an out-of-range id fails the task instead of
-    // silently mis-ranking.
+    rankTopKByScore(pairs, "cos", k, "bruteForceTopKViaOperator")
+  }
+
+  /** Shared (qid, nid, score) → top-k ranking through TopKPerKeyExec.
+    * The single-column ord encoding packs (round-6 score, nid
+    * tie-break) into one long-magnitude double:
+    * `round(score·1e6)·2^32 − nid`. Collision-free only while
+    * 0 ≤ nid < 2^32 AND the combined magnitude stays under double's
+    * 2^53 integer range, which |score| ≤ 1 guarantees. The id bound is
+    * enforced IN the expression — zero extra jobs, and an out-of-range
+    * id fails the task instead of silently mis-ranking. One
+    * implementation on purpose: the encoding invariant lives here and
+    * nowhere else.
+    */
+  private def rankTopKByScore(pairs: DataFrame, scoreCol: String, k: Int,
+      caller: String): DataFrame = {
     val nidInRange = col("nid") >= 0L && col("nid") < lit(4294967296L)
-    val ord = when(nidInRange, round(col("cos") * 1e6) * lit(4294967296L) - col("nid"))
+    val ord = when(nidInRange,
+        round(col(scoreCol) * 1e6) * lit(4294967296L) - col("nid"))
       .otherwise(raise_error(concat(
-        lit("bruteForceTopKViaOperator: nid outside [0, 2^32), ord encoding "
-          + "would collide — use bruteForceTopK for this id domain (nid="),
+        lit(s"$caller: nid outside [0, 2^32), ord encoding would collide "
+          + "— use a window-ranked form for this id domain (nid="),
         col("nid").cast("string"), lit(")"))))
     val top = graft.plans.TopK.topKPerKey(pairs, Seq("qid"), ord, k)
-    val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("nid").asc)
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col(scoreCol).desc, col("nid").asc)
     top.withColumn("rk", row_number().over(w).cast("long"))
   }
 
@@ -196,14 +209,7 @@ object Ann {
         round(when(col("qn") * col("nn") > 0,
           VectorFunctions.dotI(col("qv8"), col("nv8")) /
             sqrt(col("qn") * col("nn"))).otherwise(lit(0.0)), 6).as("qcos"))
-    val nidInRange = col("nid") >= 0L && col("nid") < lit(4294967296L)
-    val ord = when(nidInRange, round(col("qcos") * 1e6) * lit(4294967296L) - col("nid"))
-      .otherwise(raise_error(concat(
-        lit("quantizedTopK: nid outside [0, 2^32), ord encoding would "
-          + "collide (nid="), col("nid").cast("string"), lit(")"))))
-    val top = graft.plans.TopK.topKPerKey(pairs, Seq("qid"), ord, k)
-    val w = Window.partitionBy(col("qid")).orderBy(col("qcos").desc, col("nid").asc)
-    top.withColumn("rk", row_number().over(w).cast("long"))
+    rankTopKByScore(pairs, "qcos", k, "quantizedTopK")
   }
 
   /** LSH-accelerated top-1: candidates restricted to the query's bucket,

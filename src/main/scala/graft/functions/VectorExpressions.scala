@@ -169,7 +169,14 @@ case class QuantizeInt8(child: Expression)
       i = 0
       while (i < n) {
         val x = a.getFloat(i).toDouble * 127.0 / maxabs
-        out(i) = (if (x >= 0) math.floor(x + 0.5) else math.ceil(x - 0.5)).toInt
+        // exact half-away-from-zero: compare the EXACT fractional part
+        // (ax - floor(ax) is exact in IEEE754). floor(x + 0.5) would
+        // round 0.49999999999999994 UP because x + 0.5 rounds to 1.0
+        // (JDK-8010430) and silently diverge from BigDecimal/DuckDB.
+        val ax = math.abs(x)
+        val t = ax.toLong
+        val q = if (ax - t >= 0.5) t + 1 else t
+        out(i) = (if (x < 0) -q else q).toInt
         i += 1
       }
     }
@@ -194,7 +201,12 @@ case class QuantizeInt8(child: Expression)
          |if ($mx > 0.0) {
          |  for (int $i = 0; $i < $n; $i++) {
          |    double $x = (double)$a.getFloat($i) * 127.0 / $mx;
-         |    $out[$i] = (int)($x >= 0 ? Math.floor($x + 0.5) : Math.ceil($x - 0.5));
+         |    /* exact half-away-from-zero via the exact fractional part —
+         |       floor(x + 0.5) mis-rounds 0.49999999999999994 (JDK-8010430) */
+         |    double ${x}_a = Math.abs($x);
+         |    long ${x}_t = (long) ${x}_a;
+         |    long ${x}_q = (${x}_a - ${x}_t >= 0.5) ? ${x}_t + 1 : ${x}_t;
+         |    $out[$i] = (int)($x < 0 ? -${x}_q : ${x}_q);
          |  }
          |}
          |${ev.value} = org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray($out);

@@ -518,7 +518,15 @@ object DedupQueries {
 
   def q87BoilerplateShare(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(s, dir)
+    // localCheckpoint: the shingle pipeline (posexplode + window lead +
+    // distinct, the dominant stage) feeds BOTH the df aggregate and the
+    // join probe, and Spark does not dedupe logical subplans — without
+    // materializing it the corpus is shingled twice. Measured in
+    // matched runs at sf0.1: ~3.8 s with the checkpoint vs ~4.9 s
+    // shingling twice. At lake scale the same artifact is persisted to
+    // parquet instead (q78's build/probe split).
     val sh = Dedup.shingleSets(docs, "doc_id", "text", BoilShingleN)
+      .localCheckpoint()
     val dfTab = sh.groupBy(col("shingle")).agg(count(lit(1)).as("ndocs"))
     val per = sh.join(dfTab, Seq("shingle"))
       .groupBy(col("id"))

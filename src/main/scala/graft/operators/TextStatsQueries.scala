@@ -139,7 +139,7 @@ object TextStatsQueries {
     // `source` would scan the corpus twice (confirmed in PLANS.md)
     val counts = Tables.documents(s, dir).select(
       col("doc_id"), col("source"),
-      regexp_count(col("text"), lit(TextStats.BpePattern)).cast("long").as("bpe_tokens"))
+      TextStats.bpeCount(col("text")).as("bpe_tokens"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("source")).orderBy(col("doc_id"))
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
@@ -485,19 +485,29 @@ object TextStatsQueries {
     * post-scan stage.
     */
   def q88MixtureWeights(s: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.documents(s, dir)
-    val perSource = TextStats.tokenCounts(docs, "doc_id", "text")
-      .join(docs.select(col("doc_id"), col("source")), Seq("doc_id"))
+    // ONE scan: source + token count in a single projection (q37's
+    // documented rule — joining tokenCounts back to docs for `source`
+    // would scan the corpus twice). The totals branch re-aggregates the
+    // tiny per-source frame, not the corpus.
+    // localCheckpoint: perSource feeds BOTH the totals aggregate and the
+    // final join — without materializing it each branch would re-scan
+    // the corpus (Spark does not dedupe logical subplans)
+    val perSource = Tables.documents(s, dir)
+      .select(col("source"), TextStats.bpeCount(col("text")).as("bpe"))
       .groupBy(col("source"))
-      .agg(sum(col("bpe_tokens")).as("tokens"), count(lit(1)).as("n_docs"))
+      .agg(sum(col("bpe")).as("tokens"), count(lit(1)).as("n_docs"))
+      .localCheckpoint()
     val totals = perSource
       .agg(sum(col("tokens")).as("total_tokens"),
         count(lit(1)).as("n_sources"))
     perSource.join(broadcast(totals))
       .select(col("source"), col("n_docs"), col("tokens"),
         round(col("tokens") / col("total_tokens"), 6).as("token_share"),
-        round((col("total_tokens") / col("n_sources")) / col("tokens"), 6)
-          .as("mix_weight"))
+        // an all-empty source has 0 tokens; its weight is reported as 0
+        // (it contributes nothing to equalize), not NULL/inf
+        round(when(col("tokens") > 0,
+          (col("total_tokens") / col("n_sources")) / col("tokens"))
+          .otherwise(lit(0.0)), 6).as("mix_weight"))
       .orderBy(col("source"))
   }
 
@@ -515,7 +525,9 @@ object TextStatsQueries {
        |  FROM per_source)
        |SELECT source, n_docs, tokens,
        |  round(CAST(tokens AS DOUBLE) / total_tokens, 6) AS token_share,
-       |  round((CAST(total_tokens AS DOUBLE) / n_sources) / tokens, 6) AS mix_weight
+       |  round(CASE WHEN tokens > 0
+       |             THEN (CAST(total_tokens AS DOUBLE) / n_sources) / tokens
+       |             ELSE 0.0 END, 6) AS mix_weight
        |FROM per_source, tot
        |ORDER BY source""".stripMargin
 

@@ -71,9 +71,7 @@ object StreamingOps {
     */
   def runningTokenTotals(docs: DataFrame): DataFrame =
     docs
-      .withColumn("bpe",
-        regexp_count(col("text"), lit(graft.textstats.TextStats.BpePattern))
-          .cast("long"))
+      .withColumn("bpe", graft.textstats.TextStats.bpeCount(col("text")))
       .groupBy(col("source"))
       .agg(sum(col("bpe")).as("tokens"), count(lit(1)).as("n_docs"))
 
@@ -244,11 +242,29 @@ object StreamingOps {
     *                     reduction lives in the artifact, NOT here: an
     *                     in-join groupBy would re-aggregate the whole
     *                     corpus hash table every micro-batch
+    * @param validateUnique when true (default) run ONE batch job at
+    *                     stream-construction time proving the
+    *                     uniqueness precondition — a duplicate h would
+    *                     silently fan out one verdict row per
+    *                     duplicate and pick an arbitrary match_id.
+    *                     Pass false only for artifacts already
+    *                     validated (costs one aggregate over the
+    *                     corpus hash table, never per micro-batch)
     */
-  def incrementalDedupVerdicts(docs: DataFrame, corpusHashes: DataFrame): DataFrame = {
+  def incrementalDedupVerdicts(docs: DataFrame, corpusHashes: DataFrame,
+      validateUnique: Boolean = true): DataFrame = {
     Seq("h", "exact_match").foreach { r =>
       require(!docs.columns.exists(_.equalsIgnoreCase(r)),
         s"docs must not carry reserved column '$r'")
+    }
+    if (validateUnique) {
+      val dup = corpusHashes.groupBy(col("h")).agg(count(lit(1)).as("c"))
+        .filter(col("c") > 1).limit(1).collect()
+      require(dup.isEmpty,
+        s"corpusHashes must be unique per h (the prepareIncrementalCorpus " +
+          s"artifact form); found duplicate h=${dup.head.getString(0)} — " +
+          "reduce with groupBy(h).agg(min(c_id)) or pass validateUnique=false " +
+          "only for pre-validated artifacts")
     }
     docs.withColumn("h", md5(col("text")))
       .join(corpusHashes.withColumnRenamed("c_id", "exact_match"),

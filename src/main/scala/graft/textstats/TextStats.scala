@@ -138,11 +138,18 @@ object TextStats {
     */
   val BpePattern = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"
 
+  /** BPE-ish token count of a text column — the ONE definition shared
+    * by [[tokenCounts]], the q88 mixture rollup, and the streaming
+    * twin, so batch/stream token accounting can't silently diverge.
+    */
+  def bpeCount(textCol: Column): Column =
+    regexp_count(textCol, lit(BpePattern)).cast("long")
+
   def tokenCounts(df: DataFrame, idCol: String, textCol: String): DataFrame =
     df.select(
       col(idCol).as("doc_id"),
       size(filter(split(col(textCol), "\\s+"), t => t =!= "")).cast("long").as("ws_tokens"),
-      regexp_count(col(textCol), lit(BpePattern)).cast("long").as("bpe_tokens"))
+      bpeCount(col(textCol)).as("bpe_tokens"))
 
   /** Document fingerprints: raw md5, normalized-text md5 (whitespace/
     * case/punct-insensitive), and a min-shingle content hash (1-perm

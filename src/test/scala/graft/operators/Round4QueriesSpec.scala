@@ -15,10 +15,15 @@ class Round4QueriesSpec extends SparkTestBase {
   /** Write a {doc_id, text} documents.parquet into a temp dir usable as
     * an sfDir (queries only touch the columns they select).
     */
-  private def docsDir(rows: Seq[(Long, String)]): String = {
+  private def docsDir(rows: Seq[(Long, String)]): String =
+    writeDocs(rows.toDF("doc_id", "text"))
+
+  private def docsDirWithSource(rows: Seq[(Long, String, String)]): String =
+    writeDocs(rows.toDF("doc_id", "text", "source"))
+
+  private def writeDocs(df: org.apache.spark.sql.DataFrame): String = {
     val dir = java.nio.file.Files.createTempDirectory("graft-docs").toString
-    rows.toDF("doc_id", "text")
-      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    df.write.mode("overwrite").parquet(s"$dir/documents.parquet")
     dir
   }
 
@@ -267,18 +272,20 @@ class Round4QueriesSpec extends SparkTestBase {
   }
 
   test("q88: mixture weights equalize expected tokens per source") {
-    val dir = java.nio.file.Files.createTempDirectory("graft-docs").toString
-    Seq((1L, "a b c", "s1"), (2L, "d e", "s1"), (3L, "f g h i j k l", "s2"))
-      .toDF("doc_id", "text", "source")
-      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val dir = docsDirWithSource(Seq(
+      (1L, "a b c", "s1"), (2L, "d e", "s1"),
+      (3L, "f g h i j k l", "s2"),
+      (4L, "   ", "s4"))) // zero BPE tokens -> weight 0, not NULL/inf
     val r = TextStatsQueries.q88MixtureWeights(spark, dir)
       .collect().map(x => x.getString(0) ->
         (x.getLong(1), x.getLong(2), x.getDouble(3), x.getDouble(4))).toMap
-    // totals: 12 tokens over 2 sources -> 6-token uniform target
-    assert(r("s1") === ((2L, 5L, 0.416667, 1.2)))
-    assert(r("s2") === ((1L, 7L, 0.583333, 0.857143)))
+    // totals: 12 tokens over 3 sources -> 4-token uniform target
+    assert(r("s1") === ((2L, 5L, 0.416667, 0.8)))
+    assert(r("s2") === ((1L, 7L, 0.583333, 0.571429)))
+    assert(r("s4") === ((1L, 0L, 0.0, 0.0)))
     // the invariant the weights exist for: weight * tokens is constant
-    val budgets = r.values.map { case (_, tok, _, w) => w * tok }.toSeq
+    // over every source that has tokens
+    val budgets = r.values.collect { case (_, tok, _, w) if tok > 0 => w * tok }
     assert(budgets.forall(b => math.abs(b - budgets.head) < 1e-3))
   }
 

@@ -342,5 +342,13 @@ class StreamingOpsSpec extends SparkTestBase {
         Seq((1L, "x", "boom")).toDF("doc_id", "text", "h"), corpus)
     }
     assert(err.getMessage.contains("reserved column 'h'"))
+    // a duplicate-h corpus violates the artifact contract: construction
+    // fails (once, batch-side) instead of silently fanning out verdicts
+    val dupErr = intercept[IllegalArgumentException] {
+      StreamingOps.incrementalDedupVerdicts(
+        input.toDF.toDF("doc_id", "text"),
+        Seq(("aa", 1L), ("aa", 2L)).toDF("h", "c_id"))
+    }
+    assert(dupErr.getMessage.contains("unique per h"))
   }
 }
