@@ -152,6 +152,43 @@ class PlanSpec extends SparkTestBase {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("q81: every join broadcasts; ship-date cut pushed to the lineitem scan") {
+    val p = formatted(RelationalOps.q81VolumeShipping(spark, sf0001))
+    assert(p.contains("BroadcastHashJoin"))
+    assert(!p.contains("SortMergeJoin"),
+      "pair-restricted orders must broadcast under the fact join")
+    assert(p.contains("GreaterThanOrEqual(l_shipdate"))
+  }
+
+  test("q85: part-only OR-weakening reaches the part side as a filter") {
+    val p = formatted(RelationalOps.q85DisjunctiveRevenue(spark, sf0001))
+    // the build side must be pre-filtered on brand (the OR's part-only
+    // weakening), not the full dimension
+    assert(p.contains("p_brand"), "part pre-filter missing from the plan")
+    assert(p.contains("BroadcastHashJoin"))
+    assert(!p.contains("BroadcastNestedLoopJoin"),
+      "the cross-table OR must ride the equi-join as a residual")
+  }
+
+  test("q89: quantized scoring uses the native expressions and TopKPerKey") {
+    graft.functions.VectorFunctions.register(spark)
+    val p = formatted(AnnQueries.q89QuantizedTopK(spark, sf0001))
+    assert(p.contains("int_dot"), "IntDotProduct must drive the scoring")
+    assert(p.contains("int8_quantize"), "QuantizeInt8 must feed the dots")
+    assert(p.toLowerCase.contains("topkperkey"),
+      "ranking must plan through the bounded-heap operator")
+    // both expressions compile into generated code
+    import org.apache.spark.sql.functions.col
+    val proj = graft.Tables.embeddings(spark, sf0001)
+      .select(graft.functions.VectorFunctions.dotI(
+        graft.functions.VectorFunctions.quantize8(col("embedding")),
+        graft.functions.VectorFunctions.quantize8(col("embedding"))).as("d"))
+    val codegen = proj.queryExecution
+      .explainString(ExplainMode.fromString("codegen"))
+    assert(codegen.contains("getInt") && codegen.contains("fromPrimitiveArray"),
+      "QuantizeInt8/IntDotProduct must compile into generated code")
+  }
+
   test("q70 lake read: partition pruned at the scan, not post-filtered") {
     val p = formatted(EventQueries.q70PartitionPruning(spark, sf0001))
     // the Hive-layout scan must carry the partition predicate
