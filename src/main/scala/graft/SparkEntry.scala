@@ -15,7 +15,8 @@ object SparkEntry {
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    operators.RelationalOps.queries ++ operators.DocQueries.queries ++
+    operators.RelationalOps.queries ++ operators.SupplyChainOps.queries ++
+      operators.DocQueries.queries ++
       operators.DedupQueries.queries ++ operators.AnnQueries.queries ++
       operators.TextStatsQueries.queries ++ operators.EventQueries.queries ++
       operators.MultimodalQueries.queries ++ operators.Lab2Queries.queries
@@ -29,7 +30,8 @@ object SparkEntry {
     * must dump the SQL for the dir it actually ran (a baked-in default
     * dir would read a missing/stale index under any other gate dir). */
   def oracleSqlFor(sfDir: String): Map[String, String] =
-    operators.RelationalOps.oracles ++ operators.DocQueries.oracles ++
+    operators.RelationalOps.oracles ++ operators.SupplyChainOps.oracles ++
+      operators.DocQueries.oracles ++
       operators.DedupQueries.oracles ++ operators.AnnQueries.oraclesFor(sfDir) ++
       operators.TextStatsQueries.oracles ++ operators.EventQueries.oracles ++
       operators.MultimodalQueries.oracles ++ operators.Lab2Queries.oracles
