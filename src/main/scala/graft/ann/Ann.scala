@@ -93,14 +93,7 @@ object Ann {
   def lshTop1Banded(queries: DataFrame, corpus: DataFrame,
       bands: Int, rowsPerBand: Int, dim: Int): DataFrame = {
     VectorFunctions.register(queries.sparkSession)
-    val buckets = signLshBucketsBanded(corpus, "vec_id", "embedding", bands, rowsPerBand, dim)
-    val qids = queries.select(col("vec_id").as("qid"))
-    val qb = buckets.join(qids.withColumnRenamed("qid", "vec_id"), Seq("vec_id"), "left_semi")
-      .select(col("vec_id").as("qid"), col("band"), col("bucket"))
-    val cb = buckets.select(col("vec_id").as("nid"), col("band"), col("bucket"))
-    val candIds = qb.join(cb, Seq("band", "bucket"))
-      .filter(col("qid") =!= col("nid"))
-      .select(col("qid"), col("nid")).distinct()
+    val candIds = bandedCandidateIds(queries, corpus, bands, rowsPerBand, dim)
     val cands = candIds
       .join(queries.select(col("vec_id").as("qid"), col("embedding").as("qv")), Seq("qid"))
       .join(corpus.select(col("vec_id").as("nid"), col("embedding").as("nv")), Seq("nid"))
@@ -108,6 +101,25 @@ object Ann {
         round(VectorFunctions.dot(col("qv"), col("nv")), 6).as("cos"))
     val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("nid").asc)
     cands.withColumn("rk", row_number().over(w)).filter(col("rk") === 1).drop("rk")
+  }
+
+  /** OR-amplified candidate generation alone: the distinct (qid, nid)
+    * pairs sharing at least one band bucket with a query. Exposed
+    * separately from [[lshTop1Banded]] so recall-evaluation queries can
+    * measure the candidate set itself (q99) — the join moves bucket
+    * ids only, never vectors, and the distinct bounds the fan-out of
+    * OR-amplification before anything is scored.
+    */
+  def bandedCandidateIds(queries: DataFrame, corpus: DataFrame,
+      bands: Int, rowsPerBand: Int, dim: Int): DataFrame = {
+    val buckets = signLshBucketsBanded(corpus, "vec_id", "embedding", bands, rowsPerBand, dim)
+    val qids = queries.select(col("vec_id").as("qid"))
+    val qb = buckets.join(qids.withColumnRenamed("qid", "vec_id"), Seq("vec_id"), "left_semi")
+      .select(col("vec_id").as("qid"), col("band"), col("bucket"))
+    val cb = buckets.select(col("vec_id").as("nid"), col("band"), col("bucket"))
+    qb.join(cb, Seq("band", "bucket"))
+      .filter(col("qid") =!= col("nid"))
+      .select(col("qid"), col("nid")).distinct()
   }
 
   /** Exact brute-force cosine top-k: every query vector scored against

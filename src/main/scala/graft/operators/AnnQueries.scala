@@ -113,9 +113,14 @@ object AnnQueries {
       .select(col("qid"), col("nid"), col("cos"))
       .orderBy(col("qid"))
 
-  val q20Sql: String = {
+  /** Shared oracle CTE chain for the banded sign-LSH family: hyperplane
+    * projections → per-band buckets → distinct candidate (qid, nid)
+    * pairs. Ends with `cand`; used by q20 (top-1 over candidates) and
+    * q99 (candidate-set recall).
+    */
+  private val bandedCandCtes: String = {
     val total = LshBands * LshRowsPerBand
-    s"""WITH dims AS (
+    s"""dims AS (
        |  SELECT vec_id, j, CAST(embedding[CAST(j AS INTEGER) + 1] AS DOUBLE) AS v
        |  FROM embeddings, range($Dim) t(j)),
        |hp AS (
@@ -136,7 +141,11 @@ object AnnQueries {
        |  SELECT DISTINCT qb.vec_id AS qid, cb.vec_id AS nid
        |  FROM bkt qb JOIN q ON qb.vec_id = q.qid
        |       JOIN bkt cb ON cb.band = qb.band AND cb.bucket = qb.bucket
-       |  WHERE cb.vec_id <> qb.vec_id),
+       |  WHERE cb.vec_id <> qb.vec_id)""".stripMargin
+  }
+
+  val q20Sql: String =
+    s"""WITH $bandedCandCtes,
        |scored AS (
        |  SELECT c.qid, c.nid,
        |         round(${sqlDot("eq.embedding", "en.embedding")}, 6) AS cos
@@ -147,7 +156,50 @@ object AnnQueries {
        |         row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid ASC) AS rk
        |  FROM scored)
        |SELECT qid, nid, cos FROM best WHERE rk = 1 ORDER BY qid""".stripMargin
+
+  // ---------------------------------------------------------------- q99
+  /** Candidate-set recall@k of the banded LSH index against exact
+    * brute-force top-k — the evaluation loop any ANN deployment runs
+    * before trusting an index. Exact side: the bounded-heap
+    * TopKPerKeyExec ranking ([[Ann.bruteForceTopKViaOperator]]);
+    * approximate side: [[Ann.bandedCandidateIds]] (ids only, no
+    * scoring — recall of the CANDIDATE set upper-bounds recall of any
+    * top-k it could produce). LEFT JOIN + grouped hit-count per query;
+    * at scale both sides are id-pair streams keyed by qid, so the
+    * join and the aggregate share one qid-hashed exchange.
+    */
+  val RecallK = 10
+
+  def q99AnnRecall(s: SparkSession, dir: String): DataFrame = {
+    val hits = col("hit").isNotNull.cast("long")
+    Ann.bruteForceTopKViaOperator(querySubset(s, dir), emb(s, dir), RecallK)
+      .select(col("qid"), col("nid"))
+      .join(
+        Ann.bandedCandidateIds(querySubset(s, dir), emb(s, dir),
+            LshBands, LshRowsPerBand, Dim)
+          .withColumn("hit", lit(1L)),
+        Seq("qid", "nid"), "left_outer")
+      .groupBy(col("qid"))
+      .agg(sum(hits).as("n_hit"),
+        round(sum(hits) / lit(RecallK.toDouble), 6).as("recall"))
+      .orderBy(col("qid"))
   }
+
+  val q99Sql: String =
+    s"""WITH $bandedCandCtes,
+       |topk AS (
+       |  SELECT qid, nid FROM (
+       |    SELECT q.qid, e.vec_id AS nid,
+       |           row_number() OVER (PARTITION BY q.qid
+       |             ORDER BY round(${sqlDot("eq.embedding", "e.embedding")}, 6) DESC, e.vec_id ASC) AS rk
+       |    FROM q JOIN embeddings eq ON eq.vec_id = q.qid
+       |    CROSS JOIN embeddings e
+       |    WHERE e.vec_id <> q.qid)
+       |  WHERE rk <= $RecallK)
+       |SELECT t.qid, CAST(count(c.nid) AS BIGINT) AS n_hit,
+       |       round(count(c.nid) / ${RecallK}.0, 6) AS recall
+       |FROM topk t LEFT JOIN cand c ON c.qid = t.qid AND c.nid = t.nid
+       |GROUP BY t.qid ORDER BY t.qid""".stripMargin
 
   // ---------------------------------------------------------------- q22
   /** Sign-LSH bucket assignment for every vector (8 md5-derived
@@ -394,6 +446,7 @@ object AnnQueries {
     "q47_embedding_centroids" -> (q47EmbeddingCentroids _),
     "q49_nearest_centroid" -> (q49NearestCentroid _),
     "q89_quantized_topk" -> (q89QuantizedTopK _),
+    "q99_ann_recall" -> (q99AnnRecall _),
   )
 
   /** Oracles whose SQL depends on the gate's sf dir (q43 reads the
@@ -408,6 +461,7 @@ object AnnQueries {
     "q47_embedding_centroids" -> q47Sql,
     "q49_nearest_centroid" -> q49Sql,
     "q89_quantized_topk" -> q89Sql,
+    "q99_ann_recall" -> q99Sql,
   )
 
   /** Contract default (the driver's gate runs at sf0.01). */

@@ -134,21 +134,27 @@ object DedupQueries {
       .orderBy(col("doc_id"))
   }
 
-  val q19Sql: String = {
-    // q16's pair pipeline verbatim (shared CTE chain), then min-id
-    // reachability: reach(id, comp) accumulates every label reachable
-    // from id after closure; GROUP BY min gives the cluster minimum.
-    s"""WITH RECURSIVE $q16Ctes,
-       |edges AS (SELECT a, b FROM jac WHERE jaccard >= $LshJaccardThreshold),
+  /** Min-label transitive closure over the q16 pair set (q16's CTE
+    * chain feeds `jac`): edges → symmetric closure → reach(id, comp)
+    * accumulating every label reachable after closure → `comp` with
+    * the per-cluster minimum. Shared by q19 and q100.
+    */
+  private val ccCtes: String =
+    s"""edges AS (SELECT a, b FROM jac WHERE jaccard >= $LshJaccardThreshold),
        |sym AS (SELECT a AS src, b AS dst FROM edges
        |        UNION ALL SELECT b AS src, a AS dst FROM edges),
        |reach(id, comp) AS (
        |  SELECT doc_id, doc_id FROM documents
        |  UNION
-       |  SELECT e.dst, r.comp FROM reach r JOIN sym e ON e.src = r.id)
-       |SELECT id AS doc_id, CAST(min(comp) AS BIGINT) AS component
-       |FROM reach GROUP BY id ORDER BY doc_id""".stripMargin
-  }
+       |  SELECT e.dst, r.comp FROM reach r JOIN sym e ON e.src = r.id),
+       |comp AS (
+       |  SELECT id AS doc_id, CAST(min(comp) AS BIGINT) AS component
+       |  FROM reach GROUP BY id)""".stripMargin
+
+  val q19Sql: String =
+    s"""WITH RECURSIVE $q16Ctes,
+       |$ccCtes
+       |SELECT doc_id, component FROM comp ORDER BY doc_id""".stripMargin
 
   // ---------------------------------------------------------------- q44
   /** Connected components over a LINEAR-size synthetic graph — the
@@ -698,7 +704,46 @@ object DedupQueries {
        |ORDER BY l.doc_id""".stripMargin
   }
 
+  // ---------------------------------------------------------------- q100
+  /** Dedup survivorship — the curation end-product a training-data
+    * pipeline actually ships: one verdict row per document. survivor_id
+    * is the document's near-dup cluster minimum (q19's components);
+    * the verdict distinguishes byte-exact duplicates (q14's text-hash
+    * canonical beats the doc) from near-duplicates (cluster minimum
+    * beats the doc) from kept survivors. Exact dups are always
+    * near-dup-cluster members too — identical text means identical
+    * token sets, identical minhash signatures, equal buckets in every
+    * band, Jaccard 1 — so component ≤ canonical_id ≤ doc_id and the
+    * CASE order is total. One extra text-hash aggregate + a doc_id
+    * equi-join on top of the q19 clustering; at scale both sides are
+    * already doc_id-keyed.
+    */
+  def q100DedupSurvivorship(s: SparkSession, dir: String): DataFrame = {
+    val exact = Dedup.canonicalIds(Tables.documents(s, dir), "doc_id", "text")
+      .select(col("id").as("doc_id"), col("canonical_id"))
+    exact.join(q19DupClusters(s, dir), Seq("doc_id"))
+      .select(col("doc_id"), col("component").as("survivor_id"),
+        when(col("canonical_id") < col("doc_id"), "exact_dup")
+          .when(col("component") < col("doc_id"), "near_dup")
+          .otherwise("kept").as("verdict"))
+      .orderBy(col("doc_id"))
+  }
+
+  val q100Sql: String =
+    s"""WITH RECURSIVE $q16Ctes,
+       |$ccCtes,
+       |exact AS (
+       |  SELECT doc_id, min(doc_id) OVER (PARTITION BY md5(text)) AS canonical_id
+       |  FROM documents)
+       |SELECT e.doc_id, c.component AS survivor_id,
+       |  CASE WHEN e.canonical_id < e.doc_id THEN 'exact_dup'
+       |       WHEN c.component < e.doc_id THEN 'near_dup'
+       |       ELSE 'kept' END AS verdict
+       |FROM exact e JOIN comp c ON c.doc_id = e.doc_id
+       |ORDER BY e.doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q100_dedup_survivorship" -> (q100DedupSurvivorship _),
     "q87_boilerplate_share" -> (q87BoilerplateShare _),
     "q76_decontamination" -> (q76Decontamination _),
     "q78_incremental_dedup" -> (q78IncrementalDedup _),
@@ -715,6 +760,7 @@ object DedupQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q100_dedup_survivorship" -> q100Sql,
     "q87_boilerplate_share" -> q87Sql,
     "q76_decontamination" -> q76Sql,
     "q78_incremental_dedup" -> q78Sql,

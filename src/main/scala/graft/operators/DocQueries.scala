@@ -357,7 +357,58 @@ object DocQueries {
        |ORDER BY s.source, l.lang""".stripMargin
   }
 
+  // ---------------------------------------------------------------- q98
+  /** Zipf rank–frequency regression: least-squares slope of
+    * ln(frequency) against ln(rank) over the corpus vocabulary. The
+    * log points are quantized to integer milli-nats BEFORE the moment
+    * sums, so Σx/Σy/Σxy/Σxx are exact longs in any summation order on
+    * both engines, and the slope/intercept divisions run on
+    * bit-identical integers (the same discipline as the scaled-long
+    * money sums — a raw double Σxy would drift with partitioning).
+    * The slope is scale-free (the 1e3 cancels); the intercept is
+    * divided back to nats. One vocabulary-sized aggregate, a
+    * vocabulary-sized rank window, then a 1-row moment aggregate.
+    */
+  def q98ZipfSlope(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val freq = TfIdf.tokens(Tables.documents(s, dir), "doc_id", "text")
+      .groupBy(col("word")).agg(count(lit(1)).as("f"))
+    val pts = freq
+      .withColumn("r", row_number().over(Window.orderBy(col("f").desc, col("word"))))
+      .select(
+        round(log(col("r").cast("double")) * 1000, 0).cast("long").as("x"),
+        round(log(col("f").cast("double")) * 1000, 0).cast("long").as("y"))
+    val m = pts.agg(
+      count(lit(1)).as("n"), sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+      sum(col("x") * col("y")).as("sxy"), sum(col("x") * col("x")).as("sxx"))
+    val slope = (col("n") * col("sxy") - col("sx") * col("sy")).cast("double") /
+      (col("n") * col("sxx") - col("sx") * col("sx")).cast("double")
+    m.select(
+      col("n").as("n_words"),
+      round(slope, 6).as("zipf_slope"),
+      round((col("sy").cast("double") - slope * col("sx").cast("double")) /
+        (col("n").cast("double") * 1000.0), 6).as("intercept_nats"))
+  }
+
+  val q98Sql: String =
+    s"""WITH $tfidfCtes,
+       |freq AS (SELECT word, count(*) AS f FROM filt GROUP BY word),
+       |rk AS (SELECT f, row_number() OVER (ORDER BY f DESC, word) AS r FROM freq),
+       |pts AS (SELECT CAST(round(ln(CAST(r AS DOUBLE))*1000, 0) AS BIGINT) AS x,
+       |               CAST(round(ln(CAST(f AS DOUBLE))*1000, 0) AS BIGINT) AS y
+       |        FROM rk),
+       |m AS (SELECT CAST(count(*) AS BIGINT) AS n,
+       |             CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+       |             CAST(sum(x*y) AS BIGINT) AS sxy, CAST(sum(x*x) AS BIGINT) AS sxx
+       |      FROM pts)
+       |SELECT n AS n_words,
+       |  round(CAST(n*sxy - sx*sy AS DOUBLE) / CAST(n*sxx - sx*sx AS DOUBLE), 6) AS zipf_slope,
+       |  round((CAST(sy AS DOUBLE) - (CAST(n*sxy - sx*sy AS DOUBLE) / CAST(n*sxx - sx*sx AS DOUBLE)) * CAST(sx AS DOUBLE))
+       |        / (CAST(n AS DOUBLE) * 1000.0), 6) AS intercept_nats
+       |FROM m""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q98_zipf_slope" -> (q98ZipfSlope _),
     "q67_unpivot_source_langs" -> (q67UnpivotSourceLangs _),
     "q10_tokens_tf" -> (q10TokensTf _),
     "q11_doc_freq" -> (q11DocFreq _),
@@ -371,6 +422,7 @@ object DocQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q98_zipf_slope" -> q98Sql,
     "q67_unpivot_source_langs" -> q67Sql,
     "q10_tokens_tf" -> q10Sql,
     "q11_doc_freq" -> q11Sql,

@@ -531,7 +531,47 @@ object TextStatsQueries {
        |FROM per_source, tot
        |ORDER BY source""".stripMargin
 
+  // ---------------------------------------------------------------- q97
+  /** Bigram-vocabulary growth curve (the Heaps'-law sweep a corpus
+    * curation run uses to check diminishing novelty): how many NEW
+    * distinct word-bigrams each 50-document slice contributes, plus
+    * the running vocabulary size. "First occurrence" is a grouped
+    * `min(doc_id)` per bigram — one vocabulary-sized shuffle, never a
+    * scan-order pass, so the result is identical under any
+    * partitioning. Bigrams (not unigrams: this corpus's ~30-word
+    * unigram vocabulary saturates inside the first bucket) reuse the
+    * codegen positional-shingle pipeline. The cumulative sum runs on
+    * the bucket table only — corpus/50 rows, a deliberately
+    * driver-sized single-partition window, not an O(rows) funnel.
+    */
+  def q97VocabGrowth(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val first = graft.dedup.Dedup
+      .positionalShingles(Tables.documents(s, dir), "doc_id", "text", 2)
+      .groupBy(col("shingle")).agg(min(col("id")).as("first_doc"))
+    val buckets = first
+      .groupBy(expr("first_doc div 50").as("bucket"))
+      .agg(count(lit(1)).as("new_bigrams"))
+    buckets
+      .withColumn("cum_vocab", sum(col("new_bigrams")).over(
+        Window.orderBy(col("bucket"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .orderBy(col("bucket"))
+  }
+
+  val q97Sql: String =
+    s"""WITH $listsCte,
+       |bg AS (SELECT doc_id,
+       |         unnest(list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i+1])) AS shingle
+       |       FROM lists),
+       |first AS (SELECT shingle, min(doc_id) AS first_doc FROM bg GROUP BY shingle),
+       |b AS (SELECT CAST(first_doc // 50 AS BIGINT) AS bucket, count(*) AS new_bigrams FROM first GROUP BY 1)
+       |SELECT bucket, new_bigrams,
+       |       CAST(sum(new_bigrams) OVER (ORDER BY bucket ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_vocab
+       |FROM b ORDER BY bucket""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q97_vocab_growth" -> (q97VocabGrowth _),
     "q88_mixture_weights" -> (q88MixtureWeights _),
     "q71_repetition_ratios" -> (q71RepetitionRatios _),
     "q72_token_chunks" -> (q72TokenChunks _),
@@ -548,6 +588,7 @@ object TextStatsQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q97_vocab_growth" -> q97Sql,
     "q88_mixture_weights" -> q88Sql,
     "q71_repetition_ratios" -> q71Sql,
     "q72_token_chunks" -> q72Sql,
