@@ -14,7 +14,9 @@ import org.apache.spark.sql.SparkSession
   * set: measured at sf0.1, 77 of 86 s is edge generation on this
   * deliberately self-similar corpus, 16 s the CC loop over the
   * resulting 4M edges — see SCALE.md; q44 benches the CC loop itself
-  * on a linear-size chain+random graph instead), queries that are strict
+  * on a linear-size chain+random graph instead; q100 survivorship
+  * composes the same q16→q19 chain and is excluded for the same
+  * reason), queries that are strict
   * prefixes/aggregations/SQL-surface twins of included ones (q6, q11,
   * q23, q45, q46, q51, q53 — q46 is q13 through the SIMILARITY_TOP1
   * hint, q45 is fixture-sized), and the fixture-sized q54/q55 (input
@@ -51,7 +53,11 @@ object Bench {
     "q83_order_count_distribution", "q84_small_qty_revenue",
     "q85_disjunctive_revenue", "q86_market_share",
     "q87_boilerplate_share", "q88_mixture_weights", "q89_quantized_topk",
-    "q90_top_supplier")
+    "q90_top_supplier",
+    "q91_forecast_revenue", "q92_ship_delay_modes", "q93_product_profit",
+    "q94_min_cost_supplier", "q95_important_stock",
+    "q96_concentrated_shippers", "q97_vocab_growth", "q98_zipf_slope",
+    "q99_ann_recall")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

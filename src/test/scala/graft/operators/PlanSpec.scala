@@ -189,6 +189,48 @@ class PlanSpec extends SparkTestBase {
       "QuantizeInt8/IntDotProduct must compile into generated code")
   }
 
+  test("q91: all three predicates pushed to the lineitem scan; two-column read") {
+    val p = formatted(SupplyChainOps.q91ForecastRevenue(spark, sf0001))
+    assert(p.contains("GreaterThanOrEqual(l_shipdate"))
+    assert(p.contains("GreaterThanOrEqual(l_discount"))
+    assert(p.contains("LessThan(l_quantity"))
+    assert(!p.contains("l_partkey"), "scan must not read unused columns")
+    assert(p.contains("HashAggregate"))
+  }
+
+  test("q93: part/supplier/nation dims broadcast; shipdate-less scan stays pruned") {
+    val p = formatted(SupplyChainOps.q93ProductProfit(spark, sf0001))
+    assert(p.contains("BroadcastHashJoin"))
+    assert(!p.contains("BroadcastNestedLoopJoin"))
+    assert(!p.contains("CartesianProduct"))
+    assert(!p.contains("l_shipdate"), "q93 must not read shipdate")
+  }
+
+  test("q94: window min per part, broadcast dims, no self-join of ps") {
+    val p = formatted(SupplyChainOps.q94MinCostSupplier(spark, sf0001))
+    assert(p.contains("Window"))
+    // exactly ONE aggregate family over lineitem (the ps derivation):
+    // a join-back min would add a second Exchange on ps_partkey
+    assert(p.contains("BroadcastHashJoin"))
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("q96: supplier qualification is a LEFT SEMI join") {
+    val p = formatted(SupplyChainOps.q96ConcentratedShippers(spark, sf0001))
+    assert(p.contains("LeftSemi"), s"expected LEFT SEMI:\n$p")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("q99: candidate join moves ids only — no embedding column crosses it") {
+    val p = formatted(AnnQueries.q99AnnRecall(spark, sf0001))
+    // the band-bucket candidate join must not carry vectors
+    val joinLines = p.linesIterator.filter(l =>
+      l.contains("BroadcastHashJoin") || l.contains("SortMergeJoin")).mkString("\n")
+    assert(joinLines.nonEmpty)
+    assert(!joinLines.contains("embedding"),
+      s"candidate join must be ids-only:\n$joinLines")
+  }
+
   test("q70 lake read: partition pruned at the scan, not post-filtered") {
     val p = formatted(EventQueries.q70PartitionPruning(spark, sf0001))
     // the Hive-layout scan must carry the partition predicate
