@@ -75,6 +75,33 @@ object StreamingOps {
       .groupBy(col("source"))
       .agg(sum(col("bpe")).as("tokens"), count(lit(1)).as("n_docs"))
 
+  /** Streaming twin of q97's vocabulary-growth semantics
+    * ([[graft.operators.TextStatsQueries.q97VocabGrowth]]): the
+    * stateful first-occurrence filter. Each arriving document's
+    * bigrams pass `dropDuplicates` exactly once corpus-wide, so the
+    * sink sees every vocabulary item a single time and the
+    * per-micro-batch output volume IS the novelty curve. State is one
+    * entry per distinct bigram — the same O(vocabulary) the batch
+    * `min(doc_id)` aggregate holds, and (Heaps' law) sublinear in
+    * corpus size. Deliberately unwatermarked: vocabulary state must
+    * live for the corpus lifetime — a watermarked variant would
+    * re-admit re-appearing bigrams after the horizon.
+    *
+    * Bigram generation here is the ROW-LOCAL array form
+    * ([[graft.dedup.Dedup.shinglesCol]]), not the batch path's
+    * posexplode+LEAD pipeline ([[graft.dedup.Dedup.positionalShingles]]):
+    * LEAD is a non-time window, which streaming rejects outright
+    * ([NON_TIME_WINDOW_NOT_SUPPORTED_IN_STREAMING]). Same tokenization
+    * contract (normalize, split, drop empties), same bigram set —
+    * spec'd set-equal to the batch pipeline.
+    */
+  def firstOccurrenceBigrams(docs: DataFrame): DataFrame = {
+    val toks = filter(split(graft.text.TextPrep.normalize(col("text")), " "),
+      t => t =!= "")
+    docs.select(explode(graft.dedup.Dedup.shinglesCol(toks, 2)).as("shingle"))
+      .dropDuplicates("shingle")
+  }
+
   /** Watermark-scoped exact-once dedup on event_id. NB plain
     * `dropDuplicates("event_id")` would keep state per id FOREVER (the
     * watermark only GCs dedup state when the event-time column is part

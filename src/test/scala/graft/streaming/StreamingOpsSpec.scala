@@ -124,6 +124,43 @@ class StreamingOpsSpec extends SparkTestBase {
     assert(streamed.nonEmpty)
   }
 
+  test("first-occurrence bigrams: novelty per micro-batch sums to the batch vocabulary") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, String)]
+    val df = input.toDF.toDF("doc_id", "text")
+    val round1 = Seq((0L, "big data small data"), (1L, "big data big model"))
+    val round2 = Seq((2L, "small data big model"), (3L, "new words entirely here"))
+    def distinctBigrams(rows: Seq[(Long, String)]): Set[String] =
+      rows.flatMap(_._2.split(" ").sliding(2).filter(_.length == 2)
+        .map(_.mkString(" "))).toSet
+    val q = StreamingOps.firstOccurrenceBigrams(df).writeStream
+      .outputMode("append").format("memory").queryName("vocab_out").start()
+    try {
+      input.addData(round1: _*); q.processAllAvailable()
+      val after1 = spark.table("vocab_out").collect().map(_.getString(0))
+      assert(after1.toSet === distinctBigrams(round1))
+      assert(after1.length === after1.toSet.size, "each bigram emitted once")
+      input.addData(round2: _*); q.processAllAvailable()
+      val after2 = spark.table("vocab_out").collect().map(_.getString(0))
+      // round 2 contributed only the bigrams NOT already in state
+      assert(after2.toSet === distinctBigrams(round1 ++ round2))
+      assert(after2.length === after2.toSet.size)
+      assert(after2.length > after1.length)
+    } finally q.stop()
+  }
+
+  test("row-local bigram generator equals the batch positional-shingle pipeline") {
+    val docs = graft.Tables.documents(spark, sf0001)
+    val streamingPath = StreamingOps.firstOccurrenceBigrams(docs)
+      .collect().map(_.getString(0)).toSet
+    val batchPath = graft.dedup.Dedup
+      .positionalShingles(docs, "doc_id", "text", 2)
+      .select("shingle").distinct()
+      .collect().map(_.getString(0)).toSet
+    assert(streamingPath === batchPath)
+    assert(streamingPath.nonEmpty)
+  }
+
   test("streaming dedup drops replayed event_ids") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(Long, Timestamp, Long, String, Double)]
