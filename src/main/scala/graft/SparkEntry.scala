@@ -19,7 +19,8 @@ object SparkEntry {
       operators.DocQueries.queries ++
       operators.DedupQueries.queries ++ operators.AnnQueries.queries ++
       operators.TextStatsQueries.queries ++ operators.EventQueries.queries ++
-      operators.MultimodalQueries.queries ++ operators.Lab2Queries.queries
+      operators.MultimodalQueries.queries ++ operators.Lab2Queries.queries ++
+      operators.GraphQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -34,5 +35,6 @@ object SparkEntry {
       operators.DocQueries.oracles ++
       operators.DedupQueries.oracles ++ operators.AnnQueries.oraclesFor(sfDir) ++
       operators.TextStatsQueries.oracles ++ operators.EventQueries.oracles ++
-      operators.MultimodalQueries.oracles ++ operators.Lab2Queries.oracles
+      operators.MultimodalQueries.oracles ++ operators.Lab2Queries.oracles ++
+      operators.GraphQueries.oracles
 }

@@ -1,0 +1,92 @@
+package graft.graph
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Distributed graph primitives beyond connected components
+  * ([[graft.dedup.Dedup.connectedComponents]]) and triangle counting
+  * ([[graft.operators.DedupQueries]] q66): the link-analysis family.
+  *
+  * PageRank here is FIXED-POINT INTEGER PageRank: all mass is carried
+  * as scaled longs and every per-edge contribution is an integer floor
+  * division. Two reasons, both scale-driven:
+  *
+  *  - '''Reproducibility.''' Double-precision PageRank sums per-edge
+  *    contributions, so the result depends on reduce order — re-runs on
+  *    a different partitioning (or a different engine) drift in the low
+  *    bits, which poisons hash-style regression gates and makes
+  *    curation decisions ("drop the bottom decile by rank") flap.
+  *    Integer sums are associative-exact: ANY partitioning, ANY engine
+  *    with 64-bit integer division produces bit-identical ranks.
+  *  - '''Honest error bound.''' The floor division discards < 1 scaled
+  *    unit per out-edge per round — with scale 1e9 that is a relative
+  *    error < outdeg/1e9 per vertex-round, far below any ranking
+  *    decision threshold, and (unlike float drift) deterministic.
+  *
+  * The iteration shape is the standard one: contributions are an
+  * edges⋈ranks equi-join on `src` partitioned by key, the new rank a
+  * partial-aggregated `sum` shuffled on `dst` — per round, one join
+  * exchange (the degree-annotated edge table is materialized once and
+  * reused) and one agg exchange, both on vertex keys. No driver-side
+  * state, no collects; rounds are a fixed count, so the lineage depth
+  * is bounded and needs no checkpoint truncation.
+  */
+object GraphOps {
+
+  /** Fixed-point PageRank over a directed edge multiset.
+    *
+    * @param vertices one column `id` (LongType); every vertex receives
+    *                 the teleport base even with no in-edges
+    * @param edges    columns `src`, `dst`; parallel edges are honored
+    *                 (multigraph semantics — each copy carries its own
+    *                 contribution). Dangling vertices (no out-edges)
+    *                 simply leak their damped mass, the conventional
+    *                 simplification; symmetrize the input for undirected
+    *                 graphs and none are dangling.
+    * @param iters    number of synchronous rounds (fixed, so both the
+    *                 plan size and the oracle unrolling are bounded)
+    * @param scale    fixed-point scale for the initial rank of every
+    *                 vertex. With damping 85/100 the total mass is
+    *                 bounded by n·scale, so `scale` must satisfy
+    *                 85·n·scale < 2^63 — at scale 1e9 that holds to
+    *                 n ≈ 10^8 vertices; shrink `scale` for larger
+    *                 graphs (documented contract, enforced below
+    *                 against the actual vertex count).
+    * @return (id, pr) with `pr` the scaled long rank after `iters`
+    *         rounds
+    */
+  def pageRankScaled(vertices: DataFrame, edges: DataFrame, iters: Int,
+      scale: Long = 1000000000L): DataFrame = {
+    require(iters >= 1, s"pageRankScaled: iters must be >= 1, got $iters")
+    require(scale >= 1000L, s"pageRankScaled: scale too small ($scale)")
+    val base = scale * 15L / 100L
+
+    // Degree-annotated edges are the loop-invariant operand of every
+    // round's join — materialize once (localCheckpoint also truncates
+    // the upstream generator lineage out of all later plans). At lake
+    // scale this is the persisted, vertex-bucketed edge layout.
+    val outdeg = edges.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
+    val edgesD = edges.join(outdeg, "src").localCheckpoint()
+
+    // Overflow guard on the REAL vertex count (cheap: outdeg side is
+    // already materialized; vertices is a 1-row agg). 85·n·scale < 2^63.
+    val n = vertices.agg(count(lit(1)).as("n")).head().getLong(0)
+    require(n == 0 || scale <= Long.MaxValue / 100L / n,
+      s"pageRankScaled: scale=$scale overflows 64-bit mass at n=$n vertices"
+        + " — pass a smaller scale")
+
+    var pr = vertices.select(col("id"), lit(scale).as("pr"))
+    for (_ <- 1 to iters) {
+      val sums = edgesD
+        .join(pr, edgesD("src") === pr("id"))
+        .select(col("dst"), expr("pr div outdeg").as("contrib"))
+        .groupBy(col("dst"))
+        .agg(sum(col("contrib")).as("s"))
+      pr = vertices
+        .join(sums, vertices("id") === sums("dst"), "left")
+        .select(vertices("id"),
+          (lit(base) + expr("(85 * coalesce(s, 0L)) div 100")).as("pr"))
+    }
+    pr
+  }
+}

@@ -175,6 +175,18 @@ object DedupQueries {
     */
   def q44CcSynth(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(s, dir).select(col("doc_id"))
+    Dedup.connectedComponents(docs.select(col("doc_id").as("id")),
+        synthEdges(s, dir))
+      .select(col("id").as("doc_id"), col("component"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** The q44 synthetic edge set (chain + multiplicative-hash jumps) as a
+    * reusable graph fixture — q101's PageRank runs over the same edges
+    * so the two graph primitives are benchmarked on identical input.
+    */
+  def synthEdges(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir).select(col("doc_id"))
     val n = docs.agg((max(col("doc_id")) + 1).as("n"))
     val chain = docs.as("x").join(docs.as("y"),
         col("x.doc_id") + 1 === col("y.doc_id"))
@@ -189,15 +201,12 @@ object DedupQueries {
       // but keeps Spark/oracle semantics aligned by construction)
       .join(docs.select(col("doc_id").as("b")), Seq("b"), "left_semi")
       .select(col("a"), col("b"))
-    val edges = chain.unionAll(jump)
-    Dedup.connectedComponents(docs.select(col("doc_id").as("id")), edges)
-      .select(col("id").as("doc_id"), col("component"))
-      .orderBy(col("doc_id"))
+    chain.unionAll(jump)
   }
 
-  val q44Sql: String =
-    """WITH RECURSIVE
-      |nn AS (SELECT max(doc_id) + 1 AS n FROM documents),
+  /** DuckDB CTEs producing the same `edges(a, b)` multiset. */
+  val synthEdgeCtes: String =
+    """nn AS (SELECT max(doc_id) + 1 AS n FROM documents),
       |chain AS (
       |  SELECT x.doc_id AS a, y.doc_id AS b
       |  FROM documents x JOIN documents y ON y.doc_id = x.doc_id + 1
@@ -208,7 +217,11 @@ object DedupQueries {
       |    FROM documents d CROSS JOIN nn WHERE d.doc_id % 7 = 0) j
       |  JOIN documents t ON t.doc_id = j.b
       |  WHERE j.a <> j.b),
-      |edges AS (SELECT a, b FROM chain UNION ALL SELECT a, b FROM jump),
+      |edges AS (SELECT a, b FROM chain UNION ALL SELECT a, b FROM jump)""".stripMargin
+
+  val q44Sql: String =
+    s"""WITH RECURSIVE
+      |$synthEdgeCtes,
       |sym AS (SELECT a AS src, b AS dst FROM edges
       |        UNION ALL SELECT b AS src, a AS dst FROM edges),
       |reach(id, comp) AS (

@@ -1,0 +1,75 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.graph.GraphOps
+
+/** Link-analysis queries over the synthetic document graph (the q44
+  * edge fixture), each with a DuckDB oracle. Complements the other two
+  * graph primitives (connected components q19/q44, triangles q66) with
+  * the iterative-propagation family.
+  */
+object GraphQueries {
+
+  val PrIters = 3
+  val PrScale = 1000000000L
+
+  // --------------------------------------------------------------- q101
+  /** Fixed-point PageRank ([[GraphOps.pageRankScaled]]) over the
+    * symmetrized q44 graph — the centrality signal a curation pipeline
+    * uses to weight documents by their position in a similarity/link
+    * graph (well-connected hub docs vs isolated tails).
+    *
+    * Every rank is a scaled long and every reduction an integer sum,
+    * so the result is bit-identical under any partitioning AND in the
+    * oracle: DuckDB replays the same three unrolled rounds with `//`
+    * floor division (identical to Spark's `div` on the all-positive
+    * mass values; DuckDB's wider HUGEINT intermediate sums agree with
+    * Spark's exact long sums because nothing overflows 63 bits — the
+    * operator `require`s that against the real vertex count).
+    */
+  def q101PageRank(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir).select(col("doc_id").as("id"))
+    val e = DedupQueries.synthEdges(s, dir)
+    val sym = e.select(col("a").as("src"), col("b").as("dst"))
+      .unionAll(e.select(col("b").as("src"), col("a").as("dst")))
+    GraphOps.pageRankScaled(docs, sym, PrIters, PrScale)
+      .select(col("id").as("doc_id"), col("pr").as("pr_scaled"))
+      .orderBy(col("doc_id"))
+  }
+
+  val q101Sql: String = {
+    val base = PrScale * 15L / 100L
+    def round(prev: String, it: String): String =
+      s"""$it AS (
+         |  SELECT v.id,
+         |         CAST($base + (85 * coalesce(s.s, 0)) // 100 AS BIGINT) AS pr
+         |  FROM $prev v LEFT JOIN (
+         |    SELECT e.dst, sum(p.pr // o.d) AS s
+         |    FROM sym e JOIN outdeg o ON o.src = e.src
+         |               JOIN $prev p ON p.id = e.src
+         |    GROUP BY e.dst) s ON s.dst = v.id)"""
+    val rounds = (1 to PrIters)
+      .map(i => round(if (i == 1) "pr0" else s"it${i - 1}", s"it$i"))
+      .mkString(",\n")
+    s"""WITH ${DedupQueries.synthEdgeCtes},
+       |sym AS (SELECT a AS src, b AS dst FROM edges
+       |        UNION ALL SELECT b AS src, a AS dst FROM edges),
+       |outdeg AS (SELECT src, count(*) AS d FROM sym GROUP BY src),
+       |pr0 AS (SELECT doc_id AS id, CAST($PrScale AS BIGINT) AS pr
+       |        FROM documents),
+       |$rounds
+       |SELECT id AS doc_id, pr AS pr_scaled FROM it$PrIters
+       |ORDER BY doc_id""".stripMargin
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q101_pagerank" -> (q101PageRank _),
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q101_pagerank" -> q101Sql,
+  )
+}
