@@ -257,6 +257,40 @@ object Ann {
       .filter(col("cos") >= minCos)
   }
 
+  /** SemDeDup-style semantic near-duplicate verdicts (Abbas et al.
+    * 2023, arXiv:2303.09540): bucket the corpus by nearest centroid,
+    * then prune any vector whose cosine to an EARLIER (lower-id) vector
+    * in the same cluster reaches `minCos`. The cluster bucketing is
+    * what makes semantic dedup scale: candidate pairs are within-
+    * cluster only — an equi-join on `cluster` (one keyed exchange per
+    * side, never a corpus×corpus cross product), n²/C comparisons for
+    * balanced clusters, tunable by centroid count. Keep-the-earliest
+    * is the deterministic single-pass rule: verdicts depend only on
+    * the pair set, not on visit order, so re-runs and engines agree.
+    *
+    * @param assigned (vec_id, cluster, embedding) — nearest-centroid
+    *                 assignment, typically a persisted offline artifact
+    *                 like the IVF inverted file
+    * @return (vec_id, cluster, verdict, dup_of): `semantic_dup` with
+    *         the minimum qualifying earlier id, or `kept` (dup_of null)
+    */
+  def semanticDedupVerdicts(assigned: DataFrame, minCos: Double): DataFrame = {
+    VectorFunctions.register(assigned.sparkSession)
+    val a = assigned.select(col("vec_id").as("a"), col("cluster"),
+      col("embedding").as("av"))
+    val b = assigned.select(col("vec_id").as("b"), col("cluster"),
+      col("embedding").as("bv"))
+    val dupOf = a.join(b, Seq("cluster"))
+      .filter(col("a") < col("b"))
+      .filter(round(VectorFunctions.dot(col("av"), col("bv")), 6) >= minCos)
+      .groupBy(col("b")).agg(min(col("a")).as("dup_of"))
+    assigned.join(dupOf, assigned("vec_id") === dupOf("b"), "left")
+      .select(col("vec_id"), col("cluster"),
+        when(col("dup_of").isNotNull, lit("semantic_dup"))
+          .otherwise(lit("kept")).as("verdict"),
+        col("dup_of"))
+  }
+
   // ------------------------------------------------------------- IVF
   /** IVF coarse index: KMeans cluster id per corpus vector plus the
     * centroid table. The standard inverted-file ANN layout — at scale

@@ -386,12 +386,18 @@ object AnnQueries {
     * confusion signal (true label vs predicted) is the standard
     * embedding-space curation diagnostic.
     */
-  def q49NearestCentroid(s: SparkSession, dir: String): DataFrame = {
-    graft.functions.VectorFunctions.register(s)
-    val centArr = q47EmbeddingCentroids(s, dir)
+  /** q47's long-form centroids assembled into broadcastable arrays —
+    * the tiny (labels × dim) side of every centroid-scoring query.
+    */
+  private def centroidArrays(s: SparkSession, dir: String): DataFrame =
+    q47EmbeddingCentroids(s, dir)
       .groupBy(col("label").as("c_label"))
       .agg(transform(array_sort(collect_list(struct(col("j"), col("m")))),
         x => x.getField("m")).as("centroid"))
+
+  def q49NearestCentroid(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.VectorFunctions.register(s)
+    val centArr = centroidArrays(s, dir)
     emb(s, dir)
       .crossJoin(broadcast(centArr))
       .select(col("vec_id"), col("label"), col("c_label"),
@@ -423,6 +429,70 @@ object AnnQueries {
        |SELECT vec_id, label AS true_label, c_label AS pred_label, cos
        |FROM best WHERE rk = 1 ORDER BY vec_id""".stripMargin
 
+  // --------------------------------------------------------------- q102
+  /** SemDeDup-style semantic dedup verdicts
+    * ([[graft.ann.Ann.semanticDedupVerdicts]]): nearest-centroid
+    * bucketing (the q49 assignment, argmax as a partial-aggregated
+    * struct-max over broadcast centroids) followed by within-cluster
+    * cosine pruning — a vector is `semantic_dup` iff an earlier
+    * (lower-id) vector in its cluster is within the threshold. On this
+    * corpus the bucketing cuts candidate pairs ~10× (12,844 of 124,750
+    * at sf0.01); at scale the cut is n²→n²/C with C sized to the
+    * corpus. The assignment is localCheckpointed: it feeds both join
+    * sides and the final verdict join, and at 100 TB it IS the
+    * persisted cluster artifact (the IVF inverted file with k chosen
+    * for dedup granularity).
+    */
+  val SemDedupCos = 0.3
+
+  def q102SemanticDedup(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.VectorFunctions.register(s)
+    val assigned = emb(s, dir)
+      .crossJoin(broadcast(centroidArrays(s, dir)))
+      .select(col("vec_id"), col("embedding"),
+        round(graft.functions.VectorFunctions.dotD(
+          col("embedding").cast("array<double>"), col("centroid")), 6).as("cos"),
+        col("c_label"))
+      .groupBy(col("vec_id"), col("embedding"))
+      .agg(max(struct(col("cos"), (-col("c_label")).as("neg_label"))).as("best"))
+      .select(col("vec_id"),
+        (-col("best.neg_label")).cast("int").as("cluster"), col("embedding"))
+      .localCheckpoint()
+    Ann.semanticDedupVerdicts(assigned, SemDedupCos)
+      .orderBy(col("vec_id"))
+  }
+
+  val q102Sql: String =
+    s"""WITH dims AS (
+       |  SELECT vec_id, label, j, CAST(embedding[CAST(j AS INTEGER) + 1] AS DOUBLE) AS v
+       |  FROM embeddings, range($Dim) t(j)),
+       |cent AS (
+       |  SELECT label AS c_label, j, round(avg(v), 6) AS m
+       |  FROM dims GROUP BY label, j),
+       |dots AS (
+       |  SELECT d.vec_id, c.c_label, round(sum(d.v * c.m), 6) AS cos
+       |  FROM dims d JOIN cent c USING (j)
+       |  GROUP BY d.vec_id, c.c_label),
+       |best AS (
+       |  SELECT vec_id, c_label AS cl FROM (
+       |    SELECT vec_id, c_label,
+       |           row_number() OVER (PARTITION BY vec_id
+       |                              ORDER BY cos DESC, c_label ASC) AS rk
+       |    FROM dots) WHERE rk = 1),
+       |pairs AS (
+       |  SELECT a.vec_id AS a, b.vec_id AS b
+       |  FROM best a JOIN best b ON a.cl = b.cl AND a.vec_id < b.vec_id
+       |  JOIN embeddings ea ON ea.vec_id = a.vec_id
+       |  JOIN embeddings eb ON eb.vec_id = b.vec_id
+       |  WHERE round(${sqlDot("ea.embedding", "eb.embedding")}, 6) >= $SemDedupCos),
+       |dup AS (SELECT b, min(a) AS dup_of FROM pairs GROUP BY b)
+       |SELECT s.vec_id, CAST(s.cl AS INTEGER) AS cluster,
+       |       CASE WHEN d.dup_of IS NOT NULL THEN 'semantic_dup'
+       |            ELSE 'kept' END AS verdict,
+       |       d.dup_of
+       |FROM best s LEFT JOIN dup d ON d.b = s.vec_id
+       |ORDER BY s.vec_id""".stripMargin
+
   // ---------------------------------------------------------------- q24
   /** Embedding-cosine near-duplicate pairs (cos ≥ 0.4, a < b). */
   def q24EmbeddingNearDups(s: SparkSession, dir: String): DataFrame =
@@ -447,6 +517,7 @@ object AnnQueries {
     "q49_nearest_centroid" -> (q49NearestCentroid _),
     "q89_quantized_topk" -> (q89QuantizedTopK _),
     "q99_ann_recall" -> (q99AnnRecall _),
+    "q102_semantic_dedup" -> (q102SemanticDedup _),
   )
 
   /** Oracles whose SQL depends on the gate's sf dir (q43 reads the
@@ -462,6 +533,7 @@ object AnnQueries {
     "q49_nearest_centroid" -> q49Sql,
     "q89_quantized_topk" -> q89Sql,
     "q99_ann_recall" -> q99Sql,
+    "q102_semantic_dedup" -> q102Sql,
   )
 
   /** Contract default (the driver's gate runs at sf0.01). */

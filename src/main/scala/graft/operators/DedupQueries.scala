@@ -755,7 +755,70 @@ object DedupQueries {
        |FROM exact e JOIN comp c ON c.doc_id = e.doc_id
        |ORDER BY e.doc_id""".stripMargin
 
+  // --------------------------------------------------------------- q105
+  /** MinHash estimator calibration: on a deterministic doc subset
+    * (doc_id % 25 = 0 — linear in the corpus, pairs quadratic only in
+    * the 4% sample), compare the k=12 signature agreement fraction
+    * against exact token-set Jaccard for every pair sharing at least
+    * one token. This is the SKETCH-QUALITY gate a 100 TB dedup run
+    * performs before trusting q16's banding thresholds: |est − J|
+    * quantifies whether k is large enough for the corpus's similarity
+    * range (E[est] = J, σ = sqrt(J(1−J)/k)). Pair universe =
+    * shared-token pairs (the same join the exact side uses), so both
+    * engines enumerate identical pairs by construction.
+    */
+  val CalibMod = 25
+
+  def q105MinhashCalibration(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir).filter(col("doc_id") % CalibMod === 0)
+    val toks = Dedup.tokenSets(docs, "doc_id", "text").localCheckpoint()
+    val exact = Dedup.allPairsJaccard(toks, 0.0, elemCol = "word")
+      .withColumn("jaccard", round(col("jaccard"), 6))
+    val sig = Dedup.minhashSig(toks, K)
+    val mhCols = (0 until K).map(j => f"mh$j%02d")
+    val sa = sig.select((col("id").as("a") +: mhCols.map(c => col(c).as(s"a_$c"))): _*)
+    val sb = sig.select((col("id").as("b") +: mhCols.map(c => col(c).as(s"b_$c"))): _*)
+    val matches = mhCols.map(c =>
+      when(col(s"a_$c") === col(s"b_$c"), 1).otherwise(0)).reduce(_ + _)
+    exact.join(sa, Seq("a")).join(sb, Seq("b"))
+      .select(col("a"), col("b"), col("jaccard"),
+        round(matches.cast("double") / lit(K), 6).as("est"))
+      .withColumn("abs_err", round(abs(col("jaccard") - col("est")), 6))
+      .orderBy(col("a"), col("b"))
+  }
+
+  val q105Sql: String = {
+    val mins = (0 until K).map(j =>
+      f"min(md5('$j%d|' || word)) AS mh$j%02d").mkString(",\n    ")
+    val matchSum = (0 until K).map(j =>
+      f"CASE WHEN sa.mh$j%02d = sb.mh$j%02d THEN 1 ELSE 0 END").mkString(" + ")
+    s"""WITH utoks AS (
+       |  SELECT doc_id AS id,
+       |         unnest(string_split(trim(regexp_replace(lower(text), '(\\d|\\W)+', ' ', 'g')), ' ')) AS word
+       |  FROM documents WHERE doc_id % $CalibMod = 0),
+       |tok AS (SELECT DISTINCT id, word FROM utoks WHERE word <> ''),
+       |sizes AS (SELECT id, count(*) AS sz FROM tok GROUP BY id),
+       |shared AS (
+       |  SELECT a.id AS a, b.id AS b, count(*) AS shared
+       |  FROM tok a JOIN tok b ON a.word = b.word AND a.id < b.id
+       |  GROUP BY a.id, b.id),
+       |jac AS (
+       |  SELECT s.a, s.b,
+       |    round(CAST(s.shared AS DOUBLE) / (za.sz + zb.sz - s.shared), 6) AS jaccard
+       |  FROM shared s JOIN sizes za ON za.id = s.a JOIN sizes zb ON zb.id = s.b),
+       |sig AS (
+       |  SELECT id,
+       |    $mins
+       |  FROM tok GROUP BY id)
+       |SELECT j.a, j.b, j.jaccard,
+       |       round(($matchSum) / ${K.toDouble}, 6) AS est,
+       |       round(abs(j.jaccard - round(($matchSum) / ${K.toDouble}, 6)), 6) AS abs_err
+       |FROM jac j JOIN sig sa ON sa.id = j.a JOIN sig sb ON sb.id = j.b
+       |ORDER BY j.a, j.b""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q105_minhash_calibration" -> (q105MinhashCalibration _),
     "q100_dedup_survivorship" -> (q100DedupSurvivorship _),
     "q87_boilerplate_share" -> (q87BoilerplateShare _),
     "q76_decontamination" -> (q76Decontamination _),
@@ -773,6 +836,7 @@ object DedupQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q105_minhash_calibration" -> q105Sql,
     "q100_dedup_survivorship" -> q100Sql,
     "q87_boilerplate_share" -> q87Sql,
     "q76_decontamination" -> q76Sql,

@@ -484,19 +484,23 @@ object TextStatsQueries {
     * because the source cardinality, not the doc count, bounds every
     * post-scan stage.
     */
-  def q88MixtureWeights(s: SparkSession, dir: String): DataFrame = {
-    // ONE scan: source + token count in a single projection (q37's
-    // documented rule — joining tokenCounts back to docs for `source`
-    // would scan the corpus twice). The totals branch re-aggregates the
-    // tiny per-source frame, not the corpus.
-    // localCheckpoint: perSource feeds BOTH the totals aggregate and the
-    // final join — without materializing it each branch would re-scan
-    // the corpus (Spark does not dedupe logical subplans)
-    val perSource = Tables.documents(s, dir)
+  /** Per-source exact BPE-token totals — the shared first stage of the
+    * mixture queries (q88, q103). ONE scan: source + token count in a
+    * single projection (q37's documented rule — joining tokenCounts
+    * back to docs for `source` would scan the corpus twice).
+    * localCheckpoint: the frame feeds both a totals aggregate and a
+    * final join in every caller — without materializing it each branch
+    * would re-scan the corpus (Spark does not dedupe logical subplans).
+    */
+  private def perSourceTokens(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
       .select(col("source"), TextStats.bpeCount(col("text")).as("bpe"))
       .groupBy(col("source"))
       .agg(sum(col("bpe")).as("tokens"), count(lit(1)).as("n_docs"))
       .localCheckpoint()
+
+  def q88MixtureWeights(s: SparkSession, dir: String): DataFrame = {
+    val perSource = perSourceTokens(s, dir)
     val totals = perSource
       .agg(sum(col("tokens")).as("total_tokens"),
         count(lit(1)).as("n_sources"))
@@ -530,6 +534,100 @@ object TextStatsQueries {
        |             ELSE 0.0 END, 6) AS mix_weight
        |FROM per_source, tot
        |ORDER BY source""".stripMargin
+
+  // --------------------------------------------------------------- q103
+  /** Temperature-resampled mixture weights: the α=0.5 smoothing of the
+    * q88 token shares (`w_s ∝ p_s^α`, the multilingual/multi-domain
+    * rebalancing rule from the XLM/mC4 line of work) — upweights tail
+    * sources and flattens the head without going all the way to q88's
+    * uniform budget. Cross-engine exactness: α=0.5 is computed as
+    * `sqrt` (IEEE-correctly-rounded in both engines, unlike `pow`),
+    * each smoothed share is quantized to a MICRO-UNIT LONG before
+    * normalization (the q98 trick — the denominator is then an exact
+    * integer sum, identical in any reduce order), and only the final
+    * weight division returns to doubles. Post-scan stages are bounded
+    * by source cardinality, not corpus size.
+    */
+  val TempScale = 1000000L
+
+  def q103TemperatureMix(s: SparkSession, dir: String): DataFrame = {
+    val perSource = perSourceTokens(s, dir)
+    val totals = perSource.agg(sum(col("tokens")).as("total_tokens"))
+    val sq = perSource.join(broadcast(totals))
+      .select(col("source"), col("tokens"),
+        round(col("tokens") / col("total_tokens"), 6).as("token_share"),
+        round(sqrt(col("tokens") / col("total_tokens")) * TempScale)
+          .cast("long").as("q"))
+      .localCheckpoint()
+    val denom = sq.agg(sum(col("q")).as("qsum"))
+    sq.join(broadcast(denom))
+      .select(col("source"), col("tokens"), col("token_share"),
+        round(col("q") / col("qsum"), 6).as("temp_weight"))
+      .orderBy(col("source"))
+  }
+
+  val q103Sql: String =
+    s"""WITH per_doc AS (
+       |  SELECT source,
+       |    CAST(len(regexp_extract_all(text, '${TextStats.BpePattern}')) AS BIGINT) AS bpe
+       |  FROM documents),
+       |per_source AS (
+       |  SELECT source, CAST(sum(bpe) AS BIGINT) AS tokens
+       |  FROM per_doc GROUP BY source),
+       |tot AS (SELECT CAST(sum(tokens) AS BIGINT) AS total_tokens FROM per_source),
+       |sq AS (
+       |  SELECT source, tokens,
+       |    round(CAST(tokens AS DOUBLE) / total_tokens, 6) AS token_share,
+       |    CAST(round(sqrt(CAST(tokens AS DOUBLE) / total_tokens) * $TempScale, 0)
+       |         AS BIGINT) AS q
+       |  FROM per_source, tot),
+       |den AS (SELECT CAST(sum(q) AS BIGINT) AS qsum FROM sq)
+       |SELECT source, tokens, token_share,
+       |       round(CAST(q AS DOUBLE) / qsum, 6) AS temp_weight
+       |FROM sq, den ORDER BY source""".stripMargin
+
+  // --------------------------------------------------------------- q104
+  /** Deterministic per-stratum top-k sample: exactly `SampleTopK` docs
+    * per language, chosen by minimum `md5('k42|' || doc_id)` — the
+    * fixed-SIZE companion to q60's fixed-RATE hash sampling (eval-set
+    * carving, per-language probes) with the same engine-portable
+    * determinism story: no rand(), stable under retries, re-runs and
+    * repartitioning. The ranking runs through the bounded-heap
+    * [[graft.plans.TopKPerKeyExec]] — ≤k rows per stratum per
+    * partition cross the exchange, never a per-stratum window sort
+    * over the corpus. Ord packing: (28-bit hash prefix, doc_id) into
+    * one long, doc_id range guarded like the ANN rankers; the doc_id
+    * tie-break makes even a prefix collision deterministic.
+    */
+  val SampleTopK = 10
+
+  def q104TopKSample(s: SparkSession, dir: String): DataFrame = {
+    val h = conv(substring(md5(concat(lit("k42|"),
+      col("doc_id").cast("string")).cast("binary")), 1, 7), 16, 10)
+      .cast("long")
+    val df = Tables.documents(s, dir)
+      .select(col("lang"), col("doc_id")).withColumn("h", h)
+    val idOk = col("doc_id") >= 0L && col("doc_id") < lit(4294967296L)
+    val ord = when(idOk, -(col("h") * lit(4294967296L) + col("doc_id")))
+      .otherwise(raise_error(concat(
+        lit("q104: doc_id outside [0, 2^32), ord packing would collide (doc_id="),
+        col("doc_id").cast("string"), lit(")"))))
+    graft.plans.TopK.topKPerKey(df, Seq("lang"), ord, SampleTopK)
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("lang")).orderBy(col("h"), col("doc_id")))
+        .cast("long"))
+      .select(col("lang"), col("doc_id"), col("rk"))
+      .orderBy(col("lang"), col("rk"))
+  }
+
+  val q104Sql: String =
+    s"""SELECT lang, doc_id, rk FROM (
+       |  SELECT lang, doc_id,
+       |    CAST(row_number() OVER (PARTITION BY lang ORDER BY
+       |      CAST(concat('0x', substr(md5('k42|' || CAST(doc_id AS VARCHAR)), 1, 7))
+       |           AS BIGINT), doc_id) AS BIGINT) AS rk
+       |  FROM documents)
+       |WHERE rk <= $SampleTopK ORDER BY lang, rk""".stripMargin
 
   // ---------------------------------------------------------------- q97
   /** Bigram-vocabulary growth curve (the Heaps'-law sweep a corpus
@@ -572,6 +670,8 @@ object TextStatsQueries {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q97_vocab_growth" -> (q97VocabGrowth _),
+    "q103_temperature_mix" -> (q103TemperatureMix _),
+    "q104_topk_sample" -> (q104TopKSample _),
     "q88_mixture_weights" -> (q88MixtureWeights _),
     "q71_repetition_ratios" -> (q71RepetitionRatios _),
     "q72_token_chunks" -> (q72TokenChunks _),
@@ -589,6 +689,8 @@ object TextStatsQueries {
 
   val oracles: Map[String, String] = Map(
     "q97_vocab_growth" -> q97Sql,
+    "q103_temperature_mix" -> q103Sql,
+    "q104_topk_sample" -> q104Sql,
     "q88_mixture_weights" -> q88Sql,
     "q71_repetition_ratios" -> q71Sql,
     "q72_token_chunks" -> q72Sql,

@@ -1,0 +1,179 @@
+package graft.operators
+
+import graft.{SparkTestBase, Tables}
+import org.apache.spark.sql.functions._
+
+/** Specs for the round-5 additions: fixed-point PageRank (q101),
+  * semantic dedup (q102), temperature mixture (q103), per-stratum
+  * top-k sampling (q104), minhash calibration (q105). Each gets an
+  * independent driver-side re-derivation over sf0.001 plus the
+  * invariants that matter for its contract.
+  */
+class Round5QueriesSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private val sf = "/root/testdata/sf0.001"
+
+  // ------------------------------------------------------------- q101
+  test("q101: PageRank matches a driver-side integer re-derivation") {
+    val edges = DedupQueries.synthEdges(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val sym = edges ++ edges.map { case (a, b) => (b, a) }
+    val vertices = Tables.documents(spark, sf)
+      .select(col("doc_id")).collect().map(_.getLong(0)).sorted
+    val scale = GraphQueries.PrScale
+    val base = scale * 15L / 100L
+    val outdeg = sym.groupBy(_._1).map { case (k, v) => k -> v.size.toLong }
+    var pr = vertices.map(_ -> scale).toMap
+    for (_ <- 1 to GraphQueries.PrIters) {
+      val sums = sym.groupBy(_._2).map { case (dst, es) =>
+        dst -> es.iterator.map { case (s, _) => pr(s) / outdeg(s) }.foldLeft(0L)(_ + _)
+      }
+      pr = vertices.map(v => v -> (base + 85L * sums.getOrElse(v, 0L) / 100L)).toMap
+    }
+    val got = GraphQueries.q101PageRank(spark, sf)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === pr)
+    // every vertex keeps at least the teleport base
+    assert(got.values.forall(_ >= base))
+  }
+
+  test("q101: ranks are partitioning-invariant (exact integer sums)") {
+    val docs = Tables.documents(spark, sf).select(col("doc_id").as("id"))
+    val e = DedupQueries.synthEdges(spark, sf)
+    val sym = e.select(col("a").as("src"), col("b").as("dst"))
+      .unionAll(e.select(col("b").as("src"), col("a").as("dst")))
+    val a = graft.graph.GraphOps.pageRankScaled(docs, sym, 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val b = graft.graph.GraphOps.pageRankScaled(
+        docs.repartition(7), sym.repartition(13), 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(a === b)
+  }
+
+  test("q101: scale overflow guard trips on absurd scale") {
+    val docs = Tables.documents(spark, sf).select(col("doc_id").as("id"))
+    val e = DedupQueries.synthEdges(spark, sf)
+      .select(col("a").as("src"), col("b").as("dst"))
+    val ex = intercept[IllegalArgumentException] {
+      graft.graph.GraphOps.pageRankScaled(docs, e, 1, scale = Long.MaxValue / 50)
+    }
+    assert(ex.getMessage.contains("overflow"))
+  }
+
+  // ------------------------------------------------------------- q102
+  test("q102: verdicts match a brute-force driver re-derivation") {
+    val got = AnnQueries.q102SemanticDedup(spark, sf).collect()
+      .map(r => (r.getLong(0), (r.getInt(1), r.getString(2),
+        if (r.isNullAt(3)) None else Some(r.getLong(3))))).toMap
+
+    val embs = Tables.embeddings(spark, sf)
+      .collect().map(r => (r.getLong(0),
+        r.getSeq[Float](1).map(_.toDouble).toArray,
+        r.getInt(2)))
+    // centroids: per-label mean, 6dp-rounded (the q47 contract)
+    def r6(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val cents = embs.groupBy(_._3).map { case (l, vs) =>
+      l -> Array.tabulate(vs.head._2.length)(j => r6(vs.map(_._2(j)).sum / vs.size))
+    }
+    def dot(a: Array[Double], b: Array[Double]) =
+      r6(a.zip(b).map { case (x, y) => x * y }.sum)
+    // nearest centroid: dot desc, label asc
+    val cluster = embs.map { case (id, v, _) =>
+      id -> cents.toSeq.map { case (l, c) => (dot(v, c), l) }
+        .minBy { case (d, l) => (-d, l) }._2
+    }.toMap
+    val byId = embs.map(e => e._1 -> e._2).toMap
+    val ids = embs.map(_._1).sorted
+    val expected = ids.map { id =>
+      val earlier = ids.filter(o => o < id && cluster(o) == cluster(id) &&
+        dot(byId(o), byId(id)) >= AnnQueries.SemDedupCos)
+      id -> (cluster(id),
+        if (earlier.nonEmpty) "semantic_dup" else "kept",
+        earlier.sorted.headOption)
+    }.toMap
+    assert(got === expected)
+    // sanity: the fixture has both verdicts
+    assert(got.values.exists(_._2 == "semantic_dup"))
+    assert(got.values.exists(_._2 == "kept"))
+  }
+
+  // ------------------------------------------------------------- q103
+  test("q103: weights normalize, flatten the mix, and preserve order") {
+    val rows = TextStatsQueries.q103TemperatureMix(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+    // weights sum to 1 (up to per-source 6dp rounding)
+    val wsum = rows.map(_._4).sum
+    assert(math.abs(wsum - 1.0) < 1e-4 * rows.length)
+    // monotone: more tokens never means a smaller weight
+    val sorted = rows.sortBy(_._2)
+    sorted.sliding(2).foreach {
+      case Array(lo, hi) => assert(lo._4 <= hi._4 + 1e-9)
+      case _ =>
+    }
+    // temperature flattening: weight spread is strictly inside the
+    // token-share spread (sqrt compresses ratios)
+    val shares = rows.map(_._3).filter(_ > 0)
+    val weights = rows.map(_._4).filter(_ > 0)
+    assert(weights.max / weights.min < shares.max / shares.min)
+  }
+
+  // ------------------------------------------------------------- q104
+  test("q104: exactly k per stratum, window-equivalent, repartition-stable") {
+    val df = TextStatsQueries.q104TopKSample(spark, sf)
+    val got = df.collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val perLang = got.groupBy(_._1)
+    val strataSizes = Tables.documents(spark, sf)
+      .groupBy(col("lang")).count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    perLang.foreach { case (lang, rows) =>
+      assert(rows.length ==
+        math.min(TextStatsQueries.SampleTopK.toLong, strataSizes(lang)))
+      assert(rows.map(_._3).sorted === (1L to rows.length).toArray)
+    }
+    // window re-derivation over the same hash
+    val h = conv(substring(md5(concat(lit("k42|"),
+      col("doc_id").cast("string")).cast("binary")), 1, 7), 16, 10).cast("long")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("lang")).orderBy(col("h"), col("doc_id"))
+    val viaWindow = Tables.documents(spark, sf)
+      .select(col("lang"), col("doc_id")).withColumn("h", h)
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= TextStatsQueries.SampleTopK)
+      .select(col("lang"), col("doc_id"), col("rk"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got.toSet === viaWindow)
+  }
+
+  // ------------------------------------------------------------- q105
+  test("q105: estimator agrees with manual signature comparison") {
+    val rows = DedupQueries.q105MinhashCalibration(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (j, est, err) = (r.getDouble(2), r.getDouble(3), r.getDouble(4))
+      assert(j >= 0.0 && j <= 1.0)
+      assert(est >= 0.0 && est <= 1.0)
+      // est is a multiple of 1/k (k matching components) — up to the
+      // 6dp rounding of est itself, which scales by k when multiplied back
+      val k = DedupQueries.K
+      assert(math.abs(est * k - math.round(est * k).toDouble) < k * 1e-6)
+      assert(math.abs(err - math.abs(j - est)) < 1e-6)
+    }
+    // manual check of one pair: recompute both sides from raw text
+    val docs = Tables.documents(spark, sf)
+      .filter(col("doc_id") % DedupQueries.CalibMod === 0)
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    def toks(t: String): Set[String] =
+      t.toLowerCase.replaceAll("(\\d|\\W)+", " ").trim
+        .split(" ").filter(_.nonEmpty).toSet
+    val ids = docs.keys.toSeq.sorted
+    val (a, b) = (ids(0), ids(1))
+    val (ta, tb) = (toks(docs(a)), toks(docs(b)))
+    val expectJ = ta.intersect(tb).size.toDouble / ta.union(tb).size
+    rows.find(r => r.getLong(0) == a && r.getLong(1) == b) match {
+      case Some(r) => assert(math.abs(r.getDouble(2) - expectJ) < 1e-6)
+      case None => assert(ta.intersect(tb).isEmpty)
+    }
+  }
+}
