@@ -57,7 +57,9 @@ object Bench {
     "q91_forecast_revenue", "q92_ship_delay_modes", "q93_product_profit",
     "q94_min_cost_supplier", "q95_important_stock",
     "q96_concentrated_shippers", "q97_vocab_growth", "q98_zipf_slope",
-    "q99_ann_recall")
+    "q99_ann_recall",
+    "q101_pagerank", "q102_semantic_dedup", "q103_temperature_mix",
+    "q104_topk_sample", "q105_minhash_calibration")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -231,6 +231,30 @@ class PlanSpec extends SparkTestBase {
       s"candidate join must be ids-only:\n$joinLines")
   }
 
+  test("q102: pair generation is a keyed join on cluster, never cartesian") {
+    val p = formatted(AnnQueries.q102SemanticDedup(spark, sf0001))
+    assert(!p.contains("CartesianProduct"),
+      s"within-cluster pairing must be an equi-join on cluster:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin"),
+      s"within-cluster pairing must be an equi-join on cluster:\n$p")
+  }
+
+  test("q104: stratum sampling ranks through the bounded-heap operator") {
+    val p = formatted(TextStatsQueries.q104TopKSample(spark, sf0001))
+    assert(p.contains("TopKPerKey"),
+      s"expected TopKPerKeyExec in the sampling plan:\n$p")
+  }
+
+  test("q101: per-round shuffles are keyed exchanges, no nested loop") {
+    val docs = graft.Tables.documents(spark, sf0001)
+      .select(org.apache.spark.sql.functions.col("doc_id").as("id"))
+    val e = DedupQueries.synthEdges(spark, sf0001)
+    val sym = e.selectExpr("a as src", "b as dst")
+      .unionAll(e.selectExpr("b as src", "a as dst"))
+    val p = formatted(graft.graph.GraphOps.pageRankScaled(docs, sym, 1))
+    assert(!p.contains("CartesianProduct"), s"no cartesian in PageRank:\n$p")
+  }
+
   test("q70 lake read: partition pruned at the scan, not post-filtered") {
     val p = formatted(EventQueries.q70PartitionPruning(spark, sf0001))
     // the Hive-layout scan must carry the partition predicate
