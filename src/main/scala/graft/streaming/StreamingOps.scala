@@ -102,6 +102,47 @@ object StreamingOps {
       .dropDuplicates("shingle")
   }
 
+  case class StratumDoc(lang: String, doc_id: Long, h: Long)
+  case class TopKSampleState(entries: List[(Long, Long)])
+  case class SampleRow(lang: String, doc_id: Long, rk: Long)
+
+  /** Streaming twin of q104's per-stratum top-k sample
+    * ([[graft.operators.TextStatsQueries.q104TopKSample]]): maintain,
+    * per language, the k docs with the minimum deterministic hash seen
+    * SO FAR, re-emitting a stratum's refreshed sample whenever a batch
+    * touches it (update mode). Because membership is a pure function
+    * of the doc set — min-k by (md5 prefix, doc_id), no arrival-order
+    * dependence — folding any micro-batch split converges to exactly
+    * the batch sample: the streaming run IS an incremental
+    * maintenance of q104's result. State is O(k) per stratum (a
+    * sorted list, k ≤ tens), bounded by stratum cardinality;
+    * deliberately untimed-out — the sample must reflect the corpus
+    * lifetime. Same hash family as the batch query (`md5('k42|' ||
+    * doc_id)` 28-bit prefix), so the two paths agree bit-for-bit.
+    */
+  def topKSamplePerStratum(docs: DataFrame, k: Int = 10): Dataset[SampleRow] = {
+    require(k >= 1, s"topKSamplePerStratum: k must be >= 1, got $k")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val h = conv(substring(md5(concat(lit("k42|"),
+      col("doc_id").cast("string")).cast("binary")), 1, 7), 16, 10)
+      .cast("long")
+    docs.select(col("lang"), col("doc_id")).withColumn("h", h)
+      .as[StratumDoc]
+      .groupByKey(_.lang)
+      .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (lang: String, rows: Iterator[StratumDoc],
+         state: GroupState[TopKSampleState]) =>
+          val cur = state.getOption.map(_.entries).getOrElse(Nil)
+          val merged = (cur ++ rows.map(r => (r.h, r.doc_id)))
+            .distinct.sorted.take(k)
+          state.update(TopKSampleState(merged))
+          merged.iterator.zipWithIndex.map { case ((_, id), i) =>
+            SampleRow(lang, id, i + 1L)
+          }
+      }
+  }
+
   /** Watermark-scoped exact-once dedup on event_id. NB plain
     * `dropDuplicates("event_id")` would keep state per id FOREVER (the
     * watermark only GCs dedup state when the event-time column is part

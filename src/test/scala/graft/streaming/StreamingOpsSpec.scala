@@ -388,4 +388,43 @@ class StreamingOpsSpec extends SparkTestBase {
     }
     assert(dupErr.getMessage.contains("unique per h"))
   }
+
+  test("streaming per-stratum top-k sample converges to the batch sample") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(String, Long)]
+    val df = input.toDF.toDF("lang", "doc_id")
+    val b1 = (1L to 20L).map(i => (if (i % 2 == 0) "en" else "de", i))
+    val b2 = (21L to 40L).map(i => (if (i % 2 == 0) "en" else "de", i))
+    // drive the two micro-batches explicitly (addData before start would
+    // collapse into one) — the second batch must UPDATE live state
+    val q = StreamingOps.topKSamplePerStratum(df, k = 5).toDF()
+      .writeStream.outputMode(OutputMode.Update)
+      .format("memory").queryName("topk_out").start()
+    input.addData(b1: _*); q.processAllAvailable()
+    input.addData(b2: _*); q.processAllAvailable()
+    q.stop()
+    // last emission per stratum = the maintained sample; MemoryStream
+    // batches arrive in order, so take each (lang, rk)'s final doc_id
+    val sink = spark.table("topk_out").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    // group update-mode emissions: a (lang, rk) slot may be re-emitted —
+    // later batches overwrite, so fold in arrival order
+    val finalSample = sink.foldLeft(Map.empty[(String, Long), Long]) {
+      case (acc, (lang, id, rk)) => acc + ((lang, rk) -> id)
+    }
+    // batch re-derivation: min-5 by (md5-prefix, doc_id) per lang
+    val h = conv(substring(md5(concat(lit("k42|"),
+      col("doc_id").cast("string")).cast("binary")), 1, 7), 16, 10).cast("long")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("lang")).orderBy(col("h"), col("doc_id"))
+    val batch = (b1 ++ b2).toDF("lang", "doc_id")
+      .withColumn("h", h)
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= 5)
+      .select(col("lang"), col("rk"), col("doc_id"))
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(finalSample === batch)
+    // state really is incremental: every stratum emitted in both batches
+    assert(sink.length > batch.size)
+  }
 }
