@@ -9,8 +9,9 @@ import org.apache.spark.sql.SparkSession
   * strategy. Deliberately excluded are the quadratic-OUTPUT
   * correctness demos (q16/q17/q24 emit O(n²) near-dup pairs by
   * definition — their cost is output volume, not operator speed; the
-  * sf0.01 oracle gate still runs them; q61 winnowing-candidates is the
-  * same pair-output family), q19 (its input IS q16's pair
+  * sf0.01 oracle gate still runs them; q61 winnowing-candidates and
+  * q108's source-overlap rollup consume the same pair family), q19
+  * (its input IS q16's pair
   * set: measured at sf0.1, 77 of 86 s is edge generation on this
   * deliberately self-similar corpus, 16 s the CC loop over the
   * resulting 4M edges — see SCALE.md; q44 benches the CC loop itself
@@ -59,7 +60,8 @@ object Bench {
     "q96_concentrated_shippers", "q97_vocab_growth", "q98_zipf_slope",
     "q99_ann_recall",
     "q101_pagerank", "q102_semantic_dedup", "q103_temperature_mix",
-    "q104_topk_sample", "q105_minhash_calibration")
+    "q104_topk_sample", "q105_minhash_calibration",
+    "q106_embedding_outliers", "q107_confusion_matrix")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -493,6 +493,134 @@ object AnnQueries {
        |FROM best s LEFT JOIN dup d ON d.b = s.vec_id
        |ORDER BY s.vec_id""".stripMargin
 
+  // --------------------------------------------------------------- q106
+  /** Embedding-space outlier detection: per-dimension corpus z-scores,
+    * flagging vectors with any |z| > 3 — the curation pass that drops
+    * corrupted/degenerate embeddings before clustering or ANN-index
+    * builds (a bad batch of NaN-adjacent or clipped vectors poisons
+    * centroids far upstream of any similarity query).
+    *
+    * Exactness chain: each float is quantized to a micro-unit long
+    * (identical in both engines: the float→double widening is exact
+    * and round-half-up agrees), so Σq and Σq² are exact integer sums —
+    * per-dim mean/std are then deterministic doubles in ANY reduce
+    * order. Scale shape: the stats pass is one partial-agged exchange
+    * on 64 dim keys; the scoring pass is SHUFFLE-FREE — stats assemble
+    * into a 1-row broadcast of (mean, std) structs and each vector is
+    * scored in place with zip_with/filter/array_max (all codegen
+    * array ops), so the corpus is scanned exactly twice and never
+    * re-partitioned. Zero-variance dims score 0 by contract (guarded,
+    * not NaN). Quantization bound: Σq² ≈ n·10¹² must stay under 2⁶³ —
+    * holds to n ≈ 9×10⁶ vectors per dim at micro-units; shrink the
+    * scale constant for larger corpora (same contract as
+    * [[graft.graph.GraphOps.pageRankScaled]]).
+    */
+  val OutlierZ = 3.0
+  val QuantScale = 1000000L
+
+  def q106EmbeddingOutliers(s: SparkSession, dir: String): DataFrame = {
+    val dims = emb(s, dir)
+      .select(col("vec_id"), posexplode(col("embedding")).as(Seq("j", "v")))
+      .select(col("j"),
+        round(col("v").cast("double") * QuantScale).cast("long").as("q"))
+    val stats = dims.groupBy(col("j"))
+      .agg(sum(col("q")).as("sq"), sum(col("q") * col("q")).as("sqq"),
+        count(lit(1)).as("n"))
+      .select(col("j"), (col("sq").cast("double") / col("n")).as("m"),
+        sqrt((col("sqq").cast("double")
+          - col("sq").cast("double") * col("sq").cast("double") / col("n"))
+          / col("n")).as("s"))
+    val statsArr = stats
+      .agg(transform(array_sort(collect_list(struct(col("j"), col("m"), col("s")))),
+        x => struct(x.getField("m").as("m"), x.getField("s").as("s"))).as("ms"))
+    val az = zip_with(col("embedding"), col("ms"), (v, x) =>
+      when(x.getField("s") === 0d, lit(0.0))
+        .otherwise(abs((round(v.cast("double") * QuantScale) - x.getField("m"))
+          / x.getField("s"))))
+    emb(s, dir).crossJoin(broadcast(statsArr))
+      .select(col("vec_id"), az.as("az"))
+      .select(col("vec_id"),
+        size(filter(col("az"), z => z > OutlierZ)).cast("long").as("n_outlier_dims"),
+        round(array_max(col("az")), 6).as("max_abs_z"))
+      .withColumn("is_outlier", col("n_outlier_dims") > 0)
+      .orderBy(col("vec_id"))
+  }
+
+  val q106Sql: String =
+    s"""WITH dims AS (
+       |  SELECT vec_id, j,
+       |    CAST(round(CAST(embedding[CAST(j AS INTEGER) + 1] AS DOUBLE) * $QuantScale, 0)
+       |         AS BIGINT) AS q
+       |  FROM embeddings, range($Dim) t(j)),
+       |st AS (
+       |  SELECT j, CAST(sum(q) AS BIGINT) AS sq, CAST(sum(q * q) AS BIGINT) AS sqq,
+       |         count(*) AS n
+       |  FROM dims GROUP BY j),
+       |ms AS (
+       |  SELECT j, CAST(sq AS DOUBLE) / n AS m,
+       |    sqrt((CAST(sqq AS DOUBLE) - CAST(sq AS DOUBLE) * CAST(sq AS DOUBLE) / n) / n) AS s
+       |  FROM st),
+       |z AS (
+       |  SELECT d.vec_id,
+       |    CASE WHEN ms.s = 0 THEN 0.0
+       |         ELSE abs((CAST(d.q AS DOUBLE) - ms.m) / ms.s) END AS az
+       |  FROM dims d JOIN ms USING (j))
+       |SELECT vec_id,
+       |  CAST(sum(CASE WHEN az > $OutlierZ THEN 1 ELSE 0 END) AS BIGINT) AS n_outlier_dims,
+       |  round(max(az), 6) AS max_abs_z,
+       |  (sum(CASE WHEN az > $OutlierZ THEN 1 ELSE 0 END) > 0) AS is_outlier
+       |FROM z GROUP BY vec_id ORDER BY vec_id""".stripMargin
+
+  // --------------------------------------------------------------- q107
+  /** Confusion-matrix rollup over the q49 nearest-centroid labeling:
+    * (true_label, pred_label) counts, the within-true-row share, and
+    * the mean assignment cosine — the per-class diagnostic that turns
+    * q49's per-vector output into the curation decision table (which
+    * classes bleed into which, where the centroid space is too
+    * coarse). The mean cosine goes through micro-unit long sums so the
+    * average is reduce-order exact (same rule as every money sum).
+    * Post-q49 stages are label²-bounded — the matrix never outgrows
+    * the driver regardless of corpus size.
+    */
+  def q107ConfusionMatrix(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val m = q49NearestCentroid(s, dir)
+      .groupBy(col("true_label"), col("pred_label"))
+      .agg(count(lit(1)).as("n"),
+        sum(round(col("cos") * 1000000L).cast("long")).as("cos_micro"))
+    m.withColumn("row_share",
+        round(col("n") / sum(col("n")).over(Window.partitionBy(col("true_label"))), 6))
+      .select(col("true_label"), col("pred_label"), col("n"), col("row_share"),
+        round(col("cos_micro") / col("n") / 1e6, 6).as("avg_cos"))
+      .orderBy(col("true_label"), col("pred_label"))
+  }
+
+  val q107Sql: String =
+    s"""WITH dims AS (
+       |  SELECT vec_id, label, j, CAST(embedding[CAST(j AS INTEGER) + 1] AS DOUBLE) AS v
+       |  FROM embeddings, range($Dim) t(j)),
+       |cent AS (
+       |  SELECT label AS c_label, j, round(avg(v), 6) AS m
+       |  FROM dims GROUP BY label, j),
+       |dots AS (
+       |  SELECT d.vec_id, d.label, c.c_label, round(sum(d.v * c.m), 6) AS cos
+       |  FROM dims d JOIN cent c USING (j)
+       |  GROUP BY d.vec_id, d.label, c.c_label),
+       |best AS (
+       |  SELECT vec_id, label AS true_label, c_label AS pred_label, cos FROM (
+       |    SELECT vec_id, label, c_label, cos,
+       |           row_number() OVER (PARTITION BY vec_id
+       |                              ORDER BY cos DESC, c_label ASC) AS rk
+       |    FROM dots) WHERE rk = 1),
+       |m AS (
+       |  SELECT true_label, pred_label, count(*) AS n,
+       |         CAST(sum(CAST(round(cos * 1000000, 0) AS BIGINT)) AS BIGINT) AS cos_micro
+       |  FROM best GROUP BY true_label, pred_label)
+       |SELECT true_label, pred_label, n,
+       |  round(CAST(n AS DOUBLE) / sum(n) OVER (PARTITION BY true_label), 6) AS row_share,
+       |  round(CAST(cos_micro AS DOUBLE) / n / 1e6, 6) AS avg_cos
+       |FROM m ORDER BY true_label, pred_label""".stripMargin
+
   // ---------------------------------------------------------------- q24
   /** Embedding-cosine near-duplicate pairs (cos ≥ 0.4, a < b). */
   def q24EmbeddingNearDups(s: SparkSession, dir: String): DataFrame =
@@ -518,6 +646,8 @@ object AnnQueries {
     "q89_quantized_topk" -> (q89QuantizedTopK _),
     "q99_ann_recall" -> (q99AnnRecall _),
     "q102_semantic_dedup" -> (q102SemanticDedup _),
+    "q106_embedding_outliers" -> (q106EmbeddingOutliers _),
+    "q107_confusion_matrix" -> (q107ConfusionMatrix _),
   )
 
   /** Oracles whose SQL depends on the gate's sf dir (q43 reads the
@@ -534,6 +664,8 @@ object AnnQueries {
     "q89_quantized_topk" -> q89Sql,
     "q99_ann_recall" -> q99Sql,
     "q102_semantic_dedup" -> q102Sql,
+    "q106_embedding_outliers" -> q106Sql,
+    "q107_confusion_matrix" -> q107Sql,
   )
 
   /** Contract default (the driver's gate runs at sf0.01). */

@@ -817,7 +817,46 @@ object DedupQueries {
        |ORDER BY j.a, j.b""".stripMargin
   }
 
+  // --------------------------------------------------------------- q108
+  /** Cross-source duplication matrix: the q16 verified near-dup pairs
+    * rolled up into unordered (source, source) counts — the provenance
+    * diagnostic that tells a corpus curator WHICH feeds mirror each
+    * other (crawl A re-hosting crawl B, two dumps of the same site)
+    * versus which only self-duplicate. Diagonal = within-source
+    * duplication; off-diagonal = cross-feed contamination, the rows
+    * that drive "drop the mirrored feed" decisions before training.
+    * The rollup is source-cardinality-bounded; its input is the LSH
+    * pair set, so like q16/q19/q100 it is bench-excluded (pair-volume
+    * cost, not operator cost — the matrix itself adds two broadcast
+    * joins and one tiny aggregate).
+    */
+  def q108SourceOverlap(s: SparkSession, dir: String): DataFrame = {
+    val src = Tables.documents(s, dir).select(col("doc_id"), col("source"))
+    q16LshNearDups(s, dir).select(col("a"), col("b"))
+      .join(broadcast(src).withColumnRenamed("doc_id", "a")
+        .withColumnRenamed("source", "sa"), Seq("a"))
+      .join(broadcast(src).withColumnRenamed("doc_id", "b")
+        .withColumnRenamed("source", "sb"), Seq("b"))
+      .select(least(col("sa"), col("sb")).as("src1"),
+        greatest(col("sa"), col("sb")).as("src2"))
+      .groupBy(col("src1"), col("src2"))
+      .agg(count(lit(1)).as("n_pairs"))
+      .orderBy(col("src1"), col("src2"))
+  }
+
+  val q108Sql: String =
+    s"""WITH $q16Ctes,
+       |p AS (SELECT a, b FROM jac WHERE jaccard >= $LshJaccardThreshold),
+       |lab AS (
+       |  SELECT least(da.source, db.source) AS src1,
+       |         greatest(da.source, db.source) AS src2
+       |  FROM p JOIN documents da ON da.doc_id = p.a
+       |         JOIN documents db ON db.doc_id = p.b)
+       |SELECT src1, src2, count(*) AS n_pairs
+       |FROM lab GROUP BY src1, src2 ORDER BY src1, src2""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q108_source_overlap" -> (q108SourceOverlap _),
     "q105_minhash_calibration" -> (q105MinhashCalibration _),
     "q100_dedup_survivorship" -> (q100DedupSurvivorship _),
     "q87_boilerplate_share" -> (q87BoilerplateShare _),
@@ -836,6 +875,7 @@ object DedupQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q108_source_overlap" -> q108Sql,
     "q105_minhash_calibration" -> q105Sql,
     "q100_dedup_survivorship" -> q100Sql,
     "q87_boilerplate_share" -> q87Sql,

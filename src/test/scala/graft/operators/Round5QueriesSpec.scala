@@ -145,6 +145,73 @@ class Round5QueriesSpec extends SparkTestBase {
     assert(got.toSet === viaWindow)
   }
 
+  // ------------------------------------------------------------- q106
+  test("q106: z-scores match a driver-side exact-moment re-derivation") {
+    val embs = Tables.embeddings(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    val dim = embs.head._2.length
+    // HALF_UP (away from zero), matching Spark's round + DuckDB — NOT
+    // math.round, whose floor(x+0.5) flips negative .5 ties (JDK-8010430)
+    def quant(v: Float): Long = BigDecimal(v.toDouble * 1000000L)
+      .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+    val byDim = Array.tabulate(dim)(j => embs.map(e => quant(e._2(j))))
+    val means = byDim.map(qs => qs.sum.toDouble / qs.length)
+    val stds = byDim.map { qs =>
+      val n = qs.length
+      val sq = qs.sum.toDouble
+      val sqq = qs.map(q => q * q).sum.toDouble
+      math.sqrt((sqq - sq * sq / n) / n)
+    }
+    val expected = embs.map { case (id, v) =>
+      val az = Array.tabulate(dim) { j =>
+        if (stds(j) == 0) 0.0 else math.abs((quant(v(j)) - means(j)) / stds(j))
+      }
+      id -> (az.count(_ > AnnQueries.OutlierZ).toLong,
+        BigDecimal(az.max).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    }.toMap
+    val got = AnnQueries.q106EmbeddingOutliers(spark, sf).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(got === expected)
+    // a synthetic gaussian corpus has SOME 3-sigma dims, but not many
+    val flagged = got.values.count(_._1 > 0)
+    assert(flagged > 0 && flagged < got.size / 2)
+  }
+
+  // ------------------------------------------------------------- q107
+  test("q107: confusion matrix conserves mass and rows sum to 1") {
+    val rows = AnnQueries.q107ConfusionMatrix(spark, sf).collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getLong(2), r.getDouble(3), r.getDouble(4)))
+    val corpus = Tables.embeddings(spark, sf).count()
+    assert(rows.map(_._3).sum === corpus)
+    rows.groupBy(_._1).foreach { case (_, g) =>
+      assert(math.abs(g.map(_._4).sum - 1.0) < 1e-4 * g.length)
+    }
+    // agrees with a direct rollup of the q49 per-vector output
+    val q49 = AnnQueries.q49NearestCentroid(spark, sf).collect()
+      .map(r => (r.getInt(1), r.getInt(2)))
+    val counts = q49.groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+    assert(rows.map(r => (r._1, r._2) -> r._3).toMap === counts)
+    // the diagonal beats the random baseline clearly (the synthetic
+    // clusters overlap, so demand 2× random — measured ~36% vs 10%)
+    val labels = rows.map(_._1).distinct.length
+    val diag = rows.filter(r => r._1 == r._2).map(_._3).sum
+    assert(diag.toDouble / corpus > 2.0 / labels)
+  }
+
+  // ------------------------------------------------------------- q108
+  test("q108: overlap matrix conserves the q16 pair count, src1 <= src2") {
+    val m = DedupQueries.q108SourceOverlap(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    val pairCount = DedupQueries.q16LshNearDups(spark, sf).count()
+    assert(m.map(_._3).sum === pairCount)
+    m.foreach { case (s1, s2, n) =>
+      assert(s1 <= s2)
+      assert(n > 0)
+    }
+    // unordered keys are unique (no (B,A) twin of (A,B))
+    assert(m.map(r => (r._1, r._2)).distinct.length === m.length)
+  }
+
   // ------------------------------------------------------------- q105
   test("q105: estimator agrees with manual signature comparison") {
     val rows = DedupQueries.q105MinhashCalibration(spark, sf).collect()
