@@ -523,10 +523,20 @@ object AnnQueries {
       .select(col("vec_id"), posexplode(col("embedding")).as(Seq("j", "v")))
       .select(col("j"),
         round(col("v").cast("double") * QuantScale).cast("long").as("q"))
+    // Σq² overflows 2⁶³ past MaxRowsPerDim rows (q² ≤ QuantScale²) —
+    // detect via the COUNT (exact regardless of any wrap) and fail
+    // loudly in-plan, zero extra jobs; same contract pageRankScaled
+    // enforces with its require.
+    val maxRows = Long.MaxValue / (QuantScale * QuantScale)
     val stats = dims.groupBy(col("j"))
       .agg(sum(col("q")).as("sq"), sum(col("q") * col("q")).as("sqq"),
         count(lit(1)).as("n"))
-      .select(col("j"), (col("sq").cast("double") / col("n")).as("m"),
+      .select(col("j"),
+        when(col("n") <= maxRows, col("sq").cast("double") / col("n"))
+          .otherwise(raise_error(concat(
+            lit(s"q106: per-dim row count exceeds $maxRows — sum(q^2) " +
+              "would overflow; shrink QuantScale (n="),
+            col("n").cast("string"), lit(")")))).as("m"),
         sqrt((col("sqq").cast("double")
           - col("sq").cast("double") * col("sq").cast("double") / col("n"))
           / col("n")).as("s"))
@@ -583,7 +593,6 @@ object AnnQueries {
     * the driver regardless of corpus size.
     */
   def q107ConfusionMatrix(s: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val m = q49NearestCentroid(s, dir)
       .groupBy(col("true_label"), col("pred_label"))
       .agg(count(lit(1)).as("n"),

@@ -831,11 +831,14 @@ object DedupQueries {
     * joins and one tiny aggregate).
     */
   def q108SourceOverlap(s: SparkSession, dir: String): DataFrame = {
+    // plain keyed joins — doc→source is CORPUS-sized, so a forced
+    // broadcast would OOM at lake scale; let size-based planning/AQE
+    // broadcast only when the table actually fits
     val src = Tables.documents(s, dir).select(col("doc_id"), col("source"))
     q16LshNearDups(s, dir).select(col("a"), col("b"))
-      .join(broadcast(src).withColumnRenamed("doc_id", "a")
+      .join(src.withColumnRenamed("doc_id", "a")
         .withColumnRenamed("source", "sa"), Seq("a"))
-      .join(broadcast(src).withColumnRenamed("doc_id", "b")
+      .join(src.withColumnRenamed("doc_id", "b")
         .withColumnRenamed("source", "sb"), Seq("b"))
       .select(least(col("sa"), col("sb")).as("src1"),
         greatest(col("sa"), col("sb")).as("src2"))

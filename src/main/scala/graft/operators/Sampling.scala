@@ -66,6 +66,22 @@ object Sampling {
       substring(md5(concat(lit(seed + "|"), col(idCol).cast("string")).cast("binary")), 1, 2) < cut)
   }
 
+  /** Deterministic per-stratum RANKING hash for fixed-size sampling
+    * (q104 and its streaming twin share this single definition — the
+    * batch/streaming bit-for-bit agreement is structural, not
+    * copy-paste): the first 5 hex chars (20 bits) of
+    * `md5('k42|' || id)` as a long. 20 bits is deliberate:
+    * [[graft.plans.TopK.topKPerKey]] orders by a DOUBLE ord, so the
+    * q104 packing `h·2³² + id` must stay below 2⁵³ to remain exactly
+    * representable — 2²⁰·2³² = 2⁵² qualifies, a wider prefix would
+    * silently round away the id tie-break. Prefix collisions
+    * (~n²/2²¹ per stratum) are RESOLVED by that tie-break, not
+    * avoided, so the narrow prefix costs nothing in determinism.
+    */
+  def sampleRankHash(idCol: Column): Column =
+    conv(substring(md5(concat(lit("k42|"), idCol.cast("string"))
+      .cast("binary")), 1, 5), 16, 10).cast("long")
+
   /** CONTENT-hash split label (`train`/`test`) in the md5 family, so it
     * is portable across engines (xxhash64 is Spark-specific; md5 is
     * bit-identical everywhere — the same trade [[graft.dedup.Dedup]]

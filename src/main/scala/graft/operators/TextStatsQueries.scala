@@ -595,18 +595,20 @@ object TextStatsQueries {
     * repartitioning. The ranking runs through the bounded-heap
     * [[graft.plans.TopKPerKeyExec]] — ≤k rows per stratum per
     * partition cross the exchange, never a per-stratum window sort
-    * over the corpus. Ord packing: (28-bit hash prefix, doc_id) into
-    * one long, doc_id range guarded like the ANN rankers; the doc_id
-    * tie-break makes even a prefix collision deterministic.
+    * over the corpus. Ord packing: ([[Sampling.sampleRankHash]]'s
+    * 20-bit prefix, doc_id) into one long whose magnitude stays below
+    * 2⁵³ — the operator orders by a double ord, so a wider prefix
+    * would silently round away the doc_id tie-break (see the helper's
+    * scaladoc); doc_id range is raise_error-guarded like the ANN
+    * rankers, and a prefix collision stays deterministic via the
+    * tie-break.
     */
   val SampleTopK = 10
 
   def q104TopKSample(s: SparkSession, dir: String): DataFrame = {
-    val h = conv(substring(md5(concat(lit("k42|"),
-      col("doc_id").cast("string")).cast("binary")), 1, 7), 16, 10)
-      .cast("long")
     val df = Tables.documents(s, dir)
-      .select(col("lang"), col("doc_id")).withColumn("h", h)
+      .select(col("lang"), col("doc_id"))
+      .withColumn("h", Sampling.sampleRankHash(col("doc_id")))
     val idOk = col("doc_id") >= 0L && col("doc_id") < lit(4294967296L)
     val ord = when(idOk, -(col("h") * lit(4294967296L) + col("doc_id")))
       .otherwise(raise_error(concat(
@@ -624,7 +626,7 @@ object TextStatsQueries {
     s"""SELECT lang, doc_id, rk FROM (
        |  SELECT lang, doc_id,
        |    CAST(row_number() OVER (PARTITION BY lang ORDER BY
-       |      CAST(concat('0x', substr(md5('k42|' || CAST(doc_id AS VARCHAR)), 1, 7))
+       |      CAST(concat('0x', substr(md5('k42|' || CAST(doc_id AS VARCHAR)), 1, 5))
        |           AS BIGINT), doc_id) AS BIGINT) AS rk
        |  FROM documents)
        |WHERE rk <= $SampleTopK ORDER BY lang, rk""".stripMargin

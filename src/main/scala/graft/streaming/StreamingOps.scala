@@ -117,25 +117,32 @@ object StreamingOps {
     * maintenance of q104's result. State is O(k) per stratum (a
     * sorted list, k ≤ tens), bounded by stratum cardinality;
     * deliberately untimed-out — the sample must reflect the corpus
-    * lifetime. Same hash family as the batch query (`md5('k42|' ||
-    * doc_id)` 28-bit prefix), so the two paths agree bit-for-bit.
+    * lifetime. The hash IS the batch query's
+    * ([[graft.operators.Sampling.sampleRankHash]] — one shared
+    * definition, so bit-for-bit agreement is structural).
     */
   def topKSamplePerStratum(docs: DataFrame, k: Int = 10): Dataset[SampleRow] = {
     require(k >= 1, s"topKSamplePerStratum: k must be >= 1, got $k")
     val spark = docs.sparkSession
     import spark.implicits._
-    val h = conv(substring(md5(concat(lit("k42|"),
-      col("doc_id").cast("string")).cast("binary")), 1, 7), 16, 10)
-      .cast("long")
-    docs.select(col("lang"), col("doc_id")).withColumn("h", h)
+    docs.select(col("lang"), col("doc_id"))
+      .withColumn("h", graft.operators.Sampling.sampleRankHash(col("doc_id")))
       .as[StratumDoc]
       .groupByKey(_.lang)
       .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout) {
         (lang: String, rows: Iterator[StratumDoc],
          state: GroupState[TopKSampleState]) =>
-          val cur = state.getOption.map(_.entries).getOrElse(Nil)
-          val merged = (cur ++ rows.map(r => (r.h, r.doc_id)))
-            .distinct.sorted.take(k)
+          // fold the iterator into the ≤k-entry list — transient memory
+          // stays O(k) per group even for a hot stratum's huge batch
+          // slice (never materialize/sort the whole iterator)
+          val ordering = Ordering[(Long, Long)]
+          val merged = rows.foldLeft(
+            state.getOption.map(_.entries).getOrElse(Nil)) { (acc, r) =>
+            val e = (r.h, r.doc_id)
+            if (acc.contains(e) ||
+                (acc.length == k && ordering.gteq(e, acc.last))) acc
+            else ((e :: acc).sorted.take(k))
+          }
           state.update(TopKSampleState(merged))
           merged.iterator.zipWithIndex.map { case ((_, id), i) =>
             SampleRow(lang, id, i + 1L)

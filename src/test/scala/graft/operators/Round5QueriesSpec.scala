@@ -131,13 +131,14 @@ class Round5QueriesSpec extends SparkTestBase {
         math.min(TextStatsQueries.SampleTopK.toLong, strataSizes(lang)))
       assert(rows.map(_._3).sorted === (1L to rows.length).toArray)
     }
-    // window re-derivation over the same hash
-    val h = conv(substring(md5(concat(lit("k42|"),
-      col("doc_id").cast("string")).cast("binary")), 1, 7), 16, 10).cast("long")
+    // window re-derivation over the SHARED hash definition — this test
+    // pins the ranking mechanism (bounded heap ≡ window), the hash
+    // contract itself lives in Sampling.sampleRankHash
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("lang")).orderBy(col("h"), col("doc_id"))
     val viaWindow = Tables.documents(spark, sf)
-      .select(col("lang"), col("doc_id")).withColumn("h", h)
+      .select(col("lang"), col("doc_id"))
+      .withColumn("h", Sampling.sampleRankHash(col("doc_id")))
       .withColumn("rk", row_number().over(w).cast("long"))
       .filter(col("rk") <= TextStatsQueries.SampleTopK)
       .select(col("lang"), col("doc_id"), col("rk"))

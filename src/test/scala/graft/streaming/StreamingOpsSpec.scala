@@ -412,13 +412,11 @@ class StreamingOpsSpec extends SparkTestBase {
     val finalSample = sink.foldLeft(Map.empty[(String, Long), Long]) {
       case (acc, (lang, id, rk)) => acc + ((lang, rk) -> id)
     }
-    // batch re-derivation: min-5 by (md5-prefix, doc_id) per lang
-    val h = conv(substring(md5(concat(lit("k42|"),
-      col("doc_id").cast("string")).cast("binary")), 1, 7), 16, 10).cast("long")
+    // batch re-derivation: min-5 by the SHARED hash per lang
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("lang")).orderBy(col("h"), col("doc_id"))
     val batch = (b1 ++ b2).toDF("lang", "doc_id")
-      .withColumn("h", h)
+      .withColumn("h", graft.operators.Sampling.sampleRankHash(col("doc_id")))
       .withColumn("rk", row_number().over(w).cast("long"))
       .filter(col("rk") <= 5)
       .select(col("lang"), col("rk"), col("doc_id"))
