@@ -61,30 +61,33 @@ object GraphOps {
     require(scale >= 1000L, s"pageRankScaled: scale too small ($scale)")
     val base = scale * 15L / 100L
 
-    // Degree-annotated edges are the loop-invariant operand of every
-    // round's join — materialize once (localCheckpoint also truncates
-    // the upstream generator lineage out of all later plans). At lake
-    // scale this is the persisted, vertex-bucketed edge layout.
+    // Degree-annotated edges AND the vertex set are loop-invariant
+    // operands of every round's joins — materialize both once
+    // (localCheckpoint also truncates the upstream generator lineage
+    // out of all later plans; without it each round re-runs the vertex
+    // scan). At lake scale these are the persisted, vertex-bucketed
+    // graph layout.
     val outdeg = edges.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
     val edgesD = edges.join(outdeg, "src").localCheckpoint()
+    val verts = vertices.select(col("id")).localCheckpoint()
 
-    // Overflow guard on the REAL vertex count (cheap: outdeg side is
-    // already materialized; vertices is a 1-row agg). 85·n·scale < 2^63.
-    val n = vertices.agg(count(lit(1)).as("n")).head().getLong(0)
+    // Overflow guard on the REAL vertex count (cheap: verts is already
+    // materialized). 85·n·scale < 2^63.
+    val n = verts.count()
     require(n == 0 || scale <= Long.MaxValue / 100L / n,
       s"pageRankScaled: scale=$scale overflows 64-bit mass at n=$n vertices"
         + " — pass a smaller scale")
 
-    var pr = vertices.select(col("id"), lit(scale).as("pr"))
+    var pr = verts.select(col("id"), lit(scale).as("pr"))
     for (_ <- 1 to iters) {
       val sums = edgesD
         .join(pr, edgesD("src") === pr("id"))
         .select(col("dst"), expr("pr div outdeg").as("contrib"))
         .groupBy(col("dst"))
         .agg(sum(col("contrib")).as("s"))
-      pr = vertices
-        .join(sums, vertices("id") === sums("dst"), "left")
-        .select(vertices("id"),
+      pr = verts
+        .join(sums, verts("id") === sums("dst"), "left")
+        .select(verts("id"),
           (lit(base) + expr("(85 * coalesce(s, 0L)) div 100")).as("pr"))
     }
     pr
