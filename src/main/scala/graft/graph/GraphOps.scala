@@ -92,4 +92,95 @@ object GraphOps {
     }
     pr
   }
+
+  /** Personalized (topic-sensitive) PageRank, Haveliwala 2002: the
+    * teleport mass lands ONLY on the seed set, so the stationary
+    * ranks measure proximity to the seeds — the "find more documents
+    * like this curated set" signal. Same fixed-point integer contract
+    * as [[pageRankScaled]] (same exchanges per round, same floor-
+    * division exactness, same overflow guard shape); the only change
+    * is the per-vertex base term: `scale·15/100` for seeds, 0
+    * otherwise, and the initial mass likewise seeded.
+    *
+    * @param seeds one column `id` — the personalization set; vertices
+    *              not reachable from it converge to rank 0
+    */
+  def personalizedPageRankScaled(vertices: DataFrame, edges: DataFrame,
+      seeds: DataFrame, iters: Int, scale: Long = 1000000000L): DataFrame = {
+    require(iters >= 1, s"personalizedPageRankScaled: iters must be >= 1, got $iters")
+    require(scale >= 1000L, s"personalizedPageRankScaled: scale too small ($scale)")
+    val base = scale * 15L / 100L
+
+    val outdeg = edges.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
+    val edgesD = edges.join(outdeg, "src").localCheckpoint()
+    val verts = vertices.select(col("id"))
+      .join(seeds.select(col("id").as("__seed_id")),
+        col("id") === col("__seed_id"), "left")
+      .select(col("id"), col("__seed_id").isNotNull.as("is_seed"))
+      .localCheckpoint()
+
+    val n = verts.count()
+    require(n == 0 || scale <= Long.MaxValue / 100L / n,
+      s"personalizedPageRankScaled: scale=$scale overflows 64-bit mass at n=$n"
+        + " vertices — pass a smaller scale")
+
+    val seedBase = when(col("is_seed"), lit(base)).otherwise(lit(0L))
+    var pr = verts.select(col("id"),
+      when(col("is_seed"), lit(scale)).otherwise(lit(0L)).as("pr"))
+    for (_ <- 1 to iters) {
+      val sums = edgesD
+        .join(pr, edgesD("src") === pr("id"))
+        .select(col("dst"), expr("pr div outdeg").as("contrib"))
+        .groupBy(col("dst"))
+        .agg(sum(col("contrib")).as("s"))
+      pr = verts
+        .join(sums, verts("id") === sums("dst"), "left")
+        .select(verts("id"),
+          (seedBase + expr("(85 * coalesce(s, 0L)) div 100")).as("pr"))
+    }
+    pr
+  }
+
+  /** One synchronous round of majority-vote label propagation
+    * (Raghavan et al. 2007's update rule, single round so the result
+    * is a pure function of the input — no convergence/oscillation
+    * semantics to pin): each unlabeled vertex takes the most frequent
+    * label among its labeled in-neighbors, ties to the smallest
+    * label; labeled vertices keep theirs. The weak-supervision
+    * primitive: a small trusted labeled set + a similarity/link graph
+    * → labels for the 1-hop frontier. Shape: one edges⋈labels join
+    * exchange, one (dst, label) partial-agg, one argmax partial-agg —
+    * all keyed, nothing quadratic.
+    *
+    * @param labeled (id, label) for the seeded subset; labels may be
+    *                any orderable type (strings included), which is
+    *                why the argmax is max-votes-then-min-label (two
+    *                dst-keyed partial aggs) rather than the numeric
+    *                struct-max trick — a negated second field does
+    *                not exist for strings
+    * @param edges   directed (src, dst); symmetrize for undirected
+    * @return (id, label, origin) — origin `seed`, `propagated`, or
+    *         `unlabeled` (label null)
+    */
+  def labelPropagationRound(vertices: DataFrame, edges: DataFrame,
+      labeled: DataFrame): DataFrame = {
+    val counts = edges
+      .join(labeled.select(col("id").as("src"), col("label")), Seq("src"))
+      .groupBy(col("dst"), col("label"))
+      .agg(count(lit(1)).as("votes"))
+    val maxv = counts.groupBy(col("dst")).agg(max(col("votes")).as("mv"))
+    val votes = counts.join(maxv, Seq("dst"))
+      .filter(col("votes") === col("mv"))
+      .groupBy(col("dst"))
+      .agg(min(col("label")).as("won"))
+      .select(col("dst").as("id"), col("won"))
+    vertices.select(col("id"))
+      .join(labeled.withColumnRenamed("label", "own"), Seq("id"), "left")
+      .join(votes, Seq("id"), "left")
+      .select(col("id"),
+        coalesce(col("own"), col("won")).as("label"),
+        when(col("own").isNotNull, lit("seed"))
+          .when(col("won").isNotNull, lit("propagated"))
+          .otherwise(lit("unlabeled")).as("origin"))
+  }
 }

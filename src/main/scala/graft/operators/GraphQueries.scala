@@ -65,11 +65,114 @@ object GraphQueries {
        |ORDER BY doc_id""".stripMargin
   }
 
+  // --------------------------------------------------------------- q109
+  /** Personalized PageRank ([[GraphOps.personalizedPageRankScaled]])
+    * from the deterministic seed set doc_id % 50 = 0 — proximity-to-
+    * trusted-docs ranking ("find more like this curated set"), the
+    * graph-side companion of q102's embedding-side similarity. Same
+    * integer exactness as q101; unreachable vertices rank 0 by
+    * construction (teleport mass never lands on them).
+    */
+  val SeedMod = 50
+
+  def q109PersonalizedPageRank(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir).select(col("doc_id").as("id"))
+    val e = DedupQueries.synthEdges(s, dir)
+    val sym = e.select(col("a").as("src"), col("b").as("dst"))
+      .unionAll(e.select(col("b").as("src"), col("a").as("dst")))
+    val seeds = docs.filter(col("id") % SeedMod === 0)
+    GraphOps.personalizedPageRankScaled(docs, sym, seeds, PrIters, PrScale)
+      .select(col("id").as("doc_id"), col("pr").as("ppr_scaled"))
+      .orderBy(col("doc_id"))
+  }
+
+  val q109Sql: String = {
+    val base = PrScale * 15L / 100L
+    def round(prev: String, it: String): String =
+      s"""$it AS (
+         |  SELECT v.id,
+         |         CAST(CASE WHEN v.id % $SeedMod = 0 THEN $base ELSE 0 END
+         |              + (85 * coalesce(s.s, 0)) // 100 AS BIGINT) AS pr
+         |  FROM $prev v LEFT JOIN (
+         |    SELECT e.dst, sum(p.pr // o.d) AS s
+         |    FROM sym e JOIN outdeg o ON o.src = e.src
+         |               JOIN $prev p ON p.id = e.src
+         |    GROUP BY e.dst) s ON s.dst = v.id)"""
+    val rounds = (1 to PrIters)
+      .map(i => round(if (i == 1) "pr0" else s"it${i - 1}", s"it$i"))
+      .mkString(",\n")
+    s"""WITH ${DedupQueries.synthEdgeCtes},
+       |sym AS (SELECT a AS src, b AS dst FROM edges
+       |        UNION ALL SELECT b AS src, a AS dst FROM edges),
+       |outdeg AS (SELECT src, count(*) AS d FROM sym GROUP BY src),
+       |pr0 AS (SELECT doc_id AS id,
+       |               CAST(CASE WHEN doc_id % $SeedMod = 0 THEN $PrScale
+       |                         ELSE 0 END AS BIGINT) AS pr
+       |        FROM documents),
+       |$rounds
+       |SELECT id AS doc_id, pr AS ppr_scaled FROM it$PrIters
+       |ORDER BY doc_id""".stripMargin
+  }
+
+  // --------------------------------------------------------------- q110
+  /** One round of majority-vote label propagation
+    * ([[GraphOps.labelPropagationRound]]): the doc_id % 10 = 0 subset
+    * keeps its true `lang` as a trusted seed label; every other doc
+    * takes the majority lang among its labeled graph neighbors (ties
+    * to the alphabetically smallest), or stays unlabeled if no
+    * neighbor is seeded. The weak-supervision primitive: propagate a
+    * small audited label set one hop along the similarity/link graph
+    * before training a classifier on the rest.
+    */
+  val LabelMod = 10
+
+  def q110LabelPropagation(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val verts = docs.select(col("doc_id").as("id"))
+    val e = DedupQueries.synthEdges(s, dir)
+    val sym = e.select(col("a").as("src"), col("b").as("dst"))
+      .unionAll(e.select(col("b").as("src"), col("a").as("dst")))
+    val labeled = docs.filter(col("doc_id") % LabelMod === 0)
+      .select(col("doc_id").as("id"), col("lang").as("label"))
+    GraphOps.labelPropagationRound(verts, sym, labeled)
+      .select(col("id").as("doc_id"), col("label"), col("origin"))
+      .orderBy(col("doc_id"))
+  }
+
+  val q110Sql: String =
+    s"""WITH ${DedupQueries.synthEdgeCtes},
+       |sym AS (SELECT a AS src, b AS dst FROM edges
+       |        UNION ALL SELECT b AS src, a AS dst FROM edges),
+       |seeds AS (SELECT doc_id AS id, lang AS label FROM documents
+       |          WHERE doc_id % $LabelMod = 0),
+       |counts AS (
+       |  SELECT e.dst, l.label, count(*) AS votes
+       |  FROM sym e JOIN seeds l ON l.id = e.src
+       |  GROUP BY e.dst, l.label),
+       |mx AS (SELECT dst, max(votes) AS mv FROM counts GROUP BY dst),
+       |won AS (
+       |  SELECT c.dst AS id, min(c.label) AS won
+       |  FROM counts c JOIN mx ON mx.dst = c.dst AND c.votes = mx.mv
+       |  GROUP BY c.dst)
+       |SELECT d.doc_id,
+       |       coalesce(s.label, w.won) AS label,
+       |       CASE WHEN s.label IS NOT NULL THEN 'seed'
+       |            WHEN w.won IS NOT NULL THEN 'propagated'
+       |            ELSE 'unlabeled' END AS origin
+       |FROM documents d
+       |LEFT JOIN seeds s ON s.id = d.doc_id
+       |LEFT JOIN won w ON w.id = d.doc_id
+       |ORDER BY d.doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q101_pagerank" -> (q101PageRank _),
+    "q109_personalized_pagerank" -> (q109PersonalizedPageRank _),
+    "q110_label_propagation" -> (q110LabelPropagation _),
   )
 
   val oracles: Map[String, String] = Map(
     "q101_pagerank" -> q101Sql,
+    "q109_personalized_pagerank" -> q109Sql,
+    "q110_label_propagation" -> q110Sql,
   )
 }

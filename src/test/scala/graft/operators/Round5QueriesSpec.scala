@@ -61,6 +61,70 @@ class Round5QueriesSpec extends SparkTestBase {
     assert(ex.getMessage.contains("overflow"))
   }
 
+  // ------------------------------------------------------------- q109
+  test("q109: personalized PageRank matches the seeded integer recurrence") {
+    val edges = DedupQueries.synthEdges(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val sym = edges ++ edges.map { case (a, b) => (b, a) }
+    val vertices = Tables.documents(spark, sf)
+      .select(col("doc_id")).collect().map(_.getLong(0)).sorted
+    val scale = GraphQueries.PrScale
+    val base = scale * 15L / 100L
+    def seeded(v: Long) = v % GraphQueries.SeedMod == 0
+    val outdeg = sym.groupBy(_._1).map { case (k, v) => k -> v.size.toLong }
+    var pr = vertices.map(v => v -> (if (seeded(v)) scale else 0L)).toMap
+    for (_ <- 1 to GraphQueries.PrIters) {
+      val sums = sym.groupBy(_._2).map { case (dst, es) =>
+        dst -> es.iterator.map { case (s, _) => pr(s) / outdeg(s) }.foldLeft(0L)(_ + _)
+      }
+      pr = vertices.map(v => v ->
+        ((if (seeded(v)) base else 0L) + 85L * sums.getOrElse(v, 0L) / 100L)).toMap
+    }
+    val got = GraphQueries.q109PersonalizedPageRank(spark, sf)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === pr)
+    // seeds hold at least the teleport base; some non-seeds gained
+    // mass (proximity). NB an individual non-seed HUB may outrank an
+    // individual seed (it collects mass from several seeds) — the
+    // proximity claim is about the population, so compare means
+    assert(vertices.filter(seeded).forall(v => got(v) >= base))
+    assert(vertices.filterNot(seeded).exists(v => got(v) > 0L))
+    val (seeds, rest) = vertices.partition(seeded)
+    def mean(vs: Array[Long]) = vs.map(got).sum.toDouble / vs.length
+    assert(mean(seeds) > mean(rest))
+  }
+
+  // ------------------------------------------------------------- q110
+  test("q110: label propagation matches a driver-side majority vote") {
+    val docs = Tables.documents(spark, sf)
+      .select(col("doc_id"), col("lang")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val edges = DedupQueries.synthEdges(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val sym = edges ++ edges.map { case (a, b) => (b, a) }
+    def isSeed(v: Long) = v % GraphQueries.LabelMod == 0
+    val expected = docs.keys.map { v =>
+      if (isSeed(v)) v -> ("seed", Some(docs(v)))
+      else {
+        val votes = sym.filter(e => e._2 == v && isSeed(e._1))
+          .groupBy(e => docs(e._1)).map { case (l, es) => l -> es.size }
+        if (votes.isEmpty) v -> ("unlabeled", None)
+        else {
+          val mx = votes.values.max
+          v -> ("propagated",
+            Some(votes.filter(_._2 == mx).keys.min))
+        }
+      }
+    }.toMap
+    val got = GraphQueries.q110LabelPropagation(spark, sf).collect()
+      .map(r => r.getLong(0) ->
+        (r.getString(2), if (r.isNullAt(1)) None else Some(r.getString(1)))).toMap
+    assert(got === expected)
+    // the fixture exercises all three origins
+    assert(Set("seed", "propagated", "unlabeled")
+      .subsetOf(got.values.map(_._1).toSet))
+  }
+
   // ------------------------------------------------------------- q102
   test("q102: verdicts match a brute-force driver re-derivation") {
     val got = AnnQueries.q102SemanticDedup(spark, sf).collect()
