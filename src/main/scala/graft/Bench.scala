@@ -62,7 +62,8 @@ object Bench {
     "q101_pagerank", "q102_semantic_dedup", "q103_temperature_mix",
     "q104_topk_sample", "q105_minhash_calibration",
     "q106_embedding_outliers", "q107_confusion_matrix",
-    "q109_personalized_pagerank", "q110_label_propagation")
+    "q109_personalized_pagerank", "q110_label_propagation",
+    "q111_session_window")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -72,6 +72,61 @@ object EventQueries {
       .orderBy(col("user_id"), col("session_idx"))
   }
 
+  // --------------------------------------------------------------- q111
+  /** Sessionization via the NATIVE `session_window` operator — the
+    * third member of the repo's sessionization triple (q31 gaps-and-
+    * islands windows, `StreamingOps.sessionize` stateful streaming,
+    * and now the built-in batch operator a Structured Streaming job
+    * shares). Plan shape: ONE exchange on user_id feeding a session-
+    * merging aggregate — no per-user window sort pass, which is the
+    * scale argument for preferring it over q31's island windows when
+    * only the per-session AGGREGATES are needed (islands still win
+    * when every row must keep its session id).
+    *
+    * Boundary semantics differ from q31 BY DESIGN and the oracle
+    * mirrors them exactly: `session_window` ends are EXCLUSIVE
+    * (window = [t, t+gap)), so an event arriving exactly `gap` after
+    * its predecessor starts a NEW session — the islands rule that
+    * matches is `diff >= gap`, where q31 uses `diff > gap`. The
+    * emitted `end_ms` is last-event + gap (the native window end),
+    * not q31's last-event timestamp.
+    */
+  def q111SessionWindow(s: SparkSession, dir: String): DataFrame =
+    ev(s, dir)
+      .groupBy(col("user_id"),
+        session_window(col("ts"), s"${SessionGapMs / 1000} seconds").as("sw"))
+      .agg(count(lit(1)).as("n_events"),
+        round(sum(col("value")), 6).as("sum_value"))
+      .select(col("user_id"),
+        unix_millis(col("sw.start")).as("start_ms"),
+        unix_millis(col("sw.end")).as("end_ms"),
+        col("n_events"), col("sum_value"))
+      .orderBy(col("user_id"), col("start_ms"))
+
+  val q111Sql: String =
+    s"""WITH e AS (
+       |  SELECT user_id, event_id, value, CAST(epoch_ms(ts) AS BIGINT) AS ts_ms
+       |  FROM events),
+       |flagged AS (
+       |  SELECT user_id, event_id, value, ts_ms,
+       |    CASE WHEN lag(ts_ms) OVER w IS NULL
+       |              OR ts_ms - lag(ts_ms) OVER w >= $SessionGapMs
+       |         THEN 1 ELSE 0 END AS new_session
+       |  FROM e
+       |  WINDOW w AS (PARTITION BY user_id ORDER BY ts_ms, event_id)),
+       |sess AS (
+       |  SELECT user_id, value, ts_ms,
+       |    sum(new_session) OVER (PARTITION BY user_id ORDER BY ts_ms, event_id
+       |                           ROWS UNBOUNDED PRECEDING) AS session_idx
+       |  FROM flagged)
+       |SELECT user_id,
+       |  min(ts_ms) AS start_ms,
+       |  max(ts_ms) + $SessionGapMs AS end_ms,
+       |  count(*) AS n_events,
+       |  round(sum(value), 6) AS sum_value
+       |FROM sess GROUP BY user_id, session_idx
+       |ORDER BY user_id, start_ms""".stripMargin
+
   val q31Sql: String =
     s"""WITH e AS (
        |  SELECT user_id, event_id, value, CAST(epoch_ms(ts) AS BIGINT) AS ts_ms
@@ -516,6 +571,7 @@ object EventQueries {
     "q59_latest_per_key" -> (q59LatestPerKey _),
     "q30_event_window_agg" -> (q30WindowAgg _),
     "q31_sessionize" -> (q31Sessionize _),
+    "q111_session_window" -> (q111SessionWindow _),
     "q32_event_dedup" -> (q32EventDedup _),
     "q33_asof_attribution" -> (q33AsofAttribution _),
     "q35_json_extract" -> (q35JsonExtract _),
@@ -532,6 +588,7 @@ object EventQueries {
     "q59_latest_per_key" -> q59Sql,
     "q30_event_window_agg" -> q30Sql,
     "q31_sessionize" -> q31Sql,
+    "q111_session_window" -> q111Sql,
     "q32_event_dedup" -> q32Sql,
     "q33_asof_attribution" -> q33Sql,
     "q35_json_extract" -> q35Sql,

@@ -277,6 +277,43 @@ class Round5QueriesSpec extends SparkTestBase {
     assert(m.map(r => (r._1, r._2)).distinct.length === m.length)
   }
 
+  // ------------------------------------------------------------- q111
+  test("q111: native session_window matches a >=-gap islands re-derivation") {
+    val evs = Tables.events(spark, sf)
+      .select(col("user_id"), unix_millis(col("ts")).as("ts_ms"),
+        col("value"), col("event_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+    val gap = EventQueries.SessionGapMs
+    val expected = evs.groupBy(_._1).flatMap { case (u, rows) =>
+      val sorted = rows.sortBy(r => (r._2, r._4)).toList
+      val sessions = sorted.foldLeft(List.empty[List[(Long, Long, Double, Long)]]) {
+        // session_window semantics: end-EXCLUSIVE, so diff == gap splits
+        case (acc, r) if acc.isEmpty || r._2 - acc.head.head._2 >= gap =>
+          List(r) :: acc
+        case (h :: t, r) => (r :: h) :: t
+      }.map(_.reverse).reverse
+      sessions.map { s =>
+        (u, s.head._2) -> (s.last._2 + gap, s.length.toLong, s.map(_._3).sum)
+      }
+    }
+    val got = EventQueries.q111SessionWindow(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3), r.getDouble(4))).toMap
+    assert(got.keySet === expected.keySet)
+    expected.foreach { case (k, (end, n, sv)) =>
+      val (ge, gn, gsv) = got(k)
+      assert(ge === end)
+      assert(gn === n)
+      // double sums are order-sensitive; the driver fold and Spark's
+      // partial aggregation agree well inside 6dp rounding noise
+      assert(math.abs(gsv - sv) < 1e-5)
+    }
+    // cross-check against q31: identical session COUNT unless an exact
+    // gap-boundary pair exists in the data (then q111 splits more)
+    val q31n = EventQueries.q31Sessionize(spark, sf).count()
+    assert(got.size >= q31n)
+  }
+
   // ------------------------------------------------------------- q105
   test("q105: estimator agrees with manual signature comparison") {
     val rows = DedupQueries.q105MinhashCalibration(spark, sf).collect()
