@@ -152,6 +152,73 @@ object EventQueries {
        |FROM sess GROUP BY user_id, session_idx
        |ORDER BY user_id, session_idx""".stripMargin
 
+  // --------------------------------------------------------------- q112
+  /** Time-series resampling with forward fill: each sampled user's
+    * event stream regridded to HOURLY buckets between their first and
+    * last event, carrying the latest value forward across empty
+    * buckets — the standard feature-engineering resample (training
+    * pipelines want aligned fixed-frequency grids, not raw event
+    * times). Per bucket: event count and the last value (latest
+    * (ts, event_id) wins — a partial-aggregated struct-max, not a
+    * window sort), then `last(_, ignoreNulls)` over the per-user
+    * bucket order fills gaps. Shape at scale: the grid explode is
+    * per-user linear (span/bucket_width rows), bounds + per-bucket
+    * agg + fill all share the user_id keying; nothing global. The
+    * user sample (user_id % 50) bounds gate output, not the
+    * operator — the full-corpus form is the same plan.
+    */
+  val ResampleBucketMs = 3600000L
+  val ResampleUserMod = 50
+
+  def q112ResampleFfill(s: SparkSession, dir: String): DataFrame = {
+    val e = ev(s, dir)
+      .filter(col("user_id") % ResampleUserMod === 0)
+      .select(col("user_id"), expr(s"ts_ms div $ResampleBucketMs").as("bucket"),
+        col("ts_ms"), col("event_id"), col("value"))
+    val agg = e.groupBy(col("user_id"), col("bucket"))
+      .agg(count(lit(1)).as("n_events"),
+        max(struct(col("ts_ms"), col("event_id"), col("value"))).as("last"))
+      .select(col("user_id"), col("bucket"), col("n_events"),
+        col("last.value").as("val"))
+    val grid = e.groupBy(col("user_id"))
+      .agg(min(col("bucket")).as("mn"), max(col("bucket")).as("mx"))
+      .select(col("user_id"), explode(sequence(col("mn"), col("mx"))).as("bucket"))
+    val w = Window.partitionBy(col("user_id")).orderBy(col("bucket"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    grid.join(agg, Seq("user_id", "bucket"), "left")
+      .select(col("user_id"), col("bucket"),
+        coalesce(col("n_events"), lit(0L)).as("n_events"),
+        round(last(col("val"), ignoreNulls = true).over(w), 6).as("value_ffill"))
+      .orderBy(col("user_id"), col("bucket"))
+  }
+
+  val q112Sql: String =
+    s"""WITH e AS (
+       |  SELECT user_id, CAST(epoch_ms(ts) AS BIGINT) // $ResampleBucketMs AS bucket,
+       |         CAST(epoch_ms(ts) AS BIGINT) AS ts_ms, event_id, value
+       |  FROM events WHERE user_id % $ResampleUserMod = 0),
+       |agg AS (
+       |  SELECT c.user_id, c.bucket, c.n_events, l.val FROM
+       |    (SELECT user_id, bucket, count(*) AS n_events
+       |     FROM e GROUP BY user_id, bucket) c
+       |  JOIN (SELECT user_id, bucket, value AS val FROM (
+       |          SELECT user_id, bucket, value,
+       |            row_number() OVER (PARTITION BY user_id, bucket
+       |                               ORDER BY ts_ms DESC, event_id DESC) AS rk
+       |          FROM e) WHERE rk = 1) l
+       |    ON l.user_id = c.user_id AND l.bucket = c.bucket),
+       |bounds AS (SELECT user_id, min(bucket) AS mn, max(bucket) AS mx
+       |           FROM e GROUP BY user_id),
+       |grid AS (SELECT user_id, unnest(range(mn, mx + 1)) AS bucket FROM bounds)
+       |SELECT g.user_id, g.bucket,
+       |  coalesce(a.n_events, 0) AS n_events,
+       |  round(last_value(a.val IGNORE NULLS) OVER (
+       |    PARTITION BY g.user_id ORDER BY g.bucket
+       |    ROWS UNBOUNDED PRECEDING), 6) AS value_ffill
+       |FROM grid g LEFT JOIN agg a
+       |  ON a.user_id = g.user_id AND a.bucket = g.bucket
+       |ORDER BY g.user_id, g.bucket""".stripMargin
+
   // ---------------------------------------------------------------- q32
   /** Keyed dedup: first event per (user_id, event_type) by (ts, id) —
     * the batch shape of streaming dropDuplicates.
@@ -572,6 +639,7 @@ object EventQueries {
     "q30_event_window_agg" -> (q30WindowAgg _),
     "q31_sessionize" -> (q31Sessionize _),
     "q111_session_window" -> (q111SessionWindow _),
+    "q112_resample_ffill" -> (q112ResampleFfill _),
     "q32_event_dedup" -> (q32EventDedup _),
     "q33_asof_attribution" -> (q33AsofAttribution _),
     "q35_json_extract" -> (q35JsonExtract _),
@@ -589,6 +657,7 @@ object EventQueries {
     "q30_event_window_agg" -> q30Sql,
     "q31_sessionize" -> q31Sql,
     "q111_session_window" -> q111Sql,
+    "q112_resample_ffill" -> q112Sql,
     "q32_event_dedup" -> q32Sql,
     "q33_asof_attribution" -> q33Sql,
     "q35_json_extract" -> q35Sql,

@@ -314,6 +314,42 @@ class Round5QueriesSpec extends SparkTestBase {
     assert(got.size >= q31n)
   }
 
+  // ------------------------------------------------------------- q112
+  test("q112: resample grid is contiguous, mass-conserving, forward-filled") {
+    val rows = EventQueries.q112ResampleFfill(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(rows.nonEmpty)
+    val byUser = rows.groupBy(_._1)
+    // every user's bucket sequence is contiguous first..last
+    byUser.foreach { case (_, g) =>
+      val bs = g.map(_._2).sorted
+      assert(bs === (bs.head to bs.last).toArray)
+    }
+    // per-bucket event counts conserve the sampled users' event total
+    val total = Tables.events(spark, sf)
+      .filter(col("user_id") % EventQueries.ResampleUserMod === 0).count()
+    assert(rows.map(_._3).sum === total)
+    // value_ffill never null-gaps: first bucket has events by
+    // construction, later buckets carry the last value forward
+    val evs = Tables.events(spark, sf)
+      .filter(col("user_id") % EventQueries.ResampleUserMod === 0)
+      .select(col("user_id"), unix_millis(col("ts")).as("ts_ms"),
+        col("event_id"), col("value"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    val w = EventQueries.ResampleBucketMs
+    byUser.foreach { case (u, g) =>
+      var lastVal = Double.NaN
+      g.sortBy(_._2).foreach { case (_, b, n, v) =>
+        val inBucket = evs.filter(e => e._1 == u && e._2 / w == b)
+        assert(inBucket.length.toLong === n)
+        if (inBucket.nonEmpty)
+          lastVal = inBucket.maxBy(e => (e._2, e._3))._4
+        assert(v === BigDecimal(lastVal).setScale(6,
+          BigDecimal.RoundingMode.HALF_UP).toDouble)
+      }
+    }
+  }
+
   // ------------------------------------------------------------- q105
   test("q105: estimator agrees with manual signature comparison") {
     val rows = DedupQueries.q105MinhashCalibration(spark, sf).collect()
