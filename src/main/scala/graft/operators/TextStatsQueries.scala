@@ -631,6 +631,58 @@ object TextStatsQueries {
        |  FROM documents)
        |WHERE rk <= $SampleTopK ORDER BY lang, rk""".stripMargin
 
+  // --------------------------------------------------------------- q113
+  /** Deterministic WEIGHTED sampling (Efraimidis–Spirakis A-ES, 2006):
+    * top-5 docs per language by the key `u^(1/w)` with weight
+    * w = n_chars — longer documents proportionally likelier, the
+    * importance-sampling rule a token-budget-aware curation pass uses
+    * — but with the uniform u derived from md5 instead of rand(), so
+    * the sample is reproducible across engines, retries, and
+    * repartitioning like every other sampler in this repo (q48/q60/
+    * q104). Ranking uses the monotone-equivalent `ln(u)/w` form,
+    * quantized to nano-unit longs before ranking (the q98 argument:
+    * the quantization step is ~7 orders above the cross-engine ln()
+    * ulp difference, so both engines produce identical keys) with the
+    * doc_id tie-break making even a key collision deterministic.
+    * Zero-weight docs are excluded by A-ES semantics (u^(1/0⁺) → 0 —
+    * never sampled). Per-stratum window rank over 5 strata; for
+    * thousands of strata the q104 bounded-heap route applies (the key
+    * fits the heap's exact-double ord domain: |key| ≤ 34·10⁹ < 2⁵³).
+    */
+  val WeightedTopK = 5
+
+  def q113WeightedSample(s: SparkSession, dir: String): DataFrame = {
+    val u = (conv(substring(md5(concat(lit("w42|"),
+      col("doc_id").cast("string")).cast("binary")), 1, 12), 16, 10)
+      .cast("long").cast("double") + lit(0.5)) / lit(281474976710656.0)
+    val key = round(lit(1e9) * log(u) / col("n_chars")).cast("long")
+    val w = Window.partitionBy(col("lang"))
+      .orderBy(col("sampling_key").desc, col("doc_id"))
+    Tables.documents(s, dir)
+      .filter(col("n_chars") > 0)
+      .select(col("lang"), col("doc_id"), col("n_chars"),
+        key.as("sampling_key"))
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= WeightedTopK)
+      .select(col("lang"), col("doc_id"), col("n_chars"), col("rk"))
+      .orderBy(col("lang"), col("rk"))
+  }
+
+  val q113Sql: String =
+    s"""SELECT lang, doc_id, n_chars, rk FROM (
+       |  SELECT lang, doc_id, n_chars,
+       |    CAST(row_number() OVER (PARTITION BY lang
+       |                            ORDER BY sampling_key DESC, doc_id)
+       |         AS BIGINT) AS rk
+       |  FROM (
+       |    SELECT lang, doc_id, n_chars,
+       |      CAST(round(1e9 * ln((CAST(concat('0x',
+       |             substr(md5('w42|' || CAST(doc_id AS VARCHAR)), 1, 12))
+       |             AS BIGINT) + 0.5) / 281474976710656.0) / n_chars, 0)
+       |           AS BIGINT) AS sampling_key
+       |    FROM documents WHERE n_chars > 0))
+       |WHERE rk <= $WeightedTopK ORDER BY lang, rk""".stripMargin
+
   // ---------------------------------------------------------------- q97
   /** Bigram-vocabulary growth curve (the Heaps'-law sweep a corpus
     * curation run uses to check diminishing novelty): how many NEW
@@ -674,6 +726,7 @@ object TextStatsQueries {
     "q97_vocab_growth" -> (q97VocabGrowth _),
     "q103_temperature_mix" -> (q103TemperatureMix _),
     "q104_topk_sample" -> (q104TopKSample _),
+    "q113_weighted_sample" -> (q113WeightedSample _),
     "q88_mixture_weights" -> (q88MixtureWeights _),
     "q71_repetition_ratios" -> (q71RepetitionRatios _),
     "q72_token_chunks" -> (q72TokenChunks _),
@@ -693,6 +746,7 @@ object TextStatsQueries {
     "q97_vocab_growth" -> q97Sql,
     "q103_temperature_mix" -> q103Sql,
     "q104_topk_sample" -> q104Sql,
+    "q113_weighted_sample" -> q113Sql,
     "q88_mixture_weights" -> q88Sql,
     "q71_repetition_ratios" -> q71Sql,
     "q72_token_chunks" -> q72Sql,

@@ -277,6 +277,37 @@ class Round5QueriesSpec extends SparkTestBase {
     assert(m.map(r => (r._1, r._2)).distinct.length === m.length)
   }
 
+  // ------------------------------------------------------------- q113
+  test("q113: weighted sample matches a driver-side A-ES re-derivation") {
+    val docs = Tables.documents(spark, sf)
+      .select(col("lang"), col("doc_id"), col("n_chars"))
+      .filter(col("n_chars") > 0)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    def md5hex(s: String): String = java.security.MessageDigest
+      .getInstance("MD5").digest(s.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    def key(id: Long, w: Long): Long = {
+      val v = java.lang.Long.parseLong(md5hex(s"w42|$id").substring(0, 12), 16)
+      val u = (v.toDouble + 0.5) / 281474976710656.0
+      BigDecimal(1e9 * math.log(u) / w)
+        .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+    }
+    val expected = docs.groupBy(_._1).toSeq.flatMap { case (lang, g) =>
+      g.map(d => (d._2, d._3, key(d._2, d._3)))
+        .sortBy(d => (-d._3, d._1))
+        .take(TextStatsQueries.WeightedTopK)
+        .zipWithIndex
+        .map { case ((id, nc, _), i) => (lang, id, nc, i + 1L) }
+    }.toSet
+    val got = TextStatsQueries.q113WeightedSample(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(got === expected)
+    // importance weighting shows: sampled docs are longer than average
+    val corpusMean = docs.map(_._3).sum.toDouble / docs.length
+    val sampleMean = got.map(_._3).sum.toDouble / got.size
+    assert(sampleMean > corpusMean)
+  }
+
   // ------------------------------------------------------------- q111
   test("q111: native session_window matches a >=-gap islands re-derivation") {
     val evs = Tables.events(spark, sf)
