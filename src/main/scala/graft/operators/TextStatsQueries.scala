@@ -683,6 +683,81 @@ object TextStatsQueries {
        |    FROM documents WHERE n_chars > 0))
        |WHERE rk <= $WeightedTopK ORDER BY lang, rk""".stripMargin
 
+  // --------------------------------------------------------------- q114
+  /** One distributed BPE merge step — the inner loop of tokenizer
+    * training (Sennrich et al. 2016) as a Spark plan: (1) count all
+    * adjacent token pairs corpus-wide (codegen bigram shingles → one
+    * vocabulary-sized partial-agg exchange), (2) pick the most
+    * frequent pair deterministically (count desc, pair asc — a 1-row
+    * broadcast), (3) APPLY the merge to every document with a greedy
+    * leftmost non-overlapping fold (`aggregate` higher-order
+    * function: row-local, shuffle-free, codegen'd — "a a a" under
+    * pair (a,a) merges positions 0-1 only, because the merged token
+    * no longer equals `a`). The per-doc fold output is hashed
+    * (`md5` over a \\u0001 join) so the oracle verifies the full
+    * merged token SEQUENCE bit-for-bit, not just counts. Full BPE
+    * training iterates this step; each iteration is one count
+    * exchange + one map pass, so k merges cost k linear passes —
+    * the standard distributed-BPE shape.
+    */
+  def q114BpeMergeStep(s: SparkSession, dir: String): DataFrame = {
+    import graft.dedup.Dedup
+    val toksCol = filter(split(TextPrep.normalize(col("text")), " "),
+      t => t =!= "")
+    // localCheckpoint: the tokenized corpus feeds BOTH the pair count
+    // and the merge pass (Spark does not dedupe logical subplans)
+    val docs = Tables.documents(s, dir)
+      .select(col("doc_id"), toksCol.as("toks"))
+      .localCheckpoint()
+    val top = docs
+      .select(explode(Dedup.shinglesCol(col("toks"), 2)).as("shingle"))
+      .groupBy(col("shingle")).agg(count(lit(1)).as("c"))
+      .orderBy(col("c").desc, col("shingle").asc).limit(1)
+      .select(col("shingle").as("pair"),
+        element_at(split(col("shingle"), " "), 1).as("a"),
+        element_at(split(col("shingle"), " "), 2).as("b"))
+    docs.crossJoin(broadcast(top))
+      .select(col("doc_id"), col("pair"),
+        size(col("toks")).cast("long").as("n_tokens_before"),
+        aggregate(col("toks"), array().cast("array<string>"),
+          (acc, t) => when(
+            size(acc) > 0 && element_at(acc, -1) === col("a") && t === col("b"),
+            concat(slice(acc, lit(1), size(acc) - 1),
+              array(concat_ws(" ", col("a"), col("b")))))
+            .otherwise(concat(acc, array(t)))).as("m"))
+      .select(col("doc_id"), col("pair"), col("n_tokens_before"),
+        size(col("m")).cast("long").as("n_tokens_after"),
+        md5(concat_ws("", col("m")).cast("binary")).as("merged_hash"))
+      .orderBy(col("doc_id"))
+  }
+
+  val q114Sql: String =
+    s"""WITH $listsCte,
+       |bg AS (
+       |  SELECT doc_id, unnest(list_transform(range(1, len(toks)),
+       |           i -> toks[i] || ' ' || toks[i+1])) AS shingle
+       |  FROM lists),
+       |top AS (
+       |  SELECT shingle AS pair,
+       |         string_split(shingle, ' ')[1] AS a,
+       |         string_split(shingle, ' ')[2] AS b
+       |  FROM (SELECT shingle, count(*) AS c FROM bg GROUP BY shingle
+       |        ORDER BY c DESC, shingle ASC LIMIT 1)),
+       |merged AS (
+       |  SELECT l.doc_id, t.pair,
+       |    CAST(len(l.toks) AS BIGINT) AS n_tokens_before,
+       |    CASE WHEN len(l.toks) = 0 THEN []
+       |         ELSE list_reduce(list_transform(l.toks, x -> [x]),
+       |           (acc, x) -> CASE WHEN len(acc) > 0 AND acc[-1] = t.a AND x[1] = t.b
+       |                       THEN list_append(acc[1:len(acc)-1], t.a || ' ' || t.b)
+       |                       ELSE list_concat(acc, x) END)
+       |    END AS m
+       |  FROM lists l CROSS JOIN top t)
+       |SELECT doc_id, pair, n_tokens_before,
+       |  CAST(len(m) AS BIGINT) AS n_tokens_after,
+       |  md5(array_to_string(m, chr(1))) AS merged_hash
+       |FROM merged ORDER BY doc_id""".stripMargin
+
   // ---------------------------------------------------------------- q97
   /** Bigram-vocabulary growth curve (the Heaps'-law sweep a corpus
     * curation run uses to check diminishing novelty): how many NEW
@@ -727,6 +802,7 @@ object TextStatsQueries {
     "q103_temperature_mix" -> (q103TemperatureMix _),
     "q104_topk_sample" -> (q104TopKSample _),
     "q113_weighted_sample" -> (q113WeightedSample _),
+    "q114_bpe_merge_step" -> (q114BpeMergeStep _),
     "q88_mixture_weights" -> (q88MixtureWeights _),
     "q71_repetition_ratios" -> (q71RepetitionRatios _),
     "q72_token_chunks" -> (q72TokenChunks _),
@@ -747,6 +823,7 @@ object TextStatsQueries {
     "q103_temperature_mix" -> q103Sql,
     "q104_topk_sample" -> q104Sql,
     "q113_weighted_sample" -> q113Sql,
+    "q114_bpe_merge_step" -> q114Sql,
     "q88_mixture_weights" -> q88Sql,
     "q71_repetition_ratios" -> q71Sql,
     "q72_token_chunks" -> q72Sql,

@@ -308,6 +308,33 @@ class Round5QueriesSpec extends SparkTestBase {
     assert(sampleMean > corpusMean)
   }
 
+  // ------------------------------------------------------------- q114
+  test("q114: BPE merge step — greedy leftmost non-overlapping semantics") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-bpe").toString
+    Seq(
+      (1L, "go go go stop"), // top pair (go,go): merge positions 0-1 ONLY
+      (2L, "go go stop go go"), // two disjoint merges
+      (3L, "stop stop"), // no (go,go) here
+      (4L, "???")) // empty after normalization
+      .toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val r = TextStatsQueries.q114BpeMergeStep(spark, dir)
+      .collect().map(x => x.getLong(0) ->
+        (x.getString(1), x.getLong(2), x.getLong(3))).toMap
+    // pair counts: "go go" 3 (docs 1×2 + 2×2 → wait: doc1 has go-go,go-go,
+    // go-stop → 2; doc2 go-go,go-stop,stop-go,go-go → 2; total 4),
+    // "go stop" 2, "stop go" 1, "stop stop" 1 → top = "go go"
+    assert(r(1L)._1 === "go go")
+    // doc1 "go go go stop": greedy merges [go go] then go,stop → 3 tokens
+    assert(r(1L)._2 === 4L && r(1L)._3 === 3L)
+    // doc2: both (go,go) pairs disjoint → 2 merges, 5 → 3
+    assert(r(2L)._2 === 5L && r(2L)._3 === 3L)
+    // doc3: untouched
+    assert(r(3L)._2 === 2L && r(3L)._3 === 2L)
+    // doc4: empty stays empty
+    assert(r(4L)._2 === 0L && r(4L)._3 === 0L)
+  }
+
   // ------------------------------------------------------------- q111
   test("q111: native session_window matches a >=-gap islands re-derivation") {
     val evs = Tables.events(spark, sf)
