@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -700,6 +700,18 @@ object TextStatsQueries {
     * exchange + one map pass, so k merges cost k linear passes —
     * the standard distributed-BPE shape.
     */
+  /** Greedy leftmost non-overlapping merge of adjacent pair (a, b)
+    * into one token — the BPE apply step, shared by q114/q115. Pure
+    * row-local fold (`aggregate` HOF), shuffle-free.
+    */
+  private def bpeMergeFold(toks: Column, a: Column, b: Column): Column =
+    aggregate(toks, array().cast("array<string>"),
+      (acc, t) => when(
+        size(acc) > 0 && element_at(acc, -1) === a && t === b,
+        concat(slice(acc, lit(1), size(acc) - 1),
+          array(concat_ws(" ", a, b))))
+        .otherwise(concat(acc, array(t))))
+
   def q114BpeMergeStep(s: SparkSession, dir: String): DataFrame = {
     import graft.dedup.Dedup
     val toksCol = filter(split(TextPrep.normalize(col("text")), " "),
@@ -719,16 +731,105 @@ object TextStatsQueries {
     docs.crossJoin(broadcast(top))
       .select(col("doc_id"), col("pair"),
         size(col("toks")).cast("long").as("n_tokens_before"),
-        aggregate(col("toks"), array().cast("array<string>"),
-          (acc, t) => when(
-            size(acc) > 0 && element_at(acc, -1) === col("a") && t === col("b"),
-            concat(slice(acc, lit(1), size(acc) - 1),
-              array(concat_ws(" ", col("a"), col("b")))))
-            .otherwise(concat(acc, array(t)))).as("m"))
+        bpeMergeFold(col("toks"), col("a"), col("b")).as("m"))
       .select(col("doc_id"), col("pair"), col("n_tokens_before"),
         size(col("m")).cast("long").as("n_tokens_after"),
-        md5(concat_ws("", col("m")).cast("binary")).as("merged_hash"))
+        md5(concat_ws("\u0001", col("m")).cast("binary")).as("merged_hash"))
       .orderBy(col("doc_id"))
+  }
+
+  // --------------------------------------------------------------- q115
+  /** Three ROUNDS of BPE training — q114's step iterated: each round
+    * recounts adjacent pairs over the merged corpus, picks the next
+    * most frequent pair (count desc, pair asc), and applies it. The
+    * learned merge list (pair1..pair3) IS the model — materializing
+    * it to the driver (one 1-row job per round) is the point of
+    * training, exactly like the CC loop materializes convergence
+    * counts. Pair identity uses a \\u0001 joiner from round 2 on:
+    * merged tokens contain spaces, so a space-joined pair string
+    * would be ambiguous — chr(1) cannot appear in tokens. Per-round
+    * cost: one vocabulary-sized count exchange + one shuffle-free
+    * fold pass over the (checkpointed) corpus — k merges = k linear
+    * passes, the standard distributed-BPE shape.
+    */
+  val BpeRounds = 3
+
+  def q115BpeTrain(s: SparkSession, dir: String): DataFrame = {
+    val toksCol = filter(split(TextPrep.normalize(col("text")), " "),
+      t => t =!= "")
+    val pairCol = expr(
+      "case when size(toks) < 2 then array() " +
+        "else transform(sequence(1, size(toks) - 1), " +
+        "i -> concat(element_at(toks, i), chr(1), element_at(toks, i + 1))) end")
+    var docs = Tables.documents(s, dir)
+      .select(col("doc_id"), toksCol.as("toks"),
+        size(toksCol).cast("long").as("n_tokens_before"))
+      .localCheckpoint()
+    val learned = scala.collection.mutable.ListBuffer.empty[String]
+    for (_ <- 1 to BpeRounds) {
+      val topRows = docs.select(explode(pairCol).as("pr"))
+        .groupBy(col("pr")).agg(count(lit(1)).as("c"))
+        .orderBy(col("c").desc, col("pr").asc).limit(1)
+        .collect()
+      require(topRows.nonEmpty,
+        "q115: no adjacent pairs left to merge — corpus too small for "
+          + s"$BpeRounds rounds")
+      val Array(a, b) = topRows.head.getString(0).split('\u0001')
+      learned += s"$a $b"
+      docs = docs.select(col("doc_id"),
+        bpeMergeFold(col("toks"), lit(a), lit(b)).as("toks"),
+        col("n_tokens_before"))
+        .localCheckpoint()
+    }
+    docs.select(
+        (col("doc_id") +: learned.toSeq.zipWithIndex.map { case (p, i) =>
+          lit(p).as(s"pair${i + 1}") }) ++ Seq(
+          col("n_tokens_before"),
+          size(col("toks")).cast("long").as("n_tokens_after"),
+          md5(concat_ws("\u0001", col("toks")).cast("binary"))
+            .as("merged_hash")): _*)
+      .orderBy(col("doc_id"))
+  }
+
+  val q115Sql: String = {
+    def roundCtes(i: Int): String = {
+      val prev = s"lists${i - 1}"
+      s"""bg$i AS (
+         |  SELECT unnest(list_transform(range(1, len(toks)),
+         |           j -> toks[j] || chr(1) || toks[j+1])) AS pr
+         |  FROM $prev),
+         |top$i AS (
+         |  SELECT pr AS pair, string_split(pr, chr(1))[1] AS a,
+         |         string_split(pr, chr(1))[2] AS b
+         |  FROM (SELECT pr, count(*) AS c FROM bg$i GROUP BY pr
+         |        ORDER BY c DESC, pr ASC LIMIT 1)),
+         |lists$i AS (
+         |  SELECT l.doc_id,
+         |    CASE WHEN len(l.toks) = 0 THEN []
+         |         ELSE list_reduce(list_transform(l.toks, x -> [x]),
+         |           (acc, x) -> CASE WHEN len(acc) > 0 AND acc[-1] = t.a AND x[1] = t.b
+         |                       THEN list_append(acc[1:len(acc)-1], t.a || ' ' || t.b)
+         |                       ELSE list_concat(acc, x) END)
+         |    END AS toks
+         |  FROM $prev l CROSS JOIN top$i t)""".stripMargin
+    }
+    val rounds = (1 to BpeRounds).map(roundCtes).mkString(",\n")
+    val pairSelects = (1 to BpeRounds)
+      .map(i => s"(SELECT replace(pair, chr(1), ' ') FROM top$i) AS pair$i")
+      .mkString(",\n  ")
+    s"""WITH lists0 AS (
+       |  SELECT doc_id,
+       |         list_filter(string_split(trim(regexp_replace(lower(text), '(\\d|\\W)+', ' ', 'g')), ' '), x -> x <> '') AS toks
+       |  FROM documents),
+       |$rounds
+       |SELECT l0.doc_id,
+       |  $pairSelects,
+       |  CAST(len(l0.toks) AS BIGINT) AS n_tokens_before,
+       |  CAST(len(l$BpeRounds.toks) AS BIGINT) AS n_tokens_after,
+       |  md5(array_to_string(l$BpeRounds.toks, chr(1))) AS merged_hash
+       |FROM lists0 l0 JOIN lists$BpeRounds l$BpeRounds
+       |  ON l$BpeRounds.doc_id = l0.doc_id
+       |ORDER BY l0.doc_id""".stripMargin
   }
 
   val q114Sql: String =
@@ -803,6 +904,7 @@ object TextStatsQueries {
     "q104_topk_sample" -> (q104TopKSample _),
     "q113_weighted_sample" -> (q113WeightedSample _),
     "q114_bpe_merge_step" -> (q114BpeMergeStep _),
+    "q115_bpe_train" -> (q115BpeTrain _),
     "q88_mixture_weights" -> (q88MixtureWeights _),
     "q71_repetition_ratios" -> (q71RepetitionRatios _),
     "q72_token_chunks" -> (q72TokenChunks _),
@@ -824,6 +926,7 @@ object TextStatsQueries {
     "q104_topk_sample" -> q104Sql,
     "q113_weighted_sample" -> q113Sql,
     "q114_bpe_merge_step" -> q114Sql,
+    "q115_bpe_train" -> q115Sql,
     "q88_mixture_weights" -> q88Sql,
     "q71_repetition_ratios" -> q71Sql,
     "q72_token_chunks" -> q72Sql,

@@ -335,6 +335,27 @@ class Round5QueriesSpec extends SparkTestBase {
     assert(r(4L)._2 === 0L && r(4L)._3 === 0L)
   }
 
+  // ------------------------------------------------------------- q115
+  test("q115: three BPE rounds compose — merged tokens join later merges") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-bpe3").toString
+    Seq((1L, "a b a b a b"), (2L, "a b c"), (3L, "c c"))
+      .toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val rows = TextStatsQueries.q115BpeTrain(spark, dir).collect()
+      .map(r => r.getLong(0) -> (r.getString(1), r.getString(2), r.getString(3),
+        r.getLong(4), r.getLong(5))).toMap
+    // round 1: "a b" wins (4 occurrences); round 2 merges the merged
+    // token with itself ("a b"+"a b"); round 3 is a 3-way count tie —
+    // byte order picks "a b"+"c" ( sorts below space)
+    val (p1, p2, p3, _, _) = rows(1L)
+    assert(p1 === "a b")
+    assert(p2 === "a b a b")
+    assert(p3 === "a b c")
+    assert(rows(1L)._4 === 6L && rows(1L)._5 === 2L) // [abab, ab]
+    assert(rows(2L)._4 === 3L && rows(2L)._5 === 1L) // [abc]
+    assert(rows(3L)._4 === 2L && rows(3L)._5 === 2L) // untouched
+  }
+
   // ------------------------------------------------------------- q111
   test("q111: native session_window matches a >=-gap islands re-derivation") {
     val evs = Tables.events(spark, sf)
