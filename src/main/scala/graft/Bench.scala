@@ -64,7 +64,7 @@ object Bench {
     "q106_embedding_outliers", "q107_confusion_matrix",
     "q109_personalized_pagerank", "q110_label_propagation",
     "q111_session_window", "q112_resample_ffill",
-    "q113_weighted_sample", "q114_bpe_merge_step")
+    "q113_weighted_sample", "q114_bpe_merge_step", "q115_bpe_train")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

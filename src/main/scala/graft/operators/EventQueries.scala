@@ -83,18 +83,23 @@ object EventQueries {
     * only the per-session AGGREGATES are needed (islands still win
     * when every row must keep its session id).
     *
-    * Boundary semantics differ from q31 BY DESIGN and the oracle
-    * mirrors them exactly: `session_window` ends are EXCLUSIVE
-    * (window = [t, t+gap)), so an event arriving exactly `gap` after
-    * its predecessor starts a NEW session — the islands rule that
-    * matches is `diff >= gap`, where q31 uses `diff > gap`. The
-    * emitted `end_ms` is last-event + gap (the native window end),
-    * not q31's last-event timestamp.
+    * Boundary semantics: an event arriving EXACTLY `gap` after its
+    * predecessor MERGES into the session — Spark's session iterators
+    * (`UpdatingSessionsIterator`/`MergingSessionsIterator`) start a
+    * new session only when the incoming window start is strictly
+    * greater than the current session end, i.e. the islands rule is
+    * q31's `diff > gap`. (An earlier draft claimed end-exclusive
+    * `>=` semantics — refuted by reading the Spark 4.1.2 bytecode;
+    * the oracle and spec encode the merge-on-equality rule.) The only
+    * output difference vs q31 is `end_ms` = last-event + gap, the
+    * native window end. The gap is passed in MILLISECONDS so a
+    * non-second-aligned `SessionGapMs` can never silently truncate
+    * away from the oracle's ms arithmetic.
     */
   def q111SessionWindow(s: SparkSession, dir: String): DataFrame =
     ev(s, dir)
       .groupBy(col("user_id"),
-        session_window(col("ts"), s"${SessionGapMs / 1000} seconds").as("sw"))
+        session_window(col("ts"), s"$SessionGapMs milliseconds").as("sw"))
       .agg(count(lit(1)).as("n_events"),
         round(sum(col("value")), 6).as("sum_value"))
       .select(col("user_id"),
@@ -110,7 +115,7 @@ object EventQueries {
        |flagged AS (
        |  SELECT user_id, event_id, value, ts_ms,
        |    CASE WHEN lag(ts_ms) OVER w IS NULL
-       |              OR ts_ms - lag(ts_ms) OVER w >= $SessionGapMs
+       |              OR ts_ms - lag(ts_ms) OVER w > $SessionGapMs
        |         THEN 1 ELSE 0 END AS new_session
        |  FROM e
        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts_ms, event_id)),
@@ -180,7 +185,11 @@ object EventQueries {
         max(struct(col("ts_ms"), col("event_id"), col("value"))).as("last"))
       .select(col("user_id"), col("bucket"), col("n_events"),
         col("last.value").as("val"))
-    val grid = e.groupBy(col("user_id"))
+      // the bucket table feeds BOTH the grid bounds and the final join —
+      // materialize it so deriving bounds doesn't re-scan the events
+      // parquet (Spark does not dedupe logical subplans)
+      .localCheckpoint()
+    val grid = agg.groupBy(col("user_id"))
       .agg(min(col("bucket")).as("mn"), max(col("bucket")).as("mx"))
       .select(col("user_id"), explode(sequence(col("mn"), col("mx"))).as("bucket"))
     val w = Window.partitionBy(col("user_id")).orderBy(col("bucket"))

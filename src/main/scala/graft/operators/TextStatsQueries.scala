@@ -714,12 +714,10 @@ object TextStatsQueries {
 
   def q114BpeMergeStep(s: SparkSession, dir: String): DataFrame = {
     import graft.dedup.Dedup
-    val toksCol = filter(split(TextPrep.normalize(col("text")), " "),
-      t => t =!= "")
     // localCheckpoint: the tokenized corpus feeds BOTH the pair count
     // and the merge pass (Spark does not dedupe logical subplans)
     val docs = Tables.documents(s, dir)
-      .select(col("doc_id"), toksCol.as("toks"))
+      .select(col("doc_id"), TextPrep.tokensCol(col("text")).as("toks"))
       .localCheckpoint()
     val top = docs
       .select(explode(Dedup.shinglesCol(col("toks"), 2)).as("shingle"))
@@ -755,8 +753,7 @@ object TextStatsQueries {
   val BpeRounds = 3
 
   def q115BpeTrain(s: SparkSession, dir: String): DataFrame = {
-    val toksCol = filter(split(TextPrep.normalize(col("text")), " "),
-      t => t =!= "")
+    val toksCol = TextPrep.tokensCol(col("text"))
     val pairCol = expr(
       "case when size(toks) < 2 then array() " +
         "else transform(sequence(1, size(toks) - 1), " +
@@ -792,8 +789,10 @@ object TextStatsQueries {
   }
 
   val q115Sql: String = {
+    // round 0 is the SHARED listsCte (one SQL mirror of
+    // TextPrep.normalize across the whole module — never a second copy)
     def roundCtes(i: Int): String = {
-      val prev = s"lists${i - 1}"
+      val prev = if (i == 1) "lists" else s"lists${i - 1}"
       s"""bg$i AS (
          |  SELECT unnest(list_transform(range(1, len(toks)),
          |           j -> toks[j] || chr(1) || toks[j+1])) AS pr
@@ -817,17 +816,14 @@ object TextStatsQueries {
     val pairSelects = (1 to BpeRounds)
       .map(i => s"(SELECT replace(pair, chr(1), ' ') FROM top$i) AS pair$i")
       .mkString(",\n  ")
-    s"""WITH lists0 AS (
-       |  SELECT doc_id,
-       |         list_filter(string_split(trim(regexp_replace(lower(text), '(\\d|\\W)+', ' ', 'g')), ' '), x -> x <> '') AS toks
-       |  FROM documents),
+    s"""WITH $listsCte,
        |$rounds
        |SELECT l0.doc_id,
        |  $pairSelects,
        |  CAST(len(l0.toks) AS BIGINT) AS n_tokens_before,
        |  CAST(len(l$BpeRounds.toks) AS BIGINT) AS n_tokens_after,
        |  md5(array_to_string(l$BpeRounds.toks, chr(1))) AS merged_hash
-       |FROM lists0 l0 JOIN lists$BpeRounds l$BpeRounds
+       |FROM lists l0 JOIN lists$BpeRounds l$BpeRounds
        |  ON l$BpeRounds.doc_id = l0.doc_id
        |ORDER BY l0.doc_id""".stripMargin
   }

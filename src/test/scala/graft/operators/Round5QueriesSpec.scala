@@ -357,7 +357,24 @@ class Round5QueriesSpec extends SparkTestBase {
   }
 
   // ------------------------------------------------------------- q111
-  test("q111: native session_window matches a >=-gap islands re-derivation") {
+  test("q111: session_window MERGES an exactly-gap event (boundary pin)") {
+    // pins the Spark semantics the oracle encodes: a new session starts
+    // only when the incoming window start is STRICTLY past the current
+    // session end — an event at t+gap merges, t+gap+1ms splits
+    val gapMs = EventQueries.SessionGapMs
+    def sessions(ts2: Long): Long = {
+      val df = Seq((1L, new java.sql.Timestamp(0L)),
+          (1L, new java.sql.Timestamp(ts2)))
+        .toDF("user_id", "ts")
+      df.groupBy(col("user_id"),
+          session_window(col("ts"), s"$gapMs milliseconds"))
+        .count().count()
+    }
+    assert(sessions(gapMs) === 1L)
+    assert(sessions(gapMs + 1) === 2L)
+  }
+
+  test("q111: native session_window matches a >-gap islands re-derivation") {
     val evs = Tables.events(spark, sf)
       .select(col("user_id"), unix_millis(col("ts")).as("ts_ms"),
         col("value"), col("event_id"))
@@ -366,8 +383,9 @@ class Round5QueriesSpec extends SparkTestBase {
     val expected = evs.groupBy(_._1).flatMap { case (u, rows) =>
       val sorted = rows.sortBy(r => (r._2, r._4)).toList
       val sessions = sorted.foldLeft(List.empty[List[(Long, Long, Double, Long)]]) {
-        // session_window semantics: end-EXCLUSIVE, so diff == gap splits
-        case (acc, r) if acc.isEmpty || r._2 - acc.head.head._2 >= gap =>
+        // session_window semantics: exactly-gap MERGES (strict > splits —
+        // the boundary-pin test above proves it against Spark itself)
+        case (acc, r) if acc.isEmpty || r._2 - acc.head.head._2 > gap =>
           List(r) :: acc
         case (h :: t, r) => (r :: h) :: t
       }.map(_.reverse).reverse
@@ -387,10 +405,10 @@ class Round5QueriesSpec extends SparkTestBase {
       // partial aggregation agree well inside 6dp rounding noise
       assert(math.abs(gsv - sv) < 1e-5)
     }
-    // cross-check against q31: identical session COUNT unless an exact
-    // gap-boundary pair exists in the data (then q111 splits more)
+    // cross-check against q31: same gap rule, so the session count is
+    // IDENTICAL — only the reported end_ms differs
     val q31n = EventQueries.q31Sessionize(spark, sf).count()
-    assert(got.size >= q31n)
+    assert(got.size.toLong === q31n)
   }
 
   // ------------------------------------------------------------- q112
