@@ -19,7 +19,8 @@ import org.apache.spark.sql.SparkSession
   * composes the same q16→q19 chain and is excluded for the same
   * reason), queries that are strict
   * prefixes/aggregations/SQL-surface twins of included ones (q6, q11,
-  * q23, q45, q46, q51, q53 — q46 is q13 through the SIMILARITY_TOP1
+  * q23, q45, q46, q51, q53, q114 — q114 is exactly q115's first
+  * training round — q46 is q13 through the SIMILARITY_TOP1
   * hint, q45 is fixture-sized), and the fixture-sized q54/q55 (input
   * does not scale with sf).
   */
@@ -64,7 +65,7 @@ object Bench {
     "q106_embedding_outliers", "q107_confusion_matrix",
     "q109_personalized_pagerank", "q110_label_propagation",
     "q111_session_window", "q112_resample_ffill",
-    "q113_weighted_sample", "q114_bpe_merge_step", "q115_bpe_train")
+    "q113_weighted_sample", "q115_bpe_train", "q116_source_minhash_union")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

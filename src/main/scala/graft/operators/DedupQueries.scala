@@ -858,7 +858,65 @@ object DedupQueries {
        |SELECT src1, src2, count(*) AS n_pairs
        |FROM lab GROUP BY src1, src2 ORDER BY src1, src2""".stripMargin
 
+  // --------------------------------------------------------------- q116
+  /** Per-SOURCE MinHash signatures by sketch UNION — the mergeability
+    * demo that makes MinHash a 100 TB structure: the signature of a
+    * union of sets is the elementwise MIN of the signatures, so
+    * per-source (or per-shard, per-day, per-datacenter) sketches
+    * combine in one tiny aggregation without touching documents
+    * again. Here: doc-level token sets → per-source k=12 signature
+    * (one grouped agg — Spark's partial aggregation IS the sketch
+    * merge) → source-pair Jaccard ESTIMATES from signature agreement.
+    * The estimate matrix is the sketch-side companion of q108's exact
+    * near-dup pair counts: q108 tells you which feeds mirror each
+    * other document-by-document; q116 approximates corpus-level
+    * vocabulary overlap from 12 hashes per source. Source²-bounded
+    * output; the only corpus-sized stage is the token explode q15
+    * already pays.
+    */
+  def q116SourceMinhashUnion(s: SparkSession, dir: String): DataFrame = {
+    // source-level token sets: same tokenSets contract keyed by source
+    // (the union of the source's doc token sets — which is exactly what
+    // the signature min-merge sketches)
+    val toks = Dedup.tokenSets(
+      Tables.documents(s, dir).select(col("source"), col("text")),
+      "source", "text")
+    val sig = Dedup.minhashSig(toks, K)
+    val mhCols = (0 until K).map(j => f"mh$j%02d")
+    val sa = sig.select((col("id").as("src1") +:
+      mhCols.map(c => col(c).as(s"a_$c"))): _*)
+    val sb = sig.select((col("id").as("src2") +:
+      mhCols.map(c => col(c).as(s"b_$c"))): _*)
+    val matches = mhCols.map(c =>
+      when(col(s"a_$c") === col(s"b_$c"), 1).otherwise(0)).reduce(_ + _)
+    sa.join(sb, col("src1") < col("src2"))
+      .select(col("src1"), col("src2"),
+        round(matches.cast("double") / lit(K), 6).as("est_jaccard"))
+      .orderBy(col("src1"), col("src2"))
+  }
+
+  val q116Sql: String = {
+    val mins = (0 until K).map(j =>
+      f"min(md5('$j%d|' || word)) AS mh$j%02d").mkString(",\n    ")
+    val matchSum = (0 until K).map(j =>
+      f"CASE WHEN sa.mh$j%02d = sb.mh$j%02d THEN 1 ELSE 0 END").mkString(" + ")
+    s"""WITH utoks AS (
+       |  SELECT source,
+       |         unnest(string_split(trim(regexp_replace(lower(text), '(\\d|\\W)+', ' ', 'g')), ' ')) AS word
+       |  FROM documents),
+       |tok AS (SELECT DISTINCT source, word FROM utoks WHERE word <> ''),
+       |sig AS (
+       |  SELECT source,
+       |    $mins
+       |  FROM tok GROUP BY source)
+       |SELECT sa.source AS src1, sb.source AS src2,
+       |       round(($matchSum) / ${K.toDouble}, 6) AS est_jaccard
+       |FROM sig sa JOIN sig sb ON sa.source < sb.source
+       |ORDER BY src1, src2""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q116_source_minhash_union" -> (q116SourceMinhashUnion _),
     "q108_source_overlap" -> (q108SourceOverlap _),
     "q105_minhash_calibration" -> (q105MinhashCalibration _),
     "q100_dedup_survivorship" -> (q100DedupSurvivorship _),
@@ -878,6 +936,7 @@ object DedupQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q116_source_minhash_union" -> q116Sql,
     "q108_source_overlap" -> q108Sql,
     "q105_minhash_calibration" -> q105Sql,
     "q100_dedup_survivorship" -> q100Sql,

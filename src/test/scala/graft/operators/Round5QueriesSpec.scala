@@ -447,6 +447,40 @@ class Round5QueriesSpec extends SparkTestBase {
     }
   }
 
+  // ------------------------------------------------------------- q116
+  test("q116: source signatures obey the sketch-union law; estimates match") {
+    import graft.dedup.Dedup
+    val docs = Tables.documents(spark, sf)
+      .select(col("doc_id"), col("source"), col("text"))
+    val k = DedupQueries.K
+    val mhCols = (0 until k).map(j => f"mh$j%02d")
+    // (a) signature of the UNION of token sets (what q116 computes)
+    val direct = Dedup.minhashSig(
+        Dedup.tokenSets(docs.select(col("source"), col("text")), "source", "text"), k)
+      .collect().map(r => r.getString(0) -> mhCols.indices.map(i => r.getString(i + 1))).toMap
+    // (b) elementwise MIN over the source's DOC-level signatures — the
+    // mergeability law says (a) == (b): sketches combine without
+    // re-touching documents
+    val docSigs = Dedup.minhashSig(Dedup.tokenSets(docs, "doc_id", "text"), k)
+      .join(docs.select(col("doc_id").as("id"), col("source")), Seq("id"))
+      .collect().map(r => (r.getString(r.length - 1),
+        mhCols.indices.map(i => r.getString(i + 1))))
+    val merged = docSigs.groupBy(_._1).map { case (src, sigs) =>
+      src -> mhCols.indices.map(i => sigs.map(_._2(i)).min)
+    }
+    assert(direct === merged)
+    // and the q116 estimates are exactly the agreement fractions of (a)
+    val got = DedupQueries.q116SourceMinhashUnion(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getDouble(2)).toMap
+    val sources = direct.keys.toSeq.sorted
+    for (s1 <- sources; s2 <- sources if s1 < s2) {
+      val agree = mhCols.indices.count(i => direct(s1)(i) == direct(s2)(i))
+      val expect = BigDecimal(agree.toDouble / k)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(got((s1, s2)) === expect)
+    }
+  }
+
   // ------------------------------------------------------------- q105
   test("q105: estimator agrees with manual signature comparison") {
     val rows = DedupQueries.q105MinhashCalibration(spark, sf).collect()
