@@ -19,9 +19,9 @@ import org.apache.spark.sql.SparkSession
   * composes the same q16→q19 chain and is excluded for the same
   * reason), queries that are strict
   * prefixes/aggregations/SQL-surface twins of included ones (q6, q11,
-  * q23, q45, q46, q51, q53, q114 — q114 is exactly q115's first
-  * training round — q46 is q13 through the SIMILARITY_TOP1
-  * hint, q45 is fixture-sized), and the fixture-sized q54/q55 (input
+  * q23, q45, q46, q51, q53, q114 — q46 is q13 through the
+  * SIMILARITY_TOP1 hint, q45 is fixture-sized, q114 is exactly q115's
+  * first training round), and the fixture-sized q54/q55 (input
   * does not scale with sf).
   */
 object Bench {

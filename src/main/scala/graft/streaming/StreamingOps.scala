@@ -150,6 +150,29 @@ object StreamingOps {
       }
   }
 
+  /** Streaming twin of q116's per-source MinHash signatures
+    * ([[graft.operators.DedupQueries.q116SourceMinhashUnion]]): the
+    * running sketch-maintenance shape. Because a MinHash signature is
+    * a MERGEABLE sketch (sig(A ∪ B) = elementwise min), the streaming
+    * state is just one k-string row per source, folded with the same
+    * grouped `min` aggregation the batch query uses — an
+    * update-mode aggregate, no custom state function needed. This is
+    * the general pattern for maintaining ANY mergeable sketch (HLL,
+    * CMS, minhash) over a live feed: the partial-aggregation
+    * machinery IS the incremental merge. Deliberately unwatermarked:
+    * a corpus signature covers the corpus lifetime.
+    */
+  def runningSourceMinhash(docs: DataFrame, k: Int = 12): DataFrame = {
+    val toks = explode(filter(
+      split(graft.text.TextPrep.normalize(col("text")), " "), t => t =!= ""))
+    val aggs = (0 until k).map { j =>
+      min(md5(concat(lit(f"$j%d|"), col("word")).cast("binary"))).as(f"mh$j%02d")
+    }
+    docs.select(col("source"), toks.as("word"))
+      .groupBy(col("source"))
+      .agg(aggs.head, aggs.tail: _*)
+  }
+
   /** Watermark-scoped exact-once dedup on event_id. NB plain
     * `dropDuplicates("event_id")` would keep state per id FOREVER (the
     * watermark only GCs dedup state when the event-time column is part

@@ -389,6 +389,35 @@ class StreamingOpsSpec extends SparkTestBase {
     assert(dupErr.getMessage.contains("unique per h"))
   }
 
+  test("running source minhash folds micro-batches to the batch signatures") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(String, String)]
+    val df = input.toDF.toDF("source", "text")
+    val b1 = Seq(("s1", "alpha beta gamma"), ("s2", "delta epsilon"))
+    val b2 = Seq(("s1", "beta zeta"), ("s3", "eta theta"))
+    val q = StreamingOps.runningSourceMinhash(df, k = 4)
+      .writeStream.outputMode(OutputMode.Complete)
+      .format("memory").queryName("mh_out").start()
+    input.addData(b1: _*); q.processAllAvailable()
+    input.addData(b2: _*); q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("mh_out").collect()
+      .map(r => r.getString(0) -> (1 to 4).map(r.getString)).toMap
+    // batch twin over the union
+    val batch = StreamingOps.runningSourceMinhash(
+        (b1 ++ b2).toDF("source", "text"), k = 4)
+      .collect().map(r => r.getString(0) -> (1 to 4).map(r.getString)).toMap
+    assert(streamed === batch)
+    // and equals the q116 building block (distinct-token minhashSig) —
+    // duplicate tokens cannot change a min, so the streaming path may
+    // legitimately skip the distinct
+    val viaSets = graft.dedup.Dedup.minhashSig(
+        graft.dedup.Dedup.tokenSets(
+          (b1 ++ b2).toDF("source", "text"), "source", "text"), 4)
+      .collect().map(r => r.getString(0) -> (1 to 4).map(r.getString)).toMap
+    assert(streamed === viaSets)
+  }
+
   test("streaming per-stratum top-k sample converges to the batch sample") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(String, Long)]
