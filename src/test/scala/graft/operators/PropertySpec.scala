@@ -42,6 +42,61 @@ class PropertySpec extends SparkTestBase {
     } yield (pts, ivs.zipWithIndex.map { case ((s, e), i) => (i.toLong, s, e) })
 
   // ------------------------------------------------------- properties
+  test("pageRankScaled == local integer recurrence on random graphs") {
+    for (seed <- 1L to 3L) {
+      val edges = sample(edgeListGen, seed).filter { case (a, b) => a != b }
+      val verts = (1L to 25L).toList
+      val scale = 1000000L
+      // local reference: identical integer recurrence
+      val outdeg = edges.groupBy(_._1).map { case (k, v) => k -> v.size.toLong }
+      val base = scale * 15L / 100L
+      var pr = verts.map(_ -> scale).toMap
+      for (_ <- 1 to 3) {
+        val sums = edges.groupBy(_._2).map { case (dst, es) =>
+          dst -> es.map { case (s, _) => pr(s) / outdeg(s) }.foldLeft(0L)(_ + _)
+        }
+        pr = verts.map(v => v -> (base + 85L * sums.getOrElse(v, 0L) / 100L)).toMap
+      }
+      val got = graft.graph.GraphOps.pageRankScaled(
+          verts.toDF("id"),
+          edges.toDF("src", "dst").repartition(5),
+          iters = 3, scale = scale)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got === pr, s"seed $seed")
+      // mass bound: damped totals never exceed the injected mass
+      assert(got.values.sum <= verts.size * scale)
+    }
+  }
+
+  test("labelPropagationRound == local majority vote on random graphs") {
+    for (seed <- 10L to 12L) {
+      val edges = sample(edgeListGen, seed)
+      val verts = (1L to 25L).toList
+      val labeled = verts.filter(_ % 3 == 0).map(v => v -> s"L${v % 4}")
+      val labMap = labeled.toMap
+      val expected = verts.map { v =>
+        labMap.get(v) match {
+          case Some(l) => v -> Some(l)
+          case None =>
+            val votes = edges.filter(e => e._2 == v && labMap.contains(e._1))
+              .groupBy(e => labMap(e._1)).map { case (l, es) => l -> es.size }
+            if (votes.isEmpty) v -> None
+            else {
+              val mx = votes.values.max
+              v -> Some(votes.filter(_._2 == mx).keys.min)
+            }
+        }
+      }.toMap
+      val got = graft.graph.GraphOps.labelPropagationRound(
+          verts.toDF("id"),
+          edges.toDF("src", "dst").repartition(7),
+          labeled.toDF("id", "label"))
+        .collect().map(r => r.getLong(0) ->
+          (if (r.isNullAt(1)) None else Some(r.getString(1)))).toMap
+      assert(got === expected, s"seed $seed")
+    }
+  }
+
   test("connectedComponents == local union-find on random graphs") {
     (1L to 5L).foreach { seed =>
       val edges = sample(edgeListGen, seed).distinct
