@@ -65,7 +65,8 @@ object Bench {
     "q106_embedding_outliers", "q107_confusion_matrix",
     "q109_personalized_pagerank", "q110_label_propagation",
     "q111_session_window", "q112_resample_ffill",
-    "q113_weighted_sample", "q115_bpe_train", "q116_source_minhash_union")
+    "q113_weighted_sample", "q115_bpe_train", "q116_source_minhash_union",
+    "q117_kmv_distinct")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -915,7 +915,81 @@ object DedupQueries {
        |ORDER BY src1, src2""".stripMargin
   }
 
+  // --------------------------------------------------------------- q117
+  /** KMV (k-minimum-values) distinct-count sketch per source — the
+    * distinct-counting sketch that, unlike HLL (whose register layout
+    * is implementation-specific), is ENGINE-PORTABLE and therefore
+    * oracle-gatable: the estimator is a pure function of the k
+    * smallest md5 values of the distinct elements
+    * (Bar-Yossef et al. 2002: D̂ = (k−1)/u_k with u_k the k-th
+    * minimum normalized to (0,1)). Sources with fewer than k distinct
+    * elements report the EXACT count (you hold every value — the
+    * standard KMV convention). Like q116's signatures the k-min set
+    * is MERGEABLE (k smallest of a union = k smallest of the pooled
+    * k-min sets), so at scale the rank runs as a partial→final k-min
+    * per partition — the TopKPerKeyExec pattern; the window form here
+    * is source-cardinality-bounded. 48-bit hash prefix (the q113
+    * uniform construction): collisions only bias the estimator by a
+    * vanishing amount and identically in both engines.
+    */
+  val KmvK = 8
+
+  def q117KmvDistinct(s: SparkSession, dir: String): DataFrame = {
+    val toks = Dedup.tokenSets(
+      Tables.documents(s, dir).select(col("source"), col("text")),
+      "source", "text")
+    val hashed = toks.select(col("id").as("source"), col("word"),
+      conv(substring(md5(col("word").cast("binary")), 1, 12), 16, 10)
+        .cast("long").as("h"))
+    val byH = Window.partitionBy(col("source")).orderBy(col("h"), col("word"))
+    hashed
+      .withColumn("rk", row_number().over(byH))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_distinct_exact"),
+        max(when(col("rk") === KmvK, col("h"))).as("hk"))
+      .select(col("source"), col("n_distinct_exact"),
+        round(when(col("n_distinct_exact") < KmvK,
+            col("n_distinct_exact").cast("double"))
+          .otherwise(lit((KmvK - 1).toDouble)
+            / ((col("hk") + lit(0.5)) / lit(281474976710656.0))), 6)
+          .as("kmv_est"))
+      .withColumn("rel_err", round(
+        abs(col("kmv_est") - col("n_distinct_exact")) / col("n_distinct_exact"),
+        6))
+      .orderBy(col("source"))
+  }
+
+  val q117Sql: String =
+    s"""WITH utoks AS (
+       |  SELECT source,
+       |         unnest(string_split(trim(regexp_replace(lower(text), '(\\d|\\W)+', ' ', 'g')), ' ')) AS word
+       |  FROM documents),
+       |tok AS (SELECT DISTINCT source, word FROM utoks WHERE word <> ''),
+       |hashed AS (
+       |  SELECT source, word,
+       |    CAST(concat('0x', substr(md5(word), 1, 12)) AS BIGINT) AS h
+       |  FROM tok),
+       |ranked AS (
+       |  SELECT source, h,
+       |    row_number() OVER (PARTITION BY source ORDER BY h, word) AS rk
+       |  FROM hashed),
+       |agg AS (
+       |  SELECT source, CAST(count(*) AS BIGINT) AS n_distinct_exact,
+       |         max(CASE WHEN rk = $KmvK THEN h END) AS hk
+       |  FROM ranked GROUP BY source),
+       |est AS (
+       |  SELECT source, n_distinct_exact,
+       |    round(CASE WHEN n_distinct_exact < $KmvK
+       |               THEN CAST(n_distinct_exact AS DOUBLE)
+       |               ELSE ${(KmvK - 1).toDouble}
+       |                    / ((hk + 0.5) / 281474976710656.0) END, 6) AS kmv_est
+       |  FROM agg)
+       |SELECT source, n_distinct_exact, kmv_est,
+       |  round(abs(kmv_est - n_distinct_exact) / n_distinct_exact, 6) AS rel_err
+       |FROM est ORDER BY source""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q117_kmv_distinct" -> (q117KmvDistinct _),
     "q116_source_minhash_union" -> (q116SourceMinhashUnion _),
     "q108_source_overlap" -> (q108SourceOverlap _),
     "q105_minhash_calibration" -> (q105MinhashCalibration _),
@@ -936,6 +1010,7 @@ object DedupQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q117_kmv_distinct" -> q117Sql,
     "q116_source_minhash_union" -> q116Sql,
     "q108_source_overlap" -> q108Sql,
     "q105_minhash_calibration" -> q105Sql,

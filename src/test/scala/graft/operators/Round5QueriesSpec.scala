@@ -481,6 +481,45 @@ class Round5QueriesSpec extends SparkTestBase {
     }
   }
 
+  // ------------------------------------------------------------- q117
+  test("q117: KMV estimate matches driver re-derivation; k-min sets merge") {
+    def md5hex(x: String): String = java.security.MessageDigest
+      .getInstance("MD5").digest(x.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    def h(w: String): Long = java.lang.Long.parseLong(md5hex(w).substring(0, 12), 16)
+    val k = DedupQueries.KmvK
+    def toks(t: String): Set[String] =
+      t.toLowerCase.replaceAll("(\\d|\\W)+", " ").trim
+        .split(" ").filter(_.nonEmpty).toSet
+    val bySource = Tables.documents(spark, sf)
+      .select(col("source"), col("text")).collect()
+      .map(r => (r.getString(0), r.getString(1)))
+      .groupBy(_._1).map { case (s, rows) => s -> rows.flatMap(r => toks(r._2)).toSet }
+    def r6(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val expected = bySource.map { case (s, words) =>
+      val n = words.size.toLong
+      val est = if (n < k) n.toDouble
+      else {
+        val hk = words.map(h).toSeq.sorted.apply(k - 1)
+        (k - 1).toDouble / ((hk + 0.5) / 281474976710656.0)
+      }
+      s -> (n, r6(est))
+    }
+    val got = DedupQueries.q117KmvDistinct(spark, sf).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(got === expected)
+    // mergeability: the k smallest of a union == the k smallest of the
+    // pooled per-half k-min sets (the property that makes KMV a
+    // partial-aggregable sketch)
+    bySource.values.take(3).foreach { words =>
+      val hs = words.map(h).toSeq.sorted
+      val (l, r) = words.splitAt(words.size / 2)
+      val pooled = (l.map(h).toSeq.sorted.take(k) ++ r.map(h).toSeq.sorted.take(k))
+        .sorted.take(k)
+      assert(pooled === hs.take(k))
+    }
+  }
+
   // ------------------------------------------------------------- q105
   test("q105: estimator agrees with manual signature comparison") {
     val rows = DedupQueries.q105MinhashCalibration(spark, sf).collect()
