@@ -162,16 +162,16 @@ object StreamingOps {
     * machinery IS the incremental merge. Deliberately unwatermarked:
     * a corpus signature covers the corpus lifetime.
     */
-  def runningSourceMinhash(docs: DataFrame, k: Int = 12): DataFrame = {
-    val toks = explode(filter(
-      split(graft.text.TextPrep.normalize(col("text")), " "), t => t =!= ""))
-    val aggs = (0 until k).map { j =>
-      min(md5(concat(lit(f"$j%d|"), col("word")).cast("binary"))).as(f"mh$j%02d")
-    }
-    docs.select(col("source"), toks.as("word"))
-      .groupBy(col("source"))
-      .agg(aggs.head, aggs.tail: _*)
-  }
+  def runningSourceMinhash(docs: DataFrame, k: Int = 12): DataFrame =
+    // SHARED definitions, not copies (the Sampling.sampleRankHash rule:
+    // batch/streaming agreement must be structural): tokenization is
+    // TextPrep.tokensCol, the seeded-min construction is minhashSig
+    // itself — a duplicate-bearing explode feeds the same mins because
+    // duplicates cannot change a min (spec'd against tokenSets)
+    graft.dedup.Dedup.minhashSig(
+      docs.select(col("source").as("id"),
+        explode(graft.text.TextPrep.tokensCol(col("text"))).as("word")), k)
+      .withColumnRenamed("id", "source")
 
   /** Watermark-scoped exact-once dedup on event_id. NB plain
     * `dropDuplicates("event_id")` would keep state per id FOREVER (the

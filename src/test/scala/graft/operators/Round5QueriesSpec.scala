@@ -498,9 +498,12 @@ class Round5QueriesSpec extends SparkTestBase {
     def r6(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
     val expected = bySource.map { case (s, words) =>
       val n = words.size.toLong
+      // per-WORD hash sequence, not a Set of hashes: the query ranks one
+      // row per word, so a 48-bit collision between two distinct words
+      // must keep both values here too
       val est = if (n < k) n.toDouble
       else {
-        val hk = words.map(h).toSeq.sorted.apply(k - 1)
+        val hk = words.toSeq.map(h).sorted.apply(k - 1)
         (k - 1).toDouble / ((hk + 0.5) / 281474976710656.0)
       }
       s -> (n, r6(est))
@@ -512,9 +515,9 @@ class Round5QueriesSpec extends SparkTestBase {
     // pooled per-half k-min sets (the property that makes KMV a
     // partial-aggregable sketch)
     bySource.values.take(3).foreach { words =>
-      val hs = words.map(h).toSeq.sorted
-      val (l, r) = words.splitAt(words.size / 2)
-      val pooled = (l.map(h).toSeq.sorted.take(k) ++ r.map(h).toSeq.sorted.take(k))
+      val hs = words.toSeq.map(h).sorted
+      val (l, r) = words.toSeq.splitAt(words.size / 2)
+      val pooled = (l.map(h).sorted.take(k) ++ r.map(h).sorted.take(k))
         .sorted.take(k)
       assert(pooled === hs.take(k))
     }
