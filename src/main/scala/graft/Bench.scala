@@ -66,7 +66,7 @@ object Bench {
     "q109_personalized_pagerank", "q110_label_propagation",
     "q111_session_window", "q112_resample_ffill",
     "q113_weighted_sample", "q115_bpe_train", "q116_source_minhash_union",
-    "q117_kmv_distinct")
+    "q117_kmv_distinct", "q118_winsorize", "q119_robust_stats")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

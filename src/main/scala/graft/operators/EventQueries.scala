@@ -228,6 +228,134 @@ object EventQueries {
        |  ON a.user_id = g.user_id AND a.bucket = g.bucket
        |ORDER BY g.user_id, g.bucket""".stripMargin
 
+  // --------------------------------------------------------------- q118
+  /** Percentile winsorization per event_type — the feature-clipping
+    * pass that tames heavy-tailed numeric columns before training:
+    * values below the exact p01 (above the exact p99) are clamped to
+    * the boundary value. Exact rank-order percentiles with the
+    * deterministic (value, event_id) total order, boundary rank =
+    * max(1, ceil(q·n)) — both engines compute identical ranks from
+    * identical longs, and the boundary VALUES are actual data points
+    * (no interpolation), so the clamp is hash-exact. Shape: one
+    * window rank per event_type + a tiny per-type boundary table
+    * joined back (type-cardinality-bounded, broadcast). At extreme
+    * per-key cardinality swap the exact rank for
+    * [[graft.operators.Sketches]] quantiles — same clamp, bounded
+    * memory.
+    */
+  def q118Winsorize(s: SparkSession, dir: String): DataFrame = {
+    val byVal = Window.partitionBy(col("event_type"))
+      .orderBy(col("value"), col("event_id"))
+    val ranked = ev(s, dir)
+      .select(col("event_id"), col("event_type"), col("value"))
+      .withColumn("rk", row_number().over(byVal))
+      .withColumn("n", count(lit(1)).over(
+        Window.partitionBy(col("event_type"))))
+    val bounds = ranked.groupBy(col("event_type"))
+      .agg(
+        max(when(col("rk") === greatest(lit(1L), ceil(col("n") * 0.01)),
+          col("value"))).as("lo"),
+        max(when(col("rk") === ceil(col("n") * 0.99), col("value"))).as("hi"))
+    ranked.join(broadcast(bounds), Seq("event_type"))
+      .select(col("event_id"), col("event_type"), col("value"),
+        round(greatest(col("lo"), least(col("hi"), col("value"))), 6)
+          .as("value_winsorized"),
+        (col("value") < col("lo") || col("value") > col("hi")).as("clipped"))
+      .orderBy(col("event_id"))
+  }
+
+  val q118Sql: String =
+    """WITH ranked AS (
+      |  SELECT event_id, event_type, value,
+      |    row_number() OVER (PARTITION BY event_type
+      |                       ORDER BY value, event_id) AS rk,
+      |    count(*) OVER (PARTITION BY event_type) AS n
+      |  FROM events),
+      |bounds AS (
+      |  SELECT event_type,
+      |    max(CASE WHEN rk = greatest(1, CAST(ceil(n * 0.01) AS BIGINT))
+      |             THEN value END) AS lo,
+      |    max(CASE WHEN rk = CAST(ceil(n * 0.99) AS BIGINT)
+      |             THEN value END) AS hi
+      |  FROM ranked GROUP BY event_type)
+      |SELECT r.event_id, r.event_type, r.value,
+      |  round(greatest(b.lo, least(b.hi, r.value)), 6) AS value_winsorized,
+      |  (r.value < b.lo OR r.value > b.hi) AS clipped
+      |FROM ranked r JOIN bounds b ON b.event_type = r.event_type
+      |ORDER BY r.event_id""".stripMargin
+
+  // --------------------------------------------------------------- q119
+  /** Robust per-type location/scale via median + MAD (Iglewicz &
+    * Hoaglin's modified z-score family) — the outlier diagnostic that,
+    * unlike q106's mean/std z-scores, is itself immune to the
+    * outliers it hunts. Medians are LOWER medians (rank
+    * floor((n+1)/2) under the (value, event_id) total order — a
+    * deterministic data point, no midpoint interpolation, so both
+    * engines pick the identical double). Two rank passes (value, then
+    * absolute deviation), both per-type windows; the modified z uses
+    * the standard 0.6745 consistency constant and the 3.5 outlier
+    * cut. Output is type-cardinality-bounded.
+    */
+  def q119RobustStats(s: SparkSession, dir: String): DataFrame = {
+    val e = ev(s, dir).select(col("event_id"), col("event_type"), col("value"))
+    val byVal = Window.partitionBy(col("event_type"))
+      .orderBy(col("value"), col("event_id"))
+    val med = e.withColumn("rk", row_number().over(byVal))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy(col("event_type"))))
+      .filter(col("rk") === expr("(n + 1) div 2"))
+      .select(col("event_type"), col("value").as("med"))
+    val withDev = e.join(broadcast(med), Seq("event_type"))
+      .withColumn("adev", abs(col("value") - col("med")))
+    val byDev = Window.partitionBy(col("event_type"))
+      .orderBy(col("adev"), col("event_id"))
+    val mad = withDev.withColumn("rk", row_number().over(byDev))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy(col("event_type"))))
+      .filter(col("rk") === expr("(n + 1) div 2"))
+      .select(col("event_type"), col("adev").as("mad"))
+    withDev.join(broadcast(mad), Seq("event_type"))
+      .withColumn("mz", when(col("mad") === 0d, lit(0.0))
+        .otherwise(lit(0.6745) * (col("value") - col("med")) / col("mad")))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        round(max(col("med")), 6).as("median"),
+        round(max(col("mad")), 6).as("mad"),
+        sum(when(abs(col("mz")) > 3.5, 1L).otherwise(0L)).as("n_outliers"))
+      .orderBy(col("event_type"))
+  }
+
+  val q119Sql: String =
+    """WITH e AS (SELECT event_id, event_type, value FROM events),
+      |ranked AS (
+      |  SELECT event_type, value,
+      |    row_number() OVER (PARTITION BY event_type
+      |                       ORDER BY value, event_id) AS rk,
+      |    count(*) OVER (PARTITION BY event_type) AS n
+      |  FROM e),
+      |med AS (
+      |  SELECT event_type, value AS med FROM ranked
+      |  WHERE rk = (n + 1) // 2),
+      |dev AS (
+      |  SELECT e.event_id, e.event_type, e.value, m.med,
+      |         abs(e.value - m.med) AS adev
+      |  FROM e JOIN med m ON m.event_type = e.event_type),
+      |dranked AS (
+      |  SELECT event_type, adev,
+      |    row_number() OVER (PARTITION BY event_type
+      |                       ORDER BY adev, event_id) AS rk,
+      |    count(*) OVER (PARTITION BY event_type) AS n
+      |  FROM dev),
+      |mad AS (
+      |  SELECT event_type, adev AS mad FROM dranked
+      |  WHERE rk = (n + 1) // 2)
+      |SELECT d.event_type, count(*) AS n,
+      |  round(max(d.med), 6) AS median,
+      |  round(max(ma.mad), 6) AS mad,
+      |  CAST(sum(CASE WHEN ma.mad <> 0
+      |                 AND abs(0.6745 * (d.value - d.med) / ma.mad) > 3.5
+      |            THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+      |FROM dev d JOIN mad ma ON ma.event_type = d.event_type
+      |GROUP BY d.event_type ORDER BY d.event_type""".stripMargin
+
   // ---------------------------------------------------------------- q32
   /** Keyed dedup: first event per (user_id, event_type) by (ts, id) —
     * the batch shape of streaming dropDuplicates.
@@ -649,6 +777,8 @@ object EventQueries {
     "q31_sessionize" -> (q31Sessionize _),
     "q111_session_window" -> (q111SessionWindow _),
     "q112_resample_ffill" -> (q112ResampleFfill _),
+    "q118_winsorize" -> (q118Winsorize _),
+    "q119_robust_stats" -> (q119RobustStats _),
     "q32_event_dedup" -> (q32EventDedup _),
     "q33_asof_attribution" -> (q33AsofAttribution _),
     "q35_json_extract" -> (q35JsonExtract _),
@@ -667,6 +797,8 @@ object EventQueries {
     "q31_sessionize" -> q31Sql,
     "q111_session_window" -> q111Sql,
     "q112_resample_ffill" -> q112Sql,
+    "q118_winsorize" -> q118Sql,
+    "q119_robust_stats" -> q119Sql,
     "q32_event_dedup" -> q32Sql,
     "q33_asof_attribution" -> q33Sql,
     "q35_json_extract" -> q35Sql,

@@ -523,6 +523,57 @@ class Round5QueriesSpec extends SparkTestBase {
     }
   }
 
+  // ------------------------------------------------------------- q118
+  test("q118: winsorization clamps exactly at the rank-order percentiles") {
+    val rows = EventQueries.q118Winsorize(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2),
+        r.getDouble(3), r.getBoolean(4)))
+    assert(rows.nonEmpty)
+    val byType = rows.groupBy(_._2)
+    val raw = Tables.events(spark, sf)
+      .select(col("event_type"), col("value"), col("event_id"))
+      .collect().map(r => (r.getString(0), r.getDouble(1), r.getLong(2)))
+      .groupBy(_._1)
+    byType.foreach { case (t, g) =>
+      val sorted = raw(t).sortBy(r => (r._2, r._3)).map(_._2)
+      val n = sorted.length
+      val lo = sorted(math.max(1, math.ceil(n * 0.01).toInt) - 1)
+      val hi = sorted(math.ceil(n * 0.99).toInt - 1)
+      g.foreach { case (_, _, v, w, clipped) =>
+        val expect = math.max(lo, math.min(hi, v))
+        assert(math.abs(w - BigDecimal(expect).setScale(6,
+          BigDecimal.RoundingMode.HALF_UP).toDouble) < 1e-9)
+        assert(clipped === (v < lo || v > hi))
+      }
+      // clipping is rare but present on a 1% tail
+      assert(g.count(_._5) > 0)
+      assert(g.count(_._5) < g.size / 10)
+    }
+  }
+
+  // ------------------------------------------------------------- q119
+  test("q119: median/MAD match a driver-side rank re-derivation") {
+    val raw = Tables.events(spark, sf)
+      .select(col("event_type"), col("value"), col("event_id"))
+      .collect().map(r => (r.getString(0), r.getDouble(1), r.getLong(2)))
+      .groupBy(_._1)
+    val expected = raw.map { case (t, g) =>
+      val n = g.length
+      val med = g.sortBy(r => (r._2, r._3)).apply((n + 1) / 2 - 1)._2
+      val mad = g.map(r => (math.abs(r._2 - med), r._3))
+        .sortBy(identity).apply((n + 1) / 2 - 1)._1
+      val outliers = g.count(r =>
+        mad != 0 && math.abs(0.6745 * (r._2 - med) / mad) > 3.5)
+      def r6(x: Double) = BigDecimal(x).setScale(6,
+        BigDecimal.RoundingMode.HALF_UP).toDouble
+      t -> (n.toLong, r6(med), r6(mad), outliers.toLong)
+    }
+    val got = EventQueries.q119RobustStats(spark, sf).collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getDouble(2), r.getDouble(3), r.getLong(4))).toMap
+    assert(got === expected)
+  }
+
   // ------------------------------------------------------------- q105
   test("q105: estimator agrees with manual signature comparison") {
     val rows = DedupQueries.q105MinhashCalibration(spark, sf).collect()
