@@ -66,7 +66,8 @@ object Bench {
     "q109_personalized_pagerank", "q110_label_propagation",
     "q111_session_window", "q112_resample_ffill",
     "q113_weighted_sample", "q115_bpe_train", "q116_source_minhash_union",
-    "q117_kmv_distinct", "q118_winsorize", "q119_robust_stats")
+    "q117_kmv_distinct", "q118_winsorize", "q119_robust_stats",
+    "q120_orc_lake")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -113,12 +114,15 @@ object Bench {
       operators.EventQueries.preparePartitionedLake(spark, sfDir) }
     val incCorpusReady = prep("q78_incremental_dedup") {
       operators.DedupQueries.prepareIncrementalCorpus(spark, sfDir) }
+    val orcReady = prep("q120_orc_lake") {
+      operators.EventQueries.prepareOrcLake(spark, sfDir) }
     val results = Headline
       .filter(selected)
       .filter(name => ivfReady || name != "q43_ivf_topk")
       .filter(name => bucketsReady || name != "q69_bucketed_join")
       .filter(name => lakeReady || name != "q70_partition_pruning")
       .filter(name => incCorpusReady || name != "q78_incremental_dedup")
+      .filter(name => orcReady || name != "q120_orc_lake")
       .flatMap { name =>
       SparkEntry.queries.get(name).map { fn =>
         val t0 = System.nanoTime()

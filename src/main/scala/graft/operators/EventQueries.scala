@@ -755,6 +755,50 @@ object EventQueries {
       path
     }
 
+  // --------------------------------------------------------------- q120
+  /** ORC lake migration: the SAME declarative aggregation q70 runs
+    * over parquet, executed over an ORC copy of the events table
+    * (hive-partitioned by event_type, built once as an offline layout
+    * like the parquet lake / bucketed tables / IVF index). The point
+    * is format-independence of the engine surface: Spark's second
+    * built-in columnar format drops in with zero query changes —
+    * vectorized reader, partition pruning, and predicate pushdown all
+    * still apply — and the oracle (computed from the original parquet
+    * via DuckDB) proves the migrated copy is bit-faithful. This is
+    * the lake-migration acceptance check: rewrite a table's format,
+    * re-run the standing queries, hash-compare.
+    */
+  private val orcPrepped = scala.collection.mutable.Set[String]()
+
+  def prepareOrcLake(s: SparkSession, dir: String): String =
+    orcPrepped.synchronized {
+      val path = new java.io.File(
+        s"target/event-lake-orc/${PathTag.tagFor(dir)}").getAbsolutePath
+      if (!orcPrepped.contains(path)) {
+        Tables.events(s, dir).write.partitionBy("event_type")
+          .mode("overwrite").orc(path)
+        orcPrepped.add(path)
+      }
+      path
+    }
+
+  def q120OrcLake(s: SparkSession, dir: String): DataFrame =
+    s.read.orc(prepareOrcLake(s, dir))
+      .filter(col("event_type") === "purchase")
+      .groupBy(expr("unix_millis(ts) div 86400000").as("day"))
+      .agg(count(lit(1)).as("n"),
+        countDistinct(col("user_id")).as("n_users"),
+        round(sum(col("value")), 6).as("sum_value"))
+      .orderBy(col("day"))
+
+  val q120Sql: String =
+    """SELECT CAST(epoch_ms(ts) AS BIGINT) // 86400000 AS day,
+      |       count(*) AS n,
+      |       count(DISTINCT user_id) AS n_users,
+      |       round(sum(value), 6) AS sum_value
+      |FROM events WHERE event_type = 'purchase'
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
   def q70PartitionPruning(s: SparkSession, dir: String): DataFrame =
     s.read.parquet(preparePartitionedLake(s, dir))
       .filter(col("event_type") === "click")
@@ -769,6 +813,7 @@ object EventQueries {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q70_partition_pruning" -> (q70PartitionPruning _),
+    "q120_orc_lake" -> (q120OrcLake _),
     "q68_window_showcase" -> (q68WindowShowcase _),
     "q65_funnel" -> (q65Funnel _),
     "q58_salted_enrichment" -> (q58SaltedEnrichment _),
@@ -789,6 +834,7 @@ object EventQueries {
 
   val oracles: Map[String, String] = Map(
     "q70_partition_pruning" -> q70Sql,
+    "q120_orc_lake" -> q120Sql,
     "q68_window_showcase" -> q68Sql,
     "q65_funnel" -> q65Sql,
     "q58_salted_enrichment" -> q58Sql,

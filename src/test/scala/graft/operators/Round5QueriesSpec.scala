@@ -574,6 +574,27 @@ class Round5QueriesSpec extends SparkTestBase {
     assert(got === expected)
   }
 
+  // ------------------------------------------------------------- q120
+  test("q120: ORC-migrated lake is bit-faithful and partition-pruned") {
+    val got = EventQueries.q120OrcLake(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    // same aggregate straight off the parquet source
+    val viaParquet = Tables.events(spark, sf)
+      .filter(col("event_type") === "purchase")
+      .groupBy(expr("unix_millis(ts) div 86400000").as("day"))
+      .agg(count(lit(1)).as("n"), countDistinct(col("user_id")).as("n_users"),
+        round(sum(col("value")), 6).as("sum_value"))
+      .orderBy(col("day"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(got === viaParquet)
+    // the ORC scan prunes to the purchase partition — never a post-scan
+    // filter over all event types
+    val plan = EventQueries.q120OrcLake(spark, sf).queryExecution
+      .explainString(org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    val pf = plan.linesIterator.find(_.contains("PartitionFilters")).getOrElse("")
+    assert(pf.contains("event_type"), s"expected partition pruning:\n$plan")
+  }
+
   // ------------------------------------------------------------- q105
   test("q105: estimator agrees with manual signature comparison") {
     val rows = DedupQueries.q105MinhashCalibration(spark, sf).collect()
