@@ -67,7 +67,7 @@ object Bench {
     "q111_session_window", "q112_resample_ffill",
     "q113_weighted_sample", "q115_bpe_train", "q116_source_minhash_union",
     "q117_kmv_distinct", "q118_winsorize", "q119_robust_stats",
-    "q120_orc_lake")
+    "q120_orc_lake", "q121_zorder_key")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -114,7 +114,7 @@ object Bench {
       operators.EventQueries.preparePartitionedLake(spark, sfDir) }
     val incCorpusReady = prep("q78_incremental_dedup") {
       operators.DedupQueries.prepareIncrementalCorpus(spark, sfDir) }
-    val orcReady = prep("q120_orc_lake") {
+    val orcReady = prep("q120_orc_lake", "q121_zorder_key") {
       operators.EventQueries.prepareOrcLake(spark, sfDir) }
     val results = Headline
       .filter(selected)
@@ -122,7 +122,7 @@ object Bench {
       .filter(name => bucketsReady || name != "q69_bucketed_join")
       .filter(name => lakeReady || name != "q70_partition_pruning")
       .filter(name => incCorpusReady || name != "q78_incremental_dedup")
-      .filter(name => orcReady || name != "q120_orc_lake")
+      .filter(name => orcReady || name != "q120_orc_lake", "q121_zorder_key")
       .flatMap { name =>
       SparkEntry.queries.get(name).map { fn =>
         val t0 = System.nanoTime()

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -799,6 +799,51 @@ object EventQueries {
       |FROM events WHERE event_type = 'purchase'
       |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // --------------------------------------------------------------- q121
+  /** Z-order (Morton) clustering key over (user_id, time) — the
+    * multi-dimensional sort key behind data-skipping lake layouts:
+    * writing files in z-order makes BOTH `user_id = ?` and time-range
+    * scans touch few files, because the interleaved key keeps
+    * 2-D-close rows 1-D-close (a linear sort by either column alone
+    * optimizes one dimension and destroys the other). The key is pure
+    * bit arithmetic — 16 bits of each dimension interleaved with
+    * shift/and/or, codegen'd, shuffle-free — and therefore exactly
+    * reproducible in the oracle. Dimensions: user_id mod 2¹⁶ and
+    * minute-bucket mod 2¹⁶ (the wrap is the standard trick for
+    * unbounded time: locality within the wrap window is what file
+    * skipping uses). The spec proves BIJECTIVITY (de-interleaving
+    * recovers both coordinates) — the property that makes z-range
+    * file pruning sound.
+    */
+  def zValue(u: Column, t: Column): Column =
+    (0 until 16).map { i =>
+      shiftleft(shiftright(u, i).bitwiseAND(lit(1L)), 2 * i)
+        .bitwiseOR(shiftleft(shiftright(t, i).bitwiseAND(lit(1L)), 2 * i + 1))
+    }.reduce(_.bitwiseOR(_))
+
+  def q121ZorderKey(s: SparkSession, dir: String): DataFrame =
+    ev(s, dir)
+      .select(col("event_id"),
+        (col("user_id") % 65536L).as("u"),
+        (expr("ts_ms div 60000") % 65536L).as("t"))
+      .select(col("event_id"), col("u"), col("t"),
+        zValue(col("u"), col("t")).as("zvalue"))
+      .orderBy(col("event_id"))
+
+  val q121Sql: String = {
+    val terms = (0 until 16).map(i =>
+      s"(((u >> $i) & 1) << ${2 * i}) | (((t >> $i) & 1) << ${2 * i + 1})")
+      .mkString(" | ")
+    """WITH base AS (
+      |  SELECT event_id,
+      |         user_id % 65536 AS u,
+      |         (CAST(epoch_ms(ts) AS BIGINT) // 60000) % 65536 AS t
+      |  FROM events)
+      |SELECT event_id, u, t, CAST(TERMS AS BIGINT) AS zvalue
+      |FROM base ORDER BY event_id""".stripMargin
+      .replace("TERMS", terms)
+  }
+
   def q70PartitionPruning(s: SparkSession, dir: String): DataFrame =
     s.read.parquet(preparePartitionedLake(s, dir))
       .filter(col("event_type") === "click")
@@ -814,6 +859,7 @@ object EventQueries {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q70_partition_pruning" -> (q70PartitionPruning _),
     "q120_orc_lake" -> (q120OrcLake _),
+    "q121_zorder_key" -> (q121ZorderKey _),
     "q68_window_showcase" -> (q68WindowShowcase _),
     "q65_funnel" -> (q65Funnel _),
     "q58_salted_enrichment" -> (q58SaltedEnrichment _),
@@ -835,6 +881,7 @@ object EventQueries {
   val oracles: Map[String, String] = Map(
     "q70_partition_pruning" -> q70Sql,
     "q120_orc_lake" -> q120Sql,
+    "q121_zorder_key" -> q121Sql,
     "q68_window_showcase" -> q68Sql,
     "q65_funnel" -> q65Sql,
     "q58_salted_enrichment" -> q58Sql,

@@ -595,6 +595,36 @@ class Round5QueriesSpec extends SparkTestBase {
     assert(pf.contains("event_type"), s"expected partition pruning:\n$plan")
   }
 
+  // ------------------------------------------------------------- q121
+  test("q121: z-order keys are bijective and locality-preserving") {
+    val rows = EventQueries.q121ZorderKey(spark, sf).collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(rows.nonEmpty)
+    // bijectivity: de-interleaving the key recovers both coordinates
+    // exactly — the property that makes z-range file pruning sound
+    def deinterleave(z: Long): (Long, Long) = {
+      var (u, t) = (0L, 0L)
+      for (i <- 0 until 16) {
+        u |= ((z >> (2 * i)) & 1L) << i
+        t |= ((z >> (2 * i + 1)) & 1L) << i
+      }
+      (u, t)
+    }
+    rows.foreach { case (u, t, z) => assert(deinterleave(z) === (u, t)) }
+    // the defining locality property (exact, density-independent):
+    // every ALIGNED 2^k x 2^k block occupies one contiguous z-range of
+    // length 2^(2k) — which is why a z-sorted file layout can prune by
+    // z-range for predicates on either dimension
+    for (k <- Seq(4, 8)) {
+      rows.groupBy { case (u, t, _) => (u >> k, t >> k) }
+        .foreach { case (_, members) =>
+          val zs = members.map(_._3)
+          assert(zs.max - zs.min < (1L << (2 * k)))
+          assert((zs.min >> (2 * k)) === (zs.max >> (2 * k)))
+        }
+    }
+  }
+
   // ------------------------------------------------------------- q105
   test("q105: estimator agrees with manual signature comparison") {
     val rows = DedupQueries.q105MinhashCalibration(spark, sf).collect()
