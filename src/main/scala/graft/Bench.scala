@@ -114,7 +114,7 @@ object Bench {
       operators.EventQueries.preparePartitionedLake(spark, sfDir) }
     val incCorpusReady = prep("q78_incremental_dedup") {
       operators.DedupQueries.prepareIncrementalCorpus(spark, sfDir) }
-    val orcReady = prep("q120_orc_lake", "q121_zorder_key") {
+    val orcReady = prep("q120_orc_lake") {
       operators.EventQueries.prepareOrcLake(spark, sfDir) }
     val results = Headline
       .filter(selected)
@@ -122,7 +122,7 @@ object Bench {
       .filter(name => bucketsReady || name != "q69_bucketed_join")
       .filter(name => lakeReady || name != "q70_partition_pruning")
       .filter(name => incCorpusReady || name != "q78_incremental_dedup")
-      .filter(name => orcReady || name != "q120_orc_lake", "q121_zorder_key")
+      .filter(name => orcReady || name != "q120_orc_lake")
       .flatMap { name =>
       SparkEntry.queries.get(name).map { fn =>
         val t0 = System.nanoTime()
