@@ -830,10 +830,13 @@ object EventQueries {
         zValue(col("u"), col("t")).as("zvalue"))
       .orderBy(col("event_id"))
 
-  val q121Sql: String = {
-    val terms = (0 until 16).map(i =>
-      s"(((u >> $i) & 1) << ${2 * i}) | (((t >> $i) & 1) << ${2 * i + 1})")
-      .mkString(" | ")
+  /** DuckDB mirror of [[zValue]]'s bit interleave over columns named
+    * `u`/`t` — shared by q121 (key export) and q125 (block manifest). */
+  private val zTermsSql: String = (0 until 16).map(i =>
+    s"(((u >> $i) & 1) << ${2 * i}) | (((t >> $i) & 1) << ${2 * i + 1})")
+    .mkString(" | ")
+
+  val q121Sql: String =
     """WITH base AS (
       |  SELECT event_id,
       |         user_id % 65536 AS u,
@@ -841,8 +844,234 @@ object EventQueries {
       |  FROM events)
       |SELECT event_id, u, t, CAST(TERMS AS BIGINT) AS zvalue
       |FROM base ORDER BY event_id""".stripMargin
-      .replace("TERMS", terms)
+      .replace("TERMS", zTermsSql)
+
+  // --------------------------------------------------------------- q122
+  /** Incremental CDC merge (the MERGE INTO / upsert-compaction law a
+    * mutable lake lives by): compact the log BEFORE a cut timestamp
+    * into a snapshot, compact the delta AFTER the cut, merge the two
+    * 1-row-per-key sides, and only THEN drop tombstones. The gate
+    * proves the incremental-view-maintenance identity
+    * `merge(compact(old), compact(new)) == compact(old ∪ new)` — the
+    * oracle computes the right-hand side directly over the full log.
+    * Two subtleties the shape encodes: (1) tombstones (here: a key
+    * whose latest record is an `error` event) must SURVIVE intermediate
+    * compactions — dropping them early would resurrect an older
+    * non-deleted row at merge time; the filter is the last stage.
+    * (2) the merge picks the lexicographically greater (ts_ms,
+    * event_id, …) struct via `greatest`, not a blind
+    * delta-wins coalesce, so the operator stays correct even when the
+    * two compacted sides overlap in time (backfills, replays). Each
+    * compaction is the q59 partial-agg struct-max — one exchange per
+    * side at map-reduced (1 row/key) width; at 100 TB the snapshot side
+    * is the already-compacted lake generation, so only the delta pays a
+    * fresh scan.
+    */
+  def cdcCompact(log: DataFrame): DataFrame =
+    log.groupBy(col("user_id"))
+      .agg(max(struct(col("ts_ms"), col("event_id"), col("event_type"),
+        col("value"))).as("last"))
+
+  /** Full-outer key merge of two compacted sides; `greatest` skips the
+    * null side and otherwise takes the newer (ts_ms, event_id) struct. */
+  def cdcMerge(snapshot: DataFrame, delta: DataFrame): DataFrame =
+    snapshot.withColumnRenamed("last", "old")
+      .join(delta.withColumnRenamed("last", "new"), Seq("user_id"), "full_outer")
+      .select(col("user_id"), greatest(col("new"), col("old")).as("last"))
+
+  def q122CdcMerge(s: SparkSession, dir: String): DataFrame = {
+    val e = ev(s, dir).select(col("user_id"), col("ts_ms"), col("event_id"),
+      col("event_type"), col("value"))
+    // deterministic cut = midpoint of the observed time range (exact
+    // integer ms arithmetic — identical in both engines)
+    val cut = e.agg(min(col("ts_ms")).as("mn"), max(col("ts_ms")).as("mx"))
+      .select(expr("mn + (mx - mn) div 2").as("cut"))
+    val withCut = e.crossJoin(broadcast(cut))
+    val snap = cdcCompact(withCut.filter(col("ts_ms") < col("cut")))
+    val delta = cdcCompact(withCut.filter(col("ts_ms") >= col("cut")))
+    cdcMerge(snap, delta)
+      .filter(col("last.event_type") =!= "error") // tombstone drop: LAST stage only
+      .select(col("user_id"), col("last.ts_ms").as("ts_ms"),
+        col("last.event_id").as("event_id"),
+        col("last.event_type").as("event_type"), col("last.value").as("value"))
+      .orderBy(col("user_id"))
   }
+
+  val q122Sql: String =
+    """SELECT user_id, ts_ms, event_id, event_type, value FROM (
+      |  SELECT user_id, ts_ms, event_id, event_type, value,
+      |         row_number() OVER (PARTITION BY user_id
+      |                            ORDER BY ts_ms DESC, event_id DESC) AS rk
+      |  FROM (SELECT user_id, CAST(epoch_ms(ts) AS BIGINT) AS ts_ms,
+      |               event_id, event_type, value FROM events))
+      |WHERE rk = 1 AND event_type <> 'error'
+      |ORDER BY user_id""".stripMargin
+
+  // --------------------------------------------------------------- q123
+  /** SCD Type-2 dimension build: version every key's change history
+    * into half-open validity intervals `[valid_from_ms, valid_to_ms)`
+    * (NULL end = current row) — the standard warehouse shape for
+    * "what was this attribute worth at time T" joins. Here the tracked
+    * attribute is each user's purchase value stream. One exchange on
+    * user_id; `row_number` (version) and `lead` (interval end) share
+    * the same window sort, so Catalyst plans a single sort. The
+    * (ts_ms, event_id) total order makes versioning tie-free even for
+    * same-millisecond records; intervals are contiguous and
+    * non-overlapping BY CONSTRUCTION (each row's end is the next row's
+    * start), which the spec re-derives.
+    */
+  def q123Scd2(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts_ms"), col("event_id"))
+    ev(s, dir).filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts_ms"), col("event_id"), col("value"))
+      .withColumn("version", row_number().over(w))
+      .withColumn("valid_to_ms", lead(col("ts_ms"), 1).over(w))
+      .select(col("user_id"), col("version"),
+        col("ts_ms").as("valid_from_ms"), col("valid_to_ms"), col("value"),
+        col("valid_to_ms").isNull.as("is_current"))
+      .orderBy(col("user_id"), col("version"))
+  }
+
+  val q123Sql: String =
+    """SELECT user_id, version, valid_from_ms, valid_to_ms, value,
+      |       valid_to_ms IS NULL AS is_current
+      |FROM (
+      |  SELECT user_id,
+      |         row_number() OVER w AS version,
+      |         ts_ms AS valid_from_ms,
+      |         lead(ts_ms) OVER w AS valid_to_ms, value
+      |  FROM (SELECT user_id, CAST(epoch_ms(ts) AS BIGINT) AS ts_ms,
+      |               event_id, value FROM events WHERE event_type = 'purchase')
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts_ms, event_id))
+      |ORDER BY user_id, version""".stripMargin
+
+  // --------------------------------------------------------------- q124
+  /** Small-file compaction planning (the lake-maintenance scheduler):
+    * model the per-(event_type, day) partition files of the q70 lake as
+    * a size manifest (64 B/row overhead + payload bytes — a pure
+    * function of the data, so the oracle rebuilds it exactly), then
+    * chunk each event_type's day-ordered file list into merge jobs of
+    * ~target bytes by `floor(prefix_sum_before / target)`. The target
+    * is RELATIVE (4× mean file size, exact integer division) so the
+    * plan keeps the same shape at every sf. Bins are contiguous in day
+    * order — compaction jobs rewrite adjacent partitions — and the
+    * prefix-sum formulation is one window over a manifest that is
+    * already tiny (files, not rows), which is the actual 100 TB shape:
+    * compaction planning runs on metadata, never on the data. The
+    * manifest aggregate is localCheckpointed because both the target
+    * scalar and the plan read it (Spark does not dedupe logical
+    * subplans).
+    */
+  val CompactionTargetFactor = 4L
+
+  def q124CompactionPlan(s: SparkSession, dir: String): DataFrame = {
+    val files = ev(s, dir)
+      .groupBy(col("event_type"), expr("ts_ms div 86400000").as("day"))
+      .agg(count(lit(1)).as("n_rows"),
+        (count(lit(1)) * 64 + sum(expr("octet_length(props)"))).as("bytes"))
+      .localCheckpoint()
+    val target = files
+      .agg(sum(col("bytes")).as("tb"), count(lit(1)).as("nf"))
+      .select(expr(s"$CompactionTargetFactor * tb div nf").as("target"))
+    val w = Window.partitionBy(col("event_type")).orderBy(col("day"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    files.crossJoin(broadcast(target))
+      .withColumn("cum_before", coalesce(sum(col("bytes")).over(w), lit(0L)))
+      .withColumn("bin", expr("cum_before div target"))
+      .groupBy(col("event_type"), col("bin"))
+      .agg(count(lit(1)).as("n_files"), sum(col("bytes")).as("bin_bytes"),
+        sum(col("n_rows")).as("n_rows"),
+        min(col("day")).as("min_day"), max(col("day")).as("max_day"))
+      .orderBy(col("event_type"), col("bin"))
+  }
+
+  val q124Sql: String =
+    s"""WITH f AS (
+       |  SELECT event_type, CAST(epoch_ms(ts) AS BIGINT) // 86400000 AS day,
+       |         count(*) AS n_rows,
+       |         CAST(64 * count(*) + sum(strlen(props)) AS BIGINT) AS bytes
+       |  FROM events GROUP BY 1, 2),
+       |t AS (SELECT CAST($CompactionTargetFactor * sum(bytes) // count(*) AS BIGINT)
+       |             AS target FROM f),
+       |b AS (
+       |  SELECT event_type, day, n_rows, bytes,
+       |         CAST(coalesce(sum(bytes) OVER (
+       |           PARTITION BY event_type ORDER BY day
+       |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+       |         AS BIGINT) AS cum_before
+       |  FROM f)
+       |SELECT b.event_type, b.cum_before // t.target AS bin,
+       |       count(*) AS n_files, CAST(sum(b.bytes) AS BIGINT) AS bin_bytes,
+       |       CAST(sum(b.n_rows) AS BIGINT) AS n_rows,
+       |       min(b.day) AS min_day, max(b.day) AS max_day
+       |FROM b CROSS JOIN t
+       |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
+  // --------------------------------------------------------------- q125
+  /** Data-skipping manifest + effectiveness for the q121 z-order layout
+    * vs a time-linear layout. Blocks are VALUE-RANGE cells (z div 2¹⁰
+    * for the z-layout — i.e. the interleaved (u div 32, t div 32)
+    * square — and t div 1024 for the linear layout), so the manifest is
+    * a plain partial-aggregated groupBy: no global sort, no sampled
+    * range partitioner, fully deterministic — exactly how a writer
+    * that clusters by key range would lay files out at 100 TB. Each
+    * block row carries the (min,max) column stats a reader's planner
+    * consults, plus `hit_u`/`hit_t`: whether the block SURVIVES min/max
+    * pruning for a fixed user-band predicate (u ∈ [32,63]) and a fixed
+    * time-band predicate (t ∈ [16384,32767]). The z-layout bounds BOTH
+    * dimensions per block (32-wide u cells AND 32-minute t cells), so
+    * the u-band prunes most blocks; the linear layout's time blocks
+    * span every user and survive u-pruning wholesale — the measured
+    * argument FOR multi-dimensional clustering. Pruning soundness
+    * (every matching row lives in a surviving block — a consequence of
+    * min ≤ row ≤ max) is spec-asserted.
+    */
+  val ZBlockDiv = 1L << 10
+  val LinearBlockMinutes = 1024L
+  val UBandLo = 32L; val UBandHi = 63L
+  val TBandLo = 16384L; val TBandHi = 32767L
+
+  def q125SkippingManifest(s: SparkSession, dir: String): DataFrame = {
+    val base = ev(s, dir).select(
+        col("event_id"),
+        (col("user_id") % 65536L).as("u"),
+        (expr("ts_ms div 60000") % 65536L).as("t"))
+      .withColumn("z", zValue(col("u"), col("t")))
+    def manifest(layout: String, blockCol: Column) =
+      base.groupBy(blockCol.as("block_id"))
+        .agg(count(lit(1)).as("n_rows"),
+          min(col("u")).as("min_u"), max(col("u")).as("max_u"),
+          min(col("t")).as("min_t"), max(col("t")).as("max_t"))
+        .select(lit(layout).as("layout"), col("block_id"), col("n_rows"),
+          col("min_u"), col("max_u"), col("min_t"), col("max_t"))
+    manifest("zorder", expr(s"z div $ZBlockDiv"))
+      .unionByName(manifest("linear", expr(s"t div $LinearBlockMinutes")))
+      .withColumn("hit_u", col("min_u") <= UBandHi && col("max_u") >= UBandLo)
+      .withColumn("hit_t", col("min_t") <= TBandHi && col("max_t") >= TBandLo)
+      .orderBy(col("layout"), col("block_id"))
+  }
+
+  val q125Sql: String =
+    s"""WITH base AS (
+       |  SELECT event_id, user_id % 65536 AS u,
+       |         (CAST(epoch_ms(ts) AS BIGINT) // 60000) % 65536 AS t
+       |  FROM events),
+       |z AS (SELECT event_id, u, t, CAST(TERMS AS BIGINT) AS z FROM base),
+       |m AS (
+       |  SELECT 'zorder' AS layout, z // $ZBlockDiv AS block_id,
+       |         count(*) AS n_rows,
+       |         min(u) AS min_u, max(u) AS max_u,
+       |         min(t) AS min_t, max(t) AS max_t
+       |  FROM z GROUP BY 1, 2
+       |  UNION ALL
+       |  SELECT 'linear', t // $LinearBlockMinutes, count(*),
+       |         min(u), max(u), min(t), max(t)
+       |  FROM z GROUP BY 1, 2)
+       |SELECT layout, block_id, n_rows, min_u, max_u, min_t, max_t,
+       |       (min_u <= $UBandHi AND max_u >= $UBandLo) AS hit_u,
+       |       (min_t <= $TBandHi AND max_t >= $TBandLo) AS hit_t
+       |FROM m ORDER BY layout, block_id""".stripMargin
+      .replace("TERMS", zTermsSql)
 
   def q70PartitionPruning(s: SparkSession, dir: String): DataFrame =
     s.read.parquet(preparePartitionedLake(s, dir))
@@ -860,6 +1089,10 @@ object EventQueries {
     "q70_partition_pruning" -> (q70PartitionPruning _),
     "q120_orc_lake" -> (q120OrcLake _),
     "q121_zorder_key" -> (q121ZorderKey _),
+    "q122_cdc_merge" -> (q122CdcMerge _),
+    "q123_scd2" -> (q123Scd2 _),
+    "q124_compaction_plan" -> (q124CompactionPlan _),
+    "q125_skipping_manifest" -> (q125SkippingManifest _),
     "q68_window_showcase" -> (q68WindowShowcase _),
     "q65_funnel" -> (q65Funnel _),
     "q58_salted_enrichment" -> (q58SaltedEnrichment _),
@@ -882,6 +1115,10 @@ object EventQueries {
     "q70_partition_pruning" -> q70Sql,
     "q120_orc_lake" -> q120Sql,
     "q121_zorder_key" -> q121Sql,
+    "q122_cdc_merge" -> q122Sql,
+    "q123_scd2" -> q123Sql,
+    "q124_compaction_plan" -> q124Sql,
+    "q125_skipping_manifest" -> q125Sql,
     "q68_window_showcase" -> q68Sql,
     "q65_funnel" -> q65Sql,
     "q58_salted_enrichment" -> q58Sql,
