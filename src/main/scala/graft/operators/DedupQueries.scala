@@ -858,6 +858,56 @@ object DedupQueries {
        |SELECT src1, src2, count(*) AS n_pairs
        |FROM lab GROUP BY src1, src2 ORDER BY src1, src2""".stripMargin
 
+  // --------------------------------------------------------------- q128
+  /** Train/test split LEAKAGE audit — the check that closes the loop
+    * between the dedup layer and the split layer: q48's content-hash
+    * split guarantees byte-identical duplicates co-assign, but NEAR
+    * duplicates can still straddle the boundary and leak evaluation
+    * data into training. This query rolls the q16 verified near-dup
+    * pairs up by the split assignment of their endpoints: the
+    * `test/train` row IS the leak (its pairs name eval docs whose
+    * near-copy trains). Mean Jaccard goes through micro-unit longs
+    * (one rounding at the end — reduce-order exact, the q107 rule).
+    * Doc→split is corpus-sized, so the joins stay keyed (no forced
+    * broadcast — the q108 rule); the rollup output is ≤3 rows.
+    * Bench-excluded with the rest of the q16 pair family.
+    */
+  def q128SplitLeakage(s: SparkSession, dir: String): DataFrame = {
+    val splits = Tables.documents(s, dir)
+      .select(col("doc_id"), Sampling.md5Split("text").as("split"))
+    q16LshNearDups(s, dir)
+      .join(splits.withColumnRenamed("doc_id", "a")
+        .withColumnRenamed("split", "split_a"), Seq("a"))
+      .join(splits.withColumnRenamed("doc_id", "b")
+        .withColumnRenamed("split", "split_b"), Seq("b"))
+      .select(
+        concat_ws("/", least(col("split_a"), col("split_b")),
+          greatest(col("split_a"), col("split_b"))).as("splits"),
+        round(col("jaccard") * 1e6).cast("long").as("jac_micro"))
+      .groupBy(col("splits"))
+      .agg(count(lit(1)).as("n_pairs"),
+        round(sum(col("jac_micro")) / count(lit(1)) / 1e6, 6).as("avg_jaccard"))
+      .orderBy(col("splits"))
+  }
+
+  val q128Sql: String =
+    s"""WITH $q16Ctes,
+       |p AS (SELECT a, b, jaccard FROM jac WHERE jaccard >= $LshJaccardThreshold),
+       |spl AS (
+       |  SELECT doc_id,
+       |         CASE WHEN substr(md5(text), 1, 1) < 'e'
+       |              THEN 'train' ELSE 'test' END AS split
+       |  FROM documents),
+       |lab AS (
+       |  SELECT least(sa.split, sb.split) || '/' || greatest(sa.split, sb.split)
+       |           AS splits,
+       |         CAST(round(p.jaccard * 1e6, 0) AS BIGINT) AS jac_micro
+       |  FROM p JOIN spl sa ON sa.doc_id = p.a
+       |         JOIN spl sb ON sb.doc_id = p.b)
+       |SELECT splits, count(*) AS n_pairs,
+       |       round(sum(jac_micro) / count(*) / 1e6, 6) AS avg_jaccard
+       |FROM lab GROUP BY splits ORDER BY splits""".stripMargin
+
   // --------------------------------------------------------------- q116
   /** Per-SOURCE MinHash signatures by sketch UNION — the mergeability
     * demo that makes MinHash a 100 TB structure: the signature of a
@@ -992,6 +1042,7 @@ object DedupQueries {
     "q117_kmv_distinct" -> (q117KmvDistinct _),
     "q116_source_minhash_union" -> (q116SourceMinhashUnion _),
     "q108_source_overlap" -> (q108SourceOverlap _),
+    "q128_split_leakage" -> (q128SplitLeakage _),
     "q105_minhash_calibration" -> (q105MinhashCalibration _),
     "q100_dedup_survivorship" -> (q100DedupSurvivorship _),
     "q87_boilerplate_share" -> (q87BoilerplateShare _),
@@ -1013,6 +1064,7 @@ object DedupQueries {
     "q117_kmv_distinct" -> q117Sql,
     "q116_source_minhash_union" -> q116Sql,
     "q108_source_overlap" -> q108Sql,
+    "q128_split_leakage" -> q128Sql,
     "q105_minhash_calibration" -> q105Sql,
     "q100_dedup_survivorship" -> q100Sql,
     "q87_boilerplate_share" -> q87Sql,

@@ -752,7 +752,12 @@ object TextStatsQueries {
     */
   val BpeRounds = 3
 
-  def q115BpeTrain(s: SparkSession, dir: String): DataFrame = {
+  /** The q115 training loop, exposed so q126 (encode) can apply the
+    * SAME learned merges: returns the fully merged corpus
+    * (doc_id, toks, n_tokens_before — localCheckpointed) and the
+    * learned merge list in application order.
+    */
+  def bpeTrain(s: SparkSession, dir: String): (DataFrame, Seq[String]) = {
     val toksCol = TextPrep.tokensCol(col("text"))
     val pairCol = expr(
       "case when size(toks) < 2 then array() " +
@@ -778,8 +783,13 @@ object TextStatsQueries {
         col("n_tokens_before"))
         .localCheckpoint()
     }
+    (docs, learned.toList)
+  }
+
+  def q115BpeTrain(s: SparkSession, dir: String): DataFrame = {
+    val (docs, learned) = bpeTrain(s, dir)
     docs.select(
-        (col("doc_id") +: learned.toSeq.zipWithIndex.map { case (p, i) =>
+        (col("doc_id") +: learned.zipWithIndex.map { case (p, i) =>
           lit(p).as(s"pair${i + 1}") }) ++ Seq(
           col("n_tokens_before"),
           size(col("toks")).cast("long").as("n_tokens_after"),
@@ -788,31 +798,33 @@ object TextStatsQueries {
       .orderBy(col("doc_id"))
   }
 
+  // round 0 is the SHARED listsCte (one SQL mirror of
+  // TextPrep.normalize across the whole module — never a second copy);
+  // the per-round training CTEs are shared between q115Sql and q126Sql.
+  private def bpeRoundCtes(i: Int): String = {
+    val prev = if (i == 1) "lists" else s"lists${i - 1}"
+    s"""bg$i AS (
+       |  SELECT unnest(list_transform(range(1, len(toks)),
+       |           j -> toks[j] || chr(1) || toks[j+1])) AS pr
+       |  FROM $prev),
+       |top$i AS (
+       |  SELECT pr AS pair, string_split(pr, chr(1))[1] AS a,
+       |         string_split(pr, chr(1))[2] AS b
+       |  FROM (SELECT pr, count(*) AS c FROM bg$i GROUP BY pr
+       |        ORDER BY c DESC, pr ASC LIMIT 1)),
+       |lists$i AS (
+       |  SELECT l.doc_id,
+       |    CASE WHEN len(l.toks) = 0 THEN []
+       |         ELSE list_reduce(list_transform(l.toks, x -> [x]),
+       |           (acc, x) -> CASE WHEN len(acc) > 0 AND acc[-1] = t.a AND x[1] = t.b
+       |                       THEN list_append(acc[1:len(acc)-1], t.a || ' ' || t.b)
+       |                       ELSE list_concat(acc, x) END)
+       |    END AS toks
+       |  FROM $prev l CROSS JOIN top$i t)""".stripMargin
+  }
+
   val q115Sql: String = {
-    // round 0 is the SHARED listsCte (one SQL mirror of
-    // TextPrep.normalize across the whole module — never a second copy)
-    def roundCtes(i: Int): String = {
-      val prev = if (i == 1) "lists" else s"lists${i - 1}"
-      s"""bg$i AS (
-         |  SELECT unnest(list_transform(range(1, len(toks)),
-         |           j -> toks[j] || chr(1) || toks[j+1])) AS pr
-         |  FROM $prev),
-         |top$i AS (
-         |  SELECT pr AS pair, string_split(pr, chr(1))[1] AS a,
-         |         string_split(pr, chr(1))[2] AS b
-         |  FROM (SELECT pr, count(*) AS c FROM bg$i GROUP BY pr
-         |        ORDER BY c DESC, pr ASC LIMIT 1)),
-         |lists$i AS (
-         |  SELECT l.doc_id,
-         |    CASE WHEN len(l.toks) = 0 THEN []
-         |         ELSE list_reduce(list_transform(l.toks, x -> [x]),
-         |           (acc, x) -> CASE WHEN len(acc) > 0 AND acc[-1] = t.a AND x[1] = t.b
-         |                       THEN list_append(acc[1:len(acc)-1], t.a || ' ' || t.b)
-         |                       ELSE list_concat(acc, x) END)
-         |    END AS toks
-         |  FROM $prev l CROSS JOIN top$i t)""".stripMargin
-    }
-    val rounds = (1 to BpeRounds).map(roundCtes).mkString(",\n")
+    val rounds = (1 to BpeRounds).map(bpeRoundCtes).mkString(",\n")
     val pairSelects = (1 to BpeRounds)
       .map(i => s"(SELECT replace(pair, chr(1), ' ') FROM top$i) AS pair$i")
       .mkString(",\n  ")
@@ -827,6 +839,128 @@ object TextStatsQueries {
        |  ON l$BpeRounds.doc_id = l0.doc_id
        |ORDER BY l0.doc_id""".stripMargin
   }
+
+  // --------------------------------------------------------------- q126
+  /** BPE ENCODE — the deploy half of q115's training loop: apply the
+    * learned merges to the corpus, rank the merged-token vocabulary by
+    * (count DESC, token ASC) into dense integer ids, and emit each
+    * document as its token-id SEQUENCE (md5 of the comma-joined ids —
+    * the oracle re-derives the whole sequence, not a summary). This
+    * completes the tokenizer pipeline: train (q114/q115) → encode
+    * (q126) → pack (q37). The vocabulary ranking is a vocabulary-sized
+    * aggregate; its global row_number window is over vocabulary rows
+    * only (a real BPE vocab is ~50k rows — the canonical broadcast-dim
+    * case), and the encode join broadcasts it against the exploded
+    * corpus. Id-sequence reassembly sorts (pos, id) structs inside one
+    * doc_id-keyed aggregation — the only corpus-sized exchange. Docs
+    * whose normalized text is empty encode to the empty sequence via
+    * the left join, hashing to md5("").
+    */
+  def q126BpeEncode(s: SparkSession, dir: String): DataFrame = {
+    val (docs, _) = bpeTrain(s, dir)
+    val vocab = docs.select(explode(col("toks")).as("tok"))
+      .groupBy(col("tok")).agg(count(lit(1)).as("c"))
+      .withColumn("id",
+        row_number().over(Window.orderBy(col("c").desc, col("tok").asc))
+          .cast("long"))
+      .select(col("tok"), col("id"))
+    val enc = docs
+      .select(col("doc_id"), posexplode(col("toks")).as(Seq("pos", "tok")))
+      .join(broadcast(vocab), Seq("tok"))
+      .groupBy(col("doc_id"))
+      .agg(sort_array(collect_list(struct(col("pos"), col("id")))).as("ps"))
+      .select(col("doc_id"), expr("transform(ps, p -> p.id)").as("ids"))
+    docs.select(col("doc_id"), size(col("toks")).cast("long").as("n_tokens"))
+      .join(enc, Seq("doc_id"), "left")
+      .withColumn("ids", coalesce(col("ids"), expr("array()")))
+      .select(col("doc_id"), col("n_tokens"),
+        element_at(col("ids"), 1).as("first_id"),
+        md5(concat_ws(",",
+          expr("transform(ids, i -> cast(i as string))")).cast("binary"))
+          .as("ids_hash"))
+      .orderBy(col("doc_id"))
+  }
+
+  val q126Sql: String = {
+    val rounds = (1 to BpeRounds).map(bpeRoundCtes).mkString(",\n")
+    s"""WITH $listsCte,
+       |$rounds,
+       |vocab AS (
+       |  SELECT tok, CAST(row_number() OVER (ORDER BY c DESC, tok ASC) AS BIGINT) AS id
+       |  FROM (SELECT tok, count(*) AS c
+       |        FROM (SELECT unnest(toks) AS tok FROM lists$BpeRounds)
+       |        GROUP BY tok)),
+       |enc AS (
+       |  SELECT e.doc_id, e.pos, v.id
+       |  FROM (SELECT doc_id, unnest(toks) AS tok,
+       |               unnest(range(1, len(toks) + 1)) AS pos
+       |        FROM lists$BpeRounds) e
+       |  JOIN vocab v USING (tok)),
+       |seqs AS (
+       |  SELECT doc_id, list(id ORDER BY pos) AS ids FROM enc GROUP BY doc_id)
+       |SELECT l.doc_id, CAST(len(l.toks) AS BIGINT) AS n_tokens,
+       |       COALESCE(s.ids, [])[1] AS first_id,
+       |       md5(array_to_string(
+       |         list_transform(COALESCE(s.ids, []), x -> CAST(x AS VARCHAR)),
+       |         ',')) AS ids_hash
+       |FROM lists$BpeRounds l LEFT JOIN seqs s USING (doc_id)
+       |ORDER BY l.doc_id""".stripMargin
+  }
+
+  // --------------------------------------------------------------- q127
+  /** Vocabulary coverage / OOV-rate evaluation — the tokenizer-quality
+    * gate a curation pipeline runs before committing to a vocabulary:
+    * fix the top-K unigrams (count DESC, token ASC — deterministic at
+    * the cut) as the vocabulary, then score every document's
+    * out-of-vocabulary token fraction. High-OOV docs are exactly the
+    * ones a fixed vocab would shred into bytes/unknowns. The token
+    * table feeds BOTH the vocabulary rank and the per-doc score, so it
+    * is localCheckpointed once (Spark does not dedupe logical
+    * subplans); the score join broadcasts the K-row vocab, and the
+    * per-doc rollup is one doc_id exchange. Empty docs surface with
+    * n_tokens = 0 and NULL oov_rate through the documents left join.
+    */
+  val VocabTopK = 16
+
+  def q127OovRate(s: SparkSession, dir: String): DataFrame = {
+    val toks = Tables.documents(s, dir)
+      .select(col("doc_id"), explode(TextPrep.tokensCol(col("text"))).as("tok"))
+      .localCheckpoint()
+    val vocab = toks.groupBy(col("tok")).agg(count(lit(1)).as("c"))
+      .orderBy(col("c").desc, col("tok").asc).limit(VocabTopK)
+      .select(col("tok"), lit(1).as("in_v"))
+    val per = toks.join(broadcast(vocab), Seq("tok"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(when(col("in_v").isNull, 1L).otherwise(0L)).as("n_oov"))
+    Tables.documents(s, dir).select(col("doc_id"))
+      .join(per, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+        coalesce(col("n_oov"), lit(0L)).as("n_oov"),
+        when(coalesce(col("n_tokens"), lit(0L)) > 0,
+          round(col("n_oov") / col("n_tokens"), 6)).as("oov_rate"))
+      .orderBy(col("doc_id"))
+  }
+
+  val q127Sql: String =
+    s"""WITH $listsCte,
+       |tok AS (SELECT doc_id, unnest(toks) AS tok FROM lists),
+       |vocab AS (
+       |  SELECT tok FROM (
+       |    SELECT tok, count(*) AS c FROM tok GROUP BY tok
+       |    ORDER BY c DESC, tok ASC LIMIT $VocabTopK)),
+       |per AS (
+       |  SELECT t.doc_id, count(*) AS n_tokens,
+       |         sum(CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END) AS n_oov
+       |  FROM tok t LEFT JOIN vocab v USING (tok) GROUP BY t.doc_id)
+       |SELECT d.doc_id,
+       |       CAST(COALESCE(p.n_tokens, 0) AS BIGINT) AS n_tokens,
+       |       CAST(COALESCE(p.n_oov, 0) AS BIGINT) AS n_oov,
+       |       CASE WHEN COALESCE(p.n_tokens, 0) > 0
+       |            THEN round(p.n_oov / p.n_tokens, 6) END AS oov_rate
+       |FROM documents d LEFT JOIN per p USING (doc_id)
+       |ORDER BY d.doc_id""".stripMargin
 
   val q114Sql: String =
     s"""WITH $listsCte,
@@ -901,6 +1035,8 @@ object TextStatsQueries {
     "q113_weighted_sample" -> (q113WeightedSample _),
     "q114_bpe_merge_step" -> (q114BpeMergeStep _),
     "q115_bpe_train" -> (q115BpeTrain _),
+    "q126_bpe_encode" -> (q126BpeEncode _),
+    "q127_oov_rate" -> (q127OovRate _),
     "q88_mixture_weights" -> (q88MixtureWeights _),
     "q71_repetition_ratios" -> (q71RepetitionRatios _),
     "q72_token_chunks" -> (q72TokenChunks _),
@@ -923,6 +1059,8 @@ object TextStatsQueries {
     "q113_weighted_sample" -> q113Sql,
     "q114_bpe_merge_step" -> q114Sql,
     "q115_bpe_train" -> q115Sql,
+    "q126_bpe_encode" -> q126Sql,
+    "q127_oov_rate" -> q127Sql,
     "q88_mixture_weights" -> q88Sql,
     "q71_repetition_ratios" -> q71Sql,
     "q72_token_chunks" -> q72Sql,
