@@ -17,7 +17,8 @@ import org.apache.spark.sql.SparkSession
   * resulting 4M edges — see SCALE.md; q44 benches the CC loop itself
   * on a linear-size chain+random graph instead; q100 survivorship
   * composes the same q16→q19 chain and is excluded for the same
-  * reason), queries that are strict
+  * reason; q128's split-leakage rollup consumes the q16 pairs too),
+  * queries that are strict
   * prefixes/aggregations/SQL-surface twins of included ones (q6, q11,
   * q23, q45, q46, q51, q53, q114 — q46 is q13 through the
   * SIMILARITY_TOP1 hint, q45 is fixture-sized, q114 is exactly q115's
@@ -67,7 +68,9 @@ object Bench {
     "q111_session_window", "q112_resample_ffill",
     "q113_weighted_sample", "q115_bpe_train", "q116_source_minhash_union",
     "q117_kmv_distinct", "q118_winsorize", "q119_robust_stats",
-    "q120_orc_lake", "q121_zorder_key")
+    "q120_orc_lake", "q121_zorder_key",
+    "q122_cdc_merge", "q123_scd2", "q124_compaction_plan",
+    "q125_skipping_manifest", "q126_bpe_encode", "q127_oov_rate")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

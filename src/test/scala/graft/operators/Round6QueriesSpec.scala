@@ -1,0 +1,251 @@
+package graft.operators
+
+import graft.{SparkTestBase, Tables}
+import org.apache.spark.sql.functions._
+
+/** Specs for the round-6 additions: CDC merge (q122), SCD Type-2
+  * (q123), compaction planning (q124), data-skipping manifest (q125),
+  * BPE encode (q126), OOV rate (q127), split-leakage audit (q128).
+  * Each gets an independent driver-side re-derivation plus the
+  * invariants that matter for its contract.
+  */
+class Round6QueriesSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def md5Hex(s: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+
+  private def tokens(t: String): Vector[String] =
+    t.toLowerCase.replaceAll("(\\d|\\W)+", " ").trim
+      .split(" ").filter(_.nonEmpty).toVector
+
+  // ------------------------------------------------------------- q122
+  test("q122: tombstones survive intermediate compaction (no resurrection)") {
+    // user 1's latest PRE-cut record is a tombstone and the delta has
+    // nothing newer: the merged snapshot must NOT resurrect the older
+    // purchase — which is exactly what would happen if compaction
+    // dropped error rows before the merge.
+    val log = Seq(
+      (1L, 10L, 1L, "purchase", 1.0),
+      (1L, 20L, 2L, "error", 0.0),
+      (2L, 15L, 3L, "view", 2.0)
+    ).toDF("user_id", "ts_ms", "event_id", "event_type", "value")
+    val merged = EventQueries.cdcMerge(
+      EventQueries.cdcCompact(log.filter($"ts_ms" < 25)),
+      EventQueries.cdcCompact(log.filter($"ts_ms" >= 25)))
+    val alive = merged.filter($"last.event_type" =!= "error")
+      .select($"user_id").as[Long].collect().toSet
+    assert(alive === Set(2L))
+  }
+
+  test("q122: merge picks the newer struct even when sides overlap in time") {
+    val snapSide = Seq((1L, 30L, 5L, "view", 1.0))
+      .toDF("user_id", "ts_ms", "event_id", "event_type", "value")
+    val deltaSide = Seq((1L, 20L, 4L, "purchase", 9.0)) // OLDER than snapshot
+      .toDF("user_id", "ts_ms", "event_id", "event_type", "value")
+    val merged = EventQueries.cdcMerge(
+        EventQueries.cdcCompact(snapSide), EventQueries.cdcCompact(deltaSide))
+      .select($"user_id", $"last.event_id").as[(Long, Long)].collect()
+    assert(merged.toSeq === Seq((1L, 5L))) // snapshot row wins: it is newer
+  }
+
+  test("q122: incremental merge equals whole-log compaction (sf0.001)") {
+    val rows = Tables.events(spark, sf0001)
+      .withColumn("ts_ms", unix_millis(col("ts")))
+      .select("user_id", "ts_ms", "event_id", "event_type", "value")
+      .as[(Long, Long, Long, String, Double)].collect()
+    val expected = rows.groupBy(_._1).flatMap { case (_, es) =>
+      val last = es.maxBy(e => (e._2, e._3))
+      if (last._4 == "error") None else Some(last)
+    }.toSet
+    val got = EventQueries.q122CdcMerge(spark, sf0001)
+      .as[(Long, Long, Long, String, Double)].collect().toSet
+    assert(got === expected)
+  }
+
+  // ------------------------------------------------------------- q123
+  test("q123: intervals match per-user purchase history; contiguous; one current") {
+    val rows = Tables.events(spark, sf0001)
+      .withColumn("ts_ms", unix_millis(col("ts")))
+      .filter($"event_type" === "purchase")
+      .select("user_id", "ts_ms", "event_id", "value")
+      .as[(Long, Long, Long, Double)].collect()
+    val expected = rows.groupBy(_._1).flatMap { case (u, es) =>
+      val sorted = es.sortBy(e => (e._2, e._3))
+      sorted.zipWithIndex.toSeq.map { case (e, i) =>
+        val to = if (i + 1 < sorted.length) Some(sorted(i + 1)._2) else None
+        (u, i + 1, e._2, to, e._4, to.isEmpty)
+      }
+    }.toSet
+    val got = EventQueries.q123Scd2(spark, sf0001).collect().map { r =>
+      (r.getLong(0), r.getInt(1), r.getLong(2),
+        if (r.isNullAt(3)) None else Some(r.getLong(3)),
+        r.getDouble(4), r.getBoolean(5))
+    }.toSet
+    assert(got === expected)
+    // exactly one open (current) interval per user
+    val currents = got.toSeq.filter(_._6).groupBy(_._1).values.map(_.size)
+    assert(currents.forall(_ == 1))
+    assert(currents.size === rows.map(_._1).distinct.length)
+  }
+
+  // ------------------------------------------------------------- q124
+  test("q124: plan matches a driver-side greedy re-derivation (sf0.001)") {
+    val rows = Tables.events(spark, sf0001)
+      .withColumn("ts_ms", unix_millis(col("ts")))
+      .select($"event_type", expr("ts_ms div 86400000").as("day"),
+        expr("octet_length(props)").cast("long").as("plen"))
+      .as[(String, Long, Long)].collect()
+    val files = rows.groupBy(r => (r._1, r._2)).map { case ((t, d), es) =>
+      (t, d, es.length.toLong, 64L * es.length + es.map(_._3).sum)
+    }.toSeq
+    val target =
+      EventQueries.CompactionTargetFactor * files.map(_._4).sum / files.length
+    val expected = files.groupBy(_._1).flatMap { case (t, fs) =>
+      val ordered = fs.sortBy(_._2)
+      val cums = ordered.scanLeft(0L)(_ + _._4).init // prefix sums BEFORE each
+      ordered.zip(cums).map { case ((_, d, n, b), cum) => (t, cum / target, d, n, b) }
+        .groupBy(_._2).map { case (bin, members) =>
+          (t, bin, members.size.toLong, members.map(_._5).sum,
+            members.map(_._4).sum, members.map(_._3).min, members.map(_._3).max)
+        }
+    }.toSet
+    val got = EventQueries.q124CompactionPlan(spark, sf0001)
+      .as[(String, Long, Long, Long, Long, Long, Long)].collect().toSet
+    assert(got === expected)
+    // bins are contiguous, non-overlapping day ranges within each type
+    got.groupBy(_._1).foreach { case (_, bins) =>
+      val ordered = bins.toSeq.sortBy(_._2)
+      ordered.sliding(2).foreach {
+        case Seq(a, b) => assert(a._7 < b._6) // max_day(bin) < min_day(next)
+        case _ =>
+      }
+    }
+  }
+
+  // ------------------------------------------------------------- q125
+  test("q125: pruning is sound and z-order prunes the user band (sf0.01)") {
+    val manifest = EventQueries.q125SkippingManifest(spark, sf001)
+      .collect().map { r =>
+        (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+          r.getLong(5), r.getLong(6), r.getBoolean(7), r.getBoolean(8))
+      }
+    val rows = Tables.events(spark, sf001)
+      .withColumn("ts_ms", unix_millis(col("ts")))
+      .select(($"user_id" % 65536L).as("u"),
+        (expr("ts_ms div 60000") % 65536L).as("t"))
+      .as[(Long, Long)].collect()
+    def interleave(u: Long, t: Long): Long =
+      (0 until 16).map(i =>
+        (((u >> i) & 1L) << (2 * i)) | (((t >> i) & 1L) << (2 * i + 1)))
+        .reduce(_ | _)
+    // soundness: every row matching the u band sits in a hit_u block
+    val hitU = manifest.filter(_._8).map(m => (m._1, m._2)).toSet
+    rows.filter(r => r._1 >= EventQueries.UBandLo && r._1 <= EventQueries.UBandHi)
+      .foreach { case (u, t) =>
+        assert(hitU(("zorder", interleave(u, t) / EventQueries.ZBlockDiv)))
+        assert(hitU(("linear", t / EventQueries.LinearBlockMinutes)))
+      }
+    // mass conservation per layout
+    Seq("zorder", "linear").foreach { lay =>
+      assert(manifest.filter(_._1 == lay).map(_._3).sum === rows.length.toLong)
+    }
+    // effectiveness: the z-layout prunes blocks for the u band; the
+    // time-linear layout cannot (each time block spans every user)
+    def hitFrac(lay: String) = {
+      val m = manifest.filter(_._1 == lay)
+      m.count(_._8).toDouble / m.length
+    }
+    assert(hitFrac("zorder") < hitFrac("linear"))
+    assert(hitFrac("linear") === 1.0)
+  }
+
+  // ------------------------------------------------------------- q126
+  test("q126: encode matches a driver-side BPE train+encode re-derivation (sf0.001)") {
+    val docs = Tables.documents(spark, sf0001)
+      .select($"doc_id", $"text").as[(Long, String)].collect()
+      .map { case (id, t) => id -> tokens(t) }
+    def mergePair(toks: Vector[String], a: String, b: String): Vector[String] = {
+      val out = scala.collection.mutable.ArrayBuffer.empty[String]
+      toks.foreach { t =>
+        if (out.nonEmpty && out.last == a && t == b)
+          out(out.length - 1) = a + " " + b
+        else out += t
+      }
+      out.toVector
+    }
+    var corpus = docs.toMap
+    for (_ <- 1 to TextStatsQueries.BpeRounds) {
+      val counts = corpus.values.flatMap(ts =>
+        ts.sliding(2).collect { case Seq(a, b) => a + "" + b })
+        .groupBy(identity).map { case (k, v) => k -> v.size }
+      val top = counts.toSeq.minBy { case (p, c) => (-c, p) }._1
+      val Array(a, b) = top.split('')
+      corpus = corpus.map { case (id, ts) => id -> mergePair(ts, a, b) }
+    }
+    val vocab = corpus.values.flatten.groupBy(identity)
+      .map { case (k, v) => k -> v.size }.toSeq
+      .sortBy { case (tok, c) => (-c, tok) }
+      .zipWithIndex.map { case ((tok, _), i) => tok -> (i + 1).toLong }.toMap
+    val expected = corpus.map { case (id, ts) =>
+      (id, ts.length.toLong,
+        ts.headOption.map(vocab), md5Hex(ts.map(vocab).mkString(",")))
+    }.toSet
+    val got = TextStatsQueries.q126BpeEncode(spark, sf0001).collect().map { r =>
+      (r.getLong(0), r.getLong(1),
+        if (r.isNullAt(2)) None else Some(r.getLong(2)), r.getString(3))
+    }.toSet
+    assert(got === expected)
+  }
+
+  // ------------------------------------------------------------- q127
+  test("q127: OOV rates match a driver-side vocabulary re-derivation (sf0.001)") {
+    val docs = Tables.documents(spark, sf0001)
+      .select($"doc_id", $"text").as[(Long, String)].collect()
+      .map { case (id, t) => id -> tokens(t) }
+    val vocab = docs.flatMap(_._2).groupBy(identity)
+      .map { case (k, v) => k -> v.size }.toSeq
+      .sortBy { case (tok, c) => (-c, tok) }
+      .take(TextStatsQueries.VocabTopK).map(_._1).toSet
+    val expected = docs.map { case (id, ts) =>
+      val oov = ts.count(!vocab(_))
+      val rate =
+        if (ts.isEmpty) None
+        else Some(BigDecimal(oov.toDouble / ts.length)
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+      (id, ts.length.toLong, oov.toLong, rate)
+    }.toSet
+    val got = TextStatsQueries.q127OovRate(spark, sf0001).collect().map { r =>
+      (r.getLong(0), r.getLong(1), r.getLong(2),
+        if (r.isNullAt(3)) None else Some(r.getDouble(3)))
+    }.toSet
+    assert(got === expected)
+  }
+
+  // ------------------------------------------------------------- q128
+  test("q128: rollup matches the q16 pair set joined to md5 splits (sf0.001)") {
+    val pairs = DedupQueries.q16LshNearDups(spark, sf0001)
+      .select($"a", $"b", $"jaccard").as[(Long, Long, Double)].collect()
+    val splits = Tables.documents(spark, sf0001)
+      .select($"doc_id", $"text").as[(Long, String)].collect()
+      .map { case (id, t) =>
+        id -> (if (md5Hex(t).charAt(0) < 'e') "train" else "test")
+      }.toMap
+    val expected = pairs.map { case (a, b, j) =>
+      val (sa, sb) = (splits(a), splits(b))
+      val key = Seq(sa, sb).sorted.mkString("/")
+      (key, math.round(j * 1e6))
+    }.groupBy(_._1).map { case (k, ms) =>
+      val n = ms.length.toLong
+      (k, n,
+        BigDecimal(ms.map(_._2).sum.toDouble / n / 1e6)
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    }.toSet
+    val got = DedupQueries.q128SplitLeakage(spark, sf0001)
+      .as[(String, Long, Double)].collect().toSet
+    assert(got === expected)
+    // conservation: every q16 pair lands in exactly one split bucket
+    assert(got.toSeq.map(_._2).sum === pairs.length.toLong)
+  }
+}
