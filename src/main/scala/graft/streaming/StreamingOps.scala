@@ -75,6 +75,33 @@ object StreamingOps {
       .groupBy(col("source"))
       .agg(sum(col("bpe")).as("tokens"), count(lit(1)).as("n_docs"))
 
+  /** Running per-source OOV monitoring — q127's incremental twin, and
+    * the shape of every "model drift" monitor over a live feed: the
+    * VOCABULARY is a frozen offline artifact (q127's top-K ranking —
+    * passed in as a literal array, exactly how a deployed tokenizer
+    * ships), per-document scoring is a stateless row-local projection
+    * (tokenize, count tokens outside the literal vocab — no joins, no
+    * state), and the rollup is an unwatermarked update-mode aggregate
+    * with ONE row of state per source. A rising OOV share on one feed
+    * is the live signal that the feed drifted away from the corpus the
+    * vocabulary was trained on. The rate division happens at emission
+    * from the two exact running sums, so folding order cannot move it.
+    */
+  def runningOovRate(docs: DataFrame, vocab: Seq[String]): DataFrame = {
+    val toks = filter(split(graft.text.TextPrep.normalize(col("text")), " "),
+      t => t =!= "")
+    val vocabArr = array(vocab.map(lit): _*)
+    docs
+      .withColumn("n_tokens", size(toks).cast("long"))
+      .withColumn("n_oov",
+        size(filter(toks, t => !array_contains(vocabArr, t))).cast("long"))
+      .groupBy(col("source"))
+      .agg(sum(col("n_tokens")).as("tokens"), sum(col("n_oov")).as("oov"),
+        count(lit(1)).as("n_docs"))
+      .withColumn("oov_rate",
+        when(col("tokens") > 0, round(col("oov") / col("tokens"), 6)))
+  }
+
   /** Streaming twin of q97's vocabulary-growth semantics
     * ([[graft.operators.TextStatsQueries.q97VocabGrowth]]): the
     * stateful first-occurrence filter. Each arriving document's

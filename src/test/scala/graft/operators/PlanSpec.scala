@@ -264,4 +264,29 @@ class PlanSpec extends SparkTestBase {
     val pf = p.linesIterator.find(_.contains("PartitionFilters")).getOrElse("")
     assert(pf.contains("event_type"), s"partition filter missing:\n$p")
   }
+
+  test("q122: compactions stay partial aggregates; merge is a keyed join") {
+    val p = formatted(EventQueries.q122CdcMerge(spark, sf0001))
+    // both sides pre-reduce map-side (struct-max partial agg), the
+    // full-outer merge shuffles on user_id — never a nested loop
+    assert(p.contains("HashAggregate"), s"partial-agg compaction expected:\n$p")
+    assert(p.contains("FullOuter"), s"full-outer key merge expected:\n$p")
+    assert(!p.contains("CartesianProduct"), s"no cartesian in CDC merge:\n$p")
+  }
+
+  test("q123: version and interval-end share one window sort") {
+    val p = formatted(EventQueries.q123Scd2(spark, sf0001))
+    // row_number + lead over the same (user_id, ts, id) spec must
+    // collapse to a single Window operator (one exchange, one sort)
+    val windows = p.linesIterator.count(_.contains("- Window ("))
+    assert(windows === 1, s"expected ONE Window operator, got $windows:\n$p")
+  }
+
+  test("q126: encode joins the corpus to a BROADCAST vocabulary") {
+    val p = formatted(TextStatsQueries.q126BpeEncode(spark, sf0001))
+    assert(p.contains("BroadcastHashJoin"),
+      s"vocab must broadcast against the exploded corpus:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"encode must not shuffle the corpus against a ~50k-row vocab:\n$p")
+  }
 }

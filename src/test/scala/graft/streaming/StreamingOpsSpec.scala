@@ -98,6 +98,31 @@ class StreamingOpsSpec extends SparkTestBase {
     assert(streamed === Map("s1" -> (5L, 2L), "s2" -> (6L, 2L), "s3" -> (1L, 1L)))
   }
 
+  test("running OOV rate folds micro-batches to the batch rollup") {
+    implicit val sqlCtx = spark.sqlContext
+    val vocab = Seq("a", "b", "c", "one")
+    val input = MemoryStream[(Long, String, String)]
+    val df = input.toDF.toDF("doc_id", "text", "source")
+    val b1 = Seq((1L, "a b zz", "s1"), (2L, "qq rr", "s1"), (3L, "c c yy", "s2"))
+    val b2 = Seq((4L, "a one", "s2"), (5L, "", "s3"))
+    input.addData(b1: _*)
+    input.addData(b2: _*)
+    StreamingOps.runToMemory(spark,
+      StreamingOps.runningOovRate(df, vocab), "oov_out", OutputMode.Complete)
+    def toMap(d: org.apache.spark.sql.DataFrame) =
+      d.collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3),
+          if (r.isNullAt(4)) None else Some(r.getDouble(4)))).toMap
+    val streamed = toMap(spark.table("oov_out"))
+    val batch = toMap(StreamingOps.runningOovRate(
+      (b1 ++ b2).toDF("doc_id", "text", "source"), vocab))
+    assert(streamed === batch)
+    assert(streamed === Map(
+      "s1" -> (5L, 3L, 2L, Some(0.6)),
+      "s2" -> (5L, 1L, 2L, Some(0.2)),
+      "s3" -> (0L, 0L, 1L, None)))
+  }
+
   test("stateless curation filters compose over streams unchanged") {
     // stratifiedByHash and md5Split are pure per-row expressions, so
     // the SAME operator calls run over readStream input with no
