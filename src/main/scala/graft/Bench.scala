@@ -70,7 +70,8 @@ object Bench {
     "q117_kmv_distinct", "q118_winsorize", "q119_robust_stats",
     "q120_orc_lake", "q121_zorder_key",
     "q122_cdc_merge", "q123_scd2", "q124_compaction_plan",
-    "q125_skipping_manifest", "q126_bpe_encode", "q127_oov_rate")
+    "q125_skipping_manifest", "q126_bpe_encode", "q127_oov_rate",
+    "q129_delete_propagation")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

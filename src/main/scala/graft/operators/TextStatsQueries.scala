@@ -471,6 +471,75 @@ object TextStatsQueries {
        |FROM starts ORDER BY doc_id, chunk_id""".stripMargin
   }
 
+  // --------------------------------------------------------------- q129
+  /** Right-to-be-forgotten CASCADE PURGE audit — the compliance
+    * operation every stored corpus eventually runs: a deletion list
+    * (here a deterministic 1/16 content-hash band standing in for user
+    * requests — the engine-portable stand-in the samplers also use)
+    * must remove not only the source documents but every DERIVED
+    * artifact that embeds their content; here the q72 context-window
+    * chunks, the canonical "we re-chunked the corpus for RAG" liability.
+    * The purge itself is the LEFT ANTI join (the scalable delete shape:
+    * keyed, partial-agg-friendly, no collected id list shipped to the
+    * driver), run against both the base table and the derived table;
+    * the audit rolls both up per source — before/after doc and chunk
+    * counts, the numbers a deletion-compliance report actually states.
+    * Chunk rows are counted, never re-materialized with text, and the
+    * per-source aggregates join on a source-cardinality-bounded key.
+    */
+  def q129DeletePropagation(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+      .select(col("doc_id"), col("source"), col("text"))
+    val dels = docs
+      .filter(substring(md5(col("text").cast("binary")), 1, 1) === "0")
+      .select(col("doc_id"))
+    // derived artifact: q72's chunks, keyed back to source (corpus-sized
+    // keyed join; checkpointed once — two rollups read it)
+    val chunksSrc = q72TokenChunks(s, dir).select(col("doc_id"))
+      .join(docs.select(col("doc_id"), col("source")), Seq("doc_id"))
+      .localCheckpoint()
+    val nDocs = docs.groupBy(col("source")).agg(count(lit(1)).as("n_docs"))
+    val nDocsAfter = docs.join(dels, Seq("doc_id"), "left_anti")
+      .groupBy(col("source")).agg(count(lit(1)).as("n_docs_after"))
+    val nChunks = chunksSrc.groupBy(col("source")).agg(count(lit(1)).as("n_chunks"))
+    val nChunksAfter = chunksSrc.join(dels, Seq("doc_id"), "left_anti")
+      .groupBy(col("source")).agg(count(lit(1)).as("n_chunks_after"))
+    nDocs.join(nDocsAfter, Seq("source"), "left")
+      .join(nChunks, Seq("source"), "left")
+      .join(nChunksAfter, Seq("source"), "left")
+      .select(col("source"), col("n_docs"),
+        coalesce(col("n_docs_after"), lit(0L)).as("n_docs_after"),
+        coalesce(col("n_chunks"), lit(0L)).as("n_chunks"),
+        coalesce(col("n_chunks_after"), lit(0L)).as("n_chunks_after"))
+      .orderBy(col("source"))
+  }
+
+  val q129Sql: String = {
+    val overlap = ChunkTokens - ChunkStride
+    s"""WITH $listsCte,
+       |cd AS (
+       |  SELECT doc_id,
+       |         CAST(len(list_filter(range(0, len(toks), $ChunkStride),
+       |                s -> s = 0 OR s + $overlap < len(toks))) AS BIGINT)
+       |           AS n_chunks
+       |  FROM lists WHERE len(toks) > 0),
+       |dels AS (SELECT doc_id FROM documents WHERE substr(md5(text), 1, 1) = '0'),
+       |d AS (
+       |  SELECT doc.source, doc.doc_id,
+       |         (dl.doc_id IS NOT NULL) AS deleted,
+       |         COALESCE(cd.n_chunks, 0) AS n_chunks
+       |  FROM documents doc
+       |  LEFT JOIN dels dl USING (doc_id)
+       |  LEFT JOIN cd USING (doc_id))
+       |SELECT source, count(*) AS n_docs,
+       |       CAST(sum(CASE WHEN NOT deleted THEN 1 ELSE 0 END) AS BIGINT)
+       |         AS n_docs_after,
+       |       CAST(sum(n_chunks) AS BIGINT) AS n_chunks,
+       |       CAST(sum(CASE WHEN NOT deleted THEN n_chunks ELSE 0 END) AS BIGINT)
+       |         AS n_chunks_after
+       |FROM d GROUP BY source ORDER BY source""".stripMargin
+  }
+
   // ---------------------------------------------------------------- q88
   /** Domain mixture weights: per-source token accounting turned into
     * the up/down-sampling factors that would equalize the training mix
@@ -1037,6 +1106,7 @@ object TextStatsQueries {
     "q115_bpe_train" -> (q115BpeTrain _),
     "q126_bpe_encode" -> (q126BpeEncode _),
     "q127_oov_rate" -> (q127OovRate _),
+    "q129_delete_propagation" -> (q129DeletePropagation _),
     "q88_mixture_weights" -> (q88MixtureWeights _),
     "q71_repetition_ratios" -> (q71RepetitionRatios _),
     "q72_token_chunks" -> (q72TokenChunks _),
@@ -1061,6 +1131,7 @@ object TextStatsQueries {
     "q115_bpe_train" -> q115Sql,
     "q126_bpe_encode" -> q126Sql,
     "q127_oov_rate" -> q127Sql,
+    "q129_delete_propagation" -> q129Sql,
     "q88_mixture_weights" -> q88Sql,
     "q71_repetition_ratios" -> q71Sql,
     "q72_token_chunks" -> q72Sql,

@@ -223,6 +223,34 @@ class Round6QueriesSpec extends SparkTestBase {
     assert(got === expected)
   }
 
+  // ------------------------------------------------------------- q129
+  test("q129: purge audit matches a driver-side cascade re-derivation (sf0.001)") {
+    val docs = Tables.documents(spark, sf0001)
+      .select($"doc_id", $"source", $"text").as[(Long, String, String)].collect()
+    val dels = docs.filter(d => md5Hex(d._3).startsWith("0")).map(_._1).toSet
+    assert(dels.nonEmpty, "fixture must exercise a non-empty deletion list")
+    val T = TextStatsQueries.ChunkTokens
+    val S = TextStatsQueries.ChunkStride
+    def nChunks(t: String): Long = {
+      val n = tokens(t).length
+      if (n == 0) 0L
+      else (0 until n by S).count(st => st == 0 || st + (T - S) < n).toLong
+    }
+    val expected = docs.groupBy(_._2).map { case (src, ds) =>
+      (src, ds.length.toLong,
+        ds.count(d => !dels(d._1)).toLong,
+        ds.map(d => nChunks(d._3)).sum,
+        ds.filter(d => !dels(d._1)).map(d => nChunks(d._3)).sum)
+    }.toSet
+    val got = TextStatsQueries.q129DeletePropagation(spark, sf0001)
+      .as[(String, Long, Long, Long, Long)].collect().toSet
+    assert(got === expected)
+    // the cascade is complete: chunk mass of deleted docs is gone
+    val totals = got.toSeq
+    assert(totals.map(_._4).sum - totals.map(_._5).sum ===
+      docs.filter(d => dels(d._1)).map(d => nChunks(d._3)).sum)
+  }
+
   // ------------------------------------------------------------- q128
   test("q128: rollup matches the q16 pair set joined to md5 splits (sf0.001)") {
     val pairs = DedupQueries.q16LshNearDups(spark, sf0001)
