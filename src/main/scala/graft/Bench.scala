@@ -71,7 +71,8 @@ object Bench {
     "q120_orc_lake", "q121_zorder_key",
     "q122_cdc_merge", "q123_scd2", "q124_compaction_plan",
     "q125_skipping_manifest", "q126_bpe_encode", "q127_oov_rate",
-    "q129_delete_propagation")
+    "q129_delete_propagation", "q130_incremental_stats",
+    "q131_dirty_window_recompute")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

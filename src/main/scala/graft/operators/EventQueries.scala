@@ -1073,6 +1073,52 @@ object EventQueries {
        |FROM m ORDER BY layout, block_id""".stripMargin
       .replace("TERMS", zTermsSql)
 
+  // --------------------------------------------------------------- q131
+  /** Dirty-window SELECTIVE recompute — the backfill shape that keeps
+    * a 100 TB rollup refresh proportional to the damage, not the
+    * corpus: a late-arriving batch (deterministic stand-in: event_id
+    * divisible by 97) dirties only the (window, event_type) groups it
+    * touches, so the refresh SEMI-JOINS the fact scan down to those
+    * groups BEFORE aggregating and recomputes just their q30-style
+    * rollups. The dirty-key set is tiny (distinct window ids of the
+    * late batch) and broadcasts; with a window-partitioned lake (q70's
+    * layout) the semi-join becomes partition pruning and the refresh
+    * touches only dirty files. Compare the full-refresh alternative:
+    * re-aggregating every window to repair a handful — the difference
+    * between a nightly backfill that takes minutes and one that
+    * rescans the lake. The oracle recomputes the same dirty groups
+    * directly.
+    */
+  val LateEventMod = 97L
+
+  def q131DirtyWindowRecompute(s: SparkSession, dir: String): DataFrame = {
+    val e = ev(s, dir).withColumn("window_id",
+      expr(s"ts_ms div ${WindowSecs * 1000}"))
+    val dirty = e.filter(col("event_id") % LateEventMod === 0)
+      .select(col("window_id"), col("event_type")).distinct()
+    e.join(broadcast(dirty), Seq("window_id", "event_type"), "left_semi")
+      .groupBy(col("window_id"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        round(sum(col("value")), 6).as("sum_value"),
+        countDistinct(col("user_id")).as("n_users"))
+      .orderBy(col("window_id"), col("event_type"))
+  }
+
+  val q131Sql: String =
+    s"""WITH e AS (
+       |  SELECT event_id, user_id, event_type, value,
+       |         CAST(epoch_ms(ts) AS BIGINT) // ${WindowSecs * 1000} AS window_id
+       |  FROM events),
+       |dirty AS (
+       |  SELECT DISTINCT window_id, event_type FROM e
+       |  WHERE event_id % $LateEventMod = 0)
+       |SELECT e.window_id, e.event_type, count(*) AS n,
+       |       round(sum(e.value), 6) AS sum_value,
+       |       count(DISTINCT e.user_id) AS n_users
+       |FROM e JOIN dirty USING (window_id, event_type)
+       |GROUP BY e.window_id, e.event_type
+       |ORDER BY e.window_id, e.event_type""".stripMargin
+
   def q70PartitionPruning(s: SparkSession, dir: String): DataFrame =
     s.read.parquet(preparePartitionedLake(s, dir))
       .filter(col("event_type") === "click")
@@ -1093,6 +1139,7 @@ object EventQueries {
     "q123_scd2" -> (q123Scd2 _),
     "q124_compaction_plan" -> (q124CompactionPlan _),
     "q125_skipping_manifest" -> (q125SkippingManifest _),
+    "q131_dirty_window_recompute" -> (q131DirtyWindowRecompute _),
     "q68_window_showcase" -> (q68WindowShowcase _),
     "q65_funnel" -> (q65Funnel _),
     "q58_salted_enrichment" -> (q58SaltedEnrichment _),
@@ -1119,6 +1166,7 @@ object EventQueries {
     "q123_scd2" -> q123Sql,
     "q124_compaction_plan" -> q124Sql,
     "q125_skipping_manifest" -> q125Sql,
+    "q131_dirty_window_recompute" -> q131Sql,
     "q68_window_showcase" -> q68Sql,
     "q65_funnel" -> q65Sql,
     "q58_salted_enrichment" -> q58Sql,

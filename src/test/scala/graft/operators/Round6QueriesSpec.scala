@@ -251,6 +251,69 @@ class Round6QueriesSpec extends SparkTestBase {
       docs.filter(d => dels(d._1)).map(d => nChunks(d._3)).sum)
   }
 
+  // ------------------------------------------------------------- q130
+  test("q130: moment-state merge law holds for ANY disjoint split") {
+    val docs = Seq(
+      ("s1", 10L), ("s1", 20L), ("s1", 30L), ("s2", 5L), ("s2", 7L), ("s3", 100L)
+    ).zipWithIndex.map { case ((src, n), i) => (i.toLong, src, n) }
+      .toDF("doc_id", "source", "n_chars")
+    val direct = TextStatsQueries.momentState(docs)
+      .as[(String, Long, Long, Long)].collect().toSet
+    // split by doc_id parity — a different partition than q130's hash
+    // band, proving the law is split-agnostic
+    val a = TextStatsQueries.momentState(docs.filter($"doc_id" % 2 === 0))
+      .as[(String, Long, Long, Long)].collect()
+    val b = TextStatsQueries.momentState(docs.filter($"doc_id" % 2 === 1))
+      .as[(String, Long, Long, Long)].collect()
+    val merged = (a ++ b).groupBy(_._1).map { case (s, st) =>
+      (s, st.map(_._2).sum, st.map(_._3).sum, st.map(_._4).sum)
+    }.toSet
+    assert(merged === direct)
+  }
+
+  test("q130: merged stats match a driver-side direct computation (sf0.001)") {
+    val docs = Tables.documents(spark, sf0001)
+      .select($"source", $"n_chars").as[(String, Long)].collect()
+    val expected = docs.groupBy(_._1).map { case (src, ds) =>
+      val n = ds.length.toLong
+      val sx = ds.map(_._2).sum
+      val sxx = ds.map(d => d._2 * d._2).sum
+      def r6(x: Double) =
+        BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      (src, n, r6(sx.toDouble / n),
+        r6(math.sqrt((n * sxx - sx * sx).toDouble / (n.toDouble * n))))
+    }.toSet
+    val got = TextStatsQueries.q130IncrementalStats(spark, sf0001)
+      .as[(String, Long, Double, Double)].collect().toSet
+    assert(got === expected)
+  }
+
+  // ------------------------------------------------------------- q131
+  test("q131: recompute covers exactly the dirty groups, values match q30 semantics") {
+    val rows = Tables.events(spark, sf0001)
+      .withColumn("ts_ms", unix_millis(col("ts")))
+      .select("event_id", "user_id", "event_type", "value", "ts_ms")
+      .as[(Long, Long, String, Double, Long)].collect()
+    val winMs = EventQueries.WindowSecs * 1000
+    val dirty = rows.filter(_._1 % EventQueries.LateEventMod == 0)
+      .map(r => (r._5 / winMs, r._3)).toSet
+    assert(dirty.nonEmpty)
+    val expected = rows.groupBy(r => (r._5 / winMs, r._3))
+      .filter { case (k, _) => dirty(k) }
+      .map { case ((w, t), es) =>
+        val sum6 = BigDecimal(es.map(_._4).sum)
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+        (w, t, es.length.toLong, sum6, es.map(_._2).distinct.length.toLong)
+      }.toSet
+    val got = EventQueries.q131DirtyWindowRecompute(spark, sf0001)
+      .as[(Long, String, Long, Double, Long)].collect().toSet
+    assert(got.map(r => (r._1, r._2)) === dirty)
+    assert(got === expected)
+    // selectivity: the refresh touches a strict subset of all groups
+    val allGroups = rows.map(r => (r._5 / winMs, r._3)).distinct.length
+    assert(dirty.size < allGroups)
+  }
+
   // ------------------------------------------------------------- q128
   test("q128: rollup matches the q16 pair set joined to md5 splits (sf0.001)") {
     val pairs = DedupQueries.q16LshNearDups(spark, sf0001)
