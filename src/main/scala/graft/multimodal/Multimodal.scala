@@ -74,6 +74,35 @@ object Multimodal {
       } else fallback.decode(kind, payload)
   }
 
+  /** REAL audio decoder over `javax.sound.sampled` (JDK-builtin,
+    * offline-safe): parses actual WAV/AIFF/AU container bytes —
+    * channels and sample width from the format chunk, duration from
+    * the exact frame count (`frames * 1000 / frameRate`, integral for
+    * PCM), width repurposed as the sample rate and height as bits per
+    * sample (the [[MediaFeatures]] schema is fixed across kinds by
+    * design — the mapping is declared here and in the q132 oracle).
+    * Non-audio kinds delegate to `fallback`, mirroring
+    * [[ImageIoDecoder]]'s contract, so a mixed asset table can chain
+    * image → audio → stub decoders. Serialization contract identical
+    * to [[FakeDecoder]].
+    */
+  class AudioDecoder(fallback: MediaDecoder = FakeDecoder) extends MediaDecoder {
+    def decode(kind: String, payload: Array[Byte]): (Int, Int, Long, Int) =
+      if (kind == "audio") {
+        val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+          new java.io.ByteArrayInputStream(payload))
+        try {
+          val fmt = in.getFormat
+          val frames = in.getFrameLength
+          require(frames >= 0 && fmt.getFrameRate > 0,
+            "AudioDecoder: stream does not declare a frame count/rate")
+          val durationMs = frames * 1000L / fmt.getFrameRate.toLong
+          (fmt.getSampleRate.toInt, fmt.getSampleSizeInBits, durationMs,
+            fmt.getChannels)
+        } finally in.close()
+      } else fallback.decode(kind, payload)
+  }
+
   /** Synthesize a deterministic media table from `documents`: payload =
     * 16-byte header + utf8 text bytes; kind cycles image/audio/video.
     * Gives the pipeline real binary columns with skewed sizes.

@@ -107,13 +107,54 @@ object MultimodalQueries {
       |  ('rgb_64x32.png', 64, 32, 3)) t(name, width, height, channels)
       |ORDER BY name""".stripMargin
 
+  // --------------------------------------------------------------- q132
+  /** REAL audio decode path — q45's WAV sibling: checked-in PCM WAV
+    * fixtures (8 kHz/16-bit mono 100 ms, 44.1 kHz/16-bit stereo 50 ms,
+    * 16 kHz/8-bit mono 25 ms — generated deterministically, parameters
+    * known a priori) read via `binaryFile` and decoded by
+    * [[Multimodal.AudioDecoder]] (javax.sound.sampled) inside the same
+    * per-partition decoder contract. The oracle pins (name, sample_rate,
+    * bits, duration_ms, channels) — a decoder that misparses the fmt
+    * chunk, miscounts frames, or confuses frame and byte rates
+    * hash-mismatches. With q45 this makes two of the three media kinds
+    * decode GENUINE bytes through JDK codecs; video stays an honest
+    * stub (the JDK ships no video codec). Fixture-dir query like
+    * q45/q54 — ignores sfDir by design.
+    */
+  def q132AudioDecode(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val files = s.read.format("binaryFile").load(s"$MediaFixtureDir/*.wav")
+      .select(col("path"), col("content")).as[(String, Array[Byte])]
+    val decoder = new Multimodal.AudioDecoder()
+    files.mapPartitions { it =>
+      val d = decoder // driver-built; each task deserializes its own copy
+      it.map { case (path, bytes) =>
+        val (rate, bits, durMs, ch) = d.decode("audio", bytes)
+        (path.substring(path.lastIndexOf('/') + 1), rate, bits, durMs, ch)
+      }
+    }.toDF("name", "sample_rate", "bits", "duration_ms", "channels")
+      .orderBy(col("name"))
+  }
+
+  val q132Sql: String =
+    """SELECT name, sample_rate, bits, CAST(duration_ms AS BIGINT) AS duration_ms,
+      |       channels
+      |FROM (VALUES
+      |  ('mono_16k_8bit.wav', 16000, 8, 25, 1),
+      |  ('mono_8000hz.wav', 8000, 16, 100, 1),
+      |  ('stereo_44100hz.wav', 44100, 16, 50, 2))
+      |  t(name, sample_rate, bits, duration_ms, channels)
+      |ORDER BY name""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q40_media_metadata" -> (q40MediaMetadata _),
     "q41_media_feature_rollup" -> (q41MediaFeatureRollup _),
-    "q45_media_decode" -> (q45MediaDecode _))
+    "q45_media_decode" -> (q45MediaDecode _),
+    "q132_audio_decode" -> (q132AudioDecode _))
 
   val oracles: Map[String, String] = Map(
     "q40_media_metadata" -> q40Sql,
     "q41_media_feature_rollup" -> q41Sql,
-    "q45_media_decode" -> q45Sql)
+    "q45_media_decode" -> q45Sql,
+    "q132_audio_decode" -> q132Sql)
 }

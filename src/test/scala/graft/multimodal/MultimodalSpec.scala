@@ -103,6 +103,40 @@ class MultimodalSpec extends SparkTestBase {
     }
   }
 
+  test("AudioDecoder: WAV fixtures agree with an independent RIFF header parse") {
+    val d = new Multimodal.AudioDecoder()
+    val dir = new java.io.File("src/test/resources/media")
+    val wavs = dir.listFiles().filter(_.getName.endsWith(".wav")).sortBy(_.getName)
+    assert(wavs.length === 3)
+    wavs.foreach { f =>
+      val bytes = java.nio.file.Files.readAllBytes(f.toPath)
+      // independent parse: canonical RIFF layout — fmt chunk fields at
+      // fixed little-endian offsets, then walk to the data chunk
+      val bb = java.nio.ByteBuffer.wrap(bytes)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      assert(new String(bytes, 0, 4, "US-ASCII") === "RIFF")
+      assert(new String(bytes, 8, 4, "US-ASCII") === "WAVE")
+      val channels = bb.getShort(22).toInt
+      val rate = bb.getInt(24)
+      val bits = bb.getShort(34).toInt
+      var off = 36 // first chunk after the canonical 16-byte fmt
+      while (new String(bytes, off, 4, "US-ASCII") != "data")
+        off += 8 + bb.getInt(off + 4)
+      val dataLen = bb.getInt(off + 4)
+      val frames = dataLen / (channels * bits / 8)
+      val durMs = frames.toLong * 1000L / rate
+      assert(d.decode("audio", bytes) === (rate, bits, durMs, channels),
+        s"decoder disagrees with header parse for ${f.getName}")
+    }
+    // non-audio kinds delegate; corrupt audio bytes fail loudly
+    val synth = assets.filter($"kind" === "image").as[Multimodal.MediaAsset].head()
+    assert(d.decode(synth.kind, synth.payload) ===
+      Multimodal.FakeDecoder.decode(synth.kind, synth.payload))
+    intercept[Exception] {
+      d.decode("audio", Array[Byte](1, 2, 3, 4))
+    }
+  }
+
   test("resizePlan: aspect-preserving fit, never upscales") {
     val plan = Multimodal.resizePlan(assets, maxW = 640, maxH = 360).collect()
     assert(plan.nonEmpty)
