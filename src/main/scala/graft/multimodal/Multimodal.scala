@@ -77,8 +77,9 @@ object Multimodal {
   /** REAL audio decoder over `javax.sound.sampled` (JDK-builtin,
     * offline-safe): parses actual WAV/AIFF/AU container bytes —
     * channels and sample width from the format chunk, duration from
-    * the exact frame count (`frames * 1000 / frameRate`, integral for
-    * PCM), width repurposed as the sample rate and height as bits per
+    * the exact frame count (`round(frames * 1000 / frameRate)` —
+    * double math because AU/AIFF mu-law rates are non-integral),
+    * width repurposed as the sample rate and height as bits per
     * sample (the [[MediaFeatures]] schema is fixed across kinds by
     * design — the mapping is declared here and in the q132 oracle).
     * Non-audio kinds delegate to `fallback`, mirroring
@@ -96,7 +97,11 @@ object Multimodal {
           val frames = in.getFrameLength
           require(frames >= 0 && fmt.getFrameRate > 0,
             "AudioDecoder: stream does not declare a frame count/rate")
-          val durationMs = frames * 1000L / fmt.getFrameRate.toLong
+          // double math, then round: AU/AIFF mu-law rates are
+          // non-integral (8012.8 Hz) — truncating the rate to a long
+          // would skew the duration (and a sub-1 Hz rate would divide
+          // by zero)
+          val durationMs = math.round(frames * 1000.0 / fmt.getFrameRate)
           (fmt.getSampleRate.toInt, fmt.getSampleSizeInBits, durationMs,
             fmt.getChannels)
         } finally in.close()

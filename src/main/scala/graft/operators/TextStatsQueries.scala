@@ -885,23 +885,34 @@ object TextStatsQueries {
     * training it once and reusing it across the queries that consume
     * it (q115 export, q126 encode) is exactly how a deployment works,
     * and it keeps the bench's q126 number the cost of ENCODING, not a
-    * second training run. WeakHashMap keyed by the session object (the
-    * Lab2Queries rule — identity hashes alias across sessions); the
-    * lock serializes concurrent first builds like the other module
-    * memo caches.
+    * second training run. Bounded LRU keyed by the session OBJECT
+    * (identity hashes alias across sessions; a WeakHashMap cannot work
+    * — the cached frames strongly reference their session, pinning the
+    * weak key, the exact trap the Lab2Queries cache documents).
+    * Eviction drops the only strong reference to the localCheckpointed
+    * frames; the ContextCleaner reclaims their blocks once GC collects
+    * the RDDs (localCheckpoint has no public unpersist, unlike Lab2's
+    * persisted Result). The lock serializes concurrent first builds
+    * like the other module memo caches.
     */
+  private val MaxBpeEntries = 8
   private val bpeCache =
-    new java.util.WeakHashMap[SparkSession, Map[String, (DataFrame, Seq[String])]]()
+    new java.util.LinkedHashMap[(SparkSession, String), (DataFrame, Seq[String])](
+        8, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[(SparkSession, String), (DataFrame, Seq[String])])
+          : Boolean = size() > MaxBpeEntries
+    }
 
   def bpeTrain(s: SparkSession, dir: String): (DataFrame, Seq[String]) =
     bpeCache.synchronized {
-      val cached = Option(bpeCache.get(s)).getOrElse(Map.empty)
-      cached.get(dir) match {
-        case Some(r) => r
-        case None =>
-          val r = bpeTrainUncached(s, dir)
-          bpeCache.put(s, cached + (dir -> r))
-          r
+      val k = (s, dir)
+      val hit = bpeCache.get(k)
+      if (hit != null) hit
+      else {
+        val r = bpeTrainUncached(s, dir)
+        bpeCache.put(k, r)
+        r
       }
     }
 
@@ -1022,7 +1033,10 @@ object TextStatsQueries {
       .join(enc, Seq("doc_id"), "left")
       .withColumn("ids", coalesce(col("ids"), expr("array()")))
       .select(col("doc_id"), col("n_tokens"),
-        element_at(col("ids"), 1).as("first_id"),
+        // try_element_at, not element_at: under ANSI mode (Spark 4
+        // default) element_at on the empty-doc empty array would abort
+        // the query; the contract (and the oracle) is first_id = NULL
+        expr("try_element_at(ids, 1)").as("first_id"),
         md5(concat_ws(",",
           expr("transform(ids, i -> cast(i as string))")).cast("binary"))
           .as("ids_hash"))

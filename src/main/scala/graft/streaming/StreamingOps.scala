@@ -88,8 +88,7 @@ object StreamingOps {
     * from the two exact running sums, so folding order cannot move it.
     */
   def runningOovRate(docs: DataFrame, vocab: Seq[String]): DataFrame = {
-    val toks = filter(split(graft.text.TextPrep.normalize(col("text")), " "),
-      t => t =!= "")
+    val toks = graft.text.TextPrep.tokensCol(col("text"))
     val vocabArr = array(vocab.map(lit): _*)
     docs
       .withColumn("n_tokens", size(toks).cast("long"))

@@ -199,6 +199,23 @@ class Round6QueriesSpec extends SparkTestBase {
     assert(got === expected)
   }
 
+  test("q126: empty-id-sequence projection is ANSI-safe (NULL first_id, md5(''))") {
+    // pins the exact final-projection expressions q126 applies to a doc
+    // whose normalized text is empty: under Spark 4's default ANSI mode
+    // a plain element_at(array(), 1) would ABORT the query; the
+    // contract (matching the DuckDB oracle) is first_id = NULL and the
+    // empty-sequence hash
+    val out = Seq(42L).toDF("doc_id")
+      .withColumn("ids", expr("array()"))
+      .select(expr("try_element_at(ids, 1)").as("first_id"),
+        md5(concat_ws(",",
+          expr("transform(ids, i -> cast(i as string))")).cast("binary"))
+          .as("ids_hash"))
+      .collect().head
+    assert(out.isNullAt(0))
+    assert(out.getString(1) === md5Hex(""))
+  }
+
   // ------------------------------------------------------------- q127
   test("q127: OOV rates match a driver-side vocabulary re-derivation (sf0.001)") {
     val docs = Tables.documents(spark, sf0001)
