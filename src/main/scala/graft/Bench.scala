@@ -72,7 +72,7 @@ object Bench {
     "q122_cdc_merge", "q123_scd2", "q124_compaction_plan",
     "q125_skipping_manifest", "q126_bpe_encode", "q127_oov_rate",
     "q129_delete_propagation", "q130_incremental_stats",
-    "q131_dirty_window_recompute")
+    "q131_dirty_window_recompute", "q133_text_lake", "q134_schema_evolution")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -121,6 +121,10 @@ object Bench {
       operators.DedupQueries.prepareIncrementalCorpus(spark, sfDir) }
     val orcReady = prep("q120_orc_lake") {
       operators.EventQueries.prepareOrcLake(spark, sfDir) }
+    val textLakeReady = prep("q133_text_lake") {
+      operators.TextStatsQueries.prepareTextLake(spark, sfDir) }
+    val evoLakeReady = prep("q134_schema_evolution") {
+      operators.TextStatsQueries.prepareEvolvedLake(spark, sfDir) }
     val results = Headline
       .filter(selected)
       .filter(name => ivfReady || name != "q43_ivf_topk")
@@ -128,6 +132,8 @@ object Bench {
       .filter(name => lakeReady || name != "q70_partition_pruning")
       .filter(name => incCorpusReady || name != "q78_incremental_dedup")
       .filter(name => orcReady || name != "q120_orc_lake")
+      .filter(name => textLakeReady || name != "q133_text_lake")
+      .filter(name => evoLakeReady || name != "q134_schema_evolution")
       .flatMap { name =>
       SparkEntry.queries.get(name).map { fn =>
         val t0 = System.nanoTime()

@@ -595,6 +595,101 @@ object TextStatsQueries {
       |             / (count(*) * count(*))), 6) AS std_chars
       |FROM documents GROUP BY source ORDER BY source""".stripMargin
 
+  // --------------------------------------------------------------- q133
+  /** Raw-TEXT lake ingestion with file provenance — the missing member
+    * of the format family (parquet, ORC, CSV, JSON, binaryFile are all
+    * gated elsewhere): documents written ONCE per sf dir as a
+    * source-partitioned text lake (`partitionBy("source").text` — one
+    * line per doc, the shape a crawler actually delivers), then read
+    * back through the `text` source with Hive partition discovery
+    * recovering the provenance column, and rolled up per source. The
+    * oracle computes the same rollup from the ORIGINAL parquet, so the
+    * gate proves the text round-trip is count- and byte-faithful
+    * (single-line ASCII corpus — a doc with embedded newlines would
+    * split, which is exactly what this acceptance check would catch).
+    * Offline-layout prep like q70/q120; idempotent per dir.
+    */
+  private val textLakePrepped = scala.collection.mutable.Set[String]()
+
+  def prepareTextLake(s: SparkSession, dir: String): String =
+    textLakePrepped.synchronized {
+      val path = new java.io.File(
+        s"target/doc-lake-text/${PathTag.tagFor(dir)}").getAbsolutePath
+      if (!textLakePrepped.contains(path)) {
+        Tables.documents(s, dir).select(col("text"), col("source"))
+          .write.partitionBy("source").mode("overwrite").text(path)
+        textLakePrepped.add(path)
+      }
+      path
+    }
+
+  def q133TextLake(s: SparkSession, dir: String): DataFrame =
+    s.read.text(prepareTextLake(s, dir))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(length(col("value"))).cast("long").as("total_chars"),
+        min(length(col("value"))).as("min_chars"),
+        max(length(col("value"))).as("max_chars"))
+      .orderBy(col("source"))
+
+  val q133Sql: String =
+    """SELECT source, count(*) AS n_docs,
+      |       CAST(sum(strlen(text)) AS BIGINT) AS total_chars,
+      |       min(strlen(text)) AS min_chars,
+      |       max(strlen(text)) AS max_chars
+      |FROM documents GROUP BY source ORDER BY source""".stripMargin
+
+  // --------------------------------------------------------------- q134
+  /** Parquet SCHEMA EVOLUTION acceptance check — the other half of the
+    * lake-migration story (q120 changed the format; this changes the
+    * SCHEMA): generation 1 (even doc_ids) is written with the original
+    * columns, generation 2 (odd doc_ids) adds a `quality` column, and
+    * the union is read back with `mergeSchema=true` — old rows surface
+    * NULL quality, new rows their value, no rewrite of generation 1.
+    * The rollup counts per-lang rows with/without the evolved column
+    * and sums it; the oracle simulates the generation split directly
+    * over `documents`, so a reader that dropped gen-1 rows, defaulted
+    * quality to 0, or refused the merge hash-mismatches. At 100 TB
+    * additive schema evolution is the ONLY affordable kind — this is
+    * the check that certifies it stayed lossless.
+    */
+  private val evoLakePrepped = scala.collection.mutable.Set[String]()
+
+  def prepareEvolvedLake(s: SparkSession, dir: String): String =
+    evoLakePrepped.synchronized {
+      val path = new java.io.File(
+        s"target/doc-lake-evolved/${PathTag.tagFor(dir)}").getAbsolutePath
+      if (!evoLakePrepped.contains(path)) {
+        val docs = Tables.documents(s, dir)
+          .select(col("doc_id"), col("lang"), col("n_chars"))
+        docs.filter(col("doc_id") % 2 === 0)
+          .write.mode("overwrite").parquet(s"$path/gen=1")
+        docs.filter(col("doc_id") % 2 === 1)
+          .withColumn("quality", (col("n_chars") % 7).cast("long"))
+          .write.mode("overwrite").parquet(s"$path/gen=2")
+        evoLakePrepped.add(path)
+      }
+      path
+    }
+
+  def q134SchemaEvolution(s: SparkSession, dir: String): DataFrame =
+    s.read.option("mergeSchema", "true")
+      .parquet(prepareEvolvedLake(s, dir))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("quality").isNotNull, 1L).otherwise(0L)).as("n_evolved"),
+        coalesce(sum(col("quality")), lit(0L)).as("sum_quality"))
+      .orderBy(col("lang"))
+
+  val q134Sql: String =
+    """SELECT lang, count(*) AS n_docs,
+      |       CAST(sum(CASE WHEN doc_id % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT)
+      |         AS n_evolved,
+      |       CAST(COALESCE(sum(CASE WHEN doc_id % 2 = 1
+      |                              THEN n_chars % 7 END), 0) AS BIGINT)
+      |         AS sum_quality
+      |FROM documents GROUP BY lang ORDER BY lang""".stripMargin
+
   // ---------------------------------------------------------------- q88
   /** Domain mixture weights: per-source token accounting turned into
     * the up/down-sampling factors that would equalize the training mix
@@ -1201,6 +1296,8 @@ object TextStatsQueries {
     "q127_oov_rate" -> (q127OovRate _),
     "q129_delete_propagation" -> (q129DeletePropagation _),
     "q130_incremental_stats" -> (q130IncrementalStats _),
+    "q133_text_lake" -> (q133TextLake _),
+    "q134_schema_evolution" -> (q134SchemaEvolution _),
     "q88_mixture_weights" -> (q88MixtureWeights _),
     "q71_repetition_ratios" -> (q71RepetitionRatios _),
     "q72_token_chunks" -> (q72TokenChunks _),
@@ -1227,6 +1324,8 @@ object TextStatsQueries {
     "q127_oov_rate" -> q127Sql,
     "q129_delete_propagation" -> q129Sql,
     "q130_incremental_stats" -> q130Sql,
+    "q133_text_lake" -> q133Sql,
+    "q134_schema_evolution" -> q134Sql,
     "q88_mixture_weights" -> q88Sql,
     "q71_repetition_ratios" -> q71Sql,
     "q72_token_chunks" -> q72Sql,

@@ -331,6 +331,39 @@ class Round6QueriesSpec extends SparkTestBase {
     assert(dirty.size < allGroups)
   }
 
+  // ------------------------------------------------------------- q133
+  test("q133: text-lake round-trip is row- and byte-faithful per source (sf0.001)") {
+    val docs = Tables.documents(spark, sf0001)
+      .select($"source", $"text").as[(String, String)].collect()
+    // precondition the corpus must satisfy for a line-oriented lake
+    assert(docs.forall(d => !d._2.contains('\n') && !d._2.contains('\r')))
+    val expected = docs.groupBy(_._1).map { case (src, ds) =>
+      (src, ds.length.toLong, ds.map(_._2.length.toLong).sum,
+        ds.map(_._2.length).min, ds.map(_._2.length).max)
+    }.toSet
+    val got = TextStatsQueries.q133TextLake(spark, sf0001)
+      .as[(String, Long, Long, Int, Int)].collect().toSet
+    assert(got === expected)
+  }
+
+  // ------------------------------------------------------------- q134
+  test("q134: mergeSchema read keeps gen-1 rows with NULL evolved column (sf0.001)") {
+    val docs = Tables.documents(spark, sf0001)
+      .select($"doc_id", $"lang", $"n_chars").as[(Long, String, Long)].collect()
+    val expected = docs.groupBy(_._2).map { case (lang, ds) =>
+      val evolved = ds.filter(_._1 % 2 == 1)
+      (lang, ds.length.toLong, evolved.length.toLong,
+        evolved.map(_._3 % 7).sum)
+    }.toSet
+    val got = TextStatsQueries.q134SchemaEvolution(spark, sf0001)
+      .as[(String, Long, Long, Long)].collect().toSet
+    assert(got === expected)
+    // the merged read really surfaces BOTH generations
+    val totalDocs = got.toSeq.map(_._2).sum
+    assert(totalDocs === docs.length.toLong)
+    assert(got.toSeq.map(_._3).sum < totalDocs) // gen-1 rows present too
+  }
+
   // ------------------------------------------------------------- q128
   test("q128: rollup matches the q16 pair set joined to md5 splits (sf0.001)") {
     val pairs = DedupQueries.q16LshNearDups(spark, sf0001)
