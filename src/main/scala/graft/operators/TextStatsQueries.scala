@@ -690,6 +690,35 @@ object TextStatsQueries {
       |         AS sum_quality
       |FROM documents GROUP BY lang ORDER BY lang""".stripMargin
 
+  // --------------------------------------------------------------- q135
+  /** Custom AGGREGATE function surface ([[graft.functions.ExactGeoMean]]
+    * — the third extension family after native Expressions and custom
+    * SparkPlans): exact nano-quantized geometric mean of document
+    * length per source, registered via `functions.udaf` and invoked
+    * from PURE SQL, so SQL users reach the custom aggregate the same
+    * way DataFrame users do. The buffer is two exact longs (count,
+    * Σ nano-log-units): partial aggregation happens map-side like any
+    * built-in, and the integer merge makes the result bit-identical
+    * under any partitioning — the property the spec asserts and the
+    * reason a double log-sum (which drifts with the combine tree)
+    * would not gate. Geometric mean is the right location statistic
+    * for heavy-tailed length distributions; the oracle replays the
+    * identical quantization arithmetic.
+    */
+  def q135GeoMeanLength(s: SparkSession, dir: String): DataFrame = {
+    s.udf.register("geo_mean1p", udaf(graft.functions.ExactGeoMean))
+    Tables.documents(s, dir).createOrReplaceTempView("documents_q135")
+    s.sql("""SELECT source, count(*) AS n_docs,
+             geo_mean1p(n_chars) AS geo_mean_chars
+             FROM documents_q135 GROUP BY source ORDER BY source""")
+  }
+
+  val q135Sql: String =
+    """SELECT source, count(*) AS n_docs,
+      |       round(exp(sum(CAST(round(ln(1 + n_chars) * 1e9, 0) AS BIGINT))
+      |                 / count(*) / 1e9), 6) AS geo_mean_chars
+      |FROM documents GROUP BY source ORDER BY source""".stripMargin
+
   // ---------------------------------------------------------------- q88
   /** Domain mixture weights: per-source token accounting turned into
     * the up/down-sampling factors that would equalize the training mix
@@ -1298,6 +1327,7 @@ object TextStatsQueries {
     "q130_incremental_stats" -> (q130IncrementalStats _),
     "q133_text_lake" -> (q133TextLake _),
     "q134_schema_evolution" -> (q134SchemaEvolution _),
+    "q135_geo_mean_length" -> (q135GeoMeanLength _),
     "q88_mixture_weights" -> (q88MixtureWeights _),
     "q71_repetition_ratios" -> (q71RepetitionRatios _),
     "q72_token_chunks" -> (q72TokenChunks _),
@@ -1326,6 +1356,7 @@ object TextStatsQueries {
     "q130_incremental_stats" -> q130Sql,
     "q133_text_lake" -> q133Sql,
     "q134_schema_evolution" -> q134Sql,
+    "q135_geo_mean_length" -> q135Sql,
     "q88_mixture_weights" -> q88Sql,
     "q71_repetition_ratios" -> q71Sql,
     "q72_token_chunks" -> q72Sql,

@@ -364,6 +364,30 @@ class Round6QueriesSpec extends SparkTestBase {
     assert(got.toSeq.map(_._3).sum < totalDocs) // gen-1 rows present too
   }
 
+  // ------------------------------------------------------------- q135
+  test("q135: custom aggregate matches driver quantized arithmetic; partition-invariant") {
+    val docs = Tables.documents(spark, sf0001)
+      .select($"source", $"n_chars").as[(String, Long)].collect()
+    val expected = docs.groupBy(_._1).map { case (src, ds) =>
+      val sumNano = ds.map(d => math.round(math.log(1.0 + d._2) * 1e9)).sum
+      val gm = BigDecimal(math.exp(sumNano.toDouble / ds.length / 1e9))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      (src, ds.length.toLong, gm)
+    }.toSet
+    val got = TextStatsQueries.q135GeoMeanLength(spark, sf0001)
+      .as[(String, Long, Double)].collect().toSet
+    assert(got === expected)
+    // bit-identical under a different partitioning (exact long buffer)
+    spark.udf.register("geo_mean1p", udaf(graft.functions.ExactGeoMean))
+    Tables.documents(spark, sf0001).repartition(13)
+      .createOrReplaceTempView("documents_q135_repart")
+    val repart = spark.sql(
+      """SELECT source, count(*) AS n_docs, geo_mean1p(n_chars) AS g
+        |FROM documents_q135_repart GROUP BY source""".stripMargin)
+      .as[(String, Long, Double)].collect().toSet
+    assert(repart === got)
+  }
+
   // ------------------------------------------------------------- q128
   test("q128: rollup matches the q16 pair set joined to md5 splits (sf0.001)") {
     val pairs = DedupQueries.q16LshNearDups(spark, sf0001)
