@@ -73,7 +73,7 @@ object Bench {
     "q125_skipping_manifest", "q126_bpe_encode", "q127_oov_rate",
     "q129_delete_propagation", "q130_incremental_stats",
     "q131_dirty_window_recompute", "q133_text_lake", "q134_schema_evolution",
-    "q135_geo_mean_length")
+    "q135_geo_mean_length", "q136_kcore")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -183,4 +183,40 @@ object GraphOps {
           .when(col("won").isNotNull, lit("propagated"))
           .otherwise(lit("unlabeled")).as("origin"))
   }
+
+  /** Bounded k-core PEELING: `rounds` synchronous rounds of "drop every
+    * vertex whose degree is below k, restrict the edges to survivors" —
+    * the density filter that separates a dup-CLIQUE's tightly knit
+    * core from chain/star periphery (CC lumps both into one
+    * component; the k-core does not). Bounded rounds, not
+    * run-to-fixpoint, for the same reason PageRank fixes its iteration
+    * count (q101): the oracle unrolls the identical rounds, and each
+    * extra round is one more degree-count exchange + one semi-join —
+    * cost is rounds × (one keyed agg + two semi-joins), every stage
+    * partial-aggregated and keyed, nothing all-pairs. Each round's
+    * edge set is localCheckpointed: round r+1's plan must not replay
+    * rounds 1..r (and lineage would otherwise double per round).
+    *
+    * Returns the degree table of the FINAL edge set — (id, degree) for
+    * every vertex that still has an edge after `rounds` peels. Degree
+    * counts edge MULTIPLICITY (parallel edges count twice), matching
+    * the oracle's plain count over the same multiset.
+    *
+    * @param edges directed (src, dst); symmetrize for undirected
+    *              degree semantics
+    */
+  def kCorePeel(edges: DataFrame, k: Int, rounds: Int): DataFrame = {
+    require(k >= 1 && rounds >= 1, "kCorePeel: k and rounds must be >= 1")
+    var e = edges.select(col("src"), col("dst")).localCheckpoint()
+    for (_ <- 1 to rounds) {
+      val keep = e.groupBy(col("src")).agg(count(lit(1)).as("d"))
+        .filter(col("d") >= k).select(col("src").as("v"))
+      e = e.join(keep.withColumnRenamed("v", "src"), Seq("src"), "left_semi")
+        .join(keep.withColumnRenamed("v", "dst"), Seq("dst"), "left_semi")
+        .select(col("src"), col("dst"))
+        .localCheckpoint()
+    }
+    e.groupBy(col("src")).agg(count(lit(1)).as("degree"))
+      .select(col("src").as("id"), col("degree"))
+  }
 }

@@ -164,15 +164,64 @@ object GraphQueries {
        |LEFT JOIN won w ON w.id = d.doc_id
        |ORDER BY d.doc_id""".stripMargin
 
+  // --------------------------------------------------------------- q136
+  /** Bounded k-core peeling ([[GraphOps.kCorePeel]]) over the
+    * symmetrized q44 graph — the DENSITY filter the component-level
+    * primitives lack: q19/q44 lump a cycle-rich core and the dangling
+    * chains hanging off it into one component; rounds of "drop
+    * degree < 2" peel the dangling periphery inward (at fixpoint the
+    * 2-core is exactly the union of cycles). Fourth graph primitive
+    * (CC, triangles, PageRank family, k-core). Output = the residual
+    * degree table after the final peel; on this fixture three rounds
+    * peel 18 chain-end vertices and keep a 482-vertex core (k = 3
+    * would empty the graph — the chain backbone is degree 2).
+    * The oracle unrolls the identical three rounds as nested CTEs —
+    * same bounded-rounds contract as q101's unrolled PageRank.
+    */
+  val CoreK = 2
+  val CoreRounds = 3
+
+  def q136KCore(s: SparkSession, dir: String): DataFrame = {
+    val e = DedupQueries.synthEdges(s, dir)
+    val sym = e.select(col("a").as("src"), col("b").as("dst"))
+      .unionAll(e.select(col("b").as("src"), col("a").as("dst")))
+    GraphOps.kCorePeel(sym, CoreK, CoreRounds)
+      .select(col("id").as("doc_id"), col("degree"))
+      .orderBy(col("doc_id"))
+  }
+
+  val q136Sql: String = {
+    def round(i: Int): String = {
+      val prev = if (i == 1) "sym" else s"e${i - 1}"
+      s"""keep$i AS (
+         |  SELECT src AS v FROM (
+         |    SELECT src, count(*) AS d FROM $prev GROUP BY src)
+         |  WHERE d >= $CoreK),
+         |e$i AS (
+         |  SELECT e.src, e.dst FROM $prev e
+         |  JOIN keep$i x ON x.v = e.src
+         |  JOIN keep$i y ON y.v = e.dst)""".stripMargin
+    }
+    val rounds = (1 to CoreRounds).map(round).mkString(",\n")
+    s"""WITH ${DedupQueries.synthEdgeCtes},
+       |sym AS (SELECT a AS src, b AS dst FROM edges
+       |        UNION ALL SELECT b AS src, a AS dst FROM edges),
+       |$rounds
+       |SELECT src AS doc_id, count(*) AS degree
+       |FROM e$CoreRounds GROUP BY src ORDER BY doc_id""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q101_pagerank" -> (q101PageRank _),
     "q109_personalized_pagerank" -> (q109PersonalizedPageRank _),
     "q110_label_propagation" -> (q110LabelPropagation _),
+    "q136_kcore" -> (q136KCore _),
   )
 
   val oracles: Map[String, String] = Map(
     "q101_pagerank" -> q101Sql,
     "q109_personalized_pagerank" -> q109Sql,
     "q110_label_propagation" -> q110Sql,
+    "q136_kcore" -> q136Sql,
   )
 }

@@ -388,6 +388,27 @@ class Round6QueriesSpec extends SparkTestBase {
     assert(repart === got)
   }
 
+  // ------------------------------------------------------------- q136
+  test("q136: k-core peel matches a driver-side re-derivation (sf0.001)") {
+    val edges = DedupQueries.synthEdges(spark, sf0001)
+      .as[(Long, Long)].collect()
+    var sym = (edges ++ edges.map { case (a, b) => (b, a) }).toSeq
+    val before = sym.map(_._1).distinct.size
+    for (_ <- 1 to GraphQueries.CoreRounds) {
+      val deg = sym.groupBy(_._1).map { case (v, es) => v -> es.size }
+      val keep = deg.filter(_._2 >= GraphQueries.CoreK).keySet
+      sym = sym.filter(e => keep(e._1) && keep(e._2))
+    }
+    val expected = sym.groupBy(_._1)
+      .map { case (v, es) => (v, es.size.toLong) }.toSet
+    val got = GraphQueries.q136KCore(spark, sf0001)
+      .as[(Long, Long)].collect().toSet
+    assert(got === expected)
+    // the peel actually removed periphery on this fixture
+    assert(got.size < before)
+    assert(got.nonEmpty)
+  }
+
   // ------------------------------------------------------------- q128
   test("q128: rollup matches the q16 pair set joined to md5 splits (sf0.001)") {
     val pairs = DedupQueries.q16LshNearDups(spark, sf0001)

@@ -123,6 +123,32 @@ class StreamingOpsSpec extends SparkTestBase {
       "s3" -> (0L, 0L, 1L, None)))
   }
 
+  test("moment states fold micro-batches to the batch statistics (q130's twin)") {
+    // q130's mergeable-state law IS the streaming story: the SAME
+    // momentState aggregate runs unchanged over a stream — Spark's
+    // incremental update of the grouped (n, Σx, Σx²) longs is exactly
+    // the generation merge the batch query gates. No streaming-specific
+    // operator needed; that is the point.
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, String, Long)]
+    val df = input.toDF.toDF("doc_id", "source", "n_chars")
+    val b1 = Seq((1L, "s1", 10L), (2L, "s1", 20L), (3L, "s2", 5L))
+    val b2 = Seq((4L, "s1", 30L), (5L, "s2", 7L), (6L, "s3", 100L))
+    input.addData(b1: _*)
+    input.addData(b2: _*)
+    StreamingOps.runToMemory(spark,
+      graft.operators.TextStatsQueries.momentState(df), "mom_out",
+      OutputMode.Complete)
+    def toMap(d: org.apache.spark.sql.DataFrame) =
+      d.collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    val streamed = toMap(spark.table("mom_out"))
+    val batch = toMap(graft.operators.TextStatsQueries.momentState(
+      (b1 ++ b2).toDF("doc_id", "source", "n_chars")))
+    assert(streamed === batch)
+    assert(streamed("s1") === ((3L, 60L, 1400L)))
+  }
+
   test("stateless curation filters compose over streams unchanged") {
     // stratifiedByHash and md5Split are pure per-row expressions, so
     // the SAME operator calls run over readStream input with no
