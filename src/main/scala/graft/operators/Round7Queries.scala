@@ -1,0 +1,358 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Round-7 additions: approximate string record linkage, information-
+  * theoretic quality scoring, a single-pass data-quality constraint
+  * report, bigram language-model scoring, deterministic random-projection
+  * embedding compression, and a referential-integrity audit.
+  *
+  * Shared contract with every other gated family: each query is paired
+  * with a DuckDB oracle whose floating-point expressions use the SAME
+  * form on both sides, quantized to integer nano/micro units BEFORE any
+  * aggregation so the hash compare never sees reduce-order drift.
+  */
+object Round7Queries {
+
+  // ---------------------------------------------------------------- q137
+  /** Blocked fuzzy self-join (record linkage) over part names — the
+    * approximate-STRING-join family (the string sibling of q16's
+    * MinHash-LSH and q36's range join): block on a cheap exact key, pay
+    * edit distance only inside blocks. Pipeline shape:
+    *
+    *   1. collapse the fact table to DISTINCT names + occurrence counts
+    *      (corpus-sized scan, vocabulary-sized output — at 100 TB the
+    *      name dictionary is what a linkage pass should iterate, never
+    *      the raw rows; the reference's analogue is its all-pairs
+    *      similarity, reference lab2.py:227, which this blocking
+    *      decomposition replaces);
+    *   2. self-join the dictionary on the blocking key (the name's head
+    *      noun) — candidate pairs are block²-bounded, no cartesian;
+    *   3. levenshtein(a, b) <= 3 as the verify step, a < b for a
+    *      canonical pair orientation;
+    *   4. linkage cardinality = cnt_a * cnt_b row pairs.
+    *
+    * Spark's `levenshtein` and DuckDB's are both the classic
+    * unweighted edit-distance DP, so the verify threshold is engine-
+    * portable exactly.
+    */
+  def q137FuzzyPartLinkage(s: SparkSession, dir: String): DataFrame = {
+    val names = Tables.part(s, dir)
+      .groupBy(col("p_name")).agg(count(lit(1)).as("cnt"))
+      .withColumn("noun", try_element_at(split(col("p_name"), " "), lit(2)))
+    val a = names.select(
+      col("p_name").as("name_a"), col("cnt").as("cnt_a"), col("noun"))
+    val b = names.select(
+      col("p_name").as("name_b"), col("cnt").as("cnt_b"), col("noun"))
+    a.join(b, Seq("noun"))
+      .filter(col("name_a") < col("name_b"))
+      .withColumn("dist", levenshtein(col("name_a"), col("name_b")))
+      .filter(col("dist") <= 3)
+      .select(col("name_a"), col("name_b"), col("dist"),
+        (col("cnt_a") * col("cnt_b")).as("n_row_pairs"))
+      .orderBy(col("name_a"), col("name_b"))
+  }
+
+  val q137Sql: String =
+    """WITH names AS (
+      |  SELECT p_name, count(*) AS cnt, string_split(p_name, ' ')[2] AS noun
+      |  FROM part GROUP BY p_name)
+      |SELECT a.p_name AS name_a, b.p_name AS name_b,
+      |  CAST(levenshtein(a.p_name, b.p_name) AS INTEGER) AS dist,
+      |  CAST(a.cnt * b.cnt AS BIGINT) AS n_row_pairs
+      |FROM names a JOIN names b ON a.noun = b.noun AND a.p_name < b.p_name
+      |WHERE levenshtein(a.p_name, b.p_name) <= 3
+      |ORDER BY name_a, name_b""".stripMargin
+
+  // ---------------------------------------------------------------- q138
+  /** Per-document character-level Shannon entropy, rolled up per source —
+    * the information-theoretic quality signal (gibberish and
+    * pathologically repetitive text score low) alongside q26's ratio
+    * heuristics and q42's unigram LM. The engine computes each document's
+    * char histogram ROW-LOCALLY with higher-order array functions
+    * (`array_distinct`/`filter` — no corpus×chars explode, zero extra
+    * shuffle before the final source rollup), where the oracle pays an
+    * unnest+groupBy; at 100 TB the explode-free scoring pass is the
+    * difference between a map-only stage and a shuffle 100× the corpus.
+    *
+    * Exactness: each entropy term (p·ln p) is quantized to a nano-unit
+    * long BEFORE summation (same `1e9 * (cnt / n) * ln(cnt / n)`
+    * expression form both engines — the q98/q113 ln rule), so every
+    * aggregate in the query is an integer sum, bit-identical under any
+    * partitioning. `n` is the `n_chars` column (= octet_length(text),
+    * verified 0 mismatches in testdata) used by BOTH sides, never a
+    * re-derived length.
+    */
+  def q138CharEntropy(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .withColumn("chars", expr("filter(split(text, ''), x -> x <> '')"))
+      .withColumn("terms", expr(
+        """transform(array_distinct(chars), c ->
+          |  cast(round(1e9 * (size(filter(chars, x -> x = c)) / n_chars)
+          |             * ln(size(filter(chars, x -> x = c)) / n_chars))
+          |       as bigint))""".stripMargin))
+      .withColumn("entropy_nano",
+        expr("-aggregate(terms, cast(0 as bigint), (a, t) -> a + t)"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("entropy_nano")).as("sum_entropy_nano"))
+      .orderBy(col("source"))
+
+  val q138Sql: String =
+    """WITH chars AS (
+      |  SELECT doc_id, source, n_chars AS n, unnest(string_split(text, '')) AS c
+      |  FROM documents),
+      |counts AS (
+      |  SELECT doc_id, source, n, c, count(*) AS cnt FROM chars GROUP BY ALL),
+      |docs AS (
+      |  SELECT doc_id, source,
+      |    -CAST(sum(CAST(round(1e9 * (cnt / n) * ln(cnt / n)) AS BIGINT))
+      |          AS BIGINT) AS entropy_nano
+      |  FROM counts GROUP BY 1, 2)
+      |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+      |  CAST(sum(entropy_nano) AS BIGINT) AS sum_entropy_nano
+      |FROM docs GROUP BY source ORDER BY source""".stripMargin
+
+  // ---------------------------------------------------------------- q139
+  /** Single-pass data-quality constraint report (the Deequ-style
+    * validation suite a lake ingest runs before accepting a batch):
+    * completeness (null text count), uniqueness (exact distinct key
+    * count), range (min/max length), validity (lang in the allowed set;
+    * text matches the clean-charset regex), and consistency (declared
+    * n_chars equals the measured byte length). ONE corpus scan computes
+    * every metric — the row-level checks are conditional sums fused into
+    * a single aggregate (partial-agg'd map-side to one row per
+    * partition); only the exact distinct count adds a keyed exchange.
+    * At 100 TB that is one pass over the data instead of seven.
+    *
+    * Spark `octet_length` ↔ DuckDB `strlen` are both BYTE lengths (the
+    * q27 rule); the charset regex is identical under Java regex and RE2.
+    */
+  def q139QualityReport(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir).agg(
+      count(lit(1)).as("n_rows"),
+      sum(when(col("text").isNull, 1L).otherwise(0L)).as("n_null_text"),
+      countDistinct(col("doc_id")).as("n_distinct_doc_id"),
+      min(col("n_chars")).as("min_n_chars"),
+      max(col("n_chars")).as("max_n_chars"),
+      sum(when(col("lang").isin("de", "en", "es", "fr", "zh"), 1L)
+        .otherwise(0L)).as("n_lang_valid"),
+      sum(when(octet_length(col("text")) === col("n_chars"), 1L)
+        .otherwise(0L)).as("n_len_consistent"),
+      sum(when(col("text").rlike("^[a-z ]+$"), 1L).otherwise(0L))
+        .as("n_text_clean"))
+
+  val q139Sql: String =
+    """SELECT CAST(count(*) AS BIGINT) AS n_rows,
+      |  CAST(count(*) FILTER (WHERE text IS NULL) AS BIGINT) AS n_null_text,
+      |  CAST(count(DISTINCT doc_id) AS BIGINT) AS n_distinct_doc_id,
+      |  min(n_chars) AS min_n_chars,
+      |  max(n_chars) AS max_n_chars,
+      |  CAST(count(*) FILTER (WHERE lang IN ('de','en','es','fr','zh'))
+      |       AS BIGINT) AS n_lang_valid,
+      |  CAST(count(*) FILTER (WHERE strlen(text) = n_chars)
+      |       AS BIGINT) AS n_len_consistent,
+      |  CAST(count(*) FILTER (WHERE regexp_matches(text, '^[a-z ]+$'))
+      |       AS BIGINT) AS n_text_clean
+      |FROM documents""".stripMargin
+
+  // ---------------------------------------------------------------- q140
+  /** Add-k-smoothed bigram language-model scoring — the n-gram step up
+    * from q42's unigram LM (fluency, not just vocabulary: word-ORDER
+    * anomalies now lower the score). Train and score in one job:
+    *
+    *   - tokens via posexplode; bigrams via one `lead` window per doc
+    *     (single doc_id exchange — same shape as q61's winnowing);
+    *   - unigram counts (vocab-bounded) and the vocab size V broadcast
+    *     back; the bigram-count join is the only corpus-sized keyed
+    *     exchange beyond tokenization;
+    *   - per-bigram log-probability ln((c2+k)/(cu+k·V)), k=0.5,
+    *     quantized to nano-unit longs before the per-source sum — every
+    *     aggregate integer-exact (the q98/q113 ln rule again).
+    *
+    * At 100 TB the model tables stay dictionary-sized while the corpus
+    * is touched by exactly one tokenize + one window + one count join.
+    */
+  val BigramK = 0.5
+
+  def q140BigramLm(s: SparkSession, dir: String): DataFrame = {
+    val tok = Tables.documents(s, dir)
+      .select(col("doc_id"), col("source"),
+        posexplode(split(col("text"), " ")).as(Seq("pos", "w")))
+    val uni = tok.groupBy(col("w")).agg(count(lit(1)).as("cu"))
+    val vsize = uni.agg(count(lit(1)).as("vsize"))
+    val big = tok
+      .withColumn("w2",
+        lead(col("w"), 1).over(
+          Window.partitionBy(col("doc_id")).orderBy(col("pos"))))
+      .filter(col("w2").isNotNull)
+      .select(col("doc_id"), col("source"), col("w").as("w1"), col("w2"))
+    val cb = big.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c2"))
+    big.join(cb, Seq("w1", "w2"))
+      .join(broadcast(uni.withColumnRenamed("w", "w1")), Seq("w1"))
+      .crossJoin(broadcast(vsize))
+      .withColumn("t",
+        expr(s"cast(round(1e9 * ln((c2 + $BigramK) / (cu + $BigramK * vsize))) as bigint)"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("t")).as("sum_logprob_nano"))
+      .orderBy(col("source"))
+  }
+
+  val q140Sql: String =
+    s"""WITH lists AS (
+       |  SELECT doc_id, source, string_split(text, ' ') AS toks FROM documents),
+       |tok AS (
+       |  SELECT doc_id, source, unnest(toks) AS w,
+       |         generate_subscripts(toks, 1) AS pos
+       |  FROM lists),
+       |uni AS (SELECT w, count(*) AS cu FROM tok GROUP BY w),
+       |v AS (SELECT count(*) AS vsize FROM uni),
+       |big AS (
+       |  SELECT doc_id, source, w AS w1,
+       |         lead(w) OVER (PARTITION BY doc_id ORDER BY pos) AS w2
+       |  FROM tok QUALIFY w2 IS NOT NULL),
+       |cb AS (SELECT w1, w2, count(*) AS c2 FROM big GROUP BY 1, 2),
+       |terms AS (
+       |  SELECT b.doc_id, b.source,
+       |    CAST(round(1e9 * ln((c.c2 + $BigramK) / (u.cu + $BigramK * v.vsize)))
+       |         AS BIGINT) AS t
+       |  FROM big b JOIN cb c ON c.w1 = b.w1 AND c.w2 = b.w2
+       |  JOIN uni u ON u.w = b.w1 CROSS JOIN v)
+       |SELECT source, CAST(count(*) AS BIGINT) AS n_bigrams,
+       |  CAST(sum(t) AS BIGINT) AS sum_logprob_nano
+       |FROM terms GROUP BY source ORDER BY source""".stripMargin
+
+  // ---------------------------------------------------------------- q141
+  /** Johnson–Lindenstrauss random-projection embedding compression
+    * (64 → 16 dims with a ±1 sign matrix): the standard cheap
+    * dimensionality reduction before a 100 TB ANN or clustering pass —
+    * cosine structure is approximately preserved (spec-asserted) at a
+    * quarter of the vector bytes. The sign matrix is DERIVED, not
+    * random-state: sign(i,j) = parity of the first hex digit of
+    * md5("i_j"), so both engines (and any retry, any partitioning)
+    * reconstruct the identical matrix — the rand()-free rule that keeps
+    * every sampling query in this repo deterministic.
+    *
+    * The engine's projection is a ROW-LOCAL map (typedLit matrix +
+    * zip_with/aggregate over quantized micro-unit longs — integer dot
+    * products, no shuffle at all before the gate's output sort); the
+    * oracle pays an unnest + 1024-row sign join + regroup. Scoring
+    * 100 TB of embeddings is map-only.
+    */
+  val JlInDim  = 64
+  val JlOutDim = 16
+
+  private def md5Hex(s: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+
+  /** +1 when the first hex digit of md5("i_j") is even (1-based strpos
+    * in the oracle is odd), else -1. */
+  def jlSign(i: Int, j: Int): Long =
+    if (Character.digit(md5Hex(s"${i}_${j}").charAt(0), 16) % 2 == 0) 1L else -1L
+
+  /** Row j = output dim j's signs over the 64 input dims. */
+  lazy val jlSigns: Seq[Seq[Long]] =
+    (0 until JlOutDim).map(j => (0 until JlInDim).map(i => jlSign(i, j)))
+
+  def q141JlProjection(s: SparkSession, dir: String): DataFrame =
+    Tables.embeddings(s, dir)
+      .withColumn("signs", typedLit(jlSigns))
+      .select(col("vec_id"), posexplode(expr(
+        """transform(signs, row ->
+          |  aggregate(zip_with(row, embedding,
+          |                     (s, x) -> s * cast(round(1e6 * x) as bigint)),
+          |            cast(0 as bigint), (a, b) -> a + b))""".stripMargin))
+        .as(Seq("dim", "val_q")))
+      .orderBy(col("vec_id"), col("dim"))
+
+  val q141Sql: String =
+    s"""WITH e AS (
+       |  SELECT vec_id, unnest(embedding) AS x,
+       |         generate_subscripts(embedding, 1) - 1 AS i
+       |  FROM embeddings),
+       |signs AS (
+       |  SELECT i.range AS i, j.range AS j,
+       |    CASE WHEN strpos('0123456789abcdef',
+       |           substr(md5(CAST(i.range AS VARCHAR) || '_'
+       |                      || CAST(j.range AS VARCHAR)), 1, 1)) % 2 = 1
+       |         THEN 1 ELSE -1 END AS sgn
+       |  FROM range($JlInDim) i, range($JlOutDim) j)
+       |SELECT e.vec_id, CAST(s.j AS INTEGER) AS dim,
+       |  CAST(sum(s.sgn * CAST(round(1e6 * e.x) AS BIGINT)) AS BIGINT) AS val_q
+       |FROM e JOIN signs s ON s.i = e.i
+       |GROUP BY 1, 2 ORDER BY vec_id, dim""".stripMargin
+
+  // ---------------------------------------------------------------- q142
+  /** Referential-integrity audit across the whole star schema — the
+    * foreign-key half of q139's single-table constraint report (and the
+    * relational cousin of q129's cascade-purge audit): for each declared
+    * FK edge, total rows and orphan rows (fk value absent from the
+    * referenced dimension). Each check is one left join against the
+    * dimension's key column — AQE broadcasts every dimension side here;
+    * at 100 TB only the two fact-table checks scan big data, and they
+    * prune to the single FK column at the parquet reader. Orphan counts
+    * are all zero on consistent testdata — the AUDIT is the operator;
+    * the n_rows column keeps the gate hash data-dependent.
+    */
+  def q142FkAudit(s: SparkSession, dir: String): DataFrame = {
+    def check(name: String, fact: DataFrame, fk: String,
+              dim: DataFrame, pk: String): DataFrame =
+      fact.select(col(fk).as("fkv"))
+        .join(dim.select(col(pk).as("pkv")), col("fkv") === col("pkv"), "left")
+        .agg(count(lit(1)).as("n_rows"),
+          sum(when(col("pkv").isNull, 1L).otherwise(0L)).as("n_orphans"))
+        .select(lit(name).as("fk_name"), col("n_rows"), col("n_orphans"))
+    val li = Tables.lineitem(s, dir); val ord = Tables.orders(s, dir)
+    val cust = Tables.customer(s, dir); val supp = Tables.supplier(s, dir)
+    val nat = Tables.nation(s, dir); val reg = Tables.region(s, dir)
+    val part = Tables.part(s, dir)
+    Seq(
+      check("customer.c_nationkey", cust, "c_nationkey", nat, "n_nationkey"),
+      check("lineitem.l_orderkey", li, "l_orderkey", ord, "o_orderkey"),
+      check("lineitem.l_partkey", li, "l_partkey", part, "p_partkey"),
+      check("lineitem.l_suppkey", li, "l_suppkey", supp, "s_suppkey"),
+      check("nation.n_regionkey", nat, "n_regionkey", reg, "r_regionkey"),
+      check("orders.o_custkey", ord, "o_custkey", cust, "c_custkey"),
+      check("supplier.s_nationkey", supp, "s_nationkey", nat, "n_nationkey"))
+      .reduce(_ unionAll _)
+      .orderBy(col("fk_name"))
+  }
+
+  val q142Sql: String = {
+    def check(name: String, fact: String, fk: String,
+              dim: String, pk: String): String =
+      s"""SELECT '$name' AS fk_name, CAST(count(*) AS BIGINT) AS n_rows,
+         |  CAST(count(*) FILTER (WHERE d.$pk IS NULL) AS BIGINT) AS n_orphans
+         |FROM $fact f LEFT JOIN $dim d ON d.$pk = f.$fk""".stripMargin
+    Seq(
+      check("customer.c_nationkey", "customer", "c_nationkey", "nation", "n_nationkey"),
+      check("lineitem.l_orderkey", "lineitem", "l_orderkey", "orders", "o_orderkey"),
+      check("lineitem.l_partkey", "lineitem", "l_partkey", "part", "p_partkey"),
+      check("lineitem.l_suppkey", "lineitem", "l_suppkey", "supplier", "s_suppkey"),
+      check("nation.n_regionkey", "nation", "n_regionkey", "region", "r_regionkey"),
+      check("orders.o_custkey", "orders", "o_custkey", "customer", "c_custkey"),
+      check("supplier.s_nationkey", "supplier", "s_nationkey", "nation", "n_nationkey"))
+      .mkString("", "\nUNION ALL\n", "\nORDER BY fk_name")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q137_fuzzy_part_linkage" -> (q137FuzzyPartLinkage _),
+    "q138_char_entropy" -> (q138CharEntropy _),
+    "q139_quality_report" -> (q139QualityReport _),
+    "q140_bigram_lm" -> (q140BigramLm _),
+    "q141_jl_projection" -> (q141JlProjection _),
+    "q142_fk_audit" -> (q142FkAudit _))
+
+  val oracles: Map[String, String] = Map(
+    "q137_fuzzy_part_linkage" -> q137Sql,
+    "q138_char_entropy" -> q138Sql,
+    "q139_quality_report" -> q139Sql,
+    "q140_bigram_lm" -> q140Sql,
+    "q141_jl_projection" -> q141Sql,
+    "q142_fk_audit" -> q142Sql)
+}

@@ -289,4 +289,23 @@ class PlanSpec extends SparkTestBase {
     assert(!p.contains("SortMergeJoin"),
       s"encode must not shuffle the corpus against a ~50k-row vocab:\n$p")
   }
+
+  test("q137: linkage verifies inside blocks — an equi-join, never cartesian") {
+    val p = formatted(Round7Queries.q137FuzzyPartLinkage(spark, sf0001))
+    assert(!p.contains("CartesianProduct"), s"blocked join required:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin"), s"blocked join required:\n$p")
+  }
+
+  test("q138: entropy scoring is explode-free — no Generate in the plan") {
+    val p = formatted(Round7Queries.q138CharEntropy(spark, sf0001))
+    assert(!p.contains("Generate"),
+      s"per-doc histogram must be row-local, not a corpus×chars explode:\n$p")
+    assert(p.contains("HashAggregate"))
+  }
+
+  test("q141: JL projection is map-only — no join with a sign table") {
+    val p = formatted(Round7Queries.q141JlProjection(spark, sf0001))
+    assert(!p.contains("Join"),
+      s"the sign matrix must be a literal, not a joined table:\n$p")
+  }
 }

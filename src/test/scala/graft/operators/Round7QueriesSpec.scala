@@ -1,0 +1,177 @@
+package graft.operators
+
+import graft.{SparkTestBase, Tables}
+
+/** Round-7 queries: driver-side re-derivations (independent Scala
+  * implementations over collected sf0.001 data) so each gated query has
+  * a second, oracle-independent witness.
+  */
+class Round7QueriesSpec extends SparkTestBase {
+  import spark.implicits._
+
+  /** Spark round() semantics: HALF_UP on decimal (away from zero).
+    * Callers pass the ALREADY-scaled double (same association as the
+    * engine's expression) so no extra float op perturbs the ulp. */
+  private def q0(x: Double): Long =
+    BigDecimal(x).setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+
+  private def lev(a: String, b: String): Int = {
+    val d = Array.tabulate(a.length + 1, b.length + 1)((i, j) =>
+      if (i == 0) j else if (j == 0) i else 0)
+    for (i <- 1 to a.length; j <- 1 to b.length)
+      d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+        d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+    d(a.length)(b.length)
+  }
+
+  // ------------------------------------------------------------- q137
+  test("q137: blocked fuzzy linkage matches a brute-force re-derivation") {
+    val names = Tables.part(spark, sf0001)
+      .groupBy("p_name").count()
+      .as[(String, Long)].collect().toMap
+    val expected = (for {
+      (a, ca) <- names; (b, cb) <- names
+      if a < b && a.split(" ")(1) == b.split(" ")(1)
+      d = lev(a, b) if d <= 3
+    } yield (a, b, d, ca * cb)).toSet
+    val got = Round7Queries.q137FuzzyPartLinkage(spark, sf0001)
+      .as[(String, String, Int, Long)].collect().toSet
+    assert(got === expected)
+    assert(got.nonEmpty)
+    // the blocking + threshold really excludes pairs (not all-pairs)
+    val allPairs = names.size * (names.size - 1) / 2
+    assert(got.size < allPairs)
+  }
+
+  // ------------------------------------------------------------- q138
+  test("q138: char entropy matches the quantized local formula") {
+    val docs = Tables.documents(spark, sf0001)
+      .select("doc_id", "text", "source", "n_chars")
+      .as[(Long, String, String, Long)].collect()
+    val perDoc = docs.map { case (_, text, src, n) =>
+      val terms = text.groupBy(identity).values.map { g =>
+        val p = g.length.toDouble / n
+        q0(1e9 * p * math.log(p)) // same 1e9*(p·ln p) form + association
+      }
+      (src, -terms.sum)
+    }
+    val expected = perDoc.groupBy(_._1).map { case (s, xs) =>
+      (s, xs.length.toLong, xs.map(_._2).sum)
+    }.toSet
+    val got = Round7Queries.q138CharEntropy(spark, sf0001)
+      .as[(String, Long, Long)].collect().toSet
+    assert(got === expected)
+    // entropy of these word corpora lands in a sane band (nats)
+    val avg = perDoc.map(_._2).sum.toDouble / perDoc.length / 1e9
+    assert(avg > 2.0 && avg < 4.0)
+  }
+
+  // ------------------------------------------------------------- q139
+  test("q139: constraint report matches a collected recount") {
+    val docs = Tables.documents(spark, sf0001)
+      .select("doc_id", "text", "lang", "n_chars")
+      .as[(Long, String, String, Long)].collect()
+    val langs = Set("de", "en", "es", "fr", "zh")
+    val row = Round7Queries.q139QualityReport(spark, sf0001)
+      .as[(Long, Long, Long, Long, Long, Long, Long, Long)].collect().head
+    assert(row === ((
+      docs.length.toLong, 0L,
+      docs.map(_._1).distinct.length.toLong,
+      docs.map(_._4).min, docs.map(_._4).max,
+      docs.count(d => langs(d._3)).toLong,
+      docs.count(d => d._2.getBytes("UTF-8").length == d._4).toLong,
+      docs.count(_._2.matches("[a-z ]+")).toLong)))
+    // on clean testdata every validity check passes — audit is total
+    assert(row._6 === row._1 && row._7 === row._1 && row._8 === row._1)
+  }
+
+  // ------------------------------------------------------------- q140
+  test("q140: bigram LM matches an independent local model") {
+    val docs = Tables.documents(spark, sf0001)
+      .select("doc_id", "text", "source")
+      .as[(Long, String, String)].collect()
+    val toks = docs.map { case (id, t, s) => (id, s, t.split(" ").toSeq) }
+    val uni = toks.flatMap(_._3).groupBy(identity).map { case (w, g) => w -> g.size.toLong }
+    val v = uni.size.toLong
+    val bigrams = toks.flatMap { case (_, s, ws) =>
+      ws.zip(ws.tail).map(p => (s, p))
+    }
+    val cb = bigrams.map(_._2).groupBy(identity).map { case (p, g) => p -> g.size.toLong }
+    val k = Round7Queries.BigramK
+    val expected = bigrams.groupBy(_._1).map { case (s, xs) =>
+      val sum = xs.map { case (_, (w1, w2)) =>
+        q0(1e9 * math.log((cb((w1, w2)) + k) / (uni(w1) + k * v)))
+      }.sum
+      (s, xs.length.toLong, sum)
+    }.toSet
+    val got = Round7Queries.q140BigramLm(spark, sf0001)
+      .as[(String, Long, Long)].collect().toSet
+    assert(got === expected)
+    // log-probabilities are negative and the model scores real mass
+    assert(got.forall(_._3 < 0L))
+  }
+
+  // ------------------------------------------------------------- q141
+  test("q141: JL projection matches a local integer matmul") {
+    val embs = Tables.embeddings(spark, sf0001)
+      .select("vec_id", "embedding")
+      .as[(Long, Seq[Float])].collect()
+    val expected = (for {
+      (id, e) <- embs
+      qx = e.map(x => q0(1e6 * x)) // HALF_UP(1e6·x)
+      j <- 0 until Round7Queries.JlOutDim
+    } yield (id, j,
+      (0 until Round7Queries.JlInDim)
+        .map(i => Round7Queries.jlSign(i, j) * qx(i)).sum)).toSet
+    val got = Round7Queries.q141JlProjection(spark, sf0001)
+      .as[(Long, Int, Long)].collect().toSet
+    assert(got === expected)
+  }
+
+  test("q141: projection approximately preserves cosine (JL property)") {
+    val embs = Tables.embeddings(spark, sf0001)
+      .select("vec_id", "embedding")
+      .as[(Long, Seq[Float])].collect().take(40)
+      .map { case (id, e) => id -> e.map(_.toDouble) }
+    def cos(a: Seq[Double], b: Seq[Double]): Double = {
+      val d = a.zip(b).map { case (x, y) => x * y }.sum
+      d / math.sqrt(a.map(x => x * x).sum * b.map(x => x * x).sum)
+    }
+    val proj = embs.map { case (id, e) =>
+      id -> (0 until Round7Queries.JlOutDim).map(j =>
+        (0 until Round7Queries.JlInDim)
+          .map(i => Round7Queries.jlSign(i, j) * e(i)).sum).toSeq
+    }.toMap
+    val full = embs.toMap
+    val devs = for {
+      (a, ea) <- embs; (b, eb) <- embs if a < b
+    } yield math.abs(cos(ea, eb) - cos(proj(a), proj(b)))
+    val mad = devs.sum / devs.length
+    assert(mad < 0.25, s"mean |Δcos| = $mad — JL structure not preserved")
+  }
+
+  // ------------------------------------------------------------- q142
+  test("q142: FK audit matches set-membership recounts") {
+    val got = Round7Queries.q142FkAudit(spark, sf0001)
+      .as[(String, Long, Long)].collect()
+      .map { case (k, a, b) => k -> ((a, b)) }.toMap
+    def keys(t: String, c: String): Set[Long] =
+      Tables.table(spark, sf0001, t).select(c).as[Long].collect().toSet
+    def fks(t: String, c: String): Seq[Long] =
+      Tables.table(spark, sf0001, t).select(c).as[Long].collect().toSeq
+    val cases = Map(
+      "customer.c_nationkey" -> (("customer", "c_nationkey"), ("nation", "n_nationkey")),
+      "lineitem.l_orderkey" -> (("lineitem", "l_orderkey"), ("orders", "o_orderkey")),
+      "lineitem.l_partkey" -> (("lineitem", "l_partkey"), ("part", "p_partkey")),
+      "lineitem.l_suppkey" -> (("lineitem", "l_suppkey"), ("supplier", "s_suppkey")),
+      "nation.n_regionkey" -> (("nation", "n_regionkey"), ("region", "r_regionkey")),
+      "orders.o_custkey" -> (("orders", "o_custkey"), ("customer", "c_custkey")),
+      "supplier.s_nationkey" -> (("supplier", "s_nationkey"), ("nation", "n_nationkey")))
+    assert(got.keySet === cases.keySet)
+    cases.foreach { case (name, ((ft, fc), (dt, dc))) =>
+      val f = fks(ft, fc); val d = keys(dt, dc)
+      assert(got(name) === ((f.length.toLong, f.count(x => !d(x)).toLong)),
+        s"mismatch for $name")
+    }
+  }
+}
