@@ -75,7 +75,9 @@ object Bench {
     "q131_dirty_window_recompute", "q133_text_lake", "q134_schema_evolution",
     "q135_geo_mean_length", "q136_kcore",
     "q137_fuzzy_part_linkage", "q138_char_entropy", "q139_quality_report",
-    "q140_bigram_lm", "q141_jl_projection", "q142_fk_audit")
+    "q140_bigram_lm", "q141_jl_projection", "q142_fk_audit",
+    "q143_bloom_pruned_revenue", "q144_trigram_novelty",
+    "q145_conjunctive_search", "q146_phrase_search")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -340,13 +340,180 @@ object Round7Queries {
       .mkString("", "\nUNION ALL\n", "\nORDER BY fk_name")
   }
 
+  // ---------------------------------------------------------------- q143
+  /** Bloom-pruned semi-join — the RUNTIME-FILTER pattern (the manual
+    * twin of Spark's `spark.sql.optimizer.runtime.bloomFilter.enabled`,
+    * see [[Sketches]] scaladoc): build a broadcast Bloom filter over the
+    * small filtered dimension (urgent high-value orders) and drop
+    * non-matching fact rows AT THE SCAN STAGE, before any exchange; the
+    * exact equi-join afterwards removes the ~fpp false positives, so the
+    * RESULT is exact — which is what makes it oracle-gatable against a
+    * plain join. At this testdata scale the dimension broadcasts anyway;
+    * at 100 TB with a build side too big to broadcast, pruning the fact
+    * table map-side before the shuffle is the difference between
+    * exchanging the full corpus and exchanging the ~match fraction.
+    * Money sums use the scaled-long exact idiom ([[RelationalOps]]).
+    */
+  def q143BloomPrunedRevenue(s: SparkSession, dir: String): DataFrame = {
+    val urgent = Tables.orders(s, dir)
+      .filter(col("o_orderpriority") === "1-URGENT"
+        && col("o_totalprice") > 150000)
+      .select(col("o_orderkey").as("l_orderkey"))
+    val li = Tables.lineitem(s, dir).select(col("l_orderkey"),
+      col("l_shipdate"), col("l_extendedprice"), col("l_discount"))
+    val pruned = Sketches.bloomPrune(li, urgent, "l_orderkey",
+      expectedItems = 1L << 17)
+    pruned.join(urgent, Seq("l_orderkey"))
+      .groupBy(date_format(col("l_shipdate"), "yyyy-MM").as("ship_month"))
+      .agg(count(lit(1)).as("n_lines"),
+        round(RelationalOps.exactMoneySum(
+          col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 6)
+          .as("revenue"))
+      .orderBy(col("ship_month"))
+  }
+
+  val q143Sql: String =
+    """WITH urgent AS (
+      |  SELECT o_orderkey FROM orders
+      |  WHERE o_orderpriority = '1-URGENT' AND o_totalprice > 150000)
+      |SELECT strftime(l.l_shipdate, '%Y-%m') AS ship_month,
+      |  CAST(count(*) AS BIGINT) AS n_lines,
+      |  round(CAST(sum(CAST(round(l.l_extendedprice*(1.0-l.l_discount)*10000, 0) AS BIGINT)) AS DOUBLE)/10000.0, 6) AS revenue
+      |FROM lineitem l JOIN urgent u ON u.o_orderkey = l.l_orderkey
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
+  // ---------------------------------------------------------------- q144
+  /** Trigram novelty across the content-hash train/test split — the
+    * n-gram GENERALIZATION measure (q127 measures unigram OOV against a
+    * top-K vocab; this measures how much of the test split's trigram
+    * mass the train split has never seen — the memorization-vs-
+    * generalization diagnostic run before trusting a held-out eval).
+    * Same md5 content split as q48/q128 (duplicate texts land on one
+    * side — contamination-proof), trigrams via a row-local `transform`
+    * over token positions (explode only for the count joins), train
+    * trigram set distinct (corpus-sized keyed exchange), one left join.
+    * Docs with < 3 tokens have no trigrams and drop out of BOTH sides
+    * identically.
+    */
+  def q144TrigramNovelty(s: SparkSession, dir: String): DataFrame = {
+    val lists = Tables.documents(s, dir)
+      .select(col("doc_id"), col("source"), split(col("text"), " ").as("toks"),
+        Sampling.md5Split("text").as("split"))
+      .filter(size(col("toks")) >= 3)
+    val bg = lists.select(col("doc_id"), col("source"), col("split"),
+      explode(expr(
+        """transform(sequence(1, size(toks) - 2), i ->
+          |  concat(element_at(toks, i), ' ', element_at(toks, i + 1),
+          |         ' ', element_at(toks, i + 2)))""".stripMargin)).as("b"))
+    val trainset = bg.filter(col("split") === "train")
+      .select(col("b")).distinct().withColumn("in_t", lit(1))
+    bg.filter(col("split") === "test")
+      .join(trainset, Seq("b"), "left")
+      .groupBy(col("source"), col("doc_id"))
+      .agg(count(lit(1)).as("n_trigrams"),
+        sum(when(col("in_t").isNull, 1L).otherwise(0L)).as("n_novel"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_test_docs"),
+        sum(col("n_trigrams")).as("n_trigrams"),
+        sum(col("n_novel")).as("n_novel"))
+      .orderBy(col("source"))
+  }
+
+  val q144Sql: String =
+    """WITH lists AS (
+      |  SELECT doc_id, source, string_split(text, ' ') AS toks,
+      |    CASE WHEN substr(md5(text), 1, 1) < 'e' THEN 'train' ELSE 'test' END AS split
+      |  FROM documents),
+      |bg AS (
+      |  SELECT doc_id, source, split,
+      |    unnest(list_transform(range(1, len(toks) - 1),
+      |      i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS b
+      |  FROM lists),
+      |trainset AS (SELECT DISTINCT b FROM bg WHERE split = 'train'),
+      |test AS (
+      |  SELECT g.source, g.doc_id, count(*) AS n_trigrams,
+      |    count(*) FILTER (WHERE t.b IS NULL) AS n_novel
+      |  FROM bg g LEFT JOIN trainset t USING (b)
+      |  WHERE g.split = 'test' GROUP BY 1, 2)
+      |SELECT source, CAST(count(*) AS BIGINT) AS n_test_docs,
+      |  CAST(sum(n_trigrams) AS BIGINT) AS n_trigrams,
+      |  CAST(sum(n_novel) AS BIGINT) AS n_novel
+      |FROM test GROUP BY source ORDER BY source""".stripMargin
+
+  // ---------------------------------------------------------------- q145
+  /** Conjunctive keyword search (boolean retrieval AND-query): documents
+    * containing ALL query terms. The naive plan explodes the corpus into
+    * postings and intersects per doc (one corpus-sized exchange); this
+    * one is a ROW-LOCAL `forall`/`array_contains` containment test —
+    * a map-only scan, no shuffle before the output sort. The inverted-
+    * index route only wins when the query terms are rare; for a
+    * selectivity-unknown ad-hoc filter the scan IS the scalable plan
+    * (and Parquet prunes to the one text column).
+    */
+  val SearchTerms: Seq[String] = Seq("spark", "join", "window")
+
+  def q145ConjunctiveSearch(s: SparkSession, dir: String): DataFrame = {
+    val termsArr = SearchTerms.map(t => s"'$t'").mkString(", ")
+    Tables.documents(s, dir)
+      .withColumn("toks", split(col("text"), " "))
+      .filter(expr(s"forall(array($termsArr), t -> array_contains(toks, t))"))
+      .select(col("doc_id"), col("lang"), col("source"))
+      .orderBy(col("doc_id"))
+  }
+
+  val q145Sql: String = {
+    val termsArr = SearchTerms.map(t => s"'$t'").mkString(", ")
+    s"""SELECT doc_id, lang, source FROM (
+       |  SELECT doc_id, lang, source, string_split(text, ' ') AS toks
+       |  FROM documents)
+       |WHERE list_has_all(toks, [$termsArr])
+       |ORDER BY doc_id""".stripMargin
+  }
+
+  // ---------------------------------------------------------------- q146
+  /** Positional phrase search ("key order" as ADJACENT tokens, not mere
+    * co-occurrence — q145's ordered sibling): per-doc occurrence count
+    * via a row-local scan over token positions (`filter` over a
+    * position sequence + `element_at` pairs). Map-only like q145; the
+    * size >= 2 guard keeps the position sequence well-formed under
+    * ANSI mode (a 1-token doc would otherwise build sequence(1, 0) =
+    * [1, 0] and index 0 — the empty-edge rule every array query here
+    * follows).
+    */
+  val PhraseW1 = "key"
+  val PhraseW2 = "order"
+
+  def q146PhraseSearch(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .withColumn("toks", split(col("text"), " "))
+      .filter(size(col("toks")) >= 2)
+      .withColumn("n_occ", expr(
+        s"""cast(size(filter(sequence(1, size(toks) - 1),
+           |  i -> element_at(toks, i) = '$PhraseW1'
+           |       and element_at(toks, i + 1) = '$PhraseW2')) as bigint)""".stripMargin))
+      .filter(col("n_occ") > 0)
+      .select(col("doc_id"), col("n_occ"))
+      .orderBy(col("doc_id"))
+
+  val q146Sql: String =
+    s"""SELECT doc_id, n_occ FROM (
+       |  SELECT doc_id,
+       |    CAST(len(list_filter(range(1, len(toks)),
+       |         i -> toks[i] = '$PhraseW1' AND toks[i+1] = '$PhraseW2')) AS BIGINT) AS n_occ
+       |  FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents))
+       |WHERE n_occ > 0 ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q137_fuzzy_part_linkage" -> (q137FuzzyPartLinkage _),
     "q138_char_entropy" -> (q138CharEntropy _),
     "q139_quality_report" -> (q139QualityReport _),
     "q140_bigram_lm" -> (q140BigramLm _),
     "q141_jl_projection" -> (q141JlProjection _),
-    "q142_fk_audit" -> (q142FkAudit _))
+    "q142_fk_audit" -> (q142FkAudit _),
+    "q143_bloom_pruned_revenue" -> (q143BloomPrunedRevenue _),
+    "q144_trigram_novelty" -> (q144TrigramNovelty _),
+    "q145_conjunctive_search" -> (q145ConjunctiveSearch _),
+    "q146_phrase_search" -> (q146PhraseSearch _))
 
   val oracles: Map[String, String] = Map(
     "q137_fuzzy_part_linkage" -> q137Sql,
@@ -354,5 +521,9 @@ object Round7Queries {
     "q139_quality_report" -> q139Sql,
     "q140_bigram_lm" -> q140Sql,
     "q141_jl_projection" -> q141Sql,
-    "q142_fk_audit" -> q142Sql)
+    "q142_fk_audit" -> q142Sql,
+    "q143_bloom_pruned_revenue" -> q143Sql,
+    "q144_trigram_novelty" -> q144Sql,
+    "q145_conjunctive_search" -> q145Sql,
+    "q146_phrase_search" -> q146Sql)
 }

@@ -308,4 +308,15 @@ class PlanSpec extends SparkTestBase {
     assert(!p.contains("Join"),
       s"the sign matrix must be a literal, not a joined table:\n$p")
   }
+
+  test("q145/q146: search queries are map-only scans — no join, no agg") {
+    for (df <- Seq(Round7Queries.q145ConjunctiveSearch(spark, sf0001),
+                   Round7Queries.q146PhraseSearch(spark, sf0001))) {
+      val p = formatted(df)
+      assert(!p.contains("Join"), s"containment must be row-local:\n$p")
+      assert(!p.contains("HashAggregate"),
+        s"no posting-list aggregation expected:\n$p")
+      assert(!p.contains("Generate"), s"no corpus explode expected:\n$p")
+    }
+  }
 }

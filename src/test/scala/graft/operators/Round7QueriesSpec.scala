@@ -150,6 +150,105 @@ class Round7QueriesSpec extends SparkTestBase {
     assert(mad < 0.25, s"mean |Δcos| = $mad — JL structure not preserved")
   }
 
+  // ------------------------------------------------------------- q143
+  test("q143: bloom-pruned revenue equals the exact-join recompute") {
+    val urgent = Tables.orders(spark, sf0001)
+      .filter("o_orderpriority = '1-URGENT' AND o_totalprice > 150000")
+      .select("o_orderkey").as[Long].collect().toSet
+    val lines = Tables.lineitem(spark, sf0001)
+      .selectExpr("l_orderkey", "date_format(l_shipdate, 'yyyy-MM')",
+        "l_extendedprice", "l_discount")
+      .as[(Long, String, Double, Double)].collect()
+    val expected = lines.filter(l => urgent(l._1)).groupBy(_._2).map {
+      case (m, xs) =>
+        val cents = xs.map(x => q0(x._3 * (1.0 - x._4) * 10000)).sum
+        (m, xs.length.toLong,
+          BigDecimal(cents.toDouble / 10000.0)
+            .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    }.toSet
+    val got = Round7Queries.q143BloomPrunedRevenue(spark, sf0001)
+      .as[(String, Long, Double)].collect().toSet
+    assert(got === expected)
+    assert(got.nonEmpty)
+  }
+
+  test("q143: the bloom filter really prunes fact rows before the join") {
+    val urgent = Tables.orders(spark, sf0001)
+      .filter("o_orderpriority = '1-URGENT' AND o_totalprice > 150000")
+      .selectExpr("o_orderkey AS l_orderkey")
+    val li = Tables.lineitem(spark, sf0001).select("l_orderkey")
+    val pruned = Sketches.bloomPrune(li, urgent, "l_orderkey", 1L << 17)
+    val (total, kept) = (li.count(), pruned.count())
+    assert(kept < total, "prune must drop non-matching rows map-side")
+    // every true match survives (no false negatives, ever)
+    val trueMatches = li.join(urgent, Seq("l_orderkey"), "left_semi").count()
+    assert(kept >= trueMatches)
+  }
+
+  // ------------------------------------------------------------- q144
+  test("q144: trigram novelty matches a local split + set re-derivation") {
+    val docs = Tables.documents(spark, sf0001)
+      .select("doc_id", "text", "source")
+      .as[(Long, String, String)].collect()
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val split = docs.map { case (id, t, src) =>
+      val tr = md5hex(t).charAt(0) < 'e'
+      val toks = t.split(" ")
+      val tgs = toks.sliding(3).filter(_.length == 3).map(_.mkString(" ")).toSeq
+      (id, src, tr, tgs)
+    }.filter(_._4.nonEmpty)
+    val trainset = split.filter(_._3).flatMap(_._4).toSet
+    val expected = split.filterNot(_._3).groupBy(_._2).map { case (src, xs) =>
+      (src, xs.length.toLong,
+        xs.map(_._4.size.toLong).sum,
+        xs.map(_._4.count(g => !trainset(g)).toLong).sum)
+    }.toSet
+    val got = Round7Queries.q144TrigramNovelty(spark, sf0001)
+      .as[(String, Long, Long, Long)].collect().toSet
+    assert(got === expected)
+    // novelty is non-trivial on this corpus: some but not all novel
+    val (tg, nov) = (got.map(_._3).sum, got.map(_._4).sum)
+    assert(nov > 0 && nov < tg)
+  }
+
+  // ------------------------------------------------------------- q145/q146
+  test("q145: conjunctive search matches a local contains-all filter") {
+    val docs = Tables.documents(spark, sf0001)
+      .select("doc_id", "text", "lang", "source")
+      .as[(Long, String, String, String)].collect()
+    val expected = docs.filter { case (_, t, _, _) =>
+      val ws = t.split(" ").toSet
+      Round7Queries.SearchTerms.forall(ws)
+    }.map(d => (d._1, d._3, d._4)).toSet
+    val got = Round7Queries.q145ConjunctiveSearch(spark, sf0001)
+      .as[(Long, String, String)].collect().toSet
+    assert(got === expected)
+    assert(got.nonEmpty && got.size < docs.length)
+  }
+
+  test("q146: phrase search matches a local sliding-window count") {
+    val docs = Tables.documents(spark, sf0001)
+      .select("doc_id", "text").as[(Long, String)].collect()
+    val expected = docs.map { case (id, t) =>
+      val toks = t.split(" ")
+      (id, toks.sliding(2).count(p => p.length == 2 &&
+        p(0) == Round7Queries.PhraseW1 && p(1) == Round7Queries.PhraseW2).toLong)
+    }.filter(_._2 > 0).toSet
+    val got = Round7Queries.q146PhraseSearch(spark, sf0001)
+      .as[(Long, Long)].collect().toSet
+    assert(got === expected)
+    assert(got.nonEmpty)
+    // adjacency is stricter than co-occurrence: some docs have both
+    // words but never adjacent
+    val cooc = docs.count { case (_, t) =>
+      val ws = t.split(" ").toSet
+      ws(Round7Queries.PhraseW1) && ws(Round7Queries.PhraseW2)
+    }
+    assert(got.size < cooc)
+  }
+
   // ------------------------------------------------------------- q142
   test("q142: FK audit matches set-membership recounts") {
     val got = Round7Queries.q142FkAudit(spark, sf0001)
