@@ -77,7 +77,8 @@ object Bench {
     "q137_fuzzy_part_linkage", "q138_char_entropy", "q139_quality_report",
     "q140_bigram_lm", "q141_jl_projection", "q142_fk_audit",
     "q143_bloom_pruned_revenue", "q144_trigram_novelty",
-    "q145_conjunctive_search", "q146_phrase_search")
+    "q145_conjunctive_search", "q146_phrase_search",
+    "q147_pii_redaction", "q148_join_ivm", "q149_bfs_depth")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -205,6 +205,38 @@ object GraphOps {
     * @param edges directed (src, dst); symmetrize for undirected
     *              degree semantics
     */
+  /** Bounded-round BFS from a seed set: after `rounds` synchronous
+    * frontier expansions, (id, depth) for every vertex reached, depth =
+    * number of hops from the NEAREST seed. The distance primitive the
+    * membership primitives lack (CC says "same component", PageRank
+    * says "how central" — this says "how FAR"): hop distance from a
+    * trusted/flagged seed set is the standard contamination-radius /
+    * trust-propagation measure over a near-dup graph. Per round: one
+    * keyed join (edges ⋈ frontier) + one min-depth aggregate, both
+    * partial-agg'd and keyed, nothing all-pairs; only the CURRENT
+    * frontier (depth = round-1) expands, so settled vertices never
+    * re-join. Each round localCheckpoints — round r+1's plan must not
+    * replay rounds 1..r. Bounded rounds, not run-to-fixpoint, for the
+    * q101/q136 reason: the oracle unrolls the identical rounds.
+    *
+    * @param edges directed (src, dst); symmetrize for undirected hops
+    * @param seeds one `id` column; depth-0 vertices
+    */
+  def bfsDepth(edges: DataFrame, seeds: DataFrame, rounds: Int): DataFrame = {
+    require(rounds >= 1, "bfsDepth: rounds must be >= 1")
+    var visited = seeds.select(col("id"), lit(0L).as("d")).localCheckpoint()
+    for (r <- 1 to rounds) {
+      val frontier = visited.filter(col("d") === (r - 1))
+        .withColumnRenamed("id", "src")
+      val expanded = edges.join(frontier, Seq("src"))
+        .select(col("dst").as("id"), lit(r.toLong).as("d"))
+      visited = visited.unionAll(expanded)
+        .groupBy(col("id")).agg(min(col("d")).as("d"))
+        .localCheckpoint()
+    }
+    visited.select(col("id"), col("d").as("depth"))
+  }
+
   def kCorePeel(edges: DataFrame, k: Int, rounds: Int): DataFrame = {
     require(k >= 1 && rounds >= 1, "kCorePeel: k and rounds must be >= 1")
     var e = edges.select(col("src"), col("dst")).localCheckpoint()

@@ -211,11 +211,57 @@ object GraphQueries {
        |FROM e$CoreRounds GROUP BY src ORDER BY doc_id""".stripMargin
   }
 
+  // --------------------------------------------------------------- q149
+  /** Bounded-round BFS depth ([[GraphOps.bfsDepth]]) over the
+    * symmetrized q44 graph from the `doc_id % 101 = 0` seed set — the
+    * DISTANCE primitive (fifth graph primitive after CC, triangles,
+    * the PageRank family, and the k-core): hop distance from a
+    * flagged-document seed set is the contamination-radius measure a
+    * near-dup graph audit wants ("everything within 2 hops of a known
+    * bad doc"). Four rounds; the oracle unrolls the identical
+    * min-over-frontier recurrence as nested CTEs (the q101/q136
+    * bounded-rounds contract). Output: every reached vertex with its
+    * nearest-seed hop count.
+    */
+  val BfsRounds = 4
+
+  def q149BfsDepth(s: SparkSession, dir: String): DataFrame = {
+    val e = DedupQueries.synthEdges(s, dir)
+    val sym = e.select(col("a").as("src"), col("b").as("dst"))
+      .unionAll(e.select(col("b").as("src"), col("a").as("dst")))
+    val seeds = graft.Tables.documents(s, dir)
+      .filter(col("doc_id") % 101 === 0)
+      .select(col("doc_id").as("id"))
+    GraphOps.bfsDepth(sym, seeds, BfsRounds)
+      .select(col("id").as("doc_id"), col("depth"))
+      .orderBy(col("doc_id"))
+  }
+
+  val q149Sql: String = {
+    def round(k: Int): String =
+      s"""v$k AS (
+         |  SELECT id, min(d) AS d FROM (
+         |    SELECT id, d FROM v${k - 1}
+         |    UNION ALL
+         |    SELECT e.dst AS id, CAST($k AS BIGINT) AS d
+         |    FROM sym e JOIN v${k - 1} v ON v.id = e.src AND v.d = ${k - 1})
+         |  GROUP BY id)""".stripMargin
+    val rounds = (1 to BfsRounds).map(round).mkString(",\n")
+    s"""WITH ${DedupQueries.synthEdgeCtes},
+       |sym AS (SELECT a AS src, b AS dst FROM edges
+       |        UNION ALL SELECT b AS src, a AS dst FROM edges),
+       |v0 AS (SELECT doc_id AS id, CAST(0 AS BIGINT) AS d
+       |       FROM documents WHERE doc_id % 101 = 0),
+       |$rounds
+       |SELECT id AS doc_id, d AS depth FROM v$BfsRounds ORDER BY doc_id""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q101_pagerank" -> (q101PageRank _),
     "q109_personalized_pagerank" -> (q109PersonalizedPageRank _),
     "q110_label_propagation" -> (q110LabelPropagation _),
     "q136_kcore" -> (q136KCore _),
+    "q149_bfs_depth" -> (q149BfsDepth _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -223,5 +269,6 @@ object GraphQueries {
     "q109_personalized_pagerank" -> q109Sql,
     "q110_label_propagation" -> q110Sql,
     "q136_kcore" -> q136Sql,
+    "q149_bfs_depth" -> q149Sql,
   )
 }

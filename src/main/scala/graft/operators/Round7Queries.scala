@@ -503,6 +503,118 @@ object Round7Queries {
        |  FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents))
        |WHERE n_occ > 0 ORDER BY doc_id""".stripMargin
 
+  // ---------------------------------------------------------------- q147
+  /** PII detection + redaction — the scrubbing pass every training-data
+    * pipeline runs before release. The corpus is clean lowercase words,
+    * so the query first APPENDS deterministic synthetic PII (email,
+    * phone, IPv4 — `doc_id % 3` copies, so zero-match docs exercise the
+    * no-op path too), then detects (`regexp_extract_all` counts) and
+    * redacts (chained `regexp_replace`, email → ip → phone so no
+    * pattern eats another's digits). The gate compares the per-doc
+    * match COUNTS and the md5 OF THE REDACTED TEXT — a redactor that
+    * matches differently, replaces a different occurrence set, or
+    * mangles surrounding bytes hash-mismatches. Patterns avoid
+    * lookaround and backreferences, the portable subset where Java
+    * regex (Spark) and RE2 (DuckDB) agree exactly. Row-local map over
+    * the corpus — the scrub scales like a scan.
+    */
+  val EmailRe = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+  val PhoneRe = "\\+1-555-[0-9]+"
+  val IpRe    = "10\\.[0-9]+\\.0\\.1"
+
+  def q147PiiRedaction(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .withColumn("t", concat(col("text"), repeat(
+        concat(lit(" contact user"), col("doc_id").cast("string"),
+          lit("@mail.example or +1-555-"),
+          (col("doc_id") % 10000).cast("string"),
+          lit(" ip 10."), (col("doc_id") % 256).cast("string"),
+          lit(".0.1")),
+        (col("doc_id") % 3).cast("int"))))
+      .select(col("doc_id"),
+        size(regexp_extract_all(col("t"), lit(EmailRe), lit(0)))
+          .cast("long").as("n_emails"),
+        size(regexp_extract_all(col("t"), lit(PhoneRe), lit(0)))
+          .cast("long").as("n_phones"),
+        size(regexp_extract_all(col("t"), lit(IpRe), lit(0)))
+          .cast("long").as("n_ips"),
+        md5(regexp_replace(regexp_replace(regexp_replace(col("t"),
+          lit(EmailRe), lit("<EMAIL>")),
+          lit(IpRe), lit("<IP>")),
+          lit(PhoneRe), lit("<PHONE>")).cast("binary")).as("redacted_md5"))
+      .orderBy(col("doc_id"))
+
+  val q147Sql: String =
+    s"""WITH synth AS (
+       |  SELECT doc_id,
+       |    text || repeat(' contact user' || CAST(doc_id AS VARCHAR)
+       |      || '@mail.example or +1-555-' || CAST(doc_id % 10000 AS VARCHAR)
+       |      || ' ip 10.' || CAST(doc_id % 256 AS VARCHAR) || '.0.1',
+       |      CAST(doc_id % 3 AS INT)) AS t
+       |  FROM documents)
+       |SELECT doc_id,
+       |  CAST(len(regexp_extract_all(t, '$EmailRe')) AS BIGINT) AS n_emails,
+       |  CAST(len(regexp_extract_all(t, '$PhoneRe')) AS BIGINT) AS n_phones,
+       |  CAST(len(regexp_extract_all(t, '$IpRe')) AS BIGINT) AS n_ips,
+       |  md5(regexp_replace(regexp_replace(regexp_replace(t,
+       |      '$EmailRe', '<EMAIL>', 'g'),
+       |      '$IpRe', '<IP>', 'g'),
+       |      '$PhoneRe', '<PHONE>', 'g')) AS redacted_md5
+       |FROM synth ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------- q148
+  /** Join-view incremental maintenance law — the JOIN half of IVM
+    * (q130 proved the aggregate half):
+    *
+    *   R ⋈ S  =  R₀⋈S₀  ∪  R₀⋈ΔS  ∪  ΔR⋈S₀  ∪  ΔR⋈ΔS
+    *
+    * Generations split by md5 of each table's own row identity (NOT the
+    * join key — splitting on the key would empty the cross terms and
+    * prove nothing). The engine computes the four-term union and
+    * aggregates; the oracle computes the plain full join — hash
+    * equality IS the law. At 100 TB this is why a materialized join
+    * view refreshes by joining only the deltas (three delta terms,
+    * each ~|Δ|-sized) instead of re-joining two corpora; the old⋈old
+    * term is the standing view.
+    */
+  def q148JoinIvm(s: SparkSession, dir: String): DataFrame = {
+    def gen(df: DataFrame, idCols: Seq[String]): (DataFrame, DataFrame) = {
+      val idc = concat_ws("|", idCols.map(c => col(c).cast("string")): _*)
+      val tagged = df.withColumn("gen_old",
+        substring(md5(idc.cast("binary")), 1, 1) < "8")
+      (tagged.filter(col("gen_old")).drop("gen_old"),
+        tagged.filter(!col("gen_old")).drop("gen_old"))
+    }
+    val (liOld, liDelta) = gen(
+      Tables.lineitem(s, dir).select(col("l_orderkey"), col("l_linenumber"),
+        col("l_shipdate"), col("l_extendedprice"), col("l_discount")),
+      Seq("l_orderkey", "l_linenumber"))
+    val (ordOld, ordDelta) = gen(
+      Tables.orders(s, dir)
+        .filter(col("o_orderpriority") === "1-URGENT")
+        .select(col("o_orderkey"), col("o_custkey")),
+      Seq("o_orderkey", "o_custkey"))
+    def term(li: DataFrame, ord: DataFrame): DataFrame =
+      li.join(ord.select(col("o_orderkey")),
+        col("l_orderkey") === col("o_orderkey"))
+    term(liOld, ordOld).unionAll(term(liOld, ordDelta))
+      .unionAll(term(liDelta, ordOld)).unionAll(term(liDelta, ordDelta))
+      .groupBy(date_format(col("l_shipdate"), "yyyy-MM").as("ship_month"))
+      .agg(count(lit(1)).as("n_lines"),
+        round(RelationalOps.exactMoneySum(
+          col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 6)
+          .as("revenue"))
+      .orderBy(col("ship_month"))
+  }
+
+  val q148Sql: String =
+    """SELECT strftime(l.l_shipdate, '%Y-%m') AS ship_month,
+      |  CAST(count(*) AS BIGINT) AS n_lines,
+      |  round(CAST(sum(CAST(round(l.l_extendedprice*(1.0-l.l_discount)*10000, 0) AS BIGINT)) AS DOUBLE)/10000.0, 6) AS revenue
+      |FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+      |WHERE o.o_orderpriority = '1-URGENT'
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q137_fuzzy_part_linkage" -> (q137FuzzyPartLinkage _),
     "q138_char_entropy" -> (q138CharEntropy _),
@@ -513,7 +625,9 @@ object Round7Queries {
     "q143_bloom_pruned_revenue" -> (q143BloomPrunedRevenue _),
     "q144_trigram_novelty" -> (q144TrigramNovelty _),
     "q145_conjunctive_search" -> (q145ConjunctiveSearch _),
-    "q146_phrase_search" -> (q146PhraseSearch _))
+    "q146_phrase_search" -> (q146PhraseSearch _),
+    "q147_pii_redaction" -> (q147PiiRedaction _),
+    "q148_join_ivm" -> (q148JoinIvm _))
 
   val oracles: Map[String, String] = Map(
     "q137_fuzzy_part_linkage" -> q137Sql,
@@ -525,5 +639,7 @@ object Round7Queries {
     "q143_bloom_pruned_revenue" -> q143Sql,
     "q144_trigram_novelty" -> q144Sql,
     "q145_conjunctive_search" -> q145Sql,
-    "q146_phrase_search" -> q146Sql)
+    "q146_phrase_search" -> q146Sql,
+    "q147_pii_redaction" -> q147Sql,
+    "q148_join_ivm" -> q148Sql)
 }

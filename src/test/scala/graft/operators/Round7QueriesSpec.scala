@@ -249,6 +249,97 @@ class Round7QueriesSpec extends SparkTestBase {
     assert(got.size < cooc)
   }
 
+  // ------------------------------------------------------------- q147
+  test("q147: PII counts and redacted md5 match a java.util.regex replay") {
+    val docs = Tables.documents(spark, sf0001)
+      .select("doc_id", "text").as[(Long, String)].collect()
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val expected = docs.map { case (id, text) =>
+      val block = s" contact user$id@mail.example or +1-555-${id % 10000}" +
+        s" ip 10.${id % 256}.0.1"
+      val t = text + block * (id % 3).toInt
+      def count(re: String) = re.r.findAllIn(t).length.toLong
+      val red = t.replaceAll(Round7Queries.EmailRe, "<EMAIL>")
+        .replaceAll(Round7Queries.IpRe, "<IP>")
+        .replaceAll(Round7Queries.PhoneRe, "<PHONE>")
+      (id, count(Round7Queries.EmailRe), count(Round7Queries.PhoneRe),
+        count(Round7Queries.IpRe), md5hex(red))
+    }.toSet
+    val got = Round7Queries.q147PiiRedaction(spark, sf0001)
+      .as[(Long, Long, Long, Long, String)].collect().toSet
+    assert(got === expected)
+    // zero-PII docs (doc_id % 3 == 0) pass through byte-identical
+    val origMd5 = docs.toMap
+    got.filter(_._1 % 3 == 0).foreach { case (id, e, p, i, h) =>
+      assert((e, p, i) === ((0L, 0L, 0L)))
+      assert(h === md5hex(origMd5(id)))
+    }
+  }
+
+  // ------------------------------------------------------------- q148
+  test("q148: four-term delta decomposition equals the direct join") {
+    import org.apache.spark.sql.functions._
+    val direct = Tables.lineitem(spark, sf0001)
+      .join(Tables.orders(spark, sf0001)
+        .filter("o_orderpriority = '1-URGENT'").select("o_orderkey"),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy(date_format(col("l_shipdate"), "yyyy-MM").as("ship_month"))
+      .agg(count(lit(1)).as("n_lines"),
+        round(RelationalOps.exactMoneySum(
+          col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 6)
+          .as("revenue"))
+      .as[(String, Long, Double)].collect().toSet
+    val got = Round7Queries.q148JoinIvm(spark, sf0001)
+      .as[(String, Long, Double)].collect().toSet
+    assert(got === direct)
+  }
+
+  test("q148: every one of the four generation terms carries rows") {
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    def old(id: String): Boolean = md5hex(id).charAt(0) < '8'
+    val li = Tables.lineitem(spark, sf0001)
+      .select("l_orderkey", "l_linenumber")
+      .as[(Long, Int)].collect()
+      .map { case (ok, ln) => (ok, old(s"$ok|$ln")) }
+    val ords = Tables.orders(spark, sf0001)
+      .filter("o_orderpriority = '1-URGENT'")
+      .select("o_orderkey", "o_custkey").as[(Long, Long)].collect()
+      .map { case (ok, ck) => (ok, old(s"$ok|$ck")) }.toMap
+    val terms = li.flatMap { case (ok, liOld) =>
+      ords.get(ok).map(ordOld => (liOld, ordOld))
+    }.groupBy(identity).map { case (k, v) => k -> v.length }
+    // all four (old/delta × old/delta) combinations non-empty — the
+    // law is actually exercised, not degenerate
+    assert(terms.keySet === Set((true, true), (true, false),
+      (false, true), (false, false)), s"terms: $terms")
+  }
+
+  // ------------------------------------------------------------- q149
+  test("q149: BFS depths match a local breadth-first search") {
+    val edges = DedupQueries.synthEdges(spark, sf0001)
+      .as[(Long, Long)].collect()
+    val adj = (edges ++ edges.map { case (a, b) => (b, a) })
+      .groupBy(_._1).map { case (v, es) => v -> es.map(_._2).toSeq }
+    val n = Tables.documents(spark, sf0001).count()
+    val seeds = (0L until n).filter(_ % 101 == 0)
+    var depth = seeds.map(_ -> 0L).toMap
+    for (r <- 1 to GraphQueries.BfsRounds) {
+      val frontier = depth.filter(_._2 == r - 1).keys
+      val reached = frontier.flatMap(v => adj.getOrElse(v, Seq.empty))
+        .filterNot(depth.contains)
+      depth = depth ++ reached.map(_ -> r.toLong)
+    }
+    val got = GraphQueries.q149BfsDepth(spark, sf0001)
+      .as[(Long, Long)].collect().toSet
+    assert(got === depth.toSet)
+    // depths actually spread (not everything is a seed or 1 hop away)
+    assert(got.map(_._2).max === GraphQueries.BfsRounds.toLong)
+  }
+
   // ------------------------------------------------------------- q142
   test("q142: FK audit matches set-membership recounts") {
     val got = Round7Queries.q142FkAudit(spark, sf0001)
