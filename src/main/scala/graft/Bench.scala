@@ -78,7 +78,8 @@ object Bench {
     "q140_bigram_lm", "q141_jl_projection", "q142_fk_audit",
     "q143_bloom_pruned_revenue", "q144_trigram_novelty",
     "q145_conjunctive_search", "q146_phrase_search",
-    "q147_pii_redaction", "q148_join_ivm", "q149_bfs_depth")
+    "q147_pii_redaction", "q148_join_ivm", "q149_bfs_depth",
+    "q150_pmi_collocations", "q151_source_kl_drift", "q152_snapshot_diff")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -89,11 +89,25 @@ object Round7Queries {
     */
   def q138CharEntropy(s: SparkSession, dir: String): DataFrame =
     Tables.documents(s, dir)
-      .withColumn("chars", expr("filter(split(text, ''), x -> x <> '')"))
+      // histogram via native `replace`: higher-order lambdas are
+      // INTERPRETED (not codegen'd), so anything per-CHARACTER in a
+      // lambda is slow — per-distinct-char filters paid distinct×n
+      // interpreted evals (5.0 s at sf0.1), a sort+run-length variant
+      // paid the interpreted sort comparator (3.8 s). This pays only
+      // `distinct` lambda evals whose bodies are native string scans:
+      // occurrences(c) = n_chars - length(replace(text, c, ''))
+      // (2.3 s at sf0.1, bounded by the char-array materialization
+      // that array_distinct still needs).
+      // split('') yields bare chars (no empties — Java zero-width
+      // split), and array_distinct is a native expression, so no
+      // n-sized lambda remains anywhere. (n_chars = length(text),
+      // verified testdata-wide; ASCII corpus so chars = bytes.)
+      .withColumn("cnts", expr(
+        """transform(array_distinct(split(text, '')), c ->
+          |  cast(n_chars as int) - length(replace(text, c, '')))""".stripMargin))
       .withColumn("terms", expr(
-        """transform(array_distinct(chars), c ->
-          |  cast(round(1e9 * (size(filter(chars, x -> x = c)) / n_chars)
-          |             * ln(size(filter(chars, x -> x = c)) / n_chars))
+        """transform(cnts, cnt ->
+          |  cast(round(1e9 * (cnt / n_chars) * ln(cnt / n_chars))
           |       as bigint))""".stripMargin))
       .withColumn("entropy_nano",
         expr("-aggregate(terms, cast(0 as bigint), (a, t) -> a + t)"))
@@ -615,6 +629,159 @@ object Round7Queries {
       |WHERE o.o_orderpriority = '1-URGENT'
       |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // ---------------------------------------------------------------- q150
+  /** Top-20 collocations by pointwise mutual information — phrase
+    * induction / association mining over adjacent-token pairs (the
+    * statistical cousin of q115's frequency-greedy BPE merges: PMI
+    * surfaces pairs that co-occur MORE than their marginals predict,
+    * not just often). PMI(a,b) = ln( (c2/B) / ((cu_a/T)(cu_b/T)) ),
+    * support-filtered at c2 >= 5, quantized to nano longs, ranked with
+    * a full deterministic tie-break (pmi desc, w1, w2). Every table in
+    * the rank stage is vocabulary-bounded; the corpus is touched by one
+    * tokenize + one lead window + the two count aggregates. The global
+    * top-k runs on the vocab²-bounded pair table (TakeOrdered, no
+    * corpus sort).
+    */
+  val PmiMinSupport = 5
+  val PmiTopK = 20
+
+  def q150PmiCollocations(s: SparkSession, dir: String): DataFrame = {
+    val tok = Tables.documents(s, dir)
+      .select(col("doc_id"),
+        posexplode(split(col("text"), " ")).as(Seq("pos", "w")))
+    val uni = tok.groupBy(col("w")).agg(count(lit(1)).as("cu"))
+    val tt = tok.agg(count(lit(1)).as("t"))
+    val big = tok
+      .withColumn("w2", lead(col("w"), 1).over(
+        Window.partitionBy(col("doc_id")).orderBy(col("pos"))))
+      .filter(col("w2").isNotNull)
+      .select(col("w").as("w1"), col("w2"))
+    val bt = big.agg(count(lit(1)).as("b"))
+    val cb = big.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c2"))
+      .filter(col("c2") >= PmiMinSupport)
+    cb.join(broadcast(uni.select(col("w").as("w1"), col("cu").as("cu1"))), Seq("w1"))
+      .join(broadcast(uni.select(col("w").as("w2"), col("cu").as("cu2"))), Seq("w2"))
+      .crossJoin(broadcast(tt)).crossJoin(broadcast(bt))
+      .withColumn("pmi_nano", expr(
+        "cast(round(1e9 * ln((c2 / b) / ((cu1 / t) * (cu2 / t)))) as bigint)"))
+      .select(col("w1"), col("w2"), col("c2"), col("pmi_nano"))
+      .orderBy(col("pmi_nano").desc, col("w1"), col("w2"))
+      .limit(PmiTopK)
+  }
+
+  val q150Sql: String =
+    s"""WITH lists AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+       |tok AS (SELECT doc_id, unnest(toks) AS w FROM lists),
+       |uni AS (SELECT w, count(*) AS cu FROM tok GROUP BY w),
+       |tt AS (SELECT count(*) AS t FROM tok),
+       |bg AS (
+       |  SELECT doc_id, w AS w1, lead(w) OVER (PARTITION BY doc_id ORDER BY pos) AS w2
+       |  FROM (SELECT doc_id, unnest(toks) AS w, generate_subscripts(toks, 1) AS pos
+       |        FROM lists)
+       |  QUALIFY w2 IS NOT NULL),
+       |cb AS (SELECT w1, w2, count(*) AS c2 FROM bg GROUP BY 1, 2),
+       |bt AS (SELECT count(*) AS b FROM bg)
+       |SELECT c.w1, c.w2, CAST(c.c2 AS BIGINT) AS c2,
+       |  CAST(round(1e9 * ln((c.c2 / bt.b) / ((u1.cu / tt.t) * (u2.cu / tt.t)))) AS BIGINT) AS pmi_nano
+       |FROM cb c JOIN uni u1 ON u1.w = c.w1 JOIN uni u2 ON u2.w = c.w2
+       |CROSS JOIN tt CROSS JOIN bt
+       |WHERE c.c2 >= $PmiMinSupport
+       |ORDER BY pmi_nano DESC, w1, w2 LIMIT $PmiTopK""".stripMargin
+
+  // ---------------------------------------------------------------- q151
+  /** Per-source KL divergence from the corpus unigram distribution —
+    * the data-MIXTURE drift diagnostic (which source's token
+    * distribution deviates most from the blend it feeds): KL(p_s‖q) =
+    * Σ_w p_s(w)·ln(p_s(w)/q(w)). Finite by construction — every
+    * source term has corpus support. Per-term nano quantization before
+    * the per-source integer sum (q98/q113 ln rule); all stages keyed
+    * on w or source, the per-source and corpus count tables both
+    * vocabulary-bounded and broadcast back onto the per-(source, w)
+    * table. The q88 mixture-weights query says how much each source
+    * contributes; this says how DIFFERENT what it contributes is.
+    */
+  def q151SourceKlDrift(s: SparkSession, dir: String): DataFrame = {
+    val tok = Tables.documents(s, dir)
+      .select(col("source"), explode(split(col("text"), " ")).as("w"))
+    val sw = tok.groupBy(col("source"), col("w")).agg(count(lit(1)).as("cs"))
+    val st = tok.groupBy(col("source")).agg(count(lit(1)).as("ts"))
+    val cw = tok.groupBy(col("w")).agg(count(lit(1)).as("c"))
+    val tt = tok.agg(count(lit(1)).as("t"))
+    sw.join(broadcast(st), Seq("source"))
+      .join(broadcast(cw), Seq("w"))
+      .crossJoin(broadcast(tt))
+      .withColumn("kl", expr(
+        "cast(round(1e9 * (cs / ts) * ln((cs / ts) / (c / t))) as bigint)"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_terms"), sum(col("kl")).as("kl_nano"))
+      .orderBy(col("source"))
+  }
+
+  val q151Sql: String =
+    """WITH lists AS (SELECT doc_id, source, string_split(text, ' ') AS toks FROM documents),
+      |tok AS (SELECT source, unnest(toks) AS w FROM lists),
+      |sw AS (SELECT source, w, count(*) AS cs FROM tok GROUP BY 1, 2),
+      |st AS (SELECT source, count(*) AS ts FROM tok GROUP BY 1),
+      |cw AS (SELECT w, count(*) AS c FROM tok GROUP BY 1),
+      |tt AS (SELECT count(*) AS t FROM tok),
+      |terms AS (
+      |  SELECT s.source,
+      |    CAST(round(1e9 * (s.cs / st.ts) * ln((s.cs / st.ts) / (cw.c / tt.t))) AS BIGINT) AS kl
+      |  FROM sw s JOIN st ON st.source = s.source
+      |  JOIN cw ON cw.w = s.w CROSS JOIN tt)
+      |SELECT source, CAST(count(*) AS BIGINT) AS n_terms,
+      |  CAST(sum(kl) AS BIGINT) AS kl_nano
+      |FROM terms GROUP BY source ORDER BY source""".stripMargin
+
+  // ---------------------------------------------------------------- q152
+  /** Lake snapshot diff — the generation reconciliation report run
+    * after every ingest (the read side of q122's CDC merge): old
+    * generation vs new generation (deterministically synthesized:
+    * doc_id % 13 deleted, % 7 edited, % 17 spawning a new row), rows
+    * classified added / removed / changed / unchanged by a keyed
+    * FULL OUTER join comparing content hashes — never content bytes;
+    * at 100 TB the diff moves (key, md5) pairs, not documents. The
+    * synthesis is in-engine and mirrored exactly by the oracle, the
+    * q147 pattern.
+    */
+  def q152SnapshotDiff(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val a = docs.select(col("doc_id"),
+      md5(col("text").cast("binary")).as("ha"))
+    val bBase = docs.filter(col("doc_id") % 13 =!= 0)
+      .select(col("doc_id"),
+        md5(when(col("doc_id") % 7 === 0, concat(col("text"), lit(" edited")))
+          .otherwise(col("text")).cast("binary")).as("hb"))
+    val bNew = docs.filter(col("doc_id") % 17 === 0)
+      .select((col("doc_id") + 100000).as("doc_id"),
+        md5(concat(col("text"), lit(" new")).cast("binary")).as("hb"))
+    a.join(bBase.unionAll(bNew), Seq("doc_id"), "full_outer")
+      .select(when(col("ha").isNull, "added")
+        .when(col("hb").isNull, "removed")
+        .when(col("ha") =!= col("hb"), "changed")
+        .otherwise("unchanged").as("status"))
+      .groupBy(col("status")).agg(count(lit(1)).as("n"))
+      .orderBy(col("status"))
+  }
+
+  val q152Sql: String =
+    """WITH a AS (SELECT doc_id, md5(text) AS ha FROM documents),
+      |b AS (
+      |  SELECT doc_id,
+      |    md5(CASE WHEN doc_id % 7 = 0 THEN text || ' edited' ELSE text END) AS hb
+      |  FROM documents WHERE doc_id % 13 <> 0
+      |  UNION ALL
+      |  SELECT doc_id + 100000 AS doc_id, md5(text || ' new') AS hb
+      |  FROM documents WHERE doc_id % 17 = 0),
+      |d AS (
+      |  SELECT CASE WHEN a.ha IS NULL THEN 'added'
+      |              WHEN b.hb IS NULL THEN 'removed'
+      |              WHEN a.ha <> b.hb THEN 'changed'
+      |              ELSE 'unchanged' END AS status
+      |  FROM a FULL OUTER JOIN b ON b.doc_id = a.doc_id)
+      |SELECT status, CAST(count(*) AS BIGINT) AS n
+      |FROM d GROUP BY status ORDER BY status""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q137_fuzzy_part_linkage" -> (q137FuzzyPartLinkage _),
     "q138_char_entropy" -> (q138CharEntropy _),
@@ -627,7 +794,10 @@ object Round7Queries {
     "q145_conjunctive_search" -> (q145ConjunctiveSearch _),
     "q146_phrase_search" -> (q146PhraseSearch _),
     "q147_pii_redaction" -> (q147PiiRedaction _),
-    "q148_join_ivm" -> (q148JoinIvm _))
+    "q148_join_ivm" -> (q148JoinIvm _),
+    "q150_pmi_collocations" -> (q150PmiCollocations _),
+    "q151_source_kl_drift" -> (q151SourceKlDrift _),
+    "q152_snapshot_diff" -> (q152SnapshotDiff _))
 
   val oracles: Map[String, String] = Map(
     "q137_fuzzy_part_linkage" -> q137Sql,
@@ -641,5 +811,8 @@ object Round7Queries {
     "q145_conjunctive_search" -> q145Sql,
     "q146_phrase_search" -> q146Sql,
     "q147_pii_redaction" -> q147Sql,
-    "q148_join_ivm" -> q148Sql)
+    "q148_join_ivm" -> q148Sql,
+    "q150_pmi_collocations" -> q150Sql,
+    "q151_source_kl_drift" -> q151Sql,
+    "q152_snapshot_diff" -> q152Sql)
 }

@@ -340,6 +340,79 @@ class Round7QueriesSpec extends SparkTestBase {
     assert(got.map(_._2).max === GraphQueries.BfsRounds.toLong)
   }
 
+  // ------------------------------------------------------------- q150
+  test("q150: PMI collocations match an independent local ranking") {
+    val docs = Tables.documents(spark, sf0001)
+      .select("doc_id", "text").as[(Long, String)].collect()
+    val toks = docs.map(_._2.split(" ").toSeq)
+    val uni = toks.flatten.groupBy(identity).map { case (w, g) => w -> g.size.toLong }
+    val t = toks.map(_.size).sum.toLong
+    val bigrams = toks.flatMap(ws => ws.zip(ws.tail))
+    val b = bigrams.length.toLong
+    val cb = bigrams.groupBy(identity).map { case (p, g) => p -> g.size.toLong }
+    val ranked = cb.toSeq
+      .filter(_._2 >= Round7Queries.PmiMinSupport)
+      .map { case ((w1, w2), c2) =>
+        (w1, w2, c2,
+          q0(1e9 * math.log((c2.toDouble / b) /
+            ((uni(w1).toDouble / t) * (uni(w2).toDouble / t)))))
+      }
+      .sortBy { case (w1, w2, _, p) => (-p, w1, w2) }
+      .take(Round7Queries.PmiTopK)
+    val got = Round7Queries.q150PmiCollocations(spark, sf0001)
+      .as[(String, String, Long, Long)].collect().toSeq
+    assert(got === ranked)
+    // PMI ordering differs from raw-count ordering somewhere in the
+    // top-k (association, not frequency — on this fixture the single
+    // top pair happens to coincide, the full ranking does not)
+    val byCount = got.sortBy { case (w1, w2, c2, _) => (-c2, w1, w2) }
+    assert(got !== byCount)
+    assert(got.head._4 > 0L, "top collocation must be positively associated")
+  }
+
+  // ------------------------------------------------------------- q151
+  test("q151: per-source KL matches a local distribution re-derivation") {
+    val docs = Tables.documents(spark, sf0001)
+      .select("source", "text").as[(String, String)].collect()
+    val bySrc = docs.groupBy(_._1).map { case (s, xs) =>
+      s -> xs.flatMap(_._2.split(" ")).groupBy(identity)
+        .map { case (w, g) => w -> g.size.toLong }
+    }
+    val corpus = bySrc.values.flatten
+      .groupBy(_._1).map { case (w, g) => w -> g.map(_._2).sum }
+    val t = corpus.values.sum
+    val expected = bySrc.map { case (s, cnts) =>
+      val ts = cnts.values.sum
+      val kl = cnts.map { case (w, cs) =>
+        q0(1e9 * (cs.toDouble / ts) *
+          math.log((cs.toDouble / ts) / (corpus(w).toDouble / t)))
+      }.sum
+      (s, cnts.size.toLong, kl)
+    }.toSet
+    val got = Round7Queries.q151SourceKlDrift(spark, sf0001)
+      .as[(String, Long, Long)].collect().toSet
+    assert(got === expected)
+    // KL >= 0 up to quantization noise (Gibbs), and strictly positive
+    // somewhere (sources genuinely drift)
+    assert(got.forall(_._3 > -1000L))
+    assert(got.exists(_._3 > 0L))
+  }
+
+  // ------------------------------------------------------------- q152
+  test("q152: snapshot diff counts match the synthesis arithmetic") {
+    val ids = Tables.documents(spark, sf0001)
+      .select("doc_id").as[Long].collect()
+    val removed = ids.count(_ % 13 == 0).toLong
+    val added = ids.count(_ % 17 == 0).toLong
+    val changed = ids.count(i => i % 7 == 0 && i % 13 != 0).toLong
+    val unchanged = ids.length - removed - changed
+    val got = Round7Queries.q152SnapshotDiff(spark, sf0001)
+      .as[(String, Long)].collect().toMap
+    assert(got === Map("added" -> added, "removed" -> removed,
+      "changed" -> changed, "unchanged" -> unchanged))
+    assert(got.values.forall(_ > 0L), "all four statuses exercised")
+  }
+
   // ------------------------------------------------------------- q142
   test("q142: FK audit matches set-membership recounts") {
     val got = Round7Queries.q142FkAudit(spark, sf0001)
