@@ -31,6 +31,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("lemmatize_tokens"),
       new ExpressionInfo(classOf[graft.text.LemmatizeTokens].getName, "lemmatize_tokens"),
       (exprs: Seq[Expression]) => graft.text.LemmatizeTokens(exprs.head)))
+    e.injectFunction((
+      FunctionIdentifier("char_entropy_nano"),
+      new ExpressionInfo(classOf[graft.functions.CharEntropyNano].getName,
+        "char_entropy_nano"),
+      (exprs: Seq[Expression]) => graft.functions.CharEntropyNano(exprs.head)))
     // the custom top-k planner strategy, so SQL/DataFrame sessions built
     // with the extension plan TopKPerKey nodes without a TopK.install call
     e.injectPlannerStrategy(_ => graft.plans.TopKStrategy)

@@ -89,32 +89,37 @@ object Round7Queries {
     */
   def q138CharEntropy(s: SparkSession, dir: String): DataFrame =
     Tables.documents(s, dir)
-      // histogram via native `replace`: higher-order lambdas are
-      // INTERPRETED (not codegen'd), so anything per-CHARACTER in a
-      // lambda is slow — per-distinct-char filters paid distinct×n
-      // interpreted evals (5.0 s at sf0.1), a sort+run-length variant
-      // paid the interpreted sort comparator (3.8 s). This pays only
-      // `distinct` lambda evals whose bodies are native string scans:
-      // occurrences(c) = n_chars - length(replace(text, c, ''))
-      // (2.3 s at sf0.1, bounded by the char-array materialization
-      // that array_distinct still needs).
-      // split('') yields bare chars (no empties — Java zero-width
-      // split), and array_distinct is a native expression, so no
-      // n-sized lambda remains anywhere. (n_chars = length(text),
-      // verified testdata-wide; ASCII corpus so chars = bytes.)
-      .withColumn("cnts", expr(
-        """transform(array_distinct(split(text, '')), c ->
-          |  cast(n_chars as int) - length(replace(text, c, '')))""".stripMargin))
-      .withColumn("terms", expr(
-        """transform(cnts, cnt ->
-          |  cast(round(1e9 * (cnt / n_chars) * ln(cnt / n_chars))
-          |       as bigint))""".stripMargin))
+      // native-codegen kernel ([[graft.functions.CharEntropyNano]]):
+      // one tight pass per row inside whole-stage codegen. The
+      // declarative HOF form ([[entropyNanoDeclarative]]) remains the
+      // semantic contract (spec-pinned path equivalence) but pays
+      // interpreted-lambda costs — 5.6 s (per-distinct-char filters),
+      // 3.8 s (sort + run lengths), 2.3 s (native replace bodies)
+      // at sf0.1 vs the expression's tight loop.
       .withColumn("entropy_nano",
-        expr("-aggregate(terms, cast(0 as bigint), (a, t) -> a + t)"))
+        graft.functions.CharEntropyNanoFn(col("text")))
       .groupBy(col("source"))
       .agg(count(lit(1)).as("n_docs"),
         sum(col("entropy_nano")).as("sum_entropy_nano"))
       .orderBy(col("source"))
+
+  /** The declarative higher-order-function form of q138's per-doc
+    * entropy — the semantic CONTRACT the native expression must match
+    * (spec-pinned path equivalence, the M1 RegexTokenizer pattern).
+    * Histogram via native `replace` lambda bodies: occurrences(c) =
+    * n_chars - length(replace(text, c, '')), so only `distinct`-many
+    * interpreted lambda evals remain; split('') yields bare chars (no
+    * empties — Java zero-width split). (n_chars = length(text),
+    * verified testdata-wide; ASCII corpus so chars = bytes.)
+    */
+  def entropyNanoDeclarative: org.apache.spark.sql.Column =
+    expr(
+      """-aggregate(
+        |  transform(array_distinct(split(text, '')), c ->
+        |    cast(round(1e9 * ((n_chars - length(replace(text, c, ''))) / n_chars)
+        |               * ln((n_chars - length(replace(text, c, ''))) / n_chars))
+        |         as bigint)),
+        |  cast(0 as bigint), (a, t) -> a + t)""".stripMargin)
 
   val q138Sql: String =
     """WITH chars AS (

@@ -301,6 +301,17 @@ class PlanSpec extends SparkTestBase {
     assert(!p.contains("Generate"),
       s"per-doc histogram must be row-local, not a corpus×chars explode:\n$p")
     assert(p.contains("HashAggregate"))
+    assert(p.contains("char_entropy_nano"), "native expression expected")
+  }
+
+  test("q138: char_entropy_nano compiles into generated code") {
+    import org.apache.spark.sql.functions.col
+    val proj = graft.Tables.documents(spark, sf0001)
+      .select(graft.functions.CharEntropyNanoFn(col("text")).as("e"))
+    val codegen = proj.queryExecution
+      .explainString(ExplainMode.fromString("codegen"))
+    assert(codegen.contains("TextEntropy"),
+      s"kernel call must appear in generated code:\n${codegen.take(2000)}")
   }
 
   test("q141: JL projection is map-only — no join with a sign table") {

@@ -1,5 +1,7 @@
 package graft.operators
 
+import org.apache.spark.sql.functions.col
+
 import graft.{SparkTestBase, Tables}
 
 /** Round-7 queries: driver-side re-derivations (independent Scala
@@ -64,6 +66,18 @@ class Round7QueriesSpec extends SparkTestBase {
     // entropy of these word corpora lands in a sane band (nats)
     val avg = perDoc.map(_._2).sum.toDouble / perDoc.length / 1e9
     assert(avg > 2.0 && avg < 4.0)
+  }
+
+  test("q138: native expression matches the declarative HOF form per doc") {
+    val both = Tables.documents(spark, sf0001)
+      .select(col("doc_id"),
+        graft.functions.CharEntropyNanoFn(col("text")).as("native"),
+        Round7Queries.entropyNanoDeclarative.as("declarative"))
+      .as[(Long, Long, Long)].collect()
+    both.foreach { case (id, n, d) =>
+      assert(n === d, s"doc $id: native $n != declarative $d")
+    }
+    assert(both.nonEmpty)
   }
 
   // ------------------------------------------------------------- q139
