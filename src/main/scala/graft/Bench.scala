@@ -79,7 +79,10 @@ object Bench {
     "q143_bloom_pruned_revenue", "q144_trigram_novelty",
     "q145_conjunctive_search", "q146_phrase_search",
     "q147_pii_redaction", "q148_join_ivm", "q149_bfs_depth",
-    "q150_pmi_collocations", "q151_source_kl_drift", "q152_snapshot_diff")
+    "q150_pmi_collocations", "q151_source_kl_drift", "q152_snapshot_diff",
+    "q153_exact_substr_spans", "q154_embedding_covariance",
+    "q155_hard_negatives", "q156_tokenizer_fertility", "q157_shard_plan",
+    "q158_video_frame_sample")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -20,7 +20,8 @@ object SparkEntry {
       operators.DedupQueries.queries ++ operators.AnnQueries.queries ++
       operators.TextStatsQueries.queries ++ operators.EventQueries.queries ++
       operators.MultimodalQueries.queries ++ operators.Lab2Queries.queries ++
-      operators.GraphQueries.queries ++ operators.Round7Queries.queries
+      operators.GraphQueries.queries ++ operators.Round7Queries.queries ++
+      operators.Round8Queries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -36,5 +37,6 @@ object SparkEntry {
       operators.DedupQueries.oracles ++ operators.AnnQueries.oraclesFor(sfDir) ++
       operators.TextStatsQueries.oracles ++ operators.EventQueries.oracles ++
       operators.MultimodalQueries.oracles ++ operators.Lab2Queries.oracles ++
-      operators.GraphQueries.oracles ++ operators.Round7Queries.oracles
+      operators.GraphQueries.oracles ++ operators.Round7Queries.oracles ++
+      operators.Round8Queries.oracles
 }

@@ -1314,7 +1314,55 @@ object TextStatsQueries {
        |       CAST(sum(new_bigrams) OVER (ORDER BY bucket ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_vocab
        |FROM b ORDER BY bucket""".stripMargin
 
+  // --------------------------------------------------------------- q156
+  /** Tokenizer fertility — compression-ratio evaluation of the learned
+    * BPE tokenizer (chars per emitted token, per source): the
+    * efficiency half of q127's coverage gate. A tokenizer with low
+    * fertility on a source inflates that source's effective token
+    * budget; trainers compare fertility across tokenizer candidates and
+    * across corpus slices before committing. Reuses the q115/q126
+    * memoized training artifact ([[bpeTrain]]) — the scoring pass is
+    * one size() projection over the merged token lists plus a doc_id
+    * join to recover source and n_chars; the ratio is computed ONCE per
+    * source from two exact long sums (HALF_UP micro units, the q127
+    * rate-rounding rule), never per doc.
+    */
+  def q156TokenizerFertility(s: SparkSession, dir: String): DataFrame = {
+    val (docs, _) = bpeTrain(s, dir)
+    val toks = docs.select(col("doc_id"),
+      size(col("toks")).cast("long").as("n_tokens"))
+    Tables.documents(s, dir)
+      .select(col("doc_id"), col("source"), col("n_chars"))
+      .join(toks, Seq("doc_id"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("sum_chars"),
+        sum(col("n_tokens")).as("sum_tokens"))
+      .withColumn("fertility_micro",
+        expr("cast(round(1e6 * (sum_chars / sum_tokens)) as bigint)"))
+      .orderBy(col("source"))
+  }
+
+  val q156Sql: String = {
+    val rounds = (1 to BpeRounds).map(bpeRoundCtes).mkString(",\n")
+    s"""WITH $listsCte,
+       |$rounds,
+       |t AS (
+       |  SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens
+       |  FROM lists$BpeRounds),
+       |per_source AS (
+       |  SELECT d.source, CAST(count(*) AS BIGINT) AS n_docs,
+       |    CAST(sum(d.n_chars) AS BIGINT) AS sum_chars,
+       |    CAST(sum(t.n_tokens) AS BIGINT) AS sum_tokens
+       |  FROM documents d JOIN t USING (doc_id)
+       |  GROUP BY d.source)
+       |SELECT source, n_docs, sum_chars, sum_tokens,
+       |  CAST(round(1e6 * (sum_chars / sum_tokens)) AS BIGINT) AS fertility_micro
+       |FROM per_source ORDER BY source""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q156_tokenizer_fertility" -> (q156TokenizerFertility _),
     "q97_vocab_growth" -> (q97VocabGrowth _),
     "q103_temperature_mix" -> (q103TemperatureMix _),
     "q104_topk_sample" -> (q104TopKSample _),
@@ -1344,6 +1392,7 @@ object TextStatsQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q156_tokenizer_fertility" -> q156Sql,
     "q97_vocab_growth" -> q97Sql,
     "q103_temperature_mix" -> q103Sql,
     "q104_topk_sample" -> q104Sql,

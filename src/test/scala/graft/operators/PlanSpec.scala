@@ -330,4 +330,42 @@ class PlanSpec extends SparkTestBase {
       assert(!p.contains("Generate"), s"no corpus explode expected:\n$p")
     }
   }
+
+  test("q153: one gram pass — no join, no lambda; native substring after Generate") {
+    val p = formatted(Round8Queries.q153ExactSubstrSpans(spark, sf0001))
+    assert(!p.contains("Join"),
+      s"dup membership is a count window, not a recomputing semi-join:\n$p")
+    assert(p.linesIterator.count(_.contains("- Generate (")) === 1,
+      s"the gram table must be computed exactly once:\n$p")
+    assert(!p.contains("lambdafunction"),
+      s"gram extraction must be codegen substring, not a HOF lambda:\n$p")
+  }
+
+  test("q154: gram matrix is one aggregate — no join, one post-agg explode") {
+    val p = formatted(Round8Queries.q154EmbeddingCovariance(spark, sf0001))
+    assert(!p.contains("Join"),
+      s"moments fold in ONE pass; the relational self-join is the oracle's plan:\n$p")
+    // exactly one Generate: the 2080-cell explode AFTER aggregation
+    assert(p.linesIterator.count(_.contains("- Generate (")) === 1,
+      s"only the final cells explode:\n$p")
+  }
+
+  test("q155: argmax is a partial aggregate, not a window over pairs") {
+    val p = formatted(Round8Queries.q155HardNegatives(spark, sf0001))
+    assert(!p.contains("- Window ("), s"struct-max argmax expected:\n$p")
+    assert(p.contains("int_dot") || p.contains("IntDotProduct"),
+      s"codegen integer dot kernel expected:\n$p")
+  }
+
+  test("q157: shard plan pays exactly one global window sort") {
+    val p = formatted(Round8Queries.q157ShardPlan(spark, sf0001))
+    assert(p.linesIterator.count(_.contains("- Window (")) === 1,
+      s"one rank window expected:\n$p")
+  }
+
+  test("q158: frame sampling is map-only — no join, no aggregate") {
+    val p = formatted(Round8Queries.q158VideoFrameSample(spark, sf0001))
+    assert(!p.contains("Join"), s"frame grid must be row-local:\n$p")
+    assert(!p.contains("HashAggregate"), s"no aggregation expected:\n$p")
+  }
 }
