@@ -82,7 +82,9 @@ object Bench {
     "q150_pmi_collocations", "q151_source_kl_drift", "q152_snapshot_diff",
     "q153_exact_substr_spans", "q154_embedding_covariance",
     "q155_hard_negatives", "q156_tokenizer_fertility", "q157_shard_plan",
-    "q158_video_frame_sample")
+    "q158_video_frame_sample", "q159_k_anonymity", "q160_domain_rollup",
+    "q161_skew_audit", "q162_sentence_stats", "q163_power_iteration",
+    "q164_variant_extract")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -307,17 +307,376 @@ object Round8Queries {
        |  md5(content_hash || ':' || CAST(frame_idx AS VARCHAR)) AS frame_ref
        |FROM f ORDER BY asset_id, frame_idx""".stripMargin
 
+  // ---------------------------------------------------------------- q159
+  /** k-anonymity suppression audit — the governance gate run before a
+    * corpus (or its metadata) is shared: rows whose quasi-identifier
+    * combination (source, lang, length bucket) is shared by fewer than
+    * K documents are re-identifiable and must be suppressed or
+    * generalized; the audit reports, per source, how many QI groups and
+    * documents fall below K. Two keyed aggregates — the QI group table
+    * is bounded by the QI-domain product (sources × langs × buckets),
+    * orders of magnitude below the corpus, so the second rollup is
+    * metadata-sized at any scale. The risk rate is one exact-long
+    * division per source (HALF_UP micro units, the q127 rate rule).
+    */
+  val AnonK = 5
+  val LenBucket = 100
+
+  def q159KAnonymity(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(col("source"), col("lang"),
+        expr(s"n_chars div $LenBucket").as("len_b"))
+      .groupBy(col("source"), col("lang"), col("len_b"))
+      .agg(count(lit(1)).as("cnt"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_groups"),
+        sum(col("cnt")).as("n_docs"),
+        sum(when(col("cnt") < AnonK, 1L).otherwise(0L)).as("n_risky_groups"),
+        sum(when(col("cnt") < AnonK, col("cnt")).otherwise(0L))
+          .as("docs_at_risk"))
+      .withColumn("risk_micro",
+        expr("cast(round(1e6 * (docs_at_risk / n_docs)) as bigint)"))
+      .orderBy(col("source"))
+
+  val q159Sql: String =
+    s"""WITH g AS (
+       |  SELECT source, lang, n_chars // $LenBucket AS len_b,
+       |         count(*) AS cnt
+       |  FROM documents GROUP BY 1, 2, 3)
+       |SELECT source, CAST(count(*) AS BIGINT) AS n_groups,
+       |  CAST(sum(cnt) AS BIGINT) AS n_docs,
+       |  CAST(sum(CASE WHEN cnt < $AnonK THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_risky_groups,
+       |  CAST(sum(CASE WHEN cnt < $AnonK THEN cnt ELSE 0 END) AS BIGINT)
+       |    AS docs_at_risk,
+       |  CAST(round(1e6 * (sum(CASE WHEN cnt < $AnonK THEN cnt ELSE 0 END)
+       |       / sum(cnt))) AS BIGINT) AS risk_micro
+       |FROM g GROUP BY source ORDER BY source""".stripMargin
+
+  // ---------------------------------------------------------------- q160
+  /** Web-provenance rollup — the per-TLD/per-domain accounting a web
+    * corpus runs before mixing (robots compliance, domain caps, TLD
+    * quality priors all key on it). Documents carry no URL, so one is
+    * synthesized deterministically (md5-derived domain id — the q147
+    * synthesis pattern) and then PARSED BACK with the same
+    * lookaround-free regexes on both engines (Java regex and RE2 agree
+    * on this subset — the q147 rule); the parse, not the synthesis, is
+    * the operator under test. Row-local regexp projections (codegen,
+    * no HOF) into one TLD-keyed aggregate; the distinct-domain count
+    * is the only second exchange, bounded by the domain universe.
+    */
+  def q160DomainRollup(s: SparkSession, dir: String): DataFrame = {
+    val h = conv(substring(md5(concat(lit("u|"),
+      col("doc_id").cast("string")).cast("binary")), 1, 12), 16, 10)
+      .cast("long")
+    Tables.documents(s, dir)
+      .withColumn("h", h)
+      .withColumn("url", concat(lit("https://d"),
+        (col("h") % 500).cast("string"), lit("."),
+        element_at(typedLit(Seq("com", "org", "net", "io", "edu")),
+          ((col("h") / 500) % 5).cast("int") + 1),
+        lit("/"), col("source"), lit("/"), col("doc_id").cast("string")))
+      .select(col("doc_id"), col("n_chars"), col("url"),
+        regexp_extract(col("url"), "^https?://([^/]+)/", 1).as("host"),
+        regexp_extract(col("url"), "^https?://[^/]+(/.*)$", 1).as("path"))
+      .withColumn("tld", regexp_extract(col("host"), "\\.([a-z]+)$", 1))
+      .withColumn("n_path_segs",
+        (size(split(col("path"), "/")) - 1).cast("long"))
+      .groupBy(col("tld"))
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct(col("host")).as("n_domains"),
+        sum(col("n_chars")).as("sum_chars"),
+        sum(col("n_path_segs")).as("sum_path_segs"))
+      .orderBy(col("tld"))
+  }
+
+  val q160Sql: String =
+    """WITH u AS (
+      |  SELECT doc_id, n_chars,
+      |    'https://d' || CAST(h % 500 AS VARCHAR) || '.' ||
+      |      (['com','org','net','io','edu'])[CAST((h // 500) % 5 AS INTEGER) + 1] ||
+      |      '/' || source || '/' || CAST(doc_id AS VARCHAR) AS url
+      |  FROM (SELECT doc_id, n_chars, source,
+      |          CAST(concat('0x', substr(md5('u|' || CAST(doc_id AS VARCHAR)), 1, 12))
+      |               AS BIGINT) AS h
+      |        FROM documents)),
+      |p AS (
+      |  SELECT doc_id, n_chars,
+      |    regexp_extract(url, '^https?://([^/]+)/', 1) AS host,
+      |    regexp_extract(url, '^https?://[^/]+(/.*)$', 1) AS path
+      |  FROM u),
+      |t AS (
+      |  SELECT doc_id, n_chars, host,
+      |    regexp_extract(host, '\.([a-z]+)$', 1) AS tld,
+      |    CAST(len(str_split(path, '/')) - 1 AS BIGINT) AS n_path_segs
+      |  FROM p)
+      |SELECT tld, CAST(count(*) AS BIGINT) AS n_docs,
+      |  CAST(count(DISTINCT host) AS BIGINT) AS n_domains,
+      |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+      |  CAST(sum(n_path_segs) AS BIGINT) AS sum_path_segs
+      |FROM t GROUP BY tld ORDER BY tld""".stripMargin
+
+  // ---------------------------------------------------------------- q161
+  /** Join-key skew audit — the diagnostic run BEFORE sizing a shuffle:
+    * per-key cardinalities of the events user_id key reduced to a
+    * one-row skew profile (max/avg pressure, median and p99 key
+    * counts, a Gini concentration coefficient, and the salt factor
+    * [[Skew]] would need). The corpus-sized pass is the ONE groupBy
+    * producing the key-cardinality table; everything after runs on
+    * that table (|keys| rows, orders below the data) — rank window
+    * included. Gini uses the exact rank form
+    * G = (2·Σi·cᵢ − (n+1)·Σc) / (n·Σc) over counts sorted (c, key) —
+    * all integer sums, one HALF_UP micro division at the end.
+    * Recommended salt = max(1, ceil(max_c·n_keys / n_rows)) rounds the
+    * max key's pressure over the average up — integer-exact via
+    * (a + b − 1) div b.
+    */
+  def q161SkewAudit(s: SparkSession, dir: String): DataFrame = {
+    val counts = Tables.events(s, dir)
+      .groupBy(col("user_id")).agg(count(lit(1)).as("c"))
+    val w = Window.orderBy(col("c"), col("user_id"))
+    counts
+      .withColumn("i", row_number().over(w).cast("long"))
+      .agg(count(lit(1)).as("n_keys"),
+        sum(col("c")).as("n_rows"),
+        max(col("c")).as("max_c"),
+        sum(col("i") * col("c")).as("ic"))
+      .withColumn("gini_micro", expr(
+        "cast(round(1e6 * ((2.0 * ic - (n_keys + 1.0) * n_rows) / (cast(n_keys as double) * n_rows))) as bigint)"))
+      .withColumn("salt_factor", expr(
+        "greatest(1L, (max_c * n_keys + n_rows - 1) div n_rows)"))
+      .select(col("n_keys"), col("n_rows"), col("max_c"),
+        col("gini_micro"), col("salt_factor"))
+  }
+
+  val q161Sql: String =
+    """WITH c AS (
+      |  SELECT user_id, count(*) AS c FROM events GROUP BY user_id),
+      |r AS (
+      |  SELECT c, CAST(row_number() OVER (ORDER BY c, user_id) AS BIGINT) AS i
+      |  FROM c),
+      |a AS (
+      |  SELECT CAST(count(*) AS BIGINT) AS n_keys,
+      |    CAST(sum(c) AS BIGINT) AS n_rows,
+      |    CAST(max(c) AS BIGINT) AS max_c,
+      |    CAST(sum(i * c) AS BIGINT) AS ic
+      |  FROM r)
+      |SELECT n_keys, n_rows, max_c,
+      |  CAST(round(1e6 * ((2.0 * ic - (n_keys + 1.0) * n_rows)
+      |       / (CAST(n_keys AS DOUBLE) * n_rows))) AS BIGINT) AS gini_micro,
+      |  greatest(1, (max_c * n_keys + n_rows - 1) // n_rows) AS salt_factor
+      |FROM a""".stripMargin
+
+  // ---------------------------------------------------------------- q162
+  /** Sentence segmentation stats — the sentence-level layer of the
+    * text-quality stack (q25 lang-ID, q26 quality, q138 char entropy
+    * are char/token-level): terminator-run sentence counting and
+    * words-per-sentence, rolled up per language. Both measures are
+    * row-local `regexp_extract_all` sizes — codegen regex, no explode,
+    * no HOF lambda (the q138 rule: the corpus never leaves one
+    * projection) — into one lang-keyed aggregate. The per-lang ratio
+    * divides two exact long sums once (HALF_UP micro). Docs with no
+    * terminator count zero sentences; the rate guards the zero
+    * denominator with a NULL (ANSI-safe on both engines).
+    */
+  def q162SentenceStats(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(col("lang"),
+        size(expr("regexp_extract_all(text, '[.!?]+', 0)")).cast("long")
+          .as("n_sent"),
+        size(expr("regexp_extract_all(text, '[^ ]+', 0)")).cast("long")
+          .as("n_words"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_sent")).as("sum_sent"),
+        sum(col("n_words")).as("sum_words"))
+      .withColumn("words_per_sent_micro", expr(
+        "case when sum_sent = 0 then null " +
+          "else cast(round(1e6 * (sum_words / sum_sent)) as bigint) end"))
+      .orderBy(col("lang"))
+
+  val q162Sql: String =
+    """SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+      |  CAST(sum(n_sent) AS BIGINT) AS sum_sent,
+      |  CAST(sum(n_words) AS BIGINT) AS sum_words,
+      |  CASE WHEN sum(n_sent) = 0 THEN NULL
+      |       ELSE CAST(round(1e6 * (sum(n_words) / sum(n_sent))) AS BIGINT)
+      |  END AS words_per_sent_micro
+      |FROM (
+      |  SELECT lang,
+      |    CAST(len(regexp_extract_all(text, '[.!?]+')) AS BIGINT) AS n_sent,
+      |    CAST(len(regexp_extract_all(text, '[^ ]+')) AS BIGINT) AS n_words
+      |  FROM documents)
+      |GROUP BY lang ORDER BY lang""".stripMargin
+
+  // ---------------------------------------------------------------- q163
+  /** PCA top component by power iteration — the follow-on that makes
+    * q154's moment pass USEFUL: three max-norm-rescaled power-iteration
+    * rounds over the covariance numerators give the dominant principal
+    * direction (whitening axes, embedding drift monitors, and q141-style
+    * projection bases all start here). The CORPUS-sized work is exactly
+    * the one-pass [[graft.functions.GramMatrixAgg]] fold; the 2080-cell
+    * matrix is then metadata (constant in corpus size — the q124
+    * plan-on-metadata rule), so the iteration runs on collected cells in
+    * exact integer arithmetic: micro-unit covariance m = cov_num div
+    * (n²·10⁶), v₀ = 1e6·𝟙, w = M·v in BigInt (the ·10⁶ rescale step
+    * exceeds long range; DuckDB's HUGEINT sums are the oracle twin),
+    * v ← w·10⁶ div max|w| — every step truncation-toward-zero division,
+    * identical on both engines, so three rounds are bit-exact with the
+    * oracle's unrolled CTE chain. Sign and convergence are deterministic
+    * because v₀ is fixed — no random restarts.
+    */
+  val PowerRounds = 3
+
+  def q163PowerIteration(s: SparkSession, dir: String): DataFrame = {
+    val d = GramDim
+    val n = Tables.embeddings(s, dir).count()
+    val cells = q154EmbeddingCovariance(s, dir)
+      .collect().map(r => (r.getInt(0), r.getInt(1), r.getLong(2)))
+    val scale = n * n * 1000000L
+    val m = Array.ofDim[Long](d, d)
+    cells.foreach { case (i, j, c) =>
+      val v = c / scale
+      m(i)(j) = v
+      m(j)(i) = v
+    }
+    var v = Array.fill(d)(BigInt(1000000L))
+    for (_ <- 1 to PowerRounds) {
+      val w = Array.tabulate(d)(i =>
+        (0 until d).map(j => BigInt(m(i)(j)) * v(j)).sum)
+      val mx = w.map(_.abs).max
+      require(mx > 0, "zero covariance matrix — power iteration undefined")
+      v = w.map(_ * 1000000L / mx)
+    }
+    import s.implicits._
+    v.zipWithIndex.map { case (x, i) => (i, x.toLong) }.toSeq
+      .toDF("i", "v_micro").orderBy(col("i"))
+  }
+
+  val q163Sql: String = {
+    def round(t: Int): String =
+      s"""w$t AS (
+         |  SELECT m.i AS j, CAST(sum(m.v * v${t - 1}.v) AS HUGEINT) AS w
+         |  FROM m JOIN v${t - 1} ON m.j = v${t - 1}.j GROUP BY m.i),
+         |x$t AS (SELECT max(abs(w)) AS mx FROM w$t),
+         |v$t AS (SELECT j, (w * 1000000) // mx AS v FROM w$t CROSS JOIN x$t)"""
+        .stripMargin
+    s"""WITH e AS (
+       |  SELECT vec_id, unnest(embedding) AS x,
+       |         generate_subscripts(embedding, 1) - 1 AS i
+       |  FROM embeddings),
+       |q AS (SELECT vec_id, i, CAST(round(1e6 * x) AS BIGINT) AS q FROM e),
+       |n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM embeddings),
+       |sx AS (SELECT i, CAST(sum(q) AS BIGINT) AS sx FROM q GROUP BY i),
+       |p AS (
+       |  SELECT a.i AS i, b.i AS j, CAST(sum(a.q * b.q) AS BIGINT) AS sxy
+       |  FROM q a JOIN q b ON a.vec_id = b.vec_id AND a.i <= b.i
+       |  GROUP BY 1, 2),
+       |cells AS (
+       |  SELECT p.i, p.j,
+       |    CAST(n.n * p.sxy - sa.sx * sb.sx AS BIGINT) AS cov_num
+       |  FROM p CROSS JOIN n
+       |  JOIN sx sa ON sa.i = p.i JOIN sx sb ON sb.i = p.j),
+       |m0 AS (
+       |  SELECT i, j, cov_num // (n.n * n.n * 1000000) AS v
+       |  FROM cells CROSS JOIN n),
+       |m AS (
+       |  SELECT i, j, v FROM m0
+       |  UNION ALL
+       |  SELECT j AS i, i AS j, v FROM m0 WHERE i <> j),
+       |v0 AS (SELECT CAST(t.i AS INTEGER) AS j, CAST(1000000 AS HUGEINT) AS v
+       |       FROM range(0, $GramDim) t(i)),
+       |${(1 to PowerRounds).map(round).mkString(",\n")}
+       |SELECT CAST(j AS INTEGER) AS i, CAST(v AS BIGINT) AS v_micro
+       |FROM v$PowerRounds ORDER BY i""".stripMargin
+  }
+
+  // ---------------------------------------------------------------- q164
+  /** VARIANT semi-structured ingestion — Spark 4's open-ended
+    * semi-structured type end to end: nested JSON (synthesized
+    * deterministically per doc, the q147/q160 pattern) is parsed ONCE
+    * into a `VARIANT` column with `parse_json`, then typed paths come
+    * out via `variant_get` — nested object fields, an array index, and
+    * a numeric leaf — and aggregate per extracted language. Against
+    * schema-on-read (q35's per-path `get_json_object` string parsing),
+    * the variant encodes once into a binary form each later extraction
+    * reads without re-parsing — the right shape when one 100 TB ingest
+    * feeds many extraction passes. Everything is row-local codegen
+    * until the single lang-keyed aggregate; the oracle runs the same
+    * paths through DuckDB's JSON extractors on the identically
+    * synthesized strings.
+    */
+  def q164VariantExtract(s: SparkSession, dir: String): DataFrame = {
+    val h = conv(substring(md5(concat(lit("j|"),
+      col("doc_id").cast("string")).cast("binary")), 1, 12), 16, 10)
+      .cast("long")
+    Tables.documents(s, dir)
+      .withColumn("h", h)
+      .withColumn("js", concat(
+        lit("{\"meta\":{\"lang\":\""), col("lang"),
+        lit("\",\"chars\":"), col("n_chars").cast("string"),
+        lit("},\"tags\":[\"t"), (col("h") % 7).cast("string"),
+        lit("\",\"t"), (col("h") % 11).cast("string"),
+        lit("\"],\"prio\":"), (col("h") % 10).cast("string"), lit("}")))
+      .withColumn("v", parse_json(col("js")))
+      .select(
+        expr("variant_get(v, '$.meta.lang', 'string')").as("vlang"),
+        expr("variant_get(v, '$.meta.chars', 'long')").as("vchars"),
+        expr("variant_get(v, '$.prio', 'long')").as("prio"),
+        expr("variant_get(v, '$.tags[0]', 'string')").as("tag0"))
+      .groupBy(col("vlang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("vchars")).as("sum_chars"),
+        sum(col("prio")).as("sum_prio"),
+        countDistinct(col("tag0")).as("n_tag0"))
+      .orderBy(col("vlang"))
+  }
+
+  val q164Sql: String =
+    """WITH j AS (
+      |  SELECT '{"meta":{"lang":"' || lang || '","chars":' ||
+      |    CAST(n_chars AS VARCHAR) || '},"tags":["t' ||
+      |    CAST(h % 7 AS VARCHAR) || '","t' || CAST(h % 11 AS VARCHAR) ||
+      |    '"],"prio":' || CAST(h % 10 AS VARCHAR) || '}' AS js
+      |  FROM (SELECT lang, n_chars,
+      |          CAST(concat('0x', substr(md5('j|' || CAST(doc_id AS VARCHAR)), 1, 12))
+      |               AS BIGINT) AS h
+      |        FROM documents)),
+      |x AS (
+      |  SELECT json_extract_string(js, '$.meta.lang') AS vlang,
+      |    CAST(json_extract(js, '$.meta.chars') AS BIGINT) AS vchars,
+      |    CAST(json_extract(js, '$.prio') AS BIGINT) AS prio,
+      |    json_extract_string(js, '$.tags[0]') AS tag0
+      |  FROM j)
+      |SELECT vlang, CAST(count(*) AS BIGINT) AS n_docs,
+      |  CAST(sum(vchars) AS BIGINT) AS sum_chars,
+      |  CAST(sum(prio) AS BIGINT) AS sum_prio,
+      |  CAST(count(DISTINCT tag0) AS BIGINT) AS n_tag0
+      |FROM x GROUP BY vlang ORDER BY vlang""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q153_exact_substr_spans" -> (q153ExactSubstrSpans _),
     "q154_embedding_covariance" -> (q154EmbeddingCovariance _),
     "q155_hard_negatives" -> (q155HardNegatives _),
     "q157_shard_plan" -> (q157ShardPlan _),
-    "q158_video_frame_sample" -> (q158VideoFrameSample _))
+    "q158_video_frame_sample" -> (q158VideoFrameSample _),
+    "q159_k_anonymity" -> (q159KAnonymity _),
+    "q160_domain_rollup" -> (q160DomainRollup _),
+    "q161_skew_audit" -> (q161SkewAudit _),
+    "q162_sentence_stats" -> (q162SentenceStats _),
+    "q163_power_iteration" -> (q163PowerIteration _),
+    "q164_variant_extract" -> (q164VariantExtract _))
 
   val oracles: Map[String, String] = Map(
     "q153_exact_substr_spans" -> q153Sql,
     "q154_embedding_covariance" -> q154Sql,
     "q155_hard_negatives" -> q155Sql,
     "q157_shard_plan" -> q157Sql,
-    "q158_video_frame_sample" -> q158Sql)
+    "q158_video_frame_sample" -> q158Sql,
+    "q159_k_anonymity" -> q159Sql,
+    "q160_domain_rollup" -> q160Sql,
+    "q161_skew_audit" -> q161Sql,
+    "q162_sentence_stats" -> q162Sql,
+    "q163_power_iteration" -> q163Sql,
+    "q164_variant_extract" -> q164Sql)
 }

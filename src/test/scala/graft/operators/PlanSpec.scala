@@ -363,6 +363,30 @@ class PlanSpec extends SparkTestBase {
       s"one rank window expected:\n$p")
   }
 
+  test("q159/q162: governance and sentence audits are agg-only — no join, no explode") {
+    for (df <- Seq(Round8Queries.q159KAnonymity(spark, sf0001),
+                   Round8Queries.q162SentenceStats(spark, sf0001))) {
+      val p = formatted(df)
+      assert(!p.contains("Join"), s"pure keyed aggregation expected:\n$p")
+      assert(!p.contains("- Generate ("),
+        s"row-local projections, no corpus explode:\n$p")
+    }
+  }
+
+  test("q161: skew audit ranks the key-cardinality table, not the data") {
+    val p = formatted(Round8Queries.q161SkewAudit(spark, sf0001))
+    assert(p.linesIterator.count(_.contains("- Window (")) === 1,
+      s"one rank window over the count table expected:\n$p")
+    assert(!p.contains("Join"), s"no join expected:\n$p")
+  }
+
+  test("q164: variant path is row-local codegen into one aggregate") {
+    val p = formatted(Round8Queries.q164VariantExtract(spark, sf0001))
+    assert(!p.contains("Join"), s"no join expected:\n$p")
+    assert(!p.contains("- Generate ("), s"no explode expected:\n$p")
+    assert(p.contains("variant_get"), s"variant extraction expected in plan:\n$p")
+  }
+
   test("q158: frame sampling is map-only — no join, no aggregate") {
     val p = formatted(Round8Queries.q158VideoFrameSample(spark, sf0001))
     assert(!p.contains("Join"), s"frame grid must be row-local:\n$p")

@@ -135,6 +135,128 @@ class Round8QueriesSpec extends SparkTestBase {
       s"shard spread ${sizes.max - sizes.min} exceeds max doc")
   }
 
+  // ------------------------------------------------------------- q159
+  test("q159: k-anonymity audit matches a local QI-group re-derivation") {
+    val k = Round8Queries.AnonK
+    val docs = Tables.documents(spark, sf0001)
+      .select("source", "lang", "n_chars").as[(String, String, Long)].collect()
+    val groups = docs.groupBy { case (s, l, c) =>
+      (s, l, c / Round8Queries.LenBucket) }.toSeq.map { case (_, g) =>
+      (g.head._1, g.length.toLong) }
+    val expected = groups.groupBy(_._1).map { case (src, gs) =>
+      val nDocs = gs.map(_._2).sum
+      val atRisk = gs.filter(_._2 < k).map(_._2).sum
+      (src, gs.length.toLong, nDocs, gs.count(_._2 < k).toLong, atRisk,
+        q0(1e6 * (atRisk.toDouble / nDocs.toDouble)))
+    }.toSet
+    val got = Round8Queries.q159KAnonymity(spark, sf0001)
+      .as[(String, Long, Long, Long, Long, Long)].collect().toSet
+    assert(got === expected)
+    // small strata at sf0.001 mean the audit actually flags something
+    assert(got.exists(_._4 > 0))
+  }
+
+  // ------------------------------------------------------------- q160
+  test("q160: domain rollup matches a local synthesize-and-parse") {
+    val tlds = Vector("com", "org", "net", "io", "edu")
+    val docs = Tables.documents(spark, sf0001)
+      .select("doc_id", "source", "n_chars").as[(Long, String, Long)].collect()
+    val parsed = docs.map { case (id, src, nc) =>
+      val h = java.lang.Long.parseLong(md5Hex(s"u|$id").take(12), 16)
+      val url = s"https://d${h % 500}.${tlds((h / 500 % 5).toInt)}/$src/$id"
+      val m = "^https?://([^/]+)(/.*)$".r.findFirstMatchIn(url).get
+      val host = m.group(1)
+      val segs = m.group(2).split("/").length - 1
+      (host.split("\\.").last, host, nc, segs.toLong)
+    }
+    val expected = parsed.groupBy(_._1).map { case (tld, g) =>
+      (tld, g.length.toLong, g.map(_._2).distinct.length.toLong,
+        g.map(_._3).sum, g.map(_._4).sum) }.toSet
+    val got = Round8Queries.q160DomainRollup(spark, sf0001)
+      .as[(String, Long, Long, Long, Long)].collect().toSet
+    assert(got === expected)
+    assert(got.map(_._1) === tlds.toSet)
+  }
+
+  // ------------------------------------------------------------- q161
+  test("q161: skew audit matches a local Gini/salt re-derivation") {
+    val counts = Tables.events(spark, sf0001)
+      .select("user_id").as[Long].collect()
+      .groupBy(identity).map { case (u, g) => (u, g.length.toLong) }.toSeq
+    val sorted = counts.sortBy { case (u, c) => (c, u) }
+    val n = sorted.length.toLong
+    val rows = sorted.map(_._2).sum
+    val maxC = sorted.map(_._2).max
+    val ic = sorted.zipWithIndex.map { case ((_, c), i) => (i + 1) * c }.sum
+    val gini = q0(1e6 * ((2.0 * ic - (n + 1.0) * rows) / (n.toDouble * rows)))
+    val salt = math.max(1L, (maxC * n + rows - 1) / rows)
+    val got = Round8Queries.q161SkewAudit(spark, sf0001)
+      .as[(Long, Long, Long, Long, Long)].collect()
+    assert(got.toSeq === Seq((n, rows, maxC, gini, salt)))
+    // Gini of a count distribution lives in [0, 1)
+    assert(gini >= 0L && gini < 1000000L)
+  }
+
+  // ------------------------------------------------------------- q162
+  test("q162: sentence stats match a local regex re-derivation") {
+    val docs = Tables.documents(spark, sf0001)
+      .select("lang", "text").as[(String, String)].collect()
+    val per = docs.map { case (l, t) =>
+      (l, "[.!?]+".r.findAllIn(t).length.toLong,
+        "[^ ]+".r.findAllIn(t).length.toLong) }
+    val expected = per.groupBy(_._1).map { case (l, g) =>
+      val ss = g.map(_._2).sum; val ww = g.map(_._3).sum
+      (l, g.length.toLong, ss, ww,
+        if (ss == 0) None else Some(q0(1e6 * (ww.toDouble / ss.toDouble))))
+    }.toSet
+    val got = Round8Queries.q162SentenceStats(spark, sf0001)
+      .as[(String, Long, Long, Long, Option[Long])].collect().toSet
+    assert(got === expected)
+  }
+
+  // ------------------------------------------------------------- q163
+  test("q163: integer power iteration tracks the double-precision eigenvector") {
+    val got = Round8Queries.q163PowerIteration(spark, sf0001)
+      .as[(Int, Long)].collect().sortBy(_._1).map(_._2)
+    assert(got.length === Round8Queries.GramDim)
+    // max-norm rescale leaves at least one coordinate at exactly ±1e6
+    assert(got.map(math.abs).max === 1000000L)
+    // double-precision reference: same v0, same 3 rounds, real covariance
+    val vecs = Tables.embeddings(spark, sf0001)
+      .select("embedding").as[Seq[Float]].collect()
+      .map(_.map(x => q0(1e6 * x.toDouble).toDouble).toArray)
+    val d = Round8Queries.GramDim
+    val n = vecs.length.toDouble
+    val sx = Array.tabulate(d)(i => vecs.map(_(i)).sum)
+    val cov = Array.tabulate(d, d)((i, j) =>
+      (n * vecs.map(v => v(i) * v(j)).sum - sx(i) * sx(j)) / (n * n) / 1e6)
+    var v = Array.fill(d)(1.0)
+    for (_ <- 1 to Round8Queries.PowerRounds) {
+      val w = Array.tabulate(d)(i => (0 until d).map(j => cov(i)(j) * v(j)).sum)
+      val mx = w.map(math.abs).max
+      v = w.map(_ / mx)
+    }
+    val gd = got.map(_.toDouble / 1e6)
+    val cos = (gd, v).zipped.map(_ * _).sum /
+      (math.sqrt(gd.map(x => x * x).sum) * math.sqrt(v.map(x => x * x).sum))
+    assert(math.abs(cos) > 0.99, s"integer iterate drifted: cos=$cos")
+  }
+
+  // ------------------------------------------------------------- q164
+  test("q164: variant extraction returns exactly the synthesized fields") {
+    val docs = Tables.documents(spark, sf0001)
+      .select("doc_id", "lang", "n_chars").as[(Long, String, Long)].collect()
+    val per = docs.map { case (id, l, nc) =>
+      val h = java.lang.Long.parseLong(md5Hex(s"j|$id").take(12), 16)
+      (l, nc, h % 10, s"t${h % 7}") }
+    val expected = per.groupBy(_._1).map { case (l, g) =>
+      (l, g.length.toLong, g.map(_._2).sum, g.map(_._3).sum,
+        g.map(_._4).distinct.length.toLong) }.toSet
+    val got = Round8Queries.q164VariantExtract(spark, sf0001)
+      .as[(String, Long, Long, Long, Long)].collect().toSet
+    assert(got === expected)
+  }
+
   // ------------------------------------------------------------- q158
   test("q158: frame grid matches the local sampling arithmetic") {
     val docs = Tables.documents(spark, sf0001)
