@@ -84,7 +84,8 @@ object Bench {
     "q155_hard_negatives", "q156_tokenizer_fertility", "q157_shard_plan",
     "q158_video_frame_sample", "q159_k_anonymity", "q160_domain_rollup",
     "q161_skew_audit", "q162_sentence_stats", "q163_power_iteration",
-    "q164_variant_extract")
+    "q164_variant_extract", "q165_budget_apportion", "q166_chi_square_drift",
+    "q167_bpe_decode", "q168_intra_doc_repetition")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -654,6 +654,185 @@ object Round8Queries {
       |  CAST(count(DISTINCT tag0) AS BIGINT) AS n_tag0
       |FROM x GROUP BY vlang ORDER BY vlang""".stripMargin
 
+  // ---------------------------------------------------------------- q165
+  /** Largest-remainder (Hamilton) budget apportionment — the exact
+    * integer answer to "allocate a B-document sampling budget across
+    * sources proportional to size": floor quotas first, then the
+    * leftover seats go to the largest remainders (rank-deterministic,
+    * source tie-break). Proportional float quotas drift and never sum
+    * to B; this is the allocation a mixture-budgeted curation pass
+    * actually executes (q103's temperature mix picks the WEIGHTS; this
+    * turns weights into exact integer doc counts). Everything after
+    * the one corpus-sized groupBy runs on the |sources| table —
+    * windows included; integer div/mod only, zero doubles anywhere.
+    */
+  val Budget = 100L
+
+  def q165BudgetApportion(s: SparkSession, dir: String): DataFrame = {
+    val cnt = Tables.documents(s, dir)
+      .groupBy(col("source")).agg(count(lit(1)).as("cnt"))
+    val wAll = Window.partitionBy(lit(1))
+    val wRem = Window.orderBy(col("rem").desc, col("source"))
+    cnt
+      .withColumn("total", sum(col("cnt")).over(wAll))
+      .withColumn("base", expr(s"($Budget * cnt) div total"))
+      .withColumn("rem", expr(s"($Budget * cnt) % total"))
+      .withColumn("extra_rank", row_number().over(wRem).cast("long"))
+      .withColumn("n_extra", lit(Budget) - sum(col("base")).over(wAll))
+      .withColumn("alloc",
+        col("base") + when(col("extra_rank") <= col("n_extra"), 1L)
+          .otherwise(0L))
+      .select(col("source"), col("cnt"), col("base"), col("rem"),
+        col("alloc"))
+      .orderBy(col("source"))
+  }
+
+  val q165Sql: String =
+    s"""WITH c AS (
+       |  SELECT source, count(*) AS cnt FROM documents GROUP BY source),
+       |q AS (
+       |  SELECT source, cnt,
+       |    sum(cnt) OVER () AS total,
+       |    ($Budget * cnt) // sum(cnt) OVER () AS base,
+       |    ($Budget * cnt) % sum(cnt) OVER () AS rem
+       |  FROM c),
+       |r AS (
+       |  SELECT source, cnt, base, rem,
+       |    CAST(row_number() OVER (ORDER BY rem DESC, source) AS BIGINT)
+       |      AS extra_rank,
+       |    $Budget - sum(base) OVER () AS n_extra
+       |  FROM q)
+       |SELECT source, CAST(cnt AS BIGINT) AS cnt, CAST(base AS BIGINT) AS base,
+       |  CAST(rem AS BIGINT) AS rem,
+       |  CAST(base + CASE WHEN extra_rank <= n_extra THEN 1 ELSE 0 END
+       |       AS BIGINT) AS alloc
+       |FROM r ORDER BY source""".stripMargin
+
+  // ---------------------------------------------------------------- q166
+  /** Chi-square source-drift test statistic — the frequentist cousin of
+    * q151's KL divergence: per source, Σ (obs − exp)²/exp over the FULL
+    * vocabulary grid (zero-observation cells included — they carry
+    * expectation mass the KL form never sees), where exp is the
+    * source's token total times the blend's word share. The corpus pays
+    * two token-keyed aggregates; the dense source×vocab grid is
+    * vocab-bounded metadata (the q151 shape) built by a broadcast
+    * cross join, with the per-cell term nano-quantized (HALF_UP) before
+    * the integer per-source sum — the SAME `(obs − exp)·(obs − exp)/exp`
+    * expression form on both engines (the q98/q113 portability rule).
+    */
+  def q166ChiSquareDrift(s: SparkSession, dir: String): DataFrame = {
+    val tok = Tables.documents(s, dir)
+      .select(col("source"), explode(split(col("text"), " ")).as("w"))
+    val sw = tok.groupBy(col("source"), col("w")).agg(count(lit(1)).as("cs"))
+    val st = tok.groupBy(col("source")).agg(count(lit(1)).as("ts"))
+    val cw = tok.groupBy(col("w")).agg(count(lit(1)).as("c"))
+    val tt = tok.agg(count(lit(1)).as("t"))
+    broadcast(st).crossJoin(broadcast(cw)).crossJoin(broadcast(tt))
+      .join(sw, Seq("source", "w"), "left")
+      .withColumn("obs", coalesce(col("cs"), lit(0L)))
+      .withColumn("term", expr(
+        "cast(round(1e9 * (obs - cast(ts as double) * c / t) " +
+          "* (obs - cast(ts as double) * c / t) " +
+          "/ (cast(ts as double) * c / t)) as bigint)"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_cells"),
+        sum(when(col("obs") === 0L, 1L).otherwise(0L)).as("n_zero_cells"),
+        sum(col("term")).as("chi2_nano"))
+      .orderBy(col("source"))
+  }
+
+  val q166Sql: String =
+    """WITH lists AS (SELECT doc_id, source, string_split(text, ' ') AS toks FROM documents),
+      |tok AS (SELECT source, unnest(toks) AS w FROM lists),
+      |sw AS (SELECT source, w, count(*) AS cs FROM tok GROUP BY 1, 2),
+      |st AS (SELECT source, count(*) AS ts FROM tok GROUP BY 1),
+      |cw AS (SELECT w, count(*) AS c FROM tok GROUP BY 1),
+      |tt AS (SELECT count(*) AS t FROM tok),
+      |grid AS (
+      |  SELECT st.source, cw.w, st.ts, cw.c, tt.t,
+      |    COALESCE(sw.cs, 0) AS obs
+      |  FROM st CROSS JOIN cw CROSS JOIN tt
+      |  LEFT JOIN sw ON sw.source = st.source AND sw.w = cw.w),
+      |terms AS (
+      |  SELECT source, obs,
+      |    CAST(round(1e9 * (obs - CAST(ts AS DOUBLE) * c / t)
+      |         * (obs - CAST(ts AS DOUBLE) * c / t)
+      |         / (CAST(ts AS DOUBLE) * c / t)) AS BIGINT) AS term
+      |  FROM grid)
+      |SELECT source, CAST(count(*) AS BIGINT) AS n_cells,
+      |  CAST(sum(CASE WHEN obs = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_zero_cells,
+      |  CAST(sum(term) AS BIGINT) AS chi2_nano
+      |FROM terms GROUP BY source ORDER BY source""".stripMargin
+
+  // ---------------------------------------------------------------- q168
+  /** Intra-document repetition ratio — the MassiveText/Gopher
+    * "fraction of tokens inside duplicate n-grams WITHIN the document"
+    * quality rule (Rae et al., 2021), the intra-doc complement of
+    * q153's cross-corpus spans: machine-generated and boilerplate text
+    * repeats itself locally, and this is the standard cheap detector.
+    * 4-grams come from three `lead`s over the per-doc window (codegen,
+    * the q153 lesson — a transform-lambda gram builder pays interpreted
+    * per-element evals); duplicate membership is a (doc, gram) count —
+    * the gram exchange is doc-keyed, so at 100 TB it partitions with
+    * the document and never sees cross-doc traffic. Per-source rate is
+    * one exact-long division (HALF_UP micro).
+    */
+  val RepN = 4
+
+  def q168IntraDocRepetition(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    val grams = Tables.documents(s, dir)
+      .select(col("doc_id"), col("source"),
+        posexplode(split(col("text"), " ")).as(Seq("pos", "tok")))
+      .select(col("doc_id"), col("source"), col("pos"),
+        concat_ws("", col("tok"),
+          lead(col("tok"), 1).over(w), lead(col("tok"), 2).over(w),
+          lead(col("tok"), 3).over(w)).as("g"),
+        lead(col("tok"), 3).over(w).isNotNull.as("full"))
+      .filter(col("full"))
+    grams
+      .groupBy(col("doc_id"), col("source"), col("g"))
+      .agg(count(lit(1)).as("cnt"))
+      .groupBy(col("doc_id"), col("source"))
+      .agg(sum(col("cnt")).as("n_grams"),
+        sum(when(col("cnt") >= 2, col("cnt")).otherwise(0L)).as("dup_pos"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_grams")).as("sum_grams"),
+        sum(col("dup_pos")).as("sum_dup_pos"))
+      .withColumn("rep_micro", expr(
+        "case when sum_grams = 0 then null " +
+          "else cast(round(1e6 * (sum_dup_pos / sum_grams)) as bigint) end"))
+      .orderBy(col("source"))
+  }
+
+  val q168Sql: String =
+    s"""WITH lists AS (SELECT doc_id, source, string_split(text, ' ') AS toks FROM documents),
+       |tok AS (
+       |  SELECT doc_id, source, unnest(toks) AS tok,
+       |         CAST(unnest(range(1, len(toks) + 1)) AS BIGINT) AS pos
+       |  FROM lists),
+       |g AS (
+       |  SELECT doc_id, source,
+       |    tok || chr(1) || lead(tok, 1) OVER w || chr(1) ||
+       |      lead(tok, 2) OVER w || chr(1) || lead(tok, 3) OVER w AS g,
+       |    lead(tok, 3) OVER w IS NOT NULL AS is_full
+       |  FROM tok WINDOW w AS (PARTITION BY doc_id ORDER BY pos)),
+       |cnt AS (
+       |  SELECT doc_id, source, g, count(*) AS cnt
+       |  FROM g WHERE is_full GROUP BY 1, 2, 3),
+       |per_doc AS (
+       |  SELECT doc_id, source, sum(cnt) AS n_grams,
+       |    sum(CASE WHEN cnt >= 2 THEN cnt ELSE 0 END) AS dup_pos
+       |  FROM cnt GROUP BY 1, 2)
+       |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+       |  CAST(sum(n_grams) AS BIGINT) AS sum_grams,
+       |  CAST(sum(dup_pos) AS BIGINT) AS sum_dup_pos,
+       |  CASE WHEN sum(n_grams) = 0 THEN NULL
+       |       ELSE CAST(round(1e6 * (sum(dup_pos) / sum(n_grams))) AS BIGINT)
+       |  END AS rep_micro
+       |FROM per_doc GROUP BY source ORDER BY source""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q153_exact_substr_spans" -> (q153ExactSubstrSpans _),
     "q154_embedding_covariance" -> (q154EmbeddingCovariance _),
@@ -665,7 +844,10 @@ object Round8Queries {
     "q161_skew_audit" -> (q161SkewAudit _),
     "q162_sentence_stats" -> (q162SentenceStats _),
     "q163_power_iteration" -> (q163PowerIteration _),
-    "q164_variant_extract" -> (q164VariantExtract _))
+    "q164_variant_extract" -> (q164VariantExtract _),
+    "q165_budget_apportion" -> (q165BudgetApportion _),
+    "q166_chi_square_drift" -> (q166ChiSquareDrift _),
+    "q168_intra_doc_repetition" -> (q168IntraDocRepetition _))
 
   val oracles: Map[String, String] = Map(
     "q153_exact_substr_spans" -> q153Sql,
@@ -678,5 +860,8 @@ object Round8Queries {
     "q161_skew_audit" -> q161Sql,
     "q162_sentence_stats" -> q162Sql,
     "q163_power_iteration" -> q163Sql,
-    "q164_variant_extract" -> q164Sql)
+    "q164_variant_extract" -> q164Sql,
+    "q165_budget_apportion" -> q165Sql,
+    "q166_chi_square_drift" -> q166Sql,
+    "q168_intra_doc_repetition" -> q168Sql)
 }

@@ -1193,6 +1193,84 @@ object TextStatsQueries {
        |ORDER BY l.doc_id""".stripMargin
   }
 
+  // --------------------------------------------------------------- q167
+  /** BPE decode round-trip — the last leg of the tokenizer lifecycle
+    * (q115 train → q126 encode → THIS decode → verify): ids map back
+    * through the reversed vocabulary, reassemble in position order, and
+    * the space-joined result must reproduce the original normalized
+    * text exactly, because BPE merges only ever concatenate adjacent
+    * tokens around a space — losslessness is the property that makes a
+    * tokenizer shippable, and this query IS that acceptance test, run
+    * distributed. Both directions of the vocab map ride broadcast
+    * joins; the only corpus exchanges are the posexplode's doc_id
+    * regroup (sort_array over collected (pos, tok) structs — the q126
+    * reassembly shape). The per-doc `ok` flag is emitted as 0/1 so the
+    * gate hashes integers, and the corpus-level assertion is that
+    * every doc round-trips.
+    */
+  def q167BpeDecode(s: SparkSession, dir: String): DataFrame = {
+    val (docs, _) = bpeTrain(s, dir)
+    val vocab = docs.select(explode(col("toks")).as("tok"))
+      .groupBy(col("tok")).agg(count(lit(1)).as("c"))
+      .withColumn("id",
+        row_number().over(Window.orderBy(col("c").desc, col("tok").asc))
+          .cast("long"))
+      .select(col("tok"), col("id"))
+    val dec = docs
+      .select(col("doc_id"), posexplode(col("toks")).as(Seq("pos", "tok")))
+      .join(broadcast(vocab), Seq("tok"))
+      .select(col("doc_id"), col("pos"), col("id"))
+      .join(broadcast(vocab.select(col("id"), col("tok").as("dtok"))),
+        Seq("id"))
+      .groupBy(col("doc_id"))
+      .agg(sort_array(collect_list(struct(col("pos"), col("dtok"))))
+        .as("ps"))
+      .select(col("doc_id"),
+        expr("array_join(transform(ps, p -> p.dtok), ' ')").as("decoded"))
+    Tables.documents(s, dir)
+      .select(col("doc_id"),
+        concat_ws(" ", TextPrep.tokensCol(col("text"))).as("orig"))
+      .join(dec, Seq("doc_id"), "left")
+      .withColumn("decoded", coalesce(col("decoded"), lit("")))
+      .select(col("doc_id"),
+        octet_length(col("decoded")).cast("long").as("n_bytes"),
+        md5(col("decoded").cast("binary")).as("decoded_hash"),
+        when(col("decoded") === col("orig"), 1L).otherwise(0L).as("ok"))
+      .orderBy(col("doc_id"))
+  }
+
+  val q167Sql: String = {
+    val rounds = (1 to BpeRounds).map(bpeRoundCtes).mkString(",\n")
+    s"""WITH $listsCte,
+       |$rounds,
+       |vocab AS (
+       |  SELECT tok, CAST(row_number() OVER (ORDER BY c DESC, tok ASC) AS BIGINT) AS id
+       |  FROM (SELECT tok, count(*) AS c
+       |        FROM (SELECT unnest(toks) AS tok FROM lists$BpeRounds)
+       |        GROUP BY tok)),
+       |enc AS (
+       |  SELECT e.doc_id, e.pos, v.id
+       |  FROM (SELECT doc_id, unnest(toks) AS tok,
+       |               unnest(range(1, len(toks) + 1)) AS pos
+       |        FROM lists$BpeRounds) e
+       |  JOIN vocab v USING (tok)),
+       |dec AS (
+       |  SELECT e.doc_id, e.pos, v.tok AS dtok
+       |  FROM enc e JOIN vocab v USING (id)),
+       |seqs AS (
+       |  SELECT doc_id, array_to_string(list(dtok ORDER BY pos), ' ') AS decoded
+       |  FROM dec GROUP BY doc_id),
+       |base AS (
+       |  SELECT l.doc_id,
+       |    array_to_string(l.toks, ' ') AS orig,
+       |    COALESCE(s.decoded, '') AS decoded
+       |  FROM lists l LEFT JOIN seqs s USING (doc_id))
+       |SELECT doc_id, CAST(strlen(decoded) AS BIGINT) AS n_bytes,
+       |  md5(decoded) AS decoded_hash,
+       |  CAST(CASE WHEN decoded = orig THEN 1 ELSE 0 END AS BIGINT) AS ok
+       |FROM base ORDER BY doc_id""".stripMargin
+  }
+
   // --------------------------------------------------------------- q127
   /** Vocabulary coverage / OOV-rate evaluation — the tokenizer-quality
     * gate a curation pipeline runs before committing to a vocabulary:
@@ -1363,6 +1441,7 @@ object TextStatsQueries {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q156_tokenizer_fertility" -> (q156TokenizerFertility _),
+    "q167_bpe_decode" -> (q167BpeDecode _),
     "q97_vocab_growth" -> (q97VocabGrowth _),
     "q103_temperature_mix" -> (q103TemperatureMix _),
     "q104_topk_sample" -> (q104TopKSample _),
@@ -1393,6 +1472,7 @@ object TextStatsQueries {
 
   val oracles: Map[String, String] = Map(
     "q156_tokenizer_fertility" -> q156Sql,
+    "q167_bpe_decode" -> q167Sql,
     "q97_vocab_growth" -> q97Sql,
     "q103_temperature_mix" -> q103Sql,
     "q104_topk_sample" -> q104Sql,

@@ -257,6 +257,87 @@ class Round8QueriesSpec extends SparkTestBase {
     assert(got === expected)
   }
 
+  // ------------------------------------------------------------- q165
+  test("q165: apportionment matches a local Hamilton allocation; sums to B") {
+    val b = Round8Queries.Budget
+    val counts = Tables.documents(spark, sf0001)
+      .select("source").as[String].collect()
+      .groupBy(identity).toSeq.map { case (s, g) => (s, g.length.toLong) }
+    val total = counts.map(_._2).sum
+    val quotas = counts.map { case (s, c) => (s, c, b * c / total, b * c % total) }
+    val extras = quotas.sortBy { case (s, _, _, rem) => (-rem, s) }
+      .take((b - quotas.map(_._3).sum).toInt).map(_._1).toSet
+    val expected = quotas.map { case (s, c, base, rem) =>
+      (s, c, base, rem, base + (if (extras(s)) 1L else 0L)) }.toSet
+    val got = Round8Queries.q165BudgetApportion(spark, sf0001)
+      .as[(String, Long, Long, Long, Long)].collect().toSet
+    assert(got === expected)
+    // the defining Hamilton property: allocations sum EXACTLY to B
+    assert(got.toSeq.map(_._5).sum === b)
+    // and every allocation is within 1 of the floor quota
+    got.foreach { case (_, _, base, _, alloc) =>
+      assert(alloc == base || alloc == base + 1) }
+  }
+
+  // ------------------------------------------------------------- q166
+  test("q166: chi-square drift matches a local dense-grid re-derivation") {
+    val toks = Tables.documents(spark, sf0001)
+      .select("source", "text").as[(String, String)].collect()
+      .flatMap { case (s, t) => t.split(" ", -1).map((s, _)) }
+    val sw = toks.groupBy(identity).map { case (k, g) => (k, g.length.toLong) }
+    val st = toks.groupBy(_._1).map { case (s, g) => (s, g.length.toLong) }
+    val cw = toks.groupBy(_._2).map { case (w, g) => (w, g.length.toLong) }
+    val t = toks.length.toLong
+    val expected = st.keys.map { s =>
+      val terms = cw.toSeq.map { case (w, c) =>
+        val obs = sw.getOrElse((s, w), 0L).toDouble
+        val exp = st(s).toDouble * c / t
+        (obs, q0(1e9 * (obs - exp) * (obs - exp) / exp))
+      }
+      (s, cw.size.toLong, terms.count(_._1 == 0d).toLong,
+        terms.map(_._2).sum)
+    }.toSet
+    val got = Round8Queries.q166ChiSquareDrift(spark, sf0001)
+      .as[(String, Long, Long, Long)].collect().toSet
+    assert(got === expected)
+    // chi-square is non-negative by construction
+    got.foreach { case (_, _, _, chi2) => assert(chi2 >= 0L) }
+  }
+
+  // ------------------------------------------------------------- q167
+  test("q167: every document BPE-decodes back to its normalized text") {
+    val rows = TextStatsQueries.q167BpeDecode(spark, sf0001)
+      .as[(Long, Long, String, Long)].collect()
+    assert(rows.length ===
+      Tables.documents(spark, sf0001).count().toInt)
+    // losslessness: EVERY doc round-trips bit-exactly
+    assert(rows.forall(_._4 == 1L), "a document failed the decode round-trip")
+    // and the decoded text is the normalized original, not empty
+    assert(rows.count(_._2 > 0) > rows.length / 2)
+  }
+
+  // ------------------------------------------------------------- q168
+  test("q168: repetition ratio matches a local 4-gram re-derivation") {
+    val docs = Tables.documents(spark, sf0001)
+      .select("doc_id", "source", "text").as[(Long, String, String)].collect()
+    val per = docs.map { case (_, src, t) =>
+      val toks = t.split(" ", -1)
+      val grams = toks.sliding(Round8Queries.RepN).filter(
+        _.length == Round8Queries.RepN).map(_.mkString("")).toSeq
+      val byG = grams.groupBy(identity)
+      (src, grams.size.toLong,
+        byG.valuesIterator.map(_.size).filter(_ >= 2).map(_.toLong).sum)
+    }
+    val expected = per.groupBy(_._1).map { case (src, g) =>
+      val n = g.map(_._2).sum; val d = g.map(_._3).sum
+      (src, g.length.toLong, n, d,
+        if (n == 0) None else Some(q0(1e6 * (d.toDouble / n.toDouble))))
+    }.toSet
+    val got = Round8Queries.q168IntraDocRepetition(spark, sf0001)
+      .as[(String, Long, Long, Long, Option[Long])].collect().toSet
+    assert(got === expected)
+  }
+
   // ------------------------------------------------------------- q158
   test("q158: frame grid matches the local sampling arithmetic") {
     val docs = Tables.documents(spark, sf0001)
