@@ -17,7 +17,8 @@ import org.apache.spark.sql.SparkSession
   * resulting 4M edges — see SCALE.md; q44 benches the CC loop itself
   * on a linear-size chain+random graph instead; q100 survivorship
   * composes the same q16→q19 chain and is excluded for the same
-  * reason; q128's split-leakage rollup consumes the q16 pairs too),
+  * reason; q128's split-leakage rollup and q172's canonical-purge
+  * resolution consume the q16 pairs too),
   * queries that are strict
   * prefixes/aggregations/SQL-surface twins of included ones (q6, q11,
   * q23, q45, q46, q51, q53, q114 — q46 is q13 through the
@@ -85,7 +86,8 @@ object Bench {
     "q158_video_frame_sample", "q159_k_anonymity", "q160_domain_rollup",
     "q161_skew_audit", "q162_sentence_stats", "q163_power_iteration",
     "q164_variant_extract", "q165_budget_apportion", "q166_chi_square_drift",
-    "q167_bpe_decode", "q168_intra_doc_repetition")
+    "q167_bpe_decode", "q168_intra_doc_repetition", "q169_lang_confusion",
+    "q170_value_histogram", "q171_funnel")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -1038,11 +1038,61 @@ object DedupQueries {
        |  round(abs(kmv_est - n_distinct_exact) / n_distinct_exact, 6) AS rel_err
        |FROM est ORDER BY source""".stripMargin
 
+  // --------------------------------------------------------------- q172
+  /** Canonical selection + purge manifest — the RESOLUTION step that
+    * turns q19's duplicate clusters into an executable decision: keep
+    * one canonical document per cluster (longest text, doc_id
+    * tie-break — the "best copy" policy a scrubber applies) and emit
+    * the per-source purge accounting. Rank-within-cluster is one
+    * component-keyed window over the clustered doc table; everything
+    * else is the per-source rollup. At 100 TB the purge list itself is
+    * (doc_id) keys — the q152 hashes-not-content rule — and the window
+    * partitions by cluster, which near-dup clustering keeps small by
+    * construction (clusters ARE bounded duplicate groups, not the
+    * corpus).
+    */
+  def q172CanonicalPurge(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+      .select(col("doc_id"), col("source"), col("n_chars"))
+    val comp = Dedup.connectedComponents(
+        Tables.documents(s, dir).select(col("doc_id").as("id")),
+        q16LshNearDups(s, dir).select(col("a"), col("b")))
+      .select(col("id").as("doc_id"), col("component"))
+    val w = Window.partitionBy(col("component"))
+      .orderBy(col("n_chars").desc, col("doc_id"))
+    comp.join(docs, Seq("doc_id"))
+      .withColumn("rk", row_number().over(w))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("rk") > 1, 1L).otherwise(0L)).as("n_purged"),
+        sum(when(col("rk") > 1, col("n_chars")).otherwise(0L))
+          .as("purged_chars"))
+      .withColumn("n_kept", col("n_docs") - col("n_purged"))
+      .orderBy(col("source"))
+  }
+
+  val q172Sql: String =
+    s"""WITH RECURSIVE $q16Ctes,
+       |$ccCtes,
+       |ranked AS (
+       |  SELECT d.source, d.n_chars,
+       |    row_number() OVER (PARTITION BY c.component
+       |                       ORDER BY d.n_chars DESC, d.doc_id) AS rk
+       |  FROM comp c JOIN documents d USING (doc_id))
+       |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+       |  CAST(sum(CASE WHEN rk > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_purged,
+       |  CAST(sum(CASE WHEN rk > 1 THEN n_chars ELSE 0 END) AS BIGINT)
+       |    AS purged_chars,
+       |  CAST(count(*) - sum(CASE WHEN rk > 1 THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_kept
+       |FROM ranked GROUP BY source ORDER BY source""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q117_kmv_distinct" -> (q117KmvDistinct _),
     "q116_source_minhash_union" -> (q116SourceMinhashUnion _),
     "q108_source_overlap" -> (q108SourceOverlap _),
     "q128_split_leakage" -> (q128SplitLeakage _),
+    "q172_canonical_purge" -> (q172CanonicalPurge _),
     "q105_minhash_calibration" -> (q105MinhashCalibration _),
     "q100_dedup_survivorship" -> (q100DedupSurvivorship _),
     "q87_boilerplate_share" -> (q87BoilerplateShare _),
@@ -1065,6 +1115,7 @@ object DedupQueries {
     "q116_source_minhash_union" -> q116Sql,
     "q108_source_overlap" -> q108Sql,
     "q128_split_leakage" -> q128Sql,
+    "q172_canonical_purge" -> q172Sql,
     "q105_minhash_calibration" -> q105Sql,
     "q100_dedup_survivorship" -> q100Sql,
     "q87_boilerplate_share" -> q87Sql,

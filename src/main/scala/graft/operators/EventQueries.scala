@@ -1131,6 +1131,121 @@ object EventQueries {
       |FROM events WHERE event_type = 'click'
       |GROUP BY user_id ORDER BY user_id""".stripMargin
 
+  // --------------------------------------------------------------- q170
+  /** Equi-width value-histogram profile per event type — the numeric
+    * distribution summary a profiler (or a cost model choosing
+    * bucketing boundaries) reads: values micro-quantized to exact
+    * longs, per-type min/max from one aggregate, then bin assignment
+    * is pure integer arithmetic — `(bins·(v−mn)) div (mx−mn+1)` capped
+    * at the last bin — so the histogram is bit-identical across
+    * engines (no float binning drift, the reason width_bucket is NOT
+    * used). The type-keyed range table broadcasts back; two corpus
+    * passes, both type-keyed. Empty bins are simply absent — the
+    * consumer treats the histogram as sparse.
+    */
+  val HistBins = 10L
+
+  def q170ValueHistogram(s: SparkSession, dir: String): DataFrame = {
+    val e = ev(s, dir).select(col("event_type"),
+      expr("cast(round(1e6 * value) as bigint)").as("v"))
+    val rng = e.groupBy(col("event_type"))
+      .agg(min(col("v")).as("mn"), max(col("v")).as("mx"))
+    e.join(broadcast(rng), Seq("event_type"))
+      .withColumn("bin", expr(
+        s"least($HistBins - 1, ($HistBins * (v - mn)) div (mx - mn + 1))"))
+      .groupBy(col("event_type"), col("bin"))
+      .agg(count(lit(1)).as("n_events"),
+        min(col("mn")).as("mn_micro"), min(col("mx")).as("mx_micro"))
+      .orderBy(col("event_type"), col("bin"))
+  }
+
+  val q170Sql: String =
+    s"""WITH e AS (
+       |  SELECT event_type, CAST(round(1e6 * value) AS BIGINT) AS v
+       |  FROM events),
+       |rng AS (
+       |  SELECT event_type, min(v) AS mn, max(v) AS mx
+       |  FROM e GROUP BY event_type),
+       |b AS (
+       |  SELECT e.event_type,
+       |    least($HistBins - 1, ($HistBins * (e.v - rng.mn)) // (rng.mx - rng.mn + 1)) AS bin,
+       |    rng.mn AS mn, rng.mx AS mx
+       |  FROM e JOIN rng USING (event_type))
+       |SELECT event_type, CAST(bin AS BIGINT) AS bin,
+       |  CAST(count(*) AS BIGINT) AS n_events,
+       |  CAST(min(mn) AS BIGINT) AS mn_micro,
+       |  CAST(min(mx) AS BIGINT) AS mx_micro
+       |FROM b GROUP BY event_type, bin
+       |ORDER BY event_type, bin""".stripMargin
+
+  // --------------------------------------------------------------- q171
+  /** Ordered funnel conversion (view → click → purchase) — the product
+    * analytics primitive: a user converts a stage only by an event
+    * STRICTLY AFTER their previous stage's first event (ordering, not
+    * co-occurrence — what separates a funnel from three filters). Each
+    * stage is a user-keyed min aggregate joined to the previous
+    * stage's timestamps; all three joins share the user_id keying, so
+    * at scale they co-partition behind one exchange. Conversion rates
+    * divide exact counts once per stage (HALF_UP micro; stage 1's is
+    * NULL by contract). Timestamps compare as exact epoch millis.
+    */
+  def q171Funnel(s: SparkSession, dir: String): DataFrame = {
+    val e = ev(s, dir).select(col("user_id"), col("event_type"), col("ts_ms"))
+    val v = e.filter(col("event_type") === "view")
+      .groupBy(col("user_id")).agg(min(col("ts_ms")).as("t1"))
+    val c = e.filter(col("event_type") === "click")
+      .join(v, Seq("user_id")).filter(col("ts_ms") > col("t1"))
+      .groupBy(col("user_id")).agg(min(col("ts_ms")).as("t2"))
+    val p = e.filter(col("event_type") === "purchase")
+      .join(c, Seq("user_id")).filter(col("ts_ms") > col("t2"))
+      .groupBy(col("user_id")).agg(min(col("ts_ms")).as("t3"))
+    v.agg(count(lit(1)).as("n1"))
+      .crossJoin(c.agg(count(lit(1)).as("n2")))
+      .crossJoin(p.agg(count(lit(1)).as("n3")))
+      .select(expr(
+        """explode(array(
+          |  struct(1L as stage, 'view' as stage_name, n1 as n_users,
+          |         cast(null as bigint) as conv_micro),
+          |  struct(2L as stage, 'click' as stage_name, n2 as n_users,
+          |         cast(round(1e6 * (n2 / n1)) as bigint) as conv_micro),
+          |  struct(3L as stage, 'purchase' as stage_name, n3 as n_users,
+          |         cast(round(1e6 * (n3 / n2)) as bigint) as conv_micro)))"""
+          .stripMargin).as("r"))
+      .select(col("r.stage"), col("r.stage_name"), col("r.n_users"),
+        col("r.conv_micro"))
+      .orderBy(col("stage"))
+  }
+
+  val q171Sql: String =
+    """WITH v AS (
+      |  SELECT user_id, min(epoch_ms(ts)) AS t1 FROM events
+      |  WHERE event_type = 'view' GROUP BY user_id),
+      |c AS (
+      |  SELECT e.user_id, min(epoch_ms(e.ts)) AS t2
+      |  FROM events e JOIN v ON v.user_id = e.user_id
+      |  WHERE e.event_type = 'click' AND epoch_ms(e.ts) > v.t1
+      |  GROUP BY e.user_id),
+      |p AS (
+      |  SELECT e.user_id, min(epoch_ms(e.ts)) AS t3
+      |  FROM events e JOIN c ON c.user_id = e.user_id
+      |  WHERE e.event_type = 'purchase' AND epoch_ms(e.ts) > c.t2
+      |  GROUP BY e.user_id),
+      |n AS (
+      |  SELECT (SELECT count(*) FROM v) AS n1,
+      |         (SELECT count(*) FROM c) AS n2,
+      |         (SELECT count(*) FROM p) AS n3)
+      |SELECT * FROM (
+      |  SELECT CAST(1 AS BIGINT) AS stage, 'view' AS stage_name,
+      |    CAST(n1 AS BIGINT) AS n_users, CAST(NULL AS BIGINT) AS conv_micro
+      |  FROM n
+      |  UNION ALL
+      |  SELECT 2, 'click', CAST(n2 AS BIGINT),
+      |    CAST(round(1e6 * (n2 / n1)) AS BIGINT) FROM n
+      |  UNION ALL
+      |  SELECT 3, 'purchase', CAST(n3 AS BIGINT),
+      |    CAST(round(1e6 * (n3 / n2)) AS BIGINT) FROM n)
+      |ORDER BY stage""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q70_partition_pruning" -> (q70PartitionPruning _),
     "q120_orc_lake" -> (q120OrcLake _),
@@ -1140,6 +1255,8 @@ object EventQueries {
     "q124_compaction_plan" -> (q124CompactionPlan _),
     "q125_skipping_manifest" -> (q125SkippingManifest _),
     "q131_dirty_window_recompute" -> (q131DirtyWindowRecompute _),
+    "q170_value_histogram" -> (q170ValueHistogram _),
+    "q171_funnel" -> (q171Funnel _),
     "q68_window_showcase" -> (q68WindowShowcase _),
     "q65_funnel" -> (q65Funnel _),
     "q58_salted_enrichment" -> (q58SaltedEnrichment _),
@@ -1167,6 +1284,8 @@ object EventQueries {
     "q124_compaction_plan" -> q124Sql,
     "q125_skipping_manifest" -> q125Sql,
     "q131_dirty_window_recompute" -> q131Sql,
+    "q170_value_histogram" -> q170Sql,
+    "q171_funnel" -> q171Sql,
     "q68_window_showcase" -> q68Sql,
     "q65_funnel" -> q65Sql,
     "q58_salted_enrichment" -> q58Sql,

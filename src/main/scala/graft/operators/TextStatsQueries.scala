@@ -63,6 +63,58 @@ object TextStatsQueries {
        |ORDER BY d.doc_id""".stripMargin
   }
 
+  // --------------------------------------------------------------- q169
+  /** Language-ID confusion matrix — the EVALUATION of q25's classifier
+    * against the corpus's ground-truth `lang` metadata: (true, pred)
+    * cell counts plus each cell's share of its true-language row. This
+    * is the per-class quality report a curation pipeline reads before
+    * trusting a lang filter (which languages leak into which). One
+    * corpus-sized classify pass (q25's machinery, unchanged) into a
+    * cells×cells-bounded aggregate; the row share is a window over the
+    * tiny matrix. Counts are exact longs; the share divides two longs
+    * once per cell (HALF_UP micro, identical `n / total` form).
+    */
+  def q169LangConfusion(s: SparkSession, dir: String): DataFrame = {
+    val pred = TextStats.langId(Tables.documents(s, dir), "doc_id", "text")
+      .select(col("doc_id"), col("pred_lang"))
+    val wTrue = Window.partitionBy(col("true_lang"))
+    Tables.documents(s, dir)
+      .select(col("doc_id"), col("lang").as("true_lang"))
+      .join(pred, Seq("doc_id"))
+      .groupBy(col("true_lang"), col("pred_lang"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("row_share_micro", expr(
+        "cast(round(1e6 * (n / (sum(n) over (partition by true_lang)))) as bigint)"))
+      .orderBy(col("true_lang"), col("pred_lang"))
+  }
+
+  val q169Sql: String = {
+    val langs = langNames
+    s"""WITH $listsCte,
+       |tok AS (SELECT doc_id, unnest(toks) AS word FROM lists),
+       |scores AS (
+       |  SELECT doc_id,
+       |    $scoreSelects
+       |  FROM tok GROUP BY doc_id),
+       |sc AS (
+       |  SELECT d.doc_id, d.lang, d.text,
+       |    ${langs.map(l => s"COALESCE(s.score_$l, 0) AS score_$l").mkString(", ")}
+       |  FROM documents d LEFT JOIN scores s ON d.doc_id = s.doc_id),
+       |pred AS (
+       |  SELECT lang AS true_lang,
+       |    CASE WHEN regexp_matches(text, '${TextStats.CjkPatternSql}') THEN 'zh'
+       |         $langArms
+       |         ELSE 'und' END AS pred_lang
+       |  FROM sc),
+       |cells AS (
+       |  SELECT true_lang, pred_lang, CAST(count(*) AS BIGINT) AS n
+       |  FROM pred GROUP BY 1, 2)
+       |SELECT true_lang, pred_lang, n,
+       |  CAST(round(1e6 * (n / (sum(n) OVER (PARTITION BY true_lang))))
+       |       AS BIGINT) AS row_share_micro
+       |FROM cells ORDER BY true_lang, pred_lang""".stripMargin
+  }
+
   // ---------------------------------------------------------------- q29
   /** Composite curation pass — the realistic end-of-pipeline keep-list:
     * exact-dedup canonical id + language id + quality gate composed
@@ -1442,6 +1494,7 @@ object TextStatsQueries {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q156_tokenizer_fertility" -> (q156TokenizerFertility _),
     "q167_bpe_decode" -> (q167BpeDecode _),
+    "q169_lang_confusion" -> (q169LangConfusion _),
     "q97_vocab_growth" -> (q97VocabGrowth _),
     "q103_temperature_mix" -> (q103TemperatureMix _),
     "q104_topk_sample" -> (q104TopKSample _),
@@ -1473,6 +1526,7 @@ object TextStatsQueries {
   val oracles: Map[String, String] = Map(
     "q156_tokenizer_fertility" -> q156Sql,
     "q167_bpe_decode" -> q167Sql,
+    "q169_lang_confusion" -> q169Sql,
     "q97_vocab_growth" -> q97Sql,
     "q103_temperature_mix" -> q103Sql,
     "q104_topk_sample" -> q104Sql,

@@ -338,6 +338,100 @@ class Round8QueriesSpec extends SparkTestBase {
     assert(got === expected)
   }
 
+  // ------------------------------------------------------------- q169
+  test("q169: confusion matrix folds exactly from the gated q25 predictions") {
+    val pred = TextStatsQueries.q25LangId(spark, sf0001)
+      .select("doc_id", "pred_lang").as[(Long, String)].collect().toMap
+    val docs = Tables.documents(spark, sf0001)
+      .select("doc_id", "lang").as[(Long, String)].collect()
+    val cells = docs.groupBy { case (id, l) => (l, pred(id)) }
+      .map { case (k, g) => (k._1, k._2, g.length.toLong) }.toSeq
+    val expected = cells.groupBy(_._1).flatMap { case (_, g) =>
+      val tot = g.map(_._3).sum
+      g.map { case (t, p, n) =>
+        (t, p, n, q0(1e6 * (n.toDouble / tot.toDouble))) }
+    }.toSet
+    val got = TextStatsQueries.q169LangConfusion(spark, sf0001)
+      .as[(String, String, Long, Long)].collect().toSet
+    assert(got === expected)
+    // cell counts account for every document
+    assert(got.toSeq.map(_._3).sum === docs.length.toLong)
+  }
+
+  // ------------------------------------------------------------- q170
+  test("q170: histogram matches local integer binning; mass conserved") {
+    val b = EventQueries.HistBins
+    val ev = Tables.events(spark, sf0001)
+      .select(col("event_type"), col("value"))
+      .as[(String, Double)].collect()
+      .map { case (t, v) => (t, q0(1e6 * v)) }
+    val expected = ev.groupBy(_._1).toSeq.flatMap { case (t, g) =>
+      val mn = g.map(_._2).min; val mx = g.map(_._2).max
+      g.groupBy { case (_, v) =>
+        math.min(b - 1, b * (v - mn) / (mx - mn + 1)) }
+        .map { case (bin, h) => (t, bin, h.length.toLong, mn, mx) }
+    }.toSet
+    val got = EventQueries.q170ValueHistogram(spark, sf0001)
+      .as[(String, Long, Long, Long, Long)].collect().toSet
+    assert(got === expected)
+    assert(got.toSeq.map(_._3).sum === ev.length.toLong)
+    got.foreach { case (_, bin, _, _, _) => assert(bin >= 0 && bin < b) }
+  }
+
+  // ------------------------------------------------------------- q171
+  test("q171: funnel matches a local strict-ordering re-derivation") {
+    val ev = Tables.events(spark, sf0001)
+      .select(col("user_id"), col("event_type"),
+        org.apache.spark.sql.functions.unix_millis(col("ts")))
+      .as[(Long, String, Long)].collect()
+    val byUser = ev.groupBy(_._1)
+    def stageMin(prev: Map[Long, Long], tpe: String): Map[Long, Long] =
+      prev.flatMap { case (u, t) =>
+        val after = byUser(u).filter(e => e._2 == tpe && e._3 > t).map(_._3)
+        if (after.isEmpty) None else Some(u -> after.min)
+      }
+    val v = ev.filter(_._2 == "view").groupBy(_._1)
+      .map { case (u, g) => u -> g.map(_._3).min }
+    val c = stageMin(v, "click")
+    val p = stageMin(c, "purchase")
+    val got = EventQueries.q171Funnel(spark, sf0001)
+      .as[(Long, String, Long, Option[Long])].collect().sortBy(_._1)
+    assert(got.map(t => (t._1, t._2, t._3)).toSeq === Seq(
+      (1L, "view", v.size.toLong), (2L, "click", c.size.toLong),
+      (3L, "purchase", p.size.toLong)))
+    assert(got(0)._4.isEmpty)
+    assert(got(1)._4 === Some(q0(1e6 * (c.size.toDouble / v.size))))
+    assert(got(2)._4 === Some(q0(1e6 * (p.size.toDouble / c.size))))
+    // strict ordering makes each stage a (non-strict) subset of the previous
+    assert(c.size <= v.size && p.size <= c.size)
+  }
+
+  // ------------------------------------------------------------- q172
+  test("q172: purge manifest matches a local union-find + ranking") {
+    val docs = Tables.documents(spark, sf0001)
+      .select("doc_id", "source", "n_chars").as[(Long, String, Long)].collect()
+    val pairs = DedupQueries.q16LshNearDups(spark, sf0001)
+      .select("a", "b").as[(Long, Long)].collect()
+    val parent = scala.collection.mutable.Map(docs.map(d => d._1 -> d._1): _*)
+    def find(x: Long): Long =
+      if (parent(x) == x) x else { val r = find(parent(x)); parent(x) = r; r }
+    pairs.foreach { case (a, b) => parent(find(a)) = find(b) }
+    val byCluster = docs.groupBy(d => find(d._1))
+    val purged = byCluster.values.flatMap { members =>
+      members.sortBy { case (id, _, nc) => (-nc, id) }.drop(1)
+    }.toSeq
+    val expected = docs.groupBy(_._2).map { case (src, g) =>
+      val pg = purged.filter(_._2 == src)
+      (src, g.length.toLong, pg.length.toLong, pg.map(_._3).sum,
+        g.length.toLong - pg.length.toLong)
+    }.toSet
+    val got = DedupQueries.q172CanonicalPurge(spark, sf0001)
+      .as[(String, Long, Long, Long, Long)].collect().toSet
+    assert(got === expected)
+    // at least one cluster actually collapses at sf0.001
+    assert(got.toSeq.map(_._3).sum > 0)
+  }
+
   // ------------------------------------------------------------- q158
   test("q158: frame grid matches the local sampling arithmetic") {
     val docs = Tables.documents(spark, sf0001)
