@@ -399,6 +399,65 @@ object StreamingOps {
         coalesce(col("exact_match"), lit(-1L)).as("match_id"))
   }
 
+  /** Running exact per-type value moments through Spark 4's
+    * `transformWithState` (the arbitrary-state API that replaces
+    * mapGroupsWithState going forward: typed state variables on a
+    * `StatefulProcessorHandle`, timers, TTL — here one
+    * `ValueState[(n, Σq, Σq²)]`). The state row is the q130 mergeable
+    * moment triple over micro-quantized longs, so the streaming
+    * accumulation is bit-identical to the batch aggregate at every
+    * prefix — the IVM law, live. Update mode emits the running triple
+    * per touched key per micro-batch; state is one 24-byte tuple per
+    * key (state ∝ distinct types, not history). Requires the RocksDB
+    * state-store provider (transformWithState's backing store —
+    * `rocksdbjni` ships with Spark); the spec sets
+    * `spark.sql.streaming.stateStore.providerClass` accordingly.
+    * Overflow: |q| ≤ ~5·10⁸ for |value| ≤ 500 ⇒ q² ≤ 2.5·10¹⁷; the
+    * processor `require`s Σq² headroom each update rather than wrap.
+    */
+  case class ValueEvent(event_type: String, value: Double)
+  case class MomentsRow(event_type: String, n: Long, sum_q: Long, sumsq_q: Long)
+
+  class MomentsProcessor
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        String, ValueEvent, MomentsRow] {
+    @transient private var st:
+        org.apache.spark.sql.streaming.ValueState[(Long, Long, Long)] = _
+
+    override def init(outputMode: OutputMode,
+        timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+      st = getHandle.getValueState[(Long, Long, Long)]("moments",
+        org.apache.spark.sql.Encoders.product[(Long, Long, Long)],
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+
+    override def handleInputRows(key: String, rows: Iterator[ValueEvent],
+        timerValues: org.apache.spark.sql.streaming.TimerValues)
+        : Iterator[MomentsRow] = {
+      var (n, s, ss) =
+        if (st.exists()) st.get() else (0L, 0L, 0L)
+      rows.foreach { r =>
+        val q = java.math.BigDecimal.valueOf(1e6 * r.value)
+          .setScale(0, java.math.RoundingMode.HALF_UP).longValue()
+        require(ss <= Long.MaxValue - q * q,
+          s"sum of squares would overflow for key $key")
+        n += 1; s += q; ss += q * q
+      }
+      st.update((n, s, ss))
+      Iterator.single(MomentsRow(key, n, s, ss))
+    }
+  }
+
+  def runningValueMoments(events: DataFrame): DataFrame = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events.select(col("event_type"), col("value")).as[ValueEvent]
+      .groupByKey(_.event_type)
+      .transformWithState(new MomentsProcessor,
+        org.apache.spark.sql.streaming.TimeMode.None(),
+        OutputMode.Update())
+      .toDF()
+  }
+
   def runToMemory(spark: SparkSession, transformed: DataFrame, name: String,
       mode: OutputMode = OutputMode.Append): Unit = {
     val q = transformed.writeStream

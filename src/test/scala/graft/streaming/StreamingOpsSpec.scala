@@ -469,6 +469,56 @@ class StreamingOpsSpec extends SparkTestBase {
     assert(streamed === viaSets)
   }
 
+  test("transformWithState running moments match the exact batch triple " +
+      "at every prefix") {
+    implicit val sqlCtx = spark.sqlContext
+    val prevProvider =
+      spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val input = MemoryStream[(String, Double)]
+      val df = input.toDF.toDF("event_type", "value")
+      val b1 = Seq(("click", 1.5), ("view", 2.0), ("click", 0.25))
+      val b2 = Seq(("click", 3.0), ("purchase", 10.0))
+      val q = StreamingOps.runningValueMoments(df)
+        .writeStream.outputMode(OutputMode.Update)
+        .format("memory").queryName("tws_out").start()
+      input.addData(b1: _*); q.processAllAvailable()
+      val afterB1 = spark.table("tws_out").collect()
+        .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+        .toMap
+      input.addData(b2: _*); q.processAllAvailable()
+      q.stop()
+      def batchTriple(rows: Seq[(String, Double)]) =
+        rows.groupBy(_._1).map { case (k, g) =>
+          val qs = g.map(t => BigDecimal(1e6 * t._2)
+            .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong)
+          k -> ((qs.size.toLong, qs.sum, qs.map(x => x * x).sum))
+        }
+      // prefix law: the emission after batch 1 IS the batch aggregate of b1
+      assert(afterB1 === batchTriple(b1))
+      // update mode: LAST emission per key equals the full-union batch triple
+      val rows = spark.table("tws_out").collect()
+      val last = rows.zipWithIndex
+        .groupBy(_._1.getString(0))
+        .map { case (k, g) =>
+          val r = g.maxBy(_._2)._1
+          k -> ((r.getLong(1), r.getLong(2), r.getLong(3)))
+        }
+      assert(last === batchTriple(b1 ++ b2))
+      // view got no batch-2 rows: its state emitted once and held
+      assert(last("view") === ((1L, 2000000L, 4000000000000L)))
+    } finally {
+      prevProvider match {
+        case Some(p) =>
+          spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None =>
+          spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("streaming per-stratum top-k sample converges to the batch sample") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(String, Long)]
