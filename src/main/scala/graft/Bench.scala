@@ -87,7 +87,8 @@ object Bench {
     "q161_skew_audit", "q162_sentence_stats", "q163_power_iteration",
     "q164_variant_extract", "q165_budget_apportion", "q166_chi_square_drift",
     "q167_bpe_decode", "q168_intra_doc_repetition", "q169_lang_confusion",
-    "q170_value_histogram", "q171_funnel")
+    "q170_value_histogram", "q171_funnel", "q173_unpivot_roundtrip",
+    "q174_lateral_topn")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -1164,6 +1164,82 @@ object RelationalOps {
        |ORDER BY s_suppkey""".stripMargin
 
   /** Query + oracle registry contributed by this module. */
+  // --------------------------------------------------------------- q173
+  /** Pivot → UNPIVOT round-trip — the melt half of the reshaping pair
+    * (q4/q53 prove pivot): a cohort×event_type wide matrix built with
+    * the native pivot (explicit value list → deterministic columns,
+    * never an extra distinct pass) is melted back to long form with the
+    * native `unpivot`, and the GATE asserts the round-trip is the
+    * identity: the oracle computes the long form DIRECTLY — pivot ∘
+    * unpivot vanishing is the correctness property, and missing cells
+    * (NULL in the wide form) drop on both paths by unpivot's default.
+    * Value sums use the scaled-long exact-money form. Both reshapes are
+    * metadata-bounded projections around one cohort-keyed aggregate.
+    */
+  val EventTypes = Seq("click", "error", "purchase", "signup", "view")
+
+  def q173UnpivotRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    val wide = Tables.events(s, dir)
+      .withColumn("cohort", col("user_id") % 10)
+      .groupBy(col("cohort"))
+      .pivot("event_type", EventTypes)
+      .agg(round(exactMoneySum(col("value")), 6))
+    wide.unpivot(Array(col("cohort")), EventTypes.map(col).toArray,
+        "event_type", "total")
+      // unpivot KEEPS empty cells as NULL rows (unlike the long-form
+      // aggregate, which never materializes them) — dropping them is
+      // what makes pivot ∘ unpivot the identity on the long form
+      .filter(col("total").isNotNull)
+      .orderBy(col("cohort"), col("event_type"))
+  }
+
+  val q173Sql: String =
+    """SELECT user_id % 10 AS cohort, event_type,
+      |  round(CAST(sum(CAST(round(value*10000, 0) AS BIGINT)) AS DOUBLE)/10000.0, 6) AS total
+      |FROM events
+      |GROUP BY 1, 2 ORDER BY cohort, event_type""".stripMargin
+
+  // --------------------------------------------------------------- q174
+  /** LATERAL correlated subquery — the SQL-surface sibling of the q3
+    * window top-k and the `TopKPerKeyExec` operator: per-region top-2
+    * nations by account-balance mass expressed as a LATERAL subquery
+    * with ORDER BY + LIMIT, the form analysts actually write. Spark
+    * plans the correlated limit as a partitioned rank under the hood
+    * (DomainJoin rewrite), so the SQL surface costs what the window
+    * form costs — the point the query documents. Balance mass uses the
+    * scaled-long exact-money sum on both engines.
+    */
+  def q174LateralTopN(s: SparkSession, dir: String): DataFrame = {
+    Tables.region(s, dir).createOrReplaceTempView("region")
+    Tables.nation(s, dir).createOrReplaceTempView("nation")
+    Tables.supplier(s, dir).createOrReplaceTempView("supplier")
+    s.sql(
+      """SELECT r.r_name, t.n_name, t.bal
+        |FROM region r,
+        |LATERAL (
+        |  SELECT n.n_name,
+        |    round(CAST(sum(CAST(round(s.s_acctbal*10000, 0) AS BIGINT)) AS DOUBLE)/10000.0, 6) AS bal
+        |  FROM nation n JOIN supplier s ON s.s_nationkey = n.n_nationkey
+        |  WHERE n.n_regionkey = r.r_regionkey
+        |  GROUP BY n.n_name
+        |  ORDER BY bal DESC, n_name
+        |  LIMIT 2) t
+        |ORDER BY r.r_name, t.bal DESC, t.n_name""".stripMargin)
+  }
+
+  val q174Sql: String =
+    """SELECT r.r_name, t.n_name, t.bal
+      |FROM region r,
+      |LATERAL (
+      |  SELECT n.n_name,
+      |    round(CAST(sum(CAST(round(s.s_acctbal*10000, 0) AS BIGINT)) AS DOUBLE)/10000.0, 6) AS bal
+      |  FROM nation n JOIN supplier s ON s.s_nationkey = n.n_nationkey
+      |  WHERE n.n_regionkey = r.r_regionkey
+      |  GROUP BY n.n_name
+      |  ORDER BY bal DESC, n_name
+      |  LIMIT 2) t
+      |ORDER BY r.r_name, t.bal DESC, t.n_name""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q90_top_supplier" -> (q90TopSupplier _),
     "q84_small_qty_revenue" -> (q84SmallQuantityRevenue _),
@@ -1185,6 +1261,8 @@ object RelationalOps {
     "q3_top_orders_per_segment" -> (q3TopOrdersPerSegment _),
     "q57_shipping_priority" -> (q57ShippingPriority _),
     "q4_status_pivot_by_region" -> (q4StatusPivotByRegion _),
+    "q173_unpivot_roundtrip" -> (q173UnpivotRoundtrip _),
+    "q174_lateral_topn" -> (q174LateralTopN _),
     "q5_semi_anti" -> (q5SemiAnti _),
     "q6_point_lookup" -> (q6PointLookup _),
     "q7_set_ops" -> (q7SetOps _),
@@ -1215,6 +1293,8 @@ object RelationalOps {
     "q3_top_orders_per_segment" -> q3Sql,
     "q57_shipping_priority" -> q57Sql,
     "q4_status_pivot_by_region" -> q4Sql,
+    "q173_unpivot_roundtrip" -> q173Sql,
+    "q174_lateral_topn" -> q174Sql,
     "q5_semi_anti" -> q5Sql,
     "q6_point_lookup" -> q6Sql,
     "q7_set_ops" -> q7Sql,

@@ -432,6 +432,66 @@ class Round8QueriesSpec extends SparkTestBase {
     assert(got.toSeq.map(_._3).sum > 0)
   }
 
+  // ------------------------------------------------------------- q173
+  test("q173: pivot-unpivot is the identity on the long form; NULL cells drop") {
+    val ev = Tables.events(spark, sf0001)
+      .select(col("user_id"), col("event_type"), col("value"))
+      .as[(Long, String, Double)].collect()
+    val expected = ev.groupBy(e => (e._1 % 10, e._2)).map { case ((c, t), g) =>
+      val cents = g.map(e => BigDecimal(e._3 * 10000)
+        .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong).sum
+      (c, t, BigDecimal(cents.toDouble / 10000.0)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    }.toSet
+    val got = RelationalOps.q173UnpivotRoundtrip(spark, sf0001)
+      .as[(Long, String, Double)].collect().toSet
+    assert(got === expected)
+    // NULL-cell drop: a synthetic frame with a missing (cohort, type)
+    // combo must not surface it after the round trip
+    val tiny = Seq((0L, "click", 1.0), (1L, "view", 2.0))
+      .toDF("user_id", "event_type", "value")
+    val wide = tiny.withColumn("cohort", col("user_id") % 10)
+      .groupBy(col("cohort"))
+      .pivot("event_type", Seq("click", "view"))
+      .agg(org.apache.spark.sql.functions.round(
+        RelationalOps.exactMoneySum(col("value")), 6))
+    // raw unpivot KEEPS the empty cells as NULL rows...
+    val raw = wide.unpivot(Array(col("cohort")),
+      Array(col("click"), col("view")), "event_type", "total")
+    assert(raw.count() === 4)
+    assert(raw.filter(col("total").isNull).count() === 2)
+    // ...and the operator's documented isNotNull drop restores identity
+    val melted = raw.filter(col("total").isNotNull)
+      .as[(Long, String, Double)].collect().toSet
+    assert(melted === Set((0L, "click", 1.0), (1L, "view", 2.0)))
+  }
+
+  // ------------------------------------------------------------- q174
+  test("q174: LATERAL top-2 equals the window-rank form") {
+    import org.apache.spark.sql.expressions.Window
+    val viaWindow = Tables.nation(spark, sf0001)
+      .join(Tables.supplier(spark, sf0001),
+        col("s_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_regionkey"), col("n_name"))
+      .agg(org.apache.spark.sql.functions.round(
+        RelationalOps.exactMoneySum(col("s_acctbal")), 6).as("bal"))
+      .withColumn("rk", org.apache.spark.sql.functions.row_number()
+        .over(Window.partitionBy(col("n_regionkey"))
+          .orderBy(col("bal").desc, col("n_name"))))
+      .filter(col("rk") <= 2)
+      .join(Tables.region(spark, sf0001),
+        col("r_regionkey") === col("n_regionkey"))
+      .select(col("r_name"), col("n_name"), col("bal"))
+      .as[(String, String, Double)].collect().toSet
+    val got = RelationalOps.q174LateralTopN(spark, sf0001)
+      .as[(String, String, Double)].collect()
+    assert(got.toSet === viaWindow)
+    // LIMIT 2 caps every region (a region may have fewer supplier
+    // nations at tiny SF)
+    assert(got.groupBy(_._1).forall(_._2.length <= 2))
+    assert(got.nonEmpty)
+  }
+
   // ------------------------------------------------------------- q158
   test("q158: frame grid matches the local sampling arithmetic") {
     val docs = Tables.documents(spark, sf0001)
