@@ -88,7 +88,9 @@ object Bench {
     "q164_variant_extract", "q165_budget_apportion", "q166_chi_square_drift",
     "q167_bpe_decode", "q168_intra_doc_repetition", "q169_lang_confusion",
     "q170_value_histogram", "q171_funnel", "q173_unpivot_roundtrip",
-    "q174_lateral_topn")
+    "q174_lateral_topn", "q175_recursive_depth", "q176_lang_signature",
+    "q177_retention_cohorts", "q178_benford", "q179_transition_matrix",
+    "q180_twap")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -1,0 +1,306 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Round-9 additions (driver round 4, batch 6): the remaining SQL
+  * surfaces new in Spark 4 (recursive CTE, `listagg`) plus four
+  * event-analytics primitives every product/pipeline team runs —
+  * retention cohorts, Benford profiling, Markov transitions, and
+  * time-weighted averaging.
+  *
+  * Same determinism contract as every gated family: quantize floats to
+  * integer units BEFORE any aggregate, divide once at the end with the
+  * SAME expression form on both engines, round 6 (nano 9 for the
+  * constant Benford expectation), and order rows by the output keys.
+  */
+object Round9Queries {
+
+  // ---------------------------------------------------------------- q175
+  /** Recursive CTE — ancestor-chain depth over a derived hierarchy,
+    * Spark 4's `WITH RECURSIVE` surface end to end (to date the gated
+    * set used recursion only on the DuckDB oracle side, q19/q44/q149).
+    * The hierarchy is the 1-based heap ordering on suppliers
+    * (parent(i) = i div 2), so depth-to-root is derivable yet the
+    * query exercises true unbounded iteration: each recursive step is
+    * a full distributed plan and the loop runs until the frontier
+    * empties — ceil(log2 n) rounds, exactly the q19 pointer-jumping
+    * bound, but driven by the engine's CTE machinery instead of a
+    * driver loop. Pure-integer outputs (count + suppkey checksum), so
+    * there is no float rule to defend. At 100 TB depth stays log n
+    * (34 rounds for 2^34 rows) — well under Spark's recursion limit
+    * of 100 — and every round is one shuffle-free projection+filter.
+    */
+  def q175RecursiveDepth(s: SparkSession, dir: String): DataFrame = {
+    Tables.supplier(s, dir).createOrReplaceTempView("supplier")
+    s.sql(
+      """WITH RECURSIVE walk AS (
+        |  SELECT s_suppkey AS suppkey, s_suppkey + 1 AS cur, 0 AS depth
+        |  FROM supplier
+        |  UNION ALL
+        |  SELECT suppkey, cur DIV 2 AS cur, depth + 1 AS depth
+        |  FROM walk WHERE cur > 1
+        |)
+        |SELECT CAST(depth AS BIGINT) AS depth_to_root,
+        |       count(*) AS n_suppliers,
+        |       CAST(sum(suppkey) AS BIGINT) AS suppkey_sum
+        |FROM walk WHERE cur = 1
+        |GROUP BY depth ORDER BY depth_to_root""".stripMargin)
+  }
+
+  val q175Sql: String =
+    """WITH RECURSIVE walk AS (
+      |  SELECT s_suppkey AS suppkey, s_suppkey + 1 AS cur, 0 AS depth
+      |  FROM supplier
+      |  UNION ALL
+      |  SELECT suppkey, cur // 2 AS cur, depth + 1 AS depth
+      |  FROM walk WHERE cur > 1
+      |)
+      |SELECT CAST(depth AS BIGINT) AS depth_to_root,
+      |       count(*) AS n_suppliers,
+      |       CAST(sum(suppkey) AS BIGINT) AS suppkey_sum
+      |FROM walk WHERE cur = 1
+      |GROUP BY depth ORDER BY depth_to_root""".stripMargin
+
+  // ---------------------------------------------------------------- q176
+  /** Ordered string aggregation — `listagg(...) WITHIN GROUP (ORDER BY
+    * ...)`, the ANSI surface Spark added in 4.0 (DuckDB's twin is
+    * `string_agg(... ORDER BY ...)`). The per-source language
+    * signature is the catalog-card use: distinct langs first (so the
+    * concat is over a bounded set), deterministic because the ORDER BY
+    * inside the aggregate fixes element order — the reason listagg
+    * beats `concat_ws(collect_list(...))`, whose order is partition-
+    * arrival nondeterminism. Signature table is |sources|×|langs|
+    * bounded metadata at any corpus scale; n_docs rides the one real
+    * corpus aggregate.
+    */
+  def q176LangSignature(s: SparkSession, dir: String): DataFrame = {
+    Tables.documents(s, dir).createOrReplaceTempView("documents")
+    s.sql(
+      """WITH dl AS (SELECT DISTINCT source, lang FROM documents),
+        |sig AS (
+        |  SELECT source, count(*) AS n_langs,
+        |         listagg(lang, ',') WITHIN GROUP (ORDER BY lang) AS lang_sig
+        |  FROM dl GROUP BY source),
+        |cnt AS (SELECT source, count(*) AS n_docs FROM documents GROUP BY source)
+        |SELECT sig.source, sig.n_langs, sig.lang_sig, cnt.n_docs
+        |FROM sig JOIN cnt ON sig.source = cnt.source
+        |ORDER BY sig.source""".stripMargin)
+  }
+
+  val q176Sql: String =
+    """WITH dl AS (SELECT DISTINCT source, lang FROM documents),
+      |sig AS (
+      |  SELECT source, count(*) AS n_langs,
+      |         string_agg(lang, ',' ORDER BY lang) AS lang_sig
+      |  FROM dl GROUP BY source),
+      |cnt AS (SELECT source, count(*) AS n_docs FROM documents GROUP BY source)
+      |SELECT sig.source, sig.n_langs, sig.lang_sig, cnt.n_docs
+      |FROM sig JOIN cnt ON sig.source = cnt.source
+      |ORDER BY sig.source""".stripMargin
+
+  // ---------------------------------------------------------------- q177
+  /** Retention cohort matrix — the table behind every retention curve:
+    * users cohorted by their FIRST active day, then for each (cohort,
+    * day-offset) the share of the cohort still active. Day ids are
+    * pure integer epoch-day division (the q30 window-id rule — no
+    * date_trunc, no timezone surface anywhere near the gate). All
+    * three aggregates key on user_id or cohort_day: the (user, day)
+    * dedup and the first-day reduce co-partition, so one user_id
+    * exchange feeds both; the matrix itself is cohorts×offsets
+    * bounded metadata. Retention is the single final division of two
+    * exact counts.
+    */
+  def q177RetentionCohorts(s: SparkSession, dir: String): DataFrame = {
+    val uw = Tables.events(s, dir)
+      .select(col("user_id"),
+        expr("unix_millis(ts) div 86400000").as("day"))
+      .distinct()
+    val fc = uw.groupBy(col("user_id")).agg(min(col("day")).as("cohort_day"))
+    val act = uw.join(fc, "user_id")
+      .groupBy(col("cohort_day"),
+        (col("day") - col("cohort_day")).as("day_offset"))
+      .agg(count(lit(1)).as("active_users"))
+    val sz = fc.groupBy(col("cohort_day")).agg(count(lit(1)).as("cohort_size"))
+    act.join(sz, "cohort_day")
+      .withColumn("retention",
+        round(col("active_users").cast("double") / col("cohort_size"), 6))
+      .select(col("cohort_day"), col("day_offset"), col("active_users"),
+        col("cohort_size"), col("retention"))
+      .orderBy(col("cohort_day"), col("day_offset"))
+  }
+
+  val q177Sql: String =
+    """WITH uw AS (
+      |  SELECT DISTINCT user_id,
+      |         CAST(floor(epoch(ts) / 86400) AS BIGINT) AS day
+      |  FROM events),
+      |fc AS (SELECT user_id, min(day) AS cohort_day FROM uw GROUP BY user_id),
+      |act AS (
+      |  SELECT f.cohort_day, u.day - f.cohort_day AS day_offset,
+      |         count(*) AS active_users
+      |  FROM uw u JOIN fc f ON u.user_id = f.user_id
+      |  GROUP BY 1, 2),
+      |sz AS (SELECT cohort_day, count(*) AS cohort_size FROM fc GROUP BY cohort_day)
+      |SELECT a.cohort_day, a.day_offset, a.active_users, s.cohort_size,
+      |       round(CAST(a.active_users AS DOUBLE) / s.cohort_size, 6) AS retention
+      |FROM act a JOIN sz s ON a.cohort_day = s.cohort_day
+      |ORDER BY a.cohort_day, a.day_offset""".stripMargin
+
+  // ---------------------------------------------------------------- q178
+  /** Benford leading-digit profile — the fraud/quality screen run over
+    * any money or count column: observed first-significant-digit
+    * shares vs the Benford expectation log10(1 + 1/d). The digit is
+    * extracted EXACTLY — cents as a long, first character of its
+    * decimal string — never via float log10 (whose boundary cells at
+    * powers of ten drift between engines); valid because every
+    * o_totalprice >= 1, so cents and value share a leading digit. The
+    * expectation is the one cross-library float: same `ln(1+1/d)/
+    * ln(10)` expression form on both engines, nano-quantized (the
+    * q98/q166 precedent). One groupBy to a 9-row table; shares via a
+    * global window over those 9 rows.
+    */
+  def q178Benford(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir)
+      .withColumn("digit",
+        substring(round(col("o_totalprice") * 100, 0).cast("long")
+          .cast("string"), 1, 1).cast("long"))
+      .groupBy(col("digit")).agg(count(lit(1)).as("n_orders"))
+      .withColumn("obs_share",
+        round(col("n_orders").cast("double") /
+          sum(col("n_orders")).over(Window.partitionBy()), 6))
+      .withColumn("exp_share",
+        round(expr("ln(1 + 1/CAST(digit AS DOUBLE))/ln(10)"), 9))
+      .orderBy(col("digit"))
+
+  val q178Sql: String =
+    """WITH d AS (
+      |  SELECT CAST(substring(CAST(CAST(round(o_totalprice*100, 0) AS BIGINT)
+      |           AS VARCHAR), 1, 1) AS BIGINT) AS digit
+      |  FROM orders),
+      |g AS (SELECT digit, count(*) AS n_orders FROM d GROUP BY digit)
+      |SELECT digit, n_orders,
+      |       round(CAST(n_orders AS DOUBLE) /
+      |             CAST(sum(n_orders) OVER () AS BIGINT), 6) AS obs_share,
+      |       round(ln(1 + 1/CAST(digit AS DOUBLE))/ln(10), 9) AS exp_share
+      |FROM g ORDER BY digit""".stripMargin
+
+  // ---------------------------------------------------------------- q179
+  /** First-order Markov transition matrix over per-user event
+    * sequences — the sequence model behind next-action prediction and
+    * anomalous-flow detection (and the generalization of q171's fixed
+    * funnel: the funnel is three cells of this matrix). Successor via
+    * one `lead` over (user_id, ts) — microsecond order with event_id
+    * tie-break, the exact ordering contract both engines share — then
+    * one count aggregate on the |types|² matrix; row-normalized
+    * probabilities are counts divided once at the end. The only
+    * corpus-scale exchange is the user_id window partitioning; the
+    * matrix is metadata.
+    */
+  def q179TransitionMatrix(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts_us"), col("event_id"))
+    Tables.events(s, dir)
+      .withColumn("ts_us", unix_micros(col("ts")))
+      .withColumn("next_type", lead(col("event_type"), 1).over(w))
+      .filter(col("next_type").isNotNull)
+      .groupBy(col("event_type"), col("next_type"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("p",
+        round(col("n").cast("double") /
+          sum(col("n")).over(Window.partitionBy(col("event_type"))), 6))
+      .orderBy(col("event_type"), col("next_type"))
+  }
+
+  val q179Sql: String =
+    """WITH nxt AS (
+      |  SELECT event_type,
+      |         lead(event_type) OVER (PARTITION BY user_id
+      |           ORDER BY ts, event_id) AS next_type
+      |  FROM events),
+      |g AS (
+      |  SELECT event_type, next_type, count(*) AS n
+      |  FROM nxt WHERE next_type IS NOT NULL
+      |  GROUP BY 1, 2)
+      |SELECT event_type, next_type, n,
+      |       round(CAST(n AS DOUBLE) /
+      |             CAST(sum(n) OVER (PARTITION BY event_type) AS BIGINT), 6) AS p
+      |FROM g ORDER BY event_type, next_type""".stripMargin
+
+  // ---------------------------------------------------------------- q180
+  /** Time-weighted average value per user (TWAP) — the metrics/finance
+    * aggregate where a value "holds" until the next observation, so
+    * equal-weight means are wrong by construction. Each interval
+    * weights the CURRENT value by its exact microsecond duration
+    * (step-function/last-observation-carried-forward semantics);
+    * weights and values are exact longs — value milli-units ×
+    * microsecond gaps stay under 2^63 because per-user gaps sum to
+    * the corpus time-span — and the TWAP is one double division at
+    * the end, identical form both engines. Same single user_id window
+    * exchange as q179; the per-user rollup co-partitions with it.
+    */
+  def q180Twap(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts_us"), col("event_id"))
+    Tables.events(s, dir)
+      .withColumn("ts_us", unix_micros(col("ts")))
+      .withColumn("vmilli", round(col("value") * 1000, 0).cast("long"))
+      .withColumn("dur_us", lead(col("ts_us"), 1).over(w) - col("ts_us"))
+      .filter(col("dur_us").isNotNull)
+      .groupBy(col("user_id"))
+      .agg(sum(col("dur_us") * col("vmilli")).as("wsum"),
+        sum(col("dur_us")).as("dur_us_total"),
+        count(lit(1)).as("n_intervals"))
+      .filter(col("dur_us_total") > 0)
+      .withColumn("twap",
+        round(col("wsum").cast("double") /
+          col("dur_us_total").cast("double") / 1000.0, 6))
+      .select(col("user_id"), col("n_intervals"), col("dur_us_total"),
+        col("twap"))
+      .orderBy(col("user_id"))
+  }
+
+  val q180Sql: String =
+    """WITH e AS (
+      |  SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+      |         CAST(round(value*1000, 0) AS BIGINT) AS vmilli
+      |  FROM events),
+      |p AS (
+      |  SELECT user_id, vmilli,
+      |         lead(ts_us) OVER (PARTITION BY user_id
+      |           ORDER BY ts_us, event_id) - ts_us AS dur_us
+      |  FROM e),
+      |g AS (
+      |  SELECT user_id,
+      |         CAST(sum(dur_us * vmilli) AS BIGINT) AS wsum,
+      |         CAST(sum(dur_us) AS BIGINT) AS dur_us_total,
+      |         count(*) AS n_intervals
+      |  FROM p WHERE dur_us IS NOT NULL
+      |  GROUP BY user_id)
+      |SELECT user_id, n_intervals, dur_us_total,
+      |       round(CAST(wsum AS DOUBLE) /
+      |             CAST(dur_us_total AS DOUBLE) / 1000.0, 6) AS twap
+      |FROM g WHERE dur_us_total > 0
+      |ORDER BY user_id""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q175_recursive_depth" -> (q175RecursiveDepth _),
+    "q176_lang_signature" -> (q176LangSignature _),
+    "q177_retention_cohorts" -> (q177RetentionCohorts _),
+    "q178_benford" -> (q178Benford _),
+    "q179_transition_matrix" -> (q179TransitionMatrix _),
+    "q180_twap" -> (q180Twap _),
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q175_recursive_depth" -> q175Sql,
+    "q176_lang_signature" -> q176Sql,
+    "q177_retention_cohorts" -> q177Sql,
+    "q178_benford" -> q178Sql,
+    "q179_transition_matrix" -> q179Sql,
+    "q180_twap" -> q180Sql,
+  )
+}

@@ -1,0 +1,135 @@
+package graft.operators
+
+import org.apache.spark.sql.functions.col
+
+import graft.{SparkTestBase, Tables}
+
+/** Round-9 queries: driver-side re-derivations (independent Scala
+  * implementations over collected sf0.001 data) so each gated query has
+  * a second, oracle-independent witness.
+  */
+class Round9QueriesSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def q0(x: Double): Long =
+    BigDecimal(x).setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+
+  private def r6(x: Double): Double =
+    BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+
+  /** (user_id, event_id, ts_us, value) sorted the way the window sorts. */
+  private def eventsLocal: Array[(Long, Long, Long, Double)] =
+    Tables.events(spark, sf0001)
+      .select(col("user_id"), col("event_id"),
+        org.apache.spark.sql.functions.unix_micros(col("ts")).as("ts_us"),
+        col("value"))
+      .as[(Long, Long, Long, Double)].collect()
+
+  // ------------------------------------------------------------- q175
+  test("q175: recursive depth equals the closed-form heap depth") {
+    val keys = Tables.supplier(spark, sf0001)
+      .select("s_suppkey").as[Long].collect()
+    // depth of heap index i (= suppkey+1) is floor(log2 i)
+    val expected = keys.groupBy(k => 63 - java.lang.Long.numberOfLeadingZeros(k + 1))
+      .map { case (d, g) => (d.toLong, g.length.toLong, g.sum) }.toSet
+    val got = Round9Queries.q175RecursiveDepth(spark, sf0001)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(got === expected)
+    assert(got.nonEmpty)
+  }
+
+  // ------------------------------------------------------------- q176
+  test("q176: listagg signature equals the sorted-distinct join-up") {
+    val docs = Tables.documents(spark, sf0001)
+      .select("source", "lang").as[(String, String)].collect()
+    val expected = docs.groupBy(_._1).map { case (src, g) =>
+      val langs = g.map(_._2).distinct.sorted
+      (src, langs.length.toLong, langs.mkString(","), g.length.toLong)
+    }.toSet
+    val got = Round9Queries.q176LangSignature(spark, sf0001)
+      .as[(String, Long, String, Long)].collect().toSet
+    assert(got === expected)
+    // the ORDER BY inside the aggregate is what makes this deterministic:
+    // every signature must be sorted
+    assert(got.forall { case (_, _, sig, _) =>
+      val parts = sig.split(","); parts.sameElements(parts.sorted) })
+  }
+
+  // ------------------------------------------------------------- q177
+  test("q177: retention matrix matches a local cohort re-derivation") {
+    val uw = eventsLocal.map(e => (e._1, e._3 / 86400000000L)).distinct
+    val firstDay = uw.groupBy(_._1).map { case (u, g) => (u, g.map(_._2).min) }
+    val sizes = firstDay.values.groupBy(identity).map { case (d, g) => (d, g.size.toLong) }
+    val expected = uw.groupBy { case (u, d) => (firstDay(u), d - firstDay(u)) }
+      .map { case ((c, off), g) =>
+        (c, off, g.size.toLong, sizes(c), r6(g.size.toDouble / sizes(c))) }.toSet
+    val got = Round9Queries.q177RetentionCohorts(spark, sf0001)
+      .as[(Long, Long, Long, Long, Double)].collect().toSet
+    assert(got === expected)
+    // offset 0 is the cohort itself: retention exactly 1.0 there
+    assert(got.filter(_._2 == 0L).forall(r => r._3 == r._4 && r._5 == 1.0))
+  }
+
+  // ------------------------------------------------------------- q178
+  test("q178: Benford digits match exact cents-string extraction") {
+    val prices = Tables.orders(spark, sf0001)
+      .select("o_totalprice").as[Double].collect()
+    val byDigit = prices.map(p => q0(p * 100).toString.head.asDigit.toLong)
+      .groupBy(identity).map { case (d, g) => (d, g.length.toLong) }
+    val n = prices.length.toDouble
+    val expected = byDigit.map { case (d, c) =>
+      (d, c, r6(c / n),
+        BigDecimal(math.log(1 + 1.0 / d) / math.log(10))
+          .setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    }.toSet
+    val got = Round9Queries.q178Benford(spark, sf0001)
+      .as[(Long, Long, Double, Double)].collect().toSet
+    assert(got === expected)
+    // shares form a distribution over digits 1..9
+    assert(got.map(_._1).subsetOf((1L to 9L).toSet))
+    assert(math.abs(got.toSeq.map(_._3).sum - 1.0) < 1e-4)
+  }
+
+  // ------------------------------------------------------------- q179
+  test("q179: transition matrix matches local sequence pairing") {
+    val pairs = Tables.events(spark, sf0001)
+      .select(col("user_id"), col("event_id"),
+        org.apache.spark.sql.functions.unix_micros(col("ts")).as("ts_us"),
+        col("event_type"))
+      .as[(Long, Long, Long, String)].collect()
+      .groupBy(_._1).toSeq.flatMap { case (_, g) =>
+        val seq = g.sortBy(e => (e._3, e._2)).map(_._4)
+        seq.zip(seq.tail)
+      }
+    val counts = pairs.groupBy(identity).map { case (k, g) => (k, g.size.toLong) }
+    val rowTot = counts.groupBy(_._1._1).map { case (c, g) => (c, g.values.sum) }
+    val expected = counts.map { case ((c, nx), n) =>
+      (c, nx, n, r6(n.toDouble / rowTot(c))) }.toSet
+    val got = Round9Queries.q179TransitionMatrix(spark, sf0001)
+      .as[(String, String, Long, Double)].collect().toSet
+    assert(got === expected)
+    // each row of the matrix sums to ~1
+    val rows = got.toSeq.groupBy(_._1).values
+    assert(rows.forall(r => math.abs(r.map(_._4).sum - 1.0) < 1e-3))
+  }
+
+  // ------------------------------------------------------------- q180
+  test("q180: TWAP matches the local step-function integral") {
+    val expected = eventsLocal.groupBy(_._1).toSeq.flatMap { case (u, g) =>
+      val s = g.sortBy(e => (e._3, e._2))
+      val iv = s.zip(s.tail).map { case (a, b) => (b._3 - a._3, q0(a._4 * 1000)) }
+      val tot = iv.map(_._1).sum
+      if (iv.isEmpty || tot == 0L) None
+      else Some((u, iv.length.toLong, tot,
+        r6(iv.map { case (d, v) => d * v }.sum.toDouble / tot.toDouble / 1000.0)))
+    }.toSet
+    val got = Round9Queries.q180Twap(spark, sf0001)
+      .as[(Long, Long, Long, Double)].collect().toSet
+    assert(got === expected)
+    // TWAP is bounded by the observed value range
+    val bounds = eventsLocal.groupBy(_._1).map { case (u, g) =>
+      (u, (g.map(_._4).min - 1e-3, g.map(_._4).max + 1e-3)) }
+    assert(got.forall { case (u, _, _, t) =>
+      val (lo, hi) = bounds(u); t >= lo && t <= hi })
+  }
+}
