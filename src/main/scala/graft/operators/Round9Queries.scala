@@ -107,12 +107,13 @@ object Round9Queries {
     * users cohorted by their FIRST active day, then for each (cohort,
     * day-offset) the share of the cohort still active. Day ids are
     * pure integer epoch-day division (the q30 window-id rule — no
-    * date_trunc, no timezone surface anywhere near the gate). All
-    * three aggregates key on user_id or cohort_day: the (user, day)
-    * dedup and the first-day reduce co-partition, so one user_id
-    * exchange feeds both; the matrix itself is cohorts×offsets
-    * bounded metadata. Retention is the single final division of two
-    * exact counts.
+    * date_trunc, no timezone surface anywhere near the gate). The
+    * corpus work is two 2-column projection passes (Catalyst does not
+    * share the dedup subplan; at 100 TB cache/checkpoint the (user,
+    * day) table to make it one), every reduction keyed on user_id or
+    * cohort_day; the matrix side is cohorts×offsets bounded metadata
+    * and its joins broadcast (PlanSpec locks this). Retention is the
+    * single final division of two exact counts.
     */
   def q177RetentionCohorts(s: SparkSession, dir: String): DataFrame = {
     val uw = Tables.events(s, dir)

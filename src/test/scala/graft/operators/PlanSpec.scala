@@ -392,4 +392,43 @@ class PlanSpec extends SparkTestBase {
     assert(!p.contains("Join"), s"frame grid must be row-local:\n$p")
     assert(!p.contains("HashAggregate"), s"no aggregation expected:\n$p")
   }
+
+  test("q175: recursion runs through the engine's UnionLoop operator") {
+    val p = formatted(Round9Queries.q175RecursiveDepth(spark, sf0001))
+    assert(p.contains("UnionLoop"),
+      s"WITH RECURSIVE must plan as UnionLoop, not a driver loop:\n$p")
+    assert(p.contains("HashAggregate"), s"partial+final depth rollup:\n$p")
+  }
+
+  test("q177: cohort joins broadcast — no sort-merge join") {
+    val p = formatted(Round9Queries.q177RetentionCohorts(spark, sf0001))
+    assert(p.contains("BroadcastHashJoin"), s"matrix-side joins broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"cohort tables are metadata-sized — must broadcast:\n$p")
+  }
+
+  test("q178: Benford is one corpus aggregate — no join, no explode") {
+    val p = formatted(Round9Queries.q178Benford(spark, sf0001))
+    assert(!p.contains("Join"), s"digit profile is agg-only:\n$p")
+    assert(!p.contains("- Generate ("), s"digit extraction is row-local:\n$p")
+    assert(p.linesIterator.count(_.contains("- Window (")) === 1,
+      s"one global share window over the 9-row table:\n$p")
+  }
+
+  test("q179: one sequence window + matrix normalization — no join") {
+    val p = formatted(Round9Queries.q179TransitionMatrix(spark, sf0001))
+    assert(!p.contains("Join"), s"transitions come from lead, not self-join:\n$p")
+    assert(p.linesIterator.count(_.contains("- Window (")) === 2,
+      s"lead window + row-normalization window only:\n$p")
+  }
+
+  test("q180: per-user rollup reuses the window's user_id partitioning") {
+    val p = formatted(Round9Queries.q180Twap(spark, sf0001))
+    // exactly two shuffles: the user_id window exchange and the final
+    // presentation sort — the groupBy(user_id) between them must NOT
+    // add one (it is co-partitioned with the window)
+    val exchanges = p.linesIterator.count(_.contains("- Exchange ("))
+    assert(exchanges === 2, s"window + final sort only, got $exchanges:\n$p")
+    assert(!p.contains("Join"), s"TWAP is window + rollup, no join:\n$p")
+  }
 }
