@@ -90,7 +90,8 @@ object Bench {
     "q170_value_histogram", "q171_funnel", "q173_unpivot_roundtrip",
     "q174_lateral_topn", "q175_recursive_depth", "q176_lang_signature",
     "q177_retention_cohorts", "q178_benford", "q179_transition_matrix",
-    "q180_twap")
+    "q180_twap", "q181_rolling_distinct", "q182_sql_udf",
+    "q183_notin_nullaware", "q184_grouping_sets")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

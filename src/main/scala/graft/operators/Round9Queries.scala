@@ -287,6 +287,141 @@ object Round9Queries {
       |FROM g WHERE dur_us_total > 0
       |ORDER BY user_id""".stripMargin
 
+  // ---------------------------------------------------------------- q181
+  /** Rolling 7-day distinct active users — the windowed COUNT DISTINCT
+    * Spark's window functions cannot express (distinct aggregates are
+    * unsupported over frames), re-expressed as the scalable
+    * coverage-explode: each (user, active-day) pair covers the 7
+    * trailing-window days it contributes to, dedup on (user, covered
+    * day), count per day. The blowup is a bounded ×7 on the already-
+    * deduplicated (user, day) table — never on raw events — and every
+    * stage keys on user or day, so the shape survives 100 TB (vs the
+    * oracle's O(days²) correlated re-scan, which is the INDEPENDENT
+    * formulation the gate compares against). Output days restricted to
+    * observed event days via a broadcast join with the distinct-day
+    * table.
+    */
+  def q181RollingDistinct(s: SparkSession, dir: String): DataFrame = {
+    val uw = Tables.events(s, dir)
+      .select(col("user_id"), expr("unix_millis(ts) div 86400000").as("day"))
+      .distinct()
+    val days = uw.select(col("day")).distinct()
+    uw.select(col("user_id"),
+        explode(expr("sequence(day, day + 6)")).as("day"))
+      .distinct()
+      .join(broadcast(days), "day")
+      .groupBy(col("day")).agg(count(lit(1)).as("active_users_7d"))
+      .orderBy(col("day"))
+  }
+
+  val q181Sql: String =
+    """WITH uw AS (
+      |  SELECT DISTINCT user_id,
+      |         CAST(floor(epoch(ts) / 86400) AS BIGINT) AS day
+      |  FROM events),
+      |days AS (SELECT DISTINCT day FROM uw)
+      |SELECT g.day,
+      |       (SELECT count(DISTINCT u.user_id) FROM uw u
+      |        WHERE u.day BETWEEN g.day - 6 AND g.day) AS active_users_7d
+      |FROM days g ORDER BY g.day""".stripMargin
+
+  // ---------------------------------------------------------------- q182
+  /** SQL UDFs — Spark 4.0's `CREATE FUNCTION ... RETURN <expr>`: the
+    * extension surface for analysts who write SQL, not Scala. Two
+    * composed functions (a log10 length score, and a banding rule that
+    * CALLS it) — SQL UDFs inline into the plan at analysis time, so
+    * unlike JVM UDFs they cost nothing: the projection below is plain
+    * codegen'd expressions, optimizer-visible, pushdown-safe. The
+    * score is the one cross-library float — same ln-form both engines,
+    * nano-quantized (q98 rule); the band thresholds sit far from any
+    * quantization boundary.
+    */
+  def q182SqlUdf(s: SparkSession, dir: String): DataFrame = {
+    Tables.documents(s, dir).createOrReplaceTempView("documents")
+    s.sql(
+      """CREATE OR REPLACE TEMPORARY FUNCTION len_score(n BIGINT)
+        |RETURNS DOUBLE RETURN round(ln(1 + CAST(n AS DOUBLE))/ln(10), 9)""".stripMargin)
+    s.sql(
+      """CREATE OR REPLACE TEMPORARY FUNCTION len_band(n BIGINT)
+        |RETURNS STRING RETURN CASE
+        |  WHEN len_score(n) < 2.5 THEN 'short'
+        |  WHEN len_score(n) < 3.0 THEN 'medium'
+        |  ELSE 'long' END""".stripMargin)
+    s.sql(
+      """SELECT doc_id, len_score(n_chars) AS score, len_band(n_chars) AS band
+        |FROM documents ORDER BY doc_id""".stripMargin)
+  }
+
+  val q182Sql: String =
+    """SELECT doc_id,
+      |       round(ln(1 + CAST(n_chars AS DOUBLE))/ln(10), 9) AS score,
+      |       CASE
+      |         WHEN round(ln(1 + CAST(n_chars AS DOUBLE))/ln(10), 9) < 2.5 THEN 'short'
+      |         WHEN round(ln(1 + CAST(n_chars AS DOUBLE))/ln(10), 9) < 3.0 THEN 'medium'
+      |         ELSE 'long' END AS band
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------- q183
+  /** NOT IN with a (schema-)nullable subquery — the one anti-join SQL
+    * rewriting CANNOT treat as a plain anti join: ANSI NOT IN is
+    * three-valued, so one NULL in the subquery empties the result, and
+    * the planner must preserve that. Spark's answer is the null-aware
+    * anti join (single-key NAAJ, `LeftAnti, BuildRight, isNullAware=
+    * true` on a broadcast hash join) — asserted by the plan lock; the
+    * naive fallback is a BroadcastNestedLoopJoin that re-scans the
+    * build side per row. Semantics gated against DuckDB's ANSI NOT IN
+    * on the same subquery.
+    */
+  def q183NotInNullAware(s: SparkSession, dir: String): DataFrame = {
+    Tables.customer(s, dir).createOrReplaceTempView("customer")
+    Tables.supplier(s, dir).createOrReplaceTempView("supplier")
+    s.sql(
+      """SELECT c_nationkey, count(*) AS n_customers
+        |FROM customer
+        |WHERE c_nationkey NOT IN
+        |  (SELECT s_nationkey FROM supplier WHERE s_acctbal < 0)
+        |GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin)
+  }
+
+  val q183Sql: String =
+    """SELECT c_nationkey, count(*) AS n_customers
+      |FROM customer
+      |WHERE c_nationkey NOT IN
+      |  (SELECT s_nationkey FROM supplier WHERE s_acctbal < 0)
+      |GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin
+
+  // ---------------------------------------------------------------- q184
+  /** Arbitrary GROUPING SETS — the third leg of the multi-granularity
+    * family (q8 ROLLUP is the prefix chain, q39 CUBE the power set):
+    * an ASYMMETRIC set — both one-dimension marginals plus the cell
+    * grid, but NO grand total — that neither rollup nor cube can
+    * produce, with `grouping_id()` disambiguating the NULL-filled
+    * granularities (bitmask convention verified identical to DuckDB's
+    * GROUPING(a, b)). One expand+aggregate pass; money sums exact.
+    */
+  def q184GroupingSets(s: SparkSession, dir: String): DataFrame = {
+    Tables.orders(s, dir).createOrReplaceTempView("orders")
+    s.sql(
+      """SELECT o_orderstatus, o_orderpriority,
+        |       CAST(grouping_id() AS BIGINT) AS gid,
+        |       count(*) AS n_orders,
+        |       round(CAST(sum(CAST(round(o_totalprice*10000, 0) AS BIGINT)) AS DOUBLE)/10000.0, 6) AS total_price
+        |FROM orders
+        |GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority),
+        |                        (o_orderstatus), (o_orderpriority))
+        |ORDER BY gid, o_orderstatus, o_orderpriority""".stripMargin)
+  }
+
+  val q184Sql: String =
+    """SELECT o_orderstatus, o_orderpriority,
+      |       CAST(GROUPING(o_orderstatus, o_orderpriority) AS BIGINT) AS gid,
+      |       count(*) AS n_orders,
+      |       round(CAST(sum(CAST(round(o_totalprice*10000, 0) AS BIGINT)) AS DOUBLE)/10000.0, 6) AS total_price
+      |FROM orders
+      |GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority),
+      |                        (o_orderstatus), (o_orderpriority))
+      |ORDER BY gid, o_orderstatus, o_orderpriority""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q175_recursive_depth" -> (q175RecursiveDepth _),
     "q176_lang_signature" -> (q176LangSignature _),
@@ -294,6 +429,10 @@ object Round9Queries {
     "q178_benford" -> (q178Benford _),
     "q179_transition_matrix" -> (q179TransitionMatrix _),
     "q180_twap" -> (q180Twap _),
+    "q181_rolling_distinct" -> (q181RollingDistinct _),
+    "q182_sql_udf" -> (q182SqlUdf _),
+    "q183_notin_nullaware" -> (q183NotInNullAware _),
+    "q184_grouping_sets" -> (q184GroupingSets _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -303,5 +442,9 @@ object Round9Queries {
     "q178_benford" -> q178Sql,
     "q179_transition_matrix" -> q179Sql,
     "q180_twap" -> q180Sql,
+    "q181_rolling_distinct" -> q181Sql,
+    "q182_sql_udf" -> q182Sql,
+    "q183_notin_nullaware" -> q183Sql,
+    "q184_grouping_sets" -> q184Sql,
   )
 }

@@ -422,6 +422,43 @@ class PlanSpec extends SparkTestBase {
       s"lead window + row-normalization window only:\n$p")
   }
 
+  test("q181: one bounded explode on the deduped table; day join broadcasts") {
+    val p = formatted(Round9Queries.q181RollingDistinct(spark, sf0001))
+    assert(p.linesIterator.count(_.contains("- Generate (")) === 1,
+      s"exactly one coverage explode:\n$p")
+    assert(p.contains("BroadcastHashJoin"), s"day-restriction join broadcasts:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"no sort-merge anywhere:\n$p")
+  }
+
+  test("q182: SQL UDFs inline — no UDF invocation survives into the plan") {
+    val p = formatted(Round9Queries.q182SqlUdf(spark, sf0001))
+    assert(!p.toLowerCase.contains("len_score") && !p.toLowerCase.contains("len_band"),
+      s"SQL UDFs must inline at analysis time:\n$p")
+    // the body inlines as a plain ln projection with ln(10) folded to
+    // its double literal — constant folding reaches inside UDF bodies
+    assert(p.contains("ln((1.0") && p.contains("2.302585092994046"),
+      s"the inlined, constant-folded ln expression should appear:\n$p")
+    assert(!p.contains("Join") && !p.contains("HashAggregate"),
+      s"pure projection expected:\n$p")
+  }
+
+  test("q183: NOT IN plans as a single-key null-aware anti join") {
+    val df = Round9Queries.q183NotInNullAware(spark, sf0001)
+    df.collect() // materialize so AQE finalizes the join strategy
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("LeftAnti, BuildRight, true"),
+      s"null-aware broadcast anti join expected:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin"),
+      s"the naive NAAJ fallback must not appear:\n$p")
+  }
+
+  test("q184: grouping sets are one Expand into one aggregate pass") {
+    val p = formatted(Round9Queries.q184GroupingSets(spark, sf0001))
+    assert(p.contains("Expand"), s"grouping sets plan via Expand:\n$p")
+    assert(!p.contains("Union"), s"never a union of separate aggregates:\n$p")
+    assert(!p.contains("Join"), s"no join expected:\n$p")
+  }
+
   test("q180: per-user rollup reuses the window's user_id partitioning") {
     val p = formatted(Round9Queries.q180Twap(spark, sf0001))
     // exactly two shuffles: the user_id window exchange and the final

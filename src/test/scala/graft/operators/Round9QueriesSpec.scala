@@ -113,6 +113,82 @@ class Round9QueriesSpec extends SparkTestBase {
     assert(rows.forall(r => math.abs(r.map(_._4).sum - 1.0) < 1e-3))
   }
 
+  // ------------------------------------------------------------- q181
+  test("q181: rolling 7-day distinct matches the direct window recount") {
+    val uw = eventsLocal.map(e => (e._1, e._3 / 86400000000L)).distinct
+    val days = uw.map(_._2).distinct
+    val expected = days.map { d =>
+      (d, uw.filter(p => p._2 >= d - 6 && p._2 <= d).map(_._1).distinct.length.toLong)
+    }.toSet
+    val got = Round9Queries.q181RollingDistinct(spark, sf0001)
+      .as[(Long, Long)].collect().toSet
+    assert(got === expected)
+    // the rolling count dominates the single-day count everywhere
+    val daily = uw.groupBy(_._2).map { case (d, g) => (d, g.length.toLong) }
+    assert(got.forall { case (d, n) => n >= daily(d) })
+  }
+
+  // ------------------------------------------------------------- q182
+  test("q182: SQL UDF projection matches the inlined expression") {
+    val docs = Tables.documents(spark, sf0001)
+      .select("doc_id", "n_chars").as[(Long, Long)].collect()
+    def score(n: Long): Double =
+      BigDecimal(math.log(1 + n.toDouble) / math.log(10))
+        .setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val expected = docs.map { case (id, n) =>
+      val sc = score(n)
+      (id, sc, if (sc < 2.5) "short" else if (sc < 3.0) "medium" else "long")
+    }.toSet
+    val got = Round9Queries.q182SqlUdf(spark, sf0001)
+      .as[(Long, Double, String)].collect().toSet
+    assert(got === expected)
+    // composition: the band column is consistent with the score column
+    assert(got.forall { case (_, sc, b) =>
+      b == (if (sc < 2.5) "short" else if (sc < 3.0) "medium" else "long") })
+  }
+
+  // ------------------------------------------------------------- q183
+  test("q183: NOT IN matches local anti-join; NULL in subquery empties it") {
+    val excluded = Tables.supplier(spark, sf0001)
+      .filter(col("s_acctbal") < 0).select("s_nationkey")
+      .as[Int].collect().toSet
+    val expected = Tables.customer(spark, sf0001)
+      .select("c_nationkey").as[Int].collect()
+      .filter(k => !excluded.contains(k))
+      .groupBy(identity).map { case (k, g) => (k, g.length.toLong) }.toSet
+    val got = Round9Queries.q183NotInNullAware(spark, sf0001)
+      .as[(Int, Long)].collect().toSet
+    assert(got === expected)
+    assert(got.nonEmpty)
+    // the three-valued-logic law the planner must preserve: one NULL
+    // in the subquery and NOT IN returns nothing
+    val withNull = spark.sql(
+      """SELECT x FROM VALUES (1),(2) AS t(x)
+        |WHERE x NOT IN (SELECT y FROM VALUES (2),(CAST(NULL AS INT)) AS u(y))""".stripMargin)
+    assert(withNull.count() === 0L)
+  }
+
+  // ------------------------------------------------------------- q184
+  test("q184: grouping sets equal the union of the three group-bys") {
+    val os = Tables.orders(spark, sf0001)
+      .select("o_orderstatus", "o_orderpriority", "o_totalprice")
+      .as[(String, String, Double)].collect()
+    def money(g: Iterable[Double]): Double =
+      r6(g.map(v => q0(v * 10000)).sum.toDouble / 10000.0)
+    val cells = os.groupBy(o => (o._1, o._2)).map { case ((a, b), g) =>
+      (a, b, 0L, g.size.toLong, money(g.map(_._3))) }
+    val byStatus = os.groupBy(_._1).map { case (a, g) =>
+      (a, null.asInstanceOf[String], 1L, g.size.toLong, money(g.map(_._3))) }
+    val byPrio = os.groupBy(_._2).map { case (b, g) =>
+      (null.asInstanceOf[String], b, 2L, g.size.toLong, money(g.map(_._3))) }
+    val expected = (cells ++ byStatus ++ byPrio).toSet
+    val got = Round9Queries.q184GroupingSets(spark, sf0001)
+      .as[(String, String, Long, Long, Double)].collect().toSet
+    assert(got === expected)
+    // no grand-total row — the asymmetry neither rollup nor cube makes
+    assert(!got.exists(_._3 == 3L))
+  }
+
   // ------------------------------------------------------------- q180
   test("q180: TWAP matches the local step-function integral") {
     val expected = eventsLocal.groupBy(_._1).toSeq.flatMap { case (u, g) =>
