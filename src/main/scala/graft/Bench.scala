@@ -91,7 +91,9 @@ object Bench {
     "q174_lateral_topn", "q175_recursive_depth", "q176_lang_signature",
     "q177_retention_cohorts", "q178_benford", "q179_transition_matrix",
     "q180_twap", "q181_rolling_distinct", "q182_sql_udf",
-    "q183_notin_nullaware", "q184_grouping_sets")
+    "q183_notin_nullaware", "q184_grouping_sets", "q185_bag_setops",
+    "q186_scalar_subquery", "q187_ntile_deciles", "q188_training_order",
+    "q189_nullsafe_diff")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -422,6 +422,164 @@ object Round9Queries {
       |                        (o_orderstatus), (o_orderpriority))
       |ORDER BY gid, o_orderstatus, o_orderpriority""".stripMargin
 
+  // ---------------------------------------------------------------- q185
+  /** Bag-semantics set operators — `INTERSECT ALL` (min multiplicity)
+    * and `EXCEPT ALL` (truncated difference), the multiset halves of
+    * q7's set-semantics family. Spark plans both WITHOUT
+    * materializing per-row duplicates: a count aggregate per side,
+    * then a generate of min(c_a, c_b) / max(0, c_a - c_b) copies —
+    * the rollup below collapses them right back, so the whole query
+    * is two keyed aggregates at any scale. Gated against DuckDB's
+    * native ALL variants — two independent implementations of the
+    * multiset algebra.
+    */
+  def q185BagSetOps(s: SparkSession, dir: String): DataFrame = {
+    Tables.events(s, dir).createOrReplaceTempView("events_v")
+    s.sql(
+      """WITH a AS (SELECT event_type FROM events_v WHERE user_id % 2 = 0),
+        |b AS (SELECT event_type FROM events_v WHERE user_id % 2 = 1),
+        |i AS (SELECT event_type FROM a INTERSECT ALL SELECT event_type FROM b),
+        |e AS (SELECT event_type FROM a EXCEPT ALL SELECT event_type FROM b)
+        |SELECT 'intersect_all' AS op, event_type, count(*) AS n
+        |FROM i GROUP BY event_type
+        |UNION ALL
+        |SELECT 'except_all' AS op, event_type, count(*) AS n
+        |FROM e GROUP BY event_type
+        |ORDER BY op, event_type""".stripMargin)
+  }
+
+  val q185Sql: String =
+    """WITH a AS (SELECT event_type FROM events WHERE user_id % 2 = 0),
+      |b AS (SELECT event_type FROM events WHERE user_id % 2 = 1),
+      |i AS (SELECT event_type FROM a INTERSECT ALL SELECT event_type FROM b),
+      |e AS (SELECT event_type FROM a EXCEPT ALL SELECT event_type FROM b)
+      |SELECT 'intersect_all' AS op, event_type, count(*) AS n
+      |FROM i GROUP BY event_type
+      |UNION ALL
+      |SELECT 'except_all' AS op, event_type, count(*) AS n
+      |FROM e GROUP BY event_type
+      |ORDER BY op, event_type""".stripMargin
+
+  // ---------------------------------------------------------------- q186
+  /** Correlated scalar subqueries in the SELECT list — the report-
+    * writer's form of q9's WHERE-clause correlation. Spark de-
+    * correlates each into an aggregate + left outer join (never a
+    * per-row re-execution — the plan lock asserts joins, not loops),
+    * which is why the form scales: both subqueries become broadcast
+    * joins against region-bounded aggregates. Empty-group semantics
+    * ride the outer join's NULL on both engines identically.
+    */
+  def q186ScalarSubquery(s: SparkSession, dir: String): DataFrame = {
+    Tables.region(s, dir).createOrReplaceTempView("region")
+    Tables.nation(s, dir).createOrReplaceTempView("nation")
+    Tables.supplier(s, dir).createOrReplaceTempView("supplier")
+    s.sql(q186Sql)
+  }
+
+  val q186Sql: String =
+    """SELECT r.r_name,
+      |  (SELECT count(*) FROM nation n
+      |   WHERE n.n_regionkey = r.r_regionkey) AS n_nations,
+      |  (SELECT round(CAST(sum(CAST(round(s.s_acctbal*10000, 0) AS BIGINT)) AS DOUBLE)/10000.0, 6)
+      |   FROM supplier s JOIN nation n2 ON s.s_nationkey = n2.n_nationkey
+      |   WHERE n2.n_regionkey = r.r_regionkey) AS region_bal
+      |FROM region r ORDER BY r.r_name""".stripMargin
+
+  // ---------------------------------------------------------------- q187
+  /** Equi-depth deciles via `ntile` — the rank-family window function
+    * the showcase (q68) did not cover, and the exact counterpart of
+    * q64's quartile buckets: ntile splits the ordered partition into
+    * 10 near-equal buckets (larger buckets FIRST — the split rule
+    * probed identical on both engines: 7 rows into 3 tiles = 3,2,2).
+    * The order key carries the event_id tie-break, without which equal
+    * values straddling a bucket boundary would land nondeterministic-
+    * ally. Output is the per-bucket profile (count + exact value
+    * bounds) — bucket boundaries for a downstream equi-depth binner,
+    * q170's equi-width complement.
+    */
+  def q187NtileDeciles(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("event_type"))
+      .orderBy(col("value"), col("event_id"))
+    Tables.events(s, dir)
+      .withColumn("decile", ntile(10).over(w).cast("long"))
+      .groupBy(col("event_type"), col("decile"))
+      .agg(count(lit(1)).as("n"),
+        round(min(col("value")), 6).as("lo"),
+        round(max(col("value")), 6).as("hi"))
+      .orderBy(col("event_type"), col("decile"))
+  }
+
+  val q187Sql: String =
+    """SELECT event_type, CAST(decile AS BIGINT) AS decile, count(*) AS n,
+      |       round(min(value), 6) AS lo, round(max(value), 6) AS hi
+      |FROM (SELECT event_type, value, event_id,
+      |             ntile(10) OVER (PARTITION BY event_type
+      |               ORDER BY value, event_id) AS decile
+      |      FROM events)
+      |GROUP BY event_type, decile
+      |ORDER BY event_type, decile""".stripMargin
+
+  // ---------------------------------------------------------------- q188
+  /** Deterministic training order — the data-ordering step a
+    * pretraining run executes after curation: a reproducible global
+    * permutation (md5 over a seeded doc key — the engine's standing
+    * no-rand() rule, q48/q60/q113), with round-robin shard assignment
+    * off the shuffled position. Byte-identical on every rerun and
+    * engine — which is what makes training runs reproducible and
+    * resumable. The global row_number rides one total sort at gate
+    * scale; at 100 TB it becomes the q157 range-partitioned sort with
+    * per-partition offsets (the plan is the same sort either way).
+    */
+  val TrainSeed = "ord42"
+  val TrainShards = 8
+
+  def q188TrainingOrder(s: SparkSession, dir: String): DataFrame = {
+    val key = md5(concat(lit(TrainSeed + "|"),
+      col("doc_id").cast("string")).cast("binary"))
+    Tables.documents(s, dir)
+      .select(col("doc_id"), col("source"), key.as("ord_key"))
+      .withColumn("pos", row_number()
+        .over(Window.orderBy(col("ord_key"), col("doc_id"))).cast("long"))
+      .withColumn("shard", (col("pos") - 1) % TrainShards)
+      .select(col("pos"), col("doc_id"), col("source"), col("shard"))
+      .orderBy(col("pos"))
+  }
+
+  val q188Sql: String =
+    s"""SELECT CAST(row_number() OVER (ORDER BY md5('$TrainSeed|' || CAST(doc_id AS VARCHAR)), doc_id) AS BIGINT) AS pos,
+       |       doc_id, source,
+       |       (CAST(row_number() OVER (ORDER BY md5('$TrainSeed|' || CAST(doc_id AS VARCHAR)), doc_id) AS BIGINT) - 1) % $TrainShards AS shard
+       |FROM documents ORDER BY pos""".stripMargin
+
+  // ---------------------------------------------------------------- q189
+  /** Null-safe snapshot comparison — `IS DISTINCT FROM`, the three-
+    * valued-logic-proof inequality every CDC/reconciliation diff needs
+    * (plain `<>` silently drops any row where either side is NULL).
+    * Two derived snapshots NULL out different langs, so the diff
+    * exercises NULL-vs-value in BOTH directions and value-vs-value on
+    * the rest; the join is a co-partitioned equi-join on doc_id and
+    * the null-safe predicate is a row-local filter on top — no
+    * special join machinery needed, which is the point of expressing
+    * diffs this way at 100 TB.
+    */
+  def q189NullSafeDiff(s: SparkSession, dir: String): DataFrame = {
+    val a = Tables.documents(s, dir)
+      .select(col("doc_id"), nullif(col("lang"), lit("fr")).as("lang_a"))
+    val b = Tables.documents(s, dir)
+      .select(col("doc_id"), nullif(col("lang"), lit("de")).as("lang_b"))
+    a.join(b, "doc_id")
+      .filter(not(col("lang_a") <=> col("lang_b")))
+      .orderBy(col("doc_id"))
+  }
+
+  val q189Sql: String =
+    """SELECT a.doc_id, a.lang_a, b.lang_b
+      |FROM (SELECT doc_id, nullif(lang, 'fr') AS lang_a FROM documents) a
+      |JOIN (SELECT doc_id, nullif(lang, 'de') AS lang_b FROM documents) b
+      |  ON a.doc_id = b.doc_id
+      |WHERE a.lang_a IS DISTINCT FROM b.lang_b
+      |ORDER BY a.doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q175_recursive_depth" -> (q175RecursiveDepth _),
     "q176_lang_signature" -> (q176LangSignature _),
@@ -433,6 +591,11 @@ object Round9Queries {
     "q182_sql_udf" -> (q182SqlUdf _),
     "q183_notin_nullaware" -> (q183NotInNullAware _),
     "q184_grouping_sets" -> (q184GroupingSets _),
+    "q185_bag_setops" -> (q185BagSetOps _),
+    "q186_scalar_subquery" -> (q186ScalarSubquery _),
+    "q187_ntile_deciles" -> (q187NtileDeciles _),
+    "q188_training_order" -> (q188TrainingOrder _),
+    "q189_nullsafe_diff" -> (q189NullSafeDiff _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -446,5 +609,10 @@ object Round9Queries {
     "q182_sql_udf" -> q182Sql,
     "q183_notin_nullaware" -> q183Sql,
     "q184_grouping_sets" -> q184Sql,
+    "q185_bag_setops" -> q185Sql,
+    "q186_scalar_subquery" -> q186Sql,
+    "q187_ntile_deciles" -> q187Sql,
+    "q188_training_order" -> q188Sql,
+    "q189_nullsafe_diff" -> q189Sql,
   )
 }

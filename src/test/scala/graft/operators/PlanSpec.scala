@@ -459,6 +459,42 @@ class PlanSpec extends SparkTestBase {
     assert(!p.contains("Join"), s"no join expected:\n$p")
   }
 
+  test("q185: bag set ops replicate via count+Generate, never a row join") {
+    val p = formatted(Round9Queries.q185BagSetOps(spark, sf0001))
+    assert(!p.contains("Join"), s"multiset algebra is aggregate-based:\n$p")
+    assert(p.contains("- Generate ("),
+      s"multiplicity replication via Generate expected:\n$p")
+  }
+
+  test("q186: scalar subqueries decorrelate into broadcast joins") {
+    val p = formatted(Round9Queries.q186ScalarSubquery(spark, sf0001))
+    assert(p.contains("BroadcastHashJoin"),
+      s"decorrelated aggregate joins expected:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin"),
+      s"never per-row re-execution:\n$p")
+  }
+
+  test("q187: decile rollup reuses the window's event_type partitioning") {
+    val p = formatted(Round9Queries.q187NtileDeciles(spark, sf0001))
+    val exchanges = p.linesIterator.count(_.contains("- Exchange ("))
+    assert(exchanges === 2, s"window + final sort only, got $exchanges:\n$p")
+  }
+
+  test("q188: training order pays exactly one global sort window") {
+    val p = formatted(Round9Queries.q188TrainingOrder(spark, sf0001))
+    assert(p.linesIterator.count(_.contains("- Window (")) === 1,
+      s"one permutation window expected:\n$p")
+    assert(!p.contains("Join"), s"no join expected:\n$p")
+  }
+
+  test("q189: null-safe diff is an equi-join, not a nested loop") {
+    val p = formatted(Round9Queries.q189NullSafeDiff(spark, sf0001))
+    assert(p.contains("BroadcastHashJoin") || p.contains("SortMergeJoin"),
+      s"keyed equi-join expected:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin"),
+      s"null-safe predicate must not force a nested loop:\n$p")
+  }
+
   test("q180: per-user rollup reuses the window's user_id partitioning") {
     val p = formatted(Round9Queries.q180Twap(spark, sf0001))
     // exactly two shuffles: the user_id window exchange and the final

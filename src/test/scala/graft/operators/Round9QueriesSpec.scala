@@ -17,6 +17,10 @@ class Round9QueriesSpec extends SparkTestBase {
   private def r6(x: Double): Double =
     BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
 
+  private def md5Hex(s: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+
   /** (user_id, event_id, ts_us, value) sorted the way the window sorts. */
   private def eventsLocal: Array[(Long, Long, Long, Double)] =
     Tables.events(spark, sf0001)
@@ -187,6 +191,113 @@ class Round9QueriesSpec extends SparkTestBase {
     assert(got === expected)
     // no grand-total row — the asymmetry neither rollup nor cube makes
     assert(!got.exists(_._3 == 3L))
+  }
+
+  // ------------------------------------------------------------- q185
+  test("q185: bag set ops match min/truncated-difference multiplicity") {
+    val ev = Tables.events(spark, sf0001)
+      .select("user_id", "event_type").as[(Long, String)].collect()
+    val ca = ev.filter(_._1 % 2 == 0).groupBy(_._2).view.mapValues(_.length.toLong).toMap
+    val cb = ev.filter(_._1 % 2 == 1).groupBy(_._2).view.mapValues(_.length.toLong).toMap
+    val expected =
+      (ca.keySet & cb.keySet).map(t => ("intersect_all", t, math.min(ca(t), cb(t))))
+        .filter(_._3 > 0) ++
+      ca.keySet.flatMap { t =>
+        val d = ca(t) - cb.getOrElse(t, 0L)
+        if (d > 0) Some(("except_all", t, d)) else None
+      }
+    val got = Round9Queries.q185BagSetOps(spark, sf0001)
+      .as[(String, String, Long)].collect().toSet
+    assert(got === expected.toSet)
+    assert(got.exists(_._1 == "intersect_all") && got.exists(_._1 == "except_all"))
+  }
+
+  // ------------------------------------------------------------- q186
+  test("q186: scalar subqueries match per-region local rollups") {
+    val nat = Tables.nation(spark, sf0001)
+      .select("n_nationkey", "n_regionkey").as[(Int, Int)].collect().toMap
+    val sup = Tables.supplier(spark, sf0001)
+      .select("s_nationkey", "s_acctbal").as[(Int, Double)].collect()
+    val regions = Tables.region(spark, sf0001)
+      .select("r_regionkey", "r_name").as[(Int, String)].collect()
+    val expected = regions.map { case (rk, rn) =>
+      val nations = nat.filter(_._2 == rk).keySet
+      val bals = sup.filter(s => nations.contains(s._1)).map(_._2)
+      (rn, nations.size.toLong,
+        r6(bals.map(b => q0(b * 10000)).sum.toDouble / 10000.0))
+    }.toSet
+    val got = Round9Queries.q186ScalarSubquery(spark, sf0001)
+      .as[(String, Long, Double)].collect().toSet
+    assert(got === expected)
+  }
+
+  // ------------------------------------------------------------- q187
+  test("q187: deciles match the local ntile split rule") {
+    val ev = Tables.events(spark, sf0001)
+      .select("event_type", "event_id", "value")
+      .as[(String, Long, Double)].collect()
+    val expected = ev.groupBy(_._1).toSeq.flatMap { case (t, g) =>
+      val sorted = g.sortBy(e => (e._3, e._2))
+      val n = sorted.length; val base = n / 10; val extra = n % 10
+      // ntile split rule: the first (n mod 10) buckets get base+1 rows
+      val sizes = (1 to 10).map(i => if (i <= extra) base + 1 else base)
+      val offsets = sizes.scanLeft(0)(_ + _)
+      (1 to 10).flatMap { d =>
+        val slice = sorted.slice(offsets(d - 1), offsets(d))
+        if (slice.isEmpty) None
+        else Some((t, d.toLong, slice.length.toLong,
+          r6(slice.map(_._3).min), r6(slice.map(_._3).max)))
+      }
+    }.toSet
+    val got = Round9Queries.q187NtileDeciles(spark, sf0001)
+      .as[(String, Long, Long, Double, Double)].collect().toSet
+    assert(got === expected)
+    // buckets tile the partition: bounds are non-overlapping in order
+    val byType = got.toSeq.groupBy(_._1).values
+    assert(byType.forall { b =>
+      b.sortBy(_._2).sliding(2).forall {
+        case Seq(x, y) => x._5 <= y._4 + 1e-9; case _ => true } })
+  }
+
+  // ------------------------------------------------------------- q188
+  test("q188: training order is the md5 permutation, shards balanced") {
+    val docs = Tables.documents(spark, sf0001)
+      .select("doc_id", "source").as[(Long, String)].collect()
+    val expected = docs
+      .map { case (id, src) =>
+        (md5Hex(s"${Round9Queries.TrainSeed}|$id"), id, src) }
+      .sortBy(e => (e._1, e._2)).zipWithIndex
+      .map { case ((_, id, src), i) =>
+        (i + 1L, id, src, i.toLong % Round9Queries.TrainShards) }.toSet
+    val got = Round9Queries.q188TrainingOrder(spark, sf0001)
+      .as[(Long, Long, String, Long)].collect().toSet
+    assert(got === expected)
+    // a permutation: positions are exactly 1..n, shards off-by-at-most-one
+    assert(got.map(_._1) === (1L to docs.length).toSet)
+    val shardSizes = got.toSeq.groupBy(_._4).values.map(_.size)
+    assert(shardSizes.max - shardSizes.min <= 1)
+  }
+
+  // ------------------------------------------------------------- q189
+  test("q189: null-safe diff finds exactly the fr/de rows; <> finds none") {
+    val docs = Tables.documents(spark, sf0001)
+      .select("doc_id", "lang").as[(Long, String)].collect()
+    val expected = docs.collect {
+      case (id, "fr") => (id, null.asInstanceOf[String], "fr")
+      case (id, "de") => (id, "de", null.asInstanceOf[String])
+    }.toSet
+    val got = Round9Queries.q189NullSafeDiff(spark, sf0001)
+      .as[(Long, String, String)].collect().toSet
+    assert(got === expected)
+    assert(got.nonEmpty)
+    // the trap the operator exists for: plain <> drops every NULL row
+    val a = Tables.documents(spark, sf0001)
+      .select(col("doc_id"), org.apache.spark.sql.functions
+        .nullif(col("lang"), org.apache.spark.sql.functions.lit("fr")).as("lang_a"))
+    val b = Tables.documents(spark, sf0001)
+      .select(col("doc_id"), org.apache.spark.sql.functions
+        .nullif(col("lang"), org.apache.spark.sql.functions.lit("de")).as("lang_b"))
+    assert(a.join(b, "doc_id").filter(col("lang_a") =!= col("lang_b")).count() === 0L)
   }
 
   // ------------------------------------------------------------- q180
