@@ -93,7 +93,8 @@ object Bench {
     "q180_twap", "q181_rolling_distinct", "q182_sql_udf",
     "q183_notin_nullaware", "q184_grouping_sets", "q185_bag_setops",
     "q186_scalar_subquery", "q187_ntile_deciles", "q188_training_order",
-    "q189_nullsafe_diff")
+    "q189_nullsafe_diff", "q190_union_by_name", "q191_expectations",
+    "q192_cadence_histogram", "q193_topk_with_ties")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

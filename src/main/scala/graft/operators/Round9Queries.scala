@@ -580,6 +580,171 @@ object Round9Queries {
       |WHERE a.lang_a IS DISTINCT FROM b.lang_b
       |ORDER BY a.doc_id""".stripMargin
 
+  // ---------------------------------------------------------------- q190
+  /** Schema-aligning union — `unionByName(allowMissingColumns=true)`,
+    * the API that merges heterogeneous feeds into one table without
+    * positional-union silent corruption (plain `union` matches columns
+    * BY POSITION — reordered schemas scramble data without an error).
+    * Documents and events project into a shared item shape; columns
+    * absent on one side surface as NULLs. The reading side of q134's
+    * schema-evolution story, as an operator. Map-only: two scans, one
+    * union, no exchange until the presentation sort. DuckDB's `UNION
+    * ALL BY NAME` is the independent twin.
+    */
+  def q190UnionByName(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir).select(
+      col("doc_id").as("item_id"), lit("doc").as("kind"),
+      col("source"), col("lang"), col("n_chars").as("size"))
+    val events = Tables.events(s, dir).select(
+      col("event_id").as("item_id"), lit("event").as("kind"),
+      col("event_type").as("source"), round(col("value"), 6).as("value"))
+    docs.unionByName(events, allowMissingColumns = true)
+      .orderBy(col("kind"), col("item_id"))
+  }
+
+  val q190Sql: String =
+    """SELECT * FROM (
+      |  SELECT doc_id AS item_id, 'doc' AS kind, source, lang,
+      |         n_chars AS size
+      |  FROM documents
+      |  UNION ALL BY NAME
+      |  SELECT event_id AS item_id, 'event' AS kind,
+      |         event_type AS source, round(value, 6) AS value
+      |  FROM events)
+      |ORDER BY kind, item_id""".stripMargin
+
+  // ---------------------------------------------------------------- q191
+  /** Single-pass data-expectations report — the Deequ/Great-
+    * Expectations pattern: EVERY constraint metric (row count, null
+    * rates, range violations, domain violations, key uniqueness,
+    * freshness window) computed as conditional aggregates in ONE scan,
+    * then reshaped long. The alternative — one query per check — scans
+    * the corpus once per metric; at 100 TB the single fused pass IS
+    * the feature. All metrics are exact integers; the distinct-key
+    * check rides the same aggregate via count(DISTINCT). The oracle is
+    * the deliberately-naive per-metric scalar-subquery form — two
+    * formulations, one hash.
+    */
+  def q191Expectations(s: SparkSession, dir: String): DataFrame = {
+    val knownTypes = Seq("click", "error", "purchase", "signup", "view")
+    val wide = Tables.events(s, dir).agg(
+      count(lit(1)).as("n_rows"),
+      count(col("event_id")).as("n_ids"),
+      countDistinct(col("event_id")).as("n_distinct_ids"),
+      sum(when(col("user_id").isNull, 1L).otherwise(0L)).as("n_null_user"),
+      sum(when(col("value") < 0 || col("value") > 1000000, 1L)
+        .otherwise(0L)).as("n_value_range_violations"),
+      sum(when(!col("event_type").isin(knownTypes: _*), 1L)
+        .otherwise(0L)).as("n_unknown_types"),
+      sum(when(expr("unix_millis(ts)") < lit(1704067200000L) ||
+        expr("unix_millis(ts)") >= lit(1767225600000L), 1L)
+        .otherwise(0L)).as("n_ts_out_of_window"))
+    wide.unpivot(Array.empty[org.apache.spark.sql.Column],
+        wide.columns.map(col).toArray, "metric", "value")
+      .orderBy(col("metric"))
+  }
+
+  val q191Sql: String =
+    """SELECT metric, value FROM (
+      |  SELECT 'n_rows' AS metric, count(*) AS value FROM events
+      |  UNION ALL
+      |  SELECT 'n_ids', count(event_id) FROM events
+      |  UNION ALL
+      |  SELECT 'n_distinct_ids', count(DISTINCT event_id) FROM events
+      |  UNION ALL
+      |  SELECT 'n_null_user', count(*) FILTER (WHERE user_id IS NULL) FROM events
+      |  UNION ALL
+      |  SELECT 'n_value_range_violations',
+      |         count(*) FILTER (WHERE value < 0 OR value > 1000000) FROM events
+      |  UNION ALL
+      |  SELECT 'n_unknown_types',
+      |         count(*) FILTER (WHERE event_type NOT IN
+      |           ('click','error','purchase','signup','view')) FROM events
+      |  UNION ALL
+      |  SELECT 'n_ts_out_of_window',
+      |         count(*) FILTER (WHERE epoch(ts) < 1704067200
+      |                             OR epoch(ts) >= 1767225600) FROM events)
+      |ORDER BY metric""".stripMargin
+
+  // ---------------------------------------------------------------- q192
+  /** Inter-event cadence histogram — order-of-magnitude profile of the
+    * gaps between consecutive events per user, the diagnostic behind
+    * session-gap and watermark sizing (q31's 30-min threshold, q111's
+    * session windows: this table is how you'd CHOOSE those numbers).
+    * The magnitude bucket is the DECIMAL DIGIT COUNT of the
+    * microsecond gap — string length of the integer, exact on both
+    * engines — never float log10, whose power-of-ten cells drift (the
+    * q178 rule). One lag over the standing (user_id, ts_us, event_id)
+    * ordering; the histogram is |types|×|magnitudes| metadata.
+    */
+  def q192CadenceHistogram(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts_us"), col("event_id"))
+    Tables.events(s, dir)
+      .withColumn("ts_us", unix_micros(col("ts")))
+      .withColumn("gap_us", col("ts_us") - lag(col("ts_us"), 1).over(w))
+      .filter(col("gap_us").isNotNull)
+      .withColumn("magnitude", length(col("gap_us").cast("string")).cast("long"))
+      .groupBy(col("event_type"), col("magnitude"))
+      .agg(count(lit(1)).as("n"),
+        min(col("gap_us")).as("min_gap_us"),
+        max(col("gap_us")).as("max_gap_us"))
+      .orderBy(col("event_type"), col("magnitude"))
+  }
+
+  val q192Sql: String =
+    """WITH g AS (
+      |  SELECT event_type,
+      |         epoch_us(ts) - lag(epoch_us(ts)) OVER (PARTITION BY user_id
+      |           ORDER BY ts, event_id) AS gap_us
+      |  FROM events)
+      |SELECT event_type,
+      |       CAST(length(CAST(gap_us AS VARCHAR)) AS BIGINT) AS magnitude,
+      |       count(*) AS n,
+      |       min(gap_us) AS min_gap_us, max(gap_us) AS max_gap_us
+      |FROM g WHERE gap_us IS NOT NULL
+      |GROUP BY event_type, magnitude
+      |ORDER BY event_type, magnitude""".stripMargin
+
+  // ---------------------------------------------------------------- q193
+  /** Top-k WITH TIES — `rank()` semantics against the row_number
+    * family (q3, `TopKPerKeyExec`): ranking customers per nation by
+    * ORDER COUNT, an integer key where ties are guaranteed, every
+    * tied customer at the boundary is KEPT, and the result can exceed
+    * k rows per group — the semantics ANSI `FETCH FIRST k ROWS WITH
+    * TIES` names. rank() assigns equal ranks deterministically, so
+    * the kept SET is deterministic even though a row_number cutoff
+    * would not be without a tie-break. |customers| ranking rows, not
+    * |orders|.
+    */
+  val TopKTies = 3
+
+  def q193TopKWithTies(s: SparkSession, dir: String): DataFrame = {
+    val counts = Tables.orders(s, dir)
+      .groupBy(col("o_custkey")).agg(count(lit(1)).as("n_orders"))
+    val w = Window.partitionBy(col("c_nationkey"))
+      .orderBy(col("n_orders").desc)
+    Tables.customer(s, dir)
+      .join(counts, col("c_custkey") === col("o_custkey"))
+      .withColumn("rk", rank().over(w).cast("long"))
+      .filter(col("rk") <= TopKTies)
+      .select(col("c_nationkey"), col("rk"), col("c_custkey"),
+        col("n_orders"))
+      .orderBy(col("c_nationkey"), col("rk"), col("c_custkey"))
+  }
+
+  val q193Sql: String =
+    s"""WITH counts AS (
+       |  SELECT o_custkey, count(*) AS n_orders FROM orders GROUP BY o_custkey),
+       |ranked AS (
+       |  SELECT c.c_nationkey, c.c_custkey, k.n_orders,
+       |         CAST(rank() OVER (PARTITION BY c.c_nationkey
+       |           ORDER BY k.n_orders DESC) AS BIGINT) AS rk
+       |  FROM customer c JOIN counts k ON c.c_custkey = k.o_custkey)
+       |SELECT c_nationkey, rk, c_custkey, n_orders
+       |FROM ranked WHERE rk <= $TopKTies
+       |ORDER BY c_nationkey, rk, c_custkey""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q175_recursive_depth" -> (q175RecursiveDepth _),
     "q176_lang_signature" -> (q176LangSignature _),
@@ -596,6 +761,10 @@ object Round9Queries {
     "q187_ntile_deciles" -> (q187NtileDeciles _),
     "q188_training_order" -> (q188TrainingOrder _),
     "q189_nullsafe_diff" -> (q189NullSafeDiff _),
+    "q190_union_by_name" -> (q190UnionByName _),
+    "q191_expectations" -> (q191Expectations _),
+    "q192_cadence_histogram" -> (q192CadenceHistogram _),
+    "q193_topk_with_ties" -> (q193TopKWithTies _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -614,5 +783,9 @@ object Round9Queries {
     "q187_ntile_deciles" -> q187Sql,
     "q188_training_order" -> q188Sql,
     "q189_nullsafe_diff" -> q189Sql,
+    "q190_union_by_name" -> q190Sql,
+    "q191_expectations" -> q191Sql,
+    "q192_cadence_histogram" -> q192Sql,
+    "q193_topk_with_ties" -> q193Sql,
   )
 }

@@ -495,6 +495,43 @@ class PlanSpec extends SparkTestBase {
       s"null-safe predicate must not force a nested loop:\n$p")
   }
 
+  test("q190: schema-aligned union is map-only until the final sort") {
+    val p = formatted(Round9Queries.q190UnionByName(spark, sf0001))
+    assert(p.contains("Union"), s"one union expected:\n$p")
+    assert(!p.contains("Join") && !p.contains("HashAggregate"),
+      s"no join, no aggregate:\n$p")
+    val exchanges = p.linesIterator.count(_.contains("- Exchange ("))
+    assert(exchanges === 1, s"only the presentation sort shuffles:\n$p")
+  }
+
+  test("q191: all expectations fuse into one corpus scan") {
+    val p = formatted(Round9Queries.q191Expectations(spark, sf0001))
+    // count detail-section node headers "(n) Scan parquet" — the tree
+    // section renders the same node a second time
+    assert(p.linesIterator.count(_.matches("""\(\d+\) Scan parquet\s*""")) === 1,
+      s"one pass over events for every metric:\n$p")
+    assert(!p.contains("Join"), s"no join expected:\n$p")
+  }
+
+  test("q192: cadence shares the standing user window; rollup co-partitions nothing extra") {
+    val p = formatted(Round9Queries.q192CadenceHistogram(spark, sf0001))
+    assert(p.linesIterator.count(_.contains("- Window (")) === 1,
+      s"one lag window expected:\n$p")
+    assert(!p.contains("Join"), s"no join expected:\n$p")
+  }
+
+  test("q193: rank<=k pushes down as partial+final WindowGroupLimit") {
+    val p = formatted(Round9Queries.q193TopKWithTies(spark, sf0001))
+    // Spark's rank-limit optimization: a WindowGroupLimit BEFORE the
+    // window exchange truncates each partition to its local top-k
+    // (ties kept), then a final one after — at most ~k rows per key
+    // cross the shuffle, the built-in analog of TopKPerKeyExec
+    assert(p.linesIterator.count(_.contains("WindowGroupLimit")) >= 2,
+      s"partial+final rank-limit pushdown expected:\n$p")
+    assert(p.contains("HashAggregate"),
+      s"rank must run over the counts table, built from one agg:\n$p")
+  }
+
   test("q180: per-user rollup reuses the window's user_id partitioning") {
     val p = formatted(Round9Queries.q180Twap(spark, sf0001))
     // exactly two shuffles: the user_id window exchange and the final

@@ -300,6 +300,97 @@ class Round9QueriesSpec extends SparkTestBase {
     assert(a.join(b, "doc_id").filter(col("lang_a") =!= col("lang_b")).count() === 0L)
   }
 
+  // ------------------------------------------------------------- q190
+  test("q190: unionByName aligns columns; absent ones are NULL") {
+    val got = Round9Queries.q190UnionByName(spark, sf0001)
+    val nDocs = Tables.documents(spark, sf0001).count()
+    val nEvents = Tables.events(spark, sf0001).count()
+    assert(got.count() === nDocs + nEvents)
+    // docs carry lang/size and never value; events the reverse
+    assert(got.filter(col("kind") === "doc")
+      .filter(col("value").isNotNull).count() === 0L)
+    assert(got.filter(col("kind") === "doc")
+      .filter(col("lang").isNull || col("size").isNull).count() === 0L)
+    assert(got.filter(col("kind") === "event")
+      .filter(col("lang").isNotNull || col("size").isNotNull).count() === 0L)
+    assert(got.filter(col("kind") === "event")
+      .filter(col("value").isNull).count() === 0L)
+  }
+
+  // ------------------------------------------------------------- q191
+  test("q191: fused expectations equal independently-computed checks") {
+    val ev = Tables.events(spark, sf0001)
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        col("value"), org.apache.spark.sql.functions
+          .unix_millis(col("ts")).as("ts_ms"))
+      .as[(Long, Long, String, Double, Long)].collect()
+    val known = Set("click", "error", "purchase", "signup", "view")
+    val expected = Set(
+      ("n_rows", ev.length.toLong),
+      ("n_ids", ev.length.toLong),
+      ("n_distinct_ids", ev.map(_._1).distinct.length.toLong),
+      ("n_null_user", 0L),
+      ("n_value_range_violations",
+        ev.count(e => e._4 < 0 || e._4 > 1000000).toLong),
+      ("n_unknown_types", ev.count(e => !known(e._3)).toLong),
+      ("n_ts_out_of_window", ev.count(e =>
+        e._5 < 1704067200000L || e._5 >= 1767225600000L).toLong))
+    val got = Round9Queries.q191Expectations(spark, sf0001)
+      .as[(String, Long)].collect().toSet
+    assert(got === expected)
+    // the uniqueness expectation holds on this table
+    assert(got.find(_._1 == "n_distinct_ids").get._2 ===
+      got.find(_._1 == "n_rows").get._2)
+  }
+
+  // ------------------------------------------------------------- q192
+  test("q192: cadence magnitudes match local digit-count bucketing") {
+    val byUser = Tables.events(spark, sf0001)
+      .select(col("user_id"), col("event_id"),
+        org.apache.spark.sql.functions.unix_micros(col("ts")).as("ts_us"),
+        col("event_type"))
+      .as[(Long, Long, Long, String)].collect()
+      .groupBy(_._1)
+    val gaps2 = byUser.toSeq.flatMap { case (_, g) =>
+      val s = g.sortBy(e => (e._3, e._2))
+      s.sliding(2).collect { case Array(a, b) => (b._4, b._3 - a._3) }
+    }
+    val expected = gaps2.groupBy { case (t, gap) =>
+      (t, gap.toString.length.toLong) }
+      .map { case ((t, m), grp) =>
+        (t, m, grp.size.toLong, grp.map(_._2).min, grp.map(_._2).max) }.toSet
+    val got = Round9Queries.q192CadenceHistogram(spark, sf0001)
+      .as[(String, Long, Long, Long, Long)].collect().toSet
+    assert(got === expected)
+    // min/max stay inside their decimal-magnitude cell
+    assert(got.forall { case (_, m, _, lo, hi) =>
+      lo.toString.length == m && hi.toString.length == m })
+  }
+
+  // ------------------------------------------------------------- q193
+  test("q193: rank keeps boundary ties; groups may exceed k rows") {
+    val orders = Tables.orders(spark, sf0001)
+      .select("o_custkey").as[Long].collect()
+      .groupBy(identity).map { case (k, g) => (k, g.length.toLong) }
+    val cust = Tables.customer(spark, sf0001)
+      .select("c_custkey", "c_nationkey").as[(Long, Int)].collect()
+    val expected = cust.flatMap { case (ck, nk) =>
+      orders.get(ck).map(n => (nk, ck, n)) }
+      .groupBy(_._1).toSeq.flatMap { case (nk, g) =>
+        val sorted = g.sortBy(-_._3)
+        sorted.map { case (_, ck, n) =>
+          val rk = sorted.count(_._3 > n) + 1L
+          (nk, rk, ck, n)
+        }.filter(_._2 <= Round9Queries.TopKTies)
+      }.toSet
+    val got = Round9Queries.q193TopKWithTies(spark, sf0001)
+      .as[(Int, Long, Long, Long)].collect().toSet
+    assert(got === expected)
+    // ties are real on this data: some group keeps more than k rows
+    assert(got.groupBy(_._1).exists(_._2.size > Round9Queries.TopKTies),
+      "expected at least one nation with boundary ties kept")
+  }
+
   // ------------------------------------------------------------- q180
   test("q180: TWAP matches the local step-function integral") {
     val expected = eventsLocal.groupBy(_._1).toSeq.flatMap { case (u, g) =>
