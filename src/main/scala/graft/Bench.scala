@@ -94,7 +94,8 @@ object Bench {
     "q183_notin_nullaware", "q184_grouping_sets", "q185_bag_setops",
     "q186_scalar_subquery", "q187_ntile_deciles", "q188_training_order",
     "q189_nullsafe_diff", "q190_union_by_name", "q191_expectations",
-    "q192_cadence_histogram", "q193_topk_with_ties")
+    "q192_cadence_histogram", "q193_topk_with_ties", "q194_doc_keywords",
+    "q195_correlation")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -407,7 +407,39 @@ object DocQueries {
        |        / (CAST(n AS DOUBLE) * 1000.0), 6) AS intercept_nats
        |FROM m""".stripMargin
 
+  // ---------------------------------------------------------------- q194
+  /** Per-document keyword extraction — top-3 TF-IDF terms per doc, the
+    * classic summarization/indexing primitive built directly on q12's
+    * gated vectors. row_number (not rank) with the term tie-break,
+    * because equal weights are common in short docs and the extracted
+    * keyword SET must be deterministic; Spark pushes the rk<=3 filter
+    * down as partial+final WindowGroupLimit (the q193 property), so at
+    * most ~3 rows per doc cross the window exchange — keyword
+    * extraction over 100 TB moves keywords, not vocabularies.
+    */
+  def q194DocKeywords(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val win = Window.partitionBy(col("id"))
+      .orderBy(col("w").desc, col("word"))
+    docVectors(s, dir)
+      .withColumn("rk", row_number().over(win).cast("long"))
+      .filter(col("rk") <= 3)
+      .select(col("id").as("doc_id"), col("rk"), col("word"), col("w"))
+      .orderBy(col("doc_id"), col("rk"))
+  }
+
+  val q194Sql: String =
+    s"""WITH $tfidfCtes,
+       |ranked AS (
+       |  SELECT id AS doc_id, word, w,
+       |         CAST(row_number() OVER (PARTITION BY id
+       |           ORDER BY w DESC, word) AS BIGINT) AS rk
+       |  FROM vec)
+       |SELECT doc_id, rk, word, w FROM ranked WHERE rk <= 3
+       |ORDER BY doc_id, rk""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q194_doc_keywords" -> (q194DocKeywords _),
     "q98_zipf_slope" -> (q98ZipfSlope _),
     "q67_unpivot_source_langs" -> (q67UnpivotSourceLangs _),
     "q10_tokens_tf" -> (q10TokensTf _),
@@ -422,6 +454,7 @@ object DocQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q194_doc_keywords" -> q194Sql,
     "q98_zipf_slope" -> q98Sql,
     "q67_unpivot_source_langs" -> q67Sql,
     "q10_tokens_tf" -> q10Sql,

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -745,6 +745,59 @@ object Round9Queries {
        |FROM ranked WHERE rk <= $TopKTies
        |ORDER BY c_nationkey, rk, c_custkey""".stripMargin
 
+  // ---------------------------------------------------------------- q195
+  /** Exact Pearson correlation per group — the moment-form identity
+    * corr = (n·Σxy − Σx·Σy) / (√(n·Σx² − (Σx)²) · √(n·Σy² − (Σy)²))
+    * over INTEGER-EXACT sums: quantity units and price cents as
+    * DECIMAL(20,0) partial sums (Σy² at cents scale overflows a long —
+    * decimal sums are the exchange-safe exact carrier, DuckDB's
+    * HUGEINT their twin), every sum bit-identical under any
+    * partitioning, then ONE excursion into doubles with the identical
+    * expression form on both engines (the q98 sqrt rule). The built-in
+    * `corr()` is a float-accumulator aggregate whose result depends on
+    * reduce order — unusable under a hash gate, the same reason q130
+    * carries moment triples. One pass, one group-by exchange.
+    */
+  def q195Correlation(s: SparkSession, dir: String): DataFrame = {
+    val x = round(col("l_quantity"), 0).cast("decimal(20,0)")
+    val y = round(col("l_extendedprice") * 100, 0).cast("decimal(20,0)")
+    val asD = (c: Column) => c.cast("double")
+    Tables.lineitem(s, dir)
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).cast("decimal(20,0)").as("n"),
+        sum(x).as("sx"), sum(y).as("sy"),
+        sum(x * y).as("sxy"), sum(x * x).as("sxx"), sum(y * y).as("syy"))
+      .select(col("l_returnflag"), col("n").cast("long").as("n_rows"),
+        round((asD(col("n")) * asD(col("sxy")) - asD(col("sx")) * asD(col("sy"))) /
+          (sqrt(asD(col("n")) * asD(col("sxx")) - asD(col("sx")) * asD(col("sx"))) *
+           sqrt(asD(col("n")) * asD(col("syy")) - asD(col("sy")) * asD(col("sy")))), 6)
+          .as("corr_qty_price"))
+      .orderBy(col("l_returnflag"))
+  }
+
+  val q195Sql: String =
+    """WITH m AS (
+      |  SELECT l_returnflag,
+      |         count(*) AS n,
+      |         sum(CAST(round(l_quantity, 0) AS BIGINT)) AS sx,
+      |         sum(CAST(round(l_extendedprice*100, 0) AS BIGINT)) AS sy,
+      |         sum(CAST(round(l_quantity, 0) AS BIGINT) *
+      |             CAST(round(l_extendedprice*100, 0) AS BIGINT)) AS sxy,
+      |         sum(CAST(round(l_quantity, 0) AS BIGINT) *
+      |             CAST(round(l_quantity, 0) AS BIGINT)) AS sxx,
+      |         sum(CAST(round(l_extendedprice*100, 0) AS BIGINT) *
+      |             CAST(round(l_extendedprice*100, 0) AS BIGINT)) AS syy
+      |  FROM lineitem GROUP BY l_returnflag)
+      |SELECT l_returnflag, CAST(n AS BIGINT) AS n_rows,
+      |       round((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) -
+      |              CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) /
+      |             (sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) -
+      |                   CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) *
+      |              sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) -
+      |                   CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 6)
+      |         AS corr_qty_price
+      |FROM m ORDER BY l_returnflag""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q175_recursive_depth" -> (q175RecursiveDepth _),
     "q176_lang_signature" -> (q176LangSignature _),
@@ -765,6 +818,7 @@ object Round9Queries {
     "q191_expectations" -> (q191Expectations _),
     "q192_cadence_histogram" -> (q192CadenceHistogram _),
     "q193_topk_with_ties" -> (q193TopKWithTies _),
+    "q195_correlation" -> (q195Correlation _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -787,5 +841,6 @@ object Round9Queries {
     "q191_expectations" -> q191Sql,
     "q192_cadence_histogram" -> q192Sql,
     "q193_topk_with_ties" -> q193Sql,
+    "q195_correlation" -> q195Sql,
   )
 }

@@ -532,6 +532,19 @@ class PlanSpec extends SparkTestBase {
       s"rank must run over the counts table, built from one agg:\n$p")
   }
 
+  test("q194: keyword extraction pushes rank<=3 down as WindowGroupLimit") {
+    val p = formatted(DocQueries.q194DocKeywords(spark, sf0001))
+    assert(p.linesIterator.count(_.contains("WindowGroupLimit")) >= 2,
+      s"partial+final top-3 pushdown expected:\n$p")
+  }
+
+  test("q195: correlation is one pass — single scan, single group-by exchange") {
+    val p = formatted(Round9Queries.q195Correlation(spark, sf0001))
+    assert(p.linesIterator.count(_.matches("""\(\d+\) Scan parquet\s*""")) === 1,
+      s"one lineitem pass for all six moments:\n$p")
+    assert(!p.contains("Join"), s"no join expected:\n$p")
+  }
+
   test("q180: per-user rollup reuses the window's user_id partitioning") {
     val p = formatted(Round9Queries.q180Twap(spark, sf0001))
     // exactly two shuffles: the user_id window exchange and the final

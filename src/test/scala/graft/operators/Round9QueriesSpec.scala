@@ -391,6 +391,46 @@ class Round9QueriesSpec extends SparkTestBase {
       "expected at least one nation with boundary ties kept")
   }
 
+  // ------------------------------------------------------------- q194
+  test("q194: keywords are the top-3 rows of the gated q12 vectors") {
+    val vecs = DocQueries.q12Tfidf(spark, sf0001)
+      .as[(Long, String, Double)].collect()
+    val expected = vecs.groupBy(_._1).toSeq.flatMap { case (id, g) =>
+      g.sortBy(v => (-v._3, v._2)).take(3).zipWithIndex
+        .map { case ((_, word, w), i) => (id, i + 1L, word, w) }
+    }.toSet
+    val got = DocQueries.q194DocKeywords(spark, sf0001)
+      .as[(Long, Long, String, Double)].collect().toSet
+    assert(got === expected)
+    // every doc with >= 3 terms contributes exactly 3 keywords
+    val termCounts = vecs.groupBy(_._1).view.mapValues(_.length)
+    assert(got.groupBy(_._1).forall { case (id, ks) =>
+      ks.size == math.min(3, termCounts(id)) })
+  }
+
+  // ------------------------------------------------------------- q195
+  test("q195: exact-moment correlation matches a local BigInt computation") {
+    val li = Tables.lineitem(spark, sf0001)
+      .select("l_returnflag", "l_quantity", "l_extendedprice")
+      .as[(String, Double, Double)].collect()
+    val expected = li.groupBy(_._1).map { case (f, g) =>
+      val xs = g.map(e => BigInt(q0(e._2)))
+      val ys = g.map(e => BigInt(q0(e._3 * 100)))
+      val n = BigInt(g.length)
+      val (sx, sy) = (xs.sum, ys.sum)
+      val sxy = xs.zip(ys).map { case (a, b) => a * b }.sum
+      val (sxx, syy) = (xs.map(a => a * a).sum, ys.map(b => b * b).sum)
+      val corr = (n.toDouble * sxy.toDouble - sx.toDouble * sy.toDouble) /
+        (math.sqrt(n.toDouble * sxx.toDouble - sx.toDouble * sx.toDouble) *
+         math.sqrt(n.toDouble * syy.toDouble - sy.toDouble * sy.toDouble))
+      (f, g.length.toLong, r6(corr))
+    }.toSet
+    val got = Round9Queries.q195Correlation(spark, sf0001)
+      .as[(String, Long, Double)].collect().toSet
+    assert(got === expected)
+    assert(got.forall { case (_, _, c) => c >= -1.0 && c <= 1.0 })
+  }
+
   // ------------------------------------------------------------- q180
   test("q180: TWAP matches the local step-function integral") {
     val expected = eventsLocal.groupBy(_._1).toSeq.flatMap { case (u, g) =>
