@@ -21,7 +21,8 @@ object SparkEntry {
       operators.TextStatsQueries.queries ++ operators.EventQueries.queries ++
       operators.MultimodalQueries.queries ++ operators.Lab2Queries.queries ++
       operators.GraphQueries.queries ++ operators.Round7Queries.queries ++
-      operators.Round8Queries.queries ++ operators.Round9Queries.queries
+      operators.Round8Queries.queries ++ operators.Round9Queries.queries ++
+      operators.Round10Queries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -38,5 +39,6 @@ object SparkEntry {
       operators.TextStatsQueries.oracles ++ operators.EventQueries.oracles ++
       operators.MultimodalQueries.oracles ++ operators.Lab2Queries.oracles ++
       operators.GraphQueries.oracles ++ operators.Round7Queries.oracles ++
-      operators.Round8Queries.oracles ++ operators.Round9Queries.oracles
+      operators.Round8Queries.oracles ++ operators.Round9Queries.oracles ++
+      operators.Round10Queries.oracles
 }

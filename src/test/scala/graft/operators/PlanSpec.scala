@@ -545,6 +545,50 @@ class PlanSpec extends SparkTestBase {
     assert(!p.contains("Join"), s"no join expected:\n$p")
   }
 
+  test("q196: bitmap distinct builds per-group bitmaps once; both readouts reuse them") {
+    val p = formatted(Round10Queries.q196BitmapDistinct(spark, sf0001))
+    // the construct_agg pass is the only corpus-sized work; daily and
+    // rollup readouts aggregate bitmap rows, never raw events — and no
+    // expensive count(DISTINCT) expansion appears anywhere
+    assert(p.contains("bitmap_construct_agg") || p.contains("bitmap_count"),
+      s"bitmap aggregate family expected in the plan:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin"), s"keyed joins only:\n$p")
+  }
+
+  test("q197: PIT join is a keyed join with a residual range, not a nested loop") {
+    val p = formatted(Round10Queries.q197PitJoin(spark, sf0001))
+    assert(p.contains("BroadcastHashJoin") || p.contains("SortMergeJoin"),
+      s"equi-join on user_id expected:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin"),
+      s"interval predicate must ride the user_id equi-join as a residual:\n$p")
+  }
+
+  test("q198: attribution pays one user window; conversion-time join is keyed") {
+    val p = formatted(Round10Queries.q198Attribution(spark, sf0001))
+    assert(!p.contains("BroadcastNestedLoopJoin"), s"keyed join only:\n$p")
+    // row_number and the per-user count share the same user_id
+    // partitioning: at most two Window nodes, one exchange family
+    assert(p.linesIterator.count(_.contains("- Window (")) <= 2,
+      s"windows must share the user_id partitioning:\n$p")
+  }
+
+  test("q199: streaks run entirely on the distinct (user, day) table") {
+    val p = formatted(Round10Queries.q199Streaks(spark, sf0001))
+    assert(!p.contains("Join"), s"islands need no join:\n$p")
+    assert(p.linesIterator.count(_.contains("- Window (")) === 1,
+      s"one row_number window expected:\n$p")
+    // dedup, window, two aggregates — all user-keyed; the corpus-sized
+    // work is the initial distinct only
+    assert(p.contains("HashAggregate"), p)
+  }
+
+  test("q200: A/B readout is one corpus scan into per-user then 1-row rollups") {
+    val p = formatted(Round10Queries.q200AbTest(spark, sf0001))
+    assert(p.linesIterator.count(_.matches("""\(\d+\) Scan parquet\s*""")) === 1,
+      s"one events pass expected:\n$p")
+    assert(!p.contains("Join"), s"conditional aggregation, no join:\n$p")
+  }
+
   test("q180: per-user rollup reuses the window's user_id partitioning") {
     val p = formatted(Round9Queries.q180Twap(spark, sf0001))
     // exactly two shuffles: the user_id window exchange and the final
