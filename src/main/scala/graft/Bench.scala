@@ -96,7 +96,9 @@ object Bench {
     "q189_nullsafe_diff", "q190_union_by_name", "q191_expectations",
     "q192_cadence_histogram", "q193_topk_with_ties", "q194_doc_keywords",
     "q195_correlation", "q196_bitmap_distinct", "q197_pit_join",
-    "q198_attribution", "q199_streaks", "q200_ab_test")
+    "q198_attribution", "q199_streaks", "q200_ab_test",
+    "q201_percentile_within", "q202_interval_union",
+    "q203_peak_concurrency", "q204_basket_lift", "q205_cusum_drift")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -368,12 +368,324 @@ object Round10Queries {
       |                  CAST(n_b AS DOUBLE)), 6) AS t_stat
       |FROM m""".stripMargin
 
+  // ---------------------------------------------------------------- q201
+  /** ANSI ordered-set aggregates — `percentile_cont` /
+    * `percentile_disc` WITHIN GROUP (Spark 3.4+; DuckDB's are the
+    * same ANSI surface), the report-writer syntax for exact
+    * percentiles (q34 computed them via explicit rank arithmetic; this
+    * is the engine's own inverse-distribution path). Hash-gatable
+    * because the inputs are INTEGER cents and the fractions are
+    * quarters: the R-7 interpolation a·(1−f) + b·f at f ∈ {0, ¼, ½,
+    * ¾} over integers is EXACTLY representable in doubles — no
+    * rounding happens on either engine, so cross-engine float drift is
+    * impossible by construction (the general-p / float-input form
+    * would not gate). percentile_disc's boundary convention (smallest
+    * value with cume_dist ≥ p) is probed identical on both engines.
+    */
+  def q201PercentileWithin(s: SparkSession, dir: String): DataFrame = {
+    Tables.lineitem(s, dir).createOrReplaceTempView("lineitem")
+    s.sql(
+      """SELECT l_returnflag,
+        |       count(*) AS n_rows,
+        |       round(percentile_cont(0.25) WITHIN GROUP (ORDER BY cents), 6)
+        |         AS p25_cents,
+        |       round(percentile_cont(0.5) WITHIN GROUP (ORDER BY cents), 6)
+        |         AS p50_cents,
+        |       round(percentile_cont(0.75) WITHIN GROUP (ORDER BY cents), 6)
+        |         AS p75_cents,
+        |       CAST(percentile_disc(0.5) WITHIN GROUP (ORDER BY cents)
+        |            AS BIGINT) AS med_disc_cents
+        |FROM (SELECT l_returnflag,
+        |             CAST(round(l_extendedprice * 100, 0) AS BIGINT) AS cents
+        |      FROM lineitem)
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)
+  }
+
+  val q201Sql: String =
+    """SELECT l_returnflag,
+      |       count(*) AS n_rows,
+      |       round(percentile_cont(0.25) WITHIN GROUP (ORDER BY cents), 6)
+      |         AS p25_cents,
+      |       round(percentile_cont(0.5) WITHIN GROUP (ORDER BY cents), 6)
+      |         AS p50_cents,
+      |       round(percentile_cont(0.75) WITHIN GROUP (ORDER BY cents), 6)
+      |         AS p75_cents,
+      |       CAST(percentile_disc(0.5) WITHIN GROUP (ORDER BY cents)
+      |            AS BIGINT) AS med_disc_cents
+      |FROM (SELECT l_returnflag,
+      |             CAST(round(l_extendedprice * 100, 0) AS BIGINT) AS cents
+      |      FROM lineitem)
+      |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
+  /** Event intervals for the sweep-line pair (q202/q203): [ts_us,
+    * ts_us + value·ms) — duration is the event's value in
+    * EXACT milli-units promoted to microseconds, so interval
+    * arithmetic is pure integer on both engines. */
+  private def intervals(s: SparkSession, dir: String): DataFrame =
+    ev(s, dir).select(col("user_id"), col("event_type"), col("event_id"),
+      col("ts_us").as("start_us"),
+      (col("ts_us") +
+        round(col("value") * 1000, 0).cast("long") * 1000L).as("end_us"))
+
+  // ---------------------------------------------------------------- q202
+  /** Interval-union coverage per user — merge overlapping/touching
+    * intervals and total the covered time, the OTHER islands problem
+    * (q31 merges by inactivity gap; this merges by literal overlap —
+    * resource-usage billing, incident-impact windows, device-uptime
+    * rollups). The island identity: an interval starts a new island
+    * iff its start exceeds the RUNNING MAX of all earlier ends (an
+    * exclusive-preceding-frame window max — earlier intervals can
+    * swallow later ones, so `lag(end)` alone is wrong); island id is
+    * the running sum of those flags; coverage is max(end)−min(start)
+    * per island. Everything rides ONE user-keyed window ordering
+    * (start, end, event_id) plus user-keyed aggregates — integer
+    * microseconds end to end.
+    */
+  def q202IntervalUnion(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("start_us"), col("end_us"), col("event_id"))
+    intervals(s, dir)
+      .withColumn("prev_max_end",
+        max(col("end_us")).over(w.rowsBetween(Window.unboundedPreceding, -1)))
+      .withColumn("new_island",
+        when(col("prev_max_end").isNull ||
+          col("start_us") > col("prev_max_end"), 1L).otherwise(0L))
+      .withColumn("island", sum(col("new_island")).over(w))
+      .groupBy(col("user_id"), col("island"))
+      .agg((max(col("end_us")) - min(col("start_us"))).as("cov_us"),
+        count(lit(1)).as("n_iv"))
+      .groupBy(col("user_id"))
+      .agg(sum(col("cov_us")).cast("long").as("covered_us"),
+        count(lit(1)).as("n_islands"),
+        sum(col("n_iv")).cast("long").as("n_intervals"))
+      .orderBy(col("user_id"))
+  }
+
+  val q202Sql: String =
+    """WITH iv AS (
+      |  SELECT user_id, event_id, epoch_us(ts) AS start_us,
+      |         epoch_us(ts) + CAST(round(value * 1000, 0) AS BIGINT) * 1000
+      |           AS end_us
+      |  FROM events),
+      |f AS (
+      |  SELECT user_id, event_id, start_us, end_us,
+      |         CASE WHEN max(end_us) OVER (PARTITION BY user_id
+      |                ORDER BY start_us, end_us, event_id
+      |                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+      |                IS NULL
+      |              OR start_us > max(end_us) OVER (PARTITION BY user_id
+      |                ORDER BY start_us, end_us, event_id
+      |                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+      |              THEN 1 ELSE 0 END AS new_island
+      |  FROM iv),
+      |g AS (
+      |  SELECT user_id, start_us, end_us,
+      |         sum(new_island) OVER (PARTITION BY user_id
+      |           ORDER BY start_us, end_us, event_id
+      |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+      |  FROM f),
+      |st AS (
+      |  SELECT user_id, island, max(end_us) - min(start_us) AS cov_us,
+      |         count(*) AS n_iv
+      |  FROM g GROUP BY user_id, island)
+      |SELECT user_id, CAST(sum(cov_us) AS BIGINT) AS covered_us,
+      |       count(*) AS n_islands, CAST(sum(n_iv) AS BIGINT) AS n_intervals
+      |FROM st GROUP BY user_id ORDER BY user_id""".stripMargin
+
+  // ---------------------------------------------------------------- q203
+  /** Peak concurrency per event type — the sweep-line +1/−1 walk
+    * (capacity planning: maximum simultaneously-open intervals, and
+    * WHEN the peak first happened). Each interval contributes a +1 at
+    * start and a −1 at end; the running delta sum under the total
+    * order (t, delta, event_id) — −1 sorts before +1, so half-open
+    * intervals that touch do not double-count — is the concurrency
+    * level after each boundary; the peak is its max and the peak
+    * instant the first t attaining it (a windowed max + conditional
+    * min, both riding the same event_type keying). Integer end to
+    * end; one union-all pass over intervals, one window family.
+    */
+  def q203PeakConcurrency(s: SparkSession, dir: String): DataFrame = {
+    val iv = intervals(s, dir)
+    val bounds = iv.select(col("event_type"), col("event_id"),
+        col("start_us").as("t"), lit(1L).as("delta"))
+      .unionAll(iv.select(col("event_type"), col("event_id"),
+        col("end_us").as("t"), lit(-1L).as("delta")))
+    val w = Window.partitionBy(col("event_type"))
+      .orderBy(col("t"), col("delta"), col("event_id"))
+    bounds
+      .withColumn("run", sum(col("delta")).over(w))
+      .withColumn("peak", max(col("run")).over(Window.partitionBy(col("event_type"))))
+      .groupBy(col("event_type"))
+      .agg(max(col("run")).cast("long").as("peak_concurrency"),
+        min(when(col("run") === col("peak"), col("t"))).as("peak_at_us"),
+        (count(lit(1)) / 2).cast("long").as("n_intervals"))
+      .orderBy(col("event_type"))
+  }
+
+  val q203Sql: String =
+    """WITH iv AS (
+      |  SELECT event_type, event_id, epoch_us(ts) AS start_us,
+      |         epoch_us(ts) + CAST(round(value * 1000, 0) AS BIGINT) * 1000
+      |           AS end_us
+      |  FROM events),
+      |b AS (
+      |  SELECT event_type, event_id, start_us AS t, 1 AS delta FROM iv
+      |  UNION ALL
+      |  SELECT event_type, event_id, end_us AS t, -1 AS delta FROM iv),
+      |r AS (
+      |  SELECT event_type, t,
+      |         sum(delta) OVER (PARTITION BY event_type
+      |           ORDER BY t, delta, event_id
+      |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run
+      |  FROM b),
+      |p AS (
+      |  SELECT event_type, t, run,
+      |         max(run) OVER (PARTITION BY event_type) AS peak
+      |  FROM r)
+      |SELECT event_type, CAST(max(run) AS BIGINT) AS peak_concurrency,
+      |       min(CASE WHEN run = peak THEN t END) AS peak_at_us,
+      |       CAST(count(*) / 2 AS BIGINT) AS n_intervals
+      |FROM p GROUP BY event_type ORDER BY event_type""".stripMargin
+
+  // ---------------------------------------------------------------- q204
+  /** Market-basket affinity — co-ordered part pairs with support,
+    * confidence, and lift (the PMI of transactions; q150 is the text
+    * twin). Pair generation is the oriented within-basket self-join
+    * (a < b, exactly-once — the q66 wedge rule) co-partitioned on
+    * l_orderkey: the blowup is bounded by per-basket size squared,
+    * never |parts|². A min-support filter (≥ 3 co-orders) caps the
+    * output; at 100 TB you ALSO pre-prune parts below the support
+    * floor before pairing (anti-monotonicity: a pair can never beat
+    * its rarer item) — the same candidate-pruning Apriori uses. The
+    * three ratios are ONE double division each in identical form both
+    * engines, over exact integer counts; the 1-row basket-count scalar
+    * broadcasts.
+    */
+  def q204BasketLift(s: SparkSession, dir: String): DataFrame = {
+    val p = Tables.lineitem(s, dir)
+      .select(col("l_orderkey").as("okey"), col("l_partkey").as("pkey"))
+      .distinct()
+    val nOrders = p.select(col("okey")).distinct()
+      .agg(count(lit(1)).as("n_orders"))
+    val cnt = p.groupBy(col("pkey")).agg(count(lit(1)).as("pc"))
+    val pairs = p.as("a").join(p.as("b"),
+        col("a.okey") === col("b.okey") && col("a.pkey") < col("b.pkey"))
+      .groupBy(col("a.pkey").as("part_a"), col("b.pkey").as("part_b"))
+      .agg(count(lit(1)).as("pair_orders"))
+      .filter(col("pair_orders") >= 3)
+    pairs
+      .join(cnt.withColumnRenamed("pkey", "part_a").withColumnRenamed("pc", "cnt_a"), Seq("part_a"))
+      .join(cnt.withColumnRenamed("pkey", "part_b").withColumnRenamed("pc", "cnt_b"), Seq("part_b"))
+      .crossJoin(broadcast(nOrders))
+      .select(col("part_a"), col("part_b"), col("pair_orders"),
+        col("cnt_a"), col("cnt_b"),
+        round(col("pair_orders").cast("double") / col("n_orders").cast("double"), 6)
+          .as("support"),
+        round(col("pair_orders").cast("double") / col("cnt_a").cast("double"), 6)
+          .as("conf_a_to_b"),
+        round(col("pair_orders").cast("double") * col("n_orders").cast("double") /
+          (col("cnt_a").cast("double") * col("cnt_b").cast("double")), 6)
+          .as("lift"))
+      .orderBy(col("part_a"), col("part_b"))
+  }
+
+  val q204Sql: String =
+    """WITH p AS (SELECT DISTINCT l_orderkey AS okey, l_partkey AS pkey
+      |           FROM lineitem),
+      |n AS (SELECT count(DISTINCT okey) AS n_orders FROM p),
+      |cnt AS (SELECT pkey, count(*) AS pc FROM p GROUP BY pkey),
+      |pairs AS (
+      |  SELECT a.pkey AS part_a, b.pkey AS part_b, count(*) AS pair_orders
+      |  FROM p a JOIN p b ON a.okey = b.okey AND a.pkey < b.pkey
+      |  GROUP BY a.pkey, b.pkey
+      |  HAVING count(*) >= 3)
+      |SELECT part_a, part_b, pair_orders,
+      |       ca.pc AS cnt_a, cb.pc AS cnt_b,
+      |       round(CAST(pair_orders AS DOUBLE) / CAST(n.n_orders AS DOUBLE), 6)
+      |         AS support,
+      |       round(CAST(pair_orders AS DOUBLE) / CAST(ca.pc AS DOUBLE), 6)
+      |         AS conf_a_to_b,
+      |       round(CAST(pair_orders AS DOUBLE) * CAST(n.n_orders AS DOUBLE) /
+      |             (CAST(ca.pc AS DOUBLE) * CAST(cb.pc AS DOUBLE)), 6) AS lift
+      |FROM pairs
+      |JOIN cnt ca ON pairs.part_a = ca.pkey
+      |JOIN cnt cb ON pairs.part_b = cb.pkey
+      |CROSS JOIN n
+      |ORDER BY part_a, part_b""".stripMargin
+
+  // ---------------------------------------------------------------- q205
+  /** CUSUM drift detection per user — the classic change-point
+    * statistic S_t = max(0, S_{t−1} + x_t − k), which LOOKS like an
+    * unavoidable row-by-row recursion but has the closed form
+    * S_t = d_t − min(0, min_{j≤t} d_j) over the drift prefix
+    * d_t = Σx − k·t: a prefix sum minus a RUNNING MIN — two window
+    * functions on one (user, ts, id) ordering, no recursion, no
+    * iterative job. That identity is what makes CUSUM runnable as one
+    * pass over 100 TB of telemetry. The reference k is the corpus
+    * mean in exact milli-units via integer division (sum DIV count —
+    * deterministic, broadcast as a 1-row scalar). Output: each user's
+    * peak drift statistic, when it first peaked, and the event count
+    * — all integer microseconds/milli-units.
+    */
+  def q205CusumDrift(s: SparkSession, dir: String): DataFrame = {
+    val purch = ev(s, dir).filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts_us"), col("event_id"),
+        round(col("value") * 1000, 0).cast("long").as("x"))
+    val k = purch.agg(sum(col("x")).cast("long").as("sx"), count(lit(1)).as("cn"))
+      .selectExpr("sx DIV cn AS k")
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts_us"), col("event_id"))
+    val run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    purch.crossJoin(broadcast(k))
+      .withColumn("t", row_number().over(w).cast("long"))
+      .withColumn("d", sum(col("x")).over(run) - col("k") * col("t"))
+      .withColumn("cusum", col("d") - least(lit(0L), min(col("d")).over(run)))
+      .withColumn("peak", max(col("cusum")).over(Window.partitionBy(col("user_id"))))
+      .groupBy(col("user_id"))
+      .agg(max(col("cusum")).cast("long").as("peak_cusum_milli"),
+        min(when(col("cusum") === col("peak"), col("ts_us"))).as("peak_at_us"),
+        count(lit(1)).as("n_purchases"))
+      .orderBy(col("user_id"))
+  }
+
+  val q205Sql: String =
+    """WITH purch AS (
+      |  SELECT user_id, epoch_us(ts) AS ts_us, event_id,
+      |         CAST(round(value * 1000, 0) AS BIGINT) AS x
+      |  FROM events WHERE event_type = 'purchase'),
+      |kk AS (SELECT CAST(sum(x) AS BIGINT) // count(*) AS k FROM purch),
+      |r AS (
+      |  -- (ts_us, event_id) is unique, so the default cumulative RANGE
+      |  -- frame equals ROWS — and row_number takes no frame
+      |  SELECT user_id, event_id, ts_us,
+      |         sum(x) OVER w - kk.k * (row_number() OVER w) AS d
+      |  FROM purch CROSS JOIN kk
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)),
+      |c AS (
+      |  SELECT user_id, ts_us,
+      |         d - least(0, min(d) OVER (PARTITION BY user_id
+      |               ORDER BY ts_us, event_id)) AS cusum
+      |  FROM r),
+      |p AS (
+      |  SELECT user_id, ts_us, cusum,
+      |         max(cusum) OVER (PARTITION BY user_id) AS peak
+      |  FROM c)
+      |SELECT user_id, CAST(max(cusum) AS BIGINT) AS peak_cusum_milli,
+      |       min(CASE WHEN cusum = peak THEN ts_us END) AS peak_at_us,
+      |       count(*) AS n_purchases
+      |FROM p GROUP BY user_id ORDER BY user_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q196_bitmap_distinct" -> (q196BitmapDistinct _),
     "q197_pit_join" -> (q197PitJoin _),
     "q198_attribution" -> (q198Attribution _),
     "q199_streaks" -> (q199Streaks _),
     "q200_ab_test" -> (q200AbTest _),
+    "q201_percentile_within" -> (q201PercentileWithin _),
+    "q202_interval_union" -> (q202IntervalUnion _),
+    "q203_peak_concurrency" -> (q203PeakConcurrency _),
+    "q204_basket_lift" -> (q204BasketLift _),
+    "q205_cusum_drift" -> (q205CusumDrift _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -382,5 +694,10 @@ object Round10Queries {
     "q198_attribution" -> q198Sql,
     "q199_streaks" -> q199Sql,
     "q200_ab_test" -> q200Sql,
+    "q201_percentile_within" -> q201Sql,
+    "q202_interval_union" -> q202Sql,
+    "q203_peak_concurrency" -> q203Sql,
+    "q204_basket_lift" -> q204Sql,
+    "q205_cusum_drift" -> q205Sql,
   )
 }

@@ -589,6 +589,50 @@ class PlanSpec extends SparkTestBase {
     assert(!p.contains("Join"), s"conditional aggregation, no join:\n$p")
   }
 
+  test("q201: ordered-set percentiles are one scan, no join") {
+    val p = formatted(Round10Queries.q201PercentileWithin(spark, sf0001))
+    assert(p.linesIterator.count(_.matches("""\(\d+\) Scan parquet\s*""")) === 1,
+      s"one lineitem pass for all five statistics:\n$p")
+    assert(!p.contains("Join"), s"no join expected:\n$p")
+  }
+
+  test("q202: interval union rides one user-keyed window family — 2 exchanges") {
+    val p = formatted(Round10Queries.q202IntervalUnion(spark, sf0001))
+    assert(!p.contains("Join"), s"no join expected:\n$p")
+    val exchanges = p.linesIterator.count(_.contains("- Exchange ("))
+    assert(exchanges === 2,
+      s"window exchange + presentation sort only, got $exchanges:\n$p")
+  }
+
+  test("q203: sweep-line concurrency shares the event_type keying end to end") {
+    val p = formatted(Round10Queries.q203PeakConcurrency(spark, sf0001))
+    assert(!p.contains("Join"), s"no join expected:\n$p")
+    assert(p.contains("Union"), s"boundary union expected:\n$p")
+    val exchanges = p.linesIterator.count(_.contains("- Exchange ("))
+    assert(exchanges === 2,
+      s"window exchange + presentation sort only, got $exchanges:\n$p")
+  }
+
+  test("q204: basket pairs co-partition on orderkey; only the 1-row scalar nests") {
+    val p = formatted(Round10Queries.q204BasketLift(spark, sf0001))
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin") ||
+      p.contains("BroadcastHashJoin"), s"keyed self-join expected:\n$p")
+    // the basket-count scalar is a deliberate 1-row broadcast; nothing
+    // else may fall back to a nested loop (count tree lines — the
+    // details section repeats each node header)
+    assert(p.linesIterator.count(_.contains("- BroadcastNestedLoopJoin")) <= 1,
+      s"only the n_orders scalar may nest:\n$p")
+  }
+
+  test("q205: CUSUM is windows, not recursion — no iterative shape, one scalar nest") {
+    val p = formatted(Round10Queries.q205CusumDrift(spark, sf0001))
+    assert(p.linesIterator.count(_.contains("- Window (")) >= 1, p)
+    assert(!p.contains("SortMergeJoin"),
+      s"only the 1-row k scalar joins:\n$p")
+    assert(p.linesIterator.count(_.contains("- BroadcastNestedLoopJoin")) <= 1,
+      s"only the k scalar may nest:\n$p")
+  }
+
   test("q180: per-user rollup reuses the window's user_id partitioning") {
     val p = formatted(Round9Queries.q180Twap(spark, sf0001))
     // exactly two shuffles: the user_id window exchange and the final

@@ -166,4 +166,123 @@ class Round10QueriesSpec extends SparkTestBase {
     // every purchasing user is in exactly one variant
     assert(na + nb === perUser.length.toLong)
   }
+
+  private def cents(v: Double): Long =
+    BigDecimal(v * 100).setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+
+  // ------------------------------------------------------------- q201
+  test("q201: WITHIN GROUP percentiles match the local R-7 interpolation") {
+    val li = Tables.lineitem(spark, sf0001)
+      .select(col("l_returnflag"), col("l_extendedprice"))
+      .as[(String, Double)].collect()
+    val expected = li.groupBy(_._1).map { case (f, g) =>
+      val xs = g.map(r => cents(r._2)).sorted
+      val n = xs.length
+      def cont(p: Double): Double = {
+        val rn = (n - 1) * p
+        val lo = rn.toInt; val frac = rn - lo
+        if (frac == 0.0) xs(lo).toDouble
+        else xs(lo) * (1.0 - frac) + xs(lo + 1) * frac
+      }
+      // smallest value whose cume_dist >= 0.5
+      val disc = xs(math.ceil(n * 0.5).toInt - 1)
+      (f, n.toLong, r6(cont(0.25)), r6(cont(0.5)), r6(cont(0.75)), disc)
+    }.toSet
+    val got = Round10Queries.q201PercentileWithin(spark, sf0001)
+      .as[(String, Long, Double, Double, Double, Long)].collect().toSet
+    assert(got === expected)
+    assert(got.forall { case (_, _, p25, p50, p75, _) =>
+      p25 <= p50 && p50 <= p75 })
+  }
+
+  /** Local intervals (user_id, event_id, event_type, start_us, end_us). */
+  private def intervalsLocal: Array[(Long, Long, String, Long, Long)] =
+    eventsLocal.map(r =>
+      (r._1, r._2, r._5, r._3, r._3 + vMilli(r._4) * 1000L))
+
+  // ------------------------------------------------------------- q202
+  test("q202: interval union matches the local sweep merge") {
+    val expected = intervalsLocal.groupBy(_._1).map { case (u, g) =>
+      val sorted = g.sortBy(r => (r._4, r._5, r._2))
+      var islands = List.empty[(Long, Long)] // (minStart, maxEnd), head = open
+      for (iv <- sorted) islands match {
+        case (s0, e0) :: t if iv._4 <= e0 =>
+          islands = (s0, math.max(e0, iv._5)) :: t
+        case _ => islands = (iv._4, iv._5) :: islands
+      }
+      val cov = islands.map { case (s0, e0) => e0 - s0 }.sum
+      (u, cov, islands.length.toLong, g.length.toLong)
+    }.toSet
+    val got = Round10Queries.q202IntervalUnion(spark, sf0001)
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(got === expected)
+    // union length never exceeds the sum of the parts
+    val durs = intervalsLocal.groupBy(_._1)
+      .map { case (u, g) => u -> g.map(r => r._5 - r._4).sum }
+    assert(got.forall { case (u, cov, _, _) => cov <= durs(u) })
+  }
+
+  // ------------------------------------------------------------- q203
+  test("q203: peak concurrency matches the local sweep walk") {
+    val expected = intervalsLocal.groupBy(_._3).map { case (t, g) =>
+      val bounds = g.flatMap(iv =>
+        Seq((iv._4, 1L, iv._2), (iv._5, -1L, iv._2)))
+        .sortBy(b => (b._1, b._2, b._3))
+      var run = 0L
+      val levels = bounds.map { b => run += b._2; (b._1, run) }
+      val peak = levels.map(_._2).max
+      val at = levels.filter(_._2 == peak).map(_._1).min
+      (t, peak, at, g.length.toLong)
+    }.toSet
+    val got = Round10Queries.q203PeakConcurrency(spark, sf0001)
+      .as[(String, Long, Long, Long)].collect().toSet
+    assert(got === expected)
+    assert(got.forall(_._2 >= 1L))
+  }
+
+  // ------------------------------------------------------------- q204
+  test("q204: basket lift matches the local pair count and ratio arithmetic") {
+    val li = Tables.lineitem(spark, sf0001)
+      .select(col("l_orderkey"), col("l_partkey"))
+      .as[(Long, Long)].collect().distinct
+    val nOrders = li.map(_._1).distinct.length.toLong
+    val cnt = li.groupBy(_._2).map { case (p, g) => p -> g.length.toLong }
+    val pairs = li.groupBy(_._1).toSeq.flatMap { case (_, g) =>
+      val ps = g.map(_._2).sorted
+      for (i <- ps.indices; j <- (i + 1) until ps.length) yield (ps(i), ps(j))
+    }
+    val expected = pairs.groupBy(identity).collect {
+      case ((a, b), g) if g.length >= 3 =>
+        val c = g.length.toLong
+        (a, b, c, cnt(a), cnt(b),
+          r6(c.toDouble / nOrders), r6(c.toDouble / cnt(a)),
+          r6(c.toDouble * nOrders / (cnt(a).toDouble * cnt(b).toDouble)))
+    }.toSet
+    val got = Round10Queries.q204BasketLift(spark, sf0001)
+      .as[(Long, Long, Long, Long, Long, Double, Double, Double)]
+      .collect().toSet
+    assert(got === expected)
+    assert(got.nonEmpty, "min-support 3 must keep pairs at sf0.001")
+  }
+
+  // ------------------------------------------------------------- q205
+  test("q205: window-identity CUSUM equals the recursive definition") {
+    val purch = eventsLocal.filter(_._5 == "purchase")
+      .map(r => (r._1, r._3, r._2, vMilli(r._4)))
+    val k = purch.map(_._4).sum / purch.length // floor div, all positive
+    val expected = purch.groupBy(_._1).map { case (u, g) =>
+      val sorted = g.sortBy(r => (r._2, r._3))
+      // the recursive form the query may NOT use — the independent witness
+      var s = 0L
+      val walk = sorted.map { r => s = math.max(0L, s + r._4 - k); (r._2, s) }
+      val peak = walk.map(_._2).max
+      val at = walk.filter(_._2 == peak).map(_._1).min
+      (u, peak, at, g.length.toLong)
+    }.toSet
+    val got = Round10Queries.q205CusumDrift(spark, sf0001)
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(got === expected)
+    // drift statistic is non-negative by construction
+    assert(got.forall(_._2 >= 0L))
+  }
 }
