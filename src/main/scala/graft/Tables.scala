@@ -22,18 +22,26 @@ object Tables {
   def orders(s: SparkSession, d: String): DataFrame    = table(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame  = table(s, d, "lineitem")
 
-  /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark 4 rejects
-    * ([PARQUET_TYPE_ILLEGAL]) unless read as a raw long. We flip the
-    * legacy conf (session-scoped, read at scan planning), then rebuild a
-    * proper TimestampType from the nano count. NB nanos (~1.7e18) exceed
-    * double's 2^53 integer range, so the conversion must use integer
-    * `div`, never `/`.
+  /** `events.ts` has shipped in two physical layouts across driver
+    * testdata generations: parquet TIMESTAMP(NANOS) — which Spark 4
+    * rejects ([PARQUET_TYPE_ILLEGAL]) unless read as a raw long — and
+    * plain TIMESTAMP(MICROS, isAdjustedToUTC=false), which Spark infers
+    * as TIMESTAMP_NTZ. Normalize both to a session-TZ TimestampType (the
+    * session runs UTC, so NTZ wall-clock == UTC instant, matching
+    * DuckDB's naive `epoch_us(ts)`); the nanos branch must use integer
+    * `div` (nanos ~1.7e18 exceed double's 2^53 integer range).
     */
   def events(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    table(s, d, "events")
-      .withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
-        org.apache.spark.sql.functions.expr("ts div 1000")))
+    val raw = table(s, d, "events")
+    import org.apache.spark.sql.functions.{col, expr, timestamp_micros}
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case _ =>
+        raw.withColumn("ts",
+          col("ts").cast(org.apache.spark.sql.types.TimestampType))
+    }
   }
   def documents(s: SparkSession, d: String): DataFrame = table(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")
