@@ -85,7 +85,7 @@ object Round11Queries {
       |         CAST(round(value * 1000, 0) AS BIGINT) AS v_milli
       |  FROM events)
       |SELECT f.event_type, f.day, count(*) AS n,
-      |       sum(f.v_milli) AS sum_vmilli
+      |       CAST(sum(f.v_milli) AS BIGINT) AS sum_vmilli
       |FROM fact f JOIN dim d ON f.event_type = d.event_type
       |WHERE d.category = 'conversion'
       |GROUP BY f.event_type, f.day
@@ -100,8 +100,11 @@ object Round11Queries {
     * counts, one running sum per side, and the sup as the integer
     * `max(|ca·nb − cb·na|)` — cross-multiplied so no division (and no
     * float) happens until the single final readout `d_num/(na·nb)`.
-    * ca·nb stays under 2^63 up to ~3×10⁹ rows per side; beyond that
-    * the carrier swaps to DECIMAL (the q195 rule). The corpus-scale
+    * The cross-multiplication carrier is DECIMAL(38,0) (the q195
+    * rule), so it never wraps and ANSI mode never aborts mid-query;
+    * only the final d_num readout is rendered as BIGINT (exact up to
+    * ~3×10⁹ rows per side — past that, widen the readout column, not
+    * the carrier). The corpus-scale
     * work is ONE (type, v_milli) count aggregate; the window runs on
     * the distinct-value table (value-domain-bounded, ~6.6k values per
     * pair here), partitioned by pair — metadata scale, never raw rows.
@@ -130,10 +133,11 @@ object Round11Queries {
       .withColumn("na", sum(col("ca")).over(wAll))
       .withColumn("nb", sum(col("cb")).over(wAll))
       .groupBy(col("ta"), col("tb"), col("na"), col("nb"))
-      .agg(max(abs(col("ra") * col("nb") - col("rb") * col("na")))
-        .as("d_num"))
+      .agg(max(abs(col("ra").cast("decimal(38,0)") * col("nb") -
+          col("rb").cast("decimal(38,0)") * col("na")))
+        .cast("long").as("d_num"))
       .withColumn("d_ks", round(col("d_num").cast("double") /
-        (col("na") * col("nb")), 9))
+        (col("na").cast("decimal(38,0)") * col("nb")).cast("double"), 9))
       .select(col("ta"), col("tb"), col("na"), col("nb"), col("d_num"),
         col("d_ks"))
       .orderBy(col("ta"), col("tb"))
@@ -164,7 +168,8 @@ object Round11Queries {
       |         sum(ca) OVER (PARTITION BY ta, tb) AS na,
       |         sum(cb) OVER (PARTITION BY ta, tb) AS nb
       |  FROM g)
-      |SELECT ta, tb, na, nb, max(abs(ra*nb - rb*na)) AS d_num,
+      |SELECT ta, tb, CAST(na AS BIGINT) AS na, CAST(nb AS BIGINT) AS nb,
+      |       CAST(max(abs(ra*nb - rb*na)) AS BIGINT) AS d_num,
       |       round(CAST(max(abs(ra*nb - rb*na)) AS DOUBLE)/(na*nb), 9)
       |         AS d_ks
       |FROM r GROUP BY ta, tb, na, nb
@@ -219,10 +224,10 @@ object Round11Queries {
       |         END AS BIGINT) AS parsed
       |  FROM orders)
       |SELECT o_orderpriority, count(*) AS n,
-      |       sum(CASE WHEN parsed IS NULL THEN 1 ELSE 0 END) AS n_unparsed,
-      |       sum(CASE WHEN parsed < 0 THEN 1 ELSE 0 END) AS n_negative,
-      |       sum(CASE WHEN parsed >= 0 THEN 1 ELSE 0 END) AS n_valid,
-      |       sum(CASE WHEN parsed >= 0 THEN parsed END) AS sum_valid_cents,
+      |       CAST(sum(CASE WHEN parsed IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_unparsed,
+      |       CAST(sum(CASE WHEN parsed < 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_negative,
+      |       CAST(sum(CASE WHEN parsed >= 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_valid,
+      |       CAST(sum(CASE WHEN parsed >= 0 THEN parsed END) AS BIGINT) AS sum_valid_cents,
       |       round(CAST(sum(CASE WHEN parsed >= 0 THEN parsed END) AS DOUBLE)
       |             / NULLIF(sum(CASE WHEN parsed >= 0 THEN 1 ELSE 0 END), 0),
       |             6) AS mean_valid_cents
@@ -284,7 +289,7 @@ object Round11Queries {
       |         sum(w) OVER (PARTITION BY n_name ORDER BY v) AS run,
       |         sum(w) OVER (PARTITION BY n_name) AS tot
       |  FROM g)
-      |SELECT n_name, tot AS total_weight,
+      |SELECT n_name, CAST(tot AS BIGINT) AS total_weight,
       |       min(CASE WHEN run*2 >= tot THEN v END) AS wmedian_cents,
       |       min(CASE WHEN run*10 >= tot*9 THEN v END) AS wp90_cents
       |FROM r GROUP BY n_name, tot
@@ -372,8 +377,8 @@ object Round11Queries {
       |  WHERE coalesce(a.bucket, b.bucket) IN (SELECT bucket FROM diff)
       |  GROUP BY 1)
       |SELECT d.bucket, d.n_a, d.n_b,
-      |       coalesce(dr.n_missing, 0) AS n_missing,
-      |       coalesce(dr.n_corrupt, 0) AS n_corrupt
+      |       CAST(coalesce(dr.n_missing, 0) AS BIGINT) AS n_missing,
+      |       CAST(coalesce(dr.n_corrupt, 0) AS BIGINT) AS n_corrupt
       |FROM diff d LEFT JOIN drill dr ON d.bucket = dr.bucket
       |ORDER BY d.bucket""".stripMargin
 

@@ -492,24 +492,23 @@ object Round7Queries {
   // ---------------------------------------------------------------- q146
   /** Positional phrase search ("key order" as ADJACENT tokens, not mere
     * co-occurrence — q145's ordered sibling): per-doc occurrence count
-    * via a row-local scan over token positions (`filter` over a
-    * position sequence + `element_at` pairs). Map-only like q145; the
-    * size >= 2 guard keeps the position sequence well-formed under
-    * ANSI mode (a 1-token doc would otherwise build sequence(1, 0) =
-    * [1, 0] and index 0 — the empty-edge rule every array query here
-    * follows).
+    * via the native codegen [[graft.functions.PhraseCountExpr]] — one
+    * tight pass per row, no token-array materialization. The original
+    * declarative form (`filter(sequence(1, size-1), i -> ...)`) paid
+    * interpreted lambda evals per token position (28 s at sf0.1 for a
+    * map-only scan — the q28/q138 anti-pattern); the expression is
+    * value-identical by construction (Round7QueriesSpec pins both the
+    * gate values and path-equivalence vs the declarative form). Still
+    * map-only: scan → project → filter, zero exchanges before the
+    * presentation sort.
     */
   val PhraseW1 = "key"
   val PhraseW2 = "order"
 
   def q146PhraseSearch(s: SparkSession, dir: String): DataFrame =
     Tables.documents(s, dir)
-      .withColumn("toks", split(col("text"), " "))
-      .filter(size(col("toks")) >= 2)
-      .withColumn("n_occ", expr(
-        s"""cast(size(filter(sequence(1, size(toks) - 1),
-           |  i -> element_at(toks, i) = '$PhraseW1'
-           |       and element_at(toks, i + 1) = '$PhraseW2')) as bigint)""".stripMargin))
+      .withColumn("n_occ",
+        graft.functions.PhraseCountFn(col("text"), PhraseW1, PhraseW2))
       .filter(col("n_occ") > 0)
       .select(col("doc_id"), col("n_occ"))
       .orderBy(col("doc_id"))

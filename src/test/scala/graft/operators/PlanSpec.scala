@@ -633,6 +633,30 @@ class PlanSpec extends SparkTestBase {
       s"only the k scalar may nest:\n$p")
   }
 
+  test("q146: phrase search is a map-only codegen scan, no HOF and no exchange before the sort") {
+    val df = Round7Queries.q146PhraseSearch(spark, sf0001)
+    val p = formatted(df)
+    // the native expression replaced the interpreted lambda scan
+    assert(p.contains("phrase_count"), s"native phrase_count expected:\n$p")
+    assert(!p.contains("lambdafunction"),
+      s"no interpreted higher-order function in the hot path:\n$p")
+    // map-only: the only exchange is the final presentation sort's
+    assert(p.linesIterator.count(_.contains("- Exchange (")) <= 1, p)
+    assert(!p.contains("Join"), p)
+  }
+
+  test("q206: fact scan is dynamically pruned by the filtered dimension") {
+    val p = formatted(Round11Queries.q206DynamicPruning(spark, sf0001))
+    // the partition predicate on event_type exists only at runtime
+    // (derived from the dim filter on category) — the fact scan must
+    // carry a dynamicpruningexpression in its PartitionFilters, and the
+    // dim side must broadcast (DPP reuses that exchange)
+    assert(p.contains("PartitionFilters") && p.contains("dynamicpruning"),
+      s"expected DPP on the event_type partition column:\n$p")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
   test("q180: per-user rollup reuses the window's user_id partitioning") {
     val p = formatted(Round9Queries.q180Twap(spark, sf0001))
     // exactly two shuffles: the user_id window exchange and the final

@@ -263,6 +263,25 @@ class Round7QueriesSpec extends SparkTestBase {
     assert(got.size < cooc)
   }
 
+  test("q146 kernel: phrase_count edge cases match the declarative contract") {
+    import graft.functions.PhraseCount
+    import org.apache.spark.unsafe.types.UTF8String
+    // the original interpreted form: filter(sequence(1, size-1),
+    // i -> toks[i] = w1 and toks[i+1] = w2) over split(text, ' ')
+    def declarative(t: String): Long = {
+      val toks = t.split(" ", -1)
+      (1 until toks.length)
+        .count(i => toks(i - 1) == "key" && toks(i) == "order").toLong
+    }
+    val cases = Seq("", "key", "order", "key order", "key order key order",
+      "key key order", "key  order", " key order ", "keyorder",
+      "key order order key", "key order key", "a key order b key order",
+      "keys order", "key orders")
+    for (t <- cases)
+      assert(PhraseCount.count(UTF8String.fromString(t), "key", "order")
+        === declarative(t), s"input: '$t'")
+  }
+
   // ------------------------------------------------------------- q147
   test("q147: PII counts and redacted md5 match a java.util.regex replay") {
     val docs = Tables.documents(spark, sf0001)
