@@ -389,7 +389,7 @@ object AnnQueries {
   /** q47's long-form centroids assembled into broadcastable arrays —
     * the tiny (labels × dim) side of every centroid-scoring query.
     */
-  private def centroidArrays(s: SparkSession, dir: String): DataFrame =
+  private[operators] def centroidArrays(s: SparkSession, dir: String): DataFrame =
     q47EmbeddingCentroids(s, dir)
       .groupBy(col("label").as("c_label"))
       .agg(transform(array_sort(collect_list(struct(col("j"), col("m")))),

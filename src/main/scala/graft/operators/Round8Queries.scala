@@ -153,27 +153,62 @@ object Round8Queries {
 
   // ---------------------------------------------------------------- q155
   /** Contrastive hard-negative mining — for every embedding, the most
-    * similar embedding carrying a DIFFERENT label (the negatives a
-    * contrastive or metric-learning trainer pairs with each anchor;
-    * random negatives are too easy, so the miner looks for the
-    * nearest wrong-label neighbor). Similarity is the exact integer dot
-    * of micro-quantized vectors through the codegen
+    * similar CANDIDATE embedding carrying a DIFFERENT label (the
+    * negatives a contrastive or metric-learning trainer pairs with each
+    * anchor; random negatives are too easy, so the miner looks for the
+    * nearest wrong-label neighbor). The gated path is the BLOCKED form
+    * — the 100 TB shape, not all-pairs: each vector probes its TOP-2
+    * q47 label centroids (the q102/q49 assignment, widened to 2 probes
+    * because the hardest negative by construction sits between two
+    * classes), candidates are cross-label pairs sharing a probed
+    * cluster — an EQUI-join on the cluster key, n²·(2/C)²·C pairs
+    * instead of n² — and only candidates are scored. Scoring is the
+    * exact integer dot of micro-quantized vectors through the codegen
     * [[graft.functions.IntDotProduct]] kernel — no doubles, no cosine
     * division, so the argmax is hash-exact with zero rounding rules;
     * the argmax itself is the q49 partial-agg struct-max (tie → smaller
     * neighbor id via the negated-id field), never a window over the
-    * pair table. The O(n²) candidate generation is the brute-force
-    * BASELINE (the same contract as q21); at 100 TB the pair stage
-    * swaps for the q102 cluster blocking or q20 LSH candidates with the
-    * scoring and argmax stages unchanged.
+    * pair table. The oracle replays the identical blocking (centroids,
+    * probes, candidate join) so the gate stays hash-exact; recall vs
+    * the unblocked brute-force truth is asserted in Round8QueriesSpec
+    * (same contract as q102/q20: blocking is THE product, brute force
+    * is the spec's measuring stick).
     */
+  val HardNegProbes = 2
+
   def q155HardNegatives(s: SparkSession, dir: String): DataFrame = {
-    val q = Tables.embeddings(s, dir).select(col("vec_id"), col("label"),
+    graft.functions.VectorFunctions.register(s)
+    val e = Tables.embeddings(s, dir)
+    // top-2 centroid probes per vector: tiny broadcast cross (|labels|
+    // rows), window over C rows per vector — metadata scale
+    val cent = AnnQueries.centroidArrays(s, dir)
+    val wProbe = Window.partitionBy(col("vec_id"))
+      .orderBy(col("ccos").desc, col("c_label").asc)
+    val probes = e.crossJoin(broadcast(cent))
+      .select(col("vec_id"), col("c_label"),
+        round(graft.functions.VectorFunctions.dotD(
+          col("embedding").cast("array<double>"), col("centroid")), 6)
+          .as("ccos"))
+      .withColumn("rk", row_number().over(wProbe))
+      .filter(col("rk") <= HardNegProbes)
+      .select(col("vec_id"), col("c_label").as("cluster"))
+      .localCheckpoint()
+    // candidate ids: cross-label pairs sharing a probed cluster —
+    // ids only through the equi-join; vectors attach after the distinct
+    val lbl = e.select(col("vec_id"), col("label"))
+    val aIds = probes.join(lbl, Seq("vec_id"))
+    val bIds = aIds.select(col("vec_id").as("neg_id"),
+      col("label").as("neg_label"), col("cluster"))
+    val candIds = aIds.join(bIds, Seq("cluster"))
+      .filter(col("label") =!= col("neg_label"))
+      .select(col("vec_id"), col("neg_id")).distinct()
+    val q = e.select(col("vec_id"), col("label"),
       expr("transform(embedding, x -> cast(round(1e6 * x) as int))").as("qv"))
-    val a = q.select(col("vec_id"), col("label"), col("qv").as("qa"))
-    val b = q.select(col("vec_id").as("neg_id"), col("label").as("neg_label"),
-      col("qv").as("qb"))
-    a.join(b, col("label") =!= col("neg_label"))
+    candIds
+      .join(q.select(col("vec_id"), col("label"), col("qv").as("qa")),
+        Seq("vec_id"))
+      .join(q.select(col("vec_id").as("neg_id"),
+        col("label").as("neg_label"), col("qv").as("qb")), Seq("neg_id"))
       .withColumn("dp", org.apache.spark.sql.GraftSqlApi.column(
         graft.functions.IntDotProduct(
           org.apache.spark.sql.GraftSqlApi.expr(col("qa")),
@@ -188,7 +223,30 @@ object Round8Queries {
   }
 
   val q155Sql: String =
-    """WITH q AS (
+    """WITH dims AS (
+      |  SELECT vec_id, label, j,
+      |         CAST(embedding[CAST(j AS INTEGER) + 1] AS DOUBLE) AS v
+      |  FROM embeddings, range(64) t(j)),
+      |cent AS (
+      |  SELECT label AS c_label, j, round(avg(v), 6) AS m
+      |  FROM dims GROUP BY label, j),
+      |cdots AS (
+      |  SELECT d.vec_id, c.c_label, round(sum(d.v * c.m), 6) AS ccos
+      |  FROM dims d JOIN cent c USING (j)
+      |  GROUP BY d.vec_id, c.c_label),
+      |probes AS (
+      |  SELECT vec_id, c_label AS cluster FROM (
+      |    SELECT vec_id, c_label,
+      |           row_number() OVER (PARTITION BY vec_id
+      |                              ORDER BY ccos DESC, c_label ASC) AS rk
+      |    FROM cdots) WHERE rk <= 2),
+      |cand AS (
+      |  SELECT DISTINCT pa.vec_id AS vec_id, pb.vec_id AS neg_id
+      |  FROM probes pa JOIN probes pb ON pa.cluster = pb.cluster
+      |  JOIN embeddings ea ON ea.vec_id = pa.vec_id
+      |  JOIN embeddings eb ON eb.vec_id = pb.vec_id
+      |  WHERE ea.label <> eb.label),
+      |q AS (
       |  SELECT vec_id, label,
       |    list_transform(embedding, x -> CAST(round(1e6 * x) AS BIGINT)) AS qv
       |  FROM embeddings),
@@ -197,9 +255,11 @@ object Round8Queries {
       |         generate_subscripts(qv, 1) AS j
       |  FROM q),
       |dots AS (
-      |  SELECT a.vec_id AS vec_id, a.label AS label, b.vec_id AS neg_id,
-      |         b.label AS neg_label, CAST(sum(a.v * b.v) AS BIGINT) AS dp
-      |  FROM d a JOIN d b ON a.j = b.j AND a.label <> b.label
+      |  SELECT c.vec_id, a.label, c.neg_id, b.label AS neg_label,
+      |         CAST(sum(a.v * b.v) AS BIGINT) AS dp
+      |  FROM cand c
+      |  JOIN d a ON a.vec_id = c.vec_id
+      |  JOIN d b ON b.vec_id = c.neg_id AND b.j = a.j
       |  GROUP BY 1, 2, 3, 4),
       |best AS (
       |  SELECT vec_id, label, neg_id, neg_label, dp,

@@ -645,6 +645,18 @@ class PlanSpec extends SparkTestBase {
     assert(!p.contains("Join"), p)
   }
 
+  test("q155: blocked hard negatives — candidate join is equi, only the centroid cross nests") {
+    val p = formatted(Round8Queries.q155HardNegatives(spark, sf0001))
+    // the all-pairs theta join is gone: candidates come from an
+    // equi-join on the probed cluster key; the only nested loop is the
+    // DELIBERATE |labels|-row centroid broadcast cross (the q49 shape)
+    assert(p.linesIterator.count(_.contains("- BroadcastNestedLoopJoin")) <= 1,
+      s"only the centroid cross may nest:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("BroadcastHashJoin") || p.contains("ShuffledHashJoin") ||
+      p.contains("SortMergeJoin"), s"keyed candidate join expected:\n$p")
+  }
+
   test("q206: fact scan is dynamically pruned by the filtered dimension") {
     val p = formatted(Round11Queries.q206DynamicPruning(spark, sf0001))
     // the partition predicate on event_type exists only at runtime
