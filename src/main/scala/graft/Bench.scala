@@ -100,7 +100,19 @@ object Bench {
     "q201_percentile_within", "q202_interval_union",
     "q203_peak_concurrency", "q204_basket_lift", "q205_cusum_drift")
 
+  /** 1/5/15-min load averages — recorded at start and end so a
+    * load-contaminated run is self-documenting (BENCH_r04's 544 s
+    * headline was ambient load at 15-min avg 4.75, not a regression;
+    * see BASELINE.md's measurement-honesty log).
+    */
+  private def loadavg: String =
+    try new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get("/proc/loadavg"))).trim
+      .split(" ").take(3).mkString(",")
+    catch { case _: Throwable => "" }
+
   def main(args: Array[String]): Unit = {
+    val loadStart = loadavg
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
@@ -174,18 +186,26 @@ object Bench {
         name -> secs
       }
     }
+    val loadEnd = loadavg
     val qs = results.map { case (k, v) => "\"" + k + f"""\":$v%.3f""" }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
     val json =
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
-    // Two channels so the driver can parse mechanically even when a build
-    // tool decorates stdout: (1) the bare JSON line on stdout (build.sbt
-    // sets run/outputStrategy := StdoutOutput to keep it undecorated),
-    // (2) a file next to the build at ./bench.json.
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","load_start":"$loadStart","load_end":"$loadEnd"}"""
+    // The full per-query map (185+ entries) overflows the driver's tail
+    // capture (BENCH_r04 "parsed": null), so three channels:
+    // (1) the full JSON line on stdout first (build.sbt sets
+    //     run/outputStrategy := StdoutOutput to keep it undecorated),
+    // (2) the full line in ./bench.json next to the build,
+    // (3) a COMPACT summary as the LAST stdout line — small enough to
+    //     always survive a tail capture; per-query numbers live in
+    //     bench.json.
     println(json)
     java.nio.file.Files.write(java.nio.file.Paths.get("bench.json"),
       (json + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    val compact =
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","n_queries":${results.size},"sf":"$sfDir","load_start":"$loadStart","load_end":"$loadEnd","queries_file":"bench.json"}"""
+    println(compact)
     spark.stop()
   }
 }
