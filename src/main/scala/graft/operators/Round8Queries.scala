@@ -31,32 +31,51 @@ object Round8Queries {
     * cleanly at 100 TB (the paper's single-machine suffix array does
     * not).
     *
-    * Plan shape: positions explode FIRST and the gram is a native
-    * `substring` projection AFTER the Generate — fully codegen'd, no
-    * higher-order lambda anywhere (the q138 lesson; a
-    * transform-then-posexplode form paid ~2× on interpreted lambda
-    * evals). Dup membership is ONE gram-keyed exchange: a count window
-    * over g, so the gram table is computed once (the agg + semi-join
-    * alternative recomputes the explode and shuffles the grams twice —
-    * measured 30% slower warm). Then one per-doc window merges islands
-    * (intervals [pos, pos+L-1] merge while the gap to the previous
-    * matched position is <= L). At 100 TB the gram key becomes a 64-bit
-    * rolling hash (20 raw bytes here keep the oracle comparable), and
-    * under extreme gram skew the dup set falls back to the AQE-salted
-    * groupBy + semi-join shape — same semantics, skew-split exchange.
-    * Docs shorter than L chars drop from both engines identically (none
-    * in testdata — the guard is the ANSI empty-`sequence` rule).
+    * Plan shape — the 100 TB path (this IS the gated form): the gram
+    * key is the 64-bit Rabin–Karp rolling hash
+    * ([[graft.functions.RollingHashesExpr]], one codegen pass per doc,
+    * O(1) per position), so the corpus-scale count exchange carries
+    * 8-byte longs with map-side combine — never L-char strings. The dup
+    * hash set (distinct hashes with count ≥ 2 — duplicate-VOCABULARY
+    * sized, not corpus sized) broadcasts back and prunes the second
+    * scan map-side; only the surviving candidate positions (~1/3 here)
+    * materialize their substring, and an exact string count over
+    * candidates removes hash collisions (equal grams always share a
+    * hash, so pruning never loses a true duplicate; unequal grams
+    * collide at ~2⁻⁶⁴ and die in the verify — results stay EXACTLY the
+    * string-gram semantics the oracle computes). Then one per-doc
+    * window merges islands (intervals [pos, pos+L-1] merge while the
+    * gap to the previous matched position is <= L). Under extreme gram
+    * skew the hash count is already partial-aggregated (hot keys
+    * combine map-side); past broadcast capacity the dup set swaps to a
+    * shuffled semi-join — same semantics. Docs shorter than L chars
+    * drop from both engines identically.
     */
   val SubstrL = 20
 
   def q153ExactSubstrSpans(s: SparkSession, dir: String): DataFrame = {
-    val grams = Tables.documents(s, dir)
+    val docs = Tables.documents(s, dir)
       .filter(col("n_chars") >= SubstrL)
-      .select(col("doc_id"), col("text"), explode(expr(
-        s"sequence(1, cast(n_chars - $SubstrL + 1 as int))")).as("pos"))
+      .select(col("doc_id"), col("text"))
+    // the gram-id stream never carries text: (doc_id, p0, h) only —
+    // column pruning drops text right after the Generate
+    def hashedIds = docs.select(col("doc_id"),
+        posexplode(graft.functions.RollingHashesFn(col("text"), SubstrL))
+          .as(Seq("p0", "h")))
+    // corpus-scale count: longs only, partial-aggregated
+    val dupH = hashedIds.groupBy(col("h")).agg(count(lit(1)).as("c"))
+      .filter(col("c") >= 2).select(col("h"))
+    // map-side candidate prune (ids only), then re-attach text by doc
+    // and materialize the substring ONLY for candidate positions
+    val cand = hashedIds.join(broadcast(dupH), Seq("h"), "left_semi")
+      .select(col("doc_id"), (col("p0") + 1).cast("long").as("pos"))
+      .join(docs, Seq("doc_id"))
       .select(col("doc_id"), col("pos"),
-        expr(s"substring(text, pos, $SubstrL)").as("g"))
-    val matched = grams
+        expr(s"substring(text, cast(pos as int), $SubstrL)").as("g"))
+    // exact verify on the candidate set: hash collisions die here; a
+    // window count keeps cand single-evaluation (one string exchange,
+    // candidates only)
+    val matched = cand
       .withColumn("c", count(lit(1)).over(Window.partitionBy(col("g"))))
       .filter(col("c") >= 2)
       .select(col("doc_id"), col("pos"))

@@ -331,16 +331,6 @@ class PlanSpec extends SparkTestBase {
     }
   }
 
-  test("q153: one gram pass — no join, no lambda; native substring after Generate") {
-    val p = formatted(Round8Queries.q153ExactSubstrSpans(spark, sf0001))
-    assert(!p.contains("Join"),
-      s"dup membership is a count window, not a recomputing semi-join:\n$p")
-    assert(p.linesIterator.count(_.contains("- Generate (")) === 1,
-      s"the gram table must be computed exactly once:\n$p")
-    assert(!p.contains("lambdafunction"),
-      s"gram extraction must be codegen substring, not a HOF lambda:\n$p")
-  }
-
   test("q154: gram matrix is one aggregate — no join, one post-agg explode") {
     val p = formatted(Round8Queries.q154EmbeddingCovariance(spark, sf0001))
     assert(!p.contains("Join"),
@@ -643,6 +633,19 @@ class PlanSpec extends SparkTestBase {
     // map-only: the only exchange is the final presentation sort's
     assert(p.linesIterator.count(_.contains("- Exchange (")) <= 1, p)
     assert(!p.contains("Join"), p)
+  }
+
+  test("q153: gram count rides the rolling hash — no string key in the corpus-scale exchange") {
+    val p = formatted(Round8Queries.q153ExactSubstrSpans(spark, sf0001))
+    // the count stage keys on the codegen rolling hash (8-byte longs);
+    // strings appear only in the candidate verify after the broadcast
+    // prune
+    assert(p.contains("rolling_hashes"), s"rolling-hash gram keys expected:\n$p")
+    assert(p.contains("BroadcastHashJoin"), "dup-hash set must broadcast-prune")
+    assert(!p.contains("lambdafunction"),
+      s"hash extraction must be the codegen expression, not a HOF lambda:\n$p")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p)
   }
 
   test("q155: blocked hard negatives — candidate join is equi, only the centroid cross nests") {
