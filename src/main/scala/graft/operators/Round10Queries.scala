@@ -370,35 +370,60 @@ object Round10Queries {
 
   // ---------------------------------------------------------------- q201
   /** ANSI ordered-set aggregates — `percentile_cont` /
-    * `percentile_disc` WITHIN GROUP (Spark 3.4+; DuckDB's are the
-    * same ANSI surface), the report-writer syntax for exact
-    * percentiles (q34 computed them via explicit rank arithmetic; this
-    * is the engine's own inverse-distribution path). Hash-gatable
+    * `percentile_disc` WITHIN GROUP semantics (the oracle IS that ANSI
+    * surface in DuckDB), computed on the Spark side via the scalable
+    * explicit form: ONE partial-aggregated (group, cents) count
+    * exchange, then the R-7 rank arithmetic on the value-domain-bounded
+    * distinct table — the q209 cumulative-weight-crossing shape.
+    * Spark's own inverse-distribution path builds a per-group value
+    * buffer inside each of the four aggregate calls (6.8 s at sf0.1);
+    * the explicit form pre-collapses the corpus to distinct values
+    * first, which is also the only shape that survives 100 TB (the
+    * sort rides the value DOMAIN, not the row count).
+    * Round10QueriesSpec pins surface-equivalence by running the real
+    * WITHIN GROUP SQL against this implementation. Hash-gatable
     * because the inputs are INTEGER cents and the fractions are
-    * quarters: the R-7 interpolation a·(1−f) + b·f at f ∈ {0, ¼, ½,
-    * ¾} over integers is EXACTLY representable in doubles — no
-    * rounding happens on either engine, so cross-engine float drift is
-    * impossible by construction (the general-p / float-input form
-    * would not gate). percentile_disc's boundary convention (smallest
-    * value with cume_dist ≥ p) is probed identical on both engines.
+    * quarters: rank positions floor/ceil((n−1)p + 1) are computed in
+    * INTEGER arithmetic ((n−1) div 4 etc.), and the interpolation
+    * a·(1−f) + b·f at f ∈ {0, ¼, ½, ¾} over integer cents is EXACTLY
+    * representable in doubles — no rounding happens on either engine,
+    * so cross-engine float drift is impossible by construction (the
+    * general-p / float-input form would not gate). percentile_disc's
+    * boundary convention (smallest value with cume_dist ≥ p) is the
+    * `2·run ≥ n` crossing, probed identical on both engines.
     */
   def q201PercentileWithin(s: SparkSession, dir: String): DataFrame = {
-    Tables.lineitem(s, dir).createOrReplaceTempView("lineitem")
-    s.sql(
-      """SELECT l_returnflag,
-        |       count(*) AS n_rows,
-        |       round(percentile_cont(0.25) WITHIN GROUP (ORDER BY cents), 6)
-        |         AS p25_cents,
-        |       round(percentile_cont(0.5) WITHIN GROUP (ORDER BY cents), 6)
-        |         AS p50_cents,
-        |       round(percentile_cont(0.75) WITHIN GROUP (ORDER BY cents), 6)
-        |         AS p75_cents,
-        |       CAST(percentile_disc(0.5) WITHIN GROUP (ORDER BY cents)
-        |            AS BIGINT) AS med_disc_cents
-        |FROM (SELECT l_returnflag,
-        |             CAST(round(l_extendedprice * 100, 0) AS BIGINT) AS cents
-        |      FROM lineitem)
-        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)
+    val g = Tables.lineitem(s, dir)
+      .select(col("l_returnflag"),
+        round(col("l_extendedprice") * 100, 0).cast("long").as("cents"))
+      .groupBy(col("l_returnflag"), col("cents"))
+      .agg(count(lit(1)).as("cnt"))
+    val wRun = Window.partitionBy(col("l_returnflag")).orderBy(col("cents"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy(col("l_returnflag"))
+    val r = g
+      .withColumn("run", sum(col("cnt")).over(wRun))
+      .withColumn("n", sum(col("cnt")).over(wAll))
+    // R-7: h_p = (n-1)·p + 1; with p in quarters the floor/ceil ranks
+    // and fraction are pure integer arithmetic on n
+    def lowRank(numer: Column): Column = lit(1) + numer
+    def pCont(tag: String, f: Column): Column =
+      round(col(s"a_$tag") * (lit(1.0) - f) + col(s"b_$tag") * f, 6)
+    val q = r.groupBy(col("l_returnflag"), col("n"))
+      .agg(
+        min(when(col("run") >= lowRank(expr("(n-1) div 4")), col("cents"))).as("a_25"),
+        min(when(col("run") >= lowRank(expr("((n-1) + 3) div 4")), col("cents"))).as("b_25"),
+        min(when(col("run") >= lowRank(expr("(n-1) div 2")), col("cents"))).as("a_50"),
+        min(when(col("run") >= lowRank(expr("((n-1) + 1) div 2")), col("cents"))).as("b_50"),
+        min(when(col("run") >= lowRank(expr("(3*(n-1)) div 4")), col("cents"))).as("a_75"),
+        min(when(col("run") >= lowRank(expr("(3*(n-1) + 3) div 4")), col("cents"))).as("b_75"),
+        min(when(col("run") * 2 >= col("n"), col("cents"))).as("med_disc"))
+    q.select(col("l_returnflag"), col("n").as("n_rows"),
+        pCont("25", ((col("n") - 1) % 4).cast("double") / 4.0).as("p25_cents"),
+        pCont("50", ((col("n") - 1) % 2).cast("double") / 2.0).as("p50_cents"),
+        pCont("75", ((lit(3) * (col("n") - 1)) % 4).cast("double") / 4.0).as("p75_cents"),
+        col("med_disc").cast("long").as("med_disc_cents"))
+      .orderBy(col("l_returnflag"))
   }
 
   val q201Sql: String =

@@ -195,6 +195,30 @@ class Round10QueriesSpec extends SparkTestBase {
       p25 <= p50 && p50 <= p75 })
   }
 
+  test("q201: explicit form is surface-equivalent to the ANSI WITHIN GROUP SQL") {
+    Tables.lineitem(spark, sf0001).createOrReplaceTempView("lineitem_q201")
+    val ansi = spark.sql(
+      """SELECT l_returnflag,
+        |       count(*) AS n_rows,
+        |       round(percentile_cont(0.25) WITHIN GROUP (ORDER BY cents), 6)
+        |         AS p25_cents,
+        |       round(percentile_cont(0.5) WITHIN GROUP (ORDER BY cents), 6)
+        |         AS p50_cents,
+        |       round(percentile_cont(0.75) WITHIN GROUP (ORDER BY cents), 6)
+        |         AS p75_cents,
+        |       CAST(percentile_disc(0.5) WITHIN GROUP (ORDER BY cents)
+        |            AS BIGINT) AS med_disc_cents
+        |FROM (SELECT l_returnflag,
+        |             CAST(round(l_extendedprice * 100, 0) AS BIGINT) AS cents
+        |      FROM lineitem_q201)
+        |GROUP BY l_returnflag""".stripMargin)
+      .as[(String, Long, Double, Double, Double, Long)].collect().toSet
+    val got = Round10Queries.q201PercentileWithin(spark, sf0001)
+      .as[(String, Long, Double, Double, Double, Long)].collect().toSet
+    assert(got === ansi,
+      "explicit cumulative-weight form must equal the engine's own inverse-distribution path")
+  }
+
   /** Local intervals (user_id, event_id, event_type, start_us, end_us). */
   private def intervalsLocal: Array[(Long, Long, String, Long, Long)] =
     eventsLocal.map(r =>
