@@ -72,13 +72,18 @@ object DocQueries {
   private def docTfidf(s: SparkSession, dir: String): DocTfidf = tfidfCache.synchronized {
     tfidfCache.getOrElseUpdate((System.identityHashCode(s), dir), {
       val docs = Tables.documents(s, dir)
-      val toks = TfIdf.tokens(docs, "doc_id", "text")
+      // the bpeTrain memo pattern: EAGERLY materialize the shared token
+      // stream once (localCheckpoint), so the df pass, the tf pass, and
+      // the vector build all read one explode instead of re-running the
+      // corpus tokenization per branch (cold q12 was ~2x warm because
+      // the vecs plan exploded the corpus twice and dfreq once more)
+      val toks = TfIdf.tokens(docs, "doc_id", "text").localCheckpoint()
       val n = docs.select(col("doc_id")).distinct().count()
-      val dfreq = TfIdf.docFreq(toks).persist()
+      val dfreq = TfIdf.docFreq(toks).localCheckpoint()
       val vecs = TfIdf.l2Normalize(
           TfIdf.weights(TfIdf.termFreq(toks), dfreq, n))
         .withColumn("w", round(col("w"), 6))
-        .persist()
+        .localCheckpoint()
       DocTfidf(n, dfreq, vecs)
     })
   }
