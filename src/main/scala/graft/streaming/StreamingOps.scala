@@ -286,6 +286,57 @@ object StreamingOps {
       .filter(col("cos") >= minCos)
   }
 
+  /** One micro-batch (or batch-twin) step of the windowed streaming
+    * top-1 similarity north star (BASELINE.json / SURVEY §7.1.8): each
+    * arriving document is TF-IDF-vectorized against the PERSISTED
+    * corpus statistics (the J2 external-df form — df and n come from
+    * the index build, so a batch's weights don't drift with batch
+    * boundaries), scored top-1 against the corpus vectors through
+    * [[graft.similarity.Similarity.argmaxAdaptive]] (dense-broadcast
+    * codegen dot when the vocabulary allows, inverted-index otherwise),
+    * and stamped with its event-time tumbling window. Shared verbatim
+    * by the foreachBatch closure and the batch twin, so stream ≡ batch
+    * holds by construction (StreamingOpsSpec pins it on real data).
+    */
+  def scoreWindowedTop1(batch: DataFrame, corpusVectors: DataFrame,
+      corpusDf: DataFrame, corpusN: Long, windowDuration: String,
+      excludeSelf: Boolean): DataFrame = {
+    import graft.tfidf.TfIdf
+    val toks = TfIdf.tokens(batch, "doc_id", "text")
+    val vecs = TfIdf.l2Normalize(
+        TfIdf.weights(TfIdf.termFreq(toks), corpusDf, corpusN, external = true))
+      .withColumn("w", round(col("w"), 6))
+    val best = graft.similarity.Similarity.argmaxAdaptive(
+      vecs, corpusVectors, excludeSelf = excludeSelf)
+    val wins = batch.select(col("doc_id").as("l_id"),
+      window(col("ts"), windowDuration).getField("start").as("window_start"))
+    best.join(wins, Seq("l_id"))
+      .select(col("window_start"), col("l_id").as("doc_id"),
+        col("r_id").as("match_id"), col("sim"))
+  }
+
+  /** Windowed streaming top-1 similarity over an unbounded document
+    * stream — [[scoreWindowedTop1]] inside `foreachBatch`. STATELESS
+    * streaming: the corpus index (df table, corpus size, vectors) is a
+    * persisted batch artifact, the window is a row-local event-time
+    * stamp, and each micro-batch's work is batch-size × index lookups
+    * — no watermark state, no cross-batch state, so state is O(1) in
+    * stream history (the same bound as [[streamingSimilarity]]; the
+    * argmax itself is the q13 dense path, vocabulary-byte-bounded).
+    * `emit` receives each scored micro-batch (the spec appends to a
+    * buffer; production would `Sinks.writePartitioned` by window).
+    */
+  def windowedTop1Similarity(docs: DataFrame, corpusVectors: DataFrame,
+      corpusDf: DataFrame, corpusN: Long, windowDuration: String = "1 day",
+      excludeSelf: Boolean = true)(emit: DataFrame => Unit)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream.outputMode("append")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        emit(scoreWindowedTop1(batch, corpusVectors, corpusDf, corpusN,
+          windowDuration, excludeSelf))
+      }
+      .start()
+
   /** Stream-stream interval join (the attribution shape of
     * EventQueries.q33 over two UNBOUNDED inputs): each click joins the
     * impressions of the same user that happened in the

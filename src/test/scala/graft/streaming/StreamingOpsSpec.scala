@@ -246,6 +246,54 @@ class StreamingOpsSpec extends SparkTestBase {
     assert(streamed.size === 3 * 50 - 3) // all pairs minus self-matches
   }
 
+  test("windowed streaming top-1 similarity matches the batch twin") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.tfidf.TfIdf
+    // corpus index: a persisted-batch-artifact stand-in — vectors, df
+    // table, and corpus size from the sf0.001 documents
+    val docs = graft.Tables.documents(spark, sf0001)
+      .select($"doc_id", $"text")
+    val corpusToks = TfIdf.tokens(docs, "doc_id", "text")
+    val corpusDf = TfIdf.docFreq(corpusToks).localCheckpoint()
+    val corpusN = docs.count()
+    val corpusVecs = TfIdf.l2Normalize(
+        TfIdf.weights(TfIdf.termFreq(corpusToks), corpusDf, corpusN))
+      .withColumn("w", round($"w", 6)).localCheckpoint()
+    // stream: the first 60 docs arrive hourly (event time spans three
+    // tumbling days), split across three micro-batches
+    def arrival(id: Long): Timestamp =
+      new Timestamp(java.time.Instant.parse("2024-01-01T00:00:00Z")
+        .plusSeconds(id * 3600).toEpochMilli)
+    val rows = docs.filter($"doc_id" < 60).select($"doc_id", $"text")
+      .as[(Long, String)].collect()
+      .map { case (id, t) => (id, arrival(id), t) }
+    val input = MemoryStream[(Long, Timestamp, String)]
+    val stream = input.toDF.toDF("doc_id", "ts", "text")
+    val buf = scala.collection.mutable.ArrayBuffer
+      .empty[(Timestamp, Long, Long, Double)]
+    val q = StreamingOps.windowedTop1Similarity(
+        stream, corpusVecs, corpusDf, corpusN, "1 day") { scored =>
+      buf.synchronized {
+        buf ++= scored.collect().map(r =>
+          (r.getTimestamp(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      }
+    }
+    rows.grouped(20).foreach { g => input.addData(g.toIndexedSeq: _*); q.processAllAvailable() }
+    q.stop()
+    val streamed = buf.toSet
+    val batch = StreamingOps.scoreWindowedTop1(
+        rows.toSeq.toDF("doc_id", "ts", "text"), corpusVecs, corpusDf,
+        corpusN, "1 day", excludeSelf = true)
+      .collect().map(r =>
+        (r.getTimestamp(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .toSet
+    assert(streamed === batch, "stream must equal the batch twin")
+    assert(streamed.map(_._2).size === 60, "every arriving doc gets a verdict")
+    // two distinct event-time days, and no doc matches itself
+    assert(streamed.map(_._1).size === 3)
+    assert(streamed.forall { case (_, d, m, _) => d != m })
+  }
+
   test("stream-stream attribution join matches the batch interval join") {
     implicit val sqlCtx = spark.sqlContext
     val impIn = MemoryStream[(Long, Timestamp, Long, String, Double)]
