@@ -98,7 +98,11 @@ object Bench {
     "q195_correlation", "q196_bitmap_distinct", "q197_pit_join",
     "q198_attribution", "q199_streaks", "q200_ab_test",
     "q201_percentile_within", "q202_interval_union",
-    "q203_peak_concurrency", "q204_basket_lift", "q205_cusum_drift")
+    "q203_peak_concurrency", "q204_basket_lift", "q205_cusum_drift",
+    "q206_dynamic_pruning", "q207_ks_test", "q208_try_ingest",
+    "q209_weighted_median", "q210_merkle_diff",
+    "q211_setsim_join", "q212_dictionary_match", "q213_heavy_hitters",
+    "q214_rendezvous_shards", "q215_skyline")
 
   /** 1/5/15-min load averages — recorded at start and end so a
     * load-contaminated run is self-documenting (BENCH_r04's 544 s
@@ -163,6 +167,9 @@ object Bench {
       operators.TextStatsQueries.prepareTextLake(spark, sfDir) }
     val evoLakeReady = prep("q134_schema_evolution") {
       operators.TextStatsQueries.prepareEvolvedLake(spark, sfDir) }
+    val dppReady = prep("q206_dynamic_pruning") {
+      operators.EventQueries.preparePartitionedLake(spark, sfDir)
+      operators.Round11Queries.prepareEventDim(spark, sfDir) }
     val results = Headline
       .filter(selected)
       .filter(name => ivfReady || name != "q43_ivf_topk")
@@ -172,6 +179,7 @@ object Bench {
       .filter(name => orcReady || name != "q120_orc_lake")
       .filter(name => textLakeReady || name != "q133_text_lake")
       .filter(name => evoLakeReady || name != "q134_schema_evolution")
+      .filter(name => dppReady || name != "q206_dynamic_pruning")
       .flatMap { name =>
       SparkEntry.queries.get(name).map { fn =>
         val t0 = System.nanoTime()

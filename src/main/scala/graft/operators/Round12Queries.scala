@@ -1,0 +1,352 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.dedup.Dedup
+
+/** Round-12 additions (driver round 5, batch 13): five operator families
+  * the gated set had not exercised — an EXACT set-similarity join via
+  * prefix filtering (the deterministic complement of the q16 LSH path),
+  * Aho–Corasick dictionary matching (one-pass multi-pattern scan),
+  * Misra–Gries heavy hitters (bounded-summary candidates + exact
+  * verify), rendezvous/HRW shard assignment (minimal-movement data
+  * placement), and the 2-D Pareto skyline (windows, not the O(n²)
+  * dominance join).
+  *
+  * Same determinism contract as every gated family: integer-exact
+  * carriers and thresholds (cross-multiplied Jaccard, integer cents),
+  * deterministic orderings with unique-id tie-breaks, md5 (never
+  * rand()) wherever a hash is needed.
+  */
+object Round12Queries {
+
+  // ---------------------------------------------------------------- q211
+  /** Exact set-similarity self-join (AllPairs/PPJoin prefix filtering,
+    * Bayardo et al. 2007) over 5-token shingle sets: find EVERY
+    * document pair with Jaccard ≥ 0.8 — no LSH recall loss (q16 finds
+    * what its bands recall; this finds all of them, deterministically).
+    * The 100 TB shape: order each set's shingles rarest-first (global
+    * df asc, shingle asc), keep only each set's PREFIX — the first
+    * |d| − ⌈τ·|d|⌉ + 1 shingles — and equi-join prefixes on the
+    * shingle: the prefix-filter theorem guarantees two sets with
+    * J ≥ τ share a prefix token under a common global order, so the
+    * candidate join touches the rare end of the vocabulary instead of
+    * all co-occurring pairs. Candidates then pass the length filter
+    * (τ·|a| ≤ |b|, cross-multiplied integers) and an exact
+    * intersection count (keyed joins on the candidate set only);
+    * the final test 9·inter ≥ 4·(|a|+|b|) is integer-exact
+    * (⟺ inter/union ≥ 4/5). Readout carries jac_micro =
+    * round(1e6·inter/union) — one double excursion, same expression
+    * both engines.
+    */
+  val SetSimShingleN = 5
+  val SetSimTauNum = 4 // tau = 4/5
+  val SetSimTauDen = 5
+
+  def q211SetSimJoin(s: SparkSession, dir: String): DataFrame = {
+    val sh = Dedup.shingleSets(Tables.documents(s, dir), "doc_id", "text",
+      SetSimShingleN) // (id, shingle) distinct
+    val sizes = sh.groupBy(col("id")).agg(count(lit(1)).as("sz"))
+    val dfreq = sh.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
+    // prefix length pi = sz - ceil(tau*sz) + 1, integer arithmetic
+    val wOrd = Window.partitionBy(col("id"))
+      .orderBy(col("df").asc, col("shingle").asc)
+    val ranked = sh.join(dfreq, Seq("shingle"))
+      .withColumn("rn", row_number().over(wOrd))
+      .join(sizes, Seq("id"))
+      .filter(col("rn") <=
+        col("sz") - expr(s"($SetSimTauNum * sz + $SetSimTauNum) div $SetSimTauDen") + 1)
+      .select(col("id"), col("shingle"), col("sz"))
+    val cands = ranked.select(col("id").as("a"), col("shingle"), col("sz").as("sza"))
+      .join(ranked.select(col("id").as("b"), col("shingle"), col("sz").as("szb")),
+        Seq("shingle"))
+      .filter(col("a") < col("b") &&
+        col("sza") * SetSimTauNum <= col("szb") * SetSimTauDen &&
+        col("szb") * SetSimTauNum <= col("sza") * SetSimTauDen)
+      .select(col("a"), col("b"), col("sza"), col("szb")).distinct()
+    // exact verify: intersection counts on the candidate pairs only
+    val inter = cands.select(col("a"), col("b"))
+      .join(sh.select(col("id").as("a"), col("shingle")), Seq("a"))
+      .join(sh.select(col("id").as("b"), col("shingle")), Seq("b", "shingle"), "left_semi")
+      .groupBy(col("a"), col("b")).agg(count(lit(1)).as("inter"))
+    cands.join(inter, Seq("a", "b"))
+      .filter(col("inter") * (SetSimTauDen + SetSimTauNum) >=
+        (col("sza") + col("szb")) * SetSimTauNum)
+      .select(col("a"), col("b"), col("inter"),
+        (col("sza") + col("szb") - col("inter")).as("uni"),
+        round(lit(1e6) * col("inter") /
+          (col("sza") + col("szb") - col("inter")), 0).cast("long").as("jac_micro"))
+      .orderBy(col("a"), col("b"))
+  }
+
+  val q211Sql: String =
+    s"""WITH lists AS (
+       |  SELECT doc_id AS id,
+       |         list_filter(string_split(trim(regexp_replace(lower(text), '(\\d|\\W)+', ' ', 'g')), ' '), x -> x <> '') AS toks
+       |  FROM documents),
+       |sh AS (
+       |  SELECT DISTINCT id, shingle FROM (
+       |    SELECT id, unnest(list_transform(range(1, len(toks) - ${SetSimShingleN - 2}),
+       |                      i -> array_to_string(toks[i:i+${SetSimShingleN - 1}], ' '))) AS shingle
+       |    FROM lists)),
+       |sizes AS (SELECT id, count(*) AS sz FROM sh GROUP BY id),
+       |dfreq AS (SELECT shingle, count(*) AS df FROM sh GROUP BY shingle),
+       |ranked AS (
+       |  SELECT s.id, s.shingle, z.sz,
+       |         row_number() OVER (PARTITION BY s.id
+       |                            ORDER BY d.df ASC, s.shingle ASC) AS rn
+       |  FROM sh s JOIN dfreq d USING (shingle) JOIN sizes z ON z.id = s.id),
+       |pfx AS (
+       |  SELECT id, shingle, sz FROM ranked
+       |  WHERE rn <= sz - ($SetSimTauNum * sz + $SetSimTauNum) // $SetSimTauDen + 1),
+       |cands AS (
+       |  SELECT DISTINCT a.id AS a, b.id AS b, a.sz AS sza, b.sz AS szb
+       |  FROM pfx a JOIN pfx b ON a.shingle = b.shingle AND a.id < b.id
+       |  WHERE a.sz * $SetSimTauNum <= b.sz * $SetSimTauDen
+       |    AND b.sz * $SetSimTauNum <= a.sz * $SetSimTauDen),
+       |inter AS (
+       |  SELECT c.a, c.b, count(*) AS inter
+       |  FROM cands c
+       |  JOIN sh x ON x.id = c.a
+       |  JOIN sh y ON y.id = c.b AND y.shingle = x.shingle
+       |  GROUP BY c.a, c.b)
+       |SELECT c.a, c.b, i.inter, c.sza + c.szb - i.inter AS uni,
+       |       CAST(round(1e6 * i.inter / (c.sza + c.szb - i.inter), 0) AS BIGINT) AS jac_micro
+       |FROM cands c JOIN inter i ON i.a = c.a AND i.b = c.b
+       |WHERE i.inter * ${SetSimTauDen + SetSimTauNum} >= (c.sza + c.szb) * $SetSimTauNum
+       |ORDER BY c.a, c.b""".stripMargin
+
+  // ---------------------------------------------------------------- q212
+  /** Aho–Corasick dictionary matching: per-pattern corpus occurrence
+    * totals and containing-doc counts from ONE pass per document over
+    * the [[graft.functions.AcCountsExpr]] automaton (codegen; the
+    * automaton ships once by closure — a blocklist/PII-dictionary scan
+    * at 100 TB is O(corpus), not O(corpus × |dictionary|)). Counts are
+    * START-POSITION semantics: overlapping matches and matches inside
+    * other patterns all count ("he" inside "the", "at" inside "data"),
+    * which is what makes the automaton necessary — per-pattern
+    * `replace`-arithmetic counts non-overlapping occurrences only. The
+    * oracle replays the same semantics with a per-(doc, pattern) list
+    * comprehension over start positions — O(corpus × |dict|), the
+    * thing the automaton exists to avoid, acceptable at oracle scale.
+    */
+  val DictPatterns: Seq[String] = Seq(
+    "at", "data", "der", "he", "ket", "market", "order", "the")
+
+  def q212DictionaryMatch(s: SparkSession, dir: String): DataFrame = {
+    val pats = DictPatterns.zipWithIndex
+      .map { case (p, i) => (i, p) }
+    val patDim = s.createDataFrame(pats).toDF("pid", "pattern")
+    Tables.documents(s, dir)
+      .select(col("doc_id"),
+        posexplode(graft.functions.AcCountsFn(col("text"), DictPatterns))
+          .as(Seq("pid", "c")))
+      .groupBy(col("pid"))
+      .agg(sum(col("c")).as("n_occurrences"),
+        sum(when(col("c") > 0, 1L).otherwise(0L)).as("n_docs"))
+      .join(broadcast(patDim), Seq("pid"))
+      .select(col("pattern"), col("n_occurrences"), col("n_docs"))
+      .orderBy(col("pattern"))
+  }
+
+  val q212Sql: String = {
+    val values = DictPatterns.map(p => s"('$p')").mkString(", ")
+    s"""WITH pats(pattern) AS (VALUES $values),
+       |cnt AS (
+       |  SELECT d.doc_id, p.pattern,
+       |         len([i FOR i IN range(1, len(d.text) - len(p.pattern) + 2)
+       |              IF substr(d.text, CAST(i AS INT), len(p.pattern)) = p.pattern])
+       |           AS c
+       |  FROM documents d CROSS JOIN pats p)
+       |SELECT pattern, CAST(sum(c) AS BIGINT) AS n_occurrences,
+       |       CAST(sum(CASE WHEN c > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_docs
+       |FROM cnt GROUP BY pattern ORDER BY pattern""".stripMargin
+  }
+
+  // ---------------------------------------------------------------- q213
+  /** Exact heavy hitters via Misra–Gries candidate pruning: all words
+    * with count > n/k, computed as (1) a per-partition bounded
+    * [[graft.functions.MisraGries]] summary (≤ k counters per
+    * partition — the justified `mapPartitions`: the summary is
+    * imperative bounded state, and its output is O(k·partitions) rows,
+    * never the vocabulary), (2) the union of summaries as a broadcast
+    * candidate set — COMPLETE by the MG pigeonhole guarantee (global
+    * count > n/k ⇒ some partition count > n_p/k ⇒ in that summary),
+    * (3) one exact count pass over candidate words only, thresholded
+    * with the integer cross-multiplication cnt·k > n. At 100 TB the
+    * exchange carries candidate-word counts, not the vocabulary — the
+    * two-pass exact-HH pattern every frequency monitor runs. The
+    * oracle is the direct HAVING form; results are identical because
+    * MG only prunes, never decides. k = 30 puts the 1/k threshold
+    * inside the frequency spread of this corpus's 29-word vocabulary,
+    * so the gate returns a non-trivial subset (16 of 29 words at
+    * sf0.01); with vocab < k the per-partition summaries never evict here
+    * — the eviction/error-bound behavior is proven on adversarial
+    * streams in Round12QueriesSpec, and at real scale (vocab >> k) the
+    * pruning is what keeps the exchange candidate-sized.
+    */
+  val HhK = 30
+
+  def q213HeavyHitters(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val toks = Tables.documents(s, dir)
+      .select(explode(split(graft.text.TextPrep.normalize(col("text")), " "))
+        .as("word"))
+      .filter(col("word") =!= "")
+    val cands = toks.as[String]
+      .mapPartitions(it => graft.functions.MisraGries.summarize(it, HhK).keysIterator)
+      .toDF("word").distinct()
+    val n = toks.count()
+    toks.join(broadcast(cands), Seq("word"), "left_semi")
+      .groupBy(col("word")).agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") * HhK > n)
+      .orderBy(col("word"))
+  }
+
+  val q213Sql: String =
+    s"""WITH tok AS (
+       |  SELECT unnest(list_filter(string_split(trim(regexp_replace(lower(text), '(\\d|\\W)+', ' ', 'g')), ' '), x -> x <> '')) AS word
+       |  FROM documents),
+       |n AS (SELECT count(*) AS n FROM tok)
+       |SELECT word, count(*) AS cnt
+       |FROM tok CROSS JOIN n
+       |GROUP BY word, n.n HAVING count(*) * $HhK > n.n
+       |ORDER BY word""".stripMargin
+
+  // ---------------------------------------------------------------- q214
+  /** Rendezvous (highest-random-weight) shard assignment and the
+    * rebalance diff when one shard is added — the data-placement
+    * primitive behind consistent cache/shard routing: every key scores
+    * every shard with a deterministic hash weight (md5, the repo rule)
+    * and lands on the argmax, so adding shard N+1 moves ONLY the keys
+    * whose new argmax IS the new shard (provably minimal movement —
+    * the argmax over a superset changes only to the new element; the
+    * spec asserts the law). Per-key scoring is the q49 shape: explode
+    * the shard list per key, partial-agg struct-max argmax — the
+    * exchange carries one row per key per partition side, never the
+    * keys × shards stream; both assignments co-partition on doc_id so
+    * the diff join reuses the exchange.
+    */
+  val ShardsBefore = 8
+  val ShardsAfter = 9
+
+  private def hrwAssign(docs: DataFrame, nShards: Int, outCol: String): DataFrame =
+    docs.select(col("doc_id"),
+        explode(sequence(lit(0), lit(nShards - 1))).as("shard"))
+      .withColumn("w", conv(substring(md5(concat(
+        col("doc_id").cast("string"), lit(":"), col("shard").cast("string"))
+          .cast("binary")), 1, 12), 16, 10).cast("long"))
+      .groupBy(col("doc_id"))
+      .agg(max(struct(col("w"), (-col("shard")).as("ns"))).as("m"))
+      .select(col("doc_id"), (-col("m.ns")).cast("long").as(outCol))
+
+  def q214RendezvousShards(s: SparkSession, dir: String): DataFrame = {
+    val keys = Tables.documents(s, dir).select(col("doc_id"))
+    val before = hrwAssign(keys, ShardsBefore, "shard_before")
+    val after = hrwAssign(keys, ShardsAfter, "shard_after")
+    before.join(after, Seq("doc_id"))
+      .groupBy(col("shard_after").as("shard"))
+      .agg(count(lit(1)).as("n_after"),
+        sum(when(col("shard_before") === col("shard_after"), 1L).otherwise(0L))
+          .as("n_stayed"),
+        sum(when(col("shard_before") =!= col("shard_after"), 1L).otherwise(0L))
+          .as("n_gained"))
+      .orderBy(col("shard"))
+  }
+
+  val q214Sql: String =
+    s"""WITH keys AS (SELECT doc_id FROM documents),
+       |wb AS (
+       |  SELECT k.doc_id, t.s AS shard,
+       |         CAST(concat('0x', substr(md5(CAST(k.doc_id AS VARCHAR) || ':' || CAST(t.s AS VARCHAR)), 1, 12)) AS BIGINT) AS w
+       |  FROM keys k, range($ShardsBefore) t(s)),
+       |b AS (
+       |  SELECT doc_id, shard AS shard_before FROM (
+       |    SELECT doc_id, shard,
+       |           row_number() OVER (PARTITION BY doc_id
+       |                              ORDER BY w DESC, shard ASC) AS rk
+       |    FROM wb) WHERE rk = 1),
+       |wa AS (
+       |  SELECT k.doc_id, t.s AS shard,
+       |         CAST(concat('0x', substr(md5(CAST(k.doc_id AS VARCHAR) || ':' || CAST(t.s AS VARCHAR)), 1, 12)) AS BIGINT) AS w
+       |  FROM keys k, range($ShardsAfter) t(s)),
+       |a AS (
+       |  SELECT doc_id, shard AS shard_after FROM (
+       |    SELECT doc_id, shard,
+       |           row_number() OVER (PARTITION BY doc_id
+       |                              ORDER BY w DESC, shard ASC) AS rk
+       |    FROM wa) WHERE rk = 1)
+       |SELECT a.shard_after AS shard, count(*) AS n_after,
+       |       CAST(sum(CASE WHEN b.shard_before = a.shard_after THEN 1 ELSE 0 END) AS BIGINT) AS n_stayed,
+       |       CAST(sum(CASE WHEN b.shard_before <> a.shard_after THEN 1 ELSE 0 END) AS BIGINT) AS n_gained
+       |FROM a JOIN b ON a.doc_id = b.doc_id
+       |GROUP BY a.shard_after ORDER BY shard""".stripMargin
+
+  // ---------------------------------------------------------------- q215
+  /** 2-D Pareto skyline per return flag — the multi-criteria "not
+    * dominated" operator (cheapest price at each quantity level or
+    * better): a point is dominated iff some other point is ≤ in both
+    * dimensions and < in one. The O(n²) dominance join is replaced by
+    * the sort-order identity: after pre-aggregating to distinct
+    * (group, qty, cents) points (value-domain bounded — the corpus
+    * never sorts), a point survives iff its cents beat the RANGE-frame
+    * min over strictly-smaller quantities AND equal the min within its
+    * own quantity. Two window passes, no join — at 100 TB the
+    * pre-aggregate is the only corpus-scale exchange. Duplicate
+    * (qty, cents) points are one skyline row carrying n_rows.
+    */
+  def q215Skyline(s: SparkSession, dir: String): DataFrame = {
+    val pts = Tables.lineitem(s, dir)
+      .select(col("l_returnflag"),
+        col("l_quantity").cast("long").as("qty"),
+        round(col("l_extendedprice") * 100, 0).cast("long").as("cents"))
+      .groupBy(col("l_returnflag"), col("qty"), col("cents"))
+      .agg(count(lit(1)).as("n_rows"))
+    val wLt = Window.partitionBy(col("l_returnflag")).orderBy(col("qty"))
+      .rangeBetween(Window.unboundedPreceding, -1)
+    val wEq = Window.partitionBy(col("l_returnflag"), col("qty"))
+    pts
+      .withColumn("min_lt", min(col("cents")).over(wLt))
+      .withColumn("min_eq", min(col("cents")).over(wEq))
+      .filter((col("min_lt").isNull || col("cents") < col("min_lt")) &&
+        col("cents") === col("min_eq"))
+      .select(col("l_returnflag"), col("qty"), col("cents"), col("n_rows"))
+      .orderBy(col("l_returnflag"), col("qty"))
+  }
+
+  val q215Sql: String =
+    """WITH pts AS (
+      |  SELECT l_returnflag, CAST(l_quantity AS BIGINT) AS qty,
+      |         CAST(round(l_extendedprice * 100, 0) AS BIGINT) AS cents,
+      |         count(*) AS n_rows
+      |  FROM lineitem GROUP BY 1, 2, 3),
+      |w AS (
+      |  SELECT l_returnflag, qty, cents, n_rows,
+      |         min(cents) OVER (PARTITION BY l_returnflag ORDER BY qty
+      |                          RANGE BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+      |           AS min_lt,
+      |         min(cents) OVER (PARTITION BY l_returnflag, qty) AS min_eq
+      |  FROM pts)
+      |SELECT l_returnflag, qty, cents, n_rows
+      |FROM w
+      |WHERE (min_lt IS NULL OR cents < min_lt) AND cents = min_eq
+      |ORDER BY l_returnflag, qty""".stripMargin
+
+  // ------------------------------------------------------------ registry
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q211_setsim_join" -> (q211SetSimJoin _),
+    "q212_dictionary_match" -> (q212DictionaryMatch _),
+    "q213_heavy_hitters" -> (q213HeavyHitters _),
+    "q214_rendezvous_shards" -> (q214RendezvousShards _),
+    "q215_skyline" -> (q215Skyline _))
+
+  val oracles: Map[String, String] = Map(
+    "q211_setsim_join" -> q211Sql,
+    "q212_dictionary_match" -> q212Sql,
+    "q213_heavy_hitters" -> q213Sql,
+    "q214_rendezvous_shards" -> q214Sql,
+    "q215_skyline" -> q215Sql)
+}

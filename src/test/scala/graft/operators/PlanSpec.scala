@@ -672,6 +672,52 @@ class PlanSpec extends SparkTestBase {
     assert(!p.contains("SortMergeJoin"), p)
   }
 
+  test("q211: prefix-filter join is all equi-joins — no cartesian pair generation") {
+    val p = formatted(Round12Queries.q211SetSimJoin(spark, sf0001))
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"candidates must come from the prefix equi-join:\n$p")
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin") ||
+      p.contains("BroadcastHashJoin"), p)
+  }
+
+  test("q212: dictionary scan is the codegen automaton — one pass, no per-pattern scans") {
+    val p = formatted(Round12Queries.q212DictionaryMatch(spark, sf0001))
+    assert(p.contains("ac_counts"), s"native automaton expression expected:\n$p")
+    // one documents scan total: the |dict| patterns never multiply the corpus
+    assert(p.linesIterator.count(_.matches("""\(\d+\) Scan parquet\s*""")) === 1,
+      s"one corpus pass for all patterns:\n$p")
+    assert(!p.contains("lambdafunction"), p)
+  }
+
+  test("q213: heavy hitters — bounded MG summary feeds a broadcast semi-join") {
+    val p = formatted(Round12Queries.q213HeavyHitters(spark, sf0001))
+    assert(p.contains("MapPartitions"),
+      s"per-partition bounded summary expected:\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"candidate set must broadcast into the exact count pass:\n$p")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("q214: HRW argmax is a partial aggregate, not a window over key x shard") {
+    val p = formatted(Round12Queries.q214RendezvousShards(spark, sf0001))
+    assert(!p.contains("Window"),
+      s"per-key argmax must be the struct-max partial aggregate:\n$p")
+    assert(p.contains("HashAggregate"), p)
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("q215: skyline is two windows over the pre-aggregated point table — no join") {
+    val p = formatted(Round12Queries.q215Skyline(spark, sf0001))
+    assert(!p.contains("Join"), s"no dominance join:\n$p")
+    assert(p.linesIterator.count(_.contains("- Window (")) >= 1, p)
+    // the corpus collapses in the first aggregate; windows ride the
+    // value-domain point table
+    assert(p.contains("HashAggregate"), p)
+  }
+
   test("q180: per-user rollup reuses the window's user_id partitioning") {
     val p = formatted(Round9Queries.q180Twap(spark, sf0001))
     // exactly two shuffles: the user_id window exchange and the final
