@@ -102,7 +102,8 @@ object Bench {
     "q206_dynamic_pruning", "q207_ks_test", "q208_try_ingest",
     "q209_weighted_median", "q210_merkle_diff",
     "q211_setsim_join", "q212_dictionary_match", "q213_heavy_hitters",
-    "q214_rendezvous_shards", "q215_skyline")
+    "q214_rendezvous_shards", "q215_skyline", "q216_positional_index",
+    "q217_nearest_event", "q218_grouped_trend")
 
   /** 1/5/15-min load averages — recorded at start and end so a
     * load-contaminated run is self-documenting (BENCH_r04's 544 s

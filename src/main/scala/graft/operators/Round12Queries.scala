@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -335,18 +335,221 @@ object Round12Queries {
       |WHERE (min_lt IS NULL OR cents < min_lt) AND cents = min_eq
       |ORDER BY l_returnflag, qty""".stripMargin
 
+  // ---------------------------------------------------------------- q216
+  /** Positional-index phrase retrieval: the q146 phrase count answered
+    * FROM AN INVERTED INDEX instead of a scan — postings (doc, pos)
+    * are built only for the dictionary words (at 100 TB the postings
+    * table is the persisted search index and the scan never happens at
+    * query time; here it derives inline with the word filter pushed
+    * into the tokenize pass), and a phrase match is the EQUI-join
+    * postings(w1) ⋈ postings(w2) ON (doc, pos+1) — the way a search
+    * engine intersects positional postings, O(|postings|) not
+    * O(corpus). Same split semantics as q146 (raw single-space split,
+    * positions 1-based), so the result is BY CONSTRUCTION the q146
+    * output — the spec asserts index ≡ scan, the classic
+    * index-correctness gate.
+    */
+  def q216PositionalIndex(s: SparkSession, dir: String): DataFrame = {
+    val w1 = Round7Queries.PhraseW1
+    val w2 = Round7Queries.PhraseW2
+    val postings = Tables.documents(s, dir)
+      .select(col("doc_id"),
+        posexplode(split(col("text"), " ")).as(Seq("p0", "word")))
+      .filter(col("word").isin(w1, w2))
+      .select(col("doc_id"), (col("p0") + 1).cast("long").as("pos"), col("word"))
+    postings.filter(col("word") === w1)
+      .select(col("doc_id"), col("pos"))
+      .join(postings.filter(col("word") === w2)
+          .select(col("doc_id"), (col("pos") - 1).as("pos")),
+        Seq("doc_id", "pos"))
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_occ"))
+      .orderBy(col("doc_id"))
+  }
+
+  val q216Sql: String =
+    s"""WITH postings AS (
+       |  SELECT doc_id, CAST(i AS BIGINT) AS pos, ws[CAST(i AS INT)] AS word
+       |  FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+       |       unnest(range(1, len(ws) + 1)) t(i)
+       |  WHERE ws[CAST(i AS INT)] IN ('${Round7Queries.PhraseW1}', '${Round7Queries.PhraseW2}'))
+       |SELECT a.doc_id, count(*) AS n_occ
+       |FROM postings a JOIN postings b
+       |  ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+       |WHERE a.word = '${Round7Queries.PhraseW1}' AND b.word = '${Round7Queries.PhraseW2}'
+       |GROUP BY a.doc_id ORDER BY a.doc_id""".stripMargin
+
+  // ---------------------------------------------------------------- q217
+  /** Nearest-event temporal join: each purchase finds its NEAREST click
+    * by the same user within ±5 minutes — either direction, the sensor
+    * -alignment/attribution variant q33's backward-only as-of cannot
+    * express. No join at all: both event types merge into one user-
+    * keyed timeline ordered by (ts, event_id); the previous click is a
+    * running max over the preceding ROWS frame of the click-only ts
+    * column, the next click the mirrored min over the following frame
+    * — ONE window family, the 100 TB as-of shape (state ∝ timeline,
+    * never purchases × clicks). Tie at equal distance → the earlier
+    * click, by documented rule. Readout rolls up per user: purchases,
+    * matches, side split, and the exact Σ|Δt| µs of matched pairs.
+    */
+  val NearTolUs: Long = 300L * 1000000
+
+  def q217NearestEvent(s: SparkSession, dir: String): DataFrame = {
+    val tl = ev(s, dir)
+      .filter(col("event_type").isin("purchase", "click"))
+      .select(col("user_id"), col("event_id"), col("ts_us"), col("event_type"),
+        when(col("event_type") === "click", col("ts_us")).as("cts"))
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts_us"), col("event_id"))
+    val scored = tl
+      .withColumn("prev_ts",
+        max(col("cts")).over(w.rowsBetween(Window.unboundedPreceding, -1)))
+      .withColumn("next_ts",
+        min(col("cts")).over(w.rowsBetween(1, Window.unboundedFollowing)))
+      .filter(col("event_type") === "purchase")
+      .withColumn("dt_prev",
+        coalesce(col("ts_us") - col("prev_ts"), lit(Long.MaxValue)))
+      .withColumn("dt_next",
+        coalesce(col("next_ts") - col("ts_us"), lit(Long.MaxValue)))
+      .withColumn("dt", least(col("dt_prev"), col("dt_next")))
+      .withColumn("matched", col("dt") <= NearTolUs)
+      .withColumn("side", when(!col("matched"), lit("none"))
+        .when(col("dt_prev") <= col("dt_next"), lit("prev"))
+        .otherwise(lit("next")))
+    scored.groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_purchases"),
+        sum(when(col("matched"), 1L).otherwise(0L)).as("n_matched"),
+        sum(when(col("side") === "prev", 1L).otherwise(0L)).as("n_prev"),
+        sum(when(col("side") === "next", 1L).otherwise(0L)).as("n_next"),
+        sum(when(col("matched"), col("dt"))).as("sum_dt_us"))
+      .orderBy(col("user_id"))
+  }
+
+  val q217Sql: String =
+    s"""WITH tl AS (
+       |  SELECT user_id, event_id, epoch_us(ts) AS ts_us, event_type,
+       |         CASE WHEN event_type = 'click' THEN epoch_us(ts) END AS cts
+       |  FROM events WHERE event_type IN ('purchase', 'click')),
+       |scored AS (
+       |  SELECT user_id, event_type,
+       |         max(cts) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+       |                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+       |           AS prev_ts,
+       |         min(cts) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+       |                        ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING)
+       |           AS next_ts,
+       |         ts_us
+       |  FROM tl),
+       |p AS (
+       |  SELECT user_id,
+       |         coalesce(ts_us - prev_ts, 9223372036854775807) AS dt_prev,
+       |         coalesce(next_ts - ts_us, 9223372036854775807) AS dt_next
+       |  FROM scored WHERE event_type = 'purchase'),
+       |v AS (
+       |  SELECT user_id, least(dt_prev, dt_next) AS dt,
+       |         least(dt_prev, dt_next) <= $NearTolUs AS matched,
+       |         CASE WHEN least(dt_prev, dt_next) > $NearTolUs THEN 'none'
+       |              WHEN dt_prev <= dt_next THEN 'prev' ELSE 'next' END AS side
+       |  FROM p)
+       |SELECT user_id, count(*) AS n_purchases,
+       |       CAST(sum(CASE WHEN matched THEN 1 ELSE 0 END) AS BIGINT) AS n_matched,
+       |       CAST(sum(CASE WHEN side = 'prev' THEN 1 ELSE 0 END) AS BIGINT) AS n_prev,
+       |       CAST(sum(CASE WHEN side = 'next' THEN 1 ELSE 0 END) AS BIGINT) AS n_next,
+       |       CAST(sum(CASE WHEN matched THEN dt END) AS BIGINT) AS sum_dt_us
+       |FROM v GROUP BY user_id ORDER BY user_id""".stripMargin
+
+  // ---------------------------------------------------------------- q218
+  /** Grouped OLS trend — per return flag, regress daily revenue (cents)
+    * on the epoch-day index: slope, intercept, and R² from EXACT
+    * moments (the q195 carrier: daily pre-aggregate first, then
+    * DECIMAL(38,0) Σx/Σy/Σxy/Σxx/Σyy partial sums — bit-identical
+    * under any partitioning, DuckDB HUGEINT twin), with ONE excursion
+    * into doubles in the identical expression form on both engines.
+    * The per-key-trend operator behind drift alarms and forecasting
+    * backstops; the built-in regr_slope/corr aggregates are float
+    * accumulators whose results depend on reduce order — unusable
+    * under a hash gate. Two exchanges: the (flag, day) pre-aggregate
+    * and the flag-keyed moment rollup.
+    */
+  def q218GroupedTrend(s: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.lineitem(s, dir)
+      .select(col("l_returnflag"),
+        expr("unix_micros(cast(l_shipdate as timestamp)) div 86400000000").as("day"),
+        round(col("l_extendedprice") * 100, 0).cast("long").as("cents"))
+      .groupBy(col("l_returnflag"), col("day"))
+      .agg(sum(col("cents")).as("y"))
+    val x = col("day").cast("decimal(38,0)")
+    val y = col("y").cast("decimal(38,0)")
+    val asD = (c: Column) => c.cast("double")
+    daily.groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).cast("decimal(38,0)").as("n"),
+        sum(x).as("sx"), sum(y).as("sy"), sum(x * y).as("sxy"),
+        sum(x * x).as("sxx"), sum(y * y).as("syy"))
+      .select(col("l_returnflag"), col("n").cast("long").as("n_days"),
+        round((asD(col("n")) * asD(col("sxy")) - asD(col("sx")) * asD(col("sy"))) /
+          (asD(col("n")) * asD(col("sxx")) - asD(col("sx")) * asD(col("sx"))), 6)
+          .as("slope_cents_per_day"),
+        round((asD(col("sy")) - asD(col("sx")) *
+            ((asD(col("n")) * asD(col("sxy")) - asD(col("sx")) * asD(col("sy"))) /
+             (asD(col("n")) * asD(col("sxx")) - asD(col("sx")) * asD(col("sx"))))) /
+          asD(col("n")), 6).as("intercept_cents"),
+        round(pow(asD(col("n")) * asD(col("sxy")) - asD(col("sx")) * asD(col("sy")), 2) /
+          ((asD(col("n")) * asD(col("sxx")) - asD(col("sx")) * asD(col("sx"))) *
+           (asD(col("n")) * asD(col("syy")) - asD(col("sy")) * asD(col("sy")))), 6)
+          .as("r2"))
+      .orderBy(col("l_returnflag"))
+  }
+
+  val q218Sql: String =
+    """WITH daily AS (
+      |  SELECT l_returnflag, epoch_us(l_shipdate) // 86400000000 AS day,
+      |         CAST(sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT)) AS BIGINT) AS y
+      |  FROM lineitem GROUP BY 1, 2),
+      |m AS (
+      |  SELECT l_returnflag, count(*) AS n,
+      |         sum(day) AS sx, sum(y) AS sy, sum(day * y) AS sxy,
+      |         sum(day * day) AS sxx, sum(y * y) AS syy
+      |  FROM daily GROUP BY l_returnflag)
+      |SELECT l_returnflag, CAST(n AS BIGINT) AS n_days,
+      |       round((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) -
+      |              CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) /
+      |             (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) -
+      |              CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)), 6)
+      |         AS slope_cents_per_day,
+      |       round((CAST(sy AS DOUBLE) - CAST(sx AS DOUBLE) *
+      |              ((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) -
+      |                CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) /
+      |               (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) -
+      |                CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)))) /
+      |             CAST(n AS DOUBLE), 6) AS intercept_cents,
+      |       round(pow(CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) -
+      |                 CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE), 2) /
+      |             ((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) -
+      |               CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) *
+      |              (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) -
+      |               CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 6) AS r2
+      |FROM m ORDER BY l_returnflag""".stripMargin
+
+  private def ev(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir).withColumn("ts_us", unix_micros(col("ts")))
+
   // ------------------------------------------------------------ registry
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q211_setsim_join" -> (q211SetSimJoin _),
     "q212_dictionary_match" -> (q212DictionaryMatch _),
     "q213_heavy_hitters" -> (q213HeavyHitters _),
     "q214_rendezvous_shards" -> (q214RendezvousShards _),
-    "q215_skyline" -> (q215Skyline _))
+    "q215_skyline" -> (q215Skyline _),
+    "q216_positional_index" -> (q216PositionalIndex _),
+    "q217_nearest_event" -> (q217NearestEvent _),
+    "q218_grouped_trend" -> (q218GroupedTrend _))
 
   val oracles: Map[String, String] = Map(
     "q211_setsim_join" -> q211Sql,
     "q212_dictionary_match" -> q212Sql,
     "q213_heavy_hitters" -> q213Sql,
     "q214_rendezvous_shards" -> q214Sql,
-    "q215_skyline" -> q215Sql)
+    "q215_skyline" -> q215Sql,
+    "q216_positional_index" -> q216Sql,
+    "q217_nearest_event" -> q217Sql,
+    "q218_grouped_trend" -> q218Sql)
 }

@@ -718,6 +718,28 @@ class PlanSpec extends SparkTestBase {
     assert(p.contains("HashAggregate"), p)
   }
 
+  test("q216: phrase retrieval is a postings equi-join with the word filter in the scan stage") {
+    val p = formatted(Round12Queries.q216PositionalIndex(spark, sf0001))
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin") ||
+      p.contains("BroadcastHashJoin"),
+      s"postings intersect via an equi-join on (doc, pos):\n$p")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("q217: nearest-event is one window family — no purchases x clicks join") {
+    val p = formatted(Round12Queries.q217NearestEvent(spark, sf0001))
+    assert(!p.contains("Join"), s"the timeline union replaces the join:\n$p")
+    assert(p.linesIterator.count(_.contains("- Window (")) >= 1, p)
+  }
+
+  test("q218: grouped OLS is two aggregates — daily pre-agg then flag moments, no join") {
+    val p = formatted(Round12Queries.q218GroupedTrend(spark, sf0001))
+    assert(!p.contains("Join"), p)
+    assert(!p.contains("Window"), p)
+    assert(p.contains("HashAggregate"), p)
+  }
+
   test("q180: per-user rollup reuses the window's user_id partitioning") {
     val p = formatted(Round9Queries.q180Twap(spark, sf0001))
     // exactly two shuffles: the user_id window exchange and the final

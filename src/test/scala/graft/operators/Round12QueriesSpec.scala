@@ -145,6 +145,91 @@ class Round12QueriesSpec extends SparkTestBase {
       s"HRW moves ~1/${Round12Queries.ShardsAfter} of keys, moved $moved of ${ids.length}")
   }
 
+  // ------------------------------------------------------------- q216
+  test("q216: positional-index retrieval equals the q146 scan — index ≡ scan") {
+    val fromIndex = Round12Queries.q216PositionalIndex(spark, sf0001)
+      .as[(Long, Long)].collect().toSet
+    val fromScan = Round7Queries.q146PhraseSearch(spark, sf0001)
+      .as[(Long, Long)].collect().toSet
+    assert(fromIndex === fromScan,
+      "the inverted index must answer the phrase query identically to the scan")
+    assert(fromIndex.nonEmpty)
+  }
+
+  // ------------------------------------------------------------- q217
+  test("q217: nearest-event join matches a local two-pointer replay") {
+    val evs = Tables.events(spark, sf0001)
+      .select(col("user_id"), col("event_id"),
+        org.apache.spark.sql.functions.unix_micros(col("ts")).as("ts_us"),
+        col("event_type"))
+      .as[(Long, Long, Long, String)].collect()
+    val byUser = evs.filter(e => e._4 == "purchase" || e._4 == "click")
+      .groupBy(_._1)
+    val expected = byUser.flatMap { case (u, g) =>
+      val tl = g.sortBy(e => (e._3, e._2))
+      val purchases = tl.zipWithIndex.filter(_._1._4 == "purchase")
+      if (purchases.isEmpty) None
+      else {
+        var nM = 0L; var nP = 0L; var nN = 0L; var sumDt = 0L
+        purchases.foreach { case (_, idx) =>
+          val ts = tl(idx)._3
+          val prev = tl.take(idx).filter(_._4 == "click")
+            .map(_._3).sorted.lastOption
+          val next = tl.drop(idx + 1).filter(_._4 == "click")
+            .map(_._3).sorted.headOption
+          val dtP = prev.map(ts - _).getOrElse(Long.MaxValue)
+          val dtN = next.map(_ - ts).getOrElse(Long.MaxValue)
+          val dt = math.min(dtP, dtN)
+          if (dt <= Round12Queries.NearTolUs) {
+            nM += 1; sumDt += dt
+            if (dtP <= dtN) nP += 1 else nN += 1
+          }
+        }
+        Some((u, purchases.length.toLong, nM, nP, nN,
+          if (nM > 0) Some(sumDt) else None))
+      }
+    }.toSet
+    val got = Round12Queries.q217NearestEvent(spark, sf0001)
+      .as[(Long, Long, Long, Long, Long, Option[Long])].collect().toSet
+    assert(got === expected)
+    // side split conserves matches
+    assert(got.forall { case (_, _, m, p, n, _) => p + n == m })
+  }
+
+  // ------------------------------------------------------------- q218
+  test("q218: grouped OLS matches a BigInt moment replay; R2 in [0,1]") {
+    val li = Tables.lineitem(spark, sf0001)
+      .select(col("l_returnflag"),
+        org.apache.spark.sql.functions.unix_micros(col("l_shipdate").cast("timestamp")).as("us"),
+        col("l_extendedprice"))
+      .as[(String, Long, Double)].collect()
+    def r6(x: Double): Double =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val expected = li.map { case (f, us, p) =>
+      (f, us / 86400000000L,
+        BigDecimal(p * 100).setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong)
+    }.groupBy(_._1).map { case (f, g) =>
+      val daily = g.groupBy(_._2).view.mapValues(_.map(_._3).sum).toSeq
+      val n = BigInt(daily.length)
+      val sx = daily.map(d => BigInt(d._1)).sum
+      val sy = daily.map(d => BigInt(d._2)).sum
+      val sxy = daily.map(d => BigInt(d._1) * BigInt(d._2)).sum
+      val sxx = daily.map(d => BigInt(d._1) * BigInt(d._1)).sum
+      val syy = daily.map(d => BigInt(d._2) * BigInt(d._2)).sum
+      val slope = (n.toDouble * sxy.toDouble - sx.toDouble * sy.toDouble) /
+        (n.toDouble * sxx.toDouble - sx.toDouble * sx.toDouble)
+      val intercept = (sy.toDouble - sx.toDouble * slope) / n.toDouble
+      val r2 = math.pow(n.toDouble * sxy.toDouble - sx.toDouble * sy.toDouble, 2) /
+        ((n.toDouble * sxx.toDouble - sx.toDouble * sx.toDouble) *
+         (n.toDouble * syy.toDouble - sy.toDouble * sy.toDouble))
+      (f, daily.length.toLong, r6(slope), r6(intercept), r6(r2))
+    }.toSet
+    val got = Round12Queries.q218GroupedTrend(spark, sf0001)
+      .as[(String, Long, Double, Double, Double)].collect().toSet
+    assert(got === expected)
+    assert(got.forall { case (_, _, _, _, r2) => r2 >= 0.0 && r2 <= 1.0 })
+  }
+
   // ------------------------------------------------------------- q215
   test("q215: window skyline equals the O(n^2) dominance definition") {
     val pts = Tables.lineitem(spark, sf0001)
