@@ -1,0 +1,249 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Round-13 additions (driver round 5, batch 14): bitemporal as-of
+  * (valid time × transaction time — the lakehouse correction-auditing
+  * staple), column-level snapshot diff masks (the per-column drill q152's
+  * row-level verdicts lack), and weekly seasonal decomposition composed
+  * on q218's exact-moment trend.
+  *
+  * Same determinism contract as every gated family: integer carriers
+  * (micro-quantized residuals, integer µs), deterministic orderings with
+  * unique-id tie-breaks, corpus-derived cutoffs in integer arithmetic.
+  */
+object Round13Queries {
+
+  private def ev(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir).withColumn("ts_us", unix_micros(col("ts")))
+
+  // ---------------------------------------------------------------- q219
+  /** Bitemporal as-of: reconstruct, AS THE SYSTEM KNEW AT T_tx, which
+    * dimension version was VALID AT T_v — the two-axis query behind
+    * "rerun January's report exactly as it looked before February's
+    * late corrections landed". Dimension rows are signup events
+    * (transaction time = arrival ts); every 7th event is a RETROACTIVE
+    * correction whose valid time backdates by 3/8 of the corpus span
+    * (deterministic residue; the backdate deliberately EXCEEDS the
+    * t_tx − t_v gap, so corrections arriving after the knowledge
+    * cutoff genuinely rewrite the valid axis — the spec proves the
+    * naive filter-after-chain answer differs). The key bitemporal subtlety this query
+    * exists to pin: valid-time intervals must be REBUILT from the rows
+    * known at T_tx — an interval chain built over all rows and then
+    * filtered is wrong, because a later-arriving correction splices
+    * into the middle of the valid axis. Cutoffs are corpus-derived in
+    * integer µs (T_tx at 3/4 of the span, T_v at 1/2), so the gate has
+    * no wall-clock surface. Shape: one tx filter (scan-level), one
+    * user-keyed window to chain valid intervals among surviving rows,
+    * one PIT pick, version-keyed rollup — all user/version-keyed
+    * exchanges.
+    */
+  def q219BitemporalAsOf(s: SparkSession, dir: String): DataFrame = {
+    val e = ev(s, dir)
+    val span = e.agg(min(col("ts_us")).as("lo"), max(col("ts_us")).as("hi"))
+      .select(
+        (col("lo") + expr("(hi - lo) * 3 div 4")).as("t_tx"),
+        (col("lo") + expr("(hi - lo) div 2")).as("t_v"),
+        expr("(hi - lo) * 3 div 8").as("backdate_us"))
+    val known = e.filter(col("event_type") === "signup")
+      .crossJoin(broadcast(span))
+      .select(col("user_id"), col("event_id"), col("ts_us").as("tx_us"),
+        (col("ts_us") - when(col("event_id") % 7 === 0, col("backdate_us"))
+          .otherwise(0L)).as("valid_from_us"),
+        col("t_tx"), col("t_v"))
+      .filter(col("tx_us") <= col("t_tx"))
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("valid_from_us"), col("event_id"))
+    val versions = known
+      .withColumn("version", row_number().over(w))
+      .withColumn("valid_to_us", lead(col("valid_from_us"), 1).over(w))
+    versions
+      .filter(col("valid_from_us") <= col("t_v") &&
+        (col("valid_to_us").isNull || col("t_v") < col("valid_to_us")))
+      .groupBy(col("version").cast("long").as("version"))
+      .agg(count(lit(1)).as("n_users"),
+        sum(when(col("event_id") % 7 === 0, 1L).otherwise(0L))
+          .as("n_corrections"))
+      .orderBy(col("version"))
+  }
+
+  val q219Sql: String =
+    """WITH e AS (
+      |  SELECT user_id, event_id, epoch_us(ts) AS ts_us, event_type
+      |  FROM events),
+      |span AS (
+      |  SELECT min(ts_us) + (max(ts_us) - min(ts_us)) * 3 // 4 AS t_tx,
+      |         min(ts_us) + (max(ts_us) - min(ts_us)) // 2 AS t_v,
+      |         (max(ts_us) - min(ts_us)) * 3 // 8 AS backdate_us
+      |  FROM e),
+      |known AS (
+      |  SELECT user_id, event_id, ts_us AS tx_us,
+      |         ts_us - CASE WHEN event_id % 7 = 0
+      |                      THEN span.backdate_us ELSE 0 END AS valid_from_us
+      |  FROM e CROSS JOIN span
+      |  WHERE event_type = 'signup' AND ts_us <= span.t_tx),
+      |versions AS (
+      |  SELECT user_id, event_id, valid_from_us,
+      |         row_number() OVER (PARTITION BY user_id
+      |                            ORDER BY valid_from_us, event_id) AS version,
+      |         lead(valid_from_us) OVER (PARTITION BY user_id
+      |                                   ORDER BY valid_from_us, event_id)
+      |           AS valid_to_us
+      |  FROM known)
+      |SELECT CAST(version AS BIGINT) AS version, count(*) AS n_users,
+      |       CAST(sum(CASE WHEN event_id % 7 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+      |         AS n_corrections
+      |FROM versions CROSS JOIN span
+      |WHERE valid_from_us <= span.t_v
+      |  AND (valid_to_us IS NULL OR span.t_v < valid_to_us)
+      |GROUP BY version ORDER BY version""".stripMargin
+
+  // ---------------------------------------------------------------- q220
+  /** Column-level snapshot diff: q152 says WHICH rows changed; this
+    * says WHICH COLUMNS drifted and how much — the schema-drift audit a
+    * replication monitor runs before blaming a pipeline stage. Snapshot
+    * B is a deterministic mutation of orders (orderkey residues:
+    * %13 → price +1 cent, %17 → priority rotated, %19 → deleted,
+    * %23 → inserted late, i.e. absent from A). One full-outer join on
+    * the key — co-partitioned, no broadcast needed at any scale — then
+    * row-local column compares aggregate into per-column drift counts
+    * plus the add/delete/unchanged row split. Output is one row
+    * (column-count-bounded); the corpus never leaves its key
+    * partitioning.
+    */
+  def q220ColumnDiff(s: SparkSession, dir: String): DataFrame = {
+    val base = Tables.orders(s, dir)
+      .select(col("o_orderkey").as("k"),
+        round(col("o_totalprice") * 100, 0).cast("long").as("cents"),
+        col("o_orderpriority").as("pri"))
+    val a = base.filter(col("k") % 23 =!= 0)
+    val b = base.filter(col("k") % 19 =!= 0)
+      .select(col("k"),
+        (col("cents") + when(col("k") % 13 === 0, 1L).otherwise(0L)).as("cents"),
+        when(col("k") % 17 === 0, concat(lit("X-"), col("pri")))
+          .otherwise(col("pri")).as("pri"))
+    a.select(col("k"), col("cents").as("ca"), col("pri").as("pa"))
+      .join(b.select(col("k"), col("cents").as("cb"), col("pri").as("pb")),
+        Seq("k"), "full_outer")
+      .agg(
+        sum(when(col("ca").isNotNull && col("cb").isNotNull, 1L).otherwise(0L))
+          .as("n_common"),
+        sum(when(col("ca").isNull, 1L).otherwise(0L)).as("n_added"),
+        sum(when(col("cb").isNull, 1L).otherwise(0L)).as("n_deleted"),
+        sum(when(col("ca").isNotNull && col("cb").isNotNull &&
+          col("ca") =!= col("cb"), 1L).otherwise(0L)).as("n_price_drift"),
+        sum(when(col("pa").isNotNull && col("pb").isNotNull &&
+          col("pa") =!= col("pb"), 1L).otherwise(0L)).as("n_priority_drift"),
+        sum(when(col("ca").isNotNull && col("cb").isNotNull &&
+          col("ca") === col("cb") && col("pa") === col("pb"), 1L)
+          .otherwise(0L)).as("n_identical"))
+  }
+
+  val q220Sql: String =
+    """WITH base AS (
+      |  SELECT o_orderkey AS k,
+      |         CAST(round(o_totalprice * 100, 0) AS BIGINT) AS cents,
+      |         o_orderpriority AS pri
+      |  FROM orders),
+      |a AS (SELECT * FROM base WHERE k % 23 <> 0),
+      |b AS (
+      |  SELECT k, cents + CASE WHEN k % 13 = 0 THEN 1 ELSE 0 END AS cents,
+      |         CASE WHEN k % 17 = 0 THEN 'X-' || pri ELSE pri END AS pri
+      |  FROM base WHERE k % 19 <> 0)
+      |SELECT
+      |  CAST(sum(CASE WHEN a.k IS NOT NULL AND b.k IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_common,
+      |  CAST(sum(CASE WHEN a.k IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_added,
+      |  CAST(sum(CASE WHEN b.k IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_deleted,
+      |  CAST(sum(CASE WHEN a.k IS NOT NULL AND b.k IS NOT NULL
+      |                 AND a.cents <> b.cents THEN 1 ELSE 0 END) AS BIGINT) AS n_price_drift,
+      |  CAST(sum(CASE WHEN a.k IS NOT NULL AND b.k IS NOT NULL
+      |                 AND a.pri <> b.pri THEN 1 ELSE 0 END) AS BIGINT) AS n_priority_drift,
+      |  CAST(sum(CASE WHEN a.k IS NOT NULL AND b.k IS NOT NULL
+      |                 AND a.cents = b.cents AND a.pri = b.pri
+      |            THEN 1 ELSE 0 END) AS BIGINT) AS n_identical
+      |FROM a FULL OUTER JOIN b ON a.k = b.k""".stripMargin
+
+  // ---------------------------------------------------------------- q221
+  /** Weekly seasonal decomposition — detrend daily revenue with q218's
+    * exact-moment OLS line, then the day-of-week seasonal index as the
+    * mean detrended residual per (flag, dow): revenue ≈ trend +
+    * seasonality + residual, the decomposition behind anomaly
+    * baselines and forecast backstops. Composition is the point: the
+    * trend table is the 3-row q218 output joined back by broadcast.
+    * Determinism: slope/intercept are the q218 6dp-rounded doubles, the
+    * residual y − (a + b·x) is the IDENTICAL expression on both
+    * engines, and each residual is micro-quantized to a long BEFORE
+    * the mean (sum of longs — reduce-order-free; a double sum of
+    * residuals would not gate). Day-of-week is integer arithmetic on
+    * the epoch day ((day + 4) % 7: day 0 = Thursday), no calendar
+    * surface.
+    */
+  def q221SeasonalDecomposition(s: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.lineitem(s, dir)
+      .select(col("l_returnflag"),
+        expr("unix_micros(cast(l_shipdate as timestamp)) div 86400000000")
+          .as("day"),
+        round(col("l_extendedprice") * 100, 0).cast("long").as("cents"))
+      .groupBy(col("l_returnflag"), col("day"))
+      .agg(sum(col("cents")).as("y"))
+    val trend = Round12Queries.q218GroupedTrend(s, dir)
+      .select(col("l_returnflag"), col("slope_cents_per_day").as("b"),
+        col("intercept_cents").as("a"))
+    daily.join(broadcast(trend), Seq("l_returnflag"))
+      .withColumn("resid_micro",
+        round(lit(1e6) * (col("y").cast("double") -
+          (col("a") + col("b") * col("day").cast("double"))), 0).cast("long"))
+      .withColumn("dow", (col("day") + 4) % 7)
+      .groupBy(col("l_returnflag"), col("dow"))
+      .agg(count(lit(1)).as("n_days"),
+        round(sum(col("resid_micro")).cast("double") / count(lit(1)) / 1e6, 6)
+          .as("seasonal_cents"))
+      .orderBy(col("l_returnflag"), col("dow"))
+  }
+
+  val q221Sql: String =
+    """WITH daily AS (
+      |  SELECT l_returnflag, epoch_us(l_shipdate) // 86400000000 AS day,
+      |         CAST(sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT)) AS BIGINT) AS y
+      |  FROM lineitem GROUP BY 1, 2),
+      |m AS (
+      |  SELECT l_returnflag, count(*) AS n,
+      |         sum(day) AS sx, sum(y) AS sy, sum(day * y) AS sxy,
+      |         sum(day * day) AS sxx
+      |  FROM daily GROUP BY l_returnflag),
+      |trend AS (
+      |  SELECT l_returnflag,
+      |         round((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) -
+      |                CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) /
+      |               (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) -
+      |                CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)), 6) AS b,
+      |         round((CAST(sy AS DOUBLE) - CAST(sx AS DOUBLE) *
+      |                ((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) -
+      |                  CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) /
+      |                 (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) -
+      |                  CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)))) /
+      |               CAST(n AS DOUBLE), 6) AS a
+      |  FROM m)
+      |SELECT d.l_returnflag, (d.day + 4) % 7 AS dow, count(*) AS n_days,
+      |       round(CAST(sum(CAST(round(1e6 * (CAST(d.y AS DOUBLE) -
+      |                 (t.a + t.b * CAST(d.day AS DOUBLE))), 0) AS BIGINT))
+      |               AS DOUBLE) / count(*) / 1e6, 6) AS seasonal_cents
+      |FROM daily d JOIN trend t ON d.l_returnflag = t.l_returnflag
+      |GROUP BY d.l_returnflag, (d.day + 4) % 7
+      |ORDER BY d.l_returnflag, dow""".stripMargin
+
+  // ------------------------------------------------------------ registry
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q219_bitemporal_asof" -> (q219BitemporalAsOf _),
+    "q220_column_diff" -> (q220ColumnDiff _),
+    "q221_seasonal_decomposition" -> (q221SeasonalDecomposition _))
+
+  val oracles: Map[String, String] = Map(
+    "q219_bitemporal_asof" -> q219Sql,
+    "q220_column_diff" -> q220Sql,
+    "q221_seasonal_decomposition" -> q221Sql)
+}

@@ -740,6 +740,31 @@ class PlanSpec extends SparkTestBase {
     assert(p.contains("HashAggregate"), p)
   }
 
+  test("q219: bitemporal as-of — scalar span broadcast, one user window, no corpus nested loop") {
+    val p = formatted(Round13Queries.q219BitemporalAsOf(spark, sf0001))
+    // the only nested loop is the deliberate 1-row span broadcast
+    assert(p.linesIterator.count(_.contains("- BroadcastNestedLoopJoin")) <= 1,
+      s"only the span scalar may nest:\n$p")
+    assert(p.linesIterator.count(_.contains("- Window (")) >= 1, p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("q220: column diff is one co-partitioned full-outer join + one aggregate") {
+    val p = formatted(Round13Queries.q220ColumnDiff(spark, sf0001))
+    assert(p.contains("FullOuter"), s"full-outer key join expected:\n$p")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p)
+    assert(p.contains("HashAggregate"), p)
+  }
+
+  test("q221: seasonal decomposition broadcasts the 3-row trend table") {
+    val p = formatted(Round13Queries.q221SeasonalDecomposition(spark, sf0001))
+    assert(p.contains("BroadcastHashJoin"),
+      s"the q218 trend table must broadcast back:\n$p")
+    assert(!p.contains("SortMergeJoin"), p)
+    assert(!p.contains("Window"), p)
+  }
+
   test("q180: per-user rollup reuses the window's user_id partitioning") {
     val p = formatted(Round9Queries.q180Twap(spark, sf0001))
     // exactly two shuffles: the user_id window exchange and the final

@@ -1,0 +1,130 @@
+package graft.operators
+
+import org.apache.spark.sql.functions.{col, unix_micros}
+
+import graft.{SparkTestBase, Tables}
+
+/** Round-13 queries: driver-side re-derivations plus the laws —
+  * bitemporal interval-rebuild correctness (vs the filter-after-chain
+  * wrong answer), column-diff conservation, and the seasonal
+  * decomposition's zero-mean residual property.
+  */
+class Round13QueriesSpec extends SparkTestBase {
+  import spark.implicits._
+
+  // ------------------------------------------------------------- q219
+  test("q219: bitemporal pick matches a local rebuild; naive filter-after-chain differs") {
+    val evs = Tables.events(spark, sf0001)
+      .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("ts_us"),
+        col("event_type"))
+      .as[(Long, Long, Long, String)].collect()
+    val lo = evs.map(_._3).min
+    val hi = evs.map(_._3).max
+    val tTx = lo + (hi - lo) * 3 / 4
+    val tV = lo + (hi - lo) / 2
+    val backdate = (hi - lo) * 3 / 8
+    val dims = evs.filter(_._4 == "signup").map { case (u, eid, ts, _) =>
+      (u, eid, ts, ts - (if (eid % 7 == 0) backdate else 0L))
+    }
+    // correct: filter to tx <= T_tx FIRST, then chain valid intervals
+    val expected = dims.filter(_._3 <= tTx).groupBy(_._1).toSeq.flatMap {
+      case (_, g) =>
+        val chain = g.sortBy(d => (d._4, d._2)).zipWithIndex
+        chain.find { case ((_, _, _, vf), i) =>
+          vf <= tV && chain.lift(i + 1).forall { case ((_, _, _, nvf), _) => tV < nvf }
+        }.map { case ((_, eid, _, _), i) => (i + 1, eid % 7 == 0) }
+    }.toSeq
+    val expectedRollup = expected.groupBy(_._1).map { case (v, g) =>
+      (v.toLong, g.size.toLong, g.count(_._2).toLong)
+    }.toSet
+    val got = Round13Queries.q219BitemporalAsOf(spark, sf0001)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(got === expectedRollup)
+    // the subtlety the query exists to pin: chaining over ALL rows and
+    // filtering afterwards yields a DIFFERENT answer whenever a
+    // correction arrived after T_tx (versions shift / intervals split)
+    val naive = dims.groupBy(_._1).toSeq.flatMap { case (_, g) =>
+      val chain = g.sortBy(d => (d._4, d._2)).zipWithIndex
+      chain.find { case ((_, _, tx, vf), i) =>
+        tx <= tTx && vf <= tV &&
+          chain.lift(i + 1).forall { case ((_, _, _, nvf), _) => tV < nvf }
+      }.map { case ((_, eid, _, _), i) => (i + 1, eid % 7 == 0) }
+    }.toSeq
+    assert(naive.size != expected.size || naive.toSet != expected.toSet,
+      "testdata must actually exercise late corrections (else the gate proves nothing)")
+  }
+
+  // ------------------------------------------------------------- q220
+  test("q220: column diff matches a local replay; rows conserve") {
+    val orders = Tables.orders(spark, sf0001)
+      .select(col("o_orderkey"), col("o_totalprice"), col("o_orderpriority"))
+      .as[(Long, Double, String)].collect()
+      .map { case (k, p, pri) =>
+        (k, BigDecimal(p * 100).setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong, pri)
+      }
+    val a = orders.filter(_._1 % 23 != 0).map(r => r._1 -> r).toMap
+    val b = orders.filter(_._1 % 19 != 0).map { case (k, c, pri) =>
+      k -> (k, c + (if (k % 13 == 0) 1L else 0L),
+        if (k % 17 == 0) "X-" + pri else pri)
+    }.toMap
+    val keys = a.keySet ++ b.keySet
+    val common = keys.filter(k => a.contains(k) && b.contains(k))
+    val expected = (
+      common.size.toLong,
+      keys.count(!a.contains(_)).toLong,
+      keys.count(!b.contains(_)).toLong,
+      common.count(k => a(k)._2 != b(k)._2).toLong,
+      common.count(k => a(k)._3 != b(k)._3).toLong,
+      common.count(k => a(k)._2 == b(k)._2 && a(k)._3 == b(k)._3).toLong)
+    val got = Round13Queries.q220ColumnDiff(spark, sf0001)
+      .as[(Long, Long, Long, Long, Long, Long)].collect().head
+    assert(got === expected)
+    // drift classes overlap-free with identical only when no column drifted
+    assert(got._6 <= got._1 - math.max(got._4, got._5))
+    assert(got._2 > 0 && got._3 > 0 && got._4 > 0 && got._5 > 0)
+  }
+
+  // ------------------------------------------------------------- q221
+  test("q221: seasonal indices match a local decomposition; residuals mean ~0 overall") {
+    val li = Tables.lineitem(spark, sf0001)
+      .select(col("l_returnflag"),
+        unix_micros(col("l_shipdate").cast("timestamp")).as("us"),
+        col("l_extendedprice"))
+      .as[(String, Long, Double)].collect()
+    def r6(x: Double): Double =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    def q0(x: Double): Long =
+      BigDecimal(x).setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+    val expected = li.map { case (f, us, p) =>
+      (f, us / 86400000000L, q0(p * 100))
+    }.groupBy(_._1).flatMap { case (f, g) =>
+      val daily = g.groupBy(_._2).view.mapValues(_.map(_._3).sum).toSeq
+      val n = daily.length
+      val sx = daily.map(d => BigInt(d._1)).sum
+      val sy = daily.map(d => BigInt(d._2)).sum
+      val sxy = daily.map(d => BigInt(d._1) * BigInt(d._2)).sum
+      val sxx = daily.map(d => BigInt(d._1) * BigInt(d._1)).sum
+      val b = r6((n.toDouble * sxy.toDouble - sx.toDouble * sy.toDouble) /
+        (n.toDouble * sxx.toDouble - sx.toDouble * sx.toDouble))
+      val aInt = r6((sy.toDouble - sx.toDouble *
+        ((n.toDouble * sxy.toDouble - sx.toDouble * sy.toDouble) /
+         (n.toDouble * sxx.toDouble - sx.toDouble * sx.toDouble))) / n.toDouble)
+      daily.map { case (day, y) =>
+        (f, (day + 4) % 7, q0(1e6 * (y.toDouble - (aInt + b * day.toDouble))))
+      }.groupBy(r => (r._1, r._2)).map { case ((fl, dow), rs) =>
+        (fl, dow, rs.size.toLong,
+          r6(rs.map(_._3).sum.toDouble / rs.size / 1e6))
+      }
+    }.toSet
+    val got = Round13Queries.q221SeasonalDecomposition(spark, sf0001)
+      .as[(String, Long, Long, Double)].collect().toSet
+    assert(got === expected)
+    // decomposition sanity: per flag, day-count-weighted seasonal
+    // indices are near zero (residuals of an OLS fit sum to ~0)
+    got.groupBy(_._1).foreach { case (_, g) =>
+      val totDays = g.toSeq.map(_._3).sum
+      val wmean = g.toSeq.map(r => r._4 * r._3).sum / totDays
+      assert(math.abs(wmean) < 1.0, s"weighted seasonal mean $wmean should be ~0")
+    }
+  }
+}
