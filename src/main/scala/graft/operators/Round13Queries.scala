@@ -236,14 +236,91 @@ object Round13Queries {
       |GROUP BY d.l_returnflag, (d.day + 4) % 7
       |ORDER BY d.l_returnflag, dow""".stripMargin
 
+  // ---------------------------------------------------------------- q222
+  /** Sequence-pattern matching over sessions (MATCH_RECOGNIZE-lite):
+    * count, per user, the q31 gap-sessions whose ORDERED event-type
+    * sequence matches `view, at most one intermediate step, purchase` — behavioral
+    * pattern analytics ("browse, then click, then what?") that funnel
+    * counts (q65/q171: fixed steps, one traversal) cannot express. The
+    * session's sequence materializes as an initials STRING via the
+    * ANSI ordered aggregate (`listagg WITHIN GROUP`, the q176 surface
+    * — `collect_list` is partition-arrival nondeterministic and could
+    * never gate), and the pattern is one regex per session string:
+    * sequences are session-bounded (the 30-min gap rule bounds both
+    * string length and state), so the match cost is session-sized,
+    * never corpus-sized. Both engines run the IDENTICAL pattern on the
+    * IDENTICAL deterministically-ordered string — the (ts, event_id)
+    * tie-break is what makes the string, and therefore the gate,
+    * exact. Readout: per user, sessions total / matched / with any
+    * error, plus the corpus-wide matched-session count law checked in
+    * spec.
+    */
+  val SeqPattern = "v.?p" // view, <=1 intermediate, purchase (initials)
+
+  def q222SequenceMatch(s: SparkSession, dir: String): DataFrame = {
+    val gapMs = 30L * 60 * 1000
+    val byUser = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts_us"), col("event_id"))
+    val sessions = ev(s, dir)
+      .withColumn("prev_us", lag(col("ts_us"), 1).over(byUser))
+      .withColumn("new_session",
+        when(col("prev_us").isNull ||
+          col("ts_us") - col("prev_us") > gapMs * 1000, 1L).otherwise(0L))
+      .withColumn("session_idx", sum(col("new_session")).over(
+        byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    sessions.createOrReplaceTempView("q222_sessions")
+    s.sql(
+      s"""WITH seqs AS (
+         |  SELECT user_id, session_idx,
+         |         listagg(substring(event_type, 1, 1), '')
+         |           WITHIN GROUP (ORDER BY ts_us, event_id) AS seq
+         |  FROM q222_sessions
+         |  GROUP BY user_id, session_idx)
+         |SELECT user_id, count(*) AS n_sessions,
+         |       sum(CASE WHEN seq RLIKE '$SeqPattern' THEN 1 ELSE 0 END)
+         |         AS n_matched,
+         |       sum(CASE WHEN seq RLIKE 'e' THEN 1 ELSE 0 END) AS n_with_error
+         |FROM seqs GROUP BY user_id ORDER BY user_id""".stripMargin)
+  }
+
+  val q222Sql: String =
+    s"""WITH e AS (
+       |  SELECT user_id, event_id, epoch_us(ts) AS ts_us, event_type
+       |  FROM events),
+       |flagged AS (
+       |  SELECT user_id, event_id, ts_us, event_type,
+       |         CASE WHEN lag(ts_us) OVER (PARTITION BY user_id
+       |                                    ORDER BY ts_us, event_id) IS NULL
+       |               OR ts_us - lag(ts_us) OVER (PARTITION BY user_id
+       |                                           ORDER BY ts_us, event_id)
+       |                  > ${30L * 60 * 1000 * 1000} THEN 1 ELSE 0 END AS ns
+       |  FROM e),
+       |sessions AS (
+       |  SELECT user_id, event_id, ts_us, event_type,
+       |         sum(ns) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+       |                       ROWS UNBOUNDED PRECEDING) AS session_idx
+       |  FROM flagged),
+       |seqs AS (
+       |  SELECT user_id, session_idx,
+       |         string_agg(substr(event_type, 1, 1), '' ORDER BY ts_us, event_id) AS seq
+       |  FROM sessions GROUP BY user_id, session_idx)
+       |SELECT user_id, count(*) AS n_sessions,
+       |       CAST(sum(CASE WHEN regexp_matches(seq, '$SeqPattern') THEN 1 ELSE 0 END) AS BIGINT)
+       |         AS n_matched,
+       |       CAST(sum(CASE WHEN regexp_matches(seq, 'e') THEN 1 ELSE 0 END) AS BIGINT)
+       |         AS n_with_error
+       |FROM seqs GROUP BY user_id ORDER BY user_id""".stripMargin
+
   // ------------------------------------------------------------ registry
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q219_bitemporal_asof" -> (q219BitemporalAsOf _),
     "q220_column_diff" -> (q220ColumnDiff _),
-    "q221_seasonal_decomposition" -> (q221SeasonalDecomposition _))
+    "q221_seasonal_decomposition" -> (q221SeasonalDecomposition _),
+    "q222_sequence_match" -> (q222SequenceMatch _))
 
   val oracles: Map[String, String] = Map(
     "q219_bitemporal_asof" -> q219Sql,
     "q220_column_diff" -> q220Sql,
-    "q221_seasonal_decomposition" -> q221Sql)
+    "q221_seasonal_decomposition" -> q221Sql,
+    "q222_sequence_match" -> q222Sql)
 }

@@ -765,6 +765,12 @@ class PlanSpec extends SparkTestBase {
     assert(!p.contains("Window"), p)
   }
 
+  test("q222: sequence match rides the user window partitioning — no join, session-bounded strings") {
+    val p = formatted(Round13Queries.q222SequenceMatch(spark, sf0001))
+    assert(!p.contains("Join"), s"sessionize + listagg + regex, no join:\n$p")
+    assert(p.linesIterator.count(_.contains("- Window (")) >= 1, p)
+  }
+
   test("q180: per-user rollup reuses the window's user_id partitioning") {
     val p = formatted(Round9Queries.q180Twap(spark, sf0001))
     // exactly two shuffles: the user_id window exchange and the final

@@ -84,6 +84,38 @@ class Round13QueriesSpec extends SparkTestBase {
     assert(got._2 > 0 && got._3 > 0 && got._4 > 0 && got._5 > 0)
   }
 
+  // ------------------------------------------------------------- q222
+  test("q222: sequence-pattern matches a local sessionize + regex replay") {
+    val evs = Tables.events(spark, sf0001)
+      .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("ts_us"),
+        col("event_type"))
+      .as[(Long, Long, Long, String)].collect()
+    val gapUs = 30L * 60 * 1000 * 1000
+    val pat = java.util.regex.Pattern.compile(Round13Queries.SeqPattern)
+    val expected = evs.groupBy(_._1).map { case (u, g) =>
+      val ordered = g.sortBy(e => (e._3, e._2))
+      // gap sessionization, then one initials string per session
+      val seqs = scala.collection.mutable.ArrayBuffer.empty[StringBuilder]
+      var prev = Long.MinValue
+      ordered.foreach { e =>
+        if (prev == Long.MinValue || e._3 - prev > gapUs)
+          seqs += new StringBuilder
+        seqs.last += e._4.head
+        prev = e._3
+      }
+      val ss = seqs.map(_.toString)
+      (u, ss.size.toLong,
+        ss.count(s => pat.matcher(s).find()).toLong,
+        ss.count(_.contains('e')).toLong)
+    }.toSet
+    val got = Round13Queries.q222SequenceMatch(spark, sf0001)
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(got === expected)
+    // the pattern is selective: some but not all sessions match
+    val (tot, matched) = (got.toSeq.map(_._2).sum, got.toSeq.map(_._3).sum)
+    assert(matched > 0 && matched < tot)
+  }
+
   // ------------------------------------------------------------- q221
   test("q221: seasonal indices match a local decomposition; residuals mean ~0 overall") {
     val li = Tables.lineitem(spark, sf0001)
