@@ -7,14 +7,16 @@ import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.dedup.Dedup
 
-/** Round-12 additions (driver round 5, batch 13): five operator families
-  * the gated set had not exercised — an EXACT set-similarity join via
-  * prefix filtering (the deterministic complement of the q16 LSH path),
-  * Aho–Corasick dictionary matching (one-pass multi-pattern scan),
-  * Misra–Gries heavy hitters (bounded-summary candidates + exact
-  * verify), rendezvous/HRW shard assignment (minimal-movement data
-  * placement), and the 2-D Pareto skyline (windows, not the O(n²)
-  * dominance join).
+/** Round-12 additions (driver round 5, batch 13): eight operator
+  * families the gated set had not exercised — an EXACT set-similarity
+  * join via prefix filtering (the deterministic complement of the q16
+  * LSH path), Aho–Corasick dictionary matching (one-pass multi-pattern
+  * scan), Misra–Gries heavy hitters (bounded-summary candidates +
+  * exact verify), rendezvous/HRW shard assignment (minimal-movement
+  * data placement), the 2-D Pareto skyline (windows, not the O(n²)
+  * dominance join), positional-index phrase retrieval (index ≡ scan),
+  * the nearest-event temporal join (both directions, no pair join),
+  * and grouped OLS trends from exact moments.
   *
   * Same determinism contract as every gated family: integer-exact
   * carriers and thresholds (cross-multiplied Jaccard, integer cents),
