@@ -49,8 +49,12 @@ object Round12Queries {
   val SetSimTauDen = 5
 
   def q211SetSimJoin(s: SparkSession, dir: String): DataFrame = {
+    // the distinct shingle table appears 4x in the DAG (sizes, df,
+    // prefixes, verify) — materialize it once; alternating A/B under
+    // equal load at sf0.1: ~9.5 s checkpointed vs ~11.6 s lazy. At
+    // 100 TB it is a persisted index artifact (built once offline).
     val sh = Dedup.shingleSets(Tables.documents(s, dir), "doc_id", "text",
-      SetSimShingleN) // (id, shingle) distinct
+      SetSimShingleN).localCheckpoint() // (id, shingle) distinct
     val sizes = sh.groupBy(col("id")).agg(count(lit(1)).as("sz"))
     val dfreq = sh.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
     // prefix length pi = sz - ceil(tau*sz) + 1, integer arithmetic
