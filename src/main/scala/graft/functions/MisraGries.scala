@@ -11,22 +11,26 @@ package graft.functions
   * summaries is a complete candidate set for the exact verify pass.
   */
 object MisraGries {
+  /** One MG step: absorb `item` into the ≤ k counters in `m`.
+    * The decrement-all branch charges one occurrence of each of k+1
+    * distinct items against each other — the step the n/k undercount
+    * bound comes from.
+    */
+  def update[K](m: scala.collection.mutable.HashMap[K, Long], item: K,
+      k: Int): Unit = {
+    if (m.contains(item)) m(item) += 1
+    else if (m.size < k) m(item) = 1L
+    else {
+      m.mapValuesInPlace((_, v) => v - 1)
+      m.filterInPlace((_, v) => v > 0)
+    }
+  }
+
   /** Summarize a stream into ≤ k (item, lower-bound-estimate) counters. */
   def summarize(it: Iterator[String], k: Int): Map[String, Long] = {
     require(k >= 1, s"summary size must be >= 1, got $k")
     val m = scala.collection.mutable.HashMap.empty[String, Long]
-    it.foreach { w =>
-      if (m.contains(w)) m(w) += 1
-      else if (m.size < k) m(w) = 1L
-      else {
-        // decrement-all: drop every counter by 1, evict zeros — the
-        // step that charges one occurrence of each of k+1 distinct
-        // items against each other, which is where the n/k bound
-        // comes from
-        m.mapValuesInPlace((_, v) => v - 1)
-        m.filterInPlace((_, v) => v > 0)
-      }
-    }
+    it.foreach(update(m, _, k))
     m.toMap
   }
 }

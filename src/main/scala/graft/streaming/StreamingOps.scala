@@ -509,6 +509,70 @@ object StreamingOps {
       .toDF()
   }
 
+  case class KeyedItem(group: String, item: Long)
+  case class HhCandidate(group: String, item: Long, est: Long, n_seen: Long)
+
+  /** Running Misra–Gries frequent-items monitor through
+    * `transformWithState` — the streaming twin of q213's bounded-
+    * summary candidate pass: ONE ≤ k-counter MG summary per group key
+    * lives in the state store, absorbs each micro-batch's items via
+    * [[graft.functions.MisraGries.update]], and re-emits the candidate
+    * set per touched key per batch (Update mode). State is k counters
+    * per group — O(1) in stream history, the same bound the batch pass
+    * gets per partition. The MG ESTIMATES are arrival-order-dependent
+    * (any MG is), so the spec gates the LAWS, not value equality: the
+    * summary stays ≤ k, never overcounts, undercounts by at most
+    * n_seen/k, and every item with true prefix-count > n_seen/k is
+    * present — exactly the candidate-completeness contract the q213
+    * exact-verify pass needs from a monitor feeding it.
+    */
+  class HeavyHittersProcessor(k: Int)
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        String, KeyedItem, HhCandidate] {
+    // state as parallel arrays — the state store's Avro encoder does
+    // not support MapType values
+    @transient private var st:
+        org.apache.spark.sql.streaming.ValueState[(Long, Array[Long], Array[Long])] = _
+
+    override def init(outputMode: OutputMode,
+        timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+      st = getHandle.getValueState[(Long, Array[Long], Array[Long])]("mg",
+        org.apache.spark.sql.Encoders.product[(Long, Array[Long], Array[Long])],
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+
+    override def handleInputRows(key: String, rows: Iterator[KeyedItem],
+        timerValues: org.apache.spark.sql.streaming.TimerValues)
+        : Iterator[HhCandidate] = {
+      val (n0, items0, counts0) =
+        if (st.exists()) st.get()
+        else (0L, Array.empty[Long], Array.empty[Long])
+      val m = scala.collection.mutable.HashMap.from(items0.zip(counts0))
+      var n = n0
+      rows.foreach { r =>
+        graft.functions.MisraGries.update(m, r.item, k)
+        n += 1
+      }
+      val arr = m.toArray
+      st.update((n, arr.map(_._1), arr.map(_._2)))
+      arr.iterator.map { case (item, est) => HhCandidate(key, item, est, n) }
+    }
+  }
+
+  /** Per-group running heavy-hitter candidates over a keyed item
+    * stream (groups = event_type, items = user_id by default shape).
+    */
+  def runningHeavyHitters(events: DataFrame, k: Int): DataFrame = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events.select(col("event_type").as("group"), col("user_id").as("item"))
+      .as[KeyedItem]
+      .groupByKey(_.group)
+      .transformWithState(new HeavyHittersProcessor(k),
+        org.apache.spark.sql.streaming.TimeMode.None(),
+        OutputMode.Update())
+      .toDF()
+  }
+
   def runToMemory(spark: SparkSession, transformed: DataFrame, name: String,
       mode: OutputMode = OutputMode.Append): Unit = {
     val q = transformed.writeStream

@@ -567,6 +567,61 @@ class StreamingOpsSpec extends SparkTestBase {
     }
   }
 
+  test("streaming MG heavy hitters: bounded state, no overcount, n/k undercount, completeness") {
+    implicit val sqlCtx = spark.sqlContext
+    val prevProvider =
+      spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val k = 4
+      val input = MemoryStream[(String, Long)]
+      val df = input.toDF.toDF("event_type", "user_id")
+      // adversarial per-type streams: one heavy user drowned in spam
+      // that forces eviction, split across three micro-batches
+      val rows = (0 until 300).flatMap(i => Seq(
+        ("click", 1000L), ("click", (i % 9).toLong),
+        ("view", 2000L), ("view", (i % 3).toLong)))
+      val q = StreamingOps.runningHeavyHitters(df, k)
+        .writeStream.outputMode(OutputMode.Update)
+        .format("memory").queryName("hh_out").start()
+      rows.grouped(400).foreach { g => input.addData(g.toIndexedSeq: _*); q.processAllAvailable() }
+      q.stop()
+      val all = spark.table("hh_out").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      // final emission per group = rows carrying that group's max n_seen
+      val finalByGroup = all.groupBy(_._1).map { case (g, rs) =>
+        val nMax = rs.map(_._4).max
+        g -> (nMax, rs.filter(_._4 == nMax).map(r => r._2 -> r._3).toMap)
+      }
+      val trueCounts = rows.groupBy(identity).view.mapValues(_.size.toLong)
+      finalByGroup.foreach { case (g, (nSeen, cands)) =>
+        assert(cands.size <= k, s"$g summary must stay bounded")
+        assert(nSeen == rows.count(_._1 == g).toLong)
+        cands.foreach { case (item, est) =>
+          val truth = trueCounts((g, item))
+          assert(est <= truth, "MG never overcounts")
+          assert(truth - est <= nSeen / k, "undercount bounded by n/k")
+        }
+        // completeness: items with true count > n/k must be candidates
+        trueCounts.foreach { case ((gg, item), c) =>
+          if (gg == g && c * k > nSeen)
+            assert(cands.contains(item), s"true HH $item missing for $g")
+        }
+      }
+      // the heavy users survive the spam in both groups
+      assert(finalByGroup("click")._2.contains(1000L))
+      assert(finalByGroup("view")._2.contains(2000L))
+    } finally {
+      prevProvider match {
+        case Some(p) =>
+          spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None =>
+          spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("streaming per-stratum top-k sample converges to the batch sample") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(String, Long)]
