@@ -237,6 +237,35 @@ object GraphOps {
     visited.select(col("id"), col("d").as("depth"))
   }
 
+  /** Bounded-rounds Bellman–Ford single-source shortest paths over
+    * integer edge weights: after R rounds, `dist` holds the exact
+    * shortest distance USING AT MOST R HOPS — a deterministic,
+    * well-defined result whether or not the graph has converged (the
+    * q101/q136/[[bfsDepth]] bounded-rounds contract; an oracle can
+    * unroll the identical min-relaxation recurrence). Unlike
+    * [[bfsDepth]] every round relaxes the FULL settled set (a shorter
+    * path can arrive late through a heavier prefix), so each round is
+    * one keyed join + one min aggregate, localCheckpointed so round
+    * r+1 never replays rounds 1..r. O(rounds) keyed exchanges — the
+    * 1000-executor shape for bounded-diameter reachability with costs.
+    *
+    * @param edges directed (src, dst, w) with non-negative integer w;
+    *              symmetrize for undirected graphs
+    * @param seeds one `id` column; distance-0 vertices
+    */
+  def sssp(edges: DataFrame, seeds: DataFrame, rounds: Int): DataFrame = {
+    require(rounds >= 1, "sssp: rounds must be >= 1")
+    var dist = seeds.select(col("id"), lit(0L).as("d")).localCheckpoint()
+    for (_ <- 1 to rounds) {
+      val relaxed = edges.join(dist.withColumnRenamed("id", "src"), Seq("src"))
+        .select(col("dst").as("id"), (col("d") + col("w")).as("d"))
+      dist = dist.unionAll(relaxed)
+        .groupBy(col("id")).agg(min(col("d")).as("d"))
+        .localCheckpoint()
+    }
+    dist.select(col("id"), col("d").as("dist"))
+  }
+
   def kCorePeel(edges: DataFrame, k: Int, rounds: Int): DataFrame = {
     require(k >= 1 && rounds >= 1, "kCorePeel: k and rounds must be >= 1")
     var e = edges.select(col("src"), col("dst")).localCheckpoint()

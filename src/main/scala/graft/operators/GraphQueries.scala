@@ -256,12 +256,63 @@ object GraphQueries {
        |SELECT id AS doc_id, d AS depth FROM v$BfsRounds ORDER BY doc_id""".stripMargin
   }
 
+  // ---------------------------------------------------------------- q223
+  /** Weighted single-source shortest paths (bounded Bellman–Ford) —
+    * the cost-aware sibling of q149's hop BFS: edges carry the
+    * deterministic integer weight 1 + (a + b) mod 5 (both engines,
+    * no float, no rand), seeds are the q149 flagged set, and after R
+    * rounds every reached vertex holds its exact minimum cost USING AT
+    * MOST R HOPS (the bounded-rounds contract — deterministic whether
+    * or not converged; the oracle unrolls the identical min-relaxation
+    * recurrence as nested CTEs). Unlike BFS the full settled set
+    * relaxes every round: a cheaper path can arrive late through a
+    * heavier prefix — exactly what hop-count BFS gets wrong, which the
+    * spec demonstrates (some vertex's min cost uses MORE hops than its
+    * BFS depth).
+    */
+  val SsspRounds = 4
+
+  def q223Sssp(s: SparkSession, dir: String): DataFrame = {
+    val e = DedupQueries.synthEdges(s, dir)
+    val sym = e.select(col("a").as("src"), col("b").as("dst"))
+      .unionAll(e.select(col("b").as("src"), col("a").as("dst")))
+      .withColumn("w", lit(1L) + pmod(col("src") + col("dst"), lit(5)))
+    val seeds = graft.Tables.documents(s, dir)
+      .filter(col("doc_id") % 101 === 0)
+      .select(col("doc_id").as("id"))
+    GraphOps.sssp(sym, seeds, SsspRounds)
+      .select(col("id").as("doc_id"), col("dist"))
+      .orderBy(col("doc_id"))
+  }
+
+  val q223Sql: String = {
+    def round(k: Int): String =
+      s"""v$k AS (
+         |  SELECT id, min(d) AS d FROM (
+         |    SELECT id, d FROM v${k - 1}
+         |    UNION ALL
+         |    SELECT e.dst AS id, v.d + e.w AS d
+         |    FROM sym e JOIN v${k - 1} v ON v.id = e.src)
+         |  GROUP BY id)""".stripMargin
+    val rounds = (1 to SsspRounds).map(round).mkString(",\n")
+    s"""WITH ${DedupQueries.synthEdgeCtes},
+       |sym AS (
+       |  SELECT src, dst, 1 + (src + dst) % 5 AS w FROM (
+       |    SELECT a AS src, b AS dst FROM edges
+       |    UNION ALL SELECT b AS src, a AS dst FROM edges)),
+       |v0 AS (SELECT doc_id AS id, CAST(0 AS BIGINT) AS d
+       |       FROM documents WHERE doc_id % 101 = 0),
+       |$rounds
+       |SELECT id AS doc_id, d AS dist FROM v$SsspRounds ORDER BY doc_id""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q101_pagerank" -> (q101PageRank _),
     "q109_personalized_pagerank" -> (q109PersonalizedPageRank _),
     "q110_label_propagation" -> (q110LabelPropagation _),
     "q136_kcore" -> (q136KCore _),
     "q149_bfs_depth" -> (q149BfsDepth _),
+    "q223_sssp" -> (q223Sssp _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -270,5 +321,6 @@ object GraphQueries {
     "q110_label_propagation" -> q110Sql,
     "q136_kcore" -> q136Sql,
     "q149_bfs_depth" -> q149Sql,
+    "q223_sssp" -> q223Sql,
   )
 }

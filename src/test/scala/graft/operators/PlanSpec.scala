@@ -771,6 +771,18 @@ class PlanSpec extends SparkTestBase {
     assert(p.linesIterator.count(_.contains("- Window (")) >= 1, p)
   }
 
+  test("q223: SSSP rounds are keyed joins + min aggregates — no nested loop, lineage truncated") {
+    val df = GraphQueries.q223Sssp(spark, sf0001)
+    val p = formatted(df)
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p)
+    // the final round's plan reads the previous round from a
+    // checkpoint scan, never replaying rounds 1..r-1 (the q44 lineage
+    // rule): at most ONE synth-edge generation appears in the plan
+    assert(p.linesIterator.count(_.contains("Scan ExistingRDD")) >= 1,
+      s"checkpointed prior round expected:\n$p")
+  }
+
   test("q180: per-user rollup reuses the window's user_id partitioning") {
     val p = formatted(Round9Queries.q180Twap(spark, sf0001))
     // exactly two shuffles: the user_id window exchange and the final

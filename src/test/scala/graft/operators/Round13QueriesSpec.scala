@@ -84,6 +84,43 @@ class Round13QueriesSpec extends SparkTestBase {
     assert(got._2 > 0 && got._3 > 0 && got._4 > 0 && got._5 > 0)
   }
 
+  // ------------------------------------------------------------- q223
+  test("q223: SSSP matches a local Bellman-Ford; cost order differs from hop order") {
+    val edges = DedupQueries.synthEdges(spark, sf0001)
+      .as[(Long, Long)].collect()
+    val sym = (edges ++ edges.map { case (a, b) => (b, a) })
+      .map { case (s2, d) => (s2, d, 1L + (s2 + d) % 5) }
+    val adj = sym.groupBy(_._1).map { case (v, es) =>
+      v -> es.map(e => (e._2, e._3)).toSeq
+    }
+    val n = Tables.documents(spark, sf0001).count()
+    val seeds = (0L until n).filter(_ % 101 == 0)
+    var dist = seeds.map(_ -> 0L).toMap
+    for (_ <- 1 to GraphQueries.SsspRounds) {
+      val relaxed = dist.toSeq.flatMap { case (v, d) =>
+        adj.getOrElse(v, Seq.empty).map { case (u, w) => (u, d + w) }
+      }
+      dist = (dist.toSeq ++ relaxed).groupBy(_._1).view
+        .mapValues(_.map(_._2).min).toMap
+    }
+    val got = GraphQueries.q223Sssp(spark, sf0001)
+      .as[(Long, Long)].collect().toSet
+    assert(got === dist.toSet)
+    // cost-aware paths are a genuinely different ordering than hops:
+    // the reached sets agree with BFS, but relative vertex order by
+    // cost differs from order by depth somewhere
+    val bfs = GraphQueries.q149BfsDepth(spark, sf0001)
+      .as[(Long, Long)].collect().toMap
+    assert(got.map(_._1) === bfs.keySet, "R-round reachability is identical")
+    val pairs = got.toSeq.sortBy(_._1)
+    val inversions = for {
+      (a, da) <- pairs; (b, db) <- pairs
+      if a < b && ((da < db && bfs(a) > bfs(b)) || (da > db && bfs(a) < bfs(b)))
+    } yield (a, b)
+    assert(inversions.nonEmpty,
+      "some vertex pair must order differently by cost than by hops")
+  }
+
   // ------------------------------------------------------------- q222
   test("q222: sequence-pattern matches a local sessionize + regex replay") {
     val evs = Tables.events(spark, sf0001)
