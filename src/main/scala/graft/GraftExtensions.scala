@@ -36,6 +36,33 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[graft.functions.CharEntropyNano].getName,
         "char_entropy_nano"),
       (exprs: Seq[Expression]) => graft.functions.CharEntropyNano(exprs.head)))
+    // round-5 kernels: parameters must be literals (they configure the
+    // compiled kernel — a per-row pattern would need a different design)
+    def litValue(e: Expression, what: String): Any = e match {
+      case org.apache.spark.sql.catalyst.expressions.Literal(v, _) => v
+      case other => throw new IllegalArgumentException(
+        s"$what must be a literal, got $other")
+    }
+    e.injectFunction((
+      FunctionIdentifier("phrase_count"),
+      new ExpressionInfo(classOf[graft.functions.PhraseCountExpr].getName,
+        "phrase_count"),
+      (exprs: Seq[Expression]) => graft.functions.PhraseCountExpr(exprs(0),
+        litValue(exprs(1), "phrase_count w1").toString,
+        litValue(exprs(2), "phrase_count w2").toString)))
+    e.injectFunction((
+      FunctionIdentifier("rolling_hashes"),
+      new ExpressionInfo(classOf[graft.functions.RollingHashesExpr].getName,
+        "rolling_hashes"),
+      (exprs: Seq[Expression]) => graft.functions.RollingHashesExpr(exprs(0),
+        litValue(exprs(1), "rolling_hashes gram length")
+          .asInstanceOf[Number].intValue())))
+    e.injectFunction((
+      FunctionIdentifier("ac_counts"),
+      new ExpressionInfo(classOf[graft.functions.AcCountsExpr].getName,
+        "ac_counts"),
+      (exprs: Seq[Expression]) => graft.functions.AcCountsExpr(exprs(0),
+        exprs.tail.map(p => litValue(p, "ac_counts pattern").toString))))
     // the custom top-k planner strategy, so SQL/DataFrame sessions built
     // with the extension plan TopKPerKey nodes without a TopK.install call
     e.injectPlannerStrategy(_ => graft.plans.TopKStrategy)

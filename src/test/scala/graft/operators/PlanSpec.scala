@@ -783,6 +783,31 @@ class PlanSpec extends SparkTestBase {
       s"checkpointed prior round expected:\n$p")
   }
 
+  test("round-5 kernels are callable from plain SQL through the extension") {
+    import org.apache.spark.sql.{Row, SparkSession}
+    val base = spark
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    try {
+      val ext = SparkSession.builder()
+        .master("local[4]")
+        .config("spark.sql.shuffle.partitions", "4")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.ui.enabled", "false")
+        .withExtensions(new graft.GraftExtensions)
+        .getOrCreate()
+      val rows = ext.sql(
+        """SELECT phrase_count('key order key order', 'key', 'order') AS pc,
+          |       size(rolling_hashes('abcdef', 3)) AS nh,
+          |       ac_counts('the data', 'he', 'data') AS ac""".stripMargin)
+        .collect()
+      assert(rows.head === Row(2L, 4, Seq(1L, 1L)))
+    } finally {
+      SparkSession.setActiveSession(base)
+      SparkSession.setDefaultSession(base)
+    }
+  }
+
   test("q180: per-user rollup reuses the window's user_id partitioning") {
     val p = formatted(Round9Queries.q180Twap(spark, sf0001))
     // exactly two shuffles: the user_id window exchange and the final
