@@ -183,6 +183,76 @@ class PropertySpec extends SparkTestBase {
     }
   }
 
+  test("rolling hashes: position-exact, injective on equal grams, collision-free here") {
+    import org.apache.spark.unsafe.types.UTF8String
+    val textGen = Gen.listOfN(120, Gen.oneOf('a', 'b', ' ')).map(_.mkString)
+    for (seed <- 1L to 5L) {
+      val t = sample(textGen, seed)
+      val l = 4
+      val hs = graft.functions.RollingHash
+        .hashes(UTF8String.fromString(t), l).toLongArray()
+      if (t.length < l) assert(hs.isEmpty)
+      else {
+        assert(hs.length === t.length - l + 1)
+        // equal grams ⇒ equal hashes (the property pruning relies on),
+        // checked across every position pair
+        for (i <- hs.indices; j <- hs.indices) {
+          val gi = t.substring(i, i + l)
+          val gj = t.substring(j, j + l)
+          if (gi == gj) assert(hs(i) === hs(j), s"seed=$seed i=$i j=$j")
+          // small-alphabet 4-grams: distinct grams must not collide in
+          // a 64-bit ring (would be astronomically unlucky)
+          else assert(hs(i) !== hs(j), s"collision seed=$seed '$gi' '$gj'")
+        }
+      }
+    }
+  }
+
+  test("phrase_count == declarative position filter on random token streams") {
+    import org.apache.spark.unsafe.types.UTF8String
+    val tokGen = Gen.listOfN(40, Gen.oneOf("key", "order", "x", "")).map(_.mkString(" "))
+    for (seed <- 1L to 8L) {
+      val t = sample(tokGen, seed)
+      val toks = t.split(" ", -1)
+      val expected = (1 until toks.length)
+        .count(i => toks(i - 1) == "key" && toks(i) == "order").toLong
+      val got = graft.functions.PhraseCount
+        .count(UTF8String.fromString(t), "key", "order")
+      assert(got === expected, s"seed=$seed text='$t'")
+    }
+  }
+
+  test("Aho-Corasick == naive overlapping counts on random small-alphabet text") {
+    import org.apache.spark.unsafe.types.UTF8String
+    val pats = Array("a", "ab", "aba", "bb", "aab")
+    val auto = new graft.functions.AhoCorasick.Automaton(pats)
+    val textGen = Gen.listOfN(60, Gen.oneOf('a', 'b')).map(_.mkString)
+    for (seed <- 1L to 8L) {
+      val t = sample(textGen, seed)
+      val got = auto.countAll(UTF8String.fromString(t)).toLongArray()
+      val exp = pats.map(p =>
+        (0 to t.length - p.length).count(i => t.regionMatches(i, p, 0, p.length)).toLong)
+      assert(got.toSeq === exp.toSeq, s"seed=$seed text='$t'")
+    }
+  }
+
+  test("Misra-Gries laws hold on random streams for any k") {
+    val itemGen = Gen.listOfN(500, Gen.chooseNum(0, 30).map(i => s"w$i"))
+    for (seed <- 1L to 5L; k <- Seq(2, 5, 16)) {
+      val stream = sample(itemGen, seed)
+      val sum = graft.functions.MisraGries.summarize(stream.iterator, k)
+      val truth = stream.groupBy(identity).view.mapValues(_.size.toLong)
+      assert(sum.size <= k)
+      sum.foreach { case (w, est) =>
+        assert(est <= truth(w), s"seed=$seed k=$k overcount")
+        assert(truth(w) - est <= stream.size.toLong / k, s"seed=$seed k=$k bound")
+      }
+      truth.foreach { case (w, c) =>
+        if (c * k > stream.size) assert(sum.contains(w), s"seed=$seed k=$k missing HH")
+      }
+    }
+  }
+
   test("trainTestSplit partitions any random id set exactly") {
     (1L to 3L).foreach { seed =>
       val ids = sample(Gen.listOfN(200, Gen.chooseNum(Long.MinValue + 1, Long.MaxValue)), seed)
