@@ -105,7 +105,7 @@ object Bench {
     "q214_rendezvous_shards", "q215_skyline", "q216_positional_index",
     "q217_nearest_event", "q218_grouped_trend", "q219_bitemporal_asof",
     "q220_column_diff", "q221_seasonal_decomposition", "q222_sequence_match",
-    "q223_sssp")
+    "q223_sssp", "q224_containment_join")
 
   /** 1/5/15-min load averages — recorded at start and end so a
     * load-contaminated run is self-documenting (BENCH_r04's 544 s

@@ -9,8 +9,10 @@ import graft.Tables
 /** Round-13 additions (driver round 5, batch 14): bitemporal as-of
   * (valid time × transaction time — the lakehouse correction-auditing
   * staple), column-level snapshot diff masks (the per-column drill q152's
-  * row-level verdicts lack), and weekly seasonal decomposition composed
-  * on q218's exact-moment trend.
+  * row-level verdicts lack), weekly seasonal decomposition composed
+  * on q218's exact-moment trend, MATCH_RECOGNIZE-lite sequence-pattern
+  * matching over sessions, and the asymmetric containment join (the
+  * excerpt detector symmetric Jaccard misses).
   *
   * Same determinism contract as every gated family: integer carriers
   * (micro-quantized residuals, integer µs), deterministic orderings with
@@ -311,16 +313,123 @@ object Round13Queries {
        |         AS n_with_error
        |FROM seqs GROUP BY user_id ORDER BY user_id""".stripMargin
 
+  // ---------------------------------------------------------------- q224
+  /** Asymmetric containment join — find every (A, B) with
+    * |A∩B| / |A| ≥ 0.9 over 5-token shingle sets: the EXCERPT/QUOTE
+    * detector symmetric Jaccard (q211/q16) structurally misses — a
+    * half-length quote has J ≈ 0.5 against its source (the length
+    * filter kills it) but containment 1.0. The corpus is augmented
+    * with DETERMINISTIC synthetic excerpts (every 37th doc truncated to
+    * its first half at a token boundary, id-offset into a disjoint
+    * range — both engines build the identical view, the q208 synthetic
+    * -dirt rule), so the gate carries true positives the symmetric
+    * join provably cannot see (the spec asserts exactly that).
+    * Scalable form: the containment prefix theorem — if |A∩B| ≥
+    * ⌈τ|A|⌉, one of A's first |A|−⌈τ|A|⌉+1 shingles (rarest-first
+    * global order) is in B — so candidates are A-PREFIX tokens joined
+    * against the FULL posting table (rare shingles ⇒ short posting
+    * lists), pruned by the size bound 10·|B| ≥ 9·|A|, then exact
+    * intersection verify on candidates only; the test 10·inter ≥ 9·|A|
+    * is integer-exact. Directed output (contained → container).
+    */
+  val ContainTauNum = 9
+  val ContainTauDen = 10
+  val ExcerptIdOffset = 1000000L
+
+  def q224ContainmentJoin(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+    val excerpts = docs.filter(col("doc_id") % 37 === 0)
+      .select((col("doc_id") + ExcerptIdOffset).as("doc_id"),
+        concat_ws(" ", slice(split(col("text"), " "), lit(1),
+          (size(split(col("text"), " ")) + 1) / 2)).as("text"))
+    val corpus = docs.unionAll(excerpts)
+    val sh = graft.dedup.Dedup.shingleSets(corpus, "doc_id", "text",
+      Round12Queries.SetSimShingleN).localCheckpoint()
+    val sizes = sh.groupBy(col("id")).agg(count(lit(1)).as("sz"))
+    val dfreq = sh.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
+    val wOrd = Window.partitionBy(col("id"))
+      .orderBy(col("df").asc, col("shingle").asc)
+    // contained-side prefix: pi = sz - ceil(tau*sz) + 1
+    val prefixA = sh.join(dfreq, Seq("shingle"))
+      .withColumn("rn", row_number().over(wOrd))
+      .join(sizes, Seq("id"))
+      .filter(col("rn") <= col("sz") -
+        expr(s"($ContainTauNum * sz + $ContainTauNum) div $ContainTauDen") + 1)
+      .select(col("id").as("a"), col("shingle"), col("sz").as("sza"))
+    val candIds = prefixA
+      .join(sh.select(col("id").as("b"), col("shingle")), Seq("shingle"))
+      .join(sizes.select(col("id").as("b"), col("sz").as("szb")), Seq("b"))
+      .filter(col("a") =!= col("b") &&
+        col("szb") * ContainTauDen >= col("sza") * ContainTauNum)
+      .select(col("a"), col("b"), col("sza")).distinct()
+    val inter = candIds.select(col("a"), col("b"))
+      .join(sh.select(col("id").as("a"), col("shingle")), Seq("a"))
+      .join(sh.select(col("id").as("b"), col("shingle")),
+        Seq("b", "shingle"), "left_semi")
+      .groupBy(col("a"), col("b")).agg(count(lit(1)).as("inter"))
+    candIds.join(inter, Seq("a", "b"))
+      .filter(col("inter") * ContainTauDen >= col("sza") * ContainTauNum)
+      .select(col("a"), col("b"), col("inter"), col("sza"),
+        round(lit(1e6) * col("inter") / col("sza"), 0).cast("long")
+          .as("containment_micro"))
+      .orderBy(col("a"), col("b"))
+  }
+
+  val q224Sql: String =
+    s"""WITH corpus AS (
+       |  SELECT doc_id, text FROM documents
+       |  UNION ALL
+       |  SELECT doc_id + $ExcerptIdOffset AS doc_id,
+       |         array_to_string(string_split(text, ' ')[1:(len(string_split(text, ' ')) + 1) // 2], ' ') AS text
+       |  FROM documents WHERE doc_id % 37 = 0),
+       |lists AS (
+       |  SELECT doc_id AS id,
+       |         list_filter(string_split(trim(regexp_replace(lower(text), '(\\d|\\W)+', ' ', 'g')), ' '), x -> x <> '') AS toks
+       |  FROM corpus),
+       |sh AS (
+       |  SELECT DISTINCT id, shingle FROM (
+       |    SELECT id, unnest(list_transform(range(1, len(toks) - ${Round12Queries.SetSimShingleN - 2}),
+       |                      i -> array_to_string(toks[i:i+${Round12Queries.SetSimShingleN - 1}], ' '))) AS shingle
+       |    FROM lists)),
+       |sizes AS (SELECT id, count(*) AS sz FROM sh GROUP BY id),
+       |dfreq AS (SELECT shingle, count(*) AS df FROM sh GROUP BY shingle),
+       |ranked AS (
+       |  SELECT s.id, s.shingle, z.sz,
+       |         row_number() OVER (PARTITION BY s.id
+       |                            ORDER BY d.df ASC, s.shingle ASC) AS rn
+       |  FROM sh s JOIN dfreq d USING (shingle) JOIN sizes z ON z.id = s.id),
+       |pfx AS (
+       |  SELECT id AS a, shingle, sz AS sza FROM ranked
+       |  WHERE rn <= sz - ($ContainTauNum * sz + $ContainTauNum) // $ContainTauDen + 1),
+       |cands AS (
+       |  SELECT DISTINCT p.a, s.id AS b, p.sza
+       |  FROM pfx p JOIN sh s ON s.shingle = p.shingle
+       |  JOIN sizes zb ON zb.id = s.id
+       |  WHERE p.a <> s.id AND zb.sz * $ContainTauDen >= p.sza * $ContainTauNum),
+       |inter AS (
+       |  SELECT c.a, c.b, count(*) AS inter
+       |  FROM cands c
+       |  JOIN sh x ON x.id = c.a
+       |  JOIN sh y ON y.id = c.b AND y.shingle = x.shingle
+       |  GROUP BY c.a, c.b)
+       |SELECT c.a, c.b, i.inter, c.sza,
+       |       CAST(round(1e6 * i.inter / c.sza, 0) AS BIGINT) AS containment_micro
+       |FROM cands c JOIN inter i ON i.a = c.a AND i.b = c.b
+       |WHERE i.inter * $ContainTauDen >= c.sza * $ContainTauNum
+       |ORDER BY c.a, c.b""".stripMargin
+
   // ------------------------------------------------------------ registry
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q219_bitemporal_asof" -> (q219BitemporalAsOf _),
     "q220_column_diff" -> (q220ColumnDiff _),
     "q221_seasonal_decomposition" -> (q221SeasonalDecomposition _),
-    "q222_sequence_match" -> (q222SequenceMatch _))
+    "q222_sequence_match" -> (q222SequenceMatch _),
+    "q224_containment_join" -> (q224ContainmentJoin _))
 
   val oracles: Map[String, String] = Map(
     "q219_bitemporal_asof" -> q219Sql,
     "q220_column_diff" -> q220Sql,
     "q221_seasonal_decomposition" -> q221Sql,
-    "q222_sequence_match" -> q222Sql)
+    "q222_sequence_match" -> q222Sql,
+    "q224_containment_join" -> q224Sql)
 }

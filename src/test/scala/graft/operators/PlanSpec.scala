@@ -808,6 +808,15 @@ class PlanSpec extends SparkTestBase {
     }
   }
 
+  test("q224: containment join — prefix-postings equi-joins only, nothing nests") {
+    val p = formatted(Round13Queries.q224ContainmentJoin(spark, sf0001))
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"candidates come from the prefix-vs-postings equi-join:\n$p")
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin") ||
+      p.contains("BroadcastHashJoin"), p)
+  }
+
   test("q180: per-user rollup reuses the window's user_id partitioning") {
     val p = formatted(Round9Queries.q180Twap(spark, sf0001))
     // exactly two shuffles: the user_id window exchange and the final

@@ -153,6 +153,55 @@ class Round13QueriesSpec extends SparkTestBase {
     assert(matched > 0 && matched < tot)
   }
 
+  // ------------------------------------------------------------- q224
+  test("q224: containment join matches local replay; excerpts found, Jaccard would miss them") {
+    val n = Round12Queries.SetSimShingleN
+    def shingles(t: String): Set[String] = {
+      val ws = t.toLowerCase.replaceAll("(\\d|\\W)+", " ").trim
+        .split(" ").filter(_.nonEmpty)
+      if (ws.length < n) Set.empty else ws.sliding(n).map(_.mkString(" ")).toSet
+    }
+    val docs = Tables.documents(spark, sf0001)
+      .select(col("doc_id"), col("text")).as[(Long, String)].collect()
+    val excerpts = docs.filter(_._1 % 37 == 0).map { case (id, t) =>
+      val ws = t.split(" ", -1)
+      (id + Round13Queries.ExcerptIdOffset,
+        ws.take((ws.length + 1) / 2).mkString(" "))
+    }
+    val corpus = (docs ++ excerpts).map { case (id, t) => (id, shingles(t)) }
+      .filter(_._2.nonEmpty).toMap
+    val tauN = Round13Queries.ContainTauNum
+    val tauD = Round13Queries.ContainTauDen
+    val expected = (for {
+      (a, sa) <- corpus.iterator; (b, sb) <- corpus
+      if a != b
+      inter = (sa & sb).size
+      if inter * tauD >= sa.size * tauN
+    } yield (a, b, inter.toLong, sa.size.toLong,
+      BigDecimal(1e6 * inter / sa.size.toDouble)
+        .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong)).toSet
+    val got = Round13Queries.q224ContainmentJoin(spark, sf0001)
+      .as[(Long, Long, Long, Long, Long)].collect().toSet
+    assert(got === expected)
+    // every synthetic excerpt with >= n-token half finds its source at
+    // containment 1.0 ...
+    val pairs = got.map(r => (r._1, r._2)).toSet
+    val eligible = excerpts.filter(e => corpus.contains(e._1))
+    assert(eligible.nonEmpty)
+    eligible.foreach { case (eid, _) =>
+      assert(pairs((eid, eid - Round13Queries.ExcerptIdOffset)),
+        s"excerpt $eid must be contained in its source")
+    }
+    // ... and symmetric Jaccard >= 0.8 would MISS every one of them —
+    // the reason the asymmetric operator exists
+    eligible.foreach { case (eid, _) =>
+      val sa = corpus(eid); val sb = corpus(eid - Round13Queries.ExcerptIdOffset)
+      val inter = (sa & sb).size
+      assert(inter * 9 < (sa.size + sb.size) * 4,
+        s"excerpt $eid would also pass J>=0.8 — test loses its point")
+    }
+  }
+
   // ------------------------------------------------------------- q221
   test("q221: seasonal indices match a local decomposition; residuals mean ~0 overall") {
     val li = Tables.lineitem(spark, sf0001)
