@@ -89,6 +89,37 @@ class EdgeCaseSpec extends SparkTestBase {
     assert(Skew.saltedJoin(fact, emptyDim, Seq("k"), 4, "left").count() === 1)
   }
 
+  test("round-5 kernel guards and degenerate inputs") {
+    import org.apache.spark.unsafe.types.UTF8String
+    import graft.functions.{AhoCorasick, MisraGries, PhraseCount, RollingHash}
+    // rolling hashes: text shorter than L -> empty; L = text length -> one
+    assert(RollingHash.hashes(UTF8String.fromString("ab"), 3)
+      .toLongArray().isEmpty)
+    assert(RollingHash.hashes(UTF8String.fromString("abc"), 3)
+      .toLongArray().length === 1)
+    intercept[IllegalArgumentException] {
+      graft.functions.RollingHashesExpr(
+        org.apache.spark.sql.GraftSqlApi.expr($"text"), 0)
+    }
+    // phrase_count: empty text, single token, delimiter-only text
+    for (t <- Seq("", "key", " ", "  "))
+      assert(PhraseCount.count(UTF8String.fromString(t), "key", "order") === 0L)
+    // AC: empty dictionary / empty pattern are construction errors
+    intercept[IllegalArgumentException] {
+      new AhoCorasick.Automaton(Array.empty[String])
+    }
+    intercept[IllegalArgumentException] {
+      new AhoCorasick.Automaton(Array("ok", ""))
+    }
+    // MG: k must be positive; k = 1 still honors the laws
+    intercept[IllegalArgumentException] {
+      MisraGries.summarize(Iterator("a"), 0)
+    }
+    val one = MisraGries.summarize(Iterator("a", "a", "b", "a"), 1)
+    assert(one.size <= 1)
+    one.foreach { case (w, est) => assert(w == "a" && est <= 3) }
+  }
+
   test("range join with empty inputs yields no rows") {
     val ts0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
     val pts = Seq((1L, ts0)).toDF("pid", "pt")
