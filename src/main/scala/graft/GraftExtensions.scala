@@ -36,33 +36,53 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[graft.functions.CharEntropyNano].getName,
         "char_entropy_nano"),
       (exprs: Seq[Expression]) => graft.functions.CharEntropyNano(exprs.head)))
-    // round-5 kernels: parameters must be literals (they configure the
-    // compiled kernel — a per-row pattern would need a different design)
+    // round-5 kernels: parameters must be NON-NULL literals (they
+    // configure the compiled kernel — a per-row pattern would need a
+    // different design); arity and nullability are checked at function
+    // resolution so SQL users get a clear boundary error, not an
+    // eval-time NPE or IndexOutOfBounds
     def litValue(e: Expression, what: String): Any = e match {
+      case org.apache.spark.sql.catalyst.expressions.Literal(null, _) =>
+        throw new IllegalArgumentException(s"$what must not be NULL")
       case org.apache.spark.sql.catalyst.expressions.Literal(v, _) => v
       case other => throw new IllegalArgumentException(
         s"$what must be a literal, got $other")
     }
+    def arity(exprs: Seq[Expression], n: Int, fn: String,
+        atLeast: Boolean = false): Unit =
+      if (if (atLeast) exprs.length < n else exprs.length != n)
+        throw new IllegalArgumentException(
+          s"$fn expects ${if (atLeast) "at least " else ""}$n arguments, " +
+            s"got ${exprs.length}")
     e.injectFunction((
       FunctionIdentifier("phrase_count"),
       new ExpressionInfo(classOf[graft.functions.PhraseCountExpr].getName,
         "phrase_count"),
-      (exprs: Seq[Expression]) => graft.functions.PhraseCountExpr(exprs(0),
-        litValue(exprs(1), "phrase_count w1").toString,
-        litValue(exprs(2), "phrase_count w2").toString)))
+      (exprs: Seq[Expression]) => {
+        arity(exprs, 3, "phrase_count(text, w1, w2)")
+        graft.functions.PhraseCountExpr(exprs(0),
+          litValue(exprs(1), "phrase_count w1").toString,
+          litValue(exprs(2), "phrase_count w2").toString)
+      }))
     e.injectFunction((
       FunctionIdentifier("rolling_hashes"),
       new ExpressionInfo(classOf[graft.functions.RollingHashesExpr].getName,
         "rolling_hashes"),
-      (exprs: Seq[Expression]) => graft.functions.RollingHashesExpr(exprs(0),
-        litValue(exprs(1), "rolling_hashes gram length")
-          .asInstanceOf[Number].intValue())))
+      (exprs: Seq[Expression]) => {
+        arity(exprs, 2, "rolling_hashes(text, L)")
+        graft.functions.RollingHashesExpr(exprs(0),
+          litValue(exprs(1), "rolling_hashes gram length")
+            .asInstanceOf[Number].intValue())
+      }))
     e.injectFunction((
       FunctionIdentifier("ac_counts"),
       new ExpressionInfo(classOf[graft.functions.AcCountsExpr].getName,
         "ac_counts"),
-      (exprs: Seq[Expression]) => graft.functions.AcCountsExpr(exprs(0),
-        exprs.tail.map(p => litValue(p, "ac_counts pattern").toString))))
+      (exprs: Seq[Expression]) => {
+        arity(exprs, 2, "ac_counts(text, pattern, ...)", atLeast = true)
+        graft.functions.AcCountsExpr(exprs(0),
+          exprs.tail.map(p => litValue(p, "ac_counts pattern").toString))
+      }))
     // the custom top-k planner strategy, so SQL/DataFrame sessions built
     // with the extension plan TopKPerKey nodes without a TopK.install call
     e.injectPlannerStrategy(_ => graft.plans.TopKStrategy)

@@ -26,13 +26,15 @@ object RollingHash {
     * function of the gram), so hash-count pruning never loses a true
     * duplicate; unequal grams collide with ~2⁻⁶⁴ probability, which the
     * caller removes with an exact string verify on the (small)
-    * candidate set. Positions are UTF-16 code units — identical to
-    * character positions on ASCII corpora (the testdata; documented
-    * caveat for supplementary-plane text).
+    * candidate set. Positions and gram symbols are CODE POINTS — the
+    * same unit Spark's `substring`, DuckDB's `substr`, and `n_chars`
+    * count — so q153's `substring(text, pos, L)` re-extraction is
+    * aligned even for supplementary-plane text (a surrogate pair is
+    * one symbol, not two).
     */
   def hashes(text: UTF8String, l: Int): ArrayData = {
-    val s = text.toString
-    val n = s.length
+    val cps = text.toString.codePoints().toArray
+    val n = cps.length
     if (n < l) return new GenericArrayData(Array.emptyLongArray)
     var bl = 1L
     var k = 1
@@ -40,11 +42,11 @@ object RollingHash {
     val out = new Array[Long](n - l + 1)
     var h = 0L
     var i = 0
-    while (i < l) { h = h * Base + s.charAt(i); i += 1 }
+    while (i < l) { h = h * Base + cps(i); i += 1 }
     out(0) = h
     var p = 1
     while (p <= n - l) {
-      h = (h - s.charAt(p - 1) * bl) * Base + s.charAt(p + l - 1)
+      h = (h - cps(p - 1) * bl) * Base + cps(p + l - 1)
       out(p) = h
       p += 1
     }

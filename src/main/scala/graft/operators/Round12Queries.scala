@@ -48,6 +48,40 @@ object Round12Queries {
   val SetSimTauNum = 4 // tau = 4/5
   val SetSimTauDen = 5
 
+  /** Rarest-first prefix stream (id, shingle, sz): each set's first
+    * |d| − ⌈(tauNum/tauDen)·|d|⌉ + 1 shingles under the global
+    * (df asc, shingle asc) order — the prefix-filter machinery shared
+    * by q211 (symmetric Jaccard, prefix ⋈ prefix) and q224
+    * (containment, prefix ⋈ full postings). One shared definition so
+    * the ceil arithmetic and the ordering tie-break can never diverge
+    * between the two joins.
+    */
+  private[operators] def rarestFirstPrefix(sh: DataFrame, tauNum: Int,
+      tauDen: Int): DataFrame = {
+    val sizes = sh.groupBy(col("id")).agg(count(lit(1)).as("sz"))
+    val dfreq = sh.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
+    val wOrd = Window.partitionBy(col("id"))
+      .orderBy(col("df").asc, col("shingle").asc)
+    sh.join(dfreq, Seq("shingle"))
+      .withColumn("rn", row_number().over(wOrd))
+      .join(sizes, Seq("id"))
+      .filter(col("rn") <=
+        col("sz") - expr(s"($tauNum * sz + $tauNum) div $tauDen") + 1)
+      .select(col("id"), col("shingle"), col("sz"))
+  }
+
+  /** Exact |A∩B| per candidate (a, b) pair over the shingle table —
+    * the verify stage shared by q211 and q224 (keyed joins on the
+    * candidate set only, never all co-occurring pairs).
+    */
+  private[operators] def pairIntersections(cands: DataFrame,
+      sh: DataFrame): DataFrame =
+    cands.select(col("a"), col("b"))
+      .join(sh.select(col("id").as("a"), col("shingle")), Seq("a"))
+      .join(sh.select(col("id").as("b"), col("shingle")),
+        Seq("b", "shingle"), "left_semi")
+      .groupBy(col("a"), col("b")).agg(count(lit(1)).as("inter"))
+
   def q211SetSimJoin(s: SparkSession, dir: String): DataFrame = {
     // the distinct shingle table appears 4x in the DAG (sizes, df,
     // prefixes, verify) — materialize it once; alternating A/B under
@@ -55,17 +89,7 @@ object Round12Queries {
     // 100 TB it is a persisted index artifact (built once offline).
     val sh = Dedup.shingleSets(Tables.documents(s, dir), "doc_id", "text",
       SetSimShingleN).localCheckpoint() // (id, shingle) distinct
-    val sizes = sh.groupBy(col("id")).agg(count(lit(1)).as("sz"))
-    val dfreq = sh.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
-    // prefix length pi = sz - ceil(tau*sz) + 1, integer arithmetic
-    val wOrd = Window.partitionBy(col("id"))
-      .orderBy(col("df").asc, col("shingle").asc)
-    val ranked = sh.join(dfreq, Seq("shingle"))
-      .withColumn("rn", row_number().over(wOrd))
-      .join(sizes, Seq("id"))
-      .filter(col("rn") <=
-        col("sz") - expr(s"($SetSimTauNum * sz + $SetSimTauNum) div $SetSimTauDen") + 1)
-      .select(col("id"), col("shingle"), col("sz"))
+    val ranked = rarestFirstPrefix(sh, SetSimTauNum, SetSimTauDen)
     val cands = ranked.select(col("id").as("a"), col("shingle"), col("sz").as("sza"))
       .join(ranked.select(col("id").as("b"), col("shingle"), col("sz").as("szb")),
         Seq("shingle"))
@@ -74,11 +98,7 @@ object Round12Queries {
         col("szb") * SetSimTauNum <= col("sza") * SetSimTauDen)
       .select(col("a"), col("b"), col("sza"), col("szb")).distinct()
     // exact verify: intersection counts on the candidate pairs only
-    val inter = cands.select(col("a"), col("b"))
-      .join(sh.select(col("id").as("a"), col("shingle")), Seq("a"))
-      .join(sh.select(col("id").as("b"), col("shingle")), Seq("b", "shingle"), "left_semi")
-      .groupBy(col("a"), col("b")).agg(count(lit(1)).as("inter"))
-    cands.join(inter, Seq("a", "b"))
+    cands.join(pairIntersections(cands, sh), Seq("a", "b"))
       .filter(col("inter") * (SetSimTauDen + SetSimTauNum) >=
         (col("sza") + col("szb")) * SetSimTauNum)
       .select(col("a"), col("b"), col("inter"),
@@ -198,10 +218,14 @@ object Round12Queries {
 
   def q213HeavyHitters(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
+    // materialized once: the candidate pass, the n action, and the
+    // exact count pass all read the same tokenization (lazy, the plan
+    // re-ran the normalize+explode three times)
     val toks = Tables.documents(s, dir)
       .select(explode(split(graft.text.TextPrep.normalize(col("text")), " "))
         .as("word"))
       .filter(col("word") =!= "")
+      .localCheckpoint()
     val cands = toks.as[String]
       .mapPartitions(it => graft.functions.MisraGries.summarize(it, HhK).keysIterator)
       .toDF("word").distinct()

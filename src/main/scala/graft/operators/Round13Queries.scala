@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -174,8 +174,12 @@ object Round13Queries {
     * exact-moment OLS line, then the day-of-week seasonal index as the
     * mean detrended residual per (flag, dow): revenue ≈ trend +
     * seasonality + residual, the decomposition behind anomaly
-    * baselines and forecast backstops. Composition is the point: the
-    * trend table is the 3-row q218 output joined back by broadcast.
+    * baselines and forecast backstops. The trend line is the q218
+    * contract (same exact-moment carrier, same 6dp rounding — the spec
+    * pins equality to q218's slope/intercept) but derived HERE from
+    * the already-built daily table, so lineitem scans ONCE — calling
+    * q218 would rebuild the identical daily aggregate a second time;
+    * the 3-row trend joins back by broadcast.
     * Determinism: slope/intercept are the q218 6dp-rounded doubles, the
     * residual y − (a + b·x) is the IDENTICAL expression on both
     * engines, and each residual is micro-quantized to a long BEFORE
@@ -192,9 +196,20 @@ object Round13Queries {
         round(col("l_extendedprice") * 100, 0).cast("long").as("cents"))
       .groupBy(col("l_returnflag"), col("day"))
       .agg(sum(col("cents")).as("y"))
-    val trend = Round12Queries.q218GroupedTrend(s, dir)
-      .select(col("l_returnflag"), col("slope_cents_per_day").as("b"),
-        col("intercept_cents").as("a"))
+    val x = col("day").cast("decimal(38,0)")
+    val y = col("y").cast("decimal(38,0)")
+    val asD = (c: Column) => c.cast("double")
+    val slopeExpr =
+      (asD(col("n")) * asD(col("sxy")) - asD(col("sx")) * asD(col("sy"))) /
+        (asD(col("n")) * asD(col("sxx")) - asD(col("sx")) * asD(col("sx")))
+    val trend = daily.groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).cast("decimal(38,0)").as("n"),
+        sum(x).as("sx"), sum(y).as("sy"), sum(x * y).as("sxy"),
+        sum(x * x).as("sxx"))
+      .select(col("l_returnflag"),
+        round(slopeExpr, 6).as("b"),
+        round((asD(col("sy")) - asD(col("sx")) * slopeExpr) / asD(col("n")), 6)
+          .as("a"))
     daily.join(broadcast(trend), Seq("l_returnflag"))
       .withColumn("resid_micro",
         round(lit(1e6) * (col("y").cast("double") -
@@ -346,15 +361,11 @@ object Round13Queries {
     val sh = graft.dedup.Dedup.shingleSets(corpus, "doc_id", "text",
       Round12Queries.SetSimShingleN).localCheckpoint()
     val sizes = sh.groupBy(col("id")).agg(count(lit(1)).as("sz"))
-    val dfreq = sh.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
-    val wOrd = Window.partitionBy(col("id"))
-      .orderBy(col("df").asc, col("shingle").asc)
-    // contained-side prefix: pi = sz - ceil(tau*sz) + 1
-    val prefixA = sh.join(dfreq, Seq("shingle"))
-      .withColumn("rn", row_number().over(wOrd))
-      .join(sizes, Seq("id"))
-      .filter(col("rn") <= col("sz") -
-        expr(s"($ContainTauNum * sz + $ContainTauNum) div $ContainTauDen") + 1)
+    // contained-side prefix (pi = sz - ceil(tau*sz) + 1) and the exact
+    // verify reuse q211's shared prefix-filter machinery — only the
+    // candidate join differs: prefix(A) against the FULL posting table
+    val prefixA = Round12Queries
+      .rarestFirstPrefix(sh, ContainTauNum, ContainTauDen)
       .select(col("id").as("a"), col("shingle"), col("sz").as("sza"))
     val candIds = prefixA
       .join(sh.select(col("id").as("b"), col("shingle")), Seq("shingle"))
@@ -362,12 +373,7 @@ object Round13Queries {
       .filter(col("a") =!= col("b") &&
         col("szb") * ContainTauDen >= col("sza") * ContainTauNum)
       .select(col("a"), col("b"), col("sza")).distinct()
-    val inter = candIds.select(col("a"), col("b"))
-      .join(sh.select(col("id").as("a"), col("shingle")), Seq("a"))
-      .join(sh.select(col("id").as("b"), col("shingle")),
-        Seq("b", "shingle"), "left_semi")
-      .groupBy(col("a"), col("b")).agg(count(lit(1)).as("inter"))
-    candIds.join(inter, Seq("a", "b"))
+    candIds.join(Round12Queries.pairIntersections(candIds, sh), Seq("a", "b"))
       .filter(col("inter") * ContainTauDen >= col("sza") * ContainTauNum)
       .select(col("a"), col("b"), col("inter"), col("sza"),
         round(lit(1e6) * col("inter") / col("sza"), 0).cast("long")

@@ -289,7 +289,7 @@ class StreamingOpsSpec extends SparkTestBase {
       .toSet
     assert(streamed === batch, "stream must equal the batch twin")
     assert(streamed.map(_._2).size === 60, "every arriving doc gets a verdict")
-    // two distinct event-time days, and no doc matches itself
+    // three distinct event-time windows, and no doc matches itself
     assert(streamed.map(_._1).size === 3)
     assert(streamed.forall { case (_, d, m, _) => d != m })
   }
