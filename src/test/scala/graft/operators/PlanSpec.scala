@@ -802,6 +802,20 @@ class PlanSpec extends SparkTestBase {
           |       ac_counts('the data', 'he', 'data') AS ac""".stripMargin)
         .collect()
       assert(rows.head === Row(2L, 4, Seq(1L, 1L)))
+      // resolution-time boundary errors: wrong arity and NULL kernel
+      // parameters fail with clear messages, not eval-time NPE/IOOBE
+      val badArity = intercept[Exception] {
+        ext.sql("SELECT phrase_count('x', 'y')").collect()
+      }
+      assert(badArity.getMessage.contains("expects"), badArity.getMessage)
+      val nullParam = intercept[Exception] {
+        ext.sql("SELECT phrase_count('x', NULL, 'y')").collect()
+      }
+      assert(nullParam.getMessage.contains("must not be NULL"), nullParam.getMessage)
+      val noPatterns = intercept[Exception] {
+        ext.sql("SELECT ac_counts('x')").collect()
+      }
+      assert(noPatterns.getMessage.contains("expects at least"), noPatterns.getMessage)
     } finally {
       SparkSession.setActiveSession(base)
       SparkSession.setDefaultSession(base)
