@@ -1240,6 +1240,56 @@ object RelationalOps {
       |  LIMIT 2) t
       |ORDER BY r.r_name, t.bal DESC, t.n_name""".stripMargin
 
+  /** Global total-order rank without a single-partition window.
+    *
+    * `row_number() OVER (ORDER BY ...)` with no PARTITION BY executes as
+    * ONE WindowExec partition — every row funnels through a single task,
+    * which is a wall at 100 TB no matter how cheap the function is. This
+    * produces the identical rank from a range-partitioned sort:
+    *
+    *   1. `repartitionByRange(P, sortCols)` — the sampled range exchange
+    *      gives each partition a contiguous, disjoint slice of the total
+    *      order (~n/P rows);
+    *   2. a P-row aggregate counts rows per range partition (the only
+    *      driver-side state is that P-entry cumulative-offset map);
+    *   3. the in-partition `row_number()` (windowed BY partition id, so
+    *      every window partition is range-bounded) plus the partition's
+    *      cumulative offset is the global rank.
+    *
+    * Requirements: `sortCols` must be a TOTAL order (callers tie-break —
+    * the engine's standing determinism rule) so ranks are well-defined.
+    * Two plan evaluations see the same partition ids because range-bound
+    * sampling seeds by partition index (deterministic for a deterministic
+    * input) and bucket assignment is a pure function of the bounds; rows
+    * equal on every sort key would be the only ambiguity, and a total
+    * order has none.
+    */
+  def globalRank(df: DataFrame, rankCol: String, sortCols: Column*): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val s = df.sparkSession
+    val nParts = s.conf.get("spark.sql.shuffle.partitions").toInt
+    val parted = df.repartitionByRange(nParts, sortCols: _*)
+      .withColumn("__gr_pid", spark_partition_id())
+    // P-row action: per-range-partition counts -> cumulative offsets.
+    val counts = parted.groupBy(col("__gr_pid"))
+      .agg(count(lit(1)).as("n"))
+      .collect()
+      .map(r => (r.getInt(0), r.getLong(1)))
+      .sortBy(_._1)
+    var acc = 0L
+    val offsets = counts.map { case (pid, n) =>
+      val row = (pid, acc); acc += n; row
+    }.toSeq
+    import s.implicits._
+    val offDf = offsets.toDF("__gr_pid", "__gr_off")
+    val w = Window.partitionBy(col("__gr_pid")).orderBy(sortCols: _*)
+    parted
+      .withColumn("__gr_rn", row_number().over(w).cast("long"))
+      .join(broadcast(offDf), Seq("__gr_pid"))
+      .withColumn(rankCol, col("__gr_off") + col("__gr_rn"))
+      .drop("__gr_pid", "__gr_rn", "__gr_off")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q90_top_supplier" -> (q90TopSupplier _),
     "q84_small_qty_revenue" -> (q84SmallQuantityRevenue _),

@@ -298,20 +298,19 @@ object Round8Queries {
     * tie-break), walk shards 0..N−1 then N−1..0 — each N-sized block
     * contributes one doc per shard, with the zig-zag cancelling the
     * within-block size gradient that plain round-robin accumulates.
-    * The plan stage is rank arithmetic, no data moves; the global
-    * row_number here rides one sort (at 100 TB the rank comes from a
-    * range-partitioned sort + per-partition offsets — the q124
-    * metadata-plan caveat; the ASSIGNMENT arithmetic is unchanged).
+    * The plan stage is rank arithmetic, no data moves; the global rank
+    * comes from [[RelationalOps.globalRank]] — a range-partitioned sort
+    * with per-partition cumulative offsets, never a single-partition
+    * window — so the plan itself scales with the corpus it lays out.
     * Gate output is the per-shard manifest; the spec asserts the
     * balance property itself.
     */
   val NumShards = 8
 
   def q157ShardPlan(s: SparkSession, dir: String): DataFrame =
-    Tables.documents(s, dir)
-      .select(col("doc_id"), col("n_chars"))
-      .withColumn("rn", row_number().over(
-        Window.orderBy(col("n_chars").desc, col("doc_id"))))
+    RelationalOps.globalRank(
+      Tables.documents(s, dir).select(col("doc_id"), col("n_chars")),
+      "rn", col("n_chars").desc, col("doc_id"))
       .withColumn("shard", expr(
         s"""cast(case when ((rn - 1) div $NumShards) % 2 = 0
            |          then (rn - 1) % $NumShards
@@ -513,9 +512,7 @@ object Round8Queries {
   def q161SkewAudit(s: SparkSession, dir: String): DataFrame = {
     val counts = Tables.events(s, dir)
       .groupBy(col("user_id")).agg(count(lit(1)).as("c"))
-    val w = Window.orderBy(col("c"), col("user_id"))
-    counts
-      .withColumn("i", row_number().over(w).cast("long"))
+    RelationalOps.globalRank(counts, "i", col("c"), col("user_id"))
       .agg(count(lit(1)).as("n_keys"),
         sum(col("c")).as("n_rows"),
         max(col("c")).as("max_c"),

@@ -526,9 +526,10 @@ object Round9Queries {
     * no-rand() rule, q48/q60/q113), with round-robin shard assignment
     * off the shuffled position. Byte-identical on every rerun and
     * engine — which is what makes training runs reproducible and
-    * resumable. The global row_number rides one total sort at gate
-    * scale; at 100 TB it becomes the q157 range-partitioned sort with
-    * per-partition offsets (the plan is the same sort either way).
+    * resumable. The global position comes from
+    * [[RelationalOps.globalRank]] — a range-partitioned sort with
+    * per-partition cumulative offsets, never a single-partition window —
+    * so the permutation scales to the full corpus.
     */
   val TrainSeed = "ord42"
   val TrainShards = 8
@@ -536,10 +537,9 @@ object Round9Queries {
   def q188TrainingOrder(s: SparkSession, dir: String): DataFrame = {
     val key = md5(concat(lit(TrainSeed + "|"),
       col("doc_id").cast("string")).cast("binary"))
-    Tables.documents(s, dir)
+    val keyed = Tables.documents(s, dir)
       .select(col("doc_id"), col("source"), key.as("ord_key"))
-      .withColumn("pos", row_number()
-        .over(Window.orderBy(col("ord_key"), col("doc_id"))).cast("long"))
+    RelationalOps.globalRank(keyed, "pos", col("ord_key"), col("doc_id"))
       .withColumn("shard", (col("pos") - 1) % TrainShards)
       .select(col("pos"), col("doc_id"), col("source"), col("shard"))
       .orderBy(col("pos"))

@@ -20,6 +20,9 @@ object SparkTestBase {
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // same extension set as Verify/Bench sessions — the pure-SQL hint
+      // queries (q46, SIMILARITY_TOP1) resolve only through it
+      .config("spark.sql.extensions", "graft.GraftExtensions")
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
     s

@@ -15,6 +15,14 @@ class PlanSpec extends SparkTestBase {
   private def formatted(df: DataFrame): String =
     df.queryExecution.explainString(ExplainMode.fromString("formatted"))
 
+  /** Logical Window nodes with NO partition spec — each one executes as a
+    * single-partition WindowExec (every row through one task). */
+  private def unpartitionedWindows(df: DataFrame) =
+    df.queryExecution.optimizedPlan.collect {
+      case w: org.apache.spark.sql.catalyst.plans.logical.Window
+        if w.partitionSpec.isEmpty => w
+    }
+
   test("q1: filter pushed into parquet scan; unused columns pruned; partial agg") {
     val p = formatted(RelationalOps.q1PricingSummary(spark, sf0001))
     assert(p.contains("PushedFilters"))
@@ -347,10 +355,16 @@ class PlanSpec extends SparkTestBase {
       s"codegen integer dot kernel expected:\n$p")
   }
 
-  test("q157: shard plan pays exactly one global window sort") {
-    val p = formatted(Round8Queries.q157ShardPlan(spark, sf0001))
-    assert(p.linesIterator.count(_.contains("- Window (")) === 1,
-      s"one rank window expected:\n$p")
+  test("q157: shard rank is range-partitioned — no single-partition window") {
+    val df = Round8Queries.q157ShardPlan(spark, sf0001)
+    assert(unpartitionedWindows(df).isEmpty,
+      "the global rank must ride globalRank's range partitioning")
+    val p = formatted(df)
+    // the in-partition row_number windows BY partition id, and the
+    // P-row offset table broadcasts back — never a sort-merge join
+    assert(p.linesIterator.count(_.contains("- Window (")) === 1, p)
+    assert(p.contains("BroadcastHashJoin"), s"offset join must broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"), p)
   }
 
   test("q159/q162: governance and sentence audits are agg-only — no join, no explode") {
@@ -363,11 +377,15 @@ class PlanSpec extends SparkTestBase {
     }
   }
 
-  test("q161: skew audit ranks the key-cardinality table, not the data") {
-    val p = formatted(Round8Queries.q161SkewAudit(spark, sf0001))
+  test("q161: skew audit ranks the key-cardinality table, range-partitioned") {
+    val df = Round8Queries.q161SkewAudit(spark, sf0001)
+    assert(unpartitionedWindows(df).isEmpty,
+      "the count-table rank must ride globalRank's range partitioning")
+    val p = formatted(df)
     assert(p.linesIterator.count(_.contains("- Window (")) === 1,
       s"one rank window over the count table expected:\n$p")
-    assert(!p.contains("Join"), s"no join expected:\n$p")
+    // the only join is the P-row offset broadcast
+    assert(!p.contains("SortMergeJoin"), s"offset join must broadcast:\n$p")
   }
 
   test("q164: variant path is row-local codegen into one aggregate") {
@@ -470,11 +488,14 @@ class PlanSpec extends SparkTestBase {
     assert(exchanges === 2, s"window + final sort only, got $exchanges:\n$p")
   }
 
-  test("q188: training order pays exactly one global sort window") {
-    val p = formatted(Round9Queries.q188TrainingOrder(spark, sf0001))
+  test("q188: training order permutes via range partitioning, not one window task") {
+    val df = Round9Queries.q188TrainingOrder(spark, sf0001)
+    assert(unpartitionedWindows(df).isEmpty,
+      "the permutation rank must ride globalRank's range partitioning")
+    val p = formatted(df)
     assert(p.linesIterator.count(_.contains("- Window (")) === 1,
       s"one permutation window expected:\n$p")
-    assert(!p.contains("Join"), s"no join expected:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"offset join must broadcast:\n$p")
   }
 
   test("q189: null-safe diff is an equi-join, not a nested loop") {
@@ -829,6 +850,34 @@ class PlanSpec extends SparkTestBase {
       s"candidates come from the prefix-vs-postings equi-join:\n$p")
     assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin") ||
       p.contains("BroadcastHashJoin"), p)
+  }
+
+  test("registry lock: no gated plan ranks through an unpartitioned corpus-scale window") {
+    // Every Window with an empty partitionSpec executes as ONE WindowExec
+    // task. The only acceptable uses ride provably bounded inputs (post-
+    // aggregation tables whose cardinality is a vocabulary, bucket grid,
+    // or constant — never the corpus). Everything else must use
+    // RelationalOps.globalRank. New offenders fail here by name.
+    val bounded: Map[String, String] = Map(
+      // justification = the bounded, post-aggregation table the window rides
+      "q126_bpe_encode" -> "BPE vocab id assignment: |vocab| rows (merges+alphabet, capped)",
+      "q167_bpe_decode" -> "BPE vocab id assignment: |vocab| rows (merges+alphabet, capped)",
+      "q97_vocab_growth" -> "cumulative sum over the 8-row batch-bucket table",
+      "q98_zipf_slope" -> "log-log rank over the word-frequency table: |vocab| rows",
+      "q165_budget_apportion" -> "largest-remainder rank over the |sources| (20-row) table",
+      "q178_benford" -> "digit-share window over the 9-row first-digit table")
+    val offenders = graft.SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
+      case (name, fn) =>
+        val ws = try unpartitionedWindows(fn(spark, sf0001)) catch {
+          case e: Throwable => fail(s"$name failed to plan: ${e.getMessage}")
+        }
+        if (ws.nonEmpty) Some(name) else None
+    }
+    val unexpected = offenders.filterNot(bounded.contains)
+    assert(unexpected.isEmpty,
+      s"unpartitioned Window in gated plans (single-task rank at scale): " +
+        s"${unexpected.mkString(", ")} — use RelationalOps.globalRank or " +
+        "justify a bounded input in the allowlist")
   }
 
   test("q180: per-user rollup reuses the window's user_id partitioning") {
