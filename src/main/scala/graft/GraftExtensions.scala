@@ -41,12 +41,37 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // different design); arity and nullability are checked at function
     // resolution so SQL users get a clear boundary error, not an
     // eval-time NPE or IndexOutOfBounds
-    def litValue(e: Expression, what: String): Any = e match {
-      case org.apache.spark.sql.catalyst.expressions.Literal(null, _) =>
-        throw new IllegalArgumentException(s"$what must not be NULL")
-      case org.apache.spark.sql.catalyst.expressions.Literal(v, _) => v
-      case other => throw new IllegalArgumentException(
-        s"$what must be a literal, got $other")
+    def litValue(e: Expression, what: String): (Any, org.apache.spark.sql.types.DataType) =
+      e match {
+        case org.apache.spark.sql.catalyst.expressions.Literal(null, _) =>
+          throw new IllegalArgumentException(s"$what must not be NULL")
+        case org.apache.spark.sql.catalyst.expressions.Literal(v, t) => (v, t)
+        case other => throw new IllegalArgumentException(
+          s"$what must be a literal, got $other")
+      }
+    // typed extraction: the literal's DataType is checked here so a
+    // mistyped parameter (rolling_hashes(text, '20'), phrase_count(t, 1,
+    // 'y')) raises the same boundary-error style as arity/NULL — never a
+    // raw ClassCastException from a blind asInstanceOf
+    def litString(e: Expression, what: String): String = {
+      import org.apache.spark.sql.types.StringType
+      litValue(e, what) match {
+        case (v, _: StringType) => v.toString
+        case (_, t) => throw new IllegalArgumentException(
+          s"$what must be a STRING literal, got ${t.sql}")
+      }
+    }
+    def litInt(e: Expression, what: String): Int = {
+      import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
+      litValue(e, what) match {
+        case (v: Number, ByteType | ShortType | IntegerType | LongType) =>
+          val l = v.longValue()
+          if (l < Int.MinValue || l > Int.MaxValue)
+            throw new IllegalArgumentException(s"$what out of INT range: $l")
+          l.toInt
+        case (_, t) => throw new IllegalArgumentException(
+          s"$what must be an INTEGER literal, got ${t.sql}")
+      }
     }
     def arity(exprs: Seq[Expression], n: Int, fn: String,
         atLeast: Boolean = false): Unit =
@@ -61,8 +86,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (exprs: Seq[Expression]) => {
         arity(exprs, 3, "phrase_count(text, w1, w2)")
         graft.functions.PhraseCountExpr(exprs(0),
-          litValue(exprs(1), "phrase_count w1").toString,
-          litValue(exprs(2), "phrase_count w2").toString)
+          litString(exprs(1), "phrase_count w1"),
+          litString(exprs(2), "phrase_count w2"))
       }))
     e.injectFunction((
       FunctionIdentifier("rolling_hashes"),
@@ -71,8 +96,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (exprs: Seq[Expression]) => {
         arity(exprs, 2, "rolling_hashes(text, L)")
         graft.functions.RollingHashesExpr(exprs(0),
-          litValue(exprs(1), "rolling_hashes gram length")
-            .asInstanceOf[Number].intValue())
+          litInt(exprs(1), "rolling_hashes gram length"))
       }))
     e.injectFunction((
       FunctionIdentifier("ac_counts"),
@@ -81,7 +105,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (exprs: Seq[Expression]) => {
         arity(exprs, 2, "ac_counts(text, pattern, ...)", atLeast = true)
         graft.functions.AcCountsExpr(exprs(0),
-          exprs.tail.map(p => litValue(p, "ac_counts pattern").toString))
+          exprs.tail.map(p => litString(p, "ac_counts pattern")))
       }))
     // the custom top-k planner strategy, so SQL/DataFrame sessions built
     // with the extension plan TopKPerKey nodes without a TopK.install call

@@ -249,12 +249,24 @@ object GraphOps {
     * r+1 never replays rounds 1..r. O(rounds) keyed exchanges — the
     * 1000-executor shape for bounded-diameter reachability with costs.
     *
-    * @param edges directed (src, dst, w) with non-negative integer w;
+    * @param edges directed (src, dst, w) with numeric weight w
+    *              (bounded-hop Bellman–Ford is exact for any weights —
+    *              negative ones simply mean "shortest within R hops");
     *              symmetrize for undirected graphs
     * @param seeds one `id` column; distance-0 vertices
     */
   def sssp(edges: DataFrame, seeds: DataFrame, rounds: Int): DataFrame = {
     require(rounds >= 1, "sssp: rounds must be >= 1")
+    // schema contract up front: a misnamed column would otherwise fail
+    // deep inside round 1's join with an unhelpful analysis error
+    for (c <- Seq("src", "dst", "w"))
+      require(edges.columns.contains(c),
+        s"sssp: edges must have columns (src, dst, w); missing '$c' in " +
+          s"[${edges.columns.mkString(", ")}]")
+    require(edges.schema("w").dataType.isInstanceOf[org.apache.spark.sql.types.NumericType],
+      s"sssp: weight column 'w' must be numeric, got ${edges.schema("w").dataType.sql}")
+    require(seeds.columns.contains("id"),
+      s"sssp: seeds must have an 'id' column, got [${seeds.columns.mkString(", ")}]")
     var dist = seeds.select(col("id"), lit(0L).as("d")).localCheckpoint()
     for (_ <- 1 to rounds) {
       val relaxed = edges.join(dist.withColumnRenamed("id", "src"), Seq("src"))

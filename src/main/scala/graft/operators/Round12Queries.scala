@@ -510,22 +510,23 @@ object Round12Queries {
     val x = col("day").cast("decimal(38,0)")
     val y = col("y").cast("decimal(38,0)")
     val asD = (c: Column) => c.cast("double")
+    // nullif guards: a group with one distinct day has n·sxx − sx² = 0
+    // exactly; 0/0 double NaN is engine-dependent, NULL is not — both
+    // engines wrap the denominators identically (degenerate → NULL)
+    val num = asD(col("n")) * asD(col("sxy")) - asD(col("sx")) * asD(col("sy"))
+    val dxx = nullif(asD(col("n")) * asD(col("sxx")) -
+      asD(col("sx")) * asD(col("sx")), lit(0.0))
+    val dyy = nullif(asD(col("n")) * asD(col("syy")) -
+      asD(col("sy")) * asD(col("sy")), lit(0.0))
     daily.groupBy(col("l_returnflag"))
       .agg(count(lit(1)).cast("decimal(38,0)").as("n"),
         sum(x).as("sx"), sum(y).as("sy"), sum(x * y).as("sxy"),
         sum(x * x).as("sxx"), sum(y * y).as("syy"))
       .select(col("l_returnflag"), col("n").cast("long").as("n_days"),
-        round((asD(col("n")) * asD(col("sxy")) - asD(col("sx")) * asD(col("sy"))) /
-          (asD(col("n")) * asD(col("sxx")) - asD(col("sx")) * asD(col("sx"))), 6)
-          .as("slope_cents_per_day"),
-        round((asD(col("sy")) - asD(col("sx")) *
-            ((asD(col("n")) * asD(col("sxy")) - asD(col("sx")) * asD(col("sy"))) /
-             (asD(col("n")) * asD(col("sxx")) - asD(col("sx")) * asD(col("sx"))))) /
+        round(num / dxx, 6).as("slope_cents_per_day"),
+        round((asD(col("sy")) - asD(col("sx")) * (num / dxx)) /
           asD(col("n")), 6).as("intercept_cents"),
-        round(pow(asD(col("n")) * asD(col("sxy")) - asD(col("sx")) * asD(col("sy")), 2) /
-          ((asD(col("n")) * asD(col("sxx")) - asD(col("sx")) * asD(col("sx"))) *
-           (asD(col("n")) * asD(col("syy")) - asD(col("sy")) * asD(col("sy")))), 6)
-          .as("r2"))
+        round(pow(num, 2) / (dxx * dyy), 6).as("r2"))
       .orderBy(col("l_returnflag"))
   }
 
@@ -542,21 +543,21 @@ object Round12Queries {
       |SELECT l_returnflag, CAST(n AS BIGINT) AS n_days,
       |       round((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) -
       |              CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) /
-      |             (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) -
-      |              CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)), 6)
+      |             nullif(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) -
+      |              CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE), 0.0), 6)
       |         AS slope_cents_per_day,
       |       round((CAST(sy AS DOUBLE) - CAST(sx AS DOUBLE) *
       |              ((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) -
       |                CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) /
-      |               (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) -
-      |                CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)))) /
+      |               nullif(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) -
+      |                CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE), 0.0))) /
       |             CAST(n AS DOUBLE), 6) AS intercept_cents,
       |       round(pow(CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) -
       |                 CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE), 2) /
-      |             ((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) -
-      |               CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) *
-      |              (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) -
-      |               CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 6) AS r2
+      |             (nullif(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) -
+      |               CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE), 0.0) *
+      |              nullif(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) -
+      |               CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE), 0.0)), 6) AS r2
       |FROM m ORDER BY l_returnflag""".stripMargin
 
   private def ev(s: SparkSession, dir: String): DataFrame =

@@ -199,9 +199,12 @@ object Round13Queries {
     val x = col("day").cast("decimal(38,0)")
     val y = col("y").cast("decimal(38,0)")
     val asD = (c: Column) => c.cast("double")
+    // q218's nullif guard: one-distinct-day groups have a 0 denominator;
+    // NULL (not engine-dependent 0/0 NaN) on both engines
     val slopeExpr =
       (asD(col("n")) * asD(col("sxy")) - asD(col("sx")) * asD(col("sy"))) /
-        (asD(col("n")) * asD(col("sxx")) - asD(col("sx")) * asD(col("sx")))
+        nullif(asD(col("n")) * asD(col("sxx")) -
+          asD(col("sx")) * asD(col("sx")), lit(0.0))
     val trend = daily.groupBy(col("l_returnflag"))
       .agg(count(lit(1)).cast("decimal(38,0)").as("n"),
         sum(x).as("sx"), sum(y).as("sy"), sum(x * y).as("sxy"),
@@ -236,13 +239,13 @@ object Round13Queries {
       |  SELECT l_returnflag,
       |         round((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) -
       |                CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) /
-      |               (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) -
-      |                CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)), 6) AS b,
+      |               nullif(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) -
+      |                CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE), 0.0), 6) AS b,
       |         round((CAST(sy AS DOUBLE) - CAST(sx AS DOUBLE) *
       |                ((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) -
       |                  CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) /
-      |                 (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) -
-      |                  CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)))) /
+      |                 nullif(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) -
+      |                  CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE), 0.0))) /
       |               CAST(n AS DOUBLE), 6) AS a
       |  FROM m)
       |SELECT d.l_returnflag, (d.day + 4) % 7 AS dow, count(*) AS n_days,

@@ -47,9 +47,13 @@ object Round8Queries {
     * window merges islands (intervals [pos, pos+L-1] merge while the
     * gap to the previous matched position is <= L). Under extreme gram
     * skew the hash count is already partial-aggregated (hot keys
-    * combine map-side); past broadcast capacity the dup set swaps to a
-    * shuffled semi-join — same semantics. Docs shorter than L chars
-    * drop from both engines identically.
+    * combine map-side); the dup set is localCheckpointed and COUNTED,
+    * and past `graft.substr.maxBroadcastDupHashes` (default 64M
+    * entries ≈ 512 MB of longs, safely inside Spark's 8 GB broadcast
+    * ceiling) the hinted broadcast swaps to a shuffled left-semi join —
+    * same semantics, no driver OOM. The checkpoint also means the gram
+    * aggregation runs once, not once per consumer. Docs shorter than L
+    * chars drop from both engines identically.
     */
   val SubstrL = 20
 
@@ -62,12 +66,19 @@ object Round8Queries {
     def hashedIds = docs.select(col("doc_id"),
         posexplode(graft.functions.RollingHashesFn(col("text"), SubstrL))
           .as(Seq("p0", "h")))
-    // corpus-scale count: longs only, partial-aggregated
+    // corpus-scale count: longs only, partial-aggregated; checkpointed
+    // so the size gate's count and the prune join share ONE evaluation
     val dupH = hashedIds.groupBy(col("h")).agg(count(lit(1)).as("c"))
       .filter(col("c") >= 2).select(col("h"))
+      .localCheckpoint()
+    // broadcast only under the capacity gate; past it, the same
+    // left-semi prune rides a shuffled join (identical semantics)
+    val maxBcast = s.conf.getOption("graft.substr.maxBroadcastDupHashes")
+      .map(_.toLong).getOrElse(64L * 1000 * 1000)
+    val dupSide = if (dupH.count() <= maxBcast) broadcast(dupH) else dupH
     // map-side candidate prune (ids only), then re-attach text by doc
     // and materialize the substring ONLY for candidate positions
-    val cand = hashedIds.join(broadcast(dupH), Seq("h"), "left_semi")
+    val cand = hashedIds.join(dupSide, Seq("h"), "left_semi")
       .select(col("doc_id"), (col("p0") + 1).cast("long").as("pos"))
       .join(docs, Seq("doc_id"))
       .select(col("doc_id"), col("pos"),

@@ -837,6 +837,16 @@ class PlanSpec extends SparkTestBase {
         ext.sql("SELECT ac_counts('x')").collect()
       }
       assert(noPatterns.getMessage.contains("expects at least"), noPatterns.getMessage)
+      // typed literals: a mistyped kernel parameter raises the same
+      // boundary-error style, never a raw ClassCastException
+      val badInt = intercept[Exception] {
+        ext.sql("SELECT rolling_hashes('abcdef', '3')").collect()
+      }
+      assert(badInt.getMessage.contains("INTEGER literal"), badInt.getMessage)
+      val badStr = intercept[Exception] {
+        ext.sql("SELECT phrase_count('x', 1, 'y')").collect()
+      }
+      assert(badStr.getMessage.contains("STRING literal"), badStr.getMessage)
     } finally {
       SparkSession.setActiveSession(base)
       SparkSession.setDefaultSession(base)

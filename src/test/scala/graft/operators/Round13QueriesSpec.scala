@@ -12,6 +12,25 @@ import graft.{SparkTestBase, Tables}
 class Round13QueriesSpec extends SparkTestBase {
   import spark.implicits._
 
+  test("sssp: schema contract raised up front — misnamed or non-numeric weight") {
+    val seeds = Seq(1L).toDF("id")
+    val miss = intercept[IllegalArgumentException] {
+      graft.graph.GraphOps.sssp(
+        Seq((1L, 2L, 1L)).toDF("src", "dst", "weight"), seeds, 1)
+    }
+    assert(miss.getMessage.contains("missing 'w'"), miss.getMessage)
+    val badType = intercept[IllegalArgumentException] {
+      graft.graph.GraphOps.sssp(
+        Seq((1L, 2L, "x")).toDF("src", "dst", "w"), seeds, 1)
+    }
+    assert(badType.getMessage.contains("must be numeric"), badType.getMessage)
+    val badSeeds = intercept[IllegalArgumentException] {
+      graft.graph.GraphOps.sssp(
+        Seq((1L, 2L, 1L)).toDF("src", "dst", "w"), Seq(1L).toDF("v"), 1)
+    }
+    assert(badSeeds.getMessage.contains("seeds"), badSeeds.getMessage)
+  }
+
   // ------------------------------------------------------------- q219
   test("q219: bitemporal pick matches a local rebuild; naive filter-after-chain differs") {
     val evs = Tables.events(spark, sf0001)

@@ -46,6 +46,33 @@ class Round8QueriesSpec extends SparkTestBase {
     assert(got.nonEmpty)
   }
 
+  test("q153: past the broadcast gate the prune is a shuffled semi-join, same rows") {
+    val base = Round8Queries.q153ExactSubstrSpans(spark, sf0001)
+      .as[(Long, Long, Long, Long)].collect().toSet
+    def semiBroadcasts(): Boolean =
+      Round8Queries.q153ExactSubstrSpans(spark, sf0001)
+        .queryExecution.sparkPlan.toString.linesIterator.exists(l =>
+          l.contains("BroadcastHashJoin") && l.contains("LeftSemi"))
+    // size-based auto-broadcast off: the HINT is then the only thing
+    // that can broadcast the dup-hash set, so the gate's effect is
+    // exactly observable
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      assert(semiBroadcasts(),
+        "under the gate the dup-hash prune must broadcast by hint")
+      spark.conf.set("graft.substr.maxBroadcastDupHashes", "0")
+      assert(!semiBroadcasts(),
+        "past the gate the hint must vanish (shuffled semi-join)")
+      val got = Round8Queries.q153ExactSubstrSpans(spark, sf0001)
+        .as[(Long, Long, Long, Long)].collect().toSet
+      assert(got === base)
+    } finally {
+      spark.conf.unset("graft.substr.maxBroadcastDupHashes")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    }
+  }
+
   // ------------------------------------------------------------- q154
   test("q154: covariance numerators match a local integer re-derivation") {
     val d = Round8Queries.GramDim
