@@ -132,14 +132,71 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    // JVM/session warmup outside the timed region (scan + shuffle + agg)
-    try spark.read.parquet(s"$sfDir/region.parquet").groupBy("r_name").count().count()
+    // Untimed warm-up BEFORE any timed query: noop-scan every core
+    // table (all columns through the real scan path — parquet footers,
+    // OS page cache, codegen compilation) plus one shuffle. Without
+    // this the FIRST timed query absorbs the whole JVM/table-load cost
+    // (q29 measured 4.2 s cold-first vs 1.0 s in-suite), which
+    // especially distorts small subset runs.
+    for (t <- Seq("region", "nation", "customer", "supplier", "part",
+        "orders", "lineitem", "events", "documents", "embeddings"))
+      try spark.read.parquet(s"$sfDir/$t.parquet")
+        .write.format("noop").mode("overwrite").save()
+      catch { case _: Throwable => }
+    try spark.read.parquet(s"$sfDir/nation.parquet")
+      .groupBy("n_regionkey").count().count()
     catch { case _: Throwable => }
     // dev-loop subset: SPARK_GRAFT_BENCH_ONLY=q44_cc_synth,q13_top1_similar
     // (driver runs with it unset → full headline set)
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     def selected(name: String): Boolean = only.forall(_.contains(name))
+
+    // A/B alternating mode — the measurement-honesty tool for
+    // optimization claims on a loaded box: ambient load drifts on the
+    // minute scale, so A-then-all-B comparisons confound variant with
+    // load; BACK-TO-BACK alternation cancels the drift. Variant B is
+    // the same query under SQL-conf overrides (how every graft
+    // optimization knob is expressed);
+    //   SPARK_GRAFT_BENCH_AB="qname;conf:key=v[,key=v];reps:N"
+    // runs warm-up + N alternating A/B pairs and prints ONE JSON line
+    // with both series and medians, then exits (no full suite).
+    sys.env.get("SPARK_GRAFT_BENCH_AB").foreach { spec =>
+      val parts = spec.split(";").map(_.trim)
+      val qname = parts(0)
+      val confs = parts.collectFirst {
+        case p if p.startsWith("conf:") =>
+          p.stripPrefix("conf:").split(",").toSeq.map { kv =>
+            val Array(k, v) = kv.split("=", 2); (k, v) }
+      }.getOrElse(Seq.empty)
+      val reps = parts.collectFirst {
+        case p if p.startsWith("reps:") => p.stripPrefix("reps:").toInt
+      }.getOrElse(5)
+      val fn = SparkEntry.queries.getOrElse(qname,
+        sys.error(s"[bench] A/B: unknown query $qname"))
+      def time(): Double = {
+        val t0 = System.nanoTime()
+        fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+        (System.nanoTime() - t0) / 1e9
+      }
+      time() // query-specific warm-up rep (untimed)
+      val (as, bs) = (Array.newBuilder[Double], Array.newBuilder[Double])
+      for (_ <- 1 to reps) {
+        as += time()
+        confs.foreach { case (k, v) => spark.conf.set(k, v) }
+        bs += time()
+        confs.foreach { case (k, _) => spark.conf.unset(k) }
+      }
+      def median(xs: Array[Double]): Double = xs.sorted.apply(xs.length / 2)
+      def ser(xs: Array[Double]): String =
+        xs.map(x => f"$x%.3f").mkString("[", ",", "]")
+      val (aArr, bArr) = (as.result(), bs.result())
+      val confStr = confs.map { case (k, v) => s"$k=$v" }.mkString(",")
+      println(
+        f"""{"metric":"ab","query":"$qname","b_conf":"$confStr","reps":$reps,"a_times":${ser(aArr)},"b_times":${ser(bArr)},"a_median":${median(aArr)}%.3f,"b_median":${median(bArr)}%.3f,"load":"$loadavg"}""")
+      spark.stop()
+      return
+    }
 
     // Offline-layout preps (IVF index, bucketed tables, partitioned
     // lake, incremental-dedup corpus): scheduled build jobs at scale,
@@ -173,6 +230,16 @@ object Bench {
     val dppReady = prep("q206_dynamic_pruning") {
       operators.EventQueries.preparePartitionedLake(spark, sfDir)
       operators.Round11Queries.prepareEventDim(spark, sfDir) }
+    // Subset-fidelity warm pass: in dev-loop subset mode each selected
+    // query first runs once UNTIMED, so its generated-code and
+    // table-load caches are as warm as they would be mid-suite (q29:
+    // 3.5 s cold-subset vs 1.0 s in-suite — the delta is codegen
+    // compilation its full-run neighbors q14/q25/q26 already paid).
+    // The driver's full run (no SPARK_GRAFT_BENCH_ONLY) is unchanged.
+    if (only.isDefined)
+      for (name <- Headline.filter(selected); fn <- SparkEntry.queries.get(name))
+        try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+        catch { case _: Throwable => }
     val results = Headline
       .filter(selected)
       .filter(name => ivfReady || name != "q43_ivf_topk")
@@ -194,15 +261,20 @@ object Bench {
         } catch { case _: Throwable => false }
         val secs = (System.nanoTime() - t0) / 1e9
         if (!ok) System.err.println(s"[bench] $name FAILED")
-        name -> secs
+        // 1-min loadavg sampled AT this query, so a contaminated
+        // stretch of the run is machine-discountable per entry instead
+        // of by whole-run start/end brackets
+        (name, secs, loadavg.split(",").headOption.getOrElse(""))
       }
     }
     val loadEnd = loadavg
-    val qs = results.map { case (k, v) => "\"" + k + f"""\":$v%.3f""" }
+    val qs = results.map { case (k, v, _) => "\"" + k + f"""\":$v%.3f""" }
+      .mkString("{", ",", "}")
+    val qload = results.map { case (k, _, l) => "\"" + k + s"""\":\"$l\"""" }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
     val json =
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","load_start":"$loadStart","load_end":"$loadEnd"}"""
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"query_load":$qload,"sf":"$sfDir","load_start":"$loadStart","load_end":"$loadEnd"}"""
     // The full per-query map (185+ entries) overflows the driver's tail
     // capture (BENCH_r04 "parsed": null), so three channels:
     // (1) the full JSON line on stdout first (build.sbt sets
