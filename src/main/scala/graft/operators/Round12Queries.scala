@@ -48,16 +48,15 @@ object Round12Queries {
   val SetSimTauNum = 4 // tau = 4/5
   val SetSimTauDen = 5
 
-  /** Rarest-first prefix stream (id, shingle, sz): each set's first
-    * |d| − ⌈(tauNum/tauDen)·|d|⌉ + 1 shingles under the global
-    * (df asc, shingle asc) order — the prefix-filter machinery shared
-    * by q211 (symmetric Jaccard, prefix ⋈ prefix) and q224
-    * (containment, prefix ⋈ full postings). One shared definition so
-    * the ceil arithmetic and the ordering tie-break can never diverge
-    * between the two joins.
+  /** Rarity-ranked shingle stream (id, shingle, sz, rn): every set's
+    * shingles positioned under the GLOBAL (df asc, shingle asc) order —
+    * the shared substrate of the prefix-filter family. `rn` is the
+    * 1-based position within the set; because the order is global, for
+    * any two sets the shared shingle with maximal global order has
+    * maximal rn in BOTH sets simultaneously (what makes the positional
+    * bound a plain max aggregate).
     */
-  private[operators] def rarestFirstPrefix(sh: DataFrame, tauNum: Int,
-      tauDen: Int): DataFrame = {
+  private[operators] def rankedByRarity(sh: DataFrame): DataFrame = {
     val sizes = sh.groupBy(col("id")).agg(count(lit(1)).as("sz"))
     val dfreq = sh.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
     val wOrd = Window.partitionBy(col("id"))
@@ -65,9 +64,85 @@ object Round12Queries {
     sh.join(dfreq, Seq("shingle"))
       .withColumn("rn", row_number().over(wOrd))
       .join(sizes, Seq("id"))
-      .filter(col("rn") <=
-        col("sz") - expr(s"($tauNum * sz + $tauNum) div $tauDen") + 1)
-      .select(col("id"), col("shingle"), col("sz"))
+      .select(col("id"), col("shingle"), col("sz"), col("rn"))
+  }
+
+  /** Rarest-first prefix stream (id, shingle, sz, rn): each set's first
+    * |d| − ⌈(tauNum/tauDen)·|d|⌉ + 1 shingles under the global order —
+    * the prefix-filter machinery shared by q211 (symmetric Jaccard,
+    * prefix ⋈ prefix) and q224 (containment, prefix ⋈ full postings).
+    * One shared definition so the ceil arithmetic and the ordering
+    * tie-break can never diverge between the two joins.
+    */
+  private[operators] def rarestFirstPrefix(ranked: DataFrame, tauNum: Int,
+      tauDen: Int): DataFrame =
+    ranked.filter(col("rn") <=
+      col("sz") - expr(s"($tauNum * sz + $tauNum) div $tauDen") + 1)
+
+  /** q211 candidate pairs with the PPJoin POSITIONAL filter (Xiao et
+    * al.'s refinement of the Bayardo prefix filter): for a pair's
+    * shared prefix tokens, let t be the one of maximal global order
+    * (mrna/mrnb = its positions — the same token in both sets, see
+    * [[rankedByRarity]]). Every shared token before t lies in BOTH
+    * prefixes (prefixes are prefixes OF the global order), so it is
+    * counted in n_shared; every shared token after t adds at most
+    * min(|a|−mrna, |b|−mrnb). Hence
+    *   |A∩B| ≤ n_shared + min(sza−mrna, szb−mrnb)
+    * and a pair whose bound cannot reach the τ overlap
+    * (cross-multiplied integers) is pruned BEFORE the verify joins —
+    * strictly fewer candidates, identical final pairs (the bound is
+    * sound, so no true pair is lost; the spec asserts both).
+    */
+  private[operators] def setSimCandidates(ranked: DataFrame,
+      positional: Boolean, tauNum: Int = SetSimTauNum,
+      tauDen: Int = SetSimTauDen): DataFrame = {
+    val pfx = rarestFirstPrefix(ranked, tauNum, tauDen)
+    val grouped = pfx.select(col("id").as("a"), col("shingle"),
+        col("sz").as("sza"), col("rn").as("rna"))
+      .join(pfx.select(col("id").as("b"), col("shingle"),
+        col("sz").as("szb"), col("rn").as("rnb")), Seq("shingle"))
+      .filter(col("a") < col("b") &&
+        col("sza") * tauNum <= col("szb") * tauDen &&
+        col("szb") * tauNum <= col("sza") * tauDen)
+      .groupBy(col("a"), col("b"), col("sza"), col("szb"))
+      .agg(count(lit(1)).as("n_shared"),
+        max(col("rna")).as("mrna"), max(col("rnb")).as("mrnb"))
+    val kept = if (positional)
+      grouped.filter(
+        (col("n_shared") +
+          least(col("sza") - col("mrna"), col("szb") - col("mrnb"))) *
+          (tauDen + tauNum) >=
+          (col("sza") + col("szb")) * tauNum)
+    else grouped
+    kept.select(col("a"), col("b"), col("sza"), col("szb"))
+  }
+
+  /** q224 candidate pairs (containment, prefix(A) ⋈ full postings)
+    * with the same positional bound: shared tokens before the maximal
+    * shared A-prefix token t are necessarily in A's prefix (global
+    * order) and in B (full postings carry every token), so n_shared
+    * counts them; after t at most min(sza−mrna, szb−mrnb) remain. A
+    * pair is pruned when the bound cannot reach ⌈τ·|A|⌉.
+    */
+  private[operators] def containmentCandidates(ranked: DataFrame,
+      tauNum: Int, tauDen: Int, positional: Boolean): DataFrame = {
+    val grouped = rarestFirstPrefix(ranked, tauNum, tauDen)
+      .select(col("id").as("a"), col("shingle"),
+        col("sz").as("sza"), col("rn").as("rna"))
+      .join(ranked.select(col("id").as("b"), col("shingle"),
+        col("sz").as("szb"), col("rn").as("rnb")), Seq("shingle"))
+      .filter(col("a") =!= col("b") &&
+        col("szb") * tauDen >= col("sza") * tauNum)
+      .groupBy(col("a"), col("b"), col("sza"), col("szb"))
+      .agg(count(lit(1)).as("n_shared"),
+        max(col("rna")).as("mrna"), max(col("rnb")).as("mrnb"))
+    val kept = if (positional)
+      grouped.filter(
+        (col("n_shared") +
+          least(col("sza") - col("mrna"), col("szb") - col("mrnb"))) *
+          tauDen >= col("sza") * tauNum)
+    else grouped
+    kept.select(col("a"), col("b"), col("sza"))
   }
 
   /** Exact |A∩B| per candidate (a, b) pair over the shingle table —
@@ -89,14 +164,7 @@ object Round12Queries {
     // 100 TB it is a persisted index artifact (built once offline).
     val sh = Dedup.shingleSets(Tables.documents(s, dir), "doc_id", "text",
       SetSimShingleN).localCheckpoint() // (id, shingle) distinct
-    val ranked = rarestFirstPrefix(sh, SetSimTauNum, SetSimTauDen)
-    val cands = ranked.select(col("id").as("a"), col("shingle"), col("sz").as("sza"))
-      .join(ranked.select(col("id").as("b"), col("shingle"), col("sz").as("szb")),
-        Seq("shingle"))
-      .filter(col("a") < col("b") &&
-        col("sza") * SetSimTauNum <= col("szb") * SetSimTauDen &&
-        col("szb") * SetSimTauNum <= col("sza") * SetSimTauDen)
-      .select(col("a"), col("b"), col("sza"), col("szb")).distinct()
+    val cands = setSimCandidates(rankedByRarity(sh), positional = true)
     // exact verify: intersection counts on the candidate pairs only
     cands.join(pairIntersections(cands, sh), Seq("a", "b"))
       .filter(col("inter") * (SetSimTauDen + SetSimTauNum) >=

@@ -363,19 +363,13 @@ object Round13Queries {
     val corpus = docs.unionAll(excerpts)
     val sh = graft.dedup.Dedup.shingleSets(corpus, "doc_id", "text",
       Round12Queries.SetSimShingleN).localCheckpoint()
-    val sizes = sh.groupBy(col("id")).agg(count(lit(1)).as("sz"))
-    // contained-side prefix (pi = sz - ceil(tau*sz) + 1) and the exact
-    // verify reuse q211's shared prefix-filter machinery — only the
-    // candidate join differs: prefix(A) against the FULL posting table
-    val prefixA = Round12Queries
-      .rarestFirstPrefix(sh, ContainTauNum, ContainTauDen)
-      .select(col("id").as("a"), col("shingle"), col("sz").as("sza"))
-    val candIds = prefixA
-      .join(sh.select(col("id").as("b"), col("shingle")), Seq("shingle"))
-      .join(sizes.select(col("id").as("b"), col("sz").as("szb")), Seq("b"))
-      .filter(col("a") =!= col("b") &&
-        col("szb") * ContainTauDen >= col("sza") * ContainTauNum)
-      .select(col("a"), col("b"), col("sza")).distinct()
+    // contained-side prefix (pi = sz - ceil(tau*sz) + 1), the
+    // positional bound, and the exact verify reuse q211's shared
+    // prefix-filter machinery — only the candidate join differs:
+    // prefix(A) against the FULL rarity-ranked posting table
+    val candIds = Round12Queries.containmentCandidates(
+      Round12Queries.rankedByRarity(sh), ContainTauNum, ContainTauDen,
+      positional = true)
     candIds.join(Round12Queries.pairIntersections(candIds, sh), Seq("a", "b"))
       .filter(col("inter") * ContainTauDen >= col("sza") * ContainTauNum)
       .select(col("a"), col("b"), col("inter"), col("sza"),

@@ -57,6 +57,58 @@ class Round12QueriesSpec extends SparkTestBase {
     assert(got.nonEmpty)
   }
 
+  test("q211/q224: positional filter strictly prunes candidates, never a true pair") {
+    // at the production 5-shingle size only ~25 doc pairs in the whole
+    // sf0.01 corpus share ANY shingle (co-occurrence is the binding
+    // constraint, and all of them are true near-dups) — so the BITE of
+    // the positional bound is demonstrated on 2-shingles, where
+    // co-occurrence is dense and the prefix filter alone admits far
+    // more candidates than can pass τ
+    val sh = graft.dedup.Dedup.shingleSets(
+      Tables.documents(spark, sf001), "doc_id", "text", 2).localCheckpoint()
+    val ranked = Round12Queries.rankedByRarity(sh).localCheckpoint()
+    for ((tn, td) <- Seq((1, 2), (4, 5))) {
+      val prefixOnly = Round12Queries
+        .setSimCandidates(ranked, positional = false, tn, td).count()
+      val posCount = Round12Queries
+        .setSimCandidates(ranked, positional = true, tn, td).count()
+      info(s"q211 tau=$tn/$td candidates: prefix-only=$prefixOnly " +
+        s"positional=$posCount" + (if (prefixOnly > 0)
+          f" (${100.0 * (prefixOnly - posCount) / prefixOnly}%.1f%% pruned)"
+        else ""))
+      assert(posCount <= prefixOnly)
+      if ((tn, td) == ((1, 2))) assert(posCount < prefixOnly,
+        "positional bound must strictly prune the loose-τ candidate set")
+    }
+    // soundness on the PRODUCTION path (5-shingles, τ=4/5): every true
+    // q211 pair survives the positional filter
+    val sh5 = graft.dedup.Dedup.shingleSets(
+      Tables.documents(spark, sf001), "doc_id", "text",
+      Round12Queries.SetSimShingleN).localCheckpoint()
+    val positional = Round12Queries.setSimCandidates(
+      Round12Queries.rankedByRarity(sh5), positional = true)
+    val truePairs = Round12Queries.q211SetSimJoin(spark, sf001)
+      .select(col("a"), col("b")).as[(Long, Long)].collect().toSet
+    val keptPairs = positional.select(col("a"), col("b"))
+      .as[(Long, Long)].collect().toSet
+    assert(truePairs.subsetOf(keptPairs),
+      s"pruned true pairs: ${truePairs -- keptPairs}")
+    // containment (q224 shape), same ranked table and law
+    for ((tn, td) <- Seq((1, 2), (9, 10))) {
+      val cPrefixOnly = Round12Queries.containmentCandidates(
+        ranked, tn, td, positional = false).count()
+      val cPosCount = Round12Queries.containmentCandidates(
+        ranked, tn, td, positional = true).count()
+      info(s"q224-shape tau=$tn/$td candidates: prefix-only=$cPrefixOnly " +
+        s"positional=$cPosCount" + (if (cPrefixOnly > 0)
+          f" (${100.0 * (cPrefixOnly - cPosCount) / cPrefixOnly}%.1f%% pruned)"
+        else ""))
+      assert(cPosCount <= cPrefixOnly)
+      if ((tn, td) == ((1, 2))) assert(cPosCount < cPrefixOnly,
+        "positional bound must strictly prune the loose-τ candidate set")
+    }
+  }
+
   // ------------------------------------------------------------- q212
   test("q212: AC automaton counts equal naive overlapping substring counts") {
     // kernel check on adversarial cases first
