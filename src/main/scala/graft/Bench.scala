@@ -21,8 +21,9 @@ import org.apache.spark.sql.SparkSession
   * resolution consume the q16 pairs too),
   * queries that are strict
   * prefixes/aggregations/SQL-surface twins of included ones (q6, q11,
-  * q23, q45, q46, q51, q53, q114 — q46 is q13 through the
-  * SIMILARITY_TOP1 hint, q45/q132 are fixture-sized, q114 is exactly q115's
+  * q23, q45, q46, q51, q53, q114, q225 — q46 is q13 through the
+  * SIMILARITY_TOP1 hint, q225 is q211 through SETSIM_JOIN, q45/q132
+  * are fixture-sized, q114 is exactly q115's
   * first training round), and the fixture-sized q54/q55 (input
   * does not scale with sf).
   */

@@ -114,5 +114,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectResolutionRule(_ => graft.plans.TopKHintRule())
     // /*+ SIMILARITY_TOP1 */ SQL surface for the adaptive similarity join
     e.injectResolutionRule(session => graft.plans.SimilarityHintRule(session))
+    // /*+ SETSIM_JOIN(num, den) */ SQL surface for the exact set-similarity join
+    e.injectResolutionRule(session => graft.plans.SetSimHintRule(session))
   }
 }

@@ -157,6 +157,30 @@ object Round12Queries {
         Seq("b", "shingle"), "left_semi")
       .groupBy(col("a"), col("b")).agg(count(lit(1)).as("inter"))
 
+  /** PUBLIC exact set-similarity self-join over a long-form
+    * (id, shingle) set table: every (a, b) pair with
+    * Jaccard ≥ tauNum/tauDen, a < b, with exact intersection/union
+    * counts and jac_micro. The full prefix + length + positional
+    * filter pipeline with candidate-only verification — also the
+    * target of the `/*+ SETSIM_JOIN(num, den) */` SQL hint
+    * ([[graft.plans.SetSimHintRule]]). Unordered output; callers sort.
+    */
+  def setSimJoin(sh: DataFrame, tauNum: Int = SetSimTauNum,
+      tauDen: Int = SetSimTauDen): DataFrame = {
+    require(tauNum >= 1 && tauNum <= tauDen,
+      s"setSimJoin: tau must be in (0, 1], got $tauNum/$tauDen")
+    val cands = setSimCandidates(rankedByRarity(sh), positional = true,
+      tauNum, tauDen)
+    // exact verify: intersection counts on the candidate pairs only
+    cands.join(pairIntersections(cands, sh), Seq("a", "b"))
+      .filter(col("inter") * (tauDen + tauNum) >=
+        (col("sza") + col("szb")) * tauNum)
+      .select(col("a"), col("b"), col("inter"),
+        (col("sza") + col("szb") - col("inter")).as("uni"),
+        round(lit(1e6) * col("inter") /
+          (col("sza") + col("szb") - col("inter")), 0).cast("long").as("jac_micro"))
+  }
+
   def q211SetSimJoin(s: SparkSession, dir: String): DataFrame = {
     // the distinct shingle table appears 4x in the DAG (sizes, df,
     // prefixes, verify) — materialize it once; alternating A/B under
@@ -164,19 +188,12 @@ object Round12Queries {
     // 100 TB it is a persisted index artifact (built once offline).
     val sh = Dedup.shingleSets(Tables.documents(s, dir), "doc_id", "text",
       SetSimShingleN).localCheckpoint() // (id, shingle) distinct
-    val cands = setSimCandidates(rankedByRarity(sh), positional = true)
-    // exact verify: intersection counts on the candidate pairs only
-    cands.join(pairIntersections(cands, sh), Seq("a", "b"))
-      .filter(col("inter") * (SetSimTauDen + SetSimTauNum) >=
-        (col("sza") + col("szb")) * SetSimTauNum)
-      .select(col("a"), col("b"), col("inter"),
-        (col("sza") + col("szb") - col("inter")).as("uni"),
-        round(lit(1e6) * col("inter") /
-          (col("sza") + col("szb") - col("inter")), 0).cast("long").as("jac_micro"))
-      .orderBy(col("a"), col("b"))
+    setSimJoin(sh, SetSimTauNum, SetSimTauDen).orderBy(col("a"), col("b"))
   }
 
-  val q211Sql: String =
+  /** DuckDB oracle for [[setSimJoin]] parameterized by τ — shared by
+    * q211 (4/5) and the SQL-hint gate q225 (2/3). */
+  def setSimOracleSql(tauNum: Int, tauDen: Int): String =
     s"""WITH lists AS (
        |  SELECT doc_id AS id,
        |         list_filter(string_split(trim(regexp_replace(lower(text), '(\\d|\\W)+', ' ', 'g')), ' '), x -> x <> '') AS toks
@@ -195,12 +212,12 @@ object Round12Queries {
        |  FROM sh s JOIN dfreq d USING (shingle) JOIN sizes z ON z.id = s.id),
        |pfx AS (
        |  SELECT id, shingle, sz FROM ranked
-       |  WHERE rn <= sz - ($SetSimTauNum * sz + $SetSimTauNum) // $SetSimTauDen + 1),
+       |  WHERE rn <= sz - ($tauNum * sz + $tauNum) // $tauDen + 1),
        |cands AS (
        |  SELECT DISTINCT a.id AS a, b.id AS b, a.sz AS sza, b.sz AS szb
        |  FROM pfx a JOIN pfx b ON a.shingle = b.shingle AND a.id < b.id
-       |  WHERE a.sz * $SetSimTauNum <= b.sz * $SetSimTauDen
-       |    AND b.sz * $SetSimTauNum <= a.sz * $SetSimTauDen),
+       |  WHERE a.sz * $tauNum <= b.sz * $tauDen
+       |    AND b.sz * $tauNum <= a.sz * $tauDen),
        |inter AS (
        |  SELECT c.a, c.b, count(*) AS inter
        |  FROM cands c
@@ -210,8 +227,36 @@ object Round12Queries {
        |SELECT c.a, c.b, i.inter, c.sza + c.szb - i.inter AS uni,
        |       CAST(round(1e6 * i.inter / (c.sza + c.szb - i.inter), 0) AS BIGINT) AS jac_micro
        |FROM cands c JOIN inter i ON i.a = c.a AND i.b = c.b
-       |WHERE i.inter * ${SetSimTauDen + SetSimTauNum} >= (c.sza + c.szb) * $SetSimTauNum
+       |WHERE i.inter * ${tauDen + tauNum} >= (c.sza + c.szb) * $tauNum
        |ORDER BY c.a, c.b""".stripMargin
+
+  val q211Sql: String = setSimOracleSql(SetSimTauNum, SetSimTauDen)
+
+  // ---------------------------------------------------------------- q225
+  /** q211's exact join reached from PURE SQL, at a looser τ = 1/100:
+    * the `/*+ SETSIM_JOIN(1, 100) */` hint ([[graft.plans.SetSimHintRule]])
+    * rewrites the hinted (id, shingle) block into [[setSimJoin]] — the
+    * full prefix + positional + verify pipeline — the way q46 reaches
+    * q13's argmax through SIMILARITY_TOP1. The τ is chosen so the gate
+    * DIFFERENTIATES the hint's parameter path: the corpus' Jaccard
+    * distribution is bimodal (25 pairs ≥ 0.88, a dozen near 0.01–0.02,
+    * nothing between), so any τ in (0.02, 0.88) — including an
+    * ignored-args fallback to the 4/5 default — would reproduce q211's
+    * 25 rows exactly; τ=1/100 yields 28 and so fails if the args stop
+    * flowing. Requires a session built with GraftExtensions
+    * (Verify/Bench set spark.sql.extensions).
+    */
+  def q225SqlSetSim(s: SparkSession, dir: String): DataFrame = {
+    Dedup.shingleSets(Tables.documents(s, dir), "doc_id", "text",
+      SetSimShingleN).localCheckpoint()
+      .createOrReplaceTempView("graft_q225_shingles")
+    s.sql("""SELECT a, b, inter, uni, jac_micro FROM (
+            |  SELECT /*+ SETSIM_JOIN(1, 100) */ id, shingle
+            |  FROM graft_q225_shingles
+            |) ORDER BY a, b""".stripMargin)
+  }
+
+  val q225Sql: String = setSimOracleSql(1, 100)
 
   // ---------------------------------------------------------------- q212
   /** Aho–Corasick dictionary matching: per-pattern corpus occurrence
@@ -634,6 +679,7 @@ object Round12Queries {
   // ------------------------------------------------------------ registry
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q211_setsim_join" -> (q211SetSimJoin _),
+    "q225_sql_setsim" -> (q225SqlSetSim _),
     "q212_dictionary_match" -> (q212DictionaryMatch _),
     "q213_heavy_hitters" -> (q213HeavyHitters _),
     "q214_rendezvous_shards" -> (q214RendezvousShards _),
@@ -644,6 +690,7 @@ object Round12Queries {
 
   val oracles: Map[String, String] = Map(
     "q211_setsim_join" -> q211Sql,
+    "q225_sql_setsim" -> q225Sql,
     "q212_dictionary_match" -> q212Sql,
     "q213_heavy_hitters" -> q213Sql,
     "q214_rendezvous_shards" -> q214Sql,
