@@ -622,6 +622,57 @@ class StreamingOpsSpec extends SparkTestBase {
     }
   }
 
+  test("streaming MG monitor's candidates contain q213's exact heavy hitters " +
+      "across micro-batch splits (stream superset-of-batch twin)") {
+    implicit val sqlCtx = spark.sqlContext
+    val prevProvider =
+      spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      import org.apache.spark.sql.functions.{col, explode, split}
+      // the SAME corpus and tokenization q213 runs on
+      val words = graft.Tables.documents(spark, sf0001)
+        .select(explode(split(graft.text.TextPrep.normalize(col("text")), " "))
+          .as("word"))
+        .filter(col("word") =!= "").as[String].collect()
+      val wordId = words.distinct.sorted.zipWithIndex
+        .map { case (w, i) => w -> i.toLong }.toMap
+      // batch truth: the exact HH words (count > n/k, k = HhK)
+      val batchHh = graft.operators.Round12Queries
+        .q213HeavyHitters(spark, sf0001)
+        .select("word").as[String].collect().map(wordId).toSet
+      assert(batchHh.nonEmpty)
+      // stream the token sequence through the MG monitor at the same k,
+      // split across micro-batches
+      val input = MemoryStream[(String, Long)]
+      val df = input.toDF.toDF("event_type", "user_id")
+      val q = StreamingOps
+        .runningHeavyHitters(df, graft.operators.Round12Queries.HhK)
+        .writeStream.outputMode(OutputMode.Update)
+        .format("memory").queryName("hh_twin_out").start()
+      words.map(w => ("words", wordId(w))).grouped(words.length / 3 + 1)
+        .foreach { g => input.addData(g.toIndexedSeq: _*); q.processAllAvailable() }
+      q.stop()
+      val all = spark.table("hh_twin_out").collect()
+        .map(r => (r.getLong(1), r.getLong(3)))
+      val nMax = all.map(_._2).max
+      assert(nMax === words.length.toLong, "monitor saw the whole corpus")
+      val streamCands = all.filter(_._2 == nMax).map(_._1).toSet
+      // the candidate-completeness law q213's exact-verify pass relies
+      // on: every exact heavy hitter is in the monitor's final summary
+      assert(batchHh.subsetOf(streamCands),
+        s"missing HH ids: ${batchHh -- streamCands}")
+    } finally {
+      prevProvider match {
+        case Some(p) =>
+          spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None =>
+          spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("streaming per-stratum top-k sample converges to the batch sample") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(String, Long)]
