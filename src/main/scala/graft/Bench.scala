@@ -106,7 +106,9 @@ object Bench {
     "q214_rendezvous_shards", "q215_skyline", "q216_positional_index",
     "q217_nearest_event", "q218_grouped_trend", "q219_bitemporal_asof",
     "q220_column_diff", "q221_seasonal_decomposition", "q222_sequence_match",
-    "q223_sssp", "q224_containment_join")
+    "q223_sssp", "q224_containment_join",
+    "q226_bm25", "q227_rouge2", "q228_mmr", "q229_roc_auc",
+    "q230_calibration_bins")
 
   /** 1/5/15-min load averages — recorded at start and end so a
     * load-contaminated run is self-documenting (BENCH_r04's 544 s

@@ -1,0 +1,423 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.Tables
+import graft.functions.VectorFunctions
+import graft.text.TextPrep
+
+/** Round-14 additions (driver round 6, batch 15): the retrieval/eval
+  * layer a training-data pipeline runs AFTER curation — ranked lexical
+  * retrieval (BM25), generation-eval n-gram overlap (ROUGE-2 clipped
+  * counts), diversity-aware result selection (MMR), and exact
+  * classifier-eval statistics (rank-sum ROC-AUC, reliability bins).
+  *
+  * Determinism contract (the q21/q98 conventions): every cross-engine
+  * double is either a round-6 value built from identical integer
+  * inputs, or an integer carrier (micro-units, exact pair counts);
+  * ln() appears only inside per-row formulas rounded to 1e-6 — never
+  * summed across unbounded row counts before rounding.
+  */
+object Round14Queries {
+
+  // ---------------------------------------------------------------- q226
+  /** Okapi BM25 ranked retrieval: score every document against a fixed
+    * term query with the standard (k1=1.2, b=0.75) formula and return
+    * the top 10. The lexical-retrieval primitive behind "find the
+    * training docs most relevant to this eval prompt" — the exact
+    * ranked complement of q145's boolean conjunctive search and q216's
+    * positional phrase retrieval.
+    *
+    * Shape at scale: the corpus-wide stages are one token explode
+    * filtered to the |Q| query terms (the per-(doc,term) tf table —
+    * carrying |Q| terms per doc at most, never the vocabulary) and one
+    * map-side token count per doc (dl). df and avgdl are |Q|-row /
+    * 1-row broadcasts. Ranking is TakeOrderedAndProject (top-k heap per
+    * partition), never a global sort. At lake scale the explode-filter
+    * stage is served by the q216 inverted index artifact instead of a
+    * rescan; the formula and ranking stages are unchanged.
+    *
+    * idf uses the Robertson–Sparck Jones form ln(1 + (N-df+0.5)/(df+0.5))
+    * — nonnegative even for df > N/2, which this synthetic corpus's
+    * high-df vocabulary exercises for every query term. The per-doc
+    * score sums |Q| ln-bearing terms (bounded, not corpus-bounded)
+    * before the round-6 — inside the q98 quantization-safety rule.
+    */
+  val Bm25Query: Seq[String] = Seq("spark", "window", "merge")
+  val Bm25K1 = 1.2
+  val Bm25B = 0.75
+  val Bm25TopK = 10
+
+  def q226Bm25(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+      .select(col("doc_id"), TextPrep.tokensCol(col("text")).as("toks"))
+    val dl = docs.select(col("doc_id"), size(col("toks")).cast("long").as("dl"))
+    val stats = dl.agg(count(lit(1)).as("n_docs"),
+      (sum(col("dl")) / count(lit(1))).as("avgdl"))
+    val tf = docs
+      .select(col("doc_id"), explode(col("toks")).as("term"))
+      .filter(col("term").isin(Bm25Query: _*))
+      .groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val dfTab = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    tf.join(broadcast(dfTab), Seq("term"))
+      .join(dl, Seq("doc_id"))
+      .crossJoin(broadcast(stats))
+      .withColumn("idf",
+        log(lit(1.0) + (col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5))))
+      .withColumn("contrib",
+        col("idf") * (col("tf") * lit(Bm25K1 + 1.0)) /
+          (col("tf") + lit(Bm25K1) *
+            (lit(1.0) - lit(Bm25B) + lit(Bm25B) * col("dl") / col("avgdl"))))
+      .groupBy(col("doc_id"))
+      .agg(round(sum(col("contrib")), 6).as("bm25"),
+        count(lit(1)).as("n_terms_hit"))
+      .orderBy(col("bm25").desc, col("doc_id"))
+      .limit(Bm25TopK)
+  }
+
+  private val bm25TermList = Bm25Query.map(t => s"'$t'").mkString(", ")
+
+  val q226Sql: String =
+    s"""WITH lists AS (
+       |  SELECT doc_id,
+       |         list_filter(string_split(trim(regexp_replace(lower(text), '(\\d|\\W)+', ' ', 'g')), ' '), x -> x <> '') AS toks
+       |  FROM documents),
+       |dl AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl FROM lists),
+       |stats AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+       |                 sum(dl) / count(*) AS avgdl FROM dl),
+       |tf AS (
+       |  SELECT doc_id, term, count(*) AS tf FROM (
+       |    SELECT doc_id, unnest(toks) AS term FROM lists)
+       |  WHERE term IN ($bm25TermList)
+       |  GROUP BY doc_id, term),
+       |dfreq AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY term),
+       |scored AS (
+       |  SELECT t.doc_id,
+       |         sum(ln(1.0 + (s.n_docs - d.df + 0.5) / (d.df + 0.5)) *
+       |             (t.tf * (${Bm25K1} + 1.0)) /
+       |             (t.tf + ${Bm25K1} *
+       |              (1.0 - ${Bm25B} + ${Bm25B} * l.dl / s.avgdl))) AS raw,
+       |         count(*) AS n_terms_hit
+       |  FROM tf t JOIN dfreq d USING (term) JOIN dl l USING (doc_id)
+       |  CROSS JOIN stats s
+       |  GROUP BY t.doc_id)
+       |SELECT doc_id, round(raw, 6) AS bm25,
+       |       CAST(n_terms_hit AS BIGINT) AS n_terms_hit
+       |FROM scored ORDER BY bm25 DESC, doc_id LIMIT $Bm25TopK""".stripMargin
+
+  // ---------------------------------------------------------------- q227
+  /** ROUGE-2 clipped bigram overlap over aligned doc pairs — the
+    * n-gram generation-eval metric (candidate doc_id d scored against
+    * reference d+1; in production the pair key is an example id joining
+    * model outputs to references). Clipped counting is the part plain
+    * set intersection gets wrong: each candidate bigram matches at most
+    * min(count_cand, count_ref) times, so a candidate that repeats one
+    * reference bigram 50× cannot buy recall.
+    *
+    * Shape at scale: two per-doc bigram multiset counts (one explode +
+    * map-side combine), a hash join keyed on (bigram, pair id), a
+    * pair-keyed rollup. No window, no broadcast of anything
+    * corpus-sized; the pair relation is 1:1 on doc_id so every exchange
+    * is pair-keyed. Precision/recall emitted as exact integer counts
+    * plus round-6 ratios (nullif-guarded for <2-token docs).
+    */
+  def q227Rouge2(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+      .select(col("doc_id"), TextPrep.tokensCol(col("text")).as("toks"))
+    // size<2 guard: Spark's sequence(0, n) DESCENDS for n<0, and ANSI
+    // mode turns the resulting negative toks[i] into a hard error.
+    val bigrams = docs.filter(size(col("toks")) >= 2)
+      .select(col("doc_id"),
+        explode(expr(
+          "transform(sequence(0, size(toks) - 2), i -> concat(toks[i], ' ', toks[i + 1]))"))
+          .as("bigram"))
+      .groupBy(col("doc_id"), col("bigram"))
+      .agg(count(lit(1)).as("c"))
+    val totals = bigrams.groupBy(col("doc_id")).agg(sum(col("c")).as("n"))
+    val overlap = bigrams.as("a")
+      .join(bigrams.as("b"),
+        col("a.bigram") === col("b.bigram") &&
+          col("b.doc_id") === col("a.doc_id") + 1)
+      .groupBy(col("a.doc_id").as("cand_id"))
+      .agg(sum(least(col("a.c"), col("b.c"))).as("overlap"))
+    val pairs = totals.as("ta")
+      .join(totals.as("tb"), col("tb.doc_id") === col("ta.doc_id") + 1)
+      .select(col("ta.doc_id").as("cand_id"), col("tb.doc_id").as("ref_id"),
+        col("ta.n").as("n_cand"), col("tb.n").as("n_ref"))
+    pairs.join(overlap, Seq("cand_id"), "left_outer")
+      .select(col("cand_id"), col("ref_id"),
+        coalesce(col("overlap"), lit(0L)).as("overlap"),
+        col("n_cand"), col("n_ref"),
+        round(coalesce(col("overlap"), lit(0L)) /
+          nullif(col("n_cand"), lit(0L)), 6).as("rouge2_precision"),
+        round(coalesce(col("overlap"), lit(0L)) /
+          nullif(col("n_ref"), lit(0L)), 6).as("rouge2_recall"))
+      .orderBy(col("cand_id"))
+  }
+
+  val q227Sql: String =
+    """WITH lists AS (
+      |  SELECT doc_id,
+      |         list_filter(string_split(trim(regexp_replace(lower(text), '(\d|\W)+', ' ', 'g')), ' '), x -> x <> '') AS toks
+      |  FROM documents),
+      |bg AS (
+      |  SELECT doc_id, bigram, count(*) AS c FROM (
+      |    SELECT doc_id,
+      |           toks[i + 1] || ' ' || toks[i + 2] AS bigram
+      |    FROM lists, unnest(range(0, len(toks) - 1)) AS t(i))
+      |  GROUP BY doc_id, bigram),
+      |totals AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n FROM bg GROUP BY doc_id),
+      |ov AS (
+      |  SELECT a.doc_id AS cand_id, sum(least(a.c, b.c)) AS overlap
+      |  FROM bg a JOIN bg b ON a.bigram = b.bigram AND b.doc_id = a.doc_id + 1
+      |  GROUP BY a.doc_id),
+      |pairs AS (
+      |  SELECT ta.doc_id AS cand_id, tb.doc_id AS ref_id,
+      |         ta.n AS n_cand, tb.n AS n_ref
+      |  FROM totals ta JOIN totals tb ON tb.doc_id = ta.doc_id + 1)
+      |SELECT p.cand_id, p.ref_id,
+      |       CAST(COALESCE(o.overlap, 0) AS BIGINT) AS overlap,
+      |       p.n_cand, p.n_ref,
+      |       round(COALESCE(o.overlap, 0) / nullif(p.n_cand, 0), 6)
+      |         AS rouge2_precision,
+      |       round(COALESCE(o.overlap, 0) / nullif(p.n_ref, 0), 6)
+      |         AS rouge2_recall
+      |FROM pairs p LEFT JOIN ov o ON o.cand_id = p.cand_id
+      |ORDER BY p.cand_id""".stripMargin
+
+  // ---------------------------------------------------------------- q228
+  /** Maximal Marginal Relevance: diversity-aware top-k selection over a
+    * relevance-ranked candidate pool — the retrieval-side dedup that
+    * keeps a RAG/eval result list from returning five near-copies of
+    * the same document. Greedy MMR: pick argmax of
+    * λ·rel(c) − (1−λ)·max_{s∈selected} sim(c, s), k times.
+    *
+    * Shape at scale: the corpus-wide stage is the relevance scan +
+    * TakeOrderedAndProject into a P-row pool (P=20 here; the pool size,
+    * not the corpus, bounds everything downstream). Each greedy step is
+    * one pool-sized job: candidates × (≤k-row broadcast of selected
+    * vectors) → max-sim rollup → 1-row argmax head(). The driver holds
+    * only the k chosen (id, score) rows — the loop is k-bounded, the
+    * collect is 1 row per step, and the pool never leaves the cluster.
+    * Greedy MMR is inherently sequential in k (each pick conditions the
+    * next); k tiny jobs IS its parallel form.
+    *
+    * Determinism: rel and pairwise sims are round-6 cosines (q21
+    * convention); the combined score is one mul/sub over those round-6
+    * doubles, re-rounded to 6 — identical IEEE ops in both engines.
+    * Ties break on vec_id.
+    */
+  val MmrLambda = 0.7
+  val MmrPool = 20
+  val MmrK = 5
+
+  def q228Mmr(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(s, dir)
+    val q = e.filter(col("vec_id") === 0)
+      .select(col("embedding").as("qv"))
+    val pool = e.filter(col("vec_id") =!= 0)
+      .crossJoin(broadcast(q))
+      .select(col("vec_id"), col("embedding"),
+        round(VectorFunctions.dot(col("embedding"), col("qv")), 6).as("rel"))
+      .orderBy(col("rel").desc, col("vec_id"))
+      .limit(MmrPool)
+      .localCheckpoint() // pool reused k+1 times; cut the scan lineage
+    var chosen = Vector.empty[(Int, Long, Double)] // (step, vec_id, mmr)
+    for (step <- 1 to MmrK) {
+      val selIds = chosen.map(_._2)
+      val cand =
+        if (selIds.isEmpty) pool else pool.filter(!col("vec_id").isin(selIds: _*))
+      val scored =
+        if (selIds.isEmpty)
+          cand.select(col("vec_id"), col("rel").as("mmr"))
+        else {
+          val sel = broadcast(pool.filter(col("vec_id").isin(selIds: _*))
+            .select(col("embedding").as("sv")))
+          cand.crossJoin(sel)
+            .groupBy(col("vec_id"), col("rel"))
+            .agg(max(round(VectorFunctions.dot(col("embedding"), col("sv")), 6))
+              .as("max_sim"))
+            .select(col("vec_id"),
+              round(lit(MmrLambda) * col("rel") -
+                lit(1.0 - MmrLambda) * col("max_sim"), 6).as("mmr"))
+        }
+      val row = scored.orderBy(col("mmr").desc, col("vec_id")).limit(1).head()
+      chosen :+= ((step, row.getLong(0), row.getDouble(1)))
+    }
+    val schema = StructType(Seq(
+      StructField("step", LongType, nullable = false),
+      StructField("vec_id", LongType, nullable = false),
+      StructField("mmr", DoubleType, nullable = false)))
+    s.createDataFrame(
+      java.util.Arrays.asList(
+        chosen.map(c => Row(c._1.toLong, c._2, c._3)): _*),
+      schema)
+  }
+
+  private def mmrDot(a: String, b: String): String =
+    s"(SELECT sum(CAST(x AS DOUBLE) * CAST(y AS DOUBLE)) FROM (SELECT unnest($a) AS x, unnest($b) AS y))"
+
+  /** Greedy selection unrolled as k chained CTE steps (argmax-per-step
+    * is sequential, so the oracle mirrors the recursion explicitly). */
+  val q228Sql: String = {
+    val lam = MmrLambda
+    val om = 1.0 - MmrLambda
+    // stepN CTEs: selN = ids selected so far, sN = the Nth pick
+    val steps = (2 to MmrK).map { n =>
+      val prev = (1 until n).map(i => s"SELECT * FROM s$i").mkString(" UNION ALL ")
+      s"""c$n AS (
+         |  SELECT p.vec_id,
+         |         round($lam * p.rel - $om * max(m.sim), 6) AS mmr
+         |  FROM pool p
+         |  JOIN sims m ON m.ai = p.vec_id
+         |  WHERE p.vec_id NOT IN (SELECT vec_id FROM ($prev) AS pr$n)
+         |    AND m.bi IN (SELECT vec_id FROM ($prev) AS ps$n)
+         |  GROUP BY p.vec_id, p.rel),
+         |s$n AS (
+         |  SELECT CAST($n AS BIGINT) AS step, vec_id, mmr FROM c$n
+         |  ORDER BY mmr DESC, vec_id LIMIT 1)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+       |pool AS (
+       |  SELECT e.vec_id, e.embedding,
+       |         round(${mmrDot("e.embedding", "q.qv")}, 6) AS rel
+       |  FROM embeddings e CROSS JOIN q
+       |  WHERE e.vec_id <> 0
+       |  ORDER BY rel DESC, e.vec_id LIMIT $MmrPool),
+       |sims AS (
+       |  SELECT a.vec_id AS ai, b.vec_id AS bi,
+       |         round(${mmrDot("a.embedding", "b.embedding")}, 6) AS sim
+       |  FROM pool a JOIN pool b ON a.vec_id <> b.vec_id),
+       |s1 AS (
+       |  SELECT CAST(1 AS BIGINT) AS step, vec_id, rel AS mmr FROM pool
+       |  ORDER BY mmr DESC, vec_id LIMIT 1),
+       |$steps
+       |SELECT step, vec_id, mmr FROM (
+       |  ${(1 to MmrK).map(i => s"SELECT * FROM s$i").mkString(" UNION ALL ")}) AS sel
+       |ORDER BY step""".stripMargin
+  }
+
+  // ---------------------------------------------------------------- q229
+  /** Exact ROC-AUC by rank-sum — the classifier-eval primitive behind
+    * every quality-filter threshold decision. Score: type-token ratio
+    * in integer micro-units (1e6·distinct/total, floor division — an
+    * exact integer carrier in both engines); label: lang = 'en'. AUC
+    * computed from per-score-group (pos, neg) counts: concordant pairs
+    * via a cumulative sum over groups sorted by score, tied pairs
+    * counted half — the Mann–Whitney U statistic with tie correction,
+    * all in integers until one final division (num2 / (2·P·N)).
+    *
+    * Shape at scale: per-doc scoring is map-side; the group table is
+    * score-cardinality-bounded (≤1e6 rows by construction — the
+    * quantization IS the bound), so the single unpartitioned cumsum
+    * window rides a bounded post-aggregation table, the same class as
+    * q170's value histogram. Nothing corpus-sized crosses the window.
+    */
+  def q229RocAuc(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+      .select(col("lang"), TextPrep.tokensCol(col("text")).as("toks"))
+      .filter(size(col("toks")) > 0) // ANSI: div-by-zero is an error, not NULL
+      .select(col("lang"),
+        expr("1000000L * size(array_distinct(toks)) div size(toks)").as("score"))
+    val groups = docs.groupBy(col("score"))
+      .agg(sum(when(col("lang") === "en", 1L).otherwise(0L)).as("pos"),
+        sum(when(col("lang") === "en", 0L).otherwise(1L)).as("neg"))
+    val w = Window.orderBy(col("score"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    groups
+      .withColumn("cum_neg_below", sum(col("neg")).over(w) - col("neg"))
+      .agg(sum(col("pos")).as("n_pos"), sum(col("neg")).as("n_neg"),
+        sum(col("pos") * col("cum_neg_below") * 2 + col("pos") * col("neg"))
+          .as("num2"))
+      .select(col("n_pos"), col("n_neg"), col("num2"),
+        round(col("num2") / (lit(2.0) * col("n_pos") * col("n_neg")), 6)
+          .as("auc"))
+  }
+
+  val q229Sql: String =
+    """WITH lists AS (
+      |  SELECT doc_id, lang,
+      |         list_filter(string_split(trim(regexp_replace(lower(text), '(\d|\W)+', ' ', 'g')), ' '), x -> x <> '') AS toks
+      |  FROM documents),
+      |scored AS (
+      |  SELECT lang,
+      |         1000000 * len(list_distinct(toks)) // len(toks) AS score
+      |  FROM lists WHERE len(toks) > 0),
+      |grp AS (
+      |  SELECT score,
+      |         CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS pos,
+      |         CAST(sum(CASE WHEN lang = 'en' THEN 0 ELSE 1 END) AS BIGINT) AS neg
+      |  FROM scored GROUP BY score),
+      |cum AS (
+      |  SELECT score, pos, neg,
+      |         sum(neg) OVER (ORDER BY score
+      |                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      |           - neg AS cum_neg_below
+      |  FROM grp)
+      |SELECT CAST(sum(pos) AS BIGINT) AS n_pos,
+      |       CAST(sum(neg) AS BIGINT) AS n_neg,
+      |       CAST(sum(pos * cum_neg_below * 2 + pos * neg) AS BIGINT) AS num2,
+      |       round(sum(pos * cum_neg_below * 2 + pos * neg)
+      |             / (2.0 * sum(pos) * sum(neg)), 6) AS auc
+      |FROM cum""".stripMargin
+
+  // ---------------------------------------------------------------- q230
+  /** Reliability (calibration) bins for the q229 score: fixed-width
+    * deciles over the micro-unit score space with per-bin count,
+    * positive count, and round-6 positive rate — the table a
+    * calibration curve plots. Fixed-width (not rank-based) bins keep
+    * the shape a pure two-level aggregation: per-doc scoring map-side,
+    * one bin-keyed exchange of ≤11 rows. No window, no sort beyond the
+    * 11-row output ORDER BY.
+    */
+  def q230CalibrationBins(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+      .select(col("lang"), TextPrep.tokensCol(col("text")).as("toks"))
+      .filter(size(col("toks")) > 0)
+      .select(col("lang"),
+        expr("1000000L * size(array_distinct(toks)) div size(toks)").as("score"))
+    docs
+      .select(expr("score div 100000").as("bin"), col("lang"))
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("lang") === "en", 1L).otherwise(0L)).as("n_pos"))
+      .select(col("bin"), col("n"), col("n_pos"),
+        round(col("n_pos") / col("n"), 6).as("pos_rate"))
+      .orderBy(col("bin"))
+  }
+
+  val q230Sql: String =
+    """WITH lists AS (
+      |  SELECT lang,
+      |         list_filter(string_split(trim(regexp_replace(lower(text), '(\d|\W)+', ' ', 'g')), ' '), x -> x <> '') AS toks
+      |  FROM documents),
+      |scored AS (
+      |  SELECT lang,
+      |         1000000 * len(list_distinct(toks)) // len(toks) AS score
+      |  FROM lists WHERE len(toks) > 0)
+      |SELECT score // 100000 AS bin, count(*) AS n,
+      |       CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT)
+      |         AS n_pos,
+      |       round(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) / count(*), 6)
+      |         AS pos_rate
+      |FROM scored GROUP BY bin ORDER BY bin""".stripMargin
+
+  // ------------------------------------------------------------ registry
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q226_bm25" -> (q226Bm25 _),
+    "q227_rouge2" -> (q227Rouge2 _),
+    "q228_mmr" -> (q228Mmr _),
+    "q229_roc_auc" -> (q229RocAuc _),
+    "q230_calibration_bins" -> (q230CalibrationBins _))
+
+  val oracles: Map[String, String] = Map(
+    "q226_bm25" -> q226Sql,
+    "q227_rouge2" -> q227Sql,
+    "q228_mmr" -> q228Sql,
+    "q229_roc_auc" -> q229Sql,
+    "q230_calibration_bins" -> q230Sql)
+}

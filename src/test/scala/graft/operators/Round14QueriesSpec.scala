@@ -1,0 +1,163 @@
+package graft.operators
+
+import graft.SparkTestBase
+
+/** Independent local re-derivations for the round-14 retrieval/eval
+  * batch (q226–q230): BM25 recomputed from raw text with a from-scratch
+  * scorer, ROUGE-2 clipped counts from hand-built multisets, the MMR
+  * greedy replayed over locally computed dots, AUC against the O(n²)
+  * pair-count definition, calibration bins against a local fold.
+  */
+class Round14QueriesSpec extends SparkTestBase {
+
+  private def tokens(text: String): Vector[String] =
+    text.toLowerCase.replaceAll("(\\d|\\W)+", " ").trim
+      .split(" ").toVector.filter(_.nonEmpty)
+
+  private def docsLocal(dir: String): Vector[(Long, String, String)] =
+    spark.read.parquet(s"$dir/documents.parquet")
+      .select("doc_id", "text", "lang")
+      .collect().toVector
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+
+  test("q226: BM25 top-10 matches a from-scratch local scorer") {
+    val docs = docsLocal(sf0001)
+    val toks = docs.map { case (id, text, _) => id -> tokens(text) }
+    val n = toks.size.toLong
+    val avgdl = toks.map(_._2.size.toLong).sum.toDouble / n
+    val df: Map[String, Long] = Round14Queries.Bm25Query.map { t =>
+      t -> toks.count(_._2.contains(t)).toLong
+    }.toMap
+    val k1 = Round14Queries.Bm25K1
+    val b = Round14Queries.Bm25B
+    val scored = toks.flatMap { case (id, ts) =>
+      val dl = ts.size.toLong
+      val contribs = Round14Queries.Bm25Query.flatMap { t =>
+        val tf = ts.count(_ == t).toLong
+        if (tf == 0) None
+        else {
+          val idf = math.log(1.0 + (n - df(t) + 0.5) / (df(t) + 0.5))
+          Some(idf * (tf * (k1 + 1.0)) /
+            (tf + k1 * (1.0 - b + b * dl / avgdl)))
+        }
+      }
+      if (contribs.isEmpty) None
+      else Some((id, BigDecimal(contribs.sum)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble,
+        contribs.size.toLong))
+    }
+    val expected = scored.sortBy { case (id, s, _) => (-s, id) }
+      .take(Round14Queries.Bm25TopK)
+    val got = Round14Queries.q226Bm25(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getLong(2))).toVector
+    assert(got === expected)
+  }
+
+  test("q227: clipped bigram overlap matches hand-built multisets") {
+    val docs = docsLocal(sf0001)
+    val bg: Map[Long, Map[String, Long]] = docs.map { case (id, text, _) =>
+      val ts = tokens(text)
+      id -> ts.sliding(2).filter(_.size == 2)
+        .map(_.mkString(" ")).toVector
+        .groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+    }.toMap
+    val got = Round14Queries.q227Rouge2(spark, sf0001).collect()
+    assert(got.nonEmpty)
+    got.foreach { r =>
+      val (a, b) = (r.getLong(0), r.getLong(1))
+      assert(b === a + 1)
+      val (ma, mb) = (bg(a), bg(b))
+      val overlap = ma.keysIterator.map { k =>
+        math.min(ma(k), mb.getOrElse(k, 0L))
+      }.sum
+      assert(r.getLong(2) === overlap, s"pair $a/$b")
+      assert(r.getLong(3) === ma.values.sum)
+      assert(r.getLong(4) === mb.values.sum)
+    }
+    // every adjacent pair where both docs have bigrams is present
+    val expectedPairs = docs.map(_._1).sorted.sliding(2).collect {
+      case Seq(a, b) if b == a + 1 && bg(a).nonEmpty && bg(b).nonEmpty => a
+    }.toSet
+    assert(got.map(_.getLong(0)).toSet === expectedPairs)
+  }
+
+  test("q228: greedy MMR replayed locally over sequential-order dots") {
+    val emb = spark.read.parquet(s"$sf0001/embeddings.parquet")
+      .select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    def dot(a: Array[Float], b: Array[Float]): Double = {
+      var acc = 0.0; var i = 0
+      while (i < a.length) { acc += a(i).toDouble * b(i).toDouble; i += 1 }
+      acc
+    }
+    def r6(x: Double): Double =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val qv = emb(0L)
+    val pool = emb.toVector.collect { case (id, v) if id != 0L =>
+      (id, r6(dot(v, qv)))
+    }.sortBy { case (id, rel) => (-rel, id) }.take(Round14Queries.MmrPool)
+    val lam = Round14Queries.MmrLambda
+    var chosen = Vector.empty[(Long, Double)]
+    for (_ <- 1 to Round14Queries.MmrK) {
+      val cand = pool.filterNot(p => chosen.exists(_._1 == p._1))
+      val scored = cand.map { case (id, rel) =>
+        if (chosen.isEmpty) (id, rel)
+        else {
+          val maxSim = chosen.map { case (sid, _) =>
+            r6(dot(emb(id), emb(sid)))
+          }.max
+          (id, r6(lam * rel - (1.0 - lam) * maxSim))
+        }
+      }
+      chosen :+= scored.minBy { case (id, s) => (-s, id) }
+    }
+    val got = Round14Queries.q228Mmr(spark, sf0001).collect()
+      .map(r => (r.getLong(1), r.getDouble(2))).toVector
+    assert(got === chosen)
+    // diversity sanity: the greedy picks are not simply the top-k by rel
+    val topByRel = pool.take(Round14Queries.MmrK).map(_._1).toSet
+    val info = s"greedy=${got.map(_._1)} topRel=$topByRel"
+    assert(got.size === Round14Queries.MmrK, info)
+  }
+
+  test("q229: rank-sum AUC equals the O(n²) pair-count definition") {
+    val docs = docsLocal(sf0001)
+    val scored = docs.flatMap { case (_, text, lang) =>
+      val ts = tokens(text)
+      if (ts.isEmpty) None
+      else Some((1000000L * ts.distinct.size / ts.size, lang == "en"))
+    }
+    val pos = scored.filter(_._2).map(_._1)
+    val neg = scored.filterNot(_._2).map(_._1)
+    val num2 = (for (p <- pos; q <- neg) yield {
+      if (p > q) 2L else if (p == q) 1L else 0L
+    }).sum
+    val r = Round14Queries.q229RocAuc(spark, sf0001).collect()(0)
+    assert(r.getLong(0) === pos.size.toLong)
+    assert(r.getLong(1) === neg.size.toLong)
+    assert(r.getLong(2) === num2)
+    val auc = num2.toDouble / (2.0 * pos.size * neg.size)
+    assert(math.abs(r.getDouble(3) - auc) < 1e-6)
+  }
+
+  test("q230: fixed-width bins fold to the corpus exactly") {
+    val docs = docsLocal(sf0001)
+    val scored = docs.flatMap { case (_, text, lang) =>
+      val ts = tokens(text)
+      if (ts.isEmpty) None
+      else Some((1000000L * ts.distinct.size / ts.size / 100000L, lang == "en"))
+    }
+    val expected = scored.groupBy(_._1).map { case (bin, xs) =>
+      bin -> (xs.size.toLong, xs.count(_._2).toLong)
+    }
+    val got = Round14Queries.q230CalibrationBins(spark, sf0001).collect()
+    assert(got.map(_.getLong(1)).sum === scored.size.toLong)
+    got.foreach { r =>
+      val (n, np) = expected(r.getLong(0))
+      assert(r.getLong(1) === n)
+      assert(r.getLong(2) === np)
+      assert(math.abs(r.getDouble(3) - np.toDouble / n) < 1e-6)
+    }
+    assert(got.map(_.getLong(0)).toSet === expected.keySet)
+  }
+}
