@@ -239,7 +239,11 @@ object Bench {
     // 3.5 s cold-subset vs 1.0 s in-suite — the delta is codegen
     // compilation its full-run neighbors q14/q25/q26 already paid).
     // The driver's full run (no SPARK_GRAFT_BENCH_ONLY) is unchanged.
-    if (only.isDefined)
+    // SPARK_GRAFT_BENCH_NOWARM=1 skips it — needed by the SCALE.md
+    // study, where a query whose builder memoizes per (session, dir)
+    // (bpeTrain) would otherwise be timed on a memo hit and report the
+    // post-training residue instead of the training cost.
+    if (only.isDefined && !sys.env.get("SPARK_GRAFT_BENCH_NOWARM").contains("1"))
       for (name <- Headline.filter(selected); fn <- SparkEntry.queries.get(name))
         try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
         catch { case _: Throwable => }
