@@ -24,8 +24,8 @@ import org.apache.spark.sql.SparkSession
   * q23, q45, q46, q51, q53, q114, q225 — q46 is q13 through the
   * SIMILARITY_TOP1 hint, q225 is q211 through SETSIM_JOIN, q45/q132
   * are fixture-sized, q114 is exactly q115's
-  * first training round), and the fixture-sized q54/q55 (input
-  * does not scale with sf).
+  * first training round), and the fixture-sized q54/q55 and
+  * q231 (dHash fixtures; input does not scale with sf).
   */
 object Bench {
 

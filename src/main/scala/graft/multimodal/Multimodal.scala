@@ -108,6 +108,65 @@ object Multimodal {
       } else fallback.decode(kind, payload)
   }
 
+  /** 64-bit difference hash (dHash) of real image bytes — the standard
+    * perceptual fingerprint for image near-dup detection: downsample to
+    * a 9×8 grayscale grid by integer area-averaging, then emit one bit
+    * per horizontally adjacent cell pair (right > left). Uniform
+    * brightness shifts preserve every comparison (hamming 0 by
+    * construction, absent clipping); small local edits flip only the
+    * comparisons they touch — which is exactly the metric property the
+    * banded-Hamming join needs.
+    *
+    * Determinism: the downsample is integer block sums over floor-
+    * partitioned cell boundaries (x·w/9 … (x+1)·w/9) and the luma is
+    * the integer (299r + 587g + 114b) / 1000 — no floats anywhere, so
+    * the hash is bit-identical across JVMs/platforms.
+    */
+  def dHash64(payload: Array[Byte]): Long = {
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
+    require(img != null,
+      "dHash64: ImageIO could not decode payload (unsupported format or corrupt bytes)")
+    val (w, h) = (img.getWidth, img.getHeight)
+    require(w >= 9 && h >= 8, s"dHash64: image too small ($w x $h; need 9x8)")
+    val grid = Array.ofDim[Long](8, 9)
+    var gy = 0
+    while (gy < 8) {
+      var gx = 0
+      while (gx < 9) {
+        val x0 = gx * w / 9; val x1 = (gx + 1) * w / 9
+        val y0 = gy * h / 8; val y1 = (gy + 1) * h / 8
+        var sum = 0L
+        var y = y0
+        while (y < y1) {
+          var x = x0
+          while (x < x1) {
+            val rgb = img.getRGB(x, y)
+            val r = (rgb >> 16) & 0xff; val g = (rgb >> 8) & 0xff; val b = rgb & 0xff
+            sum += (299L * r + 587L * g + 114L * b) / 1000L
+            x += 1
+          }
+          y += 1
+        }
+        grid(gy)(gx) = sum / ((x1 - x0).toLong * (y1 - y0))
+        gx += 1
+      }
+      gy += 1
+    }
+    var hash = 0L
+    var bit = 0
+    gy = 0
+    while (gy < 8) {
+      var gx = 0
+      while (gx < 8) {
+        if (grid(gy)(gx + 1) > grid(gy)(gx)) hash |= (1L << bit)
+        bit += 1
+        gx += 1
+      }
+      gy += 1
+    }
+    hash
+  }
+
   /** Synthesize a deterministic media table from `documents`: payload =
     * 16-byte header + utf8 text bytes; kind cycles image/audio/video.
     * Gives the pipeline real binary columns with skewed sizes.

@@ -51,18 +51,15 @@ object Round14Queries {
   val Bm25B = 0.75
   val Bm25TopK = 10
 
-  def q226Bm25(s: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.documents(s, dir)
-      .select(col("doc_id"), TextPrep.tokensCol(col("text")).as("toks"))
-    val dl = docs.select(col("doc_id"), size(col("toks")).cast("long").as("dl"))
-    val stats = dl.agg(count(lit(1)).as("n_docs"),
-      (sum(col("dl")) / count(lit(1))).as("avgdl"))
-    val tf = docs
-      .select(col("doc_id"), explode(col("toks")).as("term"))
-      .filter(col("term").isin(Bm25Query: _*))
-      .groupBy(col("doc_id"), col("term"))
-      .agg(count(lit(1)).as("tf"))
-    val dfTab = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+  /** Shared BM25 scoring/ranking tail — one pipeline for the batch
+    * query AND the streaming incremental index
+    * ([[graft.streaming.StreamingOps.runningBm25]]), so stream ≡ batch
+    * holds by construction, not by parallel maintenance. Inputs:
+    * `tf(doc_id, term, tf)` restricted to query terms, `dl(doc_id,
+    * dl)` covering at least the matched docs, `dfTab(term, df)`,
+    * `stats(n_docs, avgdl)` (1 row). */
+  def bm25Rank(tf: DataFrame, dl: DataFrame, dfTab: DataFrame,
+      stats: DataFrame, k: Int): DataFrame =
     tf.join(broadcast(dfTab), Seq("term"))
       .join(dl, Seq("doc_id"))
       .crossJoin(broadcast(stats))
@@ -76,7 +73,21 @@ object Round14Queries {
       .agg(round(sum(col("contrib")), 6).as("bm25"),
         count(lit(1)).as("n_terms_hit"))
       .orderBy(col("bm25").desc, col("doc_id"))
-      .limit(Bm25TopK)
+      .limit(k)
+
+  def q226Bm25(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+      .select(col("doc_id"), TextPrep.tokensCol(col("text")).as("toks"))
+    val dl = docs.select(col("doc_id"), size(col("toks")).cast("long").as("dl"))
+    val stats = dl.agg(count(lit(1)).as("n_docs"),
+      (sum(col("dl")) / count(lit(1))).as("avgdl"))
+    val tf = docs
+      .select(col("doc_id"), explode(col("toks")).as("term"))
+      .filter(col("term").isin(Bm25Query: _*))
+      .groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val dfTab = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    bm25Rank(tf, dl, dfTab, stats, Bm25TopK)
   }
 
   private val bm25TermList = Bm25Query.map(t => s"'$t'").mkString(", ")
@@ -406,8 +417,70 @@ object Round14Queries {
       |         AS pos_rate
       |FROM scored GROUP BY bin ORDER BY bin""".stripMargin
 
+  // ---------------------------------------------------------------- q231
+  /** Perceptual-hash image near-dup join: REAL PNG decode
+    * ([[graft.multimodal.Multimodal.dHash64]] — integer-exact 9×8
+    * area-average dHash) → banded-Hamming self-join → exact verify.
+    * The multimodal↔dedup bridge: the same
+    * block/verify discipline as q15's MinHash-LSH and q211's prefix
+    * filter, instantiated for the Hamming space image fingerprints
+    * live in. Banding: 8 exact 8-bit bands; by pigeonhole any pair
+    * within Hamming ≤ 7 shares at least one identical band, so the
+    * equi-join on (band, key) has FULL recall at τ=7 and the exact
+    * `bit_count(xor)` runs on candidates only. At lake scale the hash
+    * table is a persisted per-image artifact (one 8-byte column); the
+    * join exchanges 8 band keys per image — never pixels, never
+    * payloads — and skewed bands (e.g. all-black thumbnails) get the
+    * q15 maxBucket cap.
+    *
+    * Fixture-dir query (like q45/q132 — the container ships no image
+    * corpus): 72×64 block-designed PNGs whose expected hashes and
+    * pairwise distances are ANALYTIC ground truth
+    * ([[graft.tools.MediaFixtures]]), so the oracle pins a-priori
+    * values rather than replaying the implementation.
+    */
+  val PhashTau = 7
+  val PhashFixtureDir: String =
+    new java.io.File("src/test/resources/media/phash").getAbsolutePath
+
+  def q231ImageDhashDedup(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val files = s.read.format("binaryFile").load(s"$PhashFixtureDir/*.png")
+      .select(col("path"), col("content")).as[(String, Array[Byte])]
+    val hashes = files.map { case (p, bytes) =>
+        (p.substring(p.lastIndexOf('/') + 1),
+          graft.multimodal.Multimodal.dHash64(bytes))
+      }.toDF("name", "h")
+      .localCheckpoint() // decode once; both join sides read the 8-byte table
+    val bands = hashes.select(col("name"), col("h"),
+      explode(expr(
+        "transform(sequence(0, 7), i -> named_struct('band', i, 'key', shiftright(h, i * 8) & 255L))"))
+        .as("b"))
+      .select(col("name"), col("h"), col("b.band").as("band"), col("b.key").as("key"))
+    val cand = bands.as("x").join(bands.as("y"),
+        col("x.band") === col("y.band") && col("x.key") === col("y.key") &&
+          col("x.name") < col("y.name"))
+      .select(col("x.name").as("a"), col("y.name").as("b"),
+        col("x.h").as("ha"), col("y.h").as("hb"))
+      .distinct()
+    cand
+      .select(col("a"), col("b"),
+        expr("CAST(bit_count(ha ^ hb) AS BIGINT)").as("hamming"))
+      .filter(col("hamming") <= PhashTau)
+      .orderBy(col("a"), col("b"))
+  }
+
+  val q231Sql: String =
+    """SELECT * FROM (VALUES
+      |  ('grad_a0.png', 'grad_a1.png', CAST(0 AS BIGINT)),
+      |  ('grad_a0.png', 'grad_a2.png', CAST(3 AS BIGINT)),
+      |  ('grad_a1.png', 'grad_a2.png', CAST(3 AS BIGINT)),
+      |  ('grad_b0.png', 'grad_b1.png', CAST(0 AS BIGINT))) t(a, b, hamming)
+      |ORDER BY a, b""".stripMargin
+
   // ------------------------------------------------------------ registry
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q231_image_dhash_dedup" -> (q231ImageDhashDedup _),
     "q226_bm25" -> (q226Bm25 _),
     "q227_rouge2" -> (q227Rouge2 _),
     "q228_mmr" -> (q228Mmr _),
@@ -415,6 +488,7 @@ object Round14Queries {
     "q230_calibration_bins" -> (q230CalibrationBins _))
 
   val oracles: Map[String, String] = Map(
+    "q231_image_dhash_dedup" -> q231Sql,
     "q226_bm25" -> q226Sql,
     "q227_rouge2" -> q227Sql,
     "q228_mmr" -> q228Sql,

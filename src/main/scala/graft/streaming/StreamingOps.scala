@@ -573,6 +573,67 @@ object StreamingOps {
       .toDF()
   }
 
+  /** Incremental BM25 index maintenance + serving — q226's streaming
+    * twin and the shape of a live retrieval index: as documents stream
+    * in, maintain (a) the postings restricted to the query terms
+    * (`matchTf`: one row per (matched doc, term) — QUERY-bounded, not
+    * vocabulary-bounded), (b) doc lengths for matched docs, and (c)
+    * the two corpus scalars (n_docs, Σdl) as exact driver-held longs.
+    * Each micro-batch contributes map-side partial counts, the running
+    * artifacts grow by union + localCheckpoint (at lake scale they are
+    * appended parquet/Delta postings — the q78 build/probe split), and
+    * serving re-ranks through the IDENTICAL
+    * [[graft.operators.Round14Queries.bm25Rank]] pipeline the batch
+    * query uses — stream ≡ batch by shared code, not by twin
+    * maintenance. df/avgdl drift as the corpus grows, so each emission
+    * re-scores the matched set under the CURRENT statistics (scores
+    * are corpus-relative by definition; a frozen-idf variant is one
+    * `dfTab` substitution away).
+    *
+    * Assumes append semantics (each doc_id arrives once) — upstream
+    * exactly-once dedup is [[dedup]]'s job.
+    */
+  def runningBm25(docs: DataFrame, terms: Seq[String], k: Int)
+      (emit: DataFrame => Unit)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    var matchTf: Option[DataFrame] = None
+    var matchDl: Option[DataFrame] = None
+    var nDocs = 0L
+    var sumDl = 0L
+    docs.writeStream.outputMode("append")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val s = batch.sparkSession
+        val toks = batch.select(col("doc_id"),
+            graft.text.TextPrep.tokensCol(col("text")).as("toks"))
+          .localCheckpoint()
+        val bDl = toks.select(col("doc_id"),
+          size(col("toks")).cast("long").as("dl"))
+        val agg = bDl.agg(count(lit(1)), coalesce(sum(col("dl")), lit(0L))).head()
+        nDocs += agg.getLong(0)
+        sumDl += agg.getLong(1)
+        val bTf = toks
+          .select(col("doc_id"), explode(col("toks")).as("term"))
+          .filter(col("term").isin(terms: _*))
+          .groupBy(col("doc_id"), col("term"))
+          .agg(count(lit(1)).as("tf"))
+        val bMatchDl = bDl.join(
+          bTf.select(col("doc_id")).distinct(), Seq("doc_id"), "left_semi")
+        matchTf = Some(matchTf.map(_.unionByName(bTf)).getOrElse(bTf)
+          .localCheckpoint())
+        matchDl = Some(matchDl.map(_.unionByName(bMatchDl)).getOrElse(bMatchDl)
+          .localCheckpoint())
+        if (nDocs > 0) {
+          val dfTab = matchTf.get.groupBy(col("term"))
+            .agg(count(lit(1)).as("df"))
+          val stats = s.range(1).select(lit(nDocs).as("n_docs"),
+            (lit(sumDl) / lit(nDocs)).as("avgdl"))
+          emit(graft.operators.Round14Queries.bm25Rank(
+            matchTf.get, matchDl.get, dfTab, stats, k))
+        }
+      }
+      .start()
+  }
+
   def runToMemory(spark: SparkSession, transformed: DataFrame, name: String,
       mode: OutputMode = OutputMode.Append): Unit = {
     val q = transformed.writeStream

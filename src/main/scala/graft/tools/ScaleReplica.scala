@@ -72,8 +72,8 @@ object ScaleReplica {
           " "))
     })
     replicate("embeddings", Seq("vec_id"), { (df, i) =>
-      df.withColumn("element",
-        transform(col("element"), e => e * lit(1.0f + i * 1e-3f)))
+      df.withColumn("embedding",
+        transform(col("embedding"), e => e * lit(1.0f + i * 1e-3f)))
     })
     replicate("events", Seq("event_id", "user_id"), (df, _) => df)
 

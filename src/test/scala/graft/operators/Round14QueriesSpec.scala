@@ -140,6 +140,46 @@ class Round14QueriesSpec extends SparkTestBase {
     assert(math.abs(r.getDouble(3) - auc) < 1e-6)
   }
 
+  test("q231: dHash matches the analytic block design; banding has full recall") {
+    import graft.tools.MediaFixtures
+    val dir = new java.io.File(Round14Queries.PhashFixtureDir)
+    // decode→hash of every committed fixture equals the hash DERIVED
+    // from the block functions alone — the implementation is checked
+    // against ground truth it never touched
+    val hashes: Map[String, Long] = MediaFixtures.grids.map { case (name, g) =>
+      val bytes = java.nio.file.Files.readAllBytes(
+        new java.io.File(dir, name).toPath)
+      val h = graft.multimodal.Multimodal.dHash64(bytes)
+      assert(h === MediaFixtures.analyticHash(g), name)
+      name -> h
+    }
+    val names = MediaFixtures.grids.keys.toVector.sorted
+    val expected = for {
+      i <- names.indices
+      j <- (i + 1) until names.size
+      d = java.lang.Long.bitCount(hashes(names(i)) ^ hashes(names(j)))
+      if d <= Round14Queries.PhashTau
+    } yield (names(i), names(j), d.toLong)
+    val got = Round14Queries.q231ImageDhashDedup(spark, sf0001).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2))).toVector
+    assert(got === expected.toVector)
+    assert(got.map(_._3).toSet === Set(0L, 3L), "both groups represented")
+    // the pigeonhole the banded join relies on: every qualifying pair
+    // shares at least one exact 8-bit band
+    expected.foreach { case (a, b, _) =>
+      assert((0 until 8).exists(i =>
+        ((hashes(a) >> (i * 8)) & 255L) === ((hashes(b) >> (i * 8)) & 255L)),
+        s"$a/$b must share a band")
+    }
+    // brightness-invariance law directly on rendered images (no fixture)
+    val shifted = MediaFixtures.render((x, y) =>
+      MediaFixtures.grids("grad_a0.png")(x, y) + 7)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(shifted, "png", bos)
+    assert(graft.multimodal.Multimodal.dHash64(bos.toByteArray)
+      === hashes("grad_a0.png"))
+  }
+
   test("q230: fixed-width bins fold to the corpus exactly") {
     val docs = docsLocal(sf0001)
     val scored = docs.flatMap { case (_, text, lang) =>

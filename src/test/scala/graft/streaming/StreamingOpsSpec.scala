@@ -709,4 +709,40 @@ class StreamingOpsSpec extends SparkTestBase {
     // state really is incremental: every stratum emitted in both batches
     assert(sink.length > batch.size)
   }
+
+  test("incremental BM25 converges to the batch q226 through the shared rank pipeline") {
+    implicit val sqlCtx = spark.sqlContext
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq
+    val input = MemoryStream[(Long, String)]
+    val stream = input.toDF.toDF("doc_id", "text")
+    val emissions = scala.collection.mutable.ArrayBuffer
+      .empty[Vector[(Long, Double, Long)]]
+    val q = StreamingOps.runningBm25(stream,
+        graft.operators.Round14Queries.Bm25Query,
+        graft.operators.Round14Queries.Bm25TopK) { ranked =>
+      val snap = ranked.collect()
+        .map(r => (r.getLong(0), r.getDouble(1), r.getLong(2))).toVector
+      emissions.synchronized { emissions += snap }
+    }
+    // three uneven micro-batches — the index grows, df/avgdl drift
+    docs.grouped(17).foreach { g =>
+      input.addData(g.toIndexedSeq: _*); q.processAllAvailable()
+    }
+    q.stop()
+    val batch = graft.operators.Round14Queries.q226Bm25(spark, sf0001)
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getLong(2))).toVector
+    assert(emissions.nonEmpty)
+    // after the last batch the incremental index serves EXACTLY the
+    // batch ranking — same scores, same order, via the same bm25Rank
+    assert(emissions.last === batch)
+    // intermediate emissions rank only what had arrived (corpus-relative
+    // scores drift with the stats, so only structural properties hold)
+    emissions.foreach { e =>
+      assert(e.size <= graft.operators.Round14Queries.Bm25TopK)
+      assert(e.map(_._1).distinct.size === e.size)
+    }
+    assert(emissions.size === docs.grouped(17).size)
+  }
 }
