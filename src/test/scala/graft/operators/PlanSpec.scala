@@ -891,6 +891,30 @@ class PlanSpec extends SparkTestBase {
         "justify a bounded input in the allowlist")
   }
 
+  test("q226: df/stats broadcast; ranking is a top-k heap, not a global sort") {
+    val p = formatted(Round14Queries.q226Bm25(spark, sf0001))
+    // the |Q|-row df table and the 1-row stats must broadcast; ranking
+    // must be TakeOrderedAndProject (per-partition heaps), never a
+    // full Sort of the scored corpus
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("q227: pair-keyed equi-joins only — no nested-loop anywhere") {
+    val p = formatted(Round14Queries.q227Rouge2(spark, sf0001))
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("q231: banded-Hamming join is an equi-join on (band, key)") {
+    val p = formatted(Round14Queries.q231ImageDhashDedup(spark, sf0001))
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    // exact verify runs on candidates via the codegen'd bit_count
+    assert(p.contains("bit_count"), p)
+  }
+
   test("q180: per-user rollup reuses the window's user_id partitioning") {
     val p = formatted(Round9Queries.q180Twap(spark, sf0001))
     // exactly two shuffles: the user_id window exchange and the final
