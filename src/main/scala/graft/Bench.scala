@@ -108,7 +108,7 @@ object Bench {
     "q220_column_diff", "q221_seasonal_decomposition", "q222_sequence_match",
     "q223_sssp", "q224_containment_join",
     "q226_bm25", "q227_rouge2", "q228_mmr", "q229_roc_auc",
-    "q230_calibration_bins")
+    "q230_calibration_bins", "q232_pq_topk")
 
   /** 1/5/15-min load averages — recorded at start and end so a
     * load-contaminated run is self-documenting (BENCH_r04's 544 s
@@ -218,6 +218,8 @@ object Bench {
       }
     val ivfReady = prep("q43_ivf_topk") {
       operators.AnnQueries.prepareIvf(spark, sfDir) }
+    val pqReady = prep("q232_pq_topk") {
+      operators.AnnQueries.preparePq(spark, sfDir); () }
     val bucketsReady = prep("q69_bucketed_join") {
       operators.RelationalOps.prepareBucketedTables(spark, sfDir) }
     val lakeReady = prep("q70_partition_pruning") {
@@ -250,6 +252,7 @@ object Bench {
     val results = Headline
       .filter(selected)
       .filter(name => ivfReady || name != "q43_ivf_topk")
+      .filter(name => pqReady || name != "q232_pq_topk")
       .filter(name => bucketsReady || name != "q69_bucketed_join")
       .filter(name => lakeReady || name != "q70_partition_pruning")
       .filter(name => incCorpusReady || name != "q78_incremental_dedup")

@@ -383,6 +383,89 @@ object Ann {
     scored.withColumn("rk", row_number().over(w).cast("long")).filter(col("rk") <= k)
   }
 
+  /** Product-quantization BUILD — the compressed-domain rung of the
+    * ANN ladder (brute q21 → sign-LSH q20/q23 → IVF q43 → int8 q89 →
+    * PQ): split the d-dim space into `m` subspaces, fit an independent
+    * k-means codebook (k codes) per subspace, store each vector as m
+    * small codes. Persisted artifacts (the q43 build/probe split):
+    *
+    *  - `codebooks/` — (sub, code, centroid array<double>): m·k rows,
+    *    the broadcast-sized model;
+    *  - `codes/` — (vec_id, sub, code): the compressed corpus, m rows
+    *    per vector in LONG form (at lake scale this packs to m bytes
+    *    per vector in one array column; long form keeps the scoring
+    *    join and the oracle replay plain relational).
+    *
+    * Each subspace fit sees only its d/m-dim slice — m independent
+    * small k-means, trained offline like the IVF index; probes never
+    * call fit.
+    */
+  def pqBuild(corpus: DataFrame, indexDir: String, m: Int, k: Int,
+      seed: Long = 42L): Unit = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val dim = corpus.select(size(col("embedding"))).head().getInt(0)
+    require(dim % m == 0, s"pqBuild: dim $dim not divisible by m=$m")
+    val sw = dim / m
+    val parts = (0 until m).map { sub =>
+      val feats = corpus.select(col("vec_id"),
+        array_to_vector(slice(col("embedding").cast("array<double>"),
+          sub * sw + 1, sw)).as("features"))
+      val model = new KMeans().setK(k).setSeed(seed + sub)
+        .setFeaturesCol("features").setPredictionCol("code")
+        .fit(feats)
+      val codes = model.transform(feats)
+        .select(col("vec_id"), lit(sub).as("sub"), col("code"))
+      val centroids = model.clusterCenters.zipWithIndex
+        .map { case (c, i) => (sub, i, c.toArray) }
+        .toSeq.toDF("sub", "code", "centroid")
+      (codes, centroids)
+    }
+    parts.map(_._1).reduce(_ unionByName _)
+      .write.mode("overwrite").parquet(s"$indexDir/codes")
+    parts.map(_._2).reduce(_ unionByName _)
+      .write.mode("overwrite").parquet(s"$indexDir/codebooks")
+  }
+
+  /** Asymmetric-distance (ADC) top-k over a persisted PQ index: each
+    * query dots its m sub-vectors against the m·k broadcast codebook
+    * centroids ONCE (the lookup table), then every corpus vector's
+    * approximate score is m table lookups summed — the scan reads the
+    * compressed codes, never the embeddings. Partial dots are
+    * quantized to integer micro-units BEFORE the sum, so the m-way
+    * addition is an exact long fold (order-free — groupBy sum order
+    * would otherwise make the last double ulp nondeterministic) and
+    * the ranking integer-deterministic. Ranking: (adc desc, nid asc),
+    * self excluded.
+    */
+  def pqTopK(queries: DataFrame, indexDir: String, k: Int): DataFrame = {
+    val spark = queries.sparkSession
+    VectorFunctions.register(spark)
+    val codes = spark.read.parquet(s"$indexDir/codes")
+    val codebooks = spark.read.parquet(s"$indexDir/codebooks")
+    val dim = queries.select(size(col("embedding"))).head().getInt(0)
+    val m = codebooks.agg(max(col("sub"))).head().getInt(0) + 1
+    val sw = dim / m
+    val q = queries.select(col("vec_id").as("qid"),
+      col("embedding").cast("array<double>").as("qv"))
+    val lut = q.crossJoin(broadcast(codebooks))
+      .select(col("qid"), col("sub"), col("code"),
+        round(lit(1e6) * VectorFunctions.dotD(
+          slice(col("qv"), col("sub") * sw + 1, lit(sw)), col("centroid")), 0)
+          .cast("long").as("pd"))
+    val scored = codes.select(col("vec_id").as("nid"), col("sub"), col("code"))
+      .join(broadcast(lut), Seq("sub", "code"))
+      .filter(col("qid") =!= col("nid"))
+      .groupBy(col("qid"), col("nid"))
+      .agg(sum(col("pd")).as("adc_micro"))
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("adc_micro").desc, col("nid").asc)
+    scored.withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= k)
+  }
+
   // -------------------------------------------------------- TopKAgg
   case class Neighbor(nid: Long, cos: Double)
 

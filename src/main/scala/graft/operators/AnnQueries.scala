@@ -346,6 +346,80 @@ object AnnQueries {
        |ORDER BY qid, rk""".stripMargin
   }
 
+  // --------------------------------------------------------------- q232
+  /** Product-quantization ADC top-3 ([[Ann.pqBuild]]/[[Ann.pqTopK]]):
+    * the compressed-domain rung of the ANN ladder — the corpus scan
+    * reads m=8 small codes per vector (the 100 TB memory argument:
+    * 8 bytes/vector instead of 256), scores are m integer-micro table
+    * lookups summed exactly, ranking is (adc desc, nid asc). The
+    * oracle replays the LUT + ADC sum over the MATERIALIZED codebooks
+    * and codes (the q43 convention: the offline build is an artifact,
+    * the probe math is what's gated). Approximation quality is gated
+    * separately by the spec's recall-vs-q21 floor (the q99 pattern).
+    */
+  val PqM = 8
+  val PqCodes = 16
+  val PqTopK = 3
+
+  private def pqIndexPath(sfDir: String): String =
+    new java.io.File(s"target/pq-index/${PathTag.tagFor(sfDir)}").getAbsolutePath
+
+  private val pqBuilt = scala.collection.mutable.HashSet.empty[String]
+
+  /** Idempotent offline PQ build for `dir`; returns the index path. */
+  def preparePq(s: SparkSession, dir: String): String = pqBuilt.synchronized {
+    val idx = pqIndexPath(dir)
+    if (!pqBuilt.contains(idx)) {
+      Ann.pqBuild(emb(s, dir), idx, PqM, PqCodes)
+      pqBuilt.add(idx)
+    }
+    idx
+  }
+
+  def q232PqTopK(s: SparkSession, dir: String): DataFrame = {
+    val idx = preparePq(s, dir)
+    Ann.pqTopK(querySubset(s, dir), idx, PqTopK)
+      .select(col("qid"), col("nid"), col("adc_micro"), col("rk"))
+      .orderBy(col("qid"), col("rk"))
+  }
+
+  // generated per dump dir, same reasoning as q43Sql
+  def q232Sql(sfDir: String): String = {
+    val idx = pqIndexPath(sfDir)
+    val sw = Dim / PqM
+    s"""WITH cb AS (
+       |  SELECT CAST(sub AS INTEGER) AS sub, CAST(code AS INTEGER) AS code,
+       |         centroid
+       |  FROM read_parquet('$idx/codebooks/*.parquet')),
+       |codes AS (
+       |  SELECT vec_id, CAST(sub AS INTEGER) AS sub,
+       |         CAST(code AS INTEGER) AS code
+       |  FROM read_parquet('$idx/codes/*.parquet')),
+       |q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings
+       |      WHERE vec_id % $QueryMod = 0),
+       |lut AS (
+       |  SELECT q.qid, cb.sub, cb.code,
+       |         CAST(round(1e6 * (
+       |           SELECT sum(CAST(x AS DOUBLE) * y)
+       |           FROM (SELECT unnest(q.qv[cb.sub * $sw + 1 : cb.sub * $sw + $sw]) AS x,
+       |                        unnest(cb.centroid) AS y)), 0) AS BIGINT) AS pd
+       |  FROM q, cb),
+       |scored AS (
+       |  SELECT l.qid, c.vec_id AS nid, sum(l.pd) AS adc_micro
+       |  FROM codes c JOIN lut l ON l.sub = c.sub AND l.code = c.code
+       |  WHERE c.vec_id <> l.qid
+       |  GROUP BY l.qid, c.vec_id),
+       |best AS (
+       |  SELECT qid, nid, adc_micro,
+       |         row_number() OVER (PARTITION BY qid
+       |                            ORDER BY adc_micro DESC, nid ASC) AS rk
+       |  FROM scored)
+       |SELECT qid, nid, CAST(adc_micro AS BIGINT) AS adc_micro,
+       |       CAST(rk AS BIGINT) AS rk
+       |FROM best WHERE rk <= $PqTopK
+       |ORDER BY qid, rk""".stripMargin
+  }
+
   // ---------------------------------------------------------------- q47
   /** Per-label embedding centroids in LONG form (label, j, m) — the
     * class-centroid computation every embedding-space curation pass
@@ -650,6 +724,7 @@ object AnnQueries {
     "q23_lsh_top1" -> (q23LshTop1 _),
     "q24_embedding_near_dups" -> (q24EmbeddingNearDups _),
     "q43_ivf_topk" -> (q43IvfTopK _),
+    "q232_pq_topk" -> (q232PqTopK _),
     "q47_embedding_centroids" -> (q47EmbeddingCentroids _),
     "q49_nearest_centroid" -> (q49NearestCentroid _),
     "q89_quantized_topk" -> (q89QuantizedTopK _),
@@ -668,6 +743,7 @@ object AnnQueries {
     "q23_lsh_top1" -> q23Sql,
     "q24_embedding_near_dups" -> q24Sql,
     "q43_ivf_topk" -> q43Sql(sfDir),
+    "q232_pq_topk" -> q232Sql(sfDir),
     "q47_embedding_centroids" -> q47Sql,
     "q49_nearest_centroid" -> q49Sql,
     "q89_quantized_topk" -> q89Sql,
