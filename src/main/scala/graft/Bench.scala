@@ -108,7 +108,7 @@ object Bench {
     "q220_column_diff", "q221_seasonal_decomposition", "q222_sequence_match",
     "q223_sssp", "q224_containment_join",
     "q226_bm25", "q227_rouge2", "q228_mmr", "q229_roc_auc",
-    "q230_calibration_bins", "q232_pq_topk")
+    "q230_calibration_bins", "q232_pq_topk", "q233_pq_rerank")
 
   /** 1/5/15-min load averages — recorded at start and end so a
     * load-contaminated run is self-documenting (BENCH_r04's 544 s
@@ -220,6 +220,8 @@ object Bench {
       operators.AnnQueries.prepareIvf(spark, sfDir) }
     val pqReady = prep("q232_pq_topk") {
       operators.AnnQueries.preparePq(spark, sfDir); () }
+    val pqReady2 = prep("q233_pq_rerank") {
+      operators.AnnQueries.preparePq(spark, sfDir); () }
     val bucketsReady = prep("q69_bucketed_join") {
       operators.RelationalOps.prepareBucketedTables(spark, sfDir) }
     val lakeReady = prep("q70_partition_pruning") {
@@ -253,6 +255,7 @@ object Bench {
       .filter(selected)
       .filter(name => ivfReady || name != "q43_ivf_topk")
       .filter(name => pqReady || name != "q232_pq_topk")
+      .filter(name => pqReady2 || name != "q233_pq_rerank")
       .filter(name => bucketsReady || name != "q69_bucketed_join")
       .filter(name => lakeReady || name != "q70_partition_pruning")
       .filter(name => incCorpusReady || name != "q78_incremental_dedup")

@@ -420,6 +420,88 @@ object AnnQueries {
        |ORDER BY qid, rk""".stripMargin
   }
 
+  // --------------------------------------------------------------- q233
+  /** PQ shortlist + exact re-rank — how PQ actually serves in
+    * production: the compressed-domain ADC scan is the FILTER (top-ℓ
+    * shortlist from codes alone), the exact float rescore is the
+    * VERIFY (full vectors fetched only for |Q|·ℓ shortlist rows — at
+    * lake scale a point-lookup batch against the vector store, never a
+    * corpus scan). The same candidate/verify discipline as q15's
+    * LSH→Jaccard and q211's prefix→intersection, instantiated for the
+    * compressed-domain ANN rung; the spec pins the recall uplift this
+    * buys over q232's pure-ADC ranking.
+    */
+  val PqShortlist = 20
+
+  def q233PqRerank(s: SparkSession, dir: String): DataFrame = {
+    val idx = preparePq(s, dir)
+    graft.functions.VectorFunctions.register(s)
+    val e = emb(s, dir)
+    val shortlist = Ann.pqTopK(querySubset(s, dir), idx, PqShortlist)
+      .select(col("qid"), col("nid"))
+    val rescored = shortlist
+      .join(e.select(col("vec_id").as("qid"), col("embedding").as("qe")),
+        Seq("qid"))
+      .join(e.select(col("vec_id").as("nid"), col("embedding").as("ne")),
+        Seq("nid"))
+      .select(col("qid"), col("nid"),
+        round(graft.functions.VectorFunctions.dot(col("qe"), col("ne")), 6)
+          .as("cos"))
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("cos").desc, col("nid").asc)
+    rescored.withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= PqTopK)
+      .select(col("qid"), col("nid"), col("cos"), col("rk"))
+      .orderBy(col("qid"), col("rk"))
+  }
+
+  def q233Sql(sfDir: String): String = {
+    val idx = pqIndexPath(sfDir)
+    val sw = Dim / PqM
+    s"""WITH cb AS (
+       |  SELECT CAST(sub AS INTEGER) AS sub, CAST(code AS INTEGER) AS code,
+       |         centroid
+       |  FROM read_parquet('$idx/codebooks/*.parquet')),
+       |codes AS (
+       |  SELECT vec_id, CAST(sub AS INTEGER) AS sub,
+       |         CAST(code AS INTEGER) AS code
+       |  FROM read_parquet('$idx/codes/*.parquet')),
+       |q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings
+       |      WHERE vec_id % $QueryMod = 0),
+       |lut AS (
+       |  SELECT q.qid, cb.sub, cb.code,
+       |         CAST(round(1e6 * (
+       |           SELECT sum(CAST(x AS DOUBLE) * y)
+       |           FROM (SELECT unnest(q.qv[cb.sub * $sw + 1 : cb.sub * $sw + $sw]) AS x,
+       |                        unnest(cb.centroid) AS y)), 0) AS BIGINT) AS pd
+       |  FROM q, cb),
+       |scored AS (
+       |  SELECT l.qid, c.vec_id AS nid, sum(l.pd) AS adc_micro
+       |  FROM codes c JOIN lut l ON l.sub = c.sub AND l.code = c.code
+       |  WHERE c.vec_id <> l.qid
+       |  GROUP BY l.qid, c.vec_id),
+       |shortlist AS (
+       |  SELECT qid, nid FROM (
+       |    SELECT qid, nid,
+       |           row_number() OVER (PARTITION BY qid
+       |                              ORDER BY adc_micro DESC, nid ASC) AS srk
+       |    FROM scored) AS s WHERE srk <= $PqShortlist),
+       |rescored AS (
+       |  SELECT s.qid, s.nid,
+       |         round(${sqlDot("eq.embedding", "en.embedding")}, 6) AS cos
+       |  FROM shortlist s
+       |  JOIN embeddings eq ON eq.vec_id = s.qid
+       |  JOIN embeddings en ON en.vec_id = s.nid),
+       |best AS (
+       |  SELECT qid, nid, cos,
+       |         row_number() OVER (PARTITION BY qid
+       |                            ORDER BY cos DESC, nid ASC) AS rk
+       |  FROM rescored)
+       |SELECT qid, nid, cos, CAST(rk AS BIGINT) AS rk
+       |FROM best WHERE rk <= $PqTopK
+       |ORDER BY qid, rk""".stripMargin
+  }
+
   // ---------------------------------------------------------------- q47
   /** Per-label embedding centroids in LONG form (label, j, m) — the
     * class-centroid computation every embedding-space curation pass
@@ -725,6 +807,7 @@ object AnnQueries {
     "q24_embedding_near_dups" -> (q24EmbeddingNearDups _),
     "q43_ivf_topk" -> (q43IvfTopK _),
     "q232_pq_topk" -> (q232PqTopK _),
+    "q233_pq_rerank" -> (q233PqRerank _),
     "q47_embedding_centroids" -> (q47EmbeddingCentroids _),
     "q49_nearest_centroid" -> (q49NearestCentroid _),
     "q89_quantized_topk" -> (q89QuantizedTopK _),
@@ -744,6 +827,7 @@ object AnnQueries {
     "q24_embedding_near_dups" -> q24Sql,
     "q43_ivf_topk" -> q43Sql(sfDir),
     "q232_pq_topk" -> q232Sql(sfDir),
+    "q233_pq_rerank" -> q233Sql(sfDir),
     "q47_embedding_centroids" -> q47Sql,
     "q49_nearest_centroid" -> q49Sql,
     "q89_quantized_topk" -> q89Sql,

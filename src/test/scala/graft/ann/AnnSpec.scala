@@ -234,4 +234,50 @@ class AnnSpec extends SparkTestBase {
     assert(recalls.sum / recalls.size >= 0.19,
       s"mean recall@3 regressed: ${recalls.sum / recalls.size}")
   }
+
+  test("q233 PQ re-rank: results come from the ADC shortlist, cosines are exact, recall uplift holds") {
+    import graft.operators.AnnQueries
+    val dir = sf0001
+    val idx = AnnQueries.preparePq(spark, dir)
+    val vecs = graft.Tables.embeddings(spark, dir)
+      .select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    val shortlist = Ann.pqTopK(
+        graft.Tables.embeddings(spark, dir).filter($"vec_id" % 50 === 0),
+        idx, AnnQueries.PqShortlist)
+      .select($"qid", $"nid").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val reranked = AnnQueries.q233PqRerank(spark, dir).collect()
+    assert(reranked.nonEmpty)
+    def dot(a: Array[Float], b: Array[Float]): Double = {
+      var acc = 0.0; var i = 0
+      while (i < a.length) { acc += a(i).toDouble * b(i).toDouble; i += 1 }
+      acc
+    }
+    reranked.foreach { r =>
+      val (qid, nid, cos) = (r.getLong(0), r.getLong(1), r.getDouble(2))
+      // the verify stage only ever sees shortlist candidates
+      assert(shortlist.contains((qid, nid)), s"($qid,$nid) not in shortlist")
+      // and its scores are the EXACT float cosines, not ADC approximations
+      val expected = BigDecimal(dot(vecs(qid), vecs(nid)))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(cos === expected, s"($qid,$nid)")
+    }
+    // recall uplift: re-ranking the ℓ=20 shortlist with exact scores
+    // must beat pure-ADC ranking (measured 0.20 → 0.67 here)
+    val exact = AnnQueries.q21KnnBruteForce(spark, dir).collect()
+      .groupBy(_.getLong(0)).map { case (q, rs) => q -> rs.map(_.getLong(1)).toSet }
+    def meanRecall(rows: Array[org.apache.spark.sql.Row]): Double = {
+      val by = rows.groupBy(_.getLong(0))
+        .map { case (q, rs) => q -> rs.map(_.getLong(1)).toSet }
+      val rs = exact.map { case (q, ex) =>
+        by.getOrElse(q, Set.empty[Long]).intersect(ex).size.toDouble / ex.size }
+      rs.sum / rs.size
+    }
+    val rerankRecall = meanRecall(reranked)
+    val adcRecall = meanRecall(AnnQueries.q232PqTopK(spark, dir).collect())
+    assert(rerankRecall > adcRecall,
+      s"rerank $rerankRecall must beat ADC $adcRecall")
+    assert(rerankRecall >= 0.6, s"rerank recall floor: $rerankRecall")
+  }
 }
