@@ -32,6 +32,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[graft.text.LemmatizeTokens].getName, "lemmatize_tokens"),
       (exprs: Seq[Expression]) => graft.text.LemmatizeTokens(exprs.head)))
     e.injectFunction((
+      FunctionIdentifier("dhash64"),
+      new ExpressionInfo(classOf[graft.functions.DHash64Expr].getName,
+        "dhash64"),
+      (exprs: Seq[Expression]) => graft.functions.DHash64Expr(exprs.head)))
+    e.injectFunction((
       FunctionIdentifier("char_entropy_nano"),
       new ExpressionInfo(classOf[graft.functions.CharEntropyNano].getName,
         "char_entropy_nano"),

@@ -478,9 +478,37 @@ object Round14Queries {
       |  ('grad_b0.png', 'grad_b1.png', CAST(0 AS BIGINT))) t(a, b, hamming)
       |ORDER BY a, b""".stripMargin
 
+  // ---------------------------------------------------------------- q234
+  /** q231 through plain SQL — the `dhash64` native expression
+    * (GraftExtensions) composed with stock SQL band keys
+    * (`shiftright & 255`) and `bit_count(^)` verify: proof the
+    * perceptual-dedup pattern needs NO Scala beyond the kernel, the
+    * same surface-parity gate q225 gives the set-similarity join and
+    * q46 gives argmax. Same analytic VALUES oracle as q231.
+    */
+  def q234SqlDhash(s: SparkSession, dir: String): DataFrame = {
+    s.read.format("binaryFile").load(s"$PhashFixtureDir/*.png")
+      .selectExpr("substring_index(path, '/', -1) AS name", "content")
+      .createOrReplaceTempView("graft_q234_images")
+    s.sql(s"""
+      |WITH h AS (SELECT name, dhash64(content) AS h FROM graft_q234_images),
+      |bands AS (SELECT name, h, explode(sequence(0, 7)) AS band FROM h),
+      |cand AS (
+      |  SELECT DISTINCT x.name AS a, y.name AS b, x.h AS ha, y.h AS hb
+      |  FROM bands x JOIN bands y
+      |    ON x.band = y.band
+      |   AND (shiftright(x.h, x.band * 8) & 255L)
+      |     = (shiftright(y.h, y.band * 8) & 255L)
+      |   AND x.name < y.name)
+      |SELECT a, b, CAST(bit_count(ha ^ hb) AS BIGINT) AS hamming
+      |FROM cand WHERE bit_count(ha ^ hb) <= $PhashTau
+      |ORDER BY a, b""".stripMargin)
+  }
+
   // ------------------------------------------------------------ registry
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q231_image_dhash_dedup" -> (q231ImageDhashDedup _),
+    "q234_sql_dhash" -> (q234SqlDhash _),
     "q226_bm25" -> (q226Bm25 _),
     "q227_rouge2" -> (q227Rouge2 _),
     "q228_mmr" -> (q228Mmr _),
@@ -489,6 +517,7 @@ object Round14Queries {
 
   val oracles: Map[String, String] = Map(
     "q231_image_dhash_dedup" -> q231Sql,
+    "q234_sql_dhash" -> q231Sql,
     "q226_bm25" -> q226Sql,
     "q227_rouge2" -> q227Sql,
     "q228_mmr" -> q228Sql,

@@ -180,6 +180,22 @@ class Round14QueriesSpec extends SparkTestBase {
       === hashes("grad_a0.png"))
   }
 
+  test("q234: the pure-SQL dhash64 surface equals the Scala pipeline; kernel boundary errors") {
+    val sqlPath = Round14Queries.q234SqlDhash(spark, sf0001).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2))).toVector
+    val scalaPath = Round14Queries.q231ImageDhashDedup(spark, sf0001).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2))).toVector
+    assert(sqlPath === scalaPath)
+    // NULL bytes → NULL hash (nullSafeEval), not a decoder crash
+    val nulls = spark.sql("SELECT dhash64(CAST(NULL AS BINARY)) AS h").collect()
+    assert(nulls(0).isNullAt(0))
+    // wrong input type fails at analysis with the boundary message
+    val err = intercept[Exception] {
+      spark.sql("SELECT dhash64('not bytes')").collect()
+    }
+    assert(err.getMessage.toLowerCase.contains("binary"), err.getMessage)
+  }
+
   test("q230: fixed-width bins fold to the corpus exactly") {
     val docs = docsLocal(sf0001)
     val scored = docs.flatMap { case (_, text, lang) =>
