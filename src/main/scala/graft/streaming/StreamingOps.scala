@@ -573,6 +573,56 @@ object StreamingOps {
       .toDF()
   }
 
+  /** Streaming perceptual near-dup verdicts — q231's incremental twin
+    * in the [[incrementalDedupVerdicts]] stream-static shape: each
+    * arriving image is hashed ROW-LOCALLY (`dhash64` — stateless,
+    * decode never leaves the partition), banded into 8 exact 8-bit
+    * keys, and joined against the PERSISTED band index of the accepted
+    * corpus (`(band, key, c_name, c_h)` — the q78 build/probe split:
+    * state lives in the index artifact, not in streaming state). The
+    * per-image verdict folds candidates with `min(struct(hamming,
+    * c_name))` — deterministic best match — in an update-mode
+    * aggregate keyed by the image (state: one row per in-flight
+    * image). Pigeonhole recall at τ≤7 is inherited from the banding,
+    * so a "new" verdict is EXACT, not probabilistic.
+    */
+  def imageDedupVerdicts(images: DataFrame, corpusBands: DataFrame,
+      tau: Int = 7): DataFrame = {
+    val hashed = images.select(col("name"),
+      graft.functions.DHash64Fn(col("content")).as("h"))
+    val banded = hashed.select(col("name"), col("h"),
+      explode(expr(
+        "transform(sequence(0, 7), i -> named_struct('band', i, 'key', shiftright(h, i * 8) & 255L))"))
+        .as("b"))
+      .select(col("name"), col("h"),
+        col("b.band").as("band"), col("b.key").as("key"))
+    banded
+      .join(broadcast(corpusBands), Seq("band", "key"), "left_outer")
+      .withColumn("hamming",
+        expr("CAST(bit_count(h ^ c_h) AS BIGINT)")) // null-safe: null c_h → null
+      .groupBy(col("name"))
+      .agg(min(when(col("hamming") <= tau,
+        struct(col("hamming"), col("c_name")))).as("best"))
+      .select(col("name"),
+        when(col("best").isNotNull, lit("near_dup")).otherwise(lit("new"))
+          .as("verdict"),
+        col("best.c_name").as("match_name"),
+        col("best.hamming").as("hamming"))
+  }
+
+  /** Build the band index artifact [[imageDedupVerdicts]] probes: 8
+    * (band, key) rows per accepted image. At lake scale this is the
+    * scheduled-indexing output, partitioned by band. */
+  def imageBandIndex(images: DataFrame): DataFrame =
+    images.select(col("name").as("c_name"),
+        graft.functions.DHash64Fn(col("content")).as("c_h"))
+      .select(col("c_name"), col("c_h"),
+        explode(expr(
+          "transform(sequence(0, 7), i -> named_struct('band', i, 'key', shiftright(c_h, i * 8) & 255L))"))
+          .as("b"))
+      .select(col("b.band").as("band"), col("b.key").as("key"),
+        col("c_name"), col("c_h"))
+
   /** Incremental BM25 index maintenance + serving — q226's streaming
     * twin and the shape of a live retrieval index: as documents stream
     * in, maintain (a) the postings restricted to the query terms

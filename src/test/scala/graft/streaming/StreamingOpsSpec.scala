@@ -710,6 +710,45 @@ class StreamingOpsSpec extends SparkTestBase {
     assert(sink.length > batch.size)
   }
 
+  test("streaming image dedup verdicts match batch and the analytic fixture structure") {
+    implicit val sqlCtx = spark.sqlContext
+    val dir = new java.io.File(
+      graft.operators.Round14Queries.PhashFixtureDir)
+    def bytes(n: String): Array[Byte] =
+      java.nio.file.Files.readAllBytes(new java.io.File(dir, n).toPath)
+    // accepted corpus: one representative per group + the checkerboard
+    val corpus = Seq("grad_a0.png", "grad_b0.png", "checker_c0.png")
+      .map(n => (n, bytes(n))).toDF("name", "content")
+    val index = StreamingOps.imageBandIndex(corpus).localCheckpoint()
+    // arrivals: two brightness twins, the 3-bit edit, one novel image
+    val arrivals = Seq("grad_a1.png", "grad_a2.png", "grad_b1.png",
+      "stripes_d0.png").map(n => (n, bytes(n)))
+    val input = MemoryStream[(String, Array[Byte])]
+    val stream = input.toDF.toDF("name", "content")
+    StreamingOps.runToMemory(spark,
+      StreamingOps.imageDedupVerdicts(stream, index), "img_out",
+      OutputMode.Update)
+    arrivals.grouped(2).foreach(g => input.addData(g.toIndexedSeq: _*))
+    // re-run to drain both batches
+    StreamingOps.runToMemory(spark,
+      StreamingOps.imageDedupVerdicts(stream, index), "img_out",
+      OutputMode.Update)
+    def toMap(d: org.apache.spark.sql.DataFrame) =
+      d.collect().map(r => r.getString(0) ->
+        (r.getString(1),
+          if (r.isNullAt(2)) None else Some(r.getString(2)),
+          if (r.isNullAt(3)) None else Some(r.getLong(3)))).toMap
+    val streamed = toMap(spark.table("img_out"))
+    val batch = toMap(StreamingOps.imageDedupVerdicts(
+      arrivals.toDF("name", "content"), index))
+    assert(streamed === batch)
+    // the analytic structure: twins at hamming 0, the edit at 3, d0 new
+    assert(streamed("grad_a1.png") === (("near_dup", Some("grad_a0.png"), Some(0L))))
+    assert(streamed("grad_a2.png") === (("near_dup", Some("grad_a0.png"), Some(3L))))
+    assert(streamed("grad_b1.png") === (("near_dup", Some("grad_b0.png"), Some(0L))))
+    assert(streamed("stripes_d0.png") === (("new", None, None)))
+  }
+
   test("incremental BM25 converges to the batch q226 through the shared rank pipeline") {
     implicit val sqlCtx = spark.sqlContext
     val docs = spark.read.parquet(s"$sf0001/documents.parquet")
