@@ -25,7 +25,7 @@ import org.apache.spark.sql.SparkSession
   * SIMILARITY_TOP1 hint, q225 is q211 through SETSIM_JOIN, q45/q132
   * are fixture-sized, q114 is exactly q115's
   * first training round), and the fixture-sized q54/q55 and
-  * q231 (dHash fixtures; input does not scale with sf).
+  * q231/q234 (dHash fixtures; input does not scale with sf).
   */
 object Bench {
 
@@ -108,7 +108,8 @@ object Bench {
     "q220_column_diff", "q221_seasonal_decomposition", "q222_sequence_match",
     "q223_sssp", "q224_containment_join",
     "q226_bm25", "q227_rouge2", "q228_mmr", "q229_roc_auc",
-    "q230_calibration_bins", "q232_pq_topk", "q233_pq_rerank")
+    "q230_calibration_bins", "q232_pq_topk", "q233_pq_rerank",
+    "q235_jackknife")
 
   /** 1/5/15-min load averages — recorded at start and end so a
     * load-contaminated run is self-documenting (BENCH_r04's 544 s

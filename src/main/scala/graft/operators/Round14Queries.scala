@@ -505,10 +505,74 @@ object Round14Queries {
       |ORDER BY a, b""".stripMargin)
   }
 
+  // ---------------------------------------------------------------- q235
+  /** Delete-one-group jackknife standard error of the mean token count
+    * — the resampling-based uncertainty leg the eval-stats family
+    * (q200 A/B, q207 KS, q166 χ², q229 AUC) lacked: "how stable is
+    * this corpus statistic under removal of any one source" is the
+    * question a curation change-review actually asks, and sources are
+    * the natural (and cluster-correlation-honest) resampling unit.
+    *
+    * Determinism discipline: leave-one-out means are micro-quantized
+    * (1e9) to DECIMAL(38,0) BEFORE any sum, so Σd and Σd² are exact
+    * (a 20-value double sum would be reduce-order nondeterministic);
+    * the variance identity g·Σd² − (Σd)² stays in exact decimal and
+    * doubles appear only in the final sqrt/divide, identically ordered
+    * in both engines. Shape: one map-side token count, one
+    * |sources|-row aggregate, one 1-row broadcast — corpus touched
+    * once.
+    */
+  def q235Jackknife(s: SparkSession, dir: String): DataFrame = {
+    val toks = Tables.documents(s, dir)
+      .select(col("source"), size(TextPrep.tokensCol(col("text"))).cast("long").as("nt"))
+    val per = toks.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_s"), sum(col("nt")).as("s_s"))
+    val tot = per.agg(sum(col("n_s")).as("N"), sum(col("s_s")).as("S"))
+    val d = per.crossJoin(broadcast(tot))
+      .filter(col("N") > col("n_s"))
+      .select(col("N"), col("S"),
+        expr("CAST(round(1e9 * (S - s_s) / (N - n_s), 0) AS DECIMAL(38,0))")
+          .as("d"))
+    d.groupBy(col("N"), col("S"))
+      .agg(count(lit(1)).as("g"), sum(col("d")).as("sd"),
+        sum(expr("d * d")).as("sdd"))
+      .select(col("g"),
+        round(col("S").cast("double") / col("N"), 6).as("mean_tokens"),
+        round(
+          sqrt((col("g") - 1).cast("double") *
+            expr("CAST(g * sdd - sd * sd AS DOUBLE)")) /
+            col("g") / lit(1e9), 6).as("jackknife_se"))
+  }
+
+  val q235Sql: String =
+    """WITH lists AS (
+      |  SELECT source,
+      |         list_filter(string_split(trim(regexp_replace(lower(text), '(\d|\W)+', ' ', 'g')), ' '), x -> x <> '') AS toks
+      |  FROM documents),
+      |per AS (
+      |  SELECT source, CAST(count(*) AS BIGINT) AS n_s,
+      |         CAST(sum(len(toks)) AS BIGINT) AS s_s
+      |  FROM lists GROUP BY source),
+      |tot AS (
+      |  SELECT CAST(sum(n_s) AS BIGINT) AS N, CAST(sum(s_s) AS BIGINT) AS S
+      |  FROM per),
+      |d AS (
+      |  SELECT t.N, t.S,
+      |         CAST(round(1e9 * (t.S - p.s_s) / (t.N - p.n_s), 0)
+      |              AS DECIMAL(38,0)) AS d
+      |  FROM per p CROSS JOIN tot t WHERE t.N > p.n_s)
+      |SELECT CAST(count(*) AS BIGINT) AS g,
+      |       round(CAST(S AS DOUBLE) / N, 6) AS mean_tokens,
+      |       round(sqrt(CAST(count(*) - 1 AS DOUBLE) *
+      |                  CAST(count(*) * sum(d * d) - sum(d) * sum(d) AS DOUBLE))
+      |             / count(*) / 1e9, 6) AS jackknife_se
+      |FROM d GROUP BY N, S""".stripMargin
+
   // ------------------------------------------------------------ registry
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q231_image_dhash_dedup" -> (q231ImageDhashDedup _),
     "q234_sql_dhash" -> (q234SqlDhash _),
+    "q235_jackknife" -> (q235Jackknife _),
     "q226_bm25" -> (q226Bm25 _),
     "q227_rouge2" -> (q227Rouge2 _),
     "q228_mmr" -> (q228Mmr _),
@@ -518,6 +582,7 @@ object Round14Queries {
   val oracles: Map[String, String] = Map(
     "q231_image_dhash_dedup" -> q231Sql,
     "q234_sql_dhash" -> q231Sql,
+    "q235_jackknife" -> q235Sql,
     "q226_bm25" -> q226Sql,
     "q227_rouge2" -> q227Sql,
     "q228_mmr" -> q228Sql,

@@ -196,6 +196,34 @@ class Round14QueriesSpec extends SparkTestBase {
     assert(err.getMessage.toLowerCase.contains("binary"), err.getMessage)
   }
 
+  test("q235: jackknife SE equals a local leave-one-out replay with exact carriers") {
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+      .select("source", "text").collect()
+      .map(r => (r.getString(0), tokens(r.getString(1)).size.toLong))
+    val per = docs.groupBy(_._1).map { case (s, xs) =>
+      s -> (xs.size.toLong, xs.map(_._2).sum)
+    }
+    val bigN = per.values.map(_._1).sum
+    val bigS = per.values.map(_._2).sum
+    val ds: Vector[BigInt] = per.values.toVector
+      .filter { case (n, _) => bigN > n }
+      .map { case (n, sTok) =>
+        BigDecimal(1e9 * (bigS - sTok).toDouble / (bigN - n))
+          .setScale(0, BigDecimal.RoundingMode.HALF_UP).toBigInt
+      }
+    val g = ds.size
+    val numer = BigInt(g) * ds.map(d => d * d).sum - {
+      val sd = ds.sum; sd * sd
+    }
+    val se = math.sqrt((g - 1).toDouble * numer.toDouble) / g / 1e9
+    val r = Round14Queries.q235Jackknife(spark, sf0001).collect()(0)
+    assert(r.getLong(0) === g.toLong)
+    assert(math.abs(r.getDouble(1) - bigS.toDouble / bigN) < 1e-6)
+    assert(math.abs(r.getDouble(2) - se) < 1e-6)
+    // sanity: SE positive and far below the mean on this balanced corpus
+    assert(r.getDouble(2) > 0 && r.getDouble(2) < r.getDouble(1))
+  }
+
   test("q230: fixed-width bins fold to the corpus exactly") {
     val docs = docsLocal(sf0001)
     val scored = docs.flatMap { case (_, text, lang) =>
