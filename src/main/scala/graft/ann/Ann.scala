@@ -406,7 +406,9 @@ object Ann {
     import org.apache.spark.ml.functions.array_to_vector
     val spark = corpus.sparkSession
     import spark.implicits._
-    val dim = corpus.select(size(col("embedding"))).head().getInt(0)
+    val dimRow = corpus.select(size(col("embedding"))).head(1)
+    require(dimRow.nonEmpty, "pqBuild: empty corpus — nothing to quantize")
+    val dim = dimRow(0).getInt(0)
     require(dim % m == 0, s"pqBuild: dim $dim not divisible by m=$m")
     val sw = dim / m
     val parts = (0 until m).map { sub =>
@@ -445,7 +447,9 @@ object Ann {
     VectorFunctions.register(spark)
     val codes = spark.read.parquet(s"$indexDir/codes")
     val codebooks = spark.read.parquet(s"$indexDir/codebooks")
-    val dim = queries.select(size(col("embedding"))).head().getInt(0)
+    val dimRow = queries.select(size(col("embedding"))).head(1)
+    require(dimRow.nonEmpty, "pqTopK: empty query set")
+    val dim = dimRow(0).getInt(0)
     val m = codebooks.agg(max(col("sub"))).head().getInt(0) + 1
     val sw = dim / m
     val q = queries.select(col("vec_id").as("qid"),

@@ -256,8 +256,11 @@ object Round14Queries {
               round(lit(MmrLambda) * col("rel") -
                 lit(1.0 - MmrLambda) * col("max_sim"), 6).as("mmr"))
         }
-      val row = scored.orderBy(col("mmr").desc, col("vec_id")).limit(1).head()
-      chosen :+= ((step, row.getLong(0), row.getDouble(1)))
+      // pool can run dry when the corpus has fewer than k+1 vectors —
+      // stop with the partial selection instead of head() throwing
+      val picked = scored.orderBy(col("mmr").desc, col("vec_id")).limit(1).collect()
+      if (picked.nonEmpty)
+        chosen :+= ((step, picked(0).getLong(0), picked(0).getDouble(1)))
     }
     val schema = StructType(Seq(
       StructField("step", LongType, nullable = false),
@@ -345,8 +348,11 @@ object Round14Queries {
         sum(col("pos") * col("cum_neg_below") * 2 + col("pos") * col("neg"))
           .as("num2"))
       .select(col("n_pos"), col("n_neg"), col("num2"),
-        round(col("num2") / (lit(2.0) * col("n_pos") * col("n_neg")), 6)
-          .as("auc"))
+        // nullif: a single-class corpus (P·N = 0) must yield NULL
+        // identically on both engines, not an engine-specific NaN
+        // (the q218 ADVICE rule)
+        round(col("num2") / nullif(lit(2.0) * col("n_pos") * col("n_neg"),
+          lit(0.0)), 6).as("auc"))
   }
 
   val q229Sql: String =
@@ -373,7 +379,7 @@ object Round14Queries {
       |       CAST(sum(neg) AS BIGINT) AS n_neg,
       |       CAST(sum(pos * cum_neg_below * 2 + pos * neg) AS BIGINT) AS num2,
       |       round(sum(pos * cum_neg_below * 2 + pos * neg)
-      |             / (2.0 * sum(pos) * sum(neg)), 6) AS auc
+      |             / nullif(2.0 * sum(pos) * sum(neg), 0.0), 6) AS auc
       |FROM cum""".stripMargin
 
   // ---------------------------------------------------------------- q230

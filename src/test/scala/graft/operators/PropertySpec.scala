@@ -265,4 +265,101 @@ class PropertySpec extends SparkTestBase {
       assert((trainIds union testIds) === ids.toSet)
     }
   }
+
+  // --------------------------------------------- round-6 kernel laws
+
+  private val blockGridGen: Gen[Map[(Int, Int), Int]] =
+    Gen.sequence[List[((Int, Int), Int)], ((Int, Int), Int)](
+      (for (x <- 0 until 9; y <- 0 until 8) yield for {
+        v <- Gen.chooseNum(10, 230)
+      } yield ((x, y), v)).toList).map(_.toMap)
+
+  test("dHash laws on random block images: analytic equality, brightness invariance, locality") {
+    import graft.tools.MediaFixtures
+    def hashOf(g: (Int, Int) => Int): Long = {
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(MediaFixtures.render(g), "png", bos)
+      graft.multimodal.Multimodal.dHash64(bos.toByteArray)
+    }
+    for (seed <- 1L to 3L) {
+      val grid = sample(blockGridGen, seed)
+      val g = (x: Int, y: Int) => grid((x, y))
+      // decode→hash equals the hash derived from the definition alone
+      assert(hashOf(g) === MediaFixtures.analyticHash(g))
+      // uniform brightness shift (no clipping) never flips a comparison
+      assert(hashOf((x, y) => g(x, y) + 11) === hashOf(g))
+      // locality: one block edit flips at most its 2 adjacent comparisons
+      val (ex, ey) = (4, sample(Gen.chooseNum(0, 7), seed + 10))
+      val edited = (x: Int, y: Int) => if ((x, y) == ((ex, ey))) 240 else g(x, y)
+      val d = java.lang.Long.bitCount(hashOf(g) ^ hashOf(edited))
+      assert(d <= 2, s"one-block edit flipped $d bits")
+    }
+  }
+
+  test("AUC is invariant under strictly monotone score transforms, and 0.5-symmetric") {
+    // local rank-sum AUC (the q229 formula) on random (score, label) data
+    def auc(rows: Seq[(Long, Boolean)]): Option[Double] = {
+      val pos = rows.filter(_._2).map(_._1)
+      val neg = rows.filterNot(_._2).map(_._1)
+      if (pos.isEmpty || neg.isEmpty) None
+      else Some((for (p <- pos; q <- neg)
+        yield if (p > q) 2L else if (p == q) 1L else 0L).sum.toDouble /
+        (2.0 * pos.size * neg.size))
+    }
+    val rowsGen = Gen.listOfN(60, for {
+      s <- Gen.chooseNum(0L, 50L)
+      l <- Gen.oneOf(true, false)
+    } yield (s, l))
+    for (seed <- 1L to 5L) {
+      val rows = sample(rowsGen, seed)
+      val base = auc(rows)
+      // strictly monotone transform: 3s + 7 — identical ranking
+      assert(auc(rows.map { case (s, l) => (3 * s + 7, l) }) === base)
+      // label flip mirrors around 0.5
+      (base, auc(rows.map { case (s, l) => (s, !l) })) match {
+        case (Some(a), Some(b)) => assert(math.abs(a + b - 1.0) < 1e-12)
+        case _ =>
+      }
+    }
+  }
+
+  test("MMR degenerates to top-k by relevance when every candidate is orthogonal") {
+    // if all pairwise sims are 0, the diversity term never discriminates
+    // and greedy MMR must return exactly the top-k by (rel desc, id asc).
+    val relGen = Gen.listOfN(12, Gen.chooseNum(-1000000, 1000000))
+    for (seed <- 1L to 3L) {
+      val rels = sample(relGen, seed).zipWithIndex
+        .map { case (r, i) => (i.toLong, r / 1e6) }
+      val lam = Round14Queries.MmrLambda
+      var chosen = Vector.empty[(Long, Double)]
+      for (_ <- 1 to 5) {
+        val cand = rels.filterNot(c => chosen.exists(_._1 == c._1))
+        val scored = cand.map { case (id, rel) =>
+          if (chosen.isEmpty) (id, rel) else (id, lam * rel - (1 - lam) * 0.0)
+        }
+        chosen :+= scored.minBy { case (id, s) => (-s, id) }
+      }
+      val expected = rels.sortBy { case (id, r) => (-r, id) }.take(5).map(_._1)
+      assert(chosen.map(_._1) === expected)
+    }
+  }
+
+  test("jackknife SE is zero for perfectly balanced groups and scales with imbalance") {
+    def se(groups: Seq[(Long, Long)]): Double = { // (n_s, s_s)
+      val bigN = groups.map(_._1).sum; val bigS = groups.map(_._2).sum
+      val ds = groups.filter(g => bigN > g._1).map { case (n, s) =>
+        BigDecimal(1e9 * (bigS - s).toDouble / (bigN - n))
+          .setScale(0, BigDecimal.RoundingMode.HALF_UP).toBigInt
+      }
+      val g = ds.size
+      val numer = BigInt(g) * ds.map(d => d * d).sum - { val sd = ds.sum; sd * sd }
+      math.sqrt((g - 1).toDouble * numer.toDouble) / g / 1e9
+    }
+    // identical groups → every leave-one-out mean equal → SE exactly 0
+    assert(se(Seq.fill(10)((5L, 500L))) === 0.0)
+    // growing imbalance strictly grows SE
+    val a = se(Seq((5L, 500L), (5L, 510L), (5L, 490L)))
+    val b = se(Seq((5L, 500L), (5L, 600L), (5L, 400L)))
+    assert(b > a && a > 0.0)
+  }
 }
