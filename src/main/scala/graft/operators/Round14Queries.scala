@@ -574,11 +574,115 @@ object Round14Queries {
       |             / count(*) / 1e9, 6) AS jackknife_se
       |FROM d GROUP BY N, S""".stripMargin
 
+  // ---------------------------------------------------------------- q236
+  /** Margin-based cross-lingual bitext mining (the Artetxe–Schwenk
+    * ratio margin behind CCMatrix-style parallel-corpus mining): for
+    * each source-language document, the best target-language candidate
+    * scored not by raw cosine but by the MARGIN
+    * `2k·cos(x,y) / (Σ_{z∈NNk(x)}cos + Σ_{w∈NNk(y)}cos)` — raw-cosine
+    * mining keeps hub vectors that are near EVERYTHING; dividing by
+    * both sides' neighborhood density is what makes mined pairs
+    * translation-like rather than merely generic.
+    *
+    * Determinism: every cosine is micro-quantized to a long BEFORE the
+    * k-way neighborhood sums (order-free exact folds — the reduce-order
+    * double trap again); the margin is one final division over exact
+    * integers, round-6. Sides come from `documents.lang` joined onto
+    * the embeddings by id — de (source) mined against en (target).
+    *
+    * Shape: the pair stage is the brute-force baseline (q21's
+    * contract — one |X|×|Y| scoring pass, computed ONCE and reused for
+    * both neighborhood directions via localCheckpoint); windows are
+    * per-query-keyed. At 100 TB the pair stage is replaced by the
+    * q43-IVF / q232-PQ shortlist and the margin math is unchanged —
+    * blocking changes candidates, not the scoring contract.
+    */
+  val BitextK = 4
+
+  def q236BitextMargin(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.VectorFunctions.register(s)
+    val langs = Tables.documents(s, dir).select(col("doc_id"), col("lang"))
+    val e = Tables.embeddings(s, dir)
+      .join(langs, col("vec_id") === col("doc_id"))
+      .select(col("vec_id"), col("embedding"), col("lang"))
+    val x = e.filter(col("lang") === "de")
+      .select(col("vec_id").as("x_id"), col("embedding").as("xv"))
+    val y = e.filter(col("lang") === "en")
+      .select(col("vec_id").as("y_id"), col("embedding").as("yv"))
+    val pairs = x.crossJoin(y)
+      .select(col("x_id"), col("y_id"),
+        round(lit(1e6) * graft.functions.VectorFunctions.dot(col("xv"), col("yv")), 0)
+          .cast("long").as("cos_micro"))
+      .localCheckpoint() // scored once; feeds both kNN directions + the argmax
+    val wx = Window.partitionBy(col("x_id"))
+      .orderBy(col("cos_micro").desc, col("y_id"))
+    val sumX = pairs.withColumn("r", row_number().over(wx))
+      .filter(col("r") <= BitextK)
+      .groupBy(col("x_id")).agg(sum(col("cos_micro")).as("nx"))
+    val wy = Window.partitionBy(col("y_id"))
+      .orderBy(col("cos_micro").desc, col("x_id"))
+    val sumY = pairs.withColumn("r", row_number().over(wy))
+      .filter(col("r") <= BitextK)
+      .groupBy(col("y_id")).agg(sum(col("cos_micro")).as("ny"))
+    val scored = pairs.join(sumX, Seq("x_id")).join(sumY, Seq("y_id"))
+      .filter(col("nx") + col("ny") > 0)
+      .select(col("x_id"), col("y_id"), col("cos_micro"),
+        round(lit(2.0 * BitextK) * col("cos_micro") /
+          (col("nx") + col("ny")), 6).as("margin"))
+    val wBest = Window.partitionBy(col("x_id"))
+      .orderBy(col("margin").desc, col("y_id"))
+    scored.withColumn("rk", row_number().over(wBest))
+      .filter(col("rk") === 1)
+      .select(col("x_id"), col("y_id"), col("cos_micro"), col("margin"))
+      .orderBy(col("x_id"))
+  }
+
+  private def bitextDot(a: String, b: String): String =
+    s"(SELECT sum(CAST(p AS DOUBLE) * q) FROM (SELECT unnest($a) AS p, unnest($b) AS q))"
+
+  val q236Sql: String =
+    s"""WITH e AS (
+       |  SELECT em.vec_id, em.embedding, d.lang
+       |  FROM embeddings em JOIN documents d ON em.vec_id = d.doc_id),
+       |x AS (SELECT vec_id AS x_id, embedding AS xv FROM e WHERE lang = 'de'),
+       |y AS (SELECT vec_id AS y_id, embedding AS yv FROM e WHERE lang = 'en'),
+       |pairs AS (
+       |  SELECT x.x_id, y.y_id,
+       |         CAST(round(1e6 * ${bitextDot("x.xv", "y.yv")}, 0) AS BIGINT)
+       |           AS cos_micro
+       |  FROM x CROSS JOIN y),
+       |sumx AS (
+       |  SELECT x_id, CAST(sum(cos_micro) AS BIGINT) AS nx FROM (
+       |    SELECT x_id, cos_micro,
+       |           row_number() OVER (PARTITION BY x_id
+       |                              ORDER BY cos_micro DESC, y_id) AS r
+       |    FROM pairs) AS t WHERE r <= $BitextK GROUP BY x_id),
+       |sumy AS (
+       |  SELECT y_id, CAST(sum(cos_micro) AS BIGINT) AS ny FROM (
+       |    SELECT y_id, cos_micro,
+       |           row_number() OVER (PARTITION BY y_id
+       |                              ORDER BY cos_micro DESC, x_id) AS r
+       |    FROM pairs) AS t WHERE r <= $BitextK GROUP BY y_id),
+       |scored AS (
+       |  SELECT p.x_id, p.y_id, p.cos_micro,
+       |         round(${2.0 * BitextK} * p.cos_micro / (sx.nx + sy.ny), 6)
+       |           AS margin
+       |  FROM pairs p JOIN sumx sx USING (x_id) JOIN sumy sy USING (y_id)
+       |  WHERE sx.nx + sy.ny > 0),
+       |best AS (
+       |  SELECT x_id, y_id, cos_micro, margin,
+       |         row_number() OVER (PARTITION BY x_id
+       |                            ORDER BY margin DESC, y_id) AS rk
+       |  FROM scored)
+       |SELECT x_id, y_id, cos_micro, margin FROM best WHERE rk = 1
+       |ORDER BY x_id""".stripMargin
+
   // ------------------------------------------------------------ registry
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q231_image_dhash_dedup" -> (q231ImageDhashDedup _),
     "q234_sql_dhash" -> (q234SqlDhash _),
     "q235_jackknife" -> (q235Jackknife _),
+    "q236_bitext_margin" -> (q236BitextMargin _),
     "q226_bm25" -> (q226Bm25 _),
     "q227_rouge2" -> (q227Rouge2 _),
     "q228_mmr" -> (q228Mmr _),
@@ -589,6 +693,7 @@ object Round14Queries {
     "q231_image_dhash_dedup" -> q231Sql,
     "q234_sql_dhash" -> q231Sql,
     "q235_jackknife" -> q235Sql,
+    "q236_bitext_margin" -> q236Sql,
     "q226_bm25" -> q226Sql,
     "q227_rouge2" -> q227Sql,
     "q228_mmr" -> q228Sql,

@@ -224,6 +224,53 @@ class Round14QueriesSpec extends SparkTestBase {
     assert(r.getDouble(2) > 0 && r.getDouble(2) < r.getDouble(1))
   }
 
+  test("q236: margin mining equals a local replay; margin re-ranks away from raw cosine") {
+    val langs = spark.read.parquet(s"$sf0001/documents.parquet")
+      .select("doc_id", "lang").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val vecs = spark.read.parquet(s"$sf0001/embeddings.parquet")
+      .select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    def dot(a: Array[Float], b: Array[Float]): Double = {
+      var acc = 0.0; var i = 0
+      while (i < a.length) { acc += a(i).toDouble * b(i).toDouble; i += 1 }
+      acc
+    }
+    def micro(x: Double): Long =
+      BigDecimal(1e6 * x).setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+    val xs = vecs.keys.filter(id => langs.get(id).contains("de")).toVector.sorted
+    val ys = vecs.keys.filter(id => langs.get(id).contains("en")).toVector.sorted
+    val cos: Map[(Long, Long), Long] = (for (x <- xs; y <- ys)
+      yield (x, y) -> micro(dot(vecs(x), vecs(y)))).toMap
+    val k = Round14Queries.BitextK
+    val nx = xs.map(x => x -> ys.map(y => (cos((x, y)), y)).sortBy {
+      case (c, y) => (-c, y) }.take(k).map(_._1).sum).toMap
+    val ny = ys.map(y => y -> xs.map(x => (cos((x, y)), x)).sortBy {
+      case (c, x) => (-c, x) }.take(k).map(_._1).sum).toMap
+    def r6(v: Double): Double =
+      BigDecimal(v).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val expected = xs.flatMap { x =>
+      val cands = ys.filter(y => nx(x) + ny(y) > 0).map { y =>
+        (y, r6(2.0 * k * cos((x, y)) / (nx(x) + ny(y))))
+      }
+      if (cands.isEmpty) None
+      else {
+        val (y, m) = cands.minBy { case (y, m) => (-m, y) }
+        Some((x, y, cos((x, y)), m))
+      }
+    }
+    val got = Round14Queries.q236BitextMargin(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toVector
+    assert(got === expected)
+    // the margin must actually re-rank: at least one source doc's best
+    // candidate differs from its raw-cosine argmax (hub penalization)
+    val byCos = xs.map { x =>
+      x -> ys.map(y => (cos((x, y)), y)).minBy { case (c, y) => (-c, y) }._2
+    }.toMap
+    val reranked = got.count { case (x, y, _, _) => byCos(x) != y }
+    assert(reranked > 0, "margin never disagreed with raw cosine — no hubness signal")
+  }
+
   test("q230: fixed-width bins fold to the corpus exactly") {
     val docs = docsLocal(sf0001)
     val scored = docs.flatMap { case (_, text, lang) =>
