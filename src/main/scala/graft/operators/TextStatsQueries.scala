@@ -1491,7 +1491,94 @@ object TextStatsQueries {
        |FROM per_source ORDER BY source""".stripMargin
   }
 
+  // --------------------------------------------------------------- q237
+  /** Chance-corrected agreement + macro-F1 over the lang-ID confusion —
+    * the classifier-audit statistics q107/q169's raw matrices stop
+    * short of: Cohen's κ answers "how much better than chance is the
+    * q25 heuristic against the labeled `lang` column", macro-F1 weights
+    * every language equally so the 44%-majority `en` class cannot mask
+    * minority-language failure. The κ identity stays in exact integers
+    * — κ = (n·Σdiag − Σ row_c·col_c) / (n² − Σ row_c·col_c) — and
+    * per-class F1 = 2·diag/(row+col) is micro-quantized to longs before
+    * the macro average, so no double crosses a fold. Shape: one
+    * corpus-scale join (truth ⋈ prediction, doc-keyed) into a
+    * |langs|²-bounded confusion table; everything after is
+    * label-cardinality-bounded.
+    */
+  def q237AgreementMetrics(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val pred = TextStats.langId(docs, "doc_id", "text")
+      .select(col("doc_id"), col("pred_lang"))
+    val conf = docs.select(col("doc_id"), col("lang"))
+      .join(pred, Seq("doc_id"))
+      .groupBy(col("lang").as("t"), col("pred_lang").as("p"))
+      .agg(count(lit(1)).as("n"))
+    val rows = conf.groupBy(col("t")).agg(sum(col("n")).as("row_n"))
+    val cols = conf.groupBy(col("p")).agg(sum(col("n")).as("col_n"))
+    val diag = conf.filter(col("t") === col("p"))
+      .select(col("t").as("c"), col("n").as("diag_n"))
+    val cls = rows.join(cols, rows("t") === cols("p"), "full_outer")
+      .select(coalesce(col("t"), col("p")).as("c"),
+        coalesce(col("row_n"), lit(0L)).as("row_n"),
+        coalesce(col("col_n"), lit(0L)).as("col_n"))
+      .join(diag, Seq("c"), "left_outer")
+      .withColumn("diag_n", coalesce(col("diag_n"), lit(0L)))
+      .withColumn("f1_micro",
+        expr("CAST(round(1e6 * 2 * diag_n / (row_n + col_n), 0) AS BIGINT)"))
+    cls.agg(sum(col("row_n")).as("n"), count(lit(1)).as("g"),
+        sum(col("diag_n")).as("sumdiag"),
+        sum(col("row_n") * col("col_n")).as("pe_num"),
+        sum(col("f1_micro")).as("f1_sum"))
+      .select(col("n"), col("g"),
+        round(col("sumdiag") / col("n"), 6).as("po"),
+        round((col("n") * col("sumdiag") - col("pe_num")) /
+          nullif((col("n") * col("n") - col("pe_num")).cast("double"),
+            lit(0.0)), 6).as("kappa"),
+        round(col("f1_sum") / col("g") / lit(1e6), 6).as("macro_f1"))
+  }
+
+  val q237Sql: String =
+    s"""WITH $listsCte,
+       |tok AS (SELECT doc_id, unnest(toks) AS word FROM lists),
+       |scores AS (
+       |  SELECT doc_id,
+       |    $scoreSelects
+       |  FROM tok GROUP BY doc_id),
+       |pred0 AS (
+       |  SELECT d.doc_id, d.lang, d.text,
+       |    ${langNames.map(l => s"COALESCE(s.score_$l, 0) AS score_$l").mkString(", ")}
+       |  FROM documents d LEFT JOIN scores s ON d.doc_id = s.doc_id),
+       |pred AS (
+       |  SELECT doc_id, lang,
+       |    CASE WHEN regexp_matches(text, '${TextStats.CjkPatternSql}') THEN 'zh'
+       |         $langArms
+       |         ELSE 'und' END AS pred_lang
+       |  FROM pred0),
+       |conf AS (
+       |  SELECT lang AS t, pred_lang AS p, CAST(count(*) AS BIGINT) AS n
+       |  FROM pred GROUP BY lang, pred_lang),
+       |rws AS (SELECT t, CAST(sum(n) AS BIGINT) AS row_n FROM conf GROUP BY t),
+       |cls AS (SELECT p, CAST(sum(n) AS BIGINT) AS col_n FROM conf GROUP BY p),
+       |dg AS (SELECT t AS c, n AS diag_n FROM conf WHERE t = p),
+       |lab AS (
+       |  SELECT COALESCE(r.t, cl.p) AS c,
+       |         COALESCE(r.row_n, 0) AS row_n, COALESCE(cl.col_n, 0) AS col_n
+       |  FROM rws r FULL OUTER JOIN cls cl ON r.t = cl.p),
+       |f AS (
+       |  SELECT l.c, l.row_n, l.col_n, COALESCE(d.diag_n, 0) AS diag_n,
+       |         CAST(round(1e6 * 2 * COALESCE(d.diag_n, 0)
+       |                    / (l.row_n + l.col_n), 0) AS BIGINT) AS f1_micro
+       |  FROM lab l LEFT JOIN dg d ON d.c = l.c)
+       |SELECT CAST(sum(row_n) AS BIGINT) AS n, CAST(count(*) AS BIGINT) AS g,
+       |       round(sum(diag_n) / sum(row_n), 6) AS po,
+       |       round((sum(row_n) * sum(diag_n) - sum(row_n * col_n))
+       |             / nullif(CAST(sum(row_n) * sum(row_n) - sum(row_n * col_n)
+       |                      AS DOUBLE), 0.0), 6) AS kappa,
+       |       round(sum(f1_micro) / count(*) / 1e6, 6) AS macro_f1
+       |FROM f""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q237_agreement_metrics" -> (q237AgreementMetrics _),
     "q156_tokenizer_fertility" -> (q156TokenizerFertility _),
     "q167_bpe_decode" -> (q167BpeDecode _),
     "q169_lang_confusion" -> (q169LangConfusion _),
@@ -1524,6 +1611,7 @@ object TextStatsQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q237_agreement_metrics" -> q237Sql,
     "q156_tokenizer_fertility" -> q156Sql,
     "q167_bpe_decode" -> q167Sql,
     "q169_lang_confusion" -> q169Sql,

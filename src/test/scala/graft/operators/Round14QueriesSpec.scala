@@ -271,6 +271,44 @@ class Round14QueriesSpec extends SparkTestBase {
     assert(reranked > 0, "margin never disagreed with raw cosine — no hubness signal")
   }
 
+  test("q237: kappa/macro-F1 equal a local confusion replay; bounds hold") {
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+    val pred = graft.textstats.TextStats.langId(docs, "doc_id", "text")
+      .select("doc_id", "pred_lang").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val truth = docs.select("doc_id", "lang").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val conf = truth.keys.groupBy(id => (truth(id), pred(id)))
+      .map { case (k, v) => k -> v.size.toLong }
+    val labels = (conf.keys.map(_._1) ++ conf.keys.map(_._2)).toVector.distinct
+    val row = labels.map(c => c -> conf.collect {
+      case ((t, _), n) if t == c => n }.sum).toMap
+    val colN = labels.map(c => c -> conf.collect {
+      case ((_, p), n) if p == c => n }.sum).toMap
+    val diag = labels.map(c => c -> conf.getOrElse((c, c), 0L)).toMap
+    val n = row.values.sum
+    val peNum = labels.map(c => row(c) * colN(c)).sum
+    def r6(v: Double) =
+      BigDecimal(v).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val kappa = r6((n * diag.values.sum - peNum).toDouble / (n * n - peNum))
+    val f1Sum = labels.map { c =>
+      BigDecimal(1e6 * 2 * diag(c) / (row(c) + colN(c)).toDouble)
+        .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+    }.sum
+    val r = graft.operators.TextStatsQueries
+      .q237AgreementMetrics(spark, sf0001).collect()(0)
+    assert(r.getLong(0) === n)
+    assert(r.getLong(1) === labels.size.toLong)
+    assert(r.getDouble(2) === r6(diag.values.sum.toDouble / n))
+    assert(r.getDouble(3) === kappa)
+    assert(r.getDouble(4) === r6(f1Sum.toDouble / labels.size / 1e6))
+    // bounds: po ∈ [0,1], κ ∈ [−1,1], macro-F1 ∈ [0,1], and κ ≤ po
+    assert(r.getDouble(2) >= 0 && r.getDouble(2) <= 1)
+    assert(r.getDouble(3) >= -1 && r.getDouble(3) <= 1)
+    assert(r.getDouble(4) >= 0 && r.getDouble(4) <= 1)
+    assert(r.getDouble(3) <= r.getDouble(2) + 1e-9)
+  }
+
   test("q230: fixed-width bins fold to the corpus exactly") {
     val docs = docsLocal(sf0001)
     val scored = docs.flatMap { case (_, text, lang) =>
