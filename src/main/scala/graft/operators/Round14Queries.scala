@@ -677,12 +677,151 @@ object Round14Queries {
        |SELECT x_id, y_id, cos_micro, margin FROM best WHERE rk = 1
        |ORDER BY x_id""".stripMargin
 
+  // ---------------------------------------------------------------- q238
+  /** q236's SCALE PATH as gated code, not prose: centroid-blocked
+    * bitext mining. The |X|×|Y| pair stage is replaced by the q155
+    * blocking — top-2 centroid probes per vector, candidates = (de,
+    * en) pairs sharing a probed cluster — and the margin contract is
+    * UNCHANGED, with neighborhoods computed over the candidate graph
+    * (the standard practical approximation: at mining scale the exact
+    * kNN is itself shortlist-derived). Blocking changes candidates,
+    * never the scoring: the same micro-long cosines, the same exact
+    * k-way sums, the same one round-6 division. The spec pins the
+    * measured agreement with the exact q236 ranking and the strict
+    * candidate reduction the blocking buys.
+    *
+    * Honest sf0.1 measurement: 2.7 s vs q236's 2.2 s — at this scale
+    * the probe stage costs more than the (10-centroid, top-2) blocking
+    * saves. The crossover is corpus size: the exact pair stage grows
+    * |X|·|Y| while the blocked stage grows with candidate volume, and
+    * a production coarse quantizer has thousands of cells, not 10
+    * label means. The query exists to gate the blocked SHAPE, not to
+    * win the small-corpus race.
+    */
+  def q238BitextBlocked(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.VectorFunctions.register(s)
+    val langs = Tables.documents(s, dir).select(col("doc_id"), col("lang"))
+    val e = Tables.embeddings(s, dir)
+      .join(langs, col("vec_id") === col("doc_id"))
+      .select(col("vec_id"), col("embedding"), col("lang"))
+      .filter(col("lang").isin("de", "en"))
+    val cent = AnnQueries.centroidArrays(s, dir)
+    val wProbe = Window.partitionBy(col("vec_id"))
+      .orderBy(col("ccos").desc, col("c_label").asc)
+    val probes = e.crossJoin(broadcast(cent))
+      .select(col("vec_id"), col("lang"), col("c_label"),
+        round(graft.functions.VectorFunctions.dotD(
+          col("embedding").cast("array<double>"), col("centroid")), 6)
+          .as("ccos"))
+      .withColumn("rk", row_number().over(wProbe))
+      .filter(col("rk") <= 2)
+      .select(col("vec_id"), col("lang"), col("c_label").as("cluster"))
+      .localCheckpoint()
+    val candIds = probes.filter(col("lang") === "de")
+      .select(col("vec_id").as("x_id"), col("cluster"))
+      .join(probes.filter(col("lang") === "en")
+        .select(col("vec_id").as("y_id"), col("cluster")), Seq("cluster"))
+      .select(col("x_id"), col("y_id")).distinct()
+    val vx = e.filter(col("lang") === "de")
+      .select(col("vec_id").as("x_id"), col("embedding").as("xv"))
+    val vy = e.filter(col("lang") === "en")
+      .select(col("vec_id").as("y_id"), col("embedding").as("yv"))
+    val pairs = candIds.join(vx, Seq("x_id")).join(vy, Seq("y_id"))
+      .select(col("x_id"), col("y_id"),
+        round(lit(1e6) * graft.functions.VectorFunctions.dot(col("xv"), col("yv")), 0)
+          .cast("long").as("cos_micro"))
+      .localCheckpoint()
+    val wx = Window.partitionBy(col("x_id"))
+      .orderBy(col("cos_micro").desc, col("y_id"))
+    val sumX = pairs.withColumn("r", row_number().over(wx))
+      .filter(col("r") <= BitextK)
+      .groupBy(col("x_id")).agg(sum(col("cos_micro")).as("nx"))
+    val wy = Window.partitionBy(col("y_id"))
+      .orderBy(col("cos_micro").desc, col("x_id"))
+    val sumY = pairs.withColumn("r", row_number().over(wy))
+      .filter(col("r") <= BitextK)
+      .groupBy(col("y_id")).agg(sum(col("cos_micro")).as("ny"))
+    val scored = pairs.join(sumX, Seq("x_id")).join(sumY, Seq("y_id"))
+      .filter(col("nx") + col("ny") > 0)
+      .select(col("x_id"), col("y_id"), col("cos_micro"),
+        round(lit(2.0 * BitextK) * col("cos_micro") /
+          (col("nx") + col("ny")), 6).as("margin"))
+    val wBest = Window.partitionBy(col("x_id"))
+      .orderBy(col("margin").desc, col("y_id"))
+    scored.withColumn("rk", row_number().over(wBest))
+      .filter(col("rk") === 1)
+      .select(col("x_id"), col("y_id"), col("cos_micro"), col("margin"))
+      .orderBy(col("x_id"))
+  }
+
+  val q238Sql: String =
+    s"""WITH dims AS (
+       |  SELECT vec_id, label, j,
+       |         CAST(embedding[CAST(j AS INTEGER) + 1] AS DOUBLE) AS v
+       |  FROM embeddings, range(64) t(j)),
+       |cent AS (
+       |  SELECT label AS c_label, j, round(avg(v), 6) AS m
+       |  FROM dims GROUP BY label, j),
+       |side AS (
+       |  SELECT em.vec_id, em.embedding, d.lang
+       |  FROM embeddings em JOIN documents d ON em.vec_id = d.doc_id
+       |  WHERE d.lang IN ('de', 'en')),
+       |cdots AS (
+       |  SELECT d2.vec_id, sd.lang, c.c_label,
+       |         round(sum(d2.v * c.m), 6) AS ccos
+       |  FROM dims d2 JOIN cent c USING (j)
+       |  JOIN side sd ON sd.vec_id = d2.vec_id
+       |  GROUP BY d2.vec_id, sd.lang, c.c_label),
+       |probes AS (
+       |  SELECT vec_id, lang, c_label AS cluster FROM (
+       |    SELECT vec_id, lang, c_label,
+       |           row_number() OVER (PARTITION BY vec_id
+       |                              ORDER BY ccos DESC, c_label ASC) AS rk
+       |    FROM cdots) AS t WHERE rk <= 2),
+       |cand AS (
+       |  SELECT DISTINCT px.vec_id AS x_id, py.vec_id AS y_id
+       |  FROM probes px JOIN probes py ON px.cluster = py.cluster
+       |  WHERE px.lang = 'de' AND py.lang = 'en'),
+       |pairs AS (
+       |  SELECT c.x_id, c.y_id,
+       |         CAST(round(1e6 * ${bitextDot("ex.embedding", "ey.embedding")}, 0)
+       |              AS BIGINT) AS cos_micro
+       |  FROM cand c
+       |  JOIN embeddings ex ON ex.vec_id = c.x_id
+       |  JOIN embeddings ey ON ey.vec_id = c.y_id),
+       |sumx AS (
+       |  SELECT x_id, CAST(sum(cos_micro) AS BIGINT) AS nx FROM (
+       |    SELECT x_id, cos_micro,
+       |           row_number() OVER (PARTITION BY x_id
+       |                              ORDER BY cos_micro DESC, y_id) AS r
+       |    FROM pairs) AS t WHERE r <= $BitextK GROUP BY x_id),
+       |sumy AS (
+       |  SELECT y_id, CAST(sum(cos_micro) AS BIGINT) AS ny FROM (
+       |    SELECT y_id, cos_micro,
+       |           row_number() OVER (PARTITION BY y_id
+       |                              ORDER BY cos_micro DESC, x_id) AS r
+       |    FROM pairs) AS t WHERE r <= $BitextK GROUP BY y_id),
+       |scored AS (
+       |  SELECT p.x_id, p.y_id, p.cos_micro,
+       |         round(${2.0 * BitextK} * p.cos_micro / (sx.nx + sy.ny), 6)
+       |           AS margin
+       |  FROM pairs p JOIN sumx sx USING (x_id) JOIN sumy sy USING (y_id)
+       |  WHERE sx.nx + sy.ny > 0),
+       |best AS (
+       |  SELECT x_id, y_id, cos_micro, margin,
+       |         row_number() OVER (PARTITION BY x_id
+       |                            ORDER BY margin DESC, y_id) AS rk
+       |  FROM scored)
+       |SELECT x_id, y_id, cos_micro, margin FROM best WHERE rk = 1
+       |ORDER BY x_id""".stripMargin
+
   // ------------------------------------------------------------ registry
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q231_image_dhash_dedup" -> (q231ImageDhashDedup _),
     "q234_sql_dhash" -> (q234SqlDhash _),
     "q235_jackknife" -> (q235Jackknife _),
     "q236_bitext_margin" -> (q236BitextMargin _),
+    "q238_bitext_blocked" -> (q238BitextBlocked _),
     "q226_bm25" -> (q226Bm25 _),
     "q227_rouge2" -> (q227Rouge2 _),
     "q228_mmr" -> (q228Mmr _),
@@ -694,6 +833,7 @@ object Round14Queries {
     "q234_sql_dhash" -> q231Sql,
     "q235_jackknife" -> q235Sql,
     "q236_bitext_margin" -> q236Sql,
+    "q238_bitext_blocked" -> q238Sql,
     "q226_bm25" -> q226Sql,
     "q227_rouge2" -> q227Sql,
     "q228_mmr" -> q228Sql,

@@ -309,6 +309,56 @@ class Round14QueriesSpec extends SparkTestBase {
     assert(r.getDouble(3) <= r.getDouble(2) + 1e-9)
   }
 
+  test("q238: blocked mining agrees with exact q236 on most sources; blocking is strict") {
+    val exact = Round14Queries.q236BitextMargin(spark, sf0001).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val blocked = Round14Queries.q238BitextBlocked(spark, sf0001).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // every source doc still gets a best pair through the blocking
+    assert(blocked.keySet === exact.keySet)
+    // measured top-1 agreement on this weak-NN-structure corpus (the
+    // q20 calibration context): 0.61 at sf0.01; floor pinned at 0.5 —
+    // fully deterministic (centroids are exact label means, no fit)
+    val agree = exact.count { case (x, y) => blocked.get(x).contains(y) }
+    assert(agree.toDouble / exact.size >= 0.5,
+      s"agreement ${agree.toDouble / exact.size} below floor")
+    // and the blocking is strict: candidate pairs < |X|·|Y|
+    val langs = spark.read.parquet(s"$sf0001/documents.parquet")
+      .select("doc_id", "lang").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val nx = langs.values.count(_ == "de").toLong
+    val ny = langs.values.count(_ == "en").toLong
+    val candCount = {
+      import org.apache.spark.sql.functions._
+      // recompute the candidate-id relation exactly as the query does
+      val e = graft.Tables.embeddings(spark, sf0001)
+        .join(spark.read.parquet(s"$sf0001/documents.parquet")
+          .select(col("doc_id"), col("lang")), col("vec_id") === col("doc_id"))
+        .select(col("vec_id"), col("embedding"), col("lang"))
+        .filter(col("lang").isin("de", "en"))
+      val cents = {
+        val m = graft.operators.AnnQueries.q47EmbeddingCentroids(spark, sf0001)
+        m.groupBy(col("label").as("c_label"))
+          .agg(transform(array_sort(collect_list(struct(col("j"), col("m")))),
+            x => x.getField("m")).as("centroid"))
+      }
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("vec_id")).orderBy(col("ccos").desc, col("c_label").asc)
+      val probes = e.crossJoin(broadcast(cents))
+        .select(col("vec_id"), col("lang"), col("c_label"),
+          round(graft.functions.VectorFunctions.dotD(
+            col("embedding").cast("array<double>"), col("centroid")), 6).as("ccos"))
+        .withColumn("rk", org.apache.spark.sql.functions.row_number().over(w))
+        .filter(col("rk") <= 2)
+      probes.filter(col("lang") === "de").select(col("vec_id").as("x"), col("c_label"))
+        .join(probes.filter(col("lang") === "en")
+          .select(col("vec_id").as("y"), col("c_label")), Seq("c_label"))
+        .select("x", "y").distinct().count()
+    }
+    assert(candCount < nx * ny,
+      s"blocking produced $candCount of ${nx * ny} possible pairs")
+  }
+
   test("q230: fixed-width bins fold to the corpus exactly") {
     val docs = docsLocal(sf0001)
     val scored = docs.flatMap { case (_, text, lang) =>
