@@ -129,4 +129,42 @@ class EdgeCaseSpec extends SparkTestBase {
     val iv = Seq((1L, ts0, java.sql.Timestamp.valueOf("2024-01-02 00:00:00"))).toDF("iid", "s", "e")
     assert(RangeJoin.pointInInterval(noPts, "pt", iv, "s", "e", 3600000).count() === 0)
   }
+
+  test("round-6 kernel guards and degenerate inputs") {
+    // dHash: undersized image and corrupt bytes both fail LOUDLY
+    val tiny = new java.awt.image.BufferedImage(4, 4,
+      java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(tiny, "png", bos)
+    val e1 = intercept[IllegalArgumentException] {
+      graft.multimodal.Multimodal.dHash64(bos.toByteArray)
+    }
+    assert(e1.getMessage.contains("too small"))
+    val e2 = intercept[IllegalArgumentException] {
+      graft.multimodal.Multimodal.dHash64(Array[Byte](9, 9, 9))
+    }
+    assert(e2.getMessage.contains("could not decode"))
+    // BM25 rank over empty postings: empty result, no crash
+    val tf0 = Seq.empty[(Long, String, Long)].toDF("doc_id", "term", "tf")
+    val dl0 = Seq.empty[(Long, Long)].toDF("doc_id", "dl")
+    val df0 = Seq.empty[(String, Long)].toDF("term", "df")
+    val st = Seq((0L, 0.0)).toDF("n_docs", "avgdl")
+    assert(Round14Queries.bm25Rank(tf0, dl0, df0, st, 10).count() === 0)
+    // ROUGE on a corpus of sub-bigram docs: no pairs, no ANSI abort
+    val subBigram = Seq((1L, "one"), (2L, "two")).toDF("doc_id", "text")
+    subBigram.createOrReplaceTempView("graft_edge_docs_unused")
+    // (q227 reads from the sf dir; the law it relies on — size<2 docs
+    // are filtered before sequence() — is asserted via the column expr)
+    val bigrams = subBigram
+      .select(TextPrep.tokensCol(col("text")).as("toks"))
+      .filter(size(col("toks")) >= 2)
+    assert(bigrams.count() === 0)
+    // jackknife on a single source: zero output rows (no leave-one-out
+    // estimate exists), not a division error
+    // replicated via the same N > n_s filter the query applies
+    val one = Seq(("s1", 5L)).toDF("source", "nt")
+    val per = one.groupBy($"source").agg(count(lit(1)).as("n_s"), sum($"nt").as("s_s"))
+    val tot = per.agg(sum($"n_s").as("N"), sum($"s_s").as("S"))
+    assert(per.crossJoin(tot).filter($"N" > $"n_s").count() === 0)
+  }
 }
