@@ -815,6 +815,204 @@ object Round14Queries {
        |SELECT x_id, y_id, cos_micro, margin FROM best WHERE rk = 1
        |ORDER BY x_id""".stripMargin
 
+  // ---------------------------------------------------------------- q239
+  /** Operating-point selection for a score-based filter: sweep every
+    * observed threshold and emit the Youden-J-optimal and F1-optimal
+    * cut — the decision step between q229's "how good is the score"
+    * and actually deploying a quality filter. Predict-positive-if
+    * score ≥ t; tp/fp at every t come from one descending cumulative
+    * sum over the score-GROUP table (the same quantization-bounded
+    * window class as q229 — allowlisted). J = tp·N − fp·P and
+    * F1 = 2tp/(tp+fp+P) are compared in EXACT integer/cross-multiplied
+    * form; doubles appear only in the emitted round-6 metric values.
+    * Ties break toward the smaller threshold (the more permissive
+    * filter), deterministically.
+    */
+  def q239ThresholdSelect(s: SparkSession, dir: String): DataFrame = {
+    val scored = Tables.documents(s, dir)
+      .select(col("lang"), TextPrep.tokensCol(col("text")).as("toks"))
+      .filter(size(col("toks")) > 0)
+      .select(col("lang"),
+        expr("1000000L * size(array_distinct(toks)) div size(toks)").as("score"))
+    val groups = scored.groupBy(col("score"))
+      .agg(sum(when(col("lang") === "en", 1L).otherwise(0L)).as("pos"),
+        sum(when(col("lang") === "en", 0L).otherwise(1L)).as("neg"))
+    val w = Window.orderBy(col("score").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = groups
+      .withColumn("tp", sum(col("pos")).over(w))
+      .withColumn("fp", sum(col("neg")).over(w))
+      .crossJoin(broadcast(groups.agg(sum(col("pos")).as("p_tot"),
+        sum(col("neg")).as("n_tot"))))
+      .localCheckpoint() // one cumsum pass feeds both criterion argmaxes
+    // exact-integer criteria: J ∝ tp·N − fp·P; F1 ranks by tp/(tp+fp+P)
+    // ⇔ cross-multiplied tp_a·den_b > tp_b·den_a — monotone in tp/den,
+    // so max_by(struct(...)) with the smaller-threshold tie-break works
+    // on integer keys only
+    val j = cum.select(lit("youden_j").as("criterion"), col("score"),
+      col("tp"), col("fp"), col("p_tot"), col("n_tot"),
+      (col("tp") * col("n_tot") - col("fp") * col("p_tot")).as("key_num"),
+      (col("p_tot") * col("n_tot")).as("key_den"))
+    val f = cum.select(lit("f1_max").as("criterion"), col("score"),
+      col("tp"), col("fp"), col("p_tot"), col("n_tot"),
+      (col("tp") * 2L).as("key_num"),
+      (col("tp") + col("fp") + col("p_tot")).as("key_den"))
+    j.unionByName(f)
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("criterion"))
+          .orderBy((col("key_num").cast("double") / col("key_den")).desc,
+            col("score").asc)))
+      .filter(col("rk") === 1)
+      .select(col("criterion"), col("score").as("threshold"),
+        col("tp"), col("fp"),
+        round(col("key_num") / col("key_den"), 6).as("metric"))
+      .orderBy(col("criterion"))
+  }
+
+  val q239Sql: String =
+    """WITH lists AS (
+      |  SELECT lang,
+      |         list_filter(string_split(trim(regexp_replace(lower(text), '(\d|\W)+', ' ', 'g')), ' '), x -> x <> '') AS toks
+      |  FROM documents),
+      |scored AS (
+      |  SELECT lang,
+      |         1000000 * len(list_distinct(toks)) // len(toks) AS score
+      |  FROM lists WHERE len(toks) > 0),
+      |grp AS (
+      |  SELECT score,
+      |         CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS pos,
+      |         CAST(sum(CASE WHEN lang = 'en' THEN 0 ELSE 1 END) AS BIGINT) AS neg
+      |  FROM scored GROUP BY score),
+      |cum AS (
+      |  SELECT score,
+      |         sum(pos) OVER (ORDER BY score DESC
+      |                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS tp,
+      |         sum(neg) OVER (ORDER BY score DESC
+      |                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS fp,
+      |         (SELECT sum(pos) FROM grp) AS p_tot,
+      |         (SELECT sum(neg) FROM grp) AS n_tot
+      |  FROM grp),
+      |crit AS (
+      |  SELECT 'youden_j' AS criterion, score, tp, fp, p_tot, n_tot,
+      |         tp * n_tot - fp * p_tot AS key_num, p_tot * n_tot AS key_den
+      |  FROM cum
+      |  UNION ALL
+      |  SELECT 'f1_max', score, tp, fp, p_tot, n_tot,
+      |         tp * 2, tp + fp + p_tot
+      |  FROM cum),
+      |best AS (
+      |  SELECT criterion, score, tp, fp, key_num, key_den,
+      |         row_number() OVER (PARTITION BY criterion
+      |                            ORDER BY CAST(key_num AS DOUBLE) / key_den DESC,
+      |                                     score ASC) AS rk
+      |  FROM crit)
+      |SELECT criterion, score AS threshold,
+      |       CAST(tp AS BIGINT) AS tp, CAST(fp AS BIGINT) AS fp,
+      |       round(key_num / key_den, 6) AS metric
+      |FROM best WHERE rk = 1 ORDER BY criterion""".stripMargin
+
+  // ---------------------------------------------------------------- q240
+  /** RM3-lite pseudo-relevance feedback: run BM25, mine expansion
+    * terms from the top-10 feedback docs (highest feedback term
+    * frequency, stopwords and original query excluded, term-asc tie
+    * break), re-run BM25 with the expanded query — the two-stage
+    * retrieval loop real search stacks run, gated end-to-end with the
+    * expansion DERIVED inside the query on both engines (no baked-in
+    * term list; the oracle re-derives the same expansion or the hash
+    * fails). All counts integer; the only doubles are the shared BM25
+    * formula's, identical to q226.
+    *
+    * Shape: stage 1 is q226 (broadcasts + top-k heap); the feedback
+    * term mining is a 10-doc explode (broadcast-semi on the feedback
+    * ids); stage 2 re-scores with a (|Q|+3)-term filter — the corpus
+    * explode runs twice, which at lake scale both ride the q216
+    * inverted index instead.
+    */
+  val Rm3Expansions = 3
+
+  def q240Rm3Expansion(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+      .select(col("doc_id"), TextPrep.tokensCol(col("text")).as("toks"))
+      .localCheckpoint() // tokenized once; feeds stage 1, mining, stage 2
+    val dl = docs.select(col("doc_id"), size(col("toks")).cast("long").as("dl"))
+    val stats = dl.agg(count(lit(1)).as("n_docs"),
+      (sum(col("dl")) / count(lit(1))).as("avgdl"))
+    val allTf = docs
+      .select(col("doc_id"), explode(col("toks")).as("term"))
+      .groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+      .localCheckpoint() // per-(doc, term) counts shared by both stages
+    def bm25For(terms: DataFrame): DataFrame = {
+      val tf = allTf.join(broadcast(terms), Seq("term"), "left_semi")
+      val dfTab = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+      bm25Rank(tf, dl, dfTab, stats, Bm25TopK)
+    }
+    val q0 = s.createDataFrame(
+      java.util.Arrays.asList(Bm25Query.map(org.apache.spark.sql.Row(_)): _*),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("term",
+          org.apache.spark.sql.types.StringType, nullable = false))))
+    val feedback = bm25For(q0).select(col("doc_id"))
+    val stop = TextPrep.DefaultStopwords ++ Bm25Query
+    val expansions = allTf
+      .join(broadcast(feedback), Seq("doc_id"), "left_semi")
+      .filter(!col("term").isin(stop: _*))
+      .groupBy(col("term")).agg(sum(col("tf")).as("fb_tf"))
+      .orderBy(col("fb_tf").desc, col("term").asc)
+      .limit(Rm3Expansions)
+      .select(col("term"))
+    bm25For(q0.unionByName(expansions))
+  }
+
+  val q240Sql: String = {
+    val stopList = (TextPrep.DefaultStopwords ++ Bm25Query)
+      .map(t => s"'$t'").mkString(", ")
+    s"""WITH lists AS (
+       |  SELECT doc_id,
+       |         list_filter(string_split(trim(regexp_replace(lower(text), '(\\d|\\W)+', ' ', 'g')), ' '), x -> x <> '') AS toks
+       |  FROM documents),
+       |dl AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl FROM lists),
+       |stats AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+       |                 sum(dl) / count(*) AS avgdl FROM dl),
+       |alltf AS (
+       |  SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf FROM (
+       |    SELECT doc_id, unnest(toks) AS term FROM lists) AS t
+       |  GROUP BY doc_id, term),
+       |tf1 AS (SELECT * FROM alltf WHERE term IN ($bm25TermList)),
+       |df1 AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf1 GROUP BY term),
+       |s1 AS (
+       |  SELECT t.doc_id,
+       |         round(sum(ln(1.0 + (s.n_docs - d.df + 0.5) / (d.df + 0.5)) *
+       |             (t.tf * (${Bm25K1} + 1.0)) /
+       |             (t.tf + ${Bm25K1} *
+       |              (1.0 - ${Bm25B} + ${Bm25B} * l.dl / s.avgdl))), 6) AS bm25
+       |  FROM tf1 t JOIN df1 d USING (term) JOIN dl l USING (doc_id)
+       |  CROSS JOIN stats s GROUP BY t.doc_id),
+       |fb AS (SELECT doc_id FROM s1 ORDER BY bm25 DESC, doc_id LIMIT $Bm25TopK),
+       |exp AS (
+       |  SELECT term FROM alltf
+       |  WHERE doc_id IN (SELECT doc_id FROM fb)
+       |    AND term NOT IN ($stopList)
+       |  GROUP BY term
+       |  ORDER BY sum(tf) DESC, term ASC LIMIT $Rm3Expansions),
+       |q2 AS (SELECT term FROM exp
+       |       UNION ALL
+       |       SELECT unnest([$bm25TermList]) AS term),
+       |tf2 AS (SELECT a.* FROM alltf a WHERE a.term IN (SELECT term FROM q2)),
+       |df2 AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf2 GROUP BY term),
+       |s2 AS (
+       |  SELECT t.doc_id,
+       |         round(sum(ln(1.0 + (s.n_docs - d.df + 0.5) / (d.df + 0.5)) *
+       |             (t.tf * (${Bm25K1} + 1.0)) /
+       |             (t.tf + ${Bm25K1} *
+       |              (1.0 - ${Bm25B} + ${Bm25B} * l.dl / s.avgdl))), 6) AS bm25,
+       |         CAST(count(*) AS BIGINT) AS n_terms_hit
+       |  FROM tf2 t JOIN df2 d USING (term) JOIN dl l USING (doc_id)
+       |  CROSS JOIN stats s GROUP BY t.doc_id)
+       |SELECT doc_id, bm25, n_terms_hit FROM s2
+       |ORDER BY bm25 DESC, doc_id LIMIT $Bm25TopK""".stripMargin
+  }
+
   // ------------------------------------------------------------ registry
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q231_image_dhash_dedup" -> (q231ImageDhashDedup _),
@@ -822,6 +1020,8 @@ object Round14Queries {
     "q235_jackknife" -> (q235Jackknife _),
     "q236_bitext_margin" -> (q236BitextMargin _),
     "q238_bitext_blocked" -> (q238BitextBlocked _),
+    "q239_threshold_select" -> (q239ThresholdSelect _),
+    "q240_rm3_expansion" -> (q240Rm3Expansion _),
     "q226_bm25" -> (q226Bm25 _),
     "q227_rouge2" -> (q227Rouge2 _),
     "q228_mmr" -> (q228Mmr _),
@@ -834,6 +1034,8 @@ object Round14Queries {
     "q235_jackknife" -> q235Sql,
     "q236_bitext_margin" -> q236Sql,
     "q238_bitext_blocked" -> q238Sql,
+    "q239_threshold_select" -> q239Sql,
+    "q240_rm3_expansion" -> q240Sql,
     "q226_bm25" -> q226Sql,
     "q227_rouge2" -> q227Sql,
     "q228_mmr" -> q228Sql,

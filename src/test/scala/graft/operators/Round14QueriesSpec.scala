@@ -20,19 +20,19 @@ class Round14QueriesSpec extends SparkTestBase {
       .collect().toVector
       .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
 
-  test("q226: BM25 top-10 matches a from-scratch local scorer") {
-    val docs = docsLocal(sf0001)
-    val toks = docs.map { case (id, text, _) => id -> tokens(text) }
+  /** From-scratch local BM25 (shared by the q226 and q240 replays). */
+  private def localBm25(toks: Vector[(Long, Vector[String])],
+      query: Seq[String], k: Int): Vector[(Long, Double, Long)] = {
     val n = toks.size.toLong
     val avgdl = toks.map(_._2.size.toLong).sum.toDouble / n
-    val df: Map[String, Long] = Round14Queries.Bm25Query.map { t =>
+    val df: Map[String, Long] = query.map { t =>
       t -> toks.count(_._2.contains(t)).toLong
     }.toMap
     val k1 = Round14Queries.Bm25K1
     val b = Round14Queries.Bm25B
-    val scored = toks.flatMap { case (id, ts) =>
+    toks.flatMap { case (id, ts) =>
       val dl = ts.size.toLong
-      val contribs = Round14Queries.Bm25Query.flatMap { t =>
+      val contribs = query.flatMap { t =>
         val tf = ts.count(_ == t).toLong
         if (tf == 0) None
         else {
@@ -45,12 +45,73 @@ class Round14QueriesSpec extends SparkTestBase {
       else Some((id, BigDecimal(contribs.sum)
         .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble,
         contribs.size.toLong))
-    }
-    val expected = scored.sortBy { case (id, s, _) => (-s, id) }
-      .take(Round14Queries.Bm25TopK)
+    }.sortBy { case (id, s, _) => (-s, id) }.take(k)
+  }
+
+  test("q226: BM25 top-10 matches a from-scratch local scorer") {
+    val docs = docsLocal(sf0001)
+    val toks = docs.map { case (id, text, _) => id -> tokens(text) }
+    val expected = localBm25(toks, Round14Queries.Bm25Query,
+      Round14Queries.Bm25TopK)
     val got = Round14Queries.q226Bm25(spark, sf0001).collect()
       .map(r => (r.getLong(0), r.getDouble(1), r.getLong(2))).toVector
     assert(got === expected)
+  }
+
+  test("q239: optimal thresholds equal an exhaustive local sweep") {
+    val docs = docsLocal(sf0001)
+    val scored = docs.flatMap { case (_, text, lang) =>
+      val ts = tokens(text)
+      if (ts.isEmpty) None
+      else Some((1000000L * ts.distinct.size / ts.size, lang == "en"))
+    }
+    val p = scored.count(_._2).toLong
+    val nTot = scored.size.toLong - p
+    val thresholds = scored.map(_._1).distinct
+    def counts(t: Long): (Long, Long) = (
+      scored.count { case (s, l) => s >= t && l }.toLong,
+      scored.count { case (s, l) => s >= t && !l }.toLong)
+    // exhaustive argmax with the smaller-threshold tie-break, exact keys
+    val bestJ = thresholds.map { t =>
+      val (tp, fp) = counts(t); (t, tp, fp, tp * nTot - fp * p)
+    }.minBy { case (t, _, _, key) => (-key, t) }
+    val bestF = thresholds.map { t =>
+      val (tp, fp) = counts(t)
+      (t, tp, fp, BigDecimal(2 * tp) / BigDecimal(tp + fp + p))
+    }.minBy { case (t, _, _, key) => (-key, t) }
+    val got = Round14Queries.q239ThresholdSelect(spark, sf0001).collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4))).toMap
+    assert(got("youden_j")._1 === bestJ._1)
+    assert((got("youden_j")._2, got("youden_j")._3) === ((bestJ._2, bestJ._3)))
+    assert(got("f1_max")._1 === bestF._1)
+    // metric bounds: J ∈ [−1, 1], F1 ∈ [0, 1]
+    assert(got("youden_j")._4 >= -1 && got("youden_j")._4 <= 1)
+    assert(got("f1_max")._4 >= 0 && got("f1_max")._4 <= 1)
+  }
+
+  test("q240: RM3 expansion replays locally end-to-end; expansion changes the ranking input") {
+    val docs = docsLocal(sf0001)
+    val toks = docs.map { case (id, text, _) => id -> tokens(text) }
+    val fb = localBm25(toks, Round14Queries.Bm25Query,
+      Round14Queries.Bm25TopK).map(_._1).toSet
+    val stop = (graft.text.TextPrep.DefaultStopwords ++
+      Round14Queries.Bm25Query).toSet
+    val expTerms = toks.filter(t => fb.contains(t._1))
+      .flatMap(_._2).filterNot(stop.contains)
+      .groupBy(identity).toVector
+      .map { case (t, xs) => (t, xs.size.toLong) }
+      .sortBy { case (t, c) => (-c, t) }
+      .take(Round14Queries.Rm3Expansions).map(_._1)
+    assert(expTerms.size === Round14Queries.Rm3Expansions)
+    val expected = localBm25(toks,
+      Round14Queries.Bm25Query ++ expTerms, Round14Queries.Bm25TopK)
+    val got = Round14Queries.q240Rm3Expansion(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getLong(2))).toVector
+    assert(got === expected)
+    // the expansion is real: some result hits more terms than |Q| could give
+    assert(got.exists(_._3 > Round14Queries.Bm25Query.size),
+      "no doc matched any expansion term — expansion had no effect")
   }
 
   test("q227: clipped bigram overlap matches hand-built multisets") {
