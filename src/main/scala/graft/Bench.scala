@@ -111,7 +111,7 @@ object Bench {
     "q230_calibration_bins", "q232_pq_topk", "q233_pq_rerank",
     "q235_jackknife", "q236_bitext_margin",
     "q237_agreement_metrics", "q238_bitext_blocked",
-    "q239_threshold_select", "q240_rm3_expansion")
+    "q239_threshold_select", "q240_rm3_expansion", "q241_ranking_eval")
 
   /** 1/5/15-min load averages — recorded at start and end so a
     * load-contaminated run is self-documenting (BENCH_r04's 544 s

@@ -1013,6 +1013,114 @@ object Round14Queries {
        |ORDER BY bm25 DESC, doc_id LIMIT $Bm25TopK""".stripMargin
   }
 
+  // ---------------------------------------------------------------- q241
+  /** Ranking-quality evaluation of the q226 BM25 ranking: nDCG@10 with
+    * graded relevance plus MRR — the metrics that close the retrieval
+    * loop (q226 ranks, q240 expands, q241 says whether the ranking is
+    * any good). Graded relevance is DERIVED in-query (query-term
+    * occurrences capped at 7) so both engines grade identically with
+    * no label side-channel. Per-position gains
+    * (2^rel − 1)/log2(pos + 1) are nano-quantized to longs before the
+    * 10-way sums (the order-free-fold rule); IDCG ranks the WHOLE
+    * corpus by relevance (TakeOrderedAndProject, grade-then-id
+    * tie-break) so nDCG is against the true ideal, not the retrieved
+    * subset's. MRR: reciprocal rank of the first doc with rel ≥ 2,
+    * 0 when none.
+    */
+  def q241RankingEval(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+      .select(col("doc_id"), TextPrep.tokensCol(col("text")).as("toks"))
+    // graded relevance: query-term OCCURRENCES capped at 7 (distinct-term
+    // grading saturates on this dense corpus — every top doc holds all
+    // |Q| terms and nDCG degenerates to 1.0; occurrence grading makes the
+    // ideal differ from the length-normalized BM25 order, so the metric
+    // actually discriminates)
+    val rel = docs.select(col("doc_id"),
+      least(lit(7L), size(filter(col("toks"),
+        t => t.isin(Bm25Query: _*))).cast("long")).as("rel"))
+      .localCheckpoint() // grades feed the ranking join AND the ideal
+    val ranked = q226Bm25(s, dir)
+      .withColumn("pos",
+        row_number().over(Window.orderBy(col("bm25").desc, col("doc_id")))
+          .cast("long"))
+      .join(rel, Seq("doc_id"))
+      .select(col("pos"), col("rel"),
+        expr("CAST(round(1e9 * (pow(2.0, rel) - 1.0) / log2(pos + 1), 0) AS BIGINT)")
+          .as("gain_nano"))
+    val ideal = rel
+      .orderBy(col("rel").desc, col("doc_id"))
+      .limit(Bm25TopK)
+      .withColumn("pos",
+        row_number().over(Window.orderBy(col("rel").desc, col("doc_id")))
+          .cast("long"))
+      .select(expr("CAST(round(1e9 * (pow(2.0, rel) - 1.0) / log2(pos + 1), 0) AS BIGINT)")
+        .as("gain_nano"))
+    val dcg = ranked.agg(sum(col("gain_nano")).as("dcg_nano"))
+    val idcg = ideal.agg(sum(col("gain_nano")).as("idcg_nano"))
+    val mrr = ranked.filter(col("rel") >= 2)
+      .agg(coalesce(round(lit(1.0) / min(col("pos")), 6), lit(0.0)).as("mrr"))
+    dcg.crossJoin(idcg).crossJoin(mrr)
+      .select(col("dcg_nano"), col("idcg_nano"),
+        round(col("dcg_nano") / nullif(col("idcg_nano").cast("double"), lit(0.0)), 6)
+          .as("ndcg"),
+        col("mrr"))
+  }
+
+  private val bm25QueryArr =
+    Bm25Query.map(t => s"'$t'").mkString("[", ", ", "]")
+
+  val q241Sql: String =
+    s"""WITH lists AS (
+       |  SELECT doc_id,
+       |         list_filter(string_split(trim(regexp_replace(lower(text), '(\\d|\\W)+', ' ', 'g')), ' '), x -> x <> '') AS toks
+       |  FROM documents),
+       |rel AS (
+       |  SELECT doc_id,
+       |         LEAST(7, CAST(len(list_filter(toks,
+       |               x -> list_contains($bm25QueryArr, x))) AS BIGINT)) AS rel
+       |  FROM lists),
+       |dl AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl FROM lists),
+       |stats AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+       |                 sum(dl) / count(*) AS avgdl FROM dl),
+       |tf AS (
+       |  SELECT doc_id, term, count(*) AS tf FROM (
+       |    SELECT doc_id, unnest(toks) AS term FROM lists) AS t
+       |  WHERE term IN ($bm25TermList)
+       |  GROUP BY doc_id, term),
+       |dfreq AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY term),
+       |scored AS (
+       |  SELECT t.doc_id,
+       |         round(sum(ln(1.0 + (s.n_docs - d.df + 0.5) / (d.df + 0.5)) *
+       |             (t.tf * (${Bm25K1} + 1.0)) /
+       |             (t.tf + ${Bm25K1} *
+       |              (1.0 - ${Bm25B} + ${Bm25B} * l.dl / s.avgdl))), 6) AS bm25
+       |  FROM tf t JOIN dfreq d USING (term) JOIN dl l USING (doc_id)
+       |  CROSS JOIN stats s GROUP BY t.doc_id),
+       |ranked AS (
+       |  SELECT r.rel,
+       |         row_number() OVER (ORDER BY s.bm25 DESC, s.doc_id) AS pos
+       |  FROM (SELECT * FROM scored ORDER BY bm25 DESC, doc_id
+       |        LIMIT $Bm25TopK) AS s
+       |  JOIN rel r USING (doc_id)),
+       |rgain AS (
+       |  SELECT CAST(round(1e9 * (pow(2.0, rel) - 1.0) / log2(pos + 1), 0)
+       |              AS BIGINT) AS gain_nano, rel, pos
+       |  FROM ranked),
+       |igain AS (
+       |  SELECT CAST(round(1e9 * (pow(2.0, rel) - 1.0) / log2(pos + 1), 0)
+       |              AS BIGINT) AS gain_nano
+       |  FROM (
+       |    SELECT rel, row_number() OVER (ORDER BY rel DESC, doc_id) AS pos
+       |    FROM (SELECT * FROM rel ORDER BY rel DESC, doc_id
+       |          LIMIT $Bm25TopK) AS i) AS t)
+       |SELECT (SELECT CAST(sum(gain_nano) AS BIGINT) FROM rgain) AS dcg_nano,
+       |       (SELECT CAST(sum(gain_nano) AS BIGINT) FROM igain) AS idcg_nano,
+       |       round((SELECT sum(gain_nano) FROM rgain)
+       |             / nullif(CAST((SELECT sum(gain_nano) FROM igain) AS DOUBLE),
+       |                      0.0), 6) AS ndcg,
+       |       COALESCE(round(1.0 / (SELECT min(pos) FROM rgain WHERE rel >= 2), 6),
+       |                0.0) AS mrr""".stripMargin
+
   // ------------------------------------------------------------ registry
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q231_image_dhash_dedup" -> (q231ImageDhashDedup _),
@@ -1022,6 +1130,7 @@ object Round14Queries {
     "q238_bitext_blocked" -> (q238BitextBlocked _),
     "q239_threshold_select" -> (q239ThresholdSelect _),
     "q240_rm3_expansion" -> (q240Rm3Expansion _),
+    "q241_ranking_eval" -> (q241RankingEval _),
     "q226_bm25" -> (q226Bm25 _),
     "q227_rouge2" -> (q227Rouge2 _),
     "q228_mmr" -> (q228Mmr _),
@@ -1036,6 +1145,7 @@ object Round14Queries {
     "q238_bitext_blocked" -> q238Sql,
     "q239_threshold_select" -> q239Sql,
     "q240_rm3_expansion" -> q240Sql,
+    "q241_ranking_eval" -> q241Sql,
     "q226_bm25" -> q226Sql,
     "q227_rouge2" -> q227Sql,
     "q228_mmr" -> q228Sql,

@@ -877,7 +877,8 @@ class PlanSpec extends SparkTestBase {
       "q165_budget_apportion" -> "largest-remainder rank over the |sources| (20-row) table",
       "q178_benford" -> "digit-share window over the 9-row first-digit table",
       "q229_roc_auc" -> "rank-sum cumsum over the score-GROUP table: ≤1e6 rows by micro-unit quantization (the quantization IS the bound)",
-      "q239_threshold_select" -> "threshold sweep cumsum over the same quantization-bounded score-GROUP table as q229")
+      "q239_threshold_select" -> "threshold sweep cumsum over the same quantization-bounded score-GROUP table as q229",
+      "q241_ranking_eval" -> "position stamps over the LIMIT-10 BM25 result and the LIMIT-10 ideal — both k-bounded")
     val offenders = graft.SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
       case (name, fn) =>
         val ws = try unpartitionedWindows(fn(spark, sf0001)) catch {

@@ -114,6 +114,36 @@ class Round14QueriesSpec extends SparkTestBase {
       "no doc matched any expansion term — expansion had no effect")
   }
 
+  test("q241: nDCG/MRR equal a local replay over the BM25 ranking") {
+    val docs = docsLocal(sf0001)
+    val toks = docs.map { case (id, text, _) => id -> tokens(text) }
+    val rel: Map[Long, Long] = toks.map { case (id, ts) =>
+      id -> math.min(7L, ts.count(Round14Queries.Bm25Query.contains).toLong)
+    }.toMap
+    val ranking = localBm25(toks, Round14Queries.Bm25Query,
+      Round14Queries.Bm25TopK).map(_._1)
+    def gainNano(r: Long, pos: Long): Long =
+      BigDecimal(1e9 * (math.pow(2.0, r.toDouble) - 1.0) /
+        (math.log(pos + 1.0) / math.log(2.0)))
+        .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+    val dcg = ranking.zipWithIndex
+      .map { case (id, i) => gainNano(rel(id), i + 1L) }.sum
+    val ideal = rel.toVector.sortBy { case (id, r) => (-r, id) }
+      .take(Round14Queries.Bm25TopK)
+    val idcg = ideal.zipWithIndex
+      .map { case ((_, r), i) => gainNano(r, i + 1L) }.sum
+    val firstRel = ranking.zipWithIndex
+      .collectFirst { case (id, i) if rel(id) >= 2 => i + 1L }
+    def r6(v: Double) =
+      BigDecimal(v).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val r = Round14Queries.q241RankingEval(spark, sf0001).collect()(0)
+    assert(r.getLong(0) === dcg)
+    assert(r.getLong(1) === idcg)
+    assert(r.getDouble(2) === r6(dcg.toDouble / idcg))
+    assert(r.getDouble(3) === firstRel.map(p => r6(1.0 / p)).getOrElse(0.0))
+    assert(r.getDouble(2) > 0 && r.getDouble(2) <= 1.0)
+  }
+
   test("q227: clipped bigram overlap matches hand-built multisets") {
     val docs = docsLocal(sf0001)
     val bg: Map[Long, Map[String, Long]] = docs.map { case (id, text, _) =>
