@@ -331,15 +331,11 @@ object Round14Queries {
     * window rides a bounded post-aggregation table, the same class as
     * q170's value histogram. Nothing corpus-sized crosses the window.
     */
-  def q229RocAuc(s: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.documents(s, dir)
-      .select(col("lang"), TextPrep.tokensCol(col("text")).as("toks"))
-      .filter(size(col("toks")) > 0) // ANSI: div-by-zero is an error, not NULL
-      .select(col("lang"),
-        expr("1000000L * size(array_distinct(toks)) div size(toks)").as("score"))
-    val groups = docs.groupBy(col("score"))
-      .agg(sum(when(col("lang") === "en", 1L).otherwise(0L)).as("pos"),
-        sum(when(col("lang") === "en", 0L).otherwise(1L)).as("neg"))
+  /** Rank-sum AUC tail over a (score, pos, neg) group table — shared
+    * by the batch gate AND the streaming monitor
+    * ([[graft.streaming.StreamingOps.runningRocAuc]]), so stream ≡
+    * batch holds by shared code (the bm25Rank discipline). */
+  def rocAucFromGroups(groups: DataFrame): DataFrame = {
     val w = Window.orderBy(col("score"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     groups
@@ -354,6 +350,21 @@ object Round14Queries {
         round(col("num2") / nullif(lit(2.0) * col("n_pos") * col("n_neg"),
           lit(0.0)), 6).as("auc"))
   }
+
+  /** Per-doc (score, pos, neg) projection shared by batch and stream:
+    * micro-unit TTR score, label = lang = 'en'. */
+  def ttrScoreGroups(docs: DataFrame): DataFrame =
+    docs
+      .select(col("lang"), TextPrep.tokensCol(col("text")).as("toks"))
+      .filter(size(col("toks")) > 0) // ANSI: div-by-zero is an error, not NULL
+      .select(col("lang"),
+        expr("1000000L * size(array_distinct(toks)) div size(toks)").as("score"))
+      .groupBy(col("score"))
+      .agg(sum(when(col("lang") === "en", 1L).otherwise(0L)).as("pos"),
+        sum(when(col("lang") === "en", 0L).otherwise(1L)).as("neg"))
+
+  def q229RocAuc(s: SparkSession, dir: String): DataFrame =
+    rocAucFromGroups(ttrScoreGroups(Tables.documents(s, dir)))
 
   val q229Sql: String =
     """WITH lists AS (

@@ -623,6 +623,34 @@ object StreamingOps {
       .select(col("b.band").as("band"), col("b.key").as("key"),
         col("c_name"), col("c_h"))
 
+  /** Running ROC-AUC monitor — q229's streaming twin, and the live
+    * form of "is our quality score still separating the classes":
+    * per-micro-batch (score, pos, neg) partial counts fold into a
+    * running group table whose size the 1e6 micro-unit quantization
+    * BOUNDS (the same cardinality argument that allowlists q229's
+    * batch window — streaming state here is the score histogram, never
+    * the corpus), and each emission recomputes AUC through the
+    * IDENTICAL [[graft.operators.Round14Queries.rocAucFromGroups]]
+    * tail the batch gate uses — stream ≡ batch by shared code, the
+    * bm25Rank discipline. Docs need (lang, text) columns.
+    */
+  def runningRocAuc(docs: DataFrame)(emit: DataFrame => Unit)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    var groups: Option[DataFrame] = None
+    docs.writeStream.outputMode("append")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val b = graft.operators.Round14Queries.ttrScoreGroups(batch)
+        val merged = groups.map(_.unionByName(b)
+            .groupBy(col("score"))
+            .agg(sum(col("pos")).as("pos"), sum(col("neg")).as("neg")))
+          .getOrElse(b)
+          .localCheckpoint()
+        groups = Some(merged)
+        emit(graft.operators.Round14Queries.rocAucFromGroups(merged))
+      }
+      .start()
+  }
+
   /** Incremental BM25 index maintenance + serving — q226's streaming
     * twin and the shape of a live retrieval index: as documents stream
     * in, maintain (a) the postings restricted to the query terms

@@ -749,6 +749,39 @@ class StreamingOpsSpec extends SparkTestBase {
     assert(streamed("stripes_d0.png") === (("new", None, None)))
   }
 
+  test("running ROC-AUC converges to the batch q229 through the shared rank-sum tail") {
+    implicit val sqlCtx = spark.sqlContext
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+      .select("lang", "text").collect()
+      .map(r => (r.getString(0), r.getString(1))).toSeq
+    val input = MemoryStream[(String, String)]
+    val stream = input.toDF.toDF("lang", "text")
+    val emissions = scala.collection.mutable.ArrayBuffer
+      .empty[(Long, Long, Long, Double)]
+    val q = StreamingOps.runningRocAuc(stream) { auc =>
+      val r = auc.collect()(0)
+      emissions.synchronized {
+        emissions += ((r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      }
+    }
+    docs.grouped(23).foreach { g =>
+      input.addData(g.toIndexedSeq: _*); q.processAllAvailable()
+    }
+    q.stop()
+    val batch = graft.operators.Round14Queries.q229RocAuc(spark, sf0001)
+      .collect()(0)
+    assert(emissions.nonEmpty)
+    assert(emissions.last === ((batch.getLong(0), batch.getLong(1),
+      batch.getLong(2), batch.getDouble(3))))
+    // monotone corpus growth: totals never shrink across emissions
+    emissions.sliding(2).foreach {
+      case scala.collection.mutable.ArrayBuffer((p1, n1, _, _), (p2, n2, _, _)) =>
+        assert(p2 >= p1 && n2 >= n1)
+      case _ =>
+    }
+    assert(emissions.size === docs.grouped(23).size)
+  }
+
   test("incremental BM25 converges to the batch q226 through the shared rank pipeline") {
     implicit val sqlCtx = spark.sqlContext
     val docs = spark.read.parquet(s"$sf0001/documents.parquet")
