@@ -120,6 +120,78 @@ object DedupQueries {
     s"""WITH $q16Ctes
        |SELECT a, b, jaccard FROM jac WHERE jaccard >= $LshJaccardThreshold ORDER BY a, b""".stripMargin
 
+  // --------------------------------------------------------------- q242
+  /** LSH recall audit: the q16 banded MinHash pipeline measured
+    * against the EXACT token-set Jaccard join at the same τ=0.7 — the
+    * number the S-curve analysis (q105) only estimates, computed on
+    * the actual corpus. The exact side is [[Round12Queries.setSimJoin]]
+    * over the same token sets (prefix-filtered, candidate-verified —
+    * no all-pairs stage), so the audit itself scales; the LSH side is
+    * q16's own chain plus its raw candidate count. Output: one row —
+    * n_exact, n_lsh (= n_hit since q16 verifies exactly), n_missed,
+    * recall, n_candidates, candidate_precision. The verify-containment
+    * law (lsh ⊆ exact) is spec-asserted, not assumed.
+    *
+    * Threshold equivalence note: the exact side tests 17·inter ≥
+    * 7·(|a|+|b|) (⟺ J ≥ 7/10 in integers); q16 tests round-6 Jaccard
+    * ≥ 0.7. A disagreement needs an exact ratio inside
+    * [0.6999995, 0.7), impossible for rationals with union ≤ corpus
+    * vocab — the spec pins the containment anyway.
+    */
+  def q242LshRecallAudit(s: SparkSession, dir: String): DataFrame = {
+    val toks = Dedup.tokenSets(Tables.documents(s, dir), "doc_id", "text")
+      .localCheckpoint() // feeds exact join, signatures, and verify
+    val exact = Round12Queries.setSimJoin(
+        toks.select(col("id"), col("word").as("shingle")), 7, 10)
+      .select(col("a"), col("b"))
+      .localCheckpoint()
+    val cands = Dedup.lshCandidates(Dedup.minhashSig(toks, K), Bands, RowsPerBand)
+      .localCheckpoint()
+    val lsh = Dedup.jaccardOnCandidates(toks, cands)
+      .withColumn("jaccard", round(col("jaccard"), 6))
+      .filter(col("jaccard") >= LshJaccardThreshold)
+      .select(col("a"), col("b"))
+      .localCheckpoint()
+    val hit = exact.join(lsh, Seq("a", "b"), "left_semi")
+    exact.agg(count(lit(1)).as("n_exact"))
+      .crossJoin(lsh.agg(count(lit(1)).as("n_lsh")))
+      .crossJoin(hit.agg(count(lit(1)).as("n_hit")))
+      .crossJoin(cands.agg(count(lit(1)).as("n_candidates")))
+      .select(col("n_exact"), col("n_lsh"), col("n_hit"),
+        (col("n_exact") - col("n_hit")).as("n_missed"),
+        round(col("n_hit") / nullif(col("n_exact").cast("double"), lit(0.0)), 6)
+          .as("recall"),
+        col("n_candidates"),
+        round(col("n_lsh") / nullif(col("n_candidates").cast("double"), lit(0.0)), 6)
+          .as("candidate_precision"))
+  }
+
+  val q242Sql: String =
+    s"""WITH $q16Ctes,
+       |lsh AS (SELECT a, b FROM jac WHERE jaccard >= $LshJaccardThreshold),
+       |exshared AS (
+       |  SELECT a.id AS a, b.id AS b, count(*) AS inter
+       |  FROM tok a JOIN tok b ON a.word = b.word AND a.id < b.id
+       |  GROUP BY a.id, b.id),
+       |exact AS (
+       |  SELECT s.a, s.b FROM exshared s
+       |  JOIN sizes za ON za.id = s.a JOIN sizes zb ON zb.id = s.b
+       |  WHERE s.inter * 17 >= (za.sz + zb.sz) * 7),
+       |hit AS (SELECT e.a, e.b FROM exact e JOIN lsh l ON l.a = e.a AND l.b = e.b)
+       |SELECT
+       |  (SELECT CAST(count(*) AS BIGINT) FROM exact) AS n_exact,
+       |  (SELECT CAST(count(*) AS BIGINT) FROM lsh) AS n_lsh,
+       |  (SELECT CAST(count(*) AS BIGINT) FROM hit) AS n_hit,
+       |  CAST((SELECT count(*) FROM exact) - (SELECT count(*) FROM hit)
+       |       AS BIGINT) AS n_missed,
+       |  round((SELECT count(*) FROM hit)
+       |        / nullif(CAST((SELECT count(*) FROM exact) AS DOUBLE), 0.0), 6)
+       |    AS recall,
+       |  (SELECT CAST(count(*) AS BIGINT) FROM cand) AS n_candidates,
+       |  round((SELECT count(*) FROM lsh)
+       |        / nullif(CAST((SELECT count(*) FROM cand) AS DOUBLE), 0.0), 6)
+       |    AS candidate_precision""".stripMargin
+
   // ---------------------------------------------------------------- q19
   /** Duplicate clustering (SURVEY.md §7.1.8): the q16 near-dup PAIRS
     * propagated to connected components — every document labeled with
@@ -1106,6 +1178,7 @@ object DedupQueries {
     "q16_lsh_near_dups" -> (q16LshNearDups _),
     "q19_dup_clusters" -> (q19DupClusters _),
     "q44_cc_synth" -> (q44CcSynth _),
+    "q242_lsh_recall_audit" -> (q242LshRecallAudit _),
     "q17_shingle_jaccard" -> (q17ShingleJaccard _),
     "q18_simhash" -> (q18Simhash _),
   )
@@ -1129,6 +1202,7 @@ object DedupQueries {
     "q16_lsh_near_dups" -> q16Sql,
     "q19_dup_clusters" -> q19Sql,
     "q44_cc_synth" -> q44Sql,
+    "q242_lsh_recall_audit" -> q242Sql,
     "q17_shingle_jaccard" -> q17Sql,
     "q18_simhash" -> q18Sql,
   )

@@ -450,6 +450,27 @@ class Round14QueriesSpec extends SparkTestBase {
       s"blocking produced $candCount of ${nx * ny} possible pairs")
   }
 
+  test("q242: audit counts equal a brute-force local recount; lsh ⊆ exact") {
+    val docs = docsLocal(sf0001)
+    val sets: Vector[(Long, Set[String])] = docs.map { case (id, text, _) =>
+      id -> tokens(text).toSet
+    }.sortBy(_._1)
+    var nExact = 0L
+    for (i <- sets.indices; j <- (i + 1) until sets.size) {
+      val (a, b) = (sets(i)._2, sets(j)._2)
+      val inter = a.intersect(b).size.toLong
+      if (inter * 17 >= (a.size + b.size) * 7) nExact += 1
+    }
+    val r = DedupQueries.q242LshRecallAudit(spark, sf0001).collect()(0)
+    assert(r.getLong(0) === nExact, "exact side must equal brute force")
+    // verify-containment: every LSH-verified pair is an exact pair
+    assert(r.getLong(1) === r.getLong(2), "lsh ⊆ exact (q16 verifies exactly)")
+    assert(r.getLong(3) === r.getLong(0) - r.getLong(2))
+    assert(r.getLong(5) >= r.getLong(1), "verified pairs come from candidates")
+    assert(r.getDouble(4) > 0 && r.getDouble(4) <= 1)
+    assert(r.getDouble(6) > 0 && r.getDouble(6) <= 1)
+  }
+
   test("q230: fixed-width bins fold to the corpus exactly") {
     val docs = docsLocal(sf0001)
     val scored = docs.flatMap { case (_, text, lang) =>
