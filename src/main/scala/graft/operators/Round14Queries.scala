@@ -272,8 +272,11 @@ object Round14Queries {
       schema)
   }
 
-  private def mmrDot(a: String, b: String): String =
+  // DuckDB sequential dot of two float lists (the AnnQueries.sqlDot
+  // convention), shared by the q228/q236/q238 oracles
+  private def sqlDotList(a: String, b: String): String =
     s"(SELECT sum(CAST(x AS DOUBLE) * CAST(y AS DOUBLE)) FROM (SELECT unnest($a) AS x, unnest($b) AS y))"
+  private def mmrDot(a: String, b: String): String = sqlDotList(a, b)
 
   /** Greedy selection unrolled as k chained CTE steps (argmax-per-step
     * is sequential, so the oracle mirrors the recursion explicitly). */
@@ -648,8 +651,7 @@ object Round14Queries {
       .orderBy(col("x_id"))
   }
 
-  private def bitextDot(a: String, b: String): String =
-    s"(SELECT sum(CAST(p AS DOUBLE) * q) FROM (SELECT unnest($a) AS p, unnest($b) AS q))"
+  private def bitextDot(a: String, b: String): String = sqlDotList(a, b)
 
   val q236Sql: String =
     s"""WITH e AS (
@@ -833,9 +835,13 @@ object Round14Queries {
     * and actually deploying a quality filter. Predict-positive-if
     * score ≥ t; tp/fp at every t come from one descending cumulative
     * sum over the score-GROUP table (the same quantization-bounded
-    * window class as q229 — allowlisted). J = tp·N − fp·P and
-    * F1 = 2tp/(tp+fp+P) are compared in EXACT integer/cross-multiplied
-    * form; doubles appear only in the emitted round-6 metric values.
+    * window class as q229 — allowlisted). The criterion keys are exact
+    * integers (J's numerator tp·N − fp·P over the constant P·N; F1 as
+    * 2tp over tp+fp+P); the argmax ranks their double ratios — the
+    * same IEEE division of the same integers on both engines, so the
+    * ordering is cross-engine deterministic even where two thresholds'
+    * ratios collide within an ulp (the score tie-break then decides
+    * identically).
     * Ties break toward the smaller threshold (the more permissive
     * filter), deterministically.
     */
