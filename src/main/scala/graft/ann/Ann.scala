@@ -425,7 +425,16 @@ object Ann {
         .toSeq.toDF("sub", "code", "centroid")
       (codes, centroids)
     }
+    // codes are PACKED one row per vector (codes[sub] ordered by sub):
+    // the long form shipped first and its 8-rows-per-vector layout made
+    // the ADC stage a join whose exchange carried m×|Q|×n rows — the
+    // measured 3→10× scale leg read 1.38 because of exactly that
+    // blowup. Packed, the probe is row-local (see pqTopK) and nothing
+    // corpus-sized is exchanged before the bounded top-k.
     parts.map(_._1).reduce(_ unionByName _)
+      .groupBy(col("vec_id"))
+      .agg(transform(array_sort(collect_list(struct(col("sub"), col("code")))),
+        x => x.getField("code")).as("codes"))
       .write.mode("overwrite").parquet(s"$indexDir/codes")
     parts.map(_._2).reduce(_ unionByName _)
       .write.mode("overwrite").parquet(s"$indexDir/codebooks")
@@ -451,22 +460,50 @@ object Ann {
     require(dimRow.nonEmpty, "pqTopK: empty query set")
     val dim = dimRow(0).getInt(0)
     val m = codebooks.agg(max(col("sub"))).head().getInt(0) + 1
+    val kCodes = codebooks.agg(max(col("code"))).head().getInt(0) + 1
     val sw = dim / m
     val q = queries.select(col("vec_id").as("qid"),
       col("embedding").cast("array<double>").as("qv"))
-    val lut = q.crossJoin(broadcast(codebooks))
+    // per-query LUT flattened to ONE array (index sub·k + code) —
+    // a |Q| × (m·k longs) broadcast; the codes scan then computes each
+    // ADC score ROW-LOCALLY as m native element_at lookups summed in
+    // whole-stage codegen. No join on (sub, code), no m× row blowup,
+    // nothing corpus-sized exchanged before the bounded top-k heaps.
+    val lutFlat = q.crossJoin(broadcast(codebooks))
       .select(col("qid"), col("sub"), col("code"),
         round(lit(1e6) * VectorFunctions.dotD(
           slice(col("qv"), col("sub") * sw + 1, lit(sw)), col("centroid")), 0)
           .cast("long").as("pd"))
-    val scored = codes.select(col("vec_id").as("nid"), col("sub"), col("code"))
-      .join(broadcast(lut), Seq("sub", "code"))
+      .groupBy(col("qid"))
+      .agg(transform(
+        array_sort(collect_list(struct(col("sub"), col("code"), col("pd")))),
+        x => x.getField("pd")).as("lut"))
+    val adc = (0 until m).map { s =>
+      element_at(col("lut"),
+        lit(s * kCodes + 1) + element_at(col("codes"), s + 1))
+    }.reduce(_ + _)
+    val scored = codes.select(col("vec_id").as("nid"), col("codes"))
+      .crossJoin(broadcast(lutFlat))
       .filter(col("qid") =!= col("nid"))
-      .groupBy(col("qid"), col("nid"))
-      .agg(sum(col("pd")).as("adc_micro"))
+      .select(col("qid"), col("nid"), adc.as("adc_micro"))
+    // bounded per-partition top-k heaps BEFORE the exchange
+    // (TopKPerKeyExec): the ord packs (adc_micro, nid tie-break) into
+    // one long-magnitude double — collision-free only while
+    // |adc_micro| < 2^32 and nid < 2^20, both enforced in the
+    // expression (|pd| ≤ m·1e6 ≪ 2^32 for unit-norm inputs; a bigger
+    // id domain needs the window-ranked form)
+    val inRange = abs(col("adc_micro")) < lit(4294967296L) &&
+      col("nid") >= 0L && col("nid") < lit(1048576L)
+    val ord = when(inRange,
+        col("adc_micro").cast("double") * lit(1048576L) - col("nid"))
+      .otherwise(raise_error(concat(
+        lit("pqTopK: ord encoding out of range (adc_micro="),
+        col("adc_micro").cast("string"), lit(", nid="),
+        col("nid").cast("string"), lit(")"))))
+    val top = graft.plans.TopK.topKPerKey(scored, Seq("qid"), ord, k)
     val w = Window.partitionBy(col("qid"))
       .orderBy(col("adc_micro").desc, col("nid").asc)
-    scored.withColumn("rk", row_number().over(w).cast("long"))
+    top.withColumn("rk", row_number().over(w).cast("long"))
       .filter(col("rk") <= k)
   }
 

@@ -392,8 +392,9 @@ object AnnQueries {
        |         centroid
        |  FROM read_parquet('$idx/codebooks/*.parquet')),
        |codes AS (
-       |  SELECT vec_id, CAST(sub AS INTEGER) AS sub,
-       |         CAST(code AS INTEGER) AS code
+       |  SELECT vec_id,
+       |         CAST(generate_subscripts(codes, 1) - 1 AS INTEGER) AS sub,
+       |         CAST(unnest(codes) AS INTEGER) AS code
        |  FROM read_parquet('$idx/codes/*.parquet')),
        |q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings
        |      WHERE vec_id % $QueryMod = 0),
@@ -463,8 +464,9 @@ object AnnQueries {
        |         centroid
        |  FROM read_parquet('$idx/codebooks/*.parquet')),
        |codes AS (
-       |  SELECT vec_id, CAST(sub AS INTEGER) AS sub,
-       |         CAST(code AS INTEGER) AS code
+       |  SELECT vec_id,
+       |         CAST(generate_subscripts(codes, 1) - 1 AS INTEGER) AS sub,
+       |         CAST(unnest(codes) AS INTEGER) AS code
        |  FROM read_parquet('$idx/codes/*.parquet')),
        |q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings
        |      WHERE vec_id % $QueryMod = 0),

@@ -189,8 +189,11 @@ class AnnSpec extends SparkTestBase {
     val idx = AnnQueries.preparePq(spark, dir)
     val codebooks = spark.read.parquet(s"$idx/codebooks").collect()
       .map(r => (r.getInt(0), r.getInt(1)) -> r.getSeq[Double](2).toArray).toMap
+    // packed layout: one row per vector, codes[sub] ordered by sub
     val codes = spark.read.parquet(s"$idx/codes").collect()
-      .map(r => (r.getLong(0), r.getInt(1)) -> r.getInt(2)).toMap
+      .flatMap(r => r.getSeq[Int](1).zipWithIndex.map {
+        case (c, s) => (r.getLong(0), s) -> c
+      }).toMap
     val vecs = graft.Tables.embeddings(spark, dir)
       .select("vec_id", "embedding").collect()
       .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
