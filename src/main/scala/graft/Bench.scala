@@ -19,8 +19,9 @@ import org.apache.spark.sql.SparkSession
   * composes the same q16→q19 chain and is excluded for the same
   * reason; q128's split-leakage rollup and q172's canonical-purge
   * resolution consume the q16 pairs too; q242's recall audit
-  * materializes the full exact τ=0.7 pair set on this deliberately
-  * self-similar corpus — same quadratic-output class),
+  * and q243's banding sweep materialize the full exact τ=0.7 pair
+  * set on this deliberately self-similar corpus — same
+  * quadratic-output class),
   * queries that are strict
   * prefixes/aggregations/SQL-surface twins of included ones (q6, q11,
   * q23, q45, q46, q51, q53, q114, q225 — q46 is q13 through the

@@ -166,6 +166,109 @@ object DedupQueries {
           .as("candidate_precision"))
   }
 
+  // --------------------------------------------------------------- q243
+  /** Banding parameter sweep: q242's recall audit run across three
+    * (bands × rows) splits of the SAME K=12 signature — (3×4), (4×3),
+    * (6×2) — so the recall/candidate-cost dial is MEASURED on the
+    * corpus, not read off the S-curve. More, narrower bands ⇒ higher
+    * candidate volume and higher recall (the OR-amplification
+    * monotonicity the spec pins); the exact denominator and the K
+    * signatures are computed once and shared by all three
+    * configurations, so the sweep costs one signature pass plus three
+    * banding passes, never three pipelines.
+    */
+  val SweepConfigs: Seq[(Int, Int)] = Seq((3, 4), (4, 3), (6, 2))
+
+  def q243BandingSweep(s: SparkSession, dir: String): DataFrame = {
+    val toks = Dedup.tokenSets(Tables.documents(s, dir), "doc_id", "text")
+      .localCheckpoint()
+    val nExact = Round12Queries.setSimJoin(
+        toks.select(col("id"), col("word").as("shingle")), 7, 10)
+      .count()
+    val sig = Dedup.minhashSig(toks, K).localCheckpoint()
+    val rows = SweepConfigs.map { case (b, r) =>
+      val cands = Dedup.lshCandidates(sig, b, r).localCheckpoint()
+      val nCands = cands.count()
+      val nFound = Dedup.jaccardOnCandidates(toks, cands)
+        .withColumn("jaccard", round(col("jaccard"), 6))
+        .filter(col("jaccard") >= LshJaccardThreshold)
+        .count()
+      (b, r, nCands, nFound)
+    }
+    import s.implicits._
+    rows.toDF("bands", "rows_per_band", "n_candidates", "n_found")
+      .select(col("bands").cast("long").as("bands"),
+        col("rows_per_band").cast("long").as("rows_per_band"),
+        col("n_candidates"), col("n_found"),
+        round(col("n_found") / nullif(lit(nExact).cast("double"), lit(0.0)), 6)
+          .as("recall"),
+        round(col("n_found") / nullif(col("n_candidates").cast("double"),
+          lit(0.0)), 6).as("candidate_precision"))
+      .orderBy(col("bands"))
+  }
+
+  /** Per-config band/candidate/verify CTE chain (names suffixed so the
+    * three configurations coexist in one oracle query). */
+  private def sweepCtes(b: Int, r: Int): String = {
+    val bandSelects = (0 until b).map { band =>
+      val cat = (band * r until (band + 1) * r)
+        .map(j => f"mh$j%02d").mkString(" || '|' || ")
+      s"SELECT id, $band AS band, md5($cat) AS bsig FROM sigs"
+    }.mkString("\n  UNION ALL ")
+    s"""bandtbl_${b}_$r AS (
+       |  $bandSelects),
+       |cand_${b}_$r AS (
+       |  SELECT DISTINCT x.id AS a, y.id AS b
+       |  FROM bandtbl_${b}_$r x JOIN bandtbl_${b}_$r y
+       |    ON x.band = y.band AND x.bsig = y.bsig AND x.id < y.id),
+       |found_${b}_$r AS (
+       |  SELECT c.a, c.b
+       |  FROM cand_${b}_$r c
+       |  JOIN sizes za ON za.id = c.a JOIN sizes zb ON zb.id = c.b
+       |  LEFT JOIN (
+       |    SELECT c2.a, c2.b, count(*) AS shared
+       |    FROM cand_${b}_$r c2
+       |    JOIN tok ta ON ta.id = c2.a
+       |    JOIN tok tb ON tb.id = c2.b AND tb.word = ta.word
+       |    GROUP BY c2.a, c2.b) s ON s.a = c.a AND s.b = c.b
+       |  WHERE round(CAST(COALESCE(s.shared, 0) AS DOUBLE) /
+       |        CAST(za.sz + zb.sz - COALESCE(s.shared, 0) AS DOUBLE), 6)
+       |        >= $LshJaccardThreshold)""".stripMargin
+  }
+
+  val q243Sql: String = {
+    val configCtes = SweepConfigs.map { case (b, r) => sweepCtes(b, r) }
+      .mkString(",\n")
+    val unions = SweepConfigs.map { case (b, r) =>
+      s"""SELECT CAST($b AS BIGINT) AS bands, CAST($r AS BIGINT) AS rows_per_band,
+         |  (SELECT CAST(count(*) AS BIGINT) FROM cand_${b}_$r) AS n_candidates,
+         |  (SELECT CAST(count(*) AS BIGINT) FROM found_${b}_$r) AS n_found,
+         |  round((SELECT count(*) FROM found_${b}_$r)
+         |        / nullif(CAST((SELECT count(*) FROM exact) AS DOUBLE), 0.0), 6)
+         |    AS recall,
+         |  round((SELECT count(*) FROM found_${b}_$r)
+         |        / nullif(CAST((SELECT count(*) FROM cand_${b}_$r) AS DOUBLE), 0.0), 6)
+         |    AS candidate_precision""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""WITH $tokCte,
+       |sigs AS (
+       |  SELECT id,
+       |    $sigMinsSql
+       |  FROM tok GROUP BY id),
+       |sizes AS (SELECT id, count(*) AS sz FROM tok GROUP BY id),
+       |exshared AS (
+       |  SELECT a.id AS a, b.id AS b, count(*) AS inter
+       |  FROM tok a JOIN tok b ON a.word = b.word AND a.id < b.id
+       |  GROUP BY a.id, b.id),
+       |exact AS (
+       |  SELECT s.a, s.b FROM exshared s
+       |  JOIN sizes za ON za.id = s.a JOIN sizes zb ON zb.id = s.b
+       |  WHERE s.inter * 17 >= (za.sz + zb.sz) * 7),
+       |$configCtes
+       |$unions
+       |ORDER BY bands""".stripMargin
+  }
+
   val q242Sql: String =
     s"""WITH $q16Ctes,
        |lsh AS (SELECT a, b FROM jac WHERE jaccard >= $LshJaccardThreshold),
@@ -1179,6 +1282,7 @@ object DedupQueries {
     "q19_dup_clusters" -> (q19DupClusters _),
     "q44_cc_synth" -> (q44CcSynth _),
     "q242_lsh_recall_audit" -> (q242LshRecallAudit _),
+    "q243_banding_sweep" -> (q243BandingSweep _),
     "q17_shingle_jaccard" -> (q17ShingleJaccard _),
     "q18_simhash" -> (q18Simhash _),
   )
@@ -1203,6 +1307,7 @@ object DedupQueries {
     "q19_dup_clusters" -> q19Sql,
     "q44_cc_synth" -> q44Sql,
     "q242_lsh_recall_audit" -> q242Sql,
+    "q243_banding_sweep" -> q243Sql,
     "q17_shingle_jaccard" -> q17Sql,
     "q18_simhash" -> q18Sql,
   )

@@ -471,6 +471,33 @@ class Round14QueriesSpec extends SparkTestBase {
     assert(r.getDouble(6) > 0 && r.getDouble(6) <= 1)
   }
 
+  test("q243: OR-amplification monotonicity holds across the banding sweep; (3,4) row equals q242") {
+    val rows = DedupQueries.q243BandingSweep(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4), r.getDouble(5)))
+      .sortBy(_._1)
+    assert(rows.map(r => (r._1, r._2)).toSeq ===
+      DedupQueries.SweepConfigs.map { case (b, r) => (b.toLong, r.toLong) }
+        .sortBy(_._1))
+    // more, narrower bands ⇒ monotone candidates up, found up, precision down
+    rows.sliding(2).foreach {
+      case Array(lo, hi) =>
+        assert(hi._3 >= lo._3, "candidates must grow with bands")
+        assert(hi._4 >= lo._4, "found pairs must grow with bands")
+        assert(hi._6 <= lo._6 + 1e-9, "precision must not grow with bands")
+      case _ =>
+    }
+    rows.foreach { r =>
+      assert(r._5 > 0 && r._5 <= 1.0)
+      assert(r._4 <= r._3, "found ⊆ candidates")
+    }
+    // the sweep's (3,4) row IS q242's configuration — cross-check counts
+    val audit = DedupQueries.q242LshRecallAudit(spark, sf0001).collect()(0)
+    val c34 = rows.find(r => r._1 == 3L && r._2 == 4L).get
+    assert(c34._3 === audit.getLong(5), "candidate count matches the audit")
+    assert(c34._4 === audit.getLong(1), "found count matches the audit")
+  }
+
   test("q230: fixed-width bins fold to the corpus exactly") {
     val docs = docsLocal(sf0001)
     val scored = docs.flatMap { case (_, text, lang) =>
