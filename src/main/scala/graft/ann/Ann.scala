@@ -490,21 +490,33 @@ object Ann {
     // (TopKPerKeyExec): the ord packs (adc_micro, nid tie-break) into
     // one long-magnitude double — collision-free only while
     // |adc_micro| < 2^32 and nid < 2^20, both enforced in the
-    // expression (|pd| ≤ m·1e6 ≪ 2^32 for unit-norm inputs; a bigger
-    // id domain needs the window-ranked form)
-    val inRange = abs(col("adc_micro")) < lit(4294967296L) &&
-      col("nid") >= 0L && col("nid") < lit(1048576L)
-    val ord = when(inRange,
-        col("adc_micro").cast("double") * lit(1048576L) - col("nid"))
-      .otherwise(raise_error(concat(
-        lit("pqTopK: ord encoding out of range (adc_micro="),
-        col("adc_micro").cast("string"), lit(", nid="),
-        col("nid").cast("string"), lit(")"))))
-    val top = graft.plans.TopK.topKPerKey(scored, Seq("qid"), ord, k)
+    // expression (|pd| ≤ m·1e6 ≪ 2^32 for unit-norm inputs). An id
+    // domain past 2^20 DEGRADES to the per-query window rank instead
+    // of aborting the job (the id-range probe below is one
+    // column-pruned min/max over the compressed codes artifact —
+    // negligible next to the ADC scan itself); |adc_micro| stays
+    // expression-enforced on the heap path.
+    val idRange = codes.agg(min(col("vec_id")), max(col("vec_id"))).head()
+    val heapSafeIds = !idRange.isNullAt(0) &&
+      idRange.getLong(0) >= 0L && idRange.getLong(1) < 1048576L
     val w = Window.partitionBy(col("qid"))
       .orderBy(col("adc_micro").desc, col("nid").asc)
-    top.withColumn("rk", row_number().over(w).cast("long"))
-      .filter(col("rk") <= k)
+    if (heapSafeIds) {
+      val inRange = abs(col("adc_micro")) < lit(4294967296L)
+      val ord = when(inRange,
+          col("adc_micro").cast("double") * lit(1048576L) - col("nid"))
+        .otherwise(raise_error(concat(
+          lit("pqTopK: ord encoding out of range (adc_micro="),
+          col("adc_micro").cast("string"), lit(")"))))
+      val top = graft.plans.TopK.topKPerKey(scored, Seq("qid"), ord, k)
+      top.withColumn("rk", row_number().over(w).cast("long"))
+        .filter(col("rk") <= k)
+    } else {
+      // window-ranked fallback: same (adc desc, nid asc) contract, no
+      // ord-encoding collision risk for arbitrary long ids
+      scored.withColumn("rk", row_number().over(w).cast("long"))
+        .filter(col("rk") <= k)
+    }
   }
 
   // -------------------------------------------------------- TopKAgg

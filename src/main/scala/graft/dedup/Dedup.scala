@@ -205,12 +205,15 @@ object Dedup {
       .select(col("a"), col("b")).distinct()
   }
 
-  /** Exact Jaccard similarity computed ONLY for the given candidate
-    * pairs: the element lists are first semi-joined down to candidate
-    * members, so cost is bounded by the candidate set — this is the
+  /** Exact overlap counts computed ONLY for the given candidate pairs:
+    * (a, b, shared, sza, szb) — the INTEGER carrier form, so a τ
+    * threshold can be applied as the exact cross-multiplication
+    * den·shared ≥ num·(sza+szb−shared) with no floating-point rounding
+    * window. The element lists are first semi-joined down to candidate
+    * members, so cost is bounded by the candidate set — the
     * LSH-then-verify shape that scales.
     */
-  def jaccardOnCandidates(elements: DataFrame, cands: DataFrame,
+  def overlapOnCandidates(elements: DataFrame, cands: DataFrame,
       elemCol: String = "word"): DataFrame = {
     val sizes = elements.groupBy(col("id")).agg(count(lit(1)).as("sz"))
     val members = cands.select(col("a").as("id"))
@@ -224,10 +227,19 @@ object Dedup {
       .withColumn("shared", coalesce(col("shared"), lit(0L)))
       .join(sizes.withColumnRenamed("id", "a").withColumnRenamed("sz", "sza"), Seq("a"))
       .join(sizes.withColumnRenamed("id", "b").withColumnRenamed("sz", "szb"), Seq("b"))
+      .select(col("a"), col("b"), col("shared"), col("sza"), col("szb"))
+  }
+
+  /** Exact Jaccard similarity over the candidate pairs (double ratio
+    * form of [[overlapOnCandidates]] — consumers that THRESHOLD should
+    * prefer the integer carrier).
+    */
+  def jaccardOnCandidates(elements: DataFrame, cands: DataFrame,
+      elemCol: String = "word"): DataFrame =
+    overlapOnCandidates(elements, cands, elemCol)
       .select(col("a"), col("b"),
         (col("shared").cast("double") /
           (col("sza") + col("szb") - col("shared")).cast("double")).as("jaccard"))
-  }
 
   /** Brute-force all-pairs Jaccard over an inverted index on the
     * elements, thresholded. Exact; quadratic in per-element posting

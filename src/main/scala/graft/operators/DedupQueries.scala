@@ -60,6 +60,12 @@ object DedupQueries {
     * exact Jaccard verification on candidates only, thresholded.
     */
   val LshJaccardThreshold = 0.7
+  /** τ as an exact rational for integer cross-multiplication (the
+    * q242/q243 verify sides test den·inter ≥ num·union so containment
+    * in the exact setSimJoin — which tests the same rational — holds by
+    * construction, not up to a round-6 window). */
+  val LshTauNum = 7
+  val LshTauDen = 10
 
   def q16LshNearDups(s: SparkSession, dir: String): DataFrame = {
     val toks = Dedup.tokenSets(Tables.documents(s, dir), "doc_id", "text")
@@ -132,24 +138,25 @@ object DedupQueries {
     * recall, n_candidates, candidate_precision. The verify-containment
     * law (lsh ⊆ exact) is spec-asserted, not assumed.
     *
-    * Threshold equivalence note: the exact side tests 17·inter ≥
-    * 7·(|a|+|b|) (⟺ J ≥ 7/10 in integers); q16 tests round-6 Jaccard
-    * ≥ 0.7. A disagreement needs an exact ratio inside
-    * [0.6999995, 0.7), impossible for rationals with union ≤ corpus
-    * vocab — the spec pins the containment anyway.
+    * Threshold equivalence: BOTH sides test the same exact rational —
+    * the exact side 17·inter ≥ 7·(|a|+|b|) (⟺ J ≥ 7/10), the LSH
+    * verify side den·inter ≥ num·union over [[Dedup.overlapOnCandidates]]
+    * integer counts — so lsh ⊆ exact holds BY CONSTRUCTION (no round-6
+    * window where a ratio in [0.6999995, 0.7) could disagree); the
+    * spec pins the containment anyway.
     */
   def q242LshRecallAudit(s: SparkSession, dir: String): DataFrame = {
     val toks = Dedup.tokenSets(Tables.documents(s, dir), "doc_id", "text")
       .localCheckpoint() // feeds exact join, signatures, and verify
     val exact = Round12Queries.setSimJoin(
-        toks.select(col("id"), col("word").as("shingle")), 7, 10)
+        toks.select(col("id"), col("word").as("shingle")), LshTauNum, LshTauDen)
       .select(col("a"), col("b"))
       .localCheckpoint()
     val cands = Dedup.lshCandidates(Dedup.minhashSig(toks, K), Bands, RowsPerBand)
       .localCheckpoint()
-    val lsh = Dedup.jaccardOnCandidates(toks, cands)
-      .withColumn("jaccard", round(col("jaccard"), 6))
-      .filter(col("jaccard") >= LshJaccardThreshold)
+    val lsh = Dedup.overlapOnCandidates(toks, cands)
+      .filter(col("shared") * LshTauDen >=
+        (col("sza") + col("szb") - col("shared")) * LshTauNum)
       .select(col("a"), col("b"))
       .localCheckpoint()
     val hit = exact.join(lsh, Seq("a", "b"), "left_semi")
@@ -183,15 +190,17 @@ object DedupQueries {
     val toks = Dedup.tokenSets(Tables.documents(s, dir), "doc_id", "text")
       .localCheckpoint()
     val nExact = Round12Queries.setSimJoin(
-        toks.select(col("id"), col("word").as("shingle")), 7, 10)
+        toks.select(col("id"), col("word").as("shingle")), LshTauNum, LshTauDen)
       .count()
     val sig = Dedup.minhashSig(toks, K).localCheckpoint()
     val rows = SweepConfigs.map { case (b, r) =>
       val cands = Dedup.lshCandidates(sig, b, r).localCheckpoint()
       val nCands = cands.count()
-      val nFound = Dedup.jaccardOnCandidates(toks, cands)
-        .withColumn("jaccard", round(col("jaccard"), 6))
-        .filter(col("jaccard") >= LshJaccardThreshold)
+      // same exact rational as the denominator (q242 containment law):
+      // recall can never exceed 1 by a rounding-window accident
+      val nFound = Dedup.overlapOnCandidates(toks, cands)
+        .filter(col("shared") * LshTauDen >=
+          (col("sza") + col("szb") - col("shared")) * LshTauNum)
         .count()
       (b, r, nCands, nFound)
     }
@@ -231,9 +240,8 @@ object DedupQueries {
        |    JOIN tok ta ON ta.id = c2.a
        |    JOIN tok tb ON tb.id = c2.b AND tb.word = ta.word
        |    GROUP BY c2.a, c2.b) s ON s.a = c.a AND s.b = c.b
-       |  WHERE round(CAST(COALESCE(s.shared, 0) AS DOUBLE) /
-       |        CAST(za.sz + zb.sz - COALESCE(s.shared, 0) AS DOUBLE), 6)
-       |        >= $LshJaccardThreshold)""".stripMargin
+       |  WHERE COALESCE(s.shared, 0) * ${LshTauDen + LshTauNum}
+       |        >= (za.sz + zb.sz) * $LshTauNum)""".stripMargin
   }
 
   val q243Sql: String = {
@@ -271,7 +279,12 @@ object DedupQueries {
 
   val q242Sql: String =
     s"""WITH $q16Ctes,
-       |lsh AS (SELECT a, b FROM jac WHERE jaccard >= $LshJaccardThreshold),
+       |lsh AS (
+       |  SELECT c.a, c.b FROM cand c
+       |  LEFT JOIN shared s ON s.a = c.a AND s.b = c.b
+       |  JOIN sizes za ON za.id = c.a JOIN sizes zb ON zb.id = c.b
+       |  WHERE COALESCE(s.shared, 0) * ${LshTauDen + LshTauNum}
+       |        >= (za.sz + zb.sz) * $LshTauNum),
        |exshared AS (
        |  SELECT a.id AS a, b.id AS b, count(*) AS inter
        |  FROM tok a JOIN tok b ON a.word = b.word AND a.id < b.id

@@ -460,8 +460,31 @@ object Round14Queries {
     * values rather than replaying the implementation.
     */
   val PhashTau = 7
+
+  /** Fixture dir resolution is CWD-independent (the q43Sql target/
+    * trap): explicit override (`-Dgraft.phash.fixtureDir` /
+    * `GRAFT_PHASH_FIXTURE_DIR`) → test classpath resource (sbt test
+    * runs) → repo-root-relative path as the final fallback for drivers
+    * launched from the repo root. */
   val PhashFixtureDir: String =
-    new java.io.File("src/test/resources/media/phash").getAbsolutePath
+    sys.props.get("graft.phash.fixtureDir")
+      .orElse(sys.env.get("GRAFT_PHASH_FIXTURE_DIR"))
+      .orElse(Option(getClass.getResource("/media/phash"))
+        .filter(_.getProtocol == "file")
+        .map(u => new java.io.File(u.toURI).getAbsolutePath))
+      .orElse {
+        // main-classpath runs (Verify/Bench): walk up from the class
+        // code source (target/scala-*/classes) to the repo root and
+        // take the fixture path from there — works from any CWD
+        Option(getClass.getProtectionDomain.getCodeSource)
+          .map(cs => new java.io.File(cs.getLocation.toURI))
+          .flatMap { loc =>
+            Iterator.iterate(loc)(_.getParentFile).takeWhile(_ != null)
+              .map(d => new java.io.File(d, "src/test/resources/media/phash"))
+              .find(_.isDirectory).map(_.getAbsolutePath)
+          }
+      }
+      .getOrElse(new java.io.File("src/test/resources/media/phash").getAbsolutePath)
 
   def q231ImageDhashDedup(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._

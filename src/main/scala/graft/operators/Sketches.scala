@@ -97,29 +97,45 @@ object Sketches {
   }
 
   /** Prune `big` down to rows whose `keyCol` is (probably) present in
-    * `small`'s `keyCol` set, using a broadcast Bloom filter. Guarantees
-    * every true match survives; expect ~fpp of non-matching rows to
-    * leak through (they fall out in the real join). Probes with the
-    * column's native type (long vs string hash paths differ); null keys
-    * never match, mirroring equi-join semantics.
+    * `small`'s `keyCol` set, using Spark's native bloom expressions:
+    * the sketch is built by `BloomFilterAggregate` (mergeable partial
+    * aggregation — only the sketch crosses the exchange, exactly the
+    * shape Spark's own runtime bloom join filters use) and probed by
+    * `BloomFilterMightContain`, which has `doGenCode` — the probe
+    * stays inside whole-stage codegen instead of breaking the span
+    * with a Scala udf. Guarantees every true match survives; expect
+    * ~fpp of non-matching rows to leak through (they fall out in the
+    * real join). Integral keys build/probe on the raw long (putLong ↔
+    * mightContainLong); string keys go through xxhash64 on BOTH sides
+    * — equal strings hash equal, so no false negatives, and a hash
+    * collision only adds to the false-positive rate. Null keys never
+    * match, mirroring equi-join semantics.
     */
   def bloomPrune(big: DataFrame, small: DataFrame, keyCol: String,
       expectedItems: Long, fpp: Double = 0.01): DataFrame = {
     import org.apache.spark.sql.types._
-    val spark = big.sparkSession
-    val bf = small.stat.bloomFilter(keyCol, expectedItems, fpp)
-    val bc = spark.sparkContext.broadcast(bf)
-    big.schema(keyCol).dataType match {
+    import org.apache.spark.sql.GraftSqlApi
+    import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
+    import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+    def asLong(df: DataFrame): Column = df.schema(keyCol).dataType match {
       case ByteType | ShortType | IntegerType | LongType =>
-        val contains = udf((k: java.lang.Long) =>
-          k != null && bc.value.mightContainLong(k))
-        big.filter(contains(col(keyCol).cast("long")))
-      case StringType =>
-        val contains = udf((k: String) =>
-          k != null && bc.value.mightContainString(k))
-        big.filter(contains(col(keyCol)))
+        col(keyCol).cast("long")
+      case StringType => xxhash64(col(keyCol))
       case other => throw new IllegalArgumentException(
         s"bloomPrune supports integral and string keys, got $other")
+    }
+    val numBits = org.apache.spark.util.sketch.BloomFilter
+      .optimalNumOfBits(expectedItems, fpp)
+    val agg = new BloomFilterAggregate(GraftSqlApi.expr(asLong(small)),
+      Literal(expectedItems), Literal(numBits)).toAggregateExpression()
+    val sketch = small.select(GraftSqlApi.column(agg).as("bf")).head().get(0)
+    sketch match {
+      case bytes: Array[Byte] =>
+        big.filter(col(keyCol).isNotNull && GraftSqlApi.column(
+          BloomFilterMightContain(Literal(bytes, BinaryType),
+            GraftSqlApi.expr(asLong(big)))))
+      // empty small side aggregates to a null sketch: nothing can match
+      case _ => big.filter(lit(false))
     }
   }
 }

@@ -489,6 +489,11 @@ object StreamingOps {
       rows.foreach { r =>
         val q = java.math.BigDecimal.valueOf(1e6 * r.value)
           .setScale(0, java.math.RoundingMode.HALF_UP).longValue()
+        // bound |q| BEFORE squaring: q*q itself wraps past sqrt(2^63),
+        // which would defeat the headroom check below for out-of-
+        // contract inputs (|value| > ~3e3 in micro-units)
+        require(math.abs(q) <= 3037000499L,
+          s"value magnitude overflows the micro-unit square for key $key")
         require(ss <= Long.MaxValue - q * q,
           s"sum of squares would overflow for key $key")
         n += 1; s += q; ss += q * q

@@ -28,9 +28,11 @@ import org.apache.spark.sql.functions._
   *    around 0.15–0.2 — far below every gated τ (0.8). Corpus statistics
   *    (doc count, length distribution, vocabulary shape) scale linearly;
   *    pair structure does not explode.
-  *  - Embeddings get a per-replica 1e-3 relative scaling on the vector so
-  *    no two replicas are bit-identical (cosine structure is preserved;
-  *    centroids/IVF remain meaningful).
+  *  - Embeddings get a per-replica 1e-3 DIRECTION nudge (coordinate
+  *    i mod dim) followed by re-normalization, so no two replicas are
+  *    bit-identical while the pre-normalized dot=cosine invariant the
+  *    ANN family relies on is preserved (centroids/IVF remain
+  *    meaningful; dot-ranked recall is unbiased across replicas).
   *
   * Usage: runMain graft.tools.ScaleReplica <srcDir> <outDir> <k>
   */
@@ -72,8 +74,19 @@ object ScaleReplica {
           " "))
     })
     replicate("embeddings", Seq("vec_id"), { (df, i) =>
-      df.withColumn("embedding",
-        transform(col("embedding"), e => e * lit(1.0f + i * 1e-3f)))
+      // perturb DIRECTION, not norm: nudge coordinate (i mod dim) by
+      // 1e-3 and re-normalize, so replicas are not bit-identical but
+      // the pre-normalized invariant (dot = cosine) the ANN family
+      // documents still holds — a norm-only scaling would bias
+      // dot-ranked results toward higher-i replicas
+      df.withColumn("p", expr(
+          s"transform(embedding, (e, j) -> CAST(e AS DOUBLE) + " +
+            s"IF(j = $i % size(embedding), CAST(1e-3 AS DOUBLE), CAST(0.0 AS DOUBLE)))"))
+        .withColumn("nrm",
+          expr("sqrt(aggregate(p, CAST(0.0 AS DOUBLE), (a, x) -> a + x * x))"))
+        .withColumn("embedding",
+          expr("transform(p, x -> CAST(IF(nrm > 0, x / nrm, x) AS FLOAT))"))
+        .drop("p", "nrm")
     })
     replicate("events", Seq("event_id", "user_id"), (df, _) => df)
 
