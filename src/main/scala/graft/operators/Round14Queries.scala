@@ -51,16 +51,21 @@ object Round14Queries {
   val Bm25B = 0.75
   val Bm25TopK = 10
 
-  /** Shared BM25 scoring/ranking tail — one pipeline for the batch
-    * query AND the streaming incremental index
-    * ([[graft.streaming.StreamingOps.runningBm25]]), so stream ≡ batch
-    * holds by construction, not by parallel maintenance. Inputs:
-    * `tf(doc_id, term, tf)` restricted to query terms, `dl(doc_id,
-    * dl)` covering at least the matched docs, `dfTab(term, df)`,
-    * `stats(n_docs, avgdl)` (1 row). */
-  def bm25Rank(tf: DataFrame, dl: DataFrame, dfTab: DataFrame,
-      stats: DataFrame, k: Int): DataFrame =
-    tf.join(broadcast(dfTab), Seq("term"))
+  /** Keyed BM25 scoring core — ONE implementation of the Okapi formula
+    * shared by the single-query tail ([[bm25Rank]], and through it the
+    * streaming incremental index
+    * [[graft.streaming.StreamingOps.runningBm25]]) and the multi-query
+    * retrieval join ([[Round15Queries.q244MultiBm25]]), so every
+    * surface agrees by construction. Input `tfq(query_id, doc_id,
+    * term, tf)` — the per-query term restriction/fan-out already
+    * applied — plus `dl(doc_id, dl)`, `dfTab(term, df)` (query-term
+    * sized, broadcast), `stats(n_docs, avgdl)` (1 row, broadcast).
+    * Output: (query_id, doc_id, bm25 round-6, n_terms_hit), unranked —
+    * callers pick their ranking shape (TakeOrderedAndProject for one
+    * query, per-key heaps for many). */
+  def bm25ScoreKeyed(tfq: DataFrame, dl: DataFrame, dfTab: DataFrame,
+      stats: DataFrame): DataFrame =
+    tfq.join(broadcast(dfTab), Seq("term"))
       .join(dl, Seq("doc_id"))
       .crossJoin(broadcast(stats))
       .withColumn("idf",
@@ -69,9 +74,24 @@ object Round14Queries {
         col("idf") * (col("tf") * lit(Bm25K1 + 1.0)) /
           (col("tf") + lit(Bm25K1) *
             (lit(1.0) - lit(Bm25B) + lit(Bm25B) * col("dl") / col("avgdl"))))
-      .groupBy(col("doc_id"))
+      .groupBy(col("query_id"), col("doc_id"))
       .agg(round(sum(col("contrib")), 6).as("bm25"),
         count(lit(1)).as("n_terms_hit"))
+
+  /** Single-query BM25 ranking tail — the batch query AND the
+    * streaming incremental index
+    * ([[graft.streaming.StreamingOps.runningBm25]]) share this, so
+    * stream ≡ batch holds by construction, not by parallel
+    * maintenance; scoring itself rides [[bm25ScoreKeyed]] with a
+    * constant query_id, so the multi-query join shares the formula
+    * too. Inputs: `tf(doc_id, term, tf)` restricted to query terms,
+    * `dl(doc_id, dl)` covering at least the matched docs,
+    * `dfTab(term, df)`, `stats(n_docs, avgdl)` (1 row). Ranking is
+    * TakeOrderedAndProject (top-k heap), never a global sort. */
+  def bm25Rank(tf: DataFrame, dl: DataFrame, dfTab: DataFrame,
+      stats: DataFrame, k: Int): DataFrame =
+    bm25ScoreKeyed(tf.withColumn("query_id", lit(0L)), dl, dfTab, stats)
+      .select(col("doc_id"), col("bm25"), col("n_terms_hit"))
       .orderBy(col("bm25").desc, col("doc_id"))
       .limit(k)
 

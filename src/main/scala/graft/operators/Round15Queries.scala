@@ -1,0 +1,175 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.text.TextPrep
+
+/** Round-15 additions (driver round 7): the retrieval layer grown from
+  * single-query demos to the keyed, fleet-sized operators a
+  * contamination/eval pipeline actually runs — a query TABLE joined
+  * against the corpus with per-query top-k, served by the same scoring
+  * core the single-query and streaming surfaces already share.
+  */
+object Round15Queries {
+
+  // ---------------------------------------------------------------- q244
+  /** Multi-query BM25 retrieval join: a `queries(query_id, term)` TABLE
+    * (here 100 synthetic 3-term queries) scored against the corpus with
+    * one pass, per-query top-k — the operator behind "for each of these
+    * 10k eval prompts, find its most-relevant training docs"
+    * (decontamination, eval-set leakage audits, retrieval evaluation).
+    * Scoring is [[Round14Queries.bm25ScoreKeyed]] — the SAME Okapi core
+    * as the single-query q226 and the streaming incremental index, so
+    * all three surfaces agree by construction.
+    *
+    * Shape at scale: the corpus-wide stages are ONE inverted-index
+    * build (per-(doc, term) tf — at lake scale the persisted q216
+    * artifact, not a rescan) and one map-side dl count. Everything
+    * query-shaped is broadcast: the query table (|Q|·terms rows), its
+    * df slice (≤ |distinct query terms| rows), the 1-row stats. A doc
+    * matching a term fans out only to the queries CONTAINING that term
+    * (the broadcast equi-join on term), so scored-row volume is
+    * Σ_t df(t)·queries(t) — postings × query fan-out, never
+    * |corpus|×|queries|. Ranking is per-query bounded heaps
+    * ([[graft.plans.TopK.topKPerKey]]): O(|Q|·k·partitions) rows cross
+    * the exchange, NO global sort of the scored stream; the rk window
+    * then rides ≤k rows per query.
+    *
+    * The query table is synthesized deterministically from the corpus
+    * so the oracle can replay it: terms ranked by (df desc, term asc)
+    * (vocab-capped at 300), then the first 150 ordered rank-pairs
+    * (i < j) become 2-term queries — 150 queries over a 31-term
+    * synthetic vocabulary, with heavy term SHARING across queries
+    * (each term serves ~10 queries), which is exactly the fan-out
+    * shape the broadcast join must handle. In production the query
+    * table is an input; the synthesis stages (one vocabulary
+    * aggregate + constant-bounded rank/pair windows) stand in for
+    * reading it.
+    *
+    * Ord encoding for the heaps (the q21/q232 discipline): round-6
+    * micro-units packed with the doc tie-break,
+    * `round(bm25·1e6)·2^25 − doc_id` — collision-free while
+    * |bm25| < 2^27/1e6 ≈ 134 (a 2-term query's score is ≤
+    * 2·(k1+1)·idf_max ≈ 75 even at N = 10^11 docs) and doc_id < 2^25,
+    * both enforced in the expression; a bigger doc-id domain routes
+    * through the window-ranked form like [[graft.ann.Ann.pqTopK]].
+    */
+  val MultiBm25MaxTerms = 300
+  val MultiBm25NumQueries = 150
+  val MultiBm25K = 5
+
+  def q244MultiBm25(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+      .select(col("doc_id"), TextPrep.tokensCol(col("text")).as("toks"))
+    val dl = docs.select(col("doc_id"), size(col("toks")).cast("long").as("dl"))
+    val stats = dl.agg(count(lit(1)).as("n_docs"),
+      (sum(col("dl")) / count(lit(1))).as("avgdl"))
+    // the inverted index: per-(doc, term) tf. Checkpointed so the
+    // term-selection df pass and the scoring join share ONE build (at
+    // lake scale this is the persisted q216 artifact).
+    val alltf = docs
+      .select(col("doc_id"), explode(col("toks")).as("term"))
+      .groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+      .localCheckpoint()
+    val dfAll = alltf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    // deterministic query synthesis: TakeOrderedAndProject caps the
+    // vocabulary, THEN every window below rides constant-bounded rows
+    // (≤300 ranked terms, ≤150 pairs — PlanSpec allowlist), never the
+    // corpus; the pair cross-join is 300×300 at most
+    val ranked = dfAll.orderBy(col("df").desc, col("term").asc)
+      .limit(MultiBm25MaxTerms)
+      .withColumn("rn",
+        row_number().over(Window.orderBy(col("df").desc, col("term").asc)))
+      .select(col("term"), col("rn"))
+      .localCheckpoint()
+    val pairs = ranked.select(col("term").as("t1"), col("rn").as("r1"))
+      .crossJoin(ranked.select(col("term").as("t2"), col("rn").as("r2")))
+      .filter(col("r1") < col("r2"))
+      .orderBy(col("r1"), col("r2")).limit(MultiBm25NumQueries)
+      .withColumn("query_id",
+        row_number().over(Window.orderBy(col("r1"), col("r2"))).cast("long") - 1)
+    val qterms = pairs
+      .select(col("query_id"), explode(array(col("t1"), col("t2"))).as("term"))
+      .localCheckpoint() // |Q|·2 rows; broadcast below
+    val dfTab = dfAll
+      .join(broadcast(qterms.select(col("term")).distinct()), Seq("term"), "left_semi")
+    val tfq = alltf.join(broadcast(qterms), Seq("term"))
+    val scored = Round14Queries.bm25ScoreKeyed(tfq, dl, dfTab, stats)
+    val micro = round(col("bm25") * 1e6)
+    val inRange = abs(micro) < lit(1L << 27) &&
+      col("doc_id") >= 0L && col("doc_id") < lit(1L << 25)
+    val ord = when(inRange, micro * lit(1L << 25) - col("doc_id"))
+      .otherwise(raise_error(concat(
+        lit("q244: ord encoding out of range (bm25="),
+        col("bm25").cast("string"), lit(", doc_id="),
+        col("doc_id").cast("string"),
+        lit(") — use a window-ranked form for this domain"))))
+    val top = graft.plans.TopK.topKPerKey(scored, Seq("query_id"), ord, MultiBm25K)
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("bm25").desc, col("doc_id").asc)
+    top.withColumn("rk", row_number().over(w).cast("long"))
+      .select(col("query_id"), col("doc_id"), col("bm25"),
+        col("n_terms_hit"), col("rk"))
+      .orderBy(col("query_id"), col("rk"))
+  }
+
+  val q244Sql: String =
+    s"""WITH lists AS (
+       |  SELECT doc_id,
+       |         list_filter(string_split(trim(regexp_replace(lower(text), '(\\d|\\W)+', ' ', 'g')), ' '), x -> x <> '') AS toks
+       |  FROM documents),
+       |dl AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl FROM lists),
+       |stats AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+       |                 sum(dl) / count(*) AS avgdl FROM dl),
+       |alltf AS (
+       |  SELECT doc_id, term, count(*) AS tf FROM (
+       |    SELECT doc_id, unnest(toks) AS term FROM lists)
+       |  GROUP BY doc_id, term),
+       |dfreq AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM alltf GROUP BY term),
+       |ranked AS (
+       |  SELECT term, row_number() OVER (ORDER BY df DESC, term ASC) AS rn
+       |  FROM (SELECT term, df FROM dfreq
+       |        ORDER BY df DESC, term ASC LIMIT $MultiBm25MaxTerms)),
+       |qpairs AS (
+       |  SELECT a.term AS t1, b.term AS t2,
+       |         CAST(row_number() OVER (ORDER BY a.rn, b.rn) AS BIGINT) - 1
+       |           AS query_id
+       |  FROM ranked a JOIN ranked b ON a.rn < b.rn
+       |  ORDER BY a.rn, b.rn LIMIT $MultiBm25NumQueries),
+       |qterms AS (
+       |  SELECT query_id, t1 AS term FROM qpairs
+       |  UNION ALL
+       |  SELECT query_id, t2 AS term FROM qpairs),
+       |scored AS (
+       |  SELECT q.query_id, t.doc_id,
+       |         round(sum(ln(1.0 + (s.n_docs - d.df + 0.5) / (d.df + 0.5)) *
+       |             (t.tf * (${Round14Queries.Bm25K1} + 1.0)) /
+       |             (t.tf + ${Round14Queries.Bm25K1} *
+       |              (1.0 - ${Round14Queries.Bm25B} + ${Round14Queries.Bm25B} * l.dl / s.avgdl))), 6) AS bm25,
+       |         CAST(count(*) AS BIGINT) AS n_terms_hit
+       |  FROM alltf t
+       |  JOIN qterms q USING (term)
+       |  JOIN dfreq d USING (term)
+       |  JOIN dl l USING (doc_id)
+       |  CROSS JOIN stats s
+       |  GROUP BY q.query_id, t.doc_id),
+       |best AS (
+       |  SELECT query_id, doc_id, bm25, n_terms_hit,
+       |         row_number() OVER (PARTITION BY query_id
+       |                            ORDER BY bm25 DESC, doc_id ASC) AS rk
+       |  FROM scored)
+       |SELECT query_id, doc_id, bm25, n_terms_hit, CAST(rk AS BIGINT) AS rk
+       |FROM best WHERE rk <= $MultiBm25K
+       |ORDER BY query_id, rk""".stripMargin
+
+  // ------------------------------------------------------------ registry
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q244_multi_bm25" -> (q244MultiBm25 _))
+
+  val oracles: Map[String, String] = Map(
+    "q244_multi_bm25" -> q244Sql)
+}

@@ -878,7 +878,8 @@ class PlanSpec extends SparkTestBase {
       "q178_benford" -> "digit-share window over the 9-row first-digit table",
       "q229_roc_auc" -> "rank-sum cumsum over the score-GROUP table: ≤1e6 rows by micro-unit quantization (the quantization IS the bound)",
       "q239_threshold_select" -> "threshold sweep cumsum over the same quantization-bounded score-GROUP table as q229",
-      "q241_ranking_eval" -> "position stamps over the LIMIT-10 BM25 result and the LIMIT-10 ideal — both k-bounded")
+      "q241_ranking_eval" -> "position stamps over the LIMIT-10 BM25 result and the LIMIT-10 ideal — both k-bounded",
+      "q244_multi_bm25" -> "query synthesis ranks over the LIMIT-300 term table and the LIMIT-150 pair table (TakeOrderedAndProject feeds both); scoring/ranking is per-key heaps")
     val offenders = graft.SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
       case (name, fn) =>
         val ws = try unpartitionedWindows(fn(spark, sf0001)) catch {
@@ -891,6 +892,32 @@ class PlanSpec extends SparkTestBase {
       s"unpartitioned Window in gated plans (single-task rank at scale): " +
         s"${unexpected.mkString(", ")} — use RelationalOps.globalRank or " +
         "justify a bounded input in the allowlist")
+  }
+
+  test("q244: multi-query BM25 ranks via per-key heaps; query side broadcast; no pair sort") {
+    val df = Round15Queries.q244MultiBm25(spark, sf0001)
+    // per-query top-k must be the bounded-heap operator — the scored
+    // (query, doc) stream is never globally sorted or window-ranked
+    // at full width
+    assert(df.queryExecution.optimizedPlan.collect {
+      case t: graft.plans.TopKPerKey => t
+    }.nonEmpty, "q244 must rank via TopKPerKeyExec")
+    val p = formatted(df)
+    // the query table and its df slice broadcast; the corpus-side
+    // joins stay hash joins (the only non-equi join in the whole plan
+    // is the constant-bounded ≤300×300 term-pair synthesis)
+    assert(p.contains("BroadcastHashJoin"), p)
+    // the streaming twin shares the tail by construction: bm25Rank
+    // (which runningBm25 consumes) routes through the same
+    // bm25ScoreKeyed core q244 scores with — pinned here so a refactor
+    // that forks the formula fails a test, not a reviewer
+    val single = graft.operators.Round14Queries.bm25Rank(
+      spark.range(0).selectExpr("id as doc_id", "'x' as term", "1L as tf"),
+      spark.range(0).selectExpr("id as doc_id", "1L as dl"),
+      spark.range(0).selectExpr("'x' as term", "1L as df"),
+      spark.range(1).selectExpr("1L as n_docs", "1.0 as avgdl"),
+      1)
+    assert(single.columns.toSeq === Seq("doc_id", "bm25", "n_terms_hit"))
   }
 
   test("q226: df/stats broadcast; ranking is a top-k heap, not a global sort") {

@@ -1,0 +1,75 @@
+package graft.operators
+
+import graft.SparkTestBase
+
+/** Independent local re-derivations for the round-15 batch: the
+  * multi-query BM25 retrieval join replayed with a from-scratch keyed
+  * scorer — query synthesis (top-df term ranking), per-query scoring,
+  * and per-query top-k all recomputed driver-side from raw text.
+  */
+class Round15QueriesSpec extends SparkTestBase {
+
+  private def tokens(text: String): Vector[String] =
+    text.toLowerCase.replaceAll("(\\d|\\W)+", " ").trim
+      .split(" ").toVector.filter(_.nonEmpty)
+
+  test("q244: multi-query BM25 matches a from-scratch keyed local scorer") {
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+      .select("doc_id", "text").collect().toVector
+      .map(r => (r.getLong(0), tokens(r.getString(1))))
+    val n = docs.size.toLong
+    val avgdl = docs.map(_._2.size.toLong).sum.toDouble / n
+    val k1 = Round14Queries.Bm25K1
+    val b = Round14Queries.Bm25B
+    // global df (docs containing term) and the synthetic query table:
+    // terms ranked by (df desc, term asc), first 150 ordered rank-pairs
+    // as 2-term queries
+    val df: Map[String, Long] = docs.flatMap(_._2.distinct)
+      .groupBy(identity).map { case (t, xs) => t -> xs.size.toLong }
+    val rankedTerms = df.toVector
+      .sortBy { case (t, d) => (-d, t) }
+      .take(Round15Queries.MultiBm25MaxTerms)
+      .map(_._1)
+    val queries: Map[Long, Seq[String]] = (for {
+      i <- rankedTerms.indices
+      j <- rankedTerms.indices if i < j
+    } yield (rankedTerms(i), rankedTerms(j)))
+      .take(Round15Queries.MultiBm25NumQueries)
+      .zipWithIndex
+      .map { case ((t1, t2), qid) => qid.toLong -> Seq(t1, t2) }.toMap
+    assert(queries.size === Round15Queries.MultiBm25NumQueries,
+      s"fixture vocabulary too small to exercise the multi-query join: ${queries.size}")
+    val expected: Map[Long, Vector[(Long, Double, Long)]] = queries.map {
+      case (qid, qts) =>
+        qid -> docs.flatMap { case (id, ts) =>
+          val dl = ts.size.toLong
+          val contribs = qts.flatMap { t =>
+            val tf = ts.count(_ == t).toLong
+            if (tf == 0) None
+            else {
+              val idf = math.log(1.0 + (n - df(t) + 0.5) / (df(t) + 0.5))
+              Some(idf * (tf * (k1 + 1.0)) /
+                (tf + k1 * (1.0 - b + b * dl / avgdl)))
+            }
+          }
+          if (contribs.isEmpty) None
+          else Some((id, BigDecimal(contribs.sum)
+            .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble,
+            contribs.size.toLong))
+        }.sortBy { case (id, s, _) => (-s, id) }
+          .take(Round15Queries.MultiBm25K)
+    }
+    val got = Round15Queries.q244MultiBm25(spark, sf0001).collect()
+      .map(r => (r.getLong(0), (r.getLong(1), r.getDouble(2), r.getLong(3),
+        r.getLong(4))))
+      .groupBy(_._1).map { case (qid, rows) => qid -> rows.map(_._2).toVector }
+    assert(got.keySet === expected.keySet)
+    for ((qid, exp) <- expected) {
+      val rows = got(qid).sortBy(_._4)
+      assert(rows.map(r => (r._1, r._2, r._3)) === exp,
+        s"query $qid: got ${rows.toList} expected ${exp.toList}")
+      assert(rows.map(_._4) === (1L to rows.size.toLong).toVector,
+        s"query $qid rk column must be dense 1..k")
+    }
+  }
+}
