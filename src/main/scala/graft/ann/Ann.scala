@@ -486,17 +486,24 @@ object Ann {
       .crossJoin(broadcast(lutFlat))
       .filter(col("qid") =!= col("nid"))
       .select(col("qid"), col("nid"), adc.as("adc_micro"))
-    // bounded per-partition top-k heaps BEFORE the exchange
-    // (TopKPerKeyExec): the ord packs (adc_micro, nid tie-break) into
-    // one long-magnitude double — collision-free only while
-    // |adc_micro| < 2^32 and nid < 2^20, both enforced in the
-    // expression (|pd| ≤ m·1e6 ≪ 2^32 for unit-norm inputs). An id
-    // domain past 2^20 DEGRADES to the per-query window rank instead
-    // of aborting the job (the id-range probe below is one
-    // column-pruned min/max over the compressed codes artifact —
-    // negligible next to the ADC scan itself); |adc_micro| stays
-    // expression-enforced on the heap path.
-    val idRange = codes.agg(min(col("vec_id")), max(col("vec_id"))).head()
+    rankAdcTopK(scored, codes, k, "pqTopK")
+  }
+
+  /** Shared (qid, nid, adc_micro) → top-k tail for the compressed-
+    * domain probes ([[pqTopK]], [[ivfPqProbe]]): bounded per-partition
+    * top-k heaps BEFORE the exchange (TopKPerKeyExec). The ord packs
+    * (adc_micro, nid tie-break) into one long-magnitude double —
+    * collision-free only while |adc_micro| < 2^32 and nid < 2^20, both
+    * enforced in the expression (|pd| ≤ m·1e6 ≪ 2^32 for unit-norm
+    * inputs). An id domain past 2^20 DEGRADES to the per-query window
+    * rank instead of aborting the job (the id-range probe is one
+    * column-pruned min/max over the compressed artifact — negligible
+    * next to the ADC scan itself); |adc_micro| stays expression-
+    * enforced on the heap path.
+    */
+  private def rankAdcTopK(scored: DataFrame, idSource: DataFrame, k: Int,
+      caller: String): DataFrame = {
+    val idRange = idSource.agg(min(col("vec_id")), max(col("vec_id"))).head()
     val heapSafeIds = !idRange.isNullAt(0) &&
       idRange.getLong(0) >= 0L && idRange.getLong(1) < 1048576L
     val w = Window.partitionBy(col("qid"))
@@ -506,7 +513,7 @@ object Ann {
       val ord = when(inRange,
           col("adc_micro").cast("double") * lit(1048576L) - col("nid"))
         .otherwise(raise_error(concat(
-          lit("pqTopK: ord encoding out of range (adc_micro="),
+          lit(s"$caller: ord encoding out of range (adc_micro="),
           col("adc_micro").cast("string"), lit(")"))))
       val top = graft.plans.TopK.topKPerKey(scored, Seq("qid"), ord, k)
       top.withColumn("rk", row_number().over(w).cast("long"))
@@ -517,6 +524,151 @@ object Ann {
       scored.withColumn("rk", row_number().over(w).cast("long"))
         .filter(col("rk") <= k)
     }
+  }
+
+  // ------------------------------------------------------------ IVF-PQ
+  /** IVF-PQ composed BUILD — the production serving shape of the ANN
+    * ladder (Jégou, Douze, Schmid, "Product Quantization for Nearest
+    * Neighbor Search", TPAMI 2011; the FAISS `IVFPQ` layout): a coarse
+    * k-means partitions the corpus into inverted lists, and each
+    * vector's RESIDUAL (x − centroid(cluster)) is product-quantized
+    * with m codebooks SHARED across clusters. Residuals are small, so
+    * the shared codebooks spend their k codes on a tighter ball than
+    * raw-vector PQ — finer reconstruction at the identical code budget
+    * (m codes/vector), which is exactly the uplift the AnnSpec floor
+    * pins against [[pqBuild]]'s flat codes. Persisted artifacts (the
+    * q43/q232 build/probe split):
+    *
+    *  - `assignments/` — (vec_id, codes array<int>, cluster) written
+    *    `partitionBy("cluster")`: the inverted lists, one directory per
+    *    cluster, m small codes per vector — probes scan ONLY probed
+    *    clusters' directories and never the embeddings;
+    *  - `centroids/` — (cluster, centroid): the coarse quantizer,
+    *    kClusters rows, broadcast-sized;
+    *  - `codebooks/` — (sub, code, centroid): m·kCodes rows of
+    *    residual sub-space centroids, broadcast-sized.
+    *
+    * Offline like every index build here; probes call [[ivfPqProbe]]
+    * and never `fit`.
+    */
+  def ivfPqBuild(corpus: DataFrame, indexDir: String, kClusters: Int,
+      m: Int, kCodes: Int, seed: Long = 42L): Unit = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val dimRow = corpus.select(size(col("embedding"))).head(1)
+    require(dimRow.nonEmpty, "ivfPqBuild: empty corpus — nothing to index")
+    val dim = dimRow(0).getInt(0)
+    require(dim % m == 0, s"ivfPqBuild: dim $dim not divisible by m=$m")
+    val sw = dim / m
+    val (assigned, centroids) = ivfIndex(corpus, kClusters, seed)
+    // residuals: ONE broadcast join on cluster (kClusters rows), no
+    // extra corpus shuffle; checkpointed because the m sub-space fits
+    // and the encode pass all read it
+    val resid = assigned.join(broadcast(centroids), Seq("cluster"))
+      .select(col("vec_id"), col("cluster"),
+        zip_with(col("embedding").cast("array<double>"), col("centroid"),
+          (e, c) => e - c).as("residual"))
+      .localCheckpoint()
+    val parts = (0 until m).map { sub =>
+      val feats = resid.select(col("vec_id"),
+        array_to_vector(slice(col("residual"), sub * sw + 1, sw)).as("features"))
+      val model = new KMeans().setK(kCodes).setSeed(seed + 1000 + sub)
+        .setFeaturesCol("features").setPredictionCol("code")
+        .fit(feats)
+      val codes = model.transform(feats)
+        .select(col("vec_id"), lit(sub).as("sub"), col("code"))
+      val cbs = model.clusterCenters.zipWithIndex
+        .map { case (c, i) => (sub, i, c.toArray) }
+        .toSeq.toDF("sub", "code", "centroid")
+      (codes, cbs)
+    }
+    // codes packed one row per vector (the q232 packed layout), then
+    // re-attached to the cluster key and laid out as inverted lists —
+    // the repartition is the build's only corpus shuffle
+    parts.map(_._1).reduce(_ unionByName _)
+      .groupBy(col("vec_id"))
+      .agg(transform(array_sort(collect_list(struct(col("sub"), col("code")))),
+        x => x.getField("code")).as("codes"))
+      .join(resid.select(col("vec_id"), col("cluster")), Seq("vec_id"))
+      .repartition(col("cluster"))
+      .write.mode("overwrite").partitionBy("cluster")
+      .parquet(s"$indexDir/assignments")
+    parts.map(_._2).reduce(_ unionByName _)
+      .write.mode("overwrite").parquet(s"$indexDir/codebooks")
+    centroids.write.mode("overwrite").parquet(s"$indexDir/centroids")
+  }
+
+  /** IVF-PQ top-k PROBE over a persisted composed index — never calls
+    * `fit`, never reads an embedding other than the queries'. Per
+    * query: rank the kClusters broadcast centroids by squared L2
+    * (|c|²−2q·c — the [[ivfProbe]] rule) and keep the `nprobe`
+    * nearest; the approximate score of corpus vector x = c + r̂ is the
+    * EXACT decomposition dot(q, x) ≈ dot(q, c) + dot(q, r̂) =
+    * base(cluster) + Σ_m LUT[sub, code], so the scan over the probed
+    * inverted lists is m array lookups plus one add per vector —
+    * row-local, codes only. Both terms are quantized to integer
+    * micro-units BEFORE the sum (the q232 determinism rule), making
+    * the fold exact and the ranking integer-deterministic. Probe cost
+    * scales with nprobe·(corpus/kClusters), not corpus — the dial the
+    * SCALE.md study measures. Ranking: (adc desc, nid asc) through the
+    * shared bounded-heap tail, self excluded.
+    */
+  def ivfPqProbe(queries: DataFrame, indexDir: String, k: Int,
+      nprobe: Int): DataFrame = {
+    val spark = queries.sparkSession
+    VectorFunctions.register(spark)
+    val assigned = spark.read.parquet(s"$indexDir/assignments")
+    val centroids = spark.read.parquet(s"$indexDir/centroids")
+    val codebooks = spark.read.parquet(s"$indexDir/codebooks")
+    val dimRow = queries.select(size(col("embedding"))).head(1)
+    require(dimRow.nonEmpty, "ivfPqProbe: empty query set")
+    val dim = dimRow(0).getInt(0)
+    val m = codebooks.agg(max(col("sub"))).head().getInt(0) + 1
+    val kCodes = codebooks.agg(max(col("code"))).head().getInt(0) + 1
+    val sw = dim / m
+    val q = queries.select(col("vec_id").as("qid"),
+      col("embedding").cast("array<double>").as("qv"))
+    val cent = centroids.select(col("cluster"), col("centroid"),
+      VectorFunctions.dotD(col("centroid"), col("centroid")).as("cnorm"))
+    val wProbe = Window.partitionBy(col("qid"))
+      .orderBy(col("dist").asc, col("cluster").asc)
+    // nprobe nearest clusters per query, carrying the micro-quantized
+    // base term dot(q, centroid) forward
+    val probes = q.crossJoin(broadcast(cent))
+      .withColumn("qc", VectorFunctions.dotD(col("qv"), col("centroid")))
+      .withColumn("dist", round(col("cnorm") - lit(2.0) * col("qc"), 6))
+      .withColumn("base_micro", round(lit(1e6) * col("qc"), 0).cast("long"))
+      .withColumn("pr", row_number().over(wProbe))
+      .filter(col("pr") <= nprobe)
+      .select(col("qid"), col("qv"), col("cluster"), col("base_micro"))
+    // per-query flattened LUT over the residual codebooks (the q232
+    // shape): |Q| × (m·kCodes longs), broadcast with the probe rows
+    val lut = q.crossJoin(broadcast(codebooks))
+      .select(col("qid"), col("sub"), col("code"),
+        round(lit(1e6) * VectorFunctions.dotD(
+          slice(col("qv"), col("sub") * sw + 1, lit(sw)), col("centroid")), 0)
+          .cast("long").as("pd"))
+      .groupBy(col("qid"))
+      .agg(transform(
+        array_sort(collect_list(struct(col("sub"), col("code"), col("pd")))),
+        x => x.getField("pd")).as("lut"))
+    val probeSide = probes.drop("qv").join(lut, Seq("qid"))
+    val adc = (0 until m).map { s =>
+      element_at(col("lut"),
+        lit(s * kCodes + 1) + element_at(col("codes"), s + 1))
+    }.reduce(_ + _)
+    // the scan side reads (vec_id, codes, cluster) of the PROBED
+    // inverted lists only — the broadcast equi-join on the partition
+    // column is what keeps probe cost ∝ nprobe·list-size
+    val scored = assigned
+      .select(col("vec_id").as("nid"), col("codes"), col("cluster"))
+      .join(broadcast(probeSide), Seq("cluster"))
+      .filter(col("qid") =!= col("nid"))
+      .select(col("qid"), col("nid"),
+        (col("base_micro") + adc).as("adc_micro"))
+    rankAdcTopK(scored, assigned.select(col("vec_id")), k, "ivfPqProbe")
   }
 
   // -------------------------------------------------------- TopKAgg

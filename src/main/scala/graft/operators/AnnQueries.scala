@@ -801,7 +801,105 @@ object AnnQueries {
        |  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id)
        |SELECT a, b, cos FROM pairs WHERE cos >= $NearDupCos ORDER BY a, b""".stripMargin
 
+  // --------------------------------------------------------------- q245
+  /** IVF-PQ composed probe ([[Ann.ivfPqBuild]]/[[Ann.ivfPqProbe]]):
+    * the q43 coarse quantizer and the q232 product quantizer composed
+    * into the production serving shape — inverted lists of m residual
+    * codes per vector, probe = nprobe ranked clusters × row-local ADC
+    * over their codes plus the micro-quantized dot(q, centroid) base
+    * term. The oracle replays probe selection, LUT, base, and the ADC
+    * sum over the MATERIALIZED artifacts (the q43/q232 convention).
+    * Probe cost ∝ nprobe·(n/kClusters), never n: the dial the 100 TB
+    * ANN argument turns. Approximation quality is gated separately by
+    * AnnSpec's recall comparison against q232's flat-code ADC at the
+    * identical code budget.
+    */
+  val IvfPqClusters = 16
+  val IvfPqNprobe = 4
+
+  private def ivfPqIndexPath(sfDir: String): String =
+    new java.io.File(s"target/ivfpq-index/${PathTag.tagFor(sfDir)}").getAbsolutePath
+
+  private val ivfPqBuilt = scala.collection.mutable.HashSet.empty[String]
+
+  /** Idempotent offline IVF-PQ build for `dir`; returns the index path. */
+  def prepareIvfPq(s: SparkSession, dir: String): String = ivfPqBuilt.synchronized {
+    val idx = ivfPqIndexPath(dir)
+    if (!ivfPqBuilt.contains(idx)) {
+      Ann.ivfPqBuild(emb(s, dir), idx, IvfPqClusters, PqM, PqCodes)
+      ivfPqBuilt.add(idx)
+    }
+    idx
+  }
+
+  def q245IvfPqTopK(s: SparkSession, dir: String): DataFrame = {
+    val idx = prepareIvfPq(s, dir)
+    Ann.ivfPqProbe(querySubset(s, dir), idx, PqTopK, IvfPqNprobe)
+      .select(col("qid"), col("nid"), col("adc_micro"), col("rk"))
+      .orderBy(col("qid"), col("rk"))
+  }
+
+  // generated per dump dir, same reasoning as q43Sql/q232Sql
+  def q245Sql(sfDir: String): String = {
+    val idx = ivfPqIndexPath(sfDir)
+    val sw = Dim / PqM
+    s"""WITH cent AS (
+       |  SELECT CAST(cluster AS INTEGER) AS cluster, centroid,
+       |         (SELECT sum(y * y) FROM unnest(centroid) t(y)) AS cnorm
+       |  FROM read_parquet('$idx/centroids/*.parquet')),
+       |asg AS (
+       |  SELECT vec_id, codes, CAST(cluster AS INTEGER) AS cluster
+       |  FROM read_parquet('$idx/assignments/*/*.parquet', hive_partitioning=1)),
+       |cb AS (
+       |  SELECT CAST(sub AS INTEGER) AS sub, CAST(code AS INTEGER) AS code,
+       |         centroid
+       |  FROM read_parquet('$idx/codebooks/*.parquet')),
+       |q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings
+       |      WHERE vec_id % $QueryMod = 0),
+       |dists AS (
+       |  SELECT q.qid, c.cluster,
+       |         round(c.cnorm - 2 * ${sqlDot("q.qv", "c.centroid")}, 6) AS dist,
+       |         CAST(round(1e6 * ${sqlDot("q.qv", "c.centroid")}, 0) AS BIGINT)
+       |           AS base_micro
+       |  FROM q, cent c),
+       |probes AS (
+       |  SELECT qid, cluster, base_micro FROM (
+       |    SELECT qid, cluster, base_micro,
+       |           row_number() OVER (PARTITION BY qid
+       |                              ORDER BY dist ASC, cluster ASC) AS pr
+       |    FROM dists) WHERE pr <= $IvfPqNprobe),
+       |lut AS (
+       |  SELECT q.qid, cb.sub, cb.code,
+       |         CAST(round(1e6 * (
+       |           SELECT sum(CAST(x AS DOUBLE) * y)
+       |           FROM (SELECT unnest(q.qv[cb.sub * $sw + 1 : cb.sub * $sw + $sw]) AS x,
+       |                        unnest(cb.centroid) AS y)), 0) AS BIGINT) AS pd
+       |  FROM q, cb),
+       |codes AS (
+       |  SELECT vec_id, cluster,
+       |         CAST(generate_subscripts(codes, 1) - 1 AS INTEGER) AS sub,
+       |         CAST(unnest(codes) AS INTEGER) AS code
+       |  FROM asg),
+       |scored AS (
+       |  SELECT p.qid, c.vec_id AS nid, p.base_micro + sum(l.pd) AS adc_micro
+       |  FROM probes p
+       |  JOIN codes c USING (cluster)
+       |  JOIN lut l ON l.qid = p.qid AND l.sub = c.sub AND l.code = c.code
+       |  WHERE c.vec_id <> p.qid
+       |  GROUP BY p.qid, c.vec_id, p.base_micro),
+       |best AS (
+       |  SELECT qid, nid, adc_micro,
+       |         row_number() OVER (PARTITION BY qid
+       |                            ORDER BY adc_micro DESC, nid ASC) AS rk
+       |  FROM scored)
+       |SELECT qid, nid, CAST(adc_micro AS BIGINT) AS adc_micro,
+       |       CAST(rk AS BIGINT) AS rk
+       |FROM best WHERE rk <= $PqTopK
+       |ORDER BY qid, rk""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q245_ivfpq_topk" -> (q245IvfPqTopK _),
     "q20_lsh_top1_banded" -> (q20LshTop1Banded _),
     "q21_knn_bruteforce" -> (q21KnnBruteForce _),
     "q22_lsh_buckets" -> (q22LshBuckets _),
@@ -822,6 +920,7 @@ object AnnQueries {
   /** Oracles whose SQL depends on the gate's sf dir (q43 reads the
     * materialized IVF index for that dir); the rest are static. */
   def oraclesFor(sfDir: String): Map[String, String] = Map(
+    "q245_ivfpq_topk" -> q245Sql(sfDir),
     "q20_lsh_top1_banded" -> q20Sql,
     "q21_knn_bruteforce" -> q21Sql,
     "q22_lsh_buckets" -> q22Sql,

@@ -238,6 +238,74 @@ class AnnSpec extends SparkTestBase {
       s"mean recall@3 regressed: ${recalls.sum / recalls.size}")
   }
 
+  test("q245 IVF-PQ: composed artifacts well-formed; ADC replay with base+residual; recall ≥ flat PQ at equal code budget") {
+    import graft.operators.AnnQueries
+    val dir = sf0001
+    val idx = AnnQueries.prepareIvfPq(spark, dir)
+    // inverted-list layout: one directory per cluster (partition
+    // pruning = reading only probed lists), like the q43 IVF index
+    val clusterDirs = new java.io.File(s"$idx/assignments")
+      .listFiles().filter(_.getName.startsWith("cluster="))
+    assert(clusterDirs.nonEmpty && clusterDirs.length <= AnnQueries.IvfPqClusters)
+    val asg = spark.read.parquet(s"$idx/assignments").collect()
+      .map(r => r.getLong(0) -> (r.getSeq[Int](1).toArray, r.getInt(2))).toMap
+    val centroids = spark.read.parquet(s"$idx/centroids").collect()
+      .map(r => r.getInt(0) -> r.getSeq[Double](1).toArray).toMap
+    val codebooks = spark.read.parquet(s"$idx/codebooks").collect()
+      .map(r => (r.getInt(0), r.getInt(1)) -> r.getSeq[Double](2).toArray).toMap
+    val vecs = graft.Tables.embeddings(spark, dir)
+      .select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    val m = AnnQueries.PqM
+    val dim = vecs.values.head.length
+    val sw = dim / m
+    // codes well-formed: m residual codes per vector, in-range
+    assert(asg.size === vecs.size)
+    asg.foreach { case (_, (codes, cluster)) =>
+      assert(codes.length === m)
+      assert(cluster >= 0 && cluster < AnnQueries.IvfPqClusters)
+      codes.foreach(c => assert(c >= 0 && c < AnnQueries.PqCodes))
+    }
+    def micro(x: Double): Long =
+      BigDecimal(1e6 * x).setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+    def dot(a: Array[Float], b: Array[Double], off: Int): Double = {
+      var acc = 0.0; var i = 0
+      while (i < b.length) { acc += a(off + i).toDouble * b(i); i += 1 }
+      acc
+    }
+    // ADC replay: engine score = micro(dot(q, centroid(cluster(nid))))
+    // + Σ_s micro(dot(q_s, residual codebook centroid of nid's code))
+    val ranked = AnnQueries.q245IvfPqTopK(spark, dir).collect()
+    assert(ranked.nonEmpty)
+    ranked.foreach { r =>
+      val (qid, nid, adc) = (r.getLong(0), r.getLong(1), r.getLong(2))
+      val (codes, cluster) = asg(nid)
+      val base = micro(dot(vecs(qid), centroids(cluster), 0))
+      val resid = (0 until m).map(s =>
+        micro(dot(vecs(qid), codebooks((s, codes(s))), s * sw))).sum
+      assert(adc === base + resid, s"qid=$qid nid=$nid")
+    }
+    // the composed index at the IDENTICAL code budget (m codes/vector)
+    // must not rank worse than flat-code PQ: residual codebooks spend
+    // their codes on the small residual ball, so reconstruction is
+    // finer even though the probe scans only nprobe/kClusters of the
+    // corpus. Deterministic (fixed seeds, fixed data).
+    def recallOf(rows: Array[org.apache.spark.sql.Row]): Double = {
+      val exact = AnnQueries.q21KnnBruteForce(spark, dir).collect()
+        .groupBy(_.getLong(0)).map { case (q, rs) => q -> rs.map(_.getLong(1)).toSet }
+      val approx = rows.groupBy(_.getLong(0))
+        .map { case (q, rs) => q -> rs.map(_.getLong(1)).toSet }
+      val rs = exact.map { case (q, ex) =>
+        approx.getOrElse(q, Set.empty[Long]).intersect(ex).size.toDouble / ex.size }
+      rs.sum / rs.size
+    }
+    val ivfPqRecall = recallOf(ranked)
+    val flatPqRecall = recallOf(AnnQueries.q232PqTopK(spark, dir).collect())
+    assert(ivfPqRecall >= flatPqRecall,
+      s"IVF-PQ recall@3 $ivfPqRecall fell below flat PQ $flatPqRecall at equal code budget")
+    info(f"IVF-PQ recall@3 $ivfPqRecall%.3f vs flat PQ $flatPqRecall%.3f (nprobe ${AnnQueries.IvfPqNprobe}/${AnnQueries.IvfPqClusters})")
+  }
+
   test("q233 PQ re-rank: results come from the ADC shortlist, cosines are exact, recall uplift holds") {
     import graft.operators.AnnQueries
     val dir = sf0001
