@@ -190,14 +190,78 @@ object Similarity {
     }.toDF("l_id", "r_id", "sim")
   }
 
-  /** Strategy-picking argmax over long-form vectors: dense-broadcast when
-    * the vocabulary is small (≤ maxDenseVocab), inverted-index + window
-    * otherwise. Inputs must carry 6dp-rounded weights for oracle-stable
-    * sims (both strategies round sims to 6dp before ranking).
+  /** The three physical strategies [[argmaxAdaptive]] dispatches over.
+    * Exposed (with [[chooseArgmaxStrategy]]) so the dispatch decision
+    * is a unit-testable pure function, not an emergent property of the
+    * pipeline.
+    */
+  sealed trait ArgmaxStrategy
+  case object DenseStrategy extends ArgmaxStrategy
+  case object InvertedStrategy extends ArgmaxStrategy
+  case object LshStrategy extends ArgmaxStrategy
+
+  /** Pure dispatch rule: dense broadcast when the vocabulary and bytes
+    * fit; otherwise the exact inverted-index join while its candidate-
+    * pair volume (Σ_w n_wL·n_wR — the exact row count of the word
+    * equi-join) is inside `maxPairRows`; past the budget, the banded
+    * MinHash LSH blocked argmax — UNLESS the caller demanded `exact`,
+    * which always stays on an exact strategy (the q13/q50/q46 oracle
+    * contract: a gated exact operator must never silently turn
+    * approximate; the budget is advisory there and the estimate job is
+    * skipped entirely).
+    */
+  def chooseArgmaxStrategy(denseEligible: Boolean, exact: Boolean,
+      pairRows: => Long, maxPairRows: Long): ArgmaxStrategy =
+    if (denseEligible) DenseStrategy
+    else if (exact || pairRows <= maxPairRows) InvertedStrategy
+    else LshStrategy
+
+  /** Exact inverted-join candidate-pair volume: Σ over shared words of
+    * n_wL·n_wR — ONE cheap aggregate pass over the long forms (counts
+    * only, partial-aggregated; no pair is materialized). This is the
+    * n-side blowup the vocabulary gate cannot see: a 10-word
+    * vocabulary over 10⁹ documents puts ~10¹⁷ rows through the word
+    * join regardless of dim.
+    */
+  def estimateInvertedPairRows(left: DataFrame, right: DataFrame,
+      selfJoin: Boolean): Long = {
+    val cl = left.groupBy(col("word")).agg(count(lit(1)).as("nl"))
+    val row =
+      if (selfJoin) cl.agg(sum(col("nl") * col("nl"))).head()
+      else {
+        val cr = right.groupBy(col("word")).agg(count(lit(1)).as("nr"))
+        cl.join(cr, Seq("word")).agg(sum(col("nl") * col("nr"))).head()
+      }
+    if (row.isNullAt(0)) 0L else row.getLong(0)
+  }
+
+  /** Strategy-picking argmax over long-form vectors — dense-broadcast
+    * when the vocabulary is small (≤ maxDenseVocab) and the dense
+    * corpus fits `maxDenseBytes`; the exact inverted-index join while
+    * its measured candidate-pair volume is inside `maxPairRows`; the
+    * banded-MinHash LSH blocked argmax ([[argmaxLshBlocked]]) past the
+    * budget. THE ENGINE SWITCHES — the n²-regime fallback the 100 TB
+    * argument needs is made here, from a measured pair estimate, not
+    * left to the caller.
+    *
+    * `exact = true` (the default, and the q13/q50/q46 gated contract)
+    * is the escape hatch: exact callers never silently degrade to the
+    * approximate strategy — an oracle-gated exact operator switching
+    * to LSH past a size threshold would change RESULTS, so the
+    * approximate regime is an API-level opt-in (`exact = false`), and
+    * exact mode skips the estimate job entirely (no wasted pass on the
+    * path that cannot act on it). `maxPairRows < 0` (default) reads
+    * `graft.similarity.maxPairRows` (fallback 2e9 — ~hundreds of GB of
+    * pair traffic, the scale where SCALE.md's measurements say the
+    * inverted join stops being answerable).
+    *
+    * Inputs must carry 6dp-rounded weights for oracle-stable sims (all
+    * strategies round sims to 6dp before ranking).
     */
   def argmaxAdaptive(left: DataFrame, right: DataFrame,
       excludeSelf: Boolean = false, maxDenseVocab: Long = 2048,
-      maxDenseBytes: Long = 64L << 20): DataFrame = {
+      maxDenseBytes: Long = 64L << 20, exact: Boolean = true,
+      maxPairRows: Long = -1L): DataFrame = {
     // dense path preconditions: INTEGRAL ids (the dense scorer casts to
     // long and tie-breaks numerically — fractional ids would truncate)
     // and a dense corpus small IN BYTES to collect+broadcast: the
@@ -232,16 +296,73 @@ object Similarity {
         right.select(col("id")).distinct().count() * words.length.toLong * 8L
       case None => Long.MaxValue
     }
-    if (vocab.isDefined && denseBytes <= maxDenseBytes)
-      denseArgmax(left, right, excludeSelf, selfJoinOpt = Some(left eq right),
-        maxDenseVocab = maxDenseVocab, maxDenseBytes = maxDenseBytes,
-        precollectedVocab = vocab)
-    else {
-      val sims0 = invertedIndexJoin(left, right)
-      val sims = (if (excludeSelf) sims0.filter(col("l_id") =!= col("r_id")) else sims0)
-        .withColumn("sim", round(col("sim"), 6))
-      argmax(sims)
+    val selfJoin = left eq right
+    val budget =
+      if (maxPairRows >= 0) maxPairRows
+      else left.sparkSession.conf.getOption("graft.similarity.maxPairRows")
+        .map(_.toLong).getOrElse(2_000_000_000L)
+    chooseArgmaxStrategy(
+        denseEligible = vocab.isDefined && denseBytes <= maxDenseBytes,
+        exact = exact,
+        pairRows = estimateInvertedPairRows(left, right, selfJoin),
+        maxPairRows = budget) match {
+      case DenseStrategy =>
+        denseArgmax(left, right, excludeSelf, selfJoinOpt = Some(selfJoin),
+          maxDenseVocab = maxDenseVocab, maxDenseBytes = maxDenseBytes,
+          precollectedVocab = vocab)
+      case InvertedStrategy =>
+        val sims0 = invertedIndexJoin(left, right)
+        val sims = (if (excludeSelf) sims0.filter(col("l_id") =!= col("r_id")) else sims0)
+          .withColumn("sim", round(col("sim"), 6))
+        argmax(sims)
+      case LshStrategy =>
+        argmaxLshBlocked(left, right, excludeSelf, selfJoin)
     }
+  }
+
+  /** Approximate argmax past the pair budget: banded MinHash LSH over
+    * each vector's WORD SET generates candidate pairs (bucket
+    * equi-joins on band signatures — never the word join's Σ n_w²
+    * blowup), then the exact weighted dot re-scores CANDIDATES ONLY
+    * and the argmax ranks with the same (sim round-6 desc, r_id asc)
+    * contract. The LSH-then-verify shape of q15/q16, instantiated for
+    * weighted cosine argmax: sims of returned pairs are EXACT (the
+    * verify recomputes the true dot) — the approximation is only that
+    * a best match sharing no band bucket with its query can be missed,
+    * with the standard 1−(1−s^r)^b recall curve (q243 measures the
+    * dial). Queries whose buckets are all singletons yield no row,
+    * like [[graft.ann.Ann.lshTop1Banded]].
+    */
+  def argmaxLshBlocked(left: DataFrame, right: DataFrame,
+      excludeSelf: Boolean = false, selfJoin: Boolean = false,
+      minhashK: Int = 12, bands: Int = 6, rowsPerBand: Int = 2): DataFrame = {
+    import graft.dedup.Dedup
+    val sides =
+      if (selfJoin) left.select(col("id"), col("word"))
+      else left.select(col("id"), col("word"))
+        .unionAll(right.select(col("id"), col("word")))
+    // signatures over the distinct word sets; ids shared across sides
+    // (the q13 self-join shape) sign once
+    val sig = Dedup.minhashSig(sides.distinct(), minhashK)
+    val undirected = Dedup.lshCandidates(sig, bands, rowsPerBand)
+    // candidates are undirected a<b; the argmax needs both directions
+    // (plus identity pairs when self matches are allowed)
+    val directed = undirected
+      .select(col("a").as("l_id"), col("b").as("r_id"))
+      .unionAll(undirected.select(col("b").as("l_id"), col("a").as("r_id")))
+    val cands =
+      (if (excludeSelf) directed
+       else directed.unionAll(
+         left.select(col("id").as("l_id"), col("id").as("r_id")).distinct()))
+      .distinct()
+    val ea = left.select(col("id").as("l_id"), col("word"), col("w").as("l_w"))
+    val eb = right.select(col("id").as("r_id"), col("word"), col("w").as("r_w"))
+    val sims = cands
+      .join(ea, Seq("l_id"))
+      .join(eb, Seq("r_id", "word"))
+      .groupBy(col("l_id"), col("r_id"))
+      .agg(round(sum(col("l_w") * col("r_w")), 6).as("sim"))
+    argmax(sims)
   }
 
   /** A8 generalized: top-k rows per `keyCol` by (simCol desc, tieCol asc).

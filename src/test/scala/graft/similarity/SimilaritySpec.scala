@@ -103,6 +103,56 @@ class SimilaritySpec extends SparkTestBase {
       unbounded.collect().map(r => (r.getLong(0), r.getLong(1))).toSet)
   }
 
+  test("chooseArgmaxStrategy: three regimes; dense and exact never run the estimate") {
+    import Similarity._
+    // pairRows is by-name: regimes that cannot act on the estimate
+    // must not evaluate it (no wasted job)
+    assert(chooseArgmaxStrategy(denseEligible = true, exact = false,
+      pairRows = sys.error("dense must not estimate"), maxPairRows = 0) === DenseStrategy)
+    assert(chooseArgmaxStrategy(denseEligible = false, exact = true,
+      pairRows = sys.error("exact must not estimate"), maxPairRows = 0) === InvertedStrategy)
+    assert(chooseArgmaxStrategy(denseEligible = false, exact = false,
+      pairRows = 100L, maxPairRows = 1000L) === InvertedStrategy)
+    assert(chooseArgmaxStrategy(denseEligible = false, exact = false,
+      pairRows = 1001L, maxPairRows = 1000L) === LshStrategy)
+  }
+
+  test("estimateInvertedPairRows equals the word join's exact row count") {
+    val nvecs = Seq((1L, "x", 1.0), (2L, "x", 0.8), (2L, "y", 0.6), (3L, "x", 0.5))
+      .toDF("id", "word", "w")
+    // x appears 3×, y once → self-join rows = 9 + 1
+    assert(Similarity.estimateInvertedPairRows(nvecs, nvecs, selfJoin = true) === 10L)
+    val other = Seq((7L, "x", 1.0), (8L, "z", 1.0)).toDF("id", "word", "w")
+    // shared word x: 3·1; y/z unshared
+    assert(Similarity.estimateInvertedPairRows(nvecs, other, selfJoin = false) === 3L)
+    assert(Similarity.estimateInvertedPairRows(
+      nvecs.filter(lit(false)), other, selfJoin = false) === 0L)
+  }
+
+  test("argmaxAdaptive past the pair budget switches to LSH-blocked; sims stay exact") {
+    // 10 disjoint word-pairs, two docs each: every doc's true best
+    // match is its same-set partner (cross-set dots are 0), and
+    // identical word sets share every minhash band → LSH recall 1 on
+    // exactly the winning pairs
+    val rows = (0 until 10).flatMap { i =>
+      Seq((2L * i, s"w${i}a", 0.6), (2L * i, s"w${i}b", 0.8),
+        (2L * i + 1, s"w${i}a", 0.8), (2L * i + 1, s"w${i}b", 0.6))
+    }
+    val v = rows.toDF("id", "word", "w")
+    val exact = Similarity.argmaxAdaptive(v, v, excludeSelf = true,
+      maxDenseVocab = 0)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    // budget 0 + exact=false → the dispatcher must take the LSH path
+    val approx = Similarity.argmaxAdaptive(v, v, excludeSelf = true,
+      maxDenseVocab = 0, exact = false, maxPairRows = 0L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(approx === exact)
+    // winners are the partners, with the EXACT re-scored dot
+    assert(approx === (0 until 20).map { id =>
+      (id.toLong, (id ^ 1).toLong, 0.96)
+    }.toSet)
+  }
+
   test("denseArgmax handles integer (non-long) ids via cast") {
     val ivecs = Seq((1, "x", 1.0), (2, "x", 0.8), (2, "y", 0.6)).toDF("id", "word", "w")
     val out = Similarity.argmaxAdaptive(ivecs, ivecs, excludeSelf = true, maxDenseVocab = 10)
