@@ -73,9 +73,8 @@ object Round8Queries {
       .localCheckpoint()
     // broadcast only under the capacity gate; past it, the same
     // left-semi prune rides a shuffled join (identical semantics)
-    val maxBcast = s.conf.getOption("graft.substr.maxBroadcastDupHashes")
-      .map(_.toLong).getOrElse(64L * 1000 * 1000)
-    val dupSide = if (dupH.count() <= maxBcast) broadcast(dupH) else dupH
+    val dupSide = BoundedBroadcast.boundedBroadcast(dupH,
+      "graft.substr.maxBroadcastDupHashes", 64L * 1000 * 1000)
     // map-side candidate prune (ids only), then re-attach text by doc
     // and materialize the substring ONLY for candidate positions
     val cand = hashedIds.join(dupSide, Seq("h"), "left_semi")

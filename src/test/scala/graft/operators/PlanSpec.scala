@@ -920,6 +920,77 @@ class PlanSpec extends SparkTestBase {
     assert(single.columns.toSeq === Seq("doc_id", "bm25", "n_terms_hit"))
   }
 
+  test("registry lock: every explicit broadcast hint rides a bounded side or a capacity gate") {
+    // An unconditional broadcast() of a frame that grows with the
+    // corpus is a driver OOM deferred to scale. This walks every gated
+    // query's OPTIMIZED plan, finds the sides carrying an explicit
+    // BROADCAST join hint, and requires each to be bounded BY SHAPE —
+    // an aggregate, a limit, a semi/anti join off a bounded left, a
+    // local relation, or a scan of a constant/dimension table — or to
+    // appear in the allowlist below with a justification (|Q|-bounded
+    // query subsets and capacity-gated broadcasts land there).
+    // Corpus-scale leaves: the fact tables plus per-vector/per-doc
+    // index artifacts; region/nation/customer/supplier/part are
+    // star-schema dimensions (broadcasting their filtered forms is the
+    // intended plan at any scale the dimension itself fits).
+    import org.apache.spark.sql.catalyst.plans.logical._
+    import org.apache.spark.sql.catalyst.plans.{LeftSemi, LeftAnti}
+    import org.apache.spark.sql.execution.datasources.LogicalRelation
+    val corpusScale = Seq("documents.parquet", "embeddings.parquet",
+      "events.parquet", "lineitem.parquet", "orders.parquet",
+      "/assignments", "/codes")
+    def bounded(p: LogicalPlan): Boolean = p match {
+      case _: Aggregate => true
+      case _: GlobalLimit | _: LocalLimit => true
+      case j: Join if j.joinType == LeftSemi || j.joinType == LeftAnti =>
+        bounded(j.left)
+      case l: LogicalRelation => l.relation match {
+        case fs: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+          !fs.location.rootPaths.exists(p =>
+            corpusScale.exists(p.toString.contains))
+        case _ => false
+      }
+      case _: LocalRelation | _: OneRowRelation | _: Range => true
+      case leaf: LeafNode =>
+        // unknown leaves (views, streaming sources) are NOT assumed
+        // small — flag them for the allowlist
+        false
+      case other => other.children.forall(bounded)
+    }
+    def hintedSides(df: org.apache.spark.sql.DataFrame): Seq[LogicalPlan] =
+      df.queryExecution.optimizedPlan.collect {
+        case j: Join =>
+          val l = if (j.hint.leftHint.exists(_.strategy.exists(
+            _.toString.contains("broadcast")))) Seq(j.left) else Nil
+          val r = if (j.hint.rightHint.exists(_.strategy.exists(
+            _.toString.contains("broadcast")))) Seq(j.right) else Nil
+          l ++ r
+      }.flatten
+    val justified: Map[String, String] = Map(
+      // justification = why the hinted side is in fact bounded (or gated)
+      "q21_knn_bruteforce" -> "query-side broadcast: the vec_id % 50 subset IS the query workload (|Q| = corpus/50 at the gate); a production query table is a broadcast-sized input",
+      "q89_quantized_topk" -> "same |Q|-bounded query-side broadcast as q21 (quantized form)",
+      "q99_ann_recall" -> "same |Q|-bounded query-side broadcast as q21 (recall audit reuses it)",
+      "q43_ivf_topk" -> "probe side is |Q|·nprobe rows (window-filtered pr <= nprobe over the query subset — k-bounded per query, invisible to the shape rule)",
+      "q245_ivfpq_topk" -> "probe side is |Q|·nprobe rows joined to the |Q|-row LUT aggregate — same k-bounded window filter as q43",
+      "q24_embedding_near_dups" -> "documented exact all-pairs contract (Ann.nearDupPairs scaladoc: broadcastable side only; the 100 TB path is the LSH bucket route) — the quadratic-output demo class, bench-excluded",
+      "q119_robust_stats" -> "med/mad sides are rank-selected ONE row per event_type (rk = (n+1) div 2 filter — type-cardinality-bounded, invisible to the shape rule)",
+      "q153_exact_substr_spans" -> "capacity-gated via BoundedBroadcast.boundedBroadcast (count <= graft.substr.maxBroadcastDupHashes, shuffled fallback); the localCheckpoint hides the aggregate from the shape rule",
+      "q244_multi_bm25" -> "query table is the LIMIT-150 pair synthesis, localCheckpointed (the checkpoint hides the limit from the shape rule)")
+    val offenders = graft.SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
+      case (name, fn) =>
+        val unbounded = try hintedSides(fn(spark, sf0001)).filterNot(bounded) catch {
+          case e: Throwable => fail(s"$name failed to plan: ${e.getMessage}")
+        }
+        if (unbounded.nonEmpty) Some(name) else None
+    }
+    val unexpected = offenders.filterNot(justified.contains)
+    assert(unexpected.isEmpty,
+      s"unbounded explicit broadcast in gated plans (driver OOM at scale): " +
+        s"${unexpected.mkString(", ")} — bound the side, route through " +
+        "BoundedBroadcast.boundedBroadcast, or justify it in the allowlist")
+  }
+
   test("q226: df/stats broadcast; ranking is a top-k heap, not a global sort") {
     val p = formatted(Round14Queries.q226Bm25(spark, sf0001))
     // the |Q|-row df table and the 1-row stats must broadcast; ranking
