@@ -121,5 +121,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectResolutionRule(session => graft.plans.SimilarityHintRule(session))
     // /*+ SETSIM_JOIN(num, den) */ SQL surface for the exact set-similarity join
     e.injectResolutionRule(session => graft.plans.SetSimHintRule(session))
+    // /*+ BM25('term', ..., k) */ SQL surface for ranked retrieval
+    e.injectResolutionRule(session => graft.plans.Bm25HintRule(session))
   }
 }

@@ -166,10 +166,66 @@ object Round15Queries {
        |FROM best WHERE rk <= $MultiBm25K
        |ORDER BY query_id, rk""".stripMargin
 
+  // ---------------------------------------------------------------- q246
+  /** q226 through plain SQL — the `/*+ BM25('term', ..., k) */` hint
+    * ([[graft.plans.Bm25HintRule]]) over a token view: proof the
+    * ranked-retrieval surface needs NO Scala beyond the session
+    * extension, the same surface-parity gate q225 gives the
+    * set-similarity join and q46 gives argmax. The token view is built
+    * with [[TextPrep.tokensCol]] so tokenization is identical to q226
+    * by construction; scoring/ranking all happen inside the hint
+    * rewrite, which routes through the SAME
+    * [[Round14Queries.bm25Rank]] tail. The oracle recomputes the
+    * long-form semantics (corpus stats over documents present in the
+    * token stream — equal to q226's array form on any corpus without
+    * empty-token documents, which this one is; the hint scaladoc
+    * documents the edge).
+    */
+  def q246SqlBm25(s: SparkSession, dir: String): DataFrame = {
+    Tables.documents(s, dir)
+      .select(col("doc_id"), explode(TextPrep.tokensCol(col("text"))).as("term"))
+      .createOrReplaceTempView("graft_q246_tokens")
+    val termArgs = Round14Queries.Bm25Query.map(t => s"'$t'").mkString(", ")
+    s.sql(s"""SELECT /*+ BM25($termArgs, ${Round14Queries.Bm25TopK}) */
+              |       doc_id, term FROM graft_q246_tokens""".stripMargin)
+  }
+
+  private val q246TermList = Round14Queries.Bm25Query.map(t => s"'$t'").mkString(", ")
+
+  val q246Sql: String =
+    s"""WITH lists AS (
+       |  SELECT doc_id,
+       |         list_filter(string_split(trim(regexp_replace(lower(text), '(\\d|\\W)+', ' ', 'g')), ' '), x -> x <> '') AS toks
+       |  FROM documents),
+       |tok AS (SELECT doc_id, unnest(toks) AS term FROM lists),
+       |dl AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS dl FROM tok GROUP BY doc_id),
+       |stats AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+       |                 sum(dl) / count(*) AS avgdl FROM dl),
+       |tf AS (
+       |  SELECT doc_id, term, count(*) AS tf FROM tok
+       |  WHERE term IN ($q246TermList)
+       |  GROUP BY doc_id, term),
+       |dfreq AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY term),
+       |scored AS (
+       |  SELECT t.doc_id,
+       |         sum(ln(1.0 + (s.n_docs - d.df + 0.5) / (d.df + 0.5)) *
+       |             (t.tf * (${Round14Queries.Bm25K1} + 1.0)) /
+       |             (t.tf + ${Round14Queries.Bm25K1} *
+       |              (1.0 - ${Round14Queries.Bm25B} + ${Round14Queries.Bm25B} * l.dl / s.avgdl))) AS raw,
+       |         count(*) AS n_terms_hit
+       |  FROM tf t JOIN dfreq d USING (term) JOIN dl l USING (doc_id)
+       |  CROSS JOIN stats s
+       |  GROUP BY t.doc_id)
+       |SELECT doc_id, round(raw, 6) AS bm25,
+       |       CAST(n_terms_hit AS BIGINT) AS n_terms_hit
+       |FROM scored ORDER BY bm25 DESC, doc_id LIMIT ${Round14Queries.Bm25TopK}""".stripMargin
+
   // ------------------------------------------------------------ registry
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q244_multi_bm25" -> (q244MultiBm25 _))
+    "q244_multi_bm25" -> (q244MultiBm25 _),
+    "q246_sql_bm25" -> (q246SqlBm25 _))
 
   val oracles: Map[String, String] = Map(
-    "q244_multi_bm25" -> q244Sql)
+    "q244_multi_bm25" -> q244Sql,
+    "q246_sql_bm25" -> q246Sql)
 }
