@@ -628,6 +628,30 @@ object StreamingOps {
       .select(col("b.band").as("band"), col("b.key").as("key"),
         col("c_name"), col("c_h"))
 
+  /** Streaming exact set-similarity probe — q211's streaming twin and
+    * the live form of ingest-time near-dup screening: documents stream
+    * in; each micro-batch's shingle sets are probed against the
+    * PERSISTED old-corpus shingle artifact through the batch
+    * [[graft.operators.Round12Queries.setSimProbe]] core — stream ≡
+    * batch by SHARED CODE (the bm25Rank/MG discipline), so emitted
+    * pairs across any micro-batch split union to exactly the batch
+    * [[graft.operators.Round12Queries.setSimJoin]] over old ∪ new
+    * restricted to (new × old) pairs. State lives in the artifact, not
+    * the stream (the q78/imageDedup pattern): the old side's rarity
+    * table and prefixes are index outputs, the stream holds nothing
+    * between batches. Docs need (doc_id, text).
+    */
+  def streamingSetSimProbe(docs: DataFrame, oldSh: DataFrame,
+      shingleN: Int, tauNum: Int, tauDen: Int)(emit: DataFrame => Unit)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream.outputMode("append")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val newSh = graft.dedup.Dedup.shingleSets(batch, "doc_id", "text", shingleN)
+        emit(graft.operators.Round12Queries.setSimProbe(
+          newSh, oldSh, tauNum, tauDen))
+      }
+      .start()
+
   /** Running ROC-AUC monitor — q229's streaming twin, and the live
     * form of "is our quality score still separating the classes":
     * per-micro-batch (score, pos, neg) partial counts fold into a

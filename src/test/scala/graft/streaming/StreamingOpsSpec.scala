@@ -749,6 +749,46 @@ class StreamingOpsSpec extends SparkTestBase {
     assert(streamed("stripes_d0.png") === (("new", None, None)))
   }
 
+  test("streaming set-sim probe: emitted (new × old) pairs across uneven micro-batches union to the batch restriction") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.operators.Round12Queries
+    val n = Round12Queries.SetSimShingleN
+    val all = spark.read.parquet(s"$sf0001/documents.parquet")
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq
+    // even ids are the OLD corpus (the persisted artifact), odd ids
+    // stream in as NEW docs
+    val (oldDocs, newDocs) = all.partition(_._1 % 2 == 0)
+    val oldSh = graft.dedup.Dedup.shingleSets(
+      oldDocs.toDF("doc_id", "text"), "doc_id", "text", n).localCheckpoint()
+    val input = MemoryStream[(Long, String)]
+    val got = scala.collection.mutable.Set.empty[(Long, Long, Long, Long, Long)]
+    val q = StreamingOps.streamingSetSimProbe(
+        input.toDF.toDF("doc_id", "text"), oldSh, n,
+        Round12Queries.SetSimTauNum, Round12Queries.SetSimTauDen) { pairs =>
+      val snap = pairs.collect().map(r =>
+        (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      got.synchronized { got ++= snap }
+    }
+    // deliberately uneven micro-batches: 3, 17, rest
+    Seq(newDocs.take(3), newDocs.slice(3, 20), newDocs.drop(20))
+      .filter(_.nonEmpty)
+      .foreach { g => input.addData(g.toIndexedSeq: _*); q.processAllAvailable() }
+    q.stop()
+    // batch reference: setSimJoin over old ∪ new, restricted to cross
+    // pairs, re-keyed to (new_id, old_id)
+    val allSh = graft.dedup.Dedup.shingleSets(
+      all.toDF("doc_id", "text"), "doc_id", "text", n).localCheckpoint()
+    val expected = Round12Queries.setSimJoin(allSh).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .filter { case (a, b, _, _, _) => (a % 2 == 0) != (b % 2 == 0) }
+      .map { case (a, b, i, u, j) =>
+        if (a % 2 == 1) (a, b, i, u, j) else (b, a, i, u, j) }
+      .toSet
+    assert(expected.nonEmpty, "fixture must produce cross-parity pairs")
+    assert(got.toSet === expected)
+  }
+
   test("running ROC-AUC converges to the batch q229 through the shared rank-sum tail") {
     implicit val sqlCtx = spark.sqlContext
     val docs = spark.read.parquet(s"$sf0001/documents.parquet")
