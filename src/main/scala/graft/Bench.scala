@@ -24,8 +24,9 @@ import org.apache.spark.sql.SparkSession
   * quadratic-output class),
   * queries that are strict
   * prefixes/aggregations/SQL-surface twins of included ones (q6, q11,
-  * q23, q45, q46, q51, q53, q114, q225 — q46 is q13 through the
-  * SIMILARITY_TOP1 hint, q225 is q211 through SETSIM_JOIN, q45/q132
+  * q23, q45, q46, q51, q53, q114, q225, q246 — q46 is q13 through the
+  * SIMILARITY_TOP1 hint, q225 is q211 through SETSIM_JOIN, q246 is
+  * q226 through the BM25 hint, q45/q132
   * are fixture-sized, q114 is exactly q115's
   * first training round), and the fixture-sized q54/q55 and
   * q231/q234 (dHash fixtures; input does not scale with sf).
@@ -115,7 +116,8 @@ object Bench {
     "q235_jackknife", "q236_bitext_margin",
     "q237_agreement_metrics", "q238_bitext_blocked",
     "q239_threshold_select", "q240_rm3_expansion", "q241_ranking_eval",
-    "q244_multi_bm25", "q245_ivfpq_topk")
+    "q244_multi_bm25", "q245_ivfpq_topk", "q247_filtered_ann",
+    "q248_multi_query_ndcg")
 
   /** 1/5/15-min load averages — recorded at start and end so a
     * load-contaminated run is self-documenting (BENCH_r04's 544 s

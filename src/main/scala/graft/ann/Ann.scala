@@ -192,6 +192,34 @@ object Ann {
     top.withColumn("rk", row_number().over(w).cast("long"))
   }
 
+  /** Filtered (blocked) exact cosine top-k — the production "filtered
+    * vector search" shape: each query ranks ONLY corpus vectors that
+    * agree with it on `blockCols` (a metadata predicate: label, lang,
+    * tenant, shard). The filter IS the join: blocking runs as an
+    * equi-join on the block columns, so the scored pair stream is
+    * Σ_v |Q_v|·|C_v| over block values — never |Q|·n — and at lake
+    * scale a corpus partitioned/bucketed by the block key serves the
+    * probe with partition pruning (the scan never reads non-matching
+    * blocks). Exact within the filter: same round-6 cosine and
+    * (cos desc, nid asc) contract as [[bruteForceTopK]]; ranking
+    * through the bounded-heap TopKPerKeyExec tail.
+    */
+  def filteredTopK(queries: DataFrame, corpus: DataFrame, k: Int,
+      blockCols: Seq[String], excludeSelf: Boolean = true): DataFrame = {
+    require(blockCols.nonEmpty,
+      "filteredTopK: no block columns — use bruteForceTopKViaOperator")
+    VectorFunctions.register(queries.sparkSession)
+    val q = queries.select(
+      col("vec_id").as("qid") +: col("embedding").as("qv") +: blockCols.map(col): _*)
+    val c = corpus.select(
+      col("vec_id").as("nid") +: col("embedding").as("nv") +: blockCols.map(col): _*)
+    val pairs = c.join(broadcast(q), blockCols)
+      .filter(if (excludeSelf) col("qid") =!= col("nid") else lit(true))
+      .select(col("qid"), col("nid"),
+        round(VectorFunctions.dot(col("qv"), col("nv")), 6).as("cos"))
+    rankTopKByScore(pairs, "cos", k, "filteredTopK")
+  }
+
   /** Int8-quantized cosine top-k ([[graft.functions.QuantizeInt8]] +
     * [[graft.functions.IntDotProduct]]): each vector is symmetrically
     * quantized ONCE (a linear pass — at scale the quantized corpus is

@@ -898,8 +898,39 @@ object AnnQueries {
        |ORDER BY qid, rk""".stripMargin
   }
 
+  // --------------------------------------------------------------- q247
+  /** Filtered vector search ([[Ann.filteredTopK]]): exact cosine top-3
+    * restricted to corpus vectors sharing the query's `label` — the
+    * metadata-predicate + ANN composition every production vector
+    * store serves ("nearest English docs", "same-tenant neighbors").
+    * The predicate IS the join key, so the pair stream is per-block
+    * volume (Σ |Q_v|·|C_v|), and a label-partitioned corpus serves the
+    * probe with partition pruning. Same ranking contract as q21.
+    */
+  val FilteredK = 3
+
+  def q247FilteredAnn(s: SparkSession, dir: String): DataFrame =
+    Ann.filteredTopK(querySubset(s, dir), emb(s, dir), FilteredK, Seq("label"))
+      .select(col("qid"), col("nid"), col("cos"), col("rk"))
+      .orderBy(col("qid"), col("rk"))
+
+  val q247Sql: String =
+    s"""WITH q AS (SELECT vec_id AS qid, embedding AS qv, label
+       |           FROM embeddings WHERE vec_id % $QueryMod = 0),
+       |pairs AS (
+       |  SELECT q.qid, e.vec_id AS nid,
+       |         round(${sqlDot("q.qv", "e.embedding")}, 6) AS cos
+       |  FROM q JOIN embeddings e ON e.label = q.label AND e.vec_id <> q.qid),
+       |best AS (
+       |  SELECT qid, nid, cos,
+       |         row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid ASC) AS rk
+       |  FROM pairs)
+       |SELECT qid, nid, cos, CAST(rk AS BIGINT) AS rk FROM best WHERE rk <= $FilteredK
+       |ORDER BY qid, rk""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q245_ivfpq_topk" -> (q245IvfPqTopK _),
+    "q247_filtered_ann" -> (q247FilteredAnn _),
     "q20_lsh_top1_banded" -> (q20LshTop1Banded _),
     "q21_knn_bruteforce" -> (q21KnnBruteForce _),
     "q22_lsh_buckets" -> (q22LshBuckets _),
@@ -921,6 +952,7 @@ object AnnQueries {
     * materialized IVF index for that dir); the rest are static. */
   def oraclesFor(sfDir: String): Map[String, String] = Map(
     "q245_ivfpq_topk" -> q245Sql(sfDir),
+    "q247_filtered_ann" -> q247Sql,
     "q20_lsh_top1_banded" -> q20Sql,
     "q21_knn_bruteforce" -> q21Sql,
     "q22_lsh_buckets" -> q22Sql,

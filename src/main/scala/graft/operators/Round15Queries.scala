@@ -61,7 +61,11 @@ object Round15Queries {
   val MultiBm25NumQueries = 150
   val MultiBm25K = 5
 
-  def q244MultiBm25(s: SparkSession, dir: String): DataFrame = {
+  /** The keyed scored table (query_id, doc_id, bm25, n_terms_hit)
+    * before ranking — shared by q244 (per-query top-k) and q248
+    * (per-query nDCG needs the FULL scored relation for the ideal
+    * ranking, not just the top-k). */
+  private[operators] def multiBm25Scored(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(s, dir)
       .select(col("doc_id"), TextPrep.tokensCol(col("text")).as("toks"))
     val dl = docs.select(col("doc_id"), size(col("toks")).cast("long").as("dl"))
@@ -98,7 +102,14 @@ object Round15Queries {
     val dfTab = dfAll
       .join(broadcast(qterms.select(col("term")).distinct()), Seq("term"), "left_semi")
     val tfq = alltf.join(broadcast(qterms), Seq("term"))
-    val scored = Round14Queries.bm25ScoreKeyed(tfq, dl, dfTab, stats)
+    Round14Queries.bm25ScoreKeyed(tfq, dl, dfTab, stats)
+  }
+
+  /** Per-query top-k of the scored table through the bounded heaps —
+    * shared by q244 (its output) and q248 (the DCG side ranks through
+    * the identical code, so the eval measures exactly what the
+    * retrieval operator serves). */
+  private[operators] def rankMultiBm25(scored: DataFrame): DataFrame = {
     val micro = round(col("bm25") * 1e6)
     val inRange = abs(micro) < lit(1L << 27) &&
       col("doc_id") >= 0L && col("doc_id") < lit(1L << 25)
@@ -114,8 +125,11 @@ object Round15Queries {
     top.withColumn("rk", row_number().over(w).cast("long"))
       .select(col("query_id"), col("doc_id"), col("bm25"),
         col("n_terms_hit"), col("rk"))
-      .orderBy(col("query_id"), col("rk"))
   }
+
+  def q244MultiBm25(s: SparkSession, dir: String): DataFrame =
+    rankMultiBm25(multiBm25Scored(s, dir))
+      .orderBy(col("query_id"), col("rk"))
 
   val q244Sql: String =
     s"""WITH lists AS (
@@ -165,6 +179,87 @@ object Round15Queries {
        |SELECT query_id, doc_id, bm25, n_terms_hit, CAST(rk AS BIGINT) AS rk
        |FROM best WHERE rk <= $MultiBm25K
        |ORDER BY query_id, rk""".stripMargin
+
+  // ---------------------------------------------------------------- q248
+  /** Per-query nDCG@5 over the q244 multi-query retrieval — ranking
+    * evaluation at fleet scale: one quality row PER QUERY of the
+    * 150-query table, where q241 evaluates one literal query. The
+    * relevance grade of (query, doc) is the term-coverage count
+    * n_terms_hit (0..2 for 2-term queries — the graded-relevance
+    * signal the scored table already carries); gain = 2^rel − 1,
+    * DCG@5 over q244's OWN ranking (shared [[rankMultiBm25]] code —
+    * the eval measures exactly what the operator serves), IDCG@5 over
+    * the per-query ideal (rel desc, doc_id asc), both via bounded
+    * per-query heaps.
+    *
+    * Determinism (the q241 convention): per-position gains are
+    * nano-quantized to longs BEFORE the k-way sums, so dcg/idcg carry
+    * exact integers and the only cross-engine double is the final
+    * round-6 ratio. Shape: one scored table (checkpointed — DCG and
+    * IDCG both read it), two heap rankings, one |Q|-row join. Nothing
+    * corpus-scale crosses an exchange after the scoring join.
+    */
+  def q248MultiQueryNdcg(s: SparkSession, dir: String): DataFrame = {
+    val scored = multiBm25Scored(s, dir).localCheckpoint()
+    val gainNano = (pos: org.apache.spark.sql.Column) =>
+      round(lit(1e9) * (pow(lit(2.0), col("n_terms_hit")) - lit(1.0)) /
+        log2(pos + lit(1.0)), 0).cast("long")
+    val ranked = rankMultiBm25(scored)
+      .select(col("query_id"), gainNano(col("rk")).as("gain_nano"))
+      .groupBy(col("query_id")).agg(sum(col("gain_nano")).as("dcg_nano"))
+    // ideal ranking: (rel desc, doc_id asc) — rel ≤ 2 so the packed
+    // ord is tiny; every scored row has rel ≥ 1, so idcg > 0 for every
+    // query present
+    val iOrd = col("n_terms_hit") * lit(1L << 25) - col("doc_id")
+    val iTop = graft.plans.TopK.topKPerKey(
+      scored.select(col("query_id"), col("doc_id"), col("n_terms_hit")),
+      Seq("query_id"), iOrd, MultiBm25K)
+    val wI = Window.partitionBy(col("query_id"))
+      .orderBy(col("n_terms_hit").desc, col("doc_id").asc)
+    val ideal = iTop.withColumn("rk", row_number().over(wI))
+      .select(col("query_id"), gainNano(col("rk")).as("gain_nano"))
+      .groupBy(col("query_id")).agg(sum(col("gain_nano")).as("idcg_nano"))
+    ranked.join(ideal, Seq("query_id"))
+      .select(col("query_id"), col("dcg_nano"), col("idcg_nano"),
+        round(col("dcg_nano") /
+          nullif(col("idcg_nano").cast("double"), lit(0.0)), 6).as("ndcg"))
+      .orderBy(col("query_id"))
+  }
+
+  val q248Sql: String = {
+    // the q244 chain through `scored`, then nano-quantized gains over
+    // the engine ranking and the ideal ranking
+    val base = q244Sql.substring(0, q244Sql.indexOf("best AS ("))
+    s"""${base}engtop AS (
+       |  SELECT query_id, n_terms_hit,
+       |         row_number() OVER (PARTITION BY query_id
+       |                            ORDER BY bm25 DESC, doc_id ASC) AS pos
+       |  FROM scored),
+       |rgain AS (
+       |  SELECT query_id,
+       |         CAST(round(1e9 * (pow(2, n_terms_hit) - 1) / log2(pos + 1), 0)
+       |              AS BIGINT) AS gain_nano
+       |  FROM engtop WHERE pos <= $MultiBm25K),
+       |ideal AS (
+       |  SELECT query_id, n_terms_hit,
+       |         row_number() OVER (PARTITION BY query_id
+       |                            ORDER BY n_terms_hit DESC, doc_id ASC) AS pos
+       |  FROM scored),
+       |igain AS (
+       |  SELECT query_id,
+       |         CAST(round(1e9 * (pow(2, n_terms_hit) - 1) / log2(pos + 1), 0)
+       |              AS BIGINT) AS gain_nano
+       |  FROM ideal WHERE pos <= $MultiBm25K),
+       |dcg AS (SELECT query_id, CAST(sum(gain_nano) AS BIGINT) AS dcg_nano
+       |        FROM rgain GROUP BY query_id),
+       |idcg AS (SELECT query_id, CAST(sum(gain_nano) AS BIGINT) AS idcg_nano
+       |         FROM igain GROUP BY query_id)
+       |SELECT d.query_id, d.dcg_nano, i.idcg_nano,
+       |       round(d.dcg_nano / nullif(CAST(i.idcg_nano AS DOUBLE), 0.0), 6)
+       |         AS ndcg
+       |FROM dcg d JOIN idcg i USING (query_id)
+       |ORDER BY d.query_id""".stripMargin
+  }
 
   // ---------------------------------------------------------------- q246
   /** q226 through plain SQL — the `/*+ BM25('term', ..., k) */` hint
@@ -223,9 +318,11 @@ object Round15Queries {
   // ------------------------------------------------------------ registry
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q244_multi_bm25" -> (q244MultiBm25 _),
-    "q246_sql_bm25" -> (q246SqlBm25 _))
+    "q246_sql_bm25" -> (q246SqlBm25 _),
+    "q248_multi_query_ndcg" -> (q248MultiQueryNdcg _))
 
   val oracles: Map[String, String] = Map(
     "q244_multi_bm25" -> q244Sql,
-    "q246_sql_bm25" -> q246Sql)
+    "q246_sql_bm25" -> q246Sql,
+    "q248_multi_query_ndcg" -> q248Sql)
 }

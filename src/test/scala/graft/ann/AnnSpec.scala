@@ -306,6 +306,32 @@ class AnnSpec extends SparkTestBase {
     info(f"IVF-PQ recall@3 $ivfPqRecall%.3f vs flat PQ $flatPqRecall%.3f (nprobe ${AnnQueries.IvfPqNprobe}/${AnnQueries.IvfPqClusters})")
   }
 
+  test("q247 filtered ANN: neighbors share the query's label; equals a local filtered scorer") {
+    import graft.operators.AnnQueries
+    val rows = graft.Tables.embeddings(spark, sf0001)
+      .select("vec_id", "embedding", "label").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray, r.getInt(2)))
+    val labelOf = rows.map(r => r._1 -> r._3).toMap
+    def cos6(a: Array[Float], b: Array[Float]): Double = {
+      var acc = 0.0; var i = 0
+      while (i < a.length) { acc += a(i).toDouble * b(i).toDouble; i += 1 }
+      BigDecimal(acc).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    val expected = rows.filter(_._1 % 50 == 0).flatMap { case (qid, qv, ql) =>
+      rows.filter(r => r._3 == ql && r._1 != qid)
+        .map { case (nid, nv, _) => (qid, nid, cos6(qv, nv)) }
+        .sortBy { case (_, nid, c) => (-c, nid) }
+        .take(AnnQueries.FilteredK)
+        .zipWithIndex.map { case ((q, n, c), i) => (q, n, c, i + 1L) }
+    }.toVector
+    val got = AnnQueries.q247FilteredAnn(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3))).toVector
+    assert(got === expected)
+    // every returned neighbor satisfies the predicate
+    got.foreach { case (q, n, _, _) => assert(labelOf(n) === labelOf(q)) }
+    assert(got.nonEmpty)
+  }
+
   test("q233 PQ re-rank: results come from the ADC shortlist, cosines are exact, recall uplift holds") {
     import graft.operators.AnnQueries
     val dir = sf0001

@@ -971,6 +971,7 @@ class PlanSpec extends SparkTestBase {
       "q21_knn_bruteforce" -> "query-side broadcast: the vec_id % 50 subset IS the query workload (|Q| = corpus/50 at the gate); a production query table is a broadcast-sized input",
       "q89_quantized_topk" -> "same |Q|-bounded query-side broadcast as q21 (quantized form)",
       "q99_ann_recall" -> "same |Q|-bounded query-side broadcast as q21 (recall audit reuses it)",
+      "q247_filtered_ann" -> "same |Q|-bounded query-side broadcast as q21; the label block key rides IN the broadcast join",
       "q43_ivf_topk" -> "probe side is |Q|·nprobe rows (window-filtered pr <= nprobe over the query subset — k-bounded per query, invisible to the shape rule)",
       "q245_ivfpq_topk" -> "probe side is |Q|·nprobe rows joined to the |Q|-row LUT aggregate — same k-bounded window filter as q43",
       "q24_embedding_near_dups" -> "documented exact all-pairs contract (Ann.nearDupPairs scaladoc: broadcastable side only; the 100 TB path is the LSH bucket route) — the quadratic-output demo class, bench-excluded",

@@ -13,17 +13,21 @@ class Round15QueriesSpec extends SparkTestBase {
     text.toLowerCase.replaceAll("(\\d|\\W)+", " ").trim
       .split(" ").toVector.filter(_.nonEmpty)
 
-  test("q244: multi-query BM25 matches a from-scratch keyed local scorer") {
-    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+  /** From-scratch keyed replay shared by the q244 and q248 tests:
+    * synthesizes the query table exactly as the operator documents
+    * (terms ranked by (df desc, term asc), first 150 ordered
+    * rank-pairs) and scores EVERY (query, matching doc) pair —
+    * (doc_id, bm25 round-6, rel = terms hit).
+    */
+  private def localKeyedBm25(dir: String)
+      : Map[Long, Vector[(Long, Double, Long)]] = {
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
       .select("doc_id", "text").collect().toVector
       .map(r => (r.getLong(0), tokens(r.getString(1))))
     val n = docs.size.toLong
     val avgdl = docs.map(_._2.size.toLong).sum.toDouble / n
     val k1 = Round14Queries.Bm25K1
     val b = Round14Queries.Bm25B
-    // global df (docs containing term) and the synthetic query table:
-    // terms ranked by (df desc, term asc), first 150 ordered rank-pairs
-    // as 2-term queries
     val df: Map[String, Long] = docs.flatMap(_._2.distinct)
       .groupBy(identity).map { case (t, xs) => t -> xs.size.toLong }
     val rankedTerms = df.toVector
@@ -39,26 +43,32 @@ class Round15QueriesSpec extends SparkTestBase {
       .map { case ((t1, t2), qid) => qid.toLong -> Seq(t1, t2) }.toMap
     assert(queries.size === Round15Queries.MultiBm25NumQueries,
       s"fixture vocabulary too small to exercise the multi-query join: ${queries.size}")
-    val expected: Map[Long, Vector[(Long, Double, Long)]] = queries.map {
-      case (qid, qts) =>
-        qid -> docs.flatMap { case (id, ts) =>
-          val dl = ts.size.toLong
-          val contribs = qts.flatMap { t =>
-            val tf = ts.count(_ == t).toLong
-            if (tf == 0) None
-            else {
-              val idf = math.log(1.0 + (n - df(t) + 0.5) / (df(t) + 0.5))
-              Some(idf * (tf * (k1 + 1.0)) /
-                (tf + k1 * (1.0 - b + b * dl / avgdl)))
-            }
+    queries.map { case (qid, qts) =>
+      qid -> docs.flatMap { case (id, ts) =>
+        val dl = ts.size.toLong
+        val contribs = qts.flatMap { t =>
+          val tf = ts.count(_ == t).toLong
+          if (tf == 0) None
+          else {
+            val idf = math.log(1.0 + (n - df(t) + 0.5) / (df(t) + 0.5))
+            Some(idf * (tf * (k1 + 1.0)) /
+              (tf + k1 * (1.0 - b + b * dl / avgdl)))
           }
-          if (contribs.isEmpty) None
-          else Some((id, BigDecimal(contribs.sum)
-            .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble,
-            contribs.size.toLong))
-        }.sortBy { case (id, s, _) => (-s, id) }
-          .take(Round15Queries.MultiBm25K)
+        }
+        if (contribs.isEmpty) None
+        else Some((id, BigDecimal(contribs.sum)
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble,
+          contribs.size.toLong))
+      }
     }
+  }
+
+  test("q244: multi-query BM25 matches a from-scratch keyed local scorer") {
+    val expected: Map[Long, Vector[(Long, Double, Long)]] =
+      localKeyedBm25(sf0001).map { case (qid, scored) =>
+        qid -> scored.sortBy { case (id, s, _) => (-s, id) }
+          .take(Round15Queries.MultiBm25K)
+      }
     val got = Round15Queries.q244MultiBm25(spark, sf0001).collect()
       .map(r => (r.getLong(0), (r.getLong(1), r.getDouble(2), r.getLong(3),
         r.getLong(4))))
@@ -70,6 +80,33 @@ class Round15QueriesSpec extends SparkTestBase {
         s"query $qid: got ${rows.toList} expected ${exp.toList}")
       assert(rows.map(_._4) === (1L to rows.size.toLong).toVector,
         s"query $qid rk column must be dense 1..k")
+    }
+  }
+
+  test("q248: per-query nDCG@5 equals a local nano-quantized replay") {
+    val k = Round15Queries.MultiBm25K
+    def nano(rel: Long, pos: Int): Long =
+      BigDecimal(1e9 * (math.pow(2.0, rel.toDouble) - 1.0) /
+        (math.log(pos + 1.0) / math.log(2.0)))
+        .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+    val expected = localKeyedBm25(sf0001).map { case (qid, scored) =>
+      val dcg = scored.sortBy { case (id, s, _) => (-s, id) }.take(k)
+        .zipWithIndex.map { case ((_, _, rel), i) => nano(rel, i + 1) }.sum
+      val idcg = scored.sortBy { case (id, _, rel) => (-rel, id) }.take(k)
+        .zipWithIndex.map { case ((_, _, rel), i) => nano(rel, i + 1) }.sum
+      qid -> (dcg, idcg,
+        BigDecimal(dcg.toDouble / idcg.toDouble)
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    }
+    val got = Round15Queries.q248MultiQueryNdcg(spark, sf0001).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .toMap
+    assert(got.keySet === expected.keySet)
+    for ((qid, exp) <- expected)
+      assert(got(qid) === exp, s"query $qid")
+    // nDCG bounds: the engine ranking can never beat the ideal
+    got.values.foreach { case (dcg, idcg, ndcg) =>
+      assert(dcg <= idcg && ndcg >= 0.0 && ndcg <= 1.0)
     }
   }
 }
