@@ -117,7 +117,7 @@ object Bench {
     "q237_agreement_metrics", "q238_bitext_blocked",
     "q239_threshold_select", "q240_rm3_expansion", "q241_ranking_eval",
     "q244_multi_bm25", "q245_ivfpq_topk", "q247_filtered_ann",
-    "q248_multi_query_ndcg")
+    "q248_multi_query_ndcg", "q249_ivfpq_rerank")
 
   /** 1/5/15-min load averages — recorded at start and end so a
     * load-contaminated run is self-documenting (BENCH_r04's 544 s
@@ -233,6 +233,8 @@ object Bench {
       operators.AnnQueries.preparePq(spark, sfDir); () }
     val ivfPqReady = prep("q245_ivfpq_topk") {
       operators.AnnQueries.prepareIvfPq(spark, sfDir); () }
+    val ivfPqReady2 = prep("q249_ivfpq_rerank") {
+      operators.AnnQueries.prepareIvfPq(spark, sfDir); () }
     val bucketsReady = prep("q69_bucketed_join") {
       operators.RelationalOps.prepareBucketedTables(spark, sfDir) }
     val lakeReady = prep("q70_partition_pruning") {
@@ -268,6 +270,7 @@ object Bench {
       .filter(name => pqReady || name != "q232_pq_topk")
       .filter(name => pqReady2 || name != "q233_pq_rerank")
       .filter(name => ivfPqReady || name != "q245_ivfpq_topk")
+      .filter(name => ivfPqReady2 || name != "q249_ivfpq_rerank")
       .filter(name => bucketsReady || name != "q69_bucketed_join")
       .filter(name => lakeReady || name != "q70_partition_pruning")
       .filter(name => incCorpusReady || name != "q78_incremental_dedup")

@@ -319,6 +319,47 @@ object Ann {
         col("dup_of"))
   }
 
+  /** Probe NEW vectors against a persisted semantic-dedup index — the
+    * incremental-ingest form of [[semanticDedupVerdicts]] and the
+    * batch core of its streaming twin
+    * ([[graft.streaming.StreamingOps.streamingSemanticDedup]]): each
+    * new vector is assigned to its nearest centroid (the [[ivfProbe]]
+    * L2 rule — round-6 dist, cluster-asc tie-break — over the
+    * broadcast centroid table), then compared against the ACCEPTED
+    * corpus members of that cluster only (the SemDeDup blocking —
+    * candidate volume is cluster-local, never new × corpus); verdict
+    * `semantic_dup` with the minimum qualifying corpus id, else
+    * `kept`. Output shape matches [[semanticDedupVerdicts]]:
+    * (vec_id, cluster, verdict, dup_of).
+    */
+  def semanticDedupProbe(newVecs: DataFrame, assigned: DataFrame,
+      centroids: DataFrame, minCos: Double): DataFrame = {
+    VectorFunctions.register(newVecs.sparkSession)
+    val cent = centroids.select(col("cluster"), col("centroid"),
+      VectorFunctions.dotD(col("centroid"), col("centroid")).as("cnorm"))
+    val wAssign = Window.partitionBy(col("vec_id"))
+      .orderBy(col("dist").asc, col("cluster").asc)
+    val assignedNew = newVecs
+      .select(col("vec_id"), col("embedding"),
+        col("embedding").cast("array<double>").as("qv"))
+      .crossJoin(broadcast(cent))
+      .withColumn("dist", round(
+        col("cnorm") - lit(2.0) * VectorFunctions.dotD(col("qv"), col("centroid")), 6))
+      .withColumn("rn", row_number().over(wAssign))
+      .filter(col("rn") === 1)
+      .select(col("vec_id"), col("embedding"), col("cluster"))
+    val dupOf = assignedNew
+      .join(assigned.select(col("vec_id").as("c_id"), col("cluster"),
+        col("embedding").as("cv")), Seq("cluster"))
+      .filter(round(VectorFunctions.dot(col("embedding"), col("cv")), 6) >= minCos)
+      .groupBy(col("vec_id")).agg(min(col("c_id")).as("dup_of"))
+    assignedNew.join(dupOf, Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cluster"),
+        when(col("dup_of").isNotNull, lit("semantic_dup"))
+          .otherwise(lit("kept")).as("verdict"),
+        col("dup_of"))
+  }
+
   // ------------------------------------------------------------- IVF
   /** IVF coarse index: KMeans cluster id per corpus vector plus the
     * centroid table. The standard inverted-file ANN layout — at scale

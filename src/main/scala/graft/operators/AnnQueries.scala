@@ -898,6 +898,108 @@ object AnnQueries {
        |ORDER BY qid, rk""".stripMargin
   }
 
+  // --------------------------------------------------------------- q249
+  /** IVF-PQ shortlist + exact re-rank — the FULL production serving
+    * stack, ending the ANN ladder: coarse quantizer prunes to nprobe
+    * inverted lists (q43's IVF), shared residual codebooks score the
+    * pruned lists in the compressed domain (q245's ADC), and the
+    * top-ℓ shortlist alone is re-scored with exact float cosines
+    * (q233's verify discipline — the vector store is touched for
+    * |Q|·ℓ point lookups, never scanned). Same output contract as
+    * q21/q233: (qid, nid, cos round-6, rk ≤ 3).
+    */
+  def q249IvfPqRerank(s: SparkSession, dir: String): DataFrame = {
+    val idx = prepareIvfPq(s, dir)
+    graft.functions.VectorFunctions.register(s)
+    val e = emb(s, dir)
+    val shortlist = Ann.ivfPqProbe(querySubset(s, dir), idx, PqShortlist,
+        IvfPqNprobe)
+      .select(col("qid"), col("nid"))
+    val rescored = shortlist
+      .join(e.select(col("vec_id").as("qid"), col("embedding").as("qe")),
+        Seq("qid"))
+      .join(e.select(col("vec_id").as("nid"), col("embedding").as("ne")),
+        Seq("nid"))
+      .select(col("qid"), col("nid"),
+        round(graft.functions.VectorFunctions.dot(col("qe"), col("ne")), 6)
+          .as("cos"))
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("cos").desc, col("nid").asc)
+    rescored.withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= PqTopK)
+      .select(col("qid"), col("nid"), col("cos"), col("rk"))
+      .orderBy(col("qid"), col("rk"))
+  }
+
+  def q249Sql(sfDir: String): String = {
+    val idx = ivfPqIndexPath(sfDir)
+    val sw = Dim / PqM
+    s"""WITH cent AS (
+       |  SELECT CAST(cluster AS INTEGER) AS cluster, centroid,
+       |         (SELECT sum(y * y) FROM unnest(centroid) t(y)) AS cnorm
+       |  FROM read_parquet('$idx/centroids/*.parquet')),
+       |asg AS (
+       |  SELECT vec_id, codes, CAST(cluster AS INTEGER) AS cluster
+       |  FROM read_parquet('$idx/assignments/*/*.parquet', hive_partitioning=1)),
+       |cb AS (
+       |  SELECT CAST(sub AS INTEGER) AS sub, CAST(code AS INTEGER) AS code,
+       |         centroid
+       |  FROM read_parquet('$idx/codebooks/*.parquet')),
+       |q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings
+       |      WHERE vec_id % $QueryMod = 0),
+       |dists AS (
+       |  SELECT q.qid, c.cluster,
+       |         round(c.cnorm - 2 * ${sqlDot("q.qv", "c.centroid")}, 6) AS dist,
+       |         CAST(round(1e6 * ${sqlDot("q.qv", "c.centroid")}, 0) AS BIGINT)
+       |           AS base_micro
+       |  FROM q, cent c),
+       |probes AS (
+       |  SELECT qid, cluster, base_micro FROM (
+       |    SELECT qid, cluster, base_micro,
+       |           row_number() OVER (PARTITION BY qid
+       |                              ORDER BY dist ASC, cluster ASC) AS pr
+       |    FROM dists) WHERE pr <= $IvfPqNprobe),
+       |lut AS (
+       |  SELECT q.qid, cb.sub, cb.code,
+       |         CAST(round(1e6 * (
+       |           SELECT sum(CAST(x AS DOUBLE) * y)
+       |           FROM (SELECT unnest(q.qv[cb.sub * $sw + 1 : cb.sub * $sw + $sw]) AS x,
+       |                        unnest(cb.centroid) AS y)), 0) AS BIGINT) AS pd
+       |  FROM q, cb),
+       |codes AS (
+       |  SELECT vec_id, cluster,
+       |         CAST(generate_subscripts(codes, 1) - 1 AS INTEGER) AS sub,
+       |         CAST(unnest(codes) AS INTEGER) AS code
+       |  FROM asg),
+       |scored AS (
+       |  SELECT p.qid, c.vec_id AS nid, p.base_micro + sum(l.pd) AS adc_micro
+       |  FROM probes p
+       |  JOIN codes c USING (cluster)
+       |  JOIN lut l ON l.qid = p.qid AND l.sub = c.sub AND l.code = c.code
+       |  WHERE c.vec_id <> p.qid
+       |  GROUP BY p.qid, c.vec_id, p.base_micro),
+       |shortlist AS (
+       |  SELECT qid, nid FROM (
+       |    SELECT qid, nid,
+       |           row_number() OVER (PARTITION BY qid
+       |                              ORDER BY adc_micro DESC, nid ASC) AS srk
+       |    FROM scored) AS s WHERE srk <= $PqShortlist),
+       |rescored AS (
+       |  SELECT s.qid, s.nid,
+       |         round(${sqlDot("eq.embedding", "en.embedding")}, 6) AS cos
+       |  FROM shortlist s
+       |  JOIN embeddings eq ON eq.vec_id = s.qid
+       |  JOIN embeddings en ON en.vec_id = s.nid),
+       |best AS (
+       |  SELECT qid, nid, cos,
+       |         row_number() OVER (PARTITION BY qid
+       |                            ORDER BY cos DESC, nid ASC) AS rk
+       |  FROM rescored)
+       |SELECT qid, nid, cos, CAST(rk AS BIGINT) AS rk
+       |FROM best WHERE rk <= $PqTopK
+       |ORDER BY qid, rk""".stripMargin
+  }
+
   // --------------------------------------------------------------- q247
   /** Filtered vector search ([[Ann.filteredTopK]]): exact cosine top-3
     * restricted to corpus vectors sharing the query's `label` — the
@@ -931,6 +1033,7 @@ object AnnQueries {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q245_ivfpq_topk" -> (q245IvfPqTopK _),
     "q247_filtered_ann" -> (q247FilteredAnn _),
+    "q249_ivfpq_rerank" -> (q249IvfPqRerank _),
     "q20_lsh_top1_banded" -> (q20LshTop1Banded _),
     "q21_knn_bruteforce" -> (q21KnnBruteForce _),
     "q22_lsh_buckets" -> (q22LshBuckets _),
@@ -953,6 +1056,7 @@ object AnnQueries {
   def oraclesFor(sfDir: String): Map[String, String] = Map(
     "q245_ivfpq_topk" -> q245Sql(sfDir),
     "q247_filtered_ann" -> q247Sql,
+    "q249_ivfpq_rerank" -> q249Sql(sfDir),
     "q20_lsh_top1_banded" -> q20Sql,
     "q21_knn_bruteforce" -> q21Sql,
     "q22_lsh_buckets" -> q22Sql,

@@ -652,6 +652,26 @@ object StreamingOps {
       }
       .start()
 
+  /** Streaming semantic dedup — q102's streaming twin and the live
+    * form of embedding-level ingest screening: vectors stream in; each
+    * micro-batch is probed against the PERSISTED cluster index (the
+    * SemDeDup corpus assignment + centroids — scheduled-indexing
+    * artifacts, the q78/imageDedup pattern) through the batch
+    * [[graft.ann.Ann.semanticDedupProbe]] core, so stream ≡ batch by
+    * SHARED CODE: verdicts for any micro-batch split union to exactly
+    * the batch probe over all new vectors. Candidate volume per batch
+    * is cluster-local (nearest-centroid blocking), never
+    * batch × corpus. Vectors need (vec_id, embedding).
+    */
+  def streamingSemanticDedup(vectors: DataFrame, assigned: DataFrame,
+      centroids: DataFrame, minCos: Double)(emit: DataFrame => Unit)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    vectors.writeStream.outputMode("append")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        emit(graft.ann.Ann.semanticDedupProbe(batch, assigned, centroids, minCos))
+      }
+      .start()
+
   /** Running ROC-AUC monitor — q229's streaming twin, and the live
     * form of "is our quality score still separating the classes":
     * per-micro-batch (score, pos, neg) partial counts fold into a

@@ -306,6 +306,49 @@ class AnnSpec extends SparkTestBase {
     info(f"IVF-PQ recall@3 $ivfPqRecall%.3f vs flat PQ $flatPqRecall%.3f (nprobe ${AnnQueries.IvfPqNprobe}/${AnnQueries.IvfPqClusters})")
   }
 
+  test("q249 IVF-PQ re-rank: results come from the composed shortlist; exact cosines; recall ≥ raw composed ADC") {
+    import graft.operators.AnnQueries
+    val dir = sf0001
+    val idx = AnnQueries.prepareIvfPq(spark, dir)
+    val shortlist = Ann.ivfPqProbe(
+        graft.Tables.embeddings(spark, dir).filter($"vec_id" % 50 === 0),
+        idx, AnnQueries.PqShortlist, AnnQueries.IvfPqNprobe)
+      .select($"qid", $"nid").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val vecs = graft.Tables.embeddings(spark, dir)
+      .select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    def cos6(a: Array[Float], b: Array[Float]): Double = {
+      var acc = 0.0; var i = 0
+      while (i < a.length) { acc += a(i).toDouble * b(i).toDouble; i += 1 }
+      BigDecimal(acc).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    val reranked = AnnQueries.q249IvfPqRerank(spark, dir).collect()
+    assert(reranked.nonEmpty)
+    reranked.foreach { r =>
+      val (qid, nid, cos) = (r.getLong(0), r.getLong(1), r.getDouble(2))
+      assert(shortlist.contains((qid, nid)),
+        s"($qid, $nid) not in the composed ADC shortlist")
+      assert(cos === cos6(vecs(qid), vecs(nid)), s"qid=$qid nid=$nid")
+    }
+    // exact re-scoring of the shortlist cannot rank worse than the
+    // compressed-domain ordering it refines
+    def recallOf(rows: Array[org.apache.spark.sql.Row]): Double = {
+      val exact = AnnQueries.q21KnnBruteForce(spark, dir).collect()
+        .groupBy(_.getLong(0)).map { case (q, rs) => q -> rs.map(_.getLong(1)).toSet }
+      val approx = rows.groupBy(_.getLong(0))
+        .map { case (q, rs) => q -> rs.map(_.getLong(1)).toSet }
+      val rs = exact.map { case (q, ex) =>
+        approx.getOrElse(q, Set.empty[Long]).intersect(ex).size.toDouble / ex.size }
+      rs.sum / rs.size
+    }
+    val rerankRecall = recallOf(reranked)
+    val rawRecall = recallOf(AnnQueries.q245IvfPqTopK(spark, dir).collect())
+    assert(rerankRecall >= rawRecall,
+      s"re-rank recall $rerankRecall below raw composed ADC $rawRecall")
+    info(f"IVF-PQ re-rank recall@3 $rerankRecall%.3f vs raw ADC $rawRecall%.3f")
+  }
+
   test("q247 filtered ANN: neighbors share the query's label; equals a local filtered scorer") {
     import graft.operators.AnnQueries
     val rows = graft.Tables.embeddings(spark, sf0001)

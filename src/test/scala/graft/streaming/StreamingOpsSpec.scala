@@ -789,6 +789,72 @@ class StreamingOpsSpec extends SparkTestBase {
     assert(got.toSet === expected)
   }
 
+  test("streaming semantic dedup: verdicts across micro-batches equal the batch probe and a local replay") {
+    implicit val sqlCtx = spark.sqlContext
+    val minCos = 0.4
+    val emb = spark.read.parquet(s"$sf0001/embeddings.parquet")
+      .select("vec_id", "embedding")
+    // even ids = the accepted corpus; index = kmeans assignment +
+    // centroids (the persisted SemDeDup artifacts)
+    val old = emb.filter($"vec_id" % 2 === 0)
+    val (assigned, centroids) = graft.ann.Ann.ivfIndex(old, kClusters = 8)
+    val asgC = assigned.localCheckpoint()
+    val centC = centroids.localCheckpoint()
+    val newRows = emb.filter($"vec_id" % 2 === 1).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray)).toSeq
+    val input = MemoryStream[(Long, Array[Float])]
+    val got = scala.collection.mutable.Map.empty[Long, (Int, String, Any)]
+    val q = StreamingOps.streamingSemanticDedup(
+        input.toDF.toDF("vec_id", "embedding"), asgC, centC, minCos) { v =>
+      v.collect().foreach { r =>
+        got.synchronized {
+          got(r.getLong(0)) = (r.getInt(1), r.getString(2),
+            if (r.isNullAt(3)) null else r.getLong(3))
+        }
+      }
+    }
+    Seq(newRows.take(5), newRows.slice(5, 40), newRows.drop(40))
+      .filter(_.nonEmpty)
+      .foreach { g => input.addData(g.toIndexedSeq: _*); q.processAllAvailable() }
+    q.stop()
+    // batch twin over all new vectors at once (shared core)
+    import spark.implicits._
+    val batch = graft.ann.Ann.semanticDedupProbe(
+        newRows.toDF("vec_id", "embedding"), asgC, centC, minCos)
+      .collect().map(r => r.getLong(0) -> (r.getInt(1), r.getString(2),
+        if (r.isNullAt(3)) null else r.getLong(3))).toMap
+    assert(got.toMap === batch)
+    // local replay: nearest centroid by (round-6 L2 surrogate, cluster
+    // asc), dup_of = min even id in that cluster with round-6 cos ≥ τ
+    val cents = centC.collect()
+      .map(r => r.getInt(0) -> r.getSeq[Double](1).toArray).toMap
+    val corpus = asgC.collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray, r.getInt(2)))
+    def r6(x: Double): Double =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    def dotFD(a: Array[Float], b: Array[Double]): Double =
+      a.indices.map(i => a(i).toDouble * b(i)).sum
+    def dotFF(a: Array[Float], b: Array[Float]): Double = {
+      var acc = 0.0; var i = 0
+      while (i < a.length) { acc += a(i).toDouble * b(i).toDouble; i += 1 }
+      acc
+    }
+    newRows.foreach { case (id, v) =>
+      val cluster = cents.toVector.map { case (c, cv) =>
+        (r6(cv.map(x => x * x).sum - 2.0 * dotFD(v, cv)), c)
+      }.min._2
+      val dupOf = corpus.filter(c => c._3 == cluster && r6(dotFF(v, c._2)) >= minCos)
+        .map(_._1).sorted.headOption
+      val (gc, gv, gd) = got(id)
+      assert(gc === cluster, s"vec $id cluster")
+      assert(gv === dupOf.map(_ => "semantic_dup").getOrElse("kept"), s"vec $id verdict")
+      assert(Option(gd).map(_.asInstanceOf[Long]) === dupOf, s"vec $id dup_of")
+    }
+    // the fixture must exercise BOTH verdicts
+    assert(got.values.exists(_._2 == "semantic_dup"))
+    assert(got.values.exists(_._2 == "kept"))
+  }
+
   test("running ROC-AUC converges to the batch q229 through the shared rank-sum tail") {
     implicit val sqlCtx = spark.sqlContext
     val docs = spark.read.parquet(s"$sf0001/documents.parquet")
