@@ -117,7 +117,7 @@ object Bench {
     "q237_agreement_metrics", "q238_bitext_blocked",
     "q239_threshold_select", "q240_rm3_expansion", "q241_ranking_eval",
     "q244_multi_bm25", "q245_ivfpq_topk", "q247_filtered_ann",
-    "q248_multi_query_ndcg", "q249_ivfpq_rerank")
+    "q248_multi_query_ndcg", "q249_ivfpq_rerank", "q250_multiprobe_lsh")
 
   /** 1/5/15-min load averages — recorded at start and end so a
     * load-contaminated run is self-documenting (BENCH_r04's 544 s

@@ -91,9 +91,17 @@ object Ann {
     * embeddings are attached once after the distinct.
     */
   def lshTop1Banded(queries: DataFrame, corpus: DataFrame,
-      bands: Int, rowsPerBand: Int, dim: Int): DataFrame = {
+      bands: Int, rowsPerBand: Int, dim: Int): DataFrame =
+    top1OverCandidates(
+      bandedCandidateIds(queries, corpus, bands, rowsPerBand, dim),
+      queries, corpus)
+
+  /** Shared exact-rescore + argmax tail over a candidate id set —
+    * one implementation for the single-probe ([[lshTop1Banded]]) and
+    * multi-probe ([[lshTop1MultiProbe]]) band indexes. */
+  private def top1OverCandidates(candIds: DataFrame, queries: DataFrame,
+      corpus: DataFrame): DataFrame = {
     VectorFunctions.register(queries.sparkSession)
-    val candIds = bandedCandidateIds(queries, corpus, bands, rowsPerBand, dim)
     val cands = candIds
       .join(queries.select(col("vec_id").as("qid"), col("embedding").as("qv")), Seq("qid"))
       .join(corpus.select(col("vec_id").as("nid"), col("embedding").as("nv")), Seq("nid"))
@@ -102,6 +110,49 @@ object Ann {
     val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("nid").asc)
     cands.withColumn("rk", row_number().over(w)).filter(col("rk") === 1).drop("rk")
   }
+
+  /** Multi-probe banded candidate generation (Lv, Josephson, Wang,
+    * Charikar, Li — "Multi-Probe LSH", VLDB 2007): each query probes
+    * its own bucket in every band PLUS the rowsPerBand single-bit
+    * perturbations of that bucket. The CORPUS index is unchanged
+    * (bands buckets per vector — the persisted artifact at lake
+    * scale); only the query side fans out, to bands·(rowsPerBand+1)
+    * probe rows per query. Multi-probe buys the recall of a larger
+    * band count with query-time fan-out instead of index size — the
+    * right trade when the index is the 100 TB artifact and queries
+    * are the small side. Bit-flip neighbors are exactly the buckets a
+    * near-boundary projection (the likeliest mis-hash of a true
+    * neighbor) lands in.
+    */
+  def multiProbeCandidateIds(queries: DataFrame, corpus: DataFrame,
+      bands: Int, rowsPerBand: Int, dim: Int): DataFrame = {
+    val buckets = signLshBucketsBanded(corpus, "vec_id", "embedding", bands, rowsPerBand, dim)
+    val qids = queries.select(col("vec_id").as("qid"))
+    val qb = buckets.join(qids.withColumnRenamed("qid", "vec_id"), Seq("vec_id"), "left_semi")
+      .select(col("vec_id").as("qid"), col("band"), col("bucket"))
+    val probes = qb.select(col("qid"), col("band"),
+      explode(expr(
+        s"""transform(sequence(0, $rowsPerBand),
+           |  j -> CASE WHEN j = 0 THEN bucket
+           |            ELSE bucket ^ shiftleft(CAST(1 AS BIGINT), j - 1) END)"""
+          .stripMargin)).as("bucket"))
+    val cb = buckets.select(col("vec_id").as("nid"), col("band"), col("bucket"))
+    probes.join(cb, Seq("band", "bucket"))
+      .filter(col("qid") =!= col("nid"))
+      .select(col("qid"), col("nid")).distinct()
+  }
+
+  /** Multi-probe LSH top-1: [[multiProbeCandidateIds]] + the shared
+    * exact-rescore/argmax tail. Candidate superset of
+    * [[lshTop1Banded]] at the same (bands, rowsPerBand) by
+    * construction (the j=0 probe IS the single-probe bucket), so
+    * coverage and recall can only improve — the spec pins both.
+    */
+  def lshTop1MultiProbe(queries: DataFrame, corpus: DataFrame,
+      bands: Int, rowsPerBand: Int, dim: Int): DataFrame =
+    top1OverCandidates(
+      multiProbeCandidateIds(queries, corpus, bands, rowsPerBand, dim),
+      queries, corpus)
 
   /** OR-amplified candidate generation alone: the distinct (qid, nid)
     * pairs sharing at least one band bucket with a query. Exposed

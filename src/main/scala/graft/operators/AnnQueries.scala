@@ -201,6 +201,44 @@ object AnnQueries {
        |FROM topk t LEFT JOIN cand c ON c.qid = t.qid AND c.nid = t.nid
        |GROUP BY t.qid ORDER BY t.qid""".stripMargin
 
+  // --------------------------------------------------------------- q250
+  /** Multi-probe banded LSH top-1 ([[Ann.lshTop1MultiProbe]], Lv et
+    * al. VLDB'07): q20's index probed at the query's bucket PLUS its
+    * single-bit perturbations per band — recall bought with
+    * query-side fan-out (bands·(rows+1) probe rows per query) instead
+    * of more bands (more index). The corpus-side artifact is
+    * IDENTICAL to q20's; the spec pins candidates ⊇ q20's and
+    * coverage/recall monotonicity. Same output contract as q20.
+    */
+  def q250MultiProbeLsh(s: SparkSession, dir: String): DataFrame =
+    Ann.lshTop1MultiProbe(querySubset(s, dir), emb(s, dir),
+        LshBands, LshRowsPerBand, Dim)
+      .select(col("qid"), col("nid"), col("cos"))
+      .orderBy(col("qid"))
+
+  val q250Sql: String =
+    s"""WITH $bandedCandCtes,
+       |probe AS (
+       |  SELECT qb.vec_id AS qid, qb.band,
+       |         CASE WHEN t.j = 0 THEN qb.bucket
+       |              ELSE xor(qb.bucket, CAST(1 << (t.j - 1) AS BIGINT)) END AS bucket
+       |  FROM bkt qb JOIN q ON qb.vec_id = q.qid,
+       |       range(${LshRowsPerBand + 1}) t(j)),
+       |candm AS (
+       |  SELECT DISTINCT p.qid, cb.vec_id AS nid
+       |  FROM probe p JOIN bkt cb ON cb.band = p.band AND cb.bucket = p.bucket
+       |  WHERE cb.vec_id <> p.qid),
+       |scoredm AS (
+       |  SELECT c.qid, c.nid,
+       |         round(${sqlDot("eq.embedding", "en.embedding")}, 6) AS cos
+       |  FROM candm c JOIN embeddings eq ON eq.vec_id = c.qid
+       |       JOIN embeddings en ON en.vec_id = c.nid),
+       |bestm AS (
+       |  SELECT qid, nid, cos,
+       |         row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid ASC) AS rk
+       |  FROM scoredm)
+       |SELECT qid, nid, cos FROM bestm WHERE rk = 1 ORDER BY qid""".stripMargin
+
   // ---------------------------------------------------------------- q22
   /** Sign-LSH bucket assignment for every vector (8 md5-derived
     * Rademacher hyperplanes → 8-bit bucket).
@@ -1034,6 +1072,7 @@ object AnnQueries {
     "q245_ivfpq_topk" -> (q245IvfPqTopK _),
     "q247_filtered_ann" -> (q247FilteredAnn _),
     "q249_ivfpq_rerank" -> (q249IvfPqRerank _),
+    "q250_multiprobe_lsh" -> (q250MultiProbeLsh _),
     "q20_lsh_top1_banded" -> (q20LshTop1Banded _),
     "q21_knn_bruteforce" -> (q21KnnBruteForce _),
     "q22_lsh_buckets" -> (q22LshBuckets _),
@@ -1057,6 +1096,7 @@ object AnnQueries {
     "q245_ivfpq_topk" -> q245Sql(sfDir),
     "q247_filtered_ann" -> q247Sql,
     "q249_ivfpq_rerank" -> q249Sql(sfDir),
+    "q250_multiprobe_lsh" -> q250Sql,
     "q20_lsh_top1_banded" -> q20Sql,
     "q21_knn_bruteforce" -> q21Sql,
     "q22_lsh_buckets" -> q22Sql,

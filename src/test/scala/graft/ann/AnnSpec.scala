@@ -349,6 +349,38 @@ class AnnSpec extends SparkTestBase {
     info(f"IVF-PQ re-rank recall@3 $rerankRecall%.3f vs raw ADC $rawRecall%.3f")
   }
 
+  test("q250 multi-probe LSH: candidates strictly contain single-probe; coverage and recall monotone") {
+    import graft.operators.AnnQueries
+    val queries = emb.filter($"vec_id" % 50 === 0)
+    val single = Ann.bandedCandidateIds(queries, emb,
+        AnnQueries.LshBands, AnnQueries.LshRowsPerBand, AnnQueries.Dim)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val multi = Ann.multiProbeCandidateIds(queries, emb,
+        AnnQueries.LshBands, AnnQueries.LshRowsPerBand, AnnQueries.Dim)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // the j = 0 probe IS the single-probe bucket → superset by
+    // construction; on this corpus the perturbations genuinely add
+    assert(single.subsetOf(multi))
+    assert(multi.size > single.size,
+      s"multi-probe added nothing: ${multi.size} vs ${single.size}")
+    // top-1: every single-probe answer is matched or improved, and
+    // coverage (queries answered) is monotone
+    val exact = Ann.bruteForceTopK(queries, emb, k = 1)
+      .select($"qid", $"nid").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    def top1(df: org.apache.spark.sql.DataFrame) = df
+      .select($"qid", $"nid").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val sTop = top1(Ann.lshTop1Banded(queries, emb,
+      AnnQueries.LshBands, AnnQueries.LshRowsPerBand, AnnQueries.Dim))
+    val mTop = top1(AnnQueries.q250MultiProbeLsh(spark, sf0001))
+    assert(sTop.keySet.subsetOf(mTop.keySet))
+    val sRecall = sTop.count { case (q, n) => exact.get(q).contains(n) }
+    val mRecall = mTop.count { case (q, n) => exact.get(q).contains(n) }
+    assert(mRecall >= sRecall,
+      s"multi-probe top-1 recall $mRecall fell below single-probe $sRecall")
+    info(s"multi-probe: ${multi.size} candidates (single ${single.size}), " +
+      s"top-1 hits $mRecall/${exact.size} vs single $sRecall/${exact.size}")
+  }
+
   test("q247 filtered ANN: neighbors share the query's label; equals a local filtered scorer") {
     import graft.operators.AnnQueries
     val rows = graft.Tables.embeddings(spark, sf0001)
