@@ -123,5 +123,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectResolutionRule(session => graft.plans.SetSimHintRule(session))
     // /*+ BM25('term', ..., k) */ SQL surface for ranked retrieval
     e.injectResolutionRule(session => graft.plans.Bm25HintRule(session))
+    // /*+ BM25_MULTI('query_view', k) */ — the query-TABLE (fleet) form
+    e.injectResolutionRule(session => graft.plans.Bm25MultiHintRule(session))
   }
 }

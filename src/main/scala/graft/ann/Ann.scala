@@ -623,27 +623,15 @@ object Ann {
     */
   private def rankAdcTopK(scored: DataFrame, idSource: DataFrame, k: Int,
       caller: String): DataFrame = {
-    val idRange = idSource.agg(min(col("vec_id")), max(col("vec_id"))).head()
-    val heapSafeIds = !idRange.isNullAt(0) &&
-      idRange.getLong(0) >= 0L && idRange.getLong(1) < 1048576L
-    val w = Window.partitionBy(col("qid"))
-      .orderBy(col("adc_micro").desc, col("nid").asc)
-    if (heapSafeIds) {
-      val inRange = abs(col("adc_micro")) < lit(4294967296L)
-      val ord = when(inRange,
-          col("adc_micro").cast("double") * lit(1048576L) - col("nid"))
-        .otherwise(raise_error(concat(
-          lit(s"$caller: ord encoding out of range (adc_micro="),
-          col("adc_micro").cast("string"), lit(")"))))
-      val top = graft.plans.TopK.topKPerKey(scored, Seq("qid"), ord, k)
-      top.withColumn("rk", row_number().over(w).cast("long"))
-        .filter(col("rk") <= k)
-    } else {
-      // window-ranked fallback: same (adc desc, nid asc) contract, no
-      // ord-encoding collision risk for arbitrary long ids
-      scored.withColumn("rk", row_number().over(w).cast("long"))
-        .filter(col("rk") <= k)
-    }
+    val heapSafeIds = graft.plans.TopK.idRangeSafe(idSource, "vec_id", 1048576L)
+    val inRange = abs(col("adc_micro")) < lit(4294967296L)
+    val ord = when(inRange,
+        col("adc_micro").cast("double") * lit(1048576L) - col("nid"))
+      .otherwise(raise_error(concat(
+        lit(s"$caller: ord encoding out of range (adc_micro="),
+        col("adc_micro").cast("string"), lit(")"))))
+    graft.plans.TopK.rankTopKOrWindow(scored, Seq("qid"), ord,
+      Seq(col("adc_micro").desc, col("nid").asc), k, heapSafeIds)
   }
 
   // ------------------------------------------------------------ IVF-PQ
@@ -789,6 +777,88 @@ object Ann {
       .select(col("qid"), col("nid"),
         (col("base_micro") + adc).as("adc_micro"))
     rankAdcTopK(scored, assigned.select(col("vec_id")), k, "ivfPqProbe")
+  }
+
+  /** Encode vectors against an EXISTING IVF-PQ quantizer pair — the
+    * incremental-ingest half of the index lifecycle (FAISS
+    * `IVFPQ.add`): coarse-assign each vector to its nearest centroid
+    * (squared-L2 rule |c|² − 2x·c; |x|² is a per-row constant), then
+    * product-quantize the residual sub-spaces against the SHARED
+    * codebooks — no `fit` anywhere, so appending never perturbs the
+    * quantizers existing codes were written under (the invariant that
+    * makes append ≡ rebuild-with-same-codebooks, which AnnSpec pins).
+    * Both argmins are q49-style partial-agg struct-mins (map-side
+    * combine; never a window over the candidate table), at FULL double
+    * precision with index-asc tie-breaks — matching the KMeans
+    * `transform` the build encoded with, so re-encoding a base vector
+    * reproduces its stored (cluster, codes). Candidate volume is
+    * rows × kClusters + rows·m × kCodes against broadcast metadata
+    * tables — row-local at any corpus scale. Output: (vec_id, codes
+    * array<int>, cluster), the `assignments/` row shape.
+    */
+  def ivfPqEncode(newVecs: DataFrame, centroids: DataFrame,
+      codebooks: DataFrame): DataFrame = {
+    VectorFunctions.register(newVecs.sparkSession)
+    val dimRow = newVecs.select(size(col("embedding"))).head(1)
+    require(dimRow.nonEmpty, "ivfPqEncode: empty input — nothing to encode")
+    val dim = dimRow(0).getInt(0)
+    val m = codebooks.agg(max(col("sub"))).head().getInt(0) + 1
+    require(dim % m == 0, s"ivfPqEncode: dim $dim not divisible by m=$m")
+    val sw = dim / m
+    val cent = centroids.select(col("cluster"), col("centroid"),
+      VectorFunctions.dotD(col("centroid"), col("centroid")).as("cnorm"))
+    val assigned = newVecs
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("xv"))
+      .crossJoin(broadcast(cent))
+      .withColumn("dist",
+        col("cnorm") - lit(2.0) * VectorFunctions.dotD(col("xv"), col("centroid")))
+      .groupBy(col("vec_id"))
+      .agg(min(struct(col("dist"), col("cluster"), col("centroid"),
+        col("xv"))).as("best"))
+      .select(col("vec_id"), col("best.cluster").as("cluster"),
+        zip_with(col("best.xv"), col("best.centroid"),
+          (e, c) => e - c).as("residual"))
+    val cb = codebooks.select(col("sub"), col("code"),
+      col("centroid").as("cbc"),
+      VectorFunctions.dotD(col("centroid"), col("centroid")).as("cbnorm"))
+    val subs = assigned.select(col("vec_id"), col("cluster"),
+        explode(expr(
+          s"""transform(sequence(0, ${m - 1}),
+             |  s -> named_struct('sub', s,
+             |                    'rslice', slice(residual, s * $sw + 1, $sw)))"""
+            .stripMargin)).as("sx"))
+      .select(col("vec_id"), col("cluster"),
+        col("sx.sub").as("sub"), col("sx.rslice").as("rslice"))
+    subs.join(broadcast(cb), Seq("sub"))
+      .withColumn("cdist",
+        col("cbnorm") - lit(2.0) * VectorFunctions.dotD(col("rslice"), col("cbc")))
+      .groupBy(col("vec_id"), col("cluster"), col("sub"))
+      .agg(min(struct(col("cdist"), col("code"))).as("bc"))
+      .groupBy(col("vec_id"), col("cluster"))
+      .agg(transform(
+        array_sort(collect_list(struct(col("sub"), col("bc.code").as("code")))),
+        x => x.getField("code")).as("codes"))
+      .select(col("vec_id"), col("codes"), col("cluster"))
+  }
+
+  /** Append new vectors to a persisted IVF-PQ index WITHOUT a re-fit
+    * (the round-7 missing piece: the 100 TB serving story appends, it
+    * does not re-build): [[ivfPqEncode]] against the index's existing
+    * quantizers, written `mode(append)` into the cluster-partitioned
+    * inverted lists — only the touched clusters' directories gain
+    * files; centroids/codebooks are untouched by construction.
+    * Probes ([[ivfPqProbe]]) see appended vectors on their next read
+    * with zero probe-side changes. Streaming twin:
+    * [[graft.streaming.StreamingOps.streamingIvfPqAppend]].
+    */
+  def ivfPqAppend(newVecs: DataFrame, indexDir: String): Unit = {
+    val spark = newVecs.sparkSession
+    ivfPqEncode(newVecs,
+        spark.read.parquet(s"$indexDir/centroids"),
+        spark.read.parquet(s"$indexDir/codebooks"))
+      .repartition(col("cluster"))
+      .write.mode("append").partitionBy("cluster")
+      .parquet(s"$indexDir/assignments")
   }
 
   // -------------------------------------------------------- TopKAgg

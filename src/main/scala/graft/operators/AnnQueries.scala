@@ -878,8 +878,14 @@ object AnnQueries {
   }
 
   // generated per dump dir, same reasoning as q43Sql/q232Sql
-  def q245Sql(sfDir: String): String = {
-    val idx = ivfPqIndexPath(sfDir)
+  def q245Sql(sfDir: String): String = ivfPqProbeSql(ivfPqIndexPath(sfDir))
+
+  /** The IVF-PQ probe replay over a materialized index at `idx` —
+    * shared by q245 (built index) and q251 (built-then-appended
+    * index): the oracle replays probe selection, LUT, base term, and
+    * the ADC sum over whatever `assignments/` holds, so the SAME SQL
+    * gates both lifecycles. */
+  private def ivfPqProbeSql(idx: String): String = {
     val sw = Dim / PqM
     s"""WITH cent AS (
        |  SELECT CAST(cluster AS INTEGER) AS cluster, centroid,
@@ -1068,8 +1074,173 @@ object AnnQueries {
        |SELECT qid, nid, cos, CAST(rk AS BIGINT) AS rk FROM best WHERE rk <= $FilteredK
        |ORDER BY qid, rk""".stripMargin
 
+  // --------------------------------------------------------------- q251
+  /** IVF-PQ incremental append ([[Ann.ivfPqAppend]]) — the index
+    * MAINTENANCE lifecycle the 100 TB serving story needs (round-7
+    * missing item #3): the coarse+product quantizers are fit once on
+    * the base corpus (vec_id % 5 ≠ 3 — the "already indexed" 80%),
+    * then the remaining 20% arrives later and is encoded against the
+    * FROZEN quantizers and appended into the cluster-partitioned
+    * inverted lists — no re-fit, only touched clusters gain files.
+    * The gated result is the standard probe over the appended index;
+    * the oracle replays the identical ADC arithmetic over the
+    * materialized artifacts (shared [[ivfPqProbeSql]]), so the gate
+    * hashes the whole append path: assignment, residual encode,
+    * layout, and probe visibility of late vectors. AnnSpec pins the
+    * equivalence law (append ≡ rebuild-with-same-codebooks) and that
+    * appended vectors are findable. Streaming twin:
+    * [[graft.streaming.StreamingOps.streamingIvfPqAppend]].
+    */
+  val IvfPqAppendMod = 5
+
+  private def ivfPqAppendIndexPath(sfDir: String): String =
+    new java.io.File(s"target/ivfpq-append/${PathTag.tagFor(sfDir)}").getAbsolutePath
+
+  private val ivfPqAppendBuilt = scala.collection.mutable.HashSet.empty[String]
+
+  /** Idempotent base-build + late-append for `dir`; returns the index
+    * path. The base build `mode(overwrite)` wipes any stale appended
+    * files from a previous JVM before the append re-runs. */
+  def prepareIvfPqAppend(s: SparkSession, dir: String): String =
+    ivfPqAppendBuilt.synchronized {
+      val idx = ivfPqAppendIndexPath(dir)
+      if (!ivfPqAppendBuilt.contains(idx)) {
+        val all = emb(s, dir)
+        Ann.ivfPqBuild(all.filter(col("vec_id") % IvfPqAppendMod =!= 3),
+          idx, IvfPqClusters, PqM, PqCodes)
+        Ann.ivfPqAppend(all.filter(col("vec_id") % IvfPqAppendMod === 3), idx)
+        ivfPqAppendBuilt.add(idx)
+      }
+      idx
+    }
+
+  def q251IvfPqAppendProbe(s: SparkSession, dir: String): DataFrame = {
+    val idx = prepareIvfPqAppend(s, dir)
+    Ann.ivfPqProbe(querySubset(s, dir), idx, PqTopK, IvfPqNprobe)
+      .select(col("qid"), col("nid"), col("adc_micro"), col("rk"))
+      .orderBy(col("qid"), col("rk"))
+  }
+
+  def q251Sql(sfDir: String): String =
+    ivfPqProbeSql(ivfPqAppendIndexPath(sfDir))
+
+  // --------------------------------------------------------------- q252
+  /** IVF-PQ nprobe recall curve — q243's measured-dial discipline
+    * applied to the composed index (round-7 verdict item #7): recall@3
+    * of [[Ann.ivfPqProbe]] against the exact brute-force top-3 at
+    * nprobe ∈ {1,2,4,8,16}, one audit row per setting. This is the
+    * tuning table a 100 TB ANN deployment reads before fixing its
+    * probe budget: cost grows ∝ nprobe·(n/kClusters) while recall
+    * saturates, and nprobe = kClusters (here 16) bounds the curve at
+    * the PQ ceiling (coarse pruning off — any remaining misses are
+    * quantization error, not pruning). Recall is an exact integer
+    * hit-count over the pair sets (the q242/q243 rule: no
+    * floating-point rounding window in the numerator), round-6 only
+    * at the final ratio.
+    */
+  val NprobeSweep: Seq[Int] = Seq(1, 2, 4, 8, 16)
+
+  def q252NprobeCurve(s: SparkSession, dir: String): DataFrame = {
+    val idx = prepareIvfPq(s, dir)
+    val exact = Ann.bruteForceTopK(querySubset(s, dir), emb(s, dir), k = PqTopK)
+      .select(col("qid"), col("nid")).localCheckpoint()
+    val nExact = exact.count()
+    val rows = NprobeSweep.map { np =>
+      val hits = Ann.ivfPqProbe(querySubset(s, dir), idx, PqTopK, np)
+        .select(col("qid"), col("nid"))
+        .join(exact, Seq("qid", "nid"), "left_semi")
+        .count()
+      (np.toLong, hits)
+    }
+    import s.implicits._
+    rows.toDF("nprobe", "n_hits")
+      .select(col("nprobe"), col("n_hits"),
+        round(col("n_hits") / nullif(lit(nExact).cast("double"), lit(0.0)), 6)
+          .as("recall"))
+      .orderBy(col("nprobe"))
+  }
+
+  def q252Sql(sfDir: String): String = {
+    val idx = ivfPqIndexPath(sfDir)
+    val sw = Dim / PqM
+    s"""WITH cent AS (
+       |  SELECT CAST(cluster AS INTEGER) AS cluster, centroid,
+       |         (SELECT sum(y * y) FROM unnest(centroid) t(y)) AS cnorm
+       |  FROM read_parquet('$idx/centroids/*.parquet')),
+       |asg AS (
+       |  SELECT vec_id, codes, CAST(cluster AS INTEGER) AS cluster
+       |  FROM read_parquet('$idx/assignments/*/*.parquet', hive_partitioning=1)),
+       |cb AS (
+       |  SELECT CAST(sub AS INTEGER) AS sub, CAST(code AS INTEGER) AS code,
+       |         centroid
+       |  FROM read_parquet('$idx/codebooks/*.parquet')),
+       |q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings
+       |      WHERE vec_id % $QueryMod = 0),
+       |nps AS (SELECT np FROM (VALUES ${NprobeSweep.map(n => s"($n)").mkString(", ")}) t(np)),
+       |dists AS (
+       |  SELECT qid, cluster, base_micro,
+       |         row_number() OVER (PARTITION BY qid
+       |                            ORDER BY dist ASC, cluster ASC) AS pr
+       |  FROM (
+       |    SELECT q.qid, c.cluster,
+       |           round(c.cnorm - 2 * ${sqlDot("q.qv", "c.centroid")}, 6) AS dist,
+       |           CAST(round(1e6 * ${sqlDot("q.qv", "c.centroid")}, 0) AS BIGINT)
+       |             AS base_micro
+       |    FROM q, cent c)),
+       |probes AS (
+       |  SELECT n.np, d.qid, d.cluster, d.base_micro
+       |  FROM dists d JOIN nps n ON d.pr <= n.np),
+       |lut AS (
+       |  SELECT q.qid, cb.sub, cb.code,
+       |         CAST(round(1e6 * (
+       |           SELECT sum(CAST(x AS DOUBLE) * y)
+       |           FROM (SELECT unnest(q.qv[cb.sub * $sw + 1 : cb.sub * $sw + $sw]) AS x,
+       |                        unnest(cb.centroid) AS y)), 0) AS BIGINT) AS pd
+       |  FROM q, cb),
+       |codes AS (
+       |  SELECT vec_id, cluster,
+       |         CAST(generate_subscripts(codes, 1) - 1 AS INTEGER) AS sub,
+       |         CAST(unnest(codes) AS INTEGER) AS code
+       |  FROM asg),
+       |scored AS (
+       |  SELECT p.np, p.qid, c.vec_id AS nid,
+       |         p.base_micro + sum(l.pd) AS adc_micro
+       |  FROM probes p
+       |  JOIN codes c USING (cluster)
+       |  JOIN lut l ON l.qid = p.qid AND l.sub = c.sub AND l.code = c.code
+       |  WHERE c.vec_id <> p.qid
+       |  GROUP BY p.np, p.qid, c.vec_id, p.base_micro),
+       |approx AS (
+       |  SELECT np, qid, nid FROM (
+       |    SELECT np, qid, nid,
+       |           row_number() OVER (PARTITION BY np, qid
+       |                              ORDER BY adc_micro DESC, nid ASC) AS rk
+       |    FROM scored) WHERE rk <= $PqTopK),
+       |exact AS (
+       |  SELECT qid, nid FROM (
+       |    SELECT q.qid, e.vec_id AS nid,
+       |           row_number() OVER (PARTITION BY q.qid
+       |                              ORDER BY round(${sqlDot("q.qv", "e.embedding")}, 6) DESC,
+       |                                       e.vec_id ASC) AS rk
+       |    FROM q, embeddings e WHERE e.vec_id <> q.qid)
+       |  WHERE rk <= $PqTopK),
+       |hits AS (
+       |  SELECT a.np, count(*) AS n_hits
+       |  FROM approx a JOIN exact x ON a.qid = x.qid AND a.nid = x.nid
+       |  GROUP BY a.np),
+       |tot AS (SELECT count(*) AS n FROM exact)
+       |SELECT CAST(n.np AS BIGINT) AS nprobe,
+       |       CAST(coalesce(h.n_hits, 0) AS BIGINT) AS n_hits,
+       |       round(coalesce(h.n_hits, 0) / nullif(CAST(t.n AS DOUBLE), 0), 6)
+       |         AS recall
+       |FROM nps n LEFT JOIN hits h ON h.np = n.np CROSS JOIN tot t
+       |ORDER BY nprobe""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q245_ivfpq_topk" -> (q245IvfPqTopK _),
+    "q251_ivfpq_append" -> (q251IvfPqAppendProbe _),
+    "q252_nprobe_curve" -> (q252NprobeCurve _),
     "q247_filtered_ann" -> (q247FilteredAnn _),
     "q249_ivfpq_rerank" -> (q249IvfPqRerank _),
     "q250_multiprobe_lsh" -> (q250MultiProbeLsh _),
@@ -1094,6 +1265,8 @@ object AnnQueries {
     * materialized IVF index for that dir); the rest are static. */
   def oraclesFor(sfDir: String): Map[String, String] = Map(
     "q245_ivfpq_topk" -> q245Sql(sfDir),
+    "q251_ivfpq_append" -> q251Sql(sfDir),
+    "q252_nprobe_curve" -> q252Sql(sfDir),
     "q247_filtered_ann" -> q247Sql,
     "q249_ivfpq_rerank" -> q249Sql(sfDir),
     "q250_multiprobe_lsh" -> q250Sql,

@@ -40,11 +40,14 @@ object Round15Queries {
     *
     * The query table is synthesized deterministically from the corpus
     * so the oracle can replay it: terms ranked by (df desc, term asc)
-    * (vocab-capped at 300), then the first 150 ordered rank-pairs
-    * (i < j) become 2-term queries — 150 queries over a 31-term
-    * synthetic vocabulary, with heavy term SHARING across queries
-    * (each term serves ~10 queries), which is exactly the fan-out
-    * shape the broadcast join must handle. In production the query
+    * (vocab-capped at 300), then the first 150 LEXICOGRAPHICALLY
+    * ordered rank-pairs (i < j) become 2-term queries: (1,2), (1,3),
+    * …, (1,151) — a 151-term vocabulary where the top-df term is a
+    * HUB appearing in every query and each other term in exactly one.
+    * The hub is the stress shape for the broadcast fan-out (one term's
+    * postings feed all 150 queries at once — the worst skew a shared
+    * term can inflict), which is what the per-key heaps must absorb.
+    * In production the query
     * table is an input; the synthesis stages (one vocabulary
     * aggregate + constant-bounded rank/pair windows) stand in for
     * reading it.
@@ -80,10 +83,21 @@ object Round15Queries {
       .agg(count(lit(1)).as("tf"))
       .localCheckpoint()
     val dfAll = alltf.groupBy(col("term")).agg(count(lit(1)).as("df"))
-    // deterministic query synthesis: TakeOrderedAndProject caps the
-    // vocabulary, THEN every window below rides constant-bounded rows
-    // (≤300 ranked terms, ≤150 pairs — PlanSpec allowlist), never the
-    // corpus; the pair cross-join is 300×300 at most
+    val qterms = multiBm25QueryTableFrom(dfAll)
+    val dfTab = dfAll
+      .join(broadcast(qterms.select(col("term")).distinct()), Seq("term"), "left_semi")
+    val tfq = alltf.join(broadcast(qterms), Seq("term"))
+    Round14Queries.bm25ScoreKeyed(tfq, dl, dfTab, stats)
+  }
+
+  /** Deterministic query-table synthesis from a vocabulary df table:
+    * TakeOrderedAndProject caps the vocabulary, THEN every window
+    * below rides constant-bounded rows (≤300 ranked terms, ≤150
+    * pairs — PlanSpec allowlist), never the corpus; the pair
+    * cross-join is 300×300 at most. Output (query_id, term), 2 rows
+    * per query, localCheckpointed (|Q|·2 rows; broadcast wherever it
+    * joins). */
+  private[operators] def multiBm25QueryTableFrom(dfAll: DataFrame): DataFrame = {
     val ranked = dfAll.orderBy(col("df").desc, col("term").asc)
       .limit(MultiBm25MaxTerms)
       .withColumn("rn",
@@ -96,11 +110,46 @@ object Round15Queries {
       .orderBy(col("r1"), col("r2")).limit(MultiBm25NumQueries)
       .withColumn("query_id",
         row_number().over(Window.orderBy(col("r1"), col("r2"))).cast("long") - 1)
-    val qterms = pairs
+    pairs
       .select(col("query_id"), explode(array(col("t1"), col("t2"))).as("term"))
-      .localCheckpoint() // |Q|·2 rows; broadcast below
-    val dfTab = dfAll
-      .join(broadcast(qterms.select(col("term")).distinct()), Seq("term"), "left_semi")
+      .localCheckpoint()
+  }
+
+  /** The q244 query table synthesized from `dir`'s corpus — public so
+    * the q253 SQL surface can register it as a temp view (in
+    * production the query table is an input relation; this synthesis
+    * stands in for reading it, exactly as [[multiBm25Scored]]'s
+    * scaladoc states). */
+  def multiBm25QueryTable(s: SparkSession, dir: String): DataFrame = {
+    val alltf = Tables.documents(s, dir)
+      .select(col("doc_id"), explode(TextPrep.tokensCol(col("text"))).as("term"))
+      .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+    multiBm25QueryTableFrom(
+      alltf.groupBy(col("term")).agg(count(lit(1)).as("df")))
+  }
+
+  /** Multi-query BM25 scored table from raw token OCCURRENCES
+    * (doc_id, term) and a query table (query_id, term) — the PURE
+    * core (no checkpoint, no gating job — safe to call during
+    * analysis) the `/*+ BM25_MULTI */` hint rewrite plans
+    * ([[graft.plans.Bm25MultiHintRule]]). Same algebra as
+    * [[multiBm25Scored]] — both route through
+    * [[Round14Queries.bm25ScoreKeyed]] — with the long-form corpus
+    * stats semantics of the single-query hint (n_docs/dl over
+    * documents PRESENT in the token stream; equal to the array form
+    * on any corpus without empty-token documents — the Bm25HintRule
+    * edge note). */
+  private[graft] def multiBm25ScoredFromTokens(toks: DataFrame,
+      qterms: DataFrame): DataFrame = {
+    val occ = toks.select(col("doc_id"), col("term"))
+    val dl = occ.groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
+    val stats = dl.agg(count(lit(1)).as("n_docs"),
+      (sum(col("dl")) / count(lit(1))).as("avgdl"))
+    val alltf = occ.groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val dfTab = alltf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+      .join(broadcast(qterms.select(col("term")).distinct()),
+        Seq("term"), "left_semi")
     val tfq = alltf.join(broadcast(qterms), Seq("term"))
     Round14Queries.bm25ScoreKeyed(tfq, dl, dfTab, stats)
   }
@@ -109,26 +158,44 @@ object Round15Queries {
     * shared by q244 (its output) and q248 (the DCG side ranks through
     * the identical code, so the eval measures exactly what the
     * retrieval operator serves). */
-  private[operators] def rankMultiBm25(scored: DataFrame): DataFrame = {
+  private[graft] def rankMultiBm25(scored: DataFrame,
+      idSource: DataFrame): DataFrame =
+    // id-range probe over the CHEAP id table (a column-pruned doc_id
+    // min/max, not a re-run of the scoring join): big doc ids degrade
+    // to the per-query window rank instead of aborting the job — the
+    // same heap-or-window dispatch as Ann.rankAdcTopK, via the shared
+    // TopK.rankTopKOrWindow tail.
+    rankMultiBm25Dispatch(scored,
+      graft.plans.TopK.idRangeSafe(idSource, "doc_id", 1L << 25), MultiBm25K)
+
+  /** The ranking tail given an already-made heap-or-window verdict —
+    * split from [[rankMultiBm25]] so the `/*+ BM25_MULTI */` hint
+    * rewrite (which must stay a PURE plan rewrite — no probing job at
+    * analysis time) can plan the heap path directly; its packed-ord
+    * guard then enforces the id domain in-expression (the SQL surface
+    * documents doc_id < 2^25; Scala callers get the auto-degrading
+    * probe). |bm25| stays expression-enforced on the heap path (a
+    * 2-term query cannot reach 2^27 micro-units; if it somehow does,
+    * that is data corruption, not a bigger domain). */
+  private[graft] def rankMultiBm25Dispatch(scored: DataFrame,
+      heapSafe: Boolean, k: Int): DataFrame = {
     val micro = round(col("bm25") * 1e6)
     val inRange = abs(micro) < lit(1L << 27) &&
-      col("doc_id") >= 0L && col("doc_id") < lit(1L << 25)
+      (lit(!heapSafe) || (col("doc_id") >= 0L && col("doc_id") < lit(1L << 25)))
     val ord = when(inRange, micro * lit(1L << 25) - col("doc_id"))
       .otherwise(raise_error(concat(
-        lit("q244: ord encoding out of range (bm25="),
+        lit("multi-bm25: ord encoding out of range (bm25="),
         col("bm25").cast("string"), lit(", doc_id="),
-        col("doc_id").cast("string"),
-        lit(") — use a window-ranked form for this domain"))))
-    val top = graft.plans.TopK.topKPerKey(scored, Seq("query_id"), ord, MultiBm25K)
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("bm25").desc, col("doc_id").asc)
-    top.withColumn("rk", row_number().over(w).cast("long"))
+        col("doc_id").cast("string"), lit(")"))))
+    graft.plans.TopK.rankTopKOrWindow(scored, Seq("query_id"), ord,
+        Seq(col("bm25").desc, col("doc_id").asc), k, heapSafe)
       .select(col("query_id"), col("doc_id"), col("bm25"),
         col("n_terms_hit"), col("rk"))
   }
 
   def q244MultiBm25(s: SparkSession, dir: String): DataFrame =
-    rankMultiBm25(multiBm25Scored(s, dir))
+    rankMultiBm25(multiBm25Scored(s, dir),
+        Tables.documents(s, dir).select(col("doc_id")))
       .orderBy(col("query_id"), col("rk"))
 
   val q244Sql: String =
@@ -204,7 +271,7 @@ object Round15Queries {
     val gainNano = (pos: org.apache.spark.sql.Column) =>
       round(lit(1e9) * (pow(lit(2.0), col("n_terms_hit")) - lit(1.0)) /
         log2(pos + lit(1.0)), 0).cast("long")
-    val ranked = rankMultiBm25(scored)
+    val ranked = rankMultiBm25(scored, scored.select(col("doc_id")))
       .select(col("query_id"), gainNano(col("rk")).as("gain_nano"))
       .groupBy(col("query_id")).agg(sum(col("gain_nano")).as("dcg_nano"))
     // ideal ranking: (rel desc, doc_id asc) — rel ≤ 2 so the packed
@@ -315,14 +382,41 @@ object Round15Queries {
        |       CAST(n_terms_hit AS BIGINT) AS n_terms_hit
        |FROM scored ORDER BY bm25 DESC, doc_id LIMIT ${Round14Queries.Bm25TopK}""".stripMargin
 
+  // --------------------------------------------------------------- q253
+  /** Multi-query BM25 at the SQL surface — the q246-to-q244 analogue
+    * of q225 (round-7 verdict item #5): the fleet-sized retrieval
+    * join reachable without Scala. The `/*+ BM25_MULTI('view'[, k]) */`
+    * hint ([[graft.plans.Bm25MultiHintRule]]) names a registered
+    * query TABLE (query_id, term) instead of term literals; the
+    * rewrite plans [[multiBm25ScoredFromTokens]] +
+    * [[rankMultiBm25Dispatch]] — the exact algebra q244 runs, through
+    * the same [[Round14Queries.bm25ScoreKeyed]] core and TopKPerKey
+    * heaps — so this gate reuses q244's oracle verbatim. The token
+    * view and the synthesized query view stand in for production
+    * input relations (the q246 convention).
+    */
+  def q253SqlMultiBm25(s: SparkSession, dir: String): DataFrame = {
+    Tables.documents(s, dir)
+      .select(col("doc_id"), explode(TextPrep.tokensCol(col("text"))).as("term"))
+      .createOrReplaceTempView("graft_q253_tokens")
+    multiBm25QueryTable(s, dir).createOrReplaceTempView("graft_q253_queries")
+    s.sql(s"""SELECT /*+ BM25_MULTI('graft_q253_queries', $MultiBm25K) */
+              |       doc_id, term FROM graft_q253_tokens""".stripMargin)
+      .orderBy(col("query_id"), col("rk"))
+  }
+
   // ------------------------------------------------------------ registry
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q244_multi_bm25" -> (q244MultiBm25 _),
     "q246_sql_bm25" -> (q246SqlBm25 _),
-    "q248_multi_query_ndcg" -> (q248MultiQueryNdcg _))
+    "q248_multi_query_ndcg" -> (q248MultiQueryNdcg _),
+    "q253_sql_multi_bm25" -> (q253SqlMultiBm25 _))
 
   val oracles: Map[String, String] = Map(
     "q244_multi_bm25" -> q244Sql,
     "q246_sql_bm25" -> q246Sql,
-    "q248_multi_query_ndcg" -> q248Sql)
+    "q248_multi_query_ndcg" -> q248Sql,
+    // q253 IS q244 at the SQL surface — identical result contract,
+    // so the oracle is shared (the q225/q211 convention)
+    "q253_sql_multi_bm25" -> q244Sql)
 }

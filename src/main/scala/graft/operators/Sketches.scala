@@ -126,9 +126,33 @@ object Sketches {
     }
     val numBits = org.apache.spark.util.sketch.BloomFilter
       .optimalNumOfBits(expectedItems, fpp)
-    val agg = new BloomFilterAggregate(GraftSqlApi.expr(asLong(small)),
-      Literal(expectedItems), Literal(numBits)).toAggregateExpression()
-    val sketch = small.select(GraftSqlApi.column(agg).as("bf")).head().get(0)
+    // BloomFilterAggregate silently clamps its arguments to
+    // spark.sql.optimizer.runtime.bloomFilter.{maxNumBits (2^26 ≈
+    // 8 MB), maxNumItems (4M)} via Math.min — past ~7M items at
+    // fpp=0.01 the filter would saturate and the realized fp rate
+    // silently exceed the documented ~fpp (no false negatives, so
+    // results stay correct, but the prune degrades toward a no-op).
+    // Raise the caps to the requested size around the build so the
+    // stated (expectedItems, fpp) contract is ENFORCED, not advisory;
+    // restored afterwards so session behavior elsewhere is untouched.
+    val conf = small.sparkSession.conf
+    val capKeys = Seq(
+      "spark.sql.optimizer.runtime.bloomFilter.maxNumBits" -> numBits,
+      "spark.sql.optimizer.runtime.bloomFilter.maxNumItems" -> expectedItems)
+    val saved = capKeys.map { case (k, _) => k -> conf.getOption(k) }
+    val sketch =
+      try {
+        capKeys.foreach { case (k, need) =>
+          val cur = conf.getOption(k).map(_.toLong).getOrElse(0L)
+          if (cur < need) conf.set(k, need.toString)
+        }
+        val agg = new BloomFilterAggregate(GraftSqlApi.expr(asLong(small)),
+          Literal(expectedItems), Literal(numBits)).toAggregateExpression()
+        small.select(GraftSqlApi.column(agg).as("bf")).head().get(0)
+      } finally saved.foreach {
+        case (k, Some(v)) => conf.set(k, v)
+        case (k, None)    => conf.unset(k)
+      }
     sketch match {
       case bytes: Array[Byte] =>
         big.filter(col(keyCol).isNotNull && GraftSqlApi.column(

@@ -9,7 +9,8 @@ import org.apache.spark.sql.catalyst.expressions.{Attribute, BindReferences, Exp
 import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, UnaryNode}
 import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution}
 import org.apache.spark.sql.execution.{SparkPlan, SparkStrategy, UnaryExecNode}
-import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions.{col, max, min, row_number}
 
 /** Custom whole-operator Catalyst extension (SURVEY.md §7.3(c) /
   * §2-A8 generalized): top-k rows per key WITHOUT a total sort.
@@ -195,5 +196,41 @@ object TopK {
     org.apache.spark.sql.GraftSqlApi.ofRows(spark,
         TopKPerKey(keys, attr(ordName), k, part))
       .drop(ordName)
+  }
+
+  /** True iff every id in `idCol` is in [0, maxExclusive) — the probe
+    * gating a packed-ord heap path (one column-pruned min/max over the
+    * cheapest table carrying the id domain, negligible next to the
+    * scoring scan itself). Empty input is NOT heap-safe: both paths
+    * return empty anyway, and routing empties through the window form
+    * keeps the probe's contract trivially monotone (adding rows can
+    * only flip safe→unsafe, never resurrect a stale safe verdict).
+    */
+  def idRangeSafe(idSource: DataFrame, idCol: String,
+      maxExclusive: Long): Boolean = {
+    val r = idSource.agg(min(col(idCol)), max(col(idCol))).head()
+    !r.isNullAt(0) && r.getLong(0) >= 0L && r.getLong(1) < maxExclusive
+  }
+
+  /** Heap-or-window per-key ranking dispatch — the shared tail of the
+    * packed-ord ranking paths ([[graft.ann.Ann]]'s ADC probes,
+    * Round15's multi-query BM25). `packedOrd` packs (score, id
+    * tie-break) into one double magnitude, collision-free only on a
+    * bounded id domain; callers probe that domain with [[idRangeSafe]]
+    * and pass the verdict here. Safe ids → [[topKPerKey]] bounded
+    * heaps (O(n log k), map-side combine), then the exact
+    * `windowOrder` re-ranks the ≤k survivors per key for the stable
+    * `rk` column. Unsafe ids → the SAME window ranks the full scored
+    * table: degraded (a per-key sort) but correct for arbitrary ids —
+    * an out-of-domain id DEGRADES the plan, it never aborts the job.
+    */
+  def rankTopKOrWindow(scored: DataFrame, keyCols: Seq[String],
+      packedOrd: Column, windowOrder: Seq[Column], k: Int,
+      heapSafe: Boolean): DataFrame = {
+    val w = Window.partitionBy(keyCols.map(col): _*).orderBy(windowOrder: _*)
+    val base = if (heapSafe) topKPerKey(scored, keyCols, packedOrd, k)
+               else scored
+    base.withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= k)
   }
 }

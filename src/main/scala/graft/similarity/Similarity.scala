@@ -225,14 +225,41 @@ object Similarity {
     */
   def estimateInvertedPairRows(left: DataFrame, right: DataFrame,
       selfJoin: Boolean): Long = {
-    val cl = left.groupBy(col("word")).agg(count(lit(1)).as("nl"))
-    val row =
-      if (selfJoin) cl.agg(sum(col("nl") * col("nl"))).head()
-      else {
-        val cr = right.groupBy(col("word")).agg(count(lit(1)).as("nr"))
-        cl.join(cr, Seq("word")).agg(sum(col("nl") * col("nr"))).head()
-      }
-    if (row.isNullAt(0)) 0L else row.getLong(0)
+    // Summed in DOUBLE, not long: this estimator exists precisely for
+    // the regime where the products explode (10 words × 10⁹ docs ⇒
+    // ~10¹⁷ pair rows; 10¹¹ docs overflows even the per-word long
+    // product), and a budget comparison needs magnitude, not
+    // exactness — long arithmetic would throw under ANSI mode or wrap
+    // into a WRONG dispatch exactly when the dispatcher matters most.
+    // Doubles are exact to 2^53 (far past any sane maxPairRows) and
+    // past that merely approximate an answer whose only use is
+    // "bigger than the budget?". Saturates to Long.MaxValue (⇒ LSH
+    // dispatch) instead of overflowing.
+    val cl = left.groupBy(col("word")).agg(count(lit(1)).cast("double").as("nl"))
+    val cr =
+      if (selfJoin) None
+      else Some(right.groupBy(col("word"))
+        .agg(count(lit(1)).cast("double").as("nr")))
+    pairRowsFromWordCounts(cl, cr)
+  }
+
+  /** The saturating fold behind [[estimateInvertedPairRows]], split
+    * out so a spec can feed SYNTHETIC per-word counts whose products
+    * exceed Long.MaxValue (counts that big cannot be materialized as
+    * rows in a test). `cl` is (word, nl: double); `cr` None means
+    * self-join (Σ nl²). */
+  private[similarity] def pairRowsFromWordCounts(cl: DataFrame,
+      cr: Option[DataFrame]): Long = {
+    val row = cr match {
+      case None    => cl.agg(sum(col("nl") * col("nl"))).head()
+      case Some(r) => cl.join(r, Seq("word"))
+        .agg(sum(col("nl") * col("nr"))).head()
+    }
+    if (row.isNullAt(0)) 0L
+    else {
+      val d = row.getDouble(0)
+      if (d >= Long.MaxValue.toDouble) Long.MaxValue else d.toLong
+    }
   }
 
   /** Strategy-picking argmax over long-form vectors — dense-broadcast
@@ -337,19 +364,33 @@ object Similarity {
       excludeSelf: Boolean = false, selfJoin: Boolean = false,
       minhashK: Int = 12, bands: Int = 6, rowsPerBand: Int = 2): DataFrame = {
     import graft.dedup.Dedup
-    val sides =
-      if (selfJoin) left.select(col("id"), col("word"))
-      else left.select(col("id"), col("word"))
-        .unionAll(right.select(col("id"), col("word")))
-    // signatures over the distinct word sets; ids shared across sides
-    // (the q13 self-join shape) sign once
-    val sig = Dedup.minhashSig(sides.distinct(), minhashK)
-    val undirected = Dedup.lshCandidates(sig, bands, rowsPerBand)
-    // candidates are undirected a<b; the argmax needs both directions
-    // (plus identity pairs when self matches are allowed)
-    val directed = undirected
-      .select(col("a").as("l_id"), col("b").as("r_id"))
-      .unionAll(undirected.select(col("b").as("l_id"), col("a").as("r_id")))
+    // Self-join: one signature table, undirected a<b candidates
+    // mirrored into both directions. Two-sided: each side signs its
+    // OWN distinct word sets and candidates come from a directed
+    // (band, bsig) join of the two band tables — signing a union
+    // would merge the word sets of an id that appears on BOTH sides
+    // with different words, silently skewing that id's signature (and
+    // so its recall; rescoring is exact either way).
+    val directed =
+      if (selfJoin) {
+        val sig = Dedup.minhashSig(
+          left.select(col("id"), col("word")).distinct(), minhashK)
+        val undirected = Dedup.lshCandidates(sig, bands, rowsPerBand)
+        undirected
+          .select(col("a").as("l_id"), col("b").as("r_id"))
+          .unionAll(undirected.select(col("b").as("l_id"), col("a").as("r_id")))
+      } else {
+        val bl = Dedup.lshBands(Dedup.minhashSig(
+            left.select(col("id"), col("word")).distinct(), minhashK),
+            bands, rowsPerBand)
+          .select(col("band"), col("bsig"), col("id").as("l_id"))
+        val br = Dedup.lshBands(Dedup.minhashSig(
+            right.select(col("id"), col("word")).distinct(), minhashK),
+            bands, rowsPerBand)
+          .select(col("band"), col("bsig"), col("id").as("r_id"))
+        bl.join(br, Seq("band", "bsig"))
+          .select(col("l_id"), col("r_id")).distinct()
+      }
     val cands =
       (if (excludeSelf) directed
        else directed.unionAll(

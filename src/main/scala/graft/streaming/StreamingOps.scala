@@ -672,6 +672,26 @@ object StreamingOps {
       }
       .start()
 
+  /** Streaming IVF-PQ index maintenance — [[graft.ann.Ann.ivfPqAppend]]
+    * as a live ingest sink: vectors stream in; each micro-batch is
+    * encoded against the index's PERSISTED quantizers (centroids +
+    * codebooks — never re-fit) and appended to the cluster-partitioned
+    * inverted lists. Stream ≡ batch by SHARED CODE (the
+    * semanticDedup/setsim twin discipline): since every batch encodes
+    * against the same frozen quantizers and appends are row-disjoint
+    * file adds, ANY micro-batch split of the new vectors yields the
+    * identical assignments table as one batch [[graft.ann.Ann.ivfPqAppend]]
+    * — the AnnSpec law. State lives in the index artifact, not the
+    * stream. Vectors need (vec_id, embedding).
+    */
+  def streamingIvfPqAppend(vectors: DataFrame, indexDir: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    vectors.writeStream.outputMode("append")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty) graft.ann.Ann.ivfPqAppend(batch, indexDir)
+      }
+      .start()
+
   /** Running ROC-AUC monitor — q229's streaming twin, and the live
     * form of "is our quality score still separating the classes":
     * per-micro-batch (score, pos, neg) partial counts fold into a
@@ -756,6 +776,68 @@ object StreamingOps {
             (lit(sumDl) / lit(nDocs)).as("avgdl"))
           emit(graft.operators.Round14Queries.bm25Rank(
             matchTf.get, matchDl.get, dfTab, stats, k))
+        }
+      }
+      .start()
+  }
+
+  /** Streaming MULTI-QUERY retrieval monitor — q244's streaming twin
+    * (round-7 verdict item #6) and the live form of "what does the
+    * whole query fleet see right now": documents stream in; per batch
+    * the incremental index state grows (matched tf rows + matched dl
+    * rows unioned, exact n_docs/Σdl counters — the [[runningBm25]]
+    * state discipline, which bounds streaming state by MATCHED docs ×
+    * query terms, never the corpus), and each emission re-scores under
+    * the CURRENT statistics through the IDENTICAL keyed core
+    * ([[graft.operators.Round14Queries.bm25ScoreKeyed]]) and per-query
+    * heap ranking ([[graft.operators.Round15Queries.rankMultiBm25]])
+    * the batch q244 gate runs — stream ≡ batch by shared code: after
+    * the last batch the emission equals the batch q244 over the union
+    * corpus exactly (the StreamingOpsSpec law). `qterms` is the static
+    * (query_id, term) query table — broadcast-sized by the q244
+    * contract. Assumes append semantics (each doc_id arrives once).
+    */
+  def runningMultiBm25(docs: DataFrame, qterms: DataFrame)
+      (emit: DataFrame => Unit)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    val qtermsC = qterms.localCheckpoint()
+    val qTermSet = qtermsC.select(col("term")).distinct().localCheckpoint()
+    var matchTf: Option[DataFrame] = None
+    var matchDl: Option[DataFrame] = None
+    var nDocs = 0L
+    var sumDl = 0L
+    docs.writeStream.outputMode("append")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val s = batch.sparkSession
+        val toks = batch.select(col("doc_id"),
+            graft.text.TextPrep.tokensCol(col("text")).as("toks"))
+          .localCheckpoint()
+        val bDl = toks.select(col("doc_id"),
+          size(col("toks")).cast("long").as("dl"))
+        val agg = bDl.agg(count(lit(1)), coalesce(sum(col("dl")), lit(0L))).head()
+        nDocs += agg.getLong(0)
+        sumDl += agg.getLong(1)
+        val bTf = toks
+          .select(col("doc_id"), explode(col("toks")).as("term"))
+          .join(broadcast(qTermSet), Seq("term"), "left_semi")
+          .groupBy(col("doc_id"), col("term"))
+          .agg(count(lit(1)).as("tf"))
+        val bMatchDl = bDl.join(
+          bTf.select(col("doc_id")).distinct(), Seq("doc_id"), "left_semi")
+        matchTf = Some(matchTf.map(_.unionByName(bTf)).getOrElse(bTf)
+          .localCheckpoint())
+        matchDl = Some(matchDl.map(_.unionByName(bMatchDl)).getOrElse(bMatchDl)
+          .localCheckpoint())
+        if (nDocs > 0) {
+          val dfTab = matchTf.get.groupBy(col("term"))
+            .agg(count(lit(1)).as("df"))
+          val stats = s.range(1).select(lit(nDocs).as("n_docs"),
+            (lit(sumDl) / lit(nDocs)).as("avgdl"))
+          val tfq = matchTf.get.join(broadcast(qtermsC), Seq("term"))
+          emit(graft.operators.Round15Queries.rankMultiBm25(
+            graft.operators.Round14Queries.bm25ScoreKeyed(
+              tfq, matchDl.get, dfTab, stats),
+            matchDl.get.select(col("doc_id"))))
         }
       }
       .start()

@@ -974,10 +974,13 @@ class PlanSpec extends SparkTestBase {
       "q247_filtered_ann" -> "same |Q|-bounded query-side broadcast as q21; the label block key rides IN the broadcast join",
       "q43_ivf_topk" -> "probe side is |Q|·nprobe rows (window-filtered pr <= nprobe over the query subset — k-bounded per query, invisible to the shape rule)",
       "q245_ivfpq_topk" -> "probe side is |Q|·nprobe rows joined to the |Q|-row LUT aggregate — same k-bounded window filter as q43",
+      "q249_ivfpq_rerank" -> "inherits q245's probe (|Q|·nprobe rows + |Q|-row LUT); the exact re-rank joins only the k·|Q|-row ADC shortlist back to the base vectors",
+      "q251_ivfpq_append" -> "the standard q245 probe shape over the appended index (|Q|·nprobe probe rows + |Q|-row LUT); the append itself is a write, not part of the probed plan",
       "q24_embedding_near_dups" -> "documented exact all-pairs contract (Ann.nearDupPairs scaladoc: broadcastable side only; the 100 TB path is the LSH bucket route) — the quadratic-output demo class, bench-excluded",
       "q119_robust_stats" -> "med/mad sides are rank-selected ONE row per event_type (rk = (n+1) div 2 filter — type-cardinality-bounded, invisible to the shape rule)",
       "q153_exact_substr_spans" -> "capacity-gated via BoundedBroadcast.boundedBroadcast (count <= graft.substr.maxBroadcastDupHashes, shuffled fallback); the localCheckpoint hides the aggregate from the shape rule",
-      "q244_multi_bm25" -> "query table is the LIMIT-150 pair synthesis, localCheckpointed (the checkpoint hides the limit from the shape rule)")
+      "q244_multi_bm25" -> "query table is the LIMIT-150 pair synthesis, localCheckpointed (the checkpoint hides the limit from the shape rule)",
+      "q253_sql_multi_bm25" -> "same query table as q244, reaching the plan as a registered temp view of the localCheckpointed synthesis — |Q|-bounded by the q244 contract (a production query workload is a broadcast-sized input relation)")
     val offenders = graft.SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
       case (name, fn) =>
         val unbounded = try hintedSides(fn(spark, sf0001)).filterNot(bounded) catch {

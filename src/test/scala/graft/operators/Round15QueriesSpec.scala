@@ -109,4 +109,33 @@ class Round15QueriesSpec extends SparkTestBase {
       assert(dcg <= idcg && ndcg >= 0.0 && ndcg <= 1.0)
     }
   }
+
+  test("rankMultiBm25 degrades to the window form for doc ids past 2^25") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // ids past the packed-ord domain must DEGRADE (window rank), not
+    // raise_error — the same dispatch as Ann.rankAdcTopK
+    val big = 1L << 40
+    val scored = Seq(
+      (0L, big + 2L, 3.5, 2L), (0L, big + 1L, 3.5, 2L),
+      (0L, big + 3L, 9.9, 2L), (0L, big + 4L, 0.1, 1L),
+      (0L, big + 5L, 5.0, 1L), (0L, big + 6L, 4.0, 1L),
+      (0L, big + 7L, 3.0, 1L),
+      (1L, big + 9L, 1.0, 1L))
+      .toDF("query_id", "doc_id", "bm25", "n_terms_hit")
+    val got = Round15Queries.rankMultiBm25(scored, scored.select(col("doc_id")))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(4)))
+      .groupBy(_._1).map { case (q, rs) =>
+        q -> rs.sortBy(_._3).map(_._2).toVector }
+    // (bm25 desc, doc_id asc), k = 5 — the tie at 3.5 breaks on id
+    assert(got(0L) === Vector(big + 3L, big + 5L, big + 6L,
+      big + 1L, big + 2L))
+    assert(got(1L) === Vector(big + 9L))
+    // no TopKPerKey node on the degraded path (the heap ord would
+    // collide for these ids); in-range ids keep the heap — PlanSpec
+    // locks that side on the gated q244 plan
+    val plan = Round15Queries.rankMultiBm25(scored,
+      scored.select(col("doc_id"))).queryExecution.optimizedPlan
+    assert(plan.collect { case t: graft.plans.TopKPerKey => t }.isEmpty)
+  }
 }

@@ -129,6 +129,26 @@ class SimilaritySpec extends SparkTestBase {
       nvecs.filter(lit(false)), other, selfJoin = false) === 0L)
   }
 
+  test("pair estimator saturates past Long.MaxValue instead of throwing/wrapping") {
+    // the regime the dispatcher EXISTS for: 10¹¹-doc postings make
+    // per-word products (and the sum) overflow long — ANSI mode would
+    // kill the estimate job, non-ANSI would wrap into a wrong
+    // dispatch. The fold runs in double and saturates to
+    // Long.MaxValue ⇒ always the LSH verdict. Counts that big cannot
+    // be materialized as rows, so the synthetic count-frame entry
+    // point feeds them directly.
+    val huge = Seq(("x", 4.0e9), ("y", 4.0e9)).toDF("word", "nl")
+    assert(Similarity.pairRowsFromWordCounts(huge, None) === Long.MaxValue)
+    val hugeR = Seq(("x", 4.0e9)).toDF("word", "nr")
+    assert(Similarity.pairRowsFromWordCounts(huge, Some(hugeR)) === Long.MaxValue)
+    // sub-saturation stays exact (doubles are exact to 2^53)
+    val small = Seq(("x", 3.0), ("y", 1.0)).toDF("word", "nl")
+    assert(Similarity.pairRowsFromWordCounts(small, None) === 10L)
+    import Similarity._
+    assert(chooseArgmaxStrategy(denseEligible = false, exact = false,
+      pairRows = Long.MaxValue, maxPairRows = Long.MaxValue - 1) === LshStrategy)
+  }
+
   test("argmaxAdaptive past the pair budget switches to LSH-blocked; sims stay exact") {
     // 10 disjoint word-pairs, two docs each: every doc's true best
     // match is its same-set partner (cross-set dots are 0), and

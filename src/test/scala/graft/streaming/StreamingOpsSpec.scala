@@ -923,4 +923,87 @@ class StreamingOpsSpec extends SparkTestBase {
     }
     assert(emissions.size === docs.grouped(17).size)
   }
+
+  test("streaming multi-query BM25 monitor converges to the batch q244") {
+    implicit val sqlCtx = spark.sqlContext
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq
+    val qterms = graft.operators.Round15Queries
+      .multiBm25QueryTable(spark, sf0001)
+    val input = MemoryStream[(Long, String)]
+    val emissions = scala.collection.mutable.ArrayBuffer
+      .empty[Vector[(Long, Long, Double, Long, Long)]]
+    val q = StreamingOps.runningMultiBm25(
+        input.toDF.toDF("doc_id", "text"), qterms) { ranked =>
+      val snap = ranked.orderBy($"query_id", $"rk").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+          r.getLong(3), r.getLong(4))).toVector
+      emissions.synchronized { emissions += snap }
+    }
+    // three uneven micro-batches — df/avgdl drift as the corpus grows
+    docs.grouped(29).foreach { g =>
+      input.addData(g.toIndexedSeq: _*); q.processAllAvailable()
+    }
+    q.stop()
+    val batch = graft.operators.Round15Queries.q244MultiBm25(spark, sf0001)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+        r.getLong(3), r.getLong(4))).toVector
+    assert(emissions.nonEmpty)
+    // after the last batch the incremental keyed index serves EXACTLY
+    // the fleet ranking q244 gates — same scores, same per-query
+    // order, via the same bm25ScoreKeyed + heap tail
+    assert(emissions.last === batch)
+    // intermediate emissions: per-query k-bounded, ranks dense from 1
+    emissions.foreach { e =>
+      e.groupBy(_._1).foreach { case (_, rows) =>
+        assert(rows.size <= graft.operators.Round15Queries.MultiBm25K)
+        assert(rows.map(_._5).sorted === (1L to rows.size.toLong).toVector)
+      }
+    }
+    assert(emissions.size === docs.grouped(29).size)
+  }
+
+  test("streaming IVF-PQ append across uneven micro-batches equals one batch append") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.operators.AnnQueries
+    val emb = spark.read.parquet(s"$sf0001/embeddings.parquet")
+      .select("vec_id", "embedding")
+    val dir = java.nio.file.Files.createTempDirectory("ivfpq-stream")
+      .toString + "/idx"
+    graft.ann.Ann.ivfPqBuild(emb.filter($"vec_id" % 5 =!= 3), dir,
+      AnnQueries.IvfPqClusters, AnnQueries.PqM, AnnQueries.PqCodes)
+    val baseIds = emb.filter($"vec_id" % 5 =!= 3)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    val newRows = emb.filter($"vec_id" % 5 === 3).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray)).toSeq
+    val input = MemoryStream[(Long, Array[Float])]
+    val q = StreamingOps.streamingIvfPqAppend(
+      input.toDF.toDF("vec_id", "embedding"), dir)
+    // three uneven micro-batches, appended against the FROZEN quantizers
+    Seq(newRows.take(3), newRows.slice(3, 50), newRows.drop(50))
+      .filter(_.nonEmpty)
+      .foreach { g => input.addData(g.toIndexedSeq: _*); q.processAllAvailable() }
+    q.stop()
+    def rowsOf(ids: Long => Boolean) = spark.read.parquet(s"$dir/assignments")
+      .select($"vec_id", $"cluster".cast("int").as("cluster"), $"codes")
+      .collect()
+      .map(r => (r.getLong(0), (r.getInt(1), r.getSeq[Int](2).toVector)))
+      .filter(p => ids(p._1)).toMap
+    // streamed lists hold exactly base ∪ new, and every appended row
+    // equals the one-shot batch encode against the same quantizers —
+    // stream ≡ batch because each batch encodes independently against
+    // frozen artifacts (no cross-batch state to drift)
+    val streamed = rowsOf(_ => true)
+    assert(streamed.keySet === baseIds ++ newRows.map(_._1))
+    import spark.implicits._
+    val batchEnc = graft.ann.Ann.ivfPqEncode(
+        newRows.toDF("vec_id", "embedding"),
+        spark.read.parquet(s"$dir/centroids"),
+        spark.read.parquet(s"$dir/codebooks"))
+      .collect()
+      .map(r => (r.getLong(0), (r.getInt(2), r.getSeq[Int](1).toVector)))
+      .toMap
+    assert(streamed.view.filterKeys(batchEnc.keySet).toMap === batchEnc)
+  }
 }
