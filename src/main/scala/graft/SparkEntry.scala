@@ -24,7 +24,8 @@ object SparkEntry {
       operators.Round8Queries.queries ++ operators.Round9Queries.queries ++
       operators.Round10Queries.queries ++ operators.Round11Queries.queries ++
       operators.Round12Queries.queries ++ operators.Round13Queries.queries ++
-      operators.Round14Queries.queries ++ operators.Round15Queries.queries
+      operators.Round14Queries.queries ++ operators.Round15Queries.queries ++
+      operators.Round16Queries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -44,5 +45,6 @@ object SparkEntry {
       operators.Round8Queries.oracles ++ operators.Round9Queries.oracles ++
       operators.Round10Queries.oracles ++ operators.Round11Queries.oracles ++
       operators.Round12Queries.oracles ++ operators.Round13Queries.oracles ++
-      operators.Round14Queries.oracles ++ operators.Round15Queries.oracles
+      operators.Round14Queries.oracles ++ operators.Round15Queries.oracles ++
+      operators.Round16Queries.oracles
 }

@@ -724,10 +724,26 @@ object Ann {
     * shared bounded-heap tail, self excluded.
     */
   def ivfPqProbe(queries: DataFrame, indexDir: String, k: Int,
-      nprobe: Int): DataFrame = {
+      nprobe: Int, tombstones: Option[DataFrame] = None): DataFrame = {
     val spark = queries.sparkSession
     VectorFunctions.register(spark)
-    val assigned = spark.read.parquet(s"$indexDir/assignments")
+    // Tombstone read path (the delete half of the add/delete index
+    // lifecycle — [[ivfPqAppend]] is the add): deleted ids are
+    // anti-joined out of the inverted lists BEFORE scoring, so a
+    // deleted vector can never surface in results while the physical
+    // lists stay immutable (FAISS IDSelector semantics; compaction
+    // rewrites the lists when the tombstone fraction warrants it).
+    // The tombstone table is deletion-rate-bounded operationally —
+    // capacity-gated here so a pathological delete set degrades to a
+    // shuffled anti-join instead of OOMing the driver.
+    val assigned0 = spark.read.parquet(s"$indexDir/assignments")
+    val assigned = tombstones.map { t =>
+      assigned0.join(
+        graft.operators.BoundedBroadcast.boundedBroadcast(
+          t.select(col("vec_id")).localCheckpoint(),
+          "graft.ann.maxTombstones", 10000000L),
+        Seq("vec_id"), "left_anti")
+    }.getOrElse(assigned0)
     val centroids = spark.read.parquet(s"$indexDir/centroids")
     val codebooks = spark.read.parquet(s"$indexDir/codebooks")
     val dimRow = queries.select(size(col("embedding"))).head(1)
@@ -859,6 +875,37 @@ object Ann {
       .repartition(col("cluster"))
       .write.mode("append").partitionBy("cluster")
       .parquet(s"$indexDir/assignments")
+  }
+
+  /** Offline COMPACTION — the third leg of the index lifecycle
+    * (append = [[ivfPqAppend]], delete = [[ivfPqProbe]]'s tombstone
+    * view, compact = this): rewrite the inverted lists with the
+    * tombstoned rows physically dropped (and the append-accumulated
+    * small files merged by the rewrite), so probes stop paying the
+    * anti-join and the delete set can be truncated. Quantizers are
+    * carried over UNCHANGED — compaction is a pure rewrite of the
+    * delete view, so a probe over the compacted index without
+    * tombstones must equal the probe over the source index with them
+    * (the AnnSpec law, and the q258 gate). One corpus-of-codes pass,
+    * cluster-partitioned on write; run it when the tombstone fraction
+    * (or file count) crosses the deployment's threshold, like any
+    * LSM-ish maintenance job.
+    */
+  def ivfPqCompact(indexDir: String, outDir: String,
+      tombstones: DataFrame): Unit = {
+    val spark = tombstones.sparkSession
+    spark.read.parquet(s"$indexDir/assignments")
+      .join(graft.operators.BoundedBroadcast.boundedBroadcast(
+          tombstones.select(col("vec_id")).localCheckpoint(),
+          "graft.ann.maxTombstones", 10000000L),
+        Seq("vec_id"), "left_anti")
+      .repartition(col("cluster"))
+      .write.mode("overwrite").partitionBy("cluster")
+      .parquet(s"$outDir/assignments")
+    spark.read.parquet(s"$indexDir/centroids")
+      .write.mode("overwrite").parquet(s"$outDir/centroids")
+    spark.read.parquet(s"$indexDir/codebooks")
+      .write.mode("overwrite").parquet(s"$outDir/codebooks")
   }
 
   // -------------------------------------------------------- TopKAgg

@@ -881,11 +881,13 @@ object AnnQueries {
   def q245Sql(sfDir: String): String = ivfPqProbeSql(ivfPqIndexPath(sfDir))
 
   /** The IVF-PQ probe replay over a materialized index at `idx` —
-    * shared by q245 (built index) and q251 (built-then-appended
-    * index): the oracle replays probe selection, LUT, base term, and
+    * shared by q245 (built index), q251 (built-then-appended index)
+    * and q254 (appended-then-deleted, via `scanPred` filtering the
+    * inverted-list scan exactly where the engine's tombstone anti-join
+    * cuts): the oracle replays probe selection, LUT, base term, and
     * the ADC sum over whatever `assignments/` holds, so the SAME SQL
-    * gates both lifecycles. */
-  private def ivfPqProbeSql(idx: String): String = {
+    * gates all three lifecycles. */
+  private def ivfPqProbeSql(idx: String, scanPred: String = ""): String = {
     val sw = Dim / PqM
     s"""WITH cent AS (
        |  SELECT CAST(cluster AS INTEGER) AS cluster, centroid,
@@ -893,7 +895,8 @@ object AnnQueries {
        |  FROM read_parquet('$idx/centroids/*.parquet')),
        |asg AS (
        |  SELECT vec_id, codes, CAST(cluster AS INTEGER) AS cluster
-       |  FROM read_parquet('$idx/assignments/*/*.parquet', hive_partitioning=1)),
+       |  FROM read_parquet('$idx/assignments/*/*.parquet', hive_partitioning=1)
+       |  $scanPred),
        |cb AS (
        |  SELECT CAST(sub AS INTEGER) AS sub, CAST(code AS INTEGER) AS code,
        |         centroid
@@ -1124,6 +1127,82 @@ object AnnQueries {
   def q251Sql(sfDir: String): String =
     ivfPqProbeSql(ivfPqAppendIndexPath(sfDir))
 
+  // --------------------------------------------------------------- q254
+  /** IVF-PQ tombstone DELETE — the other half of the index lifecycle
+    * q251 opened (add = [[Ann.ivfPqAppend]], delete = this): a
+    * deterministic third of the appended vectors is deleted via a
+    * tombstone table, and the probe must never surface them while the
+    * physical inverted lists stay immutable (FAISS IDSelector
+    * semantics — compaction rewrites lists offline when the tombstone
+    * fraction warrants, it is not the serving path). The engine's
+    * tombstone anti-join (capacity-gated broadcast inside
+    * [[Ann.ivfPqProbe]]) cuts the list scan exactly where the
+    * oracle's `WHERE NOT (...)` predicate cuts the replay — the gate
+    * hashes that a deleted vector is unreachable at ANY rank, not
+    * merely demoted. Delete volume is operationally bounded
+    * (deletion-rate ≪ corpus); past the broadcast gate the anti-join
+    * degrades to shuffled, never wrong.
+    */
+  val IvfPqDeleteEvery = 3
+
+  private[graft] def ivfPqTombstones(s: SparkSession, dir: String): DataFrame =
+    emb(s, dir)
+      .filter(col("vec_id") % IvfPqAppendMod === 3 &&
+        expr(s"(vec_id div $IvfPqAppendMod) % $IvfPqDeleteEvery = 0"))
+      .select(col("vec_id"))
+
+  def q254IvfPqDelete(s: SparkSession, dir: String): DataFrame = {
+    val idx = prepareIvfPqAppend(s, dir)
+    Ann.ivfPqProbe(querySubset(s, dir), idx, PqTopK, IvfPqNprobe,
+        tombstones = Some(ivfPqTombstones(s, dir)))
+      .select(col("qid"), col("nid"), col("adc_micro"), col("rk"))
+      .orderBy(col("qid"), col("rk"))
+  }
+
+  def q254Sql(sfDir: String): String =
+    ivfPqProbeSql(ivfPqAppendIndexPath(sfDir),
+      s"WHERE NOT (vec_id % $IvfPqAppendMod = 3 AND " +
+        s"(vec_id // $IvfPqAppendMod) % $IvfPqDeleteEvery = 0)")
+
+  // --------------------------------------------------------------- q258
+  /** IVF-PQ compaction ([[Ann.ivfPqCompact]]) — the maintenance job
+    * that closes the lifecycle: the q251 appended index is rewritten
+    * with q254's tombstoned rows physically dropped, and the standard
+    * probe (NO tombstone anti-join) runs over the compacted lists.
+    * Compaction is a pure rewrite of the delete view, so this gate's
+    * results are exactly q254's — but the ORACLE replays over the
+    * compacted artifacts themselves (no tombstone predicate), so the
+    * hash gate verifies the rewrite: a compactor that drops the wrong
+    * rows, loses a cluster directory, or perturbs codes mismatches.
+    * AnnSpec additionally pins q258 ≡ q254 row-for-row and that no
+    * tombstoned id survives in the compacted lists.
+    */
+  private def ivfPqCompactIndexPath(sfDir: String): String =
+    new java.io.File(s"target/ivfpq-compact/${PathTag.tagFor(sfDir)}").getAbsolutePath
+
+  private val ivfPqCompacted = scala.collection.mutable.HashSet.empty[String]
+
+  def prepareIvfPqCompact(s: SparkSession, dir: String): String =
+    ivfPqCompacted.synchronized {
+      val idx = ivfPqCompactIndexPath(dir)
+      if (!ivfPqCompacted.contains(idx)) {
+        Ann.ivfPqCompact(prepareIvfPqAppend(s, dir), idx,
+          ivfPqTombstones(s, dir))
+        ivfPqCompacted.add(idx)
+      }
+      idx
+    }
+
+  def q258IvfPqCompact(s: SparkSession, dir: String): DataFrame = {
+    val idx = prepareIvfPqCompact(s, dir)
+    Ann.ivfPqProbe(querySubset(s, dir), idx, PqTopK, IvfPqNprobe)
+      .select(col("qid"), col("nid"), col("adc_micro"), col("rk"))
+      .orderBy(col("qid"), col("rk"))
+  }
+
+  def q258Sql(sfDir: String): String =
+    ivfPqProbeSql(ivfPqCompactIndexPath(sfDir))
+
   // --------------------------------------------------------------- q252
   /** IVF-PQ nprobe recall curve — q243's measured-dial discipline
     * applied to the composed index (round-7 verdict item #7): recall@3
@@ -1241,6 +1320,8 @@ object AnnQueries {
     "q245_ivfpq_topk" -> (q245IvfPqTopK _),
     "q251_ivfpq_append" -> (q251IvfPqAppendProbe _),
     "q252_nprobe_curve" -> (q252NprobeCurve _),
+    "q254_ivfpq_delete" -> (q254IvfPqDelete _),
+    "q258_ivfpq_compact" -> (q258IvfPqCompact _),
     "q247_filtered_ann" -> (q247FilteredAnn _),
     "q249_ivfpq_rerank" -> (q249IvfPqRerank _),
     "q250_multiprobe_lsh" -> (q250MultiProbeLsh _),
@@ -1267,6 +1348,8 @@ object AnnQueries {
     "q245_ivfpq_topk" -> q245Sql(sfDir),
     "q251_ivfpq_append" -> q251Sql(sfDir),
     "q252_nprobe_curve" -> q252Sql(sfDir),
+    "q254_ivfpq_delete" -> q254Sql(sfDir),
+    "q258_ivfpq_compact" -> q258Sql(sfDir),
     "q247_filtered_ann" -> q247Sql,
     "q249_ivfpq_rerank" -> q249Sql(sfDir),
     "q250_multiprobe_lsh" -> q250Sql,

@@ -843,6 +843,49 @@ object StreamingOps {
       .start()
   }
 
+  /** Running DSIR selection monitor — q255's streaming twin and the
+    * live form of "how target-like is the stream": per micro-batch the
+    * per-(doc, bucket) hashed-feature PROFILE accumulates (≤ B rows
+    * per doc — the compressed representation, orders of magnitude
+    * under the text), and each emission re-scores every doc seen so
+    * far through the IDENTICAL
+    * [[graft.operators.Round16Queries.dsirWeightsFromProfile]] tail
+    * the batch gate uses — stream ≡ batch by shared code. Weights are
+    * corpus-relative by definition (the raw/target bucket models
+    * drift as the stream grows), so re-scoring under CURRENT stats is
+    * the correct semantics, exactly like [[runningBm25]]'s df drift.
+    * Docs need (doc_id, lang, text); append semantics assumed.
+    */
+  def runningDsir(docs: DataFrame)(emit: DataFrame => Unit)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    var profile: Option[DataFrame] = None
+    docs.writeStream.outputMode("append")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val b = graft.operators.Round16Queries.dsirProfile(batch)
+        profile = Some(profile.map(_.unionByName(b)).getOrElse(b)
+          .localCheckpoint())
+        emit(graft.operators.Round16Queries.dsirWeightsFromProfile(profile.get))
+      }
+      .start()
+  }
+
+  /** Streaming passage-dedup screening — q257's ingest twin: new
+    * documents stream in; each micro-batch's passages are probed
+    * against the PERSISTED corpus passage-hash artifact through the
+    * batch [[graft.operators.Round16Queries.passageDedupProbe]] core
+    * (stateless per batch — stream ≡ batch restriction by shared
+    * code, the setsim/imageDedup pattern). State lives in the
+    * artifact, not the stream. Docs need (doc_id, text).
+    */
+  def streamingPassageDedup(docs: DataFrame, corpusOcc: DataFrame)
+      (emit: DataFrame => Unit)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream.outputMode("append")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        emit(graft.operators.Round16Queries.passageDedupProbe(batch, corpusOcc))
+      }
+      .start()
+
   def runToMemory(spark: SparkSession, transformed: DataFrame, name: String,
       mode: OutputMode = OutputMode.Append): Unit = {
     val q = transformed.writeStream

@@ -489,6 +489,60 @@ class AnnSpec extends SparkTestBase {
       "no appended vector ever surfaces in probe results")
   }
 
+  test("q254 tombstone delete: deleted ids unreachable; untouched rankings identical") {
+    import graft.operators.AnnQueries
+    val tomb = AnnQueries.ivfPqTombstones(spark, sf0001)
+      .collect().map(_.getLong(0)).toSet
+    assert(tomb.nonEmpty)
+    val deleted = AnnQueries.q254IvfPqDelete(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // the delete contract: a tombstoned vector is unreachable at ANY
+    // rank (not merely demoted)
+    assert(deleted.forall(r => !tomb.contains(r._2)))
+    // deletion only removes candidates — scores of surviving pairs are
+    // untouched, so a query whose pre-delete top-k contained no
+    // tombstoned id must rank IDENTICALLY (exact theorem, not a
+    // fixture property)
+    val before = AnnQueries.q251IvfPqAppendProbe(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .groupBy(_._1)
+    val after = deleted.groupBy(_._1)
+    val untouched = before.filter { case (_, rows) =>
+      rows.forall(r => !tomb.contains(r._2)) }
+    assert(untouched.nonEmpty)
+    untouched.foreach { case (qid, rows) =>
+      assert(after(qid).sortBy(_._4) === rows.sortBy(_._4), s"query $qid")
+    }
+    // non-vacuity: at least one query's pre-delete top-k held a
+    // tombstoned id, so the gate exercises real re-ranking
+    assert(before.exists { case (_, rows) => rows.exists(r => tomb.contains(r._2)) },
+      "no pre-delete ranking contained a tombstoned id — the delete gate is vacuous")
+  }
+
+  test("q258 compaction: probe over compacted lists ≡ tombstoned probe; tombstones physically gone") {
+    import graft.operators.AnnQueries
+    val viaTombstones = AnnQueries.q254IvfPqDelete(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toVector
+    val viaCompacted = AnnQueries.q258IvfPqCompact(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toVector
+    // compaction is a pure rewrite of the delete view — probes agree
+    // row-for-row (same scores, same ranks)
+    assert(viaCompacted === viaTombstones)
+    // ...and the rewrite PHYSICALLY dropped every tombstoned row
+    val idx = AnnQueries.prepareIvfPqCompact(spark, sf0001)
+    val tomb = AnnQueries.ivfPqTombstones(spark, sf0001)
+      .collect().map(_.getLong(0)).toSet
+    val kept = spark.read.parquet(s"$idx/assignments")
+      .select($"vec_id").collect().map(_.getLong(0)).toSet
+    assert(kept.intersect(tomb).isEmpty)
+    // compaction dropped SOMETHING (the delete set is non-empty) but
+    // kept everything else
+    val src = AnnQueries.prepareIvfPqAppend(spark, sf0001)
+    val before = spark.read.parquet(s"$src/assignments")
+      .select($"vec_id").collect().map(_.getLong(0)).toSet
+    assert(kept === before -- tomb)
+  }
+
   test("q252 nprobe curve: recall monotone nondecreasing, saturating at the PQ ceiling") {
     import graft.operators.AnnQueries
     val rows = AnnQueries.q252NprobeCurve(spark, sf0001).collect()

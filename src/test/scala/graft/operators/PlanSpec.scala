@@ -786,6 +786,27 @@ class PlanSpec extends SparkTestBase {
     assert(!p.contains("Window"), p)
   }
 
+  test("q255: DSIR — ratio table broadcasts; only the 1-row totals scalar nests") {
+    val p = formatted(Round16Queries.q255DsirWeights(spark, sf0001))
+    // the B-row bucket→ratio metadata joins the profile as a broadcast
+    // hash join; the single nested-loop is the 1-row totals cross (the
+    // q221 scalar convention); no window anywhere
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("Window"), p)
+    // tree-form count (`- Node (id)`) — the detail section repeats
+    // node names, the q153 counting lesson
+    assert(p.split("- BroadcastNestedLoopJoin ").length - 1 <= 1, p)
+  }
+
+  test("q257: passage dedup — keyed equi-joins only, no window, no nested loop") {
+    val p = formatted(Round16Queries.q257PassageDedup(spark, sf0001))
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("Window"), p)
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin") ||
+      p.contains("BroadcastHashJoin"), p)
+  }
+
   test("q222: sequence match rides the user window partitioning — no join, session-bounded strings") {
     val p = formatted(Round13Queries.q222SequenceMatch(spark, sf0001))
     assert(!p.contains("Join"), s"sessionize + listagg + regex, no join:\n$p")
@@ -879,7 +900,8 @@ class PlanSpec extends SparkTestBase {
       "q229_roc_auc" -> "rank-sum cumsum over the score-GROUP table: ≤1e6 rows by micro-unit quantization (the quantization IS the bound)",
       "q239_threshold_select" -> "threshold sweep cumsum over the same quantization-bounded score-GROUP table as q229",
       "q241_ranking_eval" -> "position stamps over the LIMIT-10 BM25 result and the LIMIT-10 ideal — both k-bounded",
-      "q244_multi_bm25" -> "query synthesis ranks over the LIMIT-300 term table and the LIMIT-150 pair table (TakeOrderedAndProject feeds both); scoring/ranking is per-key heaps")
+      "q244_multi_bm25" -> "query synthesis ranks over the LIMIT-300 term table and the LIMIT-150 pair table (TakeOrderedAndProject feeds both); scoring/ranking is per-key heaps",
+      "q256_rrf_fusion" -> "leg re-rank + fused rank ride the two k-row leg results (LIMIT-10 BM25, top-10 ANN heap) — the fusion is k-bounded metadata work by design; corpus cost lives in the audited legs")
     val offenders = graft.SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
       case (name, fn) =>
         val ws = try unpartitionedWindows(fn(spark, sf0001)) catch {
@@ -976,6 +998,9 @@ class PlanSpec extends SparkTestBase {
       "q245_ivfpq_topk" -> "probe side is |Q|·nprobe rows joined to the |Q|-row LUT aggregate — same k-bounded window filter as q43",
       "q249_ivfpq_rerank" -> "inherits q245's probe (|Q|·nprobe rows + |Q|-row LUT); the exact re-rank joins only the k·|Q|-row ADC shortlist back to the base vectors",
       "q251_ivfpq_append" -> "the standard q245 probe shape over the appended index (|Q|·nprobe probe rows + |Q|-row LUT); the append itself is a write, not part of the probed plan",
+      "q254_ivfpq_delete" -> "q251's probe shapes plus the tombstone side, which is capacity-gated via BoundedBroadcast (graft.ann.maxTombstones, shuffled anti-join fallback); the localCheckpoint hides the gate from the shape rule",
+      "q258_ivfpq_compact" -> "the standard q245 probe shape over the compacted index (|Q|·nprobe probe rows + |Q|-row LUT); compaction itself is an offline write, not part of the probed plan",
+      "q256_rrf_fusion" -> "inherits the q21 ANN leg's 1-row query-vector broadcast (vec_id = 0 — the single-query workload by contract); the BM25 leg's broadcasts are the audited q226 shapes",
       "q24_embedding_near_dups" -> "documented exact all-pairs contract (Ann.nearDupPairs scaladoc: broadcastable side only; the 100 TB path is the LSH bucket route) — the quadratic-output demo class, bench-excluded",
       "q119_robust_stats" -> "med/mad sides are rank-selected ONE row per event_type (rk = (n+1) div 2 filter — type-cardinality-bounded, invisible to the shape rule)",
       "q153_exact_substr_spans" -> "capacity-gated via BoundedBroadcast.boundedBroadcast (count <= graft.substr.maxBroadcastDupHashes, shuffled fallback); the localCheckpoint hides the aggregate from the shape rule",

@@ -964,6 +964,79 @@ class StreamingOpsSpec extends SparkTestBase {
     assert(emissions.size === docs.grouped(29).size)
   }
 
+  test("running DSIR converges to the batch q255 through the shared profile tail") {
+    implicit val sqlCtx = spark.sqlContext
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+      .select("doc_id", "lang", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSeq
+    val input = MemoryStream[(Long, String, String)]
+    val emissions = scala.collection.mutable.ArrayBuffer
+      .empty[Map[Long, (Long, Double)]]
+    val q = StreamingOps.runningDsir(
+        input.toDF.toDF("doc_id", "lang", "text")) { w =>
+      val snap = w.collect()
+        .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+      emissions.synchronized { emissions += snap }
+    }
+    docs.grouped(31).foreach { g =>
+      input.addData(g.toIndexedSeq: _*); q.processAllAvailable()
+    }
+    q.stop()
+    val batch = graft.operators.Round16Queries.q255DsirWeights(spark, sf0001)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(emissions.nonEmpty)
+    // after the last batch the accumulated profile IS the corpus
+    // profile — scores equal the batch gate exactly
+    assert(emissions.last === batch)
+    // corpus growth: every doc scored in an emission stays scored
+    // (profiles only accumulate), token counts never change
+    emissions.sliding(2).foreach {
+      case scala.collection.mutable.ArrayBuffer(e1, e2) =>
+        assert(e1.keySet.subsetOf(e2.keySet))
+        e1.keys.foreach(id => assert(e1(id)._1 === e2(id)._1))
+      case _ =>
+    }
+    assert(emissions.size === docs.grouped(31).size)
+  }
+
+  test("streaming passage-dedup probe across micro-batches equals the batch probe") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.operators.Round16Queries
+    // even docs = the accepted corpus (its passage-hash table is the
+    // persisted artifact); odd docs stream in as new
+    val all = spark.read.parquet(s"$sf0001/documents.parquet")
+      .select("doc_id", "text")
+    val corpusOcc = Round16Queries.passagesOf(all.filter($"doc_id" % 2 === 0))
+      .groupBy($"phash").agg(count(lit(1)).as("occ"))
+      .localCheckpoint()
+    val newRows = all.filter($"doc_id" % 2 === 1).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq
+    val input = MemoryStream[(Long, String)]
+    val got = scala.collection.mutable.Map.empty[Long, (Long, Long, Double)]
+    val q = StreamingOps.streamingPassageDedup(
+        input.toDF.toDF("doc_id", "text"), corpusOcc) { v =>
+      v.collect().foreach { r =>
+        got.synchronized {
+          got(r.getLong(0)) = (r.getLong(1), r.getLong(2), r.getDouble(3))
+        }
+      }
+    }
+    Seq(newRows.take(7), newRows.slice(7, 100), newRows.drop(100))
+      .filter(_.nonEmpty)
+      .foreach { g => input.addData(g.toIndexedSeq: _*); q.processAllAvailable() }
+    q.stop()
+    import spark.implicits._
+    val batch = Round16Queries.passageDedupProbe(
+        newRows.toDF("doc_id", "text"), corpusOcc)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2),
+        r.getDouble(3))).toMap
+    assert(got.toMap === batch)
+    // the probe must find REAL cross-side duplication on this corpus
+    assert(got.values.exists(_._2 > 0L), "no new doc shares a passage with the corpus")
+    assert(got.values.exists(_._2 === 0L) ||
+      got.values.exists(v => v._2 < v._1), "screening must discriminate")
+  }
+
   test("streaming IVF-PQ append across uneven micro-batches equals one batch append") {
     implicit val sqlCtx = spark.sqlContext
     import graft.operators.AnnQueries
