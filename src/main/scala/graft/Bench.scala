@@ -24,9 +24,9 @@ import org.apache.spark.sql.SparkSession
   * quadratic-output class),
   * queries that are strict
   * prefixes/aggregations/SQL-surface twins of included ones (q6, q11,
-  * q23, q45, q46, q51, q53, q114, q225, q246 — q46 is q13 through the
-  * SIMILARITY_TOP1 hint, q225 is q211 through SETSIM_JOIN, q246 is
-  * q226 through the BM25 hint, q45/q132
+  * q23, q45, q46, q51, q53, q114, q225, q246, q253 — q46 is q13 through
+  * the SIMILARITY_TOP1 hint, q225 is q211 through SETSIM_JOIN, q246 is
+  * q226 through the BM25 hint, q253 is q244 through BM25_MULTI, q45/q132
   * are fixture-sized, q114 is exactly q115's
   * first training round), and the fixture-sized q54/q55 and
   * q231/q234 (dHash fixtures; input does not scale with sf).
@@ -117,7 +117,10 @@ object Bench {
     "q237_agreement_metrics", "q238_bitext_blocked",
     "q239_threshold_select", "q240_rm3_expansion", "q241_ranking_eval",
     "q244_multi_bm25", "q245_ivfpq_topk", "q247_filtered_ann",
-    "q248_multi_query_ndcg", "q249_ivfpq_rerank", "q250_multiprobe_lsh")
+    "q248_multi_query_ndcg", "q249_ivfpq_rerank", "q250_multiprobe_lsh",
+    "q251_ivfpq_append", "q252_nprobe_curve", "q254_ivfpq_delete",
+    "q255_dsir_weights", "q256_rrf_fusion", "q257_passage_dedup",
+    "q258_ivfpq_compact", "q259_pq_drift_audit")
 
   /** 1/5/15-min load averages — recorded at start and end so a
     * load-contaminated run is self-documenting (BENCH_r04's 544 s
@@ -235,6 +238,19 @@ object Bench {
       operators.AnnQueries.prepareIvfPq(spark, sfDir); () }
     val ivfPqReady2 = prep("q249_ivfpq_rerank") {
       operators.AnnQueries.prepareIvfPq(spark, sfDir); () }
+    val ivfPqReady3 = prep("q252_nprobe_curve") {
+      operators.AnnQueries.prepareIvfPq(spark, sfDir); () }
+    // lifecycle preps: build+append (q251/q254/q259) and compaction
+    // (q258) are OFFLINE index maintenance — the timed numbers are the
+    // probes/audit a serving deployment pays
+    val ivfPqAppendReady = prep("q251_ivfpq_append") {
+      operators.AnnQueries.prepareIvfPqAppend(spark, sfDir); () }
+    val ivfPqAppendReady2 = prep("q254_ivfpq_delete") {
+      operators.AnnQueries.prepareIvfPqAppend(spark, sfDir); () }
+    val ivfPqAppendReady3 = prep("q259_pq_drift_audit") {
+      operators.AnnQueries.prepareIvfPqAppend(spark, sfDir); () }
+    val ivfPqCompactReady = prep("q258_ivfpq_compact") {
+      operators.AnnQueries.prepareIvfPqCompact(spark, sfDir); () }
     val bucketsReady = prep("q69_bucketed_join") {
       operators.RelationalOps.prepareBucketedTables(spark, sfDir) }
     val lakeReady = prep("q70_partition_pruning") {
@@ -271,6 +287,11 @@ object Bench {
       .filter(name => pqReady2 || name != "q233_pq_rerank")
       .filter(name => ivfPqReady || name != "q245_ivfpq_topk")
       .filter(name => ivfPqReady2 || name != "q249_ivfpq_rerank")
+      .filter(name => ivfPqReady3 || name != "q252_nprobe_curve")
+      .filter(name => ivfPqAppendReady || name != "q251_ivfpq_append")
+      .filter(name => ivfPqAppendReady2 || name != "q254_ivfpq_delete")
+      .filter(name => ivfPqAppendReady3 || name != "q259_pq_drift_audit")
+      .filter(name => ivfPqCompactReady || name != "q258_ivfpq_compact")
       .filter(name => bucketsReady || name != "q69_bucketed_join")
       .filter(name => lakeReady || name != "q70_partition_pruning")
       .filter(name => incCorpusReady || name != "q78_incremental_dedup")

@@ -1203,6 +1203,111 @@ object AnnQueries {
   def q258Sql(sfDir: String): String =
     ivfPqProbeSql(ivfPqCompactIndexPath(sfDir))
 
+  // --------------------------------------------------------------- q259
+  /** Quantization-drift audit — the monitor that closes the lifecycle
+    * loop by telling a deployment WHEN to re-train: per-vector
+    * reconstruction error ‖x − ĉ(cluster) − r̂(codes)‖², decomposed
+    * per sub-space (the PQ identity: the error is the sum of the m
+    * sub-space residual errors), micro-quantized to longs per
+    * sub-space and summed exactly, then rolled up per SLICE (base
+    * vectors the quantizers were fit on vs vectors appended against
+    * the frozen quantizers). A drifting append distribution shows as
+    * appended-slice mean error pulling away from base — the signal
+    * that schedules [[Ann.ivfPqBuild]] anew, exactly as a FAISS
+    * deployment watches its imbalance/quantization stats. Shape: one
+    * co-keyed (vec_id) join of lists × vectors, broadcast quantizer
+    * metadata, row-local sub-space math, two aggregates; nothing
+    * corpus-scale shuffles except the vec-keyed join that a bucketed
+    * layout co-locates.
+    */
+  def q259PqDriftAudit(s: SparkSession, dir: String): DataFrame = {
+    val idx = prepareIvfPqAppend(s, dir)
+    graft.functions.VectorFunctions.register(s)
+    val asg = s.read.parquet(s"$idx/assignments")
+    val cent = s.read.parquet(s"$idx/centroids")
+    val cbs = s.read.parquet(s"$idx/codebooks")
+    val m = cbs.agg(max(col("sub"))).head().getInt(0) + 1
+    val sw = Dim / m
+    val joined = asg
+      .join(emb(s, dir).select(col("vec_id"),
+        col("embedding").cast("array<double>").as("xv")), Seq("vec_id"))
+      .join(broadcast(cent), Seq("cluster"))
+    val subs = joined.select(col("vec_id"),
+        explode(expr(
+          s"""transform(sequence(0, ${m - 1}),
+             |  s -> named_struct('sub', s,
+             |                    'code', element_at(codes, s + 1),
+             |                    'xs', slice(xv, s * $sw + 1, $sw),
+             |                    'cs', slice(centroid, s * $sw + 1, $sw)))"""
+            .stripMargin)).as("t"))
+      .select(col("vec_id"), col("t.sub").as("sub"), col("t.code").as("code"),
+        col("t.xs").as("xs"), col("t.cs").as("cs"))
+    val diff = zip_with(
+      zip_with(col("xs"), col("cs"), (a, b) => a - b),
+      col("rb"), (a, b) => a - b)
+    val perVec = subs
+      .join(broadcast(cbs.select(col("sub"), col("code"),
+        col("centroid").as("rb"))), Seq("sub", "code"))
+      .select(col("vec_id"),
+        round(lit(1e6) * graft.functions.VectorFunctions.dotD(diff, diff), 0)
+          .cast("long").as("err_micro_sub"))
+      .groupBy(col("vec_id"))
+      .agg(sum(col("err_micro_sub")).as("err_micro"))
+    perVec
+      .select(
+        when(col("vec_id") % IvfPqAppendMod === 3, lit("appended"))
+          .otherwise(lit("base")).as("slice"),
+        col("err_micro"))
+      .groupBy(col("slice"))
+      .agg(count(lit(1)).as("n"),
+        round(sum(col("err_micro")) / (count(lit(1)) * lit(1e6)), 6)
+          .as("mean_err"),
+        max(col("err_micro")).as("max_err_micro"))
+      .orderBy(col("slice"))
+  }
+
+  def q259Sql(sfDir: String): String = {
+    val idx = ivfPqAppendIndexPath(sfDir)
+    val m = PqM
+    val sw = Dim / m
+    s"""WITH cent AS (
+       |  SELECT CAST(cluster AS INTEGER) AS cluster, centroid
+       |  FROM read_parquet('$idx/centroids/*.parquet')),
+       |asg AS (
+       |  SELECT vec_id, codes, CAST(cluster AS INTEGER) AS cluster
+       |  FROM read_parquet('$idx/assignments/*/*.parquet', hive_partitioning=1)),
+       |cb AS (
+       |  SELECT CAST(sub AS INTEGER) AS sub, CAST(code AS INTEGER) AS code,
+       |         centroid AS rb
+       |  FROM read_parquet('$idx/codebooks/*.parquet')),
+       |subs AS (
+       |  SELECT a.vec_id, CAST(g.range AS INTEGER) AS sub,
+       |         CAST(a.codes[g.range + 1] AS INTEGER) AS code,
+       |         e.embedding[g.range * $sw + 1 : g.range * $sw + $sw] AS xs,
+       |         c.centroid[g.range * $sw + 1 : g.range * $sw + $sw] AS cs
+       |  FROM asg a
+       |  JOIN embeddings e USING (vec_id)
+       |  JOIN cent c USING (cluster)
+       |  CROSS JOIN range($m) g),
+       |errs AS (
+       |  SELECT s.vec_id,
+       |         CAST(round(1e6 * (
+       |           SELECT sum((CAST(x AS DOUBLE) - c - r) * (CAST(x AS DOUBLE) - c - r))
+       |           FROM (SELECT unnest(s.xs) AS x, unnest(s.cs) AS c,
+       |                        unnest(b.rb) AS r)), 0) AS BIGINT) AS err_micro_sub
+       |  FROM subs s JOIN cb b USING (sub, code)),
+       |per_vec AS (
+       |  SELECT vec_id, sum(err_micro_sub) AS err_micro
+       |  FROM errs GROUP BY vec_id)
+       |SELECT CASE WHEN vec_id % $IvfPqAppendMod = 3 THEN 'appended'
+       |            ELSE 'base' END AS slice,
+       |       CAST(count(*) AS BIGINT) AS n,
+       |       round(sum(err_micro) / (count(*) * 1e6), 6) AS mean_err,
+       |       CAST(max(err_micro) AS BIGINT) AS max_err_micro
+       |FROM per_vec
+       |GROUP BY 1 ORDER BY slice""".stripMargin
+  }
+
   // --------------------------------------------------------------- q252
   /** IVF-PQ nprobe recall curve — q243's measured-dial discipline
     * applied to the composed index (round-7 verdict item #7): recall@3
@@ -1322,6 +1427,7 @@ object AnnQueries {
     "q252_nprobe_curve" -> (q252NprobeCurve _),
     "q254_ivfpq_delete" -> (q254IvfPqDelete _),
     "q258_ivfpq_compact" -> (q258IvfPqCompact _),
+    "q259_pq_drift_audit" -> (q259PqDriftAudit _),
     "q247_filtered_ann" -> (q247FilteredAnn _),
     "q249_ivfpq_rerank" -> (q249IvfPqRerank _),
     "q250_multiprobe_lsh" -> (q250MultiProbeLsh _),
@@ -1350,6 +1456,7 @@ object AnnQueries {
     "q252_nprobe_curve" -> q252Sql(sfDir),
     "q254_ivfpq_delete" -> q254Sql(sfDir),
     "q258_ivfpq_compact" -> q258Sql(sfDir),
+    "q259_pq_drift_audit" -> q259Sql(sfDir),
     "q247_filtered_ann" -> q247Sql,
     "q249_ivfpq_rerank" -> q249Sql(sfDir),
     "q250_multiprobe_lsh" -> q250Sql,

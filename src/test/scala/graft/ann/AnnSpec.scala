@@ -543,6 +543,57 @@ class AnnSpec extends SparkTestBase {
     assert(kept === before -- tomb)
   }
 
+  test("q259 drift audit: local reconstruction-error replay; appended slice drifts above base") {
+    import graft.operators.AnnQueries
+    val idx = AnnQueries.prepareIvfPqAppend(spark, sf0001)
+    val cent = spark.read.parquet(s"$idx/centroids").collect()
+      .map(r => r.getInt(0) -> r.getSeq[Double](1).toArray).toMap
+    val cbs = spark.read.parquet(s"$idx/codebooks").collect()
+      .map(r => (r.getInt(0), r.getInt(1)) -> r.getSeq[Double](2).toArray).toMap
+    val asg = spark.read.parquet(s"$idx/assignments")
+      .select($"vec_id", $"codes", $"cluster".cast("int")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Int](1).toVector, r.getInt(2)))
+    val vecs = graft.Tables.embeddings(spark, sf0001)
+      .select($"vec_id", $"embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    val m = cbs.keys.map(_._1).max + 1
+    val sw = vecs.values.head.length / m
+    def errMicro(id: Long, codes: Vector[Int], cluster: Int): Long = {
+      val x = vecs(id); val c = cent(cluster)
+      (0 until m).map { s =>
+        val rb = cbs((s, codes(s)))
+        var acc = 0.0
+        var i = 0
+        while (i < sw) {
+          val d = x(s * sw + i).toDouble - c(s * sw + i) - rb(i)
+          acc += d * d; i += 1
+        }
+        BigDecimal(1e6 * acc).setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+      }.sum
+    }
+    val local = asg.map { case (id, codes, cl) =>
+      (if (id % AnnQueries.IvfPqAppendMod == 3) "appended" else "base",
+        errMicro(id, codes, cl))
+    }
+    val expected = local.groupBy(_._1).map { case (slice, xs) =>
+      val n = xs.length.toLong
+      val s = xs.map(_._2).sum
+      slice -> (n,
+        BigDecimal(s.toDouble / (n * 1e6))
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble,
+        xs.map(_._2).max)
+    }
+    val got = AnnQueries.q259PqDriftAudit(spark, sf0001).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2), r.getLong(3)))
+      .toMap
+    assert(got === expected)
+    // the audit's reason to exist: vectors encoded against quantizers
+    // they were never fit on reconstruct WORSE — the appended slice's
+    // mean error must sit above base on this fixture
+    assert(got("appended")._2 > got("base")._2,
+      s"appended ${got("appended")._2} should drift above base ${got("base")._2}")
+  }
+
   test("q252 nprobe curve: recall monotone nondecreasing, saturating at the PQ ceiling") {
     import graft.operators.AnnQueries
     val rows = AnnQueries.q252NprobeCurve(spark, sf0001).collect()
