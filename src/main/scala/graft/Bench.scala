@@ -120,7 +120,8 @@ object Bench {
     "q248_multi_query_ndcg", "q249_ivfpq_rerank", "q250_multiprobe_lsh",
     "q251_ivfpq_append", "q252_nprobe_curve", "q254_ivfpq_delete",
     "q255_dsir_weights", "q256_rrf_fusion", "q257_passage_dedup",
-    "q258_ivfpq_compact", "q259_pq_drift_audit")
+    "q258_ivfpq_compact", "q259_pq_drift_audit",
+    "q260_label_noise_audit", "q261_self_bleu")
 
   /** 1/5/15-min load averages — recorded at start and end so a
     * load-contaminated run is self-documenting (BENCH_r04's 544 s

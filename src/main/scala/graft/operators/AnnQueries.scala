@@ -1421,6 +1421,78 @@ object AnnQueries {
        |ORDER BY nprobe""".stripMargin
   }
 
+  // --------------------------------------------------------------- q260
+  /** Label-noise audit by kNN vote (confident-learning-lite — the
+    * relational core of Northcutt et al.'s cleanlab pass every
+    * labeled-data pipeline runs before training): every vector's
+    * label is checked against the majority label of its k = 5 nearest
+    * neighbors (round-6 cosine, nid-asc ties); rows whose
+    * neighborhood DISAGREES are the mislabeling candidates a human
+    * (or a relabel model) reviews. Majority tie-break: (count desc,
+    * label asc) — deterministic. n_agree (how many neighbors carry
+    * the row's own label) grades the confidence of the flag.
+    *
+    * Candidate generation here is the exact all-pairs contract (the
+    * q21/q24 class — every vector is a query, so the broadcast side
+    * IS the corpus); at lake scale the neighbor set swaps to the
+    * IVF-PQ probe (q249's shortlist) or centroid blocking (q155) with
+    * the VOTING tail unchanged — the same swap-the-candidates story
+    * as q238. Ranking is the partial-agg TopKPerKey heap, never a
+    * window over the pair stream.
+    */
+  val NoiseK = 5
+
+  def q260LabelNoiseAudit(s: SparkSession, dir: String): DataFrame = {
+    val e = emb(s, dir)
+    val lbl = e.select(col("vec_id"), col("label"))
+    val top = Ann.bruteForceTopKViaOperator(e, e, k = NoiseK)
+    val votes = top.select(col("qid"), col("nid"))
+      .join(lbl.select(col("vec_id").as("qid"), col("label").as("own")), Seq("qid"))
+      .join(lbl.select(col("vec_id").as("nid"), col("label").as("nbr")), Seq("nid"))
+    val counts = votes.groupBy(col("qid"), col("own"), col("nbr"))
+      .agg(count(lit(1)).as("cnt"))
+    counts.groupBy(col("qid"), col("own"))
+      .agg(min(struct((-col("cnt")).as("neg"), col("nbr").as("l"))).as("b"),
+        sum(when(col("nbr") === col("own"), col("cnt")).otherwise(0L))
+          .as("n_agree"))
+      .select(col("qid").as("vec_id"), col("own").as("label"),
+        col("b.l").as("knn_label"), col("n_agree"))
+      .filter(col("knn_label") =!= col("label"))
+      .orderBy(col("vec_id"))
+  }
+
+  val q260Sql: String =
+    s"""WITH e AS (SELECT vec_id, embedding, label FROM embeddings),
+       |pairs AS (
+       |  SELECT q.vec_id AS qid, q.label AS own,
+       |         n.vec_id AS nid, n.label AS nbr,
+       |         round(${sqlDot("q.embedding", "n.embedding")}, 6) AS cos
+       |  FROM e q JOIN e n ON n.vec_id <> q.vec_id),
+       |top AS (
+       |  SELECT qid, own, nid, nbr FROM (
+       |    SELECT qid, own, nid, nbr,
+       |           row_number() OVER (PARTITION BY qid
+       |                              ORDER BY cos DESC, nid ASC) AS rk
+       |    FROM pairs) WHERE rk <= $NoiseK),
+       |counts AS (
+       |  SELECT qid, own, nbr, count(*) AS cnt
+       |  FROM top GROUP BY qid, own, nbr),
+       |knn AS (
+       |  SELECT qid, own, nbr AS knn_label FROM (
+       |    SELECT qid, own, nbr,
+       |           row_number() OVER (PARTITION BY qid
+       |                              ORDER BY cnt DESC, nbr ASC) AS mrk
+       |    FROM counts) WHERE mrk = 1),
+       |agree AS (
+       |  SELECT qid, CAST(coalesce(sum(CASE WHEN nbr = own THEN cnt END), 0)
+       |         AS BIGINT) AS n_agree
+       |  FROM counts GROUP BY qid)
+       |SELECT k.qid AS vec_id, CAST(k.own AS INTEGER) AS label,
+       |       CAST(k.knn_label AS INTEGER) AS knn_label, a.n_agree
+       |FROM knn k JOIN agree a USING (qid)
+       |WHERE k.knn_label <> k.own
+       |ORDER BY vec_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q245_ivfpq_topk" -> (q245IvfPqTopK _),
     "q251_ivfpq_append" -> (q251IvfPqAppendProbe _),
@@ -1428,6 +1500,7 @@ object AnnQueries {
     "q254_ivfpq_delete" -> (q254IvfPqDelete _),
     "q258_ivfpq_compact" -> (q258IvfPqCompact _),
     "q259_pq_drift_audit" -> (q259PqDriftAudit _),
+    "q260_label_noise_audit" -> (q260LabelNoiseAudit _),
     "q247_filtered_ann" -> (q247FilteredAnn _),
     "q249_ivfpq_rerank" -> (q249IvfPqRerank _),
     "q250_multiprobe_lsh" -> (q250MultiProbeLsh _),
@@ -1457,6 +1530,7 @@ object AnnQueries {
     "q254_ivfpq_delete" -> q254Sql(sfDir),
     "q258_ivfpq_compact" -> q258Sql(sfDir),
     "q259_pq_drift_audit" -> q259Sql(sfDir),
+    "q260_label_noise_audit" -> q260Sql,
     "q247_filtered_ann" -> q247Sql,
     "q249_ivfpq_rerank" -> q249Sql(sfDir),
     "q250_multiprobe_lsh" -> q250Sql,

@@ -301,14 +301,74 @@ object Round16Queries {
        |QUALIFY fused_rk <= $RrfTopK
        |ORDER BY fused_rk""".stripMargin
 
+  // --------------------------------------------------------------- q261
+  /** Self-BLEU-2 corpus-diversity audit (Zhu et al. 2018's texygen
+    * metric, the standard check on SYNTHETIC training data: high
+    * self-BLEU = the generator is collapsing onto itself): per
+    * document, the clipped bigram precision of the document against
+    * the pooled bigram counts of all OTHER documents —
+    * Σ_g min(c_d(g), C(g) − c_d(g)) / Σ_g c_d(g), where c_d is the
+    * doc's bigram multiset and C the corpus total. Exact integers up
+    * to the single round-6 ratio; the leave-one-out clip C − c_d
+    * falls out of the join algebraically (no per-doc corpus rebuild —
+    * THE trick that makes corpus-level self-BLEU one gram-keyed join
+    * instead of n corpus passes). Shape: doc-keyed bigram window →
+    * gram-keyed count join → doc rollup; every exchange keyed and
+    * linear, the q257 profile.
+    */
+  def q261SelfBleu(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    val bi = Tables.documents(s, dir)
+      .select(col("doc_id"),
+        posexplode(TextPrep.tokensCol(col("text"))).as(Seq("pos", "tok")))
+      .withColumn("nxt", lead(col("tok"), 1).over(w))
+      .filter(col("nxt").isNotNull)
+      .select(col("doc_id"), concat_ws(" ", col("tok"), col("nxt")).as("gram"))
+    val perDoc = bi.groupBy(col("doc_id"), col("gram"))
+      .agg(count(lit(1)).as("c"))
+      .localCheckpoint() // shared: corpus totals + the clip join
+    val tot = perDoc.groupBy(col("gram")).agg(sum(col("c")).as("tot"))
+    perDoc.join(tot, Seq("gram"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("c")).as("n_bigrams"),
+        sum(least(col("c"), col("tot") - col("c"))).as("clipped_hits"))
+      .select(col("doc_id"), col("n_bigrams"), col("clipped_hits"),
+        round(col("clipped_hits") / col("n_bigrams").cast("double"), 6)
+          .as("self_bleu2"))
+      .orderBy(col("doc_id"))
+  }
+
+  val q261Sql: String =
+    s"""WITH $tokCte,
+       |led AS (
+       |  SELECT doc_id, pos, tok,
+       |         lead(tok, 1) OVER (PARTITION BY doc_id ORDER BY pos) AS nxt
+       |  FROM tok),
+       |bi AS (
+       |  SELECT doc_id, tok || ' ' || nxt AS gram
+       |  FROM led WHERE nxt IS NOT NULL),
+       |per_doc AS (
+       |  SELECT doc_id, gram, count(*) AS c FROM bi GROUP BY doc_id, gram),
+       |tot AS (SELECT gram, sum(c) AS tot FROM per_doc GROUP BY gram)
+       |SELECT p.doc_id,
+       |       CAST(sum(p.c) AS BIGINT) AS n_bigrams,
+       |       CAST(sum(least(p.c, t.tot - p.c)) AS BIGINT) AS clipped_hits,
+       |       round(sum(least(p.c, t.tot - p.c)) / CAST(sum(p.c) AS DOUBLE), 6)
+       |         AS self_bleu2
+       |FROM per_doc p JOIN tot t USING (gram)
+       |GROUP BY p.doc_id
+       |ORDER BY p.doc_id""".stripMargin
+
   // ------------------------------------------------------------ registry
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q255_dsir_weights" -> (q255DsirWeights _),
     "q256_rrf_fusion" -> (q256RrfFusion _),
-    "q257_passage_dedup" -> (q257PassageDedup _))
+    "q257_passage_dedup" -> (q257PassageDedup _),
+    "q261_self_bleu" -> (q261SelfBleu _))
 
   val oracles: Map[String, String] = Map(
     "q255_dsir_weights" -> q255Sql,
     "q256_rrf_fusion" -> q256Sql,
-    "q257_passage_dedup" -> q257Sql)
+    "q257_passage_dedup" -> q257Sql,
+    "q261_self_bleu" -> q261Sql)
 }

@@ -543,6 +543,37 @@ class AnnSpec extends SparkTestBase {
     assert(kept === before -- tomb)
   }
 
+  test("q260 label-noise audit: local kNN-vote replay; flags are exactly the disagreements") {
+    import graft.operators.AnnQueries
+    val rows = graft.Tables.embeddings(spark, sf0001)
+      .select($"vec_id", $"embedding", $"label").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray, r.getInt(2)))
+    def cos6(a: Array[Float], b: Array[Float]): Double = {
+      var acc = 0.0; var i = 0
+      while (i < a.length) { acc += a(i).toDouble * b(i).toDouble; i += 1 }
+      BigDecimal(acc).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    val expected = rows.flatMap { case (id, v, own) =>
+      val nbrs = rows.filter(_._1 != id)
+        .map { case (nid, nv, nl) => (cos6(v, nv), nid, nl) }
+        .sortBy { case (c, nid, _) => (-c, nid) }
+        .take(AnnQueries.NoiseK)
+      val byLabel = nbrs.groupBy(_._3).map { case (l, xs) => l -> xs.length }
+      val knn = byLabel.toSeq.sortBy { case (l, c) => (-c, l) }.head._1
+      val agree = byLabel.getOrElse(own, 0).toLong
+      if (knn != own) Some(id -> (own, knn, agree)) else None
+    }.toMap
+    val got = AnnQueries.q260LabelNoiseAudit(spark, sf0001).collect()
+      .map(r => r.getLong(0) -> (r.getInt(1), r.getInt(2), r.getLong(3)))
+      .toMap
+    assert(got === expected)
+    // a flag NEVER carries majority agreement with itself
+    got.values.foreach { case (own, knn, agree) =>
+      assert(knn != own && agree < AnnQueries.NoiseK)
+    }
+    assert(got.nonEmpty)
+  }
+
   test("q259 drift audit: local reconstruction-error replay; appended slice drifts above base") {
     import graft.operators.AnnQueries
     val idx = AnnQueries.prepareIvfPqAppend(spark, sf0001)

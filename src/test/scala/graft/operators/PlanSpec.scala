@@ -1002,6 +1002,7 @@ class PlanSpec extends SparkTestBase {
       "q258_ivfpq_compact" -> "the standard q245 probe shape over the compacted index (|Q|·nprobe probe rows + |Q|-row LUT); compaction itself is an offline write, not part of the probed plan",
       "q256_rrf_fusion" -> "inherits the q21 ANN leg's 1-row query-vector broadcast (vec_id = 0 — the single-query workload by contract); the BM25 leg's broadcasts are the audited q226 shapes",
       "q24_embedding_near_dups" -> "documented exact all-pairs contract (Ann.nearDupPairs scaladoc: broadcastable side only; the 100 TB path is the LSH bucket route) — the quadratic-output demo class, bench-excluded",
+      "q260_label_noise_audit" -> "every vector is a query by the audit's contract, so the broadcast side IS the corpus (documented exact all-pairs baseline; the lake-scale path swaps candidates to the IVF-PQ probe/centroid blocking with the voting tail unchanged — q238's swap story)",
       "q119_robust_stats" -> "med/mad sides are rank-selected ONE row per event_type (rk = (n+1) div 2 filter — type-cardinality-bounded, invisible to the shape rule)",
       "q153_exact_substr_spans" -> "capacity-gated via BoundedBroadcast.boundedBroadcast (count <= graft.substr.maxBroadcastDupHashes, shuffled fallback); the localCheckpoint hides the aggregate from the shape rule",
       "q244_multi_bm25" -> "query table is the LIMIT-150 pair synthesis, localCheckpointed (the checkpoint hides the limit from the shape rule)",

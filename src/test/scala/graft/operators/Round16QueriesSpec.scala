@@ -96,6 +96,30 @@ class Round16QueriesSpec extends SparkTestBase {
     assert(gotIds.exists(bmLeg.contains) && gotIds.exists(annLeg.contains))
   }
 
+  test("q261: self-BLEU-2 equals a local clipped-bigram replay; bounds hold") {
+    val bigramsByDoc: Map[Long, Map[String, Long]] = docs.map { case (id, _, text) =>
+      val t = tokens(text)
+      id -> t.zip(t.drop(1)).map { case (a, b) => s"$a $b" }
+        .groupBy(identity).map { case (g, xs) => g -> xs.size.toLong }
+    }.toMap
+    val totals: Map[String, Long] = bigramsByDoc.values.flatten
+      .groupBy(_._1).map { case (g, xs) => g -> xs.map(_._2).sum }
+    val expected = bigramsByDoc.collect { case (id, bs) if bs.nonEmpty =>
+      val n = bs.values.sum
+      val clipped = bs.map { case (g, c) => math.min(c, totals(g) - c) }.sum
+      id -> (n, clipped, r6(clipped.toDouble / n))
+    }
+    val got = Round16Queries.q261SelfBleu(spark, sf0001).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .toMap
+    assert(got === expected)
+    // precision is a ratio of a clipped numerator: always in [0, 1];
+    // and the corpus must show BOTH originality and overlap for the
+    // audit to discriminate
+    assert(got.values.forall { case (_, _, p) => p >= 0.0 && p <= 1.0 })
+    assert(got.values.exists(_._3 < 1.0) && got.values.exists(_._3 > 0.0))
+  }
+
   test("q257: passage-dedup profile equals a local chunk-hash replay") {
     val p = Round16Queries.PassageTokens
     val passages: Vector[(Long, String)] = docs.flatMap { case (id, _, text) =>
