@@ -795,6 +795,74 @@ object Ann {
     rankAdcTopK(scored, assigned.select(col("vec_id")), k, "ivfPqProbe")
   }
 
+  /** One-scan nprobe SWEEP — [[ivfPqProbe]]'s scoring evaluated ONCE
+    * at max(nprobes) with the per-cluster probe rank KEPT, then each
+    * dial setting re-ranks the cached scored table filtered to
+    * pr ≤ np. Scored-at-max filtered to pr ≤ np IS scored-at-np by
+    * construction (probe rank is a per-(qid, cluster) property), so
+    * every setting's result is bit-identical to an independent
+    * [[ivfPqProbe]] call — but the inverted lists are scanned and the
+    * LUT built ONE time instead of |nprobes| times, which is the shape
+    * a recall-tuning job should take against a 100 TB index. Output:
+    * the probe rows plus an `nprobe` column per setting.
+    */
+  def ivfPqProbeSweep(queries: DataFrame, indexDir: String, k: Int,
+      nprobes: Seq[Int]): DataFrame = {
+    require(nprobes.nonEmpty, "ivfPqProbeSweep: empty sweep")
+    val spark = queries.sparkSession
+    VectorFunctions.register(spark)
+    val maxNp = nprobes.max
+    val assigned = spark.read.parquet(s"$indexDir/assignments")
+    val centroids = spark.read.parquet(s"$indexDir/centroids")
+    val codebooks = spark.read.parquet(s"$indexDir/codebooks")
+    val dimRow = queries.select(size(col("embedding"))).head(1)
+    require(dimRow.nonEmpty, "ivfPqProbeSweep: empty query set")
+    val dim = dimRow(0).getInt(0)
+    val m = codebooks.agg(max(col("sub"))).head().getInt(0) + 1
+    val kCodes = codebooks.agg(max(col("code"))).head().getInt(0) + 1
+    val sw = dim / m
+    val q = queries.select(col("vec_id").as("qid"),
+      col("embedding").cast("array<double>").as("qv"))
+    val cent = centroids.select(col("cluster"), col("centroid"),
+      VectorFunctions.dotD(col("centroid"), col("centroid")).as("cnorm"))
+    val wProbe = Window.partitionBy(col("qid"))
+      .orderBy(col("dist").asc, col("cluster").asc)
+    val probes = q.crossJoin(broadcast(cent))
+      .withColumn("qc", VectorFunctions.dotD(col("qv"), col("centroid")))
+      .withColumn("dist", round(col("cnorm") - lit(2.0) * col("qc"), 6))
+      .withColumn("base_micro", round(lit(1e6) * col("qc"), 0).cast("long"))
+      .withColumn("pr", row_number().over(wProbe))
+      .filter(col("pr") <= maxNp)
+      .select(col("qid"), col("qv"), col("cluster"), col("base_micro"), col("pr"))
+    val lut = q.crossJoin(broadcast(codebooks))
+      .select(col("qid"), col("sub"), col("code"),
+        round(lit(1e6) * VectorFunctions.dotD(
+          slice(col("qv"), col("sub") * sw + 1, lit(sw)), col("centroid")), 0)
+          .cast("long").as("pd"))
+      .groupBy(col("qid"))
+      .agg(transform(
+        array_sort(collect_list(struct(col("sub"), col("code"), col("pd")))),
+        x => x.getField("pd")).as("lut"))
+    val probeSide = probes.drop("qv").join(lut, Seq("qid"))
+    val adc = (0 until m).map { s =>
+      element_at(col("lut"),
+        lit(s * kCodes + 1) + element_at(col("codes"), s + 1))
+    }.reduce(_ + _)
+    val scored = assigned
+      .select(col("vec_id").as("nid"), col("codes"), col("cluster"))
+      .join(broadcast(probeSide), Seq("cluster"))
+      .filter(col("qid") =!= col("nid"))
+      .select(col("qid"), col("nid"),
+        (col("base_micro") + adc).as("adc_micro"), col("pr"))
+      .localCheckpoint()
+    val ids = assigned.select(col("vec_id"))
+    nprobes.map { np =>
+      rankAdcTopK(scored.filter(col("pr") <= np).drop("pr"), ids, k,
+          "ivfPqProbeSweep")
+        .withColumn("nprobe", lit(np.toLong))
+    }.reduce(_ unionByName _)
+  }
+
   /** Encode vectors against an EXISTING IVF-PQ quantizer pair — the
     * incremental-ingest half of the index lifecycle (FAISS
     * `IVFPQ.add`): coarse-assign each vector to its nearest centroid

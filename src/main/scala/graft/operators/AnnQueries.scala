@@ -1329,15 +1329,18 @@ object AnnQueries {
     val exact = Ann.bruteForceTopK(querySubset(s, dir), emb(s, dir), k = PqTopK)
       .select(col("qid"), col("nid")).localCheckpoint()
     val nExact = exact.count()
-    val rows = NprobeSweep.map { np =>
-      val hits = Ann.ivfPqProbe(querySubset(s, dir), idx, PqTopK, np)
-        .select(col("qid"), col("nid"))
-        .join(exact, Seq("qid", "nid"), "left_semi")
-        .count()
-      (np.toLong, hits)
-    }
+    // ONE list scan at max(nprobe) via the sweep (scored-at-max
+    // filtered to pr <= np ≡ scored-at-np — see ivfPqProbeSweep), then
+    // one semi-join counts hits across every dial setting at once
+    val hitRows = Ann.ivfPqProbeSweep(querySubset(s, dir), idx, PqTopK,
+        NprobeSweep)
+      .select(col("nprobe"), col("qid"), col("nid"))
+      .join(exact, Seq("qid", "nid"), "left_semi")
+      .groupBy(col("nprobe")).agg(count(lit(1)).as("n_hits"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     import s.implicits._
-    rows.toDF("nprobe", "n_hits")
+    NprobeSweep.map(np => (np.toLong, hitRows.getOrElse(np.toLong, 0L)))
+      .toDF("nprobe", "n_hits")
       .select(col("nprobe"), col("n_hits"),
         round(col("n_hits") / nullif(lit(nExact).cast("double"), lit(0.0)), 6)
           .as("recall"))

@@ -625,6 +625,27 @@ class AnnSpec extends SparkTestBase {
       s"appended ${got("appended")._2} should drift above base ${got("base")._2}")
   }
 
+  test("ivfPqProbeSweep settings are bit-identical to independent probes") {
+    import graft.operators.AnnQueries
+    val idx = AnnQueries.prepareIvfPq(spark, sf0001)
+    val queries = graft.Tables.embeddings(spark, sf0001)
+      .filter($"vec_id" % 50 === 0)
+    val sweep = Ann.ivfPqProbeSweep(queries, idx, k = 3, nprobes = Seq(1, 4))
+      .collect()
+      .map(r => (r.getLong(4), r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3)))
+      .groupBy(_._1)
+    // scored-at-max filtered to pr <= np ≡ scored-at-np: each dial's
+    // rows must equal an INDEPENDENT ivfPqProbe call exactly
+    Seq(1, 4).foreach { np =>
+      val solo = Ann.ivfPqProbe(queries, idx, k = 3, nprobe = np).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+        .toSet
+      assert(sweep(np.toLong).map(t => (t._2, t._3, t._4, t._5)).toSet === solo,
+        s"sweep at nprobe=$np diverges from the independent probe")
+    }
+  }
+
   test("q252 nprobe curve: recall monotone nondecreasing, saturating at the PQ ceiling") {
     import graft.operators.AnnQueries
     val rows = AnnQueries.q252NprobeCurve(spark, sf0001).collect()
