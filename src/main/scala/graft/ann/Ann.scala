@@ -795,6 +795,50 @@ object Ann {
     rankAdcTopK(scored, assigned.select(col("vec_id")), k, "ivfPqProbe")
   }
 
+  /** kNN label-vote tail — SHARED by the batch label-noise audit
+    * (q260) and the streaming ingest screening
+    * ([[labelNoiseProbe]] / StreamingOps.streamingLabelNoise), the
+    * bm25Rank one-formula discipline: majority label of each query's
+    * neighbor set with the deterministic (count desc, label asc)
+    * tie-break, plus n_agree (neighbors carrying the query's own
+    * label). `top` is a (qid, nid) neighbor table; `qLbl`/`nLbl` map
+    * ids to labels. Output: (vec_id, label, knn_label, n_agree) — one
+    * row per query, UNfiltered (callers keep disagreements or all).
+    */
+  def knnLabelVotes(top: DataFrame, qLbl: DataFrame,
+      nLbl: DataFrame): DataFrame = {
+    val votes = top.select(col("qid"), col("nid"))
+      .join(qLbl.select(col("vec_id").as("qid"), col("label").as("own")),
+        Seq("qid"))
+      .join(nLbl.select(col("vec_id").as("nid"), col("label").as("nbr")),
+        Seq("nid"))
+    votes.groupBy(col("qid"), col("own"), col("nbr"))
+      .agg(count(lit(1)).as("cnt"))
+      .groupBy(col("qid"), col("own"))
+      .agg(min(struct((-col("cnt")).as("neg"), col("nbr").as("l"))).as("b"),
+        sum(when(col("nbr") === col("own"), col("cnt")).otherwise(0L))
+          .as("n_agree"))
+      .select(col("qid").as("vec_id"), col("own").as("label"),
+        col("b.l").as("knn_label"), col("n_agree"))
+  }
+
+  /** Screen NEW labeled vectors against a persisted accepted corpus —
+    * q260's incremental-ingest form and the batch core of its
+    * streaming twin: the BATCH side broadcasts (it is the small side
+    * by construction — [[bruteForceTopKViaOperator]] broadcasts the
+    * query side), neighbors come from the corpus, and the verdict
+    * rides the shared [[knnLabelVotes]] tail. Returns only the
+    * DISAGREEMENTS (the rows a reviewer sees). Stateless per batch,
+    * so stream ≡ batch by shared code.
+    */
+  def labelNoiseProbe(newVecs: DataFrame, corpus: DataFrame,
+      k: Int): DataFrame =
+    knnLabelVotes(
+        bruteForceTopKViaOperator(newVecs, corpus, k),
+        newVecs.select(col("vec_id"), col("label")),
+        corpus.select(col("vec_id"), col("label")))
+      .filter(col("knn_label") =!= col("label"))
+
   /** One-scan nprobe SWEEP — [[ivfPqProbe]]'s scoring evaluated ONCE
     * at max(nprobes) with the per-cluster probe rank KEPT, then each
     * dial setting re-ranks the cached scored table filtered to

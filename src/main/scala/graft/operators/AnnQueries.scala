@@ -1448,18 +1448,8 @@ object AnnQueries {
   def q260LabelNoiseAudit(s: SparkSession, dir: String): DataFrame = {
     val e = emb(s, dir)
     val lbl = e.select(col("vec_id"), col("label"))
-    val top = Ann.bruteForceTopKViaOperator(e, e, k = NoiseK)
-    val votes = top.select(col("qid"), col("nid"))
-      .join(lbl.select(col("vec_id").as("qid"), col("label").as("own")), Seq("qid"))
-      .join(lbl.select(col("vec_id").as("nid"), col("label").as("nbr")), Seq("nid"))
-    val counts = votes.groupBy(col("qid"), col("own"), col("nbr"))
-      .agg(count(lit(1)).as("cnt"))
-    counts.groupBy(col("qid"), col("own"))
-      .agg(min(struct((-col("cnt")).as("neg"), col("nbr").as("l"))).as("b"),
-        sum(when(col("nbr") === col("own"), col("cnt")).otherwise(0L))
-          .as("n_agree"))
-      .select(col("qid").as("vec_id"), col("own").as("label"),
-        col("b.l").as("knn_label"), col("n_agree"))
+    Ann.knnLabelVotes(Ann.bruteForceTopKViaOperator(e, e, k = NoiseK),
+        lbl, lbl)
       .filter(col("knn_label") =!= col("label"))
       .orderBy(col("vec_id"))
   }

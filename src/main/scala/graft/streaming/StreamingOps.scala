@@ -869,6 +869,25 @@ object StreamingOps {
       .start()
   }
 
+  /** Streaming label-noise screening — q260's ingest twin: labeled
+    * vectors stream in; each micro-batch is kNN-vote-checked against
+    * the PERSISTED accepted corpus through the batch
+    * [[graft.ann.Ann.labelNoiseProbe]] core (the batch side
+    * broadcasts — it is the small side by construction; the verdict
+    * rides the shared knnLabelVotes tail, so stream ≡ batch by shared
+    * code, stateless per batch). Emitted rows are the disagreements a
+    * reviewer sees before the batch enters training. Vectors need
+    * (vec_id, embedding, label).
+    */
+  def streamingLabelNoise(vectors: DataFrame, corpus: DataFrame, k: Int)
+      (emit: DataFrame => Unit)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    vectors.writeStream.outputMode("append")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        emit(graft.ann.Ann.labelNoiseProbe(batch, corpus, k))
+      }
+      .start()
+
   /** Streaming passage-dedup screening — q257's ingest twin: new
     * documents stream in; each micro-batch's passages are probed
     * against the PERSISTED corpus passage-hash artifact through the

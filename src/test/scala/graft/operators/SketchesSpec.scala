@@ -78,4 +78,30 @@ class SketchesSpec extends SparkTestBase {
     val nonMatching = lineitem.count() - trueMatches.count()
     assert(pruned.count() - trueMatches.count() <= (nonMatching * 0.05).toLong)
   }
+
+  test("bloom build past Spark's runtime caps honors the requested size; confs restored") {
+    // BloomFilterAggregate silently clamps to spark.sql.optimizer.
+    // runtime.bloomFilter.maxNumBits (2^26) / maxNumItems (4M) —
+    // bloomPrune raises the caps around the build so the stated
+    // (expectedItems, fpp) contract is ENFORCED. 8M expected items
+    // needs ~7.7e7 bits > the 2^26 default cap: before the fix this
+    // build saturated silently; now it must produce a working filter
+    // at the requested size, and the session confs must come back.
+    val bitsKey = "spark.sql.optimizer.runtime.bloomFilter.maxNumBits"
+    val before = spark.conf.getOption(bitsKey)
+    val keys = graft.Tables.orders(spark, sf001)
+      .filter($"o_orderkey" % 100 === 0).select($"o_orderkey")
+    val pruned = Sketches.bloomPrune(
+      lineitem.withColumnRenamed("l_orderkey", "o_orderkey"),
+      keys, "o_orderkey", expectedItems = 8000000L, fpp = 0.01)
+    val trueMatches = lineitem
+      .join(keys, $"l_orderkey" === keys("o_orderkey"), "left_semi").count()
+    // contract intact: no false negatives, and at 8M capacity over a
+    // tiny true key set the filter is sparse — leakage near zero
+    assert(pruned.join(keys, Seq("o_orderkey"), "left_semi").count()
+      === trueMatches)
+    assert(pruned.count() >= trueMatches)
+    assert(spark.conf.getOption(bitsKey) === before,
+      "bloomPrune must restore the session conf it raised")
+  }
 }

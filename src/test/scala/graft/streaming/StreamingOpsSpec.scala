@@ -999,6 +999,40 @@ class StreamingOpsSpec extends SparkTestBase {
     assert(emissions.size === docs.grouped(31).size)
   }
 
+  test("streaming label-noise screening across micro-batches equals the batch probe") {
+    implicit val sqlCtx = spark.sqlContext
+    val all = spark.read.parquet(s"$sf0001/embeddings.parquet")
+      .select("vec_id", "embedding", "label")
+    // even ids = the accepted labeled corpus; odd ids stream in
+    val corpus = all.filter($"vec_id" % 2 === 0).localCheckpoint()
+    val newRows = all.filter($"vec_id" % 2 === 1).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray, r.getInt(2))).toSeq
+    val input = MemoryStream[(Long, Array[Float], Int)]
+    val got = scala.collection.mutable.Map.empty[Long, (Int, Int, Long)]
+    val q = StreamingOps.streamingLabelNoise(
+        input.toDF.toDF("vec_id", "embedding", "label"), corpus, k = 5) { v =>
+      v.collect().foreach { r =>
+        got.synchronized {
+          got(r.getLong(0)) = (r.getInt(1), r.getInt(2), r.getLong(3))
+        }
+      }
+    }
+    Seq(newRows.take(11), newRows.slice(11, 150), newRows.drop(150))
+      .filter(_.nonEmpty)
+      .foreach { g => input.addData(g.toIndexedSeq: _*); q.processAllAvailable() }
+    q.stop()
+    import spark.implicits._
+    val batch = graft.ann.Ann.labelNoiseProbe(
+        newRows.toDF("vec_id", "embedding", "label"), corpus, k = 5)
+      .collect().map(r => r.getLong(0) -> (r.getInt(1), r.getInt(2),
+        r.getLong(3))).toMap
+    assert(got.toMap === batch)
+    assert(got.nonEmpty, "screening must flag something on this fixture")
+    got.values.foreach { case (own, knn, agree) =>
+      assert(knn != own && agree < 5L)
+    }
+  }
+
   test("streaming passage-dedup probe across micro-batches equals the batch probe") {
     implicit val sqlCtx = spark.sqlContext
     import graft.operators.Round16Queries
