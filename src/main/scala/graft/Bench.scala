@@ -121,7 +121,7 @@ object Bench {
     "q251_ivfpq_append", "q252_nprobe_curve", "q254_ivfpq_delete",
     "q255_dsir_weights", "q256_rrf_fusion", "q257_passage_dedup",
     "q258_ivfpq_compact", "q259_pq_drift_audit",
-    "q260_label_noise_audit", "q261_self_bleu")
+    "q260_label_noise_audit", "q261_self_bleu", "q262_label_noise_blocked")
 
   /** 1/5/15-min load averages — recorded at start and end so a
     * load-contaminated run is self-documenting (BENCH_r04's 544 s

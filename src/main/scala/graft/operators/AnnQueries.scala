@@ -585,7 +585,7 @@ object AnnQueries {
   /** q47's long-form centroids assembled into broadcastable arrays —
     * the tiny (labels × dim) side of every centroid-scoring query.
     */
-  private[operators] def centroidArrays(s: SparkSession, dir: String): DataFrame =
+  private[graft] def centroidArrays(s: SparkSession, dir: String): DataFrame =
     q47EmbeddingCentroids(s, dir)
       .groupBy(col("label").as("c_label"))
       .agg(transform(array_sort(collect_list(struct(col("j"), col("m")))),
@@ -1486,6 +1486,115 @@ object AnnQueries {
        |WHERE k.knn_label <> k.own
        |ORDER BY vec_id""".stripMargin
 
+  // --------------------------------------------------------------- q262
+  /** Blocked label-noise audit — q260's documented scale path made
+    * GATED CODE (the q236→q238 precedent: exact operator first, then
+    * the blocking variant under the identical decision tail): kNN
+    * candidates come from top-2 centroid-probe blocking (each vector
+    * probes its 2 nearest label-mean centroids; candidates share a
+    * probed cluster — the q155/q238 OR-amplified blocking) instead of
+    * the all-pairs scan, and the verdict rides the SAME
+    * [[Ann.knnLabelVotes]] tail. Candidate volume is Σ_c |c|² over
+    * cluster occupancy, never n² — the shape that survives a 100 TB
+    * corpus; the spec pins strict candidate reduction and verdict
+    * agreement with the exact q260 on this corpus. Neighbors here are
+    * "nearest within the blocked candidate set": a vector whose true
+    * neighbor shares no probed cluster votes among its candidates —
+    * the standard blocking approximation, measured, not hidden.
+    */
+  def q262LabelNoiseBlocked(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.VectorFunctions.register(s)
+    val e = emb(s, dir)
+    val lbl = e.select(col("vec_id"), col("label"))
+    val cent = centroidArrays(s, dir)
+    val wProbe = Window.partitionBy(col("vec_id"))
+      .orderBy(col("ccos").desc, col("c_label").asc)
+    val probes = e.crossJoin(broadcast(cent))
+      .select(col("vec_id"), col("c_label"),
+        round(graft.functions.VectorFunctions.dotD(
+          col("embedding").cast("array<double>"), col("centroid")), 6)
+          .as("ccos"))
+      .withColumn("rk", row_number().over(wProbe))
+      .filter(col("rk") <= 2)
+      .select(col("vec_id"), col("c_label").as("cluster"))
+      .localCheckpoint()
+    val candIds = probes.select(col("vec_id").as("qid"), col("cluster"))
+      .join(probes.select(col("vec_id").as("nid"), col("cluster")),
+        Seq("cluster"))
+      .filter(col("qid") =!= col("nid"))
+      .select(col("qid"), col("nid")).distinct()
+    val pairs = candIds
+      .join(e.select(col("vec_id").as("qid"), col("embedding").as("qv")),
+        Seq("qid"))
+      .join(e.select(col("vec_id").as("nid"), col("embedding").as("nv")),
+        Seq("nid"))
+      .select(col("qid"), col("nid"),
+        round(graft.functions.VectorFunctions.dot(col("qv"), col("nv")), 6)
+          .as("cos"))
+    val wTop = Window.partitionBy(col("qid"))
+      .orderBy(col("cos").desc, col("nid").asc)
+    val top = pairs.withColumn("rk", row_number().over(wTop))
+      .filter(col("rk") <= NoiseK)
+      .select(col("qid"), col("nid"))
+    Ann.knnLabelVotes(top, lbl, lbl)
+      .filter(col("knn_label") =!= col("label"))
+      .orderBy(col("vec_id"))
+  }
+
+  val q262Sql: String =
+    s"""WITH dims AS (
+       |  SELECT vec_id, label, j,
+       |         CAST(embedding[CAST(j AS INTEGER) + 1] AS DOUBLE) AS v
+       |  FROM embeddings, range($Dim) t(j)),
+       |cent AS (
+       |  SELECT label AS c_label, j, round(avg(v), 6) AS m
+       |  FROM dims GROUP BY label, j),
+       |cdots AS (
+       |  SELECT d.vec_id, c.c_label, round(sum(d.v * c.m), 6) AS ccos
+       |  FROM dims d JOIN cent c USING (j)
+       |  GROUP BY d.vec_id, c.c_label),
+       |probes AS (
+       |  SELECT vec_id, c_label AS cluster FROM (
+       |    SELECT vec_id, c_label,
+       |           row_number() OVER (PARTITION BY vec_id
+       |                              ORDER BY ccos DESC, c_label ASC) AS rk
+       |    FROM cdots) WHERE rk <= 2),
+       |cand AS (
+       |  SELECT DISTINCT a.vec_id AS qid, b.vec_id AS nid
+       |  FROM probes a JOIN probes b USING (cluster)
+       |  WHERE a.vec_id <> b.vec_id),
+       |pairs AS (
+       |  SELECT c.qid, c.nid,
+       |         round(${sqlDot("q.embedding", "n.embedding")}, 6) AS cos,
+       |         q.label AS own, n.label AS nbr
+       |  FROM cand c
+       |  JOIN embeddings q ON q.vec_id = c.qid
+       |  JOIN embeddings n ON n.vec_id = c.nid),
+       |top AS (
+       |  SELECT qid, own, nid, nbr FROM (
+       |    SELECT qid, own, nid, nbr,
+       |           row_number() OVER (PARTITION BY qid
+       |                              ORDER BY cos DESC, nid ASC) AS rk
+       |    FROM pairs) WHERE rk <= $NoiseK),
+       |counts AS (
+       |  SELECT qid, own, nbr, count(*) AS cnt
+       |  FROM top GROUP BY qid, own, nbr),
+       |knn AS (
+       |  SELECT qid, own, nbr AS knn_label FROM (
+       |    SELECT qid, own, nbr,
+       |           row_number() OVER (PARTITION BY qid
+       |                              ORDER BY cnt DESC, nbr ASC) AS mrk
+       |    FROM counts) WHERE mrk = 1),
+       |agree AS (
+       |  SELECT qid, CAST(coalesce(sum(CASE WHEN nbr = own THEN cnt END), 0)
+       |         AS BIGINT) AS n_agree
+       |  FROM counts GROUP BY qid)
+       |SELECT k.qid AS vec_id, CAST(k.own AS INTEGER) AS label,
+       |       CAST(k.knn_label AS INTEGER) AS knn_label, a.n_agree
+       |FROM knn k JOIN agree a USING (qid)
+       |WHERE k.knn_label <> k.own
+       |ORDER BY vec_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q245_ivfpq_topk" -> (q245IvfPqTopK _),
     "q251_ivfpq_append" -> (q251IvfPqAppendProbe _),
@@ -1494,6 +1603,7 @@ object AnnQueries {
     "q258_ivfpq_compact" -> (q258IvfPqCompact _),
     "q259_pq_drift_audit" -> (q259PqDriftAudit _),
     "q260_label_noise_audit" -> (q260LabelNoiseAudit _),
+    "q262_label_noise_blocked" -> (q262LabelNoiseBlocked _),
     "q247_filtered_ann" -> (q247FilteredAnn _),
     "q249_ivfpq_rerank" -> (q249IvfPqRerank _),
     "q250_multiprobe_lsh" -> (q250MultiProbeLsh _),
@@ -1524,6 +1634,7 @@ object AnnQueries {
     "q258_ivfpq_compact" -> q258Sql(sfDir),
     "q259_pq_drift_audit" -> q259Sql(sfDir),
     "q260_label_noise_audit" -> q260Sql,
+    "q262_label_noise_blocked" -> q262Sql,
     "q247_filtered_ann" -> q247Sql,
     "q249_ivfpq_rerank" -> q249Sql(sfDir),
     "q250_multiprobe_lsh" -> q250Sql,
