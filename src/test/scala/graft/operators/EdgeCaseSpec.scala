@@ -167,4 +167,33 @@ class EdgeCaseSpec extends SparkTestBase {
     val tot = per.agg(sum($"n_s").as("N"), sum($"s_s").as("S"))
     assert(per.crossJoin(tot).filter($"N" > $"n_s").count() === 0)
   }
+
+  test("round-16 degenerate inputs: encode fails loudly, profiles/probes drop cleanly") {
+    // IVF-PQ encode on an empty batch: a LOUD require, not a silent
+    // empty write (an empty append is almost always an upstream bug)
+    val emptyVecs = Seq.empty[(Long, Array[Float])].toDF("vec_id", "embedding")
+    val cent = Seq((0, Array(0.0, 0.0))).toDF("cluster", "centroid")
+    val cbs = Seq((0, 0, Array(0.0))).toDF("sub", "code", "centroid")
+    val e = intercept[IllegalArgumentException] {
+      graft.ann.Ann.ivfPqEncode(emptyVecs, cent, cbs)
+    }
+    assert(e.getMessage.contains("empty input"))
+    // DSIR profile of token-free docs: zero rows, and the scoring tail
+    // over an empty profile yields zero rows (no NaN weights)
+    val degLang = degenerate.withColumn("lang", lit("en"))
+    val prof = Round16Queries.dsirProfile(
+      degLang.filter($"doc_id" <= 2L)) // "" and "   " only
+    assert(prof.count() === 0)
+    assert(Round16Queries.dsirWeightsFromProfile(prof).count() === 0)
+    // passage probe of token-free docs against a real corpus: zero
+    // rows (no passages → no verdicts), not a division error
+    val occ = Seq(("x", 1L)).toDF("phash", "occ")
+    assert(Round16Queries.passageDedupProbe(
+      degenerate.filter($"doc_id" <= 2L), occ).count() === 0)
+    // kNN vote tail over an empty neighbor table: zero rows, no
+    // div-by-zero majority
+    val emptyTop = Seq.empty[(Long, Long)].toDF("qid", "nid")
+    val lbl = Seq((1L, 0)).toDF("vec_id", "label")
+    assert(graft.ann.Ann.knnLabelVotes(emptyTop, lbl, lbl).count() === 0)
+  }
 }
