@@ -1005,6 +1005,14 @@ object Ann {
     */
   def ivfPqCompact(indexDir: String, outDir: String,
       tombstones: DataFrame): Unit = {
+    // in-place compaction would mode(overwrite) the assignments while
+    // the rewrite is still READING them — destroying the source lists
+    // mid-job. Compaction writes a fresh generation; the caller swaps
+    // pointers (or deletes the old dir) after the write commits.
+    require(new java.io.File(outDir).getCanonicalPath !=
+        new java.io.File(indexDir).getCanonicalPath,
+      s"ivfPqCompact: outDir must differ from indexDir ($indexDir) — " +
+        "compaction is a new index generation, not an in-place rewrite")
     val spark = tombstones.sparkSession
     spark.read.parquet(s"$indexDir/assignments")
       .join(graft.operators.BoundedBroadcast.boundedBroadcast(

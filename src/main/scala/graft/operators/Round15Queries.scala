@@ -271,7 +271,12 @@ object Round15Queries {
     val gainNano = (pos: org.apache.spark.sql.Column) =>
       round(lit(1e9) * (pow(lit(2.0), col("n_terms_hit")) - lit(1.0)) /
         log2(pos + lit(1.0)), 0).cast("long")
-    val ranked = rankMultiBm25(scored, scored.select(col("doc_id")))
+    // id-range probe over the cheap parquet id table (column-pruned
+    // doc_id min/max — the q244 convention), not over `scored`: even
+    // checkpointed, probing the scored relation reads the whole scored
+    // table for two longs where the documents scan prunes to one column
+    val ranked = rankMultiBm25(scored,
+      Tables.documents(s, dir).select(col("doc_id")))
       .select(col("query_id"), gainNano(col("rk")).as("gain_nano"))
       .groupBy(col("query_id")).agg(sum(col("gain_nano")).as("dcg_nano"))
     // ideal ranking: (rel desc, doc_id asc) — rel ≤ 2 so the packed

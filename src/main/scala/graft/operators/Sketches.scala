@@ -28,6 +28,11 @@ import org.apache.spark.sql.functions._
   */
 object Sketches {
 
+  /** Serializes [[bloomPrune]]'s session-conf raise/restore window —
+    * the caps are session-global state, so concurrent builds would
+    * otherwise race the save/restore. */
+  private val bloomCapLock = new Object
+
   /** Approximate distinct values of `valueCol` per `keyCol`
     * (HyperLogLog++, default rsd 5%).
     */
@@ -135,12 +140,23 @@ object Sketches {
     // Raise the caps to the requested size around the build so the
     // stated (expectedItems, fpp) contract is ENFORCED, not advisory;
     // restored afterwards so session behavior elsewhere is untouched.
+    // The set/restore pair mutates SESSION-scoped conf, so overlapping
+    // bloomPrune builds would race the save/restore and clobber each
+    // other's values: [[bloomCapLock]] serializes the raised-caps
+    // window process-wide (the build job itself runs distributed under
+    // the lock — only concurrent BUILDS serialize, probes are
+    // untouched). A concurrent UNRELATED query in the same session can
+    // still observe the raised caps for the duration of one build;
+    // that is benign here (the caps only bound bloom sizes a query
+    // explicitly requests) and documented rather than solved with a
+    // cloned session, which would detach the build from caller-visible
+    // temp views.
     val conf = small.sparkSession.conf
     val capKeys = Seq(
       "spark.sql.optimizer.runtime.bloomFilter.maxNumBits" -> numBits,
       "spark.sql.optimizer.runtime.bloomFilter.maxNumItems" -> expectedItems)
-    val saved = capKeys.map { case (k, _) => k -> conf.getOption(k) }
-    val sketch =
+    val sketch = bloomCapLock.synchronized {
+      val saved = capKeys.map { case (k, _) => k -> conf.getOption(k) }
       try {
         capKeys.foreach { case (k, need) =>
           val cur = conf.getOption(k).map(_.toLong).getOrElse(0L)
@@ -153,6 +169,7 @@ object Sketches {
         case (k, Some(v)) => conf.set(k, v)
         case (k, None)    => conf.unset(k)
       }
+    }
     sketch match {
       case bytes: Array[Byte] =>
         big.filter(col(keyCol).isNotNull && GraftSqlApi.column(
