@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -1501,21 +1501,49 @@ object AnnQueries {
     * "nearest within the blocked candidate set": a vector whose true
     * neighbor shares no probed cluster votes among its candidates —
     * the standard blocking approximation, measured, not hidden.
+    *
+    * Both rankings ride the house heap-or-window dispatch
+    * ([[graft.plans.TopK.rankTopKOrWindow]], the q260-scaladoc rule:
+    * partial-agg TopKPerKey heaps, never a window over the pair
+    * stream): the Σ_c|c|² candidate volume and the n×L probe stream
+    * are each cut to ≤k survivors per key MAP-SIDE before their
+    * exchange. The ord packs (cos_micro, id tie-break) into one
+    * double — |cos| ≤ 1 on the pre-normalized corpus so cos_micro <
+    * 2^27 is expression-enforced, and the id-range probes (one
+    * column-pruned min/max each) degrade out-of-domain ids to the
+    * window form instead of aborting the job (the rankAdcTopK
+    * contract).
     */
   def q262LabelNoiseBlocked(s: SparkSession, dir: String): DataFrame = {
     graft.functions.VectorFunctions.register(s)
     val e = emb(s, dir)
     val lbl = e.select(col("vec_id"), col("label"))
     val cent = centroidArrays(s, dir)
-    val wProbe = Window.partitionBy(col("vec_id"))
-      .orderBy(col("ccos").desc, col("c_label").asc)
-    val probes = e.crossJoin(broadcast(cent))
+    val idsSafe = graft.plans.TopK.idRangeSafe(
+      e.select(col("vec_id")), "vec_id", 1L << 20)
+    val lblSafe = graft.plans.TopK.idRangeSafe(
+      cent.select(col("c_label").cast("long").as("c_label")), "c_label",
+      1L << 20)
+    def packedOrd(microSrc: Column, idCol: Column, safe: Boolean,
+        what: String): Column = {
+      val micro = round(microSrc * 1e6)
+      val inRange = abs(micro) < lit(1L << 27) &&
+        (lit(!safe) || (idCol >= 0 && idCol.cast("long") < lit(1L << 20)))
+      when(inRange, micro * lit(1L << 20) - idCol)
+        .otherwise(raise_error(concat(
+          lit(s"q262: $what ord encoding out of range ("),
+          microSrc.cast("string"), lit(", "), idCol.cast("string"),
+          lit(")"))))
+    }
+    val probeScored = e.crossJoin(broadcast(cent))
       .select(col("vec_id"), col("c_label"),
         round(graft.functions.VectorFunctions.dotD(
           col("embedding").cast("array<double>"), col("centroid")), 6)
           .as("ccos"))
-      .withColumn("rk", row_number().over(wProbe))
-      .filter(col("rk") <= 2)
+    val probes = graft.plans.TopK.rankTopKOrWindow(probeScored,
+        Seq("vec_id"),
+        packedOrd(col("ccos"), col("c_label"), lblSafe, "probe"),
+        Seq(col("ccos").desc, col("c_label").asc), 2, lblSafe)
       .select(col("vec_id"), col("c_label").as("cluster"))
       .localCheckpoint()
     val candIds = probes.select(col("vec_id").as("qid"), col("cluster"))
@@ -1531,10 +1559,9 @@ object AnnQueries {
       .select(col("qid"), col("nid"),
         round(graft.functions.VectorFunctions.dot(col("qv"), col("nv")), 6)
           .as("cos"))
-    val wTop = Window.partitionBy(col("qid"))
-      .orderBy(col("cos").desc, col("nid").asc)
-    val top = pairs.withColumn("rk", row_number().over(wTop))
-      .filter(col("rk") <= NoiseK)
+    val top = graft.plans.TopK.rankTopKOrWindow(pairs, Seq("qid"),
+        packedOrd(col("cos"), col("nid"), idsSafe, "top-k"),
+        Seq(col("cos").desc, col("nid").asc), NoiseK, idsSafe)
       .select(col("qid"), col("nid"))
     Ann.knnLabelVotes(top, lbl, lbl)
       .filter(col("knn_label") =!= col("label"))

@@ -1054,4 +1054,18 @@ class PlanSpec extends SparkTestBase {
     assert(exchanges === 2, s"window + final sort only, got $exchanges:\n$p")
     assert(!p.contains("Join"), s"TWAP is window + rollup, no join:\n$p")
   }
+
+  test("q262: candidate ranking heaps map-side — window only re-ranks survivors") {
+    // the blocked candidate stream (Σ_c|c|²) must cut to ≤NoiseK per
+    // qid through the bounded heaps BEFORE its exchange; the remaining
+    // WindowExec ranks only the ≤k survivors (the rankTopKOrWindow
+    // contract). The probe-side ranking rides the same dispatch but is
+    // localCheckpoint-truncated out of this lineage — its heap path is
+    // pinned by AnnSpec's candidate-reduction test plus the shared
+    // TopKPerKeySpec equivalence theorem.
+    val p = formatted(AnnQueries.q262LabelNoiseBlocked(spark, sf0001))
+    val heaps = p.linesIterator.count(_.contains("TopKPerKey"))
+    assert(heaps >= 2, // partial + final
+      s"expected the q262 candidate ranking through TopKPerKeyExec:\n$p")
+  }
 }
