@@ -725,17 +725,41 @@ object Ann {
     */
   def ivfPqProbe(queries: DataFrame, indexDir: String, k: Int,
       nprobe: Int, tombstones: Option[DataFrame] = None): DataFrame = {
+    val (scored, ids) =
+      ivfPqScoreAtMax(queries, indexDir, nprobe, tombstones, "ivfPqProbe")
+    rankAdcTopK(scored.drop("pr"), ids, k, "ivfPqProbe")
+  }
+
+  /** The probe/LUT/ADC scoring body SHARED by [[ivfPqProbe]] and
+    * [[ivfPqProbeSweep]] (one formula, two surfaces — the bm25Rank
+    * discipline; the sweep's scored-at-max ≡ scored-at-np law is a
+    * property of THIS code, so the twins cannot drift): rank the
+    * kClusters broadcast centroids per query by squared L2
+    * (|c|²−2q·c), keep the `maxNp` nearest WITH their probe rank
+    * `pr`, build the per-query flattened residual LUT (|Q| ×
+    * m·kCodes longs, micro-quantized — the q232 determinism rule),
+    * and score the probed inverted lists row-locally: base(cluster) +
+    * Σ_m LUT[sub, code]. The scan side reads (vec_id, codes, cluster)
+    * of the PROBED lists only — the broadcast equi-join on the
+    * partition column keeps probe cost ∝ nprobe·list-size.
+    *
+    * Tombstone read path (the delete half of the add/delete index
+    * lifecycle — [[ivfPqAppend]] is the add): deleted ids are
+    * anti-joined out of the inverted lists BEFORE scoring, so a
+    * deleted vector can never surface in results while the physical
+    * lists stay immutable (FAISS IDSelector semantics). The tombstone
+    * table is deletion-rate-bounded operationally — capacity-gated so
+    * a pathological delete set degrades to a shuffled anti-join
+    * instead of OOMing the driver.
+    *
+    * Returns (scored (qid, nid, adc_micro, pr), corpus ids) — callers
+    * drop `pr` (probe) or dial on it (sweep).
+    */
+  private def ivfPqScoreAtMax(queries: DataFrame, indexDir: String,
+      maxNp: Int, tombstones: Option[DataFrame],
+      caller: String): (DataFrame, DataFrame) = {
     val spark = queries.sparkSession
     VectorFunctions.register(spark)
-    // Tombstone read path (the delete half of the add/delete index
-    // lifecycle — [[ivfPqAppend]] is the add): deleted ids are
-    // anti-joined out of the inverted lists BEFORE scoring, so a
-    // deleted vector can never surface in results while the physical
-    // lists stay immutable (FAISS IDSelector semantics; compaction
-    // rewrites the lists when the tombstone fraction warrants it).
-    // The tombstone table is deletion-rate-bounded operationally —
-    // capacity-gated here so a pathological delete set degrades to a
-    // shuffled anti-join instead of OOMing the driver.
     val assigned0 = spark.read.parquet(s"$indexDir/assignments")
     val assigned = tombstones.map { t =>
       assigned0.join(
@@ -747,7 +771,7 @@ object Ann {
     val centroids = spark.read.parquet(s"$indexDir/centroids")
     val codebooks = spark.read.parquet(s"$indexDir/codebooks")
     val dimRow = queries.select(size(col("embedding"))).head(1)
-    require(dimRow.nonEmpty, "ivfPqProbe: empty query set")
+    require(dimRow.nonEmpty, s"$caller: empty query set")
     val dim = dimRow(0).getInt(0)
     val m = codebooks.agg(max(col("sub"))).head().getInt(0) + 1
     val kCodes = codebooks.agg(max(col("code"))).head().getInt(0) + 1
@@ -758,17 +782,15 @@ object Ann {
       VectorFunctions.dotD(col("centroid"), col("centroid")).as("cnorm"))
     val wProbe = Window.partitionBy(col("qid"))
       .orderBy(col("dist").asc, col("cluster").asc)
-    // nprobe nearest clusters per query, carrying the micro-quantized
-    // base term dot(q, centroid) forward
+    // maxNp nearest clusters per query, carrying the micro-quantized
+    // base term dot(q, centroid) and the probe rank forward
     val probes = q.crossJoin(broadcast(cent))
       .withColumn("qc", VectorFunctions.dotD(col("qv"), col("centroid")))
       .withColumn("dist", round(col("cnorm") - lit(2.0) * col("qc"), 6))
       .withColumn("base_micro", round(lit(1e6) * col("qc"), 0).cast("long"))
       .withColumn("pr", row_number().over(wProbe))
-      .filter(col("pr") <= nprobe)
-      .select(col("qid"), col("qv"), col("cluster"), col("base_micro"))
-    // per-query flattened LUT over the residual codebooks (the q232
-    // shape): |Q| × (m·kCodes longs), broadcast with the probe rows
+      .filter(col("pr") <= maxNp)
+      .select(col("qid"), col("cluster"), col("base_micro"), col("pr"))
     val lut = q.crossJoin(broadcast(codebooks))
       .select(col("qid"), col("sub"), col("code"),
         round(lit(1e6) * VectorFunctions.dotD(
@@ -778,21 +800,18 @@ object Ann {
       .agg(transform(
         array_sort(collect_list(struct(col("sub"), col("code"), col("pd")))),
         x => x.getField("pd")).as("lut"))
-    val probeSide = probes.drop("qv").join(lut, Seq("qid"))
+    val probeSide = probes.join(lut, Seq("qid"))
     val adc = (0 until m).map { s =>
       element_at(col("lut"),
         lit(s * kCodes + 1) + element_at(col("codes"), s + 1))
     }.reduce(_ + _)
-    // the scan side reads (vec_id, codes, cluster) of the PROBED
-    // inverted lists only — the broadcast equi-join on the partition
-    // column is what keeps probe cost ∝ nprobe·list-size
     val scored = assigned
       .select(col("vec_id").as("nid"), col("codes"), col("cluster"))
       .join(broadcast(probeSide), Seq("cluster"))
       .filter(col("qid") =!= col("nid"))
       .select(col("qid"), col("nid"),
-        (col("base_micro") + adc).as("adc_micro"))
-    rankAdcTopK(scored, assigned.select(col("vec_id")), k, "ivfPqProbe")
+        (col("base_micro") + adc).as("adc_micro"), col("pr"))
+    (scored, assigned.select(col("vec_id")))
   }
 
   /** kNN label-vote tail — SHARED by the batch label-noise audit
@@ -853,58 +872,81 @@ object Ann {
   def ivfPqProbeSweep(queries: DataFrame, indexDir: String, k: Int,
       nprobes: Seq[Int]): DataFrame = {
     require(nprobes.nonEmpty, "ivfPqProbeSweep: empty sweep")
-    val spark = queries.sparkSession
-    VectorFunctions.register(spark)
-    val maxNp = nprobes.max
-    val assigned = spark.read.parquet(s"$indexDir/assignments")
-    val centroids = spark.read.parquet(s"$indexDir/centroids")
-    val codebooks = spark.read.parquet(s"$indexDir/codebooks")
-    val dimRow = queries.select(size(col("embedding"))).head(1)
-    require(dimRow.nonEmpty, "ivfPqProbeSweep: empty query set")
-    val dim = dimRow(0).getInt(0)
-    val m = codebooks.agg(max(col("sub"))).head().getInt(0) + 1
-    val kCodes = codebooks.agg(max(col("code"))).head().getInt(0) + 1
-    val sw = dim / m
-    val q = queries.select(col("vec_id").as("qid"),
-      col("embedding").cast("array<double>").as("qv"))
-    val cent = centroids.select(col("cluster"), col("centroid"),
-      VectorFunctions.dotD(col("centroid"), col("centroid")).as("cnorm"))
-    val wProbe = Window.partitionBy(col("qid"))
-      .orderBy(col("dist").asc, col("cluster").asc)
-    val probes = q.crossJoin(broadcast(cent))
-      .withColumn("qc", VectorFunctions.dotD(col("qv"), col("centroid")))
-      .withColumn("dist", round(col("cnorm") - lit(2.0) * col("qc"), 6))
-      .withColumn("base_micro", round(lit(1e6) * col("qc"), 0).cast("long"))
-      .withColumn("pr", row_number().over(wProbe))
-      .filter(col("pr") <= maxNp)
-      .select(col("qid"), col("qv"), col("cluster"), col("base_micro"), col("pr"))
-    val lut = q.crossJoin(broadcast(codebooks))
-      .select(col("qid"), col("sub"), col("code"),
-        round(lit(1e6) * VectorFunctions.dotD(
-          slice(col("qv"), col("sub") * sw + 1, lit(sw)), col("centroid")), 0)
-          .cast("long").as("pd"))
-      .groupBy(col("qid"))
-      .agg(transform(
-        array_sort(collect_list(struct(col("sub"), col("code"), col("pd")))),
-        x => x.getField("pd")).as("lut"))
-    val probeSide = probes.drop("qv").join(lut, Seq("qid"))
-    val adc = (0 until m).map { s =>
-      element_at(col("lut"),
-        lit(s * kCodes + 1) + element_at(col("codes"), s + 1))
-    }.reduce(_ + _)
-    val scored = assigned
-      .select(col("vec_id").as("nid"), col("codes"), col("cluster"))
-      .join(broadcast(probeSide), Seq("cluster"))
-      .filter(col("qid") =!= col("nid"))
-      .select(col("qid"), col("nid"),
-        (col("base_micro") + adc).as("adc_micro"), col("pr"))
-      .localCheckpoint()
-    val ids = assigned.select(col("vec_id"))
+    val (scored0, ids) = ivfPqScoreAtMax(queries, indexDir, nprobes.max,
+      tombstones = None, "ivfPqProbeSweep")
+    val scored = scored0.localCheckpoint()
     nprobes.map { np =>
       rankAdcTopK(scored.filter(col("pr") <= np).drop("pr"), ids, k,
           "ivfPqProbeSweep")
         .withColumn("nprobe", lit(np.toLong))
     }.reduce(_ unionByName _)
+  }
+
+  /** Measured (nprobe, recall@k) curve of the IVF-PQ index — q252's
+    * audit as a REUSABLE engine surface (so the operating-point choice
+    * and the gated audit consume the same measurement code): ONE sweep
+    * scan at max(sweep) ([[ivfPqProbeSweep]]) semi-joined against the
+    * exact brute-force top-k of the tuning queries, hits counted per
+    * dial setting in one aggregate. Tuning cost is |tune|·corpus for
+    * the exact side — the standard offline recall-tuning price, paid
+    * on a query SAMPLE, never the serving path. Returns one
+    * (nprobe, n_hits, n_exact) row per setting, sweep-order sorted;
+    * recall = n_hits/n_exact left to callers (q252 rounds for its
+    * audit surface, [[chooseNprobe]] compares raw).
+    */
+  def ivfPqRecallCurve(tuneQueries: DataFrame, corpus: DataFrame,
+      indexDir: String, k: Int, sweep: Seq[Int]): Seq[(Int, Long, Long)] = {
+    require(sweep.nonEmpty, "ivfPqRecallCurve: empty sweep")
+    val exact = bruteForceTopK(tuneQueries, corpus, k)
+      .select(col("qid"), col("nid")).localCheckpoint()
+    val nExact = exact.count()
+    val hits = ivfPqProbeSweep(tuneQueries, indexDir, k, sweep)
+      .select(col("nprobe"), col("qid"), col("nid"))
+      .join(exact, Seq("qid", "nid"), "left_semi")
+      .groupBy(col("nprobe")).agg(count(lit(1)).as("n_hits"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    sweep.sorted.map(np => (np, hits.getOrElse(np.toLong, 0L), nExact))
+  }
+
+  /** Pure operating-point rule — the [[ivfPqProbe]] dial chosen by the
+    * ENGINE from a measured curve, not a human (the
+    * chooseArgmaxStrategy discipline: the decision is a unit-testable
+    * pure function, not an emergent property of the pipeline): the
+    * SMALLEST swept nprobe whose measured recall meets
+    * `targetRecall` — probe cost grows ∝ nprobe·(corpus/kClusters)
+    * while recall saturates, so the first satisfying setting is the
+    * cheapest one that honors the SLO. If no setting reaches the
+    * target, the LARGEST swept nprobe: the curve's ceiling is the PQ
+    * quantization error (q252's saturation law) — more probes cannot
+    * buy the target back, so the engine serves the best point it
+    * measured rather than aborting a serving path.
+    */
+  def chooseNprobe(curve: Seq[(Int, Double)], targetRecall: Double): Int = {
+    require(curve.nonEmpty, "chooseNprobe: empty recall curve")
+    val sorted = curve.sortBy(_._1)
+    sorted.find(_._2 >= targetRecall).map(_._1).getOrElse(sorted.last._1)
+  }
+
+  /** Self-tuning IVF-PQ probe — the round-8/9 missing piece: the
+    * recall/cost operating point is measured ([[ivfPqRecallCurve]] on
+    * the tuning sample) and chosen ([[chooseNprobe]]) INSIDE the
+    * operator, then the serving queries probe at the chosen dial. The
+    * returned rows carry the choice (`nprobe` column), so downstream
+    * audits see which operating point served them. The tuning pass is
+    * one sweep scan + one sample-sized exact job — amortized across
+    * every serving query of the session; production would cache the
+    * choice per (index generation, target).
+    */
+  def ivfPqProbeAuto(queries: DataFrame, tuneQueries: DataFrame,
+      corpus: DataFrame, indexDir: String, k: Int, targetRecall: Double,
+      sweep: Seq[Int], tombstones: Option[DataFrame] = None): DataFrame = {
+    val curve = ivfPqRecallCurve(tuneQueries, corpus, indexDir, k, sweep)
+    val np = chooseNprobe(
+      curve.map { case (n, h, t) =>
+        (n, if (t == 0L) 0.0 else h.toDouble / t) },
+      targetRecall)
+    ivfPqProbe(queries, indexDir, k, np, tombstones)
+      .withColumn("nprobe", lit(np.toLong))
   }
 
   /** Encode vectors against an EXISTING IVF-PQ quantizer pair — the

@@ -1326,29 +1326,38 @@ object AnnQueries {
 
   def q252NprobeCurve(s: SparkSession, dir: String): DataFrame = {
     val idx = prepareIvfPq(s, dir)
-    val exact = Ann.bruteForceTopK(querySubset(s, dir), emb(s, dir), k = PqTopK)
-      .select(col("qid"), col("nid")).localCheckpoint()
-    val nExact = exact.count()
-    // ONE list scan at max(nprobe) via the sweep (scored-at-max
-    // filtered to pr <= np ≡ scored-at-np — see ivfPqProbeSweep), then
-    // one semi-join counts hits across every dial setting at once
-    val hitRows = Ann.ivfPqProbeSweep(querySubset(s, dir), idx, PqTopK,
-        NprobeSweep)
-      .select(col("nprobe"), col("qid"), col("nid"))
-      .join(exact, Seq("qid", "nid"), "left_semi")
-      .groupBy(col("nprobe")).agg(count(lit(1)).as("n_hits"))
-      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // ONE list scan at max(nprobe) + one exact-side semi-join counting
+    // every dial setting at once — the measurement now lives in
+    // [[Ann.ivfPqRecallCurve]], shared with the engine's own
+    // operating-point choice (q263's ivfPqProbeAuto): the audit a
+    // human reads and the dial the engine picks come from the SAME
+    // measured curve code.
+    val curve = Ann.ivfPqRecallCurve(querySubset(s, dir), emb(s, dir), idx,
+      PqTopK, NprobeSweep)
     import s.implicits._
-    NprobeSweep.map(np => (np.toLong, hitRows.getOrElse(np.toLong, 0L)))
-      .toDF("nprobe", "n_hits")
+    curve.map { case (np, h, t) => (np.toLong, h, t) }
+      .toDF("nprobe", "n_hits", "n_exact")
       .select(col("nprobe"), col("n_hits"),
-        round(col("n_hits") / nullif(lit(nExact).cast("double"), lit(0.0)), 6)
+        round(col("n_hits") / nullif(col("n_exact").cast("double"), lit(0.0)), 6)
           .as("recall"))
       .orderBy(col("nprobe"))
   }
 
-  def q252Sql(sfDir: String): String = {
-    val idx = ivfPqIndexPath(sfDir)
+  def q252Sql(sfDir: String): String =
+    s"""${ivfPqSweepCtesSql(ivfPqIndexPath(sfDir))}
+       |SELECT CAST(n.np AS BIGINT) AS nprobe,
+       |       CAST(coalesce(h.n_hits, 0) AS BIGINT) AS n_hits,
+       |       round(coalesce(h.n_hits, 0) / nullif(CAST(t.n AS DOUBLE), 0), 6)
+       |         AS recall
+       |FROM nps n LEFT JOIN hits h ON h.np = n.np CROSS JOIN tot t
+       |ORDER BY nprobe""".stripMargin
+
+  /** Shared CTE block of the q252/q263 oracles — ONE sweep replay
+    * (probe selection, LUT, base term, ADC, per-np top-k, exact side,
+    * per-np hit counts), so the audit oracle and the auto-dial oracle
+    * replay the identical measurement, mirroring the engine-side
+    * [[Ann.ivfPqRecallCurve]] sharing. */
+  private def ivfPqSweepCtesSql(idx: String): String = {
     val sw = Dim / PqM
     s"""WITH cent AS (
        |  SELECT CAST(cluster AS INTEGER) AS cluster, centroid,
@@ -1398,8 +1407,8 @@ object AnnQueries {
        |  WHERE c.vec_id <> p.qid
        |  GROUP BY p.np, p.qid, c.vec_id, p.base_micro),
        |approx AS (
-       |  SELECT np, qid, nid FROM (
-       |    SELECT np, qid, nid,
+       |  SELECT np, qid, nid, adc_micro, rk FROM (
+       |    SELECT np, qid, nid, adc_micro,
        |           row_number() OVER (PARTITION BY np, qid
        |                              ORDER BY adc_micro DESC, nid ASC) AS rk
        |    FROM scored) WHERE rk <= $PqTopK),
@@ -1415,14 +1424,50 @@ object AnnQueries {
        |  SELECT a.np, count(*) AS n_hits
        |  FROM approx a JOIN exact x ON a.qid = x.qid AND a.nid = x.nid
        |  GROUP BY a.np),
-       |tot AS (SELECT count(*) AS n FROM exact)
-       |SELECT CAST(n.np AS BIGINT) AS nprobe,
-       |       CAST(coalesce(h.n_hits, 0) AS BIGINT) AS n_hits,
-       |       round(coalesce(h.n_hits, 0) / nullif(CAST(t.n AS DOUBLE), 0), 6)
-       |         AS recall
-       |FROM nps n LEFT JOIN hits h ON h.np = n.np CROSS JOIN tot t
-       |ORDER BY nprobe""".stripMargin
+       |tot AS (SELECT count(*) AS n FROM exact)""".stripMargin
   }
+
+  // --------------------------------------------------------------- q263
+  /** Engine-chosen nprobe operating point — the round-8/9 verdict's
+    * task #1 made gated code: [[Ann.ivfPqProbeAuto]] measures the
+    * recall curve on the tuning sample ([[Ann.ivfPqRecallCurve]], the
+    * same code q252's audit reads), picks the dial with the PURE
+    * [[Ann.chooseNprobe]] rule (smallest swept nprobe meeting the
+    * recall target; curve-ceiling fallback when the PQ quantization
+    * error puts the target out of reach), and serves the probe at the
+    * chosen setting, choice carried on every row. The oracle replays
+    * measurement, choice, AND the served probe — so the hash gates the
+    * decision rule itself, not just the probe math. Target $NprobeTarget
+    * sits between the sf0.001 ceiling (0.30 → fallback branch, pinned
+    * by AnnSpec) and the sf0.01 knee (np=2 at 0.333 → first-satisfying
+    * branch, gated here).
+    */
+  val NprobeTarget = 0.32
+
+  def q263NprobeAuto(s: SparkSession, dir: String): DataFrame = {
+    val idx = prepareIvfPq(s, dir)
+    Ann.ivfPqProbeAuto(querySubset(s, dir), querySubset(s, dir),
+        emb(s, dir), idx, PqTopK, NprobeTarget, NprobeSweep)
+      .select(col("nprobe"), col("qid"), col("nid"), col("adc_micro"),
+        col("rk"))
+      .orderBy(col("qid"), col("rk"))
+  }
+
+  def q263Sql(sfDir: String): String =
+    s"""${ivfPqSweepCtesSql(ivfPqIndexPath(sfDir))},
+       |recalls AS (
+       |  SELECT n.np,
+       |         coalesce(h.n_hits, 0) / nullif(CAST(t.n AS DOUBLE), 0) AS rec
+       |  FROM nps n LEFT JOIN hits h ON h.np = n.np CROSS JOIN tot t),
+       |chosen AS (
+       |  SELECT coalesce(
+       |    (SELECT min(np) FROM recalls WHERE rec >= $NprobeTarget),
+       |    (SELECT max(np) FROM recalls)) AS np)
+       |SELECT CAST(c.np AS BIGINT) AS nprobe, a.qid, a.nid,
+       |       CAST(a.adc_micro AS BIGINT) AS adc_micro,
+       |       CAST(a.rk AS BIGINT) AS rk
+       |FROM approx a JOIN chosen c ON a.np = c.np
+       |ORDER BY a.qid, a.rk""".stripMargin
 
   // --------------------------------------------------------------- q260
   /** Label-noise audit by kNN vote (confident-learning-lite — the
@@ -1631,6 +1676,7 @@ object AnnQueries {
     "q259_pq_drift_audit" -> (q259PqDriftAudit _),
     "q260_label_noise_audit" -> (q260LabelNoiseAudit _),
     "q262_label_noise_blocked" -> (q262LabelNoiseBlocked _),
+    "q263_nprobe_auto" -> (q263NprobeAuto _),
     "q247_filtered_ann" -> (q247FilteredAnn _),
     "q249_ivfpq_rerank" -> (q249IvfPqRerank _),
     "q250_multiprobe_lsh" -> (q250MultiProbeLsh _),
@@ -1662,6 +1708,7 @@ object AnnQueries {
     "q259_pq_drift_audit" -> q259Sql(sfDir),
     "q260_label_noise_audit" -> q260Sql,
     "q262_label_noise_blocked" -> q262Sql,
+    "q263_nprobe_auto" -> q263Sql(sfDir),
     "q247_filtered_ann" -> q247Sql,
     "q249_ivfpq_rerank" -> q249Sql(sfDir),
     "q250_multiprobe_lsh" -> q250Sql,
