@@ -1045,17 +1045,33 @@ object Ann {
     * (or file count) crosses the deployment's threshold, like any
     * LSM-ish maintenance job.
     */
+  /** In-place lifecycle rewrites would `mode(overwrite)` the
+    * assignments while the job is still READING them — destroying the
+    * source lists mid-run. Every lifecycle rewrite (compact, retrain)
+    * writes a fresh generation; the caller swaps pointers (or deletes
+    * the old dir) after the write commits. Paths are compared
+    * HADOOP-qualified against the session's filesystems (not
+    * java.io.File canonicalization, which resolves remote URIs like
+    * hdfs:// or s3a:// against the LOCAL cwd — a scheme-qualified vs
+    * unqualified alias of the same remote dir would evade a
+    * File-based check).
+    */
+  private[ann] def requireNewGeneration(indexDir: String, outDir: String,
+      caller: String, spark: SparkSession): Unit = {
+    def qualified(p: String) = {
+      val path = new org.apache.hadoop.fs.Path(p)
+      val fs = path.getFileSystem(spark.sessionState.newHadoopConf())
+      path.makeQualified(fs.getUri, fs.getWorkingDirectory)
+    }
+    require(qualified(outDir) != qualified(indexDir),
+      s"$caller: outDir must differ from indexDir ($indexDir) — " +
+        "a lifecycle rewrite is a new index generation, not in-place")
+  }
+
   def ivfPqCompact(indexDir: String, outDir: String,
       tombstones: DataFrame): Unit = {
-    // in-place compaction would mode(overwrite) the assignments while
-    // the rewrite is still READING them — destroying the source lists
-    // mid-job. Compaction writes a fresh generation; the caller swaps
-    // pointers (or deletes the old dir) after the write commits.
-    require(new java.io.File(outDir).getCanonicalPath !=
-        new java.io.File(indexDir).getCanonicalPath,
-      s"ivfPqCompact: outDir must differ from indexDir ($indexDir) — " +
-        "compaction is a new index generation, not an in-place rewrite")
     val spark = tombstones.sparkSession
+    requireNewGeneration(indexDir, outDir, "ivfPqCompact", spark)
     spark.read.parquet(s"$indexDir/assignments")
       .join(graft.operators.BoundedBroadcast.boundedBroadcast(
           tombstones.select(col("vec_id")).localCheckpoint(),
@@ -1068,6 +1084,52 @@ object Ann {
       .write.mode("overwrite").parquet(s"$outDir/centroids")
     spark.read.parquet(s"$indexDir/codebooks")
       .write.mode("overwrite").parquet(s"$outDir/codebooks")
+  }
+
+  /** Pure retrain trigger — the decision the q259 drift audit's signal
+    * feeds (the chooseNprobe/chooseArgmaxStrategy discipline: the
+    * lifecycle decision is a unit-testable pure function fed by a
+    * MEASURED number, not an ops judgment call): retrain when the
+    * appended slice's mean reconstruction error exceeds
+    * `maxDriftRatio` × the base slice's — i.e. when vectors encoded
+    * under quantizers that were never fit on them have drifted past
+    * the deployment's tolerance. A degenerate zero-error base (the
+    * corpus IS the codebook) retrains on ANY appended error.
+    */
+  def chooseRetrain(baseMeanErr: Double, sliceMeanErr: Double,
+      maxDriftRatio: Double): Boolean =
+    if (baseMeanErr <= 0.0) sliceMeanErr > 0.0
+    else sliceMeanErr > maxDriftRatio * baseMeanErr
+
+  /** Re-TRAIN — the fourth verb of the index lifecycle (add =
+    * [[ivfPqAppend]], delete = [[ivfPqProbe]]'s tombstone view,
+    * compact = [[ivfPqCompact]], refresh = this) and the ACTUATOR the
+    * q259 drift audit was missing: fresh coarse centroids and residual
+    * codebooks fit on the CURRENT live corpus (`vectors` minus
+    * tombstones — the index is derived state; the lake's vectors are
+    * the source of truth), every live vector re-encoded. Writes a new
+    * generation in `outDir` (same new-generation rule and guard as
+    * compact); the caller swaps pointers after the write commits and
+    * truncates the tombstone set. Appended vectors encoded under
+    * quantizers that never saw them recover their reconstruction
+    * quality — the AnnSpec law pins the appended-slice error drop.
+    * Cost is one [[ivfPqBuild]] (m sub-space k-means fits + one corpus
+    * shuffle) — the full-refresh price, paid when [[chooseRetrain]]'s
+    * measured trigger says the drift warrants it, never on a schedule.
+    */
+  def ivfPqRetrain(vectors: DataFrame, indexDir: String, outDir: String,
+      kClusters: Int, m: Int, kCodes: Int,
+      tombstones: Option[DataFrame] = None, seed: Long = 42L): Unit = {
+    requireNewGeneration(indexDir, outDir, "ivfPqRetrain",
+      vectors.sparkSession)
+    val live = tombstones.map { t =>
+      vectors.join(
+        graft.operators.BoundedBroadcast.boundedBroadcast(
+          t.select(col("vec_id")).localCheckpoint(),
+          "graft.ann.maxTombstones", 10000000L),
+        Seq("vec_id"), "left_anti")
+    }.getOrElse(vectors)
+    ivfPqBuild(live, outDir, kClusters, m, kCodes, seed)
   }
 
   // -------------------------------------------------------- TopKAgg

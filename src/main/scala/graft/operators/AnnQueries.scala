@@ -1220,8 +1220,15 @@ object AnnQueries {
     * corpus-scale shuffles except the vec-keyed join that a bucketed
     * layout co-locates.
     */
-  def q259PqDriftAudit(s: SparkSession, dir: String): DataFrame = {
-    val idx = prepareIvfPqAppend(s, dir)
+  def q259PqDriftAudit(s: SparkSession, dir: String): DataFrame =
+    pqReconstructionAudit(s, dir, prepareIvfPqAppend(s, dir))
+
+  /** q259's per-slice reconstruction-error audit over ANY index at
+    * `idx` — factored so the drift SIGNAL (q259, over the frozen
+    * appended index) and the retrain VERDICT (q264, re-measuring the
+    * retrained generation) ride the same measurement code. */
+  private def pqReconstructionAudit(s: SparkSession, dir: String,
+      idx: String): DataFrame = {
     graft.functions.VectorFunctions.register(s)
     val asg = s.read.parquet(s"$idx/assignments")
     val cent = s.read.parquet(s"$idx/centroids")
@@ -1266,8 +1273,14 @@ object AnnQueries {
       .orderBy(col("slice"))
   }
 
-  def q259Sql(sfDir: String): String = {
-    val idx = ivfPqAppendIndexPath(sfDir)
+  def q259Sql(sfDir: String): String =
+    s"""${pqErrAuditSql(ivfPqAppendIndexPath(sfDir))} ORDER BY slice"""
+
+  /** The q259 reconstruction-error audit SQL over ANY index at `idx`
+    * (no trailing ORDER BY — embeddable as a subquery), mirroring the
+    * engine-side `pqReconstructionAudit` sharing between q259 and
+    * q264. */
+  private def pqErrAuditSql(idx: String): String = {
     val m = PqM
     val sw = Dim / m
     s"""WITH cent AS (
@@ -1305,8 +1318,70 @@ object AnnQueries {
        |       round(sum(err_micro) / (count(*) * 1e6), 6) AS mean_err,
        |       CAST(max(err_micro) AS BIGINT) AS max_err_micro
        |FROM per_vec
-       |GROUP BY 1 ORDER BY slice""".stripMargin
+       |GROUP BY 1""".stripMargin
   }
+
+  // --------------------------------------------------------------- q264
+  /** Measured drift → retrain decision → re-measured recovery — the
+    * round-8/9 verdict's task #2 (the missing ACTUATOR) made gated
+    * code: the q259 audit measures the frozen appended index's
+    * per-slice reconstruction error, the pure [[Ann.chooseRetrain]]
+    * rule decides (appended mean error > $RetrainDriftRatio× base —
+    * fed by the measured number, not an ops judgment), and when it
+    * fires, [[Ann.ivfPqRetrain]] writes a new generation whose
+    * quantizers were fit on the CURRENT corpus; the SAME audit then
+    * re-measures it. The oracle replays both audits over the
+    * materialized artifact generations AND the decision rule in SQL —
+    * so the hash gates signal, decision, and recovery together. On a
+    * skip decision the output carries only the frozen phase (and the
+    * oracle's conditional branch matches, because both sides decide
+    * from the same round-6 mean_err).
+    */
+  val RetrainDriftRatio = 1.2
+
+  private def ivfPqRetrainedPath(sfDir: String): String =
+    new java.io.File(
+      s"target/ivfpq-retrained/${PathTag.tagFor(sfDir)}").getAbsolutePath
+
+  def q264IvfPqRetrain(s: SparkSession, dir: String): DataFrame = {
+    val idx = prepareIvfPqAppend(s, dir)
+    val frozen = pqReconstructionAudit(s, dir, idx)
+      .localCheckpoint()
+    val errs = frozen.collect()
+      .map(r => r.getString(0) -> r.getDouble(2)).toMap
+    val fire = Ann.chooseRetrain(errs.getOrElse("base", 0.0),
+      errs.getOrElse("appended", 0.0), RetrainDriftRatio)
+    val out =
+      if (fire) {
+        val rIdx = ivfPqRetrainedPath(dir)
+        Ann.ivfPqRetrain(emb(s, dir), idx, rIdx, IvfPqClusters, PqM, PqCodes)
+        frozen.withColumn("phase", lit("frozen"))
+          .unionByName(pqReconstructionAudit(s, dir, rIdx)
+            .withColumn("phase", lit("retrained")))
+      } else frozen.withColumn("phase", lit("frozen"))
+    out.select(col("phase"), col("slice"), col("n"), col("mean_err"),
+        col("max_err_micro"))
+      .orderBy(col("phase"), col("slice"))
+  }
+
+  def q264Sql(sfDir: String): String =
+    s"""WITH frozen AS (SELECT * FROM (${pqErrAuditSql(ivfPqAppendIndexPath(sfDir))}) t),
+       |dec AS (
+       |  SELECT CASE WHEN coalesce((SELECT mean_err FROM frozen
+       |                             WHERE slice = 'base'), 0) <= 0
+       |              THEN coalesce((SELECT mean_err FROM frozen
+       |                             WHERE slice = 'appended'), 0) > 0
+       |              ELSE coalesce((SELECT mean_err FROM frozen
+       |                             WHERE slice = 'appended'), 0) >
+       |                   $RetrainDriftRatio * (SELECT mean_err FROM frozen
+       |                                         WHERE slice = 'base')
+       |         END AS fire)
+       |SELECT 'frozen' AS phase, f.* FROM frozen f
+       |UNION ALL
+       |SELECT 'retrained' AS phase, r.*
+       |FROM (SELECT * FROM (${pqErrAuditSql(ivfPqRetrainedPath(sfDir))}) t) r
+       |WHERE (SELECT fire FROM dec)
+       |ORDER BY phase, slice""".stripMargin
 
   // --------------------------------------------------------------- q252
   /** IVF-PQ nprobe recall curve — q243's measured-dial discipline
@@ -1677,6 +1752,7 @@ object AnnQueries {
     "q260_label_noise_audit" -> (q260LabelNoiseAudit _),
     "q262_label_noise_blocked" -> (q262LabelNoiseBlocked _),
     "q263_nprobe_auto" -> (q263NprobeAuto _),
+    "q264_ivfpq_retrain" -> (q264IvfPqRetrain _),
     "q247_filtered_ann" -> (q247FilteredAnn _),
     "q249_ivfpq_rerank" -> (q249IvfPqRerank _),
     "q250_multiprobe_lsh" -> (q250MultiProbeLsh _),
@@ -1709,6 +1785,7 @@ object AnnQueries {
     "q260_label_noise_audit" -> q260Sql,
     "q262_label_noise_blocked" -> q262Sql,
     "q263_nprobe_auto" -> q263Sql(sfDir),
+    "q264_ivfpq_retrain" -> q264Sql(sfDir),
     "q247_filtered_ann" -> q247Sql,
     "q249_ivfpq_rerank" -> q249Sql(sfDir),
     "q250_multiprobe_lsh" -> q250Sql,

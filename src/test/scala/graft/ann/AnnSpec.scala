@@ -749,4 +749,61 @@ class AnnSpec extends SparkTestBase {
       r.getLong(2), r.getLong(3))).toSet
     assert(got === solo)
   }
+
+  test("chooseRetrain pure rule: ratio trigger, boundary, zero-error base") {
+    // fires strictly past the ratio, not at it
+    assert(Ann.chooseRetrain(0.5, 0.61, 1.2))
+    assert(!Ann.chooseRetrain(0.5, 0.60, 1.2))
+    assert(!Ann.chooseRetrain(0.5, 0.4, 1.2))
+    // degenerate zero-error base: ANY appended error is infinite drift
+    assert(Ann.chooseRetrain(0.0, 1e-9, 1.2))
+    assert(!Ann.chooseRetrain(0.0, 0.0, 1.2))
+  }
+
+  test("q264 retrain: decision replays the rule; retrained appended error recovers") {
+    import graft.operators.AnnQueries
+    val frozen = AnnQueries.q259PqDriftAudit(spark, sf0001).collect()
+      .map(r => r.getString(0) -> r.getDouble(2)).toMap
+    val fire = Ann.chooseRetrain(frozen("base"), frozen("appended"),
+      AnnQueries.RetrainDriftRatio)
+    val rows = AnnQueries.q264IvfPqRetrain(spark, sf0001).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getDouble(3)))
+    val phases = rows.map(_._1).distinct.sorted
+    if (fire) {
+      assert(phases === Seq("frozen", "retrained"))
+      val get = (p: String, sl: String) =>
+        rows.find(t => t._1 == p && t._2 == sl).get._3
+      // the reason retrain exists: quantizers fit on the CURRENT
+      // corpus recover the appended slice's reconstruction quality
+      assert(get("retrained", "appended") < get("frozen", "appended"),
+        s"retrain did not reduce appended-slice error: " +
+          s"${get("frozen", "appended")} -> ${get("retrained", "appended")}")
+      // and the frozen phase rows ARE the q259 audit (shared code)
+      assert(get("frozen", "appended") === frozen("appended"))
+      assert(get("frozen", "base") === frozen("base"))
+    } else assert(phases === Seq("frozen"))
+  }
+
+  test("lifecycle rewrites refuse in-place generations, scheme aliases included") {
+    import graft.operators.AnnQueries
+    val idx = AnnQueries.prepareIvfPqAppend(spark, sf0001)
+    val ts = graft.Tables.embeddings(spark, sf0001)
+      .select($"vec_id").limit(1)
+    intercept[IllegalArgumentException] {
+      Ann.ivfPqCompact(idx, idx, ts)
+    }
+    // the ADVICE case: a file:-qualified alias of the same local dir
+    // must not evade the guard (File canonicalization is not the
+    // comparator any more — Hadoop-qualified paths are)
+    intercept[IllegalArgumentException] {
+      Ann.ivfPqCompact(idx, s"file:$idx", ts)
+    }
+    intercept[IllegalArgumentException] {
+      Ann.ivfPqRetrain(graft.Tables.embeddings(spark, sf0001), idx, idx,
+        4, 8, 16)
+    }
+    // distinct dirs pass the guard (reaches the build's own require
+    // on the empty-tombstone frame, not the generation guard)
+    Ann.requireNewGeneration(idx, s"$idx-next", "spec", spark)
+  }
 }
