@@ -1086,6 +1086,86 @@ object Ann {
       .write.mode("overwrite").parquet(s"$outDir/codebooks")
   }
 
+  /** Per-cluster compaction STATS — the measured inputs of the
+    * compact/skip decision ([[chooseCompact]]): for every inverted
+    * list, its row count, its live count under the current tombstone
+    * set (one broadcast left-outer against the capacity-gated
+    * tombstone table — the same gate as the probe's anti-join), its
+    * live fraction, and its physical file count (append accumulation —
+    * each [[ivfPqAppend]] adds files to the touched clusters'
+    * directories). One column-pruned pass over (vec_id, cluster) of
+    * the lists; no codes read, no embeddings anywhere. This is the
+    * LSM-style maintenance bookkeeping a 100 TB index consults before
+    * paying a rewrite.
+    */
+  def ivfPqCompactionStats(indexDir: String,
+      tombstones: DataFrame): DataFrame = {
+    val spark = tombstones.sparkSession
+    val asg = spark.read.parquet(s"$indexDir/assignments")
+      .select(col("vec_id"), col("cluster"),
+        input_file_name().as("__file"))
+    val dead = graft.operators.BoundedBroadcast.boundedBroadcast(
+      tombstones.select(col("vec_id"), lit(true).as("__dead"))
+        .localCheckpoint(),
+      "graft.ann.maxTombstones", 10000000L)
+    asg.join(dead, Seq("vec_id"), "left_outer")
+      .groupBy(col("cluster"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(when(col("__dead").isNull, 1L).otherwise(0L)).as("n_live"),
+        countDistinct(col("__file")).as("file_count"))
+      .select(col("cluster"), col("n_rows"), col("n_live"),
+        round(col("n_live") / col("n_rows").cast("double"), 6)
+          .as("live_fraction"),
+        col("file_count"))
+  }
+
+  /** Pure per-cluster compact/skip rule — the lifecycle decision as a
+    * unit-testable function of MEASURED stats (the chooseRetrain /
+    * chooseNprobe discipline): rewrite a list when its live fraction
+    * has sunk below `minLiveFraction` (probes are paying the
+    * anti-join over mostly-dead rows) OR its file count has grown
+    * past `maxFiles` (append accumulation — small-file scan overhead).
+    * Either trigger alone warrants the rewrite; a live, single-file
+    * list is never touched.
+    */
+  def chooseCompact(liveFraction: Double, fileCount: Long,
+      minLiveFraction: Double, maxFiles: Long): Boolean =
+    liveFraction < minLiveFraction || fileCount > maxFiles
+
+  /** SELECTIVE compaction — [[ivfPqCompact]] restricted to the
+    * clusters the policy chose: chosen lists are rewritten with
+    * tombstoned rows physically dropped (and small files merged);
+    * unchosen lists carry their rows — including their tombstoned
+    * ones — into the new generation, still masked at probe time by
+    * the tombstone anti-join. The equivalence law (AnnSpec): probing
+    * the selective generation WITH the tombstone set ≡ probing the
+    * source index with it, for ANY chosen subset — the policy tunes
+    * COST, never results. At lake scale the carried clusters move by
+    * partition-pointer (manifest) rather than rewrite; the union
+    * write here keeps the same testable semantics with the machinery
+    * this container has.
+    */
+  def ivfPqCompactSelective(indexDir: String, outDir: String,
+      tombstones: DataFrame, clusters: Seq[Int]): Unit = {
+    val spark = tombstones.sparkSession
+    requireNewGeneration(indexDir, outDir, "ivfPqCompactSelective", spark)
+    val asg = spark.read.parquet(s"$indexDir/assignments")
+    val dead = graft.operators.BoundedBroadcast.boundedBroadcast(
+      tombstones.select(col("vec_id")).localCheckpoint(),
+      "graft.ann.maxTombstones", 10000000L)
+    val chosen = asg.filter(col("cluster").isInCollection(clusters))
+      .join(dead, Seq("vec_id"), "left_anti")
+    val carried = asg.filter(!col("cluster").isInCollection(clusters))
+    chosen.unionByName(carried)
+      .repartition(col("cluster"))
+      .write.mode("overwrite").partitionBy("cluster")
+      .parquet(s"$outDir/assignments")
+    spark.read.parquet(s"$indexDir/centroids")
+      .write.mode("overwrite").parquet(s"$outDir/centroids")
+    spark.read.parquet(s"$indexDir/codebooks")
+      .write.mode("overwrite").parquet(s"$outDir/codebooks")
+  }
+
   /** Pure retrain trigger — the decision the q259 drift audit's signal
     * feeds (the chooseNprobe/chooseArgmaxStrategy discipline: the
     * lifecycle decision is a unit-testable pure function fed by a

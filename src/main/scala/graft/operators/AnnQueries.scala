@@ -1321,6 +1321,60 @@ object AnnQueries {
        |GROUP BY 1""".stripMargin
   }
 
+  // --------------------------------------------------------------- q265
+  /** Compaction POLICY — the round-8/9 verdict's task #3 made gated
+    * code: the per-cluster decision table a 100 TB index maintains
+    * ((cluster, live_fraction, file_count) → compact/skip), produced
+    * by [[Ann.ivfPqCompactionStats]] over the appended index under
+    * q254's tombstone set and decided by the pure
+    * [[Ann.chooseCompact]] rule. q258 compacts on demand; THIS is
+    * what tells it which lists are worth the rewrite — the LSM
+    * maintenance loop's brain. The oracle recomputes row/live/file
+    * counts straight off the parquet artifacts (DuckDB `filename=1`
+    * mirrors the engine's `input_file_name`) and replays the rule, so
+    * the hash gates measurement and decision. The actuator
+    * ([[Ann.ivfPqCompactSelective]]) is pinned by AnnSpec's
+    * result-equivalence law: any chosen subset probes identically
+    * under the tombstone set — the policy tunes cost, never results.
+    */
+  val CompactMinLive = 0.95
+  val CompactMaxFiles = 1L
+
+  def q265CompactionPolicy(s: SparkSession, dir: String): DataFrame = {
+    val idx = prepareIvfPqAppend(s, dir)
+    Ann.ivfPqCompactionStats(idx, ivfPqTombstones(s, dir))
+      .withColumn("compact",
+        col("live_fraction") < CompactMinLive ||
+          col("file_count") > CompactMaxFiles)
+      .select(col("cluster").cast("int").as("cluster"), col("n_rows"),
+        col("n_live"), col("live_fraction"), col("file_count"),
+        col("compact"))
+      .orderBy(col("cluster"))
+  }
+
+  def q265Sql(sfDir: String): String = {
+    val idx = ivfPqAppendIndexPath(sfDir)
+    s"""WITH asg AS (
+       |  SELECT vec_id, CAST(cluster AS INTEGER) AS cluster, filename AS f
+       |  FROM read_parquet('$idx/assignments/*/*.parquet',
+       |                    hive_partitioning=1, filename=1)),
+       |stats AS (
+       |  SELECT cluster,
+       |         CAST(count(*) AS BIGINT) AS n_rows,
+       |         CAST(sum(CASE WHEN NOT (vec_id % $IvfPqAppendMod = 3 AND
+       |                  (vec_id // $IvfPqAppendMod) % $IvfPqDeleteEvery = 0)
+       |                  THEN 1 ELSE 0 END) AS BIGINT) AS n_live,
+       |         CAST(count(DISTINCT f) AS BIGINT) AS file_count
+       |  FROM asg GROUP BY cluster)
+       |SELECT cluster, n_rows, n_live,
+       |       round(n_live / CAST(n_rows AS DOUBLE), 6) AS live_fraction,
+       |       file_count,
+       |       (round(n_live / CAST(n_rows AS DOUBLE), 6) < $CompactMinLive
+       |        OR file_count > $CompactMaxFiles) AS compact
+       |FROM stats
+       |ORDER BY cluster""".stripMargin
+  }
+
   // --------------------------------------------------------------- q264
   /** Measured drift → retrain decision → re-measured recovery — the
     * round-8/9 verdict's task #2 (the missing ACTUATOR) made gated
@@ -1753,6 +1807,7 @@ object AnnQueries {
     "q262_label_noise_blocked" -> (q262LabelNoiseBlocked _),
     "q263_nprobe_auto" -> (q263NprobeAuto _),
     "q264_ivfpq_retrain" -> (q264IvfPqRetrain _),
+    "q265_compaction_policy" -> (q265CompactionPolicy _),
     "q247_filtered_ann" -> (q247FilteredAnn _),
     "q249_ivfpq_rerank" -> (q249IvfPqRerank _),
     "q250_multiprobe_lsh" -> (q250MultiProbeLsh _),
@@ -1786,6 +1841,7 @@ object AnnQueries {
     "q262_label_noise_blocked" -> q262Sql,
     "q263_nprobe_auto" -> q263Sql(sfDir),
     "q264_ivfpq_retrain" -> q264Sql(sfDir),
+    "q265_compaction_policy" -> q265Sql(sfDir),
     "q247_filtered_ann" -> q247Sql,
     "q249_ivfpq_rerank" -> q249Sql(sfDir),
     "q250_multiprobe_lsh" -> q250Sql,

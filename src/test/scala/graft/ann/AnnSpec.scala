@@ -806,4 +806,70 @@ class AnnSpec extends SparkTestBase {
     // on the empty-tombstone frame, not the generation guard)
     Ann.requireNewGeneration(idx, s"$idx-next", "spec", spark)
   }
+
+  test("chooseCompact pure rule: either measured trigger fires; a clean list never rewrites") {
+    assert(Ann.chooseCompact(0.5, 1L, 0.95, 1L))   // dead-heavy
+    assert(Ann.chooseCompact(1.0, 5L, 0.95, 1L))   // file-fragmented
+    assert(Ann.chooseCompact(0.5, 5L, 0.95, 1L))   // both
+    assert(!Ann.chooseCompact(1.0, 1L, 0.95, 1L))  // live single-file
+    // boundaries: live fraction AT the floor skips; file count AT the
+    // cap skips (strict comparisons — the thresholds are tolerances)
+    assert(!Ann.chooseCompact(0.95, 1L, 0.95, 1L))
+    assert(!Ann.chooseCompact(1.0, 2L, 0.95, 2L))
+  }
+
+  test("q265 policy: stats account for every row; decision column replays the rule") {
+    import graft.operators.AnnQueries
+    val rows = AnnQueries.q265CompactionPolicy(spark, sf0001).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getDouble(3),
+        r.getLong(4), r.getBoolean(5)))
+    assert(rows.nonEmpty)
+    val idx = AnnQueries.prepareIvfPqAppend(spark, sf0001)
+    val total = spark.read.parquet(s"$idx/assignments").count()
+    assert(rows.map(_._2).sum === total, "stats must cover every list row")
+    rows.foreach { case (c, n, live, frac, files, dec) =>
+      assert(live <= n && files >= 1L, s"cluster $c stats malformed")
+      assert(dec === Ann.chooseCompact(frac, files,
+        AnnQueries.CompactMinLive, AnnQueries.CompactMaxFiles),
+        s"cluster $c decision diverges from the pure rule")
+    }
+  }
+
+  test("selective compaction: any chosen subset probes identically under tombstones") {
+    import graft.operators.AnnQueries
+    val idx = AnnQueries.prepareIvfPqAppend(spark, sf0001)
+    val ts = AnnQueries.ivfPqTombstones(spark, sf0001)
+    // the subset the policy actually chooses on this fixture
+    val chosen = AnnQueries.q265CompactionPolicy(spark, sf0001).collect()
+      .filter(_.getBoolean(5)).map(_.getInt(0)).toSeq
+    assert(chosen.nonEmpty && chosen.size < AnnQueries.IvfPqClusters,
+      s"fixture should yield a MIXED decision table, got $chosen")
+    val out = new java.io.File(
+      "target/ivfpq-selective-spec").getAbsolutePath
+    Ann.ivfPqCompactSelective(idx, out, ts, chosen)
+    val queries = graft.Tables.embeddings(spark, sf0001)
+      .filter($"vec_id" % 50 === 0)
+    def probe(dir: String) =
+      Ann.ivfPqProbe(queries, dir, k = 3, nprobe = 4,
+          tombstones = Some(ts)).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+        .toSet
+    // the equivalence law: the policy tunes COST, never results
+    assert(probe(out) === probe(idx))
+    // chosen lists are physically clean; carried lists still hold
+    // their tombstoned rows (masked by the probe's anti-join)
+    val dead = ts.collect().map(_.getLong(0)).toSet
+    val outRows = spark.read.parquet(s"$out/assignments")
+      .select($"vec_id", $"cluster".cast("int")).collect()
+      .map(r => (r.getLong(0), r.getInt(1)))
+    val chosenSet = chosen.toSet
+    assert(!outRows.exists(t => chosenSet(t._2) && dead(t._1)),
+      "a tombstoned row survived in a compacted list")
+    val carriedDead = outRows.count(t => !chosenSet(t._2) && dead(t._1))
+    val sourceCarriedDead = spark.read.parquet(s"$idx/assignments")
+      .select($"vec_id", $"cluster".cast("int")).collect()
+      .count(t => !chosenSet(t.getInt(1)) && dead(t.getLong(0)))
+    assert(carriedDead === sourceCarriedDead,
+      "carried lists must move unchanged (their dead rows included)")
+  }
 }
