@@ -1,0 +1,193 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.text.UnigramLm
+
+/** Unigram-LM tokenizer-trainer queries ([[graft.text.UnigramLm]] —
+  * the SentencePiece counterpart of q115's BPE trainer), DuckDB-
+  * oracled end to end: the oracle replays seeding, micro-quantized
+  * scoring, the Viterbi DP (set-based recursive CTEs replaying the
+  * engine's `aggregate` folds with identical integer tie-breaks — see
+  * the roundCtes comment for why not list_reduce), hard-EM recounts,
+  * and the final vocabulary ranking — so the hash gates the whole
+  * training loop, not a summary of it.
+  */
+object UnigramQueries {
+
+  private val P = UnigramLm.MaxPieceLen
+  private val R = UnigramLm.EmRounds
+
+  // ------------------------------------------------------------ q266
+  /** The trained vocabulary — the model artifact (q115's merge-list
+    * counterpart): top [[UnigramLm.VocabSize]] pieces by final-round
+    * Viterbi usage (count desc, piece asc), with the served smoothed
+    * score. The ranking window is over the model's USED pieces —
+    * vocabulary-sized, the q126 class.
+    */
+  def q266UnigramVocab(s: SparkSession, dir: String): DataFrame = {
+    val m = UnigramLm.train(s, dir)
+    m.counts.join(m.scores, Seq("piece"))
+      .select(col("piece"), length(col("piece")).cast("long").as("piece_len"),
+        col("cnt"), col("s").as("score_micro"))
+      .withColumn("rk", row_number()
+        .over(Window.orderBy(col("cnt").desc, col("piece").asc)).cast("long"))
+      .filter(col("rk") <= UnigramLm.VocabSize)
+      .orderBy(col("rk"))
+  }
+
+  // ------------------------------------------------------------ q267
+  /** Per-word Viterbi segmentation under the final round's scores —
+    * the E-step gated directly: the md5 over the -joined piece
+    * sequence makes a single wrong DP tie-break or off-by-one
+    * substring hash-visible (the q114 merged_hash discipline).
+    */
+  def q267UnigramSegment(s: SparkSession, dir: String): DataFrame = {
+    val m = UnigramLm.train(s, dir)
+    m.seg.select(col("word"), col("n"), col("n_pieces"), col("score_micro"),
+        md5(concat_ws("", col("pieces")).cast("binary")).as("seg_hash"))
+      .orderBy(col("word"))
+  }
+
+  // --------------------------------------------------------- oracle
+  // shared prefix: word counts + seed + initial scores. `lists` is the
+  // module-shared tokenizer CTE (TextStatsQueries.listsCte's contract,
+  // restated here to keep this module self-contained — same regex).
+  private val prefixCtes: String =
+    s"""lists AS (
+       |  SELECT doc_id,
+       |         list_filter(string_split(trim(regexp_replace(lower(text), '(\\d|\\W)+', ' ', 'g')), ' '), x -> x <> '') AS toks
+       |  FROM documents),
+       |wc AS (
+       |  SELECT word, CAST(count(*) AS BIGINT) AS n
+       |  FROM (SELECT unnest(toks) AS word FROM lists) t GROUP BY word),
+       |spans AS (
+       |  SELECT word, n, c.j AS j, c.l AS l,
+       |         substr(word, (c.j - c.l + 1)::INTEGER, (c.l)::INTEGER) AS piece
+       |  FROM (SELECT word, n,
+       |          unnest(flatten(list_transform(range(1, length(word) + 1),
+       |            j -> list_transform(range(1, least($P, j) + 1),
+       |                 l -> {'j': j, 'l': l})))) AS c
+       |        FROM wc)),
+       |seedall AS (
+       |  SELECT piece, CAST(sum(n) AS BIGINT) AS cnt FROM spans GROUP BY piece),
+       |seed AS (
+       |  SELECT piece, cnt FROM seedall WHERE length(piece) = 1
+       |  UNION ALL
+       |  SELECT piece, cnt FROM (
+       |    SELECT piece, cnt,
+       |           row_number() OVER (ORDER BY cnt DESC, piece ASC) AS srk
+       |    FROM seedall WHERE length(piece) > 1 AND cnt >= ${UnigramLm.MinSeedCount})
+       |  WHERE srk <= ${UnigramLm.MaxSeedPieces}),
+       |sc0 AS (
+       |  SELECT piece, CAST(round(1e6 * ln(CAST(cnt AS DOUBLE) /
+       |           (SELECT CAST(sum(cnt) AS DOUBLE) FROM seed)), 0) AS BIGINT) AS s
+       |  FROM seed)""".stripMargin
+
+  // one EM round: candidates under sc{i-1} -> DP -> path -> counts ->
+  // smoothed -> sc{i}. The DP and the backtrack are RECURSIVE CTEs —
+  // deliberately lambda-free: DuckDB 1.0's list_reduce corrupts
+  // column references captured inside multi-row lambda folds (verified
+  // on this corpus: pieces reconstructed from OTHER rows' words), so
+  // the oracle replays the engine's `aggregate` folds with set-based
+  // recursion instead. Each DP step packs its (negscore, n_pieces,
+  // 4 - piece_len) candidate rank into one BIGINT (the rankAdcTopK
+  // packed-ord trick; valid for words under 2^14 chars and
+  // |score| < 2^26 micro — both far past any tokenized word) so the
+  // argmin is a scalar least() and the winner decodes arithmetically,
+  // reproducing UnigramLm.viterbiSegment's (ns asc, np asc, nl asc)
+  // struct sort exactly.
+  private def roundCtes(i: Int): String = {
+    val sc = if (i == 1) "sc0" else s"sc${i - 1}"
+    val sentinel = "4611686018427387904"
+    val cell = (l: Int) => {
+      val dpIdx = s"d.dp[d.j + ${2 - l}]"
+      s"CASE WHEN c.s$l IS NOT NULL THEN ($dpIdx.ns - c.s$l) * 131072 + ($dpIdx.np + 1) * 8 + ${4 - l} ELSE $sentinel END"
+    }
+    s"""candp$i AS (
+       |  SELECT sp.word, sp.j,
+       |         max(CASE WHEN sp.l = 1 THEN sc.s END) AS s1,
+       |         max(CASE WHEN sp.l = 2 THEN sc.s END) AS s2,
+       |         max(CASE WHEN sp.l = 3 THEN sc.s END) AS s3,
+       |         max(CASE WHEN sp.l = 4 THEN sc.s END) AS s4
+       |  FROM spans sp JOIN $sc sc USING (piece) GROUP BY sp.word, sp.j),
+       |dpr$i AS (
+       |  SELECT word, 0 AS j,
+       |         [{'ns': 0::BIGINT, 'np': 0::BIGINT, 'nl': 0::BIGINT}] AS dp
+       |  FROM wc
+       |  UNION ALL
+       |  SELECT d.word, d.j + 1,
+       |    list_append(d.dp, {
+       |      'ns': kmin // 131072,
+       |      'np': (kmin // 8) % 16384,
+       |      'nl': (kmin % 8) - 4})
+       |  FROM (
+       |    SELECT d.word, d.j, d.dp, least(
+       |      ${cell(1)},
+       |      ${cell(2)},
+       |      ${cell(3)},
+       |      ${cell(4)}) AS kmin
+       |    FROM dpr$i d JOIN candp$i c ON c.word = d.word AND c.j = d.j + 1
+       |    WHERE d.j < length(d.word)) d),
+       |dpf$i AS (
+       |  SELECT w.word, w.n, d.dp
+       |  FROM wc w JOIN dpr$i d ON d.word = w.word AND d.j = length(w.word)),
+       |walk$i AS (
+       |  SELECT word, CAST(length(word) AS INTEGER) AS pos,
+       |         CAST(NULL AS VARCHAR) AS piece, dp
+       |  FROM dpf$i
+       |  UNION ALL
+       |  SELECT word, (pos + dp[pos + 1].nl)::INTEGER,
+       |         substr(word, (pos + dp[pos + 1].nl + 1)::INTEGER,
+       |                (-dp[pos + 1].nl)::INTEGER), dp
+       |  FROM walk$i WHERE pos > 0),
+       |seg$i AS (
+       |  SELECT f.word, f.n, f.dp, p.pieces
+       |  FROM dpf$i f JOIN (
+       |    SELECT word, list(piece ORDER BY pos) AS pieces
+       |    FROM walk$i WHERE piece IS NOT NULL GROUP BY word) p USING (word)),
+       |vc$i AS (
+       |  SELECT piece, CAST(sum(n) AS BIGINT) AS cnt
+       |  FROM (SELECT n, unnest(pieces) AS piece FROM seg$i) t GROUP BY piece),
+       |sm$i AS (
+       |  SELECT s.piece, CAST(COALESCE(v.cnt, 0) + 1 AS BIGINT) AS cnt
+       |  FROM seed s LEFT JOIN vc$i v USING (piece)),
+       |sc$i AS (
+       |  SELECT piece, CAST(round(1e6 * ln(CAST(cnt AS DOUBLE) /
+       |           (SELECT CAST(sum(cnt) AS DOUBLE) FROM sm$i)), 0) AS BIGINT) AS s
+       |  FROM sm$i)""".stripMargin
+  }
+
+  private val allCtes: String =
+    (prefixCtes +: (1 to R).map(roundCtes)).mkString(",\n")
+
+  val q266Sql: String =
+    s"""WITH RECURSIVE $allCtes
+       |SELECT piece, CAST(length(piece) AS BIGINT) AS piece_len, cnt,
+       |       s AS score_micro, rk
+       |FROM (
+       |  SELECT v.piece, v.cnt, sc.s,
+       |         CAST(row_number() OVER (ORDER BY v.cnt DESC, v.piece ASC)
+       |              AS BIGINT) AS rk
+       |  FROM vc$R v JOIN sc$R sc USING (piece))
+       |WHERE rk <= ${UnigramLm.VocabSize}
+       |ORDER BY rk""".stripMargin
+
+  val q267Sql: String =
+    s"""WITH RECURSIVE $allCtes
+       |SELECT word, n, CAST(len(pieces) AS BIGINT) AS n_pieces,
+       |       -dp[length(word) + 1].ns AS score_micro,
+       |       md5(array_to_string(pieces, chr(1))) AS seg_hash
+       |FROM seg$R
+       |ORDER BY word""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q266_unigram_vocab" -> (q266UnigramVocab _),
+    "q267_unigram_segment" -> (q267UnigramSegment _))
+
+  val oracles: Map[String, String] = Map(
+    "q266_unigram_vocab" -> q266Sql,
+    "q267_unigram_segment" -> q267Sql)
+}

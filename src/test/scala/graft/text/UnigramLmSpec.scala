@@ -1,0 +1,104 @@
+package graft.text
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkTestBase
+import graft.Tables
+import graft.operators.UnigramQueries
+
+/** Full local replay of the unigram-LM trainer (the q259/q260 spec
+  * discipline: re-derive the whole artifact in plain Scala and compare
+  * piece for piece), plus the segmentation laws.
+  */
+class UnigramLmSpec extends SparkTestBase {
+
+  // plain-Scala reference trainer, independent of the Spark plans
+  private def substrEnds(w: String): Seq[(Int, Int)] =
+    for { j <- 1 to w.length; l <- 1 to math.min(UnigramLm.MaxPieceLen, j) }
+      yield (j, l)
+
+  private def refScores(cnts: Map[String, Long]): Map[String, Long] = {
+    val tot = cnts.values.sum.toDouble
+    cnts.map { case (p, c) => p -> math.round(1e6 * math.log(c / tot)) }
+  }
+
+  private def refViterbi(w: String,
+      s: Map[String, Long]): (List[String], Long) = {
+    val dp = Array.fill(w.length + 1)((0L, 0L, 0L))
+    for (j <- 1 to w.length) {
+      val cands = for {
+        l <- 1 to math.min(UnigramLm.MaxPieceLen, j)
+        p = w.substring(j - l, j) if s.contains(p)
+      } yield (dp(j - l)._1 - s(p), dp(j - l)._2 + 1, -l.toLong)
+      dp(j) = cands.min // Tuple3 lexicographic = the engine's struct sort
+    }
+    var pos = w.length
+    val parts = scala.collection.mutable.ListBuffer.empty[String]
+    while (pos > 0) {
+      val l = (-dp(pos)._3).toInt
+      parts.prepend(w.substring(pos - l, pos))
+      pos -= l
+    }
+    (parts.toList, -dp(w.length)._1)
+  }
+
+  test("unigram trainer: full local EM replay matches engine segmentation and vocab") {
+    val wc = UnigramLm.wordCounts(Tables.documents(spark, sf0001)).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(wc.nonEmpty)
+    val seedAll = wc.toSeq
+      .flatMap { case (w, n) =>
+        substrEnds(w).map { case (j, l) => w.substring(j - l, j) -> n } }
+      .groupBy(_._1).map { case (p, xs) => p -> xs.map(_._2).sum }
+    // the broadcastability cap must not bind on this fixture, or the
+    // uncapped local replay would diverge by construction
+    assert(seedAll.count(_._1.length > 1) < UnigramLm.MaxSeedPieces)
+    val seed = seedAll.filter { case (p, c) =>
+      p.length == 1 || c >= UnigramLm.MinSeedCount }
+    var sc = refScores(seed)
+    var segs: Map[String, (List[String], Long)] = Map.empty
+    var raw: Map[String, Long] = Map.empty
+    for (_ <- 1 to UnigramLm.EmRounds) {
+      segs = wc.keys.map(w => w -> refViterbi(w, sc)).toMap
+      raw = segs.toSeq
+        .flatMap { case (w, (ps, _)) => ps.map(_ -> wc(w)) }
+        .groupBy(_._1).map { case (p, xs) => p -> xs.map(_._2).sum }
+      sc = refScores(seed.map { case (p, _) => p -> (raw.getOrElse(p, 0L) + 1L) })
+    }
+    val got = UnigramQueries.q267UnigramSegment(spark, sf0001).collect()
+      .map(r => r.getString(0) -> (r.getLong(2), r.getLong(3))).toMap
+    assert(got.keySet === wc.keySet)
+    got.foreach { case (w, (np, sm)) =>
+      assert(np === segs(w)._1.length.toLong, s"n_pieces diverges for '$w'")
+      assert(sm === segs(w)._2, s"viterbi score diverges for '$w'")
+    }
+    val gotV = UnigramQueries.q266UnigramVocab(spark, sf0001).collect()
+      .map(r => (r.getString(0), r.getLong(2))).toSeq
+    val expV = raw.toSeq.sortBy { case (p, c) => (-c, p) }
+      .take(UnigramLm.VocabSize)
+    assert(gotV === expV, "final vocab ranking diverges from the local replay")
+    // segmentation laws: pieces concatenate back to the word, every
+    // piece within the length cap, coverage total (no word dropped)
+    segs.foreach { case (w, (ps, _)) =>
+      assert(ps.mkString === w, s"'$w' does not reassemble")
+      assert(ps.forall(p => p.nonEmpty && p.length <= UnigramLm.MaxPieceLen))
+    }
+  }
+
+  test("unigram trainer: EM reduces (or holds) the corpus piece count vs round 1") {
+    // hard-EM with re-estimated scores should not fragment the corpus
+    // MORE than the seed-frequency segmentation on this fixture — the
+    // measured don't-get-worse check (not a theorem; a regression here
+    // means the M-step stopped informing the E-step)
+    val m = UnigramLm.train(spark, sf0001)
+    val finalPieces = m.seg
+      .agg(sum(col("n") * col("n_pieces"))).head().getLong(0)
+    val wc = UnigramLm.wordCounts(Tables.documents(spark, sf0001))
+      .localCheckpoint()
+    val seed = UnigramLm.seedCounts(wc)
+    val round1 = UnigramLm.viterbiSegment(wc, UnigramLm.scoresFromCounts(seed))
+      .agg(sum(col("n") * col("n_pieces"))).head().getLong(0)
+    assert(finalPieces <= round1,
+      s"EM fragmented the corpus: round1 $round1 -> final $finalPieces")
+  }
+}
