@@ -140,9 +140,20 @@ object Round15Queries {
     * on any corpus without empty-token documents — the Bm25HintRule
     * edge note). */
   private[graft] def multiBm25ScoredFromTokens(toks: DataFrame,
-      qterms: DataFrame): DataFrame = {
+      qterms: DataFrame, dlOverride: Option[DataFrame] = None): DataFrame = {
     val occ = toks.select(col("doc_id"), col("term"))
-    val dl = occ.groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
+    // A (doc_id, term) occurrence relation CANNOT represent a
+    // zero-token document — it simply has no rows there — so corpus
+    // stats derived from it (n_docs, avgdl) silently exclude such
+    // docs, diverging from the full-corpus q244 contract the moment
+    // one exists (the round-9 ADVICE finding). `dlOverride` is the
+    // fix: a (doc_id, dl) relation carrying EVERY document, empty ones
+    // at dl = 0 — the SQL surface passes it as the hint's optional
+    // third argument; without it the token-derived stats stand, which
+    // is exact whenever every doc has at least one token.
+    val dl = dlOverride
+      .map(_.select(col("doc_id"), col("dl").cast("long").as("dl")))
+      .getOrElse(occ.groupBy(col("doc_id")).agg(count(lit(1)).as("dl")))
     val stats = dl.agg(count(lit(1)).as("n_docs"),
       (sum(col("dl")) / count(lit(1))).as("avgdl"))
     val alltf = occ.groupBy(col("doc_id"), col("term"))

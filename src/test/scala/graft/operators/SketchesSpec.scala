@@ -104,4 +104,44 @@ class SketchesSpec extends SparkTestBase {
     assert(spark.conf.getOption(bitsKey) === before,
       "bloomPrune must restore the session conf it raised")
   }
+
+  test("bloomPrune: concurrent over-cap builds keep their contracts; confs restored") {
+    // the bloomCapLock contract (round-9 fix, previously unspecced):
+    // overlapping builds raise/restore SESSION conf, so without the
+    // lock one build's restore could clobber another's raised caps
+    // mid-build (saturating its filter). Race four over-cap builds;
+    // every one must keep the no-false-negative + sparse-leak contract
+    // of a full-size filter, and the conf must come back untouched.
+    val bitsKey = "spark.sql.optimizer.runtime.bloomFilter.maxNumBits"
+    val itemsKey = "spark.sql.optimizer.runtime.bloomFilter.maxNumItems"
+    val before = (spark.conf.getOption(bitsKey), spark.conf.getOption(itemsKey))
+    val keys = graft.Tables.orders(spark, sf001)
+      .filter($"o_orderkey" % 100 === 0).select($"o_orderkey").localCheckpoint()
+    val big = lineitem.withColumnRenamed("l_orderkey", "o_orderkey")
+      .localCheckpoint()
+    val trueMatches = big
+      .join(keys, Seq("o_orderkey"), "left_semi").count()
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val futs = (1 to 4).map { i =>
+      Future {
+        val pruned = Sketches.bloomPrune(big, keys, "o_orderkey",
+          expectedItems = 8000000L + i * 100000L, fpp = 0.01)
+        (pruned.count(),
+          pruned.join(keys, Seq("o_orderkey"), "left_semi").count())
+      }
+    }
+    futs.foreach { f =>
+      val (prunedCount, afterJoin) = Await.result(f, 300.seconds)
+      assert(afterJoin === trueMatches, "a concurrent build lost true matches")
+      assert(prunedCount >= trueMatches)
+      // 8M-capacity filter over ~150 keys: leakage must be near zero —
+      // a saturated (clobbered-cap) filter would leak the whole table
+      assert(prunedCount - trueMatches <= (big.count() * 0.01).toLong,
+        s"a concurrent build saturated: pruned $prunedCount vs $trueMatches true")
+    }
+    assert((spark.conf.getOption(bitsKey), spark.conf.getOption(itemsKey)) === before,
+      "concurrent bloomPrune builds must restore the session confs")
+  }
 }

@@ -114,4 +114,48 @@ class Bm25HintSpec extends SparkTestBase {
       "SELECT /*+ BM25_MULTI */ doc_id, term FROM bm25_spec_tokens")
     assert(noArgs.columns.toSeq === Seq("doc_id", "term"))
   }
+
+  test("BM25_MULTI dl view restores full-corpus stats when token-less docs exist") {
+    import spark.implicits._
+    // tiny corpus WITH a zero-token document (doc 9): a (doc_id, term)
+    // relation cannot represent it, so token-derived stats see 3 docs
+    // where the corpus has 4 — the round-9 ADVICE divergence, made
+    // visible and then fixed by the hint's (doc_id, dl) third argument
+    val toks = Seq(
+      (0L, "spark"), (0L, "data"), (0L, "data"),
+      (1L, "spark"), (1L, "rows"),
+      (2L, "data"), (2L, "rows"), (2L, "rows"))
+      .toDF("doc_id", "term")
+    toks.createOrReplaceTempView("bm25_dl_spec_tokens")
+    Seq((0L, "spark")).toDF("query_id", "term")
+      .createOrReplaceTempView("bm25_dl_spec_queries")
+    Seq((0L, 3L), (1L, 2L), (2L, 3L), (9L, 0L)).toDF("doc_id", "dl")
+      .createOrReplaceTempView("bm25_dl_spec_dl")
+    def run(sql: String) = spark.sql(sql).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toVector
+    val tokenStats = run("SELECT /*+ BM25_MULTI('bm25_dl_spec_queries', 3) */ " +
+      "doc_id, term FROM bm25_dl_spec_tokens")
+    val fullStats = run("SELECT /*+ BM25_MULTI('bm25_dl_spec_queries', 3, " +
+      "'bm25_dl_spec_dl') */ doc_id, term FROM bm25_dl_spec_tokens")
+    // same ranked docs, different idf/avgdl → different scores: the
+    // empty doc raises n_docs (idf up) and lowers avgdl
+    assert(tokenStats.map(t => (t._1, t._2)) === fullStats.map(t => (t._1, t._2)))
+    assert(tokenStats.map(_._3) !== fullStats.map(_._3),
+      "the dl view must change corpus stats when a token-less doc exists")
+    // exact replay of the full-stats side: N=4, avgdl=2, df(spark)=2
+    val idf = math.log(1.0 + (4 - 2 + 0.5) / (2 + 0.5))
+    def bm25(tf: Long, dl: Long) = BigDecimal(
+        idf * (tf * (Round14Queries.Bm25K1 + 1.0)) /
+          (tf + Round14Queries.Bm25K1 * (1.0 - Round14Queries.Bm25B +
+            Round14Queries.Bm25B * dl / 2.0)))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val exp = Seq((0L, bm25(1, 3)), (1L, bm25(1, 2)))
+      .sortBy { case (d, s) => (-s, d) }
+    assert(fullStats.map(t => (t._2, t._3)).toSeq === exp)
+    // an unresolvable dl view must NOT silently degrade to token
+    // stats — the hint falls through whole
+    val badDl = spark.sql("SELECT /*+ BM25_MULTI('bm25_dl_spec_queries', 3, " +
+      "'no_such_dl_view') */ doc_id, term FROM bm25_dl_spec_tokens")
+    assert(badDl.columns.toSeq === Seq("doc_id", "term"))
+  }
 }
