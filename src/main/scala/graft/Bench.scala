@@ -121,7 +121,9 @@ object Bench {
     "q251_ivfpq_append", "q252_nprobe_curve", "q254_ivfpq_delete",
     "q255_dsir_weights", "q256_rrf_fusion", "q257_passage_dedup",
     "q258_ivfpq_compact", "q259_pq_drift_audit",
-    "q260_label_noise_audit", "q261_self_bleu", "q262_label_noise_blocked")
+    "q260_label_noise_audit", "q261_self_bleu", "q262_label_noise_blocked",
+    "q263_nprobe_auto", "q264_ivfpq_retrain", "q265_compaction_policy",
+    "q266_unigram_vocab", "q267_unigram_segment")
 
   /** 1/5/15-min load averages — recorded at start and end so a
     * load-contaminated run is self-documenting (BENCH_r04's 544 s
