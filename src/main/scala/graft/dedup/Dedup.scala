@@ -205,6 +205,43 @@ object Dedup {
       .select(col("a"), col("b")).distinct()
   }
 
+  /** Pure banding operating-point rule — the [[lshCandidates]] dial
+    * chosen by the ENGINE from a measured sweep, not a human (the
+    * chooseNprobe / chooseArgmaxStrategy discipline: the decision is a
+    * unit-testable pure function, not an emergent property of the
+    * pipeline). Input rows are q243's measured sweep —
+    * (bands, rowsPerBand, nCandidates, nFound) per configuration over
+    * ONE shared k-permutation signature — plus the exact-join pair
+    * count the recalls are measured against. The target recall is an
+    * exact rational `targetNum/targetDen` so eligibility is integer
+    * cross-multiplication (`nFound·den ≥ num·nExact`), replayable in
+    * SQL with no floating-point rounding window.
+    *
+    * Rule: among configurations MEETING the target, the one with the
+    * smallest measured candidate volume (candidate verification — the
+    * `overlapOnCandidates` pass — is the dominant cost at corpus
+    * scale, and it is linear in nCandidates), ties to fewer bands
+    * (fewer banding rows in the bucket join). If NO configuration
+    * meets the target, the highest-recall one (ties: fewer candidates,
+    * then fewer bands): the sweep's ceiling is the K-permutation
+    * signature's resolution — re-banding the same signature cannot buy
+    * the target back, so the engine serves the best point it measured
+    * rather than aborting (the chooseNprobe fallback contract).
+    * `nExact = 0` (no true pairs at τ) degenerates to every
+    * configuration eligible → cheapest wins.
+    */
+  def chooseBanding(sweep: Seq[(Int, Int, Long, Long)], nExact: Long,
+      targetNum: Int, targetDen: Int): (Int, Int) = {
+    require(sweep.nonEmpty, "chooseBanding: empty banding sweep")
+    require(targetDen > 0, "chooseBanding: targetDen must be positive")
+    val eligible = sweep.filter { case (_, _, _, nFound) =>
+      nFound * targetDen >= targetNum.toLong * nExact }
+    val (b, r, _, _) =
+      if (eligible.nonEmpty) eligible.minBy { case (b0, _, nc, _) => (nc, b0) }
+      else sweep.minBy { case (b0, _, nc, nf) => (-nf, nc, b0) }
+    (b, r)
+  }
+
   /** Exact overlap counts computed ONLY for the given candidate pairs:
     * (a, b, shared, sza, szb) — the INTEGER carrier form, so a τ
     * threshold can be applied as the exact cross-multiplication

@@ -186,7 +186,16 @@ object DedupQueries {
     */
   val SweepConfigs: Seq[(Int, Int)] = Seq((3, 4), (4, 3), (6, 2))
 
-  def q243BandingSweep(s: SparkSession, dir: String): DataFrame = {
+  /** The measured sweep shared by q243 (the audit surface) and q268
+    * (the engine's own operating-point choice) — the
+    * ivfPqRecallCurve/q252/q263 sharing discipline, ONE formula: exact
+    * τ pair count + per-configuration (candidates, verified-found)
+    * over ONE shared K-permutation signature. Returns the checkpointed
+    * token sets and signatures too, so a caller serving at the chosen
+    * configuration re-bands the SAME signature pass it measured with.
+    */
+  private def bandingMeasure(s: SparkSession, dir: String)
+      : (DataFrame, DataFrame, Long, Seq[(Int, Int, Long, Long)]) = {
     val toks = Dedup.tokenSets(Tables.documents(s, dir), "doc_id", "text")
       .localCheckpoint()
     val nExact = Round12Queries.setSimJoin(
@@ -204,6 +213,11 @@ object DedupQueries {
         .count()
       (b, r, nCands, nFound)
     }
+    (toks, sig, nExact, rows)
+  }
+
+  def q243BandingSweep(s: SparkSession, dir: String): DataFrame = {
+    val (_, _, nExact, rows) = bandingMeasure(s, dir)
     import s.implicits._
     rows.toDF("bands", "rows_per_band", "n_candidates", "n_found")
       .select(col("bands").cast("long").as("bands"),
@@ -275,6 +289,112 @@ object DedupQueries {
        |$configCtes
        |$unions
        |ORDER BY bands""".stripMargin
+  }
+
+  // --------------------------------------------------------------- q268
+  /** Engine-chosen LSH banding operating point — the chooseNprobe
+    * pattern applied to the DEDUP dial (the ANN loop's q252→q263 arc,
+    * replayed for q243→this): the operator measures the banding sweep
+    * ([[bandingMeasure]], the same formula q243's audit reads), picks
+    * the configuration with the PURE [[Dedup.chooseBanding]] rule
+    * (cheapest candidate volume meeting the recall target, exact
+    * rational [[BandingTargetNum]]/[[BandingTargetDen]]; highest-recall
+    * fallback past the signature's resolution ceiling — spec-pinned),
+    * and SERVES the q16 near-dup join at the chosen (bands,
+    * rows_per_band), re-banding the signature pass it measured with.
+    * Every served row carries the choice, and the oracle replays
+    * measurement, choice, AND the served join — the decision rule
+    * itself is hash-gated, not just the banding math. The measurement
+    * is a tuning-time cost (exact join + three banding passes at lake
+    * scale it runs on a sample, the q263 tuning-sample contract);
+    * serving adds ONE banding pass over the shared signatures.
+    */
+  val BandingTargetNum = 9
+  val BandingTargetDen = 10
+
+  def q268BandingAuto(s: SparkSession, dir: String): DataFrame = {
+    val (toks, sig, nExact, sweep) = bandingMeasure(s, dir)
+    val (b, r) = Dedup.chooseBanding(sweep, nExact,
+      BandingTargetNum, BandingTargetDen)
+    val cands = Dedup.lshCandidates(sig, b, r)
+    Dedup.jaccardOnCandidates(toks, cands)
+      .withColumn("jaccard", round(col("jaccard"), 6))
+      .filter(col("jaccard") >= LshJaccardThreshold)
+      .select(lit(b.toLong).as("bands"), lit(r.toLong).as("rows_per_band"),
+        col("a"), col("b"), col("jaccard"))
+      .orderBy(col("a"), col("b"))
+  }
+
+  /** Per-config candidate-jaccard CTE for the q268 oracle's serve side
+    * (q16's `jac` over `cand_{b}_{r}`). */
+  private def jacCtes(b: Int, r: Int): String =
+    s"""jac_${b}_$r AS (
+       |  SELECT c.a, c.b,
+       |    round(CAST(COALESCE(s.shared, 0) AS DOUBLE) /
+       |          CAST(za.sz + zb.sz - COALESCE(s.shared, 0) AS DOUBLE), 6) AS jaccard
+       |  FROM cand_${b}_$r c
+       |  LEFT JOIN (
+       |    SELECT c2.a, c2.b, count(*) AS shared
+       |    FROM cand_${b}_$r c2
+       |    JOIN tok ta ON ta.id = c2.a
+       |    JOIN tok tb ON tb.id = c2.b AND tb.word = ta.word
+       |    GROUP BY c2.a, c2.b) s ON s.a = c.a AND s.b = c.b
+       |  JOIN sizes za ON za.id = c.a JOIN sizes zb ON zb.id = c.b)""".stripMargin
+
+  val q268Sql: String = {
+    val configCtes = SweepConfigs.map { case (b, r) => sweepCtes(b, r) }
+      .mkString(",\n")
+    val jacs = SweepConfigs.map { case (b, r) => jacCtes(b, r) }
+      .mkString(",\n")
+    val stats = SweepConfigs.map { case (b, r) =>
+      s"""SELECT $b AS bands, $r AS rows_per_band,
+         |  (SELECT count(*) FROM cand_${b}_$r) AS n_candidates,
+         |  (SELECT count(*) FROM found_${b}_$r) AS n_found""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    val servedUnion = SweepConfigs.map { case (b, r) =>
+      s"SELECT $b AS bands, $r AS rows_per_band, a, b, jaccard FROM jac_${b}_$r"
+    }.mkString("\n    UNION ALL ")
+    s"""WITH $tokCte,
+       |sigs AS (
+       |  SELECT id,
+       |    $sigMinsSql
+       |  FROM tok GROUP BY id),
+       |sizes AS (SELECT id, count(*) AS sz FROM tok GROUP BY id),
+       |exshared AS (
+       |  SELECT a.id AS a, b.id AS b, count(*) AS inter
+       |  FROM tok a JOIN tok b ON a.word = b.word AND a.id < b.id
+       |  GROUP BY a.id, b.id),
+       |exact AS (
+       |  SELECT s.a, s.b FROM exshared s
+       |  JOIN sizes za ON za.id = s.a JOIN sizes zb ON zb.id = s.b
+       |  WHERE s.inter * ${LshTauDen + LshTauNum} >= (za.sz + zb.sz) * $LshTauNum),
+       |$configCtes,
+       |$jacs,
+       |stats AS (
+       |  $stats),
+       |-- Dedup.chooseBanding replayed: miss=0 rows (target met, exact
+       |-- rational) sort first by (n_candidates, bands); an all-miss
+       |-- sweep falls back to (n_found desc, n_candidates, bands).
+       |chosen AS (
+       |  SELECT bands, rows_per_band FROM (
+       |    SELECT s.bands, s.rows_per_band, s.n_candidates, s.n_found,
+       |      CASE WHEN s.n_found * $BandingTargetDen
+       |                >= $BandingTargetNum * (SELECT count(*) FROM exact)
+       |           THEN 0 ELSE 1 END AS miss
+       |    FROM stats s)
+       |  ORDER BY miss ASC,
+       |           CASE WHEN miss = 0 THEN n_candidates END ASC NULLS LAST,
+       |           CASE WHEN miss = 1 THEN -n_found END ASC NULLS LAST,
+       |           n_candidates ASC, bands ASC
+       |  LIMIT 1)
+       |SELECT CAST(c.bands AS BIGINT) AS bands,
+       |       CAST(c.rows_per_band AS BIGINT) AS rows_per_band,
+       |       j.a, j.b, j.jaccard
+       |FROM chosen c
+       |JOIN ($servedUnion) j
+       |  ON j.bands = c.bands AND j.rows_per_band = c.rows_per_band
+       |WHERE j.jaccard >= $LshJaccardThreshold
+       |ORDER BY j.a, j.b""".stripMargin
   }
 
   val q242Sql: String =
@@ -1296,6 +1416,7 @@ object DedupQueries {
     "q44_cc_synth" -> (q44CcSynth _),
     "q242_lsh_recall_audit" -> (q242LshRecallAudit _),
     "q243_banding_sweep" -> (q243BandingSweep _),
+    "q268_banding_auto" -> (q268BandingAuto _),
     "q17_shingle_jaccard" -> (q17ShingleJaccard _),
     "q18_simhash" -> (q18Simhash _),
   )
@@ -1321,6 +1442,7 @@ object DedupQueries {
     "q44_cc_synth" -> q44Sql,
     "q242_lsh_recall_audit" -> q242Sql,
     "q243_banding_sweep" -> q243Sql,
+    "q268_banding_auto" -> q268Sql,
     "q17_shingle_jaccard" -> q17Sql,
     "q18_simhash" -> q18Sql,
   )

@@ -4,7 +4,8 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.text.UnigramLm
+import graft.Tables
+import graft.text.{TextPrep, UnigramLm}
 
 /** Unigram-LM tokenizer-trainer queries ([[graft.text.UnigramLm]] —
   * the SentencePiece counterpart of q115's BPE trainer), DuckDB-
@@ -49,6 +50,60 @@ object UnigramQueries {
     m.seg.select(col("word"), col("n"), col("n_pieces"), col("score_micro"),
         md5(concat_ws("", col("pieces")).cast("binary")).as("seg_hash"))
       .orderBy(col("word"))
+  }
+
+  // ------------------------------------------------------------ q269
+  /** Unigram CORPUS ENCODE — the deploy half of the q266/q267 trainer,
+    * completing the unigram lifecycle the way q126 completed BPE's
+    * (train → encode → pack): every document becomes its piece-id
+    * SEQUENCE under the trained model, with the per-doc fertility
+    * (pieces per word) that q156 measures for BPE. Ids are dense ranks
+    * over the model's USED pieces (final-round Viterbi counts, count
+    * desc / piece asc — the q126 vocabulary ranking, vocabulary-sized).
+    *
+    * THE SCALE SHAPE: per-word piece-id arrays are assembled ONCE on
+    * the distinct-word table (vocabulary-scale flatten + broadcast id
+    * join — the trainer's own discipline), so the corpus-side cost is
+    * one word-keyed equi-join of the exploded corpus against the
+    * word→ids table and one doc_id-keyed reassembly — the only
+    * corpus-sized exchanges, identical to q126's. The md5 over the
+    * comma-joined id sequence makes a single wrong rank, tie-break, or
+    * word-order slip hash-visible; empty docs encode to the empty
+    * sequence (md5("") — the q126 left-join contract).
+    */
+  def q269UnigramEncode(s: SparkSession, dir: String): DataFrame = {
+    val m = UnigramLm.train(s, dir)
+    val vocabIds = m.counts
+      .withColumn("id", row_number()
+        .over(Window.orderBy(col("cnt").desc, col("piece").asc)).cast("long"))
+      .select(col("piece"), col("id"))
+    val wordIds = m.seg
+      .select(col("word"), posexplode(col("pieces")).as(Seq("ppos", "piece")))
+      .join(broadcast(vocabIds), Seq("piece"))
+      .groupBy(col("word"))
+      .agg(sort_array(collect_list(struct(col("ppos"), col("id")))).as("ps"))
+      .select(col("word"), expr("transform(ps, p -> p.id)").as("wid"))
+    val docs = Tables.documents(s, dir)
+      .select(col("doc_id"), TextPrep.tokensCol(col("text")).as("toks"))
+    val enc = docs
+      .select(col("doc_id"), posexplode(col("toks")).as(Seq("wpos", "word")))
+      .join(wordIds, Seq("word"))
+      .groupBy(col("doc_id"))
+      .agg(sort_array(collect_list(struct(col("wpos"), col("wid")))).as("ws"))
+      .select(col("doc_id"),
+        expr("flatten(transform(ws, w -> w.wid))").as("ids"))
+    docs.select(col("doc_id"), size(col("toks")).cast("long").as("n_words"))
+      .join(enc, Seq("doc_id"), "left")
+      .withColumn("ids", coalesce(col("ids"), expr("array()")))
+      .select(col("doc_id"), col("n_words"),
+        size(col("ids")).cast("long").as("n_pieces"),
+        round(size(col("ids")).cast("double") /
+          nullif(col("n_words").cast("double"), lit(0.0)), 6).as("fertility"),
+        expr("try_element_at(ids, 1)").as("first_id"),
+        md5(concat_ws(",",
+          expr("transform(ids, i -> cast(i as string))")).cast("binary"))
+          .as("ids_hash"))
+      .orderBy(col("doc_id"))
   }
 
   // --------------------------------------------------------- oracle
@@ -183,11 +238,44 @@ object UnigramQueries {
        |FROM seg$R
        |ORDER BY word""".stripMargin
 
+  val q269Sql: String =
+    s"""WITH RECURSIVE $allCtes,
+       |vocabids AS (
+       |  SELECT piece, CAST(row_number() OVER (ORDER BY cnt DESC, piece ASC)
+       |         AS BIGINT) AS id
+       |  FROM vc$R),
+       |wp AS (
+       |  SELECT word, unnest(pieces) AS piece,
+       |         unnest(range(1, len(pieces) + 1)) AS ppos
+       |  FROM seg$R),
+       |wids AS (
+       |  SELECT word, list(id ORDER BY ppos) AS wid
+       |  FROM wp JOIN vocabids USING (piece) GROUP BY word),
+       |dt AS (
+       |  SELECT doc_id, unnest(toks) AS word,
+       |         unnest(range(1, len(toks) + 1)) AS wpos
+       |  FROM lists),
+       |enc AS (
+       |  SELECT doc_id, flatten(list(wid ORDER BY wpos)) AS ids
+       |  FROM dt JOIN wids USING (word) GROUP BY doc_id)
+       |SELECT l.doc_id, CAST(len(l.toks) AS BIGINT) AS n_words,
+       |       CAST(len(COALESCE(e.ids, [])) AS BIGINT) AS n_pieces,
+       |       round(CAST(len(COALESCE(e.ids, [])) AS DOUBLE)
+       |             / nullif(CAST(len(l.toks) AS DOUBLE), 0.0), 6) AS fertility,
+       |       COALESCE(e.ids, [])[1] AS first_id,
+       |       md5(array_to_string(
+       |         list_transform(COALESCE(e.ids, []), x -> CAST(x AS VARCHAR)),
+       |         ',')) AS ids_hash
+       |FROM lists l LEFT JOIN enc e USING (doc_id)
+       |ORDER BY l.doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q266_unigram_vocab" -> (q266UnigramVocab _),
-    "q267_unigram_segment" -> (q267UnigramSegment _))
+    "q267_unigram_segment" -> (q267UnigramSegment _),
+    "q269_unigram_encode" -> (q269UnigramEncode _))
 
   val oracles: Map[String, String] = Map(
     "q266_unigram_vocab" -> q266Sql,
-    "q267_unigram_segment" -> q267Sql)
+    "q267_unigram_segment" -> q267Sql,
+    "q269_unigram_encode" -> q269Sql)
 }

@@ -902,7 +902,8 @@ class PlanSpec extends SparkTestBase {
       "q241_ranking_eval" -> "position stamps over the LIMIT-10 BM25 result and the LIMIT-10 ideal — both k-bounded",
       "q244_multi_bm25" -> "query synthesis ranks over the LIMIT-300 term table and the LIMIT-150 pair table (TakeOrderedAndProject feeds both); scoring/ranking is per-key heaps",
       "q256_rrf_fusion" -> "leg re-rank + fused rank ride the two k-row leg results (LIMIT-10 BM25, top-10 ANN heap) — the fusion is k-bounded metadata work by design; corpus cost lives in the audited legs",
-      "q266_unigram_vocab" -> "unigram vocab ranking over the model's used-piece table: |vocab| rows (⊆ the MaxSeedPieces-capped seed support — the cap exists exactly to keep this table vocabulary-sized; the corpus is touched only by the word-count pass, localCheckpointed away)")
+      "q266_unigram_vocab" -> "unigram vocab ranking over the model's used-piece table: |vocab| rows (⊆ the MaxSeedPieces-capped seed support — the cap exists exactly to keep this table vocabulary-sized; the corpus is touched only by the word-count pass, localCheckpointed away)",
+      "q269_unigram_encode" -> "unigram id assignment over the model's used-piece table — the q126/q266 class: |vocab| rows under the MaxSeedPieces cap; corpus rows never enter a window (doc reassembly is a doc_id-keyed aggregate)")
     val offenders = graft.SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
       case (name, fn) =>
         val ws = try unpartitionedWindows(fn(spark, sf0001)) catch {
@@ -1009,7 +1010,8 @@ class PlanSpec extends SparkTestBase {
       "q244_multi_bm25" -> "query table is the LIMIT-150 pair synthesis, localCheckpointed (the checkpoint hides the limit from the shape rule)",
       "q253_sql_multi_bm25" -> "same query table as q244, reaching the plan as a registered temp view of the localCheckpointed synthesis — |Q|-bounded by the q244 contract (a production query workload is a broadcast-sized input relation)",
       "q263_nprobe_auto" -> "serves q245's probe shape at the engine-chosen dial (|Q|·nprobe probe rows + |Q|-row LUT, the same k-bounded window filter); the tuning sweep and exact side run inside the operator before the served plan exists",
-      "q265_compaction_policy" -> "tombstone side capacity-gated via BoundedBroadcast (graft.ann.maxTombstones, shuffled left-outer fallback); the localCheckpoint hides the gate from the shape rule — the q254 pattern")
+      "q265_compaction_policy" -> "tombstone side capacity-gated via BoundedBroadcast (graft.ann.maxTombstones, shuffled left-outer fallback); the localCheckpoint hides the gate from the shape rule — the q254 pattern",
+      "q269_unigram_encode" -> "broadcast side is the vocab-id table over the model's used pieces (MaxSeedPieces-capped — the q126 broadcast-vocab contract); the model's localCheckpoint hides the aggregate from the shape rule")
     val offenders = graft.SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
       case (name, fn) =>
         val unbounded = try hintedSides(fn(spark, sf0001)).filterNot(bounded) catch {

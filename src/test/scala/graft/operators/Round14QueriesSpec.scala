@@ -498,6 +498,73 @@ class Round14QueriesSpec extends SparkTestBase {
     assert(c34._4 === audit.getLong(1), "found count matches the audit")
   }
 
+  test("chooseBanding pure rule: cheapest eligible config, recall-ceiling fallback, order-free") {
+    import graft.dedup.Dedup.chooseBanding
+    // (bands, rows, nCandidates, nFound); nExact = 100, target 9/10
+    val sweep = Seq((3, 4, 50L, 80L), (4, 3, 90L, 92L), (6, 2, 200L, 99L))
+    // first-satisfying: (4,3) and (6,2) meet 90; (4,3) has fewer candidates
+    assert(chooseBanding(sweep, 100L, 9, 10) === (4, 3))
+    // exact-rational boundary: nFound·den == num·nExact is ELIGIBLE
+    assert(chooseBanding(Seq((3, 4, 50L, 90L)), 100L, 9, 10) === (3, 4))
+    // fallback: none meets 9/10 → highest recall wins regardless of cost
+    assert(chooseBanding(
+      Seq((3, 4, 50L, 10L), (4, 3, 90L, 30L), (6, 2, 200L, 40L)),
+      100L, 9, 10) === (6, 2))
+    // fallback tie on nFound → fewer candidates, then fewer bands
+    assert(chooseBanding(
+      Seq((6, 2, 200L, 40L), (4, 3, 90L, 40L)), 100L, 9, 10) === (4, 3))
+    assert(chooseBanding(
+      Seq((6, 2, 90L, 40L), (4, 3, 90L, 40L)), 100L, 9, 10) === (4, 3))
+    // eligible tie on candidates → fewer bands
+    assert(chooseBanding(
+      Seq((6, 2, 90L, 95L), (4, 3, 90L, 95L)), 100L, 9, 10) === (4, 3))
+    // nExact = 0 degenerate: everything eligible → cheapest
+    assert(chooseBanding(sweep, 0L, 9, 10) === (3, 4))
+    // input order must not matter
+    assert(chooseBanding(sweep.reverse, 100L, 9, 10) === (4, 3))
+    intercept[IllegalArgumentException] { chooseBanding(Nil, 100L, 9, 10) }
+    intercept[IllegalArgumentException] { chooseBanding(sweep, 100L, 9, 0) }
+  }
+
+  test("q268: choice matches the rule on the measured sweep; serve equals the q16 chain at the chosen config") {
+    import graft.dedup.Dedup
+    // brute-force exact pair count at τ = 7/10 (the q242 replay)
+    val docs = docsLocal(sf0001)
+    val sets: Vector[(Long, Set[String])] = docs.map { case (id, text, _) =>
+      id -> tokens(text).toSet
+    }.sortBy(_._1)
+    var nExact = 0L
+    for (i <- sets.indices; j <- (i + 1) until sets.size) {
+      val (a, b) = (sets(i)._2, sets(j)._2)
+      val inter = a.intersect(b).size.toLong
+      if (inter * 17 >= (a.size + b.size) * 7) nExact += 1
+    }
+    val sweep = DedupQueries.q243BandingSweep(spark, sf0001).collect()
+      .map(r => (r.getLong(0).toInt, r.getLong(1).toInt, r.getLong(2),
+        r.getLong(3))).toSeq
+    val (eb, er) = Dedup.chooseBanding(sweep, nExact,
+      DedupQueries.BandingTargetNum, DedupQueries.BandingTargetDen)
+    val got = DedupQueries.q268BandingAuto(spark, sf0001).collect()
+    assert(got.nonEmpty)
+    got.foreach { r =>
+      assert(r.getLong(0) === eb.toLong && r.getLong(1) === er.toLong,
+        "every served row must carry the chosen configuration")
+    }
+    // serve side ≡ the q16 chain re-banded at (eb, er) over the same corpus
+    val toks = Dedup.tokenSets(
+      graft.Tables.documents(spark, sf0001), "doc_id", "text")
+    val expected = Dedup.jaccardOnCandidates(toks,
+        Dedup.lshCandidates(Dedup.minhashSig(toks, DedupQueries.K), eb, er))
+      .withColumn("jaccard", org.apache.spark.sql.functions.round(
+        org.apache.spark.sql.functions.col("jaccard"), 6))
+      .filter(org.apache.spark.sql.functions.col("jaccard") >=
+        DedupQueries.LshJaccardThreshold)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .sortBy(p => (p._1, p._2))
+    assert(got.map(r => (r.getLong(2), r.getLong(3), r.getDouble(4))).toSeq
+      === expected.toSeq)
+  }
+
   test("q230: fixed-width bins fold to the corpus exactly") {
     val docs = docsLocal(sf0001)
     val scored = docs.flatMap { case (_, text, lang) =>

@@ -42,7 +42,12 @@ class UnigramLmSpec extends SparkTestBase {
     (parts.toList, -dp(w.length)._1)
   }
 
-  test("unigram trainer: full local EM replay matches engine segmentation and vocab") {
+  /** The full plain-Scala EM replay, shared by the trainer and encode
+    * tests: (word counts, final segmentations, final raw piece counts).
+    * Asserts the seed cap does not bind on the fixture — the uncapped
+    * local replay would diverge by construction if it did. */
+  private def localEm(): (Map[String, Long],
+      Map[String, (List[String], Long)], Map[String, Long]) = {
     val wc = UnigramLm.wordCounts(Tables.documents(spark, sf0001)).collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(wc.nonEmpty)
@@ -65,6 +70,11 @@ class UnigramLmSpec extends SparkTestBase {
         .groupBy(_._1).map { case (p, xs) => p -> xs.map(_._2).sum }
       sc = refScores(seed.map { case (p, _) => p -> (raw.getOrElse(p, 0L) + 1L) })
     }
+    (wc, segs, raw)
+  }
+
+  test("unigram trainer: full local EM replay matches engine segmentation and vocab") {
+    val (wc, segs, raw) = localEm()
     val got = UnigramQueries.q267UnigramSegment(spark, sf0001).collect()
       .map(r => r.getString(0) -> (r.getLong(2), r.getLong(3))).toMap
     assert(got.keySet === wc.keySet)
@@ -82,6 +92,39 @@ class UnigramLmSpec extends SparkTestBase {
     segs.foreach { case (w, (ps, _)) =>
       assert(ps.mkString === w, s"'$w' does not reassemble")
       assert(ps.forall(p => p.nonEmpty && p.length <= UnigramLm.MaxPieceLen))
+    }
+  }
+
+  test("q269 encode: per-doc id sequences match the local replay end to end") {
+    val (_, segs, raw) = localEm()
+    // dense ids over the model's used pieces: (count desc, piece asc)
+    val ids: Map[String, Long] = raw.toSeq
+      .sortBy { case (p, c) => (-c, p) }
+      .zipWithIndex.map { case ((p, _), i) => p -> (i + 1L) }.toMap
+    val docs = Tables.documents(spark, sf0001)
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1))
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def md5hex(s: String): String =
+      md.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    def toks(text: String): Vector[String] =
+      text.toLowerCase.replaceAll("(\\d|\\W)+", " ").trim
+        .split(" ").toVector.filter(_.nonEmpty)
+    val expected = docs.map { case (id, text) =>
+      val ws = toks(text)
+      val seq = ws.flatMap(w => segs(w)._1.map(ids))
+      (id, ws.size.toLong, seq.size.toLong, seq.headOption,
+        md5hex(seq.mkString(",")))
+    }.sortBy(_._1)
+    val got = UnigramQueries.q269UnigramEncode(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        Option(r.get(4)).map(_.asInstanceOf[Long]), r.getString(5)))
+    assert(got.toSeq === expected.toSeq)
+    // fertility column: n_pieces / n_words, round-6, NULL on empty docs
+    UnigramQueries.q269UnigramEncode(spark, sf0001).collect().foreach { r =>
+      if (r.getLong(1) == 0L) assert(r.isNullAt(3))
+      else assert(math.abs(r.getDouble(3) -
+        r.getLong(2).toDouble / r.getLong(1)) < 1e-6)
     }
   }
 
