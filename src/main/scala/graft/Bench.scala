@@ -18,9 +18,12 @@ import org.apache.spark.sql.SparkSession
   * on a linear-size chain+random graph instead; q100 survivorship
   * composes the same q16→q19 chain and is excluded for the same
   * reason; q128's split-leakage rollup and q172's canonical-purge
-  * resolution consume the q16 pairs too; q242's recall audit
-  * and q243's banding sweep materialize the full exact τ=0.7 pair
-  * set on this deliberately self-similar corpus — same
+  * resolution consume the q16 pairs too; q242's recall audit,
+  * q243's banding sweep, and q268's banding auto-choice materialize
+  * the full exact τ=0.7 pair set on this deliberately self-similar
+  * corpus (q268 additionally verifies the loosest swept banding's
+  * candidate volume and SERVES the quadratic-output near-dup join —
+  * measured 333 s at sf0.1, all output volume) — same
   * quadratic-output class),
   * queries that are strict
   * prefixes/aggregations/SQL-surface twins of included ones (q6, q11,
@@ -123,8 +126,7 @@ object Bench {
     "q258_ivfpq_compact", "q259_pq_drift_audit",
     "q260_label_noise_audit", "q261_self_bleu", "q262_label_noise_blocked",
     "q263_nprobe_auto", "q264_ivfpq_retrain", "q265_compaction_policy",
-    "q266_unigram_vocab", "q267_unigram_segment", "q268_banding_auto",
-    "q269_unigram_encode")
+    "q266_unigram_vocab", "q267_unigram_segment", "q269_unigram_encode")
 
   /** 1/5/15-min load averages — recorded at start and end so a
     * load-contaminated run is self-documenting (BENCH_r04's 544 s

@@ -305,9 +305,19 @@ object DedupQueries {
     * Every served row carries the choice, and the oracle replays
     * measurement, choice, AND the served join — the decision rule
     * itself is hash-gated, not just the banding math. The measurement
-    * is a tuning-time cost (exact join + three banding passes at lake
+    * is a tuning-time cost (exact join + three banding passes — at lake
     * scale it runs on a sample, the q263 tuning-sample contract);
     * serving adds ONE banding pass over the shared signatures.
+    *
+    * BENCH-EXCLUDED with q16/q242/q243 (Bench.scala headline scaladoc):
+    * the exact denominator and the served near-dup join have
+    * O(n²)-sized OUTPUT on the deliberately self-similar test corpus —
+    * 333 s at sf0.1, all output volume, vs the hash-checked sf0.01
+    * oracle gate. The sweep deliberately runs UNCAPPED buckets (a
+    * maxBucket cap would bias the measured recall); serving at the
+    * chosen configuration inherits q16's degenerate-bucket story
+    * (`lshCandidates(maxBucket)` routes oversized buckets to
+    * clustering instead of pairwise emission).
     */
   val BandingTargetNum = 9
   val BandingTargetDen = 10

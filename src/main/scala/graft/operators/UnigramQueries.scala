@@ -71,40 +71,70 @@ object UnigramQueries {
     * word-order slip hash-visible; empty docs encode to the empty
     * sequence (md5("") — the q126 left-join contract).
     */
-  def q269UnigramEncode(s: SparkSession, dir: String): DataFrame = {
-    val m = UnigramLm.train(s, dir)
+  /** The model's word→piece-id ENCODING ARTIFACT: per trained word,
+    * its ordered piece-id array (ids = dense ranks over the model's
+    * used pieces, count desc / piece asc). Assembled ONCE at
+    * vocabulary scale (flatten + broadcast id join — the trainer's own
+    * discipline); this is the deployable artifact both the batch
+    * encode and the streaming twin probe, the q78/imageDedup
+    * state-lives-in-the-artifact pattern. */
+  def modelWordIds(m: UnigramLm.Model): DataFrame = {
     val vocabIds = m.counts
       .withColumn("id", row_number()
         .over(Window.orderBy(col("cnt").desc, col("piece").asc)).cast("long"))
       .select(col("piece"), col("id"))
-    val wordIds = m.seg
+    m.seg
       .select(col("word"), posexplode(col("pieces")).as(Seq("ppos", "piece")))
       .join(broadcast(vocabIds), Seq("piece"))
       .groupBy(col("word"))
       .agg(sort_array(collect_list(struct(col("ppos"), col("id")))).as("ps"))
       .select(col("word"), expr("transform(ps, p -> p.id)").as("wid"))
-    val docs = Tables.documents(s, dir)
+  }
+
+  /** The encode CORE shared by q269 and the streaming twin (the
+    * bm25Rank/setSimProbe stream ≡ batch-by-shared-code discipline):
+    * documents against a frozen [[modelWordIds]] artifact. Per-doc
+    * output is row-local given the artifact — one word-keyed corpus
+    * join + one doc_id-keyed reassembly, the only corpus-sized
+    * exchanges — so ANY doc-partitioned micro-batch split unions to
+    * exactly the batch result. Words absent from the artifact (possible
+    * only for streams — the batch gate encodes the training corpus) are
+    * COUNTED in `n_oov` and excluded from the id sequence, never
+    * silently dropped. Docs need (doc_id, text). */
+  def encodeAgainst(docs: DataFrame, wordIds: DataFrame): DataFrame = {
+    val toks = docs
       .select(col("doc_id"), TextPrep.tokensCol(col("text")).as("toks"))
-    val enc = docs
+    val enc = toks
       .select(col("doc_id"), posexplode(col("toks")).as(Seq("wpos", "word")))
-      .join(wordIds, Seq("word"))
+      .join(wordIds, Seq("word"), "left")
       .groupBy(col("doc_id"))
-      .agg(sort_array(collect_list(struct(col("wpos"), col("wid")))).as("ws"))
-      .select(col("doc_id"),
-        expr("flatten(transform(ws, w -> w.wid))").as("ids"))
-    docs.select(col("doc_id"), size(col("toks")).cast("long").as("n_words"))
+      .agg(sort_array(collect_list(struct(col("wpos"), col("wid")))).as("ws"),
+        sum(when(col("wid").isNull, 1L).otherwise(0L)).as("oov"))
+      .select(col("doc_id"), col("oov"),
+        expr("flatten(transform(filter(ws, w -> w.wid is not null), w -> w.wid))")
+          .as("ids"))
+    toks.select(col("doc_id"), size(col("toks")).cast("long").as("n_words"))
       .join(enc, Seq("doc_id"), "left")
       .withColumn("ids", coalesce(col("ids"), expr("array()")))
-      .select(col("doc_id"), col("n_words"),
+      .withColumn("n_oov", coalesce(col("oov"), lit(0L)))
+      .select(col("doc_id"), col("n_words"), col("n_oov"),
         size(col("ids")).cast("long").as("n_pieces"),
+        // fertility = pieces per ENCODED word (n_oov = 0 at the batch
+        // gate, so this is pieces/word there; NULL when nothing encodes)
         round(size(col("ids")).cast("double") /
-          nullif(col("n_words").cast("double"), lit(0.0)), 6).as("fertility"),
+          nullif((col("n_words") - col("n_oov")).cast("double"), lit(0.0)), 6)
+          .as("fertility"),
         expr("try_element_at(ids, 1)").as("first_id"),
         md5(concat_ws(",",
           expr("transform(ids, i -> cast(i as string))")).cast("binary"))
           .as("ids_hash"))
-      .orderBy(col("doc_id"))
   }
+
+  def q269UnigramEncode(s: SparkSession, dir: String): DataFrame =
+    encodeAgainst(
+      Tables.documents(s, dir).select(col("doc_id"), col("text")),
+      modelWordIds(UnigramLm.train(s, dir)))
+      .orderBy(col("doc_id"))
 
   // --------------------------------------------------------- oracle
   // shared prefix: word counts + seed + initial scores. `lists` is the
@@ -256,12 +286,17 @@ object UnigramQueries {
        |         unnest(range(1, len(toks) + 1)) AS wpos
        |  FROM lists),
        |enc AS (
-       |  SELECT doc_id, flatten(list(wid ORDER BY wpos)) AS ids
-       |  FROM dt JOIN wids USING (word) GROUP BY doc_id)
+       |  SELECT doc_id,
+       |         flatten(list(wid ORDER BY wpos) FILTER (WHERE wid IS NOT NULL))
+       |           AS ids,
+       |         count(*) FILTER (WHERE wid IS NULL) AS oov
+       |  FROM dt LEFT JOIN wids USING (word) GROUP BY doc_id)
        |SELECT l.doc_id, CAST(len(l.toks) AS BIGINT) AS n_words,
+       |       CAST(COALESCE(e.oov, 0) AS BIGINT) AS n_oov,
        |       CAST(len(COALESCE(e.ids, [])) AS BIGINT) AS n_pieces,
        |       round(CAST(len(COALESCE(e.ids, [])) AS DOUBLE)
-       |             / nullif(CAST(len(l.toks) AS DOUBLE), 0.0), 6) AS fertility,
+       |             / nullif(CAST(len(l.toks) - COALESCE(e.oov, 0) AS DOUBLE),
+       |                      0.0), 6) AS fertility,
        |       COALESCE(e.ids, [])[1] AS first_id,
        |       md5(array_to_string(
        |         list_transform(COALESCE(e.ids, []), x -> CAST(x AS VARCHAR)),

@@ -905,6 +905,29 @@ object StreamingOps {
       }
       .start()
 
+  /** Streaming unigram ENCODE — q269's ingest twin and the live form
+    * of tokenize-on-arrival: documents stream in; each micro-batch is
+    * encoded against the FROZEN word→piece-id artifact
+    * ([[graft.operators.UnigramQueries.modelWordIds]] — the trained
+    * model's deployable form, the q78/imageDedup
+    * state-lives-in-the-artifact pattern) through the batch
+    * [[graft.operators.UnigramQueries.encodeAgainst]] core. Per-doc
+    * output is row-local given the artifact, so stream ≡ batch by
+    * shared code AND by shape: any doc-partitioned micro-batch split
+    * unions to exactly the one-batch encode. Words the model never
+    * saw are counted per doc in `n_oov` (the honest streaming case the
+    * batch gate cannot produce), never silently dropped. Docs need
+    * (doc_id, text).
+    */
+  def streamingUnigramEncode(docs: DataFrame, wordIds: DataFrame)
+      (emit: DataFrame => Unit)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream.outputMode("append")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        emit(graft.operators.UnigramQueries.encodeAgainst(batch, wordIds))
+      }
+      .start()
+
   def runToMemory(spark: SparkSession, transformed: DataFrame, name: String,
       mode: OutputMode = OutputMode.Append): Unit = {
     val q = transformed.writeStream

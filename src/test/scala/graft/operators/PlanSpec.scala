@@ -298,6 +298,27 @@ class PlanSpec extends SparkTestBase {
       s"encode must not shuffle the corpus against a ~50k-row vocab:\n$p")
   }
 
+  test("q269: piece-id join broadcasts; every join is an equi-join") {
+    val p = formatted(graft.operators.UnigramQueries
+      .q269UnigramEncode(spark, sf0001))
+    // the vocab-id artifact join is the q126 broadcast contract; the
+    // word-keyed corpus join and doc reassembly must never nest
+    assert(p.contains("BroadcastHashJoin"),
+      s"vocab ids must broadcast against the piece table:\n$p")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("q268: the served banding join is equi-join only — no nested loops") {
+    val p = formatted(DedupQueries.q268BandingAuto(spark, sf0001))
+    // candidates come from the (band, bsig) bucket equi-join at the
+    // CHOSEN configuration; verification joins are id/word-keyed
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p)
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin") ||
+      p.contains("BroadcastHashJoin"), p)
+  }
+
   test("q137: linkage verifies inside blocks — an equi-join, never cartesian") {
     val p = formatted(Round7Queries.q137FuzzyPartLinkage(spark, sf0001))
     assert(!p.contains("CartesianProduct"), s"blocked join required:\n$p")

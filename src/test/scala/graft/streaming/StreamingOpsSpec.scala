@@ -1113,4 +1113,51 @@ class StreamingOpsSpec extends SparkTestBase {
       .toMap
     assert(streamed.view.filterKeys(batchEnc.keySet).toMap === batchEnc)
   }
+
+  test("streaming unigram encode across uneven micro-batches equals the batch encode; OOV counted") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.operators.UnigramQueries
+    val wordIds = UnigramQueries
+      .modelWordIds(graft.text.UnigramLm.train(spark, sf0001))
+      .localCheckpoint()
+    val known = wordIds.select("word").collect().map(_.getString(0)).toSet
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq
+    // inject one doc mixing a word the model never saw with a trained
+    // word — the streaming-only case the batch gate cannot produce
+    assert(!known.contains("zqxjkv"))
+    val oovDoc = (999999L, s"zqxjkv ${known.min} zqxjkv")
+    val all = docs :+ oovDoc
+    val got = scala.collection.mutable.Map[Long, (Long, Long, Long, String)]()
+    val input = MemoryStream[(Long, String)]
+    val q = StreamingOps.streamingUnigramEncode(
+        input.toDF.toDF("doc_id", "text"), wordIds) { v =>
+      v.collect().foreach { r =>
+        got.synchronized {
+          got(r.getLong(0)) =
+            (r.getLong(1), r.getLong(2), r.getLong(3), r.getString(6))
+        }
+      }
+    }
+    Seq(all.take(5), all.slice(5, 200), all.drop(200)).filter(_.nonEmpty)
+      .foreach { g => input.addData(g.toIndexedSeq: _*); q.processAllAvailable() }
+    q.stop()
+    import spark.implicits._
+    val batch = UnigramQueries.encodeAgainst(
+        all.toDF("doc_id", "text"), wordIds)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getString(6))).toMap
+    // stream ≡ batch: per-doc rows are artifact-local, so any
+    // doc-partitioned split unions to the one-batch encode
+    assert(got.toMap === batch)
+    // independent OOV recount: exactly the never-seen words, and the
+    // trained word still encodes (n_pieces > 0)
+    val (oWords, oOov, oPieces, _) = got(999999L)
+    assert(oWords === 3L)
+    assert(oOov === 2L)
+    assert(oPieces > 0L)
+    // the training corpus itself has zero OOV everywhere
+    assert(got.toMap.view.filterKeys(_ != 999999L).values.forall(_._2 == 0L))
+  }
 }

@@ -113,18 +113,21 @@ class UnigramLmSpec extends SparkTestBase {
     val expected = docs.map { case (id, text) =>
       val ws = toks(text)
       val seq = ws.flatMap(w => segs(w)._1.map(ids))
-      (id, ws.size.toLong, seq.size.toLong, seq.headOption,
+      // n_oov = 0 by construction: the batch gate encodes the corpus
+      // the model was trained on
+      (id, ws.size.toLong, 0L, seq.size.toLong, seq.headOption,
         md5hex(seq.mkString(",")))
     }.sortBy(_._1)
     val got = UnigramQueries.q269UnigramEncode(spark, sf0001).collect()
-      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
-        Option(r.get(4)).map(_.asInstanceOf[Long]), r.getString(5)))
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        Option(r.get(5)).map(_.asInstanceOf[Long]), r.getString(6)))
     assert(got.toSeq === expected.toSeq)
-    // fertility column: n_pieces / n_words, round-6, NULL on empty docs
+    // fertility column: n_pieces per encoded word, round-6, NULL when
+    // nothing encodes
     UnigramQueries.q269UnigramEncode(spark, sf0001).collect().foreach { r =>
-      if (r.getLong(1) == 0L) assert(r.isNullAt(3))
-      else assert(math.abs(r.getDouble(3) -
-        r.getLong(2).toDouble / r.getLong(1)) < 1e-6)
+      if (r.getLong(1) - r.getLong(2) == 0L) assert(r.isNullAt(4))
+      else assert(math.abs(r.getDouble(4) -
+        r.getLong(3).toDouble / (r.getLong(1) - r.getLong(2))) < 1e-6)
     }
   }
 
