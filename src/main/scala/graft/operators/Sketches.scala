@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Sketch-based approximate operators — the 100 TB counterparts of the
@@ -28,10 +28,23 @@ import org.apache.spark.sql.functions._
   */
 object Sketches {
 
-  /** Serializes [[bloomPrune]]'s session-conf raise/restore window —
-    * the caps are session-global state, so concurrent builds would
-    * otherwise race the save/restore. */
-  private val bloomCapLock = new Object
+  /** Per-SESSION locks serializing [[bloomPrune]]'s conf raise/restore
+    * window — the caps are session-scoped state, so only builds in the
+    * SAME session can race the save/restore; builds in unrelated
+    * sessions (whose confs are disjoint) proceed concurrently instead
+    * of queueing behind one process-wide monitor (round-9 ADVICE #2:
+    * one slow build must not block every other build JVM-wide). Weak
+    * keys are sound here, unlike the model-artifact caches: the lock
+    * Object holds no reference back to its session, so an entry dies
+    * exactly when its session becomes unreachable. */
+  private val bloomCapLocks = new java.util.WeakHashMap[SparkSession, Object]
+
+  private[operators] def bloomCapLock(s: SparkSession): Object =
+    bloomCapLocks.synchronized {
+      val hit = bloomCapLocks.get(s)
+      if (hit != null) hit
+      else { val o = new Object; bloomCapLocks.put(s, o); o }
+    }
 
   /** Approximate distinct values of `valueCol` per `keyCol`
     * (HyperLogLog++, default rsd 5%).
@@ -141,11 +154,12 @@ object Sketches {
     // stated (expectedItems, fpp) contract is ENFORCED, not advisory;
     // restored afterwards so session behavior elsewhere is untouched.
     // The set/restore pair mutates SESSION-scoped conf, so overlapping
-    // bloomPrune builds would race the save/restore and clobber each
-    // other's values: [[bloomCapLock]] serializes the raised-caps
-    // window process-wide (the build job itself runs distributed under
-    // the lock — only concurrent BUILDS serialize, probes are
-    // untouched). A concurrent UNRELATED query in the same session can
+    // bloomPrune builds in the SAME session would race the save/restore
+    // and clobber each other's values: [[bloomCapLock]] serializes the
+    // raised-caps window per session (the build job itself runs
+    // distributed under the lock — only concurrent same-session BUILDS
+    // serialize; probes, and builds in other sessions, are untouched).
+    // A concurrent UNRELATED query in the same session can
     // still observe the raised caps for the duration of one build;
     // that is benign here (the caps only bound bloom sizes a query
     // explicitly requests) and documented rather than solved with a
@@ -155,7 +169,7 @@ object Sketches {
     val capKeys = Seq(
       "spark.sql.optimizer.runtime.bloomFilter.maxNumBits" -> numBits,
       "spark.sql.optimizer.runtime.bloomFilter.maxNumItems" -> expectedItems)
-    val sketch = bloomCapLock.synchronized {
+    val sketch = bloomCapLock(small.sparkSession).synchronized {
       val saved = capKeys.map { case (k, _) => k -> conf.getOption(k) }
       try {
         capKeys.foreach { case (k, need) =>

@@ -144,4 +144,27 @@ class SketchesSpec extends SparkTestBase {
     assert((spark.conf.getOption(bitsKey), spark.conf.getOption(itemsKey)) === before,
       "concurrent bloomPrune builds must restore the session confs")
   }
+
+  test("bloomCapLock is keyed per session: same session shares a monitor, sessions never do") {
+    // the round-9 ADVICE #2 scope fix: the caps are SESSION conf, so
+    // only same-session builds share state worth serializing — a slow
+    // build in one session must not queue builds in unrelated sessions
+    // behind a process-wide monitor. Deterministic pin of the keying
+    // (the concurrency contract itself is covered by the race test
+    // above, which runs entirely within one session).
+    val s2 = spark.newSession()
+    assert(Sketches.bloomCapLock(spark) eq Sketches.bloomCapLock(spark),
+      "repeated lookups in one session must yield the same monitor")
+    assert(Sketches.bloomCapLock(s2) eq Sketches.bloomCapLock(s2))
+    assert(!(Sketches.bloomCapLock(spark) eq Sketches.bloomCapLock(s2)),
+      "distinct sessions must get distinct monitors (disjoint confs)")
+    // and the per-session conf isolation the keying relies on holds:
+    // raising a cap in s2 is invisible to the root session
+    val bitsKey = "spark.sql.optimizer.runtime.bloomFilter.maxNumBits"
+    val before = spark.conf.getOption(bitsKey)
+    s2.conf.set(bitsKey, "123456789")
+    assert(spark.conf.getOption(bitsKey) === before,
+      "session conf must be isolated or per-session locking is unsound")
+    s2.conf.unset(bitsKey)
+  }
 }
