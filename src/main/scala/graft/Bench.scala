@@ -126,7 +126,8 @@ object Bench {
     "q258_ivfpq_compact", "q259_pq_drift_audit",
     "q260_label_noise_audit", "q261_self_bleu", "q262_label_noise_blocked",
     "q263_nprobe_auto", "q264_ivfpq_retrain", "q265_compaction_policy",
-    "q266_unigram_vocab", "q267_unigram_segment", "q269_unigram_encode")
+    "q266_unigram_vocab", "q267_unigram_segment", "q269_unigram_encode",
+    "q270_unigram_decode", "q271_bm25_params_auto")
 
   /** 1/5/15-min load averages — recorded at start and end so a
     * load-contaminated run is self-documenting (BENCH_r04's 544 s

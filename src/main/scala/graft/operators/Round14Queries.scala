@@ -65,16 +65,31 @@ object Round14Queries {
     * query, per-key heaps for many). */
   def bm25ScoreKeyed(tfq: DataFrame, dl: DataFrame, dfTab: DataFrame,
       stats: DataFrame): DataFrame =
+    bm25ScoreKeyedAt(tfq, dl, dfTab, stats,
+      Seq("query_id", "doc_id"), lit(Bm25K1), lit(Bm25B))
+
+  /** [[bm25ScoreKeyed]] with the Okapi dials (k1, b) as COLUMNS and the
+    * aggregation keys explicit — the single formula site behind the
+    * fixed-dial surfaces above AND the (k1, b) grid sweep
+    * ([[Round15Queries.q271Bm25ParamsAuto]]): a sweep that re-spelled
+    * the formula could drift from what the operators serve, so the
+    * sweep scores through THIS code with the grid columns joined in
+    * (the ivfPqScoreAtMax one-body discipline). `keyCols` must make
+    * (k1, b) constant within each group when they are real columns. */
+  def bm25ScoreKeyedAt(tfq: DataFrame, dl: DataFrame, dfTab: DataFrame,
+      stats: DataFrame, keyCols: Seq[String],
+      k1: org.apache.spark.sql.Column,
+      b: org.apache.spark.sql.Column): DataFrame =
     tfq.join(broadcast(dfTab), Seq("term"))
       .join(dl, Seq("doc_id"))
       .crossJoin(broadcast(stats))
       .withColumn("idf",
         log(lit(1.0) + (col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5))))
       .withColumn("contrib",
-        col("idf") * (col("tf") * lit(Bm25K1 + 1.0)) /
-          (col("tf") + lit(Bm25K1) *
-            (lit(1.0) - lit(Bm25B) + lit(Bm25B) * col("dl") / col("avgdl"))))
-      .groupBy(col("query_id"), col("doc_id"))
+        col("idf") * (col("tf") * (k1 + lit(1.0))) /
+          (col("tf") + k1 *
+            (lit(1.0) - b + b * col("dl") / col("avgdl"))))
+      .groupBy(keyCols.map(col): _*)
       .agg(round(sum(col("contrib")), 6).as("bm25"),
         count(lit(1)).as("n_terms_hit"))
 

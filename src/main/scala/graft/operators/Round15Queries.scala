@@ -68,7 +68,24 @@ object Round15Queries {
     * before ranking — shared by q244 (per-query top-k) and q248
     * (per-query nDCG needs the FULL scored relation for the ideal
     * ranking, not just the top-k). */
-  private[operators] def multiBm25Scored(s: SparkSession, dir: String): DataFrame = {
+  private[operators] def multiBm25Scored(s: SparkSession, dir: String): DataFrame =
+    multiBm25ScoredMaybeGrid(s, dir, None)
+
+  /** The q244 corpus plumbing with an optional (k1_micro, b_micro)
+    * GRID joined in before scoring — one body for the fixed-dial
+    * scored table and the q271 sweep, so they cannot drift. With a
+    * grid, every grid point's slice of the output is EXACTLY what
+    * [[multiBm25Scored]] would score at those dials (same tfq rows,
+    * same [[Round14Queries.bm25ScoreKeyedAt]] formula, dials constant
+    * within each (k1_micro, b_micro) group) — the scored-at-grid ≡
+    * scored-at-point law the serve side of q271 rests on, pinned in
+    * Round15QueriesSpec. The grid rides a broadcast cross join BEFORE
+    * the score aggregation, so the corpus-sized exchange still carries
+    * partial aggregates (map-side combine over |grid|× the (query,
+    * doc) groups), never raw |grid|× posting rows.
+    */
+  private[operators] def multiBm25ScoredMaybeGrid(s: SparkSession,
+      dir: String, grid: Option[DataFrame]): DataFrame = {
     val docs = Tables.documents(s, dir)
       .select(col("doc_id"), TextPrep.tokensCol(col("text")).as("toks"))
     val dl = docs.select(col("doc_id"), size(col("toks")).cast("long").as("dl"))
@@ -87,7 +104,13 @@ object Round15Queries {
     val dfTab = dfAll
       .join(broadcast(qterms.select(col("term")).distinct()), Seq("term"), "left_semi")
     val tfq = alltf.join(broadcast(qterms), Seq("term"))
-    Round14Queries.bm25ScoreKeyed(tfq, dl, dfTab, stats)
+    grid match {
+      case None => Round14Queries.bm25ScoreKeyed(tfq, dl, dfTab, stats)
+      case Some(g) => Round14Queries.bm25ScoreKeyedAt(
+        tfq.crossJoin(broadcast(g)), dl, dfTab, stats,
+        Seq("k1_micro", "b_micro", "query_id", "doc_id"),
+        col("k1_micro") / lit(1e6), col("b_micro") / lit(1e6))
+    }
   }
 
   /** Deterministic query-table synthesis from a vocabulary df table:
@@ -189,7 +212,8 @@ object Round15Queries {
     * 2-term query cannot reach 2^27 micro-units; if it somehow does,
     * that is data corruption, not a bigger domain). */
   private[graft] def rankMultiBm25Dispatch(scored: DataFrame,
-      heapSafe: Boolean, k: Int): DataFrame = {
+      heapSafe: Boolean, k: Int,
+      keyCols: Seq[String] = Seq("query_id")): DataFrame = {
     val micro = round(col("bm25") * 1e6)
     val inRange = abs(micro) < lit(1L << 27) &&
       (lit(!heapSafe) || (col("doc_id") >= 0L && col("doc_id") < lit(1L << 25)))
@@ -198,10 +222,10 @@ object Round15Queries {
         lit("multi-bm25: ord encoding out of range (bm25="),
         col("bm25").cast("string"), lit(", doc_id="),
         col("doc_id").cast("string"), lit(")"))))
-    graft.plans.TopK.rankTopKOrWindow(scored, Seq("query_id"), ord,
+    graft.plans.TopK.rankTopKOrWindow(scored, keyCols, ord,
         Seq(col("bm25").desc, col("doc_id").asc), k, heapSafe)
-      .select(col("query_id"), col("doc_id"), col("bm25"),
-        col("n_terms_hit"), col("rk"))
+      .select((keyCols ++ Seq("doc_id", "bm25", "n_terms_hit", "rk"))
+        .map(col): _*)
   }
 
   def q244MultiBm25(s: SparkSession, dir: String): DataFrame =
@@ -277,11 +301,15 @@ object Round15Queries {
     * IDCG both read it), two heap rankings, one |Q|-row join. Nothing
     * corpus-scale crosses an exchange after the scoring join.
     */
+  /** Nano-quantized graded gain at a ranking position — reads the
+    * row's `n_terms_hit` grade; shared by q248's eval and q271's
+    * (k1, b) sweep so both measure the same quality. */
+  private def gainNano(pos: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    round(lit(1e9) * (pow(lit(2.0), col("n_terms_hit")) - lit(1.0)) /
+      log2(pos + lit(1.0)), 0).cast("long")
+
   def q248MultiQueryNdcg(s: SparkSession, dir: String): DataFrame = {
     val scored = multiBm25Scored(s, dir).localCheckpoint()
-    val gainNano = (pos: org.apache.spark.sql.Column) =>
-      round(lit(1e9) * (pow(lit(2.0), col("n_terms_hit")) - lit(1.0)) /
-        log2(pos + lit(1.0)), 0).cast("long")
     // id-range probe over the cheap parquet id table (column-pruned
     // doc_id min/max — the q244 convention), not over `scored`: even
     // checkpointed, probing the scored relation reads the whole scored
@@ -342,6 +370,176 @@ object Round15Queries {
        |         AS ndcg
        |FROM dcg d JOIN idcg i USING (query_id)
        |ORDER BY d.query_id""".stripMargin
+  }
+
+  // ---------------------------------------------------------------- q271
+  /** Engine-chosen BM25 operating point — the retrieval layer's dial
+    * closed the way the ANN layer's was (q252→q263) and the LSH
+    * layer's (q243→q268): Okapi's (k1, b) are tuning parameters every
+    * deployment hand-picks from folklore (1.2, 0.75); here the engine
+    * MEASURES a (k1, b) grid against the ranking-quality metric the
+    * pipeline already evaluates with (q248's per-query nDCG@k, same
+    * [[gainNano]] grades, same heap ranking the operator serves) and
+    * picks the point with a PURE rule ([[chooseBm25Params]]).
+    *
+    * Sweep shape at scale: the corpus is scored ONCE — the grid is a
+    * 12-row broadcast crossed into the scoring join BEFORE the
+    * aggregation ([[multiBm25ScoredMaybeGrid]]; partial aggregation
+    * means the exchange carries |grid|× the (query, doc) GROUPS, not
+    * |grid|× posting rows), and each grid point's slice is exactly the
+    * fixed-dial scored table at those dials (shared
+    * [[Round14Queries.bm25ScoreKeyedAt]] body — the one-formula
+    * discipline, pinned in Round15QueriesSpec). The ideal ranking is
+    * grid-INVARIANT (grades are term-coverage counts, dials only move
+    * scores), so IDCG is computed once per query off one grid slice.
+    * The serve side re-ranks the CHOSEN slice of the already-scored
+    * table (scored-at-grid filtered to a point IS scored-at-point —
+    * the ivfPqScoreAtMax law), rows carrying the choice.
+    *
+    * The oracle replays measurement, rule, AND serve, so the hash
+    * gates the decision itself (the q263/q268 convention).
+    */
+  val Bm25GridK1Micro: Seq[Long] = Seq(600000L, 1200000L, 2000000L)
+  val Bm25GridBMicro: Seq[Long] = Seq(0L, 400000L, 750000L, 1000000L)
+
+  /** Pure operating-point rule (the chooseNprobe discipline): the grid
+    * point with the highest measured quality (sum over queries of
+    * nano-quantized nDCG@k — exact longs, so cross-engine argmax is
+    * exact); ties break to the SMALLEST (k1, then b) — less tf
+    * saturation and length normalization, the simplest dials that
+    * achieve the measured best (Occam, matching chooseNprobe's
+    * cheapest-satisfying). Input rows: (k1_micro, b_micro,
+    * quality_nano). */
+  def chooseBm25Params(sweep: Seq[(Long, Long, Long)]): (Long, Long) = {
+    require(sweep.nonEmpty, "chooseBm25Params: empty sweep")
+    val best = sweep.maxBy { case (k1, b, q) => (q, -k1, -b) }
+    (best._1, best._2)
+  }
+
+  private def bm25Grid(s: SparkSession): DataFrame = {
+    import s.implicits._
+    (for (k1 <- Bm25GridK1Micro; b <- Bm25GridBMicro) yield (k1, b))
+      .toDF("k1_micro", "b_micro")
+  }
+
+  def q271Bm25ParamsAuto(s: SparkSession, dir: String): DataFrame = {
+    val gscored = multiBm25ScoredMaybeGrid(s, dir, Some(bm25Grid(s)))
+      .localCheckpoint()
+    val heapSafe = graft.plans.TopK.idRangeSafe(
+      Tables.documents(s, dir).select(col("doc_id")), "doc_id", 1L << 25)
+    val keys = Seq("k1_micro", "b_micro", "query_id")
+    // per-(grid, query) DCG@k over each grid point's OWN ranking,
+    // through the identical dispatch the serve side uses
+    val dcg = rankMultiBm25Dispatch(gscored, heapSafe, MultiBm25K, keys)
+      .select(keys.map(col) :+ gainNano(col("rk")).as("gain_nano"): _*)
+      .groupBy(keys.map(col): _*).agg(sum(col("gain_nano")).as("dcg_nano"))
+    // grade support is grid-invariant — any slice carries it; use the
+    // grid's first point
+    val rel = gscored
+      .filter(col("k1_micro") === Bm25GridK1Micro.head &&
+        col("b_micro") === Bm25GridBMicro.head)
+      .select(col("query_id"), col("doc_id"), col("n_terms_hit"))
+    // per-query ideal: (rel desc, doc_id asc) — q248's packed-ord heap
+    val iOrd = col("n_terms_hit") * lit(1L << 25) - col("doc_id")
+    val iTop = graft.plans.TopK.topKPerKey(rel, Seq("query_id"), iOrd,
+      MultiBm25K)
+    val wI = Window.partitionBy(col("query_id"))
+      .orderBy(col("n_terms_hit").desc, col("doc_id").asc)
+    val ideal = iTop.withColumn("rk", row_number().over(wI))
+      .select(col("query_id"), gainNano(col("rk")).as("gain_nano"))
+      .groupBy(col("query_id")).agg(sum(col("gain_nano")).as("idcg_nano"))
+    val sweep = dcg.join(ideal, Seq("query_id"))
+      .select(col("k1_micro"), col("b_micro"),
+        round(lit(1e9) * col("dcg_nano") /
+          nullif(col("idcg_nano").cast("double"), lit(0.0)), 0)
+          .cast("long").as("ndcg_nano"))
+      .groupBy(col("k1_micro"), col("b_micro"))
+      .agg(sum(col("ndcg_nano")).as("quality_nano"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    val (k1c, bc) = chooseBm25Params(sweep)
+    rankMultiBm25Dispatch(
+        gscored.filter(col("k1_micro") === k1c && col("b_micro") === bc)
+          .drop("k1_micro", "b_micro"),
+        heapSafe, MultiBm25K)
+      .select(lit(k1c).as("k1_micro"), lit(bc).as("b_micro"),
+        col("query_id"), col("doc_id"), col("bm25"), col("n_terms_hit"),
+        col("rk"))
+      .orderBy(col("query_id"), col("rk"))
+  }
+
+  val q271Sql: String = {
+    val base = q244Sql.substring(0, q244Sql.indexOf("scored AS ("))
+    val gridVals = (for (k1 <- Bm25GridK1Micro; b <- Bm25GridBMicro)
+      yield s"($k1, $b)").mkString(", ")
+    s"""${base}comp AS (
+       |  SELECT q.query_id, t.doc_id, t.tf, d.df, l.dl, s.n_docs, s.avgdl
+       |  FROM alltf t
+       |  JOIN qterms q USING (term)
+       |  JOIN dfreq d USING (term)
+       |  JOIN dl l USING (doc_id)
+       |  CROSS JOIN stats s),
+       |grid AS (SELECT * FROM (VALUES $gridVals) g(k1_micro, b_micro)),
+       |gscored AS (
+       |  SELECT g.k1_micro, g.b_micro, c.query_id, c.doc_id,
+       |         round(sum(ln(1.0 + (c.n_docs - c.df + 0.5) / (c.df + 0.5)) *
+       |             (c.tf * (g.k1_micro / 1e6 + 1.0)) /
+       |             (c.tf + (g.k1_micro / 1e6) *
+       |              (1.0 - g.b_micro / 1e6 +
+       |               (g.b_micro / 1e6) * c.dl / c.avgdl))), 6) AS bm25,
+       |         CAST(count(*) AS BIGINT) AS n_terms_hit
+       |  FROM comp c CROSS JOIN grid g
+       |  GROUP BY g.k1_micro, g.b_micro, c.query_id, c.doc_id),
+       |gtop AS (
+       |  SELECT k1_micro, b_micro, query_id, n_terms_hit,
+       |         row_number() OVER (PARTITION BY k1_micro, b_micro, query_id
+       |                            ORDER BY bm25 DESC, doc_id ASC) AS pos
+       |  FROM gscored),
+       |gdcg AS (
+       |  SELECT k1_micro, b_micro, query_id,
+       |         CAST(sum(CAST(round(1e9 * (pow(2, n_terms_hit) - 1)
+       |                              / log2(pos + 1), 0) AS BIGINT))
+       |              AS BIGINT) AS dcg_nano
+       |  FROM gtop WHERE pos <= $MultiBm25K
+       |  GROUP BY k1_micro, b_micro, query_id),
+       |rel AS (
+       |  SELECT query_id, doc_id, CAST(count(*) AS BIGINT) AS n_terms_hit
+       |  FROM comp GROUP BY query_id, doc_id),
+       |irank AS (
+       |  SELECT query_id, n_terms_hit,
+       |         row_number() OVER (PARTITION BY query_id
+       |                            ORDER BY n_terms_hit DESC, doc_id ASC) AS pos
+       |  FROM rel),
+       |idcg AS (
+       |  SELECT query_id,
+       |         CAST(sum(CAST(round(1e9 * (pow(2, n_terms_hit) - 1)
+       |                              / log2(pos + 1), 0) AS BIGINT))
+       |              AS BIGINT) AS idcg_nano
+       |  FROM irank WHERE pos <= $MultiBm25K GROUP BY query_id),
+       |nq AS (
+       |  SELECT d.k1_micro, d.b_micro,
+       |         CAST(round(1e9 * d.dcg_nano /
+       |                    CAST(nullif(i.idcg_nano, 0) AS DOUBLE), 0)
+       |              AS BIGINT) AS ndcg_nano
+       |  FROM gdcg d JOIN idcg i USING (query_id)),
+       |sweep AS (
+       |  SELECT k1_micro, b_micro, CAST(sum(ndcg_nano) AS BIGINT)
+       |           AS quality_nano
+       |  FROM nq GROUP BY k1_micro, b_micro),
+       |chosen AS (
+       |  SELECT k1_micro, b_micro FROM sweep
+       |  ORDER BY quality_nano DESC, k1_micro ASC, b_micro ASC LIMIT 1),
+       |stopk AS (
+       |  SELECT s.k1_micro, s.b_micro, s.query_id, s.doc_id, s.bm25,
+       |         s.n_terms_hit,
+       |         row_number() OVER (PARTITION BY s.query_id
+       |                            ORDER BY s.bm25 DESC, s.doc_id ASC) AS pos
+       |  FROM gscored s
+       |  JOIN chosen c ON s.k1_micro = c.k1_micro AND s.b_micro = c.b_micro)
+       |SELECT CAST(k1_micro AS BIGINT) AS k1_micro,
+       |       CAST(b_micro AS BIGINT) AS b_micro,
+       |       query_id, doc_id, bm25, n_terms_hit, CAST(pos AS BIGINT) AS rk
+       |FROM stopk WHERE pos <= $MultiBm25K
+       |ORDER BY query_id, rk""".stripMargin
   }
 
   // ---------------------------------------------------------------- q246
@@ -426,7 +624,8 @@ object Round15Queries {
     "q244_multi_bm25" -> (q244MultiBm25 _),
     "q246_sql_bm25" -> (q246SqlBm25 _),
     "q248_multi_query_ndcg" -> (q248MultiQueryNdcg _),
-    "q253_sql_multi_bm25" -> (q253SqlMultiBm25 _))
+    "q253_sql_multi_bm25" -> (q253SqlMultiBm25 _),
+    "q271_bm25_params_auto" -> (q271Bm25ParamsAuto _))
 
   val oracles: Map[String, String] = Map(
     "q244_multi_bm25" -> q244Sql,
@@ -434,5 +633,6 @@ object Round15Queries {
     "q248_multi_query_ndcg" -> q248Sql,
     // q253 IS q244 at the SQL surface — identical result contract,
     // so the oracle is shared (the q225/q211 convention)
-    "q253_sql_multi_bm25" -> q244Sql)
+    "q253_sql_multi_bm25" -> q244Sql,
+    "q271_bm25_params_auto" -> q271Sql)
 }

@@ -136,6 +136,60 @@ object UnigramQueries {
       modelWordIds(UnigramLm.train(s, dir)))
       .orderBy(col("doc_id"))
 
+  // ------------------------------------------------------------ q270
+  /** Unigram DECODE round-trip — the acceptance test that closes the
+    * unigram lifecycle the way q167 closed BPE's (q266 train → q269
+    * encode → THIS → verify): the [[modelWordIds]] artifact's id
+    * sequences map back through the REVERSED vocabulary (id → piece,
+    * the same dense ranks q269 assigned), pieces reassemble in
+    * position order, and the space-joined per-doc result must
+    * reproduce the normalized text exactly. Losslessness is a theorem
+    * here — Viterbi segmentation covers each word exactly
+    * (UnigramLmSpec's reassembly law) — and this query is that theorem
+    * run distributed and hash-gated per document (`ok` emitted as 0/1,
+    * the q167 acceptance shape).
+    *
+    * THE SCALE SHAPE: decoding happens ONCE at vocabulary scale — the
+    * artifact's id arrays explode against a broadcast id→piece table
+    * and regroup word-keyed (|vocab| rows under the MaxSeedPieces
+    * cap) — so the corpus pays exactly q269's two exchanges: one
+    * word-keyed broadcast join of the exploded corpus against the
+    * decoded-word table, one doc_id-keyed reassembly. No corpus-sized
+    * window, no second corpus scan.
+    */
+  def q270UnigramDecode(s: SparkSession, dir: String): DataFrame = {
+    val m = UnigramLm.train(s, dir)
+    // reversed vocabulary: the SAME dense ranking q269 encodes under
+    val idPiece = m.counts
+      .withColumn("id", row_number()
+        .over(Window.orderBy(col("cnt").desc, col("piece").asc)).cast("long"))
+      .select(col("id"), col("piece"))
+    val decodedWords = modelWordIds(m)
+      .select(col("word"), posexplode(col("wid")).as(Seq("ppos", "id")))
+      .join(broadcast(idPiece), Seq("id"))
+      .groupBy(col("word"))
+      .agg(sort_array(collect_list(struct(col("ppos"), col("piece")))).as("ps"))
+      .select(col("word"),
+        expr("array_join(transform(ps, p -> p.piece), '')").as("dword"))
+    val toks = Tables.documents(s, dir)
+      .select(col("doc_id"), TextPrep.tokensCol(col("text")).as("toks"))
+    val dec = toks
+      .select(col("doc_id"), posexplode(col("toks")).as(Seq("wpos", "word")))
+      .join(broadcast(decodedWords), Seq("word"))
+      .groupBy(col("doc_id"))
+      .agg(sort_array(collect_list(struct(col("wpos"), col("dword")))).as("ws"))
+      .select(col("doc_id"),
+        expr("array_join(transform(ws, w -> w.dword), ' ')").as("decoded"))
+    toks.select(col("doc_id"), concat_ws(" ", col("toks")).as("orig"))
+      .join(dec, Seq("doc_id"), "left")
+      .withColumn("decoded", coalesce(col("decoded"), lit("")))
+      .select(col("doc_id"),
+        octet_length(col("decoded")).cast("long").as("n_bytes"),
+        md5(col("decoded").cast("binary")).as("decoded_hash"),
+        when(col("decoded") === col("orig"), 1L).otherwise(0L).as("ok"))
+      .orderBy(col("doc_id"))
+  }
+
   // --------------------------------------------------------- oracle
   // shared prefix: word counts + seed + initial scores. `lists` is the
   // module-shared tokenizer CTE (TextStatsQueries.listsCte's contract,
@@ -304,13 +358,53 @@ object UnigramQueries {
        |FROM lists l LEFT JOIN enc e USING (doc_id)
        |ORDER BY l.doc_id""".stripMargin
 
+  val q270Sql: String =
+    s"""WITH RECURSIVE $allCtes,
+       |vocabids AS (
+       |  SELECT piece, CAST(row_number() OVER (ORDER BY cnt DESC, piece ASC)
+       |         AS BIGINT) AS id
+       |  FROM vc$R),
+       |wp AS (
+       |  SELECT word, unnest(pieces) AS piece,
+       |         unnest(range(1, len(pieces) + 1)) AS ppos
+       |  FROM seg$R),
+       |wids AS (
+       |  SELECT word, list(id ORDER BY ppos) AS wid
+       |  FROM wp JOIN vocabids USING (piece) GROUP BY word),
+       |dw AS (
+       |  SELECT word, unnest(wid) AS id,
+       |         unnest(range(1, len(wid) + 1)) AS ppos
+       |  FROM wids),
+       |dwords AS (
+       |  SELECT dw.word,
+       |         array_to_string(list(v.piece ORDER BY dw.ppos), '') AS dword
+       |  FROM dw JOIN vocabids v USING (id) GROUP BY dw.word),
+       |dt AS (
+       |  SELECT doc_id, unnest(toks) AS word,
+       |         unnest(range(1, len(toks) + 1)) AS wpos
+       |  FROM lists),
+       |dec AS (
+       |  SELECT doc_id, array_to_string(list(dword ORDER BY wpos), ' ')
+       |           AS decoded
+       |  FROM dt JOIN dwords USING (word) GROUP BY doc_id)
+       |SELECT l.doc_id,
+       |       CAST(strlen(COALESCE(d.decoded, '')) AS BIGINT) AS n_bytes,
+       |       md5(COALESCE(d.decoded, '')) AS decoded_hash,
+       |       CAST(CASE WHEN COALESCE(d.decoded, '')
+       |                      = array_to_string(l.toks, ' ')
+       |            THEN 1 ELSE 0 END AS BIGINT) AS ok
+       |FROM lists l LEFT JOIN dec d USING (doc_id)
+       |ORDER BY l.doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q266_unigram_vocab" -> (q266UnigramVocab _),
     "q267_unigram_segment" -> (q267UnigramSegment _),
-    "q269_unigram_encode" -> (q269UnigramEncode _))
+    "q269_unigram_encode" -> (q269UnigramEncode _),
+    "q270_unigram_decode" -> (q270UnigramDecode _))
 
   val oracles: Map[String, String] = Map(
     "q266_unigram_vocab" -> q266Sql,
     "q267_unigram_segment" -> q267Sql,
-    "q269_unigram_encode" -> q269Sql)
+    "q269_unigram_encode" -> q269Sql,
+    "q270_unigram_decode" -> q270Sql)
 }

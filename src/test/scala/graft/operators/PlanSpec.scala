@@ -309,6 +309,31 @@ class PlanSpec extends SparkTestBase {
       !p.contains("BroadcastNestedLoopJoin"), p)
   }
 
+  test("q270: decode joins broadcast both vocab directions; nothing nests") {
+    val p = formatted(graft.operators.UnigramQueries
+      .q270UnigramDecode(spark, sf0001))
+    // id→piece and word→decoded-word are vocabulary-sized broadcast
+    // sides (the q167 decode contract); the corpus-side joins are
+    // word- and doc_id-keyed equi-joins
+    assert(p.contains("BroadcastHashJoin"),
+      s"vocab tables must broadcast against the corpus:\n$p")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("q271: the served ranking rides the per-key heaps; nothing nests") {
+    val df = Round15Queries.q271Bm25ParamsAuto(spark, sf0001)
+    // the serve side must rank through TopKPerKeyExec exactly like
+    // q244 (the sweep/choice ran inside the operator; the returned
+    // plan is the serving path over the chosen slice)
+    assert(df.queryExecution.optimizedPlan.collect {
+      case t: graft.plans.TopKPerKey => t
+    }.nonEmpty, "q271 must rank via TopKPerKeyExec")
+    val p = formatted(df)
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
   test("q268: the served banding join is equi-join only — no nested loops") {
     val p = formatted(DedupQueries.q268BandingAuto(spark, sf0001))
     // candidates come from the (band, bsig) bucket equi-join at the
@@ -924,7 +949,9 @@ class PlanSpec extends SparkTestBase {
       "q244_multi_bm25" -> "query synthesis ranks over the LIMIT-300 term table and the LIMIT-150 pair table (TakeOrderedAndProject feeds both); scoring/ranking is per-key heaps",
       "q256_rrf_fusion" -> "leg re-rank + fused rank ride the two k-row leg results (LIMIT-10 BM25, top-10 ANN heap) — the fusion is k-bounded metadata work by design; corpus cost lives in the audited legs",
       "q266_unigram_vocab" -> "unigram vocab ranking over the model's used-piece table: |vocab| rows (⊆ the MaxSeedPieces-capped seed support — the cap exists exactly to keep this table vocabulary-sized; the corpus is touched only by the word-count pass, localCheckpointed away)",
-      "q269_unigram_encode" -> "unigram id assignment over the model's used-piece table — the q126/q266 class: |vocab| rows under the MaxSeedPieces cap; corpus rows never enter a window (doc reassembly is a doc_id-keyed aggregate)")
+      "q269_unigram_encode" -> "unigram id assignment over the model's used-piece table — the q126/q266 class: |vocab| rows under the MaxSeedPieces cap; corpus rows never enter a window (doc reassembly is a doc_id-keyed aggregate)",
+      "q270_unigram_decode" -> "the q269 id assignment plus its REVERSE (id → piece) — both windows ride the model's used-piece table (|vocab| rows under the MaxSeedPieces cap); the corpus only crosses the word-keyed broadcast join and the doc_id-keyed reassembly, the q167 decode shape",
+      "q271_bm25_params_auto" -> "the q244 query-synthesis windows (LIMIT-300 term table, LIMIT-150 pair table — TakeOrderedAndProject feeds both); sweep DCG, ideal IDCG, and the served ranking are all per-key heaps + key-partitioned ≤k windows, never an unpartitioned rank over the grid-scored stream")
     val offenders = graft.SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
       case (name, fn) =>
         val ws = try unpartitionedWindows(fn(spark, sf0001)) catch {
@@ -1032,7 +1059,9 @@ class PlanSpec extends SparkTestBase {
       "q253_sql_multi_bm25" -> "same query table as q244, reaching the plan as a registered temp view of the localCheckpointed synthesis — |Q|-bounded by the q244 contract (a production query workload is a broadcast-sized input relation)",
       "q263_nprobe_auto" -> "serves q245's probe shape at the engine-chosen dial (|Q|·nprobe probe rows + |Q|-row LUT, the same k-bounded window filter); the tuning sweep and exact side run inside the operator before the served plan exists",
       "q265_compaction_policy" -> "tombstone side capacity-gated via BoundedBroadcast (graft.ann.maxTombstones, shuffled left-outer fallback); the localCheckpoint hides the gate from the shape rule — the q254 pattern",
-      "q269_unigram_encode" -> "broadcast side is the vocab-id table over the model's used pieces (MaxSeedPieces-capped — the q126 broadcast-vocab contract); the model's localCheckpoint hides the aggregate from the shape rule")
+      "q269_unigram_encode" -> "broadcast side is the vocab-id table over the model's used pieces (MaxSeedPieces-capped — the q126 broadcast-vocab contract); the model's localCheckpoint hides the aggregate from the shape rule",
+      "q270_unigram_decode" -> "broadcast sides are the reversed vocab-id table and the decoded-word artifact — both over the model's used pieces / trained words (MaxSeedPieces- and vocabulary-capped, the q269/q167 contract); the model's localCheckpoint hides the aggregates from the shape rule",
+      "q271_bm25_params_auto" -> "same LIMIT-150 query-table broadcast as q244 (localCheckpoint hides the limit); the 12-row (k1, b) grid is a LocalRelation (bounded by shape); the sweep itself collects 12 rows, and the served plan re-ranks the checkpointed chosen slice")
     val offenders = graft.SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
       case (name, fn) =>
         val unbounded = try hintedSides(fn(spark, sf0001)).filterNot(bounded) catch {

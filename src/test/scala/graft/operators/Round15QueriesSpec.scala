@@ -19,15 +19,15 @@ class Round15QueriesSpec extends SparkTestBase {
     * rank-pairs) and scores EVERY (query, matching doc) pair —
     * (doc_id, bm25 round-6, rel = terms hit).
     */
-  private def localKeyedBm25(dir: String)
+  private def localKeyedBm25(dir: String,
+      k1: Double = Round14Queries.Bm25K1,
+      b: Double = Round14Queries.Bm25B)
       : Map[Long, Vector[(Long, Double, Long)]] = {
     val docs = spark.read.parquet(s"$dir/documents.parquet")
       .select("doc_id", "text").collect().toVector
       .map(r => (r.getLong(0), tokens(r.getString(1))))
     val n = docs.size.toLong
     val avgdl = docs.map(_._2.size.toLong).sum.toDouble / n
-    val k1 = Round14Queries.Bm25K1
-    val b = Round14Queries.Bm25B
     val df: Map[String, Long] = docs.flatMap(_._2.distinct)
       .groupBy(identity).map { case (t, xs) => t -> xs.size.toLong }
     val rankedTerms = df.toVector
@@ -108,6 +108,87 @@ class Round15QueriesSpec extends SparkTestBase {
     got.values.foreach { case (dcg, idcg, ndcg) =>
       assert(dcg <= idcg && ndcg >= 0.0 && ndcg <= 1.0)
     }
+  }
+
+  test("q271: the (k1, b) sweep, choice, and served ranking match a local replay") {
+    val k = Round15Queries.MultiBm25K
+    def nano(rel: Long, pos: Int): Long =
+      BigDecimal(1e9 * (math.pow(2.0, rel.toDouble) - 1.0) /
+        (math.log(pos + 1.0) / math.log(2.0)))
+        .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+    // local sweep: per grid point, DCG over that point's own ranking;
+    // IDCG is grid-invariant (grade support does not move with dials)
+    val idcg: Map[Long, Long] = localKeyedBm25(sf0001).map {
+      case (qid, scored) =>
+        qid -> scored.sortBy { case (id, _, rel) => (-rel, id) }.take(k)
+          .zipWithIndex.map { case ((_, _, rel), i) => nano(rel, i + 1) }.sum
+    }
+    val sweep = for {
+      k1m <- Round15Queries.Bm25GridK1Micro
+      bm <- Round15Queries.Bm25GridBMicro
+    } yield {
+      val quality = localKeyedBm25(sf0001, k1m / 1e6, bm / 1e6).map {
+        case (qid, scored) =>
+          val dcg = scored.sortBy { case (id, s, _) => (-s, id) }.take(k)
+            .zipWithIndex.map { case ((_, _, rel), i) => nano(rel, i + 1) }.sum
+          BigDecimal(1e9 * dcg.toDouble / idcg(qid).toDouble)
+            .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+      }.sum
+      (k1m, bm, quality)
+    }
+    val (k1c, bc) = Round15Queries.chooseBm25Params(sweep)
+    // the measured sweep must actually vary across the grid on this
+    // fixture — a flat sweep would make the argmax vacuous
+    assert(sweep.map(_._3).distinct.size > 1,
+      s"grid quality is flat: $sweep")
+    val expected = localKeyedBm25(sf0001, k1c / 1e6, bc / 1e6).map {
+      case (qid, scored) =>
+        qid -> scored.sortBy { case (id, s, _) => (-s, id) }.take(k)
+    }
+    val got = Round15Queries.q271Bm25ParamsAuto(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        (r.getLong(3), r.getDouble(4), r.getLong(5), r.getLong(6))))
+    // every served row carries the locally-derived choice
+    got.foreach { case (gk1, gb, _, _) =>
+      assert((gk1, gb) === ((k1c, bc)),
+        s"served dial ($gk1, $gb) != locally chosen ($k1c, $bc)")
+    }
+    val byQ = got.groupBy(_._3).map { case (q, rs) =>
+      q -> rs.map(_._4).sortBy(_._4).toVector }
+    assert(byQ.keySet === expected.keySet)
+    for ((qid, exp) <- expected)
+      assert(byQ(qid).map(r => (r._1, r._2, r._3)) === exp, s"query $qid")
+  }
+
+  test("chooseBm25Params: pure rule — argmax quality, ties to the smallest dials") {
+    import Round15Queries.chooseBm25Params
+    // plain argmax
+    assert(chooseBm25Params(Seq((600000L, 0L, 10L), (1200000L, 750000L, 30L),
+      (2000000L, 400000L, 20L))) === ((1200000L, 750000L)))
+    // quality tie: smaller k1 wins, then smaller b
+    assert(chooseBm25Params(Seq((2000000L, 0L, 30L), (600000L, 750000L, 30L),
+      (600000L, 400000L, 30L))) === ((600000L, 400000L)))
+    // singleton
+    assert(chooseBm25Params(Seq((600000L, 0L, -5L))) === ((600000L, 0L)))
+    // empty sweep is a caller bug, not a silent default
+    intercept[IllegalArgumentException](chooseBm25Params(Nil))
+  }
+
+  test("scored-at-grid slice equals the fixed-dial scored table (the q271 serve law)") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val grid = Seq((1200000L, 750000L), (600000L, 0L))
+      .toDF("k1_micro", "b_micro")
+    val slice = Round15Queries
+      .multiBm25ScoredMaybeGrid(spark, sf0001, Some(grid))
+      .filter(col("k1_micro") === 1200000L && col("b_micro") === 750000L)
+      .select("query_id", "doc_id", "bm25", "n_terms_hit").collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> (r.getDouble(2), r.getLong(3)))
+      .toMap
+    val fixed = Round15Queries.multiBm25Scored(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> (r.getDouble(2), r.getLong(3)))
+      .toMap
+    assert(slice === fixed)
   }
 
   test("rankMultiBm25 degrades to the window form for doc ids past 2^25") {

@@ -131,6 +131,32 @@ class UnigramLmSpec extends SparkTestBase {
     }
   }
 
+  test("q270 decode: every doc round-trips, and the decode rides the ids, not the words") {
+    val (_, segs, _) = localEm()
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def md5hex(s: String): String =
+      md.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    def toks(text: String): Vector[String] =
+      text.toLowerCase.replaceAll("(\\d|\\W)+", " ").trim
+        .split(" ").toVector.filter(_.nonEmpty)
+    // the local replay: decoded text = normalized text IF AND ONLY IF
+    // each word's pieces reassemble (UnigramLmSpec's segmentation law),
+    // so the expected row is computable from the original text alone
+    val expected = Tables.documents(spark, sf0001)
+      .select("doc_id", "text").collect()
+      .map { r =>
+        val norm = toks(r.getString(1)).mkString(" ")
+        (r.getLong(0), norm.getBytes("UTF-8").length.toLong,
+          md5hex(norm), 1L)
+      }.sortBy(_._1)
+    val got = UnigramQueries.q270UnigramDecode(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3)))
+    assert(got.toSeq === expected.toSeq)
+    // and the law the round-trip rests on, re-pinned at the artifact:
+    // every trained word's piece sequence concatenates back to it
+    segs.foreach { case (w, (ps, _)) => assert(ps.mkString === w) }
+  }
+
   test("unigram trainer: EM reduces (or holds) the corpus piece count vs round 1") {
     // hard-EM with re-estimated scores should not fragment the corpus
     // MORE than the seed-frequency segmentation on this fixture — the
