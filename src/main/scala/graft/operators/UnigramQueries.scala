@@ -157,8 +157,16 @@ object UnigramQueries {
     * decoded-word table, one doc_id-keyed reassembly. No corpus-sized
     * window, no second corpus scan.
     */
-  def q270UnigramDecode(s: SparkSession, dir: String): DataFrame = {
-    val m = UnigramLm.train(s, dir)
+  /** The decode CORE behind q270, reusable against arbitrary docs (the
+    * encodeAgainst symmetry): documents round-tripped through the
+    * model's id sequences. Contract on words the model never trained
+    * (possible only off the gate — the batch gate decodes the training
+    * corpus): the inner word join drops them from the decoded text, so
+    * the doc comes back `ok = 0` — a doc that cannot be losslessly
+    * encoded is FLAGGED, never silently passed (EdgeCaseSpec pins
+    * this, plus empty docs round-tripping at ok = 1). Docs need
+    * (doc_id, text). */
+  def decodeRoundTrip(docs: DataFrame, m: UnigramLm.Model): DataFrame = {
     // reversed vocabulary: the SAME dense ranking q269 encodes under
     val idPiece = m.counts
       .withColumn("id", row_number()
@@ -171,7 +179,7 @@ object UnigramQueries {
       .agg(sort_array(collect_list(struct(col("ppos"), col("piece")))).as("ps"))
       .select(col("word"),
         expr("array_join(transform(ps, p -> p.piece), '')").as("dword"))
-    val toks = Tables.documents(s, dir)
+    val toks = docs
       .select(col("doc_id"), TextPrep.tokensCol(col("text")).as("toks"))
     val dec = toks
       .select(col("doc_id"), posexplode(col("toks")).as(Seq("wpos", "word")))
@@ -187,8 +195,13 @@ object UnigramQueries {
         octet_length(col("decoded")).cast("long").as("n_bytes"),
         md5(col("decoded").cast("binary")).as("decoded_hash"),
         when(col("decoded") === col("orig"), 1L).otherwise(0L).as("ok"))
-      .orderBy(col("doc_id"))
   }
+
+  def q270UnigramDecode(s: SparkSession, dir: String): DataFrame =
+    decodeRoundTrip(
+      Tables.documents(s, dir).select(col("doc_id"), col("text")),
+      UnigramLm.train(s, dir))
+      .orderBy(col("doc_id"))
 
   // --------------------------------------------------------- oracle
   // shared prefix: word counts + seed + initial scores. `lists` is the

@@ -196,4 +196,23 @@ class EdgeCaseSpec extends SparkTestBase {
     val lbl = Seq((1L, 0)).toDF("vec_id", "label")
     assert(graft.ann.Ann.knnLabelVotes(emptyTop, lbl, lbl).count() === 0)
   }
+
+  test("unigram decode on degenerate docs: empty ok=1, untrained words flagged ok=0") {
+    // model trained on the real fixture; decode fed OFF-corpus docs —
+    // the only route to OOV at the decode surface
+    val m = graft.text.UnigramLm.train(spark, sf0001)
+    val docs = Seq(
+      (1L, ""),                  // empty: round-trips as "" → ok = 1
+      (2L, "!!! 123 ???"),       // token-free after normalize → ok = 1
+      (3L, "zzzzqqqqxxxx"))      // word the model never saw → ok = 0
+      .toDF("doc_id", "text")
+    val got = UnigramQueries.decodeRoundTrip(docs, m).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(3))).toMap
+    assert(got(1L) === ((0L, 1L)), s"empty doc must round-trip: $got")
+    assert(got(2L) === ((0L, 1L)), s"token-free doc must round-trip: $got")
+    assert(got(3L)._2 === 0L,
+      s"a doc with an untrained word must be FLAGGED, not passed: $got")
+    // and the flag is the only symptom — no crash, rows preserved
+    assert(got.size === 3)
+  }
 }
