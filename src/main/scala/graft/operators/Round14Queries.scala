@@ -69,13 +69,14 @@ object Round14Queries {
       Seq("query_id", "doc_id"), lit(Bm25K1), lit(Bm25B))
 
   /** [[bm25ScoreKeyed]] with the Okapi dials (k1, b) as COLUMNS and the
-    * aggregation keys explicit — the single formula site behind the
-    * fixed-dial surfaces above AND the (k1, b) grid sweep
-    * ([[Round15Queries.q271Bm25ParamsAuto]]): a sweep that re-spelled
-    * the formula could drift from what the operators serve, so the
-    * sweep scores through THIS code with the grid columns joined in
-    * (the ivfPqScoreAtMax one-body discipline). `keyCols` must make
-    * (k1, b) constant within each group when they are real columns. */
+    * aggregation keys explicit — the REFERENCE spelling of the
+    * parameterized formula. The q271 grid sweep evaluates the same
+    * algebra as a row-local fold over grouped components
+    * ([[Round15Queries.scoreComponentsAtGrid]] — the exchange-free
+    * shape); Round15QueriesSpec pins fold ≡ this groupBy form at the
+    * default dials, so the two spellings cannot silently drift.
+    * `keyCols` must make (k1, b) constant within each group when they
+    * are real columns. */
   def bm25ScoreKeyedAt(tfq: DataFrame, dl: DataFrame, dfTab: DataFrame,
       stats: DataFrame, keyCols: Seq[String],
       k1: org.apache.spark.sql.Column,

@@ -68,32 +68,21 @@ object Round15Queries {
     * before ranking — shared by q244 (per-query top-k) and q248
     * (per-query nDCG needs the FULL scored relation for the ideal
     * ranking, not just the top-k). */
-  private[operators] def multiBm25Scored(s: SparkSession, dir: String): DataFrame =
-    multiBm25ScoredMaybeGrid(s, dir, None)
-
-  /** The q244 corpus plumbing with an optional (k1_micro, b_micro)
-    * GRID joined in before scoring — one body for the fixed-dial
-    * scored table and the q271 sweep, so they cannot drift. With a
-    * grid, every grid point's slice of the output is EXACTLY what
-    * [[multiBm25Scored]] would score at those dials (same tfq rows,
-    * same [[Round14Queries.bm25ScoreKeyedAt]] formula, dials constant
-    * within each (k1_micro, b_micro) group) — the scored-at-grid ≡
-    * scored-at-point law the serve side of q271 rests on, pinned in
-    * Round15QueriesSpec. The grid rides a broadcast cross join BEFORE
-    * the score aggregation, so the corpus-sized exchange still carries
-    * partial aggregates (map-side combine over |grid|× the (query,
-    * doc) groups), never raw |grid|× posting rows.
-    */
-  private[operators] def multiBm25ScoredMaybeGrid(s: SparkSession,
-      dir: String, grid: Option[DataFrame]): DataFrame = {
+  /** The q244 corpus plumbing — tokenize, dl/stats, inverted index
+    * (checkpointed: the term-selection df pass and the scoring join
+    * share ONE build; at lake scale this is the persisted q216
+    * artifact), query synthesis, query-restricted df slice and tf
+    * fan-out. ONE body behind [[multiBm25Scored]] and
+    * [[multiBm25Components]] so the fixed-dial and sweep surfaces
+    * read identical inputs by construction. Returns (tfq, dl, dfTab,
+    * stats). */
+  private def multiBm25Plumbing(s: SparkSession, dir: String)
+      : (DataFrame, DataFrame, DataFrame, DataFrame) = {
     val docs = Tables.documents(s, dir)
       .select(col("doc_id"), TextPrep.tokensCol(col("text")).as("toks"))
     val dl = docs.select(col("doc_id"), size(col("toks")).cast("long").as("dl"))
     val stats = dl.agg(count(lit(1)).as("n_docs"),
       (sum(col("dl")) / count(lit(1))).as("avgdl"))
-    // the inverted index: per-(doc, term) tf. Checkpointed so the
-    // term-selection df pass and the scoring join share ONE build (at
-    // lake scale this is the persisted q216 artifact).
     val alltf = docs
       .select(col("doc_id"), explode(col("toks")).as("term"))
       .groupBy(col("doc_id"), col("term"))
@@ -104,13 +93,85 @@ object Round15Queries {
     val dfTab = dfAll
       .join(broadcast(qterms.select(col("term")).distinct()), Seq("term"), "left_semi")
     val tfq = alltf.join(broadcast(qterms), Seq("term"))
-    grid match {
-      case None => Round14Queries.bm25ScoreKeyed(tfq, dl, dfTab, stats)
-      case Some(g) => Round14Queries.bm25ScoreKeyedAt(
-        tfq.crossJoin(broadcast(g)), dl, dfTab, stats,
-        Seq("k1_micro", "b_micro", "query_id", "doc_id"),
-        col("k1_micro") / lit(1e6), col("b_micro") / lit(1e6))
+    (tfq, dl, dfTab, stats)
+  }
+
+  private[operators] def multiBm25Scored(s: SparkSession, dir: String): DataFrame = {
+    val (tfq, dl, dfTab, stats) = multiBm25Plumbing(s, dir)
+    Round14Queries.bm25ScoreKeyed(tfq, dl, dfTab, stats)
+  }
+
+  /** Per-(query, doc) BM25 TERM COMPONENTS, grouped once and
+    * checkpointed — the sweep-side counterpart of [[multiBm25Scored]]:
+    * everything Okapi needs per pair ((tf, df) per matched term,
+    * sorted for a deterministic fold; dl; the 1-row corpus stats
+    * denormalized on) with the DIALS still free. This is the ONLY
+    * corpus-sized exchange the q271 sweep pays: grid evaluation after
+    * it is row-local arithmetic ([[scoreComponentsAtGrid]]).
+    *
+    * Why not score the grid through the groupBy formula with the grid
+    * crossed in (the first-cut design): same-(query, doc) posting rows
+    * are not co-partitioned, so the |grid|× pre-aggregation rows reach
+    * the exchange nearly uncombined — measured 225.7 s at 10× for a
+    * 12-point grid vs 17.0 s for the single point, the full 12×
+    * exchange bill. Grouping components ONCE and folding per grid
+    * point keeps the exchange at 1× and moves the 12× into in-task
+    * arithmetic. */
+  private[operators] def multiBm25Components(s: SparkSession,
+      dir: String): DataFrame = {
+    val (tfq, dl, dfTab, stats) = multiBm25Plumbing(s, dir)
+    tfq
+      .join(broadcast(dfTab), Seq("term"))
+      .join(dl, Seq("doc_id"))
+      .crossJoin(broadcast(stats))
+      .groupBy(col("query_id"), col("doc_id"))
+      // sort key = the full fold-relevant payload: equal structs
+      // contribute identical doubles, so the fold order is
+      // deterministic wherever order could matter
+      .agg(sort_array(collect_list(struct(col("tf"), col("df")))).as("terms"),
+        first(col("dl")).as("dl"),
+        first(col("n_docs")).as("n_docs"),
+        first(col("avgdl")).as("avgdl"))
+      .localCheckpoint()
+  }
+
+  /** Every grid point scored ROW-LOCALLY over the grouped components —
+    * one Okapi fold per (pair, grid point), exploded to (k1_micro,
+    * b_micro, query_id, doc_id, bm25, n_terms_hit) rows inside the
+    * task (a Generate, not a join: the grid is a literal array, so no
+    * exchange and no broadcast grows with it). The formula is the
+    * [[Round14Queries.bm25ScoreKeyedAt]] algebra re-expressed as a
+    * fold; Round15QueriesSpec pins fold ≡ groupBy-formula on the
+    * fixture (round-6 equality of the (1.2, 0.75) slice against
+    * [[multiBm25Scored]]), so the two spellings cannot silently
+    * drift. */
+  private[operators] def scoreComponentsAtGrid(comp: DataFrame,
+      points: Seq[(Long, Long)]): DataFrame = {
+    require(points.nonEmpty, "scoreComponentsAtGrid: empty grid")
+    val gridArr = array(points.map { case (k1m, bm) =>
+      struct(lit(k1m).as("k1_micro"), lit(bm).as("b_micro")) }: _*)
+    def bm25At(g: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+      val k1 = g.getField("k1_micro") / lit(1e6)
+      val b = g.getField("b_micro") / lit(1e6)
+      round(aggregate(col("terms"), lit(0.0), (acc, t) =>
+        acc + log(lit(1.0) +
+            (col("n_docs") - t.getField("df") + lit(0.5)) /
+            (t.getField("df") + lit(0.5))) *
+          (t.getField("tf") * (k1 + lit(1.0))) /
+          (t.getField("tf") + k1 *
+            (lit(1.0) - b + b * col("dl") / col("avgdl")))), 6)
     }
+    comp
+      .select(col("query_id"), col("doc_id"),
+        size(col("terms")).cast("long").as("n_terms_hit"),
+        explode(transform(gridArr, g =>
+          struct(g.getField("k1_micro").as("k1_micro"),
+            g.getField("b_micro").as("b_micro"),
+            bm25At(g).as("bm25")))).as("gs"))
+      .select(col("gs.k1_micro").as("k1_micro"),
+        col("gs.b_micro").as("b_micro"),
+        col("query_id"), col("doc_id"), col("gs.bm25").as("bm25"),
+        col("n_terms_hit"))
   }
 
   /** Deterministic query-table synthesis from a vocabulary df table:
@@ -382,19 +443,23 @@ object Round15Queries {
     * [[gainNano]] grades, same heap ranking the operator serves) and
     * picks the point with a PURE rule ([[chooseBm25Params]]).
     *
-    * Sweep shape at scale: the corpus is scored ONCE — the grid is a
-    * 12-row broadcast crossed into the scoring join BEFORE the
-    * aggregation ([[multiBm25ScoredMaybeGrid]]; partial aggregation
-    * means the exchange carries |grid|× the (query, doc) GROUPS, not
-    * |grid|× posting rows), and each grid point's slice is exactly the
-    * fixed-dial scored table at those dials (shared
-    * [[Round14Queries.bm25ScoreKeyedAt]] body — the one-formula
-    * discipline, pinned in Round15QueriesSpec). The ideal ranking is
+    * Sweep shape at scale: the corpus pays ONE exchange — the per-
+    * (query, doc) term components grouped once and checkpointed
+    * ([[multiBm25Components]]); every grid point is then a ROW-LOCAL
+    * Okapi fold exploded in-task ([[scoreComponentsAtGrid]] — a
+    * Generate off a literal grid array, no join, no second exchange),
+    * flowing straight into map-side DCG heaps. (The first-cut design
+    * crossed the grid into the scoring aggregation instead; same-pair
+    * posting rows are not co-partitioned, so the exchange carried the
+    * full |grid|× bill — measured 225.7 s vs 17.0 s single-point at
+    * 10×. The fold shape is the fix, and the fold ≡ groupBy-formula
+    * law is pinned in Round15QueriesSpec.) The ideal ranking is
     * grid-INVARIANT (grades are term-coverage counts, dials only move
-    * scores), so IDCG is computed once per query off one grid slice.
-    * The serve side re-ranks the CHOSEN slice of the already-scored
-    * table (scored-at-grid filtered to a point IS scored-at-point —
-    * the ivfPqScoreAtMax law), rows carrying the choice.
+    * scores), so IDCG is computed once per query off the component
+    * table. The serve side re-ranks the CHOSEN slice of the same
+    * grid-scored expression (scored-at-grid filtered to a point IS
+    * scored-at-point — the ivfPqScoreAtMax law), rows carrying the
+    * choice.
     *
     * The oracle replays measurement, rule, AND serve, so the hash
     * gates the decision itself (the q263/q268 convention).
@@ -416,15 +481,12 @@ object Round15Queries {
     (best._1, best._2)
   }
 
-  private def bm25Grid(s: SparkSession): DataFrame = {
-    import s.implicits._
-    (for (k1 <- Bm25GridK1Micro; b <- Bm25GridBMicro) yield (k1, b))
-      .toDF("k1_micro", "b_micro")
-  }
+  private[operators] val bm25GridPoints: Seq[(Long, Long)] =
+    for (k1 <- Bm25GridK1Micro; b <- Bm25GridBMicro) yield (k1, b)
 
   def q271Bm25ParamsAuto(s: SparkSession, dir: String): DataFrame = {
-    val gscored = multiBm25ScoredMaybeGrid(s, dir, Some(bm25Grid(s)))
-      .localCheckpoint()
+    val comp = multiBm25Components(s, dir)
+    val gscored = scoreComponentsAtGrid(comp, bm25GridPoints)
     val heapSafe = graft.plans.TopK.idRangeSafe(
       Tables.documents(s, dir).select(col("doc_id")), "doc_id", 1L << 25)
     val keys = Seq("k1_micro", "b_micro", "query_id")
@@ -433,12 +495,10 @@ object Round15Queries {
     val dcg = rankMultiBm25Dispatch(gscored, heapSafe, MultiBm25K, keys)
       .select(keys.map(col) :+ gainNano(col("rk")).as("gain_nano"): _*)
       .groupBy(keys.map(col): _*).agg(sum(col("gain_nano")).as("dcg_nano"))
-    // grade support is grid-invariant — any slice carries it; use the
-    // grid's first point
-    val rel = gscored
-      .filter(col("k1_micro") === Bm25GridK1Micro.head &&
-        col("b_micro") === Bm25GridBMicro.head)
-      .select(col("query_id"), col("doc_id"), col("n_terms_hit"))
+    // grade support is grid-invariant (dials move scores, never which
+    // terms matched) — it reads straight off the component table
+    val rel = comp.select(col("query_id"), col("doc_id"),
+      size(col("terms")).cast("long").as("n_terms_hit"))
     // per-query ideal: (rel desc, doc_id asc) — q248's packed-ord heap
     val iOrd = col("n_terms_hit") * lit(1L << 25) - col("doc_id")
     val iTop = graft.plans.TopK.topKPerKey(rel, Seq("query_id"), iOrd,
@@ -457,8 +517,12 @@ object Round15Queries {
       .agg(sum(col("ndcg_nano")).as("quality_nano"))
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
     val (k1c, bc) = chooseBm25Params(sweep)
+    // serve = the 1-POINT grid at the choice: the same
+    // scoreComponentsAtGrid body that measured the sweep (so
+    // slice ≡ point holds by shared code, and the serve pass folds
+    // each pair once, not |grid| times then filtering)
     rankMultiBm25Dispatch(
-        gscored.filter(col("k1_micro") === k1c && col("b_micro") === bc)
+        scoreComponentsAtGrid(comp, Seq((k1c, bc)))
           .drop("k1_micro", "b_micro"),
         heapSafe, MultiBm25K)
       .select(lit(k1c).as("k1_micro"), lit(bc).as("b_micro"),

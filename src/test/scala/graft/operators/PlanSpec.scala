@@ -1061,7 +1061,7 @@ class PlanSpec extends SparkTestBase {
       "q265_compaction_policy" -> "tombstone side capacity-gated via BoundedBroadcast (graft.ann.maxTombstones, shuffled left-outer fallback); the localCheckpoint hides the gate from the shape rule — the q254 pattern",
       "q269_unigram_encode" -> "broadcast side is the vocab-id table over the model's used pieces (MaxSeedPieces-capped — the q126 broadcast-vocab contract); the model's localCheckpoint hides the aggregate from the shape rule",
       "q270_unigram_decode" -> "broadcast sides are the reversed vocab-id table and the decoded-word artifact — both over the model's used pieces / trained words (MaxSeedPieces- and vocabulary-capped, the q269/q167 contract); the model's localCheckpoint hides the aggregates from the shape rule",
-      "q271_bm25_params_auto" -> "same LIMIT-150 query-table broadcast as q244 (localCheckpoint hides the limit); the 12-row (k1, b) grid is a LocalRelation (bounded by shape); the sweep itself collects 12 rows, and the served plan re-ranks the checkpointed chosen slice")
+      "q271_bm25_params_auto" -> "same LIMIT-150 query-table broadcast as q244 inside the component build (usually hidden behind the component checkpoint); the grid is a literal array (no join at all), the sweep collects 12 rows, and the served plan re-ranks the chosen slice of the fold over the checkpointed components")
     val offenders = graft.SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
       case (name, fn) =>
         val unbounded = try hintedSides(fn(spark, sf0001)).filterNot(bounded) catch {

@@ -174,13 +174,15 @@ class Round15QueriesSpec extends SparkTestBase {
     intercept[IllegalArgumentException](chooseBm25Params(Nil))
   }
 
-  test("scored-at-grid slice equals the fixed-dial scored table (the q271 serve law)") {
+  test("grid fold slice equals the fixed-dial groupBy formula (the q271 serve law)") {
     import org.apache.spark.sql.functions._
-    import spark.implicits._
-    val grid = Seq((1200000L, 750000L), (600000L, 0L))
-      .toDF("k1_micro", "b_micro")
-    val slice = Round15Queries
-      .multiBm25ScoredMaybeGrid(spark, sf0001, Some(grid))
+    // two different computation paths of one semantic: the row-local
+    // Okapi fold over grouped components vs bm25ScoreKeyed's groupBy
+    // sum — round-6 equality at (1.2, 0.75) pins both the fold
+    // spelling and the scored-at-grid ≡ scored-at-point slice law
+    val slice = Round15Queries.scoreComponentsAtGrid(
+        Round15Queries.multiBm25Components(spark, sf0001),
+        Seq((1200000L, 750000L), (600000L, 0L)))
       .filter(col("k1_micro") === 1200000L && col("b_micro") === 750000L)
       .select("query_id", "doc_id", "bm25", "n_terms_hit").collect()
       .map(r => (r.getLong(0), r.getLong(1)) -> (r.getDouble(2), r.getLong(3)))
