@@ -223,12 +223,17 @@ object Dedup {
     * scale, and it is linear in nCandidates), ties to fewer bands
     * (fewer banding rows in the bucket join). If NO configuration
     * meets the target, the highest-recall one (ties: fewer candidates,
-    * then fewer bands): the sweep's ceiling is the K-permutation
+    * then fewer bands, then fewer rows per band): the sweep's ceiling
+    * is the K-permutation
     * signature's resolution — re-banding the same signature cannot buy
     * the target back, so the engine serves the best point it measured
     * rather than aborting (the chooseNprobe fallback contract).
     * `nExact = 0` (no true pairs at τ) degenerates to every
-    * configuration eligible → cheapest wins.
+    * configuration eligible → cheapest wins. Every tie key ends on the
+    * full (bands, rowsPerBand) config, so the choice is a function of
+    * the sweep SET — independent of input order (PropertySpec law;
+    * without rowsPerBand in the key, two same-band configs with equal
+    * candidate counts would tie on Seq position).
     */
   def chooseBanding(sweep: Seq[(Int, Int, Long, Long)], nExact: Long,
       targetNum: Int, targetDen: Int): (Int, Int) = {
@@ -237,8 +242,9 @@ object Dedup {
     val eligible = sweep.filter { case (_, _, _, nFound) =>
       nFound * targetDen >= targetNum.toLong * nExact }
     val (b, r, _, _) =
-      if (eligible.nonEmpty) eligible.minBy { case (b0, _, nc, _) => (nc, b0) }
-      else sweep.minBy { case (b0, _, nc, nf) => (-nf, nc, b0) }
+      if (eligible.nonEmpty)
+        eligible.minBy { case (b0, r0, nc, _) => (nc, b0, r0) }
+      else sweep.minBy { case (b0, r0, nc, nf) => (-nf, nc, b0, r0) }
     (b, r)
   }
 

@@ -362,4 +362,127 @@ class PropertySpec extends SparkTestBase {
     val b = se(Seq((5L, 500L), (5L, 600L), (5L, 400L)))
     assert(b > a && a > 0.0)
   }
+
+  // ----------------------------------------------------- decision rules
+  // The engine's pure operating-point rules — chooseNprobe (q263),
+  // chooseRetrain (q264), chooseCompact (q265), chooseBanding (q268),
+  // chooseBm25Params (q271) — hold their contracts on ARBITRARY
+  // measured inputs, not just the gate fixtures their oracles replay.
+  // These are the functions a production job trusts BETWEEN gate runs,
+  // so their laws get the generative treatment.
+
+  test("chooseNprobe laws: membership, cheapest-satisfying, ceiling fallback, target monotonicity, order independence") {
+    val curveGen: Gen[List[(Int, Double)]] = Gen.chooseNum(1, 8).flatMap { n =>
+      Gen.listOfN(n, for {
+        np <- Gen.chooseNum(1, 64)
+        rec <- Gen.chooseNum(0, 1000)
+      } yield (np, rec / 1000.0))
+    }.map(_.distinctBy(_._1)) // duplicate dials in a sweep are a caller bug
+    for (seed <- 1L to 300L) {
+      val curve = sample(curveGen, seed)
+      val target = sample(Gen.chooseNum(0, 1000), seed + 90000) / 1000.0
+      val np = graft.ann.Ann.chooseNprobe(curve, target)
+      assert(curve.exists(_._1 == np)) // membership
+      val sat = curve.filter(_._2 >= target).map(_._1)
+      if (sat.nonEmpty) assert(np === sat.min) // cheapest satisfying
+      else assert(np === curve.map(_._1).max) // PQ-error ceiling fallback
+      // a tighter SLO can only move the dial up
+      assert(graft.ann.Ann.chooseNprobe(curve, math.min(1.0, target + 0.2)) >= np)
+      // a function of the curve SET, not the Seq order
+      assert(graft.ann.Ann.chooseNprobe(curve.reverse, target) === np)
+    }
+  }
+
+  test("chooseRetrain laws: monotone in drift, anti-monotone in tolerance, zero-base degenerate") {
+    for (seed <- 1L to 300L) {
+      val base = sample(Gen.chooseNum(0, 2000), seed) / 1000.0
+      val slice = sample(Gen.chooseNum(0, 4000), seed + 90000) / 1000.0
+      val ratio = sample(Gen.chooseNum(1000, 3000), seed + 180000) / 1000.0
+      val fired = graft.ann.Ann.chooseRetrain(base, slice, ratio)
+      // more drift never un-fires; more tolerance never fires harder
+      if (fired) {
+        assert(graft.ann.Ann.chooseRetrain(base, slice + 0.5, ratio))
+        assert(graft.ann.Ann.chooseRetrain(base, slice, math.max(0.0, ratio - 0.5)))
+      }
+      if (!fired) assert(!graft.ann.Ann.chooseRetrain(base, slice, ratio + 0.5)
+        || base <= 0.0) // tolerance is inert on the zero-base branch
+      if (base <= 0.0) assert(fired === (slice > 0.0))
+    }
+  }
+
+  test("chooseCompact laws: exact trigger disjunction, monotone in decay") {
+    for (seed <- 1L to 300L) {
+      val live = sample(Gen.chooseNum(0, 1000), seed) / 1000.0
+      val files = sample(Gen.chooseNum(0L, 40L), seed + 90000)
+      val minLive = sample(Gen.chooseNum(0, 1000), seed + 180000) / 1000.0
+      val maxFiles = sample(Gen.chooseNum(0L, 40L), seed + 270000)
+      val fired = graft.ann.Ann.chooseCompact(live, files, minLive, maxFiles)
+      assert(fired === (live < minLive || files > maxFiles))
+      // deleting more rows / appending more files never un-fires
+      if (fired) {
+        assert(graft.ann.Ann.chooseCompact(math.max(0.0, live - 0.1),
+          files, minLive, maxFiles))
+        assert(graft.ann.Ann.chooseCompact(live, files + 5, minLive, maxFiles))
+      }
+    }
+  }
+
+  test("chooseBanding laws: membership, cheapest-eligible, recall fallback, rational-scale invariance, order independence") {
+    val sweepGen: Gen[List[(Int, Int, Long, Long)]] =
+      Gen.chooseNum(1, 6).flatMap { n =>
+        Gen.listOfN(n, for {
+          bnd <- Gen.chooseNum(1, 16)
+          rpb <- Gen.chooseNum(1, 8)
+          nc <- Gen.chooseNum(0L, 500L)
+          nf <- Gen.chooseNum(0L, 100L)
+        } yield (bnd, rpb, nc, nf))
+      }.map(_.distinctBy(t => (t._1, t._2)))
+    for (seed <- 1L to 300L) {
+      val sweep = sample(sweepGen, seed)
+      val nExact = sample(Gen.chooseNum(0L, 100L), seed + 90000)
+      val num = sample(Gen.chooseNum(0, 10), seed + 180000)
+      val den = sample(Gen.chooseNum(1, 10), seed + 270000)
+      val (b, r) = Dedup.chooseBanding(sweep, nExact, num, den)
+      val chosen = sweep.find(t => t._1 == b && t._2 == r)
+      assert(chosen.nonEmpty) // membership
+      val eligible = sweep.filter(_._4 * den >= num.toLong * nExact)
+      if (eligible.nonEmpty) {
+        assert(eligible.contains(chosen.get))
+        // no eligible config is strictly cheaper under the full tie key
+        val key = (t: (Int, Int, Long, Long)) => (t._3, t._1, t._2)
+        assert(eligible.forall(t =>
+          Ordering[(Long, Int, Int)].lteq(key(chosen.get), key(t))))
+      } else {
+        // fallback: highest recall, then the same cost key
+        assert(sweep.forall(_._4 <= chosen.get._4))
+      }
+      // the target is an exact rational: scaling num/den is a no-op
+      assert(Dedup.chooseBanding(sweep, nExact, num * 3, den * 3) === ((b, r)))
+      // a function of the sweep SET, not the Seq order
+      assert(Dedup.chooseBanding(sweep.reverse, nExact, num, den) === ((b, r)))
+    }
+  }
+
+  test("chooseBm25Params laws: membership, argmax, minimal-dial ties, order independence") {
+    val sweepGen: Gen[List[(Long, Long, Long)]] =
+      Gen.chooseNum(1, 12).flatMap { n =>
+        Gen.listOfN(n, for {
+          k1 <- Gen.oneOf(600000L, 1200000L, 2000000L)
+          b0 <- Gen.oneOf(0L, 400000L, 750000L, 1000000L)
+          q <- Gen.chooseNum(-5L, 5L) // tiny range → frequent ties
+        } yield (k1, b0, q))
+      }.map(_.distinctBy(t => (t._1, t._2)))
+    for (seed <- 1L to 300L) {
+      val sweep = sample(sweepGen, seed)
+      val (k1, b0) = Round15Queries.chooseBm25Params(sweep)
+      val chosen = sweep.find(t => t._1 == k1 && t._2 == b0)
+      assert(chosen.nonEmpty) // membership
+      val best = sweep.map(_._3).max
+      assert(chosen.get._3 === best) // argmax quality
+      // among the argmax set, the smallest dials win
+      val tied = sweep.filter(_._3 == best).map(t => (t._1, t._2))
+      assert((k1, b0) === tied.min)
+      assert(Round15Queries.chooseBm25Params(sweep.reverse) === ((k1, b0)))
+    }
+  }
 }
