@@ -750,6 +750,31 @@ class AnnSpec extends SparkTestBase {
     assert(got === solo)
   }
 
+  test("ivfPqProbeAuto: tuning sample is decoupled from serving (the fixed-sample scale contract)") {
+    import graft.operators.AnnQueries
+    // SCALE.md's q263 note rests on this: the exact ground-truth side
+    // of the tuning measurement is |tune|·corpus, so a lake-scale run
+    // pins a FIXED-size tuning sample while serving any query set —
+    // tune and serve are independent arguments, and the served rows
+    // are still exactly ivfPqProbe at whatever dial the sample chose
+    val idx = AnnQueries.prepareIvfPq(spark, sf0001)
+    val corpus = graft.Tables.embeddings(spark, sf0001)
+    val tune = corpus.filter($"vec_id".isin(0L, 150L, 300L)) // 3 rows
+    val serve = corpus.filter($"vec_id" % 50 === 0)
+    val auto = Ann.ivfPqProbeAuto(serve, tune, corpus, idx,
+      AnnQueries.PqTopK, AnnQueries.NprobeTarget, AnnQueries.NprobeSweep)
+      .collect()
+    val chosen = auto.map(_.getLong(4)).distinct
+    assert(chosen.length === 1 &&
+      AnnQueries.NprobeSweep.map(_.toLong).contains(chosen.head))
+    val solo = Ann.ivfPqProbe(serve, idx, AnnQueries.PqTopK,
+        chosen.head.toInt)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).toSet
+    assert(auto.map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+      r.getLong(3))).toSet === solo)
+  }
+
   test("chooseRetrain pure rule: ratio trigger, boundary, zero-error base") {
     // fires strictly past the ratio, not at it
     assert(Ann.chooseRetrain(0.5, 0.61, 1.2))
