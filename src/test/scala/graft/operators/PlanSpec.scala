@@ -929,6 +929,20 @@ class PlanSpec extends SparkTestBase {
       p.contains("BroadcastHashJoin"), p)
   }
 
+  test("registry lock: queries and oracles are in exact 1:1 correspondence (zero WEAK by construction)") {
+    // the gate's strength is that EVERY query is DuckDB-replayed; a
+    // queries entry without an oracle silently downgrades to the
+    // driver's rows-only check, and a dangling oracle is dead SQL.
+    // Round 10 closed the registry at full oracle coverage — this
+    // keeps it closed.
+    val q = graft.SparkEntry.queries.keySet
+    val o = graft.SparkEntry.oracleSqlFor(sf0001).keySet
+    assert((q -- o).isEmpty,
+      s"gated queries without a DuckDB oracle: ${(q -- o).toSeq.sorted.mkString(", ")}")
+    assert((o -- q).isEmpty,
+      s"oracles without a gated query: ${(o -- q).toSeq.sorted.mkString(", ")}")
+  }
+
   test("registry lock: no gated plan ranks through an unpartitioned corpus-scale window") {
     // Every Window with an empty partitionSpec executes as ONE WindowExec
     // task. The only acceptable uses ride provably bounded inputs (post-
