@@ -129,6 +129,19 @@ object Bench {
     "q266_unigram_vocab", "q267_unigram_segment", "q269_unigram_encode",
     "q270_unigram_decode", "q271_bm25_params_auto")
 
+  /** Where the per-query JSON artifact lands. Default target/bench.json
+    * (build output, never committed); SPARK_GRAFT_BENCH_OUT overrides.
+    * The repo-root bench.json is the COMMITTED quiet-band record — it
+    * is only written when SPARK_GRAFT_BENCH_COMMIT=1 names it
+    * explicitly, because an unconditional root write clobbered the
+    * committed artifact twice in round 10 (ad-hoc subset runs +
+    * `git add -A`).
+    */
+  private[graft] def benchOutPath(env: Map[String, String]): java.nio.file.Path =
+    java.nio.file.Paths.get(
+      if (env.get("SPARK_GRAFT_BENCH_COMMIT").contains("1")) "bench.json"
+      else env.getOrElse("SPARK_GRAFT_BENCH_OUT", "target/bench.json"))
+
   /** 1/5/15-min load averages — recorded at start and end so a
     * load-contaminated run is self-documenting (BENCH_r04's 544 s
     * headline was ambient load at 15-min avg 4.75, not a regression;
@@ -335,15 +348,20 @@ object Bench {
     // capture (BENCH_r04 "parsed": null), so three channels:
     // (1) the full JSON line on stdout first (build.sbt sets
     //     run/outputStrategy := StdoutOutput to keep it undecorated),
-    // (2) the full line in ./bench.json next to the build,
+    // (2) the full line in the benchOutPath artifact (default
+    //     target/bench.json; the committed repo-root record only under
+    //     the explicit SPARK_GRAFT_BENCH_COMMIT flag),
     // (3) a COMPACT summary as the LAST stdout line — small enough to
-    //     always survive a tail capture; per-query numbers live in
-    //     bench.json.
+    //     always survive a tail capture; per-query numbers live in the
+    //     artifact.
     println(json)
-    java.nio.file.Files.write(java.nio.file.Paths.get("bench.json"),
+    val outPath = benchOutPath(sys.env)
+    Option(outPath.getParent)
+      .foreach(java.nio.file.Files.createDirectories(_))
+    java.nio.file.Files.write(outPath,
       (json + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
     val compact =
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","n_queries":${results.size},"sf":"$sfDir","load_start":"$loadStart","load_end":"$loadEnd","queries_file":"bench.json"}"""
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","n_queries":${results.size},"sf":"$sfDir","load_start":"$loadStart","load_end":"$loadEnd","queries_file":"$outPath"}"""
     println(compact)
     spark.stop()
   }

@@ -1217,6 +1217,30 @@ object Ann {
     ivfPqBuild(live, outDir, kClusters, m, kCodes, seed)
   }
 
+  /** An EMPTY index generation at `outDir` — schema-only parquet for
+    * all three artifacts (assignments under one cluster=0 hive
+    * directory so two-level `assignments/<cluster>/<file>.parquet`
+    * globs still match a file). Written when a lifecycle
+    * decision SKIPS its actuator: downstream readers that bind the
+    * would-be generation's path unconditionally (the q264 DuckDB
+    * oracle reads the retrained path at bind time even when its
+    * decision CTE filters every row — round-10 ADVICE #2) get a
+    * readable zero-row generation instead of a bind error, and any
+    * audit over it contributes zero rows — exactly the skip branch's
+    * contract. Probing it is meaningless by construction; it is a
+    * bind-time sentinel, not a servable index.
+    */
+  def ivfPqWriteEmptyGeneration(spark: SparkSession, outDir: String): Unit = {
+    import spark.implicits._
+    Seq.empty[(Long, Array[Int])].toDF("vec_id", "codes")
+      .repartition(1).write.mode("overwrite")
+      .parquet(s"$outDir/assignments/cluster=0")
+    Seq.empty[(Int, Array[Double])].toDF("cluster", "centroid")
+      .repartition(1).write.mode("overwrite").parquet(s"$outDir/centroids")
+    Seq.empty[(Int, Int, Array[Double])].toDF("sub", "code", "centroid")
+      .repartition(1).write.mode("overwrite").parquet(s"$outDir/codebooks")
+  }
+
   // -------------------------------------------------------- TopKAgg
   case class Neighbor(nid: Long, cos: Double)
 

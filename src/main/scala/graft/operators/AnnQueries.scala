@@ -1387,9 +1387,12 @@ object AnnQueries {
     * re-measures it. The oracle replays both audits over the
     * materialized artifact generations AND the decision rule in SQL —
     * so the hash gates signal, decision, and recovery together. On a
-    * skip decision the output carries only the frozen phase (and the
-    * oracle's conditional branch matches, because both sides decide
-    * from the same round-6 mean_err).
+    * skip decision the output carries only the frozen phase, and an
+    * EMPTY retrained generation is materialized
+    * ([[Ann.ivfPqWriteEmptyGeneration]]) so the oracle's unconditional
+    * bind of the retrained path succeeds — its decision CTE then
+    * filters to zero retrained rows, matching, because both sides
+    * decide from the same round-6 mean_err.
     */
   val RetrainDriftRatio = 1.2
 
@@ -1412,7 +1415,16 @@ object AnnQueries {
         frozen.withColumn("phase", lit("frozen"))
           .unionByName(pqReconstructionAudit(s, dir, rIdx)
             .withColumn("phase", lit("retrained")))
-      } else frozen.withColumn("phase", lit("frozen"))
+      } else {
+        // skip decision: materialize an EMPTY retrained generation so
+        // the oracle's unconditional read_parquet bind of the path
+        // succeeds (its decision CTE then filters to zero retrained
+        // rows — matching this branch's frozen-only output). Round-10
+        // ADVICE #2: without the sentinel, a non-firing corpus made
+        // the oracle error at bind time.
+        Ann.ivfPqWriteEmptyGeneration(s, ivfPqRetrainedPath(dir))
+        frozen.withColumn("phase", lit("frozen"))
+      }
     out.select(col("phase"), col("slice"), col("n"), col("mean_err"),
         col("max_err_micro"))
       .orderBy(col("phase"), col("slice"))

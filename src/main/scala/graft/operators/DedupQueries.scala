@@ -383,8 +383,12 @@ object DedupQueries {
        |stats AS (
        |  $stats),
        |-- Dedup.chooseBanding replayed: miss=0 rows (target met, exact
-       |-- rational) sort first by (n_candidates, bands); an all-miss
-       |-- sweep falls back to (n_found desc, n_candidates, bands).
+       |-- rational) sort first by (n_candidates, bands, rows_per_band);
+       |-- an all-miss sweep falls back to (n_found desc, n_candidates,
+       |-- bands, rows_per_band) — the full Scala tie chain, including
+       |-- the final rows_per_band leg (unreachable with the current
+       |-- all-distinct-bands SweepConfigs, but the oracle claims an
+       |-- exact replay of the rule, so it carries the whole chain).
        |chosen AS (
        |  SELECT bands, rows_per_band FROM (
        |    SELECT s.bands, s.rows_per_band, s.n_candidates, s.n_found,
@@ -395,7 +399,7 @@ object DedupQueries {
        |  ORDER BY miss ASC,
        |           CASE WHEN miss = 0 THEN n_candidates END ASC NULLS LAST,
        |           CASE WHEN miss = 1 THEN -n_found END ASC NULLS LAST,
-       |           n_candidates ASC, bands ASC
+       |           n_candidates ASC, bands ASC, rows_per_band ASC
        |  LIMIT 1)
        |SELECT CAST(c.bands AS BIGINT) AS bands,
        |       CAST(c.rows_per_band AS BIGINT) AS rows_per_band,

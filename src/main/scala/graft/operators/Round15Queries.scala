@@ -369,28 +369,42 @@ object Round15Queries {
     round(lit(1e9) * (pow(lit(2.0), col("n_terms_hit")) - lit(1.0)) /
       log2(pos + lit(1.0)), 0).cast("long")
 
+  /** Per-query ideal-ranking IDCG@k over a (query_id, doc_id,
+    * n_terms_hit) relation — shared by q248's eval and q271's sweep.
+    * The ideal order is (rel desc, doc_id asc); its packed ord
+    * `rel·2^25 − doc_id` shares the served ranking's doc_id < 2^25
+    * domain, so it rides the SAME heap-or-window dispatch and verdict
+    * (round-10 ADVICE: an out-of-domain doc_id must degrade this
+    * ranking to the window form exactly like the served one — before,
+    * the unconditional packed heap could silently corrupt IDCG and,
+    * in q271, flip the chosen dials). */
+  private[operators] def idealIdcg(rel: DataFrame,
+      heapSafe: Boolean): DataFrame = {
+    val iOrd = col("n_terms_hit") * lit(1L << 25) - col("doc_id")
+    graft.plans.TopK.rankTopKOrWindow(rel, Seq("query_id"), iOrd,
+        Seq(col("n_terms_hit").desc, col("doc_id").asc), MultiBm25K,
+        heapSafe)
+      .select(col("query_id"), gainNano(col("rk")).as("gain_nano"))
+      .groupBy(col("query_id")).agg(sum(col("gain_nano")).as("idcg_nano"))
+  }
+
   def q248MultiQueryNdcg(s: SparkSession, dir: String): DataFrame = {
     val scored = multiBm25Scored(s, dir).localCheckpoint()
     // id-range probe over the cheap parquet id table (column-pruned
     // doc_id min/max — the q244 convention), not over `scored`: even
     // checkpointed, probing the scored relation reads the whole scored
     // table for two longs where the documents scan prunes to one column
-    val ranked = rankMultiBm25(scored,
-      Tables.documents(s, dir).select(col("doc_id")))
+    val heapSafe = graft.plans.TopK.idRangeSafe(
+      Tables.documents(s, dir).select(col("doc_id")), "doc_id", 1L << 25)
+    val ranked = rankMultiBm25Dispatch(scored, heapSafe, MultiBm25K)
       .select(col("query_id"), gainNano(col("rk")).as("gain_nano"))
       .groupBy(col("query_id")).agg(sum(col("gain_nano")).as("dcg_nano"))
-    // ideal ranking: (rel desc, doc_id asc) — rel ≤ 2 so the packed
-    // ord is tiny; every scored row has rel ≥ 1, so idcg > 0 for every
-    // query present
-    val iOrd = col("n_terms_hit") * lit(1L << 25) - col("doc_id")
-    val iTop = graft.plans.TopK.topKPerKey(
+    // ideal ranking: same heap-or-window verdict as the served one
+    // (rel ≤ 2 bounds the packed score half; every scored row has
+    // rel ≥ 1, so idcg > 0 for every query present)
+    val ideal = idealIdcg(
       scored.select(col("query_id"), col("doc_id"), col("n_terms_hit")),
-      Seq("query_id"), iOrd, MultiBm25K)
-    val wI = Window.partitionBy(col("query_id"))
-      .orderBy(col("n_terms_hit").desc, col("doc_id").asc)
-    val ideal = iTop.withColumn("rk", row_number().over(wI))
-      .select(col("query_id"), gainNano(col("rk")).as("gain_nano"))
-      .groupBy(col("query_id")).agg(sum(col("gain_nano")).as("idcg_nano"))
+      heapSafe)
     ranked.join(ideal, Seq("query_id"))
       .select(col("query_id"), col("dcg_nano"), col("idcg_nano"),
         round(col("dcg_nano") /
@@ -499,15 +513,10 @@ object Round15Queries {
     // terms matched) — it reads straight off the component table
     val rel = comp.select(col("query_id"), col("doc_id"),
       size(col("terms")).cast("long").as("n_terms_hit"))
-    // per-query ideal: (rel desc, doc_id asc) — q248's packed-ord heap
-    val iOrd = col("n_terms_hit") * lit(1L << 25) - col("doc_id")
-    val iTop = graft.plans.TopK.topKPerKey(rel, Seq("query_id"), iOrd,
-      MultiBm25K)
-    val wI = Window.partitionBy(col("query_id"))
-      .orderBy(col("n_terms_hit").desc, col("doc_id").asc)
-    val ideal = iTop.withColumn("rk", row_number().over(wI))
-      .select(col("query_id"), gainNano(col("rk")).as("gain_nano"))
-      .groupBy(col("query_id")).agg(sum(col("gain_nano")).as("idcg_nano"))
+    // per-query ideal through the SAME heap-or-window verdict as the
+    // serve — this ranking feeds the (k1, b) decision, so an
+    // out-of-domain doc_id must degrade it, never corrupt it
+    val ideal = idealIdcg(rel, heapSafe)
     val sweep = dcg.join(ideal, Seq("query_id"))
       .select(col("k1_micro"), col("b_micro"),
         round(lit(1e9) * col("dcg_nano") /

@@ -48,7 +48,7 @@ object UnigramQueries {
   def q267UnigramSegment(s: SparkSession, dir: String): DataFrame = {
     val m = UnigramLm.train(s, dir)
     m.seg.select(col("word"), col("n"), col("n_pieces"), col("score_micro"),
-        md5(concat_ws("", col("pieces")).cast("binary")).as("seg_hash"))
+        md5(concat_ws("\u0001", col("pieces")).cast("binary")).as("seg_hash"))
       .orderBy(col("word"))
   }
 

@@ -897,4 +897,26 @@ class AnnSpec extends SparkTestBase {
     assert(carriedDead === sourceCarriedDead,
       "carried lists must move unchanged (their dead rows included)")
   }
+
+  test("empty-generation sentinel: all three artifacts bind and read as zero rows") {
+    // the q264 skip branch writes this so the oracle's unconditional
+    // bind of the retrained path succeeds on non-firing fixtures
+    // (round-10 ADVICE #2); globs must see a FILE in every artifact,
+    // including one under a hive cluster=<k> level for assignments
+    val out = new java.io.File(
+      "target/spec-empty-gen").getAbsolutePath
+    Ann.ivfPqWriteEmptyGeneration(spark, out)
+    val asgFiles = new java.io.File(s"$out/assignments/cluster=0")
+      .listFiles().filter(_.getName.endsWith(".parquet"))
+    assert(asgFiles.nonEmpty, "two-level assignments glob must match a file")
+    val asg = spark.read.parquet(s"$out/assignments")
+    assert(asg.count() === 0L)
+    assert(asg.columns.toSet === Set("vec_id", "codes", "cluster"))
+    val cent = spark.read.parquet(s"$out/centroids")
+    assert(cent.count() === 0L &&
+      cent.columns.toSet === Set("cluster", "centroid"))
+    val cbs = spark.read.parquet(s"$out/codebooks")
+    assert(cbs.count() === 0L &&
+      cbs.columns.toSet === Set("sub", "code", "centroid"))
+  }
 }

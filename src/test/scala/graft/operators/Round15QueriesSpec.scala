@@ -221,4 +221,31 @@ class Round15QueriesSpec extends SparkTestBase {
       scored.select(col("doc_id"))).queryExecution.optimizedPlan
     assert(plan.collect { case t: graft.plans.TopKPerKey => t }.isEmpty)
   }
+
+  test("idealIdcg: heap and window forms agree, and the heap is really dispatched away") {
+    // the ideal ranking feeds q271's (k1, b) decision, so it rides the
+    // same heap-or-window dispatch as the served ranking (round-10
+    // ADVICE #3): equal results either way on in-domain ids, and the
+    // unsafe verdict must actually remove the packed-ord heap from the
+    // plan rather than silently corrupting IDCG
+    import spark.implicits._
+    val rel = Seq(
+      (0L, 10L, 2L), (0L, 11L, 2L), (0L, 12L, 1L), (0L, 13L, 1L),
+      (0L, 14L, 1L), (0L, 15L, 2L), (1L, 10L, 1L), (1L, 16L, 2L))
+      .toDF("query_id", "doc_id", "n_terms_hit")
+    val heap = Round15Queries.idealIdcg(rel, heapSafe = true)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val window = Round15Queries.idealIdcg(rel, heapSafe = false)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(heap === window)
+    assert(heap.nonEmpty)
+    val unsafePlan = Round15Queries.idealIdcg(rel, heapSafe = false)
+      .queryExecution.optimizedPlan
+    assert(unsafePlan.collect {
+      case t: graft.plans.TopKPerKey => t }.isEmpty)
+    val safePlan = Round15Queries.idealIdcg(rel, heapSafe = true)
+      .queryExecution.optimizedPlan
+    assert(safePlan.collect {
+      case t: graft.plans.TopKPerKey => t }.nonEmpty)
+  }
 }
