@@ -127,7 +127,8 @@ object Bench {
     "q260_label_noise_audit", "q261_self_bleu", "q262_label_noise_blocked",
     "q263_nprobe_auto", "q264_ivfpq_retrain", "q265_compaction_policy",
     "q266_unigram_vocab", "q267_unigram_segment", "q269_unigram_encode",
-    "q270_unigram_decode", "q271_bm25_params_auto")
+    "q270_unigram_decode", "q271_bm25_params_auto",
+    "q272_nprobe_choice_persist")
 
   /** Where the per-query JSON artifact lands. Default target/bench.json
     * (build output, never committed); SPARK_GRAFT_BENCH_OUT overrides.
@@ -271,6 +272,21 @@ object Bench {
       operators.AnnQueries.prepareIvfPqAppend(spark, sfDir); () }
     val ivfPqCompactReady = prep("q258_ivfpq_compact") {
       operators.AnnQueries.prepareIvfPqCompact(spark, sfDir); () }
+    // the persisted-choice prep ensures a WARM choices/nprobe artifact:
+    // the tuning sweep is offline index maintenance (amortized across
+    // every serve until the generation moves), so the timed number is
+    // the warm serve a deployment actually pays — stamp pass + artifact
+    // read + probe. The cold measure-and-write runs here, untimed.
+    val choiceReady = prep("q272_nprobe_choice_persist") {
+      val idx = operators.AnnQueries.prepareIvfPq(spark, sfDir)
+      graft.ann.Ann.ivfPqEnsureNprobeChoice(spark, idx,
+        operators.AnnQueries.PqTopK, operators.AnnQueries.NprobeTarget,
+        operators.AnnQueries.NprobeSweep,
+        () => spark.read.parquet(s"$sfDir/embeddings.parquet")
+          .filter(org.apache.spark.sql.functions.col("vec_id")
+            % operators.AnnQueries.QueryMod === 0),
+        () => spark.read.parquet(s"$sfDir/embeddings.parquet"))
+      () }
     val bucketsReady = prep("q69_bucketed_join") {
       operators.RelationalOps.prepareBucketedTables(spark, sfDir) }
     val lakeReady = prep("q70_partition_pruning") {
@@ -312,6 +328,7 @@ object Bench {
       .filter(name => ivfPqAppendReady2 || name != "q254_ivfpq_delete")
       .filter(name => ivfPqAppendReady3 || name != "q259_pq_drift_audit")
       .filter(name => ivfPqCompactReady || name != "q258_ivfpq_compact")
+      .filter(name => choiceReady || name != "q272_nprobe_choice_persist")
       .filter(name => bucketsReady || name != "q69_bucketed_join")
       .filter(name => lakeReady || name != "q70_partition_pruning")
       .filter(name => incCorpusReady || name != "q78_incremental_dedup")

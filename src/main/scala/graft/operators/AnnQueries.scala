@@ -1610,6 +1610,73 @@ object AnnQueries {
        |FROM approx a JOIN chosen c ON a.np = c.np
        |ORDER BY a.qid, a.rk""".stripMargin
 
+  // --------------------------------------------------------------- q272
+  /** PERSISTED operating-point choice — the round-10 verdict's task #1:
+    * q263 measures its recall curve on EVERY call; this query serves
+    * from the generation-stamped `choices/nprobe` artifact beside the
+    * index ([[Ann.ivfPqProbePersistedChoice]]). Cold: one sweep + one
+    * exact tuning job, artifact written under the current
+    * [[Ann.ivfPqGenerationStamp]]. Warm (every later call until a
+    * lifecycle verb moves the stamp): ZERO tuning jobs — one
+    * column-pruned stamp pass, a ≤|sweep|-row artifact read, the probe
+    * at the persisted dial. The gated output carries the choice AND
+    * the stamp it is valid for, all read back from the artifact — and
+    * the oracle independently recomputes stamp, curve, rule, and
+    * serve from the index artifacts, so a stale or corrupted persisted
+    * choice hash-mismatches. AnnSpec pins the staleness law (append ⇒
+    * stamp moves ⇒ re-measure) and the warm path's zero-tuning
+    * contract (throwing thunks never forced).
+    */
+  def q272NprobeChoicePersist(s: SparkSession, dir: String): DataFrame = {
+    val idx = prepareIvfPq(s, dir)
+    Ann.ivfPqProbePersistedChoice(querySubset(s, dir),
+        () => querySubset(s, dir), () => emb(s, dir), idx, PqTopK,
+        NprobeTarget, NprobeSweep)
+      .select(col("nprobe"), col("qid"), col("nid"), col("adc_micro"),
+        col("rk"), col("gen_rows"), col("gen_content"), col("gen_files"),
+        col("target_micro"))
+      .orderBy(col("qid"), col("rk"))
+  }
+
+  /** The stamp replay CTE over a materialized index at `idx` —
+    * [[Ann.ivfPqGenerationStamp]]'s all-integer arithmetic in DuckDB
+    * (filename=1 mirrors the engine's input_file_name, the q265
+    * convention; generate_subscripts(codes, 1) is 1-based like the
+    * engine's sequence(1, size(codes)) fold). */
+  private def stampCteSql(idx: String): String =
+    s"""stamp AS (
+       |  SELECT CAST(count(*) AS BIGINT) AS gen_rows,
+       |         CAST(sum((vec_id * 31 + CAST(cluster AS BIGINT) * 1009 +
+       |              (SELECT sum(CAST(c AS BIGINT) * i)
+       |               FROM (SELECT unnest(codes) AS c,
+       |                            generate_subscripts(codes, 1) AS i)))
+       |              % 1048576) AS BIGINT) AS gen_content,
+       |         CAST(count(DISTINCT f) AS BIGINT) AS gen_files
+       |  FROM (SELECT vec_id, codes, CAST(cluster AS INTEGER) AS cluster,
+       |               filename AS f
+       |        FROM read_parquet('$idx/assignments/*/*.parquet',
+       |                          hive_partitioning=1, filename=1)))""".stripMargin
+
+  def q272Sql(sfDir: String): String =
+    s"""${ivfPqSweepCtesSql(ivfPqIndexPath(sfDir))},
+       |recalls AS (
+       |  SELECT n.np,
+       |         coalesce(h.n_hits, 0) / nullif(CAST(t.n AS DOUBLE), 0) AS rec
+       |  FROM nps n LEFT JOIN hits h ON h.np = n.np CROSS JOIN tot t),
+       |chosen AS (
+       |  SELECT coalesce(
+       |    (SELECT min(np) FROM recalls WHERE rec >= $NprobeTarget),
+       |    (SELECT max(np) FROM recalls)) AS np),
+       |${stampCteSql(ivfPqIndexPath(sfDir))}
+       |SELECT CAST(c.np AS BIGINT) AS nprobe, a.qid, a.nid,
+       |       CAST(a.adc_micro AS BIGINT) AS adc_micro,
+       |       CAST(a.rk AS BIGINT) AS rk,
+       |       st.gen_rows, st.gen_content, st.gen_files,
+       |       CAST(${math.round(NprobeTarget * 1e6)} AS BIGINT)
+       |         AS target_micro
+       |FROM approx a JOIN chosen c ON a.np = c.np CROSS JOIN stamp st
+       |ORDER BY a.qid, a.rk""".stripMargin
+
   // --------------------------------------------------------------- q260
   /** Label-noise audit by kNN vote (confident-learning-lite — the
     * relational core of Northcutt et al.'s cleanlab pass every
@@ -1818,6 +1885,7 @@ object AnnQueries {
     "q260_label_noise_audit" -> (q260LabelNoiseAudit _),
     "q262_label_noise_blocked" -> (q262LabelNoiseBlocked _),
     "q263_nprobe_auto" -> (q263NprobeAuto _),
+    "q272_nprobe_choice_persist" -> (q272NprobeChoicePersist _),
     "q264_ivfpq_retrain" -> (q264IvfPqRetrain _),
     "q265_compaction_policy" -> (q265CompactionPolicy _),
     "q247_filtered_ann" -> (q247FilteredAnn _),
@@ -1852,6 +1920,7 @@ object AnnQueries {
     "q260_label_noise_audit" -> q260Sql,
     "q262_label_noise_blocked" -> q262Sql,
     "q263_nprobe_auto" -> q263Sql(sfDir),
+    "q272_nprobe_choice_persist" -> q272Sql(sfDir),
     "q264_ivfpq_retrain" -> q264Sql(sfDir),
     "q265_compaction_policy" -> q265Sql(sfDir),
     "q247_filtered_ann" -> q247Sql,

@@ -898,6 +898,80 @@ class AnnSpec extends SparkTestBase {
       "carried lists must move unchanged (their dead rows included)")
   }
 
+  test("persisted nprobe choice: cold measures once, warm pays zero tuning jobs, every lifecycle move invalidates") {
+    import org.apache.spark.sql.functions.col
+    val e = graft.Tables.embeddings(spark, sf0001)
+    val idx = new java.io.File("target/spec-choice-idx").getAbsolutePath
+    def rmrf(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(rmrf); f.delete(); ()
+    }
+    rmrf(new java.io.File(idx)) // fresh generation, no stale choices/
+    Ann.ivfPqBuild(e.filter(col("vec_id") % 5 =!= 3), idx, 4, 8, 16)
+    val tune = e.filter(col("vec_id") % 50 === 0)
+    var forced = 0
+    def tq(): org.apache.spark.sql.DataFrame = { forced += 1; tune }
+    val sweep = Seq(1, 2, 4)
+    val c1 = Ann.ivfPqEnsureNprobeChoice(spark, idx, 3, 0.32, sweep,
+      () => tq(), () => e)
+    assert(forced === 1, "cold start measures exactly once")
+    // the artifact's persisted curve IS the measurement
+    assert(c1.curve === Ann.ivfPqRecallCurve(tune, e, idx, 3, sweep))
+    assert(c1.nprobe === Ann.chooseNprobe(
+      c1.curve.map { case (n, h, t) =>
+        (n, if (t == 0L) 0.0 else h.toDouble / t) }, 0.32))
+    // WARM: the zero-tuning-jobs law — throwing thunks are never
+    // forced; the serve probes at the artifact's dial
+    val served = Ann.ivfPqProbePersistedChoice(tune,
+      () => sys.error("tuning job forced on a warm choice"),
+      () => sys.error("tuning job forced on a warm choice"),
+      idx, 3, 0.32, sweep)
+    assert(served.select(col("nprobe")).distinct().head().getLong(0)
+      === c1.nprobe.toLong)
+    assert(forced === 1)
+    // a different target is a different question: re-measure
+    Ann.ivfPqEnsureNprobeChoice(spark, idx, 3, 0.99, sweep, () => tq(),
+      () => e)
+    assert(forced === 2)
+    // APPEND moves the generation stamp -> the choice is stale ->
+    // re-measure under the new stamp (the staleness law)
+    val stamp1 = Ann.ivfPqGenerationStamp(spark, idx)
+    Ann.ivfPqAppend(e.filter(col("vec_id") % 5 === 3), idx)
+    val stamp2 = Ann.ivfPqGenerationStamp(spark, idx)
+    assert(stamp1 !== stamp2, "append must move the stamp")
+    val c3 = Ann.ivfPqEnsureNprobeChoice(spark, idx, 3, 0.32, sweep,
+      () => tq(), () => e)
+    assert(forced === 3)
+    assert((c3.genRows, c3.genContent, c3.genFiles) === stamp2,
+      "refreshed choice is stamped with the post-append generation")
+    // and the refreshed choice is warm again
+    Ann.ivfPqEnsureNprobeChoice(spark, idx, 3, 0.32, sweep,
+      () => sys.error("warm refreshed choice re-measured"), () => e)
+    assert(forced === 3)
+  }
+
+  test("q272 serves exactly q263's rows, plus the artifact's stamp and target") {
+    import org.apache.spark.sql.functions.col
+    val auto = graft.operators.AnnQueries.q263NprobeAuto(spark, sf0001)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toSeq
+    val persisted = graft.operators.AnnQueries
+      .q272NprobeChoicePersist(spark, sf0001)
+    assert(persisted.columns.toSeq === Seq("nprobe", "qid", "nid",
+      "adc_micro", "rk", "gen_rows", "gen_content", "gen_files",
+      "target_micro"))
+    val served = persisted.collect().map(r => (r.getLong(0), r.getLong(1),
+      r.getLong(2), r.getLong(3), r.getLong(4))).toSeq
+    assert(served === auto)
+    // the stamp columns equal the live generation stamp
+    val (gr, gc, gf) = Ann.ivfPqGenerationStamp(spark,
+      graft.operators.AnnQueries.prepareIvfPq(spark, sf0001))
+    val h = persisted.select(col("gen_rows"), col("gen_content"),
+      col("gen_files")).distinct().collect()
+    assert(h.length === 1)
+    assert((h(0).getLong(0), h(0).getLong(1), h(0).getLong(2))
+      === ((gr, gc, gf)))
+  }
+
   test("empty-generation sentinel: all three artifacts bind and read as zero rows") {
     // the q264 skip branch writes this so the oracle's unconditional
     // bind of the retrained path succeeds on non-firing fixtures

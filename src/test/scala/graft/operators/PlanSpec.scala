@@ -1072,6 +1072,7 @@ class PlanSpec extends SparkTestBase {
       "q244_multi_bm25" -> "query table is the LIMIT-150 pair synthesis, localCheckpointed (the checkpoint hides the limit from the shape rule)",
       "q253_sql_multi_bm25" -> "same query table as q244, reaching the plan as a registered temp view of the localCheckpointed synthesis — |Q|-bounded by the q244 contract (a production query workload is a broadcast-sized input relation)",
       "q263_nprobe_auto" -> "serves q245's probe shape at the engine-chosen dial (|Q|·nprobe probe rows + |Q|-row LUT, the same k-bounded window filter); the tuning sweep and exact side run inside the operator before the served plan exists",
+      "q272_nprobe_choice_persist" -> "q263's served probe shape at the PERSISTED dial (|Q|·nprobe probe rows + |Q|-row LUT); on a warm choice no tuning job exists at all — the plan is the probe plus literal stamp columns read from the choices/ artifact (AnnSpec's zero-tuning law)",
       "q265_compaction_policy" -> "tombstone side capacity-gated via BoundedBroadcast (graft.ann.maxTombstones, shuffled left-outer fallback); the localCheckpoint hides the gate from the shape rule — the q254 pattern",
       "q269_unigram_encode" -> "broadcast side is the vocab-id table over the model's used pieces (MaxSeedPieces-capped — the q126 broadcast-vocab contract); the model's localCheckpoint hides the aggregate from the shape rule",
       "q270_unigram_decode" -> "broadcast sides are the reversed vocab-id table and the decoded-word artifact — both over the model's used pieces / trained words (MaxSeedPieces- and vocabulary-capped, the q269/q167 contract); the model's localCheckpoint hides the aggregates from the shape rule",
