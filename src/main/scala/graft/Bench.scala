@@ -23,7 +23,11 @@ import org.apache.spark.sql.SparkSession
   * the full exact τ=0.7 pair set on this deliberately self-similar
   * corpus (q268 additionally verifies the loosest swept banding's
   * candidate volume and SERVES the quadratic-output near-dup join —
-  * measured 333 s at sf0.1, all output volume) — same
+  * measured 333 s at sf0.1, all output volume; q274, q268's
+  * persisted-choice twin, SERVES the same quadratic-output join and is
+  * excluded with it — its point, the measurement bill amortized to
+  * zero on a warm artifact, is benched by the q272/q273 pair whose
+  * serves are output-linear) — same
   * quadratic-output class),
   * queries that are strict
   * prefixes/aggregations/SQL-surface twins of included ones (q6, q11,
@@ -128,7 +132,7 @@ object Bench {
     "q263_nprobe_auto", "q264_ivfpq_retrain", "q265_compaction_policy",
     "q266_unigram_vocab", "q267_unigram_segment", "q269_unigram_encode",
     "q270_unigram_decode", "q271_bm25_params_auto",
-    "q272_nprobe_choice_persist")
+    "q272_nprobe_choice_persist", "q273_bm25_params_persist")
 
   /** Where the per-query JSON artifact lands. Default target/bench.json
     * (build output, never committed); SPARK_GRAFT_BENCH_OUT overrides.
@@ -287,6 +291,11 @@ object Bench {
             % operators.AnnQueries.QueryMod === 0),
         () => spark.read.parquet(s"$sfDir/embeddings.parquet"))
       () }
+    // same discipline for the BM25 dial: the 12-point sweep is offline
+    // corpus maintenance; the timed number is the warm single-point
+    // serve (stamp pass + artifact read + the q244-class scoring)
+    val bm25ChoiceReady = prep("q273_bm25_params_persist") {
+      operators.Round15Queries.prepareBm25ParamsChoice(spark, sfDir) }
     val bucketsReady = prep("q69_bucketed_join") {
       operators.RelationalOps.prepareBucketedTables(spark, sfDir) }
     val lakeReady = prep("q70_partition_pruning") {
@@ -329,6 +338,7 @@ object Bench {
       .filter(name => ivfPqAppendReady3 || name != "q259_pq_drift_audit")
       .filter(name => ivfPqCompactReady || name != "q258_ivfpq_compact")
       .filter(name => choiceReady || name != "q272_nprobe_choice_persist")
+      .filter(name => bm25ChoiceReady || name != "q273_bm25_params_persist")
       .filter(name => bucketsReady || name != "q69_bucketed_join")
       .filter(name => lakeReady || name != "q70_partition_pruning")
       .filter(name => incCorpusReady || name != "q78_incremental_dedup")

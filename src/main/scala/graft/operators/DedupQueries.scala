@@ -351,7 +351,12 @@ object DedupQueries {
        |    GROUP BY c2.a, c2.b) s ON s.a = c.a AND s.b = c.b
        |  JOIN sizes za ON za.id = c.a JOIN sizes zb ON zb.id = c.b)""".stripMargin
 
-  val q268Sql: String = {
+  /** The q268 oracle, optionally extended with the corpus-stamp
+    * columns of the persisted-choice surface (q274) — ONE builder so
+    * the measure-every-call oracle and the artifact-served oracle
+    * replay the identical measurement+rule+serve chain (the
+    * bm25SweepCtes sharing convention). */
+  private def bandingAutoSql(withStamp: Boolean): String = {
     val configCtes = SweepConfigs.map { case (b, r) => sweepCtes(b, r) }
       .mkString(",\n")
     val jacs = SweepConfigs.map { case (b, r) => jacCtes(b, r) }
@@ -401,15 +406,134 @@ object DedupQueries {
        |           CASE WHEN miss = 1 THEN -n_found END ASC NULLS LAST,
        |           n_candidates ASC, bands ASC, rows_per_band ASC
        |  LIMIT 1)
+       |${if (withStamp) s",dstamp AS (${ChoiceStore.documentsStampSql})\n" else ""}
        |SELECT CAST(c.bands AS BIGINT) AS bands,
        |       CAST(c.rows_per_band AS BIGINT) AS rows_per_band,
-       |       j.a, j.b, j.jaccard
+       |       j.a, j.b, j.jaccard${
+         if (withStamp) ",\n       ds.doc_rows, ds.doc_content" else ""}
        |FROM chosen c
        |JOIN ($servedUnion) j
        |  ON j.bands = c.bands AND j.rows_per_band = c.rows_per_band
+       |${if (withStamp) "CROSS JOIN dstamp ds\n" else ""}
        |WHERE j.jaccard >= $LshJaccardThreshold
        |ORDER BY j.a, j.b""".stripMargin
   }
+
+  val q268Sql: String = bandingAutoSql(withStamp = false)
+
+  // --------------------------------------------------------------- q274
+  /** PERSISTED banding operating point — q272's generation-stamped-
+    * choice discipline applied to the dedup dial (round-10 verdict
+    * task #1, "extend the same pattern to q268's banding"): q268 pays
+    * the full measurement (exact τ pair join + three banding
+    * candidate/verify passes) on EVERY call; this query serves from
+    * the corpus-stamped `choices/banding` artifact. Warm: ZERO
+    * measurement jobs — one [[ChoiceStore.documentsStamp]] pass, a
+    * sweep-sized artifact read, then ONE banding pass + verify at the
+    * persisted (bands, rows_per_band) — the cost q16 pays at a fixed
+    * dial. Cold or stale: the [[bandingMeasure]] sweep runs once,
+    * [[Dedup.chooseBanding]] decides, artifact rewritten under the
+    * current stamp. Serve flows artifact → band (re-read after
+    * ensure); the oracle recomputes stamp, sweep, rule, and serve
+    * independently. BENCH-EXCLUDED with the q16/q243/q268
+    * quadratic-OUTPUT class (the served join's output is O(n²) on the
+    * self-similar corpus — but note the warm SERVING cost is q16's,
+    * not q268's measurement bill; the sf0.01 gate hashes it).
+    * DedupSpec pins warm-zero-measure and wrong-stamp re-measure.
+    */
+  final case class BandingChoice(docRows: Long, docContent: Long,
+      targetNum: Int, targetDen: Int, nExact: Long,
+      sweep: Seq[(Int, Int, Long, Long)], bands: Int, rowsPerBand: Int)
+
+  private[operators] def bandingChoicePath(sfDir: String): String =
+    new java.io.File(
+      s"target/choices/banding/${PathTag.tagFor(sfDir)}").getAbsolutePath
+
+  private[operators] def bandingChoiceWrite(s: SparkSession, path: String,
+      c: BandingChoice): Unit = {
+    import s.implicits._
+    c.sweep.map { case (b, r, nc, nf) =>
+      (c.docRows, c.docContent, c.targetNum, c.targetDen, c.nExact,
+        b, r, nc, nf, b == c.bands && r == c.rowsPerBand)
+    }.toDF("doc_rows", "doc_content", "target_num", "target_den",
+        "n_exact", "bands", "rows_per_band", "n_candidates", "n_found",
+        "chosen")
+      .repartition(1).write.mode("overwrite").parquet(path)
+  }
+
+  private[operators] def bandingChoiceRead(s: SparkSession,
+      path: String): Option[BandingChoice] = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(s.sessionState.newHadoopConf())
+    if (!fs.exists(p)) None
+    else {
+      val rows = s.read.parquet(path)
+        .orderBy(col("bands"), col("rows_per_band")).collect()
+      if (rows.isEmpty) None
+      else {
+        val h = rows.head
+        val sweep = rows.toSeq.map(r => (r.getAs[Int]("bands"),
+          r.getAs[Int]("rows_per_band"), r.getAs[Long]("n_candidates"),
+          r.getAs[Long]("n_found")))
+        rows.find(_.getAs[Boolean]("chosen")).map { ch =>
+          BandingChoice(h.getAs[Long]("doc_rows"),
+            h.getAs[Long]("doc_content"), h.getAs[Int]("target_num"),
+            h.getAs[Int]("target_den"), h.getAs[Long]("n_exact"), sweep,
+            ch.getAs[Int]("bands"), ch.getAs[Int]("rows_per_band"))
+        }
+      }
+    }
+  }
+
+  /** Ensure a valid persisted banding for the current corpus stamp,
+    * target, and sweep grid; `measure` returns (nExact, sweep rows)
+    * and is call-by-need so the warm path provably never measures
+    * (the q272 thunk law). */
+  private[operators] def ensureBandingChoice(s: SparkSession, dir: String,
+      measure: () => (Long, Seq[(Int, Int, Long, Long)])): BandingChoice = {
+    val (dr, dc) = ChoiceStore.documentsStamp(
+      Tables.documents(s, dir).select(col("doc_id"), col("text")))
+    val path = bandingChoicePath(dir)
+    val warm = bandingChoiceRead(s, path).filter(c =>
+      c.docRows == dr && c.docContent == dc &&
+        c.targetNum == BandingTargetNum && c.targetDen == BandingTargetDen &&
+        c.sweep.map(t => (t._1, t._2)).sorted == SweepConfigs.sorted)
+    warm.getOrElse {
+      val (nExact, sweep) = measure()
+      val (b, r) = Dedup.chooseBanding(sweep, nExact,
+        BandingTargetNum, BandingTargetDen)
+      val c = BandingChoice(dr, dc, BandingTargetNum, BandingTargetDen,
+        nExact, sweep.sortBy(t => (t._1, t._2)), b, r)
+      bandingChoiceWrite(s, path, c)
+      c
+    }
+  }
+
+  def q274BandingPersist(s: SparkSession, dir: String): DataFrame = {
+    ensureBandingChoice(s, dir, () => {
+      val (_, _, nExact, sweep) = bandingMeasure(s, dir)
+      (nExact, sweep)
+    })
+    // re-read so the serve flows artifact → band (the q272 discipline)
+    val c = bandingChoiceRead(s, bandingChoicePath(dir)).getOrElse(
+      sys.error("q274: choice artifact vanished after ensure"))
+    // warm serving cost: one tokenize+signature pass, ONE banding pass,
+    // candidate verify — exactly the fixed-dial q16 bill, no sweep
+    val toks = Dedup.tokenSets(Tables.documents(s, dir), "doc_id", "text")
+      .localCheckpoint()
+    val cands = Dedup.lshCandidates(Dedup.minhashSig(toks, K),
+      c.bands, c.rowsPerBand)
+    Dedup.jaccardOnCandidates(toks, cands)
+      .withColumn("jaccard", round(col("jaccard"), 6))
+      .filter(col("jaccard") >= LshJaccardThreshold)
+      .select(lit(c.bands.toLong).as("bands"),
+        lit(c.rowsPerBand.toLong).as("rows_per_band"),
+        col("a"), col("b"), col("jaccard"),
+        lit(c.docRows).as("doc_rows"), lit(c.docContent).as("doc_content"))
+      .orderBy(col("a"), col("b"))
+  }
+
+  val q274Sql: String = bandingAutoSql(withStamp = true)
 
   val q242Sql: String =
     s"""WITH $q16Ctes,
@@ -1431,6 +1555,7 @@ object DedupQueries {
     "q242_lsh_recall_audit" -> (q242LshRecallAudit _),
     "q243_banding_sweep" -> (q243BandingSweep _),
     "q268_banding_auto" -> (q268BandingAuto _),
+    "q274_banding_persist" -> (q274BandingPersist _),
     "q17_shingle_jaccard" -> (q17ShingleJaccard _),
     "q18_simhash" -> (q18Simhash _),
   )
@@ -1457,6 +1582,7 @@ object DedupQueries {
     "q242_lsh_recall_audit" -> q242Sql,
     "q243_banding_sweep" -> q243Sql,
     "q268_banding_auto" -> q268Sql,
+    "q274_banding_persist" -> q274Sql,
     "q17_shingle_jaccard" -> q17Sql,
     "q18_simhash" -> q18Sql,
   )

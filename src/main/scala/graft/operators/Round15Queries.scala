@@ -498,11 +498,14 @@ object Round15Queries {
   private[operators] val bm25GridPoints: Seq[(Long, Long)] =
     for (k1 <- Bm25GridK1Micro; b <- Bm25GridBMicro) yield (k1, b)
 
-  def q271Bm25ParamsAuto(s: SparkSession, dir: String): DataFrame = {
-    val comp = multiBm25Components(s, dir)
+  /** The measured (k1_micro, b_micro, quality_nano) sweep over the
+    * grouped component table — q271's measurement factored out so the
+    * measure-every-call surface (q271) and the persisted-choice
+    * surface (q273) read the SAME sweep code (the
+    * ivfPqRecallCurve/q252/q263 sharing discipline). */
+  private[operators] def bm25SweepQuality(comp: DataFrame,
+      heapSafe: Boolean): Seq[(Long, Long, Long)] = {
     val gscored = scoreComponentsAtGrid(comp, bm25GridPoints)
-    val heapSafe = graft.plans.TopK.idRangeSafe(
-      Tables.documents(s, dir).select(col("doc_id")), "doc_id", 1L << 25)
     val keys = Seq("k1_micro", "b_micro", "query_id")
     // per-(grid, query) DCG@k over each grid point's OWN ranking,
     // through the identical dispatch the serve side uses
@@ -517,7 +520,7 @@ object Round15Queries {
     // serve — this ranking feeds the (k1, b) decision, so an
     // out-of-domain doc_id must degrade it, never corrupt it
     val ideal = idealIdcg(rel, heapSafe)
-    val sweep = dcg.join(ideal, Seq("query_id"))
+    dcg.join(ideal, Seq("query_id"))
       .select(col("k1_micro"), col("b_micro"),
         round(lit(1e9) * col("dcg_nano") /
           nullif(col("idcg_nano").cast("double"), lit(0.0)), 0)
@@ -525,6 +528,13 @@ object Round15Queries {
       .groupBy(col("k1_micro"), col("b_micro"))
       .agg(sum(col("ndcg_nano")).as("quality_nano"))
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+  }
+
+  def q271Bm25ParamsAuto(s: SparkSession, dir: String): DataFrame = {
+    val comp = multiBm25Components(s, dir)
+    val heapSafe = graft.plans.TopK.idRangeSafe(
+      Tables.documents(s, dir).select(col("doc_id")), "doc_id", 1L << 25)
+    val sweep = bm25SweepQuality(comp, heapSafe)
     val (k1c, bc) = chooseBm25Params(sweep)
     // serve = the 1-POINT grid at the choice: the same
     // scoreComponentsAtGrid body that measured the sweep (so
@@ -540,7 +550,13 @@ object Round15Queries {
       .orderBy(col("query_id"), col("rk"))
   }
 
-  val q271Sql: String = {
+  /** The shared q271/q273 oracle CTE chain — component build, grid
+    * scoring, sweep quality, rule replay, chosen-slice top-k — ending
+    * at `stopk` (the q244Sql-prefix sharing convention): the
+    * measure-every-call oracle and the persisted-choice oracle replay
+    * the identical measurement, mirroring the engine-side
+    * [[bm25SweepQuality]] sharing. */
+  private val bm25SweepCtes: String = {
     val base = q244Sql.substring(0, q244Sql.indexOf("scored AS ("))
     val gridVals = (for (k1 <- Bm25GridK1Micro; b <- Bm25GridBMicro)
       yield s"($k1, $b)").mkString(", ")
@@ -607,13 +623,137 @@ object Round15Queries {
        |         row_number() OVER (PARTITION BY s.query_id
        |                            ORDER BY s.bm25 DESC, s.doc_id ASC) AS pos
        |  FROM gscored s
-       |  JOIN chosen c ON s.k1_micro = c.k1_micro AND s.b_micro = c.b_micro)
+       |  JOIN chosen c ON s.k1_micro = c.k1_micro AND s.b_micro = c.b_micro)""".stripMargin
+  }
+
+  val q271Sql: String =
+    s"""$bm25SweepCtes
        |SELECT CAST(k1_micro AS BIGINT) AS k1_micro,
        |       CAST(b_micro AS BIGINT) AS b_micro,
        |       query_id, doc_id, bm25, n_terms_hit, CAST(pos AS BIGINT) AS rk
        |FROM stopk WHERE pos <= $MultiBm25K
        |ORDER BY query_id, rk""".stripMargin
+
+  // ---------------------------------------------------------------- q273
+  /** PERSISTED BM25 operating point — q272's generation-stamped-choice
+    * discipline applied to the retrieval dial (round-10 verdict task
+    * #1, "extend the same pattern to q271's dials"): q271 pays the
+    * 12-point sweep (grid folds + per-point DCG rankings + IDCG) on
+    * EVERY call; this query serves from the corpus-stamped
+    * `choices/bm25-params` artifact. Warm (every call until the
+    * documents corpus moves its [[ChoiceStore.documentsStamp]]): ZERO
+    * sweep jobs — one stamp pass, a grid-sized artifact read, then the
+    * single-point scoring the fixed-dial q244 already pays. Cold or
+    * stale: ONE sweep ([[bm25SweepQuality]], the same code q271
+    * measures with), [[chooseBm25Params]] decides, artifact rewritten
+    * under the current stamp. The serve always flows artifact → score
+    * (re-read after ensure), and the gated rows carry the dials AND
+    * the stamp — the oracle recomputes stamp, sweep, rule, and serve
+    * independently, so a stale or corrupted artifact hash-mismatches.
+    * Round15QueriesSpec pins warm-zero-sweep (throwing thunk) and
+    * wrong-stamp re-measure.
+    */
+  final case class Bm25Choice(docRows: Long, docContent: Long, k: Int,
+      sweep: Seq[(Long, Long, Long)], k1Micro: Long, bMicro: Long)
+
+  private[operators] def bm25ChoicePath(sfDir: String): String =
+    new java.io.File(
+      s"target/choices/bm25-params/${PathTag.tagFor(sfDir)}").getAbsolutePath
+
+  private[operators] def bm25ChoiceWrite(s: SparkSession, path: String,
+      c: Bm25Choice): Unit = {
+    import s.implicits._
+    c.sweep.map { case (k1, b, q) =>
+      (c.docRows, c.docContent, c.k, k1, b, q,
+        k1 == c.k1Micro && b == c.bMicro)
+    }.toDF("doc_rows", "doc_content", "k", "k1_micro", "b_micro",
+        "quality_nano", "chosen")
+      .repartition(1).write.mode("overwrite").parquet(path)
   }
+
+  private[operators] def bm25ChoiceRead(s: SparkSession,
+      path: String): Option[Bm25Choice] = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(s.sessionState.newHadoopConf())
+    if (!fs.exists(p)) None
+    else {
+      val rows = s.read.parquet(path)
+        .orderBy(col("k1_micro"), col("b_micro")).collect()
+      if (rows.isEmpty) None
+      else {
+        val h = rows.head
+        val sweep = rows.toSeq.map(r => (r.getAs[Long]("k1_micro"),
+          r.getAs[Long]("b_micro"), r.getAs[Long]("quality_nano")))
+        rows.find(_.getAs[Boolean]("chosen")).map { ch =>
+          Bm25Choice(h.getAs[Long]("doc_rows"), h.getAs[Long]("doc_content"),
+            h.getAs[Int]("k"), sweep,
+            ch.getAs[Long]("k1_micro"), ch.getAs[Long]("b_micro"))
+        }
+      }
+    }
+  }
+
+  /** Ensure a valid persisted (k1, b) for the current corpus stamp and
+    * grid; `measure` is call-by-need so the warm path provably never
+    * sweeps (the q272 thunk law). */
+  private[operators] def ensureBm25ParamsChoice(s: SparkSession, dir: String,
+      measure: () => Seq[(Long, Long, Long)]): Bm25Choice = {
+    val (dr, dc) = ChoiceStore.documentsStamp(
+      Tables.documents(s, dir).select(col("doc_id"), col("text")))
+    val path = bm25ChoicePath(dir)
+    val warm = bm25ChoiceRead(s, path).filter(c =>
+      c.docRows == dr && c.docContent == dc && c.k == MultiBm25K &&
+        c.sweep.map(t => (t._1, t._2)).sorted == bm25GridPoints.sorted)
+    warm.getOrElse {
+      val sweep = measure()
+      val (k1c, bc) = chooseBm25Params(sweep)
+      val c = Bm25Choice(dr, dc, MultiBm25K,
+        sweep.sortBy(t => (t._1, t._2)), k1c, bc)
+      bm25ChoiceWrite(s, path, c)
+      c
+    }
+  }
+
+  /** Bench-prep surface: ensure the persisted (k1, b) artifact is warm
+    * for `dir` — the cold sweep is offline corpus maintenance, run
+    * here untimed (the prepareIvfPq convention). The component build
+    * is lazy so a warm artifact pays only the stamp pass. */
+  def prepareBm25ParamsChoice(s: SparkSession, dir: String): Unit = {
+    lazy val comp = multiBm25Components(s, dir)
+    lazy val heapSafe = graft.plans.TopK.idRangeSafe(
+      Tables.documents(s, dir).select(col("doc_id")), "doc_id", 1L << 25)
+    ensureBm25ParamsChoice(s, dir, () => bm25SweepQuality(comp, heapSafe))
+    ()
+  }
+
+  def q273Bm25ParamsPersist(s: SparkSession, dir: String): DataFrame = {
+    val comp = multiBm25Components(s, dir)
+    val heapSafe = graft.plans.TopK.idRangeSafe(
+      Tables.documents(s, dir).select(col("doc_id")), "doc_id", 1L << 25)
+    ensureBm25ParamsChoice(s, dir, () => bm25SweepQuality(comp, heapSafe))
+    // re-read so the serve flows artifact → score (the q272 discipline)
+    val c = bm25ChoiceRead(s, bm25ChoicePath(dir)).getOrElse(
+      sys.error("q273: choice artifact vanished after ensure"))
+    rankMultiBm25Dispatch(
+        scoreComponentsAtGrid(comp, Seq((c.k1Micro, c.bMicro)))
+          .drop("k1_micro", "b_micro"),
+        heapSafe, MultiBm25K)
+      .select(lit(c.k1Micro).as("k1_micro"), lit(c.bMicro).as("b_micro"),
+        col("query_id"), col("doc_id"), col("bm25"), col("n_terms_hit"),
+        col("rk"), lit(c.docRows).as("doc_rows"),
+        lit(c.docContent).as("doc_content"))
+      .orderBy(col("query_id"), col("rk"))
+  }
+
+  val q273Sql: String =
+    s"""$bm25SweepCtes,
+       |dstamp AS (${ChoiceStore.documentsStampSql})
+       |SELECT CAST(k1_micro AS BIGINT) AS k1_micro,
+       |       CAST(b_micro AS BIGINT) AS b_micro,
+       |       query_id, doc_id, bm25, n_terms_hit, CAST(pos AS BIGINT) AS rk,
+       |       ds.doc_rows, ds.doc_content
+       |FROM stopk CROSS JOIN dstamp ds WHERE pos <= $MultiBm25K
+       |ORDER BY query_id, rk""".stripMargin
 
   // ---------------------------------------------------------------- q246
   /** q226 through plain SQL — the `/*+ BM25('term', ..., k) */` hint
@@ -698,7 +838,8 @@ object Round15Queries {
     "q246_sql_bm25" -> (q246SqlBm25 _),
     "q248_multi_query_ndcg" -> (q248MultiQueryNdcg _),
     "q253_sql_multi_bm25" -> (q253SqlMultiBm25 _),
-    "q271_bm25_params_auto" -> (q271Bm25ParamsAuto _))
+    "q271_bm25_params_auto" -> (q271Bm25ParamsAuto _),
+    "q273_bm25_params_persist" -> (q273Bm25ParamsPersist _))
 
   val oracles: Map[String, String] = Map(
     "q244_multi_bm25" -> q244Sql,
@@ -707,5 +848,6 @@ object Round15Queries {
     // q253 IS q244 at the SQL surface — identical result contract,
     // so the oracle is shared (the q225/q211 convention)
     "q253_sql_multi_bm25" -> q244Sql,
-    "q271_bm25_params_auto" -> q271Sql)
+    "q271_bm25_params_auto" -> q271Sql,
+    "q273_bm25_params_persist" -> q273Sql)
 }

@@ -143,10 +143,12 @@ object UnigramLm {
       .join(counts, Seq("piece"), "left_outer")
       .select(col("piece"), (coalesce(col("cnt"), lit(0L)) + 1L).as("cnt"))
 
-  /** The trained model: final E-step segmentation, raw final usage
-    * counts, and the served (smoothed) scores. */
-  final case class Model(seg: DataFrame, counts: DataFrame,
-      scores: DataFrame)
+  /** The trained model: the checkpointed word-count and seed tables
+    * (the sweep surfaces re-segment against them), final E-step
+    * segmentation, raw final usage counts, and the served (smoothed)
+    * scores. */
+  final case class Model(wc: DataFrame, seed: DataFrame, seg: DataFrame,
+      counts: DataFrame, scores: DataFrame)
 
   private def trainUncached(s: SparkSession, dir: String): Model = {
     val wc = wordCounts(Tables.documents(s, dir)).localCheckpoint()
@@ -159,7 +161,74 @@ object UnigramLm {
       raw = viterbiCounts(seg).localCheckpoint()
       scores = scoresFromCounts(smoothed(seed, raw))
     }
-    Model(seg, raw, scores)
+    Model(wc, seed, seg, raw, scores)
+  }
+
+  // ------------------------------------------- engine-chosen vocab size
+  /** Pruned vocabulary at (nominal) size `v`: EVERY single-char seed
+    * piece — the coverage guarantee is never traded away, so a `v`
+    * under the alphabet size floors at the alphabet (SentencePiece's
+    * required_chars contract) — plus the top (v − #singles) multi-char
+    * pieces by final Viterbi usage (cnt desc, piece asc — the q266
+    * vocabulary ranking). The nested-prefix property is what makes the
+    * vocab-size sweep ONE training run: every sweep point is a prune
+    * of the SAME trained counts, never a re-train (Kudo 2018 trains
+    * large and prunes; the sweep reads the prune ladder).
+    */
+  def prunedVocab(seed: DataFrame, counts: DataFrame, v: Int): DataFrame = {
+    val singles = seed.filter(length(col("piece")) === 1)
+      .select(col("piece"))
+    val quota = math.max(0L, v.toLong - singles.count())
+    val multis = counts.filter(length(col("piece")) > 1)
+      .withColumn("mrk", row_number()
+        .over(Window.orderBy(col("cnt").desc, col("piece").asc)))
+      .filter(col("mrk") <= quota).select(col("piece"))
+    singles.unionByName(multis)
+  }
+
+  /** Serving scores of a pruned vocabulary: the model's smoothed final
+    * counts RESTRICTED to the vocabulary, renormalized
+    * ([[scoresFromCounts]]) — pruning is an output-time decision over
+    * the trained counts, exactly the trainer's own contract. */
+  def vocabScores(seed: DataFrame, counts: DataFrame,
+      vocab: DataFrame): DataFrame =
+    scoresFromCounts(
+      smoothed(seed, counts).join(vocab, Seq("piece"), "left_semi"))
+
+  /** Measured corpus fertility under the pruned vocabulary at `v`, as
+    * the EXACT integer pair (Σ n·n_pieces, Σ n) — pieces emitted per
+    * corpus word, the quality signal q269 reports per document. One
+    * vocabulary-scale E-step over the distinct-word table; the
+    * denominator is v-invariant (total corpus words). */
+  def fertilityAt(wc: DataFrame, seed: DataFrame, counts: DataFrame,
+      v: Int): (Long, Long) = {
+    val r = viterbiSegment(wc, vocabScores(seed, counts,
+        prunedVocab(seed, counts, v)))
+      .agg(sum(col("n") * col("n_pieces")), sum(col("n"))).head()
+    (r.getLong(0), r.getLong(1))
+  }
+
+  /** Pure operating-point rule (the chooseNprobe discipline, exact-
+    * rational like chooseBanding): the SMALLEST swept vocabulary whose
+    * measured fertility meets the budget — bigger vocabularies cost
+    * embedding-table rows and artifact size while fertility saturates,
+    * so the first satisfying size is the cheapest one honoring the
+    * compression SLO. Satisfaction is the exact integer
+    * cross-multiplication num·10^6 ≤ maxFertilityMicro·den (BigInt —
+    * a 100 TB corpus' Σ n·n_pieces crosses 2^63/10^6). If no swept
+    * size reaches the budget, the LARGEST swept size: the fertility
+    * floor is the corpus' intrinsic compressibility under
+    * [[MaxPieceLen]] — more vocabulary cannot buy the budget back, so
+    * the engine serves the best point it measured.
+    */
+  def chooseVocabSize(curve: Seq[(Int, Long, Long)],
+      maxFertilityMicro: Long): Int = {
+    require(curve.nonEmpty, "chooseVocabSize: empty fertility curve")
+    require(curve.forall(_._3 > 0), "chooseVocabSize: empty-corpus point")
+    val sorted = curve.sortBy(_._1)
+    sorted.find { case (_, num, den) =>
+      BigInt(num) * 1000000 <= BigInt(maxFertilityMicro) * BigInt(den)
+    }.map(_._1).getOrElse(sorted.last._1)
   }
 
   // model-artifact memo, the bpeTrain cache discipline: bounded LRU

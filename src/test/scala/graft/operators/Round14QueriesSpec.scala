@@ -565,6 +565,62 @@ class Round14QueriesSpec extends SparkTestBase {
       === expected.toSeq)
   }
 
+  test("q274 persisted banding: cold measures once, warm zero-measure, stale stamp re-measures, serve == q268 + stamp") {
+    import org.apache.spark.sql.functions.col
+    def rmrf(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(rmrf); f.delete(); ()
+    }
+    val dir = sf0001
+    rmrf(new java.io.File(DedupQueries.bandingChoicePath(dir)))
+    var measured = 0
+    def measure(): (Long, Seq[(Int, Int, Long, Long)]) = {
+      measured += 1
+      val sweep = DedupQueries.q243BandingSweep(spark, dir).collect()
+        .map(r => (r.getLong(0).toInt, r.getLong(1).toInt, r.getLong(2),
+          r.getLong(3))).toSeq
+      // exact count recomputed the q268-spec way (brute force)
+      val sets = docsLocal(dir).map { case (id, text, _) =>
+        id -> tokens(text).toSet }.sortBy(_._1)
+      var nExact = 0L
+      for (i <- sets.indices; j <- (i + 1) until sets.size) {
+        val (a, b) = (sets(i)._2, sets(j)._2)
+        val inter = a.intersect(b).size.toLong
+        if (inter * 17 >= (a.size + b.size) * 7) nExact += 1
+      }
+      (nExact, sweep)
+    }
+    val c1 = DedupQueries.ensureBandingChoice(spark, dir, () => measure())
+    assert(measured === 1, "cold start measures exactly once")
+    assert((c1.bands, c1.rowsPerBand) === graft.dedup.Dedup.chooseBanding(
+      c1.sweep, c1.nExact, DedupQueries.BandingTargetNum,
+      DedupQueries.BandingTargetDen))
+    // WARM: zero-measure law
+    val c2 = DedupQueries.ensureBandingChoice(spark, dir,
+      () => sys.error("banding measurement forced on a warm choice"))
+    assert((c2.bands, c2.rowsPerBand) === ((c1.bands, c1.rowsPerBand)))
+    assert(measured === 1)
+    // stale stamp re-measures
+    DedupQueries.bandingChoiceWrite(spark,
+      DedupQueries.bandingChoicePath(dir),
+      c1.copy(docRows = c1.docRows + 1L))
+    DedupQueries.ensureBandingChoice(spark, dir, () => measure())
+    assert(measured === 2, "stale stamp must re-measure")
+    // the gated serve: exactly q268's rows, plus the stamp columns
+    val auto = DedupQueries.q268BandingAuto(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4))).toSeq
+    val pers = DedupQueries.q274BandingPersist(spark, dir)
+    assert(pers.columns.toSeq === Seq("bands", "rows_per_band", "a", "b",
+      "jaccard", "doc_rows", "doc_content"))
+    val served = pers.collect()
+    assert(served.map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+      r.getLong(3), r.getDouble(4))).toSeq === auto)
+    val (dr, dc) = ChoiceStore.documentsStamp(
+      graft.Tables.documents(spark, dir).select(col("doc_id"), col("text")))
+    assert(served.map(r => (r.getLong(5), r.getLong(6))).distinct.toSeq
+      === Seq((dr, dc)))
+  }
+
   test("q230: fixed-width bins fold to the corpus exactly") {
     val docs = docsLocal(sf0001)
     val scored = docs.flatMap { case (_, text, lang) =>

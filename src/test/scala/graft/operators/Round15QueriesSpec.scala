@@ -222,6 +222,54 @@ class Round15QueriesSpec extends SparkTestBase {
     assert(plan.collect { case t: graft.plans.TopKPerKey => t }.isEmpty)
   }
 
+  test("q273 persisted dials: cold sweeps once, warm zero-sweep, stale stamp re-measures, serve == q271 + stamp") {
+    import org.apache.spark.sql.functions.col
+    def rmrf(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(rmrf); f.delete(); ()
+    }
+    val dir = sf0001
+    rmrf(new java.io.File(Round15Queries.bm25ChoicePath(dir)))
+    var swept = 0
+    val comp = Round15Queries.multiBm25Components(spark, dir)
+    val hs = graft.plans.TopK.idRangeSafe(
+      spark.read.parquet(s"$dir/documents.parquet").select(col("doc_id")),
+      "doc_id", 1L << 25)
+    def measure(): Seq[(Long, Long, Long)] = {
+      swept += 1; Round15Queries.bm25SweepQuality(comp, hs)
+    }
+    val c1 = Round15Queries.ensureBm25ParamsChoice(spark, dir,
+      () => measure())
+    assert(swept === 1, "cold start sweeps exactly once")
+    // the persisted choice replays the pure rule on the persisted sweep
+    assert((c1.k1Micro, c1.bMicro)
+      === Round15Queries.chooseBm25Params(c1.sweep))
+    // WARM: the zero-sweep law — a throwing thunk is never forced
+    val c2 = Round15Queries.ensureBm25ParamsChoice(spark, dir,
+      () => sys.error("sweep forced on a warm choice"))
+    assert((c2.k1Micro, c2.bMicro) === ((c1.k1Micro, c1.bMicro)))
+    assert(swept === 1)
+    // a moved corpus stamp is a stale artifact: re-measure
+    Round15Queries.bm25ChoiceWrite(spark, Round15Queries.bm25ChoicePath(dir),
+      c1.copy(docContent = c1.docContent + 1L))
+    Round15Queries.ensureBm25ParamsChoice(spark, dir, () => measure())
+    assert(swept === 2, "stale stamp must re-measure")
+    // the gated serve: exactly q271's rows, plus the stamp columns
+    val auto = Round15Queries.q271Bm25ParamsAuto(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4), r.getLong(5), r.getLong(6))).toSeq
+    val pers = Round15Queries.q273Bm25ParamsPersist(spark, dir)
+    assert(pers.columns.toSeq === Seq("k1_micro", "b_micro", "query_id",
+      "doc_id", "bm25", "n_terms_hit", "rk", "doc_rows", "doc_content"))
+    val served = pers.collect()
+    assert(served.map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+      r.getLong(3), r.getDouble(4), r.getLong(5), r.getLong(6))).toSeq
+      === auto)
+    val (dr, dc) = ChoiceStore.documentsStamp(
+      graft.Tables.documents(spark, dir).select(col("doc_id"), col("text")))
+    assert(served.map(r => (r.getLong(7), r.getLong(8))).distinct.toSeq
+      === Seq((dr, dc)))
+  }
+
   test("idealIdcg: heap and window forms agree, and the heap is really dispatched away") {
     // the ideal ranking feeds q271's (k1, b) decision, so it rides the
     // same heap-or-window dispatch as the served ranking (round-10
