@@ -132,7 +132,8 @@ object Bench {
     "q263_nprobe_auto", "q264_ivfpq_retrain", "q265_compaction_policy",
     "q266_unigram_vocab", "q267_unigram_segment", "q269_unigram_encode",
     "q270_unigram_decode", "q271_bm25_params_auto",
-    "q272_nprobe_choice_persist", "q273_bm25_params_persist")
+    "q272_nprobe_choice_persist", "q273_bm25_params_persist",
+    "q275_vocab_size_auto")
 
   /** Where the per-query JSON artifact lands. Default target/bench.json
     * (build output, never committed); SPARK_GRAFT_BENCH_OUT overrides.

@@ -41,7 +41,7 @@ object UnigramQueries {
 
   // ------------------------------------------------------------ q267
   /** Per-word Viterbi segmentation under the final round's scores —
-    * the E-step gated directly: the md5 over the -joined piece
+    * the E-step gated directly: the md5 over the \u0001-joined piece
     * sequence makes a single wrong DP tie-break or off-by-one
     * substring hash-visible (the q114 merged_hash discipline).
     */
@@ -208,14 +208,14 @@ object UnigramQueries {
   // module-shared tokenizer CTE (TextStatsQueries.listsCte's contract,
   // restated here to keep this module self-contained — same regex).
   private val prefixCtes: String =
-    s"""lists AS (
+    s"""lists AS MATERIALIZED (
        |  SELECT doc_id,
        |         list_filter(string_split(trim(regexp_replace(lower(text), '(\\d|\\W)+', ' ', 'g')), ' '), x -> x <> '') AS toks
        |  FROM documents),
-       |wc AS (
+       |wc AS MATERIALIZED (
        |  SELECT word, CAST(count(*) AS BIGINT) AS n
        |  FROM (SELECT unnest(toks) AS word FROM lists) t GROUP BY word),
-       |spans AS (
+       |spans AS MATERIALIZED (
        |  SELECT word, n, c.j AS j, c.l AS l,
        |         substr(word, (c.j - c.l + 1)::INTEGER, (c.l)::INTEGER) AS piece
        |  FROM (SELECT word, n,
@@ -223,9 +223,9 @@ object UnigramQueries {
        |            j -> list_transform(range(1, least($P, j) + 1),
        |                 l -> {'j': j, 'l': l})))) AS c
        |        FROM wc)),
-       |seedall AS (
+       |seedall AS MATERIALIZED (
        |  SELECT piece, CAST(sum(n) AS BIGINT) AS cnt FROM spans GROUP BY piece),
-       |seed AS (
+       |seed AS MATERIALIZED (
        |  SELECT piece, cnt FROM seedall WHERE length(piece) = 1
        |  UNION ALL
        |  SELECT piece, cnt FROM (
@@ -233,7 +233,7 @@ object UnigramQueries {
        |           row_number() OVER (ORDER BY cnt DESC, piece ASC) AS srk
        |    FROM seedall WHERE length(piece) > 1 AND cnt >= ${UnigramLm.MinSeedCount})
        |  WHERE srk <= ${UnigramLm.MaxSeedPieces}),
-       |sc0 AS (
+       |sc0 AS MATERIALIZED (
        |  SELECT piece, CAST(round(1e6 * ln(CAST(cnt AS DOUBLE) /
        |           (SELECT CAST(sum(cnt) AS DOUBLE) FROM seed)), 0) AS BIGINT) AS s
        |  FROM seed)""".stripMargin
@@ -251,21 +251,26 @@ object UnigramQueries {
   // argmin is a scalar least() and the winner decodes arithmetically,
   // reproducing UnigramLm.viterbiSegment's (ns asc, np asc, nl asc)
   // struct sort exactly.
-  private def roundCtes(i: Int): String = {
-    val sc = if (i == 1) "sc0" else s"sc${i - 1}"
+  // ONE Viterbi DP + backtrack chain under the score table `sc`, CTE
+  // names suffixed `sfx` — shared by the EM rounds (sfx = round index,
+  // sc = previous round's scores) and q275's per-vocab-size sweep
+  // (sfx = v<V>, sc = the pruned vocabulary's restricted scores): the
+  // oracle replays the engine's ONE viterbiSegment body everywhere it
+  // is called, the bandingAutoSql/bm25SweepCtes sharing convention.
+  private def dpChain(sfx: String, sc: String): String = {
     val sentinel = "4611686018427387904"
     val cell = (l: Int) => {
       val dpIdx = s"d.dp[d.j + ${2 - l}]"
       s"CASE WHEN c.s$l IS NOT NULL THEN ($dpIdx.ns - c.s$l) * 131072 + ($dpIdx.np + 1) * 8 + ${4 - l} ELSE $sentinel END"
     }
-    s"""candp$i AS (
+    s"""candp$sfx AS MATERIALIZED (
        |  SELECT sp.word, sp.j,
        |         max(CASE WHEN sp.l = 1 THEN sc.s END) AS s1,
        |         max(CASE WHEN sp.l = 2 THEN sc.s END) AS s2,
        |         max(CASE WHEN sp.l = 3 THEN sc.s END) AS s3,
        |         max(CASE WHEN sp.l = 4 THEN sc.s END) AS s4
        |  FROM spans sp JOIN $sc sc USING (piece) GROUP BY sp.word, sp.j),
-       |dpr$i AS (
+       |dpr$sfx AS (
        |  SELECT word, 0 AS j,
        |         [{'ns': 0::BIGINT, 'np': 0::BIGINT, 'nl': 0::BIGINT}] AS dp
        |  FROM wc
@@ -281,32 +286,38 @@ object UnigramQueries {
        |      ${cell(2)},
        |      ${cell(3)},
        |      ${cell(4)}) AS kmin
-       |    FROM dpr$i d JOIN candp$i c ON c.word = d.word AND c.j = d.j + 1
+       |    FROM dpr$sfx d JOIN candp$sfx c ON c.word = d.word AND c.j = d.j + 1
        |    WHERE d.j < length(d.word)) d),
-       |dpf$i AS (
+       |dpf$sfx AS MATERIALIZED (
        |  SELECT w.word, w.n, d.dp
-       |  FROM wc w JOIN dpr$i d ON d.word = w.word AND d.j = length(w.word)),
-       |walk$i AS (
+       |  FROM wc w JOIN dpr$sfx d ON d.word = w.word AND d.j = length(w.word)),
+       |walk$sfx AS (
        |  SELECT word, CAST(length(word) AS INTEGER) AS pos,
        |         CAST(NULL AS VARCHAR) AS piece, dp
-       |  FROM dpf$i
+       |  FROM dpf$sfx
        |  UNION ALL
        |  SELECT word, (pos + dp[pos + 1].nl)::INTEGER,
        |         substr(word, (pos + dp[pos + 1].nl + 1)::INTEGER,
        |                (-dp[pos + 1].nl)::INTEGER), dp
-       |  FROM walk$i WHERE pos > 0),
-       |seg$i AS (
+       |  FROM walk$sfx WHERE pos > 0),
+       |seg$sfx AS MATERIALIZED (
        |  SELECT f.word, f.n, f.dp, p.pieces
-       |  FROM dpf$i f JOIN (
+       |  FROM dpf$sfx f JOIN (
        |    SELECT word, list(piece ORDER BY pos) AS pieces
-       |    FROM walk$i WHERE piece IS NOT NULL GROUP BY word) p USING (word)),
-       |vc$i AS (
+       |    FROM walk$sfx WHERE piece IS NOT NULL GROUP BY word) p USING (word))"""
+      .stripMargin
+  }
+
+  private def roundCtes(i: Int): String = {
+    val sc = if (i == 1) "sc0" else s"sc${i - 1}"
+    s"""${dpChain(i.toString, sc)},
+       |vc$i AS MATERIALIZED (
        |  SELECT piece, CAST(sum(n) AS BIGINT) AS cnt
        |  FROM (SELECT n, unnest(pieces) AS piece FROM seg$i) t GROUP BY piece),
-       |sm$i AS (
+       |sm$i AS MATERIALIZED (
        |  SELECT s.piece, CAST(COALESCE(v.cnt, 0) + 1 AS BIGINT) AS cnt
        |  FROM seed s LEFT JOIN vc$i v USING (piece)),
-       |sc$i AS (
+       |sc$i AS MATERIALIZED (
        |  SELECT piece, CAST(round(1e6 * ln(CAST(cnt AS DOUBLE) /
        |           (SELECT CAST(sum(cnt) AS DOUBLE) FROM sm$i)), 0) AS BIGINT) AS s
        |  FROM sm$i)""".stripMargin
@@ -409,15 +420,114 @@ object UnigramQueries {
        |FROM lists l LEFT JOIN dec d USING (doc_id)
        |ORDER BY l.doc_id""".stripMargin
 
+  // ------------------------------------------------------------ q275
+  /** Engine-chosen VOCABULARY SIZE — the tokenizer layer's last human
+    * dial closed (round-10 verdict task #3; the q252→q263 arc replayed
+    * for [[UnigramLm.VocabSize]]): the engine MEASURES corpus
+    * fertility at every swept size ([[UnigramLm.fertilityAt]] — one
+    * vocabulary-scale E-step per point over the prune ladder of the
+    * SAME trained counts, never a re-train: Kudo 2018 trains large
+    * and prunes, the sweep reads the ladder), picks with the pure
+    * exact-rational [[UnigramLm.chooseVocabSize]] rule (smallest size
+    * within the fertility budget; largest-swept fallback at the
+    * corpus' compressibility floor), and SERVES the segmentation under
+    * the chosen pruned vocabulary, choice on every row. The oracle
+    * replays measurement (one DP chain per swept size — the shared
+    * [[dpChain]] body), rule, AND serve — the decision itself is
+    * hash-gated, and the budget sits where the two gate fixtures
+    * choose DIFFERENT sizes (sf0.01 → 48, sf0.001 → 64), so the gate
+    * pins the rule discriminating. UnigramLmSpec pins the coverage
+    * floor, the prune-ladder construction, and the fallback branch.
+    */
+  def q275VocabSizeAuto(s: SparkSession, dir: String): DataFrame = {
+    val m = UnigramLm.train(s, dir)
+    val curve = UnigramLm.VocabSweep.map { v =>
+      val (num, den) = UnigramLm.fertilityAt(m.wc, m.seed, m.counts, v)
+      (v, num, den)
+    }
+    val chosen = UnigramLm.chooseVocabSize(curve, UnigramLm.MaxFertilityMicro)
+    UnigramLm.viterbiSegment(m.wc,
+        UnigramLm.vocabScores(m.seed, m.counts,
+          UnigramLm.prunedVocab(m.seed, m.counts, chosen)))
+      .select(lit(chosen.toLong).as("vocab_size"), col("word"), col("n"),
+        col("n_pieces"), col("score_micro"),
+        md5(concat_ws("\u0001", col("pieces")).cast("binary")).as("seg_hash"))
+      .orderBy(col("word"))
+  }
+
+  // per-swept-size oracle chain: pruned vocab (all singles + ranked
+  // multi quota), restricted+renormalized scores, the shared DP chain,
+  // and the exact-integer fertility pair
+  private def vocabChainCtes(v: Int): String =
+    s"""vocabv$v AS MATERIALIZED (
+       |  SELECT piece FROM seed WHERE length(piece) = 1
+       |  UNION ALL
+       |  SELECT piece FROM (
+       |    SELECT piece, row_number() OVER (ORDER BY cnt DESC, piece ASC)
+       |             AS mrk
+       |    FROM vc$R WHERE length(piece) > 1)
+       |  WHERE mrk <= greatest(0, $v -
+       |    (SELECT count(*) FROM seed WHERE length(piece) = 1))),
+       |smv$v AS MATERIALIZED (
+       |  SELECT s.piece, s.cnt FROM sm$R s JOIN vocabv$v USING (piece)),
+       |scv$v AS MATERIALIZED (
+       |  SELECT piece, CAST(round(1e6 * ln(CAST(cnt AS DOUBLE) /
+       |           (SELECT CAST(sum(cnt) AS DOUBLE) FROM smv$v)), 0) AS BIGINT)
+       |           AS s
+       |  FROM smv$v),
+       |${dpChain(s"v$v", s"scv$v")},
+       |fertv$v AS MATERIALIZED (
+       |  SELECT $v AS vocab_size,
+       |         CAST(sum(n * len(pieces)) AS BIGINT) AS fert_num,
+       |         CAST(sum(n) AS BIGINT) AS fert_den
+       |  FROM segv$v)""".stripMargin
+
+  val q275Sql: String = {
+    val chains = UnigramLm.VocabSweep.map(vocabChainCtes).mkString(",\n")
+    val fertUnion = UnigramLm.VocabSweep
+      .map(v => s"SELECT * FROM fertv$v").mkString("\n  UNION ALL ")
+    val servedUnion = UnigramLm.VocabSweep
+      .map(v => s"SELECT $v AS vocab_size, word, n, pieces, dp FROM segv$v")
+      .mkString("\n    UNION ALL ")
+    s"""WITH RECURSIVE $allCtes,
+       |$chains,
+       |fert AS (
+       |  $fertUnion),
+       |-- UnigramLm.chooseVocabSize replayed: exact HUGEINT
+       |-- cross-multiplication; smallest satisfying size, largest-swept
+       |-- fallback when every point misses the budget
+       |chosenv AS (
+       |  SELECT vocab_size FROM (
+       |    SELECT vocab_size,
+       |      CASE WHEN CAST(fert_num AS HUGEINT) * 1000000
+       |                <= CAST(${UnigramLm.MaxFertilityMicro} AS HUGEINT)
+       |                   * fert_den
+       |           THEN 0 ELSE 1 END AS miss
+       |    FROM fert)
+       |  ORDER BY miss ASC,
+       |           CASE WHEN miss = 0 THEN vocab_size END ASC NULLS LAST,
+       |           vocab_size DESC
+       |  LIMIT 1)
+       |SELECT CAST(c.vocab_size AS BIGINT) AS vocab_size, t.word, t.n,
+       |       CAST(len(t.pieces) AS BIGINT) AS n_pieces,
+       |       -t.dp[length(t.word) + 1].ns AS score_micro,
+       |       md5(array_to_string(t.pieces, chr(1))) AS seg_hash
+       |FROM ($servedUnion) t
+       |JOIN chosenv c ON t.vocab_size = c.vocab_size
+       |ORDER BY t.word""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q266_unigram_vocab" -> (q266UnigramVocab _),
     "q267_unigram_segment" -> (q267UnigramSegment _),
     "q269_unigram_encode" -> (q269UnigramEncode _),
-    "q270_unigram_decode" -> (q270UnigramDecode _))
+    "q270_unigram_decode" -> (q270UnigramDecode _),
+    "q275_vocab_size_auto" -> (q275VocabSizeAuto _))
 
   val oracles: Map[String, String] = Map(
     "q266_unigram_vocab" -> q266Sql,
     "q267_unigram_segment" -> q267Sql,
     "q269_unigram_encode" -> q269Sql,
-    "q270_unigram_decode" -> q270Sql)
+    "q270_unigram_decode" -> q270Sql,
+    "q275_vocab_size_auto" -> q275Sql)
 }

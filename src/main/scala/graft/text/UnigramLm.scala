@@ -49,6 +49,17 @@ object UnigramLm {
   val EmRounds = 2
   val VocabSize = 64
 
+  /** The vocab-size sweep and fertility budget of the engine-chosen
+    * vocabulary (q275 — the tokenizer layer's last human dial closed,
+    * the round-10 verdict's task #3). The budget sits between the
+    * corpus' V=48 fertility at sf0.01 (2.3064 — first-satisfying
+    * branch, chosen 48) and at sf0.001 (2.3392 — the 48-point misses,
+    * so the rule walks on to 64), so the gate pins the rule actually
+    * DISCRIMINATING, not rubber-stamping one point; the all-miss
+    * fallback branch is spec-pinned with a synthetic budget. */
+  val VocabSweep: Seq[Int] = Seq(16, 32, 48, 64)
+  val MaxFertilityMicro = 2320000L
+
   /** Corpus word counts — the only corpus-scale pass. */
   def wordCounts(docs: DataFrame): DataFrame =
     docs.select(explode(TextPrep.tokensCol(col("text"))).as("word"))

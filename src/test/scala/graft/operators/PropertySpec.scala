@@ -485,4 +485,38 @@ class PropertySpec extends SparkTestBase {
       assert(Round15Queries.chooseBm25Params(sweep.reverse) === ((k1, b0)))
     }
   }
+
+  test("chooseVocabSize laws: membership, smallest-satisfying, ceiling fallback, budget monotonicity, order independence, exact boundary") {
+    import graft.text.UnigramLm
+    val curveGen: Gen[List[(Int, Long, Long)]] = Gen.chooseNum(1, 6)
+      .flatMap { n =>
+        Gen.listOfN(n, for {
+          v <- Gen.chooseNum(1, 300)
+          num <- Gen.chooseNum(1L, 5000L)
+          den <- Gen.chooseNum(1L, 500L)
+        } yield (v, num, den))
+      }.map(_.distinctBy(_._1)) // duplicate sizes in a sweep are a caller bug
+    for (seed <- 1L to 300L) {
+      val curve = sample(curveGen, seed)
+      val budget = sample(Gen.chooseNum(0L, 20000000L), seed + 90000)
+      val v = UnigramLm.chooseVocabSize(curve, budget)
+      assert(curve.exists(_._1 == v)) // membership
+      val sat = curve.filter { case (_, n, d) =>
+        BigInt(n) * 1000000 <= BigInt(budget) * d }.map(_._1)
+      if (sat.nonEmpty) assert(v === sat.min) // smallest satisfying
+      else assert(v === curve.map(_._1).max) // compressibility-floor fallback
+      // a looser budget never picks a LARGER vocabulary
+      assert(UnigramLm.chooseVocabSize(curve,
+        budget + 1 + sample(Gen.chooseNum(0L, 1000000L), seed + 180000)) <= v)
+      // a function of the curve SET, not the Seq order
+      assert(UnigramLm.chooseVocabSize(curve.reverse, budget) === v)
+    }
+    // the budget is inclusive: num·10^6 == budget·den satisfies
+    assert(UnigramLm.chooseVocabSize(
+      Seq((8, 3L, 2L), (16, 1L, 1L)), 1500000L) === 8)
+    intercept[IllegalArgumentException] {
+      UnigramLm.chooseVocabSize(Nil, 1000000L) }
+    intercept[IllegalArgumentException] {
+      UnigramLm.chooseVocabSize(Seq((8, 0L, 0L)), 1000000L) }
+  }
 }

@@ -173,4 +173,53 @@ class UnigramLmSpec extends SparkTestBase {
     assert(finalPieces <= round1,
       s"EM fragmented the corpus: round1 $round1 -> final $finalPieces")
   }
+
+  test("vocab-size sweep: coverage floor, prune-ladder nesting, fertility saturation, serve ≡ pruned segmentation, fallback branch") {
+    val m = UnigramLm.train(spark, sf0001)
+    val singles = m.seed.filter(length(col("piece")) === 1)
+      .collect().map(_.getString(0)).toSet
+    // coverage floor: a nominal size under the alphabet serves the
+    // whole alphabet (required-chars are never traded away)
+    val v1 = UnigramLm.prunedVocab(m.seed, m.counts, 1)
+      .collect().map(_.getString(0)).toSet
+    assert(v1 === singles)
+    // prune-ladder nesting: every swept vocabulary contains the
+    // previous one (one training run, a ladder of prunes)
+    val ladder = UnigramLm.VocabSweep.map(v =>
+      UnigramLm.prunedVocab(m.seed, m.counts, v)
+        .collect().map(_.getString(0)).toSet)
+    ladder.sliding(2).foreach { case Seq(a, b) =>
+      assert(a.subsetOf(b), "prune ladder must nest") }
+    assert(ladder.forall(singles.subsetOf(_)))
+    // fertility is nonincreasing along the ladder on this fixture
+    // (more vocabulary never fragments more), and saturates once the
+    // ladder includes every used piece
+    val curve = UnigramLm.VocabSweep.map { v =>
+      val (num, den) = UnigramLm.fertilityAt(m.wc, m.seed, m.counts, v)
+      (v, num, den)
+    }
+    curve.sliding(2).foreach { case Seq((_, n1, d1), (_, n2, d2)) =>
+      assert(d1 === d2, "denominator is v-invariant (total corpus words)")
+      assert(n2 <= n1, "fertility must not rise along the prune ladder")
+    }
+    // the gated serve: choice replays the rule; rows carry it; the
+    // segmentation IS viterbiSegment under the chosen pruned scores
+    val chosen = UnigramLm.chooseVocabSize(curve, UnigramLm.MaxFertilityMicro)
+    assert(chosen === 64, "sf0.001's 48-point misses the budget (2.3392)")
+    val out = UnigramQueries.q275VocabSizeAuto(spark, sf0001).collect()
+    assert(out.nonEmpty)
+    assert(out.map(_.getLong(0)).toSet === Set(chosen.toLong))
+    val expected = UnigramLm.viterbiSegment(m.wc,
+        UnigramLm.vocabScores(m.seed, m.counts,
+          UnigramLm.prunedVocab(m.seed, m.counts, chosen)))
+      .select(col("word"), col("n"), col("n_pieces"), col("score_micro"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).sortBy(_._1).toSeq
+    assert(out.map(r => (r.getString(1), r.getLong(2), r.getLong(3),
+      r.getLong(4))).toSeq === expected)
+    // fallback branch: a budget below the compressibility floor serves
+    // the largest swept size
+    assert(UnigramLm.chooseVocabSize(curve, 1000000L)
+      === UnigramLm.VocabSweep.max)
+  }
 }
