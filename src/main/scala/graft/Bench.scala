@@ -133,7 +133,7 @@ object Bench {
     "q266_unigram_vocab", "q267_unigram_segment", "q269_unigram_encode",
     "q270_unigram_decode", "q271_bm25_params_auto",
     "q272_nprobe_choice_persist", "q273_bm25_params_persist",
-    "q275_vocab_size_auto")
+    "q275_vocab_size_auto", "q276_lifecycle_cycle")
 
   /** Where the per-query JSON artifact lands. Default target/bench.json
     * (build output, never committed); SPARK_GRAFT_BENCH_OUT overrides.

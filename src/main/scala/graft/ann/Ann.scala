@@ -875,10 +875,10 @@ object Ann {
     * the probe rows plus an `nprobe` column per setting.
     */
   def ivfPqProbeSweep(queries: DataFrame, indexDir: String, k: Int,
-      nprobes: Seq[Int]): DataFrame = {
+      nprobes: Seq[Int], tombstones: Option[DataFrame] = None): DataFrame = {
     require(nprobes.nonEmpty, "ivfPqProbeSweep: empty sweep")
     val (scored0, ids) = ivfPqScoreAtMax(queries, indexDir, nprobes.max,
-      tombstones = None, "ivfPqProbeSweep")
+      tombstones, "ivfPqProbeSweep")
     val scored = scored0.localCheckpoint()
     nprobes.map { np =>
       rankAdcTopK(scored.filter(col("pr") <= np).drop("pr"), ids, k,
@@ -900,12 +900,17 @@ object Ann {
     * audit surface, [[chooseNprobe]] compares raw).
     */
   def ivfPqRecallCurve(tuneQueries: DataFrame, corpus: DataFrame,
-      indexDir: String, k: Int, sweep: Seq[Int]): Seq[(Int, Long, Long)] = {
+      indexDir: String, k: Int, sweep: Seq[Int],
+      tombstones: Option[DataFrame] = None): Seq[(Int, Long, Long)] = {
+    // `corpus` is the LIVE corpus by contract (the caller anti-joins
+    // its delete set — it knows the lake; this function knows the
+    // index); `tombstones` masks the PROBE side, so a delete-aware
+    // tuning job measures exactly the reachable set it will serve.
     require(sweep.nonEmpty, "ivfPqRecallCurve: empty sweep")
     val exact = bruteForceTopK(tuneQueries, corpus, k)
       .select(col("qid"), col("nid")).localCheckpoint()
     val nExact = exact.count()
-    val hits = ivfPqProbeSweep(tuneQueries, indexDir, k, sweep)
+    val hits = ivfPqProbeSweep(tuneQueries, indexDir, k, sweep, tombstones)
       .select(col("nprobe"), col("qid"), col("nid"))
       .join(exact, Seq("qid", "nid"), "left_semi")
       .groupBy(col("nprobe")).agg(count(lit(1)).as("n_hits"))
@@ -945,7 +950,11 @@ object Ann {
   def ivfPqProbeAuto(queries: DataFrame, tuneQueries: DataFrame,
       corpus: DataFrame, indexDir: String, k: Int, targetRecall: Double,
       sweep: Seq[Int], tombstones: Option[DataFrame] = None): DataFrame = {
-    val curve = ivfPqRecallCurve(tuneQueries, corpus, indexDir, k, sweep)
+    // tombstones mask the TUNING sweep as well as the serve (a dial
+    // tuned against deleted-but-reachable rows would measure a recall
+    // the serving path cannot see)
+    val curve = ivfPqRecallCurve(tuneQueries, corpus, indexDir, k, sweep,
+      tombstones)
     val np = chooseNprobe(
       curve.map { case (n, h, t) =>
         (n, if (t == 0L) 0.0 else h.toDouble / t) },

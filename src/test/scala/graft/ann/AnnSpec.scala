@@ -972,6 +972,100 @@ class AnnSpec extends SparkTestBase {
       === ((gr, gc, gf)))
   }
 
+  test("q276 composed cycle, firing branch: drift fires, tombstones truncate, error recovers, serve rides the retrained generation at the measured dial") {
+    import org.apache.spark.sql.functions.col
+    import graft.operators.AnnQueries
+    val out = AnnQueries.q276LifecycleCycle(spark, sf0001).collect()
+    assert(out.nonEmpty)
+    val h = out.head
+    assert(h.getAs[Long]("fire") === 1L,
+      "the drifted append fixture must fire the retrain trigger")
+    assert(h.getAs[Long]("n_tombstones_after") === 0L,
+      "refresh subsumes the deletes: the tombstone set truncates")
+    val fBase = h.getAs[Double]("frozen_base_err")
+    val fApp = h.getAs[Double]("frozen_appended_err")
+    val rApp = h.getAs[Double]("refreshed_appended_err")
+    assert(fApp > AnnQueries.RetrainDriftRatio * fBase,
+      "decision must replay the rule on the frozen audit")
+    assert(rApp < fApp, "retrain must recover the appended-slice error")
+    // the served stamp IS the retrained generation's live stamp, and
+    // the untaken compacted path holds the empty sentinel
+    val rP = AnnQueries.cycleRetrainedPath(sf0001)
+    val cP = AnnQueries.cycleCompactedPath(sf0001)
+    val (gr, gc, gf) = Ann.ivfPqGenerationStamp(spark, rP)
+    assert((h.getAs[Long]("gen_rows"), h.getAs[Long]("gen_content"),
+      h.getAs[Long]("gen_files")) === ((gr, gc, gf)))
+    assert(spark.read.parquet(s"$cP/assignments").count() === 0L)
+    // no tombstoned id is reachable in the serve (they are physically
+    // absent from the retrained generation)
+    val dead = AnnQueries.ivfPqTombstones(spark, sf0001).collect()
+      .map(_.getLong(0)).toSet
+    assert(!out.exists(r => dead(r.getAs[Long]("nid"))))
+    // the serve equals an independent delete-aware probeAuto over the
+    // retrained generation (same live tuning corpus)
+    val e = graft.Tables.embeddings(spark, sf0001)
+    val tune = e.filter(col("vec_id") % 50 === 0)
+    val live = e.join(AnnQueries.ivfPqTombstones(spark, sf0001),
+      Seq("vec_id"), "left_anti")
+    val expect = Ann.ivfPqProbeAuto(tune, tune, live, rP, 3, 0.32,
+        Seq(1, 2, 4, 8, 16))
+      .select(col("qid"), col("nid"), col("adc_micro"), col("rk"),
+        col("nprobe"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).sortBy(t => (t._1, t._4)).toSeq
+    assert(out.map(r => (r.getAs[Long]("qid"), r.getAs[Long]("nid"),
+      r.getAs[Long]("adc_micro"), r.getAs[Long]("rk"),
+      r.getAs[Long]("nprobe"))).toSeq === expect)
+  }
+
+  test("q276 composed cycle, skip branch: selective compact, tombstones carry, deleted ids stay unreachable") {
+    import org.apache.spark.sql.functions.col
+    import graft.operators.AnnQueries
+    val idx = AnnQueries.prepareIvfPqAppend(spark, sf0001)
+    val ts = AnnQueries.ivfPqTombstones(spark, sf0001)
+    val rP = new java.io.File("target/spec-cycle-retr").getAbsolutePath
+    val cP = new java.io.File("target/spec-cycle-comp").getAbsolutePath
+    // a tolerance no fixture drifts past forces the skip branch
+    val out = AnnQueries.lifecycleCycleCore(spark, sf0001, idx, ts,
+        driftRatio = 1e9, rP, cP)
+      .orderBy(col("qid"), col("rk")).collect()
+    assert(out.nonEmpty)
+    val h = out.head
+    assert(h.getAs[Long]("fire") === 0L)
+    assert(h.getAs[Long]("n_tombstones_after") === ts.count(),
+      "a compact-only refresh carries the delete set")
+    // the untaken retrained path is the empty sentinel; the compacted
+    // generation is the served one
+    assert(spark.read.parquet(s"$rP/assignments").count() === 0L)
+    val (gr, gc, gf) = Ann.ivfPqGenerationStamp(spark, cP)
+    assert((h.getAs[Long]("gen_rows"), h.getAs[Long]("gen_content"),
+      h.getAs[Long]("gen_files")) === ((gr, gc, gf)))
+    // deleted ids remain unreachable THROUGH the carried tombstones
+    val dead = ts.collect().map(_.getLong(0)).toSet
+    assert(!out.exists(r => dead(r.getAs[Long]("nid"))))
+    // and some dead rows physically survive in the compacted lists
+    // (carried, masked — the selective-compaction contract)
+  }
+
+  test("delete-aware tuning: sweep and curve never score a tombstoned id") {
+    import org.apache.spark.sql.functions.col
+    import graft.operators.AnnQueries
+    val idx = AnnQueries.prepareIvfPqAppend(spark, sf0001)
+    val ts = AnnQueries.ivfPqTombstones(spark, sf0001)
+    val dead = ts.collect().map(_.getLong(0)).toSet
+    assert(dead.nonEmpty)
+    val tune = graft.Tables.embeddings(spark, sf0001)
+      .filter(col("vec_id") % 50 === 0)
+    val masked = Ann.ivfPqProbeSweep(tune, idx, 3, Seq(1, 2, 4), Some(ts))
+      .select(col("nid")).collect().map(_.getLong(0)).toSet
+    assert(masked.intersect(dead).isEmpty)
+    // without the mask the same sweep DOES reach dead ids (the law is
+    // not vacuous on this fixture)
+    val unmasked = Ann.ivfPqProbeSweep(tune, idx, 3, Seq(1, 2, 4))
+      .select(col("nid")).collect().map(_.getLong(0)).toSet
+    assert(unmasked.intersect(dead).nonEmpty)
+  }
+
   test("empty-generation sentinel: all three artifacts bind and read as zero rows") {
     // the q264 skip branch writes this so the oracle's unconditional
     // bind of the retrained path succeeds on non-firing fixtures

@@ -965,7 +965,8 @@ class PlanSpec extends SparkTestBase {
       "q266_unigram_vocab" -> "unigram vocab ranking over the model's used-piece table: |vocab| rows (⊆ the MaxSeedPieces-capped seed support — the cap exists exactly to keep this table vocabulary-sized; the corpus is touched only by the word-count pass, localCheckpointed away)",
       "q269_unigram_encode" -> "unigram id assignment over the model's used-piece table — the q126/q266 class: |vocab| rows under the MaxSeedPieces cap; corpus rows never enter a window (doc reassembly is a doc_id-keyed aggregate)",
       "q270_unigram_decode" -> "the q269 id assignment plus its REVERSE (id → piece) — both windows ride the model's used-piece table (|vocab| rows under the MaxSeedPieces cap); the corpus only crosses the word-keyed broadcast join and the doc_id-keyed reassembly, the q167 decode shape",
-      "q271_bm25_params_auto" -> "the q244 query-synthesis windows (LIMIT-300 term table, LIMIT-150 pair table — TakeOrderedAndProject feeds both); sweep DCG, ideal IDCG, and the served ranking are all per-key heaps + key-partitioned ≤k windows, never an unpartitioned rank over the grid-scored stream")
+      "q271_bm25_params_auto" -> "the q244 query-synthesis windows (LIMIT-300 term table, LIMIT-150 pair table — TakeOrderedAndProject feeds both); sweep DCG, ideal IDCG, and the served ranking are all per-key heaps + key-partitioned ≤k windows, never an unpartitioned rank over the grid-scored stream",
+      "q275_vocab_size_auto" -> "the prune ladder's multi-piece quota rank rides the trained piece-count table — |seed support| rows under the MaxSeedPieces cap (the q266 class); the corpus is touched only by the word-count pass, localCheckpointed away, and the fertility sweep collects one scalar pair per swept size before the served plan exists")
     val offenders = graft.SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
       case (name, fn) =>
         val ws = try unpartitionedWindows(fn(spark, sf0001)) catch {
@@ -1076,7 +1077,9 @@ class PlanSpec extends SparkTestBase {
       "q265_compaction_policy" -> "tombstone side capacity-gated via BoundedBroadcast (graft.ann.maxTombstones, shuffled left-outer fallback); the localCheckpoint hides the gate from the shape rule — the q254 pattern",
       "q269_unigram_encode" -> "broadcast side is the vocab-id table over the model's used pieces (MaxSeedPieces-capped — the q126 broadcast-vocab contract); the model's localCheckpoint hides the aggregate from the shape rule",
       "q270_unigram_decode" -> "broadcast sides are the reversed vocab-id table and the decoded-word artifact — both over the model's used pieces / trained words (MaxSeedPieces- and vocabulary-capped, the q269/q167 contract); the model's localCheckpoint hides the aggregates from the shape rule",
-      "q271_bm25_params_auto" -> "same LIMIT-150 query-table broadcast as q244 inside the component build (usually hidden behind the component checkpoint); the grid is a literal array (no join at all), the sweep collects 12 rows, and the served plan re-ranks the chosen slice of the fold over the checkpointed components")
+      "q271_bm25_params_auto" -> "same LIMIT-150 query-table broadcast as q244 inside the component build (usually hidden behind the component checkpoint); the grid is a literal array (no join at all), the sweep collects 12 rows, and the served plan re-ranks the chosen slice of the fold over the checkpointed components",
+      "q275_vocab_size_auto" -> "broadcast sides are the chosen pruned vocabulary's renormalized score table and its 1-row total (both ⊆ the MaxSeedPieces-capped seed support — the q269 broadcast-vocab contract); the fertility sweep reduces each ladder point to one scalar pair before the served plan exists",
+      "q276_lifecycle_cycle" -> "serves q263's probe shape at the measured dial over the REFRESHED generation (|Q|·nprobe probe rows + |Q|-row LUT, the same k-bounded window filter); the lifecycle verbs — audit, retrain/compact, re-audit, tuning sweep — run inside the operator before the served plan exists, and every tombstone side is capacity-gated via BoundedBroadcast (the q254/q265 pattern)")
     val offenders = graft.SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
       case (name, fn) =>
         val unbounded = try hintedSides(fn(spark, sf0001)).filterNot(bounded) catch {
