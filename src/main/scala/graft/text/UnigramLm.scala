@@ -32,6 +32,26 @@ import graft.Tables
   * the learned segmentation is bit-identical between the engine and
   * the DuckDB oracle replay.
   *
+  * DOCUMENTED DIVERGENCE — hard-EM, not full EM: Kudo 2018's reference
+  * trainer computes EXPECTED piece counts over ALL segmentations of
+  * each word (forward–backward marginals); this trainer counts pieces
+  * along the single Viterbi-BEST path only (Viterbi-/hard-EM). The
+  * two estimators genuinely differ: a piece that rides only non-best
+  * segmentations gets fractional expected mass under full EM but a
+  * raw count of ZERO here (the Laplace floor in [[smoothed]] is what
+  * keeps it alive between rounds — pruning stays an output-time
+  * decision). Hard-EM is the deliberate choice because the entire
+  * determinism story rides on it: the M-step input is an integer
+  * argmin path, so usage counts are exact longs and the DuckDB oracle
+  * replays training bit-for-bit, whereas forward–backward marginals
+  * are irreducibly floating-point (log-sum-exp), which would put a
+  * platform-sensitive float inside the hash gate. Same discipline as
+  * the documented NLTK-lemmatizer divergence: divergence named,
+  * bounded, and spec-pinned (UnigramLmSpec "hard-EM vs full-EM" — the
+  * law computes the forward–backward expectation locally and shows a
+  * real piece where the two estimators disagree, so the note is
+  * non-vacuous on the gate fixture itself).
+  *
   * THE SCALE SHAPE IS THE POINT: the corpus is touched ONCE (word
   * counts — one partial-agg exchange); seeding, scoring, EM, and the
   * final vocabulary all run on the DISTINCT-WORD table (vocabulary-

@@ -988,6 +988,12 @@ class AnnSpec extends SparkTestBase {
     assert(fApp > AnnQueries.RetrainDriftRatio * fBase,
       "decision must replay the rule on the frozen audit")
     assert(rApp < fApp, "retrain must recover the appended-slice error")
+    // CONVERGENCE: the actuator heals the signal that fired it — a
+    // second nightly cycle over the refreshed generation would take
+    // the skip branch (the composed job is self-quiescing, not a
+    // retrain loop; the audits it re-emits are the proof)
+    assert(!Ann.chooseRetrain(h.getAs[Double]("refreshed_base_err"), rApp,
+      AnnQueries.RetrainDriftRatio))
     // the served stamp IS the retrained generation's live stamp, and
     // the untaken compacted path holds the empty sentinel
     val rP = AnnQueries.cycleRetrainedPath(sf0001)

@@ -1088,9 +1088,37 @@ class StreamingOpsSpec extends SparkTestBase {
     val q = StreamingOps.streamingIvfPqAppend(
       input.toDF.toDF("vec_id", "embedding"), dir)
     // three uneven micro-batches, appended against the FROZEN quantizers
-    Seq(newRows.take(3), newRows.slice(3, 50), newRows.drop(50))
+    val groups = Seq(newRows.take(3), newRows.slice(3, 50), newRows.drop(50))
       .filter(_.nonEmpty)
-      .foreach { g => input.addData(g.toIndexedSeq: _*); q.processAllAvailable() }
+    groups.zipWithIndex.foreach { case (g, i) =>
+      input.addData(g.toIndexedSeq: _*); q.processAllAvailable()
+      if (i == 1) {
+        // MID-STREAM SERVE: with two of three micro-batches ingested,
+        // the index is a live generation and the tombstone-aware probe
+        // must serve it exactly as it would a batch-appended twin of
+        // the same prefix — ingest never takes the index offline, and
+        // deletes are honored against half-ingested generations
+        val twin = java.nio.file.Files
+          .createTempDirectory("ivfpq-stream-twin").toString + "/idx"
+        graft.ann.Ann.ivfPqBuild(emb.filter($"vec_id" % 5 =!= 3), twin,
+          AnnQueries.IvfPqClusters, AnnQueries.PqM, AnnQueries.PqCodes)
+        import spark.implicits._
+        graft.ann.Ann.ivfPqAppend(
+          groups.take(2).flatten.toDF("vec_id", "embedding"), twin)
+        val queries = emb.filter($"vec_id" % 50 === 0)
+        val tombs = emb.filter($"vec_id" % 10 === 0).select($"vec_id")
+        def probed(dir: String) =
+          graft.ann.Ann.ivfPqProbe(queries, dir, 3, 4, Some(tombs))
+            .collect().map(r => (r.getAs[Long]("qid"), r.getAs[Long]("nid"),
+              r.getAs[Long]("adc_micro"), r.getAs[Long]("rk")))
+            .sortBy(t => (t._1, t._4)).toSeq
+        val mid = probed(dir)
+        assert(mid === probed(twin),
+          "mid-stream probe must equal the batch-appended twin's")
+        val deadMid = tombs.collect().map(_.getLong(0)).toSet
+        assert(!mid.exists(t => deadMid(t._2)))
+      }
+    }
     q.stop()
     def rowsOf(ids: Long => Boolean) = spark.read.parquet(s"$dir/assignments")
       .select($"vec_id", $"cluster".cast("int").as("cluster"), $"codes")

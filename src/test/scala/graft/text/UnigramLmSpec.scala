@@ -222,4 +222,84 @@ class UnigramLmSpec extends SparkTestBase {
     assert(UnigramLm.chooseVocabSize(curve, 1000000L)
       === UnigramLm.VocabSweep.max)
   }
+
+  test("hard-EM vs full-EM: Viterbi-count support is a STRICT subset of forward–backward expected-count support (the documented divergence, non-vacuous on the gate fixture)") {
+    // The trainer is Viterbi-/hard-EM by design (integer determinism —
+    // see the UnigramLm scaladoc note); Kudo 2018's reference computes
+    // forward–backward EXPECTED counts over ALL segmentations. This
+    // law pins the divergence on the real fixture: under the SAME
+    // score model the engine's final M-step consumed,
+    //   (a) every Viterbi-counted piece carries positive expected mass
+    //       (the best path is one of the summed segmentations), and
+    //   (b) some piece carries ≥1 word-weighted unit of expected mass
+    //       yet a hard count of ZERO (it rides only non-best paths) —
+    //       exactly the mass the Laplace floor in `smoothed` keeps
+    //       alive, which is why (c) full EM's support never leaves the
+    //       seed support the floor covers.
+    val wc = UnigramLm.wordCounts(Tables.documents(spark, sf0001)).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val seedAll = wc.toSeq
+      .flatMap { case (w, n) =>
+        substrEnds(w).map { case (j, l) => w.substring(j - l, j) -> n } }
+      .groupBy(_._1).map { case (p, xs) => p -> xs.map(_._2).sum }
+    assert(seedAll.count(_._1.length > 1) < UnigramLm.MaxSeedPieces)
+    val seed = seedAll.filter { case (p, c) =>
+      p.length == 1 || c >= UnigramLm.MinSeedCount }
+    // replay EM, keeping the scores that ENTERED the final E-step —
+    // `raw` below is then exactly the engine's final M-step output
+    // (the trainer-replay law above pins the engine to these counts)
+    var sc = refScores(seed)
+    var scPrev = sc
+    var raw: Map[String, Long] = Map.empty
+    for (_ <- 1 to UnigramLm.EmRounds) {
+      scPrev = sc
+      val segs = wc.keys.map(w => w -> refViterbi(w, sc)).toMap
+      raw = segs.toSeq
+        .flatMap { case (w, (ps, _)) => ps.map(_ -> wc(w)) }
+        .groupBy(_._1).map { case (p, xs) => p -> xs.map(_._2).sum }
+      sc = refScores(seed.map { case (p, _) =>
+        p -> (raw.getOrElse(p, 0L) + 1L) })
+    }
+    val probs = scPrev.map { case (p, s) => p -> math.exp(s / 1e6) }
+    val lmax = UnigramLm.MaxPieceLen
+    // forward–backward expected piece counts for one word (plain
+    // Double — the law is about which pieces carry mass, not about
+    // replaying the engine's integers; Z>0 guards underflow)
+    def expected(w: String, n: Long): Map[String, Double] = {
+      val len = w.length
+      val alpha = Array.fill(len + 1)(0.0); alpha(0) = 1.0
+      for (j <- 1 to len; l <- 1 to math.min(lmax, j))
+        probs.get(w.substring(j - l, j)).foreach(p =>
+          alpha(j) += alpha(j - l) * p)
+      val beta = Array.fill(len + 1)(0.0); beta(len) = 1.0
+      for (j <- (len - 1) to 0 by -1; l <- 1 to math.min(lmax, len - j))
+        probs.get(w.substring(j, j + l)).foreach(p =>
+          beta(j) += p * beta(j + l))
+      val z = alpha(len)
+      assert(z > 0, s"underflow/unreachable word in the fb replay: $w")
+      val m = scala.collection.mutable.Map.empty[String, Double]
+        .withDefaultValue(0.0)
+      for (j <- 1 to len; l <- 1 to math.min(lmax, j))
+        probs.get(w.substring(j - l, j)).foreach(p =>
+          m(w.substring(j - l, j)) += n * alpha(j - l) * p * beta(j) / z)
+      m.toMap
+    }
+    val full = wc.toSeq.flatMap { case (w, n) => expected(w, n).toSeq }
+      .groupBy(_._1).map { case (p, xs) => p -> xs.map(_._2).sum }
+    // (a) hard support ⊆ full support, with positive mass everywhere
+    val hardSupport = raw.keySet
+    assert(hardSupport.forall(p => full.getOrElse(p, 0.0) > 0.0),
+      "every Viterbi-counted piece must carry positive expected mass")
+    // (b) the inclusion is STRICT with non-trivial mass — the
+    // estimators genuinely diverge on this corpus
+    val onlyFull = full.filter { case (p, m) =>
+      !hardSupport.contains(p) && m >= 1.0 }
+    assert(onlyFull.nonEmpty,
+      "divergence must be non-vacuous: some piece with ≥1 expected " +
+        "word-weighted occurrence rides only non-best paths")
+    // (c) that divergent mass never leaves the seed support — the
+    // Laplace floor in `smoothed` covers exactly these pieces, so
+    // hard-EM loses resolution on them, never reachability
+    assert(full.keySet.subsetOf(seed.keySet))
+  }
 }
