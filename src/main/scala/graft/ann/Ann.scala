@@ -1078,7 +1078,16 @@ object Ann {
     */
   def ivfPqEnsureNprobeChoice(spark: SparkSession, indexDir: String,
       k: Int, targetRecall: Double, sweep: Seq[Int],
-      tuneQueries: () => DataFrame, corpus: () => DataFrame): NprobeChoice = {
+      tuneQueries: () => DataFrame, corpus: () => DataFrame,
+      tombstones: Option[() => DataFrame] = None): NprobeChoice = {
+    // `tombstones` (call-by-need like the other tuning inputs) makes a
+    // cold measure delete-aware (the q276 contract: a dial tuned
+    // against deleted-but-reachable rows measures a recall the serving
+    // path cannot see). The artifact is keyed by the INDEX generation
+    // stamp only — tombstones are index-external state, so a caller
+    // that mutates its delete set WITHOUT a lifecycle rewrite must
+    // re-ensure itself; every lifecycle verb (append/compact/retrain)
+    // re-stamps and therefore invalidates naturally.
     require(sweep.nonEmpty, "ivfPqEnsureNprobeChoice: empty sweep")
     val (gr, gc, gf) = ivfPqGenerationStamp(spark, indexDir)
     val targetMicro = math.round(targetRecall * 1e6)
@@ -1088,7 +1097,7 @@ object Ann {
         c.sweep == sweep.sorted)
     warm.getOrElse {
       val curve = ivfPqRecallCurve(tuneQueries(), corpus(), indexDir, k,
-        sweep)
+        sweep, tombstones.map(t => t()))
       val np = chooseNprobe(
         curve.map { case (n, h, t) =>
           (n, if (t == 0L) 0.0 else h.toDouble / t) },
@@ -1115,7 +1124,7 @@ object Ann {
       tombstones: Option[DataFrame] = None): DataFrame = {
     val spark = queries.sparkSession
     ivfPqEnsureNprobeChoice(spark, indexDir, k, targetRecall, sweep,
-      tuneQueries, corpus)
+      tuneQueries, corpus, tombstones.map(t => () => t))
     val c = ivfPqChoiceRead(spark, indexDir).getOrElse(
       sys.error("ivfPqProbePersistedChoice: artifact vanished after ensure"))
     ivfPqProbe(queries, indexDir, k, c.nprobe, tombstones)

@@ -1600,9 +1600,14 @@ object AnnQueries {
     *      lists still hold dead rows). The untaken candidate path gets
     *      the empty-generation sentinel so both always bind.
     *   5. RE-AUDIT the refreshed generation, then TUNE+SERVE over it
-    *      ([[Ann.ivfPqProbeAuto]] with the post-refresh tombstone view
-    *      masking the tuning sweep AND the serve — the delete-aware
-    *      tuning contract).
+    *      ([[Ann.ivfPqProbePersistedChoice]] with the post-refresh
+    *      tombstone view masking the tuning sweep AND the serve — the
+    *      delete-aware tuning contract). The tuning writes the
+    *      generation-stamped `choices/nprobe` artifact beside the
+    *      refreshed index (the q272 discipline composed INTO the
+    *      nightly job): the cycle pays the cold measure at most once,
+    *      and the day's serves ride the warm artifact at zero tuning
+    *      jobs (AnnSpec pins both with throwing thunks).
     *
     * Output: the served rows carrying the WHOLE cycle — chosen nprobe,
     * the decision, both audits' means, the surviving tombstone count,
@@ -1655,8 +1660,15 @@ object AnnQueries {
         "graft.ann.maxTombstones", 10000000L),
       Seq("vec_id"), "left_anti")
     val (gr, gc, gf) = Ann.ivfPqGenerationStamp(s, serveIdx)
-    Ann.ivfPqProbeAuto(querySubset(s, dir), querySubset(s, dir), live,
-        serveIdx, PqTopK, NprobeTarget, NprobeSweep, tombstones = serveTombs)
+    // the cycle ENDS by leaving a warm generation-stamped choice
+    // artifact beside the refreshed index (the q272 discipline
+    // composed INTO the nightly job): tuning runs at most once here,
+    // the day's serves then ride ivfPqProbePersistedChoice warm —
+    // and this serve itself flows artifact → probe, so the gated
+    // rows hash what the artifact persists
+    Ann.ivfPqProbePersistedChoice(querySubset(s, dir),
+        () => querySubset(s, dir), () => live, serveIdx, PqTopK,
+        NprobeTarget, NprobeSweep, tombstones = serveTombs)
       .select(col("qid"), col("nid"), col("adc_micro"), col("rk"),
         col("nprobe"),
         lit(if (fire) 1L else 0L).as("fire"),

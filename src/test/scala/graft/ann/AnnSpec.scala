@@ -1002,6 +1002,17 @@ class AnnSpec extends SparkTestBase {
     assert((h.getAs[Long]("gen_rows"), h.getAs[Long]("gen_content"),
       h.getAs[Long]("gen_files")) === ((gr, gc, gf)))
     assert(spark.read.parquet(s"$cP/assignments").count() === 0L)
+    // the cycle leaves a WARM generation-stamped choice artifact
+    // beside the refreshed index (the q272 discipline composed into
+    // the nightly job): the day's serves pay zero tuning jobs — the
+    // throwing thunks prove the warm path never forces them — and the
+    // artifact's dial IS the one the cycle served
+    val warm = Ann.ivfPqEnsureNprobeChoice(spark, rP, 3, 0.32,
+      Seq(1, 2, 4, 8, 16),
+      () => sys.error("warm choice must not re-measure: tuneQueries forced"),
+      () => sys.error("warm choice must not re-measure: corpus forced"))
+    assert(warm.nprobe.toLong === h.getAs[Long]("nprobe"))
+    assert((warm.genRows, warm.genContent, warm.genFiles) === ((gr, gc, gf)))
     // no tombstoned id is reachable in the serve (they are physically
     // absent from the retrained generation)
     val dead = AnnQueries.ivfPqTombstones(spark, sf0001).collect()
@@ -1046,6 +1057,13 @@ class AnnSpec extends SparkTestBase {
     val (gr, gc, gf) = Ann.ivfPqGenerationStamp(spark, cP)
     assert((h.getAs[Long]("gen_rows"), h.getAs[Long]("gen_content"),
       h.getAs[Long]("gen_files")) === ((gr, gc, gf)))
+    // the compacted generation too ends warm: its delete-aware tuning
+    // persisted under the compacted stamp, served without re-measure
+    val warmC = Ann.ivfPqEnsureNprobeChoice(spark, cP, 3, 0.32,
+      Seq(1, 2, 4, 8, 16),
+      () => sys.error("warm choice must not re-measure: tuneQueries forced"),
+      () => sys.error("warm choice must not re-measure: corpus forced"))
+    assert(warmC.nprobe.toLong === h.getAs[Long]("nprobe"))
     // deleted ids remain unreachable THROUGH the carried tombstones
     val dead = ts.collect().map(_.getLong(0)).toSet
     assert(!out.exists(r => dead(r.getAs[Long]("nid"))))
