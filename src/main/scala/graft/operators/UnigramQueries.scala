@@ -482,13 +482,16 @@ object UnigramQueries {
        |         CAST(sum(n) AS BIGINT) AS fert_den
        |  FROM segv$v)""".stripMargin
 
-  val q275Sql: String = {
+  // the sweep WITH-body (training replay + per-size prune chains +
+  // fertility curve + the replayed chooseVocabSize rule) and the
+  // chosen-size served-segmentation join — SHARED by q275 and q277:
+  // the persisted-choice oracle replays the IDENTICAL measurement and
+  // rule, so a stale or corrupted artifact hash-mismatches (the
+  // bm25SweepCtes sharing convention)
+  private val vocabSweepCtes: String = {
     val chains = UnigramLm.VocabSweep.map(vocabChainCtes).mkString(",\n")
     val fertUnion = UnigramLm.VocabSweep
       .map(v => s"SELECT * FROM fertv$v").mkString("\n  UNION ALL ")
-    val servedUnion = UnigramLm.VocabSweep
-      .map(v => s"SELECT $v AS vocab_size, word, n, pieces, dp FROM segv$v")
-      .mkString("\n    UNION ALL ")
     s"""WITH RECURSIVE $allCtes,
        |$chains,
        |fert AS (
@@ -507,27 +510,173 @@ object UnigramQueries {
        |  ORDER BY miss ASC,
        |           CASE WHEN miss = 0 THEN vocab_size END ASC NULLS LAST,
        |           vocab_size DESC
-       |  LIMIT 1)
+       |  LIMIT 1)""".stripMargin
+  }
+
+  private val servedVocabUnion: String = UnigramLm.VocabSweep
+    .map(v => s"SELECT $v AS vocab_size, word, n, pieces, dp FROM segv$v")
+    .mkString("\n    UNION ALL ")
+
+  val q275Sql: String =
+    s"""$vocabSweepCtes
        |SELECT CAST(c.vocab_size AS BIGINT) AS vocab_size, t.word, t.n,
        |       CAST(len(t.pieces) AS BIGINT) AS n_pieces,
        |       -t.dp[length(t.word) + 1].ns AS score_micro,
        |       md5(array_to_string(t.pieces, chr(1))) AS seg_hash
-       |FROM ($servedUnion) t
+       |FROM ($servedVocabUnion) t
        |JOIN chosenv c ON t.vocab_size = c.vocab_size
        |ORDER BY t.word""".stripMargin
+
+  // ------------------------------------------------------------ q277
+  /** PERSISTED VOCABULARY CHOICE — the q272/q273 corpus-stamped-
+    * artifact discipline applied to the tokenizer dial, closing the
+    * last `choose*` rule still re-measured on every call: q275 pays
+    * training (seed + hard-EM) PLUS the four-point prune-ladder
+    * fertility sweep per invocation; this query serves the
+    * segmentation from the `choices/unigram-vocab` artifact. The
+    * artifact persists BOTH the decision record (stamp, budget, the
+    * exact-integer fertility curve, the chosen size) and the chosen
+    * pruned vocabulary's renormalized serving scores — so a warm serve
+    * pays the stamp pass, a ≤[[UnigramLm.VocabSize]]-row artifact
+    * read, and the one corpus-scale pass the serve itself IS (word
+    * counts + broadcast-score Viterbi) — ZERO training and ZERO sweep
+    * jobs (UnigramLmSpec proves it with a throwing train thunk). Cold
+    * or stale (the [[ChoiceStore.documentsStamp]] moved): ONE
+    * training run, the ladder sweep, [[UnigramLm.chooseVocabSize]],
+    * artifact rewritten under the current stamp — scores first, the
+    * stamp-bearing curve last, so a torn write never presents as warm.
+    * The serve always flows artifact → segment (scores re-read after
+    * ensure), and the gated rows carry the choice AND the stamp; the
+    * oracle recomputes stamp, training, sweep, rule, and serve
+    * independently, so a stale or corrupted artifact hash-mismatches.
+    *
+    * 100 TB shape: training amortizes to zero across every encode
+    * until the corpus stamp moves — exactly how production tokenizers
+    * deploy (train offline, freeze the vocabulary artifact, serve) —
+    * and the artifact invalidates BY MEASUREMENT, not by schedule.
+    */
+  final case class VocabChoice(docRows: Long, docContent: Long,
+      budgetMicro: Long, curve: Seq[(Int, Long, Long)], chosen: Int)
+
+  private[graft] def vocabChoicePath(sfDir: String): String =
+    new java.io.File(
+      s"target/choices/unigram-vocab/${PathTag.tagFor(sfDir)}").getAbsolutePath
+
+  private[graft] def vocabChoiceWrite(s: SparkSession, path: String,
+      c: VocabChoice, scores: DataFrame): Unit = {
+    import s.implicits._
+    // vocab (serving scores) FIRST, stamp-bearing curve LAST: warmness
+    // is gated on the curve's stamp, so a torn write leaves a cold —
+    // never a half-written-warm — artifact
+    scores.repartition(1).write.mode("overwrite").parquet(s"$path/vocab")
+    c.curve.map { case (v, num, den) =>
+      (c.docRows, c.docContent, c.budgetMicro, v, num, den, v == c.chosen)
+    }.toDF("doc_rows", "doc_content", "budget_micro", "vocab_size",
+        "fert_num", "fert_den", "chosen")
+      .repartition(1).write.mode("overwrite").parquet(s"$path/curve")
   }
+
+  private[graft] def vocabChoiceRead(s: SparkSession,
+      path: String): Option[VocabChoice] = {
+    val p = new org.apache.hadoop.fs.Path(s"$path/curve")
+    val fs = p.getFileSystem(s.sessionState.newHadoopConf())
+    if (!fs.exists(p)) None
+    else {
+      val rows = s.read.parquet(s"$path/curve")
+        .orderBy(col("vocab_size")).collect()
+      if (rows.isEmpty) None
+      else {
+        val h = rows.head
+        val curve = rows.toSeq.map(r => (r.getAs[Int]("vocab_size"),
+          r.getAs[Long]("fert_num"), r.getAs[Long]("fert_den")))
+        rows.find(_.getAs[Boolean]("chosen")).map { ch =>
+          VocabChoice(h.getAs[Long]("doc_rows"), h.getAs[Long]("doc_content"),
+            h.getAs[Long]("budget_micro"), curve,
+            ch.getAs[Int]("vocab_size"))
+        }
+      }
+    }
+  }
+
+  /** Ensure a valid persisted vocabulary for the current corpus stamp,
+    * sweep, and budget; `train` is call-by-need so the warm path
+    * provably never trains or sweeps (the q272 thunk law). */
+  private[graft] def ensureVocabChoice(s: SparkSession, dir: String,
+      train: () => UnigramLm.Model): VocabChoice = {
+    val (dr, dc) = ChoiceStore.documentsStamp(
+      Tables.documents(s, dir).select(col("doc_id"), col("text")))
+    val path = vocabChoicePath(dir)
+    val warm = vocabChoiceRead(s, path).filter(c =>
+      c.docRows == dr && c.docContent == dc &&
+        c.budgetMicro == UnigramLm.MaxFertilityMicro &&
+        c.curve.map(_._1).sorted == UnigramLm.VocabSweep.sorted)
+    warm.getOrElse {
+      val m = train()
+      val curve = UnigramLm.VocabSweep.map { v =>
+        val (num, den) = UnigramLm.fertilityAt(m.wc, m.seed, m.counts, v)
+        (v, num, den)
+      }
+      val chosen = UnigramLm.chooseVocabSize(curve, UnigramLm.MaxFertilityMicro)
+      val c = VocabChoice(dr, dc, UnigramLm.MaxFertilityMicro,
+        curve.sortBy(_._1), chosen)
+      vocabChoiceWrite(s, path, c,
+        UnigramLm.vocabScores(m.seed, m.counts,
+          UnigramLm.prunedVocab(m.seed, m.counts, chosen)))
+      c
+    }
+  }
+
+  /** Bench-prep surface: ensure the persisted vocabulary artifact is
+    * warm for `dir` — training + sweep are offline corpus maintenance,
+    * run here untimed (the prepareBm25ParamsChoice convention); the
+    * timed number is the warm serve a deployment pays. */
+  def prepareVocabChoice(s: SparkSession, dir: String): Unit = {
+    ensureVocabChoice(s, dir, () => UnigramLm.train(s, dir))
+    ()
+  }
+
+  def q277VocabChoicePersist(s: SparkSession, dir: String): DataFrame = {
+    ensureVocabChoice(s, dir, () => UnigramLm.train(s, dir))
+    val path = vocabChoicePath(dir)
+    // re-read so the serve flows artifact → segment (q272 discipline)
+    val c = vocabChoiceRead(s, path).getOrElse(
+      sys.error("q277: choice artifact vanished after ensure"))
+    val scores = s.read.parquet(s"$path/vocab")
+    UnigramLm.viterbiSegment(
+        UnigramLm.wordCounts(Tables.documents(s, dir)), scores)
+      .select(lit(c.chosen.toLong).as("vocab_size"), col("word"), col("n"),
+        col("n_pieces"), col("score_micro"),
+        md5(concat_ws("\u0001", col("pieces")).cast("binary")).as("seg_hash"),
+        lit(c.docRows).as("doc_rows"), lit(c.docContent).as("doc_content"))
+      .orderBy(col("word"))
+  }
+
+  val q277Sql: String =
+    s"""$vocabSweepCtes,
+       |dstamp AS (${ChoiceStore.documentsStampSql})
+       |SELECT CAST(c.vocab_size AS BIGINT) AS vocab_size, t.word, t.n,
+       |       CAST(len(t.pieces) AS BIGINT) AS n_pieces,
+       |       -t.dp[length(t.word) + 1].ns AS score_micro,
+       |       md5(array_to_string(t.pieces, chr(1))) AS seg_hash,
+       |       ds.doc_rows, ds.doc_content
+       |FROM ($servedVocabUnion) t
+       |JOIN chosenv c ON t.vocab_size = c.vocab_size
+       |CROSS JOIN dstamp ds
+       |ORDER BY t.word""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q266_unigram_vocab" -> (q266UnigramVocab _),
     "q267_unigram_segment" -> (q267UnigramSegment _),
     "q269_unigram_encode" -> (q269UnigramEncode _),
     "q270_unigram_decode" -> (q270UnigramDecode _),
-    "q275_vocab_size_auto" -> (q275VocabSizeAuto _))
+    "q275_vocab_size_auto" -> (q275VocabSizeAuto _),
+    "q277_vocab_choice_persist" -> (q277VocabChoicePersist _))
 
   val oracles: Map[String, String] = Map(
     "q266_unigram_vocab" -> q266Sql,
     "q267_unigram_segment" -> q267Sql,
     "q269_unigram_encode" -> q269Sql,
     "q270_unigram_decode" -> q270Sql,
-    "q275_vocab_size_auto" -> q275Sql)
+    "q275_vocab_size_auto" -> q275Sql,
+    "q277_vocab_choice_persist" -> q277Sql)
 }

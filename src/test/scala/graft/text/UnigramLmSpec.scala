@@ -223,6 +223,70 @@ class UnigramLmSpec extends SparkTestBase {
       === UnigramLm.VocabSweep.max)
   }
 
+  test("q277: persisted vocabulary choice — cold trains once, warm serves at zero training jobs, artifact fidelity, stamp staleness") {
+    val path = UnigramQueries.vocabChoicePath(sf0001)
+    // COLD: wipe the artifact, ensure with a counting thunk — training
+    // is forced exactly once
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    fs.delete(new org.apache.hadoop.fs.Path(path), true)
+    var forced = 0
+    val c = UnigramQueries.ensureVocabChoice(spark, sf0001,
+      () => { forced += 1; UnigramLm.train(spark, sf0001) })
+    assert(forced === 1)
+    // the persisted decision replays the rule on the measured curve
+    val m = UnigramLm.train(spark, sf0001)
+    val curve = UnigramLm.VocabSweep.map { v =>
+      val (num, den) = UnigramLm.fertilityAt(m.wc, m.seed, m.counts, v)
+      (v, num, den)
+    }
+    assert(c.chosen ===
+      UnigramLm.chooseVocabSize(curve, UnigramLm.MaxFertilityMicro))
+    assert(c.curve === curve.sortBy(_._1))
+    // WARM: the throwing thunk proves the warm path never trains or
+    // sweeps (the q272 thunk law applied to the tokenizer dial)
+    val w = UnigramQueries.ensureVocabChoice(spark, sf0001,
+      () => sys.error("warm vocab choice must not retrain: train forced"))
+    assert(w === c)
+    // ARTIFACT FIDELITY: the persisted serving scores ARE the chosen
+    // pruned vocabulary's renormalized scores, piece for piece
+    val persisted = spark.read.parquet(s"$path/vocab").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val recomputed = UnigramLm.vocabScores(m.seed, m.counts,
+        UnigramLm.prunedVocab(m.seed, m.counts, c.chosen)).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(persisted === recomputed)
+    // the gated serve rides the artifact and equals q275's
+    // measure-every-call rows (same fixture → same choice), plus the
+    // stamp columns
+    val r275 = UnigramQueries.q275VocabSizeAuto(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getString(5))).toSeq
+    val r277full = UnigramQueries.q277VocabChoicePersist(spark, sf0001)
+      .collect()
+    val r277 = r277full.map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+      r.getLong(3), r.getLong(4), r.getString(5))).toSeq
+    assert(r277 === r275)
+    assert(r277full.map(r => (r.getAs[Long]("doc_rows"),
+      r.getAs[Long]("doc_content"))).toSet ===
+      Set((c.docRows, c.docContent)))
+    // STALENESS: a moved corpus stamp makes the artifact cold — the
+    // curve rewritten under a perturbed stamp forces one re-measure,
+    // which restores the true stamp and the same choice
+    import spark.implicits._
+    c.curve.map { case (v, num, den) =>
+      (c.docRows + 1, c.docContent, c.budgetMicro, v, num, den,
+        v == c.chosen)
+    }.toDF("doc_rows", "doc_content", "budget_micro", "vocab_size",
+        "fert_num", "fert_den", "chosen")
+      .repartition(1).write.mode("overwrite").parquet(s"$path/curve")
+    var forced2 = 0
+    val c2 = UnigramQueries.ensureVocabChoice(spark, sf0001,
+      () => { forced2 += 1; UnigramLm.train(spark, sf0001) })
+    assert(forced2 === 1)
+    assert(c2 === c)
+  }
+
   test("hard-EM vs full-EM: Viterbi-count support is a STRICT subset of forward–backward expected-count support (the documented divergence, non-vacuous on the gate fixture)") {
     // The trainer is Viterbi-/hard-EM by design (integer determinism —
     // see the UnigramLm scaladoc note); Kudo 2018's reference computes
