@@ -651,6 +651,65 @@ object UnigramQueries {
       .orderBy(col("word"))
   }
 
+  /** Per-DOCUMENT segmentation against a frozen vocabulary-score
+    * artifact (the q277 `choices/unigram-vocab/vocab` parquet) — the
+    * SERVING core shared by the batch path and
+    * [[graft.streaming.StreamingOps.streamingVocabSegment]] (the
+    * encodeAgainst/bm25Rank stream ≡ batch-by-shared-code
+    * discipline). This is the deploy shape a persisted SentencePiece-
+    * style vocabulary buys over the word→id table
+    * ([[encodeAgainst]]): an UNSEEN word still segments — single-char
+    * coverage means any word over the trained ALPHABET has a Viterbi
+    * path — so streaming OOV collapses from "word never trained" to
+    * "character never trained". Words containing an unseen character
+    * (no candidate covers that position; the DP would have no path)
+    * are COUNTED per doc in `n_unseg` and excluded from the piece
+    * stream, never silently dropped — the encodeAgainst n_oov
+    * contract one level down.
+    *
+    * Scale shape: the batch's DISTINCT words are segmented once at
+    * vocabulary scale under the broadcast score table (the trainer's
+    * own E-step discipline); the corpus-sized exchanges are one
+    * word-keyed join and one doc_id-keyed reassembly — identical to
+    * encodeAgainst's. The alphabet test is a row-local `translate`
+    * against the artifact's single-char pieces (one bounded driver
+    * collect of ≤|alphabet| rows — the artifact is vocabulary-sized
+    * by construction). Docs need (doc_id, text).
+    */
+  def segmentDocsAgainst(docs: DataFrame, scores: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    val alphabet = scores.filter(length(col("piece")) === 1)
+      .collect().map(_.getString(0)).sorted.mkString
+    val toks = docs
+      .select(col("doc_id"), TextPrep.tokensCol(col("text")).as("toks"))
+    val words = toks
+      .select(col("doc_id"), posexplode(col("toks")).as(Seq("wpos", "word")))
+    // segmentable ⟺ every char is a trained single (translate strips
+    // the alphabet; any residue is an untrained character)
+    val segmentable = words.select(col("word")).distinct()
+      .filter(length(translate(col("word"), alphabet, "")) === 0)
+      .groupBy(col("word")).agg(count(lit(1)).as("n"))
+    val wseg = UnigramLm.viterbiSegment(segmentable, scores)
+      .select(col("word"), col("pieces"))
+    val perDoc = words
+      .join(wseg, Seq("word"), "left")
+      .groupBy(col("doc_id"))
+      .agg(
+        sort_array(collect_list(struct(col("wpos"), col("pieces")))).as("ws"),
+        sum(when(col("pieces").isNull, 1L).otherwise(0L)).as("unseg"))
+      .select(col("doc_id"), col("unseg"),
+        expr("flatten(transform(filter(ws, w -> w.pieces is not null), w -> w.pieces))")
+          .as("pieces"))
+    toks.select(col("doc_id"), size(col("toks")).cast("long").as("n_words"))
+      .join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_words"),
+        coalesce(col("unseg"), lit(0L)).as("n_unseg"),
+        size(coalesce(col("pieces"), expr("array()"))).cast("long")
+          .as("n_pieces"),
+        md5(concat_ws("\u0001", coalesce(col("pieces"), expr("array()")))
+          .cast("binary")).as("pieces_hash"))
+  }
+
   val q277Sql: String =
     s"""$vocabSweepCtes,
        |dstamp AS (${ChoiceStore.documentsStampSql})

@@ -928,6 +928,29 @@ object StreamingOps {
       }
       .start()
 
+  /** Streaming SEGMENTATION against the persisted vocabulary-score
+    * artifact — q277's ingest twin, and the stronger deploy shape the
+    * persisted CHOSEN vocabulary buys over [[streamingUnigramEncode]]'s
+    * word→id table: each micro-batch's documents are Viterbi-segmented
+    * through the batch
+    * [[graft.operators.UnigramQueries.segmentDocsAgainst]] core under
+    * the FROZEN `choices/unigram-vocab/vocab` scores, so a word the
+    * trainer NEVER SAW still tokenizes (single-char coverage — the
+    * SentencePiece fallback contract), and streaming OOV collapses to
+    * the alphabet level (`n_unseg` counts only words with an untrained
+    * CHARACTER). Per-doc output is row-local given the artifact —
+    * stream ≡ batch by shared code and by shape. Docs need
+    * (doc_id, text).
+    */
+  def streamingVocabSegment(docs: DataFrame, scores: DataFrame)
+      (emit: DataFrame => Unit)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream.outputMode("append")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        emit(graft.operators.UnigramQueries.segmentDocsAgainst(batch, scores))
+      }
+      .start()
+
   def runToMemory(spark: SparkSession, transformed: DataFrame, name: String,
       mode: OutputMode = OutputMode.Append): Unit = {
     val q = transformed.writeStream

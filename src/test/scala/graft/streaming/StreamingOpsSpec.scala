@@ -1188,4 +1188,84 @@ class StreamingOpsSpec extends SparkTestBase {
     // the training corpus itself has zero OOV everywhere
     assert(got.toMap.view.filterKeys(_ != 999999L).values.forall(_._2 == 0L))
   }
+
+  test("streaming vocab-artifact segmentation: stream ≡ batch; an unseen WORD over the trained alphabet segments (vs encode's OOV); untrained characters counted in n_unseg") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.operators.UnigramQueries
+    // the persisted CHOSEN vocabulary is the frozen serving artifact
+    UnigramQueries.prepareVocabChoice(spark, sf0001)
+    val scores = spark.read
+      .parquet(s"${UnigramQueries.vocabChoicePath(sf0001)}/vocab")
+      .localCheckpoint()
+    val alphabet = scores.filter(org.apache.spark.sql.functions
+        .length(org.apache.spark.sql.functions.col("piece")) === 1)
+      .collect().map(_.getString(0).head).toSet
+    val known = graft.text.UnigramLm
+      .wordCounts(graft.Tables.documents(spark, sf0001))
+      .collect().map(_.getString(0)).toSet
+    // an UNSEEN word whose characters are all trained: the vocab-score
+    // artifact segments it (single-char coverage), where the word→id
+    // encode twin would call it OOV — the deploy advantage, non-vacuous
+    val unseenWord = "qywqyw"
+    assert(unseenWord.forall(alphabet), "fixture drift: pick trained chars")
+    assert(!known.contains(unseenWord), "fixture drift: pick an untrained word")
+    // a word carrying an UNTRAINED character has no Viterbi path — the
+    // fixture's tokenized alphabet lacks x/z/_ (underscore survives the
+    // tokenizer's \W strip, so ab_cd reaches segmentation as one word)
+    assert(!alphabet('_'))
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq
+    val unseenDoc = (999998L, s"$unseenWord ${known.min}")
+    val unsegDoc = (999999L, s"ab_cd ${known.min}")
+    val all = docs :+ unseenDoc :+ unsegDoc
+    val got = scala.collection.mutable.Map[Long, (Long, Long, Long, String)]()
+    val input = MemoryStream[(Long, String)]
+    val q = StreamingOps.streamingVocabSegment(
+        input.toDF.toDF("doc_id", "text"), scores) { v =>
+      v.collect().foreach { r =>
+        got.synchronized {
+          got(r.getLong(0)) =
+            (r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4))
+        }
+      }
+    }
+    // uneven micro-batches — stream ≡ batch because per-doc rows are
+    // artifact-local (any doc split unions to the one-batch result)
+    Seq(all.take(3), all.slice(3, 150), all.drop(150)).filter(_.nonEmpty)
+      .foreach { g => input.addData(g.toIndexedSeq: _*); q.processAllAvailable() }
+    q.stop()
+    import spark.implicits._
+    val batch = UnigramQueries.segmentDocsAgainst(
+        all.toDF("doc_id", "text"), scores)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4))).toMap
+    assert(got.toMap === batch)
+    // the unseen word SEGMENTED: no unseg count, pieces present for
+    // both words of the doc
+    val (uWords, uUnseg, uPieces, _) = got(999998L)
+    assert(uWords === 2L)
+    assert(uUnseg === 0L)
+    assert(uPieces > 0L)
+    // per-word fidelity through the shared core: the unseen word's
+    // piece count equals a direct Viterbi segmentation under the same
+    // artifact scores
+    val direct = graft.text.UnigramLm.viterbiSegment(
+        Seq((unseenWord, 1L)).toDF("word", "n"), scores)
+      .collect().head.getAs[Long]("n_pieces")
+    val knownPieces = graft.text.UnigramLm.viterbiSegment(
+        Seq((known.min, 1L)).toDF("word", "n"), scores)
+      .collect().head.getAs[Long]("n_pieces")
+    assert(uPieces === direct + knownPieces)
+    // the untrained-CHARACTER word is counted, not dropped — and the
+    // doc's trained word still segments
+    val (sWords, sUnseg, sPieces, _) = got(999999L)
+    assert(sWords === 2L)
+    assert(sUnseg === 1L)
+    assert(sPieces === knownPieces)
+    // the training corpus itself never hits the unseg path
+    assert(got.toMap.view
+      .filterKeys(k => k != 999998L && k != 999999L)
+      .values.forall(_._2 == 0L))
+  }
 }
