@@ -26,8 +26,11 @@ import org.apache.spark.sql.SparkSession
   * measured 333 s at sf0.1, all output volume; q274, q268's
   * persisted-choice twin, SERVES the same quadratic-output join and is
   * excluded with it — its point, the measurement bill amortized to
-  * zero on a warm artifact, is benched by the q272/q273 pair whose
-  * serves are output-linear) — same
+  * zero on a warm artifact, is benched by the q272/q273/q277 trio whose
+  * serves are output-linear; q278's staleness audit composes q274's
+  * ensure, so a cold run would pay the same quadratic measurement
+  * inside the timed region — excluded with it, its own cost being
+  * three artifact reads + one stamp pass) — same
   * quadratic-output class),
   * queries that are strict
   * prefixes/aggregations/SQL-surface twins of included ones (q6, q11,

@@ -25,7 +25,8 @@ object SparkEntry {
       operators.Round10Queries.queries ++ operators.Round11Queries.queries ++
       operators.Round12Queries.queries ++ operators.Round13Queries.queries ++
       operators.Round14Queries.queries ++ operators.Round15Queries.queries ++
-      operators.Round16Queries.queries ++ operators.UnigramQueries.queries
+      operators.Round16Queries.queries ++ operators.UnigramQueries.queries ++
+      operators.Round17Queries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -46,5 +47,6 @@ object SparkEntry {
       operators.Round10Queries.oracles ++ operators.Round11Queries.oracles ++
       operators.Round12Queries.oracles ++ operators.Round13Queries.oracles ++
       operators.Round14Queries.oracles ++ operators.Round15Queries.oracles ++
-      operators.Round16Queries.oracles ++ operators.UnigramQueries.oracles
+      operators.Round16Queries.oracles ++ operators.UnigramQueries.oracles ++
+      operators.Round17Queries.oracles
 }

@@ -556,7 +556,7 @@ object Round15Queries {
     * measure-every-call oracle and the persisted-choice oracle replay
     * the identical measurement, mirroring the engine-side
     * [[bm25SweepQuality]] sharing. */
-  private val bm25SweepCtes: String = {
+  private[operators] val bm25SweepCtes: String = {
     val base = q244Sql.substring(0, q244Sql.indexOf("scored AS ("))
     val gridVals = (for (k1 <- Bm25GridK1Micro; b <- Bm25GridBMicro)
       yield s"($k1, $b)").mkString(", ")

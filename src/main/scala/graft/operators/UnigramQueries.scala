@@ -488,7 +488,7 @@ object UnigramQueries {
   // the persisted-choice oracle replays the IDENTICAL measurement and
   // rule, so a stale or corrupted artifact hash-mismatches (the
   // bm25SweepCtes sharing convention)
-  private val vocabSweepCtes: String = {
+  private[operators] val vocabSweepCtes: String = {
     val chains = UnigramLm.VocabSweep.map(vocabChainCtes).mkString(",\n")
     val fertUnion = UnigramLm.VocabSweep
       .map(v => s"SELECT * FROM fertv$v").mkString("\n  UNION ALL ")

@@ -1,0 +1,76 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkTestBase
+
+/** Laws for the persisted-choice ops surface (q278): the audit agrees
+  * with the per-dial artifacts, the stale path is real (not the
+  * gate's constant), and missing artifacts are absent rather than
+  * invented.
+  */
+class Round17QueriesSpec extends SparkTestBase {
+
+  test("q278: audit rows equal the per-dial artifacts; fresh on the live corpus; stale and missing paths are real") {
+    // the gated composition: ensure-then-audit — three rows, all fresh
+    val out = Round17Queries.q278ChoiceStalenessAudit(spark, sf0001)
+      .collect()
+    assert(out.map(_.getString(0)).toSeq ===
+      Seq("bm25-params", "lsh-banding", "unigram-vocab"))
+    assert(out.forall(_.getAs[Long]("fresh") == 1L))
+    // stamps agree across dials (same corpus, same stamp)
+    assert(out.map(r => (r.getAs[Long]("doc_rows"),
+      r.getAs[Long]("doc_content"))).toSet.size === 1)
+    // each row IS its artifact's content
+    val bm = Round15Queries.bm25ChoiceRead(spark,
+      Round15Queries.bm25ChoicePath(sf0001)).get
+    val bd = DedupQueries.bandingChoiceRead(spark,
+      DedupQueries.bandingChoicePath(sf0001)).get
+    val vc = UnigramQueries.vocabChoiceRead(spark,
+      UnigramQueries.vocabChoicePath(sf0001)).get
+    val byDial = out.map(r => r.getString(0) ->
+      (r.getAs[Long]("chosen_a"), r.getAs[Long]("chosen_b"),
+        r.getAs[Long]("n_sweep"))).toMap
+    assert(byDial("bm25-params") ===
+      ((bm.k1Micro, bm.bMicro, bm.sweep.size.toLong)))
+    assert(byDial("lsh-banding") ===
+      ((bd.bands.toLong, bd.rowsPerBand.toLong, bd.sweep.size.toLong)))
+    assert(byDial("unigram-vocab") ===
+      ((vc.chosen.toLong, 0L, vc.curve.size.toLong)))
+
+    // STALE path (the read-only audit, no ensure): a perturbed vocab
+    // stamp flags exactly that dial, the others stay fresh — the gate's
+    // fresh=1 is a verdict, not a constant
+    val vPath = UnigramQueries.vocabChoicePath(sf0001)
+    import spark.implicits._
+    vc.curve.map { case (v, num, den) =>
+      (vc.docRows + 1, vc.docContent, vc.budgetMicro, v, num, den,
+        v == vc.chosen)
+    }.toDF("doc_rows", "doc_content", "budget_micro", "vocab_size",
+        "fert_num", "fert_den", "chosen")
+      .repartition(1).write.mode("overwrite").parquet(s"$vPath/curve")
+    val stale = Round17Queries.auditChoices(spark, sf0001).collect()
+      .map(r => r.getString(0) -> r.getAs[Long]("fresh")).toMap
+    assert(stale ===
+      Map("bm25-params" -> 1L, "lsh-banding" -> 1L, "unigram-vocab" -> 0L))
+    // the gated composition REPAIRS it: ensure re-measures under the
+    // live stamp, audit returns to all-fresh with the same choice
+    val repaired = Round17Queries.q278ChoiceStalenessAudit(spark, sf0001)
+      .collect()
+    assert(repaired.forall(_.getAs[Long]("fresh") == 1L))
+    assert(repaired.find(_.getString(0) == "unigram-vocab").get
+      .getAs[Long]("chosen_a") === vc.chosen.toLong)
+
+    // MISSING path: a deleted artifact yields NO row (absent, never
+    // invented), and the other dials still audit
+    val fs = new org.apache.hadoop.fs.Path(vPath)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    fs.delete(new org.apache.hadoop.fs.Path(vPath), true)
+    val missing = Round17Queries.auditChoices(spark, sf0001).collect()
+    assert(missing.map(_.getString(0)).sorted.toSeq ===
+      Seq("bm25-params", "lsh-banding"))
+    // leave the artifact warm for any later suite (the composition
+    // restores it)
+    UnigramQueries.prepareVocabChoice(spark, sf0001)
+  }
+}
