@@ -48,5 +48,5 @@ object SparkEntry {
       operators.Round12Queries.oracles ++ operators.Round13Queries.oracles ++
       operators.Round14Queries.oracles ++ operators.Round15Queries.oracles ++
       operators.Round16Queries.oracles ++ operators.UnigramQueries.oracles ++
-      operators.Round17Queries.oracles
+      operators.Round17Queries.oraclesFor(sfDir)
 }

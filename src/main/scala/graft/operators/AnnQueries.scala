@@ -18,10 +18,10 @@ object AnnQueries {
   val QueryMod = 50
   val NearDupCos = 0.4
 
-  private def emb(s: SparkSession, dir: String): DataFrame =
+  private[operators] def emb(s: SparkSession, dir: String): DataFrame =
     Tables.embeddings(s, dir)
 
-  private def querySubset(s: SparkSession, dir: String): DataFrame =
+  private[operators] def querySubset(s: SparkSession, dir: String): DataFrame =
     emb(s, dir).filter(col("vec_id") % QueryMod === 0)
 
   // DuckDB: exact double-precision sequential dot of two float lists.
@@ -855,7 +855,7 @@ object AnnQueries {
   val IvfPqClusters = 16
   val IvfPqNprobe = 4
 
-  private def ivfPqIndexPath(sfDir: String): String =
+  private[operators] def ivfPqIndexPath(sfDir: String): String =
     new java.io.File(s"target/ivfpq-index/${PathTag.tagFor(sfDir)}").getAbsolutePath
 
   private val ivfPqBuilt = scala.collection.mutable.HashSet.empty[String]
@@ -1507,7 +1507,7 @@ object AnnQueries {
     * anti-join's replay, the ivfPqProbeSql convention); `leadingWith`
     * drops the WITH keyword so the chain can splice into an existing
     * WITH list. */
-  private def ivfPqSweepCtesSql(idx: String,
+  private[operators] def ivfPqSweepCtesSql(idx: String,
       exactPred: String = "", sfx: String = "",
       scanPred: String = "", leadingWith: Boolean = true): String = {
     val sw = Dim / PqM
@@ -1843,7 +1843,7 @@ object AnnQueries {
     * (filename=1 mirrors the engine's input_file_name, the q265
     * convention; generate_subscripts(codes, 1) is 1-based like the
     * engine's sequence(1, size(codes)) fold). */
-  private def stampCteSql(idx: String): String =
+  private[operators] def stampCteSql(idx: String): String =
     s"""stamp AS (
        |  SELECT CAST(count(*) AS BIGINT) AS gen_rows,
        |         CAST(sum((vec_id * 31 + CAST(cluster AS BIGINT) * 1009 +

@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.sql.functions._
 
 import graft.SparkTestBase
+import graft.ann.Ann
 
 /** Laws for the persisted-choice ops surface (q278): the audit agrees
   * with the per-dial artifacts, the stale path is real (not the
@@ -11,19 +12,26 @@ import graft.SparkTestBase
   */
 class Round17QueriesSpec extends SparkTestBase {
 
-  test("q278: audit rows equal the per-dial artifacts; fresh on the live corpus; stale and missing paths are real") {
-    // the gated composition: ensure-then-audit — three rows, all fresh
+  test("q278: audit rows equal the per-dial artifacts; fresh on the live state; stale and missing paths are real") {
+    // the gated composition: ensure-then-audit — four rows, all fresh
     val out = Round17Queries.q278ChoiceStalenessAudit(spark, sf0001)
       .collect()
     assert(out.map(_.getString(0)).toSeq ===
-      Seq("bm25-params", "lsh-banding", "unigram-vocab"))
+      Seq("bm25-params", "ivfpq-nprobe", "lsh-banding", "unigram-vocab"))
     assert(out.forall(_.getAs[Long]("fresh") == 1L))
-    // stamps agree across dials (same corpus, same stamp)
-    assert(out.map(r => (r.getAs[Long]("doc_rows"),
-      r.getAs[Long]("doc_content"))).toSet.size === 1)
+    // corpus stamps agree across the three corpus-keyed dials (same
+    // corpus, same stamp); the index dial carries a files component
+    val corpusRows = out.filter(_.getString(0) != "ivfpq-nprobe")
+    assert(corpusRows.map(r => (r.getAs[Long]("stamp_rows"),
+      r.getAs[Long]("stamp_content"))).toSet.size === 1)
+    assert(corpusRows.forall(_.getAs[Long]("stamp_files") == 0L))
+    assert(out.find(_.getString(0) == "ivfpq-nprobe").get
+      .getAs[Long]("stamp_files") > 0L)
     // each row IS its artifact's content
     val bm = Round15Queries.bm25ChoiceRead(spark,
       Round15Queries.bm25ChoicePath(sf0001)).get
+    val np = Ann.ivfPqChoiceRead(spark,
+      AnnQueries.ivfPqIndexPath(sf0001)).get
     val bd = DedupQueries.bandingChoiceRead(spark,
       DedupQueries.bandingChoicePath(sf0001)).get
     val vc = UnigramQueries.vocabChoiceRead(spark,
@@ -33,6 +41,8 @@ class Round17QueriesSpec extends SparkTestBase {
         r.getAs[Long]("n_sweep"))).toMap
     assert(byDial("bm25-params") ===
       ((bm.k1Micro, bm.bMicro, bm.sweep.size.toLong)))
+    assert(byDial("ivfpq-nprobe") ===
+      ((np.nprobe.toLong, np.targetMicro, np.curve.size.toLong)))
     assert(byDial("lsh-banding") ===
       ((bd.bands.toLong, bd.rowsPerBand.toLong, bd.sweep.size.toLong)))
     assert(byDial("unigram-vocab") ===
@@ -52,7 +62,8 @@ class Round17QueriesSpec extends SparkTestBase {
     val stale = Round17Queries.auditChoices(spark, sf0001).collect()
       .map(r => r.getString(0) -> r.getAs[Long]("fresh")).toMap
     assert(stale ===
-      Map("bm25-params" -> 1L, "lsh-banding" -> 1L, "unigram-vocab" -> 0L))
+      Map("bm25-params" -> 1L, "ivfpq-nprobe" -> 1L,
+        "lsh-banding" -> 1L, "unigram-vocab" -> 0L))
     // the gated composition REPAIRS it: ensure re-measures under the
     // live stamp, audit returns to all-fresh with the same choice
     val repaired = Round17Queries.q278ChoiceStalenessAudit(spark, sf0001)
@@ -68,7 +79,7 @@ class Round17QueriesSpec extends SparkTestBase {
     fs.delete(new org.apache.hadoop.fs.Path(vPath), true)
     val missing = Round17Queries.auditChoices(spark, sf0001).collect()
     assert(missing.map(_.getString(0)).sorted.toSeq ===
-      Seq("bm25-params", "lsh-banding"))
+      Seq("bm25-params", "ivfpq-nprobe", "lsh-banding"))
     // leave the artifact warm for any later suite (the composition
     // restores it)
     UnigramQueries.prepareVocabChoice(spark, sf0001)
