@@ -137,7 +137,7 @@ object Bench {
     "q270_unigram_decode", "q271_bm25_params_auto",
     "q272_nprobe_choice_persist", "q273_bm25_params_persist",
     "q275_vocab_size_auto", "q276_lifecycle_cycle",
-    "q277_vocab_choice_persist")
+    "q277_vocab_choice_persist", "q279_vocab_choice_encode")
 
   /** Where the per-query JSON artifact lands. Default target/bench.json
     * (build output, never committed); SPARK_GRAFT_BENCH_OUT overrides.
@@ -312,6 +312,8 @@ object Bench {
     // (stamp pass + artifact read + the q267-class segmentation)
     val vocabChoiceReady = prep("q277_vocab_choice_persist") {
       operators.UnigramQueries.prepareVocabChoice(spark, sfDir) }
+    val vocabEncodeReady = prep("q279_vocab_choice_encode") {
+      operators.UnigramQueries.prepareVocabChoice(spark, sfDir) }
     val bucketsReady = prep("q69_bucketed_join") {
       operators.RelationalOps.prepareBucketedTables(spark, sfDir) }
     val lakeReady = prep("q70_partition_pruning") {
@@ -357,6 +359,7 @@ object Bench {
       .filter(name => choiceReady || name != "q272_nprobe_choice_persist")
       .filter(name => bm25ChoiceReady || name != "q273_bm25_params_persist")
       .filter(name => vocabChoiceReady || name != "q277_vocab_choice_persist")
+      .filter(name => vocabEncodeReady || name != "q279_vocab_choice_encode")
       .filter(name => bucketsReady || name != "q69_bucketed_join")
       .filter(name => lakeReady || name != "q70_partition_pruning")
       .filter(name => incCorpusReady || name != "q78_incremental_dedup")

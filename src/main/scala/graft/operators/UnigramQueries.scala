@@ -710,6 +710,123 @@ object UnigramQueries {
           .cast("binary")).as("pieces_hash"))
   }
 
+  // ------------------------------------------------------------ q279
+  /** The word→piece-id ENCODING ARTIFACT derived from the PERSISTED
+    * vocabulary alone — [[modelWordIds]]'s deploy twin with no trainer
+    * in the loop: piece ids are dense ranks over the artifact's
+    * serving scores (score desc, piece asc — ORDER-EQUIVALENT to the
+    * q269 count ranking, because the micro-quantized ln-score is
+    * monotone in the smoothed count and ties at equal count are equal
+    * score), so the id table, the segmentation, and therefore the
+    * whole encode are functions of the `choices/unigram-vocab/vocab`
+    * parquet and the incoming text — nothing else. Words carrying an
+    * untrained character have no Viterbi path and are simply ABSENT
+    * from this table, so [[encodeAgainst]] counts them in `n_oov`
+    * (the segmentDocsAgainst n_unseg contract, surfaced through the
+    * shared encode core). The ranking window is vocabulary-sized
+    * (≤ the chosen size — the q126 class). */
+  def vocabWordIds(words: DataFrame, scores: DataFrame): DataFrame = {
+    val ids = scores
+      .withColumn("id", row_number()
+        .over(Window.orderBy(col("s").desc, col("piece").asc)).cast("long"))
+      .select(col("piece"), col("id"))
+    val alphabet = scores.filter(length(col("piece")) === 1)
+      .collect().map(_.getString(0)).sorted.mkString
+    val segmentable = words
+      .filter(length(translate(col("word"), alphabet, "")) === 0)
+      .select(col("word")).distinct()
+      .withColumn("n", lit(1L))
+    UnigramLm.viterbiSegment(segmentable, scores)
+      .select(col("word"), posexplode(col("pieces")).as(Seq("ppos", "piece")))
+      .join(broadcast(ids), Seq("piece"))
+      .groupBy(col("word"))
+      .agg(sort_array(collect_list(struct(col("ppos"), col("id")))).as("ps"))
+      .select(col("word"), expr("transform(ps, p -> p.id)").as("wid"))
+  }
+
+  /** CORPUS ENCODE under the persisted CHOSEN vocabulary — q269's
+    * deploy twin and the last verb of the persisted-tokenizer story
+    * (train → choose → persist → segment → ENCODE, every serving step
+    * off the artifact): ensure the q277 choice is warm, then run the
+    * SAME [[encodeAgainst]] core q269 and the streaming twin use,
+    * against [[vocabWordIds]] built from the artifact's scores. The
+    * gated rows carry the chosen size AND the corpus stamp; the
+    * oracle recomputes stamp, training, sweep, rule, id ranking, and
+    * the per-doc encode independently, so a stale artifact or a wrong
+    * id assignment hash-mismatches per document. Scale shape: q269's
+    * exactly (word-keyed corpus join + doc-keyed reassembly; ids
+    * assembled at vocabulary scale).
+    */
+  def q279VocabChoiceEncode(s: SparkSession, dir: String): DataFrame = {
+    ensureVocabChoice(s, dir, () => UnigramLm.train(s, dir))
+    val path = vocabChoicePath(dir)
+    val c = vocabChoiceRead(s, path).getOrElse(
+      sys.error("q279: choice artifact vanished after ensure"))
+    val scores = s.read.parquet(s"$path/vocab")
+    val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+    encodeAgainst(docs,
+        vocabWordIds(UnigramLm.wordCounts(docs).select(col("word")), scores))
+      .select(lit(c.chosen.toLong).as("vocab_size"), col("doc_id"),
+        col("n_words"), col("n_oov"), col("n_pieces"), col("fertility"),
+        col("first_id"), col("ids_hash"),
+        lit(c.docRows).as("doc_rows"), lit(c.docContent).as("doc_content"))
+      .orderBy(col("doc_id"))
+  }
+
+  // per-size id assignment + encode chain: ids rank the pruned
+  // vocabulary's scores (scv) — the engine's (s desc, piece asc);
+  // word→id lists ride the chosen DP chain's segmentation
+  private def encodeChainCtes(v: Int): String =
+    s"""vocabidsv$v AS MATERIALIZED (
+       |  SELECT piece, CAST(row_number() OVER (ORDER BY s DESC, piece ASC)
+       |         AS BIGINT) AS id
+       |  FROM scv$v),
+       |widsv$v AS MATERIALIZED (
+       |  SELECT wp.word, list(i.id ORDER BY wp.ppos) AS wid
+       |  FROM (
+       |    SELECT word, unnest(pieces) AS piece,
+       |           unnest(range(1, len(pieces) + 1)) AS ppos
+       |    FROM segv$v) wp
+       |  JOIN vocabidsv$v i USING (piece) GROUP BY wp.word),
+       |encv$v AS MATERIALIZED (
+       |  SELECT dt.doc_id,
+       |         flatten(list(w.wid ORDER BY dt.wpos)
+       |                 FILTER (WHERE w.wid IS NOT NULL)) AS ids,
+       |         count(*) FILTER (WHERE w.wid IS NULL) AS oov
+       |  FROM (
+       |    SELECT doc_id, unnest(toks) AS word,
+       |           unnest(range(1, len(toks) + 1)) AS wpos
+       |    FROM lists) dt
+       |  LEFT JOIN widsv$v w USING (word) GROUP BY dt.doc_id)""".stripMargin
+
+  val q279Sql: String = {
+    val chains = UnigramLm.VocabSweep.map(encodeChainCtes).mkString(",\n")
+    val encUnion = UnigramLm.VocabSweep
+      .map(v => s"SELECT $v AS vocab_size, doc_id, ids, oov FROM encv$v")
+      .mkString("\n    UNION ALL ")
+    s"""$vocabSweepCtes,
+       |$chains,
+       |dstamp AS (${ChoiceStore.documentsStampSql})
+       |SELECT CAST(c.vocab_size AS BIGINT) AS vocab_size, l.doc_id,
+       |       CAST(len(l.toks) AS BIGINT) AS n_words,
+       |       CAST(COALESCE(e.oov, 0) AS BIGINT) AS n_oov,
+       |       CAST(len(COALESCE(e.ids, [])) AS BIGINT) AS n_pieces,
+       |       round(CAST(len(COALESCE(e.ids, [])) AS DOUBLE)
+       |             / nullif(CAST(len(l.toks) - COALESCE(e.oov, 0) AS DOUBLE),
+       |                      0.0), 6) AS fertility,
+       |       COALESCE(e.ids, [])[1] AS first_id,
+       |       md5(array_to_string(
+       |         list_transform(COALESCE(e.ids, []), x -> CAST(x AS VARCHAR)),
+       |         ',')) AS ids_hash,
+       |       ds.doc_rows, ds.doc_content
+       |FROM lists l
+       |CROSS JOIN chosenv c
+       |LEFT JOIN ($encUnion) e
+       |  ON e.doc_id = l.doc_id AND e.vocab_size = c.vocab_size
+       |CROSS JOIN dstamp ds
+       |ORDER BY l.doc_id""".stripMargin
+  }
+
   val q277Sql: String =
     s"""$vocabSweepCtes,
        |dstamp AS (${ChoiceStore.documentsStampSql})
@@ -729,7 +846,8 @@ object UnigramQueries {
     "q269_unigram_encode" -> (q269UnigramEncode _),
     "q270_unigram_decode" -> (q270UnigramDecode _),
     "q275_vocab_size_auto" -> (q275VocabSizeAuto _),
-    "q277_vocab_choice_persist" -> (q277VocabChoicePersist _))
+    "q277_vocab_choice_persist" -> (q277VocabChoicePersist _),
+    "q279_vocab_choice_encode" -> (q279VocabChoiceEncode _))
 
   val oracles: Map[String, String] = Map(
     "q266_unigram_vocab" -> q266Sql,
@@ -737,5 +855,6 @@ object UnigramQueries {
     "q269_unigram_encode" -> q269Sql,
     "q270_unigram_decode" -> q270Sql,
     "q275_vocab_size_auto" -> q275Sql,
-    "q277_vocab_choice_persist" -> q277Sql)
+    "q277_vocab_choice_persist" -> q277Sql,
+    "q279_vocab_choice_encode" -> q279Sql)
 }

@@ -966,7 +966,8 @@ class PlanSpec extends SparkTestBase {
       "q269_unigram_encode" -> "unigram id assignment over the model's used-piece table — the q126/q266 class: |vocab| rows under the MaxSeedPieces cap; corpus rows never enter a window (doc reassembly is a doc_id-keyed aggregate)",
       "q270_unigram_decode" -> "the q269 id assignment plus its REVERSE (id → piece) — both windows ride the model's used-piece table (|vocab| rows under the MaxSeedPieces cap); the corpus only crosses the word-keyed broadcast join and the doc_id-keyed reassembly, the q167 decode shape",
       "q271_bm25_params_auto" -> "the q244 query-synthesis windows (LIMIT-300 term table, LIMIT-150 pair table — TakeOrderedAndProject feeds both); sweep DCG, ideal IDCG, and the served ranking are all per-key heaps + key-partitioned ≤k windows, never an unpartitioned rank over the grid-scored stream",
-      "q275_vocab_size_auto" -> "the prune ladder's multi-piece quota rank rides the trained piece-count table — |seed support| rows under the MaxSeedPieces cap (the q266 class); the corpus is touched only by the word-count pass, localCheckpointed away, and the fertility sweep collects one scalar pair per swept size before the served plan exists")
+      "q275_vocab_size_auto" -> "the prune ladder's multi-piece quota rank rides the trained piece-count table — |seed support| rows under the MaxSeedPieces cap (the q266 class); the corpus is touched only by the word-count pass, localCheckpointed away, and the fertility sweep collects one scalar pair per swept size before the served plan exists",
+      "q279_vocab_choice_encode" -> "the piece-id rank rides the persisted vocabulary's score table — ≤ the chosen vocab size (≤64) rows read from the choices/unigram-vocab artifact, the q126/q269 id-assignment class; corpus rows never enter a window (the encode is the q269 shape: word-keyed join + doc-keyed reassembly)")
     val offenders = graft.SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
       case (name, fn) =>
         val ws = try unpartitionedWindows(fn(spark, sf0001)) catch {

@@ -287,6 +287,50 @@ class UnigramLmSpec extends SparkTestBase {
     assert(c2 === c)
   }
 
+  test("q279: artifact-only encode — score-rank ids ≡ count-rank ids, zero OOV on the training corpus, and an unseen alphabet-covered word still encodes") {
+    UnigramQueries.prepareVocabChoice(spark, sf0001)
+    val path = UnigramQueries.vocabChoicePath(sf0001)
+    val c = UnigramQueries.vocabChoiceRead(spark, path).get
+    val scores = spark.read.parquet(s"$path/vocab")
+    // ID-EQUIVALENCE LAW (the q279 scaladoc claim, pinned): ranking
+    // the artifact's scores (s desc, piece asc) assigns the SAME ids
+    // as ranking the pruned vocabulary's restricted smoothed counts
+    // (cnt desc, piece asc — the q269 convention) — the micro-
+    // quantized ln-score is monotone in the count
+    val m = UnigramLm.train(spark, sf0001)
+    val byScore = scores.collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+      .sortBy { case (p, s) => (-s, p) }.map(_._1).toSeq
+    val byCount = UnigramLm.smoothed(m.seed, m.counts)
+      .join(UnigramLm.prunedVocab(m.seed, m.counts, c.chosen),
+        Seq("piece"), "left_semi")
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+      .sortBy { case (p, n) => (-n, p) }.map(_._1).toSeq
+    assert(byScore === byCount)
+    // the gated encode: chosen size on every row, zero OOV on the
+    // training corpus (every corpus word is over the trained alphabet)
+    val out = UnigramQueries.q279VocabChoiceEncode(spark, sf0001).collect()
+    assert(out.nonEmpty)
+    assert(out.map(_.getLong(0)).toSet === Set(c.chosen.toLong))
+    assert(out.forall(_.getAs[Long]("n_oov") == 0L))
+    // DEPLOY LAW: an unseen word over the trained alphabet encodes to
+    // ids from the ARTIFACT ALONE (no trainer in the loop) — the id
+    // sequence equals the segmentation's pieces mapped through the
+    // score-rank table
+    import spark.implicits._
+    val unseen = "qywqyw"
+    val wi = UnigramQueries.vocabWordIds(Seq(unseen).toDF("word"), scores)
+      .collect()
+    assert(wi.length === 1)
+    val gotIds = wi.head.getSeq[Long](1).toList
+    val pieces = UnigramLm.viterbiSegment(
+        Seq((unseen, 1L)).toDF("word", "n"), scores)
+      .collect().head.getSeq[String](2).toList
+    val idOf = byScore.zipWithIndex.map { case (p, i) => p -> (i + 1L) }.toMap
+    assert(gotIds === pieces.map(idOf))
+    assert(gotIds.nonEmpty)
+  }
+
   test("hard-EM vs full-EM: Viterbi-count support is a STRICT subset of forward–backward expected-count support (the documented divergence, non-vacuous on the gate fixture)") {
     // The trainer is Viterbi-/hard-EM by design (integer determinism —
     // see the UnigramLm scaladoc note); Kudo 2018's reference computes
