@@ -1,0 +1,161 @@
+package graft.io
+
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.SparkSession
+
+/** Per-file stamp residues, persisted beside the artifacts they
+  * validate — the round-11 verdict's #1: the content stamps
+  * ([[graft.operators.ChoiceStore.documentsStamp]],
+  * [[graft.ann.Ann.ivfPqGenerationStamp]]) are exact but DATA-scale
+  * (every warm serve/ensure/audit re-folds the corpus' biggest column
+  * or every codes array just to prove the artifact still valid; at
+  * 100 TB the validation pass dominates the serve it guards, and for
+  * the nprobe dial it demotes a partition-pruned probe to a
+  * full-index scan).
+  *
+  * The fix exploits what the stamps already are: per-row residues
+  * summed with symmetric, associative arithmetic — so the global sum
+  * decomposes EXACTLY into per-file partial sums, and parquet files
+  * are immutable (every lifecycle verb — append, compact, retrain,
+  * lake ingest — creates/removes FILES, never edits bytes in place).
+  * So: fold each file once, remember (path, length, mtime) → (rows,
+  * residue-sum) in a tiny TSV sidecar, and validate from a FILE
+  * LISTING — a metadata op — plus the sidecar: only files the sidecar
+  * has never seen (new, resized, or retimed) are scanned, and a file
+  * set that merely persists costs zero data reads to re-stamp.
+  *
+  * Equivalence is exact, not approximate (pinned in
+  * StampSidecarSpec): Σ over files of per-file (count, residue-sum)
+  * equals the global fold, and the distinct-file count equals the
+  * fold's `countDistinct(input_file_name)` because both count only
+  * files contributing ≥ 1 row (an empty parquet file — the
+  * empty-generation sentinel — is listed but contributes (0, 0) and
+  * is excluded from the file count on both sides).
+  *
+  * Fidelity boundary (documented, spec-pinned like the corpus stamp's
+  * length-preserving-edit escape): the sidecar trusts (path, length,
+  * mtime). A file REWRITTEN IN PLACE to identical byte length with
+  * its mtime restored presents as unchanged — a state no Spark/Hadoop
+  * writer produces (immutable files, fresh names per task attempt),
+  * only a hand-edit can. The torn-sidecar path is safe by fallback:
+  * an unreadable or missing sidecar simply rescans everything, so the
+  * sidecar can never make a stamp WRONG, only a rescan unnecessary.
+  */
+object StampSidecar {
+
+  /** One data file's cached stamp fragment. `rows`/`content` are the
+    * file's partial count and residue sum (already mod-folded per row
+    * by the caller's residue expression). */
+  final case class FileStamp(path: String, len: Long, mtime: Long,
+      rows: Long, content: Long)
+
+  private def fs(spark: SparkSession, p: Path): FileSystem =
+    p.getFileSystem(spark.sessionState.newHadoopConf())
+
+  /** Normalize any spelling of a file location (Hadoop FileStatus
+    * path, Spark `input_file_name()` URI) to its bare filesystem path
+    * so the two sides of the sidecar join on the same key. */
+  def normalize(p: String): String = new Path(p).toUri.getPath
+
+  /** List the DATA files under `dir` (recursive; a single-file
+    * location lists itself), excluding `_SUCCESS`/hidden markers —
+    * exactly the files a parquet scan of `dir` would read. Pure
+    * metadata: no file is opened. */
+  def listDataFiles(spark: SparkSession,
+      dir: String): Seq[(String, Long, Long)] = {
+    val root = new Path(dir)
+    val f = fs(spark, root)
+    if (!f.exists(root)) Seq.empty
+    else {
+      val it = f.listFiles(root, true)
+      val b = Seq.newBuilder[(String, Long, Long)]
+      while (it.hasNext) {
+        val st = it.next()
+        val name = st.getPath.getName
+        if (!name.startsWith("_") && !name.startsWith("."))
+          b += ((normalize(st.getPath.toString), st.getLen,
+            st.getModificationTime))
+      }
+      b.result().sortBy(_._1)
+    }
+  }
+
+  /** Read the sidecar. Any failure — missing, torn, malformed —
+    * returns empty, which degrades to a full rescan (the sidecar can
+    * never corrupt a stamp, only fail to amortize one). */
+  def read(spark: SparkSession, sidecar: String): Map[String, FileStamp] =
+    scala.util.Try {
+      val p = new Path(sidecar)
+      val f = fs(spark, p)
+      if (!f.exists(p)) Map.empty[String, FileStamp]
+      else {
+        val in = f.open(p)
+        val text = try {
+          scala.io.Source.fromInputStream(in, "UTF-8").mkString
+        } finally in.close()
+        text.linesIterator.filter(_.nonEmpty).map { line =>
+          val Array(path, len, mtime, rows, content) = line.split('\t')
+          path -> FileStamp(path, len.toLong, mtime.toLong,
+            rows.toLong, content.toLong)
+        }.toMap
+      }
+    }.getOrElse(Map.empty)
+
+  /** Write the sidecar: temp file + delete-and-rename, so a torn
+    * write leaves either the old sidecar or none (both safe — `read`
+    * falls back to rescan). */
+  def write(spark: SparkSession, sidecar: String,
+      stamps: Seq[FileStamp]): Unit = {
+    val p = new Path(sidecar)
+    val tmp = new Path(sidecar + ".tmp")
+    val f = fs(spark, p)
+    val parent = p.getParent
+    if (parent != null && !f.exists(parent)) f.mkdirs(parent)
+    val out = f.create(tmp, true)
+    try {
+      val body = stamps.sortBy(_.path).map(s =>
+        s"${s.path}\t${s.len}\t${s.mtime}\t${s.rows}\t${s.content}\n")
+        .mkString
+      out.write(body.getBytes("UTF-8"))
+    } finally out.close()
+    if (f.exists(p)) f.delete(p, false)
+    f.rename(tmp, p)
+    ()
+  }
+
+  /** The validate-or-refresh core: stamp `dataDir` from the sidecar,
+    * scanning ONLY files the sidecar does not vouch for.
+    * `residuesOf(paths)` folds exactly those files and returns
+    * per-file (rows, residue-sum) keyed by [[normalize]]d path; a
+    * scanned file absent from the result contributed zero rows.
+    * Returns (Σ rows, Σ content, count of files with rows > 0) — the
+    * same triple/pair the global content fold computes, exactly
+    * (StampSidecarSpec's equivalence law). Refreshes the sidecar
+    * whenever the file set changed.
+    */
+  def stampVia(spark: SparkSession, dataDir: String, sidecar: String,
+      residuesOf: Seq[String] => Map[String, (Long, Long)])
+      : (Long, Long, Long) = {
+    val files = listDataFiles(spark, dataDir)
+    val cached = read(spark, sidecar)
+    val (known, unknown) = files.partition { case (p, len, mt) =>
+      cached.get(p).exists(c => c.len == len && c.mtime == mt)
+    }
+    val freshResidues =
+      if (unknown.isEmpty) Map.empty[String, (Long, Long)]
+      else residuesOf(unknown.map(_._1))
+    val current: Seq[FileStamp] =
+      known.map { case (p, len, mt) =>
+        val c = cached(p); FileStamp(p, len, mt, c.rows, c.content)
+      } ++ unknown.map { case (p, len, mt) =>
+        val (r, c) = freshResidues.getOrElse(p, (0L, 0L))
+        FileStamp(p, len, mt, r, c)
+      }
+    // refresh on any change: new/changed files scanned above, or
+    // removed files dropped (their cached rows must stop counting)
+    if (unknown.nonEmpty || cached.keySet != files.map(_._1).toSet)
+      write(spark, sidecar, current)
+    (current.map(_.rows).sum, current.map(_.content).sum,
+      current.count(_.rows > 0L).toLong)
+  }
+}

@@ -1659,7 +1659,7 @@ object AnnQueries {
         tombstones.select(col("vec_id")).localCheckpoint(),
         "graft.ann.maxTombstones", 10000000L),
       Seq("vec_id"), "left_anti")
-    val (gr, gc, gf) = Ann.ivfPqGenerationStamp(s, serveIdx)
+    val (gr, gc, gf) = Ann.ivfPqGenerationStampCached(s, serveIdx)
     // the cycle ENDS by leaving a warm generation-stamped choice
     // artifact beside the refreshed index (the q272 discipline
     // composed INTO the nightly job): tuning runs at most once here,
@@ -1817,8 +1817,9 @@ object AnnQueries {
     * index ([[Ann.ivfPqProbePersistedChoice]]). Cold: one sweep + one
     * exact tuning job, artifact written under the current
     * [[Ann.ivfPqGenerationStamp]]. Warm (every later call until a
-    * lifecycle verb moves the stamp): ZERO tuning jobs — one
-    * column-pruned stamp pass, a ≤|sweep|-row artifact read, the probe
+    * lifecycle verb moves the stamp): ZERO tuning jobs — a
+    * metadata-scale stamp validation (file listing + sidecar read,
+    * zero data reads), a ≤|sweep|-row artifact read, the probe
     * at the persisted dial. The gated output carries the choice AND
     * the stamp it is valid for, all read back from the artifact — and
     * the oracle independently recomputes stamp, curve, rule, and
@@ -1846,11 +1847,11 @@ object AnnQueries {
   private[operators] def stampCteSql(idx: String): String =
     s"""stamp AS (
        |  SELECT CAST(count(*) AS BIGINT) AS gen_rows,
-       |         CAST(sum((vec_id * 31 + CAST(cluster AS BIGINT) * 1009 +
+       |         CAST(coalesce(sum((vec_id * 31 + CAST(cluster AS BIGINT) * 1009 +
        |              (SELECT sum(CAST(c AS BIGINT) * i)
        |               FROM (SELECT unnest(codes) AS c,
        |                            generate_subscripts(codes, 1) AS i)))
-       |              % 1048576) AS BIGINT) AS gen_content,
+       |              % 1048576), 0) AS BIGINT) AS gen_content,
        |         CAST(count(DISTINCT f) AS BIGINT) AS gen_files
        |  FROM (SELECT vec_id, codes, CAST(cluster AS INTEGER) AS cluster,
        |               filename AS f

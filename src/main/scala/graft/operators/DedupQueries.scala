@@ -194,7 +194,7 @@ object DedupQueries {
     * token sets and signatures too, so a caller serving at the chosen
     * configuration re-bands the SAME signature pass it measured with.
     */
-  private def bandingMeasure(s: SparkSession, dir: String)
+  private[operators] def bandingMeasure(s: SparkSession, dir: String)
       : (DataFrame, DataFrame, Long, Seq[(Int, Int, Long, Long)]) = {
     val toks = Dedup.tokenSets(Tables.documents(s, dir), "doc_id", "text")
       .localCheckpoint()
@@ -491,7 +491,9 @@ object DedupQueries {
     val p = new org.apache.hadoop.fs.Path(path)
     val fs = p.getFileSystem(s.sessionState.newHadoopConf())
     if (!fs.exists(p)) None
-    else {
+    // Try: a torn artifact (dir present, no readable footer) degrades
+    // to the cold path instead of throwing forever (round-11 advice)
+    else scala.util.Try {
       val rows = s.read.parquet(path)
         .orderBy(col("bands"), col("rows_per_band")).collect()
       if (rows.isEmpty) None
@@ -507,7 +509,7 @@ object DedupQueries {
             ch.getAs[Int]("bands"), ch.getAs[Int]("rows_per_band"))
         }
       }
-    }
+    }.toOption.flatten
   }
 
   /** Ensure a valid persisted banding for the current corpus stamp,
@@ -516,8 +518,9 @@ object DedupQueries {
     * (the q272 thunk law). */
   private[operators] def ensureBandingChoice(s: SparkSession, dir: String,
       measure: () => (Long, Seq[(Int, Int, Long, Long)])): BandingChoice = {
-    val (dr, dc) = ChoiceStore.documentsStamp(
-      Tables.documents(s, dir).select(col("doc_id"), col("text")))
+    // sidecar form: warm validation is metadata-scale (round-11
+    // verdict #1), exactly equal to the content fold
+    val (dr, dc) = ChoiceStore.documentsStampCachedFor(s, dir)
     val path = bandingChoicePath(dir)
     val warm = bandingChoiceRead(s, path).filter(c =>
       c.docRows == dr && c.docContent == dc &&

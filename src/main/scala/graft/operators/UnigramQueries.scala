@@ -581,7 +581,9 @@ object UnigramQueries {
     val p = new org.apache.hadoop.fs.Path(s"$path/curve")
     val fs = p.getFileSystem(s.sessionState.newHadoopConf())
     if (!fs.exists(p)) None
-    else {
+    // Try: a torn artifact (dir present, no readable footer) degrades
+    // to the cold path instead of throwing forever (round-11 advice)
+    else scala.util.Try {
       val rows = s.read.parquet(s"$path/curve")
         .orderBy(col("vocab_size")).collect()
       if (rows.isEmpty) None
@@ -595,7 +597,7 @@ object UnigramQueries {
             ch.getAs[Int]("vocab_size"))
         }
       }
-    }
+    }.toOption.flatten
   }
 
   /** Ensure a valid persisted vocabulary for the current corpus stamp,
@@ -603,8 +605,9 @@ object UnigramQueries {
     * provably never trains or sweeps (the q272 thunk law). */
   private[graft] def ensureVocabChoice(s: SparkSession, dir: String,
       train: () => UnigramLm.Model): VocabChoice = {
-    val (dr, dc) = ChoiceStore.documentsStamp(
-      Tables.documents(s, dir).select(col("doc_id"), col("text")))
+    // sidecar form: warm validation is metadata-scale (round-11
+    // verdict #1), exactly equal to the content fold
+    val (dr, dc) = ChoiceStore.documentsStampCachedFor(s, dir)
     val path = vocabChoicePath(dir)
     val warm = vocabChoiceRead(s, path).filter(c =>
       c.docRows == dr && c.docContent == dc &&

@@ -951,6 +951,44 @@ object StreamingOps {
       }
       .start()
 
+  /** Streaming RANKED RETRIEVAL from the PERSISTED BM25 dial — the
+    * q273 artifact's stream-static twin (round-11 verdict #4), closing
+    * the persisted-choice streaming story the way
+    * [[streamingVocabSegment]] closed the tokenizer's: the dial is
+    * read ONCE at stream start from `choices/bm25-params` (frozen for
+    * the stream's lifetime, the frozen-scores discipline), and each
+    * micro-batch of queries (query_id, term) is served through the
+    * SAME batch core q273 serves with
+    * ([[graft.operators.Round15Queries.bm25ServeQueriesAtDial]]) — so
+    * stream ≡ batch by shared code, and the dial the stream ranks at
+    * is exactly the engine-chosen one. A MISSING artifact is a
+    * deployment error, not a tuning trigger: a stream must never pay
+    * a cold 12-point sweep mid-flight — run
+    * [[graft.operators.Round15Queries.prepareBm25ParamsChoice]]
+    * (offline corpus maintenance) first.
+    *
+    * Batch contract: a query's terms must arrive within ONE
+    * micro-batch (per-query rows are independent across batches, so
+    * any whole-query split unions to the one-batch result —
+    * StreamingOpsSpec's uneven-batch law; a query split across
+    * batches would rank its fragments separately).
+    */
+  def streamingBm25Rank(s: SparkSession, dir: String, queries: DataFrame)
+      (emit: DataFrame => Unit)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    val c = graft.operators.Round15Queries.bm25ChoiceRead(s,
+      graft.operators.Round15Queries.bm25ChoicePath(dir)).getOrElse(
+      sys.error("streamingBm25Rank: no persisted (k1, b) artifact for " +
+        s"$dir — run prepareBm25ParamsChoice first (a stream never " +
+        "pays a cold sweep mid-flight)"))
+    queries.writeStream.outputMode("append")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        emit(graft.operators.Round15Queries.bm25ServeQueriesAtDial(
+          s, dir, batch, c.k1Micro, c.bMicro))
+      }
+      .start()
+  }
+
   def runToMemory(spark: SparkSession, transformed: DataFrame, name: String,
       mode: OutputMode = OutputMode.Append): Unit = {
     val q = transformed.writeStream

@@ -181,7 +181,7 @@ object UnigramLm {
   final case class Model(wc: DataFrame, seed: DataFrame, seg: DataFrame,
       counts: DataFrame, scores: DataFrame)
 
-  private def trainUncached(s: SparkSession, dir: String): Model = {
+  private[graft] def trainUncached(s: SparkSession, dir: String): Model = {
     val wc = wordCounts(Tables.documents(s, dir)).localCheckpoint()
     val seed = seedCounts(wc).localCheckpoint()
     var scores = scoresFromCounts(seed)

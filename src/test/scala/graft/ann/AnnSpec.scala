@@ -949,6 +949,71 @@ class AnnSpec extends SparkTestBase {
     assert(forced === 3)
   }
 
+  test("bare tombstone mutation invalidates the persisted nprobe choice without a lifecycle rewrite") {
+    // The round-11 escape, closed: the index files never move in this
+    // test — ONLY the delete set does — and the choice must still
+    // re-measure, because the reachable set (index − deletes) is what
+    // recall was tuned against. Before the tombstone component this
+    // law failed: re-ensuring after a bare delete was a warm no-op.
+    import org.apache.spark.sql.functions.col
+    val e = graft.Tables.embeddings(spark, sf0001)
+    val idx = new java.io.File("target/spec-tomb-choice-idx").getAbsolutePath
+    def rmrf(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(rmrf); f.delete(); ()
+    }
+    rmrf(new java.io.File(idx))
+    Ann.ivfPqBuild(e, idx, 4, 8, 16)
+    val stamp0 = Ann.ivfPqGenerationStamp(spark, idx)
+    val tune = e.filter(col("vec_id") % 50 === 0)
+    var forced = 0
+    def tq(): org.apache.spark.sql.DataFrame = { forced += 1; tune }
+    val sweep = Seq(1, 2, 4)
+    // cold, no deletes
+    val c1 = Ann.ivfPqEnsureNprobeChoice(spark, idx, 3, 0.32, sweep,
+      () => tq(), () => e)
+    assert(forced === 1)
+    assert((c1.tombRows, c1.tombContent) === ((0L, 0L)))
+    // BARE DELETE: the index is untouched, the delete set mutates —
+    // the choice is stale and must re-measure delete-aware
+    def dead1 = e.filter(col("vec_id") % 7 === 0).select(col("vec_id"))
+    val c2 = Ann.ivfPqEnsureNprobeChoice(spark, idx, 3, 0.32, sweep,
+      () => tq(), () => e.join(dead1, Seq("vec_id"), "left_anti"),
+      Some(dead1))
+    assert(forced === 2,
+      "a mutated tombstone set must invalidate the persisted choice")
+    assert(Ann.ivfPqGenerationStamp(spark, idx) === stamp0,
+      "precondition: the index generation never moved in this test")
+    assert((c2.tombRows, c2.tombContent) === Ann.tombstoneStamp(Some(dead1)))
+    // the SAME set presented again — set semantics, not object
+    // identity: a recomputed DataFrame of the same ids is warm,
+    // zero tuning jobs (throwing thunks never forced)
+    Ann.ivfPqEnsureNprobeChoice(spark, idx, 3, 0.32, sweep,
+      () => sys.error("warm choice re-measured: tuneQueries forced"),
+      () => sys.error("warm choice re-measured: corpus forced"),
+      Some(dead1))
+    assert(forced === 2)
+    // the set GROWS between compactions (the advice's exact scenario):
+    // stale again
+    def dead2 = e.filter(col("vec_id") % 7 === 0 || col("vec_id") % 11 === 0)
+      .select(col("vec_id"))
+    Ann.ivfPqEnsureNprobeChoice(spark, idx, 3, 0.32, sweep,
+      () => tq(), () => e.join(dead2, Seq("vec_id"), "left_anti"),
+      Some(dead2))
+    assert(forced === 3)
+    // EMPTY delete set ≡ NO delete set: both stamp (0, 0) — "no
+    // deletes" is one state however it is spelled, so a truncation
+    // (the q276 FIRE branch) followed by a None-spelled ensure is warm
+    Ann.ivfPqEnsureNprobeChoice(spark, idx, 3, 0.32, sweep,
+      () => tq(), () => e, Some(e.filter(lit(false)).select(col("vec_id"))))
+    assert(forced === 4, "shrinking back to empty is a fourth state change")
+    Ann.ivfPqEnsureNprobeChoice(spark, idx, 3, 0.32, sweep,
+      () => sys.error("empty-set choice must be warm under None"),
+      () => sys.error("empty-set choice must be warm under None"))
+    assert(forced === 4)
+    assert(Ann.tombstoneStamp(
+      Some(e.filter(lit(false)).select(col("vec_id")))) === ((0L, 0L)))
+  }
+
   test("q272 serves exactly q263's rows, plus the artifact's stamp and target") {
     import org.apache.spark.sql.functions.col
     val auto = graft.operators.AnnQueries.q263NprobeAuto(spark, sf0001)
@@ -1058,11 +1123,15 @@ class AnnSpec extends SparkTestBase {
     assert((h.getAs[Long]("gen_rows"), h.getAs[Long]("gen_content"),
       h.getAs[Long]("gen_files")) === ((gr, gc, gf)))
     // the compacted generation too ends warm: its delete-aware tuning
-    // persisted under the compacted stamp, served without re-measure
+    // persisted under the compacted stamp AND the carried tombstone
+    // set's stamp — a warm re-ensure must present the SAME delete set
+    // (the tombstone component of the validity key; a different set
+    // is a different reachable set and re-measures by design)
     val warmC = Ann.ivfPqEnsureNprobeChoice(spark, cP, 3, 0.32,
       Seq(1, 2, 4, 8, 16),
       () => sys.error("warm choice must not re-measure: tuneQueries forced"),
-      () => sys.error("warm choice must not re-measure: corpus forced"))
+      () => sys.error("warm choice must not re-measure: corpus forced"),
+      Some(ts))
     assert(warmC.nprobe.toLong === h.getAs[Long]("nprobe"))
     // deleted ids remain unreachable THROUGH the carried tombstones
     val dead = ts.collect().map(_.getLong(0)).toSet
@@ -1110,5 +1179,29 @@ class AnnSpec extends SparkTestBase {
     val cbs = spark.read.parquet(s"$out/codebooks")
     assert(cbs.count() === 0L &&
       cbs.columns.toSet === Set("sub", "code", "centroid"))
+    // and the empty generation STAMPS as (0, 0, 0) instead of NPEing
+    // on the NULL content sum (round-11 advice: the sentinel made
+    // empty a normal on-disk state, so auditChoices may stamp it)
+    assert(Ann.ivfPqGenerationStamp(spark, out) === ((0L, 0L, 0L)))
+  }
+
+  test("torn choice artifact degrades to the cold path instead of throwing") {
+    // crash between Spark overwrite's delete and commit = dir present,
+    // no readable parquet footer; the reader contract is "never throws
+    // — cold start is a normal state" (round-11 advice)
+    val idx = new java.io.File("target/spec-torn-choice-idx").getAbsolutePath
+    val dir = new java.io.File(s"$idx/choices/nprobe")
+    def rmrf(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(rmrf); f.delete(); ()
+    }
+    rmrf(new java.io.File(idx))
+    dir.mkdirs()
+    java.nio.file.Files.write(
+      new java.io.File(dir, "part-00000.parquet").toPath,
+      "not a parquet file".getBytes("UTF-8"))
+    assert(Ann.ivfPqChoiceRead(spark, idx) === None)
+    // an EMPTY dir (delete committed, write never started) is also cold
+    rmrf(dir); dir.mkdirs()
+    assert(Ann.ivfPqChoiceRead(spark, idx) === None)
   }
 }

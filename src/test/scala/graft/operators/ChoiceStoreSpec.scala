@@ -64,4 +64,34 @@ class ChoiceStoreSpec extends SparkTestBase {
       (id * 31L + t.getBytes("UTF-8").length) % 1048576L }.sum
     assert(engine === ((n, content)))
   }
+
+  test("an EMPTY corpus stamps as (0, 0) instead of NPEing on the NULL sum") {
+    // round-11 advice: empty is a normal state for a lake a
+    // composition seeds before its first ingest
+    assert(stamp(Seq.empty) === ((0L, 0L)))
+  }
+
+  test("torn corpus-dial choice artifacts degrade to the cold path instead of throwing") {
+    // crash between Spark overwrite's delete and commit = dir present,
+    // no readable parquet footer (round-11 advice); all three
+    // corpus-keyed readers share the contract
+    def torn(path: String): java.io.File = {
+      val d = new java.io.File(path)
+      def rmrf(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles().foreach(rmrf); f.delete(); ()
+      }
+      rmrf(d); d.mkdirs()
+      java.nio.file.Files.write(
+        new java.io.File(d, "part-00000.parquet").toPath,
+        "not a parquet file".getBytes("UTF-8"))
+      d
+    }
+    val base = new java.io.File("target/spec-torn-corpus").getAbsolutePath
+    torn(s"$base/bm25")
+    assert(Round15Queries.bm25ChoiceRead(spark, s"$base/bm25") === None)
+    torn(s"$base/banding")
+    assert(DedupQueries.bandingChoiceRead(spark, s"$base/banding") === None)
+    torn(s"$base/vocab/curve")
+    assert(UnigramQueries.vocabChoiceRead(spark, s"$base/vocab") === None)
+  }
 }

@@ -1268,4 +1268,48 @@ class StreamingOpsSpec extends SparkTestBase {
       .filterKeys(k => k != 999998L && k != 999999L)
       .values.forall(_._2 == 0L))
   }
+
+  test("streamingBm25Rank serves micro-batches at the persisted dial: stream ≡ batch q273 across uneven whole-query splits") {
+    import graft.operators.Round15Queries
+    // the dial artifact must pre-exist (offline corpus maintenance);
+    // the stream reads it once and freezes it
+    Round15Queries.prepareBm25ParamsChoice(spark, sf0001)
+    val c = Round15Queries.bm25ChoiceRead(spark,
+      Round15Queries.bm25ChoicePath(sf0001)).get
+    // the q273 workload as explicit (query_id, term) rows, split into
+    // uneven micro-batches BY QUERY (the whole-query batch contract)
+    val qrows = Round15Queries.multiBm25QueryTable(spark, sf0001)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    val groups = qrows.groupBy(_._1).toSeq.sortBy(_._1).map(_._2)
+    val batches = Seq(groups.take(2), groups.slice(2, 60), groups.drop(60))
+      .filter(_.nonEmpty).map(_.flatten)
+    val got = scala.collection.mutable.ArrayBuffer
+      .empty[(Long, Long, Long, Long, Double, Long, Long)]
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, String)]
+    val q = StreamingOps.streamingBm25Rank(spark, sf0001,
+        input.toDF.toDF("query_id", "term")) { v =>
+      v.collect().foreach { r =>
+        got.synchronized {
+          got += ((r.getLong(0), r.getLong(1), r.getLong(2),
+            r.getLong(3), r.getDouble(4), r.getLong(5), r.getLong(6)))
+        }
+      }
+    }
+    batches.foreach { b =>
+      input.addData(b.toIndexedSeq: _*); q.processAllAvailable()
+    }
+    q.stop()
+    // stream ≡ batch: the union of the micro-batch serves is exactly
+    // q273's gated rows (same dial, same scores, same ranks) modulo
+    // the corpus-stamp constants q273 additionally carries
+    val batch = Round15Queries.q273Bm25ParamsPersist(spark, sf0001)
+      .collect().map(r => (r.getAs[Long]("k1_micro"),
+        r.getAs[Long]("b_micro"), r.getAs[Long]("query_id"),
+        r.getAs[Long]("doc_id"), r.getAs[Double]("bm25"),
+        r.getAs[Long]("n_terms_hit"), r.getAs[Long]("rk"))).toSet
+    assert(got.toSet === batch)
+    // the dial served is the artifact's chosen point on every row
+    assert(got.forall(t => t._1 == c.k1Micro && t._2 == c.bMicro))
+  }
 }
