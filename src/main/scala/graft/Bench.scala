@@ -30,7 +30,11 @@ import org.apache.spark.sql.SparkSession
   * serves are output-linear; q278's staleness audit composes q274's
   * ensure, so a cold run would pay the same quadratic measurement
   * inside the timed region — excluded with it, its own cost being
-  * three artifact reads + one stamp pass) — same
+  * three artifact reads + one stamp pass; q280's corpus-ingest cycle
+  * pays TWO cold measurement bills per call by construction — base
+  * and post-ingest, the quadratic banding measure among them — its
+  * serving paths are benched by the q272/q273/q277 trio and its
+  * composition correctness by the sf0.01 gate) — same
   * quadratic-output class),
   * queries that are strict
   * prefixes/aggregations/SQL-surface twins of included ones (q6, q11,

@@ -40,9 +40,12 @@ object Round17Queries {
     * artifact — wrong stamp, wrong dial, truncated sweep —
     * hash-mismatches in one verdict.
     *
-    * 100 TB shape: the audit itself is metadata-scale (four artifact
-    * reads + one column-pruned corpus stamp pass + one column-pruned
-    * index stamp pass); the ensure verbs amortize exactly as measured
+    * 100 TB shape: the audit itself is metadata-scale, and since
+    * round 12 that claim is literal — four artifact reads + two
+    * SIDECAR stamp validations (file listing + TSV read each,
+    * [[graft.io.StampSidecar]]; zero data reads when no file moved —
+    * the round-11 verdict's content-scan boundary closed); the ensure
+    * verbs amortize exactly as measured
     * in SCALE.md (q272/q273/q277). The output is FOUR rows — the
     * driver-side assembly is the bounded-collect class (|dials| rows,
     * the denseArgmax contract).
@@ -50,8 +53,10 @@ object Round17Queries {
   /** Read-only audit core (no ensure — the spec's stale-path surface):
     * rows only for dials whose artifact exists. */
   def auditChoices(s: SparkSession, dir: String): DataFrame = {
-    val (dr, dc) = ChoiceStore.documentsStamp(
-      Tables.documents(s, dir).select(col("doc_id"), col("text")))
+    // sidecar form for both live stamps: the audit really is
+    // metadata-scale now — file listings + TSV reads, zero data scans
+    // when no file moved (round-11 verdict #1)
+    val (dr, dc) = ChoiceStore.documentsStampCachedFor(s, dir)
     def fresh(pr: Long, pc: Long): Long = if (pr == dr && pc == dc) 1L else 0L
     val rows =
       Seq.newBuilder[(String, Long, Long, Long, Long, Long, Long, Long)]
@@ -64,7 +69,7 @@ object Round17Queries {
     // existing choice implies an existing index to stamp)
     val idx = AnnQueries.ivfPqIndexPath(dir)
     Ann.ivfPqChoiceRead(s, idx).foreach { c =>
-      val (gr, gc, gf) = Ann.ivfPqGenerationStamp(s, idx)
+      val (gr, gc, gf) = Ann.ivfPqGenerationStampCached(s, idx)
       val f = if (c.genRows == gr && c.genContent == gc &&
         c.genFiles == gf) 1L else 0L
       rows += (("ivfpq-nprobe", c.genRows, c.genContent, c.genFiles, f,
@@ -170,9 +175,278 @@ object Round17Queries {
        |ORDER BY a.dial""".stripMargin
   }
 
+  // --------------------------------------------------------------- q280
+  /** COMPOSED corpus-ingest cycle over the documents lake — q276's
+    * twin for the corpus-keyed dials (round-11 verdict #3): q276
+    * composes the INDEX lifecycle; this composes the LAKE's. One
+    * self-contained cycle per call over an engine-owned lake replica
+    * (an sfDir-shaped directory, so every dir-keyed ensure/measure/
+    * stamp surface composes verbatim):
+    *
+    *   1. SEED    — the lake is rebuilt fresh with the base corpus
+    *      (doc_id % [[IngestMod]] ≠ [[IngestRem]]) and its choice
+    *      artifacts wiped (self-contained ⇒ deterministic per call).
+    *   2. WARM-UP — all four dials ensured (uncounted): the three
+    *      corpus-keyed dials measure against the BASE lake; the
+    *      index-keyed nprobe dial warms against the shared index.
+    *   3. INGEST  — the held-out batch is APPENDED (new parquet files;
+    *      existing files untouched — the sidecar folds only the new
+    *      ones, [[graft.io.StampSidecar]]).
+    *   4. COUNTED ENSURE — the [[ChoiceStore.documentsStamp]] moved,
+    *      the index generation did NOT: exactly the three stale
+    *      corpus-keyed dials re-measure (once each, against the FULL
+    *      lake); the nprobe choice stays warm at zero tuning jobs —
+    *      SELECTIVE invalidation, observed through counted thunks.
+    *   5. CONVERGENCE — a second ensure re-measures NOTHING (the q276
+    *      self-quiescing law's lake analogue; Round17QueriesSpec pins
+    *      it with throwing thunks).
+    *
+    * Output: one row per dial carrying the dial's key stamp BEFORE
+    * ingest, its persisted stamp AFTER, the staleness verdict the
+    * append induced (computed from those stamps, not asserted), the
+    * OBSERVED measure counts of phases 4 and 5, and the re-measured
+    * chosen operating point. The oracle replays the base stamp (the
+    * filtered corpus), the post stamp (lake content ≡ the full
+    * documents table after ingest — append restores exactly the held-
+    * out rows), the live index stamp, and ALL FOUR chosen dials
+    * through the standard sweep chains — so a cycle that re-measured
+    * the wrong dial set, skipped a re-measure, or chose a different
+    * point hash-mismatches in one verdict.
+    *
+    * 100 TB shape: the cycle's ingest bill is the append itself plus
+    * re-measuring ONLY corpus-keyed dials (each a one-sweep bill that
+    * then amortizes across every serve until the next ingest); stamp
+    * validations are sidecar-metadata-scale; nothing index-shaped is
+    * touched, re-read, or re-tuned by a documents-side ingest.
+    * Bench: deliberately NOT in the headline set — the cycle pays two
+    * COLD measurement bills per call by construction (base + post
+    * ingest), including the q274-class quadratic banding measure; its
+    * serving-path cost is benched by the q272/q273/q277 trio, its
+    * composition correctness by the sf0.01 gate (the q278/q274
+    * exclusion rationale).
+    */
+  val IngestMod = 4L
+  val IngestRem = 3L
+
+  private[operators] def lakePath(sfDir: String): String =
+    new java.io.File(s"target/doclake/${PathTag.tagFor(sfDir)}")
+      .getAbsolutePath
+
+  private def rmrf(f: java.io.File): Unit = {
+    if (f.isDirectory) f.listFiles().foreach(rmrf); f.delete(); ()
+  }
+
+  /** The cycle with observable measure thunks — the spec drives the
+    * convergence law through `counts`. Returns the 13-column per-dial
+    * report (4 rows). */
+  private[operators] def corpusIngestCycleCore(s: SparkSession,
+      dir: String): DataFrame = {
+    val lake = lakePath(dir)
+    val lakeDocs = s"$lake/documents.parquet"
+    // 1. SEED: fresh lake + wiped lake-keyed artifacts (the doc-stamp
+    // sidecar too — it indexes the lake's files, all of which die here)
+    rmrf(new java.io.File(lake))
+    // (the lake's doc-stamp SIDECAR is deliberately not wiped: it is a
+    // pure cache keyed by exact file identities, and the rebuild gives
+    // every file a fresh name — stale entries drop, new files rescan)
+    Seq(Round15Queries.bm25ChoicePath(lake),
+        DedupQueries.bandingChoicePath(lake),
+        UnigramQueries.vocabChoicePath(lake))
+      .foreach(p => rmrf(new java.io.File(p)))
+    val docs = Tables.documents(s, dir)
+    docs.filter(col("doc_id") % IngestMod =!= IngestRem)
+      .write.mode("overwrite").parquet(lakeDocs)
+
+    val counts = scala.collection.mutable.Map(
+      "bm25-params" -> 0L, "ivfpq-nprobe" -> 0L, "lsh-banding" -> 0L,
+      "unigram-vocab" -> 0L)
+    val idx = AnnQueries.prepareIvfPq(s, dir)
+    def ensureAll(): Unit = {
+      Round15Queries.ensureBm25ParamsChoice(s, lake, () => {
+        counts("bm25-params") += 1
+        Round15Queries.bm25SweepQuality(
+          Round15Queries.multiBm25Components(s, lake),
+          graft.plans.TopK.idRangeSafe(
+            Tables.documents(s, lake).select(col("doc_id")), "doc_id",
+            1L << 25))
+      })
+      Ann.ivfPqEnsureNprobeChoice(s, idx, AnnQueries.PqTopK,
+        AnnQueries.NprobeTarget, AnnQueries.NprobeSweep,
+        () => { counts("ivfpq-nprobe") += 1; AnnQueries.querySubset(s, dir) },
+        () => AnnQueries.emb(s, dir))
+      DedupQueries.ensureBandingChoice(s, lake, () => {
+        counts("lsh-banding") += 1
+        val (_, _, nExact, sweep) = DedupQueries.bandingMeasure(s, lake)
+        (nExact, sweep)
+      })
+      UnigramQueries.ensureVocabChoice(s, lake, () => {
+        counts("unigram-vocab") += 1
+        // trainUncached: the (session, dir) train cache must not leak
+        // a BASE-lake model into the post-ingest re-measure
+        graft.text.UnigramLm.trainUncached(s, lake)
+      })
+      ()
+    }
+    // 2. WARM-UP (uncounted): dials valid for the base lake state
+    ensureAll()
+    counts.keys.foreach(k => counts(k) = 0L)
+    val (baseRows, baseContent) = ChoiceStore.documentsStampCachedFor(s, lake)
+    val (bgr, bgc, bgf) = Ann.ivfPqGenerationStampCached(s, idx)
+    // 3. INGEST: append the held-out batch — new files only
+    docs.filter(col("doc_id") % IngestMod === IngestRem)
+      .write.mode("append").parquet(lakeDocs)
+    // 4. COUNTED ENSURE: exactly the stale dials re-measure
+    ensureAll()
+    val measuredIngest = counts.toMap
+    counts.keys.foreach(k => counts(k) = 0L)
+    // 5. CONVERGENCE: a second run re-measures nothing
+    ensureAll()
+    val measuredSecond = counts.toMap
+
+    val bm = Round15Queries.bm25ChoiceRead(s,
+      Round15Queries.bm25ChoicePath(lake)).getOrElse(
+      sys.error("q280: bm25 artifact vanished after ensure"))
+    val np = Ann.ivfPqChoiceRead(s, idx).getOrElse(
+      sys.error("q280: nprobe artifact vanished after ensure"))
+    val bd = DedupQueries.bandingChoiceRead(s,
+      DedupQueries.bandingChoicePath(lake)).getOrElse(
+      sys.error("q280: banding artifact vanished after ensure"))
+    val vc = UnigramQueries.vocabChoiceRead(s,
+      UnigramQueries.vocabChoicePath(lake)).getOrElse(
+      sys.error("q280: vocab artifact vanished after ensure"))
+    def staleOf(pr: Long, pc: Long, br: Long, bc: Long): Long =
+      if (pr == br && pc == bc) 0L else 1L
+    val rows = Seq(
+      ("bm25-params", 1L, baseRows, baseContent,
+        bm.docRows, bm.docContent, 0L,
+        staleOf(bm.docRows, bm.docContent, baseRows, baseContent),
+        measuredIngest("bm25-params"), measuredSecond("bm25-params"),
+        bm.k1Micro, bm.bMicro,
+        Round15Queries.bm25GridPoints.size.toLong),
+      ("ivfpq-nprobe", 0L, bgr, bgc,
+        np.genRows, np.genContent, np.genFiles,
+        staleOf(np.genRows, np.genContent, bgr, bgc),
+        measuredIngest("ivfpq-nprobe"), measuredSecond("ivfpq-nprobe"),
+        np.nprobe.toLong, np.targetMicro,
+        AnnQueries.NprobeSweep.size.toLong),
+      ("lsh-banding", 1L, baseRows, baseContent,
+        bd.docRows, bd.docContent, 0L,
+        staleOf(bd.docRows, bd.docContent, baseRows, baseContent),
+        measuredIngest("lsh-banding"), measuredSecond("lsh-banding"),
+        bd.bands.toLong, bd.rowsPerBand.toLong,
+        DedupQueries.SweepConfigs.size.toLong),
+      ("unigram-vocab", 1L, baseRows, baseContent,
+        vc.docRows, vc.docContent, 0L,
+        staleOf(vc.docRows, vc.docContent, baseRows, baseContent),
+        measuredIngest("unigram-vocab"), measuredSecond("unigram-vocab"),
+        vc.chosen.toLong, 0L,
+        graft.text.UnigramLm.VocabSweep.size.toLong))
+    import s.implicits._
+    rows.toDF("dial", "corpus_keyed", "base_rows", "base_content",
+      "post_rows", "post_content", "post_files", "stale_after_ingest",
+      "measured_on_ingest", "measured_second_run", "chosen_a", "chosen_b",
+      "n_sweep")
+  }
+
+  def q280CorpusIngestCycle(s: SparkSession, dir: String): DataFrame =
+    corpusIngestCycleCore(s, dir).orderBy(col("dial"))
+
+  /** The oracle replays the base stamp over the FILTERED corpus, the
+    * post stamp over the full corpus (lake ≡ documents after ingest),
+    * the live index stamp, the staleness verdicts as stamp
+    * comparisons, and all four chosen dials through the standard
+    * sweep chains (the q278 scoped-subquery convention); the observed
+    * measure counts gate as the composition's contract constants
+    * (1 for each corpus-keyed dial on ingest, 0 otherwise — the
+    * engine REPORTS observations, the oracle pins the contract). */
+  def q280SqlFor(sfDir: String): String = {
+    def indent(sql: String): String = sql.linesIterator.mkString("\n  ")
+    val idx = AnnQueries.ivfPqIndexPath(sfDir)
+    val dstampSub = ChoiceStore.documentsStampSql.linesIterator
+      .mkString("\n     ")
+    val bstampSub =
+      s"""SELECT CAST(count(*) AS BIGINT) AS base_rows,
+         |     CAST(coalesce(sum((doc_id * 31 + strlen(text)) % 1048576), 0)
+         |          AS BIGINT) AS base_content
+         |FROM documents WHERE doc_id % $IngestMod <> $IngestRem""".stripMargin
+    s"""SELECT a.dial, a.corpus_keyed, a.base_rows, a.base_content,
+       |       a.post_rows, a.post_content, a.post_files,
+       |       CASE WHEN a.post_rows = a.base_rows
+       |                 AND a.post_content = a.base_content
+       |            THEN CAST(0 AS BIGINT) ELSE CAST(1 AS BIGINT) END
+       |         AS stale_after_ingest,
+       |       a.corpus_keyed AS measured_on_ingest,
+       |       CAST(0 AS BIGINT) AS measured_second_run,
+       |       a.chosen_a, a.chosen_b, a.n_sweep
+       |FROM (
+       |  SELECT 'bm25-params' AS dial, CAST(1 AS BIGINT) AS corpus_keyed,
+       |         bs.base_rows, bs.base_content,
+       |         ds.doc_rows AS post_rows, ds.doc_content AS post_content,
+       |         CAST(0 AS BIGINT) AS post_files,
+       |         bm.k1_micro AS chosen_a, bm.b_micro AS chosen_b,
+       |         CAST(${Round15Queries.bm25GridPoints.size} AS BIGINT)
+       |           AS n_sweep
+       |  FROM (
+       |  ${indent(Round15Queries.bm25SweepCtes)}
+       |  SELECT CAST(k1_micro AS BIGINT) AS k1_micro,
+       |         CAST(b_micro AS BIGINT) AS b_micro FROM chosen) bm
+       |  CROSS JOIN ($dstampSub) ds CROSS JOIN ($bstampSub) bs
+       |  UNION ALL
+       |  SELECT 'ivfpq-nprobe' AS dial, CAST(0 AS BIGINT) AS corpus_keyed,
+       |         nb.gen_rows AS base_rows, nb.gen_content AS base_content,
+       |         nb.gen_rows AS post_rows, nb.gen_content AS post_content,
+       |         nb.gen_files AS post_files,
+       |         nb.np AS chosen_a,
+       |         CAST(${math.round(AnnQueries.NprobeTarget * 1e6)} AS BIGINT)
+       |           AS chosen_b,
+       |         CAST(${AnnQueries.NprobeSweep.size} AS BIGINT) AS n_sweep
+       |  FROM (
+       |  ${indent(AnnQueries.ivfPqSweepCtesSql(idx))},
+       |  recalls AS (
+       |    SELECT n.np,
+       |           coalesce(h.n_hits, 0) / nullif(CAST(t.n AS DOUBLE), 0)
+       |             AS rec
+       |    FROM nps n LEFT JOIN hits h ON h.np = n.np CROSS JOIN tot t),
+       |  chosen AS (
+       |    SELECT coalesce(
+       |      (SELECT min(np) FROM recalls
+       |       WHERE rec >= ${AnnQueries.NprobeTarget}),
+       |      (SELECT max(np) FROM recalls)) AS np),
+       |  ${indent(AnnQueries.stampCteSql(idx))}
+       |  SELECT CAST(c.np AS BIGINT) AS np,
+       |         st.gen_rows, st.gen_content, st.gen_files
+       |  FROM chosen c CROSS JOIN stamp st) nb
+       |  UNION ALL
+       |  SELECT 'lsh-banding' AS dial, CAST(1 AS BIGINT) AS corpus_keyed,
+       |         bs.base_rows, bs.base_content,
+       |         ds.doc_rows AS post_rows, ds.doc_content AS post_content,
+       |         CAST(0 AS BIGINT) AS post_files,
+       |         bd.bands AS chosen_a, bd.rows_per_band AS chosen_b,
+       |         CAST(${DedupQueries.SweepConfigs.size} AS BIGINT) AS n_sweep
+       |  FROM (
+       |  ${indent(DedupQueries.bandingChosenSql)}) bd
+       |  CROSS JOIN ($dstampSub) ds CROSS JOIN ($bstampSub) bs
+       |  UNION ALL
+       |  SELECT 'unigram-vocab' AS dial, CAST(1 AS BIGINT) AS corpus_keyed,
+       |         bs.base_rows, bs.base_content,
+       |         ds.doc_rows AS post_rows, ds.doc_content AS post_content,
+       |         CAST(0 AS BIGINT) AS post_files,
+       |         vc.vocab_size AS chosen_a, CAST(0 AS BIGINT) AS chosen_b,
+       |         CAST(${graft.text.UnigramLm.VocabSweep.size} AS BIGINT)
+       |           AS n_sweep
+       |  FROM (
+       |  ${indent(UnigramQueries.vocabSweepCtes)}
+       |  SELECT CAST(vocab_size AS BIGINT) AS vocab_size FROM chosenv) vc
+       |  CROSS JOIN ($dstampSub) ds CROSS JOIN ($bstampSub) bs
+       |) a
+       |ORDER BY a.dial""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q278_choice_staleness_audit" -> (q278ChoiceStalenessAudit _))
+    "q278_choice_staleness_audit" -> (q278ChoiceStalenessAudit _),
+    "q280_corpus_ingest_cycle" -> (q280CorpusIngestCycle _))
 
   def oraclesFor(sfDir: String): Map[String, String] = Map(
-    "q278_choice_staleness_audit" -> q278SqlFor(sfDir))
+    "q278_choice_staleness_audit" -> q278SqlFor(sfDir),
+    "q280_corpus_ingest_cycle" -> q280SqlFor(sfDir))
 }

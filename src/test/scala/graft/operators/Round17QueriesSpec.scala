@@ -84,4 +84,68 @@ class Round17QueriesSpec extends SparkTestBase {
     // restores it)
     UnigramQueries.prepareVocabChoice(spark, sf0001)
   }
+
+  test("q280 corpus-ingest cycle: ingest moves the corpus stamp, exactly the corpus-keyed dials re-measure once, and the lake converges") {
+    val out = Round17Queries.q280CorpusIngestCycle(spark, sf0001).collect()
+    assert(out.map(_.getString(0)).toSeq ===
+      Seq("bm25-params", "ivfpq-nprobe", "lsh-banding", "unigram-vocab"))
+    val byDial = out.map(r => r.getString(0) -> r).toMap
+    // the full-corpus stamp the lake must land on (append restores
+    // exactly the held-out rows — lake content ≡ documents)
+    val (fr, fc) = ChoiceStore.documentsStamp(
+      graft.Tables.documents(spark, sf0001)
+        .select(col("doc_id"), col("text")))
+    for (d <- Seq("bm25-params", "lsh-banding", "unigram-vocab")) {
+      val r = byDial(d)
+      assert(r.getAs[Long]("corpus_keyed") === 1L)
+      // the ingest made the dial stale (base ≠ post stamp, COMPUTED)
+      assert(r.getAs[Long]("stale_after_ingest") === 1L)
+      assert((r.getAs[Long]("base_rows"), r.getAs[Long]("base_content"))
+        !== ((r.getAs[Long]("post_rows"), r.getAs[Long]("post_content"))))
+      // exactly ONE re-measure on ingest, NONE on the second run —
+      // observed counts, not asserted constants
+      assert(r.getAs[Long]("measured_on_ingest") === 1L, d)
+      assert(r.getAs[Long]("measured_second_run") === 0L, d)
+      assert((r.getAs[Long]("post_rows"), r.getAs[Long]("post_content"))
+        === ((fr, fc)), s"$d: lake post-stamp ≡ full documents stamp")
+    }
+    // the index-keyed dial never went stale and never re-measured:
+    // a documents-side ingest touches NOTHING index-shaped
+    val np = byDial("ivfpq-nprobe")
+    assert(np.getAs[Long]("corpus_keyed") === 0L)
+    assert(np.getAs[Long]("stale_after_ingest") === 0L)
+    assert(np.getAs[Long]("measured_on_ingest") === 0L)
+    assert(np.getAs[Long]("measured_second_run") === 0L)
+    assert((np.getAs[Long]("base_rows"), np.getAs[Long]("base_content"))
+      === ((np.getAs[Long]("post_rows"), np.getAs[Long]("post_content"))))
+    // CONVERGENCE pinned independently with throwing thunks: after
+    // the cycle every lake artifact is warm for the full-lake state
+    val lake = Round17Queries.lakePath(sf0001)
+    Round15Queries.ensureBm25ParamsChoice(spark, lake,
+      () => sys.error("bm25 re-measured on a converged lake"))
+    DedupQueries.ensureBandingChoice(spark, lake,
+      () => sys.error("banding re-measured on a converged lake"))
+    UnigramQueries.ensureVocabChoice(spark, lake,
+      () => sys.error("vocab re-measured on a converged lake"))
+    // and the re-measured choices EQUAL the standard full-corpus
+    // choices (same rows ⇒ same sweep ⇒ same rule ⇒ same dial) — the
+    // equivalence the oracle's standard-chain replay relies on
+    Round15Queries.prepareBm25ParamsChoice(spark, sf0001)
+    DedupQueries.prepareBandingChoice(spark, sf0001)
+    UnigramQueries.prepareVocabChoice(spark, sf0001)
+    val bm = Round15Queries.bm25ChoiceRead(spark,
+      Round15Queries.bm25ChoicePath(sf0001)).get
+    val bd = DedupQueries.bandingChoiceRead(spark,
+      DedupQueries.bandingChoicePath(sf0001)).get
+    val vc = UnigramQueries.vocabChoiceRead(spark,
+      UnigramQueries.vocabChoicePath(sf0001)).get
+    assert((byDial("bm25-params").getAs[Long]("chosen_a"),
+      byDial("bm25-params").getAs[Long]("chosen_b"))
+      === ((bm.k1Micro, bm.bMicro)))
+    assert((byDial("lsh-banding").getAs[Long]("chosen_a"),
+      byDial("lsh-banding").getAs[Long]("chosen_b"))
+      === ((bd.bands.toLong, bd.rowsPerBand.toLong)))
+    assert(byDial("unigram-vocab").getAs[Long]("chosen_a")
+      === vc.chosen.toLong)
+  }
 }
