@@ -519,4 +519,85 @@ class PropertySpec extends SparkTestBase {
     intercept[IllegalArgumentException] {
       UnigramLm.chooseVocabSize(Seq((8, 0L, 0L)), 1000000L) }
   }
+
+  // -------------------------------------------- stamp arithmetic laws
+  /** The generation-stamp residue as plain Scala — the arithmetic both
+    * [[graft.ann.Ann.ivfPqGenerationStamp]] and its DuckDB replay
+    * compute per row. */
+  private def rowResidue(vecId: Long, cluster: Long,
+      codes: List[Long]): Long =
+    (vecId * 31L + cluster * 1009L +
+      codes.zipWithIndex.map { case (c, i) => c * (i + 1) }.sum) % 1048576L
+
+  private val assignGen: Gen[List[(Long, Long, List[Long])]] =
+    Gen.listOfN(80, for {
+      id <- Gen.chooseNum(0L, 1000000L)
+      cl <- Gen.chooseNum(0L, 15L)
+      codes <- Gen.listOfN(4, Gen.chooseNum(0L, 255L))
+    } yield (id, cl, codes))
+
+  test("generation-stamp residue laws: range bound, file decomposition, and verb sensitivity on random assignments") {
+    for (seed <- 1L to 40L) {
+      val rows = sample(assignGen, seed)
+      val residues = rows.map { case (id, cl, cs) => rowResidue(id, cl, cs) }
+      // RANGE BOUND (the documented 2^43-row overflow headroom): every
+      // per-row residue < 2^20, so the running long sum cannot
+      // overflow before ~2^43 rows — the safety margin the scaladoc
+      // claims, pinned generatively
+      assert(residues.forall(r => r >= 0L && r < 1048576L))
+      // FILE DECOMPOSITION (the StampSidecar theorem at the arithmetic
+      // level): for ANY partition of the rows into "files", the sum of
+      // per-file (count, residue-sum) partials equals the global fold
+      // — symmetric + associative, no ordering or grouping can move it
+      val total = (rows.size.toLong, residues.sum)
+      val k = 1 + (seed % 7).toInt
+      val grouped = rows.zipWithIndex.groupBy(_._2 % k).values.toList
+      val composed = grouped.map { g =>
+        (g.size.toLong,
+          g.map { case ((id, cl, cs), _) => rowResidue(id, cl, cs) }.sum)
+      }.foldLeft((0L, 0L)) { case ((r1, c1), (r2, c2)) => (r1 + r2, c1 + c2) }
+      assert(composed === total)
+      // VERB SENSITIVITY, generative: APPEND (any extra row) moves the
+      // rows component unconditionally; RETRAIN-shaped rewrites (same
+      // cardinality, one row's codes bumped at position p) move the
+      // content sum unless the residue collides mod 2^20 — and a
+      // +1 bump at position p moves the residue by exactly (p+1)
+      // mod 2^20, which for p+1 < 2^20 is NEVER zero: so a
+      // single-code ±1 drift is always detected
+      val (id0, cl0, cs0) = rows.head
+      val p = (seed % cs0.size).toInt
+      val bumped = cs0.updated(p, cs0(p) + 1L)
+      val delta = (rowResidue(id0, cl0, bumped) - rowResidue(id0, cl0, cs0)
+        + 1048576L) % 1048576L
+      assert(delta === (p + 1).toLong % 1048576L)
+      assert(delta !== 0L)
+    }
+  }
+
+  test("corpus-stamp residue laws: range bound and file decomposition on random documents") {
+    val docGen = Gen.listOfN(60, for {
+      id <- Gen.chooseNum(0L, 10000000L)
+      len <- Gen.chooseNum(0, 2000)
+    } yield (id, len))
+    for (seed <- 1L to 40L) {
+      val rows = sample(docGen, seed)
+      def res(id: Long, len: Int): Long = (id * 31L + len) % 1048576L
+      val residues = rows.map { case (id, len) => res(id, len) }
+      // the ChoiceStore scaladoc's 2^-20 collision bound rests on the
+      // residue living in [0, 2^20) — pinned generatively
+      assert(residues.forall(r => r >= 0L && r < 1048576L))
+      val total = (rows.size.toLong, residues.sum)
+      val k = 1 + (seed % 5).toInt
+      val composed = rows.zipWithIndex.groupBy(_._2 % k).values.toList
+        .map(g => (g.size.toLong,
+          g.map { case ((id, len), _) => res(id, len) }.sum))
+        .foldLeft((0L, 0L)) { case ((a, b), (c, d)) => (a + c, b + d) }
+      assert(composed === total)
+      // a byte-length edit of ±1 on one doc always moves its residue
+      // (the length-preserving-edit ESCAPE is exactly length-preserving
+      // — one byte of growth is already visible)
+      val (id0, len0) = rows.head
+      assert(res(id0, len0 + 1) !== res(id0, len0))
+    }
+  }
 }
