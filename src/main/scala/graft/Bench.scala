@@ -140,6 +140,7 @@ object Bench {
     "q266_unigram_vocab", "q267_unigram_segment", "q269_unigram_encode",
     "q270_unigram_decode", "q271_bm25_params_auto",
     "q272_nprobe_choice_persist", "q273_bm25_params_persist",
+    "q281_bm25_index_serve",
     "q275_vocab_size_auto", "q276_lifecycle_cycle",
     "q277_vocab_choice_persist", "q279_vocab_choice_encode")
 
@@ -311,6 +312,13 @@ object Bench {
     // serve (stamp pass + artifact read + the q244-class scoring)
     val bm25ChoiceReady = prep("q273_bm25_params_persist") {
       operators.Round15Queries.prepareBm25ParamsChoice(spark, sfDir) }
+    // the postings-index build is offline corpus maintenance (one
+    // tokenize+group pass per corpus state, amortized across every
+    // serve until the stamp moves); the timed q281 number is the
+    // partition-pruned artifact serve a deployment actually pays
+    val bm25IndexReady = prep("q281_bm25_index_serve") {
+      operators.Round15Queries.prepareBm25ParamsChoice(spark, sfDir)
+      operators.Round15Queries.prepareBm25Index(spark, sfDir) }
     // and for the tokenizer dial: training + the prune-ladder sweep are
     // offline corpus maintenance; the timed number is the warm serve
     // (stamp pass + artifact read + the q267-class segmentation)
@@ -362,6 +370,7 @@ object Bench {
       .filter(name => cycleReady || name != "q276_lifecycle_cycle")
       .filter(name => choiceReady || name != "q272_nprobe_choice_persist")
       .filter(name => bm25ChoiceReady || name != "q273_bm25_params_persist")
+      .filter(name => bm25IndexReady || name != "q281_bm25_index_serve")
       .filter(name => vocabChoiceReady || name != "q277_vocab_choice_persist")
       .filter(name => vocabEncodeReady || name != "q279_vocab_choice_encode")
       .filter(name => bucketsReady || name != "q69_bucketed_join")

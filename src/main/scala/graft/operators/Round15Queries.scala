@@ -803,6 +803,184 @@ object Round15Queries {
        |FROM stopk CROSS JOIN dstamp ds WHERE pos <= $MultiBm25K
        |ORDER BY query_id, rk""".stripMargin
 
+  // ---------------------------------------------------------------- q281
+  /** PERSISTED RETRIEVAL INDEX — the q216 note made real, and the
+    * persistence arc extended from TUNING artifacts (q272/q273/q277:
+    * the dials) to the SERVING artifact itself. Every warm BM25 serve
+    * so far still re-tokenized the corpus and rebuilt postings/dl/
+    * stats per call (measured: the tokenize+group dominates q273's
+    * warm serve — 8.0/22.4/65.9 s at 1×/10×/30×); a deployment builds
+    * the inverted index ONCE per corpus state and serves from it.
+    * This artifact is exactly that:
+    *
+    *   - `postings/` — (doc_id, term, tf) PARTITIONED BY `pt` =
+    *     pmod(hash(term), [[Bm25IndexBuckets]]): a query batch reads
+    *     only the buckets containing its terms — PARTITION-PRUNED
+    *     postings slices, the IVF inverted-list discipline applied to
+    *     text retrieval (PlanSpec locks the PartitionFilters).
+    *   - `dl/`, `stats/`, `df/` — doc lengths, the 1-row corpus
+    *     stats, per-term document frequencies (vocabulary-sized).
+    *   - `meta/` — the corpus stamp the artifact is valid FOR, written
+    *     LAST (the q277 torn-write ordering: a torn build never
+    *     presents as warm).
+    *
+    * Staleness is the [[ChoiceStore.documentsStampCachedFor]]
+    * discipline: warm = sidecar stamp + tiny meta read, the build
+    * thunk NEVER forced (Round15QueriesSpec proves it with a throwing
+    * thunk); any corpus move rebuilds once. The serve reads ONLY
+    * artifact files — zero tokenization, zero corpus text scan — and
+    * flows through the SAME componentsOf → single-point fold → rank
+    * dispatch the recompute path uses, so served rows are
+    * BIT-IDENTICAL to q273's (the oracle is the q273 replay verbatim:
+    * an index that dropped, duplicated, or mis-bucketed one posting
+    * hash-mismatches).
+    *
+    * 100 TB shape: build cost = one tokenize+group pass per corpus
+    * state, amortized across every serve until the stamp moves (the
+    * ingest path rebuilds; a production deployment appends postings
+    * the q251 way — same discipline, not built here); serve cost =
+    * postings buckets ∩ query terms + vocabulary/doc-length side
+    * tables, independent of corpus TEXT volume.
+    */
+  val Bm25IndexBuckets = 32
+
+  final case class Bm25Index(docRows: Long, docContent: Long,
+      nBuckets: Int)
+
+  private[graft] def bm25IndexPath(sfDir: String): String =
+    new java.io.File(
+      s"target/indexes/bm25/${PathTag.tagFor(sfDir)}").getAbsolutePath
+
+  private[graft] def bm25IndexWrite(s: SparkSession, dir: String,
+      docRows: Long, docContent: Long): Unit = {
+    val path = bm25IndexPath(dir)
+    val docs = Tables.documents(s, dir)
+      .select(col("doc_id"), TextPrep.tokensCol(col("text")).as("toks"))
+    val dl = docs
+      .select(col("doc_id"), size(col("toks")).cast("long").as("dl"))
+      .localCheckpoint() // ONE tokenize pass feeds dl, stats, postings
+    val alltf = docs
+      .select(col("doc_id"), explode(col("toks")).as("term"))
+      .groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+      .localCheckpoint()
+    alltf
+      .withColumn("pt", pmod(hash(col("term")), lit(Bm25IndexBuckets)))
+      .write.mode("overwrite").partitionBy("pt")
+      .parquet(s"$path/postings")
+    dl.write.mode("overwrite").parquet(s"$path/dl")
+    dl.agg(count(lit(1)).as("n_docs"),
+        (sum(col("dl")) / count(lit(1))).as("avgdl"))
+      .write.mode("overwrite").parquet(s"$path/stats")
+    alltf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+      .write.mode("overwrite").parquet(s"$path/df")
+    // stamp-bearing meta LAST: a torn build never presents as warm
+    import s.implicits._
+    Seq((docRows, docContent, Bm25IndexBuckets))
+      .toDF("doc_rows", "doc_content", "n_buckets")
+      .repartition(1).write.mode("overwrite").parquet(s"$path/meta")
+  }
+
+  /** Read the index meta, if any — missing/torn degrades to None (the
+    * choice-reader contract). */
+  private[graft] def bm25IndexRead(s: SparkSession,
+      path: String): Option[Bm25Index] = {
+    val p = new org.apache.hadoop.fs.Path(s"$path/meta")
+    val fs = p.getFileSystem(s.sessionState.newHadoopConf())
+    if (!fs.exists(p)) None
+    else scala.util.Try {
+      val rows = s.read.parquet(s"$path/meta").collect()
+      rows.headOption.map(r => Bm25Index(r.getAs[Long]("doc_rows"),
+        r.getAs[Long]("doc_content"), r.getAs[Int]("n_buckets")))
+    }.toOption.flatten
+  }
+
+  /** Ensure a valid persisted index for the current corpus stamp;
+    * `build` is call-by-need so the warm path provably never
+    * tokenizes (the q272 thunk law). */
+  private[graft] def ensureBm25Index(s: SparkSession, dir: String,
+      build: (Long, Long) => Unit): Bm25Index = {
+    val (dr, dc) = ChoiceStore.documentsStampCachedFor(s, dir)
+    bm25IndexRead(s, bm25IndexPath(dir)).filter(m =>
+        m.docRows == dr && m.docContent == dc &&
+          m.nBuckets == Bm25IndexBuckets)
+      .getOrElse {
+        build(dr, dc)
+        bm25IndexRead(s, bm25IndexPath(dir)).getOrElse(
+          sys.error("ensureBm25Index: artifact unreadable after build"))
+      }
+  }
+
+  /** Bench-prep surface: the build is offline corpus maintenance (the
+    * prepareIvfPq convention); the timed number is the artifact
+    * serve. */
+  def prepareBm25Index(s: SparkSession, dir: String): Unit = {
+    ensureBm25Index(s, dir, (dr, dc) => bm25IndexWrite(s, dir, dr, dc))
+    ()
+  }
+
+  /** Serve a query batch from the PERSISTED index at a fixed dial —
+    * [[bm25ServeQueriesAtDial]]'s artifact-only twin: every input is
+    * an index file (postings buckets partition-pruned to the batch's
+    * terms; df semi-joined to them; dl + the 1-row stats), the scoring
+    * tail is the shared componentsOf → fold-at-point → rank dispatch,
+    * so artifact-served rows ≡ recompute-served rows exactly. */
+  private[graft] def bm25ServeQueriesFromIndex(s: SparkSession,
+      idxPath: String, qterms: DataFrame, k1Micro: Long,
+      bMicro: Long): DataFrame = {
+    val terms = qterms.select(col("term")).distinct().localCheckpoint()
+    // bucket set of the batch's terms: ≤ Bm25IndexBuckets rows — the
+    // bounded-collect class; isin over the partition column is what
+    // prunes the postings scan
+    val buckets = terms
+      .select(pmod(hash(col("term")), lit(Bm25IndexBuckets)).as("pt"))
+      .distinct().collect().map(_.getInt(0)).toSeq
+    val postings = s.read.parquet(s"$idxPath/postings")
+      .filter(col("pt").isin(buckets: _*))
+    val dl = s.read.parquet(s"$idxPath/dl")
+    val stats = s.read.parquet(s"$idxPath/stats")
+    val dfTab = s.read.parquet(s"$idxPath/df")
+      .join(broadcast(terms), Seq("term"), "left_semi")
+    val tfq = postings.join(broadcast(qterms), Seq("term"))
+      .select(col("doc_id"), col("term"), col("tf"), col("query_id"))
+    val heapSafe = graft.plans.TopK.idRangeSafe(
+      dl.select(col("doc_id")), "doc_id", 1L << 25)
+    rankMultiBm25Dispatch(
+        scoreComponentsAtGrid(componentsOf(tfq, dl, dfTab, stats),
+            Seq((k1Micro, bMicro)))
+          .drop("k1_micro", "b_micro"),
+        heapSafe, MultiBm25K)
+      .select(lit(k1Micro).as("k1_micro"), lit(bMicro).as("b_micro"),
+        col("query_id"), col("doc_id"), col("bm25"), col("n_terms_hit"),
+        col("rk"))
+  }
+
+  def q281Bm25IndexServe(s: SparkSession, dir: String): DataFrame = {
+    // dial from the persisted choice, postings from the persisted
+    // index — the fully-amortized serving path: zero sweeps, zero
+    // tokenization, partition-pruned postings reads
+    prepareBm25ParamsChoice(s, dir)
+    val c = bm25ChoiceRead(s, bm25ChoicePath(dir)).getOrElse(
+      sys.error("q281: choice artifact vanished after ensure"))
+    val m = ensureBm25Index(s, dir,
+      (dr, dc) => bm25IndexWrite(s, dir, dr, dc))
+    val idxPath = bm25IndexPath(dir)
+    // the q273 workload, derived from the ARTIFACT's df table (equal
+    // to the corpus-derived synthesis while the artifact is fresh —
+    // which the stamp guarantees)
+    val qt = multiBm25QueryTableFrom(s.read.parquet(s"$idxPath/df"))
+    bm25ServeQueriesFromIndex(s, idxPath, qt, c.k1Micro, c.bMicro)
+      .withColumn("doc_rows", lit(m.docRows))
+      .withColumn("doc_content", lit(m.docContent))
+      .orderBy(col("query_id"), col("rk"))
+  }
+
+  /** The oracle is q273's replay VERBATIM — artifact-served rows must
+    * hash-equal the from-the-documents recompute, so an index that
+    * dropped, duplicated, or mis-bucketed one posting (or served a
+    * stale corpus state) mismatches. */
+  val q281Sql: String = q273Sql
+
   // ---------------------------------------------------------------- q246
   /** q226 through plain SQL — the `/*+ BM25('term', ..., k) */` hint
     * ([[graft.plans.Bm25HintRule]]) over a token view: proof the
@@ -887,7 +1065,8 @@ object Round15Queries {
     "q248_multi_query_ndcg" -> (q248MultiQueryNdcg _),
     "q253_sql_multi_bm25" -> (q253SqlMultiBm25 _),
     "q271_bm25_params_auto" -> (q271Bm25ParamsAuto _),
-    "q273_bm25_params_persist" -> (q273Bm25ParamsPersist _))
+    "q273_bm25_params_persist" -> (q273Bm25ParamsPersist _),
+    "q281_bm25_index_serve" -> (q281Bm25IndexServe _))
 
   val oracles: Map[String, String] = Map(
     "q244_multi_bm25" -> q244Sql,
@@ -897,5 +1076,6 @@ object Round15Queries {
     // so the oracle is shared (the q225/q211 convention)
     "q253_sql_multi_bm25" -> q244Sql,
     "q271_bm25_params_auto" -> q271Sql,
-    "q273_bm25_params_persist" -> q273Sql)
+    "q273_bm25_params_persist" -> q273Sql,
+    "q281_bm25_index_serve" -> q281Sql)
 }

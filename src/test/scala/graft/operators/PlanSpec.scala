@@ -967,7 +967,8 @@ class PlanSpec extends SparkTestBase {
       "q270_unigram_decode" -> "the q269 id assignment plus its REVERSE (id → piece) — both windows ride the model's used-piece table (|vocab| rows under the MaxSeedPieces cap); the corpus only crosses the word-keyed broadcast join and the doc_id-keyed reassembly, the q167 decode shape",
       "q271_bm25_params_auto" -> "the q244 query-synthesis windows (LIMIT-300 term table, LIMIT-150 pair table — TakeOrderedAndProject feeds both); sweep DCG, ideal IDCG, and the served ranking are all per-key heaps + key-partitioned ≤k windows, never an unpartitioned rank over the grid-scored stream",
       "q275_vocab_size_auto" -> "the prune ladder's multi-piece quota rank rides the trained piece-count table — |seed support| rows under the MaxSeedPieces cap (the q266 class); the corpus is touched only by the word-count pass, localCheckpointed away, and the fertility sweep collects one scalar pair per swept size before the served plan exists",
-      "q279_vocab_choice_encode" -> "the piece-id rank rides the persisted vocabulary's score table — ≤ the chosen vocab size (≤64) rows read from the choices/unigram-vocab artifact, the q126/q269 id-assignment class; corpus rows never enter a window (the encode is the q269 shape: word-keyed join + doc-keyed reassembly)")
+      "q279_vocab_choice_encode" -> "the piece-id rank rides the persisted vocabulary's score table — ≤ the chosen vocab size (≤64) rows read from the choices/unigram-vocab artifact, the q126/q269 id-assignment class; corpus rows never enter a window (the encode is the q269 shape: word-keyed join + doc-keyed reassembly)",
+      "q281_bm25_index_serve" -> "the q244 query-synthesis windows rerun over the ARTIFACT's vocabulary-sized df table (LIMIT-300 term table, LIMIT-150 pair table — TakeOrderedAndProject feeds both); scoring rides partition-pruned postings buckets and ranks via per-key heaps, never an unpartitioned window over the scored stream")
     val offenders = graft.SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
       case (name, fn) =>
         val ws = try unpartitionedWindows(fn(spark, sf0001)) catch {
@@ -980,6 +981,33 @@ class PlanSpec extends SparkTestBase {
       s"unpartitioned Window in gated plans (single-task rank at scale): " +
         s"${unexpected.mkString(", ")} — use RelationalOps.globalRank or " +
         "justify a bounded input in the allowlist")
+  }
+
+  test("q281: postings scan is partition-pruned to the query terms' buckets; ranks via per-key heaps") {
+    Round15Queries.prepareBm25ParamsChoice(spark, sf0001)
+    Round15Queries.prepareBm25Index(spark, sf0001)
+    val df = Round15Queries.q281Bm25IndexServe(spark, sf0001)
+    val p = formatted(df)
+    // the postings read must carry a real PartitionFilter on the
+    // term-hash bucket column — the serve reads SLICES of the index,
+    // never the whole postings table (the IVF inverted-list lock
+    // applied to text retrieval)
+    val pf = p.linesIterator.filter(_.contains("PartitionFilters"))
+      .mkString("\n")
+    assert(pf.contains("pt"),
+      s"postings scan must be partition-pruned on pt:\n$pf")
+    // ranking is the bounded-heap operator, as in q244/q273
+    assert(df.queryExecution.optimizedPlan.collect {
+      case t: graft.plans.TopKPerKey => t
+    }.nonEmpty, "q281 must rank via TopKPerKeyExec")
+    // the query side broadcasts; the ONLY nested-loop shape is the
+    // 1-row stats denormalization (crossJoin(broadcast(stats)) — the
+    // same shape q244/q273 carry); no cartesian anywhere
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    // tree-form lines only — the detail section repeats node names
+    val bnlj = p.linesIterator.count(_.contains("- BroadcastNestedLoopJoin"))
+    assert(bnlj <= 1, s"only the 1-row stats cross join may nest:\n$p")
   }
 
   test("q244: multi-query BM25 ranks via per-key heaps; query side broadcast; no pair sort") {
@@ -1080,7 +1108,8 @@ class PlanSpec extends SparkTestBase {
       "q270_unigram_decode" -> "broadcast sides are the reversed vocab-id table and the decoded-word artifact — both over the model's used pieces / trained words (MaxSeedPieces- and vocabulary-capped, the q269/q167 contract); the model's localCheckpoint hides the aggregates from the shape rule",
       "q271_bm25_params_auto" -> "same LIMIT-150 query-table broadcast as q244 inside the component build (usually hidden behind the component checkpoint); the grid is a literal array (no join at all), the sweep collects 12 rows, and the served plan re-ranks the chosen slice of the fold over the checkpointed components",
       "q275_vocab_size_auto" -> "broadcast sides are the chosen pruned vocabulary's renormalized score table and its 1-row total (both ⊆ the MaxSeedPieces-capped seed support — the q269 broadcast-vocab contract); the fertility sweep reduces each ladder point to one scalar pair before the served plan exists",
-      "q276_lifecycle_cycle" -> "serves q263's probe shape at the measured dial over the REFRESHED generation (|Q|·nprobe probe rows + |Q|-row LUT, the same k-bounded window filter); the lifecycle verbs — audit, retrain/compact, re-audit, tuning sweep — run inside the operator before the served plan exists, and every tombstone side is capacity-gated via BoundedBroadcast (the q254/q265 pattern)")
+      "q276_lifecycle_cycle" -> "serves q263's probe shape at the measured dial over the REFRESHED generation (|Q|·nprobe probe rows + |Q|-row LUT, the same k-bounded window filter); the lifecycle verbs — audit, retrain/compact, re-audit, tuning sweep — run inside the operator before the served plan exists, and every tombstone side is capacity-gated via BoundedBroadcast (the q254/q265 pattern)",
+      "q281_bm25_index_serve" -> "the two hinted sides are the LIMIT-150 query-table synthesis (the q244 contract, rebuilt over the artifact's vocabulary-sized df table) and its distinct-terms projection (≤ |Q|·2 rows) — both localCheckpointed, which hides the limits from the shape rule; the df/dl/stats sides are artifact scans the path rule already accepts, and the postings side is never broadcast (it is the partition-pruned probe side)")
     val offenders = graft.SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
       case (name, fn) =>
         val unbounded = try hintedSides(fn(spark, sf0001)).filterNot(bounded) catch {

@@ -296,4 +296,62 @@ class Round15QueriesSpec extends SparkTestBase {
     assert(safePlan.collect {
       case t: graft.plans.TopKPerKey => t }.nonEmpty)
   }
+
+  test("q281 persisted index: artifact serve ≡ recompute serve bit-for-bit; warm zero-build; stale stamp and torn meta rebuild") {
+    import org.apache.spark.sql.functions.col
+    Round15Queries.prepareBm25ParamsChoice(spark, sf0001)
+    Round15Queries.prepareBm25Index(spark, sf0001)
+    // ARTIFACT ≡ RECOMPUTE, the q281 contract: index-served rows are
+    // bit-identical to q273's from-the-documents recompute (same
+    // columns, same dial, same stamp)
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect().map(r =>
+      (r.getAs[Long]("k1_micro"), r.getAs[Long]("b_micro"),
+        r.getAs[Long]("query_id"), r.getAs[Long]("doc_id"),
+        r.getAs[Double]("bm25"), r.getAs[Long]("n_terms_hit"),
+        r.getAs[Long]("rk"), r.getAs[Long]("doc_rows"),
+        r.getAs[Long]("doc_content"))).toSeq
+    val served = rows(Round15Queries.q281Bm25IndexServe(spark, sf0001))
+    val recomputed = rows(Round15Queries.q273Bm25ParamsPersist(spark, sf0001))
+    assert(served === recomputed)
+    // WARM ZERO-BUILD: the thunk law — a warm index never tokenizes
+    val m = Round15Queries.ensureBm25Index(spark, sf0001,
+      (_, _) => sys.error("warm index rebuilt: build thunk forced"))
+    // STALE STAMP: a meta carrying another corpus state must rebuild
+    import spark.implicits._
+    val path = Round15Queries.bm25IndexPath(sf0001)
+    Seq((m.docRows + 1L, m.docContent, Round15Queries.Bm25IndexBuckets))
+      .toDF("doc_rows", "doc_content", "n_buckets")
+      .repartition(1).write.mode("overwrite").parquet(s"$path/meta")
+    var built = 0
+    Round15Queries.ensureBm25Index(spark, sf0001, (dr, dc) => {
+      built += 1; Round15Queries.bm25IndexWrite(spark, sf0001, dr, dc) })
+    assert(built === 1, "a stale stamp must rebuild the index")
+    // ...and the rebuild restored the serve
+    assert(rows(Round15Queries.q281Bm25IndexServe(spark, sf0001))
+      === recomputed)
+    // TORN META (dir present, no readable footer): degrades to cold
+    val metaDir = new java.io.File(s"$path/meta")
+    metaDir.listFiles().foreach(_.delete())
+    java.nio.file.Files.write(
+      new java.io.File(metaDir, "part-00000.parquet").toPath,
+      "not a parquet file".getBytes("UTF-8"))
+    assert(Round15Queries.bm25IndexRead(spark, path) === None)
+    built = 0
+    Round15Queries.ensureBm25Index(spark, sf0001, (dr, dc) => {
+      built += 1; Round15Queries.bm25IndexWrite(spark, sf0001, dr, dc) })
+    assert(built === 1, "a torn meta must rebuild, never throw forever")
+    // an arbitrary SUB-batch serves identically through both paths
+    // (the streaming whole-query contract at the index layer)
+    val qt = Round15Queries.multiBm25QueryTable(spark, sf0001)
+      .filter(col("query_id") % 5 === 2)
+    val c = Round15Queries.bm25ChoiceRead(spark,
+      Round15Queries.bm25ChoicePath(sf0001)).get
+    val viaIdx = Round15Queries.bm25ServeQueriesFromIndex(spark, path,
+        qt, c.k1Micro, c.bMicro)
+      .collect().map(_.toSeq).toSet
+    val viaCorpus = Round15Queries.bm25ServeQueriesAtDial(spark, sf0001,
+        qt, c.k1Micro, c.bMicro)
+      .collect().map(_.toSeq).toSet
+    assert(viaIdx === viaCorpus)
+  }
 }
