@@ -129,10 +129,12 @@ object Round15Queries {
     * across batches would rank its fragments separately.
     *
     * 100 TB shape: per batch this rebuilds corpus stats from the
-    * documents table (correct, and honest about cost); a production
-    * deployment persists the inverted index + (dl, stats) as q216-
-    * style artifacts and this body reads them — the query-side
-    * broadcasts and the rank dispatch are unchanged by that swap. */
+    * documents table — the recompute REFERENCE the artifact path is
+    * held equal to. Production serving (and the streaming twin,
+    * [[graft.streaming.StreamingOps.streamingBm25Rank]]) goes through
+    * [[bm25ServeQueriesFromIndex]] over the persisted q281 postings
+    * artifact instead — same query-side broadcasts and rank dispatch,
+    * corpus text never read (the measured 3.1× marginal-serve win). */
   private[graft] def bm25ServeQueriesAtDial(s: SparkSession, dir: String,
       qterms: DataFrame, k1Micro: Long, bMicro: Long): DataFrame = {
     val (tfq, dl, dfTab, stats) =

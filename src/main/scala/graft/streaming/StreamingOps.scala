@@ -967,6 +967,17 @@ object StreamingOps {
     * [[graft.operators.Round15Queries.prepareBm25ParamsChoice]]
     * (offline corpus maintenance) first.
     *
+    * Per-batch cost: the serve reads ONLY the persisted postings
+    * index (q281's artifact — buckets partition-pruned to the batch's
+    * terms, plus the vocabulary/doc-length side tables), never the
+    * corpus text: the measured 3.1×-at-30×-and-flattening marginal-
+    * serve bill (SCALE.md round-16 second batch), which is exactly
+    * the micro-batch shape. Both artifacts — the (k1, b) dial and the
+    * postings index — are read once at stream start and FROZEN for
+    * the stream's lifetime (the frozen-vocab-scores discipline);
+    * staleness policy belongs to the offline maintenance job (q278
+    * audits it, prepare* refreshes it), never to the serving stream.
+    *
     * Batch contract: a query's terms must arrive within ONE
     * micro-batch (per-query rows are independent across batches, so
     * any whole-query split unions to the one-batch result —
@@ -981,10 +992,15 @@ object StreamingOps {
       sys.error("streamingBm25Rank: no persisted (k1, b) artifact for " +
         s"$dir — run prepareBm25ParamsChoice first (a stream never " +
         "pays a cold sweep mid-flight)"))
+    val idx = graft.operators.Round15Queries.bm25IndexPath(dir)
+    if (graft.operators.Round15Queries.bm25IndexRead(s, idx).isEmpty)
+      sys.error("streamingBm25Rank: no persisted postings index for " +
+        s"$dir — run prepareBm25Index first (a stream never pays a " +
+        "corpus tokenize, cold or per-batch)")
     queries.writeStream.outputMode("append")
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        emit(graft.operators.Round15Queries.bm25ServeQueriesAtDial(
-          s, dir, batch, c.k1Micro, c.bMicro))
+        emit(graft.operators.Round15Queries.bm25ServeQueriesFromIndex(
+          s, idx, batch, c.k1Micro, c.bMicro))
       }
       .start()
   }

@@ -1271,9 +1271,12 @@ class StreamingOpsSpec extends SparkTestBase {
 
   test("streamingBm25Rank serves micro-batches at the persisted dial: stream ≡ batch q273 across uneven whole-query splits") {
     import graft.operators.Round15Queries
-    // the dial artifact must pre-exist (offline corpus maintenance);
-    // the stream reads it once and freezes it
+    // BOTH artifacts must pre-exist (offline corpus maintenance) —
+    // the dial AND the postings index; the stream reads them once at
+    // start and freezes them, and every micro-batch serve is
+    // artifact-only (partition-pruned postings, never a tokenize)
     Round15Queries.prepareBm25ParamsChoice(spark, sf0001)
+    Round15Queries.prepareBm25Index(spark, sf0001)
     val c = Round15Queries.bm25ChoiceRead(spark,
       Round15Queries.bm25ChoicePath(sf0001)).get
     // the q273 workload as explicit (query_id, term) rows, split into
