@@ -65,14 +65,20 @@ object ChoiceStore {
     (rows, content)
   }
 
+  /** Where `dir`'s per-file corpus-stamp sidecar lives — keyed by the
+    * dir tag under the engine-owned choice tree (never beside the
+    * read-only inputs). Public so index maintenance can snapshot the
+    * per-file partials it holds (the q282 ledger). */
+  def docStampSidecarFor(dir: String): String =
+    new java.io.File(
+      s"target/choices/doc-stamp/${PathTag.tagFor(dir)}.tsv")
+      .getAbsolutePath
+
   /** The standard-layout form: stamp `dir`'s documents table with the
-    * sidecar keyed by the dir tag under the engine-owned choice tree
-    * (never beside the read-only inputs). */
+    * sidecar at [[docStampSidecarFor]]. */
   def documentsStampCachedFor(s: SparkSession, dir: String): (Long, Long) =
     documentsStampCached(s, s"$dir/documents.parquet",
-      new java.io.File(
-        s"target/choices/doc-stamp/${PathTag.tagFor(dir)}.tsv")
-        .getAbsolutePath)
+      docStampSidecarFor(dir))
 
   /** The stamp replay as a DuckDB CTE body over the registered
     * `documents` view (strlen = bytes, matching octet_length;

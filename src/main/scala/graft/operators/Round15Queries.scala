@@ -915,10 +915,213 @@ object Round15Queries {
 
   /** Bench-prep surface: the build is offline corpus maintenance (the
     * prepareIvfPq convention); the timed number is the artifact
-    * serve. */
+    * serve. Routes through the INCREMENTAL ensure (q282): a corpus
+    * that grew by appended files since the last build pays only a
+    * batch-sized append, never a full re-tokenize. */
   def prepareBm25Index(s: SparkSession, dir: String): Unit = {
-    ensureBm25Index(s, dir, (dr, dc) => bm25IndexWrite(s, dir, dr, dc))
+    ensureBm25IndexIncremental(s, dir)
     ()
+  }
+
+  // ---------------------------------------------------------------- q282
+  /** INCREMENTAL postings maintenance — the append verb the q281
+    * scaladoc promised ("a production deployment appends postings the
+    * q251 way"). A corpus ingest at 100 TB must NOT re-tokenize the
+    * lake to refresh the serving index: new documents arrive as NEW
+    * parquet files (the append discipline every lifecycle verb obeys —
+    * files are immutable, ingest creates them), so the index can be
+    * brought current by tokenizing ONLY the new files and merging
+    * their contributions:
+    *
+    *   - `postings/` — batch (doc_id, term, tf) rows appended into the
+    *     existing `pt` hash-bucket partitions (mode-append: new files
+    *     inside the partition dirs, existing files untouched).
+    *   - `dl/`      — batch doc lengths appended.
+    *   - `stats/`   — re-derived from the FULL dl artifact: count and
+    *     sum(long) are order-free exact, so the recomputed (n_docs,
+    *     avgdl) is BIT-IDENTICAL to a from-scratch build's. The dl
+    *     table is one row per doc (no text) — corpus-ROWS scale, not
+    *     corpus-bytes scale.
+    *   - `df/`      — old df ∪ batch df, summed per term: appended
+    *     doc_ids are disjoint from indexed ones (new files ∩ ledger =
+    *     ∅), so integer counts add exactly. Vocabulary-scale.
+    *   - `ledger.tsv` (FIRST) + `meta/` (LAST) — see below.
+    *
+    * Append ≡ rebuild holds bit-for-bit (Round15QueriesSpec): every
+    * artifact table is set-equal to a from-scratch build over the
+    * grown corpus, so the serve is too.
+    *
+    * APPEND-OR-REBUILD is decided from file METADATA alone
+    * ([[indexMaintenancePlan]], a pure function): the index persists a
+    * LEDGER of per-file stamp partials (path, len, mtime, rows,
+    * content-residue — snapshotted from the corpus stamp sidecar, so
+    * the ledger costs zero extra scans). Append applies iff
+    *   (a) Σ ledger partials == the meta stamp (ledger and meta
+    *       describe the SAME indexed state — a ledger written ahead of
+    *       a crashed append/rebuild fails this and forces a rebuild,
+    *       so a partial append can never be appended onto), and
+    *   (b) every ledger file is still present with its recorded
+    *       (len, mtime) (the [[graft.io.StampSidecar]] trust boundary:
+    *       parquet files are immutable; an edit/remove forces a
+    *       rebuild), and
+    *   (c) at least one never-seen file exists (the batch).
+    * Crash ordering: ledger FIRST, meta LAST — a crash anywhere
+    * between leaves Σ ledger ≠ meta stamp, which rule (a) resolves to
+    * a clean rebuild (mode-overwrite clears any partial rows). The
+    * matrix is spec-pinned on synthetic metadata.
+    */
+  sealed trait IndexPlan
+  case object RebuildAll extends IndexPlan
+  final case class AppendFiles(newFiles: Seq[String]) extends IndexPlan
+
+  private[graft] def indexLedgerPath(idxPath: String): String =
+    s"$idxPath/ledger.tsv"
+
+  private[graft] def ledgerRead(s: SparkSession,
+      idxPath: String): Seq[graft.io.StampSidecar.FileStamp] =
+    graft.io.StampSidecar.read(s, indexLedgerPath(idxPath)).values.toSeq
+
+  /** Pure append-or-rebuild decision over file metadata alone — no
+    * Spark, no I/O, so the crash matrix is unit-testable. `current`
+    * is the live (path, len, mtime) listing of the corpus data files;
+    * `meta` the index meta if readable. */
+  private[graft] def indexMaintenancePlan(
+      ledger: Seq[graft.io.StampSidecar.FileStamp],
+      current: Seq[(String, Long, Long)],
+      meta: Option[Bm25Index]): IndexPlan = meta match {
+    case None => RebuildAll
+    case Some(m) if m.nBuckets != Bm25IndexBuckets => RebuildAll
+    case Some(m) =>
+      // rule (a): ledger and meta must describe the same indexed state
+      if (ledger.isEmpty || ledger.map(_.rows).sum != m.docRows ||
+          ledger.map(_.content).sum != m.docContent) RebuildAll
+      else {
+        val cur = current.map(f => f._1 -> f).toMap
+        val intact = ledger.forall(e => cur.get(e.path)
+          .exists(c => c._2 == e.len && c._3 == e.mtime))
+        val seen = ledger.map(_.path).toSet
+        val newFiles =
+          current.collect { case (p, _, _) if !seen.contains(p) => p }
+        if (intact && newFiles.nonEmpty) AppendFiles(newFiles)
+        else RebuildAll
+      }
+  }
+
+  /** Tokenize ONLY `newFiles` and merge their contributions into the
+    * index at `idxPath` — the caller (the incremental ensure) has
+    * already proven via [[indexMaintenancePlan]] that these files are
+    * disjoint from every indexed one. Meta (the warm gate) is written
+    * LAST. */
+  private[graft] def bm25IndexAppend(s: SparkSession, idxPath: String,
+      newFiles: Seq[String], docRows: Long, docContent: Long): Unit =
+    bm25IndexAppendDocs(s, idxPath, s.read.parquet(newFiles: _*),
+      docRows, docContent)
+
+  /** Append ONE micro-batch of documents (doc_id, text) into the index
+    * — the streaming-ingest entry: meta advances EXACTLY by the
+    * batch's stamp contribution (plain long sums — the same arithmetic
+    * the corpus stamp folds, so N streamed batches land on the
+    * identical meta a one-shot build over the union would). Contract
+    * (shared with the file path): batch doc_ids are disjoint from
+    * indexed ones. The file LEDGER is deliberately not touched — it
+    * amortizes FILE-shaped ingests only; an index maintained by stream
+    * presents to a later file-ensure as ledger↔meta-mismatched, which
+    * resolves to a safe full rebuild (a deployment picks one ingestion
+    * style per index). */
+  private[graft] def bm25IndexAppendBatch(s: SparkSession, idxPath: String,
+      batch: DataFrame): Unit = {
+    val m = bm25IndexRead(s, idxPath).getOrElse(sys.error(
+      s"bm25IndexAppendBatch: no readable index at $idxPath — build " +
+        "offline first (a stream never pays a corpus tokenize)"))
+    val b = batch.select(col("doc_id"), col("text")).localCheckpoint()
+    val (br, bc) = ChoiceStore.documentsStamp(b)
+    if (br > 0L)
+      bm25IndexAppendDocs(s, idxPath, b, m.docRows + br, m.docContent + bc)
+  }
+
+  /** The shared append body: merge `batchDocs` (doc_id, text — already
+    * proven disjoint from the indexed corpus by the caller) into the
+    * artifact tables, writing meta last. */
+  private[graft] def bm25IndexAppendDocs(s: SparkSession, idxPath: String,
+      batchDocs: DataFrame, docRows: Long, docContent: Long): Unit = {
+    val docs = batchDocs
+      .select(col("doc_id"), TextPrep.tokensCol(col("text")).as("toks"))
+    val dlNew = docs
+      .select(col("doc_id"), size(col("toks")).cast("long").as("dl"))
+      .localCheckpoint()
+    val tfNew = docs
+      .select(col("doc_id"), explode(col("toks")).as("term"))
+      .groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+      .localCheckpoint()
+    tfNew
+      .withColumn("pt", pmod(hash(col("term")), lit(Bm25IndexBuckets)))
+      .write.mode("append").partitionBy("pt")
+      .parquet(s"$idxPath/postings")
+    dlNew.write.mode("append").parquet(s"$idxPath/dl")
+    // stats re-derived from the full dl artifact: long count/sum are
+    // order-free exact, so this equals a from-scratch build's stats
+    s.read.parquet(s"$idxPath/dl")
+      .agg(count(lit(1)).as("n_docs"),
+        (sum(col("dl")) / count(lit(1))).as("avgdl"))
+      .write.mode("overwrite").parquet(s"$idxPath/stats")
+    // df merge: disjoint doc_ids ⇒ per-term counts add exactly;
+    // materialize BEFORE overwriting the input it was derived from
+    val merged = s.read.parquet(s"$idxPath/df")
+      .unionByName(tfNew.groupBy(col("term")).agg(count(lit(1)).as("df")))
+      .groupBy(col("term")).agg(sum(col("df")).as("df"))
+      .localCheckpoint()
+    merged.write.mode("overwrite").parquet(s"$idxPath/df")
+    import s.implicits._
+    Seq((docRows, docContent, Bm25IndexBuckets))
+      .toDF("doc_rows", "doc_content", "n_buckets")
+      .repartition(1).write.mode("overwrite").parquet(s"$idxPath/meta")
+  }
+
+  /** [[ensureBm25Index]] with the INCREMENTAL path: warm → nothing
+    * (meta-vs-stamp, sidecar-metadata-scale); stamp moved with a
+    * ledger-intact pure file append → [[bm25IndexAppend]] over ONLY
+    * the new files; anything else (no ledger, torn state, edited or
+    * removed files, bucket-count change) → full rebuild. `onBuild` /
+    * `onAppend` observe which verb ran (the q280 counted-thunk
+    * convention — a warm call provably invokes neither). */
+  private[graft] def ensureBm25IndexIncremental(s: SparkSession,
+      dir: String, onBuild: () => Unit = () => (),
+      onAppend: Seq[String] => Unit = _ => ()): Bm25Index = {
+    val (dr, dc) = ChoiceStore.documentsStampCachedFor(s, dir)
+    val idxPath = bm25IndexPath(dir)
+    bm25IndexRead(s, idxPath).filter(m => m.docRows == dr &&
+        m.docContent == dc && m.nBuckets == Bm25IndexBuckets)
+      .getOrElse {
+        val current = graft.io.StampSidecar.listDataFiles(s,
+          s"$dir/documents.parquet")
+        // per-file partials come free: documentsStampCachedFor just
+        // refreshed the corpus sidecar for exactly these files
+        val perFile = graft.io.StampSidecar.read(s,
+          ChoiceStore.docStampSidecarFor(dir))
+        val ledgerNow = current.map { case (p, len, mt) =>
+          val c = perFile.get(p)
+          graft.io.StampSidecar.FileStamp(p, len, mt,
+            c.map(_.rows).getOrElse(0L), c.map(_.content).getOrElse(0L))
+        }
+        indexMaintenancePlan(ledgerRead(s, idxPath), current,
+            bm25IndexRead(s, idxPath)) match {
+          case AppendFiles(nf) =>
+            onAppend(nf)
+            // ledger FIRST: a crash before meta leaves Σ ledger ≠ meta
+            // stamp ⇒ the next ensure rebuilds (never double-appends)
+            graft.io.StampSidecar.write(s, indexLedgerPath(idxPath),
+              ledgerNow)
+            bm25IndexAppend(s, idxPath, nf, dr, dc)
+          case RebuildAll =>
+            onBuild()
+            graft.io.StampSidecar.write(s, indexLedgerPath(idxPath),
+              ledgerNow)
+            bm25IndexWrite(s, dir, dr, dc)
+        }
+        bm25IndexRead(s, idxPath).getOrElse(sys.error(
+          "ensureBm25IndexIncremental: artifact unreadable after build"))
+      }
   }
 
   /** Serve a query batch from the PERSISTED index at a fixed dial —

@@ -442,11 +442,133 @@ object Round17Queries {
        |ORDER BY a.dial""".stripMargin
   }
 
+  // --------------------------------------------------------------- q282
+  /** INCREMENTAL-INDEX ingest cycle — q280's serving-artifact
+    * counterpart: q280 proves an ingest re-measures exactly the stale
+    * TUNING dials; this proves the SERVING index itself is brought
+    * current by an append-sized bill, never a re-tokenize. One
+    * self-contained cycle over an engine-owned lake replica:
+    *
+    *   1. SEED    — fresh lake with the base corpus (doc_id %
+    *      [[IngestMod]] ≠ [[IngestRem]]); the lake's postings index
+    *      wiped (self-contained ⇒ deterministic per call).
+    *   2. BUILD   — the incremental ensure cold-builds the index for
+    *      the base lake (observed: one build verb).
+    *   3. INGEST  — the held-out batch appended (new parquet files;
+    *      existing files untouched).
+    *   4. APPEND  — the stamp moved, the ledger is intact, new files
+    *      exist: the SAME ensure now appends — tokenizes ONLY the new
+    *      files ([[Round15Queries.bm25IndexAppend]]; by construction
+    *      the read is `parquet(newFiles)`), merges postings/dl/df/
+    *      stats exactly (observed: one append verb, zero builds).
+    *   5. CONVERGENCE — a third ensure is warm (neither verb fires;
+    *      Round17QueriesSpec pins it with throwing observers).
+    *   6. SERVE   — the q244 workload served from the APPENDED index
+    *      at the fixed (1.2, 0.75) dial.
+    *
+    * The oracle replays the serve through the q244 chain over the FULL
+    * documents table (lake ≡ documents after ingest) plus both corpus
+    * stamps — so an append that dropped, duplicated, or double-counted
+    * one posting, df entry, or length row hash-mismatches against the
+    * from-scratch semantics; append ≡ rebuild at the artifact-table
+    * level is additionally spec-pinned bit-for-bit. The observed verb
+    * counts gate as the composition's contract constants (builds = 1,
+    * appends = 1 — the engine REPORTS observations, the oracle pins
+    * the contract).
+    *
+    * 100 TB shape: the ingest's index bill is tokenize(batch) +
+    * vocabulary-scale df merge + corpus-ROWS-scale stats re-derive —
+    * no corpus text is re-read (the q281 build pays that once). Bench:
+    * in the headline set — unlike q280 it pays no sweep; its cost is
+    * one base build + one batch append + one pruned serve.
+    */
+  private[operators] def idxLakePath(sfDir: String): String =
+    new java.io.File(s"target/idxlake/${PathTag.tagFor(sfDir)}")
+      .getAbsolutePath
+
+  def q282PostingsAppendCycle(s: SparkSession, dir: String): DataFrame = {
+    val lake = idxLakePath(dir)
+    val lakeDocs = s"$lake/documents.parquet"
+    // 1. SEED: fresh lake + wiped lake-keyed index (the lake's
+    // doc-stamp sidecar self-heals: stale entries drop, new files
+    // rescan — the q280 note)
+    rmrf(new java.io.File(lake))
+    rmrf(new java.io.File(Round15Queries.bm25IndexPath(lake)))
+    val docs = Tables.documents(s, dir)
+    docs.filter(col("doc_id") % IngestMod =!= IngestRem)
+      .write.mode("overwrite").parquet(lakeDocs)
+    var builds = 0L
+    var appends = 0L
+    def ensure() = Round15Queries.ensureBm25IndexIncremental(s, lake,
+      onBuild = () => builds += 1L, onAppend = _ => appends += 1L)
+    // 2. BUILD: cold on the base lake
+    ensure()
+    val (baseRows, baseContent) = ChoiceStore.documentsStampCachedFor(s, lake)
+    // 3. INGEST: append the held-out batch — new files only
+    docs.filter(col("doc_id") % IngestMod === IngestRem)
+      .write.mode("append").parquet(lakeDocs)
+    // 4. APPEND: only the new files are tokenized
+    val m = ensure()
+    // 5. CONVERGENCE: warm — neither verb fires
+    ensure()
+    // 6. SERVE from the appended artifact at the fixed dial; workload
+    // from the artifact's df table (≡ the corpus-derived synthesis —
+    // the append ≡ rebuild theorem)
+    val idx = Round15Queries.bm25IndexPath(lake)
+    val qt = Round15Queries.multiBm25QueryTableFrom(
+      s.read.parquet(s"$idx/df"))
+    Round15Queries.bm25ServeQueriesFromIndex(s, idx, qt,
+        math.round(Round14Queries.Bm25K1 * 1e6),
+        math.round(Round14Queries.Bm25B * 1e6))
+      .drop("k1_micro", "b_micro")
+      .withColumn("base_rows", lit(baseRows))
+      .withColumn("base_content", lit(baseContent))
+      .withColumn("post_rows", lit(m.docRows))
+      .withColumn("post_content", lit(m.docContent))
+      .withColumn("n_new", lit(m.docRows - baseRows))
+      .withColumn("builds", lit(builds))
+      .withColumn("appends", lit(appends))
+      .orderBy(col("query_id"), col("rk"))
+  }
+
+  /** The q244 fixed-dial chain over the full documents table (lake ≡
+    * documents after ingest) + both corpus stamps + the verb-count
+    * contract constants. */
+  val q282Sql: String = {
+    val base = Round15Queries.q244Sql.substring(0,
+      Round15Queries.q244Sql.indexOf("best AS ("))
+    val dstampSub = ChoiceStore.documentsStampSql.linesIterator
+      .mkString("\n  ")
+    s"""${base}best AS (
+       |  SELECT query_id, doc_id, bm25, n_terms_hit,
+       |         row_number() OVER (PARTITION BY query_id
+       |                            ORDER BY bm25 DESC, doc_id ASC) AS rk
+       |  FROM scored),
+       |dstamp AS (
+       |  $dstampSub),
+       |bstamp AS (
+       |  SELECT CAST(count(*) AS BIGINT) AS base_rows,
+       |         CAST(coalesce(sum((doc_id * 31 + strlen(text)) % 1048576),
+       |                       0) AS BIGINT) AS base_content
+       |  FROM documents WHERE doc_id % $IngestMod <> $IngestRem)
+       |SELECT b.query_id, b.doc_id, b.bm25, b.n_terms_hit,
+       |       CAST(b.rk AS BIGINT) AS rk,
+       |       bs.base_rows, bs.base_content,
+       |       ds.doc_rows AS post_rows, ds.doc_content AS post_content,
+       |       ds.doc_rows - bs.base_rows AS n_new,
+       |       CAST(1 AS BIGINT) AS builds, CAST(1 AS BIGINT) AS appends
+       |FROM best b CROSS JOIN dstamp ds CROSS JOIN bstamp bs
+       |WHERE b.rk <= ${Round15Queries.MultiBm25K}
+       |ORDER BY b.query_id, b.rk""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q278_choice_staleness_audit" -> (q278ChoiceStalenessAudit _),
-    "q280_corpus_ingest_cycle" -> (q280CorpusIngestCycle _))
+    "q280_corpus_ingest_cycle" -> (q280CorpusIngestCycle _),
+    "q282_postings_append_cycle" -> (q282PostingsAppendCycle _))
 
   def oraclesFor(sfDir: String): Map[String, String] = Map(
     "q278_choice_staleness_audit" -> q278SqlFor(sfDir),
-    "q280_corpus_ingest_cycle" -> q280SqlFor(sfDir))
+    "q280_corpus_ingest_cycle" -> q280SqlFor(sfDir),
+    "q282_postings_append_cycle" -> q282Sql)
 }

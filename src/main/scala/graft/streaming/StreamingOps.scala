@@ -1005,6 +1005,37 @@ object StreamingOps {
       .start()
   }
 
+  /** Streaming POSTINGS-INDEX maintenance — the q282 append verb as a
+    * live ingest sink, and [[streamingIvfPqAppend]]'s text-retrieval
+    * twin: documents stream in; each micro-batch is tokenized and
+    * merged into the persisted postings index
+    * ([[graft.operators.Round15Queries.bm25IndexAppendBatch]]) — batch
+    * postings/dl appended, df summed exactly, stats re-derived from
+    * the dl artifact (order-free long sums), meta advanced by exactly
+    * the batch's stamp contribution. Stream ≡ batch by SHARED CODE and
+    * exact integer arithmetic: ANY micro-batch split of the new docs
+    * lands on an index whose tables are set-equal (and whose meta is
+    * bit-equal) to one [[graft.operators.Round15Queries.bm25IndexAppendDocs]]
+    * over their union — the StreamingOpsSpec law. State lives in the
+    * index artifact, not the stream; the index must exist before the
+    * stream starts (a stream never pays a corpus tokenize). Docs need
+    * (doc_id, text), ids disjoint from the indexed corpus (the append
+    * contract).
+    */
+  def streamingPostingsAppend(s: SparkSession, docs: DataFrame,
+      indexDir: String): org.apache.spark.sql.streaming.StreamingQuery = {
+    if (graft.operators.Round15Queries.bm25IndexRead(s, indexDir).isEmpty)
+      sys.error("streamingPostingsAppend: no persisted postings index " +
+        s"at $indexDir — build offline first (prepareBm25Index)")
+    docs.writeStream.outputMode("append")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty)
+          graft.operators.Round15Queries.bm25IndexAppendBatch(
+            s, indexDir, batch)
+      }
+      .start()
+  }
+
   def runToMemory(spark: SparkSession, transformed: DataFrame, name: String,
       mode: OutputMode = OutputMode.Append): Unit = {
     val q = transformed.writeStream

@@ -354,4 +354,88 @@ class Round15QueriesSpec extends SparkTestBase {
       .collect().map(_.toSeq).toSet
     assert(viaIdx === viaCorpus)
   }
+
+  test("q282 core: indexMaintenancePlan crash matrix on pure metadata") {
+    import Round15Queries.{AppendFiles, Bm25Index, RebuildAll,
+      indexMaintenancePlan}
+    import graft.io.StampSidecar.FileStamp
+    val ledger = Seq(FileStamp("/a", 10L, 1L, 5L, 100L),
+      FileStamp("/b", 20L, 2L, 7L, 200L))
+    val meta = Some(Bm25Index(12L, 300L, Round15Queries.Bm25IndexBuckets))
+    val cur = Seq(("/a", 10L, 1L), ("/b", 20L, 2L))
+    val grown = cur :+ (("/c", 5L, 3L))
+    // pure file append with a consistent ledger↔meta tie → append
+    assert(indexMaintenancePlan(ledger, grown, meta)
+      === AppendFiles(Seq("/c")))
+    // no new files (the crash-after-ledger retry lands here) → rebuild
+    assert(indexMaintenancePlan(ledger, cur, meta) === RebuildAll)
+    // ledger AHEAD of meta (Σ partials ≠ meta stamp — a crash between
+    // ledger write and meta write): never append onto a partial state
+    assert(indexMaintenancePlan(ledger, grown,
+      Some(Bm25Index(5L, 100L, Round15Queries.Bm25IndexBuckets)))
+      === RebuildAll)
+    // edited file (mtime moved) → the trust boundary forces a rebuild
+    assert(indexMaintenancePlan(ledger,
+      Seq(("/a", 10L, 9L), ("/b", 20L, 2L), ("/c", 5L, 3L)), meta)
+      === RebuildAll)
+    // removed file → rebuild
+    assert(indexMaintenancePlan(ledger,
+      Seq(("/a", 10L, 1L), ("/c", 5L, 3L)), meta) === RebuildAll)
+    // empty ledger / unreadable meta / bucket-count change → rebuild
+    assert(indexMaintenancePlan(Nil, grown, meta) === RebuildAll)
+    assert(indexMaintenancePlan(ledger, grown, None) === RebuildAll)
+    assert(indexMaintenancePlan(ledger, grown,
+      Some(Bm25Index(12L, 300L, 7))) === RebuildAll)
+  }
+
+  test("q282 core: append ≡ rebuild bit-for-bit; verbs observable; torn meta never double-appends") {
+    import org.apache.spark.sql.functions.col
+    val tmp = java.nio.file.Files.createTempDirectory("graft-q282")
+      .toFile.getAbsolutePath
+    val lakeA = s"$tmp/a" // grows by append
+    val lakeB = s"$tmp/b" // built from scratch at the full state
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+    docs.filter(col("doc_id") % 4 =!= 3)
+      .write.parquet(s"$lakeA/documents.parquet")
+    docs.write.parquet(s"$lakeB/documents.parquet")
+    var builds = 0; var appends = 0
+    def ensureA() = Round15Queries.ensureBm25IndexIncremental(spark, lakeA,
+      onBuild = () => builds += 1, onAppend = _ => appends += 1)
+    ensureA() // cold build on the base
+    assert((builds, appends) === ((1, 0)))
+    docs.filter(col("doc_id") % 4 === 3)
+      .write.mode("append").parquet(s"$lakeA/documents.parquet")
+    val mA = ensureA() // stamp moved, ledger intact → APPEND
+    assert((builds, appends) === ((1, 1)))
+    // warm: neither verb fires (throwing observers)
+    Round15Queries.ensureBm25IndexIncremental(spark, lakeA,
+      onBuild = () => sys.error("warm ensure rebuilt"),
+      onAppend = _ => sys.error("warm ensure appended"))
+    val mB = Round15Queries.ensureBm25IndexIncremental(spark, lakeB)
+    // meta stamps agree: same corpus state
+    assert((mA.docRows, mA.docContent) === ((mB.docRows, mB.docContent)))
+    // every artifact table is SET-EQUAL to the from-scratch build's
+    val pA = Round15Queries.bm25IndexPath(lakeA)
+    val pB = Round15Queries.bm25IndexPath(lakeB)
+    def table(p: String, sub: String) =
+      spark.read.parquet(s"$p/$sub").collect().map(_.toSeq).toSet
+    for (sub <- Seq("postings", "dl", "df", "stats"))
+      assert(table(pA, sub) === table(pB, sub), sub)
+    // ...and so is the serve (same workload, fixed dial)
+    val qt = Round15Queries.multiBm25QueryTable(spark, lakeA)
+    def serve(p: String) = Round15Queries.bm25ServeQueriesFromIndex(
+      spark, p, qt, 1200000L, 750000L).collect().map(_.toSeq).toSet
+    assert(serve(pA) === serve(pB))
+    // TORN STATE: a meta that disagrees with the ledger's Σ partials
+    // (crash between ledger and meta) must REBUILD, never re-append
+    import spark.implicits._
+    Seq((mA.docRows + 1L, mA.docContent, Round15Queries.Bm25IndexBuckets))
+      .toDF("doc_rows", "doc_content", "n_buckets")
+      .repartition(1).write.mode("overwrite").parquet(s"$pA/meta")
+    builds = 0; appends = 0
+    ensureA()
+    assert((builds, appends) === ((1, 0)),
+      "ledger↔meta mismatch must rebuild, never double-append")
+    assert(serve(pA) === serve(pB))
+  }
 }

@@ -148,4 +148,41 @@ class Round17QueriesSpec extends SparkTestBase {
     assert(byDial("unigram-vocab").getAs[Long]("chosen_a")
       === vc.chosen.toLong)
   }
+
+  test("q282 postings-append cycle: one build + one append + convergence; serve ≡ q244 fixed-dial rows") {
+    val out = Round17Queries.q282PostingsAppendCycle(spark, sf0001).collect()
+    assert(out.nonEmpty)
+    // verb contract: exactly one cold build (base), one append
+    // (ingest), nothing on the converged third ensure
+    assert(out.forall(_.getAs[Long]("builds") == 1L))
+    assert(out.forall(_.getAs[Long]("appends") == 1L))
+    // stamps: post ≡ the full documents stamp, base ≠ post, and n_new
+    // counts exactly the held-out batch
+    val docs = graft.Tables.documents(spark, sf0001)
+      .select(col("doc_id"), col("text"))
+    val (fr, fc) = ChoiceStore.documentsStamp(docs)
+    val h = out.head
+    assert((h.getAs[Long]("post_rows"), h.getAs[Long]("post_content"))
+      === ((fr, fc)))
+    assert((h.getAs[Long]("base_rows"), h.getAs[Long]("base_content"))
+      !== ((fr, fc)))
+    assert(h.getAs[Long]("n_new") ===
+      docs.filter(col("doc_id") % Round17Queries.IngestMod
+        === Round17Queries.IngestRem).count())
+    // the appended-index serve equals q244's fixed-dial rows over the
+    // full corpus — the append ≡ rebuild theorem at the query level
+    val served = out.map(r => (r.getAs[Long]("query_id"),
+      r.getAs[Long]("doc_id"), r.getAs[Double]("bm25"),
+      r.getAs[Long]("n_terms_hit"), r.getAs[Long]("rk"))).toSet
+    val q244 = Round15Queries.q244MultiBm25(spark, sf0001).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("doc_id"),
+        r.getAs[Double]("bm25"), r.getAs[Long]("n_terms_hit"),
+        r.getAs[Long]("rk"))).toSet
+    assert(served === q244)
+    // convergence pinned independently: the lake's index is warm
+    Round15Queries.ensureBm25IndexIncremental(spark,
+      Round17Queries.idxLakePath(sf0001),
+      onBuild = () => sys.error("converged index rebuilt"),
+      onAppend = _ => sys.error("converged index appended"))
+  }
 }

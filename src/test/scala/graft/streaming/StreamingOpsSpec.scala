@@ -1315,4 +1315,48 @@ class StreamingOpsSpec extends SparkTestBase {
     // the dial served is the artifact's chosen point on every row
     assert(got.forall(t => t._1 == c.k1Micro && t._2 == c.bMicro))
   }
+
+  test("streaming postings append across uneven micro-batches equals a from-scratch build") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import graft.operators.Round15Queries
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+      .select("doc_id", "text")
+    val tmp = java.nio.file.Files.createTempDirectory("graft-poststream")
+      .toFile.getAbsolutePath
+    val lakeA = s"$tmp/a" // base built offline, grown by stream
+    val lakeB = s"$tmp/b" // the full-state from-scratch reference
+    docs.filter($"doc_id" % 4 =!= 3)
+      .write.parquet(s"$lakeA/documents.parquet")
+    docs.write.parquet(s"$lakeB/documents.parquet")
+    Round15Queries.ensureBm25IndexIncremental(spark, lakeA)
+    val idxA = Round15Queries.bm25IndexPath(lakeA)
+    val newRows = docs.filter($"doc_id" % 4 === 3).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq
+    val input = MemoryStream[(Long, String)]
+    val q = StreamingOps.streamingPostingsAppend(spark,
+      input.toDF.toDF("doc_id", "text"), idxA)
+    // three uneven micro-batches, merged against the live artifact
+    Seq(newRows.take(5), newRows.slice(5, 60), newRows.drop(60))
+      .filter(_.nonEmpty)
+      .foreach { g => input.addData(g.toIndexedSeq: _*)
+        q.processAllAvailable() }
+    q.stop()
+    val mB = Round15Queries.ensureBm25IndexIncremental(spark, lakeB)
+    val idxB = Round15Queries.bm25IndexPath(lakeB)
+    // meta lands BIT-EQUAL: per-batch stamp contributions are plain
+    // long sums, so any split reaches the one-shot build's stamp
+    val mA = Round15Queries.bm25IndexRead(spark, idxA).get
+    assert((mA.docRows, mA.docContent) === ((mB.docRows, mB.docContent)))
+    // every artifact table is set-equal to the from-scratch build's
+    def table(p: String, sub: String) =
+      spark.read.parquet(s"$p/$sub").collect().map(_.toSeq).toSet
+    for (sub <- Seq("postings", "dl", "df", "stats"))
+      assert(table(idxA, sub) === table(idxB, sub), sub)
+    // ...and so is the artifact-only serve
+    val qt = Round15Queries.multiBm25QueryTable(spark, lakeB)
+    def serve(p: String) = Round15Queries.bm25ServeQueriesFromIndex(
+      spark, p, qt, 1200000L, 750000L).collect().map(_.toSeq).toSet
+    assert(serve(idxA) === serve(idxB))
+  }
 }
