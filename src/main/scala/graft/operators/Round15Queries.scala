@@ -1160,6 +1160,137 @@ object Round15Queries {
         col("rk"))
   }
 
+  // ---------------------------------------------------------------- q283
+  /** DELETE-AWARE artifact serve — the lifecycle verb between append
+    * (q282) and rebuild: documents leave the corpus (takedowns,
+    * opt-outs, quality rejections) WITHOUT rewriting the index. The
+    * postings files stay immutable (FAISS IDSelector semantics, the
+    * q254 discipline applied to text retrieval); the delete set masks
+    * the serve with EXACT filtered-corpus BM25 semantics — not just
+    * result filtering:
+    *
+    *   - postings: tombstoned docs anti-joined out of the
+    *     partition-pruned slices BEFORE scoring (a dead doc can never
+    *     surface at any rank);
+    *   - dl/stats: doc lengths masked, (n_docs, avgdl) re-derived from
+    *     the masked dl — order-free long sums, so bit-equal to a
+    *     rebuild's stats over the surviving corpus;
+    *   - df: per-term document frequencies DECREMENTED by each term's
+    *     tombstoned-doc count ([[bm25MaskedDf]] — postings are unique
+    *     per (doc, term), so the semi-join count is exactly the dead
+    *     df mass); terms whose df reaches 0 drop, matching a rebuild
+    *     where the term no longer exists.
+    *
+    * Net: masked-serve rows ≡ a from-scratch index built over the
+    * surviving corpus, bit-for-bit (Round15QueriesSpec pins it against
+    * a real filtered rebuild; the q283 oracle replays the q244 chain
+    * over the filtered documents table). The tombstone side is
+    * capacity-gated ([[BoundedBroadcast]]) like every delete surface.
+    *
+    * 100 TB shape: serve cost = the pruned-bucket scan + one
+    * postings-table pass for the global masked df (vocabulary-scale
+    * output, no text) + a dl pass for stats (corpus-ROWS scale) —
+    * deletes never force a tokenize or an index rewrite; when the
+    * delete set grows past the audit threshold, the nightly rebuild
+    * (q282's RebuildAll verb over the compacted lake) truncates it,
+    * exactly the q276 retrain-vs-carry composition.
+    */
+  val Bm25DeleteMod = 7L
+  val Bm25DeleteRem = 5L
+
+  /** Global df over the SURVIVING corpus, from artifacts alone: stored
+    * df minus each term's tombstoned-doc count. */
+  private[graft] def bm25MaskedDf(s: SparkSession, idxPath: String,
+      tombstones: DataFrame): DataFrame = {
+    val tombs = BoundedBroadcast.boundedBroadcast(
+      tombstones.select(col("doc_id")).localCheckpoint(),
+      "graft.bm25.maxTombstones", 10000000L)
+    val dead = s.read.parquet(s"$idxPath/postings")
+      .join(tombs, Seq("doc_id"), "left_semi")
+      .groupBy(col("term")).agg(count(lit(1)).as("dead"))
+    s.read.parquet(s"$idxPath/df")
+      .join(dead, Seq("term"), "left_outer")
+      .select(col("term"),
+        (col("df") - coalesce(col("dead"), lit(0L))).as("df"))
+      .filter(col("df") > 0L)
+  }
+
+  /** [[bm25ServeQueriesFromIndex]] with a tombstone mask — every input
+    * is still an index file; the mask is applied to postings and dl,
+    * and df/stats are re-derived to the surviving corpus's exact
+    * values before the SAME scoring tail. */
+  private[graft] def bm25ServeQueriesFromIndexMasked(s: SparkSession,
+      idxPath: String, qterms: DataFrame, k1Micro: Long, bMicro: Long,
+      tombstones: DataFrame): DataFrame = {
+    val tombs = BoundedBroadcast.boundedBroadcast(
+      tombstones.select(col("doc_id")).localCheckpoint(),
+      "graft.bm25.maxTombstones", 10000000L)
+    val terms = qterms.select(col("term")).distinct().localCheckpoint()
+    val buckets = terms
+      .select(pmod(hash(col("term")), lit(Bm25IndexBuckets)).as("pt"))
+      .distinct().collect().map(_.getInt(0)).toSeq
+    val postings = s.read.parquet(s"$idxPath/postings")
+      .filter(col("pt").isin(buckets: _*))
+      .join(tombs, Seq("doc_id"), "left_anti")
+    val dl = s.read.parquet(s"$idxPath/dl")
+      .join(tombs, Seq("doc_id"), "left_anti")
+    val stats = dl.agg(count(lit(1)).as("n_docs"),
+      (sum(col("dl")) / count(lit(1))).as("avgdl"))
+    val dfTab = bm25MaskedDf(s, idxPath, tombstones)
+      .join(broadcast(terms), Seq("term"), "left_semi")
+    val tfq = postings.join(broadcast(qterms), Seq("term"))
+      .select(col("doc_id"), col("term"), col("tf"), col("query_id"))
+    val heapSafe = graft.plans.TopK.idRangeSafe(
+      dl.select(col("doc_id")), "doc_id", 1L << 25)
+    rankMultiBm25Dispatch(
+        scoreComponentsAtGrid(componentsOf(tfq, dl, dfTab, stats),
+            Seq((k1Micro, bMicro)))
+          .drop("k1_micro", "b_micro"),
+        heapSafe, MultiBm25K)
+      .select(lit(k1Micro).as("k1_micro"), lit(bMicro).as("b_micro"),
+        col("query_id"), col("doc_id"), col("bm25"), col("n_terms_hit"),
+        col("rk"))
+  }
+
+  def q283Bm25DeleteServe(s: SparkSession, dir: String): DataFrame = {
+    prepareBm25Index(s, dir)
+    val idx = bm25IndexPath(dir)
+    // the delete set and the workload both come from the ARTIFACT —
+    // the serve reads zero corpus files
+    val tombstones = s.read.parquet(s"$idx/dl").select(col("doc_id"))
+      .filter(col("doc_id") % Bm25DeleteMod === Bm25DeleteRem)
+      .localCheckpoint()
+    val nDead = tombstones.count()
+    val qt = multiBm25QueryTableFrom(bm25MaskedDf(s, idx, tombstones))
+    bm25ServeQueriesFromIndexMasked(s, idx, qt,
+        math.round(Round14Queries.Bm25K1 * 1e6),
+        math.round(Round14Queries.Bm25B * 1e6), tombstones)
+      .drop("k1_micro", "b_micro")
+      .withColumn("n_dead", lit(nDead))
+      .orderBy(col("query_id"), col("rk"))
+  }
+
+  /** The q244 chain over the SURVIVING documents — the oracle IS the
+    * filtered-corpus rebuild semantics the mask must reproduce. */
+  val q283Sql: String = {
+    val filtered = q244Sql.replace("FROM documents)",
+      s"FROM documents WHERE doc_id % $Bm25DeleteMod <> $Bm25DeleteRem)")
+    val prefix = filtered.substring(0, filtered.indexOf("best AS ("))
+    s"""${prefix}best AS (
+       |  SELECT query_id, doc_id, bm25, n_terms_hit,
+       |         row_number() OVER (PARTITION BY query_id
+       |                            ORDER BY bm25 DESC, doc_id ASC) AS rk
+       |  FROM scored),
+       |dead AS (
+       |  SELECT CAST(count(*) AS BIGINT) AS n_dead
+       |  FROM documents WHERE doc_id % $Bm25DeleteMod = $Bm25DeleteRem)
+       |SELECT b.query_id, b.doc_id, b.bm25, b.n_terms_hit,
+       |       CAST(b.rk AS BIGINT) AS rk, dd.n_dead
+       |FROM best b CROSS JOIN dead dd
+       |WHERE b.rk <= $MultiBm25K
+       |ORDER BY b.query_id, b.rk""".stripMargin
+  }
+
   def q281Bm25IndexServe(s: SparkSession, dir: String): DataFrame = {
     // dial from the persisted choice, postings from the persisted
     // index — the fully-amortized serving path: zero sweeps, zero
@@ -1271,7 +1402,8 @@ object Round15Queries {
     "q253_sql_multi_bm25" -> (q253SqlMultiBm25 _),
     "q271_bm25_params_auto" -> (q271Bm25ParamsAuto _),
     "q273_bm25_params_persist" -> (q273Bm25ParamsPersist _),
-    "q281_bm25_index_serve" -> (q281Bm25IndexServe _))
+    "q281_bm25_index_serve" -> (q281Bm25IndexServe _),
+    "q283_bm25_delete_serve" -> (q283Bm25DeleteServe _))
 
   val oracles: Map[String, String] = Map(
     "q244_multi_bm25" -> q244Sql,
@@ -1282,5 +1414,6 @@ object Round15Queries {
     "q253_sql_multi_bm25" -> q244Sql,
     "q271_bm25_params_auto" -> q271Sql,
     "q273_bm25_params_persist" -> q273Sql,
-    "q281_bm25_index_serve" -> q281Sql)
+    "q281_bm25_index_serve" -> q281Sql,
+    "q283_bm25_delete_serve" -> q283Sql)
 }

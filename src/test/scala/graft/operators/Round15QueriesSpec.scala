@@ -438,4 +438,55 @@ class Round15QueriesSpec extends SparkTestBase {
       "ledger↔meta mismatch must rebuild, never double-append")
     assert(serve(pA) === serve(pB))
   }
+
+  test("q283 core: masked serve ≡ a from-scratch rebuild over the surviving corpus; dead docs unreachable; empty mask is identity") {
+    import org.apache.spark.sql.functions.col
+    val tmp = java.nio.file.Files.createTempDirectory("graft-q283")
+      .toFile.getAbsolutePath
+    val lakeS = s"$tmp/survivors"
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+      .select("doc_id", "text")
+    docs.filter(col("doc_id") % Round15Queries.Bm25DeleteMod
+        =!= Round15Queries.Bm25DeleteRem)
+      .write.parquet(s"$lakeS/documents.parquet")
+    Round15Queries.ensureBm25IndexIncremental(spark, sf0001)
+    Round15Queries.ensureBm25IndexIncremental(spark, lakeS)
+    val idxFull = Round15Queries.bm25IndexPath(sf0001)
+    val idxSurv = Round15Queries.bm25IndexPath(lakeS)
+    val tombs = docs.select(col("doc_id"))
+      .filter(col("doc_id") % Round15Queries.Bm25DeleteMod
+        === Round15Queries.Bm25DeleteRem).localCheckpoint()
+    // the masked df over the full index ≡ the survivors' stored df
+    val dfMasked = Round15Queries.bm25MaskedDf(spark, idxFull, tombs)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    val dfSurv = spark.read.parquet(s"$idxSurv/df")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(dfMasked === dfSurv)
+    // masked serve over the FULL index ≡ plain serve over the
+    // survivors-only index (the filtered-rebuild theorem), on the
+    // survivors' own workload
+    val qt = Round15Queries.multiBm25QueryTable(spark, lakeS)
+    val masked = Round15Queries.bm25ServeQueriesFromIndexMasked(
+        spark, idxFull, qt, 1200000L, 750000L, tombs)
+      .collect().map(_.toSeq).toSet
+    val rebuilt = Round15Queries.bm25ServeQueriesFromIndex(
+        spark, idxSurv, qt, 1200000L, 750000L)
+      .collect().map(_.toSeq).toSet
+    assert(masked === rebuilt)
+    // no tombstoned doc at any rank
+    val dead = tombs.collect().map(_.getLong(0)).toSet
+    assert(!masked.exists(r => dead(r(3).asInstanceOf[Long])))
+    // non-vacuity: the delete really re-ranked something
+    val unmasked = Round15Queries.bm25ServeQueriesFromIndex(
+        spark, idxFull, qt, 1200000L, 750000L)
+      .collect().map(_.toSeq).toSet
+    assert(masked !== unmasked, "mask must change some ranking")
+    // empty mask is the identity serve
+    import spark.implicits._
+    val none = Seq.empty[Long].toDF("doc_id")
+    val maskedEmpty = Round15Queries.bm25ServeQueriesFromIndexMasked(
+        spark, idxFull, qt, 1200000L, 750000L, none)
+      .collect().map(_.toSeq).toSet
+    assert(maskedEmpty === unmasked)
+  }
 }
