@@ -141,6 +141,8 @@ object Bench {
     "q270_unigram_decode", "q271_bm25_params_auto",
     "q272_nprobe_choice_persist", "q273_bm25_params_persist",
     "q281_bm25_index_serve",
+    "q282_postings_append_cycle", "q283_bm25_delete_serve",
+    "q284_postings_maintenance_cycle",
     "q275_vocab_size_auto", "q276_lifecycle_cycle",
     "q277_vocab_choice_persist", "q279_vocab_choice_encode")
 
@@ -319,6 +321,11 @@ object Bench {
     val bm25IndexReady = prep("q281_bm25_index_serve") {
       operators.Round15Queries.prepareBm25ParamsChoice(spark, sfDir)
       operators.Round15Queries.prepareBm25Index(spark, sfDir) }
+    // the delete-aware serve reads the same persisted index; its timed
+    // number is the masked-df postings pass + the pruned masked serve —
+    // the per-serve bill a deployment pays while tombstones are carried
+    val bm25DeleteReady = prep("q283_bm25_delete_serve") {
+      operators.Round15Queries.prepareBm25Index(spark, sfDir) }
     // and for the tokenizer dial: training + the prune-ladder sweep are
     // offline corpus maintenance; the timed number is the warm serve
     // (stamp pass + artifact read + the q267-class segmentation)
@@ -371,6 +378,7 @@ object Bench {
       .filter(name => choiceReady || name != "q272_nprobe_choice_persist")
       .filter(name => bm25ChoiceReady || name != "q273_bm25_params_persist")
       .filter(name => bm25IndexReady || name != "q281_bm25_index_serve")
+      .filter(name => bm25DeleteReady || name != "q283_bm25_delete_serve")
       .filter(name => vocabChoiceReady || name != "q277_vocab_choice_persist")
       .filter(name => vocabEncodeReady || name != "q279_vocab_choice_encode")
       .filter(name => bucketsReady || name != "q69_bucketed_join")

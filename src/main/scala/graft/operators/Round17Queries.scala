@@ -562,13 +562,196 @@ object Round17Queries {
        |ORDER BY b.query_id, b.rk""".stripMargin
   }
 
+  // --------------------------------------------------------------- q284
+  /** COMPOSED postings maintenance cycle — the q276 nightly-job
+    * pattern applied to the TEXT serving index, closing the lifecycle
+    * the round opened: q282 gave the index its append verb, q283 its
+    * delete mask; this composes them with a DECISION — the same
+    * signal → pure rule → actuation → recovery shape as the IVF-PQ
+    * cycle:
+    *
+    *   1. SEED    — fresh lake (base corpus), cold index build.
+    *   2. INGEST  — held-out batch appended; the incremental ensure
+    *      APPENDS (batch-only tokenize — the q282 verb).
+    *   3. DELETE  — a tombstone set arrives (doc_id %
+    *      [[Round15Queries.Bm25DeleteMod]] = Rem over the artifact's
+    *      dl — no corpus read).
+    *   4. AUDIT + RULE — dead/live fractions compared by the pure
+    *      [[chooseIndexRebuild]] (exact integer cross-multiplication,
+    *      the PropertySpec rule family; threshold is an SLO constant,
+    *      the COVERAGE.md boundary).
+    *   5. ACTUATE — FIRE: the lake is COMPACTED (survivors rewritten
+    *      as fresh files) and the ensure REBUILDS — tombstones
+    *      truncated to zero. SKIP: files untouched, tombstones
+    *      carried, the serve stays masked (q283).
+    *   6. SERVE — the fixed-dial workload, from whichever state the
+    *      decision produced.
+    *
+    * The BRANCH-INVARIANCE theorem makes this gateable with ONE
+    * replay: masked-serve ≡ rebuilt-serve bit-for-bit (q283's law), so
+    * the serve rows equal the q244 chain over the SURVIVING corpus on
+    * EITHER branch; what the branches differ in — verb counts, carried
+    * tombstones, the post-actuation meta stamp — the oracle replays
+    * through the same CASE'd pure rule (the decision is recomputed,
+    * not pinned). Round17QueriesSpec drives the FIRE branch with a
+    * tighter threshold and pins that its serve rows EQUAL the SKIP
+    * branch's (the theorem observed end-to-end), plus truncation and
+    * the rebuild verb.
+    *
+    * 100 TB shape: the cycle's bill is append (batch tokenize) +
+    * masked serves until the dead fraction crosses the SLO, then ONE
+    * compact+rebuild truncates the mask — deletes never rewrite
+    * anything until the rule says the mask's per-serve cost (a
+    * postings pass for masked df) outweighs a rebuild. Benched in the
+    * headline set (7.9 s at sf0.1 — one cold build + one append + the
+    * audit + the masked serve, the honest nightly bill; the isolated
+    * serving paths are q281/q283).
+    */
+  val IndexRebuildThrNum = 1L
+  val IndexRebuildThrDen = 4L
+
+  /** FIRE iff dead/live ≥ thrNum/thrDen — exact integers. */
+  private[graft] def chooseIndexRebuild(deadRows: Long, liveRows: Long,
+      thrNum: Long, thrDen: Long): Boolean =
+    deadRows * thrDen >= liveRows * thrNum
+
+  private[operators] def pmLakePath(sfDir: String): String =
+    new java.io.File(s"target/pmlake/${PathTag.tagFor(sfDir)}")
+      .getAbsolutePath
+
+  /** The cycle with an injectable threshold — the spec drives FIRE
+    * with a tighter one; the gated q284 uses the SLO constants. */
+  private[operators] def postingsMaintenanceCycleCore(s: SparkSession,
+      dir: String, thrNum: Long, thrDen: Long): DataFrame = {
+    val lake = pmLakePath(dir)
+    val lakeDocs = s"$lake/documents.parquet"
+    rmrf(new java.io.File(lake))
+    rmrf(new java.io.File(Round15Queries.bm25IndexPath(lake)))
+    val docs = Tables.documents(s, dir)
+    docs.filter(col("doc_id") % IngestMod =!= IngestRem)
+      .write.mode("overwrite").parquet(lakeDocs)
+    var builds = 0L
+    var appends = 0L
+    def ensure() = Round15Queries.ensureBm25IndexIncremental(s, lake,
+      onBuild = () => builds += 1L, onAppend = _ => appends += 1L)
+    // 1–2. SEED build, then INGEST + APPEND
+    ensure()
+    docs.filter(col("doc_id") % IngestMod === IngestRem)
+      .write.mode("append").parquet(lakeDocs)
+    val mFull = ensure()
+    val idx = Round15Queries.bm25IndexPath(lake)
+    // 3. DELETE set from the artifact's dl — zero corpus reads
+    val tombstones = s.read.parquet(s"$idx/dl").select(col("doc_id"))
+      .filter(col("doc_id") % Round15Queries.Bm25DeleteMod
+        === Round15Queries.Bm25DeleteRem)
+      .localCheckpoint()
+    val deadRows = tombstones.count()
+    // 4. RULE (live = the indexed corpus the audit sees)
+    val fire = chooseIndexRebuild(deadRows, mFull.docRows, thrNum, thrDen)
+    // 5. ACTUATE
+    val (mPost, carried, serve) = if (fire) {
+      // compact: survivors rewritten as fresh files (materialized
+      // BEFORE overwriting their own source), tombstones truncated
+      val survivors = Tables.documents(s, lake)
+        .join(tombstones, Seq("doc_id"), "left_anti").localCheckpoint()
+      survivors.write.mode("overwrite").parquet(lakeDocs)
+      val m = ensure() // files changed ⇒ RebuildAll
+      val qt = Round15Queries.multiBm25QueryTableFrom(
+        s.read.parquet(s"$idx/df"))
+      (m, 0L, Round15Queries.bm25ServeQueriesFromIndex(s, idx, qt,
+        math.round(Round14Queries.Bm25K1 * 1e6),
+        math.round(Round14Queries.Bm25B * 1e6)))
+    } else {
+      val qt = Round15Queries.multiBm25QueryTableFrom(
+        Round15Queries.bm25MaskedDf(s, idx, tombstones))
+      (mFull, deadRows, Round15Queries.bm25ServeQueriesFromIndexMasked(
+        s, idx, qt, math.round(Round14Queries.Bm25K1 * 1e6),
+        math.round(Round14Queries.Bm25B * 1e6), tombstones))
+    }
+    // 6. SERVE + the cycle report
+    serve.drop("k1_micro", "b_micro")
+      .withColumn("live_rows", lit(mFull.docRows))
+      .withColumn("dead_rows", lit(deadRows))
+      .withColumn("fire", lit(if (fire) 1L else 0L))
+      .withColumn("n_carried", lit(carried))
+      .withColumn("post_rows", lit(mPost.docRows))
+      .withColumn("post_content", lit(mPost.docContent))
+      .withColumn("builds", lit(builds))
+      .withColumn("appends", lit(appends))
+      .orderBy(col("query_id"), col("rk"))
+  }
+
+  def q284PostingsMaintenanceCycle(s: SparkSession, dir: String): DataFrame =
+    postingsMaintenanceCycleCore(s, dir, IndexRebuildThrNum,
+      IndexRebuildThrDen)
+
+  /** Serve rows via the q244 chain over the SURVIVING corpus (the
+    * branch-invariance theorem); decision, verb counts, carried
+    * tombstones, and the post stamp all CASE'd through the replayed
+    * pure rule. */
+  val q284Sql: String = {
+    val mod = Round15Queries.Bm25DeleteMod
+    val rem = Round15Queries.Bm25DeleteRem
+    val filtered = Round15Queries.q244Sql.replace("FROM documents)",
+      s"FROM documents WHERE doc_id % $mod <> $rem)")
+    val prefix = filtered.substring(0, filtered.indexOf("best AS ("))
+    s"""${prefix}best AS (
+       |  SELECT query_id, doc_id, bm25, n_terms_hit,
+       |         row_number() OVER (PARTITION BY query_id
+       |                            ORDER BY bm25 DESC, doc_id ASC) AS rk
+       |  FROM scored),
+       |audit AS (
+       |  SELECT CAST(count(*) AS BIGINT) AS live_rows,
+       |         CAST(count(*) FILTER (WHERE doc_id % $mod = $rem)
+       |              AS BIGINT) AS dead_rows
+       |  FROM documents),
+       |verdict AS (
+       |  SELECT live_rows, dead_rows,
+       |         CASE WHEN dead_rows * $IndexRebuildThrDen >=
+       |                   live_rows * $IndexRebuildThrNum
+       |              THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END
+       |           AS fire
+       |  FROM audit),
+       |poststamp AS (
+       |  SELECT v.fire,
+       |         CASE WHEN v.fire = 1 THEN s.s_rows ELSE f.f_rows END
+       |           AS post_rows,
+       |         CASE WHEN v.fire = 1 THEN s.s_content ELSE f.f_content END
+       |           AS post_content
+       |  FROM verdict v
+       |  CROSS JOIN (
+       |    SELECT CAST(count(*) AS BIGINT) AS s_rows,
+       |           CAST(coalesce(sum((doc_id * 31 + strlen(text))
+       |                             % 1048576), 0) AS BIGINT) AS s_content
+       |    FROM documents WHERE doc_id % $mod <> $rem) s
+       |  CROSS JOIN (
+       |    SELECT CAST(count(*) AS BIGINT) AS f_rows,
+       |           CAST(coalesce(sum((doc_id * 31 + strlen(text))
+       |                             % 1048576), 0) AS BIGINT) AS f_content
+       |    FROM documents) f)
+       |SELECT b.query_id, b.doc_id, b.bm25, b.n_terms_hit,
+       |       CAST(b.rk AS BIGINT) AS rk,
+       |       v.live_rows, v.dead_rows, v.fire,
+       |       CASE WHEN v.fire = 1 THEN CAST(0 AS BIGINT)
+       |            ELSE v.dead_rows END AS n_carried,
+       |       p.post_rows, p.post_content,
+       |       CASE WHEN v.fire = 1 THEN CAST(2 AS BIGINT)
+       |            ELSE CAST(1 AS BIGINT) END AS builds,
+       |       CAST(1 AS BIGINT) AS appends
+       |FROM best b CROSS JOIN verdict v CROSS JOIN poststamp p
+       |WHERE b.rk <= ${Round15Queries.MultiBm25K}
+       |ORDER BY b.query_id, b.rk""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q278_choice_staleness_audit" -> (q278ChoiceStalenessAudit _),
     "q280_corpus_ingest_cycle" -> (q280CorpusIngestCycle _),
-    "q282_postings_append_cycle" -> (q282PostingsAppendCycle _))
+    "q282_postings_append_cycle" -> (q282PostingsAppendCycle _),
+    "q284_postings_maintenance_cycle" -> (q284PostingsMaintenanceCycle _))
 
   def oraclesFor(sfDir: String): Map[String, String] = Map(
     "q278_choice_staleness_audit" -> q278SqlFor(sfDir),
     "q280_corpus_ingest_cycle" -> q280SqlFor(sfDir),
-    "q282_postings_append_cycle" -> q282Sql)
+    "q282_postings_append_cycle" -> q282Sql,
+    "q284_postings_maintenance_cycle" -> q284Sql)
 }

@@ -185,4 +185,48 @@ class Round17QueriesSpec extends SparkTestBase {
       onBuild = () => sys.error("converged index rebuilt"),
       onAppend = _ => sys.error("converged index appended"))
   }
+
+  test("q284 maintenance cycle: SKIP carries the mask, FIRE compacts and truncates, and both branches serve identical rows") {
+    import graft.operators.{Round15Queries => R15}
+    // the pure rule's boundary arithmetic (exact integers)
+    assert(!Round17Queries.chooseIndexRebuild(1L, 8L, 1L, 4L))
+    assert(Round17Queries.chooseIndexRebuild(2L, 8L, 1L, 4L))
+    assert(Round17Queries.chooseIndexRebuild(3L, 8L, 1L, 4L))
+    // gated cycle at the SLO threshold (1/4): the ~1/7 delete SKIPs
+    val skip = Round17Queries.postingsMaintenanceCycleCore(spark, sf0001,
+      Round17Queries.IndexRebuildThrNum, Round17Queries.IndexRebuildThrDen)
+      .collect()
+    assert(skip.nonEmpty)
+    val s0 = skip.head
+    assert(s0.getAs[Long]("fire") === 0L)
+    assert(s0.getAs[Long]("n_carried") === s0.getAs[Long]("dead_rows"))
+    assert(s0.getAs[Long]("dead_rows") > 0L)
+    assert((s0.getAs[Long]("builds"), s0.getAs[Long]("appends"))
+      === ((1L, 1L)))
+    // SKIP leaves the full corpus indexed
+    assert(s0.getAs[Long]("post_rows") === s0.getAs[Long]("live_rows"))
+    // a tighter threshold (1/8 < 1/7) drives the FIRE branch
+    val fire = Round17Queries.postingsMaintenanceCycleCore(spark, sf0001,
+      1L, 8L).collect()
+    val f0 = fire.head
+    assert(f0.getAs[Long]("fire") === 1L)
+    assert(f0.getAs[Long]("n_carried") === 0L, "FIRE truncates tombstones")
+    assert((f0.getAs[Long]("builds"), f0.getAs[Long]("appends"))
+      === ((2L, 1L)), "FIRE rebuilds once more")
+    // the compact really shrank the indexed corpus to the survivors
+    assert(f0.getAs[Long]("post_rows") ===
+      f0.getAs[Long]("live_rows") - f0.getAs[Long]("dead_rows"))
+    // BRANCH INVARIANCE observed end-to-end: both branches serve the
+    // identical ranking (masked serve ≡ post-compact rebuild serve)
+    def serveRows(rows: Array[org.apache.spark.sql.Row]) =
+      rows.map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("doc_id"),
+        r.getAs[Double]("bm25"), r.getAs[Long]("n_terms_hit"),
+        r.getAs[Long]("rk"))).toSet
+    assert(serveRows(skip) === serveRows(fire))
+    // and no tombstoned doc surfaces on either branch
+    val dead = graft.Tables.documents(spark, sf0001).select(col("doc_id"))
+      .filter(col("doc_id") % R15.Bm25DeleteMod === R15.Bm25DeleteRem)
+      .collect().map(_.getLong(0)).toSet
+    assert(!serveRows(skip).exists(t => dead(t._2)))
+  }
 }
