@@ -968,7 +968,10 @@ class PlanSpec extends SparkTestBase {
       "q271_bm25_params_auto" -> "the q244 query-synthesis windows (LIMIT-300 term table, LIMIT-150 pair table — TakeOrderedAndProject feeds both); sweep DCG, ideal IDCG, and the served ranking are all per-key heaps + key-partitioned ≤k windows, never an unpartitioned rank over the grid-scored stream",
       "q275_vocab_size_auto" -> "the prune ladder's multi-piece quota rank rides the trained piece-count table — |seed support| rows under the MaxSeedPieces cap (the q266 class); the corpus is touched only by the word-count pass, localCheckpointed away, and the fertility sweep collects one scalar pair per swept size before the served plan exists",
       "q279_vocab_choice_encode" -> "the piece-id rank rides the persisted vocabulary's score table — ≤ the chosen vocab size (≤64) rows read from the choices/unigram-vocab artifact, the q126/q269 id-assignment class; corpus rows never enter a window (the encode is the q269 shape: word-keyed join + doc-keyed reassembly)",
-      "q281_bm25_index_serve" -> "the q244 query-synthesis windows rerun over the ARTIFACT's vocabulary-sized df table (LIMIT-300 term table, LIMIT-150 pair table — TakeOrderedAndProject feeds both); scoring rides partition-pruned postings buckets and ranks via per-key heaps, never an unpartitioned window over the scored stream")
+      "q281_bm25_index_serve" -> "the q244 query-synthesis windows rerun over the ARTIFACT's vocabulary-sized df table (LIMIT-300 term table, LIMIT-150 pair table — TakeOrderedAndProject feeds both); scoring rides partition-pruned postings buckets and ranks via per-key heaps, never an unpartitioned window over the scored stream",
+      "q282_postings_append_cycle" -> "the q281 class verbatim: query synthesis over the appended ARTIFACT's vocabulary-sized df table; the cycle's build/append verbs run eagerly before the served plan exists",
+      "q283_bm25_delete_serve" -> "the q281 class over the MASKED vocabulary-sized df table (stored df minus per-term dead counts — still |vocab| rows); scoring rides the pruned+masked postings slices and per-key heaps",
+      "q284_postings_maintenance_cycle" -> "the q282/q283 class: synthesis windows over a vocabulary-sized df table (masked on SKIP, rebuilt on FIRE); lifecycle verbs run eagerly before the served plan exists")
     val offenders = graft.SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
       case (name, fn) =>
         val ws = try unpartitionedWindows(fn(spark, sf0001)) catch {
@@ -1006,6 +1009,26 @@ class PlanSpec extends SparkTestBase {
     assert(p.contains("BroadcastHashJoin"), p)
     assert(!p.contains("CartesianProduct"), p)
     // tree-form lines only — the detail section repeats node names
+    val bnlj = p.linesIterator.count(_.contains("- BroadcastNestedLoopJoin"))
+    assert(bnlj <= 1, s"only the 1-row stats cross join may nest:\n$p")
+  }
+
+  test("q283: the masked serve keeps the q281 locks — pruned postings, per-key heaps, no cartesian") {
+    Round15Queries.ensureBm25IndexIncremental(spark, sf0001)
+    val df = Round15Queries.q283Bm25DeleteServe(spark, sf0001)
+    val p = formatted(df)
+    // the tombstone mask must not defeat the bucket pruning: the
+    // SERVING postings scan still carries the pt PartitionFilter (the
+    // masked-df pass reads all buckets by design — that is its
+    // documented vocabulary-df bill, not the serve's)
+    val pf = p.linesIterator.filter(_.contains("PartitionFilters"))
+      .mkString("\n")
+    assert(pf.contains("pt"),
+      s"masked postings serve must stay partition-pruned on pt:\n$pf")
+    assert(df.queryExecution.optimizedPlan.collect {
+      case t: graft.plans.TopKPerKey => t
+    }.nonEmpty, "q283 must rank via TopKPerKeyExec")
+    assert(!p.contains("CartesianProduct"), p)
     val bnlj = p.linesIterator.count(_.contains("- BroadcastNestedLoopJoin"))
     assert(bnlj <= 1, s"only the 1-row stats cross join may nest:\n$p")
   }
@@ -1109,7 +1132,10 @@ class PlanSpec extends SparkTestBase {
       "q271_bm25_params_auto" -> "same LIMIT-150 query-table broadcast as q244 inside the component build (usually hidden behind the component checkpoint); the grid is a literal array (no join at all), the sweep collects 12 rows, and the served plan re-ranks the chosen slice of the fold over the checkpointed components",
       "q275_vocab_size_auto" -> "broadcast sides are the chosen pruned vocabulary's renormalized score table and its 1-row total (both ⊆ the MaxSeedPieces-capped seed support — the q269 broadcast-vocab contract); the fertility sweep reduces each ladder point to one scalar pair before the served plan exists",
       "q276_lifecycle_cycle" -> "serves q263's probe shape at the measured dial over the REFRESHED generation (|Q|·nprobe probe rows + |Q|-row LUT, the same k-bounded window filter); the lifecycle verbs — audit, retrain/compact, re-audit, tuning sweep — run inside the operator before the served plan exists, and every tombstone side is capacity-gated via BoundedBroadcast (the q254/q265 pattern)",
-      "q281_bm25_index_serve" -> "the two hinted sides are the LIMIT-150 query-table synthesis (the q244 contract, rebuilt over the artifact's vocabulary-sized df table) and its distinct-terms projection (≤ |Q|·2 rows) — both localCheckpointed, which hides the limits from the shape rule; the df/dl/stats sides are artifact scans the path rule already accepts, and the postings side is never broadcast (it is the partition-pruned probe side)")
+      "q281_bm25_index_serve" -> "the two hinted sides are the LIMIT-150 query-table synthesis (the q244 contract, rebuilt over the artifact's vocabulary-sized df table) and its distinct-terms projection (≤ |Q|·2 rows) — both localCheckpointed, which hides the limits from the shape rule; the df/dl/stats sides are artifact scans the path rule already accepts, and the postings side is never broadcast (it is the partition-pruned probe side)",
+      "q282_postings_append_cycle" -> "the q281 serve shapes verbatim over the appended artifact (LIMIT-150 query synthesis + its ≤|Q|·2 distinct-terms projection, both localCheckpointed); the build/append verbs are writes that run before the served plan exists",
+      "q283_bm25_delete_serve" -> "the q281 serve shapes plus the tombstone side, which is capacity-gated via BoundedBroadcast (graft.bm25.maxTombstones, shuffled anti-join fallback — the q254 pattern); the localCheckpoint hides the gate from the shape rule",
+      "q284_postings_maintenance_cycle" -> "the q282/q283 serve shapes (branch-dependent: plain on FIRE, tombstone-masked on SKIP — the tombstone side capacity-gated via BoundedBroadcast); lifecycle verbs are writes that run before the served plan exists")
     val offenders = graft.SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
       case (name, fn) =>
         val unbounded = try hintedSides(fn(spark, sf0001)).filterNot(bounded) catch {

@@ -393,6 +393,29 @@ class PropertySpec extends SparkTestBase {
     }
   }
 
+  test("chooseIndexRebuild laws: exact threshold semantics, monotone in dead, anti-monotone in live, rational-scale invariance") {
+    for (seed <- 1L to 300L) {
+      val dead = sample(Gen.chooseNum(0L, 100000L), seed)
+      val live = sample(Gen.chooseNum(1L, 100000L), seed + 90000)
+      val num = sample(Gen.chooseNum(1L, 16L), seed + 180000)
+      val den = sample(Gen.chooseNum(1L, 16L), seed + 270000)
+      val fired = Round17Queries.chooseIndexRebuild(dead, live, num, den)
+      // the rule IS the exact rational comparison dead/live ≥ num/den
+      assert(fired === (dead * den >= live * num))
+      // more deletes never un-fire; more live rows never fire harder
+      if (fired) {
+        assert(Round17Queries.chooseIndexRebuild(dead + 1L, live, num, den))
+      } else {
+        assert(!Round17Queries.chooseIndexRebuild(dead, live + 1L, num, den))
+      }
+      // threshold is a RATIONAL: scaling num/den together changes nothing
+      assert(Round17Queries.chooseIndexRebuild(dead, live, num * 3L, den * 3L)
+        === fired)
+      // exact boundary: dead/live == num/den fires (≥, not >)
+      assert(Round17Queries.chooseIndexRebuild(num, den, num, den))
+    }
+  }
+
   test("chooseRetrain laws: monotone in drift, anti-monotone in tolerance, zero-base degenerate") {
     for (seed <- 1L to 300L) {
       val base = sample(Gen.chooseNum(0, 2000), seed) / 1000.0
