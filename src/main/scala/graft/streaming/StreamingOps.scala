@@ -1005,6 +1005,40 @@ object StreamingOps {
       .start()
   }
 
+  /** [[streamingBm25Rank]] under a tombstone mask — the q283 delete
+    * verb on the serving stream: the dial, the postings index, AND the
+    * delete set are all read once at stream start and FROZEN for the
+    * stream's lifetime (the frozen-artifact discipline — deletes that
+    * arrive mid-flight belong to the next stream epoch, exactly as a
+    * corpus move does); every micro-batch of queries is served through
+    * the SAME masked batch core q283 gates
+    * ([[graft.operators.Round15Queries.bm25ServeQueriesFromIndexMasked]]),
+    * so stream ≡ batch by shared code and the filtered-corpus
+    * exactness theorem carries over verbatim: no dead doc at any rank,
+    * df/stats at the surviving corpus's exact values. Missing dial or
+    * index at start is a deployment error (never a mid-stream sweep or
+    * tokenize). Per-batch cost = the q283 masked-serve bill.
+    */
+  def streamingBm25RankMasked(s: SparkSession, dir: String,
+      queries: DataFrame, tombstones: DataFrame)(emit: DataFrame => Unit)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    val c = graft.operators.Round15Queries.bm25ChoiceRead(s,
+      graft.operators.Round15Queries.bm25ChoicePath(dir)).getOrElse(
+      sys.error("streamingBm25RankMasked: no persisted (k1, b) artifact " +
+        s"for $dir — run prepareBm25ParamsChoice first"))
+    val idx = graft.operators.Round15Queries.bm25IndexPath(dir)
+    if (graft.operators.Round15Queries.bm25IndexRead(s, idx).isEmpty)
+      sys.error("streamingBm25RankMasked: no persisted postings index " +
+        s"for $dir — run prepareBm25Index first")
+    val frozen = tombstones.select(col("doc_id")).localCheckpoint()
+    queries.writeStream.outputMode("append")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        emit(graft.operators.Round15Queries.bm25ServeQueriesFromIndexMasked(
+          s, idx, batch, c.k1Micro, c.bMicro, frozen))
+      }
+      .start()
+  }
+
   /** Streaming POSTINGS-INDEX maintenance — the q282 append verb as a
     * live ingest sink, and [[streamingIvfPqAppend]]'s text-retrieval
     * twin: documents stream in; each micro-batch is tokenized and

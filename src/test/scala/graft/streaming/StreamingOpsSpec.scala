@@ -1316,6 +1316,46 @@ class StreamingOpsSpec extends SparkTestBase {
     assert(got.forall(t => t._1 == c.k1Micro && t._2 == c.bMicro))
   }
 
+  test("streaming masked BM25 serve: uneven micro-batches union to the batch masked serve; dead docs never surface") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import graft.operators.Round15Queries
+    Round15Queries.prepareBm25ParamsChoice(spark, sf0001)
+    Round15Queries.prepareBm25Index(spark, sf0001)
+    val idx = Round15Queries.bm25IndexPath(sf0001)
+    val tombs = spark.read.parquet(s"$idx/dl").select($"doc_id")
+      .filter($"doc_id" % Round15Queries.Bm25DeleteMod
+        === Round15Queries.Bm25DeleteRem).localCheckpoint()
+    // any shared workload proves the law; the corpus-derived q244
+    // synthesis is the public surface (q283's own gate covers the
+    // masked-df synthesis)
+    val qt = Round15Queries.multiBm25QueryTable(spark, sf0001)
+    val c = Round15Queries.bm25ChoiceRead(spark,
+      Round15Queries.bm25ChoicePath(sf0001)).get
+    val qrows = qt.collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    // whole-query micro-batch split (the batch contract)
+    val ids = qrows.map(_._1).distinct.sorted
+    val batches = Seq(ids.take(20), ids.slice(20, 90), ids.drop(90))
+      .filter(_.nonEmpty)
+      .map(g => qrows.filter(r => g.contains(r._1)))
+    val got = scala.collection.mutable.Set.empty[Seq[Any]]
+    val input = MemoryStream[(Long, String)]
+    val q = StreamingOps.streamingBm25RankMasked(spark, sf0001,
+        input.toDF.toDF("query_id", "term"), tombs) { v =>
+      v.collect().foreach(r => got.synchronized { got += r.toSeq })
+    }
+    batches.foreach { b =>
+      input.addData(b.toIndexedSeq: _*); q.processAllAvailable()
+    }
+    q.stop()
+    val batchServe = Round15Queries.bm25ServeQueriesFromIndexMasked(
+        spark, idx, qt, c.k1Micro, c.bMicro, tombs)
+      .collect().map(_.toSeq).toSet
+    assert(got.toSet === batchServe)
+    val dead = tombs.collect().map(_.getLong(0)).toSet
+    assert(!got.exists(r => dead(r(3).asInstanceOf[Long])))
+  }
+
   test("streaming postings append across uneven micro-batches equals a from-scratch build") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
