@@ -743,15 +743,95 @@ object Round17Queries {
        |ORDER BY b.query_id, b.rk""".stripMargin
   }
 
+  // --------------------------------------------------------------- q285
+  /** LAKE TIME TRAVEL — snapshot-isolated reads over the append-only
+    * documents lake ([[graft.io.SnapshotStore]]): every ingest records
+    * a numbered file manifest (pure metadata — the q282 ledger
+    * machinery), and reading AS OF snapshot k scans exactly those
+    * files, byte-identical to what a reader saw then, however many
+    * appends landed since. The manifest core of the lakehouse formats
+    * (Iceberg/Delta), derived here from the same file-immutability
+    * invariant the stamp sidecar and the index ledger already lean on.
+    *
+    * The gated cycle: seed the base lake → snapshot 1 → append the
+    * held-out batch → snapshot 2 → read BOTH snapshots back and report
+    * each state's corpus stamp and exact token count. Snapshot 1 is
+    * read AFTER the append — the gate is that the past state is still
+    * exactly queryable (stamp AND token sum equal the filtered corpus;
+    * the oracle replays both states as WHERE-filtered aggregates over
+    * the full documents table). Round17QueriesSpec pins the byte-level
+    * row equality of the as-of-1 read against a pre-append capture,
+    * monotone ids, and the REWRITE-FATAL boundary (an overwrite makes
+    * the snapshot read fail loudly, never silently serve the new
+    * state).
+    *
+    * 100 TB shape: recording a snapshot is a file listing + TSV write
+    * (zero data reads); an as-of read prunes at the FILE level before
+    * the scan starts, so its cost is the snapshot's own data volume,
+    * not the lake's current size. Bounded-collect class: 2 rows.
+    */
+  private[operators] def snapLakePath(sfDir: String): String =
+    new java.io.File(s"target/snaplake/${PathTag.tagFor(sfDir)}")
+      .getAbsolutePath
+
+  def q285SnapshotRead(s: SparkSession, dir: String): DataFrame = {
+    val lake = snapLakePath(dir)
+    val lakeDocs = s"$lake/documents.parquet"
+    val snaps = s"$lake/snapshots"
+    rmrf(new java.io.File(lake))
+    val docs = Tables.documents(s, dir)
+    docs.filter(col("doc_id") % IngestMod =!= IngestRem)
+      .write.mode("overwrite").parquet(lakeDocs)
+    val s1 = graft.io.SnapshotStore.record(s, lakeDocs, snaps)
+    docs.filter(col("doc_id") % IngestMod === IngestRem)
+      .write.mode("append").parquet(lakeDocs)
+    val s2 = graft.io.SnapshotStore.record(s, lakeDocs, snaps)
+    def stateRow(id: Int): (Long, Long, Long, Long) = {
+      val d = graft.io.SnapshotStore.readAsOf(s, snaps, id)
+        .select(col("doc_id"), col("text"))
+      val (r, c) = ChoiceStore.documentsStamp(d)
+      val nt = d.agg(coalesce(sum(size(
+          graft.text.TextPrep.tokensCol(col("text")))), lit(0))
+          .cast("long"))
+        .head().getLong(0)
+      (id.toLong, r, c, nt)
+    }
+    import s.implicits._
+    Seq(stateRow(s1), stateRow(s2))
+      .toDF("snap_id", "doc_rows", "doc_content", "n_tokens")
+      .orderBy(col("snap_id"))
+  }
+
+  /** Both snapshot states replayed as WHERE-filtered aggregates over
+    * the full documents table (snapshot 1 ≡ the base filter, snapshot
+    * 2 ≡ everything — the append-only lake's content law). */
+  val q285Sql: String = {
+    def state(id: Int, where: String): String =
+      s"""SELECT CAST($id AS BIGINT) AS snap_id,
+         |       CAST(count(*) AS BIGINT) AS doc_rows,
+         |       CAST(coalesce(sum((doc_id * 31 + strlen(text)) % 1048576),
+         |                     0) AS BIGINT) AS doc_content,
+         |       CAST(coalesce(sum(len(list_filter(string_split(trim(
+         |                regexp_replace(lower(text), '(\\d|\\W)+', ' ', 'g')),
+         |              ' '), x -> x <> ''))), 0) AS BIGINT) AS n_tokens
+         |FROM documents $where""".stripMargin
+    s"""${state(1, s"WHERE doc_id % $IngestMod <> $IngestRem")}
+       |UNION ALL
+       |${state(2, "")}
+       |ORDER BY snap_id""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q278_choice_staleness_audit" -> (q278ChoiceStalenessAudit _),
     "q280_corpus_ingest_cycle" -> (q280CorpusIngestCycle _),
     "q282_postings_append_cycle" -> (q282PostingsAppendCycle _),
-    "q284_postings_maintenance_cycle" -> (q284PostingsMaintenanceCycle _))
+    "q284_postings_maintenance_cycle" -> (q284PostingsMaintenanceCycle _),
+    "q285_snapshot_read" -> (q285SnapshotRead _))
 
   def oraclesFor(sfDir: String): Map[String, String] = Map(
     "q278_choice_staleness_audit" -> q278SqlFor(sfDir),
     "q280_corpus_ingest_cycle" -> q280SqlFor(sfDir),
     "q282_postings_append_cycle" -> q282Sql,
-    "q284_postings_maintenance_cycle" -> q284Sql)
+    "q284_postings_maintenance_cycle" -> q284Sql,
+    "q285_snapshot_read" -> q285Sql)
 }

@@ -229,4 +229,51 @@ class Round17QueriesSpec extends SparkTestBase {
       .collect().map(_.getLong(0)).toSet
     assert(!serveRows(skip).exists(t => dead(t._2)))
   }
+
+  test("q285 snapshots: as-of reads are byte-exact after appends; ids monotone; rewrites fail loudly") {
+    import graft.io.SnapshotStore
+    val tmp = java.nio.file.Files.createTempDirectory("graft-snap")
+      .toFile.getAbsolutePath
+    val lakeDocs = s"$tmp/documents.parquet"
+    val snaps = s"$tmp/snapshots"
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+      .select("doc_id", "text")
+    docs.filter(col("doc_id") % 4 =!= 3).write.parquet(lakeDocs)
+    val s1 = SnapshotStore.record(spark, lakeDocs, snaps)
+    assert(s1 === 1)
+    // capture what a reader sees NOW, before any append
+    val before = spark.read.parquet(lakeDocs)
+      .collect().map(_.toSeq).toSet
+    docs.filter(col("doc_id") % 4 === 3)
+      .write.mode("append").parquet(lakeDocs)
+    val s2 = SnapshotStore.record(spark, lakeDocs, snaps)
+    assert(s2 === 2)
+    // the past state is still byte-exactly queryable after the append
+    val asOf1 = SnapshotStore.readAsOf(spark, snaps, 1)
+      .collect().map(_.toSeq).toSet
+    assert(asOf1 === before)
+    // ...and snapshot 2 is the current full state
+    val asOf2 = SnapshotStore.readAsOf(spark, snaps, 2)
+      .collect().map(_.toSeq).toSet
+    assert(asOf2 === spark.read.parquet(lakeDocs)
+      .collect().map(_.toSeq).toSet)
+    assert(asOf1 !== asOf2)
+    // the gated 2-row report agrees with direct filtered aggregates
+    val out = Round17Queries.q285SnapshotRead(spark, sf0001).collect()
+    assert(out.map(_.getAs[Long]("snap_id")).toSeq === Seq(1L, 2L))
+    val (fr, fc) = ChoiceStore.documentsStamp(
+      graft.Tables.documents(spark, sf0001)
+        .select(col("doc_id"), col("text")))
+    assert((out(1).getAs[Long]("doc_rows"),
+      out(1).getAs[Long]("doc_content")) === ((fr, fc)))
+    assert(out(0).getAs[Long]("doc_rows") < fr)
+    assert(out(0).getAs[Long]("n_tokens") < out(1).getAs[Long]("n_tokens"))
+    // REWRITE-FATAL: an overwrite invalidates the snapshot LOUDLY
+    docs.filter(col("doc_id") % 4 === 0).localCheckpoint()
+      .write.mode("overwrite").parquet(lakeDocs)
+    val e = intercept[IllegalArgumentException] {
+      SnapshotStore.readAsOf(spark, snaps, 1)
+    }
+    assert(e.getMessage.contains("invalidated by a rewrite"))
+  }
 }
