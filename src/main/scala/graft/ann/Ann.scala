@@ -1156,7 +1156,8 @@ object Ann {
   def ivfPqEnsureNprobeChoice(spark: SparkSession, indexDir: String,
       k: Int, targetRecall: Double, sweep: Seq[Int],
       tuneQueries: () => DataFrame, corpus: () => DataFrame,
-      tombstones: Option[DataFrame] = None): NprobeChoice = {
+      tombstones: Option[DataFrame] = None): NprobeChoice =
+    graft.operators.EnsureLock.withLock(s"$indexDir/choices/nprobe") {
     // `tombstones` is NOT call-by-need like the tuning inputs: it is
     // part of the validity KEY (the reachable set = index − deletes),
     // so the warm path must stamp it on every call — a delete-list-
@@ -1183,7 +1184,7 @@ object Ann {
       ivfPqChoiceWrite(spark, indexDir, c)
       c
     }
-  }
+    }
 
   /** [[ivfPqProbeAuto]] served from the PERSISTED choice (round-10
     * verdict #1 closed): ensure the artifact is valid for the current

@@ -66,15 +66,45 @@ object SnapshotStore {
     * boundary), never silently serves a different state. */
   def readAsOf(spark: SparkSession, snapDir: String, id: Int): DataFrame = {
     val m = manifest(spark, snapDir, id)
-    val fs = new org.apache.hadoop.fs.Path(m.head.path)
-      .getFileSystem(spark.sessionState.newHadoopConf())
-    val broken = m.filter { e =>
-      val p = new org.apache.hadoop.fs.Path(e.path)
-      !fs.exists(p) || fs.getFileStatus(p).getLen != e.len
-    }
-    require(broken.isEmpty,
-      s"SnapshotStore: snapshot $id invalidated by a rewrite — missing/" +
-        s"changed files: ${broken.map(_.path).mkString(", ")}")
+    requireIntact(spark, m, s"snapshot $id")
     spark.read.parquet(m.map(_.path): _*)
+  }
+
+  /** Read exactly what was ADDED between snapshots `fromId` < `toId` —
+    * the incremental-processing cursor: with an append-only lake the
+    * manifest difference IS the ingested batch, read without touching
+    * any pre-existing file (file-level pruning before the scan
+    * starts). `fromId = 0` means the empty baseline, so the first
+    * interval's delta is snapshot 1 itself. Soundness is a set law,
+    * spec-pinned: asOf(a) ∪ delta(a, b) ≡ asOf(b). An empty delta (a
+    * no-op interval) returns the to-snapshot's schema with zero rows.
+    */
+  def readDelta(spark: SparkSession, snapDir: String, fromId: Int,
+      toId: Int): DataFrame = {
+    require(0 <= fromId && fromId < toId,
+      s"SnapshotStore: need 0 <= from < to, got ($fromId, $toId)")
+    val from: Set[String] =
+      if (fromId == 0) Set.empty
+      else manifest(spark, snapDir, fromId).map(_.path).toSet
+    val to = manifest(spark, snapDir, toId)
+    val added = to.filterNot(e => from.contains(e.path))
+    requireIntact(spark, added, s"delta $fromId→$toId")
+    if (added.isEmpty) readAsOf(spark, snapDir, toId).limit(0)
+    else spark.read.parquet(added.map(_.path): _*)
+  }
+
+  private def requireIntact(spark: SparkSession,
+      m: Seq[StampSidecar.FileStamp], what: String): Unit = {
+    if (m.nonEmpty) {
+      val fs = new org.apache.hadoop.fs.Path(m.head.path)
+        .getFileSystem(spark.sessionState.newHadoopConf())
+      val broken = m.filter { e =>
+        val p = new org.apache.hadoop.fs.Path(e.path)
+        !fs.exists(p) || fs.getFileStatus(p).getLen != e.len
+      }
+      require(broken.isEmpty,
+        s"SnapshotStore: $what invalidated by a rewrite — missing/" +
+          s"changed files: ${broken.map(_.path).mkString(", ")}")
+    }
   }
 }

@@ -517,7 +517,8 @@ object DedupQueries {
     * and is call-by-need so the warm path provably never measures
     * (the q272 thunk law). */
   private[operators] def ensureBandingChoice(s: SparkSession, dir: String,
-      measure: () => (Long, Seq[(Int, Int, Long, Long)])): BandingChoice = {
+      measure: () => (Long, Seq[(Int, Int, Long, Long)])): BandingChoice =
+    EnsureLock.withLock(bandingChoicePath(dir)) {
     // sidecar form: warm validation is metadata-scale (round-11
     // verdict #1), exactly equal to the content fold
     val (dr, dc) = ChoiceStore.documentsStampCachedFor(s, dir)
@@ -535,7 +536,7 @@ object DedupQueries {
       bandingChoiceWrite(s, path, c)
       c
     }
-  }
+    }
 
   /** Ensure the persisted banding artifact is warm for `dir` — the
     * measurement sweep is offline corpus maintenance (the

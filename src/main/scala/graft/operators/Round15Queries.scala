@@ -745,7 +745,8 @@ object Round15Queries {
     * grid; `measure` is call-by-need so the warm path provably never
     * sweeps (the q272 thunk law). */
   private[operators] def ensureBm25ParamsChoice(s: SparkSession, dir: String,
-      measure: () => Seq[(Long, Long, Long)]): Bm25Choice = {
+      measure: () => Seq[(Long, Long, Long)]): Bm25Choice =
+    EnsureLock.withLock(bm25ChoicePath(dir)) {
     // sidecar form: warm validation is a file listing + TSV read, not
     // a full text-column fold (round-11 verdict #1); exactly equal to
     // the content fold, so the oracle's stamp replay is unchanged
@@ -762,7 +763,7 @@ object Round15Queries {
       bm25ChoiceWrite(s, path, c)
       c
     }
-  }
+    }
 
   /** Bench-prep surface: ensure the persisted (k1, b) artifact is warm
     * for `dir` — the cold sweep is offline corpus maintenance, run
@@ -901,17 +902,18 @@ object Round15Queries {
     * `build` is call-by-need so the warm path provably never
     * tokenizes (the q272 thunk law). */
   private[graft] def ensureBm25Index(s: SparkSession, dir: String,
-      build: (Long, Long) => Unit): Bm25Index = {
-    val (dr, dc) = ChoiceStore.documentsStampCachedFor(s, dir)
-    bm25IndexRead(s, bm25IndexPath(dir)).filter(m =>
-        m.docRows == dr && m.docContent == dc &&
-          m.nBuckets == Bm25IndexBuckets)
-      .getOrElse {
-        build(dr, dc)
-        bm25IndexRead(s, bm25IndexPath(dir)).getOrElse(
-          sys.error("ensureBm25Index: artifact unreadable after build"))
-      }
-  }
+      build: (Long, Long) => Unit): Bm25Index =
+    EnsureLock.withLock(bm25IndexPath(dir)) {
+      val (dr, dc) = ChoiceStore.documentsStampCachedFor(s, dir)
+      bm25IndexRead(s, bm25IndexPath(dir)).filter(m =>
+          m.docRows == dr && m.docContent == dc &&
+            m.nBuckets == Bm25IndexBuckets)
+        .getOrElse {
+          build(dr, dc)
+          bm25IndexRead(s, bm25IndexPath(dir)).getOrElse(
+            sys.error("ensureBm25Index: artifact unreadable after build"))
+        }
+    }
 
   /** Bench-prep surface: the build is offline corpus maintenance (the
     * prepareIvfPq convention); the timed number is the artifact
@@ -1087,7 +1089,8 @@ object Round15Queries {
     * convention — a warm call provably invokes neither). */
   private[graft] def ensureBm25IndexIncremental(s: SparkSession,
       dir: String, onBuild: () => Unit = () => (),
-      onAppend: Seq[String] => Unit = _ => ()): Bm25Index = {
+      onAppend: Seq[String] => Unit = _ => ()): Bm25Index =
+    EnsureLock.withLock(bm25IndexPath(dir)) {
     val (dr, dc) = ChoiceStore.documentsStampCachedFor(s, dir)
     val idxPath = bm25IndexPath(dir)
     bm25IndexRead(s, idxPath).filter(m => m.docRows == dr &&
@@ -1122,7 +1125,7 @@ object Round15Queries {
         bm25IndexRead(s, idxPath).getOrElse(sys.error(
           "ensureBm25IndexIncremental: artifact unreadable after build"))
       }
-  }
+    }
 
   /** Serve a query batch from the PERSISTED index at a fixed dial —
     * [[bm25ServeQueriesAtDial]]'s artifact-only twin: every input is

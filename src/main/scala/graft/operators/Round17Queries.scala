@@ -821,17 +821,100 @@ object Round17Queries {
        |ORDER BY snap_id""".stripMargin
   }
 
+  // --------------------------------------------------------------- q286
+  /** SNAPSHOT-DELTA reads — the incremental-processing CURSOR over the
+    * append-only lake ([[graft.io.SnapshotStore.readDelta]]): "process
+    * only what arrived since snapshot k" as a file-manifest difference,
+    * read without touching any pre-existing file. This is the batch
+    * counterpart of a streaming source's offset tracking (and the core
+    * of every incremental-ETL scheduler over a lakehouse table): each
+    * interval's delta IS the ingested batch, by the append-only
+    * invariant, and the cursor's soundness is a set law —
+    * asOf(a) ∪ delta(a, b) ≡ asOf(b) — pinned in Round17QueriesSpec.
+    *
+    * The gated cycle reuses the q285 lake chronology (seed → snapshot
+    * 1 → ingest → snapshot 2) and reports BOTH intervals' deltas
+    * (0→1 = the base load, 1→2 = the ingested batch) as stamp + exact
+    * token aggregates; the oracle replays each interval as the
+    * complementary WHERE filter over the full documents table. An
+    * incremental consumer that re-read an old file, missed a new one,
+    * or double-counted across intervals hash-mismatches.
+    *
+    * 100 TB shape: delta discovery is two TSV reads + a set difference
+    * (zero data I/O); the scan reads only the interval's own files —
+    * the whole point: nightly downstream jobs pay per-ingest cost,
+    * never per-lake cost. Bounded-collect class: 2 rows.
+    */
+  /** q286's OWN scratch lake — never shared with q285's: Verify runs
+    * gated queries concurrently, and two self-contained cycles
+    * seeding/rewriting ONE directory race each other (observed: doubled
+    * appends + a reader catching a mid-rewrite temp file). */
+  private[operators] def deltaLakePath(sfDir: String): String =
+    new java.io.File(s"target/dlake/${PathTag.tagFor(sfDir)}")
+      .getAbsolutePath
+
+  def q286SnapshotDelta(s: SparkSession, dir: String): DataFrame = {
+    val lake = deltaLakePath(dir)
+    val lakeDocs = s"$lake/documents.parquet"
+    val snaps = s"$lake/snapshots"
+    // rebuild the q285 chronology fresh (self-contained per call)
+    rmrf(new java.io.File(lake))
+    val docs = Tables.documents(s, dir)
+    docs.filter(col("doc_id") % IngestMod =!= IngestRem)
+      .write.mode("overwrite").parquet(lakeDocs)
+    graft.io.SnapshotStore.record(s, lakeDocs, snaps)
+    docs.filter(col("doc_id") % IngestMod === IngestRem)
+      .write.mode("append").parquet(lakeDocs)
+    graft.io.SnapshotStore.record(s, lakeDocs, snaps)
+    def intervalRow(a: Int, b: Int): (Long, Long, Long, Long, Long) = {
+      val d = graft.io.SnapshotStore.readDelta(s, snaps, a, b)
+        .select(col("doc_id"), col("text"))
+      val (r, c) = ChoiceStore.documentsStamp(d)
+      val nt = d.agg(coalesce(sum(size(
+          graft.text.TextPrep.tokensCol(col("text")))), lit(0))
+          .cast("long"))
+        .head().getLong(0)
+      (a.toLong, b.toLong, r, c, nt)
+    }
+    import s.implicits._
+    Seq(intervalRow(0, 1), intervalRow(1, 2))
+      .toDF("from_snap", "to_snap", "doc_rows", "doc_content", "n_tokens")
+      .orderBy(col("from_snap"))
+  }
+
+  /** Each interval's delta replayed as the complementary WHERE filter
+    * over the full documents table (0→1 ≡ the base slice, 1→2 ≡ the
+    * ingested batch — the append-only content law). */
+  val q286Sql: String = {
+    def interval(a: Int, b: Int, where: String): String =
+      s"""SELECT CAST($a AS BIGINT) AS from_snap,
+         |       CAST($b AS BIGINT) AS to_snap,
+         |       CAST(count(*) AS BIGINT) AS doc_rows,
+         |       CAST(coalesce(sum((doc_id * 31 + strlen(text)) % 1048576),
+         |                     0) AS BIGINT) AS doc_content,
+         |       CAST(coalesce(sum(len(list_filter(string_split(trim(
+         |                regexp_replace(lower(text), '(\\d|\\W)+', ' ', 'g')),
+         |              ' '), x -> x <> ''))), 0) AS BIGINT) AS n_tokens
+         |FROM documents $where""".stripMargin
+    s"""${interval(0, 1, s"WHERE doc_id % $IngestMod <> $IngestRem")}
+       |UNION ALL
+       |${interval(1, 2, s"WHERE doc_id % $IngestMod = $IngestRem")}
+       |ORDER BY from_snap""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q278_choice_staleness_audit" -> (q278ChoiceStalenessAudit _),
     "q280_corpus_ingest_cycle" -> (q280CorpusIngestCycle _),
     "q282_postings_append_cycle" -> (q282PostingsAppendCycle _),
     "q284_postings_maintenance_cycle" -> (q284PostingsMaintenanceCycle _),
-    "q285_snapshot_read" -> (q285SnapshotRead _))
+    "q285_snapshot_read" -> (q285SnapshotRead _),
+    "q286_snapshot_delta" -> (q286SnapshotDelta _))
 
   def oraclesFor(sfDir: String): Map[String, String] = Map(
     "q278_choice_staleness_audit" -> q278SqlFor(sfDir),
     "q280_corpus_ingest_cycle" -> q280SqlFor(sfDir),
     "q282_postings_append_cycle" -> q282Sql,
     "q284_postings_maintenance_cycle" -> q284Sql,
-    "q285_snapshot_read" -> q285Sql)
+    "q285_snapshot_read" -> q285Sql,
+    "q286_snapshot_delta" -> q286Sql)
 }

@@ -604,7 +604,8 @@ object UnigramQueries {
     * sweep, and budget; `train` is call-by-need so the warm path
     * provably never trains or sweeps (the q272 thunk law). */
   private[graft] def ensureVocabChoice(s: SparkSession, dir: String,
-      train: () => UnigramLm.Model): VocabChoice = {
+      train: () => UnigramLm.Model): VocabChoice =
+    EnsureLock.withLock(vocabChoicePath(dir)) {
     // sidecar form: warm validation is metadata-scale (round-11
     // verdict #1), exactly equal to the content fold
     val (dr, dc) = ChoiceStore.documentsStampCachedFor(s, dir)
@@ -627,7 +628,7 @@ object UnigramQueries {
           UnigramLm.prunedVocab(m.seed, m.counts, chosen)))
       c
     }
-  }
+    }
 
   /** Bench-prep surface: ensure the persisted vocabulary artifact is
     * warm for `dir` — training + sweep are offline corpus maintenance,

@@ -276,4 +276,46 @@ class Round17QueriesSpec extends SparkTestBase {
     }
     assert(e.getMessage.contains("invalidated by a rewrite"))
   }
+
+  test("q286 deltas: the cursor law asOf(a) ∪ delta(a,b) ≡ asOf(b); deltas are disjoint and exactly the batch") {
+    import graft.io.SnapshotStore
+    val tmp = java.nio.file.Files.createTempDirectory("graft-delta")
+      .toFile.getAbsolutePath
+    val lakeDocs = s"$tmp/documents.parquet"
+    val snaps = s"$tmp/snapshots"
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+      .select("doc_id", "text")
+    docs.filter(col("doc_id") % 4 =!= 3).write.parquet(lakeDocs)
+    SnapshotStore.record(spark, lakeDocs, snaps)
+    docs.filter(col("doc_id") % 4 === 3)
+      .write.mode("append").parquet(lakeDocs)
+    SnapshotStore.record(spark, lakeDocs, snaps)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq).toSet
+    val asOf1 = rows(SnapshotStore.readAsOf(spark, snaps, 1))
+    val asOf2 = rows(SnapshotStore.readAsOf(spark, snaps, 2))
+    val d01 = rows(SnapshotStore.readDelta(spark, snaps, 0, 1))
+    val d12 = rows(SnapshotStore.readDelta(spark, snaps, 1, 2))
+    // the cursor law, both intervals
+    assert(d01 === asOf1)
+    assert(asOf1.union(d12) === asOf2)
+    // intervals are disjoint (no double-processing) and non-vacuous
+    assert(asOf1.intersect(d12).isEmpty)
+    assert(d12.nonEmpty)
+    // the delta IS the ingested batch, byte-exact
+    assert(d12 === rows(docs.filter(col("doc_id") % 4 === 3)))
+    // skipping intermediate snapshots composes: delta(0,2) = everything
+    assert(rows(SnapshotStore.readDelta(spark, snaps, 0, 2)) === asOf2)
+    // the gated report's second interval equals the batch aggregates
+    val out = Round17Queries.q286SnapshotDelta(spark, sf0001).collect()
+    assert(out.map(r => (r.getAs[Long]("from_snap"),
+      r.getAs[Long]("to_snap"))).toSeq === Seq((0L, 1L), (1L, 2L)))
+    val batch = graft.Tables.documents(spark, sf0001)
+      .select(col("doc_id"), col("text"))
+      .filter(col("doc_id") % Round17Queries.IngestMod
+        === Round17Queries.IngestRem)
+    val (br, bc) = ChoiceStore.documentsStamp(batch)
+    assert((out(1).getAs[Long]("doc_rows"),
+      out(1).getAs[Long]("doc_content")) === ((br, bc)))
+  }
 }
