@@ -52,6 +52,61 @@ object AnnQueries {
        |SELECT qid, nid, cos, CAST(rk AS BIGINT) AS rk FROM best WHERE rk <= 3
        |ORDER BY qid, rk""".stripMargin
 
+  // ---------------------------------------------------------------- q287
+  /** CONTRASTIVE HARD-NEGATIVE MINING — the training-data operator
+    * behind embedding-model fine-tuning (the SBERT/E5 recipe): for
+    * each anchor, the nearest neighbor is the pseudo-positive, and the
+    * next-ranked neighbors are HARD negatives — close enough to be
+    * informative — EXCEPT those inside the near-duplicate band
+    * (cos ≥ [[NearDupCos]], the corpus's q24 dup threshold), which are
+    * likely unlabeled positives and would poison the loss as false
+    * negatives; dup-band rows at rank ≥ 2 are dropped entirely
+    * (neither pos nor neg).
+    *
+    * Exact top-[[MiningK]] per anchor via the q21 brute-force core
+    * ([[Ann.bruteForceTopKViaOperator]] — bounded per-key heaps, |Q|
+    * broadcast, never queries×corpus through a sort); the role split
+    * is row-local. The oracle extends the q21 chain with the role CASE
+    * and the dup-band filter, so a miner that mis-ranked, kept a
+    * dup-band negative, or dropped a legitimate one hash-mismatches.
+    *
+    * 100 TB shape: the exact scan is the AUDIT form; the production
+    * candidate generator swaps to the IVF-PQ probe with the role/
+    * exclusion tail unchanged (the q238/q262 candidate-swap story).
+    */
+  val MiningK = 8
+
+  /** The mining tail over ANY candidate generator's ranked output —
+    * shared by q287 (exact candidates) and the spec's planted-dup
+    * fixture; a production IVF-PQ candidate swap reuses it unchanged. */
+  private[graft] def hardNegativesCore(queries: DataFrame,
+      corpus: DataFrame, k: Int): DataFrame =
+    Ann.bruteForceTopKViaOperator(queries, corpus, k)
+      .select(col("qid").as("anchor"), col("nid"), col("cos"), col("rk"))
+      .withColumn("role", when(col("rk") === 1, lit("pos"))
+        .when(col("cos") < NearDupCos, lit("hard_neg")))
+      .filter(col("role").isNotNull)
+
+  def q287HardNegativeMining(s: SparkSession, dir: String): DataFrame =
+    hardNegativesCore(querySubset(s, dir), emb(s, dir), MiningK)
+      .orderBy(col("anchor"), col("rk"))
+
+  val q287Sql: String =
+    s"""WITH q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id % $QueryMod = 0),
+       |pairs AS (
+       |  SELECT q.qid, e.vec_id AS nid,
+       |         round(${sqlDot("q.qv", "e.embedding")}, 6) AS cos
+       |  FROM q, embeddings e WHERE e.vec_id <> q.qid),
+       |best AS (
+       |  SELECT qid, nid, cos,
+       |         row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid ASC) AS rk
+       |  FROM pairs)
+       |SELECT qid AS anchor, nid, cos, CAST(rk AS BIGINT) AS rk,
+       |       CASE WHEN rk = 1 THEN 'pos' ELSE 'hard_neg' END AS role
+       |FROM best
+       |WHERE rk <= $MiningK AND (rk = 1 OR cos < $NearDupCos)
+       |ORDER BY anchor, rk""".stripMargin
+
   // ---------------------------------------------------------------- q89
   /** Int8-quantized cosine top-3 ([[Ann.quantizedTopK]]): the
     * compressed-vector variant of q21 — symmetric per-vector int8
@@ -2095,6 +2150,7 @@ object AnnQueries {
     "q250_multiprobe_lsh" -> (q250MultiProbeLsh _),
     "q20_lsh_top1_banded" -> (q20LshTop1Banded _),
     "q21_knn_bruteforce" -> (q21KnnBruteForce _),
+    "q287_hard_negative_mining" -> (q287HardNegativeMining _),
     "q22_lsh_buckets" -> (q22LshBuckets _),
     "q23_lsh_top1" -> (q23LshTop1 _),
     "q24_embedding_near_dups" -> (q24EmbeddingNearDups _),
@@ -2131,6 +2187,7 @@ object AnnQueries {
     "q250_multiprobe_lsh" -> q250Sql,
     "q20_lsh_top1_banded" -> q20Sql,
     "q21_knn_bruteforce" -> q21Sql,
+    "q287_hard_negative_mining" -> q287Sql,
     "q22_lsh_buckets" -> q22Sql,
     "q23_lsh_top1" -> q23Sql,
     "q24_embedding_near_dups" -> q24Sql,

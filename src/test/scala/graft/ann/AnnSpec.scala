@@ -1204,4 +1204,38 @@ class AnnSpec extends SparkTestBase {
     rmrf(dir); dir.mkdirs()
     assert(Ann.ivfPqChoiceRead(spark, idx) === None)
   }
+
+  test("q287 mining: exactly one pos per anchor at rank 1; negs below the dup band; planted dup-band neighbor is dropped") {
+    import graft.operators.AnnQueries
+    val out = AnnQueries.q287HardNegativeMining(spark, sf0001).collect()
+    assert(out.nonEmpty)
+    out.groupBy(_.getAs[Long]("anchor")).foreach { case (a, rows) =>
+      val pos = rows.filter(_.getAs[String]("role") == "pos")
+      assert(pos.length === 1, s"anchor $a")
+      assert(pos.head.getAs[Long]("rk") === 1L)
+      rows.filter(_.getAs[String]("role") == "hard_neg").foreach { r =>
+        assert(r.getAs[Double]("cos") < AnnQueries.NearDupCos)
+        assert(r.getAs[Long]("rk") >= 2L)
+      }
+    }
+    // the dup-band exclusion, exercised deterministically: a planted
+    // second near-duplicate must be NEITHER pos nor neg — a false
+    // negative that would poison a contrastive loss
+    def unit(x: Double, y: Double): Array[Float] = {
+      val n = math.sqrt(x * x + y * y)
+      Array((x / n).toFloat, (y / n).toFloat, 0f, 0f)
+    }
+    val fixture = Seq(
+      (0L, unit(1.0, 0.0)),      // the anchor
+      (1L, unit(1.0, 0.02)),     // nearest dup → rank 1 = pos
+      (2L, unit(1.0, 0.05)),     // SECOND dup (cos ≈ 0.999 ≥ 0.4) → dropped
+      (3L, unit(0.1, 1.0))       // cos ≈ 0.1 < 0.4 → the hard negative
+    ).toDF("vec_id", "embedding")
+    val mined = AnnQueries.hardNegativesCore(
+        fixture.filter($"vec_id" === 0L), fixture, k = 3)
+      .collect()
+      .map(r => (r.getAs[Long]("nid"), r.getAs[String]("role"))).toMap
+    assert(mined === Map(1L -> "pos", 3L -> "hard_neg"),
+      "the rank-2 dup-band neighbor must be dropped entirely")
+  }
 }

@@ -1111,6 +1111,7 @@ class PlanSpec extends SparkTestBase {
       "q89_quantized_topk" -> "same |Q|-bounded query-side broadcast as q21 (quantized form)",
       "q99_ann_recall" -> "same |Q|-bounded query-side broadcast as q21 (recall audit reuses it)",
       "q247_filtered_ann" -> "same |Q|-bounded query-side broadcast as q21; the label block key rides IN the broadcast join",
+      "q287_hard_negative_mining" -> "same |Q|-bounded query-side broadcast as q21 (the exact audit-form candidate generator; the role/exclusion tail is row-local)",
       "q43_ivf_topk" -> "probe side is |Q|·nprobe rows (window-filtered pr <= nprobe over the query subset — k-bounded per query, invisible to the shape rule)",
       "q245_ivfpq_topk" -> "probe side is |Q|·nprobe rows joined to the |Q|-row LUT aggregate — same k-bounded window filter as q43",
       "q249_ivfpq_rerank" -> "inherits q245's probe (|Q|·nprobe rows + |Q|-row LUT); the exact re-rank joins only the k·|Q|-row ADC shortlist back to the base vectors",
