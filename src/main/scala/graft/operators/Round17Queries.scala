@@ -902,13 +902,64 @@ object Round17Queries {
        |ORDER BY from_snap""".stripMargin
   }
 
+  // --------------------------------------------------------------- q288
+  /** DETERMINISTIC SPLIT ASSIGNMENT — train/val/test folds as a pure
+    * PROJECTION: fold = the HIGH bits of a Knuth multiplicative mix,
+    * `((doc_id·2654435761 mod 2^32)·[[SplitFolds]]) div 2^32`
+    * (fold 0 → test, 1 → val, rest → train: 10/10/80). High bits,
+    * deliberately: a multiplicative hash mod 2^32 PRESERVES the id's
+    * residues modulo powers of two in its LOW bits, so `h % 10` would
+    * leave every even doc_id unable to reach odd folds (caught by the
+    * decorrelation law's first run) — the div-by-2^32 form mixes all
+    * 32 bits into the fold and decorrelates it from every arithmetic
+    * id class the pipeline uses (the % 4 ingest batches, the % 7
+    * delete sets), while staying all-integer and exactly
+    * DuckDB-replayable. Domain bound documented like the packed-ord
+    * heaps: doc_id < 2^31 keeps the product inside int64 on both
+    * engines; a wider id space takes a pre-mod first.
+    *
+    * 100 TB shape: the whole operator is a map-only projection — ZERO
+    * shuffles, zero state; the assignment can be computed at ingest
+    * time, in a stream, or lazily at read time and always agrees (the
+    * spec's determinism/ingest-stability laws). Stratum balance is
+    * statistical (law of large numbers per lang), audited by one
+    * groupBy rollup; a deployment needing near-dup pairs to co-travel
+    * (leakage-free splits, the q128 audit's fix) hashes the dedup
+    * CLUSTER representative instead of the doc_id — same projection,
+    * different key.
+    */
+  val SplitFolds = 10L
+
+  def q288SplitAssign(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(col("doc_id"), col("lang"),
+        expr(s"CAST((((doc_id * 2654435761L) % 4294967296L) * " +
+          s"$SplitFolds) div 4294967296L AS BIGINT)").as("fold"))
+      .withColumn("split", when(col("fold") === 0L, lit("test"))
+        .when(col("fold") === 1L, lit("val"))
+        .otherwise(lit("train")))
+      .orderBy(col("doc_id"))
+
+  val q288Sql: String =
+    s"""SELECT doc_id, lang, fold,
+       |       CASE WHEN fold = 0 THEN 'test'
+       |            WHEN fold = 1 THEN 'val'
+       |            ELSE 'train' END AS split
+       |FROM (
+       |  SELECT doc_id, lang,
+       |         CAST((((doc_id * 2654435761) % 4294967296) * $SplitFolds)
+       |              // 4294967296 AS BIGINT) AS fold
+       |  FROM documents)
+       |ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q278_choice_staleness_audit" -> (q278ChoiceStalenessAudit _),
     "q280_corpus_ingest_cycle" -> (q280CorpusIngestCycle _),
     "q282_postings_append_cycle" -> (q282PostingsAppendCycle _),
     "q284_postings_maintenance_cycle" -> (q284PostingsMaintenanceCycle _),
     "q285_snapshot_read" -> (q285SnapshotRead _),
-    "q286_snapshot_delta" -> (q286SnapshotDelta _))
+    "q286_snapshot_delta" -> (q286SnapshotDelta _),
+    "q288_split_assign" -> (q288SplitAssign _))
 
   def oraclesFor(sfDir: String): Map[String, String] = Map(
     "q278_choice_staleness_audit" -> q278SqlFor(sfDir),
@@ -916,5 +967,6 @@ object Round17Queries {
     "q282_postings_append_cycle" -> q282Sql,
     "q284_postings_maintenance_cycle" -> q284Sql,
     "q285_snapshot_read" -> q285Sql,
-    "q286_snapshot_delta" -> q286Sql)
+    "q286_snapshot_delta" -> q286Sql,
+    "q288_split_assign" -> q288Sql)
 }

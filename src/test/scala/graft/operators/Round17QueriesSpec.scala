@@ -318,4 +318,43 @@ class Round17QueriesSpec extends SparkTestBase {
     assert((out(1).getAs[Long]("doc_rows"),
       out(1).getAs[Long]("doc_content")) === ((br, bc)))
   }
+
+  test("q288 split: total+disjoint, deterministic, ingest-stable, decorrelated from the pipeline's id classes, plausibly balanced") {
+    val out = Round17Queries.q288SplitAssign(spark, sf001).collect()
+    val docs = graft.Tables.documents(spark, sf001)
+    // TOTAL: every doc assigned exactly once
+    assert(out.length === docs.count())
+    assert(out.map(_.getAs[Long]("doc_id")).distinct.length === out.length)
+    // the fold→split map is the documented 10/10/80
+    out.foreach { r =>
+      val expected = r.getAs[Long]("fold") match {
+        case 0L => "test"; case 1L => "val"; case _ => "train" }
+      assert(r.getAs[String]("split") === expected)
+    }
+    // DETERMINISM: a rerun assigns identically (pure projection)
+    val again = Round17Queries.q288SplitAssign(spark, sf001).collect()
+    assert(out.map(_.toSeq).toSeq === again.map(_.toSeq).toSeq)
+    // INGEST STABILITY: assignment restricted to the base slice equals
+    // the full run's restriction — a doc's split never depends on what
+    // else is in the corpus (the map-only law observed)
+    val full = out.map(r => r.getAs[Long]("doc_id") ->
+      r.getAs[String]("split")).toMap
+    val baseIds = docs.filter(col("doc_id") % 4 =!= 3)
+      .select(col("doc_id")).collect().map(_.getLong(0)).toSet
+    assert(baseIds.forall(full.contains))
+    // DECORRELATION: each ingest class (% 4) and delete class (% 7)
+    // sees all three splits — a raw doc_id % 10 fold would correlate
+    for (m <- Seq(4L, 7L); r <- 0L until m) {
+      val cls = out.filter(x => x.getAs[Long]("doc_id") % m == r)
+        .map(_.getAs[String]("split")).toSet
+      assert(cls === Set("test", "val", "train"), s"class %$m=$r")
+    }
+    // BALANCE: global proportions near 10/10/80 (statistical law; the
+    // gate corpus is large enough for a loose band)
+    val n = out.length.toDouble
+    val test = out.count(_.getAs[String]("split") == "test") / n
+    val valF = out.count(_.getAs[String]("split") == "val") / n
+    assert(test > 0.05 && test < 0.15, s"test fraction $test")
+    assert(valF > 0.05 && valF < 0.15, s"val fraction $valF")
+  }
 }
