@@ -17,8 +17,9 @@ import org.apache.spark.sql.SparkSession
   * resulting 4M edges — see SCALE.md; q44 benches the CC loop itself
   * on a linear-size chain+random graph instead; q100 survivorship
   * composes the same q16→q19 chain and is excluded for the same
-  * reason; q128's split-leakage rollup and q172's canonical-purge
-  * resolution consume the q16 pairs too; q242's recall audit,
+  * reason; q128's split-leakage rollup, q172's canonical-purge
+  * resolution, and q289's cluster-keyed leak-free split consume the
+  * q16 pairs too (q289's projection itself is the benched q288); q242's recall audit,
   * q243's banding sweep, and q268's banding auto-choice materialize
   * the full exact τ=0.7 pair set on this deliberately self-similar
   * corpus (q268 additionally verifies the loosest swept banding's

@@ -930,15 +930,22 @@ object Round17Queries {
     */
   val SplitFolds = 10L
 
-  def q288SplitAssign(s: SparkSession, dir: String): DataFrame =
-    Tables.documents(s, dir)
+  /** The row-local assignment core — shared by q288, the streaming
+    * twin ([[graft.streaming.StreamingOps.streamingSplitAssign]]:
+    * stream ≡ batch because the fold is a pure function of the row),
+    * and q289's representative-keyed variant. Docs need (doc_id, lang).
+    */
+  private[graft] def assignSplits(docs: DataFrame): DataFrame =
+    docs
       .select(col("doc_id"), col("lang"),
         expr(s"CAST((((doc_id * 2654435761L) % 4294967296L) * " +
           s"$SplitFolds) div 4294967296L AS BIGINT)").as("fold"))
       .withColumn("split", when(col("fold") === 0L, lit("test"))
         .when(col("fold") === 1L, lit("val"))
         .otherwise(lit("train")))
-      .orderBy(col("doc_id"))
+
+  def q288SplitAssign(s: SparkSession, dir: String): DataFrame =
+    assignSplits(Tables.documents(s, dir)).orderBy(col("doc_id"))
 
   val q288Sql: String =
     s"""SELECT doc_id, lang, fold,
@@ -952,6 +959,50 @@ object Round17Queries {
        |  FROM documents)
        |ORDER BY doc_id""".stripMargin
 
+  // --------------------------------------------------------------- q289
+  /** LEAKAGE-FREE SPLIT — q288's scaladoc promise made gated code:
+    * near-duplicate documents must CO-TRAVEL across splits, or the
+    * test set leaks into training through copies (the q128 audit's
+    * root cause, and the published decontamination failure mode). The
+    * fold keys on the NEAR-DUP CLUSTER representative — q19's
+    * min-label connected component over the LSH near-dup pair set —
+    * with the IDENTICAL q288 high-bits mix applied to it: every doc in
+    * a cluster inherits the representative's fold, and a singleton
+    * cluster's component IS its own doc_id, so un-duplicated docs get
+    * exactly their q288 assignment (the agreement law, spec-pinned).
+    *
+    * 100 TB shape: the clustering is the dedup pipeline's EXISTING
+    * artifact (q19/q44 — computed once per corpus state for dedup
+    * anyway, never for the split alone); the split itself stays a
+    * map-only projection over (doc_id, component). Bench-excluded with
+    * the q19/q100 family (its input is the quadratic-output near-dup
+    * pair set on this deliberately self-similar corpus); the sf0.01
+    * gate runs it in full.
+    */
+  def q289LeakFreeSplit(s: SparkSession, dir: String): DataFrame =
+    DedupQueries.q19DupClusters(s, dir)
+      .select(col("doc_id"), col("component").as("rep_id"),
+        expr(s"CAST((((component * 2654435761L) % 4294967296L) * " +
+          s"$SplitFolds) div 4294967296L AS BIGINT)").as("fold"))
+      .withColumn("split", when(col("fold") === 0L, lit("test"))
+        .when(col("fold") === 1L, lit("val"))
+        .otherwise(lit("train")))
+      .orderBy(col("doc_id"))
+
+  /** The q19 recursive CC chain with the split projection on top. */
+  val q289Sql: String = DedupQueries.q19Sql.replace(
+    "SELECT doc_id, component FROM comp ORDER BY doc_id",
+    s"""SELECT doc_id, rep_id, fold,
+       |       CASE WHEN fold = 0 THEN 'test'
+       |            WHEN fold = 1 THEN 'val'
+       |            ELSE 'train' END AS split
+       |FROM (
+       |  SELECT doc_id, component AS rep_id,
+       |         CAST((((component * 2654435761) % 4294967296) * $SplitFolds)
+       |              // 4294967296 AS BIGINT) AS fold
+       |  FROM comp)
+       |ORDER BY doc_id""".stripMargin)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q278_choice_staleness_audit" -> (q278ChoiceStalenessAudit _),
     "q280_corpus_ingest_cycle" -> (q280CorpusIngestCycle _),
@@ -959,7 +1010,8 @@ object Round17Queries {
     "q284_postings_maintenance_cycle" -> (q284PostingsMaintenanceCycle _),
     "q285_snapshot_read" -> (q285SnapshotRead _),
     "q286_snapshot_delta" -> (q286SnapshotDelta _),
-    "q288_split_assign" -> (q288SplitAssign _))
+    "q288_split_assign" -> (q288SplitAssign _),
+    "q289_leakfree_split" -> (q289LeakFreeSplit _))
 
   def oraclesFor(sfDir: String): Map[String, String] = Map(
     "q278_choice_staleness_audit" -> q278SqlFor(sfDir),
@@ -968,5 +1020,6 @@ object Round17Queries {
     "q284_postings_maintenance_cycle" -> q284Sql,
     "q285_snapshot_read" -> q285Sql,
     "q286_snapshot_delta" -> q286Sql,
-    "q288_split_assign" -> q288Sql)
+    "q288_split_assign" -> q288Sql,
+    "q289_leakfree_split" -> q289Sql)
 }

@@ -1039,6 +1039,23 @@ object StreamingOps {
       .start()
   }
 
+  /** Streaming split assignment — q288's twin, and the operational
+    * point of the map-only design: because the fold is a pure function
+    * of the row (the high-bits Knuth mix), assignment at INGEST TIME
+    * agrees exactly with assignment computed later at read time —
+    * stream ≡ batch by shared code
+    * ([[graft.operators.Round17Queries.assignSplits]]) and by
+    * row-locality; no state, no reconciliation job. Docs need
+    * (doc_id, lang).
+    */
+  def streamingSplitAssign(docs: DataFrame)(emit: DataFrame => Unit)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream.outputMode("append")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        emit(graft.operators.Round17Queries.assignSplits(batch))
+      }
+      .start()
+
   /** Streaming POSTINGS-INDEX maintenance — the q282 append verb as a
     * live ingest sink, and [[streamingIvfPqAppend]]'s text-retrieval
     * twin: documents stream in; each micro-batch is tokenized and

@@ -357,4 +357,35 @@ class Round17QueriesSpec extends SparkTestBase {
     assert(test > 0.05 && test < 0.15, s"test fraction $test")
     assert(valF > 0.05 && valF < 0.15, s"val fraction $valF")
   }
+
+  test("q289 leak-free split: near-dup clusters co-travel (non-vacuously); singletons agree with q288; total") {
+    val out = Round17Queries.q289LeakFreeSplit(spark, sf0001).collect()
+    val clusters = DedupQueries.q19DupClusters(spark, sf0001).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("component"))
+    assert(out.length === clusters.length)
+    val split = out.map(r => r.getAs[Long]("doc_id") ->
+      r.getAs[String]("split")).toMap
+    // LEAKAGE LAW: same near-dup cluster ⇒ same split, non-vacuously
+    // (the corpus is deliberately self-similar — real clusters exist)
+    val groups = clusters.groupBy(_._2).values.toSeq
+    val dupGroups = groups.filter(_.length > 1)
+    assert(dupGroups.nonEmpty, "gate corpus must contain near-dup clusters")
+    dupGroups.foreach { g =>
+      assert(g.map(d => split(d._1)).toSet.size === 1,
+        s"cluster ${g.head._2} split apart")
+    }
+    // SINGLETON AGREEMENT: a singleton's component is its own doc_id,
+    // so its assignment equals q288's exactly
+    val q288 = Round17Queries.q288SplitAssign(spark, sf0001).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("split")).toMap
+    val singles = groups.filter(_.length == 1)
+    assert(singles.nonEmpty)
+    singles.foreach { g =>
+      assert(split(g.head._1) === q288(g.head._1))
+    }
+    // rep_id is the cluster's min-label component
+    val repOf = out.map(r => r.getAs[Long]("doc_id") ->
+      r.getAs[Long]("rep_id")).toMap
+    clusters.foreach { case (id, comp) => assert(repOf(id) === comp) }
+  }
 }

@@ -1356,6 +1356,27 @@ class StreamingOpsSpec extends SparkTestBase {
     assert(!got.exists(r => dead(r(3).asInstanceOf[Long])))
   }
 
+  test("streaming split assignment equals the batch projection on any micro-batch split") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+      .select("doc_id", "lang")
+    val all = docs.collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    val got = scala.collection.mutable.Set.empty[Seq[Any]]
+    val input = MemoryStream[(Long, String)]
+    val q = StreamingOps.streamingSplitAssign(
+        input.toDF.toDF("doc_id", "lang")) { v =>
+      v.collect().foreach(r => got.synchronized { got += r.toSeq })
+    }
+    Seq(all.take(7), all.slice(7, 100), all.drop(100)).filter(_.nonEmpty)
+      .foreach { g => input.addData(g.toIndexedSeq: _*)
+        q.processAllAvailable() }
+    q.stop()
+    val batch = graft.operators.Round17Queries
+      .assignSplits(docs).collect().map(_.toSeq).toSet
+    assert(got.toSet === batch)
+  }
+
   test("streaming postings append across uneven micro-batches equals a from-scratch build") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
