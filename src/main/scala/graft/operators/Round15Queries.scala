@@ -78,8 +78,16 @@ object Round15Queries {
     * stats). */
   private def multiBm25PlumbingWith(s: SparkSession, dir: String,
       qtermsOf: DataFrame => DataFrame)
+      : (DataFrame, DataFrame, DataFrame, DataFrame) =
+    multiBm25PlumbingDocs(Tables.documents(s, dir), qtermsOf)
+
+  /** The same plumbing over an EXPLICIT documents relation — what lets
+    * the q290 as-of serve run the identical pipeline against a
+    * snapshot read instead of the live table. */
+  private[graft] def multiBm25PlumbingDocs(docsIn: DataFrame,
+      qtermsOf: DataFrame => DataFrame)
       : (DataFrame, DataFrame, DataFrame, DataFrame) = {
-    val docs = Tables.documents(s, dir)
+    val docs = docsIn
       .select(col("doc_id"), TextPrep.tokensCol(col("text")).as("toks"))
     val dl = docs.select(col("doc_id"), size(col("toks")).cast("long").as("dl"))
     val stats = dl.agg(count(lit(1)).as("n_docs"),
@@ -1292,6 +1300,28 @@ object Round15Queries {
        |FROM best b CROSS JOIN dead dd
        |WHERE b.rk <= $MultiBm25K
        |ORDER BY b.query_id, b.rk""".stripMargin
+  }
+
+  /** Serve the standard synthesized workload over an EXPLICIT
+    * documents relation at a fixed dial — the q290 as-of serving core:
+    * the pipeline is the q244 recompute path verbatim (tokenize →
+    * dl/stats/df → synthesis from the relation's OWN vocabulary →
+    * fold-at-point → rank dispatch), parameterized only by which
+    * corpus state it reads, so serving a snapshot read reproduces
+    * exactly what the same call produced when that state was live. */
+  private[graft] def bm25ServeCorpusAtDial(docs: DataFrame,
+      k1Micro: Long, bMicro: Long): DataFrame = {
+    val (tfq, dl, dfTab, stats) =
+      multiBm25PlumbingDocs(docs, multiBm25QueryTableFrom)
+    val heapSafe = graft.plans.TopK.idRangeSafe(
+      docs.select(col("doc_id")), "doc_id", 1L << 25)
+    rankMultiBm25Dispatch(
+        scoreComponentsAtGrid(componentsOf(tfq, dl, dfTab, stats),
+            Seq((k1Micro, bMicro)))
+          .drop("k1_micro", "b_micro"),
+        heapSafe, MultiBm25K)
+      .select(col("query_id"), col("doc_id"), col("bm25"),
+        col("n_terms_hit"), col("rk"))
   }
 
   def q281Bm25IndexServe(s: SparkSession, dir: String): DataFrame = {

@@ -1003,6 +1003,79 @@ object Round17Queries {
        |  FROM comp)
        |ORDER BY doc_id""".stripMargin)
 
+  // --------------------------------------------------------------- q290
+  /** REPRODUCIBLE AS-OF RETRIEVAL — snapshots (q285) composed with the
+    * serving stack: "rerun yesterday's eval against yesterday's
+    * corpus" as one call. The serve reads the lake AS OF snapshot 1
+    * ([[graft.io.SnapshotStore.readAsOf]] — file-level pruning, the
+    * appended files never touched) and runs the q244 recompute
+    * pipeline over that state, INCLUDING the workload synthesis (the
+    * query table derives from the as-of vocabulary — point-in-time
+    * reproducibility covers the eval's inputs, not just its corpus).
+    * The spec pins the reproducibility law directly: the serve
+    * captured BEFORE the append equals the as-of serve AFTER it,
+    * byte-for-byte. The oracle replays the chain over the base WHERE
+    * slice (snapshot 1 ≡ the base filter, the append-only content
+    * law) plus the as-of stamp.
+    *
+    * 100 TB shape: cost = the snapshot's own data volume (the as-of
+    * read prunes files before the scan), not the lake's current size;
+    * a deployment pinning evals to snapshot ids gets bit-reproducible
+    * retrieval without retaining a separate corpus copy — retention of
+    * the files IS the snapshot (the q285 boundary).
+    */
+  private[operators] def asofLakePath(sfDir: String): String =
+    new java.io.File(s"target/asoflake/${PathTag.tagFor(sfDir)}")
+      .getAbsolutePath
+
+  def q290AsOfServe(s: SparkSession, dir: String): DataFrame = {
+    val lake = asofLakePath(dir)
+    val lakeDocs = s"$lake/documents.parquet"
+    val snaps = s"$lake/snapshots"
+    rmrf(new java.io.File(lake))
+    val docs = Tables.documents(s, dir)
+    docs.filter(col("doc_id") % IngestMod =!= IngestRem)
+      .write.mode("overwrite").parquet(lakeDocs)
+    graft.io.SnapshotStore.record(s, lakeDocs, snaps)
+    docs.filter(col("doc_id") % IngestMod === IngestRem)
+      .write.mode("append").parquet(lakeDocs)
+    graft.io.SnapshotStore.record(s, lakeDocs, snaps)
+    // the eval, pinned to snapshot 1 — served AFTER the append landed
+    val asOf = graft.io.SnapshotStore.readAsOf(s, snaps, 1)
+      .select(col("doc_id"), col("text"))
+    val (ar, ac) = ChoiceStore.documentsStamp(asOf)
+    Round15Queries.bm25ServeCorpusAtDial(asOf,
+        math.round(Round14Queries.Bm25K1 * 1e6),
+        math.round(Round14Queries.Bm25B * 1e6))
+      .withColumn("snap_id", lit(1L))
+      .withColumn("asof_rows", lit(ar))
+      .withColumn("asof_content", lit(ac))
+      .orderBy(col("query_id"), col("rk"))
+  }
+
+  /** The q244 chain over the base WHERE slice + the as-of stamp. */
+  val q290Sql: String = {
+    val filtered = Round15Queries.q244Sql.replace("FROM documents)",
+      s"FROM documents WHERE doc_id % $IngestMod <> $IngestRem)")
+    val prefix = filtered.substring(0, filtered.indexOf("best AS ("))
+    s"""${prefix}best AS (
+       |  SELECT query_id, doc_id, bm25, n_terms_hit,
+       |         row_number() OVER (PARTITION BY query_id
+       |                            ORDER BY bm25 DESC, doc_id ASC) AS rk
+       |  FROM scored),
+       |astamp AS (
+       |  SELECT CAST(count(*) AS BIGINT) AS asof_rows,
+       |         CAST(coalesce(sum((doc_id * 31 + strlen(text)) % 1048576),
+       |                       0) AS BIGINT) AS asof_content
+       |  FROM documents WHERE doc_id % $IngestMod <> $IngestRem)
+       |SELECT b.query_id, b.doc_id, b.bm25, b.n_terms_hit,
+       |       CAST(b.rk AS BIGINT) AS rk,
+       |       CAST(1 AS BIGINT) AS snap_id, a.asof_rows, a.asof_content
+       |FROM best b CROSS JOIN astamp a
+       |WHERE b.rk <= ${Round15Queries.MultiBm25K}
+       |ORDER BY b.query_id, b.rk""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q278_choice_staleness_audit" -> (q278ChoiceStalenessAudit _),
     "q280_corpus_ingest_cycle" -> (q280CorpusIngestCycle _),
@@ -1011,7 +1084,8 @@ object Round17Queries {
     "q285_snapshot_read" -> (q285SnapshotRead _),
     "q286_snapshot_delta" -> (q286SnapshotDelta _),
     "q288_split_assign" -> (q288SplitAssign _),
-    "q289_leakfree_split" -> (q289LeakFreeSplit _))
+    "q289_leakfree_split" -> (q289LeakFreeSplit _),
+    "q290_asof_serve" -> (q290AsOfServe _))
 
   def oraclesFor(sfDir: String): Map[String, String] = Map(
     "q278_choice_staleness_audit" -> q278SqlFor(sfDir),
@@ -1021,5 +1095,6 @@ object Round17Queries {
     "q285_snapshot_read" -> q285Sql,
     "q286_snapshot_delta" -> q286Sql,
     "q288_split_assign" -> q288Sql,
-    "q289_leakfree_split" -> q289Sql)
+    "q289_leakfree_split" -> q289Sql,
+    "q290_asof_serve" -> q290Sql)
 }

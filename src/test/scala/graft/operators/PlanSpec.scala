@@ -971,7 +971,8 @@ class PlanSpec extends SparkTestBase {
       "q281_bm25_index_serve" -> "the q244 query-synthesis windows rerun over the ARTIFACT's vocabulary-sized df table (LIMIT-300 term table, LIMIT-150 pair table — TakeOrderedAndProject feeds both); scoring rides partition-pruned postings buckets and ranks via per-key heaps, never an unpartitioned window over the scored stream",
       "q282_postings_append_cycle" -> "the q281 class verbatim: query synthesis over the appended ARTIFACT's vocabulary-sized df table; the cycle's build/append verbs run eagerly before the served plan exists",
       "q283_bm25_delete_serve" -> "the q281 class over the MASKED vocabulary-sized df table (stored df minus per-term dead counts — still |vocab| rows); scoring rides the pruned+masked postings slices and per-key heaps",
-      "q284_postings_maintenance_cycle" -> "the q282/q283 class: synthesis windows over a vocabulary-sized df table (masked on SKIP, rebuilt on FIRE); lifecycle verbs run eagerly before the served plan exists")
+      "q284_postings_maintenance_cycle" -> "the q282/q283 class: synthesis windows over a vocabulary-sized df table (masked on SKIP, rebuilt on FIRE); lifecycle verbs run eagerly before the served plan exists",
+      "q290_asof_serve" -> "the q244 synthesis windows over the AS-OF state's vocabulary-sized df table (LIMIT-300/LIMIT-150, TakeOrderedAndProject-fed); the snapshot chronology writes run eagerly before the served plan exists")
     val offenders = graft.SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
       case (name, fn) =>
         val ws = try unpartitionedWindows(fn(spark, sf0001)) catch {
@@ -1136,7 +1137,8 @@ class PlanSpec extends SparkTestBase {
       "q281_bm25_index_serve" -> "the two hinted sides are the LIMIT-150 query-table synthesis (the q244 contract, rebuilt over the artifact's vocabulary-sized df table) and its distinct-terms projection (≤ |Q|·2 rows) — both localCheckpointed, which hides the limits from the shape rule; the df/dl/stats sides are artifact scans the path rule already accepts, and the postings side is never broadcast (it is the partition-pruned probe side)",
       "q282_postings_append_cycle" -> "the q281 serve shapes verbatim over the appended artifact (LIMIT-150 query synthesis + its ≤|Q|·2 distinct-terms projection, both localCheckpointed); the build/append verbs are writes that run before the served plan exists",
       "q283_bm25_delete_serve" -> "the q281 serve shapes plus the tombstone side, which is capacity-gated via BoundedBroadcast (graft.bm25.maxTombstones, shuffled anti-join fallback — the q254 pattern); the localCheckpoint hides the gate from the shape rule",
-      "q284_postings_maintenance_cycle" -> "the q282/q283 serve shapes (branch-dependent: plain on FIRE, tombstone-masked on SKIP — the tombstone side capacity-gated via BoundedBroadcast); lifecycle verbs are writes that run before the served plan exists")
+      "q284_postings_maintenance_cycle" -> "the q282/q283 serve shapes (branch-dependent: plain on FIRE, tombstone-masked on SKIP — the tombstone side capacity-gated via BoundedBroadcast); lifecycle verbs are writes that run before the served plan exists",
+      "q290_asof_serve" -> "the q244 recompute serve shapes over the snapshot read (LIMIT-150 query synthesis + its distinct-terms projection, both localCheckpointed — the q244/q281 contract); the as-of scan is a file-pruned parquet read the path rule already accepts")
     val offenders = graft.SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
       case (name, fn) =>
         val unbounded = try hintedSides(fn(spark, sf0001)).filterNot(bounded) catch {

@@ -388,4 +388,43 @@ class Round17QueriesSpec extends SparkTestBase {
       r.getAs[Long]("rep_id")).toMap
     clusters.foreach { case (id, comp) => assert(repOf(id) === comp) }
   }
+
+  test("q290 as-of serve: the eval captured before the append reproduces byte-for-byte after it") {
+    import graft.io.SnapshotStore
+    val tmp = java.nio.file.Files.createTempDirectory("graft-asof")
+      .toFile.getAbsolutePath
+    val lakeDocs = s"$tmp/documents.parquet"
+    val snaps = s"$tmp/snapshots"
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+      .select("doc_id", "text")
+    docs.filter(col("doc_id") % 4 =!= 3).write.parquet(lakeDocs)
+    SnapshotStore.record(spark, lakeDocs, snaps)
+    // the eval as it ran when this state was LIVE
+    def serve(d: org.apache.spark.sql.DataFrame) =
+      Round15Queries.bm25ServeCorpusAtDial(d, 1200000L, 750000L)
+        .collect().map(_.toSeq).toSet
+    val live = serve(spark.read.parquet(lakeDocs))
+    // the corpus moves on...
+    docs.filter(col("doc_id") % 4 === 3)
+      .write.mode("append").parquet(lakeDocs)
+    SnapshotStore.record(spark, lakeDocs, snaps)
+    // ...and the pinned eval reproduces exactly
+    val asOf = serve(SnapshotStore.readAsOf(spark, snaps, 1)
+      .select(col("doc_id"), col("text")))
+    assert(asOf === live)
+    // non-vacuity: the live state's eval is now DIFFERENT
+    val now = serve(spark.read.parquet(lakeDocs))
+    assert(now !== live, "the append must change the live eval")
+    // the gated report carries the as-of stamp of the base slice
+    val out = Round17Queries.q290AsOfServe(spark, sf0001).collect()
+    val (br, bc) = ChoiceStore.documentsStamp(
+      graft.Tables.documents(spark, sf0001)
+        .select(col("doc_id"), col("text"))
+        .filter(col("doc_id") % Round17Queries.IngestMod
+          =!= Round17Queries.IngestRem))
+    assert(out.nonEmpty)
+    assert((out.head.getAs[Long]("asof_rows"),
+      out.head.getAs[Long]("asof_content")) === ((br, bc)))
+    assert(out.forall(_.getAs[Long]("snap_id") == 1L))
+  }
 }
