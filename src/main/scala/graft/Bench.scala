@@ -145,7 +145,7 @@ object Bench {
     "q282_postings_append_cycle", "q283_bm25_delete_serve",
     "q284_postings_maintenance_cycle", "q285_snapshot_read",
     "q286_snapshot_delta", "q287_hard_negative_mining",
-    "q288_split_assign", "q290_asof_serve",
+    "q288_split_assign", "q290_asof_serve", "q291_dataset_card",
     "q275_vocab_size_auto", "q276_lifecycle_cycle",
     "q277_vocab_choice_persist", "q279_vocab_choice_encode")
 

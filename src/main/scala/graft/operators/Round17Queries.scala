@@ -1076,6 +1076,70 @@ object Round17Queries {
        |ORDER BY b.query_id, b.rk""".stripMargin
   }
 
+  // --------------------------------------------------------------- q291
+  /** DATASET CARD — the per-(lang, source) datasheet a corpus release
+    * publishes (Gebru et al.'s datasheets; every HF dataset card's
+    * quantitative half): document counts, byte and exact token
+    * volumes, per-stratum vocabulary size, and mean tokens/doc, in one
+    * gated rollup. Exactness discipline: counts/sums are integers
+    * end-to-end; the only double is the final round-6 mean.
+    *
+    * Shape at scale: ONE tokenize pass feeds both the token-volume
+    * aggregate and the vocabulary count; volumes are two-level
+    * hash aggregates with map-side combine; the vocabulary count is a
+    * (lang, source, term)-keyed distinct then a count — the compound
+    * key spreads the shuffle, and nothing corpus-sized crosses more
+    * than once. Output is |lang|×|source| rows, the bounded class.
+    */
+  def q291DatasetCard(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+      .select(col("lang"), col("source"), col("text"))
+    val toks = docs.select(col("lang"), col("source"),
+      graft.text.TextPrep.tokensCol(col("text")).as("toks"))
+      .localCheckpoint() // one tokenize pass feeds volumes AND vocab
+    val vols = docs.groupBy(col("lang"), col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(octet_length(col("text"))).cast("long").as("n_bytes"))
+    val tokVols = toks.groupBy(col("lang"), col("source"))
+      .agg(coalesce(sum(size(col("toks"))), lit(0)).cast("long")
+        .as("n_tokens"))
+    val vocab = toks
+      .select(col("lang"), col("source"), explode(col("toks")).as("term"))
+      .distinct()
+      .groupBy(col("lang"), col("source"))
+      .agg(count(lit(1)).as("n_terms"))
+    vols.join(tokVols, Seq("lang", "source"))
+      .join(vocab, Seq("lang", "source"), "left_outer")
+      .select(col("lang"), col("source"), col("n_docs"), col("n_bytes"),
+        col("n_tokens"), coalesce(col("n_terms"), lit(0L)).as("n_terms"),
+        round(col("n_tokens") / col("n_docs"), 6).as("mean_tokens"))
+      .orderBy(col("lang"), col("source"))
+  }
+
+  val q291Sql: String =
+    s"""WITH lists AS (
+       |  SELECT lang, source,
+       |         list_filter(string_split(trim(regexp_replace(lower(text),
+       |           '(\\d|\\W)+', ' ', 'g')), ' '), x -> x <> '') AS toks,
+       |         strlen(text) AS n_bytes
+       |  FROM documents),
+       |vols AS (
+       |  SELECT lang, source, CAST(count(*) AS BIGINT) AS n_docs,
+       |         CAST(sum(n_bytes) AS BIGINT) AS n_bytes,
+       |         CAST(coalesce(sum(len(toks)), 0) AS BIGINT) AS n_tokens
+       |  FROM lists GROUP BY lang, source),
+       |vocab AS (
+       |  SELECT lang, source,
+       |         CAST(count(DISTINCT term) AS BIGINT) AS n_terms
+       |  FROM (SELECT lang, source, unnest(toks) AS term FROM lists)
+       |  GROUP BY lang, source)
+       |SELECT v.lang, v.source, v.n_docs, v.n_bytes, v.n_tokens,
+       |       coalesce(vc.n_terms, 0) AS n_terms,
+       |       round(v.n_tokens / CAST(v.n_docs AS DOUBLE), 6)
+       |         AS mean_tokens
+       |FROM vols v LEFT JOIN vocab vc USING (lang, source)
+       |ORDER BY v.lang, v.source""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q278_choice_staleness_audit" -> (q278ChoiceStalenessAudit _),
     "q280_corpus_ingest_cycle" -> (q280CorpusIngestCycle _),
@@ -1085,7 +1149,8 @@ object Round17Queries {
     "q286_snapshot_delta" -> (q286SnapshotDelta _),
     "q288_split_assign" -> (q288SplitAssign _),
     "q289_leakfree_split" -> (q289LeakFreeSplit _),
-    "q290_asof_serve" -> (q290AsOfServe _))
+    "q290_asof_serve" -> (q290AsOfServe _),
+    "q291_dataset_card" -> (q291DatasetCard _))
 
   def oraclesFor(sfDir: String): Map[String, String] = Map(
     "q278_choice_staleness_audit" -> q278SqlFor(sfDir),
@@ -1096,5 +1161,6 @@ object Round17Queries {
     "q286_snapshot_delta" -> q286Sql,
     "q288_split_assign" -> q288Sql,
     "q289_leakfree_split" -> q289Sql,
-    "q290_asof_serve" -> q290Sql)
+    "q290_asof_serve" -> q290Sql,
+    "q291_dataset_card" -> q291Sql)
 }

@@ -427,4 +427,29 @@ class Round17QueriesSpec extends SparkTestBase {
       out.head.getAs[Long]("asof_content")) === ((br, bc)))
     assert(out.forall(_.getAs[Long]("snap_id") == 1L))
   }
+
+  test("q291 dataset card: strata totals reconcile to the corpus; a from-scratch stratum replay agrees") {
+    val out = Round17Queries.q291DatasetCard(spark, sf0001).collect()
+    assert(out.nonEmpty)
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+      .select("lang", "source", "text").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2)))
+    // totals reconcile exactly to the corpus
+    assert(out.map(_.getAs[Long]("n_docs")).sum === docs.length.toLong)
+    assert(out.map(_.getAs[Long]("n_bytes")).sum ===
+      docs.map(_._3.getBytes("UTF-8").length.toLong).sum)
+    // from-scratch replay of one populated stratum
+    def toks(t: String) = t.toLowerCase
+      .replaceAll("(\\d|\\W)+", " ").trim.split(" ").filter(_.nonEmpty)
+    val (l0, s0, _) = docs.head
+    val stratum = docs.filter(d => d._1 == l0 && d._2 == s0)
+    val row = out.find(r => r.getAs[String]("lang") == l0 &&
+      r.getAs[String]("source") == s0).get
+    val allToks = stratum.flatMap(d => toks(d._3))
+    assert(row.getAs[Long]("n_docs") === stratum.length.toLong)
+    assert(row.getAs[Long]("n_tokens") === allToks.length.toLong)
+    assert(row.getAs[Long]("n_terms") === allToks.distinct.length.toLong)
+    assert(row.getAs[Double]("mean_tokens") ===
+      math.rint(allToks.length.toDouble / stratum.length * 1e6) / 1e6)
+  }
 }
