@@ -243,8 +243,7 @@ object Round17Queries {
       dir: String): DataFrame = {
     val lake = lakePath(dir)
     val lakeDocs = s"$lake/documents.parquet"
-    // 1. SEED: fresh lake + wiped lake-keyed artifacts (the doc-stamp
-    // sidecar too — it indexes the lake's files, all of which die here)
+    // 1. SEED: fresh lake + wiped lake-keyed artifacts
     rmrf(new java.io.File(lake))
     // (the lake's doc-stamp SIDECAR is deliberately not wiped: it is a
     // pure cache keyed by exact file identities, and the rebuild gives
@@ -905,7 +904,7 @@ object Round17Queries {
   // --------------------------------------------------------------- q288
   /** DETERMINISTIC SPLIT ASSIGNMENT — train/val/test folds as a pure
     * PROJECTION: fold = the HIGH bits of a Knuth multiplicative mix,
-    * `((doc_id·2654435761 mod 2^32)·[[SplitFolds]]) div 2^32`
+    * `(((doc_id mod 2^31)·2654435761 mod 2^32)·[[SplitFolds]]) div 2^32`
     * (fold 0 → test, 1 → val, rest → train: 10/10/80). High bits,
     * deliberately: a multiplicative hash mod 2^32 PRESERVES the id's
     * residues modulo powers of two in its LOW bits, so `h % 10` would
@@ -914,9 +913,16 @@ object Round17Queries {
     * 32 bits into the fold and decorrelates it from every arithmetic
     * id class the pipeline uses (the % 4 ingest batches, the % 7
     * delete sets), while staying all-integer and exactly
-    * DuckDB-replayable. Domain bound documented like the packed-ord
-    * heaps: doc_id < 2^31 keeps the product inside int64 on both
-    * engines; a wider id space takes a pre-mod first.
+    * DuckDB-replayable. The documented "a wider id space takes a
+    * pre-mod first" is now ENFORCED in the expression, not left to the
+    * caller: `doc_id % 2^31` runs before the multiply, so the product
+    * stays inside int64 for EVERY non-negative int64 id on both
+    * engines (for doc_id < 2^31 the pre-mod is the identity — the
+    * original fold values are unchanged), instead of silently wrapping
+    * on Spark while DuckDB errors on overflow (the round-12 advice's
+    * divergence). Remaining domain: doc_id ≥ 0 (signed remainder on
+    * both engines; the corpus id space), pinned generatively in
+    * PropertySpec together with the sub-2^31 agreement law.
     *
     * 100 TB shape: the whole operator is a map-only projection — ZERO
     * shuffles, zero state; the assignment can be computed at ingest
@@ -938,8 +944,9 @@ object Round17Queries {
   private[graft] def assignSplits(docs: DataFrame): DataFrame =
     docs
       .select(col("doc_id"), col("lang"),
-        expr(s"CAST((((doc_id * 2654435761L) % 4294967296L) * " +
-          s"$SplitFolds) div 4294967296L AS BIGINT)").as("fold"))
+        expr(s"CAST(((((doc_id % 2147483648L) * 2654435761L) % " +
+          s"4294967296L) * $SplitFolds) div 4294967296L AS BIGINT)")
+          .as("fold"))
       .withColumn("split", when(col("fold") === 0L, lit("test"))
         .when(col("fold") === 1L, lit("val"))
         .otherwise(lit("train")))
@@ -954,8 +961,8 @@ object Round17Queries {
        |            ELSE 'train' END AS split
        |FROM (
        |  SELECT doc_id, lang,
-       |         CAST((((doc_id * 2654435761) % 4294967296) * $SplitFolds)
-       |              // 4294967296 AS BIGINT) AS fold
+       |         CAST(((((doc_id % 2147483648) * 2654435761) % 4294967296)
+       |              * $SplitFolds) // 4294967296 AS BIGINT) AS fold
        |  FROM documents)
        |ORDER BY doc_id""".stripMargin
 
@@ -982,8 +989,9 @@ object Round17Queries {
   def q289LeakFreeSplit(s: SparkSession, dir: String): DataFrame =
     DedupQueries.q19DupClusters(s, dir)
       .select(col("doc_id"), col("component").as("rep_id"),
-        expr(s"CAST((((component * 2654435761L) % 4294967296L) * " +
-          s"$SplitFolds) div 4294967296L AS BIGINT)").as("fold"))
+        expr(s"CAST(((((component % 2147483648L) * 2654435761L) % " +
+          s"4294967296L) * $SplitFolds) div 4294967296L AS BIGINT)")
+          .as("fold"))
       .withColumn("split", when(col("fold") === 0L, lit("test"))
         .when(col("fold") === 1L, lit("val"))
         .otherwise(lit("train")))
@@ -998,8 +1006,8 @@ object Round17Queries {
        |            ELSE 'train' END AS split
        |FROM (
        |  SELECT doc_id, component AS rep_id,
-       |         CAST((((component * 2654435761) % 4294967296) * $SplitFolds)
-       |              // 4294967296 AS BIGINT) AS fold
+       |         CAST(((((component % 2147483648) * 2654435761) % 4294967296)
+       |              * $SplitFolds) // 4294967296 AS BIGINT) AS fold
        |  FROM comp)
        |ORDER BY doc_id""".stripMargin)
 

@@ -623,4 +623,98 @@ class PropertySpec extends SparkTestBase {
       assert(res(id0, len0 + 1) !== res(id0, len0))
     }
   }
+
+  test("split-mix laws: full non-negative int64 domain, no overflow, sub-2^31 agreement with the bare Knuth mix, fold range") {
+    // the q288 fold, as deployed (pre-mod first — the round-12 advice's
+    // widening): (((id % 2^31) * 2654435761) % 2^32) * folds div 2^32
+    val K = 2654435761L
+    val M32 = 4294967296L
+    val M31 = 2147483648L
+    val folds = Round17Queries.SplitFolds
+    def fold(id: Long): Long = (((id % M31) * K) % M32) * folds / M32
+    val idGen = Gen.oneOf(
+      Gen.chooseNum(0L, Long.MaxValue), // the widened domain
+      Gen.chooseNum(0L, M31 - 1),       // the original domain
+      Gen.oneOf(0L, 1L, M31 - 1, M31, M31 + 1, Long.MaxValue - 1,
+        Long.MaxValue))                 // the boundary
+    for (seed <- 1L to 200L) {
+      val id = sample(idGen, seed)
+      // no intermediate overflows int64 (checked in BigInt — the exact
+      // silent-wrap failure the pre-mod exists to prevent)
+      val pre = BigInt(id % M31)
+      assert(pre * K < BigInt(Long.MaxValue))
+      assert((pre * K % M32) * folds < BigInt(Long.MaxValue))
+      // fold lands in [0, folds) everywhere on the domain
+      val f = fold(id)
+      assert(f >= 0L && f < folds)
+      // sub-2^31 ids: the pre-mod is the identity — exactly the bare
+      // Knuth mix's fold (q288 hashes unmoved by the widening)
+      if (id < M31)
+        assert(f === ((BigInt(id) * K % M32) * folds / M32).toLong)
+    }
+    // the deployed Spark expression agrees with the local mirror on
+    // ids ABOVE 2^31 (where the un-widened form silently wrapped)
+    val ids = Seq(0L, 7L, M31 - 1, M31, 3L * M31 + 17L, 1L << 40,
+      Long.MaxValue - 1, Long.MaxValue)
+    val got = Round17Queries.assignSplits(
+        ids.map(i => (i, "en")).toDF("doc_id", "lang"))
+      .select(col("doc_id"), col("fold")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    ids.foreach(i => assert(got(i) === fold(i), s"doc_id $i"))
+  }
+
+  test("indexMaintenancePlan laws: the ledger↔meta Σ-tie over generated states — append iff tied+intact+new, rebuild otherwise") {
+    import graft.io.StampSidecar.FileStamp
+    val stateGen = for {
+      n <- Gen.chooseNum(1, 6)
+      ledger <- Gen.listOfN(n, for {
+        i <- Gen.chooseNum(0, 9)
+        len <- Gen.chooseNum(1L, 10000L)
+        mt <- Gen.chooseNum(1L, 1000000L)
+        rows <- Gen.chooseNum(0L, 500L)
+        res <- Gen.chooseNum(0L, 1048575L)
+      } yield FileStamp(s"/lake/f$i.parquet", len, mt, rows, res))
+      // mutations: drop a file, resize one, retime one, add new ones,
+      // tear the meta (Σ-tie break), or none
+      dropOne <- Gen.oneOf(true, false)
+      resizeOne <- Gen.oneOf(true, false)
+      retimeOne <- Gen.oneOf(true, false)
+      nNew <- Gen.chooseNum(0, 3)
+      tearRows <- Gen.chooseNum(0L, 2L)
+      tearContent <- Gen.chooseNum(0L, 2L)
+      noMeta <- Gen.frequency(1 -> true, 5 -> false)
+    } yield (ledger.groupBy(_.path).map(_._2.head).toList.sortBy(_.path),
+      dropOne, resizeOne, retimeOne, nNew, tearRows, tearContent, noMeta)
+    for (seed <- 1L to 150L) {
+      val (ledger, dropOne, resizeOne, retimeOne, nNew, tearRows,
+        tearContent, noMeta) = sample(stateGen, seed)
+      val meta =
+        if (noMeta) None
+        else Some(Round15Queries.Bm25Index(
+          ledger.map(_.rows).sum + tearRows,
+          ledger.map(_.content).sum + tearContent,
+          Round15Queries.Bm25IndexBuckets))
+      var current = ledger.map(e => (e.path, e.len, e.mtime))
+      if (dropOne) current = current.drop(1)
+      if (resizeOne && current.nonEmpty)
+        current = current.updated(0,
+          (current.head._1, current.head._2 + 1L, current.head._3))
+      if (retimeOne && current.size > 1)
+        current = current.updated(1,
+          (current(1)._1, current(1)._2, current(1)._3 + 1L))
+      val newFiles = (1 to nNew).map(i => s"/lake/new$i.parquet")
+      current = current ++ newFiles.map(p => (p, 100L, 42L))
+      val plan =
+        Round15Queries.indexMaintenancePlan(ledger, current, meta)
+      val tied = meta.isDefined && tearRows == 0L && tearContent == 0L
+      val intact = !dropOne && !resizeOne &&
+        !(retimeOne && ledger.size > 1)
+      if (tied && intact && nNew > 0)
+        // append applies, and to EXACTLY the never-seen files
+        assert(plan === Round15Queries.AppendFiles(newFiles))
+      else
+        assert(plan === Round15Queries.RebuildAll,
+          s"seed=$seed tied=$tied intact=$intact nNew=$nNew")
+    }
+  }
 }
