@@ -829,8 +829,12 @@ object Round15Queries {
     *     only the buckets containing its terms — PARTITION-PRUNED
     *     postings slices, the IVF inverted-list discipline applied to
     *     text retrieval (PlanSpec locks the PartitionFilters).
-    *   - `dl/`, `stats/`, `df/` — doc lengths, the 1-row corpus
-    *     stats, per-term document frequencies (vocabulary-sized).
+    *   - `dl/`, `stats/` — doc lengths, the 1-row corpus stats.
+    *   - `df/` — per-term document frequencies (vocabulary-sized),
+    *     PARTITIONED BY the same `pt` term-hash bucket as postings
+    *     (round-12 verdict #3): an append's df merge touches only the
+    *     buckets the batch's terms hash into, so the rewrite is
+    *     batch-vocabulary-scale, not corpus-vocabulary-scale.
     *   - `meta/` — the corpus stamp the artifact is valid FOR, written
     *     LAST (the q277 torn-write ordering: a torn build never
     *     presents as warm).
@@ -854,6 +858,14 @@ object Round15Queries {
     * tables, independent of corpus TEXT volume.
     */
   val Bm25IndexBuckets = 32
+
+  /** Artifact layout version, stamped into `meta/` and REQUIRED by
+    * [[bm25IndexRead]]: an index persisted by an older layout (v1:
+    * unpartitioned df table) presents as unreadable meta, which every
+    * ensure resolves to a clean rebuild — never a mis-read of a table
+    * whose physical schema the serving code no longer expects. v2 =
+    * df partitioned by `pt`. */
+  val Bm25IndexFmt = 2L
 
   final case class Bm25Index(docRows: Long, docContent: Long,
       nBuckets: Int)
@@ -884,16 +896,19 @@ object Round15Queries {
         (sum(col("dl")) / count(lit(1))).as("avgdl"))
       .write.mode("overwrite").parquet(s"$path/stats")
     alltf.groupBy(col("term")).agg(count(lit(1)).as("df"))
-      .write.mode("overwrite").parquet(s"$path/df")
+      .withColumn("pt", pmod(hash(col("term")), lit(Bm25IndexBuckets)))
+      .write.mode("overwrite").partitionBy("pt").parquet(s"$path/df")
     // stamp-bearing meta LAST: a torn build never presents as warm
     import s.implicits._
-    Seq((docRows, docContent, Bm25IndexBuckets))
-      .toDF("doc_rows", "doc_content", "n_buckets")
+    Seq((docRows, docContent, Bm25IndexBuckets, Bm25IndexFmt))
+      .toDF("doc_rows", "doc_content", "n_buckets", "fmt")
       .repartition(1).write.mode("overwrite").parquet(s"$path/meta")
   }
 
-  /** Read the index meta, if any — missing/torn degrades to None (the
-    * choice-reader contract). */
+  /** Read the index meta, if any — missing/torn/old-layout degrades to
+    * None (the choice-reader contract): a meta without the current
+    * [[Bm25IndexFmt]] marker describes tables this code no longer
+    * reads, and None resolves every ensure to a clean rebuild. */
   private[graft] def bm25IndexRead(s: SparkSession,
       path: String): Option[Bm25Index] = {
     val p = new org.apache.hadoop.fs.Path(s"$path/meta")
@@ -901,9 +916,21 @@ object Round15Queries {
     if (!fs.exists(p)) None
     else scala.util.Try {
       val rows = s.read.parquet(s"$path/meta").collect()
-      rows.headOption.map(r => Bm25Index(r.getAs[Long]("doc_rows"),
-        r.getAs[Long]("doc_content"), r.getAs[Int]("n_buckets")))
+      rows.headOption
+        .filter(_.getAs[Long]("fmt") == Bm25IndexFmt)
+        .map(r => Bm25Index(r.getAs[Long]("doc_rows"),
+          r.getAs[Long]("doc_content"), r.getAs[Int]("n_buckets")))
     }.toOption.flatten
+  }
+
+  /** The df artifact as its LOGICAL (term, df) relation — the physical
+    * `pt` partition column stripped; `buckets`, when given, prunes the
+    * scan to those partitions before it starts. */
+  private[graft] def readIndexDf(s: SparkSession, idxPath: String,
+      buckets: Option[Seq[Int]] = None): DataFrame = {
+    val raw = s.read.parquet(s"$idxPath/df")
+    buckets.fold(raw)(b => raw.filter(col("pt").isin(b: _*)))
+      .select(col("term"), col("df"))
   }
 
   /** Ensure a valid persisted index for the current corpus stamp;
@@ -1075,16 +1102,34 @@ object Round15Queries {
       .agg(count(lit(1)).as("n_docs"),
         (sum(col("dl")) / count(lit(1))).as("avgdl"))
       .write.mode("overwrite").parquet(s"$idxPath/stats")
-    // df merge: disjoint doc_ids ⇒ per-term counts add exactly;
-    // materialize BEFORE overwriting the input it was derived from
-    val merged = s.read.parquet(s"$idxPath/df")
-      .unionByName(tfNew.groupBy(col("term")).agg(count(lit(1)).as("df")))
-      .groupBy(col("term")).agg(sum(col("df")).as("df"))
+    // df merge: disjoint doc_ids ⇒ per-term counts add exactly. The
+    // merge is confined to the `pt` buckets the BATCH's terms hash
+    // into (round-12 verdict #3 — SCALE.md caveat c closed): only
+    // those partitions are read for old counts and only those are
+    // rewritten (dynamic partition overwrite), so the append's df
+    // bill follows the batch's vocabulary, not the corpus'.
+    val dfNew = tfNew.groupBy(col("term")).agg(count(lit(1)).as("df"))
+      .withColumn("pt", pmod(hash(col("term")), lit(Bm25IndexBuckets)))
       .localCheckpoint()
-    merged.write.mode("overwrite").parquet(s"$idxPath/df")
+    // the batch's bucket set: ≤ Bm25IndexBuckets rows, bounded class
+    val touched = dfNew.select(col("pt")).distinct()
+      .collect().map(_.getInt(0)).toSeq
+    // materialize BEFORE overwriting the partitions it was derived from
+    val merged = s.read.parquet(s"$idxPath/df")
+      .filter(col("pt").isin(touched: _*))
+      .unionByName(dfNew)
+      .groupBy(col("term"), col("pt")).agg(sum(col("df")).as("df"))
+      .select(col("term"), col("df"), col("pt"))
+      .localCheckpoint()
+    val prevMode = s.conf.get(
+      "spark.sql.sources.partitionOverwriteMode", "STATIC")
+    s.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try merged.write.mode("overwrite").partitionBy("pt")
+      .parquet(s"$idxPath/df")
+    finally s.conf.set("spark.sql.sources.partitionOverwriteMode", prevMode)
     import s.implicits._
-    Seq((docRows, docContent, Bm25IndexBuckets))
-      .toDF("doc_rows", "doc_content", "n_buckets")
+    Seq((docRows, docContent, Bm25IndexBuckets, Bm25IndexFmt))
+      .toDF("doc_rows", "doc_content", "n_buckets", "fmt")
       .repartition(1).write.mode("overwrite").parquet(s"$idxPath/meta")
   }
 
@@ -1155,7 +1200,9 @@ object Round15Queries {
       .filter(col("pt").isin(buckets: _*))
     val dl = s.read.parquet(s"$idxPath/dl")
     val stats = s.read.parquet(s"$idxPath/stats")
-    val dfTab = s.read.parquet(s"$idxPath/df")
+    // df pruned to the SAME bucket set as postings (it shares the pt
+    // partitioning since round 13), then semi-joined to exact terms
+    val dfTab = readIndexDf(s, idxPath, Some(buckets))
       .join(broadcast(terms), Seq("term"), "left_semi")
     val tfq = postings.join(broadcast(qterms), Seq("term"))
       .select(col("doc_id"), col("term"), col("tf"), col("query_id"))
@@ -1219,7 +1266,7 @@ object Round15Queries {
     val dead = s.read.parquet(s"$idxPath/postings")
       .join(tombs, Seq("doc_id"), "left_semi")
       .groupBy(col("term")).agg(count(lit(1)).as("dead"))
-    s.read.parquet(s"$idxPath/df")
+    readIndexDf(s, idxPath)
       .join(dead, Seq("term"), "left_outer")
       .select(col("term"),
         (col("df") - coalesce(col("dead"), lit(0L))).as("df"))
@@ -1337,7 +1384,7 @@ object Round15Queries {
     // the q273 workload, derived from the ARTIFACT's df table (equal
     // to the corpus-derived synthesis while the artifact is fresh —
     // which the stamp guarantees)
-    val qt = multiBm25QueryTableFrom(s.read.parquet(s"$idxPath/df"))
+    val qt = multiBm25QueryTableFrom(readIndexDf(s, idxPath))
     bm25ServeQueriesFromIndex(s, idxPath, qt, c.k1Micro, c.bMicro)
       .withColumn("doc_rows", lit(m.docRows))
       .withColumn("doc_content", lit(m.docContent))

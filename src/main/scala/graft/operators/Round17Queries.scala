@@ -515,7 +515,7 @@ object Round17Queries {
     // the append ≡ rebuild theorem)
     val idx = Round15Queries.bm25IndexPath(lake)
     val qt = Round15Queries.multiBm25QueryTableFrom(
-      s.read.parquet(s"$idx/df"))
+      Round15Queries.readIndexDf(s, idx))
     Round15Queries.bm25ServeQueriesFromIndex(s, idx, qt,
         math.round(Round14Queries.Bm25K1 * 1e6),
         math.round(Round14Queries.Bm25B * 1e6))
@@ -656,7 +656,7 @@ object Round17Queries {
       survivors.write.mode("overwrite").parquet(lakeDocs)
       val m = ensure() // files changed ⇒ RebuildAll
       val qt = Round15Queries.multiBm25QueryTableFrom(
-        s.read.parquet(s"$idx/df"))
+        Round15Queries.readIndexDf(s, idx))
       (m, 0L, Round15Queries.bm25ServeQueriesFromIndex(s, idx, qt,
         math.round(Round14Queries.Bm25K1 * 1e6),
         math.round(Round14Queries.Bm25B * 1e6)))
