@@ -1245,13 +1245,16 @@ object Round15Queries {
     * over the filtered documents table). The tombstone side is
     * capacity-gated ([[BoundedBroadcast]]) like every delete surface.
     *
-    * 100 TB shape: serve cost = the pruned-bucket scan + one
-    * postings-table pass for the global masked df (vocabulary-scale
-    * output, no text) + a dl pass for stats (corpus-ROWS scale) —
-    * deletes never force a tokenize or an index rewrite; when the
-    * delete set grows past the audit threshold, the nightly rebuild
-    * (q282's RebuildAll verb over the compacted lake) truncates it,
-    * exactly the q276 retrain-vs-carry composition.
+    * 100 TB shape: serve cost = the pruned-bucket scan + the persisted
+    * masked-df artifact ([[ensureBm25MaskedDf]] — since round 13 the
+    * global-masked-df postings pass is paid ONCE per (index state,
+    * tombstone set) and every further masked serve reads a
+    * vocabulary-scale table; the round-12 verdict's #1) + a dl pass
+    * for stats (corpus-ROWS scale) — deletes never force a tokenize or
+    * an index rewrite; when the delete set grows past the audit
+    * threshold, the nightly rebuild (q282's RebuildAll verb over the
+    * compacted lake) truncates it, exactly the q276 retrain-vs-carry
+    * composition.
     */
   val Bm25DeleteMod = 7L
   val Bm25DeleteRem = 5L
@@ -1271,6 +1274,93 @@ object Round15Queries {
       .select(col("term"),
         (col("df") - coalesce(col("dead"), lit(0L))).as("df"))
       .filter(col("df") > 0L)
+  }
+
+  // ------------------------------------------- masked-df artifact (q292)
+  /** Stamp of a tombstone DOC set — [[graft.ann.Ann.tombstoneStamp]]'s
+    * text-retrieval twin, the ChoiceStore residue arithmetic over
+    * doc_id: (count, Σ doc_id·31 mod 2^20). An empty set stamps
+    * (0, 0). Cost: one pass over the delete list — tombstone-sized,
+    * metadata next to the index it masks. */
+  private[graft] def tombstoneDocStamp(tombstones: DataFrame): (Long, Long) = {
+    val r = tombstones.agg(count(lit(1)).as("n"),
+      coalesce(sum((col("doc_id") * lit(31L)) % lit(1048576L)), lit(0L))
+        .as("content")).head()
+    (r.getLong(0), r.getLong(1))
+  }
+
+  /** Validity key of a persisted masked-df table: the INDEX stamp it
+    * was decremented FROM plus the TOMBSTONE-set stamp it masks —
+    * either moving must recompute (the NprobeChoice two-component
+    * discipline). */
+  final case class MaskedDfMeta(docRows: Long, docContent: Long,
+      tombRows: Long, tombContent: Long)
+
+  private[graft] def maskedDfPath(idxPath: String): String =
+    s"$idxPath/maskeddf"
+
+  private[graft] def maskedDfMetaRead(s: SparkSession,
+      idxPath: String): Option[MaskedDfMeta] = {
+    val p = new org.apache.hadoop.fs.Path(s"${maskedDfPath(idxPath)}/meta")
+    val fs = p.getFileSystem(s.sessionState.newHadoopConf())
+    if (!fs.exists(p)) None
+    else scala.util.Try {
+      val rows = s.read.parquet(p.toString).collect()
+      rows.headOption
+        .filter(_.getAs[Long]("fmt") == Bm25IndexFmt)
+        .map(r => MaskedDfMeta(r.getAs[Long]("doc_rows"),
+          r.getAs[Long]("doc_content"), r.getAs[Long]("tomb_rows"),
+          r.getAs[Long]("tomb_content")))
+    }.toOption.flatten
+  }
+
+  /** ENSURE a persisted masked-df table for (index state, tombstone
+    * set) and return its logical (term, df) relation — the round-12
+    * verdict's #1: [[bm25MaskedDf]] pays an index-proportional
+    * postings pass on EVERY masked serve to decrement df, but with a
+    * stable delete set that pass re-derives the same
+    * vocabulary-scale table each time. So it is paid ONCE per
+    * (index stamp, tombstone stamp) — the q272/NprobeChoice validity
+    * discipline — and persisted bucket-partitioned like the df table
+    * it masks; every further masked serve reads the artifact. The
+    * table is BIT-EXACT vs the live decrement (integer arithmetic,
+    * spec law artifact ≡ live); meta is written LAST (torn build
+    * never presents warm); `onCompute` observes the cold verb (the
+    * counted-thunk convention — a warm call provably never touches
+    * postings). */
+  private[graft] def ensureBm25MaskedDf(s: SparkSession, idxPath: String,
+      tombstones: DataFrame, onCompute: () => Unit = () => ()): Unit =
+    EnsureLock.withLock(maskedDfPath(idxPath)) {
+      val m = bm25IndexRead(s, idxPath).getOrElse(sys.error(
+        s"ensureBm25MaskedDf: no readable index at $idxPath"))
+      val (tr, tc) = tombstoneDocStamp(
+        tombstones.select(col("doc_id")))
+      val warm = maskedDfMetaRead(s, idxPath).exists(mm =>
+        mm.docRows == m.docRows && mm.docContent == m.docContent &&
+          mm.tombRows == tr && mm.tombContent == tc)
+      if (!warm) {
+        onCompute()
+        val path = maskedDfPath(idxPath)
+        bm25MaskedDf(s, idxPath, tombstones)
+          .withColumn("pt", pmod(hash(col("term")), lit(Bm25IndexBuckets)))
+          .write.mode("overwrite").partitionBy("pt")
+          .parquet(s"$path/table")
+        import s.implicits._
+        Seq((m.docRows, m.docContent, tr, tc, Bm25IndexFmt))
+          .toDF("doc_rows", "doc_content", "tomb_rows", "tomb_content",
+            "fmt")
+          .repartition(1).write.mode("overwrite").parquet(s"$path/meta")
+      }
+    }
+
+  /** The persisted masked-df table's logical (term, df) relation,
+    * bucket-pruned when `buckets` is given — [[readIndexDf]]'s masked
+    * twin. Callers must have [[ensureBm25MaskedDf]]d first. */
+  private[graft] def readMaskedDf(s: SparkSession, idxPath: String,
+      buckets: Option[Seq[Int]] = None): DataFrame = {
+    val raw = s.read.parquet(s"${maskedDfPath(idxPath)}/table")
+    buckets.fold(raw)(b => raw.filter(col("pt").isin(b: _*)))
+      .select(col("term"), col("df"))
   }
 
   /** [[bm25ServeQueriesFromIndex]] with a tombstone mask — every input
@@ -1294,7 +1384,11 @@ object Round15Queries {
       .join(tombs, Seq("doc_id"), "left_anti")
     val stats = dl.agg(count(lit(1)).as("n_docs"),
       (sum(col("dl")) / count(lit(1))).as("avgdl"))
-    val dfTab = bm25MaskedDf(s, idxPath, tombstones)
+    // masked df from the PERSISTED artifact (ensured warm = a meta
+    // read + tombstone stamp; the postings decrement pass is paid once
+    // per (index, tombstone) state), bucket-pruned like postings
+    ensureBm25MaskedDf(s, idxPath, tombstones)
+    val dfTab = readMaskedDf(s, idxPath, Some(buckets))
       .join(broadcast(terms), Seq("term"), "left_semi")
     val tfq = postings.join(broadcast(qterms), Seq("term"))
       .select(col("doc_id"), col("term"), col("tf"), col("query_id"))
@@ -1319,7 +1413,8 @@ object Round15Queries {
       .filter(col("doc_id") % Bm25DeleteMod === Bm25DeleteRem)
       .localCheckpoint()
     val nDead = tombstones.count()
-    val qt = multiBm25QueryTableFrom(bm25MaskedDf(s, idx, tombstones))
+    ensureBm25MaskedDf(s, idx, tombstones)
+    val qt = multiBm25QueryTableFrom(readMaskedDf(s, idx))
     bm25ServeQueriesFromIndexMasked(s, idx, qt,
         math.round(Round14Queries.Bm25K1 * 1e6),
         math.round(Round14Queries.Bm25B * 1e6), tombstones)

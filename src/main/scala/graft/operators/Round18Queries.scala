@@ -1,0 +1,255 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Round-18 batch: the composition seams the round-12 lifecycle
+  * surface opened, closed (round-12 verdict's next-round list —
+  * reference repo has no counterpart; this is the LLM-data-pipeline
+  * extension surface): the masked-df postings pass amortized into a
+  * persisted artifact (q292), and snapshots surviving the maintenance
+  * cycle's compaction through the table-format retention verb (q293).
+  */
+object Round18Queries {
+
+  // --------------------------------------------------------------- q292
+  /** MASKED-DF ARTIFACT CYCLE — the round-12 verdict's #1 made gated
+    * code: before round 13 every delete-masked serve re-paid a FULL
+    * postings-table pass to decrement per-term df by the tombstoned
+    * mass ([[Round15Queries.bm25MaskedDf]] — measured honest but
+    * index-proportional; at 100 TB with a stable delete set that pass
+    * dominates the partition-pruned serve it feeds). The fix is the
+    * q272/NprobeChoice validity discipline applied to the masked df:
+    * [[Round15Queries.ensureBm25MaskedDf]] persists the decremented
+    * (term, df) table keyed by (index stamp, tombstone-set stamp) —
+    * either component moving recomputes once; a warm ensure is a meta
+    * read plus a tombstone-sized stamp pass, and the serve reads a
+    * vocabulary-scale bucket-partitioned table instead of scanning
+    * postings.
+    *
+    * The gated cycle is self-contained (own lake replica — the q280
+    * counted-thunk convention; a shared artifact would make the
+    * observed verb counts depend on sibling queries' warm-up order):
+    * seed the full corpus → cold index build → the q283 tombstone rule
+    * → COUNTED ensure twice (cold computes once, the re-present
+    * computes zero) → the masked serve from the artifact. Serve rows
+    * are byte-identical to q283's (same corpus, same rule, same
+    * scoring tail — the artifact ≡ live-decrement law, spec-pinned),
+    * so the oracle is the q283 replay (the q244 chain over the
+    * surviving corpus) plus the cycle's contract constants.
+    *
+    * 100 TB shape: the cycle's marginal bill for a REPEATED masked
+    * serve drops from (postings pass + pruned serve) to (pruned serve)
+    * — the SCALE.md masked-serve addendum's postings term gone; the
+    * one-time decrement pass amortizes exactly like the index build it
+    * rides next to. Bench-excluded: it pays a cold index build per
+    * call by construction (the q280 rationale); its serving path IS
+    * q283, which is benched.
+    */
+  private[operators] def mdLakePath(sfDir: String): String =
+    new java.io.File(s"target/mdlake/${PathTag.tagFor(sfDir)}")
+      .getAbsolutePath
+
+  private def rmrf(f: java.io.File): Unit = {
+    if (f.isDirectory) f.listFiles().foreach(rmrf); f.delete(); ()
+  }
+
+  def q292MaskedDfArtifactCycle(s: SparkSession, dir: String): DataFrame = {
+    val lake = mdLakePath(dir)
+    val lakeDocs = s"$lake/documents.parquet"
+    rmrf(new java.io.File(lake))
+    rmrf(new java.io.File(Round15Queries.bm25IndexPath(lake)))
+    Tables.documents(s, dir).write.mode("overwrite").parquet(lakeDocs)
+    Round15Queries.ensureBm25IndexIncremental(s, lake)
+    val idx = Round15Queries.bm25IndexPath(lake)
+    // the q283 delete rule, from the artifact's dl — zero corpus reads
+    val tombstones = s.read.parquet(s"$idx/dl").select(col("doc_id"))
+      .filter(col("doc_id") % Round15Queries.Bm25DeleteMod
+        === Round15Queries.Bm25DeleteRem)
+      .localCheckpoint()
+    val nDead = tombstones.count()
+    var computes = 0L
+    def ensure(): Unit = Round15Queries.ensureBm25MaskedDf(s, idx,
+      tombstones, onCompute = () => computes += 1L)
+    ensure()
+    val cold = computes
+    ensure()
+    val warm = computes - cold
+    // the masked serve — its df side reads the artifact just ensured
+    val qt = Round15Queries.multiBm25QueryTableFrom(
+      Round15Queries.readMaskedDf(s, idx))
+    Round15Queries.bm25ServeQueriesFromIndexMasked(s, idx, qt,
+        math.round(Round14Queries.Bm25K1 * 1e6),
+        math.round(Round14Queries.Bm25B * 1e6), tombstones)
+      .drop("k1_micro", "b_micro")
+      .withColumn("n_dead", lit(nDead))
+      .withColumn("computed_cold", lit(cold))
+      .withColumn("computed_warm", lit(warm))
+      .orderBy(col("query_id"), col("rk"))
+  }
+
+  /** The q283 oracle (the q244 chain over the surviving corpus — the
+    * masked serve's filtered-rebuild semantics) plus the cycle's
+    * contract constants: cold computes once, warm computes nothing. */
+  val q292Sql: String = {
+    val sql = Round15Queries.q283Sql.replace(
+      "rk, dd.n_dead",
+      "rk, dd.n_dead,\n       CAST(1 AS BIGINT) AS computed_cold," +
+        "\n       CAST(0 AS BIGINT) AS computed_warm")
+    require(sql != Round15Queries.q283Sql,
+      "q292Sql: the q283 oracle template moved — update the splice")
+    sql
+  }
+
+  // --------------------------------------------------------------- q293
+  /** SNAPSHOT-RETAINED COMPACTION — q285's time travel composed with
+    * q284's FIRE actuation, the composition the round-12 verdict named
+    * uncomposable: the maintenance cycle's compaction rewrites the
+    * lake, and the bare snapshot store is REWRITE-FATAL — every prior
+    * snapshot died loudly. [[graft.io.SnapshotStore.compactWithRetention]]
+    * adds the table formats' missing verb: files referenced by a live
+    * manifest are RENAMED (bytes untouched — a metadata op) into the
+    * snapshot dir's retention area and the manifests atomically
+    * rewritten to the new location, so the compaction rewrites the
+    * CURRENT state while every as-of read stays byte-identical.
+    * Retention ends only at [[graft.io.SnapshotStore.expireSnapshots]]
+    * (GC of unreferenced retained files; expired reads stay loud —
+    * spec-pinned, with the byte-equality law).
+    *
+    * The gated cycle: seed base → snapshot 1 → append the held-out
+    * batch → snapshot 2 → the q283/q284 tombstone rule arrives → the
+    * pure [[Round17Queries.chooseIndexRebuild]] decides (replayed by
+    * the oracle, not pinned) → FIRE compacts the lake to survivors
+    * WITH retention → snapshot 3. The report reads all three snapshots
+    * back AFTER the compaction — snapshot 1 and 2 are served from
+    * retained files, snapshot 3 from the compacted current state — and
+    * states each one's corpus stamp and exact token count; the oracle
+    * replays the three states as WHERE-filtered aggregates over the
+    * full documents table. A retention bug of any kind — a file
+    * dropped, double-moved, re-written, or a manifest pointed wrong —
+    * hash-mismatches in one verdict.
+    *
+    * 100 TB shape: retention adds ZERO data I/O to the compaction
+    * (renames + manifest rewrites — the survivor rewrite is the bill
+    * compaction pays anyway); an as-of read after compaction costs the
+    * snapshot's own volume, exactly as before it. Bounded-collect
+    * class: 3 rows.
+    */
+  private[operators] def retLakePath(sfDir: String): String =
+    new java.io.File(s"target/retlake/${PathTag.tagFor(sfDir)}")
+      .getAbsolutePath
+
+  /** q293's own SLO threshold: 12.5%, BELOW the ~14.3% dead fraction
+    * the 1-in-7 tombstone rule produces — chosen so the gated cycle
+    * deterministically exercises the FIRE branch (the retention verb
+    * under test); the SKIP branch stays covered by q284, whose 25%
+    * threshold the same rule deterministically stays under. The oracle
+    * replays the rule, never pins the verdict. */
+  val RetainThrNum = 1L
+  val RetainThrDen = 8L
+
+  def q293RetainedCompaction(s: SparkSession, dir: String): DataFrame = {
+    val lake = retLakePath(dir)
+    val lakeDocs = s"$lake/documents.parquet"
+    val snaps = s"$lake/snapshots"
+    rmrf(new java.io.File(lake))
+    val docs = Tables.documents(s, dir)
+    docs.filter(col("doc_id") % Round17Queries.IngestMod
+        =!= Round17Queries.IngestRem)
+      .write.mode("overwrite").parquet(lakeDocs)
+    graft.io.SnapshotStore.record(s, lakeDocs, snaps)
+    docs.filter(col("doc_id") % Round17Queries.IngestMod
+        === Round17Queries.IngestRem)
+      .write.mode("append").parquet(lakeDocs)
+    graft.io.SnapshotStore.record(s, lakeDocs, snaps)
+    // the delete set over the CURRENT lake, the q283/q284 rule
+    val current = s.read.parquet(lakeDocs)
+    val tombstones = current.select(col("doc_id"))
+      .filter(col("doc_id") % Round15Queries.Bm25DeleteMod
+        === Round15Queries.Bm25DeleteRem)
+      .localCheckpoint()
+    val deadRows = tombstones.count()
+    val liveRows = current.count()
+    val fire = Round17Queries.chooseIndexRebuild(deadRows, liveRows,
+      RetainThrNum, RetainThrDen)
+    if (fire) {
+      val survivors = current
+        .join(tombstones, Seq("doc_id"), "left_anti")
+      graft.io.SnapshotStore.compactWithRetention(s, lakeDocs, snaps,
+        survivors)
+    }
+    graft.io.SnapshotStore.record(s, lakeDocs, snaps)
+    // all three states read back AFTER the actuation — 1 and 2 from
+    // retained files iff the compaction fired
+    def stateRow(id: Int): (Long, Long, Long, Long, Long) = {
+      val d = graft.io.SnapshotStore.readAsOf(s, snaps, id)
+        .select(col("doc_id"), col("text"))
+      val (r, c) = ChoiceStore.documentsStamp(d)
+      val nt = d.agg(coalesce(sum(size(
+          graft.text.TextPrep.tokensCol(col("text")))), lit(0))
+          .cast("long"))
+        .head().getLong(0)
+      (id.toLong, r, c, nt, if (fire) 1L else 0L)
+    }
+    import s.implicits._
+    Seq(stateRow(1), stateRow(2), stateRow(3))
+      .toDF("snap_id", "doc_rows", "doc_content", "n_tokens", "fire")
+      .orderBy(col("snap_id"))
+  }
+
+  /** The three snapshot states as WHERE-filtered aggregates over the
+    * full documents table (1 ≡ the base slice, 2 ≡ everything, 3 ≡
+    * the post-compaction survivors), with the FIRE verdict replayed
+    * through the same pure threshold rule. */
+  val q293Sql: String = {
+    val im = Round17Queries.IngestMod; val ir = Round17Queries.IngestRem
+    val dm = Round15Queries.Bm25DeleteMod
+    val dr = Round15Queries.Bm25DeleteRem
+    def state(id: Int, where: String): String =
+      s"""SELECT CAST($id AS BIGINT) AS snap_id,
+         |       CAST(count(*) AS BIGINT) AS doc_rows,
+         |       CAST(coalesce(sum((doc_id * 31 + strlen(text)) % 1048576),
+         |                     0) AS BIGINT) AS doc_content,
+         |       CAST(coalesce(sum(len(list_filter(string_split(trim(
+         |                regexp_replace(lower(text), '(\\d|\\W)+', ' ', 'g')),
+         |              ' '), x -> x <> ''))), 0) AS BIGINT) AS n_tokens
+         |FROM documents $where""".stripMargin
+    s"""WITH verdict AS (
+       |  SELECT CASE WHEN
+       |           CAST(count(*) FILTER (WHERE doc_id % $dm = $dr) AS BIGINT)
+       |             * $RetainThrDen >=
+       |           CAST(count(*) AS BIGINT) * $RetainThrNum
+       |         THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END AS fire
+       |  FROM documents),
+       |states AS (
+       |  ${state(1, s"WHERE doc_id % $im <> $ir").linesIterator
+            .mkString("\n  ")}
+       |  UNION ALL
+       |  ${state(2, "").linesIterator.mkString("\n  ")}
+       |  UNION ALL
+       |  SELECT CAST(3 AS BIGINT) AS snap_id,
+       |         CASE WHEN v.fire = 1 THEN f.doc_rows ELSE a.doc_rows END
+       |           AS doc_rows,
+       |         CASE WHEN v.fire = 1 THEN f.doc_content
+       |              ELSE a.doc_content END AS doc_content,
+       |         CASE WHEN v.fire = 1 THEN f.n_tokens ELSE a.n_tokens END
+       |           AS n_tokens
+       |  FROM verdict v
+       |  CROSS JOIN (${state(0, s"WHERE doc_id % $dm <> $dr").linesIterator
+            .mkString("\n  ")}) f
+       |  CROSS JOIN (${state(0, "").linesIterator.mkString("\n  ")}) a)
+       |SELECT s.snap_id, s.doc_rows, s.doc_content, s.n_tokens, v.fire
+       |FROM states s CROSS JOIN verdict v
+       |ORDER BY s.snap_id""".stripMargin
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q292_maskeddf_artifact_cycle" -> (q292MaskedDfArtifactCycle _),
+    "q293_retained_compaction" -> (q293RetainedCompaction _))
+
+  val oracles: Map[String, String] = Map(
+    "q292_maskeddf_artifact_cycle" -> q292Sql,
+    "q293_retained_compaction" -> q293Sql)
+}

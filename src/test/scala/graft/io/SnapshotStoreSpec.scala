@@ -1,0 +1,112 @@
+package graft.io
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkTestBase
+
+/** SnapshotStore's retention surface (round 13) and the hardened
+  * trust boundary: compaction keeps every live snapshot byte-readable
+  * (the table-format retention verb), expiry is the only way retention
+  * ends and it stays LOUD, and the (len, mtime) identity check catches
+  * same-length rewrites.
+  */
+class SnapshotStoreSpec extends SparkTestBase {
+
+  private def freshLake(tag: String): (String, String, String) = {
+    val tmp = java.nio.file.Files.createTempDirectory(s"graft-$tag")
+      .toFile.getAbsolutePath
+    (s"$tmp/documents.parquet", s"$tmp/snapshots", tmp)
+  }
+
+  private def rows(df: org.apache.spark.sql.DataFrame) =
+    df.collect().map(_.toSeq).toSet
+
+  test("retained compaction: every prior snapshot byte-identical across the rewrite; current state is the survivors; new snapshots chain on") {
+    val (lakeDocs, snaps, _) = freshLake("retain")
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+      .select("doc_id", "text")
+    docs.filter(col("doc_id") % 4 =!= 3).write.parquet(lakeDocs)
+    SnapshotStore.record(spark, lakeDocs, snaps)
+    docs.filter(col("doc_id") % 4 === 3)
+      .write.mode("append").parquet(lakeDocs)
+    SnapshotStore.record(spark, lakeDocs, snaps)
+    val asOf1Before = rows(SnapshotStore.readAsOf(spark, snaps, 1))
+    val asOf2Before = rows(SnapshotStore.readAsOf(spark, snaps, 2))
+    // compact to survivors (drop the 1-in-7 delete set) WITH retention
+    val survivors = spark.read.parquet(lakeDocs)
+      .filter(col("doc_id") % 7 =!= 5)
+    val survRows = rows(survivors)
+    val moved = SnapshotStore.compactWithRetention(
+      spark, lakeDocs, snaps, survivors)
+    assert(moved > 0, "the compaction must have retained the old files")
+    // the current state is EXACTLY the survivors
+    assert(rows(spark.read.parquet(lakeDocs)) === survRows)
+    // ...and every prior snapshot reads byte-identically to before
+    assert(rows(SnapshotStore.readAsOf(spark, snaps, 1)) === asOf1Before)
+    assert(rows(SnapshotStore.readAsOf(spark, snaps, 2)) === asOf2Before)
+    // a post-compaction snapshot chains on and reads the survivors
+    val s3 = SnapshotStore.record(spark, lakeDocs, snaps)
+    assert(s3 === 3)
+    assert(rows(SnapshotStore.readAsOf(spark, snaps, 3)) === survRows)
+    // the delta cursor across the rewrite interval fails LOUDLY (the
+    // append-only law does not hold over a compaction) while the
+    // post-compaction interval works
+    val e = intercept[IllegalArgumentException] {
+      SnapshotStore.readDelta(spark, snaps, 2, 3)
+    }
+    assert(e.getMessage.contains("spans a rewrite"))
+  }
+
+  test("expiry: expired snapshots fail loudly, kept ones keep reading, retained files GC only once unreferenced") {
+    val (lakeDocs, snaps, _) = freshLake("expire")
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+      .select("doc_id", "text")
+    docs.filter(col("doc_id") % 4 =!= 3).write.parquet(lakeDocs)
+    SnapshotStore.record(spark, lakeDocs, snaps)
+    docs.filter(col("doc_id") % 4 === 3)
+      .write.mode("append").parquet(lakeDocs)
+    SnapshotStore.record(spark, lakeDocs, snaps)
+    SnapshotStore.compactWithRetention(spark, lakeDocs, snaps,
+      spark.read.parquet(lakeDocs).filter(col("doc_id") % 7 =!= 5))
+    val asOf2 = rows(SnapshotStore.readAsOf(spark, snaps, 2))
+    // expire snapshot 1; snapshot 2 still references retained files
+    // from the SAME retention generation, so nothing may be collected
+    // that 2 needs — and 2 must still read byte-identically
+    val (dropped1, _) = SnapshotStore.expireSnapshots(spark, snaps,
+      keepIds = Set(2))
+    assert(dropped1 === 1)
+    intercept[IllegalArgumentException] {
+      SnapshotStore.readAsOf(spark, snaps, 1)
+    }
+    assert(rows(SnapshotStore.readAsOf(spark, snaps, 2)) === asOf2)
+    // expire snapshot 2 too: now the retained files are unreferenced
+    // and must be garbage-collected
+    val (dropped2, collected2) = SnapshotStore.expireSnapshots(spark,
+      snaps, keepIds = Set.empty)
+    assert(dropped2 === 1)
+    assert(collected2 > 0, "unreferenced retained files must be GC'd")
+    assert(StampSidecar.listDataFiles(spark, s"$snaps/retained").isEmpty)
+    intercept[IllegalArgumentException] {
+      SnapshotStore.readAsOf(spark, snaps, 2)
+    }
+  }
+
+  test("trust boundary: a same-length rewrite (mtime moved) fails as-of reads loudly") {
+    val (lakeDocs, snaps, _) = freshLake("mtime")
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+      .select("doc_id", "text")
+    docs.filter(col("doc_id") % 4 =!= 3).write.parquet(lakeDocs)
+    SnapshotStore.record(spark, lakeDocs, snaps)
+    // simulate a same-length in-place rewrite: bump one data file's
+    // mtime without touching its bytes (length unchanged — exactly the
+    // escape the round-12 advice named)
+    val one = new java.io.File(lakeDocs).listFiles()
+      .filter(f => f.isFile && !f.getName.startsWith("_")
+        && !f.getName.startsWith(".")).head
+    assert(one.setLastModified(one.lastModified() + 2000L))
+    val e = intercept[IllegalArgumentException] {
+      SnapshotStore.readAsOf(spark, snaps, 1)
+    }
+    assert(e.getMessage.contains("invalidated by a rewrite"))
+  }
+}

@@ -429,8 +429,9 @@ class Round15QueriesSpec extends SparkTestBase {
     // TORN STATE: a meta that disagrees with the ledger's Σ partials
     // (crash between ledger and meta) must REBUILD, never re-append
     import spark.implicits._
-    Seq((mA.docRows + 1L, mA.docContent, Round15Queries.Bm25IndexBuckets))
-      .toDF("doc_rows", "doc_content", "n_buckets")
+    Seq((mA.docRows + 1L, mA.docContent, Round15Queries.Bm25IndexBuckets,
+        Round15Queries.Bm25IndexFmt))
+      .toDF("doc_rows", "doc_content", "n_buckets", "fmt")
       .repartition(1).write.mode("overwrite").parquet(s"$pA/meta")
     builds = 0; appends = 0
     ensureA()
@@ -488,5 +489,54 @@ class Round15QueriesSpec extends SparkTestBase {
         spark, idxFull, qt, 1200000L, 750000L, none)
       .collect().map(_.toSeq).toSet
     assert(maskedEmpty === unmasked)
+  }
+
+  test("q292 core: persisted masked df ≡ live decrement; warm zero-compute; either stamp component moving recomputes; torn meta recomputes") {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    Round15Queries.ensureBm25IndexIncremental(spark, sf0001)
+    val idx = Round15Queries.bm25IndexPath(sf0001)
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+    val tombs = docs.select(col("doc_id"))
+      .filter(col("doc_id") % Round15Queries.Bm25DeleteMod
+        === Round15Queries.Bm25DeleteRem).localCheckpoint()
+    var computes = 0
+    def ensure(t: org.apache.spark.sql.DataFrame): Unit =
+      Round15Queries.ensureBm25MaskedDf(spark, idx, t,
+        onCompute = () => computes += 1)
+    // cold: exactly one postings-decrement pass
+    ensure(tombs)
+    assert(computes === 1)
+    // the artifact ≡ the live decrement, bit-exact
+    val art = Round15Queries.readMaskedDf(spark, idx)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    val live = Round15Queries.bm25MaskedDf(spark, idx, tombs)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(art === live)
+    // warm: the SAME delete set re-presented computes nothing
+    ensure(tombs)
+    assert(computes === 1, "warm masked-df ensure must not touch postings")
+    // the TOMBSTONE component: a different delete set recomputes
+    val tombs2 = docs.select(col("doc_id"))
+      .filter(col("doc_id") % Round15Queries.Bm25DeleteMod === 2L)
+      .localCheckpoint()
+    ensure(tombs2)
+    assert(computes === 2, "a delete-set change must recompute")
+    val art2 = Round15Queries.readMaskedDf(spark, idx)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(art2 === Round15Queries.bm25MaskedDf(spark, idx, tombs2)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet)
+    assert(art2 !== art)
+    // TORN meta (old layout / missing fmt) degrades to recompute
+    Seq((1L, 2L)).toDF("doc_rows", "doc_content")
+      .repartition(1).write.mode("overwrite")
+      .parquet(s"${Round15Queries.maskedDfPath(idx)}/meta")
+    ensure(tombs2)
+    assert(computes === 3, "a torn meta must recompute, never serve stale")
+    // the INDEX component invalidates through the shared ensure key:
+    // meta records the index stamp it decremented from
+    val mm = Round15Queries.maskedDfMetaRead(spark, idx).get
+    val im = Round15Queries.bm25IndexRead(spark, idx).get
+    assert((mm.docRows, mm.docContent) === ((im.docRows, im.docContent)))
   }
 }
