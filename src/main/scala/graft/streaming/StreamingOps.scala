@@ -1087,6 +1087,48 @@ object StreamingOps {
       .start()
   }
 
+  /** SNAPSHOT-CURSOR index maintenance — [[streamingPostingsAppend]]
+    * with the LAKE MANIFESTS as the stream's source of truth (the
+    * round-12 verdict's #5: q286's delta cursor and the streaming
+    * append are the same idea on two surfaces — composed here). Each
+    * snapshot interval (k, k+1) IS a micro-batch: the manifest
+    * difference names exactly the files an ingest added
+    * ([[graft.io.SnapshotStore.readDelta]] — two TSV reads + a set
+    * difference, zero data I/O to discover; the scan reads only the
+    * interval's own files), and each delta is merged through the SAME
+    * append body every other ingestion style uses. So a consumer that
+    * fell arbitrarily far behind catches up by replaying manifest
+    * intervals — batch-sized bills, never a corpus re-tokenize — and
+    * lands on an index whose meta is BIT-EQUAL to a one-shot build
+    * over the final lake state (the StreamingOpsSpec law; the shared
+    * exact-integer-arithmetic argument of the micro-batch law). The
+    * cursor position is the snapshot id — durable, externally visible,
+    * and exactly-once by the append contract (ids in a delta are new
+    * files' rows, disjoint from every indexed doc).
+    *
+    * The index must exist before consumption starts (built for the
+    * from-snapshot's state — a catch-up never pays a corpus tokenize);
+    * a rewrite inside the consumed range fails LOUDLY at the delta
+    * read (the non-append interval law), which is the correct verdict:
+    * a compacted lake needs a rebuild, not an append. Returns the
+    * number of non-empty intervals applied. */
+  def postingsAppendFromSnapshots(s: SparkSession, snapDir: String,
+      indexDir: String, fromId: Int, toId: Int): Int = {
+    if (graft.operators.Round15Queries.bm25IndexRead(s, indexDir).isEmpty)
+      sys.error("postingsAppendFromSnapshots: no persisted postings " +
+        s"index at $indexDir — build offline for snapshot $fromId first")
+    (fromId until toId).count { k =>
+      val delta = graft.io.SnapshotStore.readDelta(s, snapDir, k, k + 1)
+        .select(org.apache.spark.sql.functions.col("doc_id"),
+          org.apache.spark.sql.functions.col("text"))
+      val nonEmpty = !delta.isEmpty
+      if (nonEmpty)
+        graft.operators.Round15Queries.bm25IndexAppendBatch(
+          s, indexDir, delta)
+      nonEmpty
+    }
+  }
+
   def runToMemory(spark: SparkSession, transformed: DataFrame, name: String,
       mode: OutputMode = OutputMode.Append): Unit = {
     val q = transformed.writeStream
