@@ -875,7 +875,8 @@ object Round15Queries {
       s"target/indexes/bm25/${PathTag.tagFor(sfDir)}").getAbsolutePath
 
   private[graft] def bm25IndexWrite(s: SparkSession, dir: String,
-      docRows: Long, docContent: Long): Unit = {
+      docRows: Long, docContent: Long,
+      nBuckets: Int = Bm25IndexBuckets): Unit = {
     val path = bm25IndexPath(dir)
     val docs = Tables.documents(s, dir)
       .select(col("doc_id"), TextPrep.tokensCol(col("text")).as("toks"))
@@ -888,7 +889,7 @@ object Round15Queries {
       .agg(count(lit(1)).as("tf"))
       .localCheckpoint()
     alltf
-      .withColumn("pt", pmod(hash(col("term")), lit(Bm25IndexBuckets)))
+      .withColumn("pt", pmod(hash(col("term")), lit(nBuckets)))
       .write.mode("overwrite").partitionBy("pt")
       .parquet(s"$path/postings")
     dl.write.mode("overwrite").parquet(s"$path/dl")
@@ -896,11 +897,11 @@ object Round15Queries {
         (sum(col("dl")) / count(lit(1))).as("avgdl"))
       .write.mode("overwrite").parquet(s"$path/stats")
     alltf.groupBy(col("term")).agg(count(lit(1)).as("df"))
-      .withColumn("pt", pmod(hash(col("term")), lit(Bm25IndexBuckets)))
+      .withColumn("pt", pmod(hash(col("term")), lit(nBuckets)))
       .write.mode("overwrite").partitionBy("pt").parquet(s"$path/df")
     // stamp-bearing meta LAST: a torn build never presents as warm
     import s.implicits._
-    Seq((docRows, docContent, Bm25IndexBuckets, Bm25IndexFmt))
+    Seq((docRows, docContent, nBuckets, Bm25IndexFmt))
       .toDF("doc_rows", "doc_content", "n_buckets", "fmt")
       .repartition(1).write.mode("overwrite").parquet(s"$path/meta")
   }
@@ -1073,14 +1074,16 @@ object Round15Queries {
     val b = batch.select(col("doc_id"), col("text")).localCheckpoint()
     val (br, bc) = ChoiceStore.documentsStamp(b)
     if (br > 0L)
-      bm25IndexAppendDocs(s, idxPath, b, m.docRows + br, m.docContent + bc)
+      bm25IndexAppendDocs(s, idxPath, b, m.docRows + br, m.docContent + bc,
+        m.nBuckets)
   }
 
   /** The shared append body: merge `batchDocs` (doc_id, text — already
     * proven disjoint from the indexed corpus by the caller) into the
     * artifact tables, writing meta last. */
   private[graft] def bm25IndexAppendDocs(s: SparkSession, idxPath: String,
-      batchDocs: DataFrame, docRows: Long, docContent: Long): Unit = {
+      batchDocs: DataFrame, docRows: Long, docContent: Long,
+      nBuckets: Int = Bm25IndexBuckets): Unit = {
     val docs = batchDocs
       .select(col("doc_id"), TextPrep.tokensCol(col("text")).as("toks"))
     val dlNew = docs
@@ -1092,7 +1095,7 @@ object Round15Queries {
       .agg(count(lit(1)).as("tf"))
       .localCheckpoint()
     tfNew
-      .withColumn("pt", pmod(hash(col("term")), lit(Bm25IndexBuckets)))
+      .withColumn("pt", pmod(hash(col("term")), lit(nBuckets)))
       .write.mode("append").partitionBy("pt")
       .parquet(s"$idxPath/postings")
     dlNew.write.mode("append").parquet(s"$idxPath/dl")
@@ -1109,9 +1112,9 @@ object Round15Queries {
     // rewritten (dynamic partition overwrite), so the append's df
     // bill follows the batch's vocabulary, not the corpus'.
     val dfNew = tfNew.groupBy(col("term")).agg(count(lit(1)).as("df"))
-      .withColumn("pt", pmod(hash(col("term")), lit(Bm25IndexBuckets)))
+      .withColumn("pt", pmod(hash(col("term")), lit(nBuckets)))
       .localCheckpoint()
-    // the batch's bucket set: ≤ Bm25IndexBuckets rows, bounded class
+    // the batch's bucket set: ≤ nBuckets rows, bounded class
     val touched = dfNew.select(col("pt")).distinct()
       .collect().map(_.getInt(0)).toSeq
     // materialize BEFORE overwriting the partitions it was derived from
@@ -1128,7 +1131,7 @@ object Round15Queries {
       .parquet(s"$idxPath/df")
     finally s.conf.set("spark.sql.sources.partitionOverwriteMode", prevMode)
     import s.implicits._
-    Seq((docRows, docContent, Bm25IndexBuckets, Bm25IndexFmt))
+    Seq((docRows, docContent, nBuckets, Bm25IndexFmt))
       .toDF("doc_rows", "doc_content", "n_buckets", "fmt")
       .repartition(1).write.mode("overwrite").parquet(s"$idxPath/meta")
   }
@@ -1190,11 +1193,15 @@ object Round15Queries {
       idxPath: String, qterms: DataFrame, k1Micro: Long,
       bMicro: Long): DataFrame = {
     val terms = qterms.select(col("term")).distinct().localCheckpoint()
-    // bucket set of the batch's terms: ≤ Bm25IndexBuckets rows — the
-    // bounded-collect class; isin over the partition column is what
-    // prunes the postings scan
+    // the INDEX's own bucket count (meta — a tiny read): the serve
+    // must hash with whatever bucketing the artifact was built at,
+    // which since round 13 is a measurable per-index dial
+    val nb = bm25IndexRead(s, idxPath).map(_.nBuckets)
+      .getOrElse(Bm25IndexBuckets)
+    // bucket set of the batch's terms: ≤ nb rows — the bounded-collect
+    // class; isin over the partition column is what prunes the scan
     val buckets = terms
-      .select(pmod(hash(col("term")), lit(Bm25IndexBuckets)).as("pt"))
+      .select(pmod(hash(col("term")), lit(nb)).as("pt"))
       .distinct().collect().map(_.getInt(0)).toSeq
     val postings = s.read.parquet(s"$idxPath/postings")
       .filter(col("pt").isin(buckets: _*))
@@ -1342,7 +1349,7 @@ object Round15Queries {
         onCompute()
         val path = maskedDfPath(idxPath)
         bm25MaskedDf(s, idxPath, tombstones)
-          .withColumn("pt", pmod(hash(col("term")), lit(Bm25IndexBuckets)))
+          .withColumn("pt", pmod(hash(col("term")), lit(m.nBuckets)))
           .write.mode("overwrite").partitionBy("pt")
           .parquet(s"$path/table")
         import s.implicits._
@@ -1374,8 +1381,10 @@ object Round15Queries {
       tombstones.select(col("doc_id")).localCheckpoint(),
       "graft.bm25.maxTombstones", 10000000L)
     val terms = qterms.select(col("term")).distinct().localCheckpoint()
+    val nb = bm25IndexRead(s, idxPath).map(_.nBuckets)
+      .getOrElse(Bm25IndexBuckets)
     val buckets = terms
-      .select(pmod(hash(col("term")), lit(Bm25IndexBuckets)).as("pt"))
+      .select(pmod(hash(col("term")), lit(nb)).as("pt"))
       .distinct().collect().map(_.getInt(0)).toSeq
     val postings = s.read.parquet(s"$idxPath/postings")
       .filter(col("pt").isin(buckets: _*))

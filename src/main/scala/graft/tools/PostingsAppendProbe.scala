@@ -23,7 +23,14 @@ import graft.operators.Round15Queries
   *     lake (index dir wiped): what every ingest would cost without
   *     the ledger.
   *
-  * Usage: runMain graft.tools.PostingsAppendProbe <sfDir>
+  * The optional WIDEN factor K suffixes `doc_id % K` to every token
+  * (vocabulary ×K, text volume ~unchanged) — the round-13 bucketed-df
+  * measurement: with the df table partitioned by term hash, the
+  * append's df-merge term must stay BATCH-scale as the corpus
+  * vocabulary grows (only the batch's buckets are read/rewritten),
+  * where the pre-bucketing layout rewrote the whole vocabulary table.
+  *
+  * Usage: runMain graft.tools.PostingsAppendProbe <sfDir> [widenK]
   */
 object PostingsAppendProbe {
   private def rmrf(f: java.io.File): Unit = {
@@ -31,8 +38,9 @@ object PostingsAppendProbe {
   }
 
   def main(args: Array[String]): Unit = {
-    require(args.length == 1, "usage: PostingsAppendProbe <sfDir>")
+    require(args.length >= 1, "usage: PostingsAppendProbe <sfDir> [widenK]")
     val sfDir = args(0)
+    val widenK = if (args.length > 1) args(1).toInt else 1
     val spark = SparkSession.builder()
       .master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
@@ -43,8 +51,16 @@ object PostingsAppendProbe {
     val tmp = java.nio.file.Files.createTempDirectory("graft-apb")
       .toFile.getAbsolutePath
     val lake = s"$tmp/lake"
-    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val base = spark.read.parquet(s"$sfDir/documents.parquet")
       .select(col("doc_id"), col("text"))
+    val docs =
+      if (widenK <= 1) base
+      else base.withColumn("text", concat_ws(" ",
+        transform(split(col("text"), " "),
+          t => concat(t, lit("w"), translate(
+              (col("doc_id") % widenK).cast("string"),
+              "0123456789", "abcdefghij")))))
+        .localCheckpoint()
     docs.filter(col("doc_id") % 64 =!= 63)
       .write.parquet(s"$lake/documents.parquet")
     def time(body: => Unit): Double = {
@@ -63,6 +79,7 @@ object PostingsAppendProbe {
     rmrf(new java.io.File(Round15Queries.bm25IndexPath(lake)))
     val tRebuild = time { Round15Queries.ensureBm25IndexIncremental(spark, lake) }
     println(s"""{"probe":"postings_append","sf":"$sfDir",""" +
+      s""""widen_k":$widenK,""" +
       s""""build_base":$tBuild,"append_batch":$tAppend,""" +
       s""""warm":$tWarm,"rebuild_full":$tRebuild,"appended":$appended}""")
     rmrf(new java.io.File(tmp))
