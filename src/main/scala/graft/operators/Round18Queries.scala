@@ -245,11 +245,104 @@ object Round18Queries {
        |ORDER BY s.snap_id""".stripMargin
   }
 
+  // --------------------------------------------------------------- q294
+  /** SNAPSHOT-CURSOR INDEX CATCH-UP — the round-12 verdict's #5 as a
+    * gated cycle: q286's delta cursor and the q282 append verb
+    * composed ([[graft.streaming.StreamingOps.postingsAppendFromSnapshots]]),
+    * so the serving index is maintained FROM THE LAKE'S MANIFESTS —
+    * each snapshot interval is a micro-batch whose files the manifest
+    * difference names exactly, merged through the shared append body.
+    * A consumer that fell arbitrarily far behind catches up in
+    * batch-sized bills and lands on an index bit-equal to a one-shot
+    * build over the final state (the StreamingOpsSpec law; here the
+    * oracle check).
+    *
+    * The gated cycle: seed base (half the corpus) → snapshot 1 → cold
+    * index build for that state → two ingests land as snapshots 2 and
+    * 3 → the consumer replays intervals 1→3 → the fixed-dial workload
+    * serves from the caught-up index. Serve rows ≡ the q244 chain over
+    * the FULL corpus (an index that missed a file, re-read an old one,
+    * or double-applied an interval hash-mismatches); the report
+    * carries the applied-interval count and the final meta stamp, both
+    * oracle-replayed.
+    *
+    * 100 TB shape: catch-up cost = Σ batch tokenizes + vocabulary-
+    * bucket df merges — the lake's text is re-read ONLY for never-
+    * indexed files; discovery is manifest TSV reads. Bench-excluded
+    * (cold build + two appends per call by construction — the q280/
+    * q292 rationale; the marginal verbs are benched via q282 and
+    * measured in SCALE.md).
+    */
+  private[operators] def curLakePath(sfDir: String): String =
+    new java.io.File(s"target/curlake/${PathTag.tagFor(sfDir)}")
+      .getAbsolutePath
+
+  def q294SnapshotCursorCatchup(s: SparkSession, dir: String): DataFrame = {
+    val lake = curLakePath(dir)
+    val lakeDocs = s"$lake/documents.parquet"
+    val snaps = s"$lake/snapshots"
+    rmrf(new java.io.File(lake))
+    rmrf(new java.io.File(Round15Queries.bm25IndexPath(lake)))
+    val docs = Tables.documents(s, dir)
+    // seed = half the corpus; two ingest batches of a quarter each
+    docs.filter(col("doc_id") % Round17Queries.IngestMod < 2L)
+      .write.mode("overwrite").parquet(lakeDocs)
+    graft.io.SnapshotStore.record(s, lakeDocs, snaps)
+    Round15Queries.ensureBm25IndexIncremental(s, lake) // cold, for snap 1
+    docs.filter(col("doc_id") % Round17Queries.IngestMod === 2L)
+      .write.mode("append").parquet(lakeDocs)
+    graft.io.SnapshotStore.record(s, lakeDocs, snaps)
+    docs.filter(col("doc_id") % Round17Queries.IngestMod === 3L)
+      .write.mode("append").parquet(lakeDocs)
+    graft.io.SnapshotStore.record(s, lakeDocs, snaps)
+    val idx = Round15Queries.bm25IndexPath(lake)
+    val applied = graft.streaming.StreamingOps
+      .postingsAppendFromSnapshots(s, snaps, idx, 1, 3)
+    val m = Round15Queries.bm25IndexRead(s, idx).getOrElse(
+      sys.error("q294: index unreadable after catch-up"))
+    val qt = Round15Queries.multiBm25QueryTableFrom(
+      Round15Queries.readIndexDf(s, idx))
+    Round15Queries.bm25ServeQueriesFromIndex(s, idx, qt,
+        math.round(Round14Queries.Bm25K1 * 1e6),
+        math.round(Round14Queries.Bm25B * 1e6))
+      .drop("k1_micro", "b_micro")
+      .withColumn("n_applied", lit(applied.toLong))
+      .withColumn("post_rows", lit(m.docRows))
+      .withColumn("post_content", lit(m.docContent))
+      .orderBy(col("query_id"), col("rk"))
+  }
+
+  /** The q244 chain over the FULL corpus (the caught-up state) + the
+    * cycle's contract constants + the full-corpus stamp. */
+  val q294Sql: String = {
+    val prefix = Round15Queries.q244Sql.substring(0,
+      Round15Queries.q244Sql.indexOf("best AS ("))
+    s"""${prefix}best AS (
+       |  SELECT query_id, doc_id, bm25, n_terms_hit,
+       |         row_number() OVER (PARTITION BY query_id
+       |                            ORDER BY bm25 DESC, doc_id ASC) AS rk
+       |  FROM scored),
+       |pstamp AS (
+       |  SELECT CAST(count(*) AS BIGINT) AS post_rows,
+       |         CAST(coalesce(sum((doc_id * 31 + strlen(text)) % 1048576),
+       |                       0) AS BIGINT) AS post_content
+       |  FROM documents)
+       |SELECT b.query_id, b.doc_id, b.bm25, b.n_terms_hit,
+       |       CAST(b.rk AS BIGINT) AS rk,
+       |       CAST(2 AS BIGINT) AS n_applied,
+       |       p.post_rows, p.post_content
+       |FROM best b CROSS JOIN pstamp p
+       |WHERE b.rk <= ${Round15Queries.MultiBm25K}
+       |ORDER BY b.query_id, b.rk""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q292_maskeddf_artifact_cycle" -> (q292MaskedDfArtifactCycle _),
-    "q293_retained_compaction" -> (q293RetainedCompaction _))
+    "q293_retained_compaction" -> (q293RetainedCompaction _),
+    "q294_snapshot_cursor_catchup" -> (q294SnapshotCursorCatchup _))
 
   val oracles: Map[String, String] = Map(
     "q292_maskeddf_artifact_cycle" -> q292Sql,
-    "q293_retained_compaction" -> q293Sql)
+    "q293_retained_compaction" -> q293Sql,
+    "q294_snapshot_cursor_catchup" -> q294Sql)
 }
