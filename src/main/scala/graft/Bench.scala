@@ -35,7 +35,11 @@ import org.apache.spark.sql.SparkSession
   * pays TWO cold measurement bills per call by construction — base
   * and post-ingest, the quadratic banding measure among them — its
   * serving paths are benched by the q272/q273/q277 trio and its
-  * composition correctness by the sf0.01 gate) — same
+  * composition correctness by the sf0.01 gate; q292's masked-df
+  * artifact cycle and q294's snapshot-cursor catch-up each pay a COLD
+  * index build over their own lake replica per call by construction —
+  * their marginal verbs are benched via q283/q282 and measured in
+  * SCALE.md, their composition correctness by the sf0.01 gate) — same
   * quadratic-output class),
   * queries that are strict
   * prefixes/aggregations/SQL-surface twins of included ones (q6, q11,
@@ -146,6 +150,7 @@ object Bench {
     "q284_postings_maintenance_cycle", "q285_snapshot_read",
     "q286_snapshot_delta", "q287_hard_negative_mining",
     "q288_split_assign", "q290_asof_serve", "q291_dataset_card",
+    "q293_retained_compaction",
     "q275_vocab_size_auto", "q276_lifecycle_cycle",
     "q277_vocab_choice_persist", "q279_vocab_choice_encode")
 
