@@ -36,10 +36,11 @@ import org.apache.spark.sql.SparkSession
   * and post-ingest, the quadratic banding measure among them — its
   * serving paths are benched by the q272/q273/q277 trio and its
   * composition correctness by the sf0.01 gate; q292's masked-df
-  * artifact cycle and q294's snapshot-cursor catch-up each pay a COLD
-  * index build over their own lake replica per call by construction —
-  * their marginal verbs are benched via q283/q282 and measured in
-  * SCALE.md, their composition correctness by the sf0.01 gate) — same
+  * artifact cycle, q294's snapshot-cursor catch-up, and q295's
+  * incremental card each pay a COLD build (index or card) over their
+  * own lake replica per call by construction — their marginal verbs
+  * are benched via q283/q282/q291 and measured in SCALE.md, their
+  * composition correctness by the sf0.01 gate) — same
   * quadratic-output class),
   * queries that are strict
   * prefixes/aggregations/SQL-surface twins of included ones (q6, q11,

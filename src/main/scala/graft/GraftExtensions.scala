@@ -112,6 +112,32 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         graft.functions.AcCountsExpr(exprs(0),
           exprs.tail.map(p => litString(p, "ac_counts pattern")))
       }))
+    // lake time travel as TABLE-VALUED functions — the SQL surface of
+    // SnapshotStore (graft.plans.SnapshotTvf): the manifest resolves
+    // during analysis (a TSV read), the plan is the pinned file set,
+    // and every store guarantee (loud rewrite boundary, non-append
+    // delta law, file-level pruning) carries over unchanged
+    e.injectTableFunction((
+      FunctionIdentifier("graft_asof"),
+      new ExpressionInfo(graft.plans.SnapshotTvf.getClass.getName,
+        "graft_asof"),
+      (exprs: Seq[Expression]) => {
+        arity(exprs, 2, "graft_asof(snapshot_dir, id)")
+        graft.plans.SnapshotTvf.asOfPlan(
+          litString(exprs(0), "graft_asof snapshot dir"),
+          litInt(exprs(1), "graft_asof snapshot id"))
+      }))
+    e.injectTableFunction((
+      FunctionIdentifier("graft_delta"),
+      new ExpressionInfo(graft.plans.SnapshotTvf.getClass.getName,
+        "graft_delta"),
+      (exprs: Seq[Expression]) => {
+        arity(exprs, 3, "graft_delta(snapshot_dir, from_id, to_id)")
+        graft.plans.SnapshotTvf.deltaPlan(
+          litString(exprs(0), "graft_delta snapshot dir"),
+          litInt(exprs(1), "graft_delta from id"),
+          litInt(exprs(2), "graft_delta to id"))
+      }))
     // the custom top-k planner strategy, so SQL/DataFrame sessions built
     // with the extension plan TopKPerKey nodes without a TopK.install call
     e.injectPlannerStrategy(_ => graft.plans.TopKStrategy)

@@ -336,13 +336,272 @@ object Round18Queries {
        |ORDER BY b.query_id, b.rk""".stripMargin
   }
 
+  // --------------------------------------------------------------- q295
+  /** INCREMENTAL DATASET CARD — the cursor-fed-artifact pattern
+    * generalized past the serving index: q291's per-(lang, source)
+    * datasheet is a DERIVED STATISTIC a release republishes after
+    * every ingest, and recomputing it re-tokenizes the lake. Every
+    * number on the card is exactly mergeable: doc/byte/token volumes
+    * are integer sums (order-free), the stratum vocabulary is a
+    * distinct (lang, source, term) SET (union-exact), and the only
+    * double — mean tokens/doc — derives from the sums at serve time.
+    * So the card persists as two tables and an ingest merges the
+    * BATCH's contribution:
+    *
+    *   - `volumes/` — (lang, source, n_docs, n_bytes, n_tokens):
+    *     strata-scale; merge = read ∪ batch, group-sum, overwrite
+    *     (tiny — |lang|×|source| rows).
+    *   - `vocab/`   — distinct (lang, source, term), PARTITIONED BY
+    *     the `pt` term-hash bucket (the round-13 df discipline):
+    *     merge reads and dynamically overwrites ONLY buckets the
+    *     batch's terms hash into — batch-vocabulary-scale.
+    *   - `meta/`    — the corpus stamp, written LAST (torn-merge
+    *     ordering: a crash never presents a half-merged card as
+    *     current), advanced by exactly the batch's contribution.
+    *
+    * Incremental ≡ recompute holds EXACTLY (integer sums + set
+    * union — Round18QueriesSpec pins any-split convergence and table
+    * set-equality vs a one-shot build). The gated cycle: seed base →
+    * snapshot → card built from delta(0,1) → ingest lands as
+    * snapshot 2 → card merged with delta(1,2) — the
+    * [[graft.io.SnapshotStore.readDelta]] cursor names the batch —
+    * and the served card must hash-equal q291's one-shot card over
+    * the full corpus (the oracle), plus the advanced meta stamp.
+    *
+    * 100 TB shape: republishing the card after an ingest costs the
+    * batch tokenize + a strata-scale sum merge + touched-bucket vocab
+    * union — never a lake re-tokenize; discovery is manifest TSV
+    * reads. Bench-excluded (two tokenize passes over its own replica
+    * per call by construction; the one-shot card is benched as q291).
+    */
+  val CardBuckets = 32
+
+  private[operators] def cardLakePath(sfDir: String): String =
+    new java.io.File(s"target/cardlake/${PathTag.tagFor(sfDir)}")
+      .getAbsolutePath
+
+  /** One tokenize pass → the card's two tables: strata volume sums
+    * and the distinct stratum-term set (with its hash bucket). */
+  private[graft] def cardTablesOf(docs: DataFrame): (DataFrame, DataFrame) = {
+    val toks = docs.select(col("lang"), col("source"), col("text"),
+        graft.text.TextPrep.tokensCol(col("text")).as("toks"))
+      .localCheckpoint()
+    val volumes = toks.groupBy(col("lang"), col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(octet_length(col("text"))).cast("long").as("n_bytes"),
+        coalesce(sum(size(col("toks"))), lit(0)).cast("long")
+          .as("n_tokens"))
+    val vocab = toks
+      .select(col("lang"), col("source"), explode(col("toks")).as("term"))
+      .distinct()
+      .withColumn("pt", pmod(hash(col("term")), lit(CardBuckets)))
+    (volumes, vocab)
+  }
+
+  /** Build the card artifact from scratch over `docs`; meta LAST. */
+  private[graft] def cardWrite(s: SparkSession, path: String,
+      docs: DataFrame): Unit = {
+    val d = docs.select(col("doc_id"), col("lang"), col("source"),
+      col("text"))
+    val (r, c) = ChoiceStore.documentsStamp(
+      d.select(col("doc_id"), col("text")))
+    val (volumes, vocab) = cardTablesOf(d)
+    volumes.write.mode("overwrite").parquet(s"$path/volumes")
+    vocab.write.mode("overwrite").partitionBy("pt").parquet(s"$path/vocab")
+    import s.implicits._
+    Seq((r, c)).toDF("doc_rows", "doc_content")
+      .repartition(1).write.mode("overwrite").parquet(s"$path/meta")
+  }
+
+  /** Merge one ingest batch into the card: volume sums add exactly
+    * (disjoint docs), the vocab union touches only the batch's term
+    * buckets (dynamic partition overwrite — the round-13 df merge
+    * discipline), meta advances by exactly the batch's stamp
+    * contribution, written LAST. */
+  private[graft] def cardAppendBatch(s: SparkSession, path: String,
+      batch: DataFrame): Unit = {
+    val b = batch.select(col("doc_id"), col("lang"), col("source"),
+      col("text")).localCheckpoint()
+    val (br, bc) = ChoiceStore.documentsStamp(
+      b.select(col("doc_id"), col("text")))
+    if (br == 0L) return
+    val meta = s.read.parquet(s"$path/meta").head()
+    val (volumesNew, vocabNew0) = cardTablesOf(b)
+    val vocabNew = vocabNew0.localCheckpoint()
+    // strata-scale sum merge; materialize before overwriting its input
+    val volumes = s.read.parquet(s"$path/volumes")
+      .unionByName(volumesNew)
+      .groupBy(col("lang"), col("source"))
+      .agg(sum(col("n_docs")).as("n_docs"), sum(col("n_bytes")).as("n_bytes"),
+        sum(col("n_tokens")).as("n_tokens"))
+      .localCheckpoint()
+    volumes.write.mode("overwrite").parquet(s"$path/volumes")
+    // touched-bucket vocab union (≤ CardBuckets rows collected)
+    val touched = vocabNew.select(col("pt")).distinct()
+      .collect().map(_.getInt(0)).toSeq
+    val merged = s.read.parquet(s"$path/vocab")
+      .filter(col("pt").isin(touched: _*))
+      .unionByName(vocabNew)
+      .select(col("lang"), col("source"), col("term"), col("pt"))
+      .distinct()
+      .localCheckpoint()
+    val prevMode = s.conf.get(
+      "spark.sql.sources.partitionOverwriteMode", "STATIC")
+    s.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try merged.write.mode("overwrite").partitionBy("pt")
+      .parquet(s"$path/vocab")
+    finally s.conf.set("spark.sql.sources.partitionOverwriteMode", prevMode)
+    import s.implicits._
+    Seq((meta.getAs[Long]("doc_rows") + br,
+        meta.getAs[Long]("doc_content") + bc))
+      .toDF("doc_rows", "doc_content")
+      .repartition(1).write.mode("overwrite").parquet(s"$path/meta")
+  }
+
+  /** Serve the card from the artifact tables — q291's exact columns
+    * (the mean derives from the sums), plus the meta stamp. */
+  private[graft] def cardServe(s: SparkSession, path: String): DataFrame = {
+    val meta = s.read.parquet(s"$path/meta").head()
+    val vocabCounts = s.read.parquet(s"$path/vocab")
+      .groupBy(col("lang"), col("source"))
+      .agg(count(lit(1)).as("n_terms"))
+    s.read.parquet(s"$path/volumes")
+      .join(vocabCounts, Seq("lang", "source"), "left_outer")
+      .select(col("lang"), col("source"), col("n_docs"), col("n_bytes"),
+        col("n_tokens"), coalesce(col("n_terms"), lit(0L)).as("n_terms"),
+        round(col("n_tokens") / col("n_docs"), 6).as("mean_tokens"))
+      .withColumn("post_rows", lit(meta.getAs[Long]("doc_rows")))
+      .withColumn("post_content", lit(meta.getAs[Long]("doc_content")))
+  }
+
+  def q295IncrementalCard(s: SparkSession, dir: String): DataFrame = {
+    val lake = cardLakePath(dir)
+    val lakeDocs = s"$lake/documents.parquet"
+    val snaps = s"$lake/snapshots"
+    val card = s"$lake/card"
+    rmrf(new java.io.File(lake))
+    val docs = Tables.documents(s, dir)
+    docs.filter(col("doc_id") % Round17Queries.IngestMod
+        =!= Round17Queries.IngestRem)
+      .write.mode("overwrite").parquet(lakeDocs)
+    graft.io.SnapshotStore.record(s, lakeDocs, snaps)
+    cardWrite(s, card, graft.io.SnapshotStore.readDelta(s, snaps, 0, 1))
+    docs.filter(col("doc_id") % Round17Queries.IngestMod
+        === Round17Queries.IngestRem)
+      .write.mode("append").parquet(lakeDocs)
+    graft.io.SnapshotStore.record(s, lakeDocs, snaps)
+    cardAppendBatch(s, card,
+      graft.io.SnapshotStore.readDelta(s, snaps, 1, 2))
+    cardServe(s, card).orderBy(col("lang"), col("source"))
+  }
+
+  /** q291's one-shot card replay over the full corpus + the full
+    * stamp — the incremental ≡ recompute theorem as the oracle. */
+  val q295Sql: String = {
+    val body = Round17Queries.q291Sql
+    val withoutOrder = body.substring(0, body.lastIndexOf("ORDER BY"))
+    // splice the stamp into the final projection
+    val spliced = withoutOrder.replace(
+      "round(v.n_tokens / CAST(v.n_docs AS DOUBLE), 6)\n         AS mean_tokens",
+      "round(v.n_tokens / CAST(v.n_docs AS DOUBLE), 6)\n         AS mean_tokens,\n       ps.post_rows, ps.post_content")
+      .replace("FROM vols v LEFT JOIN vocab vc USING (lang, source)",
+        "FROM vols v LEFT JOIN vocab vc USING (lang, source)\n" +
+          "CROSS JOIN (SELECT CAST(count(*) AS BIGINT) AS post_rows,\n" +
+          "  CAST(coalesce(sum((doc_id * 31 + strlen(text)) % 1048576), 0)\n" +
+          "       AS BIGINT) AS post_content FROM documents) ps")
+    require(spliced != withoutOrder,
+      "q295Sql: the q291 oracle template moved — update the splice")
+    spliced + "ORDER BY v.lang, v.source"
+  }
+
+  // --------------------------------------------------------------- q296
+  /** SQL TIME TRAVEL — the snapshot store's TABLE-VALUED-FUNCTION
+    * surface ([[graft.plans.SnapshotTvf]], registered by
+    * [[graft.GraftExtensions]] via `injectTableFunction`): a plain SQL
+    * user writes `FROM graft_asof('<snapdir>', k)` /
+    * `FROM graft_delta('<snapdir>', a, b)` and gets the pinned file
+    * set as a relation — manifest resolved during ANALYSIS (a TSV
+    * read), every store guarantee carried over unchanged (loud
+    * rewrite boundary at plan time, the non-append delta law,
+    * file-level pruning before the scan). This is the q46/q225/q253
+    * SQL-surface-twin convention applied to the lake verbs, except
+    * the twin is gated in its own right because the TVF path is new
+    * plumbing (literal-argument boundary, analysis-time resolution),
+    * not a hint rewrite of an already-gated plan.
+    *
+    * The gated cycle: the q285/q286 chronology on its own lake, then
+    * ONE `spark.sql` text reads all three states through the TVFs
+    * (as-of 1, as-of 2, the 1→2 delta) and aggregates each to its
+    * corpus stamp + exact token count. The oracle replays the states
+    * as WHERE-filtered aggregates. Bounded-collect class: 3 rows.
+    */
+  private[operators] def sqlLakePath(sfDir: String): String =
+    new java.io.File(s"target/sqllake/${PathTag.tagFor(sfDir)}")
+      .getAbsolutePath
+
+  def q296SqlAsOf(s: SparkSession, dir: String): DataFrame = {
+    val lake = sqlLakePath(dir)
+    val lakeDocs = s"$lake/documents.parquet"
+    val snaps = s"$lake/snapshots"
+    rmrf(new java.io.File(lake))
+    val docs = Tables.documents(s, dir)
+    docs.filter(col("doc_id") % Round17Queries.IngestMod
+        =!= Round17Queries.IngestRem)
+      .write.mode("overwrite").parquet(lakeDocs)
+    graft.io.SnapshotStore.record(s, lakeDocs, snaps)
+    docs.filter(col("doc_id") % Round17Queries.IngestMod
+        === Round17Queries.IngestRem)
+      .write.mode("append").parquet(lakeDocs)
+    graft.io.SnapshotStore.record(s, lakeDocs, snaps)
+    def agg(state: String, from: String): String =
+      s"""SELECT '$state' AS state, CAST(count(*) AS BIGINT) AS doc_rows,
+         |  CAST(coalesce(sum((doc_id * 31L + octet_length(text))
+         |                    % 1048576L), 0L) AS BIGINT) AS doc_content,
+         |  CAST(coalesce(sum(size(filter(split(trim(regexp_replace(
+         |         lower(text), '(\\\\d|\\\\W)+', ' ')), ' '),
+         |       x -> x != ''))), 0L) AS BIGINT) AS n_tokens
+         |FROM $from""".stripMargin
+    s.sql(
+      s"""${agg("asof1", s"graft_asof('$snaps', 1)")}
+         |UNION ALL
+         |${agg("asof2", s"graft_asof('$snaps', 2)")}
+         |UNION ALL
+         |${agg("delta12", s"graft_delta('$snaps', 1, 2)")}
+         |ORDER BY state""".stripMargin)
+  }
+
+  /** The three states replayed as WHERE-filtered aggregates (the
+    * q285/q286 oracle convention, state-labelled). */
+  val q296Sql: String = {
+    val im = Round17Queries.IngestMod; val ir = Round17Queries.IngestRem
+    def state(label: String, where: String): String =
+      s"""SELECT '$label' AS state,
+         |       CAST(count(*) AS BIGINT) AS doc_rows,
+         |       CAST(coalesce(sum((doc_id * 31 + strlen(text)) % 1048576),
+         |                     0) AS BIGINT) AS doc_content,
+         |       CAST(coalesce(sum(len(list_filter(string_split(trim(
+         |                regexp_replace(lower(text), '(\\d|\\W)+', ' ', 'g')),
+         |              ' '), x -> x <> ''))), 0) AS BIGINT) AS n_tokens
+         |FROM documents $where""".stripMargin
+    s"""${state("asof1", s"WHERE doc_id % $im <> $ir")}
+       |UNION ALL
+       |${state("asof2", "")}
+       |UNION ALL
+       |${state("delta12", s"WHERE doc_id % $im = $ir")}
+       |ORDER BY state""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q292_maskeddf_artifact_cycle" -> (q292MaskedDfArtifactCycle _),
     "q293_retained_compaction" -> (q293RetainedCompaction _),
-    "q294_snapshot_cursor_catchup" -> (q294SnapshotCursorCatchup _))
+    "q294_snapshot_cursor_catchup" -> (q294SnapshotCursorCatchup _),
+    "q295_incremental_card" -> (q295IncrementalCard _),
+    "q296_sql_asof" -> (q296SqlAsOf _))
 
   val oracles: Map[String, String] = Map(
     "q292_maskeddf_artifact_cycle" -> q292Sql,
     "q293_retained_compaction" -> q293Sql,
-    "q294_snapshot_cursor_catchup" -> q294Sql)
+    "q294_snapshot_cursor_catchup" -> q294Sql,
+    "q295_incremental_card" -> q295Sql,
+    "q296_sql_asof" -> q296Sql)
 }

@@ -91,6 +91,46 @@ class SnapshotStoreSpec extends SparkTestBase {
     }
   }
 
+  test("SQL TVFs: graft_asof/graft_delta equal the DataFrame verbs; literal-argument boundary; rewrite stays loud at plan time") {
+    val (lakeDocs, snaps, _) = freshLake("tvf")
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+      .select("doc_id", "text")
+    docs.filter(col("doc_id") % 4 =!= 3).write.parquet(lakeDocs)
+    SnapshotStore.record(spark, lakeDocs, snaps)
+    docs.filter(col("doc_id") % 4 === 3)
+      .write.mode("append").parquet(lakeDocs)
+    SnapshotStore.record(spark, lakeDocs, snaps)
+    // the SQL surface ≡ the DataFrame verbs, byte-exact
+    assert(rows(spark.sql(s"SELECT * FROM graft_asof('$snaps', 1)"))
+      === rows(SnapshotStore.readAsOf(spark, snaps, 1)))
+    assert(rows(spark.sql(s"SELECT * FROM graft_delta('$snaps', 1, 2)"))
+      === rows(SnapshotStore.readDelta(spark, snaps, 1, 2)))
+    // TVFs compose with plain SQL (filter + aggregate over the pin)
+    val n = spark.sql(
+      s"SELECT count(*) FROM graft_asof('$snaps', 2) WHERE doc_id % 2 = 0")
+      .head().getLong(0)
+    assert(n === spark.read.parquet(lakeDocs)
+      .filter(col("doc_id") % 2 === 0).count())
+    // literal-argument boundary: a non-literal snapshot id is a clear
+    // analysis-time error, not a runtime surprise
+    val e1 = intercept[Exception] {
+      spark.sql(s"SELECT * FROM graft_asof('$snaps', 1 + 1)").collect()
+    }
+    assert(e1.getMessage.contains("literal"), e1.getMessage)
+    val e2 = intercept[Exception] {
+      spark.sql(s"SELECT * FROM graft_asof('$snaps')").collect()
+    }
+    assert(e2.getMessage.contains("2 arguments"), e2.getMessage)
+    // the rewrite boundary fires at PLAN time through SQL too
+    docs.filter(col("doc_id") % 4 === 0).localCheckpoint()
+      .write.mode("overwrite").parquet(lakeDocs)
+    val e3 = intercept[Exception] {
+      spark.sql(s"SELECT * FROM graft_asof('$snaps', 1)").collect()
+    }
+    assert(e3.getMessage.contains("invalidated by a rewrite"),
+      e3.getMessage)
+  }
+
   test("trust boundary: a same-length rewrite (mtime moved) fails as-of reads loudly") {
     val (lakeDocs, snaps, _) = freshLake("mtime")
     val docs = spark.read.parquet(s"$sf0001/documents.parquet")
