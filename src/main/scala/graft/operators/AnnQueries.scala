@@ -2131,7 +2131,91 @@ object AnnQueries {
        |WHERE k.knn_label <> k.own
        |ORDER BY vec_id""".stripMargin
 
+  // --------------------------------------------------------------- q297
+  /** SNAPSHOT-CURSOR IVF-PQ CATCH-UP — the round-13 cursor-fed-index
+    * pattern on the SECOND index family
+    * ([[graft.streaming.StreamingOps.ivfPqAppendFromSnapshots]]): the
+    * vector lake is snapshotted as it grows, and the serving index is
+    * brought current by replaying manifest intervals through
+    * [[graft.ann.Ann.ivfPqAppend]] — each delta encoded against the
+    * EXISTING quantizers (centroids/codebooks untouched, so the
+    * catch-up lands on exactly the state a one-shot append of the
+    * union would; q251's append contract). The gated cycle: seed half
+    * the vectors → snapshot 1 → coarse+PQ build for that state → two
+    * ingests land as snapshots 2 and 3 → cursor catch-up 1→3 → the
+    * standard probe serves. The oracle replays the probe from the
+    * index's OWN artifacts (the shared [[ivfPqProbeSql]]) — which
+    * checks probe correctness over whatever was indexed — PLUS the
+    * indexed-row count against the full embeddings table, so an index
+    * that missed a file, re-read one, or double-applied an interval
+    * fails on n_indexed even before the ranking moves.
+    *
+    * 100 TB shape: catch-up cost = Σ batch encodes (each against
+    * broadcast quantizers, appended into cluster partitions) +
+    * manifest TSV reads for discovery; the vector lake's history is
+    * never re-encoded. Bench-excluded (cold k-means build per call by
+    * construction — the q292/q294 rationale; the append and probe
+    * marginals are benched by q251/q245).
+    */
+  private def ivfPqCursorIndexPath(sfDir: String): String =
+    new java.io.File(s"target/ivfpq-cursor/${PathTag.tagFor(sfDir)}")
+      .getAbsolutePath
+
+  private[operators] def annLakePath(sfDir: String): String =
+    new java.io.File(s"target/annlake/${PathTag.tagFor(sfDir)}")
+      .getAbsolutePath
+
+  private def rmrfAnn(f: java.io.File): Unit = {
+    if (f.isDirectory) f.listFiles().foreach(rmrfAnn); f.delete(); ()
+  }
+
+  def q297IvfPqCursorCatchup(s: SparkSession, dir: String): DataFrame = {
+    val lake = annLakePath(dir)
+    val lakeVecs = s"$lake/embeddings.parquet"
+    val snaps = s"$lake/snapshots"
+    val idx = ivfPqCursorIndexPath(dir)
+    rmrfAnn(new java.io.File(lake))
+    rmrfAnn(new java.io.File(idx))
+    val e = emb(s, dir).select(col("vec_id"), col("embedding"))
+    e.filter(col("vec_id") % 4 < 2)
+      .write.mode("overwrite").parquet(lakeVecs)
+    graft.io.SnapshotStore.record(s, lakeVecs, snaps)
+    Ann.ivfPqBuild(graft.io.SnapshotStore.readAsOf(s, snaps, 1),
+      idx, IvfPqClusters, PqM, PqCodes)
+    e.filter(col("vec_id") % 4 === 2)
+      .write.mode("append").parquet(lakeVecs)
+    graft.io.SnapshotStore.record(s, lakeVecs, snaps)
+    e.filter(col("vec_id") % 4 === 3)
+      .write.mode("append").parquet(lakeVecs)
+    graft.io.SnapshotStore.record(s, lakeVecs, snaps)
+    val applied = graft.streaming.StreamingOps
+      .ivfPqAppendFromSnapshots(s, snaps, idx, 1, 3)
+    val nIndexed = s.read.parquet(s"$idx/assignments").count()
+    Ann.ivfPqProbe(querySubset(s, dir), idx, PqTopK, IvfPqNprobe)
+      .select(col("qid"), col("nid"), col("adc_micro"), col("rk"))
+      .withColumn("n_applied", lit(applied.toLong))
+      .withColumn("n_indexed", lit(nIndexed))
+      .orderBy(col("qid"), col("rk"))
+  }
+
+  /** The shared probe replay over the caught-up index's artifacts +
+    * the indexed-count tie to the full embeddings table + the cycle's
+    * contract constant. */
+  def q297Sql(sfDir: String): String = {
+    val base = ivfPqProbeSql(ivfPqCursorIndexPath(sfDir))
+    val spliced = base.replace(
+      "CAST(rk AS BIGINT) AS rk\nFROM best WHERE rk <=",
+      "CAST(rk AS BIGINT) AS rk,\n       CAST(2 AS BIGINT) AS n_applied," +
+        "\n       ni.n_indexed\nFROM best CROSS JOIN (\n" +
+        "  SELECT CAST(count(*) AS BIGINT) AS n_indexed FROM embeddings)" +
+        " ni\nWHERE rk <=")
+    require(spliced != base,
+      "q297Sql: the probe oracle template moved — update the splice")
+    spliced
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q297_ivfpq_cursor_catchup" -> (q297IvfPqCursorCatchup _),
     "q245_ivfpq_topk" -> (q245IvfPqTopK _),
     "q251_ivfpq_append" -> (q251IvfPqAppendProbe _),
     "q252_nprobe_curve" -> (q252NprobeCurve _),
@@ -2169,6 +2253,7 @@ object AnnQueries {
   /** Oracles whose SQL depends on the gate's sf dir (q43 reads the
     * materialized IVF index for that dir); the rest are static. */
   def oraclesFor(sfDir: String): Map[String, String] = Map(
+    "q297_ivfpq_cursor_catchup" -> q297Sql(sfDir),
     "q245_ivfpq_topk" -> q245Sql(sfDir),
     "q251_ivfpq_append" -> q251Sql(sfDir),
     "q252_nprobe_curve" -> q252Sql(sfDir),

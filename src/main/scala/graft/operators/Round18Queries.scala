@@ -591,17 +591,126 @@ object Round18Queries {
        |ORDER BY state""".stripMargin
   }
 
+  // --------------------------------------------------------------- q298
+  /** RETENTION-WINDOW POLICY — the last verb of the snapshot story:
+    * q293 made snapshots survive compaction, this decides WHICH ones
+    * keep surviving. The pure rule [[chooseSnapshotsToKeep]] (window ∪
+    * pins — the table formats' retention semantics: keep the last N
+    * snapshots plus any id an eval pinned, the q290 composition's
+    * other half) feeds [[graft.io.SnapshotStore.expireSnapshots]];
+    * everything else is observation:
+    *
+    *   seed → 3 ingests (snapshots 1–4) → the q293 tombstone rule
+    *   compacts WITH retention → snapshot 5 → policy (keepLast = 2,
+    *   pinned = {1}) → expire → every original id READ BACK: kept ids
+    *   serve their exact stamps (1 and 4 from RETAINED files — they
+    *   predate the compaction), expired ids fail LOUDLY (observed and
+    *   reported as kept = 0 with zero stamps).
+    *
+    * The oracle replays the five states as WHERE-filtered aggregates
+    * and the keep verdicts through the same window∪pins arithmetic.
+    * PropertySpec pins the rule generatively (subset of ids, pins
+    * always kept, window exact, monotone in N). Bounded-collect
+    * class: 5 rows.
+    *
+    * 100 TB shape: the policy run is pure metadata — manifest
+    * deletes + a retained-file reference count; data is touched only
+    * by the GC unlink of files NO remaining manifest references.
+    */
+  private[graft] def chooseSnapshotsToKeep(ids: Seq[Int], keepLast: Int,
+      pinned: Set[Int]): Set[Int] =
+    ids.sorted.takeRight(math.max(keepLast, 0)).toSet ++
+      pinned.filter(ids.contains)
+
+  val RetainKeepLast = 2
+  val RetainPinned: Set[Int] = Set(1)
+
+  private[operators] def polLakePath(sfDir: String): String =
+    new java.io.File(s"target/pollake/${PathTag.tagFor(sfDir)}")
+      .getAbsolutePath
+
+  def q298RetentionPolicy(s: SparkSession, dir: String): DataFrame = {
+    val lake = polLakePath(dir)
+    val lakeDocs = s"$lake/documents.parquet"
+    val snaps = s"$lake/snapshots"
+    rmrf(new java.io.File(lake))
+    val docs = Tables.documents(s, dir)
+    docs.filter(col("doc_id") % Round17Queries.IngestMod === 0L)
+      .write.mode("overwrite").parquet(lakeDocs)
+    graft.io.SnapshotStore.record(s, lakeDocs, snaps)
+    (1L to 3L).foreach { k =>
+      docs.filter(col("doc_id") % Round17Queries.IngestMod === k)
+        .write.mode("append").parquet(lakeDocs)
+      graft.io.SnapshotStore.record(s, lakeDocs, snaps)
+    }
+    // the q293 compaction (retention keeps 1–4 readable), then snap 5
+    val current = s.read.parquet(lakeDocs)
+    graft.io.SnapshotStore.compactWithRetention(s, lakeDocs, snaps,
+      current.join(current.select(col("doc_id"))
+          .filter(col("doc_id") % Round15Queries.Bm25DeleteMod
+            === Round15Queries.Bm25DeleteRem).localCheckpoint(),
+        Seq("doc_id"), "left_anti"))
+    graft.io.SnapshotStore.record(s, lakeDocs, snaps)
+    // POLICY → expire → observe
+    val ids = graft.io.SnapshotStore.ids(s, snaps)
+    val keep = chooseSnapshotsToKeep(ids, RetainKeepLast, RetainPinned)
+    graft.io.SnapshotStore.expireSnapshots(s, snaps, keep)
+    val rows = ids.map { id =>
+      scala.util.Try {
+        val d = graft.io.SnapshotStore.readAsOf(s, snaps, id)
+          .select(col("doc_id"), col("text"))
+        val (r, c) = ChoiceStore.documentsStamp(d)
+        (id.toLong, 1L, r, c)
+      }.getOrElse((id.toLong, 0L, 0L, 0L)) // loud expiry, observed
+    }
+    import s.implicits._
+    rows.toDF("snap_id", "kept", "doc_rows", "doc_content")
+      .orderBy(col("snap_id"))
+  }
+
+  /** Five states as WHERE-filtered aggregates; keep verdicts through
+    * the same window ∪ pins arithmetic over the literal chronology. */
+  val q298Sql: String = {
+    val im = Round17Queries.IngestMod
+    val dm = Round15Queries.Bm25DeleteMod
+    val dr = Round15Queries.Bm25DeleteRem
+    def state(id: Int, kept: Int, where: String): String =
+      if (kept == 0)
+        s"""SELECT CAST($id AS BIGINT) AS snap_id, CAST(0 AS BIGINT) AS kept,
+           |       CAST(0 AS BIGINT) AS doc_rows,
+           |       CAST(0 AS BIGINT) AS doc_content""".stripMargin
+      else
+        s"""SELECT CAST($id AS BIGINT) AS snap_id, CAST(1 AS BIGINT) AS kept,
+           |       CAST(count(*) AS BIGINT) AS doc_rows,
+           |       CAST(coalesce(sum((doc_id * 31 + strlen(text)) % 1048576),
+           |                     0) AS BIGINT) AS doc_content
+           |FROM documents $where""".stripMargin
+    // keep = pinned {1} ∪ last 2 of {1..5} = {1, 4, 5}
+    s"""${state(1, 1, s"WHERE doc_id % $im = 0")}
+       |UNION ALL
+       |${state(2, 0, "")}
+       |UNION ALL
+       |${state(3, 0, "")}
+       |UNION ALL
+       |${state(4, 1, "")}
+       |UNION ALL
+       |${state(5, 1, s"WHERE doc_id % $dm <> $dr")}
+       |ORDER BY snap_id""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q292_maskeddf_artifact_cycle" -> (q292MaskedDfArtifactCycle _),
     "q293_retained_compaction" -> (q293RetainedCompaction _),
     "q294_snapshot_cursor_catchup" -> (q294SnapshotCursorCatchup _),
     "q295_incremental_card" -> (q295IncrementalCard _),
-    "q296_sql_asof" -> (q296SqlAsOf _))
+    "q296_sql_asof" -> (q296SqlAsOf _),
+    "q298_retention_policy" -> (q298RetentionPolicy _))
 
   val oracles: Map[String, String] = Map(
     "q292_maskeddf_artifact_cycle" -> q292Sql,
     "q293_retained_compaction" -> q293Sql,
     "q294_snapshot_cursor_catchup" -> q294Sql,
     "q295_incremental_card" -> q295Sql,
-    "q296_sql_asof" -> q296Sql)
+    "q296_sql_asof" -> q296Sql,
+    "q298_retention_policy" -> q298Sql)
 }

@@ -1129,6 +1129,36 @@ object StreamingOps {
     }
   }
 
+  /** [[postingsAppendFromSnapshots]]'s ANN twin — the snapshot cursor
+    * feeding the SECOND index family: each interval's delta (the
+    * ingested vector files, named exactly by the manifest difference)
+    * is encoded against the index's EXISTING quantizers and appended
+    * into the cluster-partitioned inverted lists
+    * ([[graft.ann.Ann.ivfPqAppend]] — centroids/codebooks untouched by
+    * construction, so per-vector assignments are independent and any
+    * interval split lands on the same index state the union append
+    * would). Same contracts as the postings twin: the index must
+    * exist (built for the from-snapshot's state), a rewrite inside
+    * the range fails loudly at the delta read (a compacted vector
+    * lake needs a rebuild/retrain decision, not an append). Returns
+    * the number of non-empty intervals applied. */
+  def ivfPqAppendFromSnapshots(s: SparkSession, snapDir: String,
+      indexDir: String, fromId: Int, toId: Int): Int = {
+    val metaP = new org.apache.hadoop.fs.Path(s"$indexDir/centroids")
+    val fs = metaP.getFileSystem(s.sessionState.newHadoopConf())
+    if (!fs.exists(metaP))
+      sys.error("ivfPqAppendFromSnapshots: no persisted IVF-PQ index " +
+        s"at $indexDir — build offline for snapshot $fromId first")
+    (fromId until toId).count { k =>
+      val delta = graft.io.SnapshotStore.readDelta(s, snapDir, k, k + 1)
+        .select(org.apache.spark.sql.functions.col("vec_id"),
+          org.apache.spark.sql.functions.col("embedding"))
+      val nonEmpty = !delta.isEmpty
+      if (nonEmpty) graft.ann.Ann.ivfPqAppend(delta, indexDir)
+      nonEmpty
+    }
+  }
+
   def runToMemory(spark: SparkSession, transformed: DataFrame, name: String,
       mode: OutputMode = OutputMode.Append): Unit = {
     val q = transformed.writeStream

@@ -663,6 +663,32 @@ class PropertySpec extends SparkTestBase {
     ids.foreach(i => assert(got(i) === fold(i), s"doc_id $i"))
   }
 
+  test("chooseSnapshotsToKeep laws: subset of ids, pins always kept, window exact, monotone in N") {
+    val gen = for {
+      n <- Gen.chooseNum(0, 12)
+      ids <- Gen.pick(n, 1 to 20)
+      keepLast <- Gen.chooseNum(0, 15)
+      pinned <- Gen.someOf(1 to 20)
+    } yield (ids.toSeq.sorted, keepLast, pinned.toSet)
+    for (seed <- 1L to 120L) {
+      val (ids, keepLast, pinned) = sample(gen, seed)
+      val keep = Round18Queries.chooseSnapshotsToKeep(ids, keepLast, pinned)
+      // only real snapshots are kept — a pin of a never-recorded id is
+      // a no-op, never a phantom manifest
+      assert(keep.subsetOf(ids.toSet))
+      // every pinned EXISTING id survives any window
+      assert(pinned.intersect(ids.toSet).subsetOf(keep))
+      // the window is exactly the newest keepLast ids
+      val window = ids.takeRight(keepLast).toSet
+      assert(window.subsetOf(keep))
+      assert(keep === window ++ pinned.intersect(ids.toSet))
+      // monotone: a wider window never drops a snapshot
+      val wider = Round18Queries.chooseSnapshotsToKeep(ids, keepLast + 1,
+        pinned)
+      assert(keep.subsetOf(wider))
+    }
+  }
+
   test("indexMaintenancePlan laws: the ledger↔meta Σ-tie over generated states — append iff tied+intact+new, rebuild otherwise") {
     import graft.io.StampSidecar.FileStamp
     val stateGen = for {
