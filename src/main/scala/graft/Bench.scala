@@ -36,11 +36,12 @@ import org.apache.spark.sql.SparkSession
   * and post-ingest, the quadratic banding measure among them — its
   * serving paths are benched by the q272/q273/q277 trio and its
   * composition correctness by the sf0.01 gate; q292's masked-df
-  * artifact cycle, q294's snapshot-cursor catch-up, and q295's
-  * incremental card each pay a COLD build (index or card) over their
-  * own lake replica per call by construction — their marginal verbs
-  * are benched via q283/q282/q291 and measured in SCALE.md, their
-  * composition correctness by the sf0.01 gate) — same
+  * artifact cycle, q294's snapshot-cursor catch-up, q295's
+  * incremental card, and q297's IVF-PQ cursor catch-up each pay a
+  * COLD build (index, card, or k-means) over their own lake replica
+  * per call by construction — their marginal verbs are benched via
+  * q283/q282/q291/q251 and measured in SCALE.md, their composition
+  * correctness by the sf0.01 gate) — same
   * quadratic-output class),
   * queries that are strict
   * prefixes/aggregations/SQL-surface twins of included ones (q6, q11,
@@ -151,7 +152,7 @@ object Bench {
     "q284_postings_maintenance_cycle", "q285_snapshot_read",
     "q286_snapshot_delta", "q287_hard_negative_mining",
     "q288_split_assign", "q290_asof_serve", "q291_dataset_card",
-    "q293_retained_compaction",
+    "q293_retained_compaction", "q296_sql_asof", "q298_retention_policy",
     "q275_vocab_size_auto", "q276_lifecycle_cycle",
     "q277_vocab_choice_persist", "q279_vocab_choice_encode")
 

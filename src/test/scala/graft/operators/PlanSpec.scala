@@ -1140,7 +1140,8 @@ class PlanSpec extends SparkTestBase {
       "q284_postings_maintenance_cycle" -> "the q282/q283 serve shapes (branch-dependent: plain on FIRE, tombstone-masked on SKIP — the tombstone side capacity-gated via BoundedBroadcast); lifecycle verbs are writes that run before the served plan exists",
       "q290_asof_serve" -> "the q244 recompute serve shapes over the snapshot read (LIMIT-150 query synthesis + its distinct-terms projection, both localCheckpointed — the q244/q281 contract); the as-of scan is a file-pruned parquet read the path rule already accepts",
       "q292_maskeddf_artifact_cycle" -> "the q283 serve shapes verbatim over the cycle's own lake replica (LIMIT-150 query synthesis from the persisted masked-df table + its ≤|Q|·2 distinct-terms projection, both localCheckpointed; tombstone side capacity-gated via BoundedBroadcast — graft.bm25.maxTombstones, shuffled anti-join fallback); the build/ensure verbs are writes that run before the served plan exists",
-      "q294_snapshot_cursor_catchup" -> "the q281/q282 serve shapes verbatim over the caught-up index (LIMIT-150 query synthesis from the artifact's df table + its ≤|Q|·2 distinct-terms projection, both localCheckpointed); the snapshot records and cursor-fed appends are writes that run before the served plan exists")
+      "q294_snapshot_cursor_catchup" -> "the q281/q282 serve shapes verbatim over the caught-up index (LIMIT-150 query synthesis from the artifact's df table + its ≤|Q|·2 distinct-terms projection, both localCheckpointed); the snapshot records and cursor-fed appends are writes that run before the served plan exists",
+      "q297_ivfpq_cursor_catchup" -> "the standard q245 probe shapes over the caught-up index (|Q|·nprobe probe rows + |Q|-row LUT — the same k-bounded window filter); the snapshot records, cold k-means build, and cursor-fed appends are writes that run before the probed plan exists")
     val offenders = graft.SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
       case (name, fn) =>
         val unbounded = try hintedSides(fn(spark, sf0001)).filterNot(bounded) catch {
