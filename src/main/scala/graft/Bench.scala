@@ -41,7 +41,10 @@ import org.apache.spark.sql.SparkSession
   * COLD build (index, card, or k-means) over their own lake replica
   * per call by construction — their marginal verbs are benched via
   * q283/q282/q291/q251 and measured in SCALE.md, their composition
-  * correctness by the sf0.01 gate) — same
+  * correctness by the sf0.01 gate; q299's card crash-discipline cycle
+  * pays TWO cold card builds plus a deliberately crashed merge per
+  * call by construction — the one-shot build is benched as q291 and
+  * the torn-state machinery is metadata-scale) — same
   * quadratic-output class),
   * queries that are strict
   * prefixes/aggregations/SQL-surface twins of included ones (q6, q11,
@@ -149,7 +152,8 @@ object Bench {
     "q272_nprobe_choice_persist", "q273_bm25_params_persist",
     "q281_bm25_index_serve",
     "q282_postings_append_cycle", "q283_bm25_delete_serve",
-    "q284_postings_maintenance_cycle", "q285_snapshot_read",
+    "q284_postings_maintenance_cycle", "q300_retained_maintenance_cycle",
+    "q285_snapshot_read",
     "q286_snapshot_delta", "q287_hard_negative_mining",
     "q288_split_assign", "q290_asof_serve", "q291_dataset_card",
     "q293_retained_compaction", "q296_sql_asof", "q298_retention_policy",

@@ -1124,12 +1124,14 @@ object Round15Queries {
       .groupBy(col("term"), col("pt")).agg(sum(col("df")).as("df"))
       .select(col("term"), col("df"), col("pt"))
       .localCheckpoint()
-    val prevMode = s.conf.get(
-      "spark.sql.sources.partitionOverwriteMode", "STATIC")
-    s.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    try merged.write.mode("overwrite").partitionBy("pt")
-      .parquet(s"$idxPath/df")
-    finally s.conf.set("spark.sql.sources.partitionOverwriteMode", prevMode)
+    // per-WRITE dynamic overwrite (DataFrameWriter option, which takes
+    // precedence over the session conf): toggling the session-global
+    // conf here leaked dynamic-overwrite semantics to any concurrent
+    // writer on the shared session during the window — EnsureLock is
+    // per-artifact-path and does not serialize unrelated writers
+    merged.write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("pt").parquet(s"$idxPath/df")
     import s.implicits._
     Seq((docRows, docContent, nBuckets, Bm25IndexFmt))
       .toDF("doc_rows", "doc_content", "n_buckets", "fmt")
@@ -1362,13 +1364,49 @@ object Round15Queries {
 
   /** The persisted masked-df table's logical (term, df) relation,
     * bucket-pruned when `buckets` is given — [[readIndexDf]]'s masked
-    * twin. Callers must have [[ensureBm25MaskedDf]]d first. */
+    * twin. Callers must have [[ensureBm25MaskedDf]]d first. RAW read:
+    * nothing re-checks which (index, tombstone) state the table holds,
+    * so this is for workload SYNTHESIS only (picking query terms from
+    * the surviving vocabulary); every SCORING path must go through
+    * [[readMaskedDfValidated]], which closes the ensure→read race. */
   private[graft] def readMaskedDf(s: SparkSession, idxPath: String,
       buckets: Option[Seq[Int]] = None): DataFrame = {
     val raw = s.read.parquet(s"${maskedDfPath(idxPath)}/table")
     buckets.fold(raw)(b => raw.filter(col("pt").isin(b: _*)))
       .select(col("term"), col("df"))
   }
+
+  /** Ensure + read the masked df AS ONE CRITICAL SECTION — the
+    * round-13 advisory's race: [[ensureBm25MaskedDf]] keys the
+    * artifact to a single (index stamp, tombstone stamp), so two
+    * concurrent masked serves with DIFFERENT tombstone sets on the
+    * same index can interleave ensure/read and one silently scores
+    * with the other's masked df. Here the ensure, a meta re-verify
+    * against the CALLER's stamps, and a materializing read
+    * (localCheckpoint — the rows are pinned before the lock drops)
+    * all run under the artifact's EnsureLock, so the returned relation
+    * provably holds the caller's state however the artifact is
+    * rewritten afterwards. Cost over the raw read: one tombstone-sized
+    * stamp pass + materializing the (bucket-pruned) vocabulary-scale
+    * table — no postings term. */
+  private[graft] def readMaskedDfValidated(s: SparkSession,
+      idxPath: String, tombstones: DataFrame,
+      buckets: Option[Seq[Int]] = None,
+      onCompute: () => Unit = () => ()): DataFrame =
+    EnsureLock.withLock(maskedDfPath(idxPath)) {
+      ensureBm25MaskedDf(s, idxPath, tombstones, onCompute)
+      val m = bm25IndexRead(s, idxPath).getOrElse(sys.error(
+        s"readMaskedDfValidated: no readable index at $idxPath"))
+      val (tr, tc) = tombstoneDocStamp(tombstones.select(col("doc_id")))
+      val mm = maskedDfMetaRead(s, idxPath).getOrElse(sys.error(
+        s"readMaskedDfValidated: masked-df meta unreadable at $idxPath " +
+          "directly after its ensure"))
+      require(mm == MaskedDfMeta(m.docRows, m.docContent, tr, tc),
+        s"readMaskedDfValidated: masked df at $idxPath holds state " +
+          s"$mm, not the caller's (${m.docRows}, ${m.docContent}, " +
+          s"$tr, $tc) — a concurrent ensure replaced it")
+      readMaskedDf(s, idxPath, buckets).localCheckpoint()
+    }
 
   /** [[bm25ServeQueriesFromIndex]] with a tombstone mask — every input
     * is still an index file; the mask is applied to postings and dl,
@@ -1395,9 +1433,12 @@ object Round15Queries {
       (sum(col("dl")) / count(lit(1))).as("avgdl"))
     // masked df from the PERSISTED artifact (ensured warm = a meta
     // read + tombstone stamp; the postings decrement pass is paid once
-    // per (index, tombstone) state), bucket-pruned like postings
-    ensureBm25MaskedDf(s, idxPath, tombstones)
-    val dfTab = readMaskedDf(s, idxPath, Some(buckets))
+    // per (index, tombstone) state), bucket-pruned like postings.
+    // Ensure + stamp re-verify + materializing read run as ONE
+    // critical section so a concurrent masked serve with a different
+    // tombstone set can never swap the artifact under this one
+    val dfTab = readMaskedDfValidated(s, idxPath, tombstones,
+        Some(buckets))
       .join(broadcast(terms), Seq("term"), "left_semi")
     val tfq = postings.join(broadcast(qterms), Seq("term"))
       .select(col("doc_id"), col("term"), col("tf"), col("query_id"))

@@ -619,16 +619,29 @@ object Round17Queries {
       .getAbsolutePath
 
   /** The cycle with an injectable threshold — the spec drives FIRE
-    * with a tighter one; the gated q284 uses the SLO constants. */
+    * with a tighter one; the gated q284 uses the SLO constants.
+    * `snapDirOpt` composes the cycle with the snapshot store (the
+    * round-13 verdict's #1 composition gap): when given, every state
+    * transition is snapshotted (seed → 1, post-ingest → 2,
+    * post-compaction → 3) and the FIRE branch compacts through
+    * [[graft.io.SnapshotStore.compactWithRetention]] — prior
+    * snapshots stay byte-identical across the nightly compaction —
+    * instead of the bare overwrite that loudly invalidates them on a
+    * snapshot-tracked lake. `lakeOpt` gives the composed caller its
+    * own lake replica (the q280 counted-thunk isolation convention). */
   private[operators] def postingsMaintenanceCycleCore(s: SparkSession,
-      dir: String, thrNum: Long, thrDen: Long): DataFrame = {
-    val lake = pmLakePath(dir)
+      dir: String, thrNum: Long, thrDen: Long,
+      lakeOpt: Option[String] = None,
+      snapDirOpt: Option[String] = None): DataFrame = {
+    val lake = lakeOpt.getOrElse(pmLakePath(dir))
     val lakeDocs = s"$lake/documents.parquet"
     rmrf(new java.io.File(lake))
     rmrf(new java.io.File(Round15Queries.bm25IndexPath(lake)))
     val docs = Tables.documents(s, dir)
     docs.filter(col("doc_id") % IngestMod =!= IngestRem)
       .write.mode("overwrite").parquet(lakeDocs)
+    snapDirOpt.foreach(sd =>
+      graft.io.SnapshotStore.record(s, lakeDocs, sd))
     var builds = 0L
     var appends = 0L
     def ensure() = Round15Queries.ensureBm25IndexIncremental(s, lake,
@@ -637,6 +650,8 @@ object Round17Queries {
     ensure()
     docs.filter(col("doc_id") % IngestMod === IngestRem)
       .write.mode("append").parquet(lakeDocs)
+    snapDirOpt.foreach(sd =>
+      graft.io.SnapshotStore.record(s, lakeDocs, sd))
     val mFull = ensure()
     val idx = Round15Queries.bm25IndexPath(lake)
     // 3. DELETE set from the artifact's dl — zero corpus reads
@@ -650,10 +665,21 @@ object Round17Queries {
     // 5. ACTUATE
     val (mPost, carried, serve) = if (fire) {
       // compact: survivors rewritten as fresh files (materialized
-      // BEFORE overwriting their own source), tombstones truncated
+      // BEFORE overwriting their own source), tombstones truncated.
+      // On a snapshot-tracked lake the compaction goes through the
+      // retention verb — prior snapshots keep reading byte-identical
+      // — and the compacted state is snapshotted; bare overwrite
+      // remains the untracked-lake path
       val survivors = Tables.documents(s, lake)
         .join(tombstones, Seq("doc_id"), "left_anti").localCheckpoint()
-      survivors.write.mode("overwrite").parquet(lakeDocs)
+      snapDirOpt match {
+        case Some(sd) =>
+          graft.io.SnapshotStore.compactWithRetention(s, lakeDocs, sd,
+            survivors)
+          graft.io.SnapshotStore.record(s, lakeDocs, sd)
+        case None =>
+          survivors.write.mode("overwrite").parquet(lakeDocs)
+      }
       val m = ensure() // files changed ⇒ RebuildAll
       val qt = Round15Queries.multiBm25QueryTableFrom(
         Round15Queries.readIndexDf(s, idx))

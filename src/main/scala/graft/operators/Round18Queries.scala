@@ -358,6 +358,17 @@ object Round18Queries {
     *   - `meta/`    — the corpus stamp, written LAST (torn-merge
     *     ordering: a crash never presents a half-merged card as
     *     current), advanced by exactly the batch's contribution.
+    *   - `ledger.tsv` — the TARGET stamp of the in-flight state,
+    *     written FIRST (the postings index's ledger↔meta Σ-tie,
+    *     `Round15Queries.indexMaintenancePlan` rule (a), applied to
+    *     the card): a merge is torn exactly when ledger ≠ meta, and
+    *     volume sums are NOT idempotent (a crash-retried merge would
+    *     double-add the batch's n_docs/n_bytes/n_tokens where the
+    *     vocab's set union is naturally safe), so [[cardAppendBatch]]
+    *     REFUSES a torn card loudly, [[cardServe]] refuses to present
+    *     one, and [[cardEnsure]] resolves it to a rebuild — never a
+    *     double-count (Round18QueriesSpec's torn-merge/retry law;
+    *     gated as q299).
     *
     * Incremental ≡ recompute holds EXACTLY (integer sums + set
     * union — Round18QueriesSpec pins any-split convergence and table
@@ -398,13 +409,57 @@ object Round18Queries {
     (volumes, vocab)
   }
 
-  /** Build the card artifact from scratch over `docs`; meta LAST. */
+  private[graft] def cardLedgerPath(path: String): String =
+    s"$path/ledger.tsv"
+
+  /** The card's Σ-tie ledger: the TARGET (rows, content) stamp of the
+    * state the in-flight write is producing, committed atomically
+    * (temp+rename) BEFORE any table is touched. A complete card has
+    * ledger ≡ meta; any other combination is a torn write. */
+  private[graft] def cardLedgerWrite(s: SparkSession, path: String,
+      rows: Long, content: Long): Unit =
+    graft.io.StampSidecar.write(s, cardLedgerPath(path), Seq(
+      graft.io.StampSidecar.FileStamp("card", 0L, 0L, rows, content)))
+
+  private[graft] def cardLedgerRead(s: SparkSession,
+      path: String): Option[(Long, Long)] =
+    graft.io.StampSidecar.read(s, cardLedgerPath(path)).get("card")
+      .map(e => (e.rows, e.content))
+
+  private[graft] def cardMetaRead(s: SparkSession,
+      path: String): Option[(Long, Long)] = {
+    val p = new org.apache.hadoop.fs.Path(s"$path/meta")
+    val fs = p.getFileSystem(s.sessionState.newHadoopConf())
+    if (!fs.exists(p)) None
+    else scala.util.Try {
+      val r = s.read.parquet(p.toString).head()
+      (r.getAs[Long]("doc_rows"), r.getAs[Long]("doc_content"))
+    }.toOption
+  }
+
+  /** Torn exactly when the ledger's target stamp and the meta's
+    * committed stamp disagree (a crash landed between them — the
+    * volumes may or may not hold the merge) or either side is
+    * unreadable while the other exists. A card with NEITHER is simply
+    * absent, not torn. */
+  private[graft] def cardTorn(s: SparkSession, path: String): Boolean =
+    (cardLedgerRead(s, path), cardMetaRead(s, path)) match {
+      case (None, None) => false
+      case (Some(l), Some(m)) => l != m
+      case _ => true
+    }
+
+  /** Build the card artifact from scratch over `docs`; ledger FIRST
+    * (the target stamp), meta LAST (the commit) — a crash anywhere
+    * between leaves ledger ≠ meta, which every reader/merger treats
+    * as torn. */
   private[graft] def cardWrite(s: SparkSession, path: String,
       docs: DataFrame): Unit = {
     val d = docs.select(col("doc_id"), col("lang"), col("source"),
       col("text"))
     val (r, c) = ChoiceStore.documentsStamp(
       d.select(col("doc_id"), col("text")))
+    cardLedgerWrite(s, path, r, c)
     val (volumes, vocab) = cardTablesOf(d)
     volumes.write.mode("overwrite").parquet(s"$path/volumes")
     vocab.write.mode("overwrite").partitionBy("pt").parquet(s"$path/vocab")
@@ -417,15 +472,31 @@ object Round18Queries {
     * (disjoint docs), the vocab union touches only the batch's term
     * buckets (dynamic partition overwrite — the round-13 df merge
     * discipline), meta advances by exactly the batch's stamp
-    * contribution, written LAST. */
+    * contribution, written LAST. Crash discipline (the round-13
+    * verdict's #1): a TORN card (ledger ≠ meta) is REFUSED at entry —
+    * the volume sums are not idempotent, so a crash-retried merge
+    * must resolve through [[cardEnsure]]'s rebuild, never re-add the
+    * batch; the ledger advances to the merge's TARGET stamp before
+    * any table write, so a crash anywhere inside leaves the torn
+    * marker every reader honors. `crashBeforeMeta` is the spec's
+    * fault-injection hook: stop after the table writes, before the
+    * meta commit — the exact window that used to double-count. */
   private[graft] def cardAppendBatch(s: SparkSession, path: String,
-      batch: DataFrame): Unit = {
+      batch: DataFrame, crashBeforeMeta: Boolean = false): Unit = {
     val b = batch.select(col("doc_id"), col("lang"), col("source"),
       col("text")).localCheckpoint()
     val (br, bc) = ChoiceStore.documentsStamp(
       b.select(col("doc_id"), col("text")))
     if (br == 0L) return
+    require(!cardTorn(s, path),
+      s"cardAppendBatch: card at $path is TORN (ledger ≠ meta — a " +
+        "crashed merge); merging into it would double-count volume " +
+        "sums. Rebuild via cardEnsure over the full corpus.")
     val meta = s.read.parquet(s"$path/meta").head()
+    // ledger FIRST: the target stamp of the post-merge state — from
+    // here until the meta commit the card presents as torn
+    cardLedgerWrite(s, path, meta.getAs[Long]("doc_rows") + br,
+      meta.getAs[Long]("doc_content") + bc)
     val (volumesNew, vocabNew0) = cardTablesOf(b)
     val vocabNew = vocabNew0.localCheckpoint()
     // strata-scale sum merge; materialize before overwriting its input
@@ -445,12 +516,13 @@ object Round18Queries {
       .select(col("lang"), col("source"), col("term"), col("pt"))
       .distinct()
       .localCheckpoint()
-    val prevMode = s.conf.get(
-      "spark.sql.sources.partitionOverwriteMode", "STATIC")
-    s.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    try merged.write.mode("overwrite").partitionBy("pt")
-      .parquet(s"$path/vocab")
-    finally s.conf.set("spark.sql.sources.partitionOverwriteMode", prevMode)
+    // per-WRITE dynamic overwrite — never the session-global conf (a
+    // concurrent writer on the shared session must not inherit it)
+    merged.write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("pt").parquet(s"$path/vocab")
+    if (crashBeforeMeta) sys.error(
+      "cardAppendBatch: injected crash before the meta commit (test hook)")
     import s.implicits._
     Seq((meta.getAs[Long]("doc_rows") + br,
         meta.getAs[Long]("doc_content") + bc))
@@ -458,9 +530,35 @@ object Round18Queries {
       .repartition(1).write.mode("overwrite").parquet(s"$path/meta")
   }
 
+  /** ENSURE the card matches `docs` — the stamp-validated resolver
+    * that gives the card the postings index's crash discipline: warm
+    * iff the card is NOT torn and its meta stamp equals the corpus
+    * stamp; a torn card (crashed merge) or a stale one rebuilds from
+    * scratch ([[cardWrite]] — counted via `onBuild`, the q280
+    * counted-thunk convention). The rebuild is what makes a crash-
+    * RETRIED merge safe: the retry path is ensure → rebuild, never a
+    * second non-idempotent sum merge. */
+  private[graft] def cardEnsure(s: SparkSession, path: String,
+      docs: DataFrame, onBuild: () => Unit = () => ()): Unit =
+    EnsureLock.withLock(path) {
+      val d = docs.select(col("doc_id"), col("lang"), col("source"),
+        col("text"))
+      val (r, c) = ChoiceStore.documentsStamp(
+        d.select(col("doc_id"), col("text")))
+      val warm = !cardTorn(s, path) &&
+        cardMetaRead(s, path).contains((r, c))
+      if (!warm) { onBuild(); cardWrite(s, path, d) }
+    }
+
   /** Serve the card from the artifact tables — q291's exact columns
-    * (the mean derives from the sums), plus the meta stamp. */
+    * (the mean derives from the sums), plus the meta stamp. Refuses a
+    * torn card (ledger ≠ meta): the volumes may hold a half-merged
+    * state and nothing else in the schema could reveal it. */
   private[graft] def cardServe(s: SparkSession, path: String): DataFrame = {
+    require(!cardTorn(s, path),
+      s"cardServe: card at $path is TORN (ledger ≠ meta — a crashed " +
+        "merge); refusing to present possibly half-merged sums. " +
+        "Rebuild via cardEnsure over the full corpus.")
     val meta = s.read.parquet(s"$path/meta").head()
     val vocabCounts = s.read.parquet(s"$path/vocab")
       .groupBy(col("lang"), col("source"))
@@ -698,13 +796,259 @@ object Round18Queries {
        |ORDER BY snap_id""".stripMargin
   }
 
+  // --------------------------------------------------------------- q299
+  /** CARD CRASH DISCIPLINE — the round-13 verdict's #1 as a gated
+    * cycle: the incremental card's merge is a non-idempotent sum (a
+    * crash-retried [[cardAppendBatch]] used to double-add the batch's
+    * volumes and serve the corruption silently). The fix is the
+    * postings index's ledger↔meta Σ-tie: the merge writes its TARGET
+    * stamp to the ledger FIRST and commits meta LAST, so a crash
+    * anywhere between presents as TORN — and every verb then takes
+    * the loud path: the serve refuses, a retried merge refuses, and
+    * [[cardEnsure]] resolves the state to a REBUILD (counted), never
+    * a second merge.
+    *
+    * The gated cycle observes the whole contract: cold ensure over
+    * the base (counted build) → warm re-ensure (zero verbs) → a merge
+    * CRASHES via the injected hook exactly in the old double-count
+    * window (tables written, meta stale) → torn card refuses to serve
+    * AND refuses the retry → ensure over the full corpus rebuilds
+    * (counted). The served card must hash-equal q291's one-shot card
+    * over the full corpus — a double-add of the crashed batch's
+    * volumes (the old bug, re-introduced) mismatches every volume
+    * column; the verb counts and the three loud verdicts ride along
+    * as contract constants.
+    *
+    * 100 TB shape: the discipline costs one tiny TSV write per merge
+    * and a meta⇄ledger comparison per serve (metadata-scale); the
+    * crash-RECOVERY cost is one card rebuild — the price of losing a
+    * merge, paid only on an actual torn state, never amortized into
+    * the happy path. Bench-excluded: pays two cold card builds + a
+    * deliberately crashed merge per call by construction (the q295
+    * rationale; the one-shot build is benched as q291).
+    */
+  private[operators] def cdLakePath(sfDir: String): String =
+    new java.io.File(s"target/cdlake/${PathTag.tagFor(sfDir)}")
+      .getAbsolutePath
+
+  def q299CardCrashDiscipline(s: SparkSession, dir: String): DataFrame = {
+    val card = s"${cdLakePath(dir)}/card"
+    rmrf(new java.io.File(cdLakePath(dir)))
+    val docs = Tables.documents(s, dir)
+      .select(col("doc_id"), col("lang"), col("source"), col("text"))
+    val base = docs.filter(col("doc_id") % Round17Queries.IngestMod
+      =!= Round17Queries.IngestRem)
+    val batch = docs.filter(col("doc_id") % Round17Queries.IngestMod
+      === Round17Queries.IngestRem)
+    var builds = 0L
+    def ensure(d: DataFrame): Unit =
+      cardEnsure(s, card, d, onBuild = () => builds += 1L)
+    ensure(base)
+    val cold = builds
+    ensure(base) // warm — provably no verb
+    val warmBuilds = builds - cold
+    // the merge dies in the old double-count window (tables written,
+    // meta stale) — the injected-crash hook
+    val tornLanded = scala.util.Try(
+      cardAppendBatch(s, card, batch, crashBeforeMeta = true)).isFailure
+    // every verb takes the loud path on the torn card
+    val serveRefused =
+      scala.util.Try(cardServe(s, card).head()).isFailure
+    val retryRefused =
+      scala.util.Try(cardAppendBatch(s, card, batch)).isFailure
+    // recovery: ensure over the full corpus resolves torn ⇒ rebuild
+    ensure(docs)
+    val rebuilds = builds - cold - warmBuilds
+    cardServe(s, card)
+      .withColumn("torn_loud",
+        lit(if (tornLanded && serveRefused && retryRefused) 1L else 0L))
+      .withColumn("cold_builds", lit(cold))
+      .withColumn("warm_builds", lit(warmBuilds))
+      .withColumn("rebuilds", lit(rebuilds))
+      .orderBy(col("lang"), col("source"))
+  }
+
+  /** q295's oracle (the one-shot q291 card over the full corpus +
+    * stamp) plus the cycle's contract constants: one cold build, zero
+    * warm verbs, all three torn verdicts loud, exactly one rebuild. */
+  val q299Sql: String = {
+    val spliced = q295Sql.replace(
+      "ps.post_rows, ps.post_content",
+      "ps.post_rows, ps.post_content,\n" +
+        "       CAST(1 AS BIGINT) AS torn_loud,\n" +
+        "       CAST(1 AS BIGINT) AS cold_builds,\n" +
+        "       CAST(0 AS BIGINT) AS warm_builds,\n" +
+        "       CAST(1 AS BIGINT) AS rebuilds")
+    require(spliced != q295Sql,
+      "q299Sql: the q295 oracle template moved — update the splice")
+    spliced
+  }
+
+  // --------------------------------------------------------------- q300
+  /** RETENTION-COMPOSED MAINTENANCE CYCLE — the round-13 verdict's #2
+    * and #6 as ONE code path: q284's nightly cycle used to compact
+    * with a bare overwrite (`survivors.write.mode("overwrite")`) —
+    * exactly the rewrite q293's retention verb exists to replace; on
+    * a snapshot-tracked lake that nightly job loudly invalidates
+    * every prior snapshot. Here the SAME cycle core
+    * ([[Round17Queries.postingsMaintenanceCycleCore]]) runs with a
+    * snapshot dir: every state transition is recorded (seed → 1,
+    * post-ingest → 2, post-compaction → 3), the FIRE branch compacts
+    * through [[graft.io.SnapshotStore.compactWithRetention]], and the
+    * cycle COMPLETES with q298's retention policy
+    * ([[chooseSnapshotsToKeep]], keepLast = 1, pin = {1}) feeding
+    * [[graft.io.SnapshotStore.expireSnapshots]] — append → audit →
+    * FIRE-with-retention → policy → expire, the full lifecycle as one
+    * run (the q293 and q298 laws composed through the cycle, not
+    * demonstrated side by side).
+    *
+    * The cycle fires deterministically (q293's 1/8 SLO vs the 1-in-7
+    * tombstone rule — the oracle REPLAYS the verdict, never pins it),
+    * so the report can observe all three snapshots after compaction
+    * AND expiry: snapshot 1 (pinned) serves its exact pre-compaction
+    * stamp from RETAINED files, snapshot 2 is expired and fails
+    * loudly (observed as kept = 0), snapshot 3 (the window) serves
+    * the compacted survivors. Serve rows are the q244 chain over the
+    * surviving corpus (the q284 branch-invariance theorem), with the
+    * audit, verb counts, and all three snapshot verdicts CASE'd
+    * through the replayed rules.
+    *
+    * 100 TB shape: the composed cycle's bill over bare q284 is
+    * metadata only — manifest TSVs, retention RENAMES (zero data
+    * I/O), a reference-counted GC unlink; the snapshots the nightly
+    * compaction used to destroy now cost nothing to keep. Benched in
+    * the headline set next to q284 — the delta IS the retention bill,
+    * which SCALE.md records.
+    */
+  private[operators] def rmcLakePath(sfDir: String): String =
+    new java.io.File(s"target/rmclake/${PathTag.tagFor(sfDir)}")
+      .getAbsolutePath
+
+  val CycleKeepLast = 1
+  val CyclePinned: Set[Int] = Set(1)
+
+  def q300RetainedMaintenanceCycle(s: SparkSession,
+      dir: String): DataFrame = {
+    val lake = rmcLakePath(dir)
+    val snaps = s"$lake/snapshots"
+    val serve = Round17Queries.postingsMaintenanceCycleCore(s, dir,
+      RetainThrNum, RetainThrDen, lakeOpt = Some(lake),
+      snapDirOpt = Some(snaps))
+    // policy → expire: window ∪ pins over whatever ids the cycle made
+    val allIds = graft.io.SnapshotStore.ids(s, snaps)
+    val keep = chooseSnapshotsToKeep(allIds, CycleKeepLast, CyclePinned)
+    graft.io.SnapshotStore.expireSnapshots(s, snaps, keep)
+    // observe all three chronology slots after compaction + expiry
+    def slot(id: Int): (Long, Long, Long) =
+      scala.util.Try {
+        val d = graft.io.SnapshotStore.readAsOf(s, snaps, id)
+          .select(col("doc_id"), col("text"))
+        val (r, c) = ChoiceStore.documentsStamp(d)
+        (1L, r, c)
+      }.getOrElse((0L, 0L, 0L)) // expired or never recorded — loud
+    val (s1k, s1r, s1c) = slot(1)
+    val (s2k, s2r, s2c) = slot(2)
+    val (s3k, s3r, s3c) = slot(3)
+    serve
+      .withColumn("s1_kept", lit(s1k)).withColumn("s1_rows", lit(s1r))
+      .withColumn("s1_content", lit(s1c))
+      .withColumn("s2_kept", lit(s2k)).withColumn("s2_rows", lit(s2r))
+      .withColumn("s2_content", lit(s2c))
+      .withColumn("s3_kept", lit(s3k)).withColumn("s3_rows", lit(s3r))
+      .withColumn("s3_content", lit(s3c))
+      .orderBy(col("query_id"), col("rk"))
+  }
+
+  /** q284's oracle shape at q293's threshold, extended with the three
+    * snapshot verdicts — every one CASE'd through the REPLAYED rules
+    * (fire via the threshold arithmetic; keep via window ∪ pins over
+    * the chronology the verdict implies: fire ⇒ ids {1,2,3}, keep
+    * {1, 3}; skip ⇒ ids {1,2}, keep {1, 2}). Snapshot 1 is the seed
+    * slice, 2 the full corpus (zeroed when expired), 3 the survivors
+    * (zeroed when never recorded). */
+  val q300Sql: String = {
+    val mod = Round15Queries.Bm25DeleteMod
+    val rem = Round15Queries.Bm25DeleteRem
+    val im = Round17Queries.IngestMod
+    val ir = Round17Queries.IngestRem
+    val filtered = Round15Queries.q244Sql.replace("FROM documents)",
+      s"FROM documents WHERE doc_id % $mod <> $rem)")
+    val prefix = filtered.substring(0, filtered.indexOf("best AS ("))
+    s"""${prefix}best AS (
+       |  SELECT query_id, doc_id, bm25, n_terms_hit,
+       |         row_number() OVER (PARTITION BY query_id
+       |                            ORDER BY bm25 DESC, doc_id ASC) AS rk
+       |  FROM scored),
+       |audit AS (
+       |  SELECT CAST(count(*) AS BIGINT) AS live_rows,
+       |         CAST(count(*) FILTER (WHERE doc_id % $mod = $rem)
+       |              AS BIGINT) AS dead_rows
+       |  FROM documents),
+       |verdict AS (
+       |  SELECT live_rows, dead_rows,
+       |         CASE WHEN dead_rows * $RetainThrDen >=
+       |                   live_rows * $RetainThrNum
+       |              THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END
+       |           AS fire
+       |  FROM audit),
+       |stamps AS (
+       |  SELECT b.b_rows AS s1_rows, b.b_content AS s1_content,
+       |         a.a_rows AS full_rows, a.a_content AS full_content,
+       |         sv.s_rows AS surv_rows, sv.s_content AS surv_content
+       |  FROM (
+       |    SELECT CAST(count(*) AS BIGINT) AS b_rows,
+       |           CAST(coalesce(sum((doc_id * 31 + strlen(text))
+       |                             % 1048576), 0) AS BIGINT) AS b_content
+       |    FROM documents WHERE doc_id % $im <> $ir) b
+       |  CROSS JOIN (
+       |    SELECT CAST(count(*) AS BIGINT) AS a_rows,
+       |           CAST(coalesce(sum((doc_id * 31 + strlen(text))
+       |                             % 1048576), 0) AS BIGINT) AS a_content
+       |    FROM documents) a
+       |  CROSS JOIN (
+       |    SELECT CAST(count(*) AS BIGINT) AS s_rows,
+       |           CAST(coalesce(sum((doc_id * 31 + strlen(text))
+       |                             % 1048576), 0) AS BIGINT) AS s_content
+       |    FROM documents WHERE doc_id % $mod <> $rem) sv)
+       |SELECT b.query_id, b.doc_id, b.bm25, b.n_terms_hit,
+       |       CAST(b.rk AS BIGINT) AS rk,
+       |       v.live_rows, v.dead_rows, v.fire,
+       |       CASE WHEN v.fire = 1 THEN CAST(0 AS BIGINT)
+       |            ELSE v.dead_rows END AS n_carried,
+       |       CASE WHEN v.fire = 1 THEN st.surv_rows
+       |            ELSE st.full_rows END AS post_rows,
+       |       CASE WHEN v.fire = 1 THEN st.surv_content
+       |            ELSE st.full_content END AS post_content,
+       |       CASE WHEN v.fire = 1 THEN CAST(2 AS BIGINT)
+       |            ELSE CAST(1 AS BIGINT) END AS builds,
+       |       CAST(1 AS BIGINT) AS appends,
+       |       CAST(1 AS BIGINT) AS s1_kept,
+       |       st.s1_rows, st.s1_content,
+       |       CASE WHEN v.fire = 1 THEN CAST(0 AS BIGINT)
+       |            ELSE CAST(1 AS BIGINT) END AS s2_kept,
+       |       CASE WHEN v.fire = 1 THEN CAST(0 AS BIGINT)
+       |            ELSE st.full_rows END AS s2_rows,
+       |       CASE WHEN v.fire = 1 THEN CAST(0 AS BIGINT)
+       |            ELSE st.full_content END AS s2_content,
+       |       v.fire AS s3_kept,
+       |       CASE WHEN v.fire = 1 THEN st.surv_rows
+       |            ELSE CAST(0 AS BIGINT) END AS s3_rows,
+       |       CASE WHEN v.fire = 1 THEN st.surv_content
+       |            ELSE CAST(0 AS BIGINT) END AS s3_content
+       |FROM best b CROSS JOIN verdict v CROSS JOIN stamps st
+       |WHERE b.rk <= ${Round15Queries.MultiBm25K}
+       |ORDER BY b.query_id, b.rk""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q292_maskeddf_artifact_cycle" -> (q292MaskedDfArtifactCycle _),
     "q293_retained_compaction" -> (q293RetainedCompaction _),
     "q294_snapshot_cursor_catchup" -> (q294SnapshotCursorCatchup _),
     "q295_incremental_card" -> (q295IncrementalCard _),
     "q296_sql_asof" -> (q296SqlAsOf _),
-    "q298_retention_policy" -> (q298RetentionPolicy _))
+    "q298_retention_policy" -> (q298RetentionPolicy _),
+    "q299_card_crash_discipline" -> (q299CardCrashDiscipline _),
+    "q300_retained_maintenance_cycle" -> (q300RetainedMaintenanceCycle _))
 
   val oracles: Map[String, String] = Map(
     "q292_maskeddf_artifact_cycle" -> q292Sql,
@@ -712,5 +1056,7 @@ object Round18Queries {
     "q294_snapshot_cursor_catchup" -> q294Sql,
     "q295_incremental_card" -> q295Sql,
     "q296_sql_asof" -> q296Sql,
-    "q298_retention_policy" -> q298Sql)
+    "q298_retention_policy" -> q298Sql,
+    "q299_card_crash_discipline" -> q299Sql,
+    "q300_retained_maintenance_cycle" -> q300Sql)
 }

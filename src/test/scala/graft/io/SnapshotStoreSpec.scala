@@ -131,6 +131,158 @@ class SnapshotStoreSpec extends SparkTestBase {
       e3.getMessage)
   }
 
+  test("crash inside the compaction window: reads stay loud and name the journal; recoverCompaction rolls forward to the exact committed state; idempotent") {
+    val (lakeDocs, snaps, _) = freshLake("crash")
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+      .select("doc_id", "text")
+    docs.filter(col("doc_id") % 4 =!= 3).write.parquet(lakeDocs)
+    SnapshotStore.record(spark, lakeDocs, snaps)
+    docs.filter(col("doc_id") % 4 === 3)
+      .write.mode("append").parquet(lakeDocs)
+    SnapshotStore.record(spark, lakeDocs, snaps)
+    val asOf1Before = rows(SnapshotStore.readAsOf(spark, snaps, 1))
+    val asOf2Before = rows(SnapshotStore.readAsOf(spark, snaps, 2))
+    val survivors = spark.read.parquet(lakeDocs)
+      .filter(col("doc_id") % 7 =!= 5).localCheckpoint()
+    val survRows = rows(survivors)
+    // die after ONE retention rename — files half-moved, manifests
+    // not yet rewritten, survivors not yet swapped in: exactly the
+    // window that used to brick every snapshot unrecoverably
+    val e0 = intercept[RuntimeException] {
+      SnapshotStore.compactWithRetentionHooked(spark, lakeDocs, snaps,
+        survivors, crashAfterMoves = 1)
+    }
+    assert(e0.getMessage.contains("injected crash"))
+    // mid-window reads fail LOUDLY and point at the journal (snapshot
+    // 2 lists EVERY file, so whichever file moved first breaks it —
+    // snapshot 1 might not contain the one moved file)
+    val e1 = intercept[IllegalArgumentException] {
+      SnapshotStore.readAsOf(spark, snaps, 2)
+    }
+    assert(e1.getMessage.contains("compaction journal"), e1.getMessage)
+    // roll forward: the journaled plan completes exactly
+    assert(SnapshotStore.recoverCompaction(spark, snaps))
+    assert(rows(SnapshotStore.readAsOf(spark, snaps, 1)) === asOf1Before)
+    assert(rows(SnapshotStore.readAsOf(spark, snaps, 2)) === asOf2Before)
+    assert(rows(spark.read.parquet(lakeDocs)) === survRows)
+    // the journal is gone and a second recover is a no-op
+    assert(!SnapshotStore.recoverCompaction(spark, snaps))
+  }
+
+  test("crash auto-recovery: the next expiry closes a crashed compaction's window before touching manifests") {
+    val (lakeDocs, snaps, _) = freshLake("autorec")
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+      .select("doc_id", "text")
+    docs.filter(col("doc_id") % 4 =!= 3).write.parquet(lakeDocs)
+    SnapshotStore.record(spark, lakeDocs, snaps)
+    docs.filter(col("doc_id") % 4 === 3)
+      .write.mode("append").parquet(lakeDocs)
+    SnapshotStore.record(spark, lakeDocs, snaps)
+    val asOf1Before = rows(SnapshotStore.readAsOf(spark, snaps, 1))
+    val survivors = spark.read.parquet(lakeDocs)
+      .filter(col("doc_id") % 7 =!= 5).localCheckpoint()
+    intercept[RuntimeException] {
+      SnapshotStore.compactWithRetentionHooked(spark, lakeDocs, snaps,
+        survivors, crashAfterMoves = 1)
+    }
+    // the expiry auto-recovers first, then expires snapshot 2; the
+    // kept snapshot reads exactly its pre-crash state
+    SnapshotStore.expireSnapshots(spark, snaps, keepIds = Set(1))
+    assert(rows(SnapshotStore.readAsOf(spark, snaps, 1)) === asOf1Before)
+    intercept[IllegalArgumentException] {
+      SnapshotStore.readAsOf(spark, snaps, 2)
+    }
+  }
+
+  test("identity gate honors ANY live manifest: after an in-place rewrite between snapshots, compaction keeps the newer snapshot readable and the stale one loud") {
+    val (lakeDocs, snaps, _) = freshLake("ident")
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+      .select("doc_id", "text")
+    docs.filter(col("doc_id") % 4 =!= 3).write.parquet(lakeDocs)
+    SnapshotStore.record(spark, lakeDocs, snaps)
+    // a bare IN-PLACE rewrite lands between snapshots: one data file's
+    // bytes are replaced (still valid parquet — a one-row table of the
+    // same schema) at the SAME path; snapshot 1 is invalidated, and
+    // snapshot 2 records the file's NEW identity
+    val victim = new java.io.File(lakeDocs).listFiles()
+      .filter(f => f.isFile && !f.getName.startsWith("_")
+        && !f.getName.startsWith(".")).minBy(_.getName)
+    val replDir = java.nio.file.Files
+      .createTempDirectory("graft-repl").toFile.getAbsolutePath
+    docs.filter(col("doc_id") % 4 === 3).limit(1).repartition(1)
+      .write.mode("overwrite").parquet(replDir)
+    val replFile = new java.io.File(replDir).listFiles()
+      .filter(f => f.isFile && f.getName.endsWith(".parquet")).head
+    java.nio.file.Files.copy(replFile.toPath, victim.toPath,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    // the in-place rewrite bypassed Hadoop's checksumming — drop the
+    // stale sidecar .crc or the local fs fails the read on checksum,
+    // not on the identity boundary under test
+    val crc = new java.io.File(victim.getParentFile,
+      s".${victim.getName}.crc")
+    if (crc.exists()) assert(crc.delete())
+    SnapshotStore.record(spark, lakeDocs, snaps)
+    val asOf2Before = rows(SnapshotStore.readAsOf(spark, snaps, 2))
+    intercept[IllegalArgumentException] {
+      SnapshotStore.readAsOf(spark, snaps, 1) // already invalidated
+    }
+    // compaction: the live bytes match snapshot 2's recorded identity
+    // (not snapshot 1's) — the gate must retain the file for 2, not
+    // drop it because the OLDEST recording disagrees
+    SnapshotStore.compactWithRetention(spark, lakeDocs, snaps,
+      spark.read.parquet(lakeDocs).filter(col("doc_id") % 7 =!= 5)
+        .localCheckpoint())
+    assert(rows(SnapshotStore.readAsOf(spark, snaps, 2)) === asOf2Before)
+    // ...and snapshot 1 keeps failing loudly — never laundered
+    intercept[IllegalArgumentException] {
+      SnapshotStore.readAsOf(spark, snaps, 1)
+    }
+  }
+
+  test("record fencing: a foreign claim on the next id fails the record loudly; a successful record leaves no claim behind") {
+    val (lakeDocs, snaps, _) = freshLake("fence")
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+      .select("doc_id", "text")
+    docs.filter(col("doc_id") % 4 =!= 3).write.parquet(lakeDocs)
+    SnapshotStore.record(spark, lakeDocs, snaps)
+    // a second WRITER PROCESS claimed id 2 (simulated by its O_EXCL
+    // claim file): this recorder must fail loudly, never overwrite
+    val claim = new java.io.File(SnapshotStore.claimPath(snaps, 2))
+    assert(claim.createNewFile())
+    val e = intercept[IllegalArgumentException] {
+      SnapshotStore.record(spark, lakeDocs, snaps)
+    }
+    assert(e.getMessage.contains("claimed"), e.getMessage)
+    assert(SnapshotStore.ids(spark, snaps) === Seq(1))
+    // operator clears the stale claim → the record goes through and
+    // cleans up after itself
+    assert(claim.delete())
+    assert(SnapshotStore.record(spark, lakeDocs, snaps) === 2)
+    assert(!claim.exists())
+  }
+
+  test("retention generations are derived from the retained dirs, not the snapshot count — successive compactions never share a destination") {
+    val (lakeDocs, snaps, _) = freshLake("gen")
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+      .select("doc_id", "text")
+    docs.filter(col("doc_id") % 4 =!= 3).write.parquet(lakeDocs)
+    SnapshotStore.record(spark, lakeDocs, snaps)
+    SnapshotStore.compactWithRetention(spark, lakeDocs, snaps,
+      spark.read.parquet(lakeDocs).filter(col("doc_id") % 7 =!= 5)
+        .localCheckpoint())
+    SnapshotStore.record(spark, lakeDocs, snaps)
+    SnapshotStore.compactWithRetention(spark, lakeDocs, snaps,
+      spark.read.parquet(lakeDocs).filter(col("doc_id") % 7 =!= 6)
+        .localCheckpoint())
+    val gens = new java.io.File(s"$snaps/retained").listFiles()
+      .filter(_.isDirectory).map(_.getName).sorted.toSeq
+    assert(gens.size === gens.distinct.size)
+    assert(gens.size >= 2, s"expected two generations, got $gens")
+    // both snapshots still read across both compactions
+    SnapshotStore.readAsOf(spark, snaps, 1).collect()
+    SnapshotStore.readAsOf(spark, snaps, 2).collect()
+  }
+
   test("trust boundary: a same-length rewrite (mtime moved) fails as-of reads loudly") {
     val (lakeDocs, snaps, _) = freshLake("mtime")
     val docs = spark.read.parquet(s"$sf0001/documents.parquet")

@@ -689,6 +689,49 @@ class PropertySpec extends SparkTestBase {
     }
   }
 
+  test("retention end-to-end law: over random chronologies (appends, optional retained compaction), expiry keeps EXACTLY the policy's ids byte-identical and the rest loud") {
+    import graft.io.SnapshotStore
+    def rws(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq).toSet
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("doc_id"), col("text"))
+      .filter(col("doc_id") < 400).localCheckpoint()
+    for (seed <- 1L to 4L) {
+      val rnd = new scala.util.Random(seed)
+      val tmp = java.nio.file.Files
+        .createTempDirectory(s"graft-retlaw$seed").toFile.getAbsolutePath
+      val lakeDocs = s"$tmp/documents.parquet"
+      val snaps = s"$tmp/snapshots"
+      val nAppends = 2 + rnd.nextInt(3) // 2..4 ingests → snapshots
+      (0 until nAppends).foreach { k =>
+        docs.filter(col("doc_id") % nAppends === k)
+          .write.mode("append").parquet(lakeDocs)
+        SnapshotStore.record(spark, lakeDocs, snaps)
+      }
+      if (rnd.nextBoolean()) { // sometimes a retained compaction lands
+        SnapshotStore.compactWithRetention(spark, lakeDocs, snaps,
+          spark.read.parquet(lakeDocs).filter(col("doc_id") % 7 =!= 5)
+            .localCheckpoint())
+        SnapshotStore.record(spark, lakeDocs, snaps)
+      }
+      val ids = SnapshotStore.ids(spark, snaps)
+      val captured = ids.map(id =>
+        id -> rws(SnapshotStore.readAsOf(spark, snaps, id))).toMap
+      val keepLast = rnd.nextInt(ids.size + 1)
+      val pins = ids.filter(_ => rnd.nextBoolean()).toSet
+      val keep = Round18Queries.chooseSnapshotsToKeep(ids, keepLast, pins)
+      SnapshotStore.expireSnapshots(spark, snaps, keep)
+      ids.foreach { id =>
+        if (keep(id))
+          assert(rws(SnapshotStore.readAsOf(spark, snaps, id))
+            === captured(id), s"seed $seed kept id $id")
+        else intercept[IllegalArgumentException] {
+          SnapshotStore.readAsOf(spark, snaps, id)
+        }
+      }
+    }
+  }
+
   test("indexMaintenancePlan laws: the ledger↔meta Σ-tie over generated states — append iff tied+intact+new, rebuild otherwise") {
     import graft.io.StampSidecar.FileStamp
     val stateGen = for {

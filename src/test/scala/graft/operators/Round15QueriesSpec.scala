@@ -539,4 +539,42 @@ class Round15QueriesSpec extends SparkTestBase {
     val im = Round15Queries.bm25IndexRead(spark, idx).get
     assert((mm.docRows, mm.docContent) === ((im.docRows, im.docContent)))
   }
+
+  test("masked-df read race: concurrent validated reads with DIFFERENT tombstone sets each get their OWN state (ensure+read is one critical section)") {
+    import org.apache.spark.sql.functions.col
+    Round15Queries.ensureBm25IndexIncremental(spark, sf0001)
+    val idx = Round15Queries.bm25IndexPath(sf0001)
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+    val tombsA = docs.select(col("doc_id"))
+      .filter(col("doc_id") % 2L === 0L).localCheckpoint()
+    val tombsB = docs.select(col("doc_id"))
+      .filter(col("doc_id") % 3L === 0L).localCheckpoint()
+    def dfSet(d: org.apache.spark.sql.DataFrame) =
+      d.collect().map(r => (r.getAs[String]("term"),
+        r.getAs[Long]("df"))).toSet
+    val expectA = dfSet(Round15Queries.bm25MaskedDf(spark, idx, tombsA))
+    val expectB = dfSet(Round15Queries.bm25MaskedDf(spark, idx, tombsB))
+    assert(expectA !== expectB, "fixture must distinguish the two sets")
+    // hammer the artifact from both sides concurrently: before the
+    // critical-section fix, serve A's ensure could be overwritten by
+    // B's between A's ensure and A's read — A silently scored with
+    // B's masked df. Validated reads must each return their caller's
+    // exact state, every time.
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(4)
+    implicit val ec: scala.concurrent.ExecutionContext =
+      scala.concurrent.ExecutionContext.fromExecutor(pool)
+    val futures = (0 until 8).map { i =>
+      scala.concurrent.Future {
+        val (t, expect) =
+          if (i % 2 == 0) (tombsA, expectA) else (tombsB, expectB)
+        dfSet(Round15Queries.readMaskedDfValidated(spark, idx, t)) == expect
+      }
+    }
+    val ok = scala.concurrent.Await.result(
+      scala.concurrent.Future.sequence(futures),
+      scala.concurrent.duration.Duration.Inf)
+    pool.shutdown()
+    assert(ok.forall(identity),
+      "every validated read must observe its own (index, tombstone) state")
+  }
 }

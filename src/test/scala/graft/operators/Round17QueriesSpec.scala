@@ -230,6 +230,38 @@ class Round17QueriesSpec extends SparkTestBase {
     assert(!serveRows(skip).exists(t => dead(t._2)))
   }
 
+  test("retention-composed cycle: FIRE compacts through the retention verb — every prior snapshot stays byte-identical across the nightly compaction") {
+    import graft.io.SnapshotStore
+    val tmp = java.nio.file.Files.createTempDirectory("graft-rmcycle")
+      .toFile.getAbsolutePath
+    val lake = s"$tmp/lake"
+    val snaps = s"$lake/snapshots"
+    // the composed cycle at the FIRE-forcing threshold (1/8 < 1/7)
+    val fire = Round17Queries.postingsMaintenanceCycleCore(spark, sf0001,
+      1L, 8L, lakeOpt = Some(lake), snapDirOpt = Some(snaps)).collect()
+    val f0 = fire.head
+    assert(f0.getAs[Long]("fire") === 1L)
+    // chronology: seed → 1, post-ingest → 2, post-compaction → 3
+    assert(SnapshotStore.ids(spark, snaps) === Seq(1, 2, 3))
+    def asOf(id: Int) = SnapshotStore.readAsOf(spark, snaps, id)
+      .collect().map(_.toSeq).toSet
+    val docs = graft.Tables.documents(spark, sf0001).localCheckpoint()
+    def expect(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq).toSet
+    import graft.operators.{Round15Queries => R15}
+    // q293's law THROUGH the cycle: snapshots 1 and 2 predate the
+    // compaction and must read their exact states from retained files
+    assert(asOf(1) === expect(docs.filter(
+      col("doc_id") % Round17Queries.IngestMod
+        =!= Round17Queries.IngestRem)))
+    assert(asOf(2) === expect(docs))
+    assert(asOf(3) === expect(docs.filter(
+      col("doc_id") % R15.Bm25DeleteMod =!= R15.Bm25DeleteRem)))
+    // the current lake is the survivors (the compaction really landed)
+    assert(expect(spark.read.parquet(s"$lake/documents.parquet"))
+      === asOf(3))
+  }
+
   test("q285 snapshots: as-of reads are byte-exact after appends; ids monotone; rewrites fail loudly") {
     import graft.io.SnapshotStore
     val tmp = java.nio.file.Files.createTempDirectory("graft-snap")

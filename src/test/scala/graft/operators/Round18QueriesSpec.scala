@@ -63,4 +63,74 @@ class Round18QueriesSpec extends SparkTestBase {
         r.getLong(3), r.getLong(4), r.getLong(5))).toSet
     assert(served === direct)
   }
+
+  test("card crash discipline: a torn merge refuses to serve AND refuses the retry; ensure resolves to one rebuild, never a double-add") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-cardtorn")
+      .toFile.getAbsolutePath
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+      .select("doc_id", "lang", "source", "text").localCheckpoint()
+    val base = docs.filter(col("doc_id") % 3 =!= 2)
+    val batch = docs.filter(col("doc_id") % 3 === 2)
+    val card = s"$tmp/card"
+    var builds = 0
+    def ensure(d: org.apache.spark.sql.DataFrame): Unit =
+      Round18Queries.cardEnsure(spark, card, d, onBuild = () => builds += 1)
+    // cold build, then provably-warm re-ensure
+    ensure(base)
+    assert(builds === 1)
+    ensure(base)
+    assert(builds === 1)
+    // a merge crashes in the OLD double-count window: tables written
+    // (volumes hold the merged sums), meta stale
+    val e0 = intercept[RuntimeException] {
+      Round18Queries.cardAppendBatch(spark, card, batch,
+        crashBeforeMeta = true)
+    }
+    assert(e0.getMessage.contains("injected crash"))
+    assert(Round18Queries.cardTorn(spark, card))
+    // the torn card takes the loud path everywhere
+    val e1 = intercept[IllegalArgumentException] {
+      Round18Queries.cardServe(spark, card)
+    }
+    assert(e1.getMessage.contains("TORN"), e1.getMessage)
+    val e2 = intercept[IllegalArgumentException] {
+      Round18Queries.cardAppendBatch(spark, card, batch)
+    }
+    assert(e2.getMessage.contains("TORN"), e2.getMessage)
+    // ensure resolves torn ⇒ exactly one rebuild, and the result is
+    // the one-shot card over the full corpus — the crashed batch's
+    // volumes appear ONCE (a double-add would inflate every sum)
+    ensure(docs)
+    assert(builds === 2)
+    assert(!Round18Queries.cardTorn(spark, card))
+    val oneShot = s"$tmp/oneshot"
+    Round18Queries.cardWrite(spark, oneShot, docs)
+    assert(rows(Round18Queries.cardServe(spark, card))
+      === rows(Round18Queries.cardServe(spark, oneShot)))
+    assert(rows(spark.read.parquet(s"$card/volumes"))
+      === rows(spark.read.parquet(s"$oneShot/volumes")))
+    // ...and the recovered card is warm again
+    ensure(docs)
+    assert(builds === 2)
+  }
+
+  test("cardEnsure: stale stamp (corpus moved) rebuilds; fresh card is warm") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-cardstale")
+      .toFile.getAbsolutePath
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+      .select("doc_id", "lang", "source", "text").localCheckpoint()
+    val card = s"$tmp/card"
+    var builds = 0
+    Round18Queries.cardEnsure(spark, card,
+      docs.filter(col("doc_id") % 2 === 0), onBuild = () => builds += 1)
+    assert(builds === 1)
+    // the corpus moved (stale stamp) ⇒ rebuild; same corpus ⇒ warm
+    Round18Queries.cardEnsure(spark, card, docs,
+      onBuild = () => builds += 1)
+    assert(builds === 2)
+    Round18Queries.cardEnsure(spark, card, docs,
+      onBuild = () => builds += 1)
+    assert(builds === 2)
+    assert(rows(Round18Queries.cardServe(spark, card)).nonEmpty)
+  }
 }
