@@ -44,7 +44,10 @@ import org.apache.spark.sql.SparkSession
   * correctness by the sf0.01 gate; q299's card crash-discipline cycle
   * pays TWO cold card builds plus a deliberately crashed merge per
   * call by construction — the one-shot build is benched as q291 and
-  * the torn-state machinery is metadata-scale) — same
+  * the torn-state machinery is metadata-scale; q301's bucket-dial
+  * auto-choice pays a cold index build over its own replica per call —
+  * the choice itself is one artifact-scale distinct count and the
+  * serving path is benched as q281) — same
   * quadratic-output class),
   * queries that are strict
   * prefixes/aggregations/SQL-surface twins of included ones (q6, q11,

@@ -877,7 +877,16 @@ object Round15Queries {
   private[graft] def bm25IndexWrite(s: SparkSession, dir: String,
       docRows: Long, docContent: Long,
       nBuckets: Int = Bm25IndexBuckets): Unit = {
-    val path = bm25IndexPath(dir)
+    val (dl, alltf) = bm25IndexTokenize(s, dir)
+    bm25IndexWriteFrom(s, bm25IndexPath(dir), dl, alltf, docRows,
+      docContent, nBuckets)
+  }
+
+  /** The build's single tokenize pass → (dl, per-doc tf), both
+    * checkpointed so every downstream table derives without a second
+    * corpus scan. */
+  private def bm25IndexTokenize(s: SparkSession,
+      dir: String): (DataFrame, DataFrame) = {
     val docs = Tables.documents(s, dir)
       .select(col("doc_id"), TextPrep.tokensCol(col("text")).as("toks"))
     val dl = docs
@@ -888,6 +897,12 @@ object Round15Queries {
       .groupBy(col("doc_id"), col("term"))
       .agg(count(lit(1)).as("tf"))
       .localCheckpoint()
+    (dl, alltf)
+  }
+
+  private def bm25IndexWriteFrom(s: SparkSession, path: String,
+      dl: DataFrame, alltf: DataFrame, docRows: Long, docContent: Long,
+      nBuckets: Int): Unit = {
     alltf
       .withColumn("pt", pmod(hash(col("term")), lit(nBuckets)))
       .write.mode("overwrite").partitionBy("pt")
@@ -905,6 +920,74 @@ object Round15Queries {
       .toDF("doc_rows", "doc_content", "n_buckets", "fmt")
       .repartition(1).write.mode("overwrite").parquet(s"$path/meta")
   }
+
+  // ------------------------------------------ bucket-dial auto-choice
+  /** The bucket ladder's sizing target: expected DISTINCT TERMS per
+    * postings/df bucket. From the Bm25BucketProbe curve (SCALE.md):
+    * prune fraction follows vocab/buckets exactly per the hash model
+    * while per-bucket file count adds a flat open cost — so the dial
+    * should grow with the VOCABULARY, not the corpus rows, and the
+    * local fixtures (vocab 31 … ~200k) correctly land on the measured
+    * 32–64 range. */
+  val BucketTermsTarget = 4096L
+  val BucketLadderMax = 4096
+
+  /** PURE RULE (the chooseNprobe/chooseBanding family): the smallest
+    * power-of-two bucket count ≥ [[Bm25IndexBuckets]] whose expected
+    * terms-per-bucket is at or under `target`, clamped at `maxB`.
+    * Exact integer comparisons — the oracle replays it as a CASE
+    * ladder; boundary vocab = b·target stays at b. */
+  private[graft] def chooseBucketCount(vocab: Long,
+      target: Long = BucketTermsTarget,
+      minB: Int = Bm25IndexBuckets,
+      maxB: Int = BucketLadderMax): Int = {
+    require(target > 0 && minB > 0 && maxB >= minB,
+      s"chooseBucketCount: bad dial bounds ($target, $minB, $maxB)")
+    var b = minB
+    while (b < maxB && vocab > b.toLong * target) b *= 2
+    b
+  }
+
+  /** Build the index with an ENGINE-CHOSEN bucket count — the last
+    * human dial on this artifact removed (round-13 verdict #7, the
+    * nprobe/banding/vocab-size precedent): the build's own tf pass
+    * yields the corpus vocabulary size for free (one distinct-count
+    * over the already-checkpointed tf table — no extra tokenize), the
+    * pure ladder rule picks the count, and meta records it like any
+    * other build; every serve and append already reads the index's
+    * own recorded count (the round-13 per-index dial), so the choice
+    * needs no consumer changes. Returns (nBuckets, vocab). */
+  private[graft] def bm25IndexWriteAutoBuckets(s: SparkSession,
+      dir: String, docRows: Long, docContent: Long): (Int, Long) = {
+    val (dl, alltf) = bm25IndexTokenize(s, dir)
+    val vocab = alltf.select(col("term")).distinct().count()
+    val nb = chooseBucketCount(vocab)
+    bm25IndexWriteFrom(s, bm25IndexPath(dir), dl, alltf, docRows,
+      docContent, nb)
+    (nb, vocab)
+  }
+
+  /** [[ensureBm25Index]] with the auto-chosen dial: warm on the
+    * corpus stamp alone — whatever count meta records IS the engine's
+    * choice for that corpus state (re-deriving it would need the
+    * vocabulary, i.e. a tokenize, exactly what warm must never pay).
+    * A default-dial index for the same corpus is NOT warm here only
+    * if its count differs from what the rule would choose — both are
+    * valid artifacts; this ensure simply never overwrites a
+    * stamp-valid one. `onBuild` observes the cold verb. */
+  private[graft] def ensureBm25IndexAutoBuckets(s: SparkSession,
+      dir: String, onBuild: () => Unit = () => ()): Bm25Index =
+    EnsureLock.withLock(bm25IndexPath(dir)) {
+      val (dr, dc) = ChoiceStore.documentsStampCachedFor(s, dir)
+      bm25IndexRead(s, bm25IndexPath(dir)).filter(m =>
+          m.docRows == dr && m.docContent == dc)
+        .getOrElse {
+          onBuild()
+          bm25IndexWriteAutoBuckets(s, dir, dr, dc)
+          bm25IndexRead(s, bm25IndexPath(dir)).getOrElse(sys.error(
+            "ensureBm25IndexAutoBuckets: artifact unreadable after build"))
+        }
+    }
 
   /** Read the index meta, if any — missing/torn/old-layout degrades to
     * None (the choice-reader contract): a meta without the current

@@ -689,6 +689,35 @@ class PropertySpec extends SparkTestBase {
     }
   }
 
+  test("chooseBucketCount laws: ladder membership, smallest-satisfying, exact boundary, clamps, monotone in vocab, anti-monotone in target") {
+    val ladder = Iterator.iterate(32)(_ * 2).takeWhile(_ <= 4096).toSet
+    for (seed <- 1L to 200L) {
+      val rnd = new scala.util.Random(seed)
+      val vocab = rnd.nextLong(1L << rnd.nextInt(40)) max 0L
+      val b = Round15Queries.chooseBucketCount(vocab)
+      // ladder membership
+      assert(ladder.contains(b), s"$vocab -> $b")
+      // smallest-satisfying: b fits the target (or is the clamp), and
+      // b/2 (if on the ladder) does not
+      val t = Round15Queries.BucketTermsTarget
+      assert(vocab <= b.toLong * t || b == Round15Queries.BucketLadderMax,
+        s"$vocab -> $b must satisfy the target or be the clamp")
+      if (b > 32) assert(vocab > (b / 2).toLong * t,
+        s"$vocab -> $b is not the smallest satisfying rung")
+      // monotone in vocab
+      assert(Round15Queries.chooseBucketCount(vocab + 1) >= b)
+      // anti-monotone in target
+      assert(Round15Queries.chooseBucketCount(vocab, t * 2) <= b)
+    }
+    // exact boundary: vocab = b·target stays at b; one more doubles
+    val t = Round15Queries.BucketTermsTarget
+    assert(Round15Queries.chooseBucketCount(64L * t) === 64)
+    assert(Round15Queries.chooseBucketCount(64L * t + 1L) === 128)
+    // clamps
+    assert(Round15Queries.chooseBucketCount(0L) === 32)
+    assert(Round15Queries.chooseBucketCount(Long.MaxValue / 2) === 4096)
+  }
+
   test("retention end-to-end law: over random chronologies (appends, optional retained compaction), expiry keeps EXACTLY the policy's ids byte-identical and the rest loud") {
     import graft.io.SnapshotStore
     def rws(df: org.apache.spark.sql.DataFrame) =

@@ -540,6 +540,39 @@ class Round15QueriesSpec extends SparkTestBase {
     assert((mm.docRows, mm.docContent) === ((im.docRows, im.docContent)))
   }
 
+  test("auto-bucketed index: chosen count = the ladder rule over the real vocabulary; serve ≡ the default-dial index bit-for-bit; warm zero-build") {
+    import org.apache.spark.sql.functions.col
+    val tmp = java.nio.file.Files.createTempDirectory("graft-autob")
+      .toFile.getAbsolutePath
+    val lakeA = s"$tmp/auto"
+    val lakeD = s"$tmp/dflt"
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+      .select("doc_id", "text")
+    docs.write.parquet(s"$lakeA/documents.parquet")
+    docs.write.parquet(s"$lakeD/documents.parquet")
+    var builds = 0
+    def ensureAuto() = Round15Queries.ensureBm25IndexAutoBuckets(spark,
+      lakeA, onBuild = () => builds += 1)
+    val m = ensureAuto()
+    assert(builds === 1)
+    ensureAuto() // warm on the corpus stamp alone — never re-tokenizes
+    assert(builds === 1)
+    // the recorded count IS the pure rule at the artifact's vocabulary
+    val idxA = Round15Queries.bm25IndexPath(lakeA)
+    val vocab = Round15Queries.readIndexDf(spark, idxA).count()
+    assert(m.nBuckets === Round15Queries.chooseBucketCount(vocab))
+    // bucketing is physical layout: the auto index serves the exact
+    // rows a default-dial index serves (same corpus, same workload)
+    Round15Queries.ensureBm25IndexIncremental(spark, lakeD)
+    val idxD = Round15Queries.bm25IndexPath(lakeD)
+    val qt = Round15Queries.multiBm25QueryTableFrom(
+      Round15Queries.readIndexDf(spark, idxA)).localCheckpoint()
+    def serve(idx: String) = Round15Queries.bm25ServeQueriesFromIndex(
+        spark, idx, qt, 1200000L, 750000L)
+      .collect().map(_.toSeq).toSet
+    assert(serve(idxA) === serve(idxD))
+  }
+
   test("masked-df read race: concurrent validated reads with DIFFERENT tombstone sets each get their OWN state (ensure+read is one critical section)") {
     import org.apache.spark.sql.functions.col
     Round15Queries.ensureBm25IndexIncremental(spark, sf0001)
