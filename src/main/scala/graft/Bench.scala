@@ -51,9 +51,10 @@ import org.apache.spark.sql.SparkSession
   * quadratic-output class),
   * queries that are strict
   * prefixes/aggregations/SQL-surface twins of included ones (q6, q11,
-  * q23, q45, q46, q51, q53, q114, q225, q246, q253 — q46 is q13 through
-  * the SIMILARITY_TOP1 hint, q225 is q211 through SETSIM_JOIN, q246 is
-  * q226 through the BM25 hint, q253 is q244 through BM25_MULTI, q45/q132
+  * q23, q45, q46, q51, q53, q114, q225, q246, q253, q302 — q46 is q13
+  * through the SIMILARITY_TOP1 hint, q225 is q211 through SETSIM_JOIN,
+  * q246 is q226 through the BM25 hint, q253 is q244 through BM25_MULTI,
+  * q302 is q283 through the graft_bm25_masked TVF, q45/q132
   * are fixture-sized, q114 is exactly q115's
   * first training round), and the fixture-sized q54/q55 and
   * q231/q234 (dHash fixtures; input does not scale with sf).

@@ -138,6 +138,20 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           litInt(exprs(1), "graft_delta from id"),
           litInt(exprs(2), "graft_delta to id"))
       }))
+    // the delete-masked BM25 serve as a TVF — the SQL-twin convention
+    // completed on the SERVING side: the index must pre-exist (loud at
+    // plan time), the masked df rides the validated critical section
+    e.injectTableFunction((
+      FunctionIdentifier("graft_bm25_masked"),
+      new ExpressionInfo(graft.plans.SnapshotTvf.getClass.getName,
+        "graft_bm25_masked"),
+      (exprs: Seq[Expression]) => {
+        arity(exprs, 3, "graft_bm25_masked(lake_dir, mod, rem)")
+        graft.plans.SnapshotTvf.maskedServePlan(
+          litString(exprs(0), "graft_bm25_masked lake dir"),
+          litInt(exprs(1), "graft_bm25_masked tombstone mod"),
+          litInt(exprs(2), "graft_bm25_masked tombstone rem"))
+      }))
     // the custom top-k planner strategy, so SQL/DataFrame sessions built
     // with the extension plan TopKPerKey nodes without a TopK.install call
     e.injectPlannerStrategy(_ => graft.plans.TopKStrategy)

@@ -235,7 +235,7 @@ object Round15Queries {
     * cross-join is 300×300 at most. Output (query_id, term), 2 rows
     * per query, localCheckpointed (|Q|·2 rows; broadcast wherever it
     * joins). */
-  private[operators] def multiBm25QueryTableFrom(dfAll: DataFrame): DataFrame = {
+  private[graft] def multiBm25QueryTableFrom(dfAll: DataFrame): DataFrame = {
     val ranked = dfAll.orderBy(col("df").desc, col("term").asc)
       .limit(MultiBm25MaxTerms)
       .withColumn("rn",

@@ -1139,6 +1139,51 @@ object Round18Queries {
        |ORDER BY b.query_id, b.rk""".stripMargin
   }
 
+  // --------------------------------------------------------------- q302
+  /** SQL MASKED SERVE — [[graft.plans.SnapshotTvf.maskedServePlan]]
+    * gated: the delete-masked BM25 serve (q283's semantics) reached
+    * from ONE plain-SQL text, completing the SQL-twin convention on
+    * the serving side (the round-13 verdict's optional #8 — q46/q225/
+    * q246/q253/q296 covered scans, joins, single/fleet BM25, and the
+    * lake verbs; the masked artifact serve was the last DataFrame-only
+    * surface). The TVF resolves at ANALYSIS like graft_asof: index
+    * must pre-exist (loud at plan time — a SQL read never tokenizes
+    * the corpus), tombstones derive from the artifact's dl by the
+    * literal (mod, rem) rule, and the masked df rides the VALIDATED
+    * critical section, so every DataFrame-verb guarantee carries over
+    * unchanged. Oracle = the q283 filtered-corpus replay (minus its
+    * cycle column) — a TVF that dropped the mask, mis-pruned a
+    * bucket, or served a stale masked-df state hash-mismatches.
+    * Bench-excluded as a strict SQL-surface twin of the benched q283
+    * (the q46/q253 rationale). */
+  def q302SqlMaskedServe(s: SparkSession, dir: String): DataFrame = {
+    Round15Queries.prepareBm25Index(s, dir)
+    s.sql(
+      s"""SELECT * FROM graft_bm25_masked('$dir',
+         |  ${Round15Queries.Bm25DeleteMod}, ${Round15Queries.Bm25DeleteRem})
+         |ORDER BY query_id, rk""".stripMargin)
+  }
+
+  /** The q283 oracle minus its cycle column: the q244 chain over the
+    * surviving corpus. */
+  val q302Sql: String = {
+    val mod = Round15Queries.Bm25DeleteMod
+    val rem = Round15Queries.Bm25DeleteRem
+    val filtered = Round15Queries.q244Sql.replace("FROM documents)",
+      s"FROM documents WHERE doc_id % $mod <> $rem)")
+    val prefix = filtered.substring(0, filtered.indexOf("best AS ("))
+    s"""${prefix}best AS (
+       |  SELECT query_id, doc_id, bm25, n_terms_hit,
+       |         row_number() OVER (PARTITION BY query_id
+       |                            ORDER BY bm25 DESC, doc_id ASC) AS rk
+       |  FROM scored)
+       |SELECT query_id, doc_id, bm25, n_terms_hit,
+       |       CAST(rk AS BIGINT) AS rk
+       |FROM best
+       |WHERE rk <= ${Round15Queries.MultiBm25K}
+       |ORDER BY query_id, rk""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q292_maskeddf_artifact_cycle" -> (q292MaskedDfArtifactCycle _),
     "q293_retained_compaction" -> (q293RetainedCompaction _),
@@ -1148,7 +1193,8 @@ object Round18Queries {
     "q298_retention_policy" -> (q298RetentionPolicy _),
     "q299_card_crash_discipline" -> (q299CardCrashDiscipline _),
     "q300_retained_maintenance_cycle" -> (q300RetainedMaintenanceCycle _),
-    "q301_bucket_dial_auto" -> (q301BucketDialAuto _))
+    "q301_bucket_dial_auto" -> (q301BucketDialAuto _),
+    "q302_sql_masked_serve" -> (q302SqlMaskedServe _))
 
   val oracles: Map[String, String] = Map(
     "q292_maskeddf_artifact_cycle" -> q292Sql,
@@ -1159,5 +1205,6 @@ object Round18Queries {
     "q298_retention_policy" -> q298Sql,
     "q299_card_crash_discipline" -> q299Sql,
     "q300_retained_maintenance_cycle" -> q300Sql,
-    "q301_bucket_dial_auto" -> q301Sql)
+    "q301_bucket_dial_auto" -> q301Sql,
+    "q302_sql_masked_serve" -> q302Sql)
 }

@@ -573,6 +573,56 @@ class Round15QueriesSpec extends SparkTestBase {
     assert(serve(idxA) === serve(idxD))
   }
 
+  test("graft_bm25_masked TVF: SQL serve ≡ the DataFrame masked serve byte-exact; literal/arity/domain boundaries; missing index loud at plan time") {
+    import org.apache.spark.sql.functions.col
+    Round15Queries.ensureBm25IndexIncremental(spark, sf0001)
+    val idx = Round15Queries.bm25IndexPath(sf0001)
+    val mod = Round15Queries.Bm25DeleteMod
+    val rem = Round15Queries.Bm25DeleteRem
+    // the SQL surface ≡ the DataFrame verbs, byte-exact
+    val viaSql = spark.sql(
+        s"SELECT * FROM graft_bm25_masked('$sf0001', $mod, $rem)")
+      .collect().map(_.toSeq).toSet
+    val tombs = spark.read.parquet(s"$idx/dl").select(col("doc_id"))
+      .filter(col("doc_id") % mod === rem).localCheckpoint()
+    val qt = Round15Queries.multiBm25QueryTableFrom(
+      Round15Queries.readMaskedDfValidated(spark, idx, tombs))
+    val viaDf = Round15Queries.bm25ServeQueriesFromIndexMasked(
+        spark, idx, qt, 1200000L, 750000L, tombs)
+      .drop("k1_micro", "b_micro")
+      .collect().map(_.toSeq).toSet
+    assert(viaSql === viaDf)
+    // composes with plain SQL over the relation
+    val n = spark.sql(
+      s"""SELECT count(*) FROM graft_bm25_masked('$sf0001', $mod, $rem)
+         |WHERE rk = 1""".stripMargin).head().getLong(0)
+    assert(n > 0L)
+    // boundary errors: non-literal, arity, bad (mod, rem) domain
+    val e1 = intercept[Exception] {
+      spark.sql(s"SELECT * FROM graft_bm25_masked('$sf0001', 7 + 0, 5)")
+        .collect()
+    }
+    assert(e1.getMessage.contains("literal"), e1.getMessage)
+    val e2 = intercept[Exception] {
+      spark.sql(s"SELECT * FROM graft_bm25_masked('$sf0001', 7)").collect()
+    }
+    assert(e2.getMessage.contains("3 arguments"), e2.getMessage)
+    val e3 = intercept[Exception] {
+      spark.sql(s"SELECT * FROM graft_bm25_masked('$sf0001', 5, 7)")
+        .collect()
+    }
+    assert(e3.getMessage.contains("rem < mod"), e3.getMessage)
+    // a lake with NO index fails loudly at plan time — a SQL read
+    // never pays a corpus tokenize
+    val bare = java.nio.file.Files.createTempDirectory("graft-noidx")
+      .toFile.getAbsolutePath
+    val e4 = intercept[Exception] {
+      spark.sql(s"SELECT * FROM graft_bm25_masked('$bare', 7, 5)")
+        .collect()
+    }
+    assert(e4.getMessage.contains("build"), e4.getMessage)
+  }
+
   test("masked-df read race: concurrent validated reads with DIFFERENT tombstone sets each get their OWN state (ensure+read is one critical section)") {
     import org.apache.spark.sql.functions.col
     Round15Queries.ensureBm25IndexIncremental(spark, sf0001)
