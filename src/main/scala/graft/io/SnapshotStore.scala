@@ -43,13 +43,18 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *     entries recording any other identity keep failing loudly.
   *   - Manifests are written with the sidecar's temp+rename, so a torn
   *     record leaves the previous snapshot chain intact.
-  *   - FENCED RECORD: [[record]] claims its id with an O_EXCL claim
+  *   - FENCED WRITERS: [[record]] claims its id with an O_EXCL claim
   *     file before writing the manifest, so a second WRITER PROCESS
   *     (outside the in-process [[graft.operators.EnsureLock]]) fails
-  *     loudly instead of last-writer-winning a manifest away. A claim
-  *     left by a crashed recorder keeps the id loudly blocked until an
+  *     loudly instead of last-writer-winning a manifest away; the
+  *     MUTATING verbs ([[compactWithRetention]]/[[expireSnapshots]])
+  *     additionally hold an O_EXCL `store.lock` for their duration, so
+  *     two processes compacting/expiring the same lake collide loudly,
+  *     never interleave renames and manifest rewrites. A claim or lock
+  *     left by a crashed writer keeps the verb loudly blocked until an
   *     operator deletes it — the staleness policy is manual and
-  *     stated in the error.
+  *     stated in the error (a crashed compaction also leaves the
+  *     journal, which [[recoverCompaction]] then completes).
   *   - [[record]]/[[compactWithRetention]]/[[expireSnapshots]] run
   *     under the per-path [[graft.operators.EnsureLock]] (in-process;
   *     the claim file is the cross-process complement).
@@ -89,6 +94,32 @@ object SnapshotStore {
 
   private[graft] def claimPath(snapDir: String, id: Int): String =
     s"$snapDir/$id.claim"
+
+  private[graft] def storeLockPath(snapDir: String): String =
+    s"$snapDir/store.lock"
+
+  /** Cross-process mutex for the MUTATING store verbs (compaction,
+    * expiry — the verbs that rewrite manifests and move/delete files;
+    * `record` appends only and is fenced per-id by its claim file).
+    * Same policy as the id claim: an O_EXCL lock file, held for the
+    * verb, released on completion; a foreign lock fails LOUDLY with
+    * the manual staleness policy (delete the named file after
+    * verifying no other writer process is live — a crashed holder
+    * additionally leaves the compaction journal, which
+    * [[recoverCompaction]] completes after the lock is cleared). */
+  private def withStoreLock[T](spark: SparkSession, snapDir: String,
+      what: String)(body: => T): T = {
+    val root = new Path(snapDir)
+    val fs = fsOf(spark, root)
+    if (!fs.exists(root)) fs.mkdirs(root)
+    val lock = new Path(storeLockPath(snapDir))
+    require(atomicClaim(fs, lock),
+      s"SnapshotStore: $what at $snapDir is blocked — another writer " +
+        s"process holds $lock (or a crashed one left it). Verify no " +
+        "other writer is live, delete the lock file, and retry; if a " +
+        "compaction journal is present, run recoverCompaction next.")
+    try body finally { fs.delete(lock, false); () }
+  }
 
   /** Record the lake's CURRENT file listing as the next snapshot;
     * returns its id. Pure metadata — no data file is opened. Locked
@@ -375,6 +406,7 @@ object SnapshotStore {
       dataDir: String, snapDir: String, survivors: DataFrame,
       crashAfterMoves: Int): Int =
     graft.operators.EnsureLock.withLock(snapDir) {
+      withStoreLock(spark, snapDir, "compaction") {
       // a prior compaction's crash window must be closed before a new
       // plan is computed over half-moved state
       journalRead(spark, snapDir)
@@ -423,6 +455,7 @@ object SnapshotStore {
         StampSidecar.normalize(dataDir))
       journalWrite(spark, snapDir, plan)
       executePlan(spark, snapDir, plan, crashAfterMoves)
+      }
     }
 
   /** EXPIRE snapshots outside the retention window: manifests not in
@@ -435,6 +468,7 @@ object SnapshotStore {
   def expireSnapshots(spark: SparkSession, snapDir: String,
       keepIds: Set[Int]): (Int, Int) =
     graft.operators.EnsureLock.withLock(snapDir) {
+      withStoreLock(spark, snapDir, "expiry") {
       // close any open crash window first: GC over half-rewritten
       // manifests would mis-count references
       journalRead(spark, snapDir)
@@ -455,6 +489,7 @@ object SnapshotStore {
         .map(_._1).filterNot(stillReferenced.contains)
       collected.foreach(p => fs.delete(new Path(p), false))
       (drop.size, collected.size)
+      }
     }
 
   private def requireIntact(spark: SparkSession,

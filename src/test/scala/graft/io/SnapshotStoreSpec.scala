@@ -261,6 +261,37 @@ class SnapshotStoreSpec extends SparkTestBase {
     assert(!claim.exists())
   }
 
+  test("store lock: a foreign lock blocks compaction and expiry loudly; both release the lock on completion") {
+    val (lakeDocs, snaps, _) = freshLake("storelock")
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+      .select("doc_id", "text")
+    docs.filter(col("doc_id") % 4 =!= 3).write.parquet(lakeDocs)
+    SnapshotStore.record(spark, lakeDocs, snaps)
+    val survivors = spark.read.parquet(lakeDocs)
+      .filter(col("doc_id") % 7 =!= 5).localCheckpoint()
+    // a second writer process holds the store lock (simulated by its
+    // O_EXCL file): the mutating verbs must fail loudly, touch nothing
+    val lock = new java.io.File(SnapshotStore.storeLockPath(snaps))
+    assert(lock.createNewFile())
+    val e1 = intercept[IllegalArgumentException] {
+      SnapshotStore.compactWithRetention(spark, lakeDocs, snaps, survivors)
+    }
+    assert(e1.getMessage.contains("store.lock"), e1.getMessage)
+    val e2 = intercept[IllegalArgumentException] {
+      SnapshotStore.expireSnapshots(spark, snaps, Set(1))
+    }
+    assert(e2.getMessage.contains("store.lock"), e2.getMessage)
+    // the snapshot chain is untouched by the refused verbs
+    SnapshotStore.readAsOf(spark, snaps, 1).collect()
+    // cleared lock → the verbs run and release it behind themselves
+    assert(lock.delete())
+    SnapshotStore.compactWithRetention(spark, lakeDocs, snaps, survivors)
+    assert(!lock.exists())
+    SnapshotStore.expireSnapshots(spark, snaps, Set(1))
+    assert(!lock.exists())
+    SnapshotStore.readAsOf(spark, snaps, 1).collect()
+  }
+
   test("retention generations are derived from the retained dirs, not the snapshot count — successive compactions never share a destination") {
     val (lakeDocs, snaps, _) = freshLake("gen")
     val docs = spark.read.parquet(s"$sf0001/documents.parquet")
