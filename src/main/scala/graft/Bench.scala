@@ -47,7 +47,13 @@ import org.apache.spark.sql.SparkSession
   * the torn-state machinery is metadata-scale; q301's bucket-dial
   * auto-choice pays a cold index build over its own replica per call —
   * the choice itself is one artifact-scale distinct count and the
-  * serving path is benched as q281) — same
+  * serving path is benched as q281; q304's masked-df alternation
+  * pays a cold index build plus two postings-decrement passes over
+  * its own replica per call by construction — the serving path is
+  * benched as q283 and the alternation contract is the sf0.01 gate's
+  * counted-thunk law; q305's as-of card pays two full card builds
+  * over an own-replica chronology per call — the one-shot card is
+  * benched as q291 and chain discovery is manifest TSV reads) — same
   * quadratic-output class),
   * queries that are strict
   * prefixes/aggregations/SQL-surface twins of included ones (q6, q11,
@@ -161,6 +167,7 @@ object Bench {
     "q286_snapshot_delta", "q287_hard_negative_mining",
     "q288_split_assign", "q290_asof_serve", "q291_dataset_card",
     "q293_retained_compaction", "q296_sql_asof", "q298_retention_policy",
+    "q303_age_retention_policy",
     "q275_vocab_size_auto", "q276_lifecycle_cycle",
     "q277_vocab_choice_persist", "q279_vocab_choice_encode")
 

@@ -26,7 +26,8 @@ object SparkEntry {
       operators.Round12Queries.queries ++ operators.Round13Queries.queries ++
       operators.Round14Queries.queries ++ operators.Round15Queries.queries ++
       operators.Round16Queries.queries ++ operators.UnigramQueries.queries ++
-      operators.Round17Queries.queries ++ operators.Round18Queries.queries
+      operators.Round17Queries.queries ++ operators.Round18Queries.queries ++
+      operators.Round19Queries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -49,5 +50,5 @@ object SparkEntry {
       operators.Round14Queries.oracles ++ operators.Round15Queries.oracles ++
       operators.Round16Queries.oracles ++ operators.UnigramQueries.oracles ++
       operators.Round17Queries.oraclesFor(sfDir) ++
-      operators.Round18Queries.oracles
+      operators.Round18Queries.oracles ++ operators.Round19Queries.oracles
 }

@@ -1174,15 +1174,20 @@ object Ann {
         c.k == k && c.targetMicro == targetMicro &&
         c.sweep == sweep.sorted)
     warm.getOrElse {
-      val curve = ivfPqRecallCurve(tuneQueries(), corpus(), indexDir, k,
-        sweep, tombstones)
-      val np = chooseNprobe(
-        curve.map { case (n, h, t) =>
-          (n, if (t == 0L) 0.0 else h.toDouble / t) },
-        targetRecall)
-      val c = NprobeChoice(gr, gc, gf, tr, tc, k, targetMicro, curve, np)
-      ivfPqChoiceWrite(spark, indexDir, c)
-      c
+      // cross-process fence around the mutating phase only (the
+      // ArtifactClaim doctrine); warm ensures stay claim-free reads
+      graft.io.ArtifactClaim.withClaim(spark,
+          s"$indexDir/choices/nprobe", "nprobe sweep") {
+        val curve = ivfPqRecallCurve(tuneQueries(), corpus(), indexDir, k,
+          sweep, tombstones)
+        val np = chooseNprobe(
+          curve.map { case (n, h, t) =>
+            (n, if (t == 0L) 0.0 else h.toDouble / t) },
+          targetRecall)
+        val c = NprobeChoice(gr, gc, gf, tr, tc, k, targetMicro, curve, np)
+        ivfPqChoiceWrite(spark, indexDir, c)
+        c
+      }
     }
     }
 

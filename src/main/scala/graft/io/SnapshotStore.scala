@@ -47,14 +47,18 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *     file before writing the manifest, so a second WRITER PROCESS
   *     (outside the in-process [[graft.operators.EnsureLock]]) fails
   *     loudly instead of last-writer-winning a manifest away; the
-  *     MUTATING verbs ([[compactWithRetention]]/[[expireSnapshots]])
-  *     additionally hold an O_EXCL `store.lock` for their duration, so
-  *     two processes compacting/expiring the same lake collide loudly,
-  *     never interleave renames and manifest rewrites. A claim or lock
-  *     left by a crashed writer keeps the verb loudly blocked until an
-  *     operator deletes it — the staleness policy is manual and
-  *     stated in the error (a crashed compaction also leaves the
-  *     journal, which [[recoverCompaction]] then completes).
+  *     MUTATING verbs ([[compactWithRetention]]/[[expireSnapshots]]/
+  *     [[recoverCompaction]]) additionally hold an O_EXCL `store.lock`
+  *     for their duration, so two processes compacting/expiring/
+  *     recovering the same lake collide loudly, never interleave
+  *     renames and manifest rewrites. A claim or lock left by a
+  *     crashed writer keeps the verb loudly blocked until an operator
+  *     deletes it — the staleness policy is manual and stated in the
+  *     error (a crashed compaction also leaves the journal, which
+  *     [[recoverCompaction]] then completes). [[record]] additionally
+  *     REFUSES while a compaction journal is present: a snapshot
+  *     recorded inside the crash window would pin pre-swap files the
+  *     roll-forward is about to delete.
   *   - [[record]]/[[compactWithRetention]]/[[expireSnapshots]] run
   *     under the per-path [[graft.operators.EnsureLock]] (in-process;
   *     the claim file is the cross-process complement).
@@ -83,13 +87,20 @@ object SnapshotStore {
     * filesystems go through java.io.File.createNewFile (a true atomic
     * O_CREAT|O_EXCL); remote filesystems through the FileSystem
     * create-no-overwrite contract (atomic server-side on HDFS-likes).
-    * Returns false when the path already exists — a concurrent or
-    * crashed claimant. */
-  private def atomicClaim(fs: FileSystem, p: Path): Boolean = fs match {
+    * Returns false ONLY when the path already exists — a concurrent or
+    * crashed claimant; any other IO failure propagates, so a transient
+    * error is never misreported as contention (which would instruct
+    * the operator to delete a lock file that may not exist). */
+  private[graft] def atomicClaim(fs: FileSystem, p: Path): Boolean = fs match {
     case _: org.apache.hadoop.fs.LocalFileSystem |
          _: org.apache.hadoop.fs.RawLocalFileSystem =>
       new java.io.File(p.toUri.getPath).createNewFile()
-    case f => scala.util.Try(f.createNewFile(p)).getOrElse(false)
+    case f =>
+      try f.createNewFile(p)
+      catch {
+        case _: org.apache.hadoop.fs.FileAlreadyExistsException => false
+        case _: java.nio.file.FileAlreadyExistsException => false
+      }
   }
 
   private[graft] def claimPath(snapDir: String, id: Int): String =
@@ -131,11 +142,50 @@ object SnapshotStore {
     * removed once the manifest commits; a claim orphaned by a crash
     * keeps the id loudly blocked (the error names the file to delete
     * after verifying no other writer is live). */
+  /** Where snapshot `id`'s recorded-at stamp lives — a sidecar FILE
+    * next to the manifest (not a manifest field), so every manifest
+    * written by a previous layout stays readable unchanged: a missing
+    * sidecar simply means the snapshot's age is unknown. */
+  private[graft] def recordedAtPath(snapDir: String, id: Int): String =
+    s"$snapDir/$id.at.tsv"
+
+  /** When snapshot `id` was recorded (epoch millis), if its layout
+    * carries the stamp. None = a pre-stamp snapshot — age-based
+    * policies must treat it conservatively (kept), never silently
+    * expire what they cannot date. */
+  def recordedAt(spark: SparkSession, snapDir: String,
+      id: Int): Option[Long] =
+    StampSidecar.read(spark, recordedAtPath(snapDir, id))
+      .get("recorded_at").map(_.mtime)
+
   def record(spark: SparkSession, dataDir: String, snapDir: String): Int =
+    record(spark, dataDir, snapDir, recordedAtMillis = -1L)
+
+  /** [[record]] with an explicit recorded-at stamp (epoch millis; a
+    * negative value means wall clock) — the deterministic entry the
+    * gated age-retention chronology uses; production recorders take
+    * the default. The stamp sidecar is written AFTER the manifest
+    * commits: a crash between them leaves a valid snapshot of unknown
+    * age, which age policies keep (the conservative default), never a
+    * stamped-but-unreadable state. */
+  def record(spark: SparkSession, dataDir: String, snapDir: String,
+      recordedAtMillis: Long): Int =
     graft.operators.EnsureLock.withLock(snapDir) {
       val root = new Path(snapDir)
       val fs = fsOf(spark, root)
       if (!fs.exists(root)) fs.mkdirs(root)
+      // an open compaction crash window fences APPENDS too: a snapshot
+      // recorded now would pin the pre-swap data files that the roll-
+      // forward's survivor swap is about to delete — the record would
+      // silently brick. Refuse loudly with the recovery instruction
+      // (the same policy the mutating verbs apply by auto-recovering).
+      val journalP = new Path(journalPath(snapDir))
+      require(!fs.exists(journalP),
+        s"SnapshotStore: cannot record a snapshot at $snapDir — a " +
+          s"compaction journal is present ($journalP): the store is " +
+          "inside a crashed compaction's window and the current data " +
+          "dir is about to be replaced by the roll-forward. Run " +
+          "SnapshotStore.recoverCompaction first, then record.")
       val id = ids(spark, snapDir).lastOption.getOrElse(0) + 1
       val claim = new Path(claimPath(snapDir, id))
       require(atomicClaim(fs, claim),
@@ -148,9 +198,25 @@ object SnapshotStore {
         StampSidecar.write(spark, manifestPath(snapDir, id),
           files.map { case (p, len, mt) =>
             StampSidecar.FileStamp(p, len, mt, 0L, 0L) })
+        val at = if (recordedAtMillis >= 0L) recordedAtMillis
+          else System.currentTimeMillis()
+        StampSidecar.write(spark, recordedAtPath(snapDir, id),
+          Seq(StampSidecar.FileStamp("recorded_at", 0L, at, 0L, 0L)))
         id
       } finally { fs.delete(claim, false); () }
     }
+
+  /** Whether snapshot `id` is still recorded (its manifest exists) —
+    * the EXPIRED/never-recorded probe, distinct from invalidity: an
+    * expired snapshot is a policy decision (manifest deliberately
+    * deleted, probe false), a rewrite-invalidated or crash-window one
+    * still HAS its manifest and must stay loud on read. Readers that
+    * want to fold expiry into a quiet zero gate on this probe and let
+    * [[readAsOf]]'s failures propagate — never Try-swallow both. */
+  def hasSnapshot(spark: SparkSession, snapDir: String, id: Int): Boolean = {
+    val p = new Path(manifestPath(snapDir, id))
+    fsOf(spark, p).exists(p)
+  }
 
   /** The files snapshot `id` pinned, with their recorded identities. */
   def manifest(spark: SparkSession, snapDir: String,
@@ -222,8 +288,19 @@ object SnapshotStore {
   private[graft] final case class CompactionPlan(moves: Seq[PlannedMove],
       survivorTmp: String, dataDir: String)
 
-  private def journalWrite(spark: SparkSession, snapDir: String,
+  private[graft] def journalWrite(spark: SparkSession, snapDir: String,
       plan: CompactionPlan): Unit = {
+    // the journal is a TSV: a path carrying a tab or newline would
+    // corrupt the plan (or MatchError during recovery), making the
+    // crash window unrecoverable — reject at PLAN time, before any
+    // rename, so the refusal costs nothing (no Spark/Hadoop writer
+    // produces such names; only a hand-picked lake path can)
+    val fields = plan.moves.flatMap(m => Seq(m.src, m.dst)) ++
+      Seq(plan.survivorTmp, plan.dataDir)
+    fields.filter(f => f.exists(c => c == '\t' || c == '\n' || c == '\r'))
+      .foreach(f => sys.error(
+        "SnapshotStore: refusing to journal a path containing a tab/" +
+          s"newline (unrecoverable if crashed): ${f.replace('\t', '␉')}"))
     val p = new Path(journalPath(snapDir))
     val tmp = new Path(journalPath(snapDir) + ".tmp")
     val fs = fsOf(spark, p)
@@ -348,13 +425,25 @@ object SnapshotStore {
     * the documented recovery verb for a crash inside
     * [[compactWithRetention]]'s window. Idempotent; returns true iff
     * a journal was found and executed. The compaction and expiry
-    * verbs call this automatically before starting. */
+    * verbs call this automatically before starting.
+    *
+    * Recovery is itself a MUTATING store verb (renames, manifest
+    * rewrites, the data-dir swap), so it holds the same cross-process
+    * `store.lock` as compaction/expiry — a standalone recovery racing
+    * another process's live verb (whose entry auto-recovery is doing
+    * the same roll-forward) fails loudly instead of interleaving the
+    * survivor swap (process B passing the tmp-exists check after
+    * process A completed the swap would otherwise delete the live
+    * data dir). The documented operator flow already clears a crashed
+    * holder's lock before running recovery. */
   def recoverCompaction(spark: SparkSession, snapDir: String): Boolean =
     graft.operators.EnsureLock.withLock(snapDir) {
-      journalRead(spark, snapDir) match {
-        case Some(plan) =>
-          executePlan(spark, snapDir, plan, Int.MaxValue); true
-        case None => false
+      withStoreLock(spark, snapDir, "recovery") {
+        journalRead(spark, snapDir) match {
+          case Some(plan) =>
+            executePlan(spark, snapDir, plan, Int.MaxValue); true
+          case None => false
+        }
       }
     }
 
@@ -479,6 +568,7 @@ object SnapshotStore {
       val fs = fsOf(spark, root)
       drop.foreach { id =>
         fs.delete(new Path(manifestPath(snapDir, id)), false)
+        fs.delete(new Path(recordedAtPath(snapDir, id)), false)
       }
       val retainPrefix = StampSidecar.normalize(retainedRoot(snapDir))
       val stillReferenced = ids(spark, snapDir)

@@ -528,13 +528,17 @@ object DedupQueries {
         c.targetNum == BandingTargetNum && c.targetDen == BandingTargetDen &&
         c.sweep.map(t => (t._1, t._2)).sorted == SweepConfigs.sorted)
     warm.getOrElse {
-      val (nExact, sweep) = measure()
-      val (b, r) = Dedup.chooseBanding(sweep, nExact,
-        BandingTargetNum, BandingTargetDen)
-      val c = BandingChoice(dr, dc, BandingTargetNum, BandingTargetDen,
-        nExact, sweep.sortBy(t => (t._1, t._2)), b, r)
-      bandingChoiceWrite(s, path, c)
-      c
+      // cross-process fence around the mutating phase only (the
+      // ArtifactClaim doctrine); warm ensures stay claim-free reads
+      graft.io.ArtifactClaim.withClaim(s, path, "banding sweep") {
+        val (nExact, sweep) = measure()
+        val (b, r) = Dedup.chooseBanding(sweep, nExact,
+          BandingTargetNum, BandingTargetDen)
+        val c = BandingChoice(dr, dc, BandingTargetNum, BandingTargetDen,
+          nExact, sweep.sortBy(t => (t._1, t._2)), b, r)
+        bandingChoiceWrite(s, path, c)
+        c
+      }
     }
     }
 

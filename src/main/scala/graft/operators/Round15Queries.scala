@@ -764,12 +764,14 @@ object Round15Queries {
       c.docRows == dr && c.docContent == dc && c.k == MultiBm25K &&
         c.sweep.map(t => (t._1, t._2)).sorted == bm25GridPoints.sorted)
     warm.getOrElse {
-      val sweep = measure()
-      val (k1c, bc) = chooseBm25Params(sweep)
-      val c = Bm25Choice(dr, dc, MultiBm25K,
-        sweep.sortBy(t => (t._1, t._2)), k1c, bc)
-      bm25ChoiceWrite(s, path, c)
-      c
+      graft.io.ArtifactClaim.withClaim(s, path, "bm25 params sweep") {
+        val sweep = measure()
+        val (k1c, bc) = chooseBm25Params(sweep)
+        val c = Bm25Choice(dr, dc, MultiBm25K,
+          sweep.sortBy(t => (t._1, t._2)), k1c, bc)
+        bm25ChoiceWrite(s, path, c)
+        c
+      }
     }
     }
 
@@ -982,10 +984,15 @@ object Round15Queries {
       bm25IndexRead(s, bm25IndexPath(dir)).filter(m =>
           m.docRows == dr && m.docContent == dc)
         .getOrElse {
-          onBuild()
-          bm25IndexWriteAutoBuckets(s, dir, dr, dc)
-          bm25IndexRead(s, bm25IndexPath(dir)).getOrElse(sys.error(
-            "ensureBm25IndexAutoBuckets: artifact unreadable after build"))
+          // cross-process fence around the MUTATING phase only — a
+          // warm ensure above never touches the claim file
+          graft.io.ArtifactClaim.withClaim(s, bm25IndexPath(dir),
+              "bm25 index build") {
+            onBuild()
+            bm25IndexWriteAutoBuckets(s, dir, dr, dc)
+            bm25IndexRead(s, bm25IndexPath(dir)).getOrElse(sys.error(
+              "ensureBm25IndexAutoBuckets: artifact unreadable after build"))
+          }
         }
     }
 
@@ -1028,9 +1035,12 @@ object Round15Queries {
           m.docRows == dr && m.docContent == dc &&
             m.nBuckets == Bm25IndexBuckets)
         .getOrElse {
-          build(dr, dc)
-          bm25IndexRead(s, bm25IndexPath(dir)).getOrElse(
-            sys.error("ensureBm25Index: artifact unreadable after build"))
+          graft.io.ArtifactClaim.withClaim(s, bm25IndexPath(dir),
+              "bm25 index build") {
+            build(dr, dc)
+            bm25IndexRead(s, bm25IndexPath(dir)).getOrElse(
+              sys.error("ensureBm25Index: artifact unreadable after build"))
+          }
         }
     }
 
@@ -1237,6 +1247,12 @@ object Round15Queries {
     bm25IndexRead(s, idxPath).filter(m => m.docRows == dr &&
         m.docContent == dc && m.nBuckets == Bm25IndexBuckets)
       .getOrElse {
+        // the maintenance PLAN and the verb it picks both run under
+        // the cross-process claim: a second JVM planning over the
+        // first's half-appended state is the torn class the fence
+        // exists for (its retry re-ensures warm once the winner lands)
+        graft.io.ArtifactClaim.withClaim(s, idxPath,
+            "bm25 index maintenance") {
         val current = graft.io.StampSidecar.listDataFiles(s,
           s"$dir/documents.parquet")
         // per-file partials come free: documentsStampCachedFor just
@@ -1265,6 +1281,7 @@ object Round15Queries {
         }
         bm25IndexRead(s, idxPath).getOrElse(sys.error(
           "ensureBm25IndexIncremental: artifact unreadable after build"))
+        }
       }
     }
 
@@ -1384,16 +1401,33 @@ object Round15Queries {
   /** Validity key of a persisted masked-df table: the INDEX stamp it
     * was decremented FROM plus the TOMBSTONE-set stamp it masks —
     * either moving must recompute (the NprobeChoice two-component
-    * discipline). */
+    * discipline). `seq` is the state's monotonic build order — the
+    * eviction key of the bounded multi-state layout. */
   final case class MaskedDfMeta(docRows: Long, docContent: Long,
-      tombRows: Long, tombContent: Long)
+      tombRows: Long, tombContent: Long, seq: Long)
+
+  /** How many masked-df STATES an index keeps (round-14 verdict #6):
+    * the single-slot layout thrashed cold rebuilds under two serving
+    * cohorts alternating tombstone sets — each switch overwrote the
+    * other's state. Keyed by tombstone stamp, each distinct delete
+    * set is computed ONCE and served warm however the cohorts
+    * interleave, up to this bound; beyond it the OLDEST-built state
+    * is evicted (vocabulary-scale disk, so the bound is generous). */
+  val MaskedDfMaxStates = 4
 
   private[graft] def maskedDfPath(idxPath: String): String =
     s"$idxPath/maskeddf"
 
-  private[graft] def maskedDfMetaRead(s: SparkSession,
-      idxPath: String): Option[MaskedDfMeta] = {
-    val p = new org.apache.hadoop.fs.Path(s"${maskedDfPath(idxPath)}/meta")
+  /** One tombstone set's state dir — keyed by the set's own stamp, so
+    * alternating delete sets land in DISJOINT layouts instead of
+    * overwriting one slot. */
+  private[graft] def maskedDfStatePath(idxPath: String, tombRows: Long,
+      tombContent: Long): String =
+    s"${maskedDfPath(idxPath)}/st-$tombRows-$tombContent"
+
+  private def maskedDfMetaReadAt(s: SparkSession,
+      statePath: String): Option[MaskedDfMeta] = {
+    val p = new org.apache.hadoop.fs.Path(s"$statePath/meta")
     val fs = p.getFileSystem(s.sessionState.newHadoopConf())
     if (!fs.exists(p)) None
     else scala.util.Try {
@@ -1402,24 +1436,55 @@ object Round15Queries {
         .filter(_.getAs[Long]("fmt") == Bm25IndexFmt)
         .map(r => MaskedDfMeta(r.getAs[Long]("doc_rows"),
           r.getAs[Long]("doc_content"), r.getAs[Long]("tomb_rows"),
-          r.getAs[Long]("tomb_content")))
+          r.getAs[Long]("tomb_content"), r.getAs[Long]("seq")))
     }.toOption.flatten
   }
 
-  /** ENSURE a persisted masked-df table for (index state, tombstone
-    * set) and return its logical (term, df) relation — the round-12
-    * verdict's #1: [[bm25MaskedDf]] pays an index-proportional
-    * postings pass on EVERY masked serve to decrement df, but with a
-    * stable delete set that pass re-derives the same
-    * vocabulary-scale table each time. So it is paid ONCE per
+  /** The meta of the state holding `tombstones`' stamp, if present. */
+  private[graft] def maskedDfMetaRead(s: SparkSession, idxPath: String,
+      tombstones: DataFrame): Option[MaskedDfMeta] = {
+    val (tr, tc) = tombstoneDocStamp(tombstones.select(col("doc_id")))
+    maskedDfMetaReadAt(s, maskedDfStatePath(idxPath, tr, tc))
+  }
+
+  /** Every state dir under the masked-df root with its meta (None =
+    * torn/legacy — a GC candidate). */
+  private def maskedDfListStates(s: SparkSession, idxPath: String)
+      : Seq[(String, Option[MaskedDfMeta])] = {
+    val root = new org.apache.hadoop.fs.Path(maskedDfPath(idxPath))
+    val fs = root.getFileSystem(s.sessionState.newHadoopConf())
+    if (!fs.exists(root)) Seq.empty
+    else fs.listStatus(root).toSeq
+      .filter(st => st.isDirectory && st.getPath.getName.startsWith("st-"))
+      .map { st =>
+        val p = st.getPath.toUri.getPath
+        (p, maskedDfMetaReadAt(s, p))
+      }
+  }
+
+  /** ENSURE a persisted masked-df state for (index state, tombstone
+    * set) — the round-12 verdict's #1: [[bm25MaskedDf]] pays an
+    * index-proportional postings pass on EVERY masked serve to
+    * decrement df, but with a stable delete set that pass re-derives
+    * the same vocabulary-scale table each time. So it is paid ONCE per
     * (index stamp, tombstone stamp) — the q272/NprobeChoice validity
     * discipline — and persisted bucket-partitioned like the df table
-    * it masks; every further masked serve reads the artifact. The
-    * table is BIT-EXACT vs the live decrement (integer arithmetic,
-    * spec law artifact ≡ live); meta is written LAST (torn build
-    * never presents warm); `onCompute` observes the cold verb (the
-    * counted-thunk convention — a warm call provably never touches
-    * postings). */
+    * it masks; every further masked serve reads the artifact. Since
+    * round 15 the artifact is MULTI-STATE (round-14 verdict #6): each
+    * tombstone stamp owns its `st-<rows>-<content>/` layout, so two
+    * serving cohorts ALTERNATING delete sets (A/B eval masks) each
+    * compute once and stay warm — the single slot used to thrash a
+    * cold rebuild per switch. States are bounded
+    * ([[MaskedDfMaxStates]], evict oldest-built) and GC'd when the
+    * INDEX stamp moves (a stale state can never be warm again —
+    * warmth requires the current index stamp).
+    *
+    * The table is BIT-EXACT vs the live decrement (integer
+    * arithmetic, spec law artifact ≡ live); meta is written LAST
+    * (torn build never presents warm); `onCompute` observes the cold
+    * verb (the counted-thunk convention — a warm call provably never
+    * touches postings). Mutations (build + eviction/GC) run under the
+    * artifact root's cross-process claim. */
   private[graft] def ensureBm25MaskedDf(s: SparkSession, idxPath: String,
       tombstones: DataFrame, onCompute: () => Unit = () => ()): Unit =
     EnsureLock.withLock(maskedDfPath(idxPath)) {
@@ -1427,51 +1492,86 @@ object Round15Queries {
         s"ensureBm25MaskedDf: no readable index at $idxPath"))
       val (tr, tc) = tombstoneDocStamp(
         tombstones.select(col("doc_id")))
-      val warm = maskedDfMetaRead(s, idxPath).exists(mm =>
+      val statePath = maskedDfStatePath(idxPath, tr, tc)
+      val warm = maskedDfMetaReadAt(s, statePath).exists(mm =>
         mm.docRows == m.docRows && mm.docContent == m.docContent &&
           mm.tombRows == tr && mm.tombContent == tc)
       if (!warm) {
-        onCompute()
-        val path = maskedDfPath(idxPath)
-        bm25MaskedDf(s, idxPath, tombstones)
-          .withColumn("pt", pmod(hash(col("term")), lit(m.nBuckets)))
-          .write.mode("overwrite").partitionBy("pt")
-          .parquet(s"$path/table")
-        import s.implicits._
-        Seq((m.docRows, m.docContent, tr, tc, Bm25IndexFmt))
-          .toDF("doc_rows", "doc_content", "tomb_rows", "tomb_content",
-            "fmt")
-          .repartition(1).write.mode("overwrite").parquet(s"$path/meta")
+        graft.io.ArtifactClaim.withClaim(s, maskedDfPath(idxPath),
+            "masked-df build") {
+          onCompute()
+          // monotonic build order across ALL existing states — the
+          // eviction key; the new state always outranks survivors
+          val states = maskedDfListStates(s, idxPath)
+          val seq = 1L + states.flatMap(_._2).map(_.seq)
+            .foldLeft(0L)(math.max)
+          bm25MaskedDf(s, idxPath, tombstones)
+            .withColumn("pt", pmod(hash(col("term")), lit(m.nBuckets)))
+            .write.mode("overwrite").partitionBy("pt")
+            .parquet(s"$statePath/table")
+          import s.implicits._
+          Seq((m.docRows, m.docContent, tr, tc, seq, Bm25IndexFmt))
+            .toDF("doc_rows", "doc_content", "tomb_rows", "tomb_content",
+              "seq", "fmt")
+            .repartition(1).write.mode("overwrite")
+            .parquet(s"$statePath/meta")
+          // GC, under the same claim: (a) states the index stamp left
+          // behind or whose meta is torn/legacy — never warm again;
+          // (b) valid states beyond the bound, oldest-built first
+          // (never the just-built one — it holds the max seq)
+          val fs = new org.apache.hadoop.fs.Path(maskedDfPath(idxPath))
+            .getFileSystem(s.sessionState.newHadoopConf())
+          def rm(p: String): Unit = {
+            fs.delete(new org.apache.hadoop.fs.Path(p), true); ()
+          }
+          val (valid, stale) = maskedDfListStates(s, idxPath)
+            .partition { case (_, mm) => mm.exists(x =>
+              x.docRows == m.docRows && x.docContent == m.docContent) }
+          stale.foreach { case (p, _) => rm(p) }
+          valid.sortBy(_._2.map(_.seq).getOrElse(0L))
+            .dropRight(MaskedDfMaxStates)
+            .foreach { case (p, _) => rm(p) }
+          // the pre-multi-state layout (a bare table/ + meta/ under the
+          // root) is dead weight this code never reads — GC it here so
+          // an upgraded deployment doesn't carry a stale slot forever
+          Seq("table", "meta").foreach { n =>
+            rm(s"${maskedDfPath(idxPath)}/$n")
+          }
+        }
       }
     }
 
-  /** The persisted masked-df table's logical (term, df) relation,
-    * bucket-pruned when `buckets` is given — [[readIndexDf]]'s masked
-    * twin. Callers must have [[ensureBm25MaskedDf]]d first. RAW read:
-    * nothing re-checks which (index, tombstone) state the table holds,
-    * so this is for workload SYNTHESIS only (picking query terms from
-    * the surviving vocabulary); every SCORING path must go through
+  /** The persisted masked-df state's logical (term, df) relation for
+    * `tombstones`' stamp, bucket-pruned when `buckets` is given —
+    * [[readIndexDf]]'s masked twin. Callers must have
+    * [[ensureBm25MaskedDf]]d first. RAW read: nothing re-checks which
+    * INDEX state the table was decremented from, so this is for
+    * workload SYNTHESIS only (picking query terms from the surviving
+    * vocabulary); every SCORING path must go through
     * [[readMaskedDfValidated]], which closes the ensure→read race. */
   private[graft] def readMaskedDf(s: SparkSession, idxPath: String,
+      tombstones: DataFrame,
       buckets: Option[Seq[Int]] = None): DataFrame = {
-    val raw = s.read.parquet(s"${maskedDfPath(idxPath)}/table")
+    val (tr, tc) = tombstoneDocStamp(tombstones.select(col("doc_id")))
+    val raw = s.read.parquet(
+      s"${maskedDfStatePath(idxPath, tr, tc)}/table")
     buckets.fold(raw)(b => raw.filter(col("pt").isin(b: _*)))
       .select(col("term"), col("df"))
   }
 
   /** Ensure + read the masked df AS ONE CRITICAL SECTION — the
-    * round-13 advisory's race: [[ensureBm25MaskedDf]] keys the
-    * artifact to a single (index stamp, tombstone stamp), so two
-    * concurrent masked serves with DIFFERENT tombstone sets on the
-    * same index can interleave ensure/read and one silently scores
-    * with the other's masked df. Here the ensure, a meta re-verify
-    * against the CALLER's stamps, and a materializing read
-    * (localCheckpoint — the rows are pinned before the lock drops)
-    * all run under the artifact's EnsureLock, so the returned relation
-    * provably holds the caller's state however the artifact is
-    * rewritten afterwards. Cost over the raw read: one tombstone-sized
-    * stamp pass + materializing the (bucket-pruned) vocabulary-scale
-    * table — no postings term. */
+    * round-13 advisory's race, kept even though the multi-state
+    * layout removes the common overwrite (two DIFFERENT tombstone
+    * sets now live in disjoint states): a concurrent ensure can still
+    * EVICT this state (the [[MaskedDfMaxStates]] bound) or GC it on
+    * an index-stamp move between the ensure and the read. Here the
+    * ensure, a meta re-verify against the CALLER's stamps, and a
+    * materializing read (localCheckpoint — the rows are pinned before
+    * the lock drops) all run under the artifact's EnsureLock, so the
+    * returned relation provably holds the caller's state however the
+    * artifact is rewritten afterwards. Cost over the raw read: one
+    * tombstone-sized stamp pass + materializing the (bucket-pruned)
+    * vocabulary-scale table — no postings term. */
   private[graft] def readMaskedDfValidated(s: SparkSession,
       idxPath: String, tombstones: DataFrame,
       buckets: Option[Seq[Int]] = None,
@@ -1481,14 +1581,16 @@ object Round15Queries {
       val m = bm25IndexRead(s, idxPath).getOrElse(sys.error(
         s"readMaskedDfValidated: no readable index at $idxPath"))
       val (tr, tc) = tombstoneDocStamp(tombstones.select(col("doc_id")))
-      val mm = maskedDfMetaRead(s, idxPath).getOrElse(sys.error(
-        s"readMaskedDfValidated: masked-df meta unreadable at $idxPath " +
-          "directly after its ensure"))
-      require(mm == MaskedDfMeta(m.docRows, m.docContent, tr, tc),
+      val mm = maskedDfMetaRead(s, idxPath, tombstones).getOrElse(
+        sys.error(
+          s"readMaskedDfValidated: masked-df meta unreadable at " +
+            s"$idxPath directly after its ensure"))
+      require((mm.docRows, mm.docContent, mm.tombRows, mm.tombContent)
+          == ((m.docRows, m.docContent, tr, tc)),
         s"readMaskedDfValidated: masked df at $idxPath holds state " +
           s"$mm, not the caller's (${m.docRows}, ${m.docContent}, " +
           s"$tr, $tc) — a concurrent ensure replaced it")
-      readMaskedDf(s, idxPath, buckets).localCheckpoint()
+      readMaskedDf(s, idxPath, tombstones, buckets).localCheckpoint()
     }
 
   /** [[bm25ServeQueriesFromIndex]] with a tombstone mask — every input
@@ -1547,7 +1649,7 @@ object Round15Queries {
       .localCheckpoint()
     val nDead = tombstones.count()
     ensureBm25MaskedDf(s, idx, tombstones)
-    val qt = multiBm25QueryTableFrom(readMaskedDf(s, idx))
+    val qt = multiBm25QueryTableFrom(readMaskedDf(s, idx, tombstones))
     bm25ServeQueriesFromIndexMasked(s, idx, qt,
         math.round(Round14Queries.Bm25K1 * 1e6),
         math.round(Round14Queries.Bm25B * 1e6), tombstones)

@@ -689,7 +689,7 @@ object Round17Queries {
     } else {
       Round15Queries.ensureBm25MaskedDf(s, idx, tombstones)
       val qt = Round15Queries.multiBm25QueryTableFrom(
-        Round15Queries.readMaskedDf(s, idx))
+        Round15Queries.readMaskedDf(s, idx, tombstones))
       (mFull, deadRows, Round15Queries.bm25ServeQueriesFromIndexMasked(
         s, idx, qt, math.round(Round14Queries.Bm25K1 * 1e6),
         math.round(Round14Queries.Bm25B * 1e6), tombstones))

@@ -79,7 +79,7 @@ object Round18Queries {
     val warm = computes - cold
     // the masked serve — its df side reads the artifact just ensured
     val qt = Round15Queries.multiBm25QueryTableFrom(
-      Round15Queries.readMaskedDf(s, idx))
+      Round15Queries.readMaskedDf(s, idx, tombstones))
     Round15Queries.bm25ServeQueriesFromIndexMasked(s, idx, qt,
         math.round(Round14Queries.Bm25K1 * 1e6),
         math.round(Round14Queries.Bm25B * 1e6), tombstones)
@@ -385,14 +385,13 @@ object Round18Queries {
     * reads. Bench-excluded (two tokenize passes over its own replica
     * per call by construction; the one-shot card is benched as q291).
     */
-  val CardBuckets = 32
-
   private[operators] def cardLakePath(sfDir: String): String =
     new java.io.File(s"target/cardlake/${PathTag.tagFor(sfDir)}")
       .getAbsolutePath
 
   /** One tokenize pass → the card's two tables: strata volume sums
-    * and the distinct stratum-term set (with its hash bucket). */
+    * and the distinct stratum-term set (bucketing is the CALLER's —
+    * a build chooses its count, a merge reads the card's own). */
   private[graft] def cardTablesOf(docs: DataFrame): (DataFrame, DataFrame) = {
     val toks = docs.select(col("lang"), col("source"), col("text"),
         graft.text.TextPrep.tokensCol(col("text")).as("toks"))
@@ -405,7 +404,6 @@ object Round18Queries {
     val vocab = toks
       .select(col("lang"), col("source"), explode(col("toks")).as("term"))
       .distinct()
-      .withColumn("pt", pmod(hash(col("term")), lit(CardBuckets)))
     (volumes, vocab)
   }
 
@@ -437,36 +435,88 @@ object Round18Queries {
     }.toOption
   }
 
-  /** Torn exactly when the ledger's target stamp and the meta's
-    * committed stamp disagree (a crash landed between them — the
-    * volumes may or may not hold the merge) or either side is
-    * unreadable while the other exists. A card with NEITHER is simply
-    * absent, not torn. */
-  private[graft] def cardTorn(s: SparkSession, path: String): Boolean =
+  /** The card's OWN bucket count, from meta — the round-14 verdict's
+    * #5 (the q301 dial applied to the card): merges must hash the
+    * batch's terms with whatever count the card was built at. None =
+    * a pre-dial layout (meta without `n_buckets`) — a LEGACY card,
+    * resolved by [[cardEnsure]]'s rebuild, never mis-merged at a
+    * guessed count. */
+  private[graft] def cardBucketsRead(s: SparkSession,
+      path: String): Option[Int] = {
+    val p = new org.apache.hadoop.fs.Path(s"$path/meta")
+    val fs = p.getFileSystem(s.sessionState.newHadoopConf())
+    if (!fs.exists(p)) None
+    else scala.util.Try {
+      val r = s.read.parquet(p.toString).head()
+      r.getAs[Int]("n_buckets")
+    }.toOption
+  }
+
+  /** The card's lifecycle state, classified from (ledger, meta):
+    *   - ABSENT: neither side exists — a fresh path;
+    *   - OK: ledger ≡ meta and the layout is current;
+    *   - LEGACY: a healthy artifact from a previous format — meta
+    *     present with no ledger (the pre-Σ-tie layout), or a tied
+    *     pair whose meta lacks the bucket dial. Resolved by
+    *     [[cardEnsure]]'s quiet rebuild; NOT a crash (the round-14
+    *     advisory: a legacy card misdiagnosed as a torn merge tells
+    *     the operator a crash happened that never did);
+    *   - TORN: the ledger's target stamp and meta's committed stamp
+    *     disagree, or a ledger exists with no readable meta — a
+    *     crashed merge/build whose volume sums may be half-applied.
+    */
+  private[graft] sealed trait CardState
+  private[graft] case object CardAbsent extends CardState
+  private[graft] case object CardOk extends CardState
+  private[graft] case object CardLegacy extends CardState
+  private[graft] case object CardTornState extends CardState
+
+  private[graft] def cardState(s: SparkSession, path: String): CardState =
     (cardLedgerRead(s, path), cardMetaRead(s, path)) match {
-      case (None, None) => false
-      case (Some(l), Some(m)) => l != m
-      case _ => true
+      case (None, None) => CardAbsent
+      case (None, Some(_)) => CardLegacy
+      case (Some(_), None) => CardTornState
+      case (Some(l), Some(m)) =>
+        if (l != m) CardTornState
+        else if (cardBucketsRead(s, path).isEmpty) CardLegacy
+        else CardOk
     }
+
+  /** Torn = a crashed merge/build window (see [[cardState]]); a
+    * legacy-layout card is NOT torn. */
+  private[graft] def cardTorn(s: SparkSession, path: String): Boolean =
+    cardState(s, path) == CardTornState
 
   /** Build the card artifact from scratch over `docs`; ledger FIRST
     * (the target stamp), meta LAST (the commit) — a crash anywhere
     * between leaves ledger ≠ meta, which every reader/merger treats
-    * as torn. */
+    * as torn. The vocab bucket count is ENGINE-CHOSEN (the q301
+    * ladder over the card's own distinct-term count — the build
+    * already paid the tokenize; the distinct count rides the vocab
+    * table it is choosing for) and recorded in meta so merges hash
+    * with the card's own dial. `nBucketsOverride` is the spec's hook
+    * for pinning a non-default count. Cross-process fenced
+    * ([[graft.io.ArtifactClaim]]): two processes cold-building the
+    * same card collide loudly, never interleave overwrites. */
   private[graft] def cardWrite(s: SparkSession, path: String,
-      docs: DataFrame): Unit = {
-    val d = docs.select(col("doc_id"), col("lang"), col("source"),
-      col("text"))
-    val (r, c) = ChoiceStore.documentsStamp(
-      d.select(col("doc_id"), col("text")))
-    cardLedgerWrite(s, path, r, c)
-    val (volumes, vocab) = cardTablesOf(d)
-    volumes.write.mode("overwrite").parquet(s"$path/volumes")
-    vocab.write.mode("overwrite").partitionBy("pt").parquet(s"$path/vocab")
-    import s.implicits._
-    Seq((r, c)).toDF("doc_rows", "doc_content")
-      .repartition(1).write.mode("overwrite").parquet(s"$path/meta")
-  }
+      docs: DataFrame, nBucketsOverride: Option[Int] = None): Unit =
+    graft.io.ArtifactClaim.withClaim(s, path, "card build") {
+      val d = docs.select(col("doc_id"), col("lang"), col("source"),
+        col("text"))
+      val (r, c) = ChoiceStore.documentsStamp(
+        d.select(col("doc_id"), col("text")))
+      cardLedgerWrite(s, path, r, c)
+      val (volumes, vocab0) = cardTablesOf(d)
+      val vocab = vocab0.localCheckpoint()
+      val nb = nBucketsOverride.getOrElse(Round15Queries.chooseBucketCount(
+        vocab.select(col("term")).distinct().count()))
+      volumes.write.mode("overwrite").parquet(s"$path/volumes")
+      vocab.withColumn("pt", pmod(hash(col("term")), lit(nb)))
+        .write.mode("overwrite").partitionBy("pt").parquet(s"$path/vocab")
+      import s.implicits._
+      Seq((r, c, nb)).toDF("doc_rows", "doc_content", "n_buckets")
+        .repartition(1).write.mode("overwrite").parquet(s"$path/meta")
+    }
 
   /** Merge one ingest batch into the card: volume sums add exactly
     * (disjoint docs), the vocab union touches only the batch's term
@@ -482,23 +532,38 @@ object Round18Queries {
     * fault-injection hook: stop after the table writes, before the
     * meta commit — the exact window that used to double-count. */
   private[graft] def cardAppendBatch(s: SparkSession, path: String,
-      batch: DataFrame, crashBeforeMeta: Boolean = false): Unit = {
+      batch: DataFrame, crashBeforeMeta: Boolean = false): Unit =
+    graft.io.ArtifactClaim.withClaim(s, path, "card merge") {
     val b = batch.select(col("doc_id"), col("lang"), col("source"),
       col("text")).localCheckpoint()
     val (br, bc) = ChoiceStore.documentsStamp(
       b.select(col("doc_id"), col("text")))
     if (br == 0L) return
-    require(!cardTorn(s, path),
-      s"cardAppendBatch: card at $path is TORN (ledger ≠ meta — a " +
-        "crashed merge); merging into it would double-count volume " +
-        "sums. Rebuild via cardEnsure over the full corpus.")
+    cardState(s, path) match {
+      case CardTornState => throw new IllegalArgumentException(
+        s"cardAppendBatch: card at $path is TORN (ledger ≠ meta — a " +
+          "crashed merge); merging into it would double-count volume " +
+          "sums. Rebuild via cardEnsure over the full corpus.")
+      case CardLegacy => throw new IllegalArgumentException(
+        s"cardAppendBatch: card at $path is a LEGACY/stale layout " +
+          "(healthy, but from a previous format — no crash happened); " +
+          "this code cannot merge into it. Rebuild via cardEnsure " +
+          "over the full corpus.")
+      case _ => ()
+    }
+    // the card's OWN bucket count: the batch's terms must hash with
+    // the dial the card was built at or the vocab union is wrong
+    val nb = cardBucketsRead(s, path).getOrElse(sys.error(
+      s"cardAppendBatch: card at $path lost its bucket dial"))
     val meta = s.read.parquet(s"$path/meta").head()
     // ledger FIRST: the target stamp of the post-merge state — from
     // here until the meta commit the card presents as torn
     cardLedgerWrite(s, path, meta.getAs[Long]("doc_rows") + br,
       meta.getAs[Long]("doc_content") + bc)
     val (volumesNew, vocabNew0) = cardTablesOf(b)
-    val vocabNew = vocabNew0.localCheckpoint()
+    val vocabNew = vocabNew0
+      .withColumn("pt", pmod(hash(col("term")), lit(nb)))
+      .localCheckpoint()
     // strata-scale sum merge; materialize before overwriting its input
     val volumes = s.read.parquet(s"$path/volumes")
       .unionByName(volumesNew)
@@ -507,7 +572,7 @@ object Round18Queries {
         sum(col("n_tokens")).as("n_tokens"))
       .localCheckpoint()
     volumes.write.mode("overwrite").parquet(s"$path/volumes")
-    // touched-bucket vocab union (≤ CardBuckets rows collected)
+    // touched-bucket vocab union (≤ n_buckets rows collected)
     val touched = vocabNew.select(col("pt")).distinct()
       .collect().map(_.getInt(0)).toSeq
     val merged = s.read.parquet(s"$path/vocab")
@@ -524,9 +589,12 @@ object Round18Queries {
     if (crashBeforeMeta) sys.error(
       "cardAppendBatch: injected crash before the meta commit (test hook)")
     import s.implicits._
+    // the dial rides every meta commit — a merged card keeps the
+    // count it was built at (merges never re-choose: the bucket
+    // layout is physical and rewriting it would be a rebuild)
     Seq((meta.getAs[Long]("doc_rows") + br,
-        meta.getAs[Long]("doc_content") + bc))
-      .toDF("doc_rows", "doc_content")
+        meta.getAs[Long]("doc_content") + bc, nb))
+      .toDF("doc_rows", "doc_content", "n_buckets")
       .repartition(1).write.mode("overwrite").parquet(s"$path/meta")
   }
 
@@ -545,7 +613,12 @@ object Round18Queries {
         col("text"))
       val (r, c) = ChoiceStore.documentsStamp(
         d.select(col("doc_id"), col("text")))
-      val warm = !cardTorn(s, path) &&
+      // warm needs a CURRENT-layout, un-torn card at the exact stamp;
+      // both TORN (crashed merge) and LEGACY (previous format) resolve
+      // to the same quiet rebuild — ensure is the one verb where the
+      // distinction needs no message, because rebuild is correct for
+      // both
+      val warm = cardState(s, path) == CardOk &&
         cardMetaRead(s, path).contains((r, c))
       if (!warm) { onBuild(); cardWrite(s, path, d) }
     }
@@ -555,10 +628,17 @@ object Round18Queries {
     * torn card (ledger ≠ meta): the volumes may hold a half-merged
     * state and nothing else in the schema could reveal it. */
   private[graft] def cardServe(s: SparkSession, path: String): DataFrame = {
-    require(!cardTorn(s, path),
-      s"cardServe: card at $path is TORN (ledger ≠ meta — a crashed " +
-        "merge); refusing to present possibly half-merged sums. " +
-        "Rebuild via cardEnsure over the full corpus.")
+    cardState(s, path) match {
+      case CardTornState => throw new IllegalArgumentException(
+        s"cardServe: card at $path is TORN (ledger ≠ meta — a crashed " +
+          "merge); refusing to present possibly half-merged sums. " +
+          "Rebuild via cardEnsure over the full corpus.")
+      case CardLegacy => throw new IllegalArgumentException(
+        s"cardServe: card at $path is a LEGACY/stale layout (healthy, " +
+          "but from a previous format — no crash happened); this code " +
+          "does not read it. Rebuild via cardEnsure over the full corpus.")
+      case _ => ()
+    }
     val meta = s.read.parquet(s"$path/meta").head()
     val vocabCounts = s.read.parquet(s"$path/vocab")
       .groupBy(col("lang"), col("source"))
@@ -570,6 +650,53 @@ object Round18Queries {
         round(col("n_tokens") / col("n_docs"), 6).as("mean_tokens"))
       .withColumn("post_rows", lit(meta.getAs[Long]("doc_rows")))
       .withColumn("post_content", lit(meta.getAs[Long]("doc_content")))
+  }
+
+  /** Build the card AS OF snapshot `k` — the round-14 verdict's #7:
+    * q290 made retrieval reproducible at a point in time; the card —
+    * the artifact a release actually publishes — gets the same
+    * composition. The build is cursor-fed where the lake's history
+    * allows it: the longest APPEND-ONLY suffix of the recorded chain
+    * ending at `k` is discovered from manifests alone (file-subset
+    * checks — metadata TSV reads, the readDelta law made a plan
+    * rule), the card seeds from `readAsOf(base)` and each interval
+    * merges through [[cardAppendBatch]] with the delta the manifest
+    * difference names. A compaction inside the window breaks the
+    * append law (readDelta would refuse), so the chain restarts at
+    * the first post-compaction snapshot — never a wrong merge, at
+    * worst a one-shot base. The result is provably the one-shot card
+    * over `readAsOf(k)` (incremental ≡ recompute + the cursor law,
+    * both spec-pinned; Round18QueriesSpec pins the composition).
+    * `onBase`/`onMerge` observe the chain (the counted-thunk
+    * convention). */
+  private[graft] def cardBuildAsOf(s: SparkSession, snaps: String,
+      k: Int, path: String, onBase: Int => Unit = _ => (),
+      onMerge: (Int, Int) => Unit = (_, _) => ()): Unit = {
+    val sorted = graft.io.SnapshotStore.ids(s, snaps).filter(_ <= k).sorted
+    require(sorted.contains(k),
+      s"cardBuildAsOf: snapshot $k is not recorded (or was expired) " +
+        s"at $snaps — an as-of card needs its pin readable")
+    def paths(id: Int): Set[String] =
+      graft.io.SnapshotStore.manifest(s, snaps, id).map(_.path).toSet
+    var chain = List(k)
+    var idx = sorted.indexOf(k) - 1
+    var appendOnly = true
+    while (idx >= 0 && appendOnly) {
+      val id = sorted(idx)
+      if (paths(id).subsetOf(paths(chain.head))) chain = id :: chain
+      else appendOnly = false // a rewrite (compaction) breaks the chain
+      idx -= 1
+    }
+    val base = chain.head
+    onBase(base)
+    cardWrite(s, path, graft.io.SnapshotStore.readAsOf(s, snaps, base))
+    chain.sliding(2).foreach {
+      case List(a, b) =>
+        onMerge(a, b)
+        cardAppendBatch(s, path,
+          graft.io.SnapshotStore.readDelta(s, snaps, a, b))
+      case _ => () // a single-element chain has no interval
+    }
   }
 
   def q295IncrementalCard(s: SparkSession, dir: String): DataFrame = {
@@ -754,12 +881,19 @@ object Round18Queries {
     val keep = chooseSnapshotsToKeep(ids, RetainKeepLast, RetainPinned)
     graft.io.SnapshotStore.expireSnapshots(s, snaps, keep)
     val rows = ids.map { id =>
-      scala.util.Try {
+      // expiry is the ONLY state folded to a quiet zero (manifest
+      // deliberately deleted — a policy decision, probed without a
+      // read); a rewrite-invalidated or crash-window snapshot keeps
+      // its manifest and readAsOf's failure PROPAGATES — corruption
+      // must never masquerade as retention
+      if (!graft.io.SnapshotStore.hasSnapshot(s, snaps, id))
+        (id.toLong, 0L, 0L, 0L)
+      else {
         val d = graft.io.SnapshotStore.readAsOf(s, snaps, id)
           .select(col("doc_id"), col("text"))
         val (r, c) = ChoiceStore.documentsStamp(d)
         (id.toLong, 1L, r, c)
-      }.getOrElse((id.toLong, 0L, 0L, 0L)) // loud expiry, observed
+      }
     }
     import s.implicits._
     rows.toDF("snap_id", "kept", "doc_rows", "doc_content")
@@ -927,6 +1061,24 @@ object Round18Queries {
   val CycleKeepLast = 1
   val CyclePinned: Set[Int] = Set(1)
 
+  /** One chronology slot's (kept, rows, content) verdict — the q300
+    * reader, loud-preserving (the round-14 advisory): ONLY an
+    * expired/never-recorded snapshot (manifest absent, probed via
+    * [[graft.io.SnapshotStore.hasSnapshot]] without a read) folds to
+    * the quiet (0, 0, 0) — that absence is a POLICY decision. A
+    * rewrite-invalidated or crash-window snapshot still has its
+    * manifest and its readAsOf failure PROPAGATES: corruption must
+    * never masquerade as retention (spec-pinned). */
+  private[graft] def snapshotSlotStamp(s: SparkSession, snaps: String,
+      id: Int): (Long, Long, Long) =
+    if (!graft.io.SnapshotStore.hasSnapshot(s, snaps, id)) (0L, 0L, 0L)
+    else {
+      val d = graft.io.SnapshotStore.readAsOf(s, snaps, id)
+        .select(col("doc_id"), col("text"))
+      val (r, c) = ChoiceStore.documentsStamp(d)
+      (1L, r, c)
+    }
+
   def q300RetainedMaintenanceCycle(s: SparkSession,
       dir: String): DataFrame = {
     val lake = rmcLakePath(dir)
@@ -939,16 +1091,9 @@ object Round18Queries {
     val keep = chooseSnapshotsToKeep(allIds, CycleKeepLast, CyclePinned)
     graft.io.SnapshotStore.expireSnapshots(s, snaps, keep)
     // observe all three chronology slots after compaction + expiry
-    def slot(id: Int): (Long, Long, Long) =
-      scala.util.Try {
-        val d = graft.io.SnapshotStore.readAsOf(s, snaps, id)
-          .select(col("doc_id"), col("text"))
-        val (r, c) = ChoiceStore.documentsStamp(d)
-        (1L, r, c)
-      }.getOrElse((0L, 0L, 0L)) // expired or never recorded — loud
-    val (s1k, s1r, s1c) = slot(1)
-    val (s2k, s2r, s2c) = slot(2)
-    val (s3k, s3r, s3c) = slot(3)
+    val (s1k, s1r, s1c) = snapshotSlotStamp(s, snaps, 1)
+    val (s2k, s2r, s2c) = snapshotSlotStamp(s, snaps, 2)
+    val (s3k, s3r, s3c) = snapshotSlotStamp(s, snaps, 3)
     serve
       .withColumn("s1_kept", lit(s1k)).withColumn("s1_rows", lit(s1r))
       .withColumn("s1_content", lit(s1c))

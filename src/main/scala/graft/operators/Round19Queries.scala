@@ -1,0 +1,360 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Round-19 batch: the round-14 verdict's composition ring around the
+  * retention/card surface — age-based snapshot retention (#4, the
+  * table formats' "keep 7 days + pins" semantics the count-window rule
+  * could not express), tombstone-stamp-keyed masked-df states (#6),
+  * and the as-of dataset card (#7). Reference repo has no counterpart;
+  * this is the LLM-data-pipeline lifecycle surface.
+  */
+object Round19Queries {
+
+  // --------------------------------------------------------------- q303
+  /** AGE-BASED RETENTION POLICY — q298's window ∪ pins rule re-keyed
+    * by TIME: real lake retention is "keep what is younger than N
+    * days, plus pins, plus the current state", not "keep the last N
+    * ids" (an id window expires a burst of fresh snapshots after a
+    * busy hour and keeps week-old ones after a quiet week). The store
+    * now records WHEN each snapshot was taken — a per-snapshot sidecar
+    * stamp ([[graft.io.SnapshotStore.recordedAt]]; a sidecar FILE, not
+    * a manifest field, so every pre-stamp manifest stays readable and
+    * simply reads as unknown age).
+    *
+    * The pure rule [[chooseSnapshotsToKeepByAge]]:
+    *   keep = {id | now − recordedAt(id) ≤ maxAge}  (the age window)
+    *        ∪ {id | recordedAt(id) unknown}         (conservative: a
+    *          policy must never silently expire what it cannot date)
+    *        ∪ pins ∩ ids                            (the q290 half)
+    *        ∪ {max(ids)}                            (the current state
+    *          always stays readable — table-format semantics)
+    *
+    * The gated chronology records four states at SYNTHETIC times (day
+    * 1..4 — the deterministic recorded-at entry; production recorders
+    * take the wall clock), runs the rule at now = day 4 with a 1-day
+    * window and pin {1}: id 1 is 3 days old (kept by pin), id 2 is 2
+    * days old (EXPIRED — the only unprotected over-age state), ids
+    * 3/4 are in-window. Every id is read back after expiry through
+    * the loud-preserving slot reader; the oracle replays all four
+    * keep verdicts through the SAME age arithmetic over the literal
+    * chronology, never pins them. PropertySpec pins the rule
+    * generatively (subset, pins kept, age window exact, latest kept,
+    * unknown-age kept, monotone in maxAge).
+    *
+    * 100 TB shape: identical to q298 — the policy run is pure
+    * metadata (manifest + stamp-sidecar deletes, a reference-counted
+    * GC); the age stamp costs one tiny TSV per record. Bounded-collect
+    * class: 4 rows.
+    */
+  val DayMillis = 86400000L
+  val AgeMaxMillis: Long = 1L * DayMillis
+  val AgeNowMillis: Long = 4L * DayMillis
+  val AgePinned: Set[Int] = Set(1)
+
+  /** PURE RULE — see the q303 scaladoc for the four clauses. */
+  private[graft] def chooseSnapshotsToKeepByAge(ids: Seq[Int],
+      recordedAt: Int => Option[Long], nowMillis: Long,
+      maxAgeMillis: Long, pinned: Set[Int]): Set[Int] = {
+    val window = ids.filter(id => recordedAt(id) match {
+      case Some(at) => nowMillis - at <= maxAgeMillis
+      case None => true // unknown age — never silently expired
+    }).toSet
+    window ++ pinned.filter(ids.contains) ++
+      ids.sorted.lastOption.toSet
+  }
+
+  private[operators] def ageLakePath(sfDir: String): String =
+    new java.io.File(s"target/agelake/${PathTag.tagFor(sfDir)}")
+      .getAbsolutePath
+
+  private def rmrf(f: java.io.File): Unit = {
+    if (f.isDirectory) f.listFiles().foreach(rmrf); f.delete(); ()
+  }
+
+  def q303AgeRetentionPolicy(s: SparkSession, dir: String): DataFrame = {
+    val lake = ageLakePath(dir)
+    val lakeDocs = s"$lake/documents.parquet"
+    val snaps = s"$lake/snapshots"
+    rmrf(new java.io.File(lake))
+    val docs = Tables.documents(s, dir)
+    docs.filter(col("doc_id") % Round17Queries.IngestMod === 0L)
+      .write.mode("overwrite").parquet(lakeDocs)
+    graft.io.SnapshotStore.record(s, lakeDocs, snaps,
+      recordedAtMillis = 1L * DayMillis)
+    (1L to 3L).foreach { k =>
+      docs.filter(col("doc_id") % Round17Queries.IngestMod === k)
+        .write.mode("append").parquet(lakeDocs)
+      graft.io.SnapshotStore.record(s, lakeDocs, snaps,
+        recordedAtMillis = (k + 1L) * DayMillis)
+    }
+    val ids = graft.io.SnapshotStore.ids(s, snaps)
+    val keep = chooseSnapshotsToKeepByAge(ids,
+      id => graft.io.SnapshotStore.recordedAt(s, snaps, id),
+      AgeNowMillis, AgeMaxMillis, AgePinned)
+    graft.io.SnapshotStore.expireSnapshots(s, snaps, keep)
+    val rows = ids.map { id =>
+      val (k, r, c) = Round18Queries.snapshotSlotStamp(s, snaps, id)
+      // the recorded-at read back from the ARTIFACT (gates the
+      // sidecar); an expired snapshot's stamp is GC'd with it
+      val at = graft.io.SnapshotStore.recordedAt(s, snaps, id)
+        .getOrElse(0L)
+      (id.toLong, at, k, r, c)
+    }
+    import s.implicits._
+    rows.toDF("snap_id", "recorded_at", "kept", "doc_rows", "doc_content")
+      .orderBy(col("snap_id"))
+  }
+
+  /** Four states as WHERE-filtered aggregates; every keep verdict
+    * replayed through the age arithmetic over the literal chronology
+    * (recorded-at = snap_id days, now = day 4, window = 1 day, pin
+    * {1}, latest = 4) — the oracle derives kept, never copies it. */
+  val q303Sql: String = {
+    val im = Round17Queries.IngestMod
+    def state(id: Int, where: String): String = {
+      val at = id.toLong * DayMillis
+      val pinned = if (AgePinned.contains(id)) 1 else 0
+      val isLatest = if (id == 4) 1 else 0
+      s"""SELECT CAST($id AS BIGINT) AS snap_id,
+         |       CASE WHEN kept.k = 1 THEN CAST($at AS BIGINT)
+         |            ELSE CAST(0 AS BIGINT) END AS recorded_at,
+         |       kept.k AS kept,
+         |       CASE WHEN kept.k = 1 THEN st.r
+         |            ELSE CAST(0 AS BIGINT) END AS doc_rows,
+         |       CASE WHEN kept.k = 1 THEN st.c
+         |            ELSE CAST(0 AS BIGINT) END AS doc_content
+         |FROM (SELECT CASE WHEN $AgeNowMillis - $at <= $AgeMaxMillis
+         |                    OR $pinned = 1 OR $isLatest = 1
+         |                  THEN CAST(1 AS BIGINT)
+         |                  ELSE CAST(0 AS BIGINT) END AS k) kept
+         |CROSS JOIN (
+         |  SELECT CAST(count(*) AS BIGINT) AS r,
+         |         CAST(coalesce(sum((doc_id * 31 + strlen(text)) % 1048576),
+         |                       0) AS BIGINT) AS c
+         |  FROM documents $where) st""".stripMargin
+    }
+    (1 to 4).map(id =>
+        state(id, s"WHERE doc_id % $im < $id"))
+      .mkString("", "\nUNION ALL\n", "\nORDER BY snap_id")
+  }
+
+  // --------------------------------------------------------------- q304
+  /** MASKED-DF ALTERNATION — the round-14 verdict's #6 as a gated
+    * cycle: the masked-df artifact used to be a SINGLE-STATE slot
+    * ([[Round15Queries.ensureBm25MaskedDf]] overwrote one path per
+    * index), so two serving cohorts alternating tombstone sets (A/B
+    * eval masks) thrashed a cold postings-decrement pass on EVERY
+    * switch — the amortization q292 demonstrated held only for a
+    * stable delete set. The artifact is now keyed by tombstone stamp
+    * (`maskeddf/st-<rows>-<content>/`, bounded
+    * [[Round15Queries.MaskedDfMaxStates]] states, oldest-built
+    * evicted, stale-index states GC'd), so each distinct set computes
+    * ONCE and stays warm under any interleaving.
+    *
+    * The gated cycle extends q292's counted-thunk law to alternation:
+    * own lake replica → cold index build → tombstone sets A (the q283
+    * rule) and B (a disjoint residue) → COUNTED ensure A, B, A, B —
+    * exactly TWO computes land (one per distinct set; the old slot
+    * paid four) → the masked serve for A reads A's state through the
+    * validated critical section. Serve rows ≡ q283's (the oracle is
+    * the q244 chain over A's surviving corpus); the compute count and
+    * both sets' sizes ride along as contract constants.
+    *
+    * 100 TB shape: an A/B evaluation's marginal masked-serve bill
+    * drops from (postings pass per switch) to (pruned serve) — the
+    * q292 amortization now holds under alternation, which is how eval
+    * masks are actually used. Bench-excluded: pays a cold index build
+    * + two postings passes per call by construction (the q292
+    * rationale; the serving path is benched as q283).
+    */
+  private[operators] def mdAltLakePath(sfDir: String): String =
+    new java.io.File(s"target/mdaltlake/${PathTag.tagFor(sfDir)}")
+      .getAbsolutePath
+
+  val AltDeleteRemB = 2L
+
+  def q304MaskedDfAlternation(s: SparkSession, dir: String): DataFrame = {
+    val lake = mdAltLakePath(dir)
+    rmrf(new java.io.File(lake))
+    rmrf(new java.io.File(Round15Queries.bm25IndexPath(lake)))
+    Tables.documents(s, dir).select(col("doc_id"), col("text"))
+      .write.mode("overwrite").parquet(s"$lake/documents.parquet")
+    Round15Queries.ensureBm25IndexIncremental(s, lake)
+    val idx = Round15Queries.bm25IndexPath(lake)
+    val dl = s.read.parquet(s"$idx/dl").select(col("doc_id"))
+    val tombsA = dl.filter(col("doc_id") % Round15Queries.Bm25DeleteMod
+      === Round15Queries.Bm25DeleteRem).localCheckpoint()
+    val tombsB = dl.filter(col("doc_id") % Round15Queries.Bm25DeleteMod
+      === AltDeleteRemB).localCheckpoint()
+    var computes = 0L
+    def ensure(t: DataFrame): Unit = Round15Queries.ensureBm25MaskedDf(
+      s, idx, t, onCompute = () => computes += 1L)
+    // the alternation: A, B, A, B — two states, two computes
+    ensure(tombsA); ensure(tombsB); ensure(tombsA); ensure(tombsB)
+    val qt = Round15Queries.multiBm25QueryTableFrom(
+      Round15Queries.readMaskedDf(s, idx, tombsA))
+    Round15Queries.bm25ServeQueriesFromIndexMasked(s, idx, qt,
+        math.round(Round14Queries.Bm25K1 * 1e6),
+        math.round(Round14Queries.Bm25B * 1e6), tombsA)
+      .drop("k1_micro", "b_micro")
+      .withColumn("n_dead_a", lit(tombsA.count()))
+      .withColumn("n_dead_b", lit(tombsB.count()))
+      .withColumn("computes", lit(computes))
+      .orderBy(col("query_id"), col("rk"))
+  }
+
+  /** The q244 chain over A's surviving corpus + the alternation
+    * contract: two distinct sets ⇒ exactly two computes; both sets'
+    * sizes replayed as filtered counts. */
+  val q304Sql: String = {
+    val mod = Round15Queries.Bm25DeleteMod
+    val remA = Round15Queries.Bm25DeleteRem
+    val filtered = Round15Queries.q244Sql.replace("FROM documents)",
+      s"FROM documents WHERE doc_id % $mod <> $remA)")
+    val prefix = filtered.substring(0, filtered.indexOf("best AS ("))
+    s"""${prefix}best AS (
+       |  SELECT query_id, doc_id, bm25, n_terms_hit,
+       |         row_number() OVER (PARTITION BY query_id
+       |                            ORDER BY bm25 DESC, doc_id ASC) AS rk
+       |  FROM scored),
+       |dead AS (
+       |  SELECT CAST(count(*) FILTER (WHERE doc_id % $mod = $remA)
+       |              AS BIGINT) AS n_dead_a,
+       |         CAST(count(*) FILTER (WHERE doc_id % $mod = $AltDeleteRemB)
+       |              AS BIGINT) AS n_dead_b
+       |  FROM documents)
+       |SELECT b.query_id, b.doc_id, b.bm25, b.n_terms_hit,
+       |       CAST(b.rk AS BIGINT) AS rk,
+       |       d.n_dead_a, d.n_dead_b,
+       |       CAST(2 AS BIGINT) AS computes
+       |FROM best b CROSS JOIN dead d
+       |WHERE b.rk <= ${Round15Queries.MultiBm25K}
+       |ORDER BY b.query_id, b.rk""".stripMargin
+  }
+
+  // --------------------------------------------------------------- q305
+  /** AS-OF DATASET CARD — [[Round18Queries.cardBuildAsOf]] gated: a
+    * release's datasheet pinned to snapshot k, reproducible the way
+    * q290 makes its retrieval, across BOTH history shapes:
+    *
+    *   - a PRE-COMPACTION, post-expiry pin (k = 3 here): snapshot 1 is
+    *     expired, so the chain seeds from readAsOf(2) — served from
+    *     RETAINED files (the compaction landed after 3) — and merges
+    *     the 2→3 delta through the card's cursor verb;
+    *   - a POST-COMPACTION pin (k = 4): the compaction between 3 and 4
+    *     breaks the append chain (readDelta's law), which the plan
+    *     detects from manifests alone and seeds one-shot from
+    *     readAsOf(4) — never a wrong merge.
+    *
+    * Both cards must equal q291's one-shot rollup over their exact
+    * historical state (the oracle replays each as WHERE-filtered
+    * aggregates: state 3 = the three ingest slices; state 4 = the
+    * compaction's survivors), with each card's meta stamp and the
+    * chain contract (base id, merge count) riding along.
+    *
+    * 100 TB shape: re-publishing a historical datasheet costs the
+    * pinned state's own volume AT MOST — and only the DELTA intervals'
+    * volumes when the history is append-only (the common case); chain
+    * discovery is manifest TSV reads. Bench-excluded: two full card
+    * builds over an own-replica chronology per call by construction
+    * (the q295 rationale; the one-shot card is benched as q291).
+    */
+  private[operators] def asofCardLakePath(sfDir: String): String =
+    new java.io.File(s"target/asofcardlake/${PathTag.tagFor(sfDir)}")
+      .getAbsolutePath
+
+  def q305AsOfCard(s: SparkSession, dir: String): DataFrame = {
+    val lake = asofCardLakePath(dir)
+    val lakeDocs = s"$lake/documents.parquet"
+    val snaps = s"$lake/snapshots"
+    rmrf(new java.io.File(lake))
+    val docs = Tables.documents(s, dir)
+    docs.filter(col("doc_id") % Round17Queries.IngestMod === 0L)
+      .write.mode("overwrite").parquet(lakeDocs)
+    graft.io.SnapshotStore.record(s, lakeDocs, snaps)
+    (1L to 2L).foreach { k =>
+      docs.filter(col("doc_id") % Round17Queries.IngestMod === k)
+        .write.mode("append").parquet(lakeDocs)
+      graft.io.SnapshotStore.record(s, lakeDocs, snaps)
+    }
+    // the q293 compaction (retention keeps 1–3 readable) → snapshot 4
+    val current = s.read.parquet(lakeDocs)
+    graft.io.SnapshotStore.compactWithRetention(s, lakeDocs, snaps,
+      current.join(current.select(col("doc_id"))
+          .filter(col("doc_id") % Round15Queries.Bm25DeleteMod
+            === Round15Queries.Bm25DeleteRem).localCheckpoint(),
+        Seq("doc_id"), "left_anti"))
+    graft.io.SnapshotStore.record(s, lakeDocs, snaps)
+    // expire snapshot 1: the pre-compaction pin must seed from 2
+    graft.io.SnapshotStore.expireSnapshots(s, snaps, Set(2, 3, 4))
+    def cardAt(k: Int): DataFrame = {
+      var base = 0L; var merges = 0L
+      Round18Queries.cardBuildAsOf(s, snaps, k, s"$lake/card$k",
+        onBase = b => base = b.toLong,
+        onMerge = (_, _) => merges += 1L)
+      Round18Queries.cardServe(s, s"$lake/card$k")
+        .withColumn("asof_id", lit(k.toLong))
+        .withColumn("base_id", lit(base))
+        .withColumn("n_merges", lit(merges))
+    }
+    cardAt(3).unionByName(cardAt(4))
+      .orderBy(col("asof_id"), col("lang"), col("source"))
+  }
+
+  /** Two q291 replays over the WHERE-filtered historical states, each
+    * with its stamp and the chain contract (pre-compaction pin: base
+    * 2 + one merge; post-compaction pin: one-shot base 4). */
+  val q305Sql: String = {
+    val im = Round17Queries.IngestMod
+    val dm = Round15Queries.Bm25DeleteMod
+    val dr = Round15Queries.Bm25DeleteRem
+    def state(asof: Int, where: String, base: Int, merges: Int): String =
+      s"""SELECT v.lang, v.source, v.n_docs, v.n_bytes, v.n_tokens,
+         |       coalesce(vc.n_terms, 0) AS n_terms,
+         |       round(v.n_tokens / CAST(v.n_docs AS DOUBLE), 6)
+         |         AS mean_tokens,
+         |       ps.post_rows, ps.post_content,
+         |       CAST($asof AS BIGINT) AS asof_id,
+         |       CAST($base AS BIGINT) AS base_id,
+         |       CAST($merges AS BIGINT) AS n_merges
+         |FROM (
+         |  SELECT lang, source, CAST(count(*) AS BIGINT) AS n_docs,
+         |         CAST(sum(strlen(text)) AS BIGINT) AS n_bytes,
+         |         CAST(coalesce(sum(len(list_filter(string_split(trim(
+         |                  regexp_replace(lower(text), '(\\d|\\W)+', ' ',
+         |                'g')), ' '), x -> x <> ''))), 0) AS BIGINT)
+         |           AS n_tokens
+         |  FROM documents $where GROUP BY lang, source) v
+         |LEFT JOIN (
+         |  SELECT lang, source,
+         |         CAST(count(DISTINCT term) AS BIGINT) AS n_terms
+         |  FROM (SELECT lang, source, unnest(list_filter(string_split(
+         |          trim(regexp_replace(lower(text), '(\\d|\\W)+', ' ',
+         |          'g')), ' '), x -> x <> '')) AS term
+         |        FROM documents $where)
+         |  GROUP BY lang, source) vc USING (lang, source)
+         |CROSS JOIN (
+         |  SELECT CAST(count(*) AS BIGINT) AS post_rows,
+         |         CAST(coalesce(sum((doc_id * 31 + strlen(text)) % 1048576),
+         |                       0) AS BIGINT) AS post_content
+         |  FROM documents $where) ps""".stripMargin
+    s"""${state(3, s"WHERE doc_id % $im < 3", 2, 1)}
+       |UNION ALL
+       |${state(4, s"WHERE doc_id % $im < 3 AND doc_id % $dm <> $dr", 4, 0)}
+       |ORDER BY asof_id, lang, source""".stripMargin
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q303_age_retention_policy" -> (q303AgeRetentionPolicy _),
+    "q304_maskeddf_alternation" -> (q304MaskedDfAlternation _),
+    "q305_asof_card" -> (q305AsOfCard _))
+
+  val oracles: Map[String, String] = Map(
+    "q303_age_retention_policy" -> q303Sql,
+    "q304_maskeddf_alternation" -> q304Sql,
+    "q305_asof_card" -> q305Sql)
+}

@@ -615,18 +615,23 @@ object UnigramQueries {
         c.budgetMicro == UnigramLm.MaxFertilityMicro &&
         c.curve.map(_._1).sorted == UnigramLm.VocabSweep.sorted)
     warm.getOrElse {
-      val m = train()
-      val curve = UnigramLm.VocabSweep.map { v =>
-        val (num, den) = UnigramLm.fertilityAt(m.wc, m.seed, m.counts, v)
-        (v, num, den)
+      // cross-process fence around the mutating phase only (the
+      // ArtifactClaim doctrine); warm ensures stay claim-free reads
+      graft.io.ArtifactClaim.withClaim(s, path, "vocab train") {
+        val m = train()
+        val curve = UnigramLm.VocabSweep.map { v =>
+          val (num, den) = UnigramLm.fertilityAt(m.wc, m.seed, m.counts, v)
+          (v, num, den)
+        }
+        val chosen = UnigramLm.chooseVocabSize(curve,
+          UnigramLm.MaxFertilityMicro)
+        val c = VocabChoice(dr, dc, UnigramLm.MaxFertilityMicro,
+          curve.sortBy(_._1), chosen)
+        vocabChoiceWrite(s, path, c,
+          UnigramLm.vocabScores(m.seed, m.counts,
+            UnigramLm.prunedVocab(m.seed, m.counts, chosen)))
+        c
       }
-      val chosen = UnigramLm.chooseVocabSize(curve, UnigramLm.MaxFertilityMicro)
-      val c = VocabChoice(dr, dc, UnigramLm.MaxFertilityMicro,
-        curve.sortBy(_._1), chosen)
-      vocabChoiceWrite(s, path, c,
-        UnigramLm.vocabScores(m.seed, m.counts,
-          UnigramLm.prunedVocab(m.seed, m.counts, chosen)))
-      c
     }
     }
 

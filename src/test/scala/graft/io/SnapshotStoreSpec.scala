@@ -314,6 +314,138 @@ class SnapshotStoreSpec extends SparkTestBase {
     SnapshotStore.readAsOf(spark, snaps, 2).collect()
   }
 
+  test("recovery is store-locked: a foreign store.lock blocks standalone recoverCompaction loudly; cleared, recovery completes and releases the lock") {
+    val (lakeDocs, snaps, _) = freshLake("reclock")
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+      .select("doc_id", "text")
+    docs.filter(col("doc_id") % 4 =!= 3).write.parquet(lakeDocs)
+    SnapshotStore.record(spark, lakeDocs, snaps)
+    val asOf1Before = rows(SnapshotStore.readAsOf(spark, snaps, 1))
+    val survivors = spark.read.parquet(lakeDocs)
+      .filter(col("doc_id") % 7 =!= 5).localCheckpoint()
+    intercept[RuntimeException] {
+      SnapshotStore.compactWithRetentionHooked(spark, lakeDocs, snaps,
+        survivors, crashAfterMoves = 1)
+    }
+    // another process's mutating verb (compaction/expiry — whose entry
+    // auto-recovery would roll the same journal forward) holds the
+    // store lock: standalone recovery must NOT interleave the swap
+    val lock = new java.io.File(SnapshotStore.storeLockPath(snaps))
+    assert(lock.createNewFile())
+    val e = intercept[IllegalArgumentException] {
+      SnapshotStore.recoverCompaction(spark, snaps)
+    }
+    assert(e.getMessage.contains("store.lock"), e.getMessage)
+    // the crash window is untouched by the refused verb — the journal
+    // is still there and the operator flow (clear lock, recover) works
+    assert(lock.delete())
+    assert(SnapshotStore.recoverCompaction(spark, snaps))
+    assert(!lock.exists())
+    assert(rows(SnapshotStore.readAsOf(spark, snaps, 1)) === asOf1Before)
+  }
+
+  test("record is fenced by an open crash window: a present compaction journal refuses the record loudly; recovery reopens it") {
+    val (lakeDocs, snaps, _) = freshLake("recwin")
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+      .select("doc_id", "text")
+    docs.filter(col("doc_id") % 4 =!= 3).write.parquet(lakeDocs)
+    SnapshotStore.record(spark, lakeDocs, snaps)
+    val survivors = spark.read.parquet(lakeDocs)
+      .filter(col("doc_id") % 7 =!= 5).localCheckpoint()
+    val survRows = rows(survivors)
+    intercept[RuntimeException] {
+      SnapshotStore.compactWithRetentionHooked(spark, lakeDocs, snaps,
+        survivors, crashAfterMoves = 1)
+    }
+    // inside the window, a record would pin pre-swap files the
+    // roll-forward is about to delete — it must refuse, not brick
+    val e = intercept[IllegalArgumentException] {
+      SnapshotStore.record(spark, lakeDocs, snaps)
+    }
+    assert(e.getMessage.contains("compaction journal"), e.getMessage)
+    assert(SnapshotStore.ids(spark, snaps) === Seq(1))
+    // recovery closes the window; the record then chains on cleanly
+    assert(SnapshotStore.recoverCompaction(spark, snaps))
+    assert(SnapshotStore.record(spark, lakeDocs, snaps) === 2)
+    assert(rows(SnapshotStore.readAsOf(spark, snaps, 2)) === survRows)
+  }
+
+  test("journal hygiene: a plan whose path carries a tab/newline is rejected at plan time, before any rename") {
+    val (_, snaps, tmp) = freshLake("tabpath")
+    val plan = SnapshotStore.CompactionPlan(
+      Seq(SnapshotStore.PlannedMove(s"$tmp/a\tb.parquet", 1L, 2L,
+        s"$tmp/retained/a.parquet")),
+      s"$tmp/docs.compact-tmp", s"$tmp/docs")
+    val e = intercept[RuntimeException] {
+      SnapshotStore.journalWrite(spark, snaps, plan)
+    }
+    assert(e.getMessage.contains("tab"), e.getMessage)
+    // nothing was journaled — the window never opened
+    assert(SnapshotStore.journalRead(spark, snaps).isEmpty)
+  }
+
+  test("hasSnapshot: false exactly for expired/never-recorded ids; an invalidated snapshot still HAS its manifest and reads loud, never quiet-zero") {
+    val (lakeDocs, snaps, _) = freshLake("probe")
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+      .select("doc_id", "text")
+    docs.filter(col("doc_id") % 4 =!= 3).write.parquet(lakeDocs)
+    SnapshotStore.record(spark, lakeDocs, snaps)
+    docs.filter(col("doc_id") % 4 === 3)
+      .write.mode("append").parquet(lakeDocs)
+    SnapshotStore.record(spark, lakeDocs, snaps)
+    assert(SnapshotStore.hasSnapshot(spark, snaps, 1))
+    assert(SnapshotStore.hasSnapshot(spark, snaps, 2))
+    assert(!SnapshotStore.hasSnapshot(spark, snaps, 3))
+    SnapshotStore.expireSnapshots(spark, snaps, keepIds = Set(2))
+    assert(!SnapshotStore.hasSnapshot(spark, snaps, 1), "expired")
+    // an injected rewrite INVALIDATES snapshot 2 without expiring it:
+    // the probe stays true and the read stays loud — the q300 slot
+    // reader composes these so corruption can never masquerade as a
+    // retention decision
+    val one = new java.io.File(lakeDocs).listFiles()
+      .filter(f => f.isFile && !f.getName.startsWith("_")
+        && !f.getName.startsWith(".")).head
+    assert(one.setLastModified(one.lastModified() + 2000L))
+    assert(SnapshotStore.hasSnapshot(spark, snaps, 2))
+    val e = intercept[IllegalArgumentException] {
+      SnapshotStore.readAsOf(spark, snaps, 2)
+    }
+    assert(e.getMessage.contains("invalidated by a rewrite"))
+    // ...and the gated reader itself THROWS on the invalidated slot
+    // while folding the expired one quiet (the round-14 advisory)
+    assert(graft.operators.Round18Queries
+      .snapshotSlotStamp(spark, snaps, 1) === ((0L, 0L, 0L)))
+    intercept[IllegalArgumentException] {
+      graft.operators.Round18Queries.snapshotSlotStamp(spark, snaps, 2)
+    }
+  }
+
+  test("recorded-at stamp: explicit millis read back exactly; default records wall clock; expiry GCs the stamp; a pre-stamp snapshot reads as unknown age") {
+    val (lakeDocs, snaps, _) = freshLake("recat")
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+      .select("doc_id", "text")
+    docs.filter(col("doc_id") % 4 =!= 3).write.parquet(lakeDocs)
+    val before = System.currentTimeMillis()
+    SnapshotStore.record(spark, lakeDocs, snaps) // wall clock
+    val after = System.currentTimeMillis()
+    val at1 = SnapshotStore.recordedAt(spark, snaps, 1)
+    assert(at1.exists(a => a >= before && a <= after), s"$at1")
+    docs.filter(col("doc_id") % 4 === 3)
+      .write.mode("append").parquet(lakeDocs)
+    SnapshotStore.record(spark, lakeDocs, snaps,
+      recordedAtMillis = 86400000L)
+    assert(SnapshotStore.recordedAt(spark, snaps, 2) === Some(86400000L))
+    // a snapshot from a pre-stamp layout: no sidecar → unknown age
+    assert(new java.io.File(
+      SnapshotStore.recordedAtPath(snaps, 1)).delete())
+    assert(SnapshotStore.recordedAt(spark, snaps, 1).isEmpty)
+    // expiry garbage-collects the stamp with the manifest
+    SnapshotStore.expireSnapshots(spark, snaps, keepIds = Set(1))
+    assert(SnapshotStore.recordedAt(spark, snaps, 2).isEmpty)
+    assert(!new java.io.File(
+      SnapshotStore.recordedAtPath(snaps, 2)).exists())
+  }
+
   test("trust boundary: a same-length rewrite (mtime moved) fails as-of reads loudly") {
     val (lakeDocs, snaps, _) = freshLake("mtime")
     val docs = spark.read.parquet(s"$sf0001/documents.parquet")

@@ -689,6 +689,48 @@ class PropertySpec extends SparkTestBase {
     }
   }
 
+  test("chooseSnapshotsToKeepByAge laws: subset, pins kept, age window exact, latest kept, unknown-age kept, monotone in maxAge") {
+    val gen = for {
+      n <- Gen.chooseNum(0, 12)
+      ids <- Gen.pick(n, 1 to 20)
+      maxAge <- Gen.chooseNum(0L, 30L)
+      pinned <- Gen.someOf(1 to 20)
+      // recorded-at in "days" (arbitrary units); ~1 in 4 ids predates
+      // the stamp (unknown age)
+      ages <- Gen.listOfN(20, Gen.option(Gen.chooseNum(0L, 40L)))
+    } yield (ids.toSeq.sorted, maxAge, pinned.toSet, ages)
+    val now = 40L
+    for (seed <- 1L to 120L) {
+      val (ids, maxAge, pinned, ages) = sample(gen, seed)
+      val at: Int => Option[Long] = id => ages(id - 1)
+      val keep = Round19Queries.chooseSnapshotsToKeepByAge(ids, at,
+        now, maxAge, pinned)
+      // only real snapshots are kept
+      assert(keep.subsetOf(ids.toSet))
+      // every pinned EXISTING id survives any window
+      assert(pinned.intersect(ids.toSet).subsetOf(keep))
+      // the age window is exact: in-window iff now - at <= maxAge
+      ids.foreach { id =>
+        at(id) match {
+          case Some(a) if now - a <= maxAge =>
+            assert(keep(id), s"in-window id $id must be kept")
+          case Some(a) =>
+            // over-age: kept only by pin or latest
+            if (!pinned(id) && ids.lastOption.forall(_ != id))
+              assert(!keep(id), s"over-age id $id (at=$a) must expire")
+          case None =>
+            assert(keep(id), s"unknown-age id $id must be kept")
+        }
+      }
+      // the current state always stays readable
+      ids.lastOption.foreach(l => assert(keep(l), "latest kept"))
+      // monotone: a wider age window never drops a snapshot
+      val wider = Round19Queries.chooseSnapshotsToKeepByAge(ids, at,
+        now, maxAge + 1, pinned)
+      assert(keep.subsetOf(wider))
+    }
+  }
+
   test("chooseBucketCount laws: ladder membership, smallest-satisfying, exact boundary, clamps, monotone in vocab, anti-monotone in target") {
     val ladder = Iterator.iterate(32)(_ * 2).takeWhile(_ <= 4096).toSet
     for (seed <- 1L to 200L) {

@@ -494,9 +494,16 @@ class Round15QueriesSpec extends SparkTestBase {
   test("q292 core: persisted masked df ≡ live decrement; warm zero-compute; either stamp component moving recomputes; torn meta recomputes") {
     import org.apache.spark.sql.functions.col
     import spark.implicits._
-    Round15Queries.ensureBm25IndexIncremental(spark, sf0001)
-    val idx = Round15Queries.bm25IndexPath(sf0001)
-    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+    // own corpus replica: the multi-state artifact keeps every prior
+    // run's states warm, so counted-thunk determinism needs isolation
+    // (the shared sf0001 artifact is warmed by sibling suites)
+    val tmp = java.nio.file.Files.createTempDirectory("graft-mdcore")
+      .toFile.getAbsolutePath
+    spark.read.parquet(s"$sf0001/documents.parquet")
+      .write.parquet(s"$tmp/documents.parquet")
+    Round15Queries.ensureBm25IndexIncremental(spark, tmp)
+    val idx = Round15Queries.bm25IndexPath(tmp)
+    val docs = spark.read.parquet(s"$tmp/documents.parquet")
     val tombs = docs.select(col("doc_id"))
       .filter(col("doc_id") % Round15Queries.Bm25DeleteMod
         === Round15Queries.Bm25DeleteRem).localCheckpoint()
@@ -508,7 +515,7 @@ class Round15QueriesSpec extends SparkTestBase {
     ensure(tombs)
     assert(computes === 1)
     // the artifact ≡ the live decrement, bit-exact
-    val art = Round15Queries.readMaskedDf(spark, idx)
+    val art = Round15Queries.readMaskedDf(spark, idx, tombs)
       .collect().map(r => (r.getString(0), r.getLong(1))).toSet
     val live = Round15Queries.bm25MaskedDf(spark, idx, tombs)
       .collect().map(r => (r.getString(0), r.getLong(1))).toSet
@@ -516,28 +523,82 @@ class Round15QueriesSpec extends SparkTestBase {
     // warm: the SAME delete set re-presented computes nothing
     ensure(tombs)
     assert(computes === 1, "warm masked-df ensure must not touch postings")
-    // the TOMBSTONE component: a different delete set recomputes
+    // the TOMBSTONE component: a different delete set computes ITS OWN
+    // state once
     val tombs2 = docs.select(col("doc_id"))
       .filter(col("doc_id") % Round15Queries.Bm25DeleteMod === 2L)
       .localCheckpoint()
     ensure(tombs2)
-    assert(computes === 2, "a delete-set change must recompute")
-    val art2 = Round15Queries.readMaskedDf(spark, idx)
+    assert(computes === 2, "a new delete set must compute its state")
+    val art2 = Round15Queries.readMaskedDf(spark, idx, tombs2)
       .collect().map(r => (r.getString(0), r.getLong(1))).toSet
     assert(art2 === Round15Queries.bm25MaskedDf(spark, idx, tombs2)
       .collect().map(r => (r.getString(0), r.getLong(1))).toSet)
     assert(art2 !== art)
-    // TORN meta (old layout / missing fmt) degrades to recompute
+    // the ALTERNATION law (round-14 verdict #6): switching back to the
+    // first set is WARM — the multi-state layout ended the single-slot
+    // thrash where every A/B switch paid a cold postings pass
+    ensure(tombs)
+    assert(computes === 2, "alternating back must serve the kept state")
+    ensure(tombs2)
+    assert(computes === 2, "both states stay warm under alternation")
+    // TORN state meta (old layout / missing fmt) degrades to recompute
+    // — locate tombs2's state dir via the stamp the layout is keyed by
+    val dirs = new java.io.File(Round15Queries.maskedDfPath(idx))
+      .listFiles().filter(f => f.isDirectory &&
+        f.getName.startsWith("st-")).map(_.getAbsolutePath).toSeq
+    assert(dirs.size === 2, s"expected two states, got $dirs")
+    val n2 = tombs2.count()
+    val sp2 = dirs.find(d => scala.util.Try(spark.read
+        .parquet(s"$d/meta").head().getAs[Long]("tomb_rows") == n2)
+      .getOrElse(false)).get
     Seq((1L, 2L)).toDF("doc_rows", "doc_content")
-      .repartition(1).write.mode("overwrite")
-      .parquet(s"${Round15Queries.maskedDfPath(idx)}/meta")
+      .repartition(1).write.mode("overwrite").parquet(s"$sp2/meta")
     ensure(tombs2)
     assert(computes === 3, "a torn meta must recompute, never serve stale")
+    // ...and the OTHER state was untouched by the recovery
+    ensure(tombs)
+    assert(computes === 3)
     // the INDEX component invalidates through the shared ensure key:
     // meta records the index stamp it decremented from
-    val mm = Round15Queries.maskedDfMetaRead(spark, idx).get
+    val mm = Round15Queries.maskedDfMetaRead(spark, idx, tombs2).get
     val im = Round15Queries.bm25IndexRead(spark, idx).get
     assert((mm.docRows, mm.docContent) === ((im.docRows, im.docContent)))
+  }
+
+  test("masked-df state bound: ensuring past MaskedDfMaxStates evicts the oldest-built state; survivors stay warm; the evicted set recomputes") {
+    import org.apache.spark.sql.functions.col
+    // own corpus replica: this test churns the shared artifact's
+    // states, so isolate it from the other masked-df suites
+    val tmp = java.nio.file.Files.createTempDirectory("graft-mdstates")
+      .toFile.getAbsolutePath
+    spark.read.parquet(s"$sf0001/documents.parquet")
+      .write.parquet(s"$tmp/documents.parquet")
+    Round15Queries.ensureBm25IndexIncremental(spark, tmp)
+    val idx = Round15Queries.bm25IndexPath(tmp)
+    val docs = spark.read.parquet(s"$tmp/documents.parquet")
+    val n = Round15Queries.MaskedDfMaxStates
+    var computes = 0
+    def tombsOf(k: Long) = docs.select(col("doc_id"))
+      .filter(col("doc_id") % (k + 7L) === 0L).localCheckpoint()
+    def ensure(k: Long): Unit = Round15Queries.ensureBm25MaskedDf(
+      spark, idx, tombsOf(k), onCompute = () => computes += 1)
+    (1L to n.toLong).foreach(ensure)
+    assert(computes === n)
+    def stateDirs() = new java.io.File(Round15Queries.maskedDfPath(idx))
+      .listFiles().count(f => f.isDirectory && f.getName.startsWith("st-"))
+    assert(stateDirs() === n)
+    // one past the bound: the OLDEST-built (set 1) is evicted
+    ensure(n + 1L)
+    assert(computes === n + 1)
+    assert(stateDirs() === n, "the bound must hold after eviction")
+    // survivors stay warm
+    (2L to n + 1L).foreach(ensure)
+    assert(computes === n + 1, "surviving states must stay warm")
+    // the evicted set recomputes (and evicts the now-oldest, set 2)
+    ensure(1L)
+    assert(computes === n + 2)
+    assert(stateDirs() === n)
   }
 
   test("auto-bucketed index: chosen count = the ladder rule over the real vocabulary; serve ≡ the default-dial index bit-for-bit; warm zero-build") {
