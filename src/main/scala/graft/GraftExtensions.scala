@@ -142,6 +142,15 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // completed on the SERVING side: the index must pre-exist (loud at
     // plan time), the masked df rides the validated critical section
     e.injectTableFunction((
+      FunctionIdentifier("graft_card"),
+      new ExpressionInfo(graft.plans.SnapshotTvf.getClass.getName,
+        "graft_card"),
+      (exprs: Seq[Expression]) => {
+        arity(exprs, 1, "graft_card(card_path)")
+        graft.plans.SnapshotTvf.cardServePlan(
+          litString(exprs(0), "graft_card card path"))
+      }))
+    e.injectTableFunction((
       FunctionIdentifier("graft_bm25_masked"),
       new ExpressionInfo(graft.plans.SnapshotTvf.getClass.getName,
         "graft_bm25_masked"),

@@ -382,11 +382,17 @@ object AnnQueries {
 
   private val ivfBuilt = scala.collection.mutable.HashSet.empty[String]
 
-  /** Idempotent offline index build for `dir`; returns the index path. */
+  /** Idempotent offline index build for `dir`; returns the index path.
+    * The memo is per-JVM, so every new process rebuilds — the build is
+    * cross-process fenced ([[graft.io.ArtifactClaim]]): two JVMs
+    * cold-building the same index collide loudly, never interleave
+    * the overwrite. */
   def prepareIvf(s: SparkSession, dir: String): String = ivfBuilt.synchronized {
     val idx = ivfIndexPath(dir)
     if (!ivfBuilt.contains(idx)) {
-      Ann.ivfBuild(emb(s, dir), idx, IvfClusters)
+      graft.io.ArtifactClaim.withClaim(s, idx, "ivf build") {
+        Ann.ivfBuild(emb(s, dir), idx, IvfClusters)
+      }
       ivfBuilt.add(idx)
     }
     idx
@@ -459,11 +465,14 @@ object AnnQueries {
 
   private val pqBuilt = scala.collection.mutable.HashSet.empty[String]
 
-  /** Idempotent offline PQ build for `dir`; returns the index path. */
+  /** Idempotent offline PQ build for `dir`; returns the index path.
+    * Cross-process fenced like [[prepareIvf]]. */
   def preparePq(s: SparkSession, dir: String): String = pqBuilt.synchronized {
     val idx = pqIndexPath(dir)
     if (!pqBuilt.contains(idx)) {
-      Ann.pqBuild(emb(s, dir), idx, PqM, PqCodes)
+      graft.io.ArtifactClaim.withClaim(s, idx, "pq build") {
+        Ann.pqBuild(emb(s, dir), idx, PqM, PqCodes)
+      }
       pqBuilt.add(idx)
     }
     idx
@@ -915,11 +924,14 @@ object AnnQueries {
 
   private val ivfPqBuilt = scala.collection.mutable.HashSet.empty[String]
 
-  /** Idempotent offline IVF-PQ build for `dir`; returns the index path. */
+  /** Idempotent offline IVF-PQ build for `dir`; returns the index
+    * path. Cross-process fenced like [[prepareIvf]]. */
   def prepareIvfPq(s: SparkSession, dir: String): String = ivfPqBuilt.synchronized {
     val idx = ivfPqIndexPath(dir)
     if (!ivfPqBuilt.contains(idx)) {
-      Ann.ivfPqBuild(emb(s, dir), idx, IvfPqClusters, PqM, PqCodes)
+      graft.io.ArtifactClaim.withClaim(s, idx, "ivfpq build") {
+        Ann.ivfPqBuild(emb(s, dir), idx, IvfPqClusters, PqM, PqCodes)
+      }
       ivfPqBuilt.add(idx)
     }
     idx
@@ -1163,10 +1175,14 @@ object AnnQueries {
     ivfPqAppendBuilt.synchronized {
       val idx = ivfPqAppendIndexPath(dir)
       if (!ivfPqAppendBuilt.contains(idx)) {
-        val all = emb(s, dir)
-        Ann.ivfPqBuild(all.filter(col("vec_id") % IvfPqAppendMod =!= 3),
-          idx, IvfPqClusters, PqM, PqCodes)
-        Ann.ivfPqAppend(all.filter(col("vec_id") % IvfPqAppendMod === 3), idx)
+        // base build + append under ONE claim: a second process must
+        // never observe (or interleave) the half-appended state
+        graft.io.ArtifactClaim.withClaim(s, idx, "ivfpq build+append") {
+          val all = emb(s, dir)
+          Ann.ivfPqBuild(all.filter(col("vec_id") % IvfPqAppendMod =!= 3),
+            idx, IvfPqClusters, PqM, PqCodes)
+          Ann.ivfPqAppend(all.filter(col("vec_id") % IvfPqAppendMod === 3), idx)
+        }
         ivfPqAppendBuilt.add(idx)
       }
       idx
@@ -1241,8 +1257,12 @@ object AnnQueries {
     ivfPqCompacted.synchronized {
       val idx = ivfPqCompactIndexPath(dir)
       if (!ivfPqCompacted.contains(idx)) {
-        Ann.ivfPqCompact(prepareIvfPqAppend(s, dir), idx,
-          ivfPqTombstones(s, dir))
+        // the SOURCE index is prepared before the claim on the
+        // destination (its own prepare holds its own claim)
+        val src = prepareIvfPqAppend(s, dir)
+        graft.io.ArtifactClaim.withClaim(s, idx, "ivfpq compact") {
+          Ann.ivfPqCompact(src, idx, ivfPqTombstones(s, dir))
+        }
         ivfPqCompacted.add(idx)
       }
       idx

@@ -348,13 +348,61 @@ object Round19Queries {
        |ORDER BY asof_id, lang, source""".stripMargin
   }
 
+  // --------------------------------------------------------------- q306
+  /** SQL CARD SERVE — `graft_card('<path>')` gated: the dataset card
+    * becomes a PERSISTED, WARM-SERVED artifact for the main corpus
+    * (until now cards lived only inside the cycle queries' own lake
+    * replicas, and q291 re-tokenized the corpus on every read) plus a
+    * plain-SQL surface, extending the q46/q296/q302 TVF convention to
+    * the datasheet. [[ensureCorpusCard]] is the q281 index-ensure
+    * discipline applied to the card: warm = the sidecar corpus stamp
+    * (metadata-scale) against the card's meta — the build tokenize is
+    * paid once per corpus state; the TVF resolves at analysis through
+    * [[graft.operators.Round18Queries.cardServe]], so the torn/legacy
+    * refusals fire at PLAN time and a SQL read never tokenizes.
+    * Oracle = the q295 replay (the one-shot q291 card + the corpus
+    * stamp). Benched: the warm path is a stamp check + strata-scale
+    * artifact reads — the production card-read cost, which q291's
+    * recompute twin upper-bounds.
+    */
+  private[graft] def corpusCardPath(sfDir: String): String =
+    new java.io.File(s"target/card/${PathTag.tagFor(sfDir)}")
+      .getAbsolutePath
+
+  /** Ensure the shared corpus card is warm for `dir` — warmth from
+    * the CACHED sidecar stamp (a file listing + TSV read; the q281
+    * convention), so a warm call never touches the text column. */
+  def ensureCorpusCard(s: SparkSession, dir: String): String = {
+    val path = corpusCardPath(dir)
+    EnsureLock.withLock(path) {
+      val (r, c) = ChoiceStore.documentsStampCachedFor(s, dir)
+      val warm = Round18Queries.cardState(s, path) == Round18Queries.CardOk &&
+        Round18Queries.cardMetaRead(s, path).contains((r, c))
+      if (!warm)
+        Round18Queries.cardWrite(s, path, Tables.documents(s, dir)
+          .select(col("doc_id"), col("lang"), col("source"), col("text")))
+    }
+    path
+  }
+
+  def q306SqlCard(s: SparkSession, dir: String): DataFrame = {
+    val path = ensureCorpusCard(s, dir)
+    s.sql(s"SELECT * FROM graft_card('$path') ORDER BY lang, source")
+  }
+
+  /** The q295 oracle verbatim: the one-shot q291 card over the full
+    * corpus plus its stamp — exactly what the persisted card serves. */
+  val q306Sql: String = Round18Queries.q295Sql
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q303_age_retention_policy" -> (q303AgeRetentionPolicy _),
     "q304_maskeddf_alternation" -> (q304MaskedDfAlternation _),
-    "q305_asof_card" -> (q305AsOfCard _))
+    "q305_asof_card" -> (q305AsOfCard _),
+    "q306_sql_card" -> (q306SqlCard _))
 
   val oracles: Map[String, String] = Map(
     "q303_age_retention_policy" -> q303Sql,
     "q304_maskeddf_alternation" -> q304Sql,
-    "q305_asof_card" -> q305Sql)
+    "q305_asof_card" -> q305Sql,
+    "q306_sql_card" -> q306Sql)
 }

@@ -54,6 +54,21 @@ object SnapshotTvf {
     *     to the workload's buckets, df from the masked artifact, dl +
     *     the 1-row stats — zero corpus text reads.
     */
+  /** `graft_card('<card path>')` — the persisted dataset card served
+    * as a TABLE-VALUED function: a plain SQL user reads the release
+    * datasheet (per-(lang, source) volumes, vocabulary size, mean
+    * tokens, the corpus stamp it describes) as a relation. Resolution
+    * happens at ANALYSIS, so the card's crash/format discipline
+    * carries over unchanged and fires at PLAN time: a TORN card
+    * (crashed merge — possibly half-applied volume sums) and a
+    * LEGACY-layout card each refuse loudly with their own message; a
+    * SQL read never tokenizes a corpus (the card must be ensured
+    * offline — [[graft.operators.Round19Queries.ensureCorpusCard]]).
+    */
+  def cardServePlan(cardPath: String): LogicalPlan =
+    graft.operators.Round18Queries.cardServe(SparkSession.active, cardPath)
+      .queryExecution.analyzed
+
   def maskedServePlan(lakeDir: String, mod: Int, rem: Int): LogicalPlan = {
     require(mod > 0 && rem >= 0 && rem < mod,
       s"graft_bm25_masked: need 0 <= rem < mod, got (mod=$mod, rem=$rem)")

@@ -114,6 +114,29 @@ class ArtifactClaimSpec extends SparkTestBase {
     assert(Round18Queries.cardServe(spark, card).collect().nonEmpty)
   }
 
+  test("ANN index: the per-JVM prepare's cold build is claim-fenced; the retry after clearing builds and probes") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-claim-ann")
+      .toFile.getAbsolutePath
+    spark.read.parquet(s"$sf0001/embeddings.parquet")
+      .write.parquet(s"$tmp/embeddings.parquet")
+    // the prepare memo is per-JVM and keyed by index path — a fresh
+    // corpus dir guarantees the cold branch; the foreign claim must
+    // block it BEFORE any overwrite starts
+    val idx = new java.io.File(
+      s"target/ivf-index/${PathTag.tagFor(tmp)}").getAbsolutePath
+    val claim = foreignClaim(idx)
+    val e = intercept[IllegalArgumentException] {
+      AnnQueries.prepareIvf(spark, tmp)
+    }
+    assert(e.getMessage.contains(".lock"), e.getMessage)
+    assert(!new java.io.File(s"$idx/centroids").exists(),
+      "the refused build must not have started writing")
+    assert(claim.delete())
+    assert(AnnQueries.prepareIvf(spark, tmp) === idx)
+    assert(new java.io.File(s"$idx/centroids").exists())
+    assert(!claim.exists())
+  }
+
   test("choice artifacts: the cold sweep is claim-fenced and the refusal leaves no artifact behind") {
     val dir = freshCorpus("claim-choice")
     val path = Round15Queries.bm25ChoicePath(dir)

@@ -245,6 +245,47 @@ class Round18QueriesSpec extends SparkTestBase {
     assert(e.getMessage.contains("expired"), e.getMessage)
   }
 
+  test("graft_card TVF: SQL serve ≡ cardServe byte-exact; torn/legacy refuse at PLAN time; literal/arity boundaries") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-cardtvf")
+      .toFile.getAbsolutePath
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+      .select("doc_id", "lang", "source", "text").localCheckpoint()
+    val card = s"$tmp/card"
+    Round18Queries.cardWrite(spark, card, docs)
+    assert(rows(spark.sql(s"SELECT * FROM graft_card('$card')"))
+      === rows(Round18Queries.cardServe(spark, card)))
+    // composes with plain SQL over the relation
+    val n = spark.sql(
+      s"SELECT sum(n_docs) FROM graft_card('$card')").head().getLong(0)
+    assert(n === docs.count())
+    // boundary errors: arity, non-literal path
+    val e1 = intercept[Exception] {
+      spark.sql("SELECT * FROM graft_card()").collect()
+    }
+    assert(e1.getMessage.contains("1 argument"), e1.getMessage)
+    val e2 = intercept[Exception] {
+      spark.sql(s"SELECT * FROM graft_card(concat('$card', ''))").collect()
+    }
+    assert(e2.getMessage.contains("literal"), e2.getMessage)
+    // the crash discipline fires at PLAN time through SQL: a torn
+    // card (crashed merge) refuses before any scan starts
+    intercept[Exception] {
+      Round18Queries.cardAppendBatch(spark, card,
+        docs.filter(col("doc_id") % 5 === 0), crashBeforeMeta = true)
+    }
+    val e3 = intercept[Exception] {
+      spark.sql(s"SELECT * FROM graft_card('$card')").collect()
+    }
+    assert(e3.getMessage.contains("TORN"), e3.getMessage)
+    // ...and a legacy layout gets its own refusal, not a phantom crash
+    Round18Queries.cardEnsure(spark, card, docs) // heal
+    assert(new java.io.File(Round18Queries.cardLedgerPath(card)).delete())
+    val e4 = intercept[Exception] {
+      spark.sql(s"SELECT * FROM graft_card('$card')").collect()
+    }
+    assert(e4.getMessage.contains("LEGACY"), e4.getMessage)
+  }
+
   test("cardEnsure: stale stamp (corpus moved) rebuilds; fresh card is warm") {
     val tmp = java.nio.file.Files.createTempDirectory("graft-cardstale")
       .toFile.getAbsolutePath
