@@ -53,7 +53,10 @@ import org.apache.spark.sql.SparkSession
   * benched as q283 and the alternation contract is the sf0.01 gate's
   * counted-thunk law; q305's as-of card pays two full card builds
   * over an own-replica chronology per call — the one-shot card is
-  * benched as q291 and chain discovery is manifest TSV reads) — same
+  * benched as q291 and chain discovery is manifest TSV reads; q307's
+  * card ingest cycle pays a cold card build + a batch merge over its
+  * own replica per call by construction — the warm serve is benched
+  * as q306 and the marginal merge is the CardProbe measurement) — same
   * quadratic-output class),
   * queries that are strict
   * prefixes/aggregations/SQL-surface twins of included ones (q6, q11,

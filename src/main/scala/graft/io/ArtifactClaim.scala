@@ -41,9 +41,11 @@ object ArtifactClaim {
     if (parent != null && !fs.exists(parent)) fs.mkdirs(parent)
     require(SnapshotStore.atomicClaim(fs, p),
       s"ArtifactClaim: $what at $artifactPath is blocked — another " +
-        s"writer process holds $p (or a crashed one left it). Verify " +
-        "no other writer is live, delete the claim file, and retry; " +
-        "the interrupted build will re-ensure cleanly.")
+        s"writer process holds $p${SnapshotStore.holderStamp(fs, p)} " +
+        "(or a crashed one left it). Verify no other writer is live, " +
+        "delete the claim file, and retry; the interrupted build will " +
+        "re-ensure cleanly.")
+    SnapshotStore.writeHolderStamp(fs, p)
     try body finally { fs.delete(p, false); () }
   }
 }

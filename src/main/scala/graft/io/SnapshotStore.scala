@@ -103,6 +103,31 @@ object SnapshotStore {
       }
   }
 
+  /** Advisory holder stamp written INTO a freshly claimed lock/claim
+    * file (after the O_EXCL create — the create is the fence, the
+    * content is operator affordance): pid@host + wall-clock, so a
+    * blocked writer's error can say WHO holds the file and SINCE WHEN
+    * instead of leaving the staleness call blind. */
+  private[graft] def writeHolderStamp(fs: FileSystem, p: Path): Unit =
+    try {
+      val out = fs.create(p, true)
+      try out.write((java.lang.ProcessHandle.current.pid().toString +
+        "@" + java.net.InetAddress.getLocalHost.getHostName +
+        " since " + java.time.Instant.now().toString)
+        .getBytes("UTF-8"))
+      finally out.close()
+    } catch { case _: Throwable => () } // advisory only — never fail a claim
+
+  /** The holder stamp of an existing lock/claim file, for error text.
+    * Unreadable/empty reads as unknown — the fence still holds. */
+  private[graft] def holderStamp(fs: FileSystem, p: Path): String =
+    scala.util.Try {
+      val in = fs.open(p)
+      val s = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+        finally in.close()
+      if (s.nonEmpty) s" [held by $s]" else ""
+    }.getOrElse("")
+
   private[graft] def claimPath(snapDir: String, id: Int): String =
     s"$snapDir/$id.claim"
 
@@ -126,9 +151,11 @@ object SnapshotStore {
     val lock = new Path(storeLockPath(snapDir))
     require(atomicClaim(fs, lock),
       s"SnapshotStore: $what at $snapDir is blocked — another writer " +
-        s"process holds $lock (or a crashed one left it). Verify no " +
-        "other writer is live, delete the lock file, and retry; if a " +
-        "compaction journal is present, run recoverCompaction next.")
+        s"process holds $lock${holderStamp(fs, lock)} (or a crashed " +
+        "one left it). Verify no other writer is live, delete the " +
+        "lock file, and retry; if a compaction journal is present, " +
+        "run recoverCompaction next.")
+    writeHolderStamp(fs, lock)
     try body finally { fs.delete(lock, false); () }
   }
 
@@ -190,9 +217,10 @@ object SnapshotStore {
       val claim = new Path(claimPath(snapDir, id))
       require(atomicClaim(fs, claim),
         s"SnapshotStore: snapshot id $id at $snapDir is already claimed " +
-          s"($claim exists) — a concurrent writer process, or the residue " +
-          "of a crashed one. Verify no other writer is live, delete the " +
-          "claim file, and retry.")
+          s"($claim exists${holderStamp(fs, claim)}) — a concurrent " +
+          "writer process, or the residue of a crashed one. Verify no " +
+          "other writer is live, delete the claim file, and retry.")
+      writeHolderStamp(fs, claim)
       try {
         val files = StampSidecar.listDataFiles(spark, dataDir)
         StampSidecar.write(spark, manifestPath(snapDir, id),

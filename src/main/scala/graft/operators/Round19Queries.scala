@@ -371,19 +371,13 @@ object Round19Queries {
 
   /** Ensure the shared corpus card is warm for `dir` — warmth from
     * the CACHED sidecar stamp (a file listing + TSV read; the q281
-    * convention), so a warm call never touches the text column. */
-  def ensureCorpusCard(s: SparkSession, dir: String): String = {
-    val path = corpusCardPath(dir)
-    EnsureLock.withLock(path) {
-      val (r, c) = ChoiceStore.documentsStampCachedFor(s, dir)
-      val warm = Round18Queries.cardState(s, path) == Round18Queries.CardOk &&
-        Round18Queries.cardMetaRead(s, path).contains((r, c))
-      if (!warm)
-        Round18Queries.cardWrite(s, path, Tables.documents(s, dir)
-          .select(col("doc_id"), col("lang"), col("source"), col("text")))
-    }
-    path
-  }
+    * convention), so a warm call never touches the text column.
+    * Routes through the INCREMENTAL ensure (q307): a corpus that grew
+    * by appended files since the last build pays only a batch-sized
+    * merge, never a full re-tokenize — the prepareBm25Index
+    * convention. */
+  def ensureCorpusCard(s: SparkSession, dir: String): String =
+    ensureCorpusCardIncremental(s, dir)
 
   def q306SqlCard(s: SparkSession, dir: String): DataFrame = {
     val path = ensureCorpusCard(s, dir)
@@ -394,15 +388,180 @@ object Round19Queries {
     * corpus plus its stamp — exactly what the persisted card serves. */
   val q306Sql: String = Round18Queries.q295Sql
 
+
+  // --------------------------------------------------------------- q307
+  /** CARD INGEST CYCLE — the q282 maintenance-plan discipline applied
+    * to the PERSISTED corpus card: [[ensureCorpusCard]] rebuilds (a
+    * full corpus tokenize) on ANY stamp move, but a lake ingest is an
+    * append of NEW FILES — the card's volume sums and vocab union are
+    * exactly mergeable (the q295 theorem), so the ensure can pay a
+    * BATCH tokenize instead. [[cardMaintenancePlan]] is
+    * [[Round15Queries.indexMaintenancePlan]]'s card twin — a pure
+    * rule over file metadata:
+    *   (a) the per-file ledger's Σ (rows, content) must equal the
+    *       card's meta stamp (a crashed append fails this and forces
+    *       a rebuild — composing with the card's OWN ledger↔meta
+    *       Σ-tie, which already refuses torn merges);
+    *   (b) every ledgered file must still be present with its
+    *       recorded (len, mtime) — the StampSidecar trust boundary;
+    *   (c) at least one never-seen file exists (the batch).
+    * Append = tokenize ONLY the new files → [[Round18Queries
+    * .cardAppendBatch]] (the file ledger advances FIRST, so a crash
+    * inside the merge leaves Σ ledger ≠ meta ⇒ rule (a) rebuilds —
+    * never a double-add).
+    *
+    * The gated cycle (own lake replica, the q280/q282 convention):
+    * seed → COUNTED ensure (cold build) → warm re-ensure (zero verbs)
+    * → ingest lands as new files → COUNTED ensure (append, NOT
+    * rebuild) → the served card ≡ q291's one-shot card over the grown
+    * corpus (the oracle), verb counts as contract constants.
+    *
+    * 100 TB shape: republishing the card after an ingest costs the
+    * batch tokenize + a strata-scale sum merge + touched-bucket vocab
+    * union — the lake's text is re-read ONLY for never-carded files;
+    * the decision is a file listing + two tiny TSV reads.
+    */
+  private[graft] def cardFilesLedgerPath(path: String): String =
+    s"$path/files.tsv"
+
+  sealed trait CardPlan
+  case object CardRebuild extends CardPlan
+  final case class CardAppend(newFiles: Seq[String]) extends CardPlan
+
+  /** Pure append-or-rebuild decision for the card — no Spark, no I/O
+    * (unit-testable like the index twin). `state` must be the card's
+    * [[Round18Queries.cardState]]; anything but OK rebuilds. */
+  private[graft] def cardMaintenancePlan(
+      ledger: Seq[graft.io.StampSidecar.FileStamp],
+      current: Seq[(String, Long, Long)],
+      meta: Option[(Long, Long)], stateOk: Boolean): CardPlan =
+    meta match {
+      case _ if !stateOk => CardRebuild
+      case None => CardRebuild
+      case Some((mr, mc)) =>
+        if (ledger.isEmpty || ledger.map(_.rows).sum != mr ||
+            ledger.map(_.content).sum != mc) CardRebuild
+        else {
+          val cur = current.map(f => f._1 -> f).toMap
+          val intact = ledger.forall(e => cur.get(e.path)
+            .exists(c => c._2 == e.len && c._3 == e.mtime))
+          val seen = ledger.map(_.path).toSet
+          val newFiles =
+            current.collect { case (p, _, _) if !seen.contains(p) => p }
+          if (intact && newFiles.nonEmpty) CardAppend(newFiles)
+          else CardRebuild
+        }
+    }
+
+  /** [[ensureCorpusCard]] with the INCREMENTAL path: warm → nothing;
+    * stamp moved by a pure file append onto an intact ledger →
+    * batch-tokenize merge; anything else → rebuild. `onBuild`/
+    * `onAppend` observe the verb (counted-thunk). */
+  def ensureCorpusCardIncremental(s: SparkSession, dir: String,
+      onBuild: () => Unit = () => (),
+      onAppend: Seq[String] => Unit = _ => ()): String = {
+    val path = corpusCardPath(dir)
+    EnsureLock.withLock(path) {
+      val (r, c) = ChoiceStore.documentsStampCachedFor(s, dir)
+      val stateOk = Round18Queries.cardState(s, path) == Round18Queries.CardOk
+      val warm = stateOk &&
+        Round18Queries.cardMetaRead(s, path).contains((r, c))
+      if (!warm) {
+        val current = graft.io.StampSidecar.listDataFiles(s,
+          s"$dir/documents.parquet")
+        // per-file partials come free: documentsStampCachedFor just
+        // refreshed the corpus sidecar for exactly these files
+        val perFile = graft.io.StampSidecar.read(s,
+          ChoiceStore.docStampSidecarFor(dir))
+        val ledgerNow = current.map { case (p, len, mt) =>
+          val pf = perFile.get(p)
+          graft.io.StampSidecar.FileStamp(p, len, mt,
+            pf.map(_.rows).getOrElse(0L), pf.map(_.content).getOrElse(0L))
+        }
+        cardMaintenancePlan(
+            graft.io.StampSidecar.read(s, cardFilesLedgerPath(path))
+              .values.toSeq,
+            current, Round18Queries.cardMetaRead(s, path), stateOk) match {
+          case CardAppend(nf) =>
+            onAppend(nf)
+            // file ledger FIRST: a crash inside the merge leaves
+            // Σ files.tsv ≠ meta ⇒ rule (a) rebuilds, never re-adds
+            graft.io.StampSidecar.write(s, cardFilesLedgerPath(path),
+              ledgerNow)
+            Round18Queries.cardAppendBatch(s, path,
+              s.read.parquet(nf: _*)
+                .select(col("doc_id"), col("lang"), col("source"),
+                  col("text")))
+          case CardRebuild =>
+            onBuild()
+            graft.io.StampSidecar.write(s, cardFilesLedgerPath(path),
+              ledgerNow)
+            Round18Queries.cardWrite(s, path, Tables.documents(s, dir)
+              .select(col("doc_id"), col("lang"), col("source"),
+                col("text")))
+        }
+      }
+    }
+    path
+  }
+
+  private[operators] def ciLakePath(sfDir: String): String =
+    new java.io.File(s"target/cilake/${PathTag.tagFor(sfDir)}")
+      .getAbsolutePath
+
+  def q307CardIngestCycle(s: SparkSession, dir: String): DataFrame = {
+    val lake = ciLakePath(dir)
+    rmrf(new java.io.File(lake))
+    rmrf(new java.io.File(corpusCardPath(lake)))
+    val docs = Tables.documents(s, dir)
+      .select(col("doc_id"), col("lang"), col("source"), col("text"))
+    docs.filter(col("doc_id") % Round17Queries.IngestMod
+        =!= Round17Queries.IngestRem)
+      .write.mode("overwrite").parquet(s"$lake/documents.parquet")
+    var builds = 0L; var appends = 0L
+    def ensure(): Unit = { ensureCorpusCardIncremental(s, lake,
+      onBuild = () => builds += 1L, onAppend = _ => appends += 1L); () }
+    ensure() // cold build
+    ensure() // warm — provably no verb
+    val coldB = builds; val coldA = appends
+    docs.filter(col("doc_id") % Round17Queries.IngestMod
+        === Round17Queries.IngestRem)
+      .write.mode("append").parquet(s"$lake/documents.parquet")
+    ensure() // the ingest appends, never rebuilds
+    Round18Queries.cardServe(s, corpusCardPath(lake))
+      .withColumn("builds", lit(builds))
+      .withColumn("appends", lit(appends))
+      .withColumn("cold_builds", lit(coldB))
+      .withColumn("cold_appends", lit(coldA))
+      .orderBy(col("lang"), col("source"))
+  }
+
+  /** The q295 oracle (one-shot card over the full corpus + stamp) +
+    * the cycle contract: one build, one append, warm zero. */
+  val q307Sql: String = {
+    val spliced = Round18Queries.q295Sql.replace(
+      "ps.post_rows, ps.post_content",
+      "ps.post_rows, ps.post_content,\n" +
+        "       CAST(1 AS BIGINT) AS builds,\n" +
+        "       CAST(1 AS BIGINT) AS appends,\n" +
+        "       CAST(1 AS BIGINT) AS cold_builds,\n" +
+        "       CAST(0 AS BIGINT) AS cold_appends")
+    require(spliced != Round18Queries.q295Sql,
+      "q307Sql: the q295 oracle template moved — update the splice")
+    spliced
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q303_age_retention_policy" -> (q303AgeRetentionPolicy _),
     "q304_maskeddf_alternation" -> (q304MaskedDfAlternation _),
     "q305_asof_card" -> (q305AsOfCard _),
-    "q306_sql_card" -> (q306SqlCard _))
+    "q306_sql_card" -> (q306SqlCard _),
+    "q307_card_ingest_cycle" -> (q307CardIngestCycle _))
 
   val oracles: Map[String, String] = Map(
     "q303_age_retention_policy" -> q303Sql,
     "q304_maskeddf_alternation" -> q304Sql,
     "q305_asof_card" -> q305Sql,
-    "q306_sql_card" -> q306Sql)
+    "q306_sql_card" -> q306Sql,
+    "q307_card_ingest_cycle" -> q307Sql)
 }

@@ -141,11 +141,16 @@ class ArtifactClaimSpec extends SparkTestBase {
     val dir = freshCorpus("claim-choice")
     val path = Round15Queries.bm25ChoicePath(dir)
     val claim = foreignClaim(path)
+    // a stamped foreign claim names its holder in the refusal — the
+    // operator affordance for the manual staleness call
+    java.nio.file.Files.write(claim.toPath,
+      "4242@otherhost since 2026-01-01T00:00:00Z".getBytes("UTF-8"))
     val e = intercept[IllegalArgumentException] {
       Round15Queries.ensureBm25ParamsChoice(spark, dir,
         () => fail("the refused ensure must not start the sweep"))
     }
     assert(e.getMessage.contains(".lock"), e.getMessage)
+    assert(e.getMessage.contains("held by 4242@otherhost"), e.getMessage)
     assert(claim.delete())
     // retry: the sweep runs once, the artifact lands, the claim is gone
     val c = Round15Queries.ensureBm25ParamsChoice(spark, dir,

@@ -855,6 +855,19 @@ class PropertySpec extends SparkTestBase {
       else
         assert(plan === Round15Queries.RebuildAll,
           s"seed=$seed tied=$tied intact=$intact nNew=$nNew")
+      // the CARD twin obeys the identical matrix (q307 —
+      // cardMaintenancePlan shares rules (a)/(b)/(c) with the index
+      // plan; stateOk=false must force a rebuild regardless)
+      val cardPlan = Round19Queries.cardMaintenancePlan(ledger, current,
+        meta.map(m => (m.docRows, m.docContent)), stateOk = true)
+      if (tied && intact && nNew > 0)
+        assert(cardPlan === Round19Queries.CardAppend(newFiles))
+      else
+        assert(cardPlan === Round19Queries.CardRebuild,
+          s"card seed=$seed tied=$tied intact=$intact nNew=$nNew")
+      assert(Round19Queries.cardMaintenancePlan(ledger, current,
+        meta.map(m => (m.docRows, m.docContent)), stateOk = false)
+        === Round19Queries.CardRebuild, "a torn/legacy card never appends")
     }
   }
 }
