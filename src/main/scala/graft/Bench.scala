@@ -56,7 +56,10 @@ import org.apache.spark.sql.SparkSession
   * benched as q291 and chain discovery is manifest TSV reads; q307's
   * card ingest cycle pays a cold card build + a batch merge over its
   * own replica per call by construction — the warm serve is benched
-  * as q306 and the marginal merge is the CardProbe measurement) — same
+  * as q306 and the marginal merge is the CardProbe measurement;
+  * q308's drift report pays TWO as-of card builds over an own-replica
+  * chronology per call — the q305 rationale; the drift verb itself is
+  * card-artifact reads in q306's serve class) — same
   * quadratic-output class),
   * queries that are strict
   * prefixes/aggregations/SQL-surface twins of included ones (q6, q11,

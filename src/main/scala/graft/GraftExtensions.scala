@@ -151,6 +151,16 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           litString(exprs(0), "graft_card card path"))
       }))
     e.injectTableFunction((
+      FunctionIdentifier("graft_card_drift"),
+      new ExpressionInfo(graft.plans.SnapshotTvf.getClass.getName,
+        "graft_card_drift"),
+      (exprs: Seq[Expression]) => {
+        arity(exprs, 2, "graft_card_drift(card_a_path, card_b_path)")
+        graft.plans.SnapshotTvf.cardDriftPlan(
+          litString(exprs(0), "graft_card_drift card A path"),
+          litString(exprs(1), "graft_card_drift card B path"))
+      }))
+    e.injectTableFunction((
       FunctionIdentifier("graft_bm25_masked"),
       new ExpressionInfo(graft.plans.SnapshotTvf.getClass.getName,
         "graft_bm25_masked"),

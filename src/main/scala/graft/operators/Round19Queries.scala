@@ -551,17 +551,242 @@ object Round19Queries {
     spliced
   }
 
+  // --------------------------------------------------------------- q308
+  /** RELEASE DRIFT REPORT — the datasheet question every corpus
+    * release cycle asks: WHAT CHANGED between release A and release B?
+    * q305 made the card reproducible at a point in time; this
+    * composes two as-of cards into a per-stratum drift relation —
+    * document/byte/token/term deltas, the vocabulary's new and
+    * vanished terms, and a status verdict per (lang, source) stratum
+    * ('new' / 'vanished' / 'grown' / 'shrunk' / 'flat' by document
+    * count). [[cardDrift]] is the reusable verb: it reads ONLY the
+    * two persisted card artifacts (strata-scale volume tables + the
+    * bucketed vocab), so diffing two 100 TB releases costs card reads
+    * — the lakes' text is never touched; the heavy lifting was paid
+    * once per release by the card builds, and the torn/legacy
+    * refusals ride in through [[Round18Queries.cardServe]].
+    *
+    * The gated chronology (own lake replica): seed (A's state) →
+    * snapshot 1 → ingest → snapshot 2 → compaction applying the
+    * standing delete set → snapshot 3. Release A = card-as-of(1),
+    * release B = card-as-of(3) — so the drift sees both growth (the
+    * ingest) and shrinkage (the deletes) in one report. The oracle
+    * replays both corpus states from the literal chronology rules,
+    * recomputes every stratum aggregate, the two vocabulary
+    * anti-joins, and the CASE verdicts. Bounded-collect class:
+    * strata-sized. Bench-excluded (two as-of card builds over an own
+    * replica per call by construction — the q305 rationale; the verb
+    * itself is card-artifact reads, benched via q306's serve class).
+    */
+  private[operators] def driftLakePath(sfDir: String): String =
+    new java.io.File(s"target/driftlake/${PathTag.tagFor(sfDir)}")
+      .getAbsolutePath
+
+  /** Diff two SERVED cards into the per-stratum drift relation.
+    * Artifact-only: volume tables full-outer-joined on the stratum
+    * key, vocab anti-joined both ways for new/vanished terms; the
+    * status verdict compares RAW (pre-coalesce) presence so an empty
+    * stratum is 'new'/'vanished', never a zero-delta 'flat'. */
+  private[graft] def cardDrift(s: SparkSession, aPath: String,
+      bPath: String): DataFrame = {
+    def side(path: String, p: String): DataFrame =
+      Round18Queries.cardServe(s, path)
+        .select(col("lang"), col("source"),
+          col("n_docs").as(s"${p}_docs"),
+          col("n_bytes").as(s"${p}_bytes"),
+          col("n_tokens").as(s"${p}_tokens"),
+          col("n_terms").as(s"${p}_terms"))
+    def vocab(path: String): DataFrame =
+      s.read.parquet(s"$path/vocab")
+        .select(col("lang"), col("source"), col("term"))
+    val key = Seq("lang", "source")
+    val newTerms = vocab(bPath).join(vocab(aPath), key :+ "term", "left_anti")
+      .groupBy(col("lang"), col("source"))
+      .agg(count(lit(1)).as("new_terms"))
+    val goneTerms = vocab(aPath).join(vocab(bPath), key :+ "term", "left_anti")
+      .groupBy(col("lang"), col("source"))
+      .agg(count(lit(1)).as("gone_terms"))
+    side(aPath, "a").join(side(bPath, "b"), key, "full_outer")
+      .join(newTerms, key, "left_outer")
+      .join(goneTerms, key, "left_outer")
+      .select(col("lang"), col("source"),
+        coalesce(col("a_docs"), lit(0L)).as("a_docs"),
+        coalesce(col("b_docs"), lit(0L)).as("b_docs"),
+        (coalesce(col("b_docs"), lit(0L))
+          - coalesce(col("a_docs"), lit(0L))).as("d_docs"),
+        (coalesce(col("b_bytes"), lit(0L))
+          - coalesce(col("a_bytes"), lit(0L))).as("d_bytes"),
+        (coalesce(col("b_tokens"), lit(0L))
+          - coalesce(col("a_tokens"), lit(0L))).as("d_tokens"),
+        (coalesce(col("b_terms"), lit(0L))
+          - coalesce(col("a_terms"), lit(0L))).as("d_terms"),
+        coalesce(col("new_terms"), lit(0L)).as("new_terms"),
+        coalesce(col("gone_terms"), lit(0L)).as("gone_terms"),
+        when(col("a_docs").isNull, lit("new"))
+          .when(col("b_docs").isNull, lit("vanished"))
+          .when(col("b_docs") > col("a_docs"), lit("grown"))
+          .when(col("b_docs") < col("a_docs"), lit("shrunk"))
+          .otherwise(lit("flat")).as("status"))
+  }
+
+  def q308CardDrift(s: SparkSession, dir: String): DataFrame = {
+    val lake = driftLakePath(dir)
+    val lakeDocs = s"$lake/documents.parquet"
+    val snaps = s"$lake/snapshots"
+    rmrf(new java.io.File(lake))
+    val docs = Tables.documents(s, dir)
+    docs.filter(col("doc_id") % Round17Queries.IngestMod < 2L)
+      .write.mode("overwrite").parquet(lakeDocs)
+    graft.io.SnapshotStore.record(s, lakeDocs, snaps) // 1 = release A
+    docs.filter(col("doc_id") % Round17Queries.IngestMod === 2L)
+      .write.mode("append").parquet(lakeDocs)
+    graft.io.SnapshotStore.record(s, lakeDocs, snaps) // 2
+    val current = s.read.parquet(lakeDocs)
+    graft.io.SnapshotStore.compactWithRetention(s, lakeDocs, snaps,
+      current.join(current.select(col("doc_id"))
+          .filter(col("doc_id") % Round15Queries.Bm25DeleteMod
+            === Round15Queries.Bm25DeleteRem).localCheckpoint(),
+        Seq("doc_id"), "left_anti"))
+    graft.io.SnapshotStore.record(s, lakeDocs, snaps) // 3 = release B
+    Round18Queries.cardBuildAsOf(s, snaps, 1, s"$lake/cardA")
+    Round18Queries.cardBuildAsOf(s, snaps, 3, s"$lake/cardB")
+    cardDrift(s, s"$lake/cardA", s"$lake/cardB")
+      .orderBy(col("lang"), col("source"))
+  }
+
+  /** Shared drift-oracle builder: the drift relation over two
+    * WHERE-defined corpus states — every stratum aggregate, the two
+    * vocabulary anti-joins, and the CASE verdicts recomputed by
+    * DuckDB from the raw documents. q308 instantiates it with the
+    * chronology's literal rules; q309 with the TVF gate's two card
+    * corpora. */
+  private def driftSql(whereA: String, whereB: String): String = {
+    val tok = """list_filter(string_split(trim(regexp_replace(
+                |    lower(text), '(\d|\W)+', ' ', 'g')), ' '),
+                |    x -> x <> '')""".stripMargin
+    def state(tag: String, where: String): String =
+      s"""toks$tag AS (
+         |  SELECT lang, source, text, $tok AS toks
+         |  FROM documents $where),
+         |vols$tag AS (
+         |  SELECT lang, source, CAST(count(*) AS BIGINT) AS n_docs,
+         |         CAST(sum(strlen(text)) AS BIGINT) AS n_bytes,
+         |         CAST(coalesce(sum(len(toks)), 0) AS BIGINT) AS n_tokens
+         |  FROM toks$tag GROUP BY lang, source),
+         |terms$tag AS (
+         |  SELECT DISTINCT lang, source, term
+         |  FROM (SELECT lang, source, unnest(toks) AS term FROM toks$tag)),
+         |vc$tag AS (
+         |  SELECT lang, source, CAST(count(*) AS BIGINT) AS n_terms
+         |  FROM terms$tag GROUP BY lang, source)""".stripMargin
+    s"""WITH ${state("a", whereA)},
+       |${state("b", whereB)},
+       |sidea AS (SELECT v.lang, v.source, v.n_docs, v.n_bytes,
+       |    v.n_tokens, coalesce(vc.n_terms, 0) AS n_terms
+       |  FROM volsa v LEFT JOIN vca vc USING (lang, source)),
+       |sideb AS (SELECT v.lang, v.source, v.n_docs, v.n_bytes,
+       |    v.n_tokens, coalesce(vc.n_terms, 0) AS n_terms
+       |  FROM volsb v LEFT JOIN vcb vc USING (lang, source)),
+       |newt AS (SELECT b.lang, b.source,
+       |    CAST(count(*) AS BIGINT) AS new_terms
+       |  FROM termsb b LEFT JOIN termsa a
+       |    ON a.lang = b.lang AND a.source = b.source AND a.term = b.term
+       |  WHERE a.term IS NULL GROUP BY b.lang, b.source),
+       |gonet AS (SELECT a.lang, a.source,
+       |    CAST(count(*) AS BIGINT) AS gone_terms
+       |  FROM termsa a LEFT JOIN termsb b
+       |    ON a.lang = b.lang AND a.source = b.source AND a.term = b.term
+       |  WHERE b.term IS NULL GROUP BY a.lang, a.source)
+       |SELECT coalesce(a.lang, b.lang) AS lang,
+       |       coalesce(a.source, b.source) AS source,
+       |       CAST(coalesce(a.n_docs, 0) AS BIGINT) AS a_docs,
+       |       CAST(coalesce(b.n_docs, 0) AS BIGINT) AS b_docs,
+       |       CAST(coalesce(b.n_docs, 0) - coalesce(a.n_docs, 0)
+       |            AS BIGINT) AS d_docs,
+       |       CAST(coalesce(b.n_bytes, 0) - coalesce(a.n_bytes, 0)
+       |            AS BIGINT) AS d_bytes,
+       |       CAST(coalesce(b.n_tokens, 0) - coalesce(a.n_tokens, 0)
+       |            AS BIGINT) AS d_tokens,
+       |       CAST(coalesce(b.n_terms, 0) - coalesce(a.n_terms, 0)
+       |            AS BIGINT) AS d_terms,
+       |       CAST(coalesce(n.new_terms, 0) AS BIGINT) AS new_terms,
+       |       CAST(coalesce(g.gone_terms, 0) AS BIGINT) AS gone_terms,
+       |       CASE WHEN a.n_docs IS NULL THEN 'new'
+       |            WHEN b.n_docs IS NULL THEN 'vanished'
+       |            WHEN b.n_docs > a.n_docs THEN 'grown'
+       |            WHEN b.n_docs < a.n_docs THEN 'shrunk'
+       |            ELSE 'flat' END AS status
+       |FROM sidea a FULL OUTER JOIN sideb b
+       |  ON a.lang = b.lang AND a.source = b.source
+       |LEFT JOIN newt n ON n.lang = coalesce(a.lang, b.lang)
+       |  AND n.source = coalesce(a.source, b.source)
+       |LEFT JOIN gonet g ON g.lang = coalesce(a.lang, b.lang)
+       |  AND g.source = coalesce(a.source, b.source)
+       |ORDER BY lang, source""".stripMargin
+  }
+
+  /** Replays both release states from the chronology's literal rules
+    * and recomputes the full drift relation. */
+  val q308Sql: String = {
+    val im = Round17Queries.IngestMod
+    val dm = Round15Queries.Bm25DeleteMod
+    val dr = Round15Queries.Bm25DeleteRem
+    driftSql(s"WHERE doc_id % $im < 2",
+      s"WHERE doc_id % $im < 3 AND doc_id % $dm <> $dr")
+  }
+
+  // --------------------------------------------------------------- q309
+  /** SQL DRIFT — [[cardDrift]] reached from ONE SQL text through the
+    * `graft_card_drift('<card A>', '<card B>')` TVF
+    * ([[graft.plans.SnapshotTvf.cardDriftPlan]], registered by
+    * [[graft.GraftExtensions]]): the release engineer's "what changed
+    * between these two releases" is a plain SQL relation — per-stratum
+    * deltas, vocabulary drift, status verdicts — over two persisted
+    * card artifacts, with both cards' torn/legacy refusals firing at
+    * PLAN time. The gate builds two cards chronology-free (release A
+    * = a half corpus, release B = the full corpus — the TVF's subject
+    * is the SQL plumbing; the status matrix and the snapshot-composed
+    * chronology are q308's gate) and reads the drift from
+    * `spark.sql`; the oracle replays both card corpora through the
+    * shared drift builder. Bench-excluded: two cold card builds over
+    * card corpora per call by construction (the q308 rationale — the
+    * TVF read itself is q306's card-serve class).
+    */
+  private[operators] def sqlDriftLakePath(sfDir: String): String =
+    new java.io.File(s"target/sqldrift/${PathTag.tagFor(sfDir)}")
+      .getAbsolutePath
+
+  def q309SqlDrift(s: SparkSession, dir: String): DataFrame = {
+    val lake = sqlDriftLakePath(dir)
+    rmrf(new java.io.File(lake))
+    val docs = Tables.documents(s, dir)
+      .select(col("doc_id"), col("lang"), col("source"), col("text"))
+    Round18Queries.cardEnsure(s, s"$lake/cardA",
+      docs.filter(col("doc_id") % Round17Queries.IngestMod < 2L))
+    Round18Queries.cardEnsure(s, s"$lake/cardB", docs)
+    s.sql(s"SELECT * FROM graft_card_drift('$lake/cardA', " +
+      s"'$lake/cardB') ORDER BY lang, source")
+  }
+
+  /** The shared drift builder over the gate's two card corpora. */
+  val q309Sql: String =
+    driftSql(s"WHERE doc_id % ${Round17Queries.IngestMod} < 2", "")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q303_age_retention_policy" -> (q303AgeRetentionPolicy _),
     "q304_maskeddf_alternation" -> (q304MaskedDfAlternation _),
     "q305_asof_card" -> (q305AsOfCard _),
     "q306_sql_card" -> (q306SqlCard _),
-    "q307_card_ingest_cycle" -> (q307CardIngestCycle _))
+    "q307_card_ingest_cycle" -> (q307CardIngestCycle _),
+    "q308_card_drift" -> (q308CardDrift _),
+    "q309_sql_drift" -> (q309SqlDrift _))
 
   val oracles: Map[String, String] = Map(
     "q303_age_retention_policy" -> q303Sql,
     "q304_maskeddf_alternation" -> q304Sql,
     "q305_asof_card" -> q305Sql,
     "q306_sql_card" -> q306Sql,
-    "q307_card_ingest_cycle" -> q307Sql)
+    "q307_card_ingest_cycle" -> q307Sql,
+    "q308_card_drift" -> q308Sql,
+    "q309_sql_drift" -> q309Sql)
 }

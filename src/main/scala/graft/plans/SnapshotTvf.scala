@@ -69,6 +69,21 @@ object SnapshotTvf {
     graft.operators.Round18Queries.cardServe(SparkSession.active, cardPath)
       .queryExecution.analyzed
 
+  /** `graft_card_drift('<card A>', '<card B>')` — the release drift
+    * report ([[graft.operators.Round19Queries.cardDrift]], q308's
+    * verb) as a TABLE-VALUED function: per-(lang, source) document/
+    * byte/token/term deltas, new and vanished vocabulary, and the
+    * status verdict, between any two persisted cards — from one SQL
+    * text. Artifact-only by construction (volume tables + bucketed
+    * vocab reads; the lakes' text is never touched), so diffing two
+    * releases from SQL costs card reads. Both cards resolve through
+    * [[cardServePlan]]'s discipline at ANALYSIS: a torn or legacy
+    * card on EITHER side refuses loudly at plan time. */
+  def cardDriftPlan(aPath: String, bPath: String): LogicalPlan =
+    graft.operators.Round19Queries.cardDrift(SparkSession.active,
+        aPath, bPath)
+      .queryExecution.analyzed
+
   def maskedServePlan(lakeDir: String, mod: Int, rem: Int): LogicalPlan = {
     require(mod > 0 && rem >= 0 && rem < mod,
       s"graft_bm25_masked: need 0 <= rem < mod, got (mod=$mod, rem=$rem)")

@@ -92,4 +92,67 @@ class Round19QueriesSpec extends SparkTestBase {
     assert(rows(Round18Queries.cardServe(spark, card))
       === rows(Round18Queries.cardServe(spark, oneShot)))
   }
+
+  test("cardDrift: the full status matrix — new/vanished strata come from raw presence, deltas and term drift from the card tables") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft-carddrift")
+      .toFile.getAbsolutePath
+    // release A: four strata
+    val a = Seq(
+      (1L, "en", "s1", "alpha beta"), (2L, "en", "s1", "beta gamma"),
+      (3L, "en", "s2", "same text here"),
+      (4L, "fr", "s3", "rouge vert"), (5L, "fr", "s3", "bleu"),
+      (6L, "de", "s4", "eins")
+    ).toDF("doc_id", "lang", "source", "text")
+    // release B: s1 grows (+1 doc, new term), s2 flat, s3 shrinks
+    // (terms vanish), s4 vanishes, s5 is new
+    val b = Seq(
+      (1L, "en", "s1", "alpha beta"), (2L, "en", "s1", "beta gamma"),
+      (7L, "en", "s1", "delta"),
+      (3L, "en", "s2", "same text here"),
+      (4L, "fr", "s3", "rouge"),
+      (8L, "es", "s5", "hola mundo")
+    ).toDF("doc_id", "lang", "source", "text")
+    Round18Queries.cardEnsure(spark, s"$tmp/cardA", a)
+    Round18Queries.cardEnsure(spark, s"$tmp/cardB", b)
+    val drift = Round19Queries.cardDrift(spark, s"$tmp/cardA",
+        s"$tmp/cardB")
+      .select("lang", "source", "a_docs", "b_docs", "d_docs",
+        "new_terms", "gone_terms", "status")
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5),
+          r.getLong(6), r.getString(7)))).toMap
+    assert(drift(("en", "s1")) === ((2L, 3L, 1L, 1L, 0L, "grown")))
+    assert(drift(("en", "s2")) === ((1L, 1L, 0L, 0L, 0L, "flat")))
+    assert(drift(("fr", "s3")) === ((2L, 1L, -1L, 0L, 2L, "shrunk")))
+    assert(drift(("de", "s4")) === ((1L, 0L, -1L, 0L, 1L, "vanished")))
+    assert(drift(("es", "s5")) === ((0L, 1L, 1L, 2L, 0L, "new")))
+    assert(drift.size === 5)
+    // the TVF is the verb, byte-exact, from one SQL text — and both
+    // cards' plan-time discipline rides in (literal/arity boundaries)
+    assert(spark.sql(s"SELECT * FROM graft_card_drift('$tmp/cardA', " +
+        s"'$tmp/cardB')").collect().map(_.toSeq).toSet
+      === Round19Queries.cardDrift(spark, s"$tmp/cardA", s"$tmp/cardB")
+        .collect().map(_.toSeq).toSet)
+    val e1 = intercept[Exception] {
+      spark.sql(s"SELECT * FROM graft_card_drift('$tmp/cardA')").collect()
+    }
+    assert(e1.getMessage.contains("2 argument"), e1.getMessage)
+    val e2 = intercept[Exception] {
+      spark.sql(s"SELECT * FROM graft_card_drift('$tmp/cardA', " +
+        s"concat('$tmp/cardB', ''))").collect()
+    }
+    assert(e2.getMessage.contains("literal"), e2.getMessage)
+    // a torn card on the B side refuses at PLAN time through SQL
+    intercept[Exception] {
+      Round18Queries.cardAppendBatch(spark, s"$tmp/cardB",
+        Seq((99L, "en", "s1", "boom")).toDF("doc_id", "lang", "source",
+          "text"), crashBeforeMeta = true)
+    }
+    val e3 = intercept[Exception] {
+      spark.sql(s"SELECT * FROM graft_card_drift('$tmp/cardA', " +
+        s"'$tmp/cardB')").collect()
+    }
+    assert(e3.getMessage.contains("TORN"), e3.getMessage)
+  }
 }

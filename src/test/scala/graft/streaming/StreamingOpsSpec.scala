@@ -1482,4 +1482,51 @@ class StreamingOpsSpec extends SparkTestBase {
     }
     assert(e.getMessage.contains("spans a rewrite"))
   }
+
+  test("streaming card append across uneven micro-batches equals the one-shot card; a stream never starts on a torn card") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import graft.operators.Round18Queries
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+      .select("doc_id", "lang", "source", "text")
+    val tmp = java.nio.file.Files.createTempDirectory("graft-cardstream")
+      .toFile.getAbsolutePath
+    val cardA = s"$tmp/a" // base built offline, grown by the stream
+    val cardB = s"$tmp/b" // the one-shot full-state reference
+    Round18Queries.cardEnsure(spark, cardA,
+      docs.filter($"doc_id" % 4 =!= 3))
+    val newRows = docs.filter($"doc_id" % 4 === 3).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2),
+        r.getString(3))).toSeq
+    val input = MemoryStream[(Long, String, String, String)]
+    val q = StreamingOps.streamingCardAppend(spark,
+      input.toDF.toDF("doc_id", "lang", "source", "text"), cardA)
+    // three uneven micro-batches, merged against the live artifact
+    Seq(newRows.take(5), newRows.slice(5, 60), newRows.drop(60))
+      .filter(_.nonEmpty)
+      .foreach { g => input.addData(g.toIndexedSeq: _*)
+        q.processAllAvailable() }
+    q.stop()
+    Round18Queries.cardEnsure(spark, cardB, docs)
+    // the served relation (volumes + vocab counts + meta stamp) is
+    // row-equal to the one-shot card over the grown corpus — exact
+    // integer sums and set unions make any micro-batch split converge
+    def serve(p: String) = Round18Queries.cardServe(spark, p)
+      .collect().map(_.toSeq).toSet
+    assert(serve(cardA) === serve(cardB))
+    // a torn card refuses the STREAM START, not the first merge: the
+    // crash discipline surfaces before any batch is accepted
+    val torn = s"$tmp/torn"
+    Round18Queries.cardEnsure(spark, torn,
+      docs.filter($"doc_id" % 4 === 0))
+    intercept[RuntimeException] {
+      Round18Queries.cardAppendBatch(spark, torn,
+        docs.filter($"doc_id" % 4 === 1), crashBeforeMeta = true)
+    }
+    val e = intercept[RuntimeException] {
+      StreamingOps.streamingCardAppend(spark,
+        input.toDF.toDF("doc_id", "lang", "source", "text"), torn)
+    }
+    assert(e.getMessage.contains("build offline first"), e.getMessage)
+  }
 }
