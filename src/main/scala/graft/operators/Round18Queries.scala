@@ -501,6 +501,15 @@ object Round18Queries {
   private[graft] def cardWrite(s: SparkSession, path: String,
       docs: DataFrame, nBucketsOverride: Option[Int] = None): Unit =
     graft.io.ArtifactClaim.withClaim(s, path, "card build") {
+      cardWriteBody(s, path, docs, nBucketsOverride)
+    }
+
+  /** [[cardWrite]] WITHOUT the claim — for callers that already hold
+    * the artifact's claim across a larger critical section (the
+    * incremental ensure's plan+verb pair; claims are O_EXCL files,
+    * not reentrant). Never call without the claim held. */
+  private[graft] def cardWriteBody(s: SparkSession, path: String,
+      docs: DataFrame, nBucketsOverride: Option[Int] = None): Unit = {
       val d = docs.select(col("doc_id"), col("lang"), col("source"),
         col("text"))
       val (r, c) = ChoiceStore.documentsStamp(
@@ -534,6 +543,16 @@ object Round18Queries {
   private[graft] def cardAppendBatch(s: SparkSession, path: String,
       batch: DataFrame, crashBeforeMeta: Boolean = false): Unit =
     graft.io.ArtifactClaim.withClaim(s, path, "card merge") {
+      cardAppendBatchBody(s, path, batch, crashBeforeMeta)
+    }
+
+  /** [[cardAppendBatch]] WITHOUT the claim — for callers already
+    * holding it across plan+verb (the incremental ensure). Never call
+    * without the claim held: the merge reads the card's CURRENT meta
+    * as its base, so a merge racing another writer's commit would
+    * re-add a batch the other already merged. */
+  private[graft] def cardAppendBatchBody(s: SparkSession, path: String,
+      batch: DataFrame, crashBeforeMeta: Boolean = false): Unit = {
     val b = batch.select(col("doc_id"), col("lang"), col("source"),
       col("text")).localCheckpoint()
     val (br, bc) = ChoiceStore.documentsStamp(

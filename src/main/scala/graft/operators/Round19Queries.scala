@@ -463,10 +463,21 @@ object Round19Queries {
     val path = corpusCardPath(dir)
     EnsureLock.withLock(path) {
       val (r, c) = ChoiceStore.documentsStampCachedFor(s, dir)
-      val stateOk = Round18Queries.cardState(s, path) == Round18Queries.CardOk
-      val warm = stateOk &&
+      val warm = Round18Queries.cardState(s, path) == Round18Queries.CardOk &&
         Round18Queries.cardMetaRead(s, path).contains((r, c))
-      if (!warm) {
+      // the maintenance PLAN and the verb it picks both run under ONE
+      // cross-process claim (the index-ensure discipline): a second
+      // JVM planning over this one's pre-merge state would otherwise
+      // pass its own append plan, then re-add the batch the winner
+      // already merged — cardAppendBatchBody reads the card's CURRENT
+      // meta as its base, so the plan must still describe that state
+      // when the merge runs. The refusal is loud and writes NOTHING
+      // (the file ledger advances only inside the claim); the
+      // refused process re-ensures warm once the winner lands.
+      if (!warm) graft.io.ArtifactClaim.withClaim(s, path,
+          "card maintenance") {
+        val stateOk = Round18Queries.cardState(s, path) ==
+          Round18Queries.CardOk
         val current = graft.io.StampSidecar.listDataFiles(s,
           s"$dir/documents.parquet")
         // per-file partials come free: documentsStampCachedFor just
@@ -488,7 +499,7 @@ object Round19Queries {
             // Σ files.tsv ≠ meta ⇒ rule (a) rebuilds, never re-adds
             graft.io.StampSidecar.write(s, cardFilesLedgerPath(path),
               ledgerNow)
-            Round18Queries.cardAppendBatch(s, path,
+            Round18Queries.cardAppendBatchBody(s, path,
               s.read.parquet(nf: _*)
                 .select(col("doc_id"), col("lang"), col("source"),
                   col("text")))
@@ -496,7 +507,7 @@ object Round19Queries {
             onBuild()
             graft.io.StampSidecar.write(s, cardFilesLedgerPath(path),
               ledgerNow)
-            Round18Queries.cardWrite(s, path, Tables.documents(s, dir)
+            Round18Queries.cardWriteBody(s, path, Tables.documents(s, dir)
               .select(col("doc_id"), col("lang"), col("source"),
                 col("text")))
         }

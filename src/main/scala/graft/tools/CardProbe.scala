@@ -63,9 +63,17 @@ object CardProbe {
     }
     val merge64 = mergeAt(64L)
     val merge8 = mergeAt(8L)
+    // the drift report (q308) is ARTIFACT-ONLY by claim: diffing the
+    // 1/16 card against the full card must bill card reads (strata
+    // volumes + bucketed vocab anti-joins), never corpus text — the
+    // in-run yardstick is rebuild_s, which DOES pay the tokenize
+    val drift = time {
+      graft.operators.Round19Queries.cardDrift(spark, s"$root/warm",
+        s"$root/full").collect()
+    }
     println(s"""{"probe":"card_merge","sf":"$dir",""" +
       s""""rebuild_s":$rebuild,"merge64_s":$merge64,""" +
-      s""""merge8_s":$merge8}""")
+      s""""merge8_s":$merge8,"drift_s":$drift}""")
     spark.stop()
   }
 }

@@ -114,6 +114,51 @@ class ArtifactClaimSpec extends SparkTestBase {
     assert(Round18Queries.cardServe(spark, card).collect().nonEmpty)
   }
 
+  test("incremental card ensure: plan AND verb share ONE claim — a foreign claim refuses the APPEND path before the file ledger advances") {
+    val dir = freshCorpus("claim-cardinc")
+    // replace the replica with a half corpus, cold-ensure, then land
+    // an ingest as new files → the ensure's next plan is CardAppend
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"), col("lang"), col("source"), col("text"))
+      .localCheckpoint()
+    docs.filter(col("doc_id") % 3 =!= 0).write.mode("overwrite")
+      .parquet(s"$dir/documents.parquet")
+    val card = Round19Queries.ensureCorpusCardIncremental(spark, dir)
+    docs.filter(col("doc_id") % 3 === 0).write.mode("append")
+      .parquet(s"$dir/documents.parquet")
+    val ledgerBefore = java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(Round19Queries.cardFilesLedgerPath(card)))
+    val claim = foreignClaim(card)
+    val e = intercept[IllegalArgumentException] {
+      Round19Queries.ensureCorpusCardIncremental(spark, dir,
+        onBuild = () => fail("refused ensure must not build"),
+        onAppend = _ => fail("refused ensure must not merge"))
+    }
+    assert(e.getMessage.contains(".lock"), e.getMessage)
+    // the refusal wrote NOTHING: the file ledger still describes the
+    // pre-ingest state (a half-advanced ledger would turn the retry's
+    // append into a rebuild), and the card is not torn
+    assert(java.util.Arrays.equals(ledgerBefore,
+      java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(
+        Round19Queries.cardFilesLedgerPath(card)))),
+      "a refused ensure must not advance the files ledger")
+    assert(!Round18Queries.cardTorn(spark, card))
+    assert(claim.delete())
+    // the retry still sees the append-shaped plan and merges the batch
+    var builds = 0; var appends = 0
+    Round19Queries.ensureCorpusCardIncremental(spark, dir,
+      onBuild = () => builds += 1, onAppend = _ => appends += 1)
+    assert((builds, appends) === ((0, 1)),
+      "the retry must APPEND — the refusal preserved the plan's state")
+    val oneShot = s"$dir/oneshot"
+    Round18Queries.cardWrite(spark, oneShot,
+      spark.read.parquet(s"$dir/documents.parquet")
+        .select(col("doc_id"), col("lang"), col("source"), col("text")))
+    assert(Round18Queries.cardServe(spark, card).collect().map(_.toSeq).toSet
+      === Round18Queries.cardServe(spark, oneShot).collect()
+        .map(_.toSeq).toSet)
+  }
+
   test("ANN index: the per-JVM prepare's cold build is claim-fenced; the retry after clearing builds and probes") {
     val tmp = java.nio.file.Files.createTempDirectory("graft-claim-ann")
       .toFile.getAbsolutePath
