@@ -1105,6 +1105,42 @@ object StreamingOps {
     * corpus (the append contract). A torn or legacy card refuses
     * loudly at the first merge — the stream surfaces the artifact's
     * own crash discipline, never launders it. */
+  /** LIVE DRIFT MONITOR — [[streamingCardAppend]] composed with the
+    * release drift report ([[graft.operators.Round19Queries.cardDrift]],
+    * q308's verb): the stream maintains the LIVE card, and after every
+    * micro-batch `emit` receives the current drift of the live corpus
+    * against a pinned REFERENCE card (a release's datasheet — e.g. an
+    * as-of card from `cardBuildAsOf`). The operator's question is the
+    * release engineer's standing one: HOW FAR has the corpus drifted
+    * since release k — per-stratum volume deltas, vocabulary growth,
+    * new/vanished strata — answered continuously, at card-read cost
+    * per batch (the drift never touches corpus text; the batch
+    * tokenize is the append's, paid once). The reference card is
+    * never written; the live card carries the merge discipline
+    * (Σ-tie, torn refusal at stream start via the append twin).
+    * Stream ≡ batch: after the last batch, the emitted drift equals
+    * [[graft.operators.Round19Queries.cardDrift]] of the reference
+    * against a one-shot card over the grown corpus — the
+    * StreamingOpsSpec law, through the append twin's convergence. */
+  def streamingCardDriftMonitor(s: SparkSession, docs: DataFrame,
+      liveCardPath: String, refCardPath: String)(emit: DataFrame => Unit)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    if (graft.operators.Round18Queries.cardState(s, liveCardPath) !=
+        graft.operators.Round18Queries.CardOk)
+      sys.error("streamingCardDriftMonitor: no healthy live card at " +
+        s"$liveCardPath — build offline first (cardEnsure)")
+    docs.writeStream.outputMode("append")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty) {
+          graft.operators.Round18Queries.cardAppendBatch(
+            s, liveCardPath, batch)
+          emit(graft.operators.Round19Queries.cardDrift(
+            s, refCardPath, liveCardPath))
+        }
+      }
+      .start()
+  }
+
   def streamingCardAppend(s: SparkSession, docs: DataFrame,
       cardPath: String): org.apache.spark.sql.streaming.StreamingQuery = {
     if (graft.operators.Round18Queries.cardState(s, cardPath) !=

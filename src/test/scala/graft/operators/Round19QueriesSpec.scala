@@ -155,4 +155,42 @@ class Round19QueriesSpec extends SparkTestBase {
     }
     assert(e3.getMessage.contains("TORN"), e3.getMessage)
   }
+
+  test("cardDrift duality laws: drift(A,A) is the all-flat zero report; drift(B,A) mirrors drift(A,B) exactly") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-driftdual")
+      .toFile.getAbsolutePath
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+      .select("doc_id", "lang", "source", "text").localCheckpoint()
+    Round18Queries.cardEnsure(spark, s"$tmp/a",
+      docs.filter(col("doc_id") % 4 < 2))
+    Round18Queries.cardEnsure(spark, s"$tmp/b", docs)
+    // identity: a release diffed against itself reports nothing
+    Round19Queries.cardDrift(spark, s"$tmp/a", s"$tmp/a")
+      .collect().foreach { r =>
+        assert(r.getAs[String]("status") === "flat", r)
+        for (c <- Seq("d_docs", "d_bytes", "d_tokens", "d_terms",
+            "new_terms", "gone_terms"))
+          assert(r.getAs[Long](c) === 0L, s"$c in $r")
+      }
+    // duality: swapping the releases negates every delta, swaps
+    // new↔gone terms and new↔vanished / grown↔shrunk verdicts
+    val fwd = Round19Queries.cardDrift(spark, s"$tmp/a", s"$tmp/b")
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r).toMap
+    val bwd = Round19Queries.cardDrift(spark, s"$tmp/b", s"$tmp/a")
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r).toMap
+    assert(fwd.keySet === bwd.keySet)
+    val mirror = Map("new" -> "vanished", "vanished" -> "new",
+      "grown" -> "shrunk", "shrunk" -> "grown", "flat" -> "flat")
+    fwd.foreach { case (k, f) =>
+      val b = bwd(k)
+      assert(b.getAs[Long]("a_docs") === f.getAs[Long]("b_docs"), k)
+      assert(b.getAs[Long]("b_docs") === f.getAs[Long]("a_docs"), k)
+      for (c <- Seq("d_docs", "d_bytes", "d_tokens", "d_terms"))
+        assert(b.getAs[Long](c) === -f.getAs[Long](c), s"$c at $k")
+      assert(b.getAs[Long]("new_terms") === f.getAs[Long]("gone_terms"), k)
+      assert(b.getAs[Long]("gone_terms") === f.getAs[Long]("new_terms"), k)
+      assert(b.getAs[String]("status")
+        === mirror(f.getAs[String]("status")), k)
+    }
+  }
 }

@@ -1529,4 +1529,52 @@ class StreamingOpsSpec extends SparkTestBase {
     }
     assert(e.getMessage.contains("build offline first"), e.getMessage)
   }
+
+  test("streaming drift monitor: every batch emits the live-vs-release drift; the final report equals the batch drift against the one-shot grown card") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import graft.operators.{Round18Queries, Round19Queries}
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+      .select("doc_id", "lang", "source", "text")
+    val tmp = java.nio.file.Files.createTempDirectory("graft-driftmon")
+      .toFile.getAbsolutePath
+    // the pinned release = the base corpus; the live card starts there
+    Round18Queries.cardEnsure(spark, s"$tmp/release",
+      docs.filter($"doc_id" % 4 =!= 3))
+    Round18Queries.cardEnsure(spark, s"$tmp/live",
+      docs.filter($"doc_id" % 4 =!= 3))
+    val newRows = docs.filter($"doc_id" % 4 === 3).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2),
+        r.getString(3))).toSeq
+    val input = MemoryStream[(Long, String, String, String)]
+    var emitted = 0
+    var last: Set[Seq[Any]] = Set.empty
+    val q = StreamingOps.streamingCardDriftMonitor(spark,
+        input.toDF.toDF("doc_id", "lang", "source", "text"),
+        s"$tmp/live", s"$tmp/release") { df =>
+      emitted += 1; last = df.collect().map(_.toSeq).toSet
+    }
+    Seq(newRows.take(5), newRows.drop(5)).filter(_.nonEmpty)
+      .foreach { g => input.addData(g.toIndexedSeq: _*)
+        q.processAllAvailable() }
+    q.stop()
+    assert(emitted === 2, "one report per non-empty batch")
+    // the monitor's final answer IS the batch answer: release vs the
+    // one-shot card over the fully grown corpus
+    val oneShot = s"$tmp/grown"
+    Round18Queries.cardEnsure(spark, oneShot, docs)
+    assert(last === Round19Queries.cardDrift(spark, s"$tmp/release",
+      oneShot).collect().map(_.toSeq).toSet)
+    // drift is strictly growth here: nothing vanished from a pure
+    // append, and at least one stratum grew (non-vacuous)
+    assert(last.nonEmpty)
+    val statuses = Round19Queries.cardDrift(spark, s"$tmp/release",
+        oneShot).select("status").distinct()
+      .collect().map(_.getString(0)).toSet
+    assert(!statuses.contains("vanished") && !statuses.contains("shrunk"))
+    // growth is non-vacuous — as grown strata, new strata, or both
+    // (on this fixture the appended doc_id class lands in strata the
+    // base never saw, so the growth presents as 'new')
+    assert(statuses.contains("grown") || statuses.contains("new"))
+  }
 }
