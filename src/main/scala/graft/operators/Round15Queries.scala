@@ -1253,6 +1253,13 @@ object Round15Queries {
         // exists for (its retry re-ensures warm once the winner lands)
         graft.io.ArtifactClaim.withClaim(s, idxPath,
             "bm25 index maintenance") {
+        // warmth re-checked INSIDE the claim: a winner landing between
+        // the stale outer check and this claim leaves a warm index
+        // whose plan reads "ledger tied, nothing new" — a redundant
+        // full REBUILD cross-process, not a no-op
+        bm25IndexRead(s, idxPath).filter(m => m.docRows == dr &&
+            m.docContent == dc && m.nBuckets == Bm25IndexBuckets)
+          .getOrElse {
         val current = graft.io.StampSidecar.listDataFiles(s,
           s"$dir/documents.parquet")
         // per-file partials come free: documentsStampCachedFor just
@@ -1281,6 +1288,7 @@ object Round15Queries {
         }
         bm25IndexRead(s, idxPath).getOrElse(sys.error(
           "ensureBm25IndexIncremental: artifact unreadable after build"))
+          }
         }
       }
     }

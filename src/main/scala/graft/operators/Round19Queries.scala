@@ -478,38 +478,48 @@ object Round19Queries {
           "card maintenance") {
         val stateOk = Round18Queries.cardState(s, path) ==
           Round18Queries.CardOk
-        val current = graft.io.StampSidecar.listDataFiles(s,
-          s"$dir/documents.parquet")
-        // per-file partials come free: documentsStampCachedFor just
-        // refreshed the corpus sidecar for exactly these files
-        val perFile = graft.io.StampSidecar.read(s,
-          ChoiceStore.docStampSidecarFor(dir))
-        val ledgerNow = current.map { case (p, len, mt) =>
-          val pf = perFile.get(p)
-          graft.io.StampSidecar.FileStamp(p, len, mt,
-            pf.map(_.rows).getOrElse(0L), pf.map(_.content).getOrElse(0L))
-        }
-        cardMaintenancePlan(
-            graft.io.StampSidecar.read(s, cardFilesLedgerPath(path))
-              .values.toSeq,
-            current, Round18Queries.cardMetaRead(s, path), stateOk) match {
-          case CardAppend(nf) =>
-            onAppend(nf)
-            // file ledger FIRST: a crash inside the merge leaves
-            // Σ files.tsv ≠ meta ⇒ rule (a) rebuilds, never re-adds
-            graft.io.StampSidecar.write(s, cardFilesLedgerPath(path),
-              ledgerNow)
-            Round18Queries.cardAppendBatchBody(s, path,
-              s.read.parquet(nf: _*)
+        // warmth re-checked INSIDE the claim: a winner that landed
+        // between our stale check and the claim leaves a warm card
+        // whose plan would read "ledger tied, nothing new" — a
+        // redundant full REBUILD, not a no-op. The EnsureLock makes
+        // this unreachable in-process; the re-check closes it
+        // cross-process.
+        val warmNow = stateOk && Round18Queries.cardMetaRead(s, path)
+          .contains((r, c))
+        if (!warmNow) {
+          val current = graft.io.StampSidecar.listDataFiles(s,
+            s"$dir/documents.parquet")
+          // per-file partials come free: documentsStampCachedFor just
+          // refreshed the corpus sidecar for exactly these files
+          val perFile = graft.io.StampSidecar.read(s,
+            ChoiceStore.docStampSidecarFor(dir))
+          val ledgerNow = current.map { case (p, len, mt) =>
+            val pf = perFile.get(p)
+            graft.io.StampSidecar.FileStamp(p, len, mt,
+              pf.map(_.rows).getOrElse(0L), pf.map(_.content).getOrElse(0L))
+          }
+          cardMaintenancePlan(
+              graft.io.StampSidecar.read(s, cardFilesLedgerPath(path))
+                .values.toSeq,
+              current, Round18Queries.cardMetaRead(s, path), stateOk) match {
+            case CardAppend(nf) =>
+              onAppend(nf)
+              // file ledger FIRST: a crash inside the merge leaves
+              // Σ files.tsv ≠ meta ⇒ rule (a) rebuilds, never re-adds
+              graft.io.StampSidecar.write(s, cardFilesLedgerPath(path),
+                ledgerNow)
+              Round18Queries.cardAppendBatchBody(s, path,
+                s.read.parquet(nf: _*)
+                  .select(col("doc_id"), col("lang"), col("source"),
+                    col("text")))
+            case CardRebuild =>
+              onBuild()
+              graft.io.StampSidecar.write(s, cardFilesLedgerPath(path),
+                ledgerNow)
+              Round18Queries.cardWriteBody(s, path, Tables.documents(s, dir)
                 .select(col("doc_id"), col("lang"), col("source"),
                   col("text")))
-          case CardRebuild =>
-            onBuild()
-            graft.io.StampSidecar.write(s, cardFilesLedgerPath(path),
-              ledgerNow)
-            Round18Queries.cardWriteBody(s, path, Tables.documents(s, dir)
-              .select(col("doc_id"), col("lang"), col("source"),
-                col("text")))
+          }
         }
       }
     }
