@@ -59,7 +59,10 @@ import org.apache.spark.sql.SparkSession
   * as q306 and the marginal merge is the CardProbe measurement;
   * q308's drift report pays TWO as-of card builds over an own-replica
   * chronology per call — the q305 rationale; the drift verb itself is
-  * card-artifact reads in q306's serve class) — same
+  * card-artifact reads in q306's serve class; q310's age-retained
+  * cycle is q300's exact composed cycle with the pure policy rule
+  * swapped — its cost IS q300's benched number, the delta three
+  * integer comparisons over per-snapshot stamps) — same
   * quadratic-output class),
   * queries that are strict
   * prefixes/aggregations/SQL-surface twins of included ones (q6, q11,

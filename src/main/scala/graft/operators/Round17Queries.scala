@@ -632,16 +632,27 @@ object Round17Queries {
   private[operators] def postingsMaintenanceCycleCore(s: SparkSession,
       dir: String, thrNum: Long, thrDen: Long,
       lakeOpt: Option[String] = None,
-      snapDirOpt: Option[String] = None): DataFrame = {
+      snapDirOpt: Option[String] = None,
+      recordedAtFor: Int => Long = _ => -1L): DataFrame = {
     val lake = lakeOpt.getOrElse(pmLakePath(dir))
     val lakeDocs = s"$lake/documents.parquet"
     rmrf(new java.io.File(lake))
     rmrf(new java.io.File(Round15Queries.bm25IndexPath(lake)))
+    // recorded-at stamps for the cycle's snapshots, by record ORDER
+    // (1-based): the default −1 means wall clock (production); the
+    // age-composed gate (q310) passes synthetic day stamps so its
+    // oracle can replay the age arithmetic deterministically
+    var snapSeq = 0
+    def snapRecord(sd: String): Unit = {
+      snapSeq += 1
+      graft.io.SnapshotStore.record(s, lakeDocs, sd,
+        recordedAtMillis = recordedAtFor(snapSeq))
+      ()
+    }
     val docs = Tables.documents(s, dir)
     docs.filter(col("doc_id") % IngestMod =!= IngestRem)
       .write.mode("overwrite").parquet(lakeDocs)
-    snapDirOpt.foreach(sd =>
-      graft.io.SnapshotStore.record(s, lakeDocs, sd))
+    snapDirOpt.foreach(snapRecord)
     var builds = 0L
     var appends = 0L
     def ensure() = Round15Queries.ensureBm25IndexIncremental(s, lake,
@@ -650,8 +661,7 @@ object Round17Queries {
     ensure()
     docs.filter(col("doc_id") % IngestMod === IngestRem)
       .write.mode("append").parquet(lakeDocs)
-    snapDirOpt.foreach(sd =>
-      graft.io.SnapshotStore.record(s, lakeDocs, sd))
+    snapDirOpt.foreach(snapRecord)
     val mFull = ensure()
     val idx = Round15Queries.bm25IndexPath(lake)
     // 3. DELETE set from the artifact's dl — zero corpus reads
@@ -676,7 +686,7 @@ object Round17Queries {
         case Some(sd) =>
           graft.io.SnapshotStore.compactWithRetention(s, lakeDocs, sd,
             survivors)
-          graft.io.SnapshotStore.record(s, lakeDocs, sd)
+          snapRecord(sd)
         case None =>
           survivors.write.mode("overwrite").parquet(lakeDocs)
       }

@@ -793,6 +793,104 @@ object Round19Queries {
   val q309Sql: String =
     driftSql(s"WHERE doc_id % ${Round17Queries.IngestMod} < 2", "")
 
+  // --------------------------------------------------------------- q310
+  /** AGE-RETAINED MAINTENANCE CYCLE — q300 with the AGE policy
+    * underneath (the round-19 symmetry: the cycle composed with
+    * retention existed only for the count-window rule; real lake
+    * retention is q303's "keep what is younger than N, plus pins,
+    * plus current"). Same machinery end-to-end —
+    * [[Round17Queries.postingsMaintenanceCycleCore]] snapshots every
+    * state transition (now with synthetic day stamps via its
+    * `recordedAtFor` hook, so the verdicts are deterministic), the
+    * FIRE branch compacts through the retention verb — then
+    * [[chooseSnapshotsToKeepByAge]] (now = day 3, window = half a
+    * day, pin {1}) feeds [[graft.io.SnapshotStore.expireSnapshots]],
+    * and all three chronology slots are read back through the
+    * loud-preserving slot reader. Under this chronology the age rule
+    * reaches the same keep sets as q300's count rule (fire ⇒ snapshot
+    * 1 lives by PIN, 2 expires OVER-AGE unprotected, 3 by window ∪
+    * latest; skip ⇒ 2 lives as LATEST despite being over-age), so the
+    * gate pins that a policy SWAP is behavior-preserving exactly when
+    * the rules agree — while the oracle derives every keep verdict
+    * through the replayed AGE arithmetic (window/pin/latest clauses
+    * over the literal day stamps), never the count window.
+    *
+    * 100 TB shape: identical to q300 — the policy delta is a pure
+    * rule over per-snapshot stamps (one tiny TSV each); the cycle's
+    * bill is unchanged. Bench-excluded: the composed cycle's cost is
+    * benched as q300 (the rule swap evaluates three integers).
+    */
+  val CycleAgeMaxMillis: Long = DayMillis / 2
+  val CycleAgeNowMillis: Long = 3L * DayMillis
+  val CycleAgePinned: Set[Int] = Set(1)
+
+  private[operators] def armcLakePath(sfDir: String): String =
+    new java.io.File(s"target/armclake/${PathTag.tagFor(sfDir)}")
+      .getAbsolutePath
+
+  def q310AgeRetainedMaintenanceCycle(s: SparkSession,
+      dir: String): DataFrame = {
+    val lake = armcLakePath(dir)
+    val snaps = s"$lake/snapshots"
+    val serve = Round17Queries.postingsMaintenanceCycleCore(s, dir,
+      Round18Queries.RetainThrNum, Round18Queries.RetainThrDen,
+      lakeOpt = Some(lake), snapDirOpt = Some(snaps),
+      recordedAtFor = k => k.toLong * DayMillis)
+    val allIds = graft.io.SnapshotStore.ids(s, snaps)
+    val keep = chooseSnapshotsToKeepByAge(allIds,
+      id => graft.io.SnapshotStore.recordedAt(s, snaps, id),
+      CycleAgeNowMillis, CycleAgeMaxMillis, CycleAgePinned)
+    graft.io.SnapshotStore.expireSnapshots(s, snaps, keep)
+    val (s1k, s1r, s1c) = Round18Queries.snapshotSlotStamp(s, snaps, 1)
+    val (s2k, s2r, s2c) = Round18Queries.snapshotSlotStamp(s, snaps, 2)
+    val (s3k, s3r, s3c) = Round18Queries.snapshotSlotStamp(s, snaps, 3)
+    serve
+      .withColumn("s1_kept", lit(s1k)).withColumn("s1_rows", lit(s1r))
+      .withColumn("s1_content", lit(s1c))
+      .withColumn("s2_kept", lit(s2k)).withColumn("s2_rows", lit(s2r))
+      .withColumn("s2_content", lit(s2c))
+      .withColumn("s3_kept", lit(s3k)).withColumn("s3_rows", lit(s3r))
+      .withColumn("s3_content", lit(s3c))
+      .orderBy(col("query_id"), col("rk"))
+  }
+
+  /** q300's oracle with the THREE keep verdicts re-derived through
+    * the replayed AGE arithmetic (each clause — window, pin, latest —
+    * evaluated over the literal day stamps; the latest id depends on
+    * the fire verdict, which the oracle already derives): snapshot 1
+    * is over-age but PINNED; snapshot 2 is over-age and survives only
+    * as the LATEST of a skipped cycle; snapshot 3 exists only when
+    * fired and is then in-window AND latest. */
+  val q310Sql: String = {
+    def ageKept(id: Int, latestWhen: String): String = {
+      val at = id.toLong * DayMillis
+      val pinned = if (CycleAgePinned.contains(id)) 1 else 0
+      s"""CASE WHEN $CycleAgeNowMillis - $at <= $CycleAgeMaxMillis
+         |              OR $pinned = 1 OR ($latestWhen)
+         |            THEN CAST(1 AS BIGINT)
+         |            ELSE CAST(0 AS BIGINT) END""".stripMargin
+    }
+    // s3 only exists when the cycle fired: guard the age clause
+    val s1 = ageKept(1, "1 = 0") // never latest (ids go past 1)
+    val s2 = ageKept(2, "v.fire = 0") // latest iff the cycle skipped
+    val s3 = s"""CASE WHEN v.fire = 1 THEN
+       |              ${ageKept(3, "v.fire = 1").linesIterator
+                        .mkString("\n       ")}
+       |            ELSE CAST(0 AS BIGINT) END""".stripMargin
+    var sql = Round18Queries.q300Sql
+    def splice(from: String, to: String): Unit = {
+      val next = sql.replace(from, to)
+      require(next != sql, s"q310Sql: splice target moved: $from")
+      sql = next
+    }
+    splice("CAST(1 AS BIGINT) AS s1_kept", s"$s1 AS s1_kept")
+    splice("""CASE WHEN v.fire = 1 THEN CAST(0 AS BIGINT)
+       |            ELSE CAST(1 AS BIGINT) END AS s2_kept""".stripMargin,
+      s"$s2 AS s2_kept")
+    splice("v.fire AS s3_kept", s"$s3 AS s3_kept")
+    sql
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q303_age_retention_policy" -> (q303AgeRetentionPolicy _),
     "q304_maskeddf_alternation" -> (q304MaskedDfAlternation _),
@@ -800,7 +898,8 @@ object Round19Queries {
     "q306_sql_card" -> (q306SqlCard _),
     "q307_card_ingest_cycle" -> (q307CardIngestCycle _),
     "q308_card_drift" -> (q308CardDrift _),
-    "q309_sql_drift" -> (q309SqlDrift _))
+    "q309_sql_drift" -> (q309SqlDrift _),
+    "q310_age_retained_cycle" -> (q310AgeRetainedMaintenanceCycle _))
 
   val oracles: Map[String, String] = Map(
     "q303_age_retention_policy" -> q303Sql,
@@ -809,5 +908,6 @@ object Round19Queries {
     "q306_sql_card" -> q306Sql,
     "q307_card_ingest_cycle" -> q307Sql,
     "q308_card_drift" -> q308Sql,
-    "q309_sql_drift" -> q309Sql)
+    "q309_sql_drift" -> q309Sql,
+    "q310_age_retained_cycle" -> q310Sql)
 }

@@ -974,6 +974,7 @@ class PlanSpec extends SparkTestBase {
       "q284_postings_maintenance_cycle" -> "the q282/q283 class: synthesis windows over a vocabulary-sized df table (masked on SKIP, rebuilt on FIRE); lifecycle verbs run eagerly before the served plan exists",
       "q290_asof_serve" -> "the q244 synthesis windows over the AS-OF state's vocabulary-sized df table (LIMIT-300/LIMIT-150, TakeOrderedAndProject-fed); the snapshot chronology writes run eagerly before the served plan exists",
       "q300_retained_maintenance_cycle" -> "the q284 class through the retention-composed cycle: synthesis windows over a vocabulary-sized df table (rebuilt on the deterministic FIRE); the snapshot/compaction/policy/expiry verbs run eagerly before the served plan exists",
+      "q310_age_retained_cycle" -> "q300's exact serve class with the AGE policy underneath (the rule swap evaluates per-snapshot stamps; every data-plane verb identical)",
       "q301_bucket_dial_auto" -> "the q281 class over the AUTO-bucketed artifact's vocabulary-sized df table; the counted auto-builds (tokenize + distinct-count + choice) run eagerly before the served plan exists",
       "q302_sql_masked_serve" -> "the q283 class reached through the graft_bm25_masked TVF (synthesis windows over the masked vocabulary-sized df table, resolved at analysis); the plan IS the DataFrame verb's plan by construction",
       "q304_maskeddf_alternation" -> "the q283 class over the alternation cycle's own lake replica: synthesis windows over A's tombstone-stamp-keyed masked-df state (vocabulary-sized); the cold build + four counted ensures run eagerly before the served plan exists")
@@ -1147,6 +1148,7 @@ class PlanSpec extends SparkTestBase {
       "q294_snapshot_cursor_catchup" -> "the q281/q282 serve shapes verbatim over the caught-up index (LIMIT-150 query synthesis from the artifact's df table + its ≤|Q|·2 distinct-terms projection, both localCheckpointed); the snapshot records and cursor-fed appends are writes that run before the served plan exists",
       "q297_ivfpq_cursor_catchup" -> "the standard q245 probe shapes over the caught-up index (|Q|·nprobe probe rows + |Q|-row LUT — the same k-bounded window filter); the snapshot records, cold k-means build, and cursor-fed appends are writes that run before the probed plan exists",
       "q300_retained_maintenance_cycle" -> "the q282/q283 serve shapes through the retention-composed cycle (the deterministic 1/8-threshold FIRE serves the plain q282 shape over the rebuilt index; the tombstone side inside the cycle rides BoundedBroadcast); snapshot records, retained compaction, policy, and expiry are metadata verbs that run before the served plan exists",
+      "q310_age_retained_cycle" -> "q300's exact serve class with the AGE policy underneath (the rule swap evaluates per-snapshot stamps; every data-plane verb identical)",
       "q301_bucket_dial_auto" -> "the q281 serve shapes verbatim over the auto-bucketed index (LIMIT-150 query synthesis from the artifact's df table + its <=|Q|*2 distinct-terms projection, both localCheckpointed); the auto-build (tokenize + distinct vocab count + ladder choice) is a write that runs before the served plan exists",
       "q302_sql_masked_serve" -> "the q283 serve shapes verbatim, reached through the graft_bm25_masked TVF (analysis returns the DataFrame verb's own analyzed plan — LIMIT-150 query synthesis from the validated masked-df read + its <=|Q|*2 distinct-terms projection, both localCheckpointed; tombstone side capacity-gated via BoundedBroadcast)",
       "q304_maskeddf_alternation" -> "the q283 serve shapes verbatim over the alternation cycle's own lake replica (LIMIT-150 query synthesis from A's tombstone-stamp-keyed masked-df state + its <=|Q|*2 distinct-terms projection, both localCheckpointed; tombstone side capacity-gated via BoundedBroadcast); the cold index build and the four counted ensures are writes that run before the served plan exists")
