@@ -31,9 +31,3 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
 )
-// Ad-hoc measurement flags for the forked run (e.g. event logging for
-// tools/jobstats.py: SPARK_GRAFT_JAVA_OPTS="-Dspark.eventLog.enabled=true
-// -Dspark.eventLog.dir=file:///tmp/spark-events"). Empty by default —
-// the driver contract is unchanged.
-javaOptions ++= sys.env.get("SPARK_GRAFT_JAVA_OPTS").toSeq
-  .flatMap(_.split("\\s+").filter(_.nonEmpty))

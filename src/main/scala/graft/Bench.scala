@@ -294,12 +294,10 @@ object Bench {
     // number).
     def prep(queryName: String)(build: => Unit): Boolean =
       !selected(queryName) || {
-        spark.sparkContext.setJobDescription(s"prep:$queryName")
         try { build; true }
         catch { case e: Throwable =>
           System.err.println(s"[bench] prep failed — skipping $queryName: $e"); false
         }
-        finally spark.sparkContext.setJobDescription(null)
       }
     val ivfReady = prep("q43_ivf_topk") {
       operators.AnnQueries.prepareIvf(spark, sfDir) }
@@ -432,11 +430,6 @@ object Bench {
       .filter(name => dppReady || name != "q206_dynamic_pruning")
       .flatMap { name =>
       SparkEntry.queries.get(name).map { fn =>
-        // label every job this query spawns (guide §1.5) so event-log
-        // profiling (tools/jobstats.py) attributes jobs to queries;
-        // setJobDescription is thread-local driver metadata — zero
-        // effect on the timed execution
-        spark.sparkContext.setJobDescription(name)
         val t0 = System.nanoTime()
         // noop sink, NOT count(): under Aggregate(count(1)) Catalyst
         // prunes projection-only queries down to a bare row-count scan
@@ -445,7 +438,6 @@ object Bench {
           fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true
         } catch { case _: Throwable => false }
         val secs = (System.nanoTime() - t0) / 1e9
-        spark.sparkContext.setJobDescription(null)
         if (!ok) System.err.println(s"[bench] $name FAILED")
         // 1-min loadavg sampled AT this query, so a contaminated
         // stretch of the run is machine-discountable per entry instead

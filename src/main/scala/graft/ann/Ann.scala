@@ -412,41 +412,6 @@ object Ann {
         col("dup_of"))
   }
 
-  /** Explicit schemas for every persisted-index read: parquet schema
-    * inference is a Spark job per `read.parquet` call, and the probe/
-    * lifecycle verbs read these artifacts constantly (the Round15
-    * ArtifactSchemas discipline). `cluster` is the hive partition
-    * column of the inverted lists. */
-  private[graft] object AnnSchemas {
-    import org.apache.spark.sql.types._
-    /** IVF inverted file: embeddings ride in the lists. */
-    val ivfAssignments = StructType(Seq(
-      StructField("vec_id", LongType),
-      StructField("embedding", ArrayType(FloatType)),
-      StructField("cluster", IntegerType)))
-    /** IVF-PQ inverted file: packed codes ride in the lists. */
-    val pqAssignments = StructType(Seq(
-      StructField("vec_id", LongType),
-      StructField("codes", ArrayType(IntegerType)),
-      StructField("cluster", IntegerType)))
-    val centroids = StructType(Seq(
-      StructField("cluster", IntegerType),
-      StructField("centroid", ArrayType(DoubleType))))
-    val codebooks = StructType(Seq(
-      StructField("sub", IntegerType), StructField("code", IntegerType),
-      StructField("centroid", ArrayType(DoubleType))))
-    val codes = StructType(Seq(
-      StructField("vec_id", LongType),
-      StructField("codes", ArrayType(IntegerType))))
-    val nprobeChoice = StructType(Seq(
-      StructField("gen_rows", LongType), StructField("gen_content", LongType),
-      StructField("gen_files", LongType), StructField("tomb_rows", LongType),
-      StructField("tomb_content", LongType), StructField("k", IntegerType),
-      StructField("target_micro", LongType), StructField("nprobe", IntegerType),
-      StructField("n_hits", LongType), StructField("n_exact", LongType),
-      StructField("chosen", BooleanType)))
-  }
-
   // ------------------------------------------------------------- IVF
   /** IVF coarse index: KMeans cluster id per corpus vector plus the
     * centroid table. The standard inverted-file ANN layout — at scale
@@ -514,10 +479,8 @@ object Ann {
       nprobe: Int): DataFrame = {
     val spark = queries.sparkSession
     VectorFunctions.register(spark)
-    val assigned = spark.read.schema(AnnSchemas.ivfAssignments)
-      .parquet(s"$indexDir/assignments")
-    val centroids = spark.read.schema(AnnSchemas.centroids)
-      .parquet(s"$indexDir/centroids")
+    val assigned = spark.read.parquet(s"$indexDir/assignments")
+    val centroids = spark.read.parquet(s"$indexDir/centroids")
     val cent = centroids.select(col("cluster"), col("centroid"),
       VectorFunctions.dotD(col("centroid"), col("centroid")).as("cnorm"))
     val q = queries.select(col("vec_id").as("qid"),
@@ -612,10 +575,8 @@ object Ann {
   def pqTopK(queries: DataFrame, indexDir: String, k: Int): DataFrame = {
     val spark = queries.sparkSession
     VectorFunctions.register(spark)
-    val codes = spark.read.schema(AnnSchemas.codes)
-      .parquet(s"$indexDir/codes")
-    val codebooks = spark.read.schema(AnnSchemas.codebooks)
-      .parquet(s"$indexDir/codebooks")
+    val codes = spark.read.parquet(s"$indexDir/codes")
+    val codebooks = spark.read.parquet(s"$indexDir/codebooks")
     val dimRow = queries.select(size(col("embedding"))).head(1)
     require(dimRow.nonEmpty, "pqTopK: empty query set")
     val dim = dimRow(0).getInt(0)
@@ -802,8 +763,7 @@ object Ann {
       caller: String): (DataFrame, DataFrame) = {
     val spark = queries.sparkSession
     VectorFunctions.register(spark)
-    val assigned0 = spark.read.schema(AnnSchemas.pqAssignments)
-      .parquet(s"$indexDir/assignments")
+    val assigned0 = spark.read.parquet(s"$indexDir/assignments")
     val assigned = tombstones.map { t =>
       assigned0.join(
         graft.operators.BoundedBroadcast.boundedBroadcast(
@@ -811,10 +771,8 @@ object Ann {
           "graft.ann.maxTombstones", 10000000L),
         Seq("vec_id"), "left_anti")
     }.getOrElse(assigned0)
-    val centroids = spark.read.schema(AnnSchemas.centroids)
-      .parquet(s"$indexDir/centroids")
-    val codebooks = spark.read.schema(AnnSchemas.codebooks)
-      .parquet(s"$indexDir/codebooks")
+    val centroids = spark.read.parquet(s"$indexDir/centroids")
+    val codebooks = spark.read.parquet(s"$indexDir/codebooks")
     val dimRow = queries.select(size(col("embedding"))).head(1)
     require(dimRow.nonEmpty, s"$caller: empty query set")
     val dim = dimRow(0).getInt(0)
@@ -1048,8 +1006,7 @@ object Ann {
   def ivfPqGenerationStamp(spark: SparkSession,
       indexDir: String): (Long, Long, Long) = {
     val r = assignmentsResidues(
-        spark.read.schema(AnnSchemas.pqAssignments)
-          .parquet(s"$indexDir/assignments"))
+        spark.read.parquet(s"$indexDir/assignments"))
       .agg(count(lit(1)).as("n"),
         // coalesce: an EMPTY generation (ivfPqWriteEmptyGeneration's
         // sentinel, a normal on-disk state) sums to NULL — it must
@@ -1082,8 +1039,7 @@ object Ann {
         // basePath keeps the hive `cluster=<k>` partition column
         // resolvable when reading leaf files directly
         val per = assignmentsResidues(
-            spark.read.schema(AnnSchemas.pqAssignments)
-              .option("basePath", data).parquet(paths: _*))
+            spark.read.option("basePath", data).parquet(paths: _*))
           .groupBy(col("__f"))
           .agg(count(lit(1)).as("n"),
             coalesce(sum(col("res")), lit(0L)).as("content"))
@@ -1156,8 +1112,7 @@ object Ann {
     val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
     if (!fs.exists(p)) None
     else scala.util.Try {
-      val rows = spark.read.schema(AnnSchemas.nprobeChoice)
-        .parquet(choicePath(indexDir))
+      val rows = spark.read.parquet(choicePath(indexDir))
         .orderBy(col("nprobe"))
         .collect()
       if (rows.isEmpty) None
@@ -1338,10 +1293,8 @@ object Ann {
   def ivfPqAppend(newVecs: DataFrame, indexDir: String): Unit = {
     val spark = newVecs.sparkSession
     ivfPqEncode(newVecs,
-        spark.read.schema(AnnSchemas.centroids)
-          .parquet(s"$indexDir/centroids"),
-        spark.read.schema(AnnSchemas.codebooks)
-          .parquet(s"$indexDir/codebooks"))
+        spark.read.parquet(s"$indexDir/centroids"),
+        spark.read.parquet(s"$indexDir/codebooks"))
       .repartition(col("cluster"))
       .write.mode("append").partitionBy("cluster")
       .parquet(s"$indexDir/assignments")
@@ -1388,8 +1341,7 @@ object Ann {
       tombstones: DataFrame): Unit = {
     val spark = tombstones.sparkSession
     requireNewGeneration(indexDir, outDir, "ivfPqCompact", spark)
-    spark.read.schema(AnnSchemas.pqAssignments)
-      .parquet(s"$indexDir/assignments")
+    spark.read.parquet(s"$indexDir/assignments")
       .join(graft.operators.BoundedBroadcast.boundedBroadcast(
           tombstones.select(col("vec_id")).localCheckpoint(),
           "graft.ann.maxTombstones", 10000000L),
@@ -1397,11 +1349,9 @@ object Ann {
       .repartition(col("cluster"))
       .write.mode("overwrite").partitionBy("cluster")
       .parquet(s"$outDir/assignments")
-    spark.read.schema(AnnSchemas.centroids)
-      .parquet(s"$indexDir/centroids")
+    spark.read.parquet(s"$indexDir/centroids")
       .write.mode("overwrite").parquet(s"$outDir/centroids")
-    spark.read.schema(AnnSchemas.codebooks)
-      .parquet(s"$indexDir/codebooks")
+    spark.read.parquet(s"$indexDir/codebooks")
       .write.mode("overwrite").parquet(s"$outDir/codebooks")
   }
 
@@ -1420,8 +1370,7 @@ object Ann {
   def ivfPqCompactionStats(indexDir: String,
       tombstones: DataFrame): DataFrame = {
     val spark = tombstones.sparkSession
-    val asg = spark.read.schema(AnnSchemas.pqAssignments)
-      .parquet(s"$indexDir/assignments")
+    val asg = spark.read.parquet(s"$indexDir/assignments")
       .select(col("vec_id"), col("cluster"),
         input_file_name().as("__file"))
     val dead = graft.operators.BoundedBroadcast.boundedBroadcast(
@@ -1469,8 +1418,7 @@ object Ann {
       tombstones: DataFrame, clusters: Seq[Int]): Unit = {
     val spark = tombstones.sparkSession
     requireNewGeneration(indexDir, outDir, "ivfPqCompactSelective", spark)
-    val asg = spark.read.schema(AnnSchemas.pqAssignments)
-      .parquet(s"$indexDir/assignments")
+    val asg = spark.read.parquet(s"$indexDir/assignments")
     val dead = graft.operators.BoundedBroadcast.boundedBroadcast(
       tombstones.select(col("vec_id")).localCheckpoint(),
       "graft.ann.maxTombstones", 10000000L)
@@ -1481,11 +1429,9 @@ object Ann {
       .repartition(col("cluster"))
       .write.mode("overwrite").partitionBy("cluster")
       .parquet(s"$outDir/assignments")
-    spark.read.schema(AnnSchemas.centroids)
-      .parquet(s"$indexDir/centroids")
+    spark.read.parquet(s"$indexDir/centroids")
       .write.mode("overwrite").parquet(s"$outDir/centroids")
-    spark.read.schema(AnnSchemas.codebooks)
-      .parquet(s"$indexDir/codebooks")
+    spark.read.parquet(s"$indexDir/codebooks")
       .write.mode("overwrite").parquet(s"$outDir/codebooks")
   }
 

@@ -202,48 +202,29 @@ object Round15Queries {
   private[operators] def scoreComponentsAtGrid(comp: DataFrame,
       points: Seq[(Long, Long)]): DataFrame = {
     require(points.nonEmpty, "scoreComponentsAtGrid: empty grid")
-    // grid exploded FIRST (a Generate over a literal array — same
-    // cardinality and order as the old transform-then-explode), then
-    // ONE codegen'd Okapi fold per (pair, grid point): the old
-    // aggregate()/transform() higher-order spelling is CodegenFallback
-    // — interpreted lambda evaluation per element, measured at
-    // ~58 µs/row on the q281 serve stage. Bm25OkapiFold runs the
-    // bit-identical arithmetic (same sorted-array order, same double
-    // association) as a primitive loop inside whole-stage codegen;
-    // Round15QueriesSpec pins fold ≡ groupBy-formula equality.
-    graft.functions.Bm25Functions.register(comp.sparkSession)
     val gridArr = array(points.map { case (k1m, bm) =>
       struct(lit(k1m).as("k1_micro"), lit(bm).as("b_micro")) }: _*)
-    // A/B escape hatch (measurement honesty: the bench's interleaved
-    // A/B mode flips SQL confs in one JVM): `false` restores the
-    // interpreted higher-order fold. Both spellings are bit-identical.
-    val codegenFold = comp.sparkSession.conf
-      .getOption("spark.graft.bm25.codegenFold").forall(_.toBoolean)
-    def foldAt(k1m: org.apache.spark.sql.Column,
-        bm: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
-      if (codegenFold)
-        graft.functions.Bm25Functions.fold(col("terms"), col("dl"),
-          col("n_docs"), col("avgdl"), k1m, bm)
-      else {
-        val k1 = k1m / lit(1e6)
-        val b = bm / lit(1e6)
-        aggregate(col("terms"), lit(0.0), (acc, t) =>
-          acc + log(lit(1.0) +
-              (col("n_docs") - t.getField("df") + lit(0.5)) /
-              (t.getField("df") + lit(0.5))) *
-            (t.getField("tf") * (k1 + lit(1.0))) /
-            (t.getField("tf") + k1 *
-              (lit(1.0) - b + b * col("dl") / col("avgdl"))))
-      }
+    def bm25At(g: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+      val k1 = g.getField("k1_micro") / lit(1e6)
+      val b = g.getField("b_micro") / lit(1e6)
+      round(aggregate(col("terms"), lit(0.0), (acc, t) =>
+        acc + log(lit(1.0) +
+            (col("n_docs") - t.getField("df") + lit(0.5)) /
+            (t.getField("df") + lit(0.5))) *
+          (t.getField("tf") * (k1 + lit(1.0))) /
+          (t.getField("tf") + k1 *
+            (lit(1.0) - b + b * col("dl") / col("avgdl")))), 6)
+    }
     comp
       .select(col("query_id"), col("doc_id"),
         size(col("terms")).cast("long").as("n_terms_hit"),
-        col("terms"), col("dl"), col("n_docs"), col("avgdl"),
-        explode(gridArr).as("g"))
-      .select(col("g.k1_micro").as("k1_micro"),
-        col("g.b_micro").as("b_micro"),
-        col("query_id"), col("doc_id"),
-        round(foldAt(col("g.k1_micro"), col("g.b_micro")), 6).as("bm25"),
+        explode(transform(gridArr, g =>
+          struct(g.getField("k1_micro").as("k1_micro"),
+            g.getField("b_micro").as("b_micro"),
+            bm25At(g).as("bm25")))).as("gs"))
+      .select(col("gs.k1_micro").as("k1_micro"),
+        col("gs.b_micro").as("b_micro"),
+        col("query_id"), col("doc_id"), col("gs.bm25").as("bm25"),
         col("n_terms_hit"))
   }
 
@@ -895,38 +876,6 @@ object Round15Queries {
     new java.io.File(
       s"target/indexes/bm25/${PathTag.tagFor(sfDir)}").getAbsolutePath
 
-  /** Explicit schemas for every index-artifact read. Parquet schema
-    * inference is a Spark JOB per `read.parquet` call (footers are
-    * read cluster-side); a maintenance cycle was measured paying ~15
-    * such jobs at ~40 ms driver gap each (OPTIMIZATION_r15.md). The
-    * artifact schemas are fixed by the writers above, so readers
-    * declare them and skip the inference job. `pt` is the hive
-    * partition column of postings/df — declaring it in the schema is
-    * the supported way to type a partition column. */
-  private[operators] object ArtifactSchemas {
-    import org.apache.spark.sql.types._
-    val meta = StructType(Seq(
-      StructField("doc_rows", LongType), StructField("doc_content", LongType),
-      StructField("n_buckets", IntegerType), StructField("fmt", LongType)))
-    val postings = StructType(Seq(
-      StructField("doc_id", LongType), StructField("term", StringType),
-      StructField("tf", LongType), StructField("pt", IntegerType)))
-    val dl = StructType(Seq(
-      StructField("doc_id", LongType), StructField("dl", LongType)))
-    val stats = StructType(Seq(
-      StructField("n_docs", LongType), StructField("avgdl", DoubleType)))
-    val df = StructType(Seq(
-      StructField("term", StringType), StructField("df", LongType),
-      StructField("pt", IntegerType)))
-    val maskedMeta = StructType(Seq(
-      StructField("doc_rows", LongType), StructField("doc_content", LongType),
-      StructField("tomb_rows", LongType), StructField("tomb_content", LongType),
-      StructField("seq", LongType), StructField("fmt", LongType)))
-    val maskedTable = StructType(Seq(
-      StructField("term", StringType), StructField("df", LongType),
-      StructField("pt", IntegerType)))
-  }
-
   private[graft] def bm25IndexWrite(s: SparkSession, dir: String,
       docRows: Long, docContent: Long,
       nBuckets: Int = Bm25IndexBuckets): Unit = {
@@ -1057,8 +1006,7 @@ object Round15Queries {
     val fs = p.getFileSystem(s.sessionState.newHadoopConf())
     if (!fs.exists(p)) None
     else scala.util.Try {
-      val rows = s.read.schema(ArtifactSchemas.meta)
-        .parquet(s"$path/meta").collect()
+      val rows = s.read.parquet(s"$path/meta").collect()
       rows.headOption
         .filter(_.getAs[Long]("fmt") == Bm25IndexFmt)
         .map(r => Bm25Index(r.getAs[Long]("doc_rows"),
@@ -1071,7 +1019,7 @@ object Round15Queries {
     * scan to those partitions before it starts. */
   private[graft] def readIndexDf(s: SparkSession, idxPath: String,
       buckets: Option[Seq[Int]] = None): DataFrame = {
-    val raw = s.read.schema(ArtifactSchemas.df).parquet(s"$idxPath/df")
+    val raw = s.read.parquet(s"$idxPath/df")
     buckets.fold(raw)(b => raw.filter(col("pt").isin(b: _*)))
       .select(col("term"), col("df"))
   }
@@ -1231,11 +1179,9 @@ object Round15Queries {
       nBuckets: Int = Bm25IndexBuckets): Unit = {
     val docs = batchDocs
       .select(col("doc_id"), TextPrep.tokensCol(col("text")).as("toks"))
-    // dlNew has exactly ONE consumer (the dl append write below) — no
-    // checkpoint: a checkpoint is its own Spark job, and the write
-    // re-tokenizes only the batch (batch-sized, the append contract)
     val dlNew = docs
       .select(col("doc_id"), size(col("toks")).cast("long").as("dl"))
+      .localCheckpoint()
     val tfNew = docs
       .select(col("doc_id"), explode(col("toks")).as("term"))
       .groupBy(col("doc_id"), col("term"))
@@ -1248,7 +1194,7 @@ object Round15Queries {
     dlNew.write.mode("append").parquet(s"$idxPath/dl")
     // stats re-derived from the full dl artifact: long count/sum are
     // order-free exact, so this equals a from-scratch build's stats
-    s.read.schema(ArtifactSchemas.dl).parquet(s"$idxPath/dl")
+    s.read.parquet(s"$idxPath/dl")
       .agg(count(lit(1)).as("n_docs"),
         (sum(col("dl")) / count(lit(1))).as("avgdl"))
       .write.mode("overwrite").parquet(s"$idxPath/stats")
@@ -1265,7 +1211,7 @@ object Round15Queries {
     val touched = dfNew.select(col("pt")).distinct()
       .collect().map(_.getInt(0)).toSeq
     // materialize BEFORE overwriting the partitions it was derived from
-    val merged = s.read.schema(ArtifactSchemas.df).parquet(s"$idxPath/df")
+    val merged = s.read.parquet(s"$idxPath/df")
       .filter(col("pt").isin(touched: _*))
       .unionByName(dfNew)
       .groupBy(col("term"), col("pt")).agg(sum(col("df")).as("df"))
@@ -1310,11 +1256,8 @@ object Round15Queries {
         // warmth re-checked INSIDE the claim: a winner landing between
         // the stale outer check and this claim leaves a warm index
         // whose plan reads "ledger tied, nothing new" — a redundant
-        // full REBUILD cross-process, not a no-op. ONE read serves
-        // both the re-check and the maintenance plan below (each
-        // meta read is a Spark job; same instant, same semantics).
-        val inner = bm25IndexRead(s, idxPath)
-        inner.filter(m => m.docRows == dr &&
+        // full REBUILD cross-process, not a no-op
+        bm25IndexRead(s, idxPath).filter(m => m.docRows == dr &&
             m.docContent == dc && m.nBuckets == Bm25IndexBuckets)
           .getOrElse {
         val current = graft.io.StampSidecar.listDataFiles(s,
@@ -1329,7 +1272,7 @@ object Round15Queries {
             c.map(_.rows).getOrElse(0L), c.map(_.content).getOrElse(0L))
         }
         indexMaintenancePlan(ledgerRead(s, idxPath), current,
-            inner) match {
+            bm25IndexRead(s, idxPath)) match {
           case AppendFiles(nf) =>
             onAppend(nf)
             // ledger FIRST: a crash before meta leaves Σ ledger ≠ meta
@@ -1370,12 +1313,10 @@ object Round15Queries {
     val buckets = terms
       .select(pmod(hash(col("term")), lit(nb)).as("pt"))
       .distinct().collect().map(_.getInt(0)).toSeq
-    val postings = s.read.schema(ArtifactSchemas.postings)
-      .parquet(s"$idxPath/postings")
+    val postings = s.read.parquet(s"$idxPath/postings")
       .filter(col("pt").isin(buckets: _*))
-    val dl = s.read.schema(ArtifactSchemas.dl).parquet(s"$idxPath/dl")
-    val stats = s.read.schema(ArtifactSchemas.stats)
-      .parquet(s"$idxPath/stats")
+    val dl = s.read.parquet(s"$idxPath/dl")
+    val stats = s.read.parquet(s"$idxPath/stats")
     // df pruned to the SAME bucket set as postings (it shares the pt
     // partitioning since round 13), then semi-joined to exact terms
     val dfTab = readIndexDf(s, idxPath, Some(buckets))
@@ -1442,8 +1383,7 @@ object Round15Queries {
     val tombs = BoundedBroadcast.boundedBroadcast(
       tombstones.select(col("doc_id")).localCheckpoint(),
       "graft.bm25.maxTombstones", 10000000L)
-    val dead = s.read.schema(ArtifactSchemas.postings)
-      .parquet(s"$idxPath/postings")
+    val dead = s.read.parquet(s"$idxPath/postings")
       .join(tombs, Seq("doc_id"), "left_semi")
       .groupBy(col("term")).agg(count(lit(1)).as("dead"))
     readIndexDf(s, idxPath)
@@ -1499,8 +1439,7 @@ object Round15Queries {
     val fs = p.getFileSystem(s.sessionState.newHadoopConf())
     if (!fs.exists(p)) None
     else scala.util.Try {
-      val rows = s.read.schema(ArtifactSchemas.maskedMeta)
-        .parquet(p.toString).collect()
+      val rows = s.read.parquet(p.toString).collect()
       rows.headOption
         .filter(_.getAs[Long]("fmt") == Bm25IndexFmt)
         .map(r => MaskedDfMeta(r.getAs[Long]("doc_rows"),
@@ -1511,10 +1450,8 @@ object Round15Queries {
 
   /** The meta of the state holding `tombstones`' stamp, if present. */
   private[graft] def maskedDfMetaRead(s: SparkSession, idxPath: String,
-      tombstones: DataFrame,
-      stampOpt: Option[(Long, Long)] = None): Option[MaskedDfMeta] = {
-    val (tr, tc) = stampOpt.getOrElse(
-      tombstoneDocStamp(tombstones.select(col("doc_id"))))
+      tombstones: DataFrame): Option[MaskedDfMeta] = {
+    val (tr, tc) = tombstoneDocStamp(tombstones.select(col("doc_id")))
     maskedDfMetaReadAt(s, maskedDfStatePath(idxPath, tr, tc))
   }
 
@@ -1557,18 +1494,12 @@ object Round15Queries {
     * touches postings). Mutations (build + eviction/GC) run under the
     * artifact root's cross-process claim. */
   private[graft] def ensureBm25MaskedDf(s: SparkSession, idxPath: String,
-      tombstones: DataFrame, onCompute: () => Unit = () => (),
-      mOpt: Option[Bm25Index] = None,
-      stampOpt: Option[(Long, Long)] = None): Unit =
+      tombstones: DataFrame, onCompute: () => Unit = () => ()): Unit =
     EnsureLock.withLock(maskedDfPath(idxPath)) {
-      // mOpt/stampOpt: a composing caller (the validated read, the
-      // masked serve) has already read the index meta and stamped the
-      // tombstone set — each is a Spark job, so it is passed in rather
-      // than recomputed (identical values by construction)
-      val m = mOpt.getOrElse(bm25IndexRead(s, idxPath).getOrElse(sys.error(
-        s"ensureBm25MaskedDf: no readable index at $idxPath")))
-      val (tr, tc) = stampOpt.getOrElse(tombstoneDocStamp(
-        tombstones.select(col("doc_id"))))
+      val m = bm25IndexRead(s, idxPath).getOrElse(sys.error(
+        s"ensureBm25MaskedDf: no readable index at $idxPath"))
+      val (tr, tc) = tombstoneDocStamp(
+        tombstones.select(col("doc_id")))
       val statePath = maskedDfStatePath(idxPath, tr, tc)
       val warm = maskedDfMetaReadAt(s, statePath).exists(mm =>
         mm.docRows == m.docRows && mm.docContent == m.docContent &&
@@ -1628,11 +1559,9 @@ object Round15Queries {
     * [[readMaskedDfValidated]], which closes the ensure→read race. */
   private[graft] def readMaskedDf(s: SparkSession, idxPath: String,
       tombstones: DataFrame,
-      buckets: Option[Seq[Int]] = None,
-      stampOpt: Option[(Long, Long)] = None): DataFrame = {
-    val (tr, tc) = stampOpt.getOrElse(
-      tombstoneDocStamp(tombstones.select(col("doc_id"))))
-    val raw = s.read.schema(ArtifactSchemas.maskedTable).parquet(
+      buckets: Option[Seq[Int]] = None): DataFrame = {
+    val (tr, tc) = tombstoneDocStamp(tombstones.select(col("doc_id")))
+    val raw = s.read.parquet(
       s"${maskedDfStatePath(idxPath, tr, tc)}/table")
     buckets.fold(raw)(b => raw.filter(col("pt").isin(b: _*)))
       .select(col("term"), col("df"))
@@ -1654,19 +1583,13 @@ object Round15Queries {
   private[graft] def readMaskedDfValidated(s: SparkSession,
       idxPath: String, tombstones: DataFrame,
       buckets: Option[Seq[Int]] = None,
-      onCompute: () => Unit = () => (),
-      mOpt: Option[Bm25Index] = None): DataFrame =
+      onCompute: () => Unit = () => ()): DataFrame =
     EnsureLock.withLock(maskedDfPath(idxPath)) {
-      // ONE index-meta read and ONE tombstone stamp serve the ensure,
-      // the re-verify, and the state read (they were one value per
-      // call anyway — each recompute was a separate Spark job)
-      val m = mOpt.getOrElse(bm25IndexRead(s, idxPath).getOrElse(sys.error(
-        s"readMaskedDfValidated: no readable index at $idxPath")))
+      ensureBm25MaskedDf(s, idxPath, tombstones, onCompute)
+      val m = bm25IndexRead(s, idxPath).getOrElse(sys.error(
+        s"readMaskedDfValidated: no readable index at $idxPath"))
       val (tr, tc) = tombstoneDocStamp(tombstones.select(col("doc_id")))
-      ensureBm25MaskedDf(s, idxPath, tombstones, onCompute, Some(m),
-        Some((tr, tc)))
-      val mm = maskedDfMetaRead(s, idxPath, tombstones,
-          Some((tr, tc))).getOrElse(
+      val mm = maskedDfMetaRead(s, idxPath, tombstones).getOrElse(
         sys.error(
           s"readMaskedDfValidated: masked-df meta unreadable at " +
             s"$idxPath directly after its ensure"))
@@ -1675,8 +1598,7 @@ object Round15Queries {
         s"readMaskedDfValidated: masked df at $idxPath holds state " +
           s"$mm, not the caller's (${m.docRows}, ${m.docContent}, " +
           s"$tr, $tc) — a concurrent ensure replaced it")
-      readMaskedDf(s, idxPath, tombstones, buckets, Some((tr, tc)))
-        .localCheckpoint()
+      readMaskedDf(s, idxPath, tombstones, buckets).localCheckpoint()
     }
 
   /** [[bm25ServeQueriesFromIndex]] with a tombstone mask — every input
@@ -1690,16 +1612,15 @@ object Round15Queries {
       tombstones.select(col("doc_id")).localCheckpoint(),
       "graft.bm25.maxTombstones", 10000000L)
     val terms = qterms.select(col("term")).distinct().localCheckpoint()
-    val mIdx = bm25IndexRead(s, idxPath)
-    val nb = mIdx.map(_.nBuckets).getOrElse(Bm25IndexBuckets)
+    val nb = bm25IndexRead(s, idxPath).map(_.nBuckets)
+      .getOrElse(Bm25IndexBuckets)
     val buckets = terms
       .select(pmod(hash(col("term")), lit(nb)).as("pt"))
       .distinct().collect().map(_.getInt(0)).toSeq
-    val postings = s.read.schema(ArtifactSchemas.postings)
-      .parquet(s"$idxPath/postings")
+    val postings = s.read.parquet(s"$idxPath/postings")
       .filter(col("pt").isin(buckets: _*))
       .join(tombs, Seq("doc_id"), "left_anti")
-    val dl = s.read.schema(ArtifactSchemas.dl).parquet(s"$idxPath/dl")
+    val dl = s.read.parquet(s"$idxPath/dl")
       .join(tombs, Seq("doc_id"), "left_anti")
     val stats = dl.agg(count(lit(1)).as("n_docs"),
       (sum(col("dl")) / count(lit(1))).as("avgdl"))
@@ -1710,7 +1631,7 @@ object Round15Queries {
     // critical section so a concurrent masked serve with a different
     // tombstone set can never swap the artifact under this one
     val dfTab = readMaskedDfValidated(s, idxPath, tombstones,
-        Some(buckets), mOpt = mIdx)
+        Some(buckets))
       .join(broadcast(terms), Seq("term"), "left_semi")
     val tfq = postings.join(broadcast(qterms), Seq("term"))
       .select(col("doc_id"), col("term"), col("tf"), col("query_id"))
@@ -1731,17 +1652,12 @@ object Round15Queries {
     val idx = bm25IndexPath(dir)
     // the delete set and the workload both come from the ARTIFACT —
     // the serve reads zero corpus files
-    val tombstones = s.read.schema(ArtifactSchemas.dl)
-      .parquet(s"$idx/dl").select(col("doc_id"))
+    val tombstones = s.read.parquet(s"$idx/dl").select(col("doc_id"))
       .filter(col("doc_id") % Bm25DeleteMod === Bm25DeleteRem)
       .localCheckpoint()
-    // ONE stamp pass doubles as the dead count (rows IS the stamp's
-    // first component) — the old separate count() was its own job
-    val (tr, tc) = tombstoneDocStamp(tombstones)
-    val nDead = tr
-    ensureBm25MaskedDf(s, idx, tombstones, stampOpt = Some((tr, tc)))
-    val qt = multiBm25QueryTableFrom(
-      readMaskedDf(s, idx, tombstones, stampOpt = Some((tr, tc))))
+    val nDead = tombstones.count()
+    ensureBm25MaskedDf(s, idx, tombstones)
+    val qt = multiBm25QueryTableFrom(readMaskedDf(s, idx, tombstones))
     bm25ServeQueriesFromIndexMasked(s, idx, qt,
         math.round(Round14Queries.Bm25K1 * 1e6),
         math.round(Round14Queries.Bm25B * 1e6), tombstones)

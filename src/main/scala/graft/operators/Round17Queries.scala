@@ -665,14 +665,11 @@ object Round17Queries {
     val mFull = ensure()
     val idx = Round15Queries.bm25IndexPath(lake)
     // 3. DELETE set from the artifact's dl — zero corpus reads
-    val tombstones = s.read.schema(Round15Queries.ArtifactSchemas.dl)
-      .parquet(s"$idx/dl").select(col("doc_id"))
+    val tombstones = s.read.parquet(s"$idx/dl").select(col("doc_id"))
       .filter(col("doc_id") % Round15Queries.Bm25DeleteMod
         === Round15Queries.Bm25DeleteRem)
       .localCheckpoint()
-    // ONE stamp pass doubles as the dead count (the q283 fusion)
-    val (deadRows, deadContent) =
-      Round15Queries.tombstoneDocStamp(tombstones)
+    val deadRows = tombstones.count()
     // 4. RULE (live = the indexed corpus the audit sees)
     val fire = chooseIndexRebuild(deadRows, mFull.docRows, thrNum, thrDen)
     // 5. ACTUATE
@@ -700,11 +697,9 @@ object Round17Queries {
         math.round(Round14Queries.Bm25K1 * 1e6),
         math.round(Round14Queries.Bm25B * 1e6)))
     } else {
-      Round15Queries.ensureBm25MaskedDf(s, idx, tombstones,
-        stampOpt = Some((deadRows, deadContent)))
+      Round15Queries.ensureBm25MaskedDf(s, idx, tombstones)
       val qt = Round15Queries.multiBm25QueryTableFrom(
-        Round15Queries.readMaskedDf(s, idx, tombstones,
-          stampOpt = Some((deadRows, deadContent))))
+        Round15Queries.readMaskedDf(s, idx, tombstones))
       (mFull, deadRows, Round15Queries.bm25ServeQueriesFromIndexMasked(
         s, idx, qt, math.round(Round14Queries.Bm25K1 * 1e6),
         math.round(Round14Queries.Bm25B * 1e6), tombstones))

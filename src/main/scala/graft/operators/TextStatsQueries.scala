@@ -1004,15 +1004,13 @@ object TextStatsQueries {
     * into one token — the BPE apply step, shared by q114/q115. Pure
     * row-local fold (`aggregate` HOF), shuffle-free.
     */
-  /** One BPE merge pass. The original `aggregate(...)` fold spelling
-    * was interpreted (higher-order functions are CodegenFallback) AND
-    * rebuilt the array accumulator per element (O(T²) per document);
-    * [[graft.functions.BpeMergePair]] is the same merge rule — same
-    * left-to-right semantics, same null algebra — as one codegen'd
-    * O(T) pass (guide §4; TextStatsQueriesSpec pins equality on the
-    * fixture). */
   private def bpeMergeFold(toks: Column, a: Column, b: Column): Column =
-    graft.functions.BpeMergeFn(toks, a, b)
+    aggregate(toks, array().cast("array<string>"),
+      (acc, t) => when(
+        size(acc) > 0 && element_at(acc, -1) === a && t === b,
+        concat(slice(acc, lit(1), size(acc) - 1),
+          array(concat_ws(" ", a, b))))
+        .otherwise(concat(acc, array(t))))
 
   def q114BpeMergeStep(s: SparkSession, dir: String): DataFrame = {
     import graft.dedup.Dedup

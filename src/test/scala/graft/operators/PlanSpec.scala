@@ -59,10 +59,7 @@ class PlanSpec extends SparkTestBase {
     // plain projection, which is how the expression runs in the scan
     // stage
     import org.apache.spark.sql.functions.col
-    // bare read: the adaptive input spread (Tables.parallelTable) adds
-    // an AQE-wrapped exchange, which hides codegen subtrees from the
-    // pre-execution explain; the assertion is about the EXPRESSION
-    val proj = spark.read.parquet(s"$sf0001/embeddings.parquet")
+    val proj = graft.Tables.embeddings(spark, sf0001)
       .select(graft.functions.VectorFunctions
         .dot(col("embedding"), col("embedding")).as("d"))
     val codegen = proj.queryExecution
@@ -190,7 +187,7 @@ class PlanSpec extends SparkTestBase {
       "ranking must plan through the bounded-heap operator")
     // both expressions compile into generated code
     import org.apache.spark.sql.functions.col
-    val proj = spark.read.parquet(s"$sf0001/embeddings.parquet")
+    val proj = graft.Tables.embeddings(spark, sf0001)
       .select(graft.functions.VectorFunctions.dotI(
         graft.functions.VectorFunctions.quantize8(col("embedding")),
         graft.functions.VectorFunctions.quantize8(col("embedding"))).as("d"))
@@ -363,7 +360,7 @@ class PlanSpec extends SparkTestBase {
 
   test("q138: char_entropy_nano compiles into generated code") {
     import org.apache.spark.sql.functions.col
-    val proj = spark.read.parquet(s"$sf0001/documents.parquet")
+    val proj = graft.Tables.documents(spark, sf0001)
       .select(graft.functions.CharEntropyNanoFn(col("text")).as("e"))
     val codegen = proj.queryExecution
       .explainString(ExplainMode.fromString("codegen"))
@@ -556,12 +553,7 @@ class PlanSpec extends SparkTestBase {
   }
 
   test("q190: schema-aligned union is map-only until the final sort") {
-    // the assertion pins the COMPUTATION's shuffle count; the adaptive
-    // input spread (an intentional round-robin exchange on tiny
-    // single-file inputs) is disabled for the count
-    spark.conf.set("spark.graft.scan.adaptiveParallel", "false")
-    val p = try formatted(Round9Queries.q190UnionByName(spark, sf0001))
-      finally spark.conf.unset("spark.graft.scan.adaptiveParallel")
+    val p = formatted(Round9Queries.q190UnionByName(spark, sf0001))
     assert(p.contains("Union"), s"one union expected:\n$p")
     assert(!p.contains("Join") && !p.contains("HashAggregate"),
       s"no join, no aggregate:\n$p")
@@ -699,9 +691,7 @@ class PlanSpec extends SparkTestBase {
   }
 
   test("q146: phrase search is a map-only codegen scan, no HOF and no exchange before the sort") {
-    spark.conf.set("spark.graft.scan.adaptiveParallel", "false")
-    val df = try Round7Queries.q146PhraseSearch(spark, sf0001)
-      finally spark.conf.unset("spark.graft.scan.adaptiveParallel")
+    val df = Round7Queries.q146PhraseSearch(spark, sf0001)
     val p = formatted(df)
     // the native expression replaced the interpreted lambda scan
     assert(p.contains("phrase_count"), s"native phrase_count expected:\n$p")
